@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit hash kernels as native Catalyst expressions (brief: custom
+  * `Expression` beats UDF). Deterministic FNV-1a over UTF-8 bytes —
+  * stable across JVMs/executors, no closure serialization.
+  * Registered as SQL temp functions (`graft_fingerprint64`,
+  * `graft_simhash64`) so they compose with any plan via `expr(...)`.
+  */
+object Fnv {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  def hashBytes(bytes: Array[Byte], from: Int, until: Int, seed: Long = Offset): Long = {
+    var h = seed
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xffL); h *= Prime; i += 1 }
+    h
+  }
+  def hashString(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    hashBytes(b, 0, b.length)
+  }
+}
+
+/** Rolling/polynomial 64-bit fingerprint of a normalized document:
+  * lowercase, whitespace-collapsed, FNV-1a accumulated byte-by-byte
+  * (a rolling hash over the normalized byte stream).
+  */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val norm = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    java.lang.Long.valueOf(Fnv.hashString(norm))
+  }
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(c)
+}
+
+/** 64-bit SimHash over whitespace tokens: each token contributes
+  * +1/-1 per bit position of its FNV-1a hash; the sign vector packs
+  * back into a long. Near-duplicate docs land within small Hamming
+  * distance — used by the SimHash dedup path (SURVEY §2.3 D3).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = s.length
+    var i = 0
+    def addToken(from: Int, until: Int): Unit = if (until > from) {
+      val h = Fnv.hashString(s.substring(from, until).toLowerCase)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    while (i < n) {
+      if (Character.isWhitespace(s.charAt(i))) { addToken(start, i); start = i + 1 }
+      i += 1
+    }
+    addToken(start, n)
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+object GraftFunctions {
+  /** Idempotent registration of graft SQL functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_fingerprint64",
+      (exprs: Seq[Expression]) => Fingerprint64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      (exprs: Seq[Expression]) => SimHash64(exprs.head), "built-in")
+  }
+}

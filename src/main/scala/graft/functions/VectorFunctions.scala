@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector kernels over `array<float>` embedding columns using
+  * Spark's higher-order functions (`zip_with`/`aggregate`), which stay
+  * in codegen — no UDF serialization on the 100 TB path.
+  * All arithmetic is widened to double so results are bit-stable and
+  * match the DuckDB oracle (`list_cosine_similarity` on DOUBLE[]).
+  */
+object VectorFunctions {
+
+  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Signed random-hyperplane LSH signature: one bit per plane,
+    * packed into a long. Planes are a deterministic constant (seeded),
+    * so signatures are reproducible across runs and executors.
+    */
+  def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column = {
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
+      val planeCol = array(plane.map(lit): _*)
+      val d = dot(v, planeCol)
+      acc.bitwiseOR(when(d > 0, lit(1L << i)).otherwise(lit(0L)))
+    }
+  }
+
+  /** Deterministic pseudo-gaussian hyperplanes (fixed seed). */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.5): media payloads are
+  * opaque `binary` columns with typed metadata structs. The Spark
+  * side — schema, partitioning, batch shape — is real; the actual
+  * image/audio codec step is STUBBED (no codec libs in this
+  * container) behind [[Multimodal.decodeStub]], which derives
+  * deterministic fake dimensions from the payload bytes.
+  */
+object Multimodal {
+
+  /** Typed metadata produced by the (stubbed) decoder. */
+  case class DecodedMeta(doc_id: Long, n_bytes: Long, width: Int,
+                         height: Int, n_frames: Int)
+
+  /** STUB decoder — replace with a real codec (e.g. javax.imageio /
+    * ffmpeg bindings) in a deployment that ships codecs. Deterministic
+    * pure function of the payload so tests and oracles are stable.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    ((n % 640) + 1, ((n * 7) % 480) + 1, (n % 16) + 1)
+  }
+
+  /** Documents as a multimodal table: binary payload + typed meta. */
+  def payloadTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(lit("application/x-fake").as("mime"),
+        octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Pure-expression metadata extraction (oracle-checked): byte size,
+    * stub dimensions, content checksum. Stays in codegen end-to-end.
+    */
+  def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
+    val nb = octet_length(col("text")).cast("long")
+    Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        nb.as("n_bytes"),
+        (nb % 640 + 1).as("width"),
+        ((nb * 7) % 480 + 1).as("height"),
+        md5(col("text").cast("binary")).as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** Batched decode over partitions — the shape a real decoder needs
+    * (amortized per-batch codec init, no per-row JNI churn). Uses the
+    * stub decoder; exercised by MultimodalSpec.
+    */
+  def decodeFrames(spark: SparkSession, dir: String): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    payloadTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition (per-task) decoder init would happen here
+        it.map { case (id, payload) =>
+          val (w, h, f) = decodeStub(payload)
+          DecodedMeta(id, payload.length.toLong, w, h, f)
+        }
+      }
+  }
+}

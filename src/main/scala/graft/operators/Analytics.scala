@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core analytics query surface (SURVEY §2.2). Declarative
+  * DataFrame plans only — Catalyst handles pushdown/pruning, AQE picks
+  * shuffle/broadcast strategy. Doubles are rounded at the output edge
+  * so results hash-match the DuckDB oracle.
+  *
+  * The selective-filter and grouped-agg shapes mirror the reference's
+  * baseline measurements (reference docs/02-lab-optimizations.md:93-107
+  * and :745-752).
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: grouped multi-aggregate. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Selective filter + count — the reference's baseline scan
+    * (country/category filter ≈ returnflag/shipdate here). The
+    * predicate reaches the parquet scan as PushedFilters.
+    */
+  def q2SelectiveFilter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Join + aggregate: revenue by order priority. */
+  def q3JoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Top-10 customers by revenue (join + agg + deterministic top-k). */
+  def q4TopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** 5-way dim join: revenue per region/nation; dims broadcast. */
+  def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region")
+    val n = Tables(spark, dir, "nation")
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** TPC-H Q6-style range-filter revenue forecast. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  /** Window: top-3 parts by retail price per brand (row_number). */
+  def q7TopnPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("p_partkey"),
+        round(col("p_retailprice"), 2).as("p_retailprice"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Window: running total of order value per customer. */
+  def q8RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  def q9AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def q10ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy("l_linestatus")
+      .agg(
+        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 2)
+          .as("returned_value"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("high_disc_items"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Exact distinct counts (shuffle-dedup under the hood). */
+  def q11DistinctParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.agg(
+      countDistinct("l_partkey").as("n_parts"),
+      countDistinct("l_suppkey").as("n_supps"),
+      countDistinct("l_orderkey").as("n_orders"))
+  }
+
+  /** Event-time tumbling-window aggregation (batch form of the
+    * Structured Streaming windowed agg — SURVEY §2.7).
+    */
+  def q12EventWindows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Sketches: approx distinct (HLL++) + approx percentiles. Sketch
+    * outputs are engine-specific → rows-only check (no DuckDB oracle).
+    */
+  def q13Approx(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.agg(
+      approx_count_distinct("l_partkey").as("approx_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+      percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.{GraftFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (SURVEY §2.3).
+  *
+  * Scale design: every near-dup path is LSH-banded so candidate-pair
+  * generation is a hash-partitioned equi-join on (band, bucket) — the
+  * only shuffle — instead of an O(n²) cross join. Exact dedup is a
+  * single hash-aggregate. Verification (Jaccard / Hamming / cosine)
+  * runs only on bucket-collision pairs.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one surviving id per text. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("content_hash", "keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** Word-set Jaccard over exact-blocked pairs (block = char length —
+    * a deterministic blocking key the DuckDB oracle replicates).
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"), col("len"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"), col("len"))
+    a.join(b, "len")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(wordJaccard(col("text_a"), col("text_b")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 3-word shingles of normalized text. */
+  private def shingles(text: Column): Column = {
+    val toks = split(normText(text), " ")
+    when(size(toks) < 3, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+  }
+
+  /** k-component MinHash signature over the shingle set. */
+  def minhashSignature(text: Column, k: Int = 32): Column = {
+    val sh = shingles(text)
+    array((0 until k).map(h =>
+      array_min(transform(sh, s => xxhash64(lit(h), s)))): _*)
+  }
+
+  /** Banded signature rows: (id, band, band_hash), b bands of r rows. */
+  private def bandedSigs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val withSig = df.withColumn("__sig", minhashSignature(col(textCol), k))
+    val bandCols = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (0 until r).map(i =>
+          element_at(col("__sig"), b * r + i + 1)): _*).as("band_hash"))
+    }: _*)
+    withSig.select(col(idCol), col("__sig"), explode(bandCols).as("bb"))
+      .select(col(idCol), col("__sig"), col("bb.band"), col("bb.band_hash"))
+  }
+
+  /** Documents plus deterministically-planted near-duplicates (tail
+    * tokens appended; id offset +100000) — gives the LSH paths known
+    * positives to surface in the rows-only checks and specs.
+    */
+  def withPlantedNearDups(docs: DataFrame, nPlanted: Int = 20): DataFrame = {
+    val variants = docs.filter(col("doc_id") < nPlanted)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" appended near duplicate tail marker")).as("text"))
+    docs.select("doc_id", "text").unionByName(variants)
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with estimated Jaccard
+    * (fraction of agreeing signature components). Deterministic
+    * (xxhash64, fixed band plan); rows-only correctness check.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32; val bands = 8
+    val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
+    val sigs = bandedSigs(docs, "doc_id", "text", k, bands)
+    val a = sigs.select(col("doc_id").as("id_a"), col("__sig").as("sig_a"),
+      col("band"), col("band_hash"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("__sig").as("sig_b"),
+      col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          x === y), p => p)).cast("double") / k, 4).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup: 64-bit signature, 4×16-bit bands, Hamming ≤ 8
+    * verification on collisions. Deterministic; rows-only check.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
+      .withColumn("sig", expr("graft_simhash64(text)"))
+    val banded = docs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          col("sig").bitwiseAND(lit(0xffffL << (16 * i))).as("band_bits"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.band_bits"))
+    val a = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_bits"))
+    val b = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_bits"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding cosine near-dup via random-hyperplane LSH buckets +
+    * cosine verification. Planted near-identical vectors (+0.05 on
+    * dim 0, id offset +100000). Deterministic; rows-only check.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val variants = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    val all = emb.unionByName(variants)
+      .withColumn("sig", VectorFunctions.hyperplaneSig(col("embedding"),
+        VectorFunctions.planes(16, 64)))
+    val a = all.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("sig"))
+    val b = all.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("sig"))
+    a.join(b, "sig")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= 0.99)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2.4).
+  *
+  * Scale design: the brute-force path broadcasts only the (small)
+  * query side — the 100 TB corpus streams through codegen'd cosine
+  * with no shuffle. The LSH and IVF paths turn ANN into equi-joins on
+  * bucket keys so candidate generation is hash-partitioned and the
+  * expensive exact cosine runs only on candidates.
+  */
+object Similarity {
+
+  private val QuerySetSize = 10
+  private val TopK = 5
+
+  /** Brute-force cosine top-k: exact baseline, DuckDB-oracle-checked. */
+  def simBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid"))
+    c.join(broadcast(q))
+      .withColumn("cos_raw", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("cid"), round(col("cos_raw"), 4).as("cos"), col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Random-hyperplane LSH ANN: 16-bit signatures, 4 bands × 4 bits.
+    * Candidates = bucket collisions; exact cosine re-ranks. Rows-only
+    * check (ANN recall asserted in SimilaritySpec vs brute force).
+    */
+  def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val ps = planes(16, 64)
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("sig", hyperplaneSig(col("embedding"), ps))
+    val banded = emb.select(col("vec_id"), col("embedding"), col("sig"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        shiftright(col("sig"), 4 * i).bitwiseAND(lit(0xfL)).as("bits"))): _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bits"))
+    val q = banded.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("band"), col("bits"))
+    val c = banded.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("band"), col("bits"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid"))
+    q.join(c, Seq("band", "bits"))
+      .select("qid", "qe", "cid", "ce").distinct()
+      .withColumn("cos_raw", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("cid"), round(col("cos_raw"), 4).as("cos"), col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  private def litArr(a: Array[Double]): Column = array(a.map(lit): _*)
+
+  /** Cosine of a vector column against each centroid, as (cos, idx)
+    * structs — struct ordering gives deterministic argmax/sort.
+    */
+  private def centroidStructs(v: Column, cents: Seq[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (ct, i) =>
+      struct(round(cosine(v, litArr(ct)), 8).as("cos"), lit(i).as("idx"))
+    }: _*)
+
+  /** IVF-style ANN: 16 coarse centroids (seeded from the first 16
+    * vectors, one Lloyd refinement step), corpus assigned to nearest
+    * centroid, queries probe the top-2 centroids only. Centroids are
+    * KB-scale metadata — collected to the driver and re-broadcast as
+    * literals, never the data itself. Rows-only check + recall spec.
+    */
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val seeds: Seq[Array[Double]] = emb.filter(col("vec_id") < 16)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    // one Lloyd step: assign to seed, average per cluster
+    val assigned = emb.withColumn("cluster",
+      array_max(centroidStructs(col("embedding"), seeds)).getField("idx"))
+    val refined: Seq[Array[Double]] = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos").agg(avg("x").as("x"))
+      .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("vs"))
+      .select(col("cluster"), transform(col("vs"), _.getField("x")).as("centroid"))
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val corpus = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        array_max(centroidStructs(col("embedding"), refined)).getField("idx").as("cluster"))
+    val queries = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        slice(reverse(array_sort(centroidStructs(col("embedding"), refined))), 1, 2).as("probes"))
+      .select(col("qid"), col("qe"), explode(col("probes")).as("p"))
+      .select(col("qid"), col("qe"), col("p.idx").as("cluster"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid"))
+    broadcast(queries).join(corpus, "cluster")
+      .withColumn("cos_raw", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("cid"), round(col("cos_raw"), 4).as("cos"), col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+}
