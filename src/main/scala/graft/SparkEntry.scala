@@ -52,11 +52,23 @@ object SparkEntry {
     "sim_ivf" -> Similarity.simIvf _,
     "mm_decode_meta" -> Multimodal.mmDecodeMeta _)
 
-  /** GraftLake table-layer queries (SURVEY §2.1) — filled as the lake
-    * layer lands; each rebuilds an isolated table under target/ and
-    * proves content invariants against plain-parquet oracles.
+  /** GraftLake table-layer queries (SURVEY §2.1): each rebuilds an
+    * isolated table under target/ and proves content invariants
+    * against plain-parquet oracles.
     */
-  val lakeQueries: Map[String, Q] = Map()
+  val lakeQueries: Map[String, Q] = Map(
+    "lake_roundtrip" -> LakeOps.lakeRoundtrip _,
+    "lake_delete" -> LakeOps.lakeDelete _,
+    "lake_timetravel" -> LakeOps.lakeTimetravel _,
+    "lake_update" -> LakeOps.lakeUpdate _,
+    "lake_merge" -> LakeOps.lakeMerge _,
+    "lake_optimize" -> LakeOps.lakeOptimize _,
+    "lake_zorder" -> LakeOps.lakeZorder _,
+    "lake_partition_prune" -> LakeOps.lakePartitionPrune _,
+    "lake_data_skipping" -> LakeOps.lakeDataSkipping _,
+    "lake_restore" -> LakeOps.lakeRestore _,
+    "lake_history" -> LakeOps.lakeHistory _,
+    "lake_vacuum" -> LakeOps.lakeVacuum _)
 
   private val rev = "ROUND(SUM(l_extendedprice*(1.0-l_discount)),2)"
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
@@ -168,5 +180,36 @@ object SparkEntry {
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width, " +
         "CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height, " +
-        "md5(text) AS checksum FROM documents ORDER BY doc_id"))
+        "md5(text) AS checksum FROM documents ORDER BY doc_id"),
+    "lake_roundtrip" -> LakeOps.liAggOracle.format("lineitem"),
+    "lake_optimize" -> LakeOps.liAggOracle.format("lineitem"),
+    "lake_zorder" -> LakeOps.liAggOracle.format("lineitem"),
+    "lake_restore" -> LakeOps.liAggOracle.format("lineitem"),
+    "lake_vacuum" -> LakeOps.liAggOracle.format("lineitem"),
+    "lake_timetravel" -> LakeOps.liAggOracle.format("lineitem"),
+    "lake_delete" -> LakeOps.liAggOracle.format(
+      "(SELECT * FROM lineitem WHERE l_returnflag <> 'R') t"),
+    "lake_update" ->
+      ("SELECT l_returnflag, ROUND(SUM(l_discount),4) AS sum_disc, COUNT(*) AS n FROM (" +
+        "SELECT l_returnflag, CASE WHEN l_returnflag='R' THEN 0.0 ELSE l_discount END " +
+        "AS l_discount FROM lineitem) t GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "lake_merge" ->
+      ("WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "ROUND(o_totalprice*2,2) AS o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey < 100 UNION ALL " +
+        "SELECT o_orderkey+10000000, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey < 50), " +
+        "merged AS (SELECT * FROM orders WHERE o_orderkey NOT IN " +
+        "(SELECT o_orderkey FROM src) UNION ALL SELECT * FROM src) " +
+        "SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice),2) AS total FROM merged"),
+    "lake_partition_prune" ->
+      ("SELECT l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity),2) AS sum_qty " +
+        "FROM lineitem WHERE l_returnflag='R' GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "lake_data_skipping" ->
+      ("SELECT COUNT(*) AS n, ROUND(SUM(l_quantity),2) AS sum_qty FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '2000-01-01'"),
+    "lake_history" ->
+      ("SELECT CAST(v AS BIGINT) AS version, op AS operation FROM (VALUES " +
+        "(0,'CREATE TABLE AS SELECT'),(1,'DELETE'),(2,'OPTIMIZE')) t(v, op) " +
+        "ORDER BY version"))
 }

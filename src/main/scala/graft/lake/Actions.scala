@@ -1,0 +1,162 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** GraftLake transaction-log action model — a from-scratch,
+  * Delta-lake-shaped log on Parquet (reference docs/00-overview.md:10:
+  * "Parquet files plus a `_delta_log` folder with JSON transaction
+  * logs"). One JSON object per line per action; hand-rolled writer +
+  * Jackson (bundled with Spark) reader, no external deps.
+  */
+sealed trait Action
+
+/** Per-file column statistics powering data skipping (reference
+  * docs/02-lab-optimizations.md:587-599 — min/max/null statistics).
+  * Values are stored as strings and re-typed against the table schema
+  * at prune time.
+  */
+final case class FileStats(
+    numRecords: Long,
+    minValues: Map[String, String],
+    maxValues: Map[String, String],
+    nullCounts: Map[String, Long])
+
+final case class AddFile(
+    path: String,                          // relative to table root
+    partitionValues: Map[String, String],
+    size: Long,
+    modificationTime: Long,
+    dataChange: Boolean,
+    stats: Option[FileStats]) extends Action
+
+final case class RemoveFile(
+    path: String,
+    deletionTimestamp: Long,
+    dataChange: Boolean) extends Action
+
+final case class Metadata(
+    schemaJson: String,
+    partitionColumns: Seq[String],
+    properties: Map[String, String],
+    createdTime: Long) extends Action
+
+final case class CommitInfo(
+    timestamp: Long,
+    operation: String,
+    parameters: Map[String, String],
+    metrics: Map[String, String]) extends Action
+
+object Actions {
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def obj(fields: (String, String)*): String =
+    fields.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
+
+  private def strMap(m: Map[String, String]): String =
+    obj(m.toSeq.sortBy(_._1).map { case (k, v) => (k, q(v)) }: _*)
+
+  private def longMap(m: Map[String, Long]): String =
+    obj(m.toSeq.sortBy(_._1).map { case (k, v) => (k, v.toString) }: _*)
+
+  private def strArr(xs: Seq[String]): String = xs.map(q).mkString("[", ", ", "]")
+
+  def toJson(a: Action): String = a match {
+    case f: AddFile =>
+      val base = Seq(
+        "path" -> q(f.path),
+        "partitionValues" -> strMap(f.partitionValues),
+        "size" -> f.size.toString,
+        "modificationTime" -> f.modificationTime.toString,
+        "dataChange" -> f.dataChange.toString)
+      val withStats = f.stats match {
+        case Some(s) => base :+ ("stats" -> obj(
+          "numRecords" -> s.numRecords.toString,
+          "minValues" -> strMap(s.minValues),
+          "maxValues" -> strMap(s.maxValues),
+          "nullCounts" -> longMap(s.nullCounts)))
+        case None => base
+      }
+      obj("add" -> obj(withStats: _*))
+    case r: RemoveFile =>
+      obj("remove" -> obj(
+        "path" -> q(r.path),
+        "deletionTimestamp" -> r.deletionTimestamp.toString,
+        "dataChange" -> r.dataChange.toString))
+    case m: Metadata =>
+      obj("metaData" -> obj(
+        "schemaJson" -> q(m.schemaJson),
+        "partitionColumns" -> strArr(m.partitionColumns),
+        "properties" -> strMap(m.properties),
+        "createdTime" -> m.createdTime.toString))
+    case c: CommitInfo =>
+      obj("commitInfo" -> obj(
+        "timestamp" -> c.timestamp.toString,
+        "operation" -> q(c.operation),
+        "parameters" -> strMap(c.parameters),
+        "metrics" -> strMap(c.metrics)))
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private def asStrMap(o: Any): Map[String, String] =
+    if (o == null) Map.empty
+    else o.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
+      .map { case (k, v) => k -> String.valueOf(v) }
+
+  private def asLongMap(o: Any): Map[String, Long] =
+    if (o == null) Map.empty
+    else o.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
+      .map { case (k, v) => k -> String.valueOf(v).toLong }
+
+  def fromJson(line: String): Option[Action] = {
+    val root = mapper.readValue(line, classOf[java.util.Map[String, Any]]).asScala
+    root.headOption.map {
+      case ("add", v) =>
+        val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
+        val stats = Option(m.getOrElse("stats", null)).map { so =>
+          val sm = so.asInstanceOf[java.util.Map[String, Any]].asScala
+          FileStats(
+            String.valueOf(sm("numRecords")).toLong,
+            asStrMap(sm.getOrElse("minValues", null)),
+            asStrMap(sm.getOrElse("maxValues", null)),
+            asLongMap(sm.getOrElse("nullCounts", null)))
+        }
+        AddFile(
+          m("path").toString,
+          asStrMap(m.getOrElse("partitionValues", null)),
+          String.valueOf(m("size")).toLong,
+          String.valueOf(m("modificationTime")).toLong,
+          String.valueOf(m("dataChange")).toBoolean,
+          stats)
+      case ("remove", v) =>
+        val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
+        RemoveFile(m("path").toString,
+          String.valueOf(m("deletionTimestamp")).toLong,
+          String.valueOf(m("dataChange")).toBoolean)
+      case ("metaData", v) =>
+        val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
+        Metadata(m("schemaJson").toString,
+          m("partitionColumns").asInstanceOf[java.util.List[Any]].asScala.toSeq.map(_.toString),
+          asStrMap(m.getOrElse("properties", null)),
+          String.valueOf(m("createdTime")).toLong)
+      case ("commitInfo", v) =>
+        val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
+        CommitInfo(String.valueOf(m("timestamp")).toLong,
+          m("operation").toString,
+          asStrMap(m.getOrElse("parameters", null)),
+          asStrMap(m.getOrElse("metrics", null)))
+      case (other, _) =>
+        throw new IllegalArgumentException(s"unknown action type: $other")
+    }
+  }
+}

@@ -1,0 +1,424 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** GraftLake table: ACID-ish table format on Parquet with a JSON
+  * transaction log — the full maintenance surface the reference
+  * exercises on Delta (reference docs/02-lab-optimizations.md):
+  * OPTIMIZE bin-packing (§C), Z-ORDER (§C), history + time travel
+  * (§D), DELETE/UPDATE/MERGE copy-on-write (§D), VACUUM (§E),
+  * partitioning (§F), file stats + skipping (§I) — re-implemented
+  * from scratch, Spark-first: every data move is a DataFrame job,
+  * the driver only ever touches KB-scale log metadata.
+  */
+final class GraftTable private (val spark: SparkSession, val path: String) {
+
+  val log = new TxnLog(path)
+  private def root: Path = Paths.get(path)
+
+  def snapshot: Snapshot = Snapshot.at(spark, log)
+  def snapshotAt(v: Long): Snapshot = Snapshot.at(spark, log, Some(v))
+  def version: Long = log.latestVersion().getOrElse(-1L)
+
+  // ---------------------------------------------------------------- read
+
+  private def dfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+    else
+      spark.read
+        .option("basePath", path)
+        .schema(snap.schema)
+        .parquet(files.map(f => s"$path/${f.path}"): _*)
+
+  def toDF: DataFrame = { val s = snapshot; dfForFiles(s, s.activeFiles) }
+
+  /** `SELECT ... VERSION AS OF v` (reference 02-lab:205-211). */
+  def toDFAt(v: Long): DataFrame = { val s = snapshotAt(v); dfForFiles(s, s.activeFiles) }
+
+  /** Timestamp-based time travel. */
+  def toDFAsOfTimestamp(tsMillis: Long): DataFrame =
+    toDFAt(Snapshot.versionAtTimestamp(log, tsMillis))
+
+  /** Stats+partition-pruned read: only files whose footer min/max or
+    * partition value may satisfy `predicate` are scanned; the full
+    * predicate is still applied, so this is pure I/O reduction.
+    */
+  def readWhere(predicate: Column): DataFrame = {
+    val s = snapshot
+    val kept = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, predicate)
+    dfForFiles(s, kept).filter(predicate)
+  }
+
+  /** Files that survive pruning for `predicate` (for tests/metrics). */
+  def pruneFiles(predicate: Column): (Int, Int) = {
+    val s = snapshot
+    (Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, predicate).size,
+      s.activeFiles.size)
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Stage `df` as parquet files, move them under the table root, and
+    * return AddFile actions with footer stats attached.
+    */
+  private def stageWrite(df: DataFrame, partitionBy: Seq[String],
+                         dataChange: Boolean,
+                         targetFiles: Option[Int] = None): Seq[AddFile] = {
+    val staging = root.resolve("_staging").resolve(s"txn-${UUID.randomUUID()}")
+    val shaped = targetFiles.map(n => df.repartition(n)).getOrElse(df)
+    val writer = shaped.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging.toString)
+
+    val walk = Files.walk(staging)
+    val staged =
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .toSeq.sortBy(_.toString)
+      finally walk.close()
+    val moved = staged.map { src =>
+      val rel = staging.relativize(src).toString
+      val dest = root.resolve(rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(src, dest)
+      rel
+    }
+    deleteRecursively(staging)
+
+    val stats = Stats.collect(spark, moved.map(r => root.resolve(r).toString))
+    moved.map { rel =>
+      val abs = root.resolve(rel)
+      val partVals = rel.split('/').dropRight(1).filter(_.contains("="))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      AddFile(rel, partVals, Files.size(abs),
+        Files.getLastModifiedTime(abs).toMillis, dataChange,
+        stats.get(abs.toString))
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  private def commitAndCheckpoint(actions: Seq[Action]): Long = {
+    val v = log.commit(actions)
+    log.maybeCheckpoint(spark, v)
+    v
+  }
+
+  private def info(op: String, params: Map[String, String] = Map.empty,
+                   metrics: Map[String, String] = Map.empty): CommitInfo =
+    CommitInfo(System.currentTimeMillis(), op, params, metrics)
+
+  /** Append with schema enforcement (names+types must match). */
+  def append(df: DataFrame): Long = {
+    val s = snapshot
+    enforceSchema(df.schema, s.schema)
+    val adds = stageWrite(df, s.partitionColumns, dataChange = true)
+    commitAndCheckpoint(info("APPEND",
+      metrics = Map("numFiles" -> adds.size.toString)) +: adds)
+  }
+
+  /** Overwrite; `overwriteSchema=true` allows a schema change
+    * (reference 02-lab:70-75 overwrite + overwriteSchema).
+    */
+  def overwrite(df: DataFrame, overwriteSchema: Boolean = false): Long = {
+    val s = snapshot
+    if (!overwriteSchema) enforceSchema(df.schema, s.schema)
+    val meta = s.metadata.get.copy(schemaJson = df.schema.json)
+    val adds = stageWrite(df, s.partitionColumns, dataChange = true)
+    val removes = s.activeFiles.map(f =>
+      RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    commitAndCheckpoint(Seq(info("OVERWRITE"), meta) ++ removes ++ adds)
+  }
+
+  private def enforceSchema(incoming: StructType, table: StructType): Unit = {
+    val in = incoming.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    val tb = table.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    require(in == tb,
+      s"schema mismatch: incoming ${incoming.simpleString} vs table ${table.simpleString} " +
+        "(use overwrite(df, overwriteSchema = true) to change the schema)")
+  }
+
+  /** Idempotent streaming micro-batch append: (appId, epochId) is
+    * recorded in the commit; a replayed epoch is skipped → effectively
+    * exactly-once from foreachBatch (SURVEY §2.1 L16).
+    */
+  def appendStreamBatch(appId: String, epochId: Long, df: DataFrame): Long = {
+    val seen = (0L to version).exists { v =>
+      log.readCommit(v).exists {
+        case c: CommitInfo =>
+          c.parameters.get("streamAppId").contains(appId) &&
+            c.parameters.get("epochId").contains(epochId.toString)
+        case _ => false
+      }
+    }
+    if (seen) version
+    else {
+      val s = snapshot
+      enforceSchema(df.schema, s.schema)
+      val adds = stageWrite(df, s.partitionColumns, dataChange = true)
+      commitAndCheckpoint(info("STREAMING UPDATE",
+        params = Map("streamAppId" -> appId, "epochId" -> epochId.toString)) +: adds)
+    }
+  }
+
+  // ------------------------------------------------------ DML (CoW)
+
+  /** DELETE FROM ... WHERE cond (reference 02-lab:220-225).
+    * Copy-on-write: only stats-pruned candidate files are rewritten;
+    * rows where cond is false/null survive.
+    */
+  def delete(cond: Column): Map[String, String] = {
+    val s = snapshot
+    val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, cond)
+    if (candidates.isEmpty) {
+      commitAndCheckpoint(Seq(info("DELETE", metrics = Map("numRemovedFiles" -> "0"))))
+      return Map("numRemovedFiles" -> "0")
+    }
+    val keep = dfForFiles(s, candidates)
+      .filter(coalesce(cond, lit(false)) === false)
+    val adds = stageWrite(keep, s.partitionColumns, dataChange = true)
+    val removes = candidates.map(f =>
+      RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val metrics = Map(
+      "numRemovedFiles" -> removes.size.toString,
+      "numAddedFiles" -> adds.size.toString)
+    commitAndCheckpoint(Seq(info("DELETE", metrics = metrics)) ++ removes ++ adds)
+    metrics
+  }
+
+  /** UPDATE ... SET assignments WHERE cond. */
+  def update(cond: Column, set: Map[String, Column]): Map[String, String] = {
+    val s = snapshot
+    val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, cond)
+    if (candidates.isEmpty) {
+      commitAndCheckpoint(Seq(info("UPDATE", metrics = Map("numRemovedFiles" -> "0"))))
+      return Map("numRemovedFiles" -> "0")
+    }
+    val updated = set.foldLeft(dfForFiles(s, candidates)) { case (df, (c, v)) =>
+      df.withColumn(c,
+        when(coalesce(cond, lit(false)), v.cast(s.schema(c).dataType))
+          .otherwise(col(c)))
+    }
+    val adds = stageWrite(updated, s.partitionColumns, dataChange = true)
+    val removes = candidates.map(f =>
+      RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val metrics = Map(
+      "numRemovedFiles" -> removes.size.toString,
+      "numAddedFiles" -> adds.size.toString)
+    commitAndCheckpoint(Seq(info("UPDATE", metrics = metrics)) ++ removes ++ adds)
+    metrics
+  }
+
+  /** MERGE INTO by key equality: matched → replace with source row,
+    * not-matched → insert. Candidate files are pruned to the source's
+    * key range (computed driver-side from a 1-row agg), so a merge of
+    * a small delta touches only the overlapping slice of a 100 TB
+    * table.
+    */
+  def merge(source: DataFrame, key: String): Map[String, String] = {
+    val s = snapshot
+    enforceSchema(source.schema, s.schema)
+    val kr = source.agg(min(col(key)), max(col(key))).head()
+    val keyRange = col(key) >= lit(kr.get(0)) && col(key) <= lit(kr.get(1))
+    val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, keyRange)
+    val untouched = dfForFiles(s, candidates).join(source, Seq(key), "left_anti")
+    val merged = untouched.select(s.schema.fieldNames.map(col): _*)
+      .unionByName(source.select(s.schema.fieldNames.map(col): _*))
+    val adds = stageWrite(merged, s.partitionColumns, dataChange = true)
+    val removes = candidates.map(f =>
+      RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val metrics = Map(
+      "numSourceRows" -> source.count().toString,
+      "numRemovedFiles" -> removes.size.toString,
+      "numAddedFiles" -> adds.size.toString)
+    commitAndCheckpoint(Seq(info("MERGE", metrics = metrics)) ++ removes ++ adds)
+    metrics
+  }
+
+  // ------------------------------------------------- maintenance ops
+
+  /** OPTIMIZE bin-packing (reference 02-lab:116-152): per partition,
+    * coalesce files smaller than `targetBytes` into
+    * ceil(totalSmall/target) right-sized files. `dataChange=false` —
+    * rewrites are invisible to incremental readers.
+    */
+  def optimize(targetBytes: Long = 128L * 1024 * 1024): Map[String, String] = {
+    val s = snapshot
+    var removed = 0
+    var added = 0
+    val actions = scala.collection.mutable.Buffer[Action]()
+    s.activeFiles.groupBy(_.partitionValues).foreach { case (_, files) =>
+      val small = files.filter(_.size < targetBytes)
+      if (small.size >= 2) {
+        val nOut = math.max(1, math.ceil(small.map(_.size).sum.toDouble / targetBytes).toInt)
+        val adds = stageWrite(dfForFiles(s, small), s.partitionColumns,
+          dataChange = false, targetFiles = Some(nOut))
+        actions ++= small.map(f =>
+          RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
+        actions ++= adds
+        removed += small.size
+        added += adds.size
+      }
+    }
+    val metrics = Map(
+      "numRemovedFiles" -> removed.toString,
+      "numAddedFiles" -> added.toString)
+    commitAndCheckpoint(info("OPTIMIZE", metrics = metrics) +: actions.toSeq)
+    metrics
+  }
+
+  /** OPTIMIZE ... ZORDER BY (cols): full rewrite, rows clustered by
+    * Morton rank so file min/max ranges are tight on every clustered
+    * column (reference 02-lab:139-163).
+    */
+  def zorderBy(targetBytes: Long, cols: String*): Map[String, String] = {
+    val s = snapshot
+    val df = dfForFiles(s, s.activeFiles)
+    val z = df.withColumn("__zval", ZOrder.zvalue(df, cols))
+    val nOut = math.max(1, math.ceil(s.sizeInBytes.toDouble / targetBytes).toInt)
+    val clustered = z.repartitionByRange(nOut, col("__zval"))
+      .sortWithinPartitions("__zval").drop("__zval")
+    val adds = stageWrite(clustered, s.partitionColumns, dataChange = false)
+    val removes = s.activeFiles.map(f =>
+      RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
+    val metrics = Map(
+      "zOrderBy" -> cols.mkString(","),
+      "numRemovedFiles" -> removes.size.toString,
+      "numAddedFiles" -> adds.size.toString)
+    commitAndCheckpoint(Seq(info("OPTIMIZE ZORDER",
+      params = Map("zOrderBy" -> cols.mkString(",")), metrics = metrics)) ++ removes ++ adds)
+    metrics
+  }
+
+  /** VACUUM (reference 02-lab:295-309): delete files on disk that are
+    * not referenced by the current snapshot and are older than the
+    * retention window. `dryRun=true` only lists. Truncates time
+    * travel, exactly like the reference warns.
+    */
+  def vacuum(retentionHours: Double, dryRun: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    val active = s.activeFiles.map(f => root.resolve(f.path).normalize.toString).toSet
+    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    val walk = Files.walk(root)
+    val candidates =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filterNot(p => p.startsWith(log.logDir))
+        .filter(p => !active.contains(p.normalize.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .map(_.toString).toSeq.sorted
+      finally walk.close()
+    if (!dryRun) {
+      candidates.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      log.commit(Seq(info("VACUUM",
+        params = Map("retentionHours" -> retentionHours.toString),
+        metrics = Map("numDeletedFiles" -> candidates.size.toString))))
+    }
+    candidates.toDF("path")
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF v (reference 02-lab:266-271
+    * restores via CTAS from an old version; this is the log-native
+    * equivalent — no data rewrite at all, just action replay).
+    */
+  def restore(v: Long): Long = {
+    val target = snapshotAt(v)
+    val current = snapshot
+    val targetPaths = target.activeFiles.map(_.path).toSet
+    val removes = current.activeFiles.filterNot(f => targetPaths.contains(f.path))
+      .map(f => RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val actions = Seq(info("RESTORE", params = Map("version" -> v.toString))) ++
+      target.metadata.toSeq ++ removes ++ target.activeFiles
+    commitAndCheckpoint(actions)
+  }
+
+  /** DESCRIBE HISTORY equivalent (reference 02-lab:205-211). */
+  def history: DataFrame = {
+    import spark.implicits._
+    (0L to version).flatMap { v =>
+      log.readCommit(v).collectFirst { case c: CommitInfo =>
+        (v, c.timestamp, c.operation,
+          c.parameters.map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(";"),
+          c.metrics.map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(";"))
+      }
+    }.toDF("version", "timestamp", "operation", "parameters", "metrics")
+      .orderBy(col("version").desc)
+  }
+
+  /** Table-level column statistics (reference 02-lab:587-663):
+    * row count, per-column distinct/null/min/max, persisted as table
+    * properties so later sessions (and planners) can read them.
+    */
+  def computeStats(): DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    val df = toDF
+    val cols = s.schema.fieldNames.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"d_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val row = df.agg(lit(1).as("__one"), aggs: _*).head()
+    val total = df.count()
+    val out = cols.map { c =>
+      (c, total,
+        row.getAs[Long](s"d_$c"),
+        Option(row.getAs[Long](s"n_$c")).getOrElse(0L),
+        Option(row.getAs[String](s"mn_$c")).getOrElse(""),
+        Option(row.getAs[String](s"mx_$c")).getOrElse(""))
+    }
+    val props = s.metadata.get.properties ++ out.map { case (c, t, d, n, mn, mx) =>
+      s"graft.stats.$c" -> s"rows=$t;distinct=$d;nulls=$n;min=$mn;max=$mx"
+    }
+    commitAndCheckpoint(Seq(
+      info("ANALYZE", metrics = Map("numColumns" -> cols.size.toString)),
+      s.metadata.get.copy(properties = props)))
+    out.toDF("column", "n_rows", "n_distinct", "n_nulls", "min", "max")
+  }
+}
+
+object GraftTable {
+
+  def isGraftTable(path: String): Boolean = new TxnLog(path).exists
+
+  def forPath(spark: SparkSession, path: String): GraftTable = {
+    require(isGraftTable(path), s"not a GraftLake table: $path")
+    new GraftTable(spark, path)
+  }
+
+  /** CREATE TABLE AS SELECT: initial write + metadata commit. */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+             partitionBy: Seq[String] = Nil,
+             properties: Map[String, String] = Map.empty): GraftTable = {
+    val t = new GraftTable(spark, path)
+    require(!t.log.exists, s"GraftLake table already exists at $path")
+    Files.createDirectories(Paths.get(path))
+    val meta = Metadata(df.schema.json, partitionBy, properties,
+      System.currentTimeMillis())
+    val adds = t.stageWrite(df, partitionBy, dataChange = true)
+    t.commitAndCheckpoint(Seq(
+      CommitInfo(System.currentTimeMillis(), "CREATE TABLE AS SELECT",
+        Map("partitionBy" -> partitionBy.mkString(",")),
+        Map("numFiles" -> adds.size.toString)),
+      meta) ++ adds)
+    t
+  }
+}

@@ -74,10 +74,11 @@ object Dedup {
     * tokens appended; id offset +100000) — gives the LSH paths known
     * positives to surface in the rows-only checks and specs.
     */
-  def withPlantedNearDups(docs: DataFrame, nPlanted: Int = 20): DataFrame = {
+  def withPlantedNearDups(docs: DataFrame, nPlanted: Int = 20,
+                          tail: String = " appended near duplicate tail marker"): DataFrame = {
     val variants = docs.filter(col("doc_id") < nPlanted)
       .select((col("doc_id") + 100000L).as("doc_id"),
-        concat(col("text"), lit(" appended near duplicate tail marker")).as("text"))
+        concat(col("text"), lit(tail)).as("text"))
     docs.select("doc_id", "text").unionByName(variants)
   }
 
@@ -103,17 +104,19 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup: 64-bit signature, 4×16-bit bands, Hamming ≤ 8
-    * verification on collisions. Deterministic; rows-only check.
+  /** SimHash near-dup: 64-bit signature, 8×8-bit bands, Hamming ≤ 8
+    * verification on collisions. A single-token perturbation moves
+    * few bits, so near-dups collide on most bands. Deterministic;
+    * rows-only check.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
+    val docs = withPlantedNearDups(Tables(spark, dir, "documents"), tail = " zq")
       .withColumn("sig", expr("graft_simhash64(text)"))
     val banded = docs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until 8).map(i =>
         struct(lit(i).as("band"),
-          col("sig").bitwiseAND(lit(0xffffL << (16 * i))).as("band_bits"))): _*))
+          col("sig").bitwiseAND(lit(0xffL << (8 * i))).as("band_bits"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.band_bits"))
     val a = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
@@ -142,10 +145,19 @@ object Dedup {
     val all = emb.unionByName(variants)
       .withColumn("sig", VectorFunctions.hyperplaneSig(col("embedding"),
         VectorFunctions.planes(16, 64)))
-    val a = all.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("sig"))
-    val b = all.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("sig"))
-    a.join(b, "sig")
+    // banded buckets (4 bands × 4 bits): a near-identical pair that
+    // flips one marginal hyperplane bit still collides on other bands
+    val banded = all.select(col("vec_id"), col("embedding"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        shiftright(col("sig"), 4 * i).bitwiseAND(lit(0xfL)).as("bits"))): _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bits"))
+    val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("band"), col("bits"))
+    val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "emb_a", "emb_b").distinct()
       .withColumn("cos", round(VectorFunctions.cosine(col("emb_a"), col("emb_b")), 4))
       .filter(col("cos") >= 0.99)
       .select("id_a", "id_b", "cos")

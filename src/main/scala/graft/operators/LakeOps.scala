@@ -1,0 +1,153 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.Tables
+import graft.lake.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries for the GraftLake table layer (SURVEY §2.1).
+  * Each query rebuilds an isolated table under `target/lakework/`,
+  * exercises one maintenance/DML op end-to-end, and returns an
+  * aggregate whose DuckDB oracle is computable from the ORIGINAL
+  * parquet — proving the op preserved (or transformed) content
+  * exactly as specified.
+  */
+object LakeOps {
+
+  private def workDir(dir: String, name: String): String = {
+    val sf = Paths.get(dir).getFileName.toString
+    val p = Paths.get("target", "lakework", s"$name-$sf")
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+    p.toString
+  }
+
+  private def liAgg(df: DataFrame): DataFrame =
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  val liAggOracle: String =
+    "SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS sum_price, " +
+      "ROUND(SUM(l_quantity),2) AS sum_qty FROM %s GROUP BY l_returnflag ORDER BY l_returnflag"
+
+  /** CTAS → read back: log/write/read round trip (L1). */
+  def lakeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "roundtrip"),
+      Tables(spark, dir, "lineitem"))
+    liAgg(t.toDF)
+  }
+
+  /** DELETE WHERE, then full read (L4). */
+  def lakeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "delete"),
+      Tables(spark, dir, "lineitem"))
+    t.delete(col("l_returnflag") === "R")
+    liAgg(t.toDF)
+  }
+
+  /** Time travel: VERSION AS OF 0 after a destructive delete (L2). */
+  def lakeTimetravel(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "timetravel"),
+      Tables(spark, dir, "lineitem"))
+    t.delete(col("l_returnflag") === "R")
+    liAgg(t.toDFAt(0))
+  }
+
+  /** UPDATE SET l_discount=0 WHERE returnflag='R' (L5). */
+  def lakeUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "update"),
+      Tables(spark, dir, "lineitem"))
+    t.update(col("l_returnflag") === "R", Map("l_discount" -> lit(0.0)))
+    t.toDF.groupBy("l_returnflag")
+      .agg(round(sum("l_discount"), 4).as("sum_disc"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** MERGE: update keys <100 (price×2), insert 50 new keys (L6). */
+  def lakeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val t = GraftTable.create(spark, workDir(dir, "merge"), o)
+    val updates = o.filter(col("o_orderkey") < 100)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+    val inserts = o.filter(col("o_orderkey") < 50)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    t.merge(updates.unionByName(inserts), "o_orderkey")
+    t.toDF.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  /** OPTIMIZE bin-packing: 64 tiny files → few, content intact (L7). */
+  def lakeOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "optimize"),
+      Tables(spark, dir, "lineitem").repartition(64))
+    t.optimize()
+    liAgg(t.toDF)
+  }
+
+  /** ZORDER BY (l_shipdate, l_partkey), content intact (L8). */
+  def lakeZorder(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "zorder"),
+      Tables(spark, dir, "lineitem").repartition(8))
+    t.zorderBy(16L * 1024 * 1024, "l_shipdate", "l_partkey")
+    liAgg(t.toDF)
+  }
+
+  /** Partitioned table + partition-pruned read (L11). */
+  def lakePartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "partprune"),
+      Tables(spark, dir, "lineitem"), partitionBy = Seq("l_returnflag"))
+    t.readWhere(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Footer-stats data skipping on a range predicate (L12): table is
+    * range-laid-out on l_shipdate so file min/max are tight.
+    */
+  def lakeDataSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+    val t = GraftTable.create(spark, workDir(dir, "skipping"), li)
+    t.readWhere(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+  }
+
+  /** RESTORE to pre-delete version (L10). */
+  def lakeRestore(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "restore"),
+      Tables(spark, dir, "lineitem"))
+    t.delete(col("l_returnflag") === "R")
+    t.restore(0)
+    liAgg(t.toDF)
+  }
+
+  /** DESCRIBE HISTORY: deterministic (version, operation) ledger (L3). */
+  def lakeHistory(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "history"),
+      Tables(spark, dir, "lineitem").repartition(16))
+    t.delete(col("l_returnflag") === "R")
+    t.optimize()
+    t.history.select("version", "operation").orderBy("version")
+  }
+
+  /** VACUUM after OPTIMIZE actually deletes the compacted-away files
+    * while the table stays fully readable (L9).
+    */
+  def lakeVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "vacuum"),
+      Tables(spark, dir, "lineitem").repartition(32))
+    t.optimize()
+    t.vacuum(retentionHours = 0.0, dryRun = false)
+    liAgg(t.toDF)
+  }
+}

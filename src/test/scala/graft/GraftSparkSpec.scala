@@ -1,0 +1,37 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local SparkSession for all suites (forked test JVM). */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+abstract class GraftSparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  def sfDir: String = TestSession.sfDir
+
+  def tmpDir(name: String): String = {
+    val p = java.nio.file.Paths.get("target", "test-tmp", name)
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      val all = try w.iterator().asScala.toSeq finally w.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    p.toString
+  }
+}

@@ -1,0 +1,120 @@
+package graft.lake
+
+import graft.{GraftSparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** GraftLake behaviors the driver's content-oracle queries can't see:
+  * file-count effects, pruning counts, checkpoints, schema
+  * enforcement, vacuum listings, idempotent stream batches.
+  */
+class LakeSpec extends GraftSparkSpec {
+
+  private def li = Tables(spark, sfDir, "lineitem")
+
+  test("optimize reduces file count, preserves rows") {
+    val t = GraftTable.create(spark, tmpDir("opt"), li.repartition(24))
+    assert(t.snapshot.numFiles == 24)
+    val before = t.toDF.count()
+    t.optimize()
+    assert(t.snapshot.numFiles < 24)
+    assert(t.toDF.count() == before)
+  }
+
+  test("data skipping prunes files on a range-clustered table") {
+    val ranged = li.repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+    val t = GraftTable.create(spark, tmpDir("skip"), ranged)
+    val (kept, total) = t.pruneFiles(
+      col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+    assert(total == 8)
+    assert(kept < total, s"expected pruning, kept $kept of $total")
+    // pruned read still returns exactly the right rows
+    val expected = li.filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp")).count()
+    val got = t.readWhere(col("l_shipdate") >= lit("2001-01-01").cast("timestamp")).count()
+    assert(got == expected)
+  }
+
+  test("partition pruning keeps only matching partition files") {
+    val t = GraftTable.create(spark, tmpDir("part"), li, Seq("l_returnflag"))
+    val (kept, total) = t.pruneFiles(col("l_returnflag") === "R")
+    assert(kept < total)
+    assert(t.readWhere(col("l_returnflag") === "R").count() ==
+      li.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("append enforces schema; overwriteSchema changes it") {
+    val t = GraftTable.create(spark, tmpDir("schema"), li)
+    val bad = li.withColumn("extra", lit(1))
+    intercept[IllegalArgumentException](t.append(bad))
+    t.overwrite(bad, overwriteSchema = true)
+    assert(t.toDF.columns.contains("extra"))
+  }
+
+  test("checkpoint speeds replay and preserves state across 12 commits") {
+    val t = GraftTable.create(spark, tmpDir("ckpt"), li.limit(100))
+    (1 to 12).foreach(_ => t.append(li.limit(10)))
+    assert(t.version == 12)
+    assert(t.toDF.count() == 100 + 120)
+    // a fresh handle must reconstruct identical state via the checkpoint
+    val t2 = GraftTable.forPath(spark, t.path)
+    assert(t2.snapshot.activeFiles.map(_.path).toSet ==
+      t.snapshot.activeFiles.map(_.path).toSet)
+  }
+
+  test("vacuum dry run lists compacted-away files, real run deletes them") {
+    val t = GraftTable.create(spark, tmpDir("vac"), li.repartition(16))
+    t.optimize()
+    val listed = t.vacuum(0.0, dryRun = true).count()
+    assert(listed >= 16)
+    val before = t.toDF.count()
+    t.vacuum(0.0, dryRun = false)
+    assert(t.vacuum(0.0, dryRun = true).count() == 0)
+    assert(t.toDF.count() == before)
+    // time travel to v0 is now broken — that's the documented trade-off
+    intercept[Exception](t.toDFAt(0).count())
+  }
+
+  test("time travel by timestamp picks the right version") {
+    val t = GraftTable.create(spark, tmpDir("tt"), li.limit(50))
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(li.limit(25))
+    assert(t.toDFAsOfTimestamp(afterV0).count() == 50)
+    assert(t.toDFAsOfTimestamp(System.currentTimeMillis()).count() == 75)
+  }
+
+  test("streaming batch append is idempotent per (appId, epochId)") {
+    val t = GraftTable.create(spark, tmpDir("stream"), li.limit(10))
+    t.appendStreamBatch("app1", 0L, li.limit(5))
+    t.appendStreamBatch("app1", 0L, li.limit(5)) // replay → no-op
+    t.appendStreamBatch("app1", 1L, li.limit(5))
+    assert(t.toDF.count() == 20)
+  }
+
+  test("zorder clusters both columns for skipping") {
+    val t = GraftTable.create(spark, tmpDir("zo"), li.repartition(8))
+    t.zorderBy(32L * 1024, "l_partkey", "l_suppkey")
+    val (kept, total) = t.pruneFiles(col("l_partkey") <= 10L)
+    assert(total > 1)
+    assert(kept < total, s"zorder should make l_partkey skippable: $kept/$total")
+    assert(t.toDF.count() == li.count())
+  }
+
+  test("merge inserts and updates the right rows") {
+    val o = Tables(spark, sfDir, "orders")
+    val t = GraftTable.create(spark, tmpDir("merge"), o)
+    val src = o.limit(10).withColumn("o_totalprice", lit(1.0))
+      .unionByName(o.limit(3).withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    t.merge(src, "o_orderkey")
+    assert(t.toDF.count() == o.count() + 3)
+    assert(t.toDF.filter(col("o_totalprice") === 1.0).count() >= 10)
+  }
+
+  test("stats computation persists to table properties") {
+    val t = GraftTable.create(spark, tmpDir("stats"), li.limit(500))
+    val stats = t.computeStats().collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(stats.contains("l_orderkey"))
+    val props = t.snapshot.metadata.get.properties
+    assert(props.keys.exists(_.startsWith("graft.stats.l_orderkey")))
+  }
+}

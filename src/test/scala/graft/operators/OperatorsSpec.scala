@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{GraftSparkSpec, SparkEntry, Tables}
+import graft.functions.Fnv
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the rows-only (non-oracle) operators:
+  * the LSH dedup paths must surface the planted near-duplicates,
+  * ANN paths must agree with the brute-force baseline, and hash
+  * kernels must be deterministic.
+  */
+class OperatorsSpec extends GraftSparkSpec {
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 20L).map(i => (i, i + 100000L)).toSet
+    val found = planted.intersect(pairs)
+    assert(found.size >= 18, s"minhash LSH found only ${found.size}/20 planted pairs")
+  }
+
+  test("simhash finds planted near-duplicates within hamming 8") {
+    val pairs = Dedup.dedupSimhash(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 20L).map(i => (i, i + 100000L)).toSet
+    assert(planted.intersect(pairs).size >= 18)
+  }
+
+  test("embedding LSH finds all planted near-identical vectors") {
+    val pairs = Dedup.dedupEmbedding(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 20L).map(i => (i, i + 100000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing ${planted.diff(pairs)}")
+  }
+
+  test("LSH ANN candidates never beat brute force, and overlap it") {
+    val bf = Similarity.simBruteforceTopk(spark, sfDir)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ann = Similarity.simLshAnn(spark, sfDir)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ann.foreach { case (qid, cos) =>
+      assert(cos <= bf(qid) + 1e-9, s"ANN top1 beats brute force for $qid")
+    }
+    assert(ann.nonEmpty)
+  }
+
+  test("IVF probes recover a reasonable share of true top-5") {
+    val bf = Similarity.simBruteforceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.simIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.2, f"IVF recall $recall%.2f too low for 2/16 probes")
+  }
+
+  test("FNV-1a fingerprint is deterministic and normalization-invariant") {
+    assert(Fnv.hashString("hello world") == Fnv.hashString("hello world"))
+    assert(Fnv.hashString("a") != Fnv.hashString("b"))
+    val df = Tables(spark, sfDir, "documents").limit(50)
+    graft.functions.GraftFunctions.register(spark)
+    val a = df.select(expr("graft_fingerprint64(text)").as("f")).collect().map(_.getLong(0))
+    val b = df.select(expr("graft_fingerprint64(concat(text, '  '))").as("f"))
+      .collect().map(_.getLong(0))
+    assert(a.sameElements(b), "trailing whitespace must not change fingerprint")
+  }
+
+  test("as-of join matches the naive join+max oracle semantics") {
+    val got = AsOf.lastClickBeforePurchase(spark, sfDir)
+    val e = Tables(spark, sfDir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val naive = p.join(c, col("pu") === col("cu") && col("cts") <= col("pts"))
+      .groupBy("event_id").agg(max(unix_micros(col("cts"))).as("last_click_us"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("every declared oracle has a matching query entry") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.{GraftSparkSpec, Tables}
+import graft.lake.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY §2.7): windowed aggregation
+  * with watermark, stateful sessionization, and the streaming →
+  * GraftLake → OPTIMIZE small-file loop the reference calls out as
+  * the origin of small-file problems (reference docs/00-overview.md:14
+  * "many small files (from micro-batches or streaming)").
+  */
+class StreamingSpec extends GraftSparkSpec {
+
+  private def eventsOnDisk(name: String): String = {
+    val dir = tmpDir(name)
+    Tables(spark, sfDir, "events").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed aggregation over a stream matches the batch result") {
+    val dir = eventsOnDisk("win-src")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_out")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val expected = Tables(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("stateful sessionization with flatMapGroupsWithState") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = eventsOnDisk("sess-src")
+    val schema = spark.read.parquet(dir).schema
+    case class E(user_id: Long, ts: java.sql.Timestamp)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+    val counted = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long)]) =>
+          val prev = state.getOption.map(_._2).getOrElse(0L)
+          val n = prev + rows.size
+          state.update((uid, n))
+          Iterator.single((uid, n))
+      }
+    val q = counted.toDF("user_id", "n_events").writeStream
+      .outputMode("append").format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_out").groupBy("user_id").agg(max("n_events").as("n"))
+    val expected = Tables(spark, sfDir, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("streaming into GraftLake + OPTIMIZE compaction loop") {
+    val dir = eventsOnDisk("lake-src")
+    val schema = spark.read.parquet(dir).schema
+    val seed = spark.read.parquet(dir).limit(0)
+    val table = GraftTable.create(spark, tmpDir("stream-lake"), seed)
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("stream-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        table.appendStreamBatch("events-ingest", epochId, batch)
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    val rows = table.toDF.count()
+    assert(rows == spark.read.parquet(dir).count())
+    val filesBefore = table.snapshot.numFiles
+    table.optimize()
+    assert(table.snapshot.numFiles <= filesBefore)
+    assert(table.toDF.count() == rows)
+  }
+}

@@ -50,6 +50,10 @@ for name in sorted(os.listdir(out_dir)):
         continue
     passes.append(name)
 
+for name in oracle:
+    if not os.path.isdir(os.path.join(out_dir, name)):
+        fails.append((name, "no output written (query failed in Verify)"))
+
 print(f"PASS ({len(passes)}):", " ".join(passes))
 print(f"ROWS-ONLY ({len(rows_only)}):", " ".join(f"{n}={r}" for n, r in rows_only))
 print(f"FAIL ({len(fails)}):")
