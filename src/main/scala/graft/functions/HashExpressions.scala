@@ -78,6 +78,48 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
+/** Single-pass k=32 MinHash signature over 3-word shingles of the
+  * lowercased text. One FNV-1a hash per shingle, k components derived
+  * by Kirsch–Mitzenmacher mixing (h1 + i·h2) — O(tokens + k) per row
+  * in one traversal. Replaces a 32×`transform` higher-order-function
+  * composition that re-evaluated the shingle subtree per component
+  * interpreted (measured 684 s → sub-second at sf0.1).
+  */
+case class MinHashSig32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  final val K = 32
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val tokens = s.split("\\s+").filter(_.nonEmpty)
+    val mins = Array.fill(K)(Long.MaxValue)
+    def addShingle(sh: String): Unit = {
+      val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h1 = Fnv.hashBytes(bytes, 0, bytes.length)
+      val h2 = Fnv.hashBytes(bytes, 0, bytes.length, seed = 0x9e3779b97f4a7c15L)
+      var i = 0
+      while (i < K) {
+        val h = h1 + i.toLong * h2
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+    }
+    if (tokens.length < 3) addShingle(tokens.mkString(" "))
+    else {
+      var i = 0
+      while (i + 2 < tokens.length) {
+        addShingle(tokens(i) + " " + tokens(i + 1) + " " + tokens(i + 2))
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig32 = copy(c)
+}
+
 object GraftFunctions {
   /** Idempotent registration of graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {
@@ -86,5 +128,7 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => Fingerprint64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       (exprs: Seq[Expression]) => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash32",
+      (exprs: Seq[Expression]) => MinHashSig32(exprs.head), "built-in")
   }
 }

@@ -3,19 +3,20 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector kernels over `array<float>` embedding columns using
-  * Spark's higher-order functions (`zip_with`/`aggregate`), which stay
-  * in codegen — no UDF serialization on the 100 TB path.
-  * All arithmetic is widened to double so results are bit-stable and
-  * match the DuckDB oracle (`list_cosine_similarity` on DOUBLE[]).
+/** Dense-vector kernels over `array<float>` embedding columns, built
+  * on the native [[DotProd]] Catalyst expression (single tight loop
+  * per row — no UDF serialization, no interpreted per-element lambda).
+  * Arithmetic accumulates in double left-to-right so results are
+  * bit-stable and match the DuckDB oracle (`list_cosine_similarity`
+  * on DOUBLE[]).
   */
 object VectorFunctions {
 
-  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+  import org.apache.spark.sql.GraftSqlShims
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0d), (acc, v) => acc + v)
+    GraftSqlShims.column(DotProd(
+      GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -73,9 +73,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                          targetFiles: Option[Int] = None): Seq[AddFile] = {
     val staging = root.resolve("_staging").resolve(s"txn-${UUID.randomUUID()}")
     val shaped = targetFiles.map(n => df.repartition(n)).getOrElse(df)
-    val writer = shaped.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(staging.toString)
+    // INT96 (Spark's default parquet timestamp encoding) carries no
+    // usable footer statistics — write INT64 micros inside the table
+    // so data skipping works on timestamp columns. Scoped: restored
+    // right after, so non-lake writes keep the session default.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val writer = shaped.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(staging.toString)
+    } finally {
+      prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None => spark.conf.unset(tsKey)
+      }
+    }
 
     val walk = Files.walk(staging)
     val staged =

@@ -40,27 +40,15 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** 3-word shingles of normalized text. */
-  private def shingles(text: Column): Column = {
-    val toks = split(normText(text), " ")
-    when(size(toks) < 3, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-  }
-
-  /** k-component MinHash signature over the shingle set. */
-  def minhashSignature(text: Column, k: Int = 32): Column = {
-    val sh = shingles(text)
-    array((0 until k).map(h =>
-      array_min(transform(sh, s => xxhash64(lit(h), s)))): _*)
-  }
-
-  /** Banded signature rows: (id, band, band_hash), b bands of r rows. */
+  /** Banded signature rows: (id, band, band_hash), b bands of r rows.
+    * The k=32 signature comes from the single-pass native
+    * [[graft.functions.MinHashSig32]] expression (one FNV hash per
+    * shingle + Kirsch–Mitzenmacher mixing).
+    */
   private def bandedSigs(df: DataFrame, idCol: String, textCol: String,
                          k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val withSig = df.withColumn("__sig", minhashSignature(col(textCol), k))
+    val withSig = df.withColumn("__sig", expr(s"graft_minhash32($textCol)"))
     val bandCols = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b) +: (0 until r).map(i =>
@@ -88,18 +76,23 @@ object Dedup {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val k = 32; val bands = 8
+    GraftFunctions.register(spark)
     val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
     val sigs = bandedSigs(docs, "doc_id", "text", k, bands)
-    val a = sigs.select(col("doc_id").as("id_a"), col("__sig").as("sig_a"),
-      col("band"), col("band_hash"))
-    val b = sigs.select(col("doc_id").as("id_b"), col("__sig").as("sig_b"),
-      col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
+    // dedup candidate pairs on ids BEFORE the (wider) similarity
+    // estimate so each pair is scored exactly once
+    val pairs = sigs.select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sigTable = sigs.select(col("doc_id"), col("__sig")).distinct()
+    pairs
+      .join(sigTable.select(col("doc_id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(sigTable.select(col("doc_id").as("id_b"), col("__sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           x === y), p => p)).cast("double") / k, 4).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("id_a", "id_b")
   }
