@@ -35,10 +35,13 @@ object SparkEntry {
     "q11_distinct_parts" -> Analytics.q11DistinctParts _,
     "q12_event_windows" -> Analytics.q12EventWindows _,
     "q13_approx" -> Analytics.q13Approx _,
-    "q14_asof_join" -> AsOf.lastClickBeforePurchase _)
+    "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
+    "q15_skew_salted" -> Analytics.q15SkewSalted _,
+    "q16_rollup" -> Analytics.q16Rollup _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
+    "text_bigrams" -> TextOps.textBigrams _,
     "text_quality" -> TextOps.textQuality _,
     "text_langid" -> TextOps.textLangid _,
     "text_fingerprint" -> TextOps.textFingerprint _,
@@ -129,6 +132,20 @@ object SparkEntry {
       ("SELECT p.event_id, MAX(epoch_us(c.ts)) AS last_click_us FROM events p " +
         "JOIN events c ON p.user_id=c.user_id AND c.event_type='click' AND c.ts<=p.ts " +
         "WHERE p.event_type='purchase' GROUP BY p.event_id ORDER BY p.event_id"),
+    "q15_skew_salted" ->
+      ("SELECT user_id, COUNT(*) AS n, ROUND(SUM(value),2) AS sum_value " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q16_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity),2) " +
+        "AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "text_bigrams" ->
+      ("WITH t AS (SELECT regexp_split_to_array(regexp_replace(lower(trim(text)), " +
+        "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), " +
+        "b AS (SELECT UNNEST(list_transform(generate_series(1, len(toks)-1), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t) " +
+        "SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram " +
+        "ORDER BY n DESC, bigram LIMIT 20"),
     "text_token_count" ->
       (s"SELECT doc_id, $wsTok AS n_ws_tokens, " +
         "CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) " +

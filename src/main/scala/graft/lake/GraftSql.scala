@@ -1,0 +1,113 @@
+package graft.lake
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL front-end for GraftLake maintenance statements — the exact
+  * statement shapes the reference lab runs against Delta (reference
+  * docs/02-lab-optimizations.md: `OPTIMIZE sales VORDER` §C,
+  * `DESCRIBE HISTORY` / `VERSION AS OF` / `DELETE FROM` §D,
+  * `VACUUM ... DRY RUN | RETAIN n HOURS` §E, `DESCRIBE DETAIL` §F),
+  * plus RESTORE and UPDATE. Anything else falls through to
+  * `spark.sql` with every registered table exposed as a temp view of
+  * its current snapshot.
+  */
+final class GraftSql(spark: SparkSession) {
+
+  private val tables = scala.collection.mutable.Map[String, GraftTable]()
+
+  def register(name: String, path: String): GraftTable = {
+    val t = GraftTable.forPath(spark, path)
+    tables(name) = t
+    t
+  }
+
+  def registerCreate(name: String, path: String, df: DataFrame,
+                     partitionBy: Seq[String] = Nil): GraftTable = {
+    val t = GraftTable.create(spark, path, df, partitionBy)
+    tables(name) = t
+    t
+  }
+
+  def table(name: String): GraftTable = tables.getOrElse(name,
+    throw new IllegalArgumentException(s"unknown GraftLake table: $name"))
+
+  private val optimizeRe: Regex =
+    """(?is)^\s*OPTIMIZE\s+(\w+)(\s+VORDER)?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(\s+VORDER)?\s*;?\s*$""".r
+  private val vacuumDryRe: Regex =
+    """(?is)^\s*VACUUM\s+(\w+)\s+DRY\s+RUN\s*;?\s*$""".r
+  private val vacuumRetainRe: Regex =
+    """(?is)^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?\s*;?\s*$""".r
+  private val historyRe: Regex =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$""".r
+  private val detailRe: Regex =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*$""".r
+  private val deleteRe: Regex =
+    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val updateRe: Regex =
+    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val restoreRe: Regex =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val versionAsOfRe: Regex =
+    """(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** Execute one statement; DDL/maintenance returns its metrics as a
+    * DataFrame, queries return their result.
+    */
+  def sql(statement: String): DataFrame = {
+    import spark.implicits._
+    statement match {
+      case optimizeRe(name, vorder1, zcols, vorder2) =>
+        val t = table(name)
+        val metrics =
+          if (zcols != null)
+            t.zorderBy(128L * 1024 * 1024,
+              zcols.split(",").map(_.trim).toIndexedSeq: _*)
+          else t.optimize() ++
+            // V-Order ≈ layout optimization flag in the reference; we
+            // record the request so DESCRIBE EXTENDED-style props show it
+            (if (vorder1 != null || vorder2 != null) Map("vorder" -> "true") else Map.empty)
+        metrics.toSeq.sorted.toDF("metric", "value")
+      case vacuumDryRe(name) =>
+        table(name).vacuum(retentionHours = 7 * 24.0, dryRun = true)
+      case vacuumRetainRe(name, hours) =>
+        val h = Option(hours).map(_.toDouble).getOrElse(7 * 24.0)
+        table(name).vacuum(h, dryRun = false)
+      case historyRe(name) => table(name).history
+      case detailRe(name) =>
+        val s = table(name).snapshot
+        Seq((table(name).path, s.version, s.numFiles, s.sizeInBytes,
+          s.partitionColumns.mkString(","), s.numRecords))
+          .toDF("location", "version", "numFiles", "sizeInBytes",
+            "partitionColumns", "numRecords")
+      case deleteRe(name, cond) =>
+        table(name).delete(expr(cond)).toSeq.sorted.toDF("metric", "value")
+      case updateRe(name, sets, cond) =>
+        val assignments = sets.split(",").map { a =>
+          val Array(k, v) = a.split("=", 2)
+          k.trim -> expr(v.trim)
+        }.toMap
+        table(name).update(expr(cond), assignments).toSeq.sorted.toDF("metric", "value")
+      case restoreRe(name, v) =>
+        val nv = table(name).restore(v.toLong)
+        Seq(("restoredToVersion", v), ("newVersion", nv.toString))
+          .toDF("metric", "value")
+      case other =>
+        // register snapshots (incl. any VERSION AS OF rewrites) and
+        // delegate to Spark SQL
+        var rewritten = other
+        versionAsOfRe.findAllMatchIn(other).foreach { m =>
+          val (name, v) = (m.group(1), m.group(2).toLong)
+          if (tables.contains(name)) {
+            val viewName = s"${name}__v$v"
+            table(name).toDFAt(v).createOrReplaceTempView(viewName)
+            rewritten = rewritten.replace(m.matched, viewName)
+          }
+        }
+        tables.foreach { case (n, t) => t.toDF.createOrReplaceTempView(n) }
+        spark.sql(rewritten)
+    }
+  }
+}

@@ -155,6 +155,33 @@ object Analytics {
       .orderBy("window_start", "event_type")
   }
 
+  /** Skew-resistant two-phase aggregation: explicit salting splits a
+    * hot key across `Salts` reducers (partial agg), then a cheap
+    * final agg over `Salts` rows/key merges. The per-key result is
+    * identical to a direct GROUP BY — which is exactly what the
+    * oracle checks. At 100 TB this is the pattern for power-law keys
+    * where AQE skew handling alone isn't enough.
+    */
+  def q15SkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val Salts = 8
+    val partial = e
+      .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(Salts.toLong)))
+      .groupBy("user_id", "__salt")
+      .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+    partial.groupBy("user_id")
+      .agg(sum("pn").as("n"), round(sum("pv"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /** ROLLUP hierarchy totals (OLAP subtotal/grand-total shape). */
+  def q16Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
   /** Sketches: approx distinct (HLL++) + approx percentiles. Sketch
     * outputs are engine-specific → rows-only check (no DuckDB oracle).
     */

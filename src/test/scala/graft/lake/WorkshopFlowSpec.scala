@@ -1,0 +1,82 @@
+package graft.lake
+
+import graft.GraftSparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end replay of the reference workshop's lab flow
+  * (reference docs/02-lab-optimizations.md §§A-F) through the
+  * GraftSql statement surface — the "a user of the reference could
+  * switch" proof. Same statements, same observable semantics.
+  */
+class WorkshopFlowSpec extends GraftSparkSpec {
+
+  test("reference lab flow: generate, optimize, time travel, vacuum, partition") {
+    val gsql = new GraftSql(spark)
+
+    // §A: synthetic sales table written as many small files
+    val countries = Seq("US", "CA", "MX", "UK", "DE", "FR", "ES", "BR", "IN", "JP")
+    val cats = Seq("electronics", "apparel", "home", "grocery", "toys", "sport")
+    val sales = spark.range(20000)
+      .withColumn("order_id", col("id"))
+      .withColumn("customer_id", pmod(col("id") * 2654435761L, lit(1000)))
+      .withColumn("country", element_at(
+        array(countries.map(lit): _*), (pmod(col("id") * 31L, lit(10)) + 1).cast("int")))
+      .withColumn("category", element_at(
+        array(cats.map(lit): _*), (pmod(col("id") * 17L, lit(6)) + 1).cast("int")))
+      .withColumn("price", round(pmod(col("id") * 7919L, lit(40000)) / 100.0 + 5.0, 2))
+      .withColumn("quantity", (pmod(col("id") * 13L, lit(5)) + 1).cast("int"))
+      .withColumn("total", round(col("price") * col("quantity"), 2))
+      .drop("id")
+    gsql.registerCreate("sales", tmpDir("workshop-sales"), sales.repartition(40))
+    val salesTable = gsql.table("sales")
+    assert(salesTable.snapshot.numFiles == 40)
+
+    // §B: baseline selective count
+    val baseline = gsql.sql(
+      "SELECT * FROM sales WHERE country='US' AND category='electronics'").count()
+    assert(baseline > 0)
+
+    // §C: OPTIMIZE ... VORDER compacts the small files
+    gsql.sql("OPTIMIZE sales VORDER")
+    assert(salesTable.snapshot.numFiles < 40)
+    assert(gsql.sql(
+      "SELECT * FROM sales WHERE country='US' AND category='electronics'").count() == baseline)
+
+    // §D: history, accidental delete, time travel, restore
+    val v2 = salesTable.version
+    gsql.sql("DELETE FROM sales WHERE country = 'US'")
+    val afterDelete = gsql.sql("SELECT COUNT(*) AS n FROM sales").head().getLong(0)
+    assert(afterDelete < 20000)
+    val ops = gsql.sql("DESCRIBE HISTORY sales")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("DELETE") && ops.contains("OPTIMIZE"))
+    val oldCount = gsql.sql(s"SELECT COUNT(*) AS n FROM sales VERSION AS OF $v2")
+      .head().getLong(0)
+    assert(oldCount == 20000)
+    gsql.sql(s"RESTORE TABLE sales TO VERSION AS OF $v2")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM sales").head().getLong(0) == 20000)
+
+    // §E: VACUUM DRY RUN lists nothing inside retention, RETAIN 0 deletes
+    assert(gsql.sql("VACUUM sales DRY RUN").count() >= 0)
+    gsql.sql("VACUUM sales RETAIN 0 HOURS")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM sales").head().getLong(0) == 20000)
+
+    // §F: partitioned table + pruned query
+    gsql.registerCreate("sales_by_country", tmpDir("workshop-sbc"),
+      salesTable.toDF, partitionBy = Seq("country"))
+    val detail = gsql.sql("DESCRIBE DETAIL sales_by_country").head()
+    assert(detail.getAs[String]("partitionColumns") == "country")
+    val (kept, total) = gsql.table("sales_by_country")
+      .pruneFiles(col("country") === "US")
+    assert(kept < total)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM sales_by_country WHERE country='US'")
+      .head().getLong(0) ==
+      salesTable.toDF.filter(col("country") === "US").count())
+
+    // §D variant: UPDATE through SQL
+    gsql.sql("UPDATE sales SET total = 0.0 WHERE country = 'MX'")
+    assert(gsql.sql(
+      "SELECT ROUND(SUM(total),2) AS s FROM sales WHERE country='MX'")
+      .head().getDouble(0) == 0.0)
+  }
+}
