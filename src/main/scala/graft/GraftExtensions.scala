@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.{Fingerprint64, MinHashSig32, SimHash64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer — lets any session pick up the
+  * graft expression library via config, no code changes:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def unary(name: String)(build: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 1, s"$name expects exactly 1 argument, got ${exprs.size}")
+    build(exprs.head)
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint64"),
+      info("graft_fingerprint64", "64-bit FNV-1a rolling fingerprint of normalized text"),
+      unary("graft_fingerprint64")(Fingerprint64)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "64-bit SimHash over whitespace tokens"),
+      unary("graft_simhash64")(SimHash64)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash32"),
+      info("graft_minhash32", "32-component MinHash signature over 3-word shingles"),
+      unary("graft_minhash32")(MinHashSig32)))
+  }
+}

@@ -121,14 +121,20 @@ case class MinHashSig32(child: Expression)
 }
 
 object GraftFunctions {
+  private def unary(name: String)(build: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 1, s"$name expects exactly 1 argument, got ${exprs.size}")
+    build(exprs.head)
+  }
+
   /** Idempotent registration of graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fingerprint64",
-      (exprs: Seq[Expression]) => Fingerprint64(exprs.head), "built-in")
+      unary("graft_fingerprint64")(Fingerprint64), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
-      (exprs: Seq[Expression]) => SimHash64(exprs.head), "built-in")
+      unary("graft_simhash64")(SimHash64), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash32",
-      (exprs: Seq[Expression]) => MinHashSig32(exprs.head), "built-in")
+      unary("graft_minhash32")(MinHashSig32), "built-in")
   }
 }
