@@ -2,15 +2,18 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit hash kernels as native Catalyst expressions (brief: custom
   * `Expression` beats UDF). Deterministic FNV-1a over UTF-8 bytes —
-  * stable across JVMs/executors, no closure serialization.
-  * Registered as SQL temp functions (`graft_fingerprint64`,
-  * `graft_simhash64`) so they compose with any plan via `expr(...)`.
+  * stable across JVMs/executors, no closure serialization. Each
+  * expression implements `doGenCode` (a static call into the
+  * compiled kernel) so it participates in whole-stage codegen instead
+  * of forcing an interpreted projection. Registered as SQL functions
+  * via [[GraftFunctions.register]] and [[graft.GraftExtensions]].
   */
 object Fnv {
   final val Offset = 0xcbf29ce484222325L
@@ -32,15 +35,21 @@ object Fnv {
   * lowercase, whitespace-collapsed, FNV-1a accumulated byte-by-byte
   * (a rolling hash over the normalized byte stream).
   */
-case class Fingerprint64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    val norm = s.trim.toLowerCase.replaceAll("\\s+", " ")
-    java.lang.Long.valueOf(Fnv.hashString(norm))
-  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(Fingerprint64.kernel(v.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fingerprint64.kernel($c)")
   override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(c)
+}
+
+object Fingerprint64 {
+  /** Static kernel — also the codegen call target. */
+  def kernel(v: UTF8String): Long = {
+    val norm = v.toString.trim.toLowerCase.replaceAll("\\s+", " ")
+    Fnv.hashString(norm)
+  }
 }
 
 /** 64-bit SimHash over whitespace tokens: each token contributes
@@ -48,11 +57,18 @@ case class Fingerprint64(child: Expression)
   * back into a long. Near-duplicate docs land within small Hamming
   * distance — used by the SimHash dedup path (SURVEY §2.3 D3).
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(SimHash64.kernel(v.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.kernel($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+object SimHash64 {
+  def kernel(v: UTF8String): Long = {
+    val s = v.toString
     val counts = new Array[Int](64)
     var start = 0
     val n = s.length
@@ -73,9 +89,8 @@ case class SimHash64(child: Expression)
     var sig = 0L
     var b = 0
     while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(sig)
+    sig
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
 /** Single-pass k=32 MinHash signature over 3-word shingles of the
@@ -83,18 +98,24 @@ case class SimHash64(child: Expression)
   * by Kirsch–Mitzenmacher mixing (h1 + i·h2) — O(tokens + k) per row
   * in one traversal. Replaces a 32×`transform` higher-order-function
   * composition that re-evaluated the shingle subtree per component
-  * interpreted (measured 684 s → sub-second at sf0.1).
+  * interpreted (measured 684 s → ~3 s at sf0.1).
   */
-case class MinHashSig32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  import org.apache.spark.sql.catalyst.util.GenericArrayData
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+case class MinHashSig32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig32.kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s"graft.functions.MinHashSig32.kernel($c)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig32 = copy(c)
+}
+
+object MinHashSig32 {
   final val K = 32
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
-    val tokens = s.split("\\s+").filter(_.nonEmpty)
+  def kernel(v: UTF8String): ArrayData = {
+    val tokens = v.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val mins = Array.fill(K)(Long.MaxValue)
     def addShingle(sh: String): Unit = {
       val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -117,7 +138,6 @@ case class MinHashSig32(child: Expression)
     }
     new GenericArrayData(mins)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSig32 = copy(c)
 }
 
 object GraftFunctions {
@@ -131,10 +151,10 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fingerprint64",
-      unary("graft_fingerprint64")(Fingerprint64), "built-in")
+      unary("graft_fingerprint64")(Fingerprint64.apply), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
-      unary("graft_simhash64")(SimHash64), "built-in")
+      unary("graft_simhash64")(SimHash64.apply), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash32",
-      unary("graft_minhash32")(MinHashSig32), "built-in")
+      unary("graft_minhash32")(MinHashSig32.apply), "built-in")
   }
 }
