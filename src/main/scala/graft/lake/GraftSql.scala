@@ -52,6 +52,17 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val versionAsOfRe: Regex =
     """(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val timestampAsOfRe: Regex =
+    """(?is)\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+
+  private def parseTsMillis(s: String): Long = {
+    import java.time._
+    val trimmed = s.trim
+    val ldt =
+      try LocalDateTime.parse(trimmed.replace(' ', 'T'))
+      catch { case _: Exception => LocalDate.parse(trimmed).atStartOfDay() }
+    ldt.toInstant(ZoneOffset.UTC).toEpochMilli
+  }
 
   /** Execute one statement; DDL/maintenance returns its metrics as a
     * DataFrame, queries return their result.
@@ -103,6 +114,15 @@ final class GraftSql(spark: SparkSession) {
           if (tables.contains(name)) {
             val viewName = s"${name}__v$v"
             table(name).toDFAt(v).createOrReplaceTempView(viewName)
+            rewritten = rewritten.replace(m.matched, viewName)
+          }
+        }
+        timestampAsOfRe.findAllMatchIn(other).foreach { m =>
+          val name = m.group(1)
+          if (tables.contains(name)) {
+            val ms = parseTsMillis(m.group(2))
+            val viewName = s"${name}__ts$ms"
+            table(name).toDFAsOfTimestamp(ms).createOrReplaceTempView(viewName)
             rewritten = rewritten.replace(m.matched, viewName)
           }
         }

@@ -240,20 +240,63 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   /** MERGE INTO by key equality: matched → replace with source row,
-    * not-matched → insert. Candidate files are pruned to the source's
-    * key range (computed driver-side from a 1-row agg), so a merge of
-    * a small delta touches only the overlapping slice of a 100 TB
-    * table.
+    * not-matched → insert (the default clause set of [[mergeBuilder]]).
     */
-  def merge(source: DataFrame, key: String): Map[String, String] = {
+  def merge(source: DataFrame, key: String): Map[String, String] =
+    mergeBuilder(source, key).execute()
+
+  /** Delta-style conditional MERGE: `whenMatchedDelete(cond)`,
+    * `whenMatchedUpdateAll([cond])`, `whenNotMatchedInsertAll()`.
+    * Candidate files are pruned to the source's key range (computed
+    * driver-side from a 1-row agg), so a merge of a small delta
+    * touches only the overlapping slice of a 100 TB table.
+    */
+  def mergeBuilder(source: DataFrame, key: String): MergeBuilder =
+    new MergeBuilder(this, source, key)
+
+  private[lake] def executeMerge(source: DataFrame, key: String,
+      updateAll: Boolean, updateCond: Option[Column],
+      deleteCond: Option[Column], insertUnmatched: Boolean): Map[String, String] = {
     val s = snapshot
     enforceSchema(source.schema, s.schema)
     val kr = source.agg(min(col(key)), max(col(key))).head()
     val keyRange = col(key) >= lit(kr.get(0)) && col(key) <= lit(kr.get(1))
     val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, keyRange)
-    val untouched = dfForFiles(s, candidates).join(source, Seq(key), "left_anti")
-    val merged = untouched.select(s.schema.fieldNames.map(col): _*)
-      .unionByName(source.select(s.schema.fieldNames.map(col): _*))
+    val candDF = dfForFiles(s, candidates)
+    val fields = s.schema.fieldNames.toIndexedSeq.map(col)
+
+    val untouched = candDF.join(source, Seq(key), "left_anti")
+    val matched = candDF.join(source.select(key), Seq(key), "left_semi")
+    // matched rows that survive (delete condition not met), evaluated
+    // against the TARGET row
+    val afterDelete = deleteCond match {
+      case Some(dc) => matched.filter(coalesce(dc, lit(false)) === false)
+      case None => matched
+    }
+    // matched survivors: replaced by the source row when updateAll
+    // (and updateCond holds on the target row), else kept as-is
+    val (replacedKeys, keptMatched) = if (updateAll) {
+      val toUpdate = updateCond match {
+        case Some(uc) => afterDelete.filter(coalesce(uc, lit(false)) === true)
+        case None => afterDelete
+      }
+      val notUpdated = updateCond match {
+        case Some(uc) => afterDelete.filter(coalesce(uc, lit(false)) === false)
+        case None => afterDelete.limit(0)
+      }
+      (toUpdate.select(key), notUpdated)
+    } else (afterDelete.limit(0).select(key), afterDelete)
+
+    val replacements = source.join(replacedKeys, Seq(key), "left_semi")
+    val inserts =
+      if (insertUnmatched) source.join(candDF.select(key), Seq(key), "left_anti")
+      else source.limit(0)
+
+    val merged = Seq(untouched, keptMatched)
+      .map(_.select(fields: _*))
+      .reduce(_ unionByName _)
+      .unionByName(replacements.select(fields: _*))
+      .unionByName(inserts.select(fields: _*))
     val adds = stageWrite(merged, s.partitionColumns, dataChange = true)
     val removes = candidates.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{GraftSparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Scale-mechanics behaviors: bucketed co-located joins (no shuffle)
+  * and streaming dedup — the patterns that keep 100 TB pipelines
+  * shuffle- and duplicate-safe.
+  */
+class ScaleSpec extends GraftSparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse dirs survive — clear them so saveAsTable can recreate
+    Seq("b_orders", "b_lineitem").foreach { n =>
+      val p = java.nio.file.Paths.get("spark-warehouse", n)
+      if (java.nio.file.Files.exists(p)) {
+        val w = java.nio.file.Files.walk(p)
+        val all = try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.toSeq
+        } finally w.close()
+        all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables(spark, sfDir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables(spark, sfDir, "lineitem")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    // at real scale neither side broadcasts — force the sort-merge
+    // path the bucketing is designed to de-shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free, plan:\n${plan.take(2000)}")
+      // co-located result matches the plain join
+      val plain = Tables(spark, sfDir, "orders").join(
+        Tables(spark, sfDir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("streaming exact dedup drops replayed events") {
+    val dir = tmpDir("dedup-src")
+    val e = Tables(spark, sfDir, "events")
+    // simulate an at-least-once source: every event delivered twice
+    e.write.mode("overwrite").parquet(dir)
+    e.write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_out").count() == e.count())
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == e.count())
+  }
+}
