@@ -37,7 +37,10 @@ object SparkEntry {
     "q13_approx" -> Analytics.q13Approx _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
     "q15_skew_salted" -> Analytics.q15SkewSalted _,
-    "q16_rollup" -> Analytics.q16Rollup _)
+    "q16_rollup" -> Analytics.q16Rollup _,
+    "q17_exact_percentile" -> Analytics.q17ExactPercentile _,
+    "q18_order_gaps" -> Analytics.q18OrderGaps _,
+    "q19_levenshtein" -> Analytics.q19Levenshtein _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -139,6 +142,20 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity),2) " +
         "AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q17_exact_percentile" ->
+      ("SELECT ROUND(quantile_cont(l_extendedprice, 0.25),2) AS p25, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.5),2) AS p50, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.75),2) AS p75, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.95),2) AS p95 FROM lineitem"),
+    "q18_order_gaps" ->
+      ("SELECT o_custkey, o_orderkey, gap_days FROM (SELECT o_custkey, o_orderkey, " +
+        "date_diff('day', CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS DATE), CAST(o_orderdate AS DATE)) " +
+        "AS gap_days FROM orders) t WHERE gap_days IS NOT NULL " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "q19_levenshtein" ->
+      ("SELECT n_name, r_name, CAST(levenshtein(n_name, r_name) AS BIGINT) AS dist " +
+        "FROM nation CROSS JOIN region ORDER BY n_name, r_name"),
     "text_bigrams" ->
       ("WITH t AS (SELECT regexp_split_to_array(regexp_replace(lower(trim(text)), " +
         "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), " +

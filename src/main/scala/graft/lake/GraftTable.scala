@@ -308,6 +308,29 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     metrics
   }
 
+  /** Atomic `replaceWhere`: in ONE commit, drop every row matching
+    * `cond` and insert `df` — the partition-overwrite idiom
+    * (`.option("replaceWhere", ...)` in Delta). Stats/partition
+    * pruning bounds the rewrite to files that may hold matches.
+    */
+  def replaceWhere(cond: Column, df: DataFrame): Map[String, String] = {
+    val s = snapshot
+    enforceSchema(df.schema, s.schema)
+    val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, cond)
+    val keep = dfForFiles(s, candidates)
+      .filter(coalesce(cond, lit(false)) === false)
+      .select(s.schema.fieldNames.map(col): _*)
+    val adds = stageWrite(keep.unionByName(df.select(s.schema.fieldNames.map(col): _*)),
+      s.partitionColumns, dataChange = true)
+    val removes = candidates.map(f =>
+      RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val metrics = Map(
+      "numRemovedFiles" -> removes.size.toString,
+      "numAddedFiles" -> adds.size.toString)
+    commitAndCheckpoint(Seq(info("REPLACE WHERE", metrics = metrics)) ++ removes ++ adds)
+    metrics
+  }
+
   // ------------------------------------------------- maintenance ops
 
   /** OPTIMIZE bin-packing (reference 02-lab:116-152): per partition,

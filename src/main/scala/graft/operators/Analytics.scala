@@ -182,6 +182,39 @@ object Analytics {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
+  /** Exact interpolated percentiles (matches quantile_cont). */
+  def q17ExactPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.agg(
+      round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+      round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+      round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+      round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+  }
+
+  /** Sessionized gaps: days between consecutive orders per customer
+    * (lag window + date arithmetic).
+    */
+  def q18OrderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o.select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w))
+          .cast("long").as("gap_days"))
+      .filter(col("gap_days").isNotNull)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Fuzzy string matching: edit distance across two dimensions. */
+  def q19Levenshtein(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    n.crossJoin(broadcast(r))
+      .select(col("n_name"), col("r_name"),
+        levenshtein(col("n_name"), col("r_name")).cast("long").as("dist"))
+      .orderBy("n_name", "r_name")
+  }
+
   /** Sketches: approx distinct (HLL++) + approx percentiles. Sketch
     * outputs are engine-specific → rows-only check (no DuckDB oracle).
     */

@@ -28,13 +28,19 @@ object Dedup {
     * a deterministic blocking key the DuckDB oracle replicates).
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // word sets are materialized BELOW the join (once per doc), not
+    // recomputed per candidate pair — at n docs with p pairs that's
+    // O(n) tokenizations instead of O(p)
     val d = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"), col("len"))
-    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"), col("len"))
+      .select(col("doc_id"), wordSet(col("text")).as("ws"),
+        length(col("text")).as("len"))
+    val a = d.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("len"))
+    val b = d.select(col("doc_id").as("id_b"), col("ws").as("ws_b"), col("len"))
     a.join(b, "len")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(wordJaccard(col("text_a"), col("text_b")), 4))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+          size(array_union(col("ws_a"), col("ws_b"))).cast("double"), 4))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")

@@ -110,6 +110,20 @@ class LakeSpec extends GraftSparkSpec {
     assert(t.toDF.filter(col("o_totalprice") === 1.0).count() >= 10)
   }
 
+  test("replaceWhere atomically swaps a partition's rows in one commit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = GraftTable.create(spark, tmpDir("replw"), li, Seq("l_returnflag"))
+    val v0 = t.version
+    val replacement = li.filter(col("l_returnflag") === "R").limit(100)
+      .withColumn("l_quantity", lit(999.0))
+    t.replaceWhere(col("l_returnflag") === "R", replacement)
+    assert(t.version == v0 + 1, "replaceWhere must be a single commit")
+    assert(t.toDF.filter(col("l_returnflag") === "R").count() == 100)
+    assert(t.toDF.filter(col("l_returnflag") === "R" && col("l_quantity") =!= 999.0).count() == 0)
+    assert(t.toDF.filter(col("l_returnflag") =!= "R").count() ==
+      li.filter(col("l_returnflag") =!= "R").count())
+  }
+
   test("stats computation persists to table properties") {
     val t = GraftTable.create(spark, tmpDir("stats"), li.limit(500))
     val stats = t.computeStats().collect().map(r => r.getString(0) -> r.getLong(2)).toMap
