@@ -138,13 +138,63 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                    metrics: Map[String, String] = Map.empty): CommitInfo =
     CommitInfo(System.currentTimeMillis(), op, params, metrics)
 
-  /** Append with schema enforcement (names+types must match). */
-  def append(df: DataFrame): Long = {
+  /** Append with schema enforcement (names+types must match). With
+    * `mergeSchema=true`, brand-new columns are allowed and evolve the
+    * table schema; existing files simply read those columns as null.
+    */
+  def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
     val s = snapshot
-    enforceSchema(df.schema, s.schema)
-    val adds = stageWrite(df, s.partitionColumns, dataChange = true)
-    commitAndCheckpoint(info("APPEND",
-      metrics = Map("numFiles" -> adds.size.toString)) +: adds)
+    validateConstraints(df, s)
+    if (!mergeSchema) {
+      enforceSchema(df.schema, s.schema)
+      val adds = stageWrite(df, s.partitionColumns, dataChange = true)
+      commitAndCheckpoint(info("APPEND",
+        metrics = Map("numFiles" -> adds.size.toString)) +: adds)
+    } else {
+      val table = s.schema
+      df.schema.fields.filter(f => table.fieldNames.contains(f.name)).foreach { f =>
+        require(table(f.name).dataType == f.dataType,
+          s"column ${f.name}: incompatible type ${f.dataType} vs ${table(f.name).dataType}")
+      }
+      val newFields = df.schema.fields.filterNot(f => table.fieldNames.contains(f.name))
+      val merged = StructType(table.fields ++ newFields)
+      val adds = stageWrite(df, s.partitionColumns, dataChange = true)
+      val metaActions: Seq[Action] =
+        if (newFields.isEmpty) Nil
+        else Seq(s.metadata.get.copy(schemaJson = merged.json))
+      commitAndCheckpoint(Seq(info("APPEND",
+        params = Map("mergeSchema" -> "true"),
+        metrics = Map("numFiles" -> adds.size.toString))) ++ metaActions ++ adds)
+    }
+  }
+
+  /** CHECK constraint (Delta-style): validated against existing rows
+    * now, and against every future data-changing write. A row
+    * violates when the expression is FALSE (null passes, per SQL).
+    */
+  def addConstraint(name: String, exprSql: String): Long = {
+    val s = snapshot
+    val violations = toDF
+      .filter(coalesce(expr(exprSql), lit(true)) === false).count()
+    require(violations == 0,
+      s"cannot add constraint $name: $violations existing rows violate ($exprSql)")
+    val props = s.metadata.get.properties + (s"graft.constraint.$name" -> exprSql)
+    commitAndCheckpoint(Seq(
+      info("ADD CONSTRAINT", params = Map("name" -> name, "expr" -> exprSql)),
+      s.metadata.get.copy(properties = props)))
+  }
+
+  private def validateConstraints(df: DataFrame, s: Snapshot): Unit = {
+    val constraints = s.metadata.toSeq.flatMap(_.properties.collect {
+      case (k, v) if k.startsWith("graft.constraint.") =>
+        k.stripPrefix("graft.constraint.") -> v
+    })
+    constraints.foreach { case (name, exprSql) =>
+      val violations = df
+        .filter(coalesce(expr(exprSql), lit(true)) === false).count()
+      require(violations == 0,
+        s"CHECK constraint $name ($exprSql) violated by $violations incoming rows")
+    }
   }
 
   /** Overwrite; `overwriteSchema=true` allows a schema change
@@ -152,6 +202,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def overwrite(df: DataFrame, overwriteSchema: Boolean = false): Long = {
     val s = snapshot
+    validateConstraints(df, s)
     if (!overwriteSchema) enforceSchema(df.schema, s.schema)
     val meta = s.metadata.get.copy(schemaJson = df.schema.json)
     val adds = stageWrite(df, s.partitionColumns, dataChange = true)
@@ -184,6 +235,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (seen) version
     else {
       val s = snapshot
+      validateConstraints(df, s)
       enforceSchema(df.schema, s.schema)
       val adds = stageWrite(df, s.partitionColumns, dataChange = true)
       commitAndCheckpoint(info("STREAMING UPDATE",
@@ -229,6 +281,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         when(coalesce(cond, lit(false)), v.cast(s.schema(c).dataType))
           .otherwise(col(c)))
     }
+    validateConstraints(updated, s)
     val adds = stageWrite(updated, s.partitionColumns, dataChange = true)
     val removes = candidates.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
@@ -258,6 +311,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       updateAll: Boolean, updateCond: Option[Column],
       deleteCond: Option[Column], insertUnmatched: Boolean): Map[String, String] = {
     val s = snapshot
+    validateConstraints(source, s)
     enforceSchema(source.schema, s.schema)
     val kr = source.agg(min(col(key)), max(col(key))).head()
     val keyRange = col(key) >= lit(kr.get(0)) && col(key) <= lit(kr.get(1))
@@ -315,6 +369,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def replaceWhere(cond: Column, df: DataFrame): Map[String, String] = {
     val s = snapshot
+    validateConstraints(df, s)
     enforceSchema(df.schema, s.schema)
     val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, cond)
     val keep = dfForFiles(s, candidates)
@@ -482,6 +537,46 @@ object GraftTable {
   def forPath(spark: SparkSession, path: String): GraftTable = {
     require(isGraftTable(path), s"not a GraftLake table: $path")
     new GraftTable(spark, path)
+  }
+
+  /** In-place conversion of an existing parquet directory (optionally
+    * Hive-partitioned) into a GraftLake table — the CONVERT TO DELTA
+    * equivalent: no data is rewritten, the log simply adopts the
+    * existing files with footer stats attached.
+    */
+  def convert(spark: SparkSession, path: String,
+              partitionColumns: Seq[String] = Nil): GraftTable = {
+    require(!isGraftTable(path), s"already a GraftLake table: $path")
+    val t = new GraftTable(spark, path)
+    val root = Paths.get(path)
+    val walk = Files.walk(root)
+    val rels =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally walk.close()
+    require(rels.nonEmpty, s"no parquet files to convert under $path")
+    val schema = spark.read.option("basePath", path).parquet(path).schema
+    val stats = Stats.collect(spark, rels.map(r => root.resolve(r).toString))
+    val adds = rels.map { rel =>
+      val abs = root.resolve(rel)
+      val partVals = rel.split('/').dropRight(1).filter(_.contains("="))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      AddFile(rel, partVals, Files.size(abs),
+        Files.getLastModifiedTime(abs).toMillis, dataChange = true,
+        stats.get(abs.toString))
+    }
+    val meta = Metadata(schema.json, partitionColumns, Map.empty,
+      System.currentTimeMillis())
+    t.commitAndCheckpoint(Seq(
+      CommitInfo(System.currentTimeMillis(), "CONVERT",
+        Map("numFiles" -> adds.size.toString), Map.empty), meta) ++ adds)
+    t
   }
 
   /** CREATE TABLE AS SELECT: initial write + metadata commit. */

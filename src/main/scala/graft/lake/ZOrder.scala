@@ -30,25 +30,35 @@ object ZOrder {
     case _ => c.cast("double")
   }
 
-  private def bucketCol(df: DataFrame, c: String): Column = {
-    df.schema(c).dataType match {
-      case StringType | BinaryType | BooleanType =>
-        pmod(xxhash64(col(c)), lit(NBuckets.toLong)).cast("long")
-      case dt =>
-        val probs = (1 until NBuckets).map(_.toDouble / NBuckets).toArray
-        val cast = df.select(numeric(col(c), dt).as("__zq"))
-        val cuts = cast.stat.approxQuantile("__zq", probs, 0.01)
-          .distinct.sorted
-        val cutsArr = array(cuts.map(lit): _*)
-        // bucket = #cuts <= value (codegen'd array scan, ≤63 cmp/row)
-        size(filter(cutsArr, cut => cut <= numeric(col(c), dt)))
-          .cast("long")
-    }
+  private def isOrdered(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType | BooleanType => false
+    case _ => true
   }
 
-  /** Morton-interleave the per-column bucket bits. */
+  /** Morton-interleave the per-column bucket bits. All ordered
+    * columns' quantile cuts come from ONE `approxQuantile` pass.
+    */
   def zvalue(df: DataFrame, cols: Seq[String]): Column = {
-    val buckets = cols.map(c => bucketCol(df, c))
+    val probs = (1 until NBuckets).map(_.toDouble / NBuckets).toArray
+    val ordered = cols.filter(c => isOrdered(df.schema(c).dataType))
+    val cutsByCol: Map[String, Array[Double]] =
+      if (ordered.isEmpty) Map.empty
+      else {
+        val casted = df.select(ordered.map(c =>
+          numeric(col(c), df.schema(c).dataType).as(c)): _*)
+        ordered.zip(casted.stat.approxQuantile(ordered.toArray, probs, 0.01))
+          .map { case (c, cuts) => c -> cuts.distinct.sorted }.toMap
+      }
+    val buckets = cols.map { c =>
+      df.schema(c).dataType match {
+        case dt if isOrdered(dt) =>
+          val cutsArr = array(cutsByCol(c).map(lit).toIndexedSeq: _*)
+          // bucket = #cuts <= value (codegen'd array scan, ≤63 cmp/row)
+          size(filter(cutsArr, cut => cut <= numeric(col(c), dt))).cast("long")
+        case _ =>
+          pmod(xxhash64(col(c)), lit(NBuckets.toLong)).cast("long")
+      }
+    }
     val n = cols.size
     (0 until BitsPerCol).foldLeft(lit(0L)) { (acc, b) =>
       buckets.zipWithIndex.foldLeft(acc) { case (a, (bk, i)) =>

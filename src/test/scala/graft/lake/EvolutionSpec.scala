@@ -1,0 +1,58 @@
+package graft.lake
+
+import graft.{GraftSparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Schema evolution, CHECK constraints, and in-place conversion. */
+class EvolutionSpec extends GraftSparkSpec {
+
+  private def li = Tables(spark, sfDir, "lineitem")
+
+  test("mergeSchema append evolves the schema; old files read new column as null") {
+    val t = GraftTable.create(spark, tmpDir("evo"), li.limit(100))
+    val withExtra = li.limit(20).withColumn("quality_tier", lit("gold"))
+    intercept[IllegalArgumentException](t.append(withExtra)) // strict append refuses
+    t.append(withExtra, mergeSchema = true)
+    val df = t.toDF
+    assert(df.columns.contains("quality_tier"))
+    assert(df.filter(col("quality_tier").isNull).count() == 100)
+    assert(df.filter(col("quality_tier") === "gold").count() == 20)
+    // incompatible type change still refused
+    val badType = li.limit(5).withColumn("quality_tier", lit(1))
+    intercept[IllegalArgumentException](t.append(badType, mergeSchema = true))
+  }
+
+  test("CHECK constraint rejects violating writes and bad constraint adds") {
+    val t = GraftTable.create(spark, tmpDir("constr"), li.limit(100))
+    t.addConstraint("positive_qty", "l_quantity > 0")
+    // a violating batch is rejected atomically — no partial commit
+    val vBefore = t.version
+    val bad = li.limit(10).withColumn("l_quantity", lit(-5.0))
+    intercept[IllegalArgumentException](t.append(bad))
+    assert(t.version == vBefore)
+    t.append(li.limit(10)) // valid rows still flow
+    assert(t.toDF.count() == 110)
+    // cannot add a constraint existing data violates
+    intercept[IllegalArgumentException](
+      t.addConstraint("impossible", "l_quantity > 1000000"))
+  }
+
+  test("convert adopts an existing partitioned parquet dir without rewrite") {
+    val dir = tmpDir("convert")
+    li.write.partitionBy("l_returnflag").parquet(dir)
+    val filesBefore = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try w.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet")) finally w.close()
+    }
+    val t = GraftTable.convert(spark, dir, partitionColumns = Seq("l_returnflag"))
+    assert(t.toDF.count() == li.count())
+    assert(t.snapshot.numFiles == filesBefore) // adopted, not rewritten
+    // converted table is fully operational: pruning + DML
+    val (kept, total) = t.pruneFiles(col("l_returnflag") === "R")
+    assert(kept < total)
+    t.delete(col("l_returnflag") === "R")
+    assert(t.toDF.filter(col("l_returnflag") === "R").count() == 0)
+  }
+}
