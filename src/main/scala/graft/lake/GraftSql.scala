@@ -44,6 +44,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$""".r
   private val detailRe: Regex =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*$""".r
+  private val extendedRe: Regex =
+    """(?is)^\s*DESCRIBE\s+EXTENDED\s+(\w+)\s*;?\s*$""".r
   private val deleteRe: Regex =
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val updateRe: Regex =
@@ -76,10 +78,16 @@ final class GraftSql(spark: SparkSession) {
           if (zcols != null)
             t.zorderBy(128L * 1024 * 1024,
               zcols.split(",").map(_.trim).toIndexedSeq: _*)
-          else t.optimize() ++
-            // V-Order ≈ layout optimization flag in the reference; we
-            // record the request so DESCRIBE EXTENDED-style props show it
-            (if (vorder1 != null || vorder2 != null) Map("vorder" -> "true") else Map.empty)
+          else {
+            val m = t.optimize()
+            // V-Order ≈ layout optimization flag in the reference
+            // (02-lab:126-152: DESCRIBE EXTENDED shows VORDER after
+            // OPTIMIZE ... VORDER) — persist it as a table property
+            if (vorder1 != null || vorder2 != null) {
+              t.setTableProperties(Map("graft.vorder" -> "true"))
+              m + ("vorder" -> "true")
+            } else m
+          }
         metrics.toSeq.sorted.toDF("metric", "value")
       case vacuumDryRe(name) =>
         table(name).vacuum(retentionHours = 7 * 24.0, dryRun = true)
@@ -93,6 +101,14 @@ final class GraftSql(spark: SparkSession) {
           s.partitionColumns.mkString(","), s.numRecords))
           .toDF("location", "version", "numFiles", "sizeInBytes",
             "partitionColumns", "numRecords")
+      case extendedRe(name) =>
+        // schema rows followed by table properties (reference 02-lab:
+        // 128-136 checks the VORDER property here)
+        val s = table(name).snapshot
+        val schemaRows = s.schema.fields.toSeq.map(f =>
+          (f.name, f.dataType.simpleString))
+        val propRows = s.metadata.toSeq.flatMap(_.properties.toSeq.sorted)
+        (schemaRows ++ propRows).toDF("col_name", "data_type")
       case deleteRe(name, cond) =>
         table(name).delete(expr(cond)).toSeq.sorted.toDF("metric", "value")
       case updateRe(name, sets, cond) =>

@@ -168,6 +168,27 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Merge key/value pairs into the table properties (one commit). */
+  def setTableProperties(props: Map[String, String]): Long = {
+    val s = snapshot
+    commitAndCheckpoint(Seq(
+      info("SET TBLPROPERTIES", params = props),
+      s.metadata.get.copy(properties = s.metadata.get.properties ++ props)))
+  }
+
+  /** Row-level changes between two versions as a snapshot diff:
+    * `_change_type` ∈ {insert, delete} (an update appears as a
+    * delete+insert pair). Computed with exceptAll — exact without
+    * row-tracking metadata, at the cost of reading both snapshots;
+    * callers at 100 TB scale should bound the version window.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val before = toDFAt(fromVersion)
+    val after = toDFAt(toVersion)
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   /** CHECK constraint (Delta-style): validated against existing rows
     * now, and against every future data-changing write. A row
     * violates when the expression is FALSE (null passes, per SQL).

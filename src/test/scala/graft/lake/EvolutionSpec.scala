@@ -37,6 +37,34 @@ class EvolutionSpec extends GraftSparkSpec {
       t.addConstraint("impossible", "l_quantity > 1000000"))
   }
 
+  test("changesBetween reports inserts and deletes across versions") {
+    val t = GraftTable.create(spark, tmpDir("cdf"), li.limit(100))
+    t.delete(col("l_linenumber") === 1)               // v1: deletes
+    t.append(li.limit(10))                            // v2: inserts
+    val changes = t.changesBetween(0, 2)
+    val byType = changes.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val deleted = li.limit(100).filter(col("l_linenumber") === 1).count()
+    // the 10 re-appended rows overlap rows already present; exceptAll
+    // is multiset-aware so they surface as net inserts
+    assert(byType.getOrElse("delete", 0L) >= deleted - 10)
+    assert(byType.getOrElse("insert", 0L) >= 1)
+    assert(t.toDFAt(0).count() - byType("delete") + byType("insert") == t.toDF.count())
+  }
+
+  test("DESCRIBE EXTENDED surfaces the VORDER property after OPTIMIZE VORDER") {
+    val gsql = new GraftSql(spark)
+    gsql.registerCreate("ext", tmpDir("ext"), li.limit(200).repartition(6))
+    val before = gsql.sql("DESCRIBE EXTENDED ext")
+      .collect().map(_.getString(0))
+    assert(!before.contains("graft.vorder"))
+    gsql.sql("OPTIMIZE ext VORDER")
+    val after = gsql.sql("DESCRIBE EXTENDED ext")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after.get("graft.vorder").contains("true"))
+    assert(after.contains("l_orderkey")) // schema rows present too
+  }
+
   test("convert adopts an existing partitioned parquet dir without rewrite") {
     val dir = tmpDir("convert")
     li.write.partitionBy("l_returnflag").parquet(dir)
