@@ -140,6 +140,36 @@ object MinHashSig32 {
   }
 }
 
+/** Word bigrams of normalized text (lowercase, whitespace-split) in
+  * one pass — semantically identical to the regexp_split +
+  * transform(sequence(...)) composition (and its DuckDB oracle), but
+  * native instead of interpreted per element.
+  */
+case class BigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    BigramsExpr.kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s"graft.functions.BigramsExpr.kernel($c)")
+  override protected def withNewChildInternal(c: Expression): BigramsExpr = copy(c)
+}
+
+object BigramsExpr {
+  def kernel(v: UTF8String): ArrayData = {
+    val tokens = v.toString.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val out = new Array[Any](math.max(0, tokens.length - 1))
+    var i = 0
+    while (i + 1 < tokens.length) {
+      out(i) = UTF8String.fromString(tokens(i) + " " + tokens(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   private def unary(name: String)(build: Expression => Expression)
       : Seq[Expression] => Expression = { exprs =>
@@ -156,5 +186,7 @@ object GraftFunctions {
       unary("graft_simhash64")(SimHash64.apply), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash32",
       unary("graft_minhash32")(MinHashSig32.apply), "built-in")
+    reg.createOrReplaceTempFunction("graft_bigrams",
+      unary("graft_bigrams")(BigramsExpr.apply), "built-in")
   }
 }

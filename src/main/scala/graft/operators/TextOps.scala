@@ -41,14 +41,13 @@ object TextOps {
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
-  /** Corpus-wide top-20 bigrams (n-gram mining: explode → count). */
+  /** Corpus-wide top-20 bigrams (n-gram mining: explode → count).
+    * Bigram extraction is the native single-pass [[graft.functions.BigramsExpr]].
+    */
   def textBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(normText(col("text")), " ")
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
-        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "documents")
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(expr("graft_bigrams(text)")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
