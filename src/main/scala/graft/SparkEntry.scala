@@ -65,6 +65,7 @@ object SparkEntry {
   val lakeQueries: Map[String, Q] = Map(
     "lake_roundtrip" -> LakeOps.lakeRoundtrip _,
     "lake_delete" -> LakeOps.lakeDelete _,
+    "lake_delete_mor" -> LakeOps.lakeDeleteMor _,
     "lake_timetravel" -> LakeOps.lakeTimetravel _,
     "lake_update" -> LakeOps.lakeUpdate _,
     "lake_merge" -> LakeOps.lakeMerge _,
@@ -222,6 +223,8 @@ object SparkEntry {
     "lake_vacuum" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_timetravel" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_delete" -> LakeOps.liAggOracle.format(
+      "(SELECT * FROM lineitem WHERE l_returnflag <> 'R') t"),
+    "lake_delete_mor" -> LakeOps.liAggOracle.format(
       "(SELECT * FROM lineitem WHERE l_returnflag <> 'R') t"),
     "lake_update" ->
       ("SELECT l_returnflag, ROUND(SUM(l_discount),4) AS sum_disc, COUNT(*) AS n FROM (" +

@@ -47,6 +47,12 @@ final case class CommitInfo(
     parameters: Map[String, String],
     metrics: Map[String, String]) extends Action
 
+/** Deletion-vector sidecar (merge-on-read deletes): a parquet dir of
+  * (file_path, row_index) pairs masked out at scan time.
+  */
+final case class AddDV(path: String) extends Action
+final case class RemoveDV(path: String) extends Action
+
 object Actions {
 
   private def q(s: String): String = "\"" + s.flatMap {
@@ -104,6 +110,8 @@ object Actions {
         "operation" -> q(c.operation),
         "parameters" -> strMap(c.parameters),
         "metrics" -> strMap(c.metrics)))
+    case d: AddDV => obj("addDV" -> obj("path" -> q(d.path)))
+    case d: RemoveDV => obj("removeDV" -> obj("path" -> q(d.path)))
   }
 
   private val mapper = new ObjectMapper()
@@ -155,6 +163,10 @@ object Actions {
           m("operation").toString,
           asStrMap(m.getOrElse("parameters", null)),
           asStrMap(m.getOrElse("metrics", null)))
+      case ("addDV", v) =>
+        AddDV(v.asInstanceOf[java.util.Map[String, Any]].asScala("path").toString)
+      case ("removeDV", v) =>
+        RemoveDV(v.asInstanceOf[java.util.Map[String, Any]].asScala("path").toString)
       case (other, _) =>
         throw new IllegalArgumentException(s"unknown action type: $other")
     }

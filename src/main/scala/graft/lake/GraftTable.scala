@@ -31,11 +31,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private def dfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
-    else
-      spark.read
+    else {
+      val base = spark.read
         .option("basePath", path)
         .schema(snap.schema)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
+      if (snap.dvFiles.isEmpty) base
+      else {
+        // merge-on-read: mask rows marked by deletion vectors via an
+        // anti join on (file, row position) — the scan itself is
+        // untouched, so deletes cost no rewrite until compaction
+        val dv = spark.read.parquet(snap.dvFiles.map(p => s"$path/$p"): _*)
+          .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
+        base
+          .withColumn("__fp", col("_metadata.file_path"))
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(dv, col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
+            "left_anti")
+          .drop("__fp", "__ri")
+      }
+    }
 
   def toDF: DataFrame = { val s = snapshot; dfForFiles(s, s.activeFiles) }
 
@@ -289,6 +304,37 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     metrics
   }
 
+  /** Merge-on-read DELETE: instead of rewriting candidate files, mark
+    * matching (file, row_index) pairs in a deletion-vector sidecar
+    * masked out at scan time. O(matches) write regardless of file
+    * sizes — the modern Delta delete path; compaction (OPTIMIZE
+    * ZORDER or CoW ops touching the file) physically drops the rows.
+    */
+  def deleteMergeOnRead(cond: Column): Map[String, String] = {
+    val s = snapshot
+    val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, cond)
+    if (candidates.isEmpty) {
+      commitAndCheckpoint(Seq(info("DELETE",
+        params = Map("mode" -> "merge-on-read"),
+        metrics = Map("numDeletionVectors" -> "0"))))
+      return Map("numDeletionVectors" -> "0")
+    }
+    val scan = spark.read.option("basePath", path).schema(s.schema)
+      .parquet(candidates.map(f => s"$path/${f.path}"): _*)
+    val marks = scan
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .filter(coalesce(cond, lit(false)))
+      .select("file_path", "row_index")
+    val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
+    marks.write.mode("overwrite").parquet(s"$path/$rel")
+    val metrics = Map("numDeletionVectors" -> "1",
+      "numCandidateFiles" -> candidates.size.toString)
+    commitAndCheckpoint(Seq(info("DELETE",
+      params = Map("mode" -> "merge-on-read"), metrics = metrics), AddDV(rel)))
+    metrics
+  }
+
   /** UPDATE ... SET assignments WHERE cond. */
   def update(cond: Column, set: Map[String, Column]): Map[String, String] = {
     val s = snapshot
@@ -453,12 +499,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val adds = stageWrite(clustered, s.partitionColumns, dataChange = false)
     val removes = s.activeFiles.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
+    // full rewrite materializes merge-on-read deletes → DVs retire
+    val dvRemoves = s.dvFiles.map(RemoveDV)
     val metrics = Map(
       "zOrderBy" -> cols.mkString(","),
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
     commitAndCheckpoint(Seq(info("OPTIMIZE ZORDER",
-      params = Map("zOrderBy" -> cols.mkString(",")), metrics = metrics)) ++ removes ++ adds)
+      params = Map("zOrderBy" -> cols.mkString(",")), metrics = metrics)) ++
+      removes ++ dvRemoves ++ adds)
     metrics
   }
 
@@ -471,12 +520,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     import spark.implicits._
     val s = snapshot
     val active = s.activeFiles.map(f => root.resolve(f.path).normalize.toString).toSet
+    val activeDvDirs = s.dvFiles.map(p => root.resolve(p).normalize)
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     val walk = Files.walk(root)
     val candidates =
       try walk.iterator().asScala
         .filter(p => Files.isRegularFile(p))
         .filterNot(p => p.startsWith(log.logDir))
+        .filterNot(p => activeDvDirs.exists(d => p.normalize.startsWith(d)))
         .filter(p => !active.contains(p.normalize.toString))
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .map(_.toString).toSeq.sorted
@@ -500,8 +551,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val targetPaths = target.activeFiles.map(_.path).toSet
     val removes = current.activeFiles.filterNot(f => targetPaths.contains(f.path))
       .map(f => RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val dvRemoves = current.dvFiles.filterNot(target.dvFiles.contains).map(RemoveDV)
+    val dvAdds = target.dvFiles.map(AddDV)
     val actions = Seq(info("RESTORE", params = Map("version" -> v.toString))) ++
-      target.metadata.toSeq ++ removes ++ target.activeFiles
+      target.metadata.toSeq ++ removes ++ dvRemoves ++ target.activeFiles ++ dvAdds
     commitAndCheckpoint(actions)
   }
 

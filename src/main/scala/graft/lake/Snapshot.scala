@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
 final case class Snapshot(
     version: Long,
     metadata: Option[Metadata],
-    activeFiles: Seq[AddFile]) {
+    activeFiles: Seq[AddFile],
+    dvFiles: Seq[String] = Nil) {
 
   def schema: StructType =
     metadata.map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -55,12 +56,15 @@ object Snapshot {
   private def applyActions(v: Long, base: Seq[Action], tail: Seq[Action]): Snapshot = {
     var meta: Option[Metadata] = None
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val dvs = scala.collection.mutable.LinkedHashSet[String]()
     (base ++ tail).foreach {
       case m: Metadata => meta = Some(m)
       case a: AddFile => files(a.path) = a
       case r: RemoveFile => files.remove(r.path)
+      case d: AddDV => dvs += d.path
+      case d: RemoveDV => dvs -= d.path
       case _: CommitInfo => ()
     }
-    Snapshot(v, meta, files.values.toSeq)
+    Snapshot(v, meta, files.values.toSeq, dvs.toSeq)
   }
 }

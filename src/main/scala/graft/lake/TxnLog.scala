@@ -88,7 +88,8 @@ final class TxnLog(val tablePath: String) {
   def writeCheckpoint(spark: SparkSession, v: Long): Unit = {
     val state = Snapshot.replay(this, v)
     val lines = state.metadata.toSeq.map(m => Actions.toJson(m)) ++
-      state.activeFiles.map(a => Actions.toJson(a))
+      state.activeFiles.map(a => Actions.toJson(a)) ++
+      state.dvFiles.map(p => Actions.toJson(AddDV(p)))
     import spark.implicits._
     spark.createDataset(lines).toDF("action")
       .coalesce(1).write.mode("overwrite").parquet(ckptPath(v).toString)

@@ -54,6 +54,16 @@ object LakeOps {
     liAgg(t.toDF)
   }
 
+  /** Merge-on-read DELETE via deletion vectors: same observable
+    * result as copy-on-write, zero data files rewritten (L25).
+    */
+  def lakeDeleteMor(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "deletemor"),
+      Tables(spark, dir, "lineitem").repartition(4))
+    t.deleteMergeOnRead(col("l_returnflag") === "R")
+    liAgg(t.toDF)
+  }
+
   /** Time travel: VERSION AS OF 0 after a destructive delete (L2). */
   def lakeTimetravel(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, workDir(dir, "timetravel"),

@@ -1,0 +1,59 @@
+package graft.lake
+
+import graft.{GraftSparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read deletes via deletion vectors: no rewrite on delete,
+  * scan-side masking, retirement on full rewrite, time-travel safety.
+  */
+class DeletionVectorSpec extends GraftSparkSpec {
+
+  private def li = Tables(spark, sfDir, "lineitem")
+
+  test("merge-on-read delete masks rows without rewriting any data file") {
+    val t = GraftTable.create(spark, tmpDir("dv"), li.repartition(4))
+    val filesBefore = t.snapshot.activeFiles.map(_.path).toSet
+    t.deleteMergeOnRead(col("l_returnflag") === "R")
+    assert(t.snapshot.activeFiles.map(_.path).toSet == filesBefore,
+      "MoR delete must not rewrite data files")
+    assert(t.snapshot.dvFiles.size == 1)
+    assert(t.toDF.filter(col("l_returnflag") === "R").count() == 0)
+    assert(t.toDF.count() == li.filter(col("l_returnflag") =!= "R").count())
+    // time travel to v0 resurrects the rows (DV is versioned state)
+    assert(t.toDFAt(0).count() == li.count())
+  }
+
+  test("two MoR deletes stack; zorder materializes and retires DVs") {
+    val t = GraftTable.create(spark, tmpDir("dv2"), li.repartition(4))
+    t.deleteMergeOnRead(col("l_returnflag") === "R")
+    t.deleteMergeOnRead(col("l_linenumber") === 1)
+    val expected = li.filter(col("l_returnflag") =!= "R" && col("l_linenumber") =!= 1).count()
+    assert(t.toDF.count() == expected)
+    assert(t.snapshot.dvFiles.size == 2)
+    t.zorderBy(32L * 1024, "l_partkey", "l_suppkey")
+    assert(t.snapshot.dvFiles.isEmpty, "full rewrite must retire DVs")
+    assert(t.toDF.count() == expected)
+  }
+
+  test("CoW ops on a DV'd table do not resurrect masked rows") {
+    val t = GraftTable.create(spark, tmpDir("dv3"), li.repartition(4))
+    t.deleteMergeOnRead(col("l_returnflag") === "R")
+    t.update(col("l_linestatus") === "O", Map("l_discount" -> lit(0.0)))
+    assert(t.toDF.filter(col("l_returnflag") === "R").count() == 0)
+    val expected = li.filter(col("l_returnflag") =!= "R").count()
+    assert(t.toDF.count() == expected)
+  }
+
+  test("vacuum spares active deletion vectors; restore brings DV state back") {
+    val t = GraftTable.create(spark, tmpDir("dv4"), li.repartition(4))
+    t.deleteMergeOnRead(col("l_returnflag") === "R")
+    val masked = t.toDF.count()
+    t.vacuum(0.0, dryRun = false)
+    assert(t.toDF.count() == masked, "vacuum must not delete active DVs")
+    val vWithDv = t.version
+    t.zorderBy(32L * 1024, "l_partkey")          // retires DVs
+    t.restore(vWithDv)
+    assert(t.snapshot.dvFiles.size == 1)
+    assert(t.toDF.count() == masked)
+  }
+}
