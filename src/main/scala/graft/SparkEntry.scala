@@ -40,7 +40,13 @@ object SparkEntry {
     "q16_rollup" -> Analytics.q16Rollup _,
     "q17_exact_percentile" -> Analytics.q17ExactPercentile _,
     "q18_order_gaps" -> Analytics.q18OrderGaps _,
-    "q19_levenshtein" -> Analytics.q19Levenshtein _)
+    "q19_levenshtein" -> Analytics.q19Levenshtein _,
+    "q20_cube" -> Analytics.q20Cube _,
+    "q21_correlated" -> Analytics.q21CorrelatedSubquery _,
+    "q22_set_ops" -> Analytics.q22SetOps _,
+    "q23_pivot" -> Analytics.q23Pivot _,
+    "q24_json_extract" -> Analytics.q24JsonExtract _,
+    "q25_sessionize" -> Analytics.q25Sessionize _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -157,6 +163,41 @@ object SparkEntry {
     "q19_levenshtein" ->
       ("SELECT n_name, r_name, CAST(levenshtein(n_name, r_name) AS BIGINT) AS dist " +
         "FROM nation CROSS JOIN region ORDER BY n_name, r_name"),
+    "q20_cube" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "ROUND(SUM(l_extendedprice),2) AS sum_price FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q21_correlated" ->
+      ("SELECT o_orderkey, o_custkey, ROUND(o_totalprice,2) AS o_totalprice " +
+        "FROM orders o WHERE o_totalprice > (SELECT 1.5*AVG(o2.o_totalprice) " +
+        "FROM orders o2 WHERE o2.o_custkey=o.o_custkey) ORDER BY o_orderkey"),
+    "q22_set_ops" ->
+      ("WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996), " +
+        "y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1997) " +
+        "SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97) " +
+        "UNION ALL SELECT o_custkey, 'only_1996' AS tag FROM " +
+        "(SELECT * FROM y96 EXCEPT SELECT * FROM y97) ORDER BY tag, o_custkey"),
+    "q23_pivot" ->
+      ("SELECT l_linestatus, " +
+        "ROUND(SUM(CASE WHEN l_returnflag='A' THEN l_quantity END),2) AS \"A\", " +
+        "ROUND(SUM(CASE WHEN l_returnflag='N' THEN l_quantity END),2) AS \"N\", " +
+        "ROUND(SUM(CASE WHEN l_returnflag='R' THEN l_quantity END),2) AS \"R\" " +
+        "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "q24_json_extract" ->
+      ("SELECT event_type, COUNT(*) AS n, ROUND(AVG(k),4) AS avg_k, MAX(k) AS max_k " +
+        "FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events) t " +
+        "GROUP BY event_type ORDER BY event_type"),
+    "q25_sessionize" ->
+      ("WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), " +
+        "g AS (SELECT user_id, event_id, ts_us, CASE WHEN LAG(ts_us) OVER w IS NULL " +
+        "OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+        "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "s AS (SELECT user_id, ts_us, SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS session_seq FROM g) SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
+        "COUNT(*) AS n_events, MIN(ts_us) AS session_start_us FROM s " +
+        "GROUP BY user_id, session_seq ORDER BY user_id, session_seq"),
     "text_bigrams" ->
       ("WITH t AS (SELECT regexp_split_to_array(regexp_replace(lower(trim(text)), " +
         "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), " +

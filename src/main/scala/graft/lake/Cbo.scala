@@ -1,0 +1,73 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Stats→planner injection (reference docs/02-lab-optimizations.md
+  * §I, :587-785): the reference computes per-column statistics and
+  * feeds them to the engine's cost-based optimizer. The Spark-side
+  * decision points we drive from GraftLake's persisted
+  * `graft.stats.*` properties (written by [[GraftTable.computeStats]])
+  * are join-side selection — broadcast the side whose *statistics*
+  * (not on-disk file size, which lies for compressed/columnar data)
+  * say it's small — and shuffle width sizing.
+  *
+  * At 100 TB the point of stats-driven broadcast is that a pruned or
+  * filtered dimension can be broadcastable even when its raw footprint
+  * is not; and conversely a 10 MB parquet file of high-cardinality
+  * wide rows can explode 20× decompressed, where row-count stats say
+  * "don't".
+  */
+object Cbo {
+
+  final case class ColumnStats(rows: Long, distinct: Long, nulls: Long,
+                               min: String, max: String)
+
+  /** Parsed `graft.stats.<column>` table properties. */
+  def tableStats(t: GraftTable): Map[String, ColumnStats] = {
+    val props = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    props.collect { case (k, v) if k.startsWith("graft.stats.") =>
+      val fields = v.split(";", -1).map { kv =>
+        val Array(a, b) = kv.split("=", 2); a -> b
+      }.toMap
+      k.stripPrefix("graft.stats.") -> ColumnStats(
+        fields("rows").toLong, fields("distinct").toLong,
+        fields("nulls").toLong, fields.getOrElse("min", ""),
+        fields.getOrElse("max", ""))
+    }
+  }
+
+  /** Analyzed row count, if computeStats has run. */
+  def rowCount(t: GraftTable): Option[Long] =
+    tableStats(t).values.headOption.map(_.rows)
+
+  /** Estimated selectivity of `column = const` via 1/NDV — the
+    * classic uniform-distribution CBO estimate.
+    */
+  def equalitySelectivity(t: GraftTable, column: String): Option[Double] =
+    tableStats(t).get(column).map(s => 1.0 / math.max(1L, s.distinct))
+
+  /** Estimated surviving rows of an equality filter on `column`. */
+  def estimatedRowsAfterEquality(t: GraftTable, column: String): Option[Long] =
+    for {
+      s <- tableStats(t).get(column)
+      sel <- equalitySelectivity(t, column)
+    } yield math.max(1L, math.round(s.rows * sel))
+
+  /** Read a table for use as a join side: when the analyzed row count
+    * is at or under `maxBroadcastRows`, attach an explicit broadcast
+    * hint so the planner picks BroadcastHashJoin regardless of what
+    * its size-in-bytes heuristic would conclude.
+    */
+  def readForJoin(t: GraftTable, maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val df = t.toDF
+    if (rowCount(t).exists(_ <= maxBroadcastRows)) broadcast(df) else df
+  }
+
+  /** Shuffle width sized from snapshot bytes: enough partitions that
+    * each holds ~`targetBytes` of (on-disk-compressed) input.
+    */
+  def suggestedShufflePartitions(t: GraftTable,
+                                 targetBytes: Long = 64L * 1024 * 1024): Int =
+    math.max(1, math.ceil(t.snapshot.sizeInBytes.toDouble / targetBytes).toInt)
+}

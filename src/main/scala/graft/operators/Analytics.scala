@@ -182,14 +182,18 @@ object Analytics {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
-  /** Exact interpolated percentiles (matches quantile_cont). */
+  /** Exact interpolated percentiles (matches quantile_cont). One
+    * array-argument percentile call: the column is buffered once for
+    * all four quantiles instead of once per quantile.
+    */
   def q17ExactPercentile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
-    li.agg(
-      round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-      round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-      round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
-      round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+    li.agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("ps"))
+      .select(
+        round(element_at(col("ps"), 1), 2).as("p25"),
+        round(element_at(col("ps"), 2), 2).as("p50"),
+        round(element_at(col("ps"), 3), 2).as("p75"),
+        round(element_at(col("ps"), 4), 2).as("p95"))
   }
 
   /** Sessionized gaps: days between consecutive orders per customer
@@ -224,5 +228,83 @@ object Analytics {
       approx_count_distinct("l_partkey").as("approx_parts"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
       percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+  }
+
+  /** CUBE: all grouping-set combinations incl. grand total. */
+  def q20Cube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** Correlated subquery shape: orders 1.5× above their customer's
+    * average, decorrelated into an agg + equi-join (what Catalyst's
+    * RewriteCorrelatedScalarSubquery produces anyway — written
+    * directly so the shuffle shape is explicit).
+    */
+  def q21CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val custAvg = o.groupBy("o_custkey").agg(avg("o_totalprice").as("cust_avg"))
+    o.join(custAvg, "o_custkey")
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Set operations: customers ordering in both 1996 and 1997
+    * (INTERSECT) vs only in 1996 (EXCEPT), tagged in one output.
+    */
+  def q22SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    def custsIn(y: Int): DataFrame =
+      o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+    custsIn(1996).intersect(custsIn(1997)).withColumn("tag", lit("both"))
+      .unionByName(
+        custsIn(1996).except(custsIn(1997)).withColumn("tag", lit("only_1996")))
+      .orderBy("tag", "o_custkey")
+  }
+
+  /** PIVOT: quantity by line status, one column per return flag.
+    * Values are enumerated so Spark skips the distinct-value pre-scan.
+    */
+  def q23Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .orderBy("l_linestatus")
+  }
+
+  /** Semi-structured extraction: pull `k` out of the JSON props
+    * column and aggregate it per event type.
+    */
+  def q24JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** Batch sessionization: 30-minute-gap sessions per user (lag +
+    * running sum of session-break flags), the batch twin of the
+    * streaming flatMapGroupsWithState sessionizer (SURVEY §2.7 ST2).
+    */
+  def q25Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_sess",
+        when(lag("ts_us", 1).over(w).isNull ||
+          col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"), min("ts_us").as("session_start_us"))
+      .orderBy("user_id", "session_seq")
   }
 }

@@ -1,0 +1,60 @@
+package graft.lake
+
+import graft.{GraftSparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Stats→CBO injection (reference §I): analyzed statistics drive join
+  * strategy and shuffle sizing, independent of Spark's file-size
+  * heuristics.
+  */
+class CboSpec extends GraftSparkSpec {
+
+  test("computeStats-driven broadcast flips a SMJ to BroadcastHashJoin") {
+    val dim = GraftTable.create(spark, tmpDir("cbo_dim"),
+      Tables(spark, sfDir, "nation"))
+    val fact = GraftTable.create(spark, tmpDir("cbo_fact"),
+      Tables(spark, sfDir, "customer"))
+    dim.computeStats()
+    fact.computeStats()
+
+    assert(Cbo.rowCount(dim).exists(n => n > 0 && n < 100))
+    assert(Cbo.rowCount(fact).exists(_ > 100))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable the size heuristic entirely: any broadcast below must
+    // come from the stats-driven hint
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = fact.toDF.join(dim.toDF,
+        col("c_nationkey") === col("n_nationkey"))
+      assert(!plain.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+
+      val statsDriven = Cbo.readForJoin(fact).join(Cbo.readForJoin(dim),
+        col("c_nationkey") === col("n_nationkey"))
+      assert(statsDriven.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // fact side is over the (tiny) test threshold when one is set low
+      val bigFirst = Cbo.readForJoin(fact, maxBroadcastRows = 10)
+        .join(Cbo.readForJoin(dim, maxBroadcastRows = 10),
+          col("c_nationkey") === col("n_nationkey"))
+      assert(!bigFirst.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // results identical either way
+      assert(statsDriven.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("selectivity estimates come from NDV and row counts") {
+    val t = GraftTable.create(spark, tmpDir("cbo_sel"),
+      Tables(spark, sfDir, "lineitem"))
+    t.computeStats()
+    val stats = Cbo.tableStats(t)
+    assert(stats.contains("l_returnflag"))
+    val total = Cbo.rowCount(t).get
+    // l_returnflag has 3 distinct values → selectivity 1/3, estimate ≈ rows/3
+    assert(stats("l_returnflag").distinct == 3)
+    assert(Cbo.equalitySelectivity(t, "l_returnflag").get == 1.0 / 3)
+    assert(Cbo.estimatedRowsAfterEquality(t, "l_returnflag").get == math.round(total / 3.0))
+    // shuffle sizing: tiny table → 1 partition; ~64MB target honored
+    assert(Cbo.suggestedShufflePartitions(t) == 1)
+    assert(Cbo.suggestedShufflePartitions(t, targetBytes = 1024) > 1)
+  }
+}
