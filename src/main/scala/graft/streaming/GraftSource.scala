@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.lake.{AddFile, GraftTable, RemoveFile, Snapshot, TxnLog}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graftshim.StreamShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming *source* over a GraftLake table — the Delta-style
+  * "table as a stream" read (reference docs/00-overview.md:14 calls out
+  * streaming ingestion as the genesis of the small-file problem; this
+  * is the complementary read side). Offsets are transaction-log
+  * versions: the first micro-batch is the full snapshot at the latest
+  * version, every later batch reads exactly the files added by commits
+  * in `(startVersion, endVersion]` with `dataChange=true`.
+  *
+  * Scale: a micro-batch plans from KB-scale log JSON on the driver —
+  * no directory listing — and reads only the new files, so incremental
+  * cost is proportional to the new data, not table size. Compaction
+  * commits (`OPTIMIZE`/`ZORDER`, `dataChange=false`) are invisible to
+  * the stream. Data-changing removes (DELETE/UPDATE/MERGE rewrites)
+  * fail the stream unless `.option("ignoreChanges", "true")`, exactly
+  * like Delta's source semantics.
+  */
+final class GraftSource(
+    sqlContext: SQLContext,
+    path: String,
+    options: Map[String, String]) extends Source {
+
+  private val spark: SparkSession = sqlContext.sparkSession
+  private val log = new TxnLog(path)
+  private val ignoreChanges =
+    options.map { case (k, v) => k.toLowerCase -> v }
+      .getOrElse("ignorechanges", "false").toBoolean
+
+  override val schema: StructType = Snapshot.at(spark, log).schema
+
+  private def version(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[OffsetV1] =
+    log.latestVersion().map(LongOffset(_))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = version(end)
+    val batch = start.map(version) match {
+      case None =>
+        // initial batch: full snapshot at endV (Delta's "initial snapshot")
+        val snap = Snapshot.at(spark, log, Some(endV))
+        require(snap.dvFiles.isEmpty,
+          "streaming read with active deletion vectors is not supported; " +
+            "run OPTIMIZE/ZORDER to materialize them first")
+        readFiles(snap, snap.activeFiles)
+      case Some(startV) =>
+        val actions = ((startV + 1) to endV).flatMap(log.readCommit)
+        val changed = actions.collect { case r: RemoveFile if r.dataChange => r }
+        if (changed.nonEmpty && !ignoreChanges)
+          throw new UnsupportedOperationException(
+            s"commit range ($startV, $endV] rewrites or deletes data " +
+              s"(${changed.size} removed files); streaming sources are " +
+              "append-only — set option ignoreChanges=true to stream " +
+              "rewritten files anyway (may re-emit rows)")
+        val adds = actions.collect { case a: AddFile if a.dataChange => a }
+        readFiles(Snapshot.at(spark, log, Some(endV)), adds)
+    }
+    StreamShim.asStreaming(batch, this)
+  }
+
+  private def readFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else
+      spark.read
+        .option("basePath", path)
+        .schema(snap.schema)
+        .parquet(files.map(f => s"$path/${f.path}"): _*)
+        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftSource[$path]"
+}
+
+/** `spark.readStream.format("graftlake").load(path)` — registered via
+  * META-INF/services so the short name resolves.
+  */
+final class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graftlake"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "'path' must be specified for the graftlake source"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val t = GraftTable.forPath(sqlContext.sparkSession, tablePath(parameters))
+    (shortName(), schema.getOrElse(t.snapshot.schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftSource(sqlContext, tablePath(parameters), parameters)
+}

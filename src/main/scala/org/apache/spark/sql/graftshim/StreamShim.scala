@@ -1,0 +1,33 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.read.streaming.SparkDataStream
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Bridge for v1 streaming sources: `Source.getBatch` must return a
+  * DataFrame whose logical plan has `isStreaming=true`, but the public
+  * reader API only builds batch plans. This re-tags the scan relations
+  * of a batch plan as streaming — the same move Spark's own
+  * FileStreamSource makes when it builds each micro-batch from a file
+  * list. Lives under `org.apache.spark.sql` for `private[sql]` access;
+  * kept to the minimum surface (one method, two relation shapes).
+  */
+object StreamShim {
+
+  /** Re-create `df` with its leaf scan relations marked streaming and
+    * owned by `stream` (the source reporting this batch).
+    */
+  def asStreaming(df: DataFrame, stream: SparkDataStream): DataFrame = {
+    val classic = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+    val session = classic.sparkSession.asInstanceOf[ClassicSession]
+    val plan = classic.queryExecution.analyzed.transform {
+      case lr: LogicalRelation =>
+        lr.copy(isStreaming = true, stream = Some(stream))
+      case loc: LocalRelation =>
+        loc.copy(isStreaming = true, stream = Some(stream))
+    }
+    ClassicDataset.ofRows(session, plan)
+  }
+}

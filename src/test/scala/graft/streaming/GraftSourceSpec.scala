@@ -1,0 +1,77 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.{GraftSparkSpec, Tables}
+import graft.lake.GraftTable
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+/** GraftLake as a streaming *source* (SURVEY §2.7 ST6): initial batch
+  * is the table snapshot, later batches emit exactly the new commits'
+  * files; OPTIMIZE commits (dataChange=false) are invisible; CoW
+  * rewrites fail the stream unless ignoreChanges=true.
+  */
+class GraftSourceSpec extends GraftSparkSpec {
+
+  /** One AvailableNow run against `path`, collecting emitted rows. */
+  private def runOnce(path: String, ckpt: String,
+                      opts: Map[String, String] = Map.empty): Seq[Row] = {
+    val got = ArrayBuffer.empty[Row]
+    val q = spark.readStream.format("graftlake").options(opts).load(path)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        got.synchronized { got ++= batch.collect() }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    got.toSeq
+  }
+
+  test("initial snapshot, then incremental batches; OPTIMIZE invisible") {
+    val orders = Tables(spark, sfDir, "orders")
+    val first = orders.filter(col("o_orderkey") % 3 === 0)
+    val second = orders.filter(col("o_orderkey") % 3 === 1)
+    val path = tmpDir("gsrc-table")
+    val ckpt = tmpDir("gsrc-ckpt")
+    val t = GraftTable.create(spark, path, first)
+
+    val b1 = runOnce(path, ckpt)
+    assert(b1.size == first.count())
+
+    t.append(second)
+    t.optimize() // dataChange=false adds must not re-emit snapshot rows
+    val b2 = runOnce(path, ckpt)
+    assert(b2.size == second.count())
+
+    // no new commits: zero new rows
+    assert(runOnce(path, ckpt).isEmpty)
+
+    // full content check across the two data batches
+    val streamed = spark.createDataFrame(
+      spark.sparkContext.parallelize(b1 ++ b2), first.schema)
+    val expected = first.unionAll(second)
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+
+  test("CoW rewrite fails the stream; ignoreChanges streams through") {
+    val nation = Tables(spark, sfDir, "nation")
+    val path = tmpDir("gsrc-cow-table")
+    val ckpt = tmpDir("gsrc-cow-ckpt")
+    val t = GraftTable.create(spark, path, nation)
+    assert(runOnce(path, ckpt).size == nation.count())
+
+    t.delete(col("n_nationkey") === 0) // CoW: remove+add with dataChange=true
+    val ex = intercept[StreamingQueryException] { runOnce(path, ckpt) }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[UnsupportedOperationException]))
+
+    // rewritten file re-emitted: rows = post-delete survivors of the file
+    val b3 = runOnce(path, ckpt, Map("ignoreChanges" -> "true"))
+    assert(b3.nonEmpty)
+  }
+}
