@@ -71,27 +71,44 @@ object Similarity {
       struct(round(cosine(v, litArr(ct)), 8).as("cos"), lit(i).as("idx"))
     }: _*)
 
-  /** IVF-style ANN: 16 coarse centroids (seeded from the first 16
-    * vectors, one Lloyd refinement step), corpus assigned to nearest
-    * centroid, queries probe the top-2 centroids only. Centroids are
-    * KB-scale metadata — collected to the driver and re-broadcast as
-    * literals, never the data itself. Rows-only check + recall spec.
+  /** One Lloyd step: assign every vector to its nearest centroid (by
+    * cosine), then average per cluster. The per-(cluster,dimension)
+    * partial sums are map-side combined, so shuffle volume is bounded
+    * by k×dim per partition, not data size; centroids stay KB-scale
+    * driver metadata. Empty clusters keep their previous centroid.
     */
-  def simIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-    val seeds: Seq[Array[Double]] = emb.filter(col("vec_id") < 16)
-      .orderBy("vec_id").select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
-    // one Lloyd step: assign to seed, average per cluster
-    val assigned = emb.withColumn("cluster",
-      array_max(centroidStructs(col("embedding"), seeds)).getField("idx"))
-    val refined: Seq[Array[Double]] = assigned
+  private def lloydStep(emb: DataFrame, cents: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val updated = emb
+      .withColumn("cluster",
+        array_max(centroidStructs(col("embedding"), cents)).getField("idx"))
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos").agg(avg("x").as("x"))
       .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("vs"))
       .select(col("cluster"), transform(col("vs"), _.getField("x")).as("centroid"))
-      .orderBy("cluster").collect()
-      .map(_.getSeq[Double](1).toArray).toSeq
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    cents.indices.map(i => updated.getOrElse(i, cents(i)))
+  }
+
+  /** IVF-style ANN: 16 coarse centroids seeded from a deterministic
+    * stride over the corpus (decorrelated, unlike "first 16 rows"),
+    * refined by [[LloydIters]] Lloyd steps; corpus assigned to its
+    * nearest centroid, queries probe the top-2 centroids only.
+    * Centroids are KB-scale metadata — collected to the driver and
+    * re-broadcast as literals, never the data itself. Rows-only check
+    * + recall spec (OperatorsSpec).
+    */
+  private val LloydIters = 3
+
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val n = emb.count()
+    val stride = math.max(1L, n / 16)
+    val seeds: Seq[Array[Double]] = emb
+      .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(16)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val refined = (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(emb, c))
     val corpus = emb.filter(col("vec_id") >= QuerySetSize)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         array_max(centroidStructs(col("embedding"), refined)).getField("idx").as("cluster"))
