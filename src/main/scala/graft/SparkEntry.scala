@@ -62,7 +62,9 @@ object SparkEntry {
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_lsh_ann" -> Similarity.simLshAnn _,
     "sim_ivf" -> Similarity.simIvf _,
-    "mm_decode_meta" -> Multimodal.mmDecodeMeta _)
+    "mm_decode_meta" -> Multimodal.mmDecodeMeta _,
+    "mm_frame_sample" -> Multimodal.mmFrameSample _,
+    "mm_resize_plan" -> Multimodal.mmResizePlan _)
 
   /** GraftLake table-layer queries (SURVEY §2.1): each rebuilds an
     * isolated table under target/ and proves content invariants
@@ -257,6 +259,20 @@ object SparkEntry {
         "CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width, " +
         "CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height, " +
         "md5(text) AS checksum FROM documents ORDER BY doc_id"),
+    "mm_frame_sample" ->
+      ("WITH t AS (SELECT doc_id, text, octet_length(encode(text)) % 16 + 1 AS n_frames " +
+        "FROM documents), k AS (SELECT doc_id, text, n_frames, LEAST(n_frames, 4) AS k FROM t), " +
+        "f AS (SELECT doc_id, text, n_frames, k, UNNEST(generate_series(0, k-1)) AS i FROM k) " +
+        "SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, " +
+        "CAST(FLOOR(i * n_frames / k) AS BIGINT) AS frame_idx, " +
+        "md5(text || ':' || CAST(FLOOR(i * n_frames / k) AS BIGINT)) AS frame_checksum " +
+        "FROM f ORDER BY doc_id, frame_idx"),
+    "mm_resize_plan" ->
+      ("SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, " +
+        "GREATEST(CAST(FLOOR(width * LEAST(224.0/width, LEAST(224.0/height, 1.0))) AS BIGINT), 1) AS out_w, " +
+        "GREATEST(CAST(FLOOR(height * LEAST(224.0/width, LEAST(224.0/height, 1.0))) AS BIGINT), 1) AS out_h " +
+        "FROM (SELECT doc_id, octet_length(encode(text)) % 640 + 1 AS width, " +
+        "(octet_length(encode(text)) * 7) % 480 + 1 AS height FROM documents) t ORDER BY doc_id"),
     "lake_roundtrip" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_optimize" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_zorder" -> LakeOps.liAggOracle.format("lineitem"),

@@ -48,6 +48,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling plan (oracle-checked): every payload reports a
+    * stubbed frame count; up to [[MaxSampledFrames]] frames are picked
+    * evenly across the clip (`floor(i * n_frames / k)` — the standard
+    * uniform temporal sampling a video pipeline uses) and exploded to
+    * one row per sampled frame. The explode + per-frame checksum runs
+    * entirely in codegen; the real decoder would slot in at the
+    * `frame_checksum` step, keyed by (payload, frame_idx).
+    */
+  val MaxSampledFrames = 4
+
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val nb = octet_length(col("text")).cast("long")
+    val nFrames = (nb % 16 + 1).as("n_frames")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), nb.as("n_bytes"), nFrames)
+      .withColumn("k", least(col("n_frames"), lit(MaxSampledFrames.toLong)))
+      .withColumn("i", explode(sequence(lit(0L), col("k") - 1)))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        floor(col("i") * col("n_frames") / col("k")).as("frame_idx"),
+        md5(concat(col("text"), lit(":"), floor(col("i") * col("n_frames") / col("k")))
+          .cast("binary")).as("frame_checksum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Resize planning (oracle-checked): aspect-preserving fit of the
+    * stub dimensions into a 224×224 target — the geometry step of an
+    * image pipeline, as pure integer expressions (the pixel resample
+    * itself is the codec stub's job).
+    */
+  def mmResizePlan(spark: SparkSession, dir: String): DataFrame = {
+    val nb = octet_length(col("text")).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), (nb % 640 + 1).as("width"), ((nb * 7) % 480 + 1).as("height"))
+      .withColumn("scale",
+        least(lit(224.0) / col("width"), least(lit(224.0) / col("height"), lit(1.0))))
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        greatest(floor(col("width") * col("scale")), lit(1L)).as("out_w"),
+        greatest(floor(col("height") * col("scale")), lit(1L)).as("out_h"))
+      .orderBy("doc_id")
+  }
+
   /** Batched decode over partitions — the shape a real decoder needs
     * (amortized per-batch codec init, no per-row JNI churn). Uses the
     * stub decoder; exercised by MultimodalSpec.
