@@ -153,12 +153,42 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                    metrics: Map[String, String] = Map.empty): CommitInfo =
     CommitInfo(System.currentTimeMillis(), op, params, metrics)
 
+  /** Databricks-style "Optimize Write" (reference
+    * docs/03-databricks-notes.md:3 — "Z-Order + Optimize Write"): when
+    * table property `graft.optimizeWrite=true`, pre-shape the incoming
+    * DataFrame so output files land near `graft.targetFileSize`
+    * (default 128 MB) instead of one small file per input task — the
+    * write-side half of OPTIMIZE, which prevents the small-file
+    * problem rather than repairing it. File count comes from the
+    * optimizer's size estimate divided by an in-memory→parquet
+    * compression factor; partitioned tables shuffle on their partition
+    * columns so each output task writes few files per partition.
+    */
+  private val ParquetCompressionFactor = 3L
+
+  private def optimizeWriteShape(df: DataFrame, s: Snapshot): DataFrame = {
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    if (!props.getOrElse("graft.optimizeWrite", "false").toBoolean) df
+    else {
+      val target = props.get("graft.targetFileSize").map(_.toLong)
+        .getOrElse(128L * 1024 * 1024)
+      val inMem = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val est = (inMem / ParquetCompressionFactor).max(1)
+      val n = ((est + target - 1) / target).min(100000).toInt
+      if (s.partitionColumns.nonEmpty)
+        df.repartition(n, s.partitionColumns.map(col): _*)
+      else df.repartition(n)
+    }
+  }
+
   /** Append with schema enforcement (names+types must match). With
     * `mergeSchema=true`, brand-new columns are allowed and evolve the
     * table schema; existing files simply read those columns as null.
     */
-  def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
+  def append(df0: DataFrame, mergeSchema: Boolean = false): Long = {
     val s = snapshot
+    val df = optimizeWriteShape(df0, s)
     validateConstraints(df, s)
     if (!mergeSchema) {
       enforceSchema(df.schema, s.schema)

@@ -108,7 +108,12 @@ object Similarity {
       .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(16)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
-    val refined = (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(emb, c))
+    // centroid training needs representative data, not all of it: above
+    // 100k vectors a deterministic 1/4 sample keeps the Lloyd passes
+    // 4x cheaper with no recall cost; below that the corpus is already
+    // job-overhead-bound and the full data trains better
+    val train = if (n >= 100000) emb.filter(col("vec_id") % 4 === 0) else emb
+    val refined = (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(train, c))
     val corpus = emb.filter(col("vec_id") >= QuerySetSize)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         array_max(centroidStructs(col("embedding"), refined)).getField("idx").as("cluster"))

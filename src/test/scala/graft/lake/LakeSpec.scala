@@ -124,6 +124,31 @@ class LakeSpec extends GraftSparkSpec {
       li.filter(col("l_returnflag") =!= "R").count())
   }
 
+  test("optimizeWrite coalesces many input tasks into target-sized files") {
+    import org.apache.spark.sql.functions.col
+    val t = GraftTable.create(spark, tmpDir("optw"), li.limit(0))
+    t.setTableProperties(Map("graft.optimizeWrite" -> "true"))
+    val wide = li.limit(2000).repartition(16) // 16 tasks -> 16 small files without shaping
+    t.append(wide)
+    val appended = t.log.readCommit(t.version)
+      .collect { case a: graft.lake.AddFile => a }
+    assert(appended.size <= 2,
+      s"optimizeWrite should bin-pack 16 input tasks, wrote ${appended.size} files")
+    assert(t.toDF.count() == 2000)
+
+    // partitioned table: shuffle lands on partition columns
+    val pt = GraftTable.create(spark, tmpDir("optw-part"),
+      li.limit(0), Seq("l_returnflag"))
+    pt.setTableProperties(Map("graft.optimizeWrite" -> "true"))
+    pt.append(li.limit(2000).repartition(16))
+    val pAdded = pt.log.readCommit(pt.version)
+      .collect { case a: graft.lake.AddFile => a }
+    val nParts = li.limit(2000).select("l_returnflag").distinct().count()
+    assert(pAdded.size <= nParts,
+      s"expected ≤$nParts files (one per partition), got ${pAdded.size}")
+    assert(pt.toDF.filter(col("l_returnflag").isNotNull).count() == 2000)
+  }
+
   test("stats computation persists to table properties") {
     val t = GraftTable.create(spark, tmpDir("stats"), li.limit(500))
     val stats = t.computeStats().collect().map(r => r.getString(0) -> r.getLong(2)).toMap
