@@ -56,6 +56,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.textFingerprint _,
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
+    "dedup_clusters" -> Dedup.dedupClusters _,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh _,
     "dedup_simhash" -> Dedup.dedupSimhash _,
     "dedup_embedding" -> Dedup.dedupEmbedding _,
@@ -86,6 +87,15 @@ object SparkEntry {
     "lake_vacuum" -> LakeOps.lakeVacuum _)
 
   private val rev = "ROUND(SUM(l_extendedprice*(1.0-l_discount)),2)"
+  private val jaccardPairsSql =
+    "SELECT id_a, id_b, jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "ROUND(CAST(len(list_intersect(" +
+      "list_distinct(regexp_split_to_array(lower(trim(a.text)),'\\s+')), " +
+      "list_distinct(regexp_split_to_array(lower(trim(b.text)),'\\s+')))) AS DOUBLE) / " +
+      "CAST(len(list_distinct(regexp_split_to_array(lower(trim(a.text)),'\\s+') || " +
+      "regexp_split_to_array(lower(trim(b.text)),'\\s+'))) AS DOUBLE), 4) AS jaccard " +
+      "FROM documents a JOIN documents b ON length(a.text)=length(b.text) " +
+      "AND a.doc_id < b.doc_id) t WHERE jaccard >= 0.5 ORDER BY id_a, id_b"
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
 
   /** DuckDB oracle SQL, driver-run on the same parquet tables. */
@@ -236,15 +246,16 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
-    "dedup_ngram_jaccard" ->
-      ("SELECT id_a, id_b, jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "ROUND(CAST(len(list_intersect(" +
-        "list_distinct(regexp_split_to_array(lower(trim(a.text)),'\\s+')), " +
-        "list_distinct(regexp_split_to_array(lower(trim(b.text)),'\\s+')))) AS DOUBLE) / " +
-        "CAST(len(list_distinct(regexp_split_to_array(lower(trim(a.text)),'\\s+') || " +
-        "regexp_split_to_array(lower(trim(b.text)),'\\s+'))) AS DOUBLE), 4) AS jaccard " +
-        "FROM documents a JOIN documents b ON length(a.text)=length(b.text) " +
-        "AND a.doc_id < b.doc_id) t WHERE jaccard >= 0.5 ORDER BY id_a, id_b"),
+    "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ($jaccardPairsSql) p), " +
+        "edges AS (SELECT id_a AS u, id_b AS v FROM jp " +
+        "UNION SELECT id_b AS u, id_a AS v FROM jp), " +
+        "reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t " +
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u), " +
+        "comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u) " +
+        "SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) " +
+        "AS cluster_size FROM comp ORDER BY doc_id"),
     "sim_bruteforce_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
         "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +

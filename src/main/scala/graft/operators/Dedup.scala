@@ -131,6 +131,52 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over the verified Jaccard pairs — the final
+    * step of a dedup pipeline: pair lists become groups with one
+    * representative (the minimum doc_id in the component) so the keep
+    * set is `doc_id == cluster_id`. Distributed min-label propagation:
+    * each round every vertex takes the min label among itself and its
+    * neighbors (one equi-join + partial-aggregated groupBy per round),
+    * converging in O(component diameter) rounds — the GraphX/
+    * large-star pattern, no driver-side graph state beyond a scalar
+    * convergence count. Oracle: DuckDB recursive CTE over the same
+    * pairs.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("lv")), "v")
+        .groupBy("u").agg(min("lv").as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("id"), col("nbr_min")), Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .cache()
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = next.select("id", "label").cache()
+      rounds += 1
+    }
+    // truncate the iteration lineage (50 chained joins otherwise) so
+    // consumers of the result don't replay the propagation
+    val settled = labels.localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    settled
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Embedding cosine near-dup via random-hyperplane LSH buckets +
     * cosine verification. Planted near-identical vectors (+0.05 on
     * dim 0, id offset +100000). Deterministic; rows-only check.
