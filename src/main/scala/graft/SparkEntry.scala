@@ -46,7 +46,8 @@ object SparkEntry {
     "q22_set_ops" -> Analytics.q22SetOps _,
     "q23_pivot" -> Analytics.q23Pivot _,
     "q24_json_extract" -> Analytics.q24JsonExtract _,
-    "q25_sessionize" -> Analytics.q25Sessionize _)
+    "q25_sessionize" -> Analytics.q25Sessionize _,
+    "q26_skew_join" -> Analytics.q26SkewJoin _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -210,6 +211,12 @@ object SparkEntry {
         "AS session_seq FROM g) SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
         "COUNT(*) AS n_events, MIN(ts_us) AS session_start_us FROM s " +
         "GROUP BY user_id, session_seq ORDER BY user_id, session_seq"),
+    "q26_skew_join" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+        "ROUND(SUM(value / n_user_events), 2) AS weighted_value " +
+        "FROM events e JOIN (SELECT user_id, COUNT(*) AS n_user_events " +
+        "FROM events GROUP BY user_id) u ON e.user_id = u.user_id " +
+        "GROUP BY event_type ORDER BY event_type"),
     "text_bigrams" ->
       ("WITH t AS (SELECT regexp_split_to_array(regexp_replace(lower(trim(text)), " +
         "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), " +

@@ -307,4 +307,29 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"), min("ts_us").as("session_start_us"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** Salted skew join: the fact side (events, user_id is zipfian)
+    * carries a random-ish-but-deterministic salt; the dim side (per-
+    * user profile, too big to broadcast in the 100 TB deployment) is
+    * exploded into one replica per salt value, so a hot key's rows
+    * spread across `Salts` reducers instead of one straggler task.
+    * The join result is salt-independent — oracle-checked against the
+    * plain join. (AQE skew-split is the adaptive alternative; salting
+    * is the deterministic one that also works mid-pipeline.)
+    */
+  def q26SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val Salts = 8
+    val e = Tables(spark, dir, "events")
+    val profile = e.groupBy("user_id")
+      .agg(count(lit(1)).as("n_user_events"))
+    val saltedFacts = e
+      .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(Salts.toLong)))
+    val saltedDim = profile
+      .withColumn("__salt", explode(array((0 until Salts).map(s => lit(s.toLong)): _*)))
+    saltedFacts.join(saltedDim, Seq("user_id", "__salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") / col("n_user_events")), 2).as("weighted_value"))
+      .orderBy("event_type")
+  }
 }

@@ -31,9 +31,17 @@ final class GraftSource(
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val log = new TxnLog(path)
-  private val ignoreChanges =
-    options.map { case (k, v) => k.toLowerCase -> v }
-      .getOrElse("ignorechanges", "false").toBoolean
+  private val opts = options.map { case (k, v) => k.toLowerCase -> v }
+  private val ignoreChanges = opts.getOrElse("ignorechanges", "false").toBoolean
+
+  /** Admission control: cap how many log versions one micro-batch may
+    * cover (Delta's maxFilesPerTrigger analog at commit granularity) —
+    * keeps catch-up batches bounded when a stream restarts far behind
+    * on a high-ingest table. The engine re-calls getBatch on restart,
+    * which re-seeds [[lastBatchEnd]], so the cap holds across runs.
+    */
+  private val maxVersionsPerTrigger = opts.get("maxversionspertrigger").map(_.toLong)
+  private var lastBatchEnd: Option[Long] = None
 
   override val schema: StructType = Snapshot.at(spark, log).schema
 
@@ -44,10 +52,17 @@ final class GraftSource(
   }
 
   override def getOffset: Option[OffsetV1] =
-    log.latestVersion().map(LongOffset(_))
+    log.latestVersion().map { latest =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(m) => math.min(latest, lastBatchEnd.getOrElse(-1L) + m)
+        case None => latest
+      }
+      LongOffset(capped)
+    }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = version(end)
+    lastBatchEnd = Some(endV)
     val batch = start.map(version) match {
       case None =>
         // initial batch: full snapshot at endV (Delta's "initial snapshot")

@@ -57,6 +57,25 @@ class GraftSourceSpec extends GraftSparkSpec {
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
   }
 
+  test("maxVersionsPerTrigger bounds each catch-up batch") {
+    val region = Tables(spark, sfDir, "region")
+    val path = tmpDir("gsrc-rate-table")
+    val ckpt = tmpDir("gsrc-rate-ckpt")
+    val t = GraftTable.create(spark, path, region) // v0
+    t.append(region)                               // v1
+    t.append(region)                               // v2
+    t.append(region)                               // v3
+    val n = region.count()
+    val opts = Map("maxVersionsPerTrigger" -> "1")
+    // AvailableNow falls back to one batch per run for a v1 source, so
+    // each run may advance at most 1 version
+    assert(runOnce(path, ckpt, opts).size == n)       // snapshot at v0
+    assert(runOnce(path, ckpt, opts).size == n)       // v1
+    assert(runOnce(path, ckpt, opts).size == n)       // v2
+    assert(runOnce(path, ckpt, opts).size == n)       // v3
+    assert(runOnce(path, ckpt, opts).isEmpty)         // caught up
+  }
+
   test("CoW rewrite fails the stream; ignoreChanges streams through") {
     val nation = Tables(spark, sfDir, "nation")
     val path = tmpDir("gsrc-cow-table")
