@@ -32,9 +32,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
     else {
+      val masked = physicalDfForFiles(snap, files)
+      if (snap.colMap.isEmpty) masked
+      else masked.select(snap.schema.fields.map(f =>
+        col(snap.physicalName(f.name)).as(f.name)).toIndexedSeq: _*)
+    }
+
+  private def physicalDfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
       val base = spark.read
         .option("basePath", path)
-        .schema(snap.schema)
+        .schema(snap.physicalSchema)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
       if (snap.dvFiles.isEmpty) base
       else {
@@ -67,14 +74,34 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def readWhere(predicate: Column): DataFrame = {
     val s = snapshot
-    val kept = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, predicate)
+    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate)
     dfForFiles(s, kept).filter(predicate)
   }
+
+  /** Active files with stats/partition keys remapped to logical column
+    * names so pruning can match predicates written against the current
+    * (possibly renamed) schema. Identity when no mapping exists.
+    */
+  private def logicalFiles(s: Snapshot): Seq[AddFile] =
+    if (s.colMap.isEmpty) s.activeFiles
+    else {
+      val rev = s.colMap.map(_.swap)
+      def rekey[V](m: Map[String, V]): Map[String, V] =
+        m.map { case (k, v) => rev.getOrElse(k, k) -> v }
+      s.activeFiles.map { a =>
+        a.copy(
+          partitionValues = rekey(a.partitionValues),
+          stats = a.stats.map(st => st.copy(
+            minValues = rekey(st.minValues),
+            maxValues = rekey(st.maxValues),
+            nullCounts = rekey(st.nullCounts))))
+      }
+    }
 
   /** Files that survive pruning for `predicate` (for tests/metrics). */
   def pruneFiles(predicate: Column): (Int, Int) = {
     val s = snapshot
-    (Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, predicate).size,
+    (Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate).size,
       s.activeFiles.size)
   }
 
@@ -83,9 +110,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Stage `df` as parquet files, move them under the table root, and
     * return AddFile actions with footer stats attached.
     */
-  private def stageWrite(df: DataFrame, partitionBy: Seq[String],
+  private def stageWrite(df0: DataFrame, partitionBy: Seq[String],
                          dataChange: Boolean,
                          targetFiles: Option[Int] = None): Seq[AddFile] = {
+    // column mapping: incoming frames carry logical names; files on
+    // disk keep physical names so metadata-only renames stay valid
+    val cm = if (log.exists) snapshot.colMap else Map.empty[String, String]
+    val df = if (cm.isEmpty) df0
+      else df0.select(df0.columns.map(c => col(c).as(cm.getOrElse(c, c))).toIndexedSeq: _*)
     val staging = root.resolve("_staging").resolve(s"txn-${UUID.randomUUID()}")
     val shaped = targetFiles.map(n => df.repartition(n)).getOrElse(df)
     // INT96 (Spark's default parquet timestamp encoding) carries no
@@ -213,6 +245,45 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** RENAME COLUMN as a metadata-only commit (Delta column-mapping
+    * parity): no data file is touched — the new logical name maps to
+    * the original physical parquet name, bridged at scan/write time.
+    * Partition columns can't be renamed (their name is baked into the
+    * directory layout). Constraints and stats written against the old
+    * name keep the old name; re-declare them after a rename.
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val s = snapshot
+    require(s.schema.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!s.schema.fieldNames.contains(newName), s"column already exists: $newName")
+    require(!s.partitionColumns.contains(oldName), "cannot rename a partition column")
+    val phys = s.physicalName(oldName)
+    val newSchema = StructType(s.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val props0 = s.metadata.get.properties - s"graft.colmap.$oldName"
+    val props = if (phys == newName) props0
+      else props0 + (s"graft.colmap.$newName" -> phys)
+    commitAndCheckpoint(Seq(
+      info("RENAME COLUMN", params = Map("from" -> oldName, "to" -> newName)),
+      s.metadata.get.copy(schemaJson = newSchema.json, properties = props)))
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the column vanishes from
+    * the logical schema; existing files keep the bytes until a later
+    * OPTIMIZE/ZORDER rewrite physically purges them.
+    */
+  def dropColumn(name: String): Long = {
+    val s = snapshot
+    require(s.schema.fieldNames.contains(name), s"no such column: $name")
+    require(!s.partitionColumns.contains(name), "cannot drop a partition column")
+    require(s.schema.size > 1, "cannot drop the last column")
+    val newSchema = StructType(s.schema.fields.filterNot(_.name == name))
+    commitAndCheckpoint(Seq(
+      info("DROP COLUMN", params = Map("name" -> name)),
+      s.metadata.get.copy(schemaJson = newSchema.json,
+        properties = s.metadata.get.properties - s"graft.colmap.$name")))
+  }
+
   /** Merge key/value pairs into the table properties (one commit). */
   def setTableProperties(props: Map[String, String]): Long = {
     val s = snapshot
@@ -317,7 +388,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def delete(cond: Column): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, cond)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond)
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("DELETE", metrics = Map("numRemovedFiles" -> "0"))))
       return Map("numRemovedFiles" -> "0")
@@ -342,7 +413,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def deleteMergeOnRead(cond: Column): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, cond)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond)
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("DELETE",
         params = Map("mode" -> "merge-on-read"),
@@ -368,7 +439,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** UPDATE ... SET assignments WHERE cond. */
   def update(cond: Column, set: Map[String, Column]): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, cond)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond)
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("UPDATE", metrics = Map("numRemovedFiles" -> "0"))))
       return Map("numRemovedFiles" -> "0")
@@ -412,7 +483,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     enforceSchema(source.schema, s.schema)
     val kr = source.agg(min(col(key)), max(col(key))).head()
     val keyRange = col(key) >= lit(kr.get(0)) && col(key) <= lit(kr.get(1))
-    val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, keyRange)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, keyRange)
     val candDF = dfForFiles(s, candidates)
     val fields = s.schema.fieldNames.toIndexedSeq.map(col)
 
@@ -468,7 +539,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s = snapshot
     validateConstraints(df, s)
     enforceSchema(df.schema, s.schema)
-    val candidates = Pruning.prune(s.activeFiles, s.schema, s.partitionColumns, cond)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond)
     val keep = dfForFiles(s, candidates)
       .filter(coalesce(cond, lit(false)) === false)
       .select(s.schema.fieldNames.map(col): _*)

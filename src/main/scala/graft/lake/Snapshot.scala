@@ -21,6 +21,23 @@ final case class Snapshot(
 
   def partitionColumns: Seq[String] = metadata.map(_.partitionColumns).getOrElse(Nil)
 
+  /** Column mapping (logical name → physical parquet name): lets
+    * RENAME COLUMN be a metadata-only commit — data files keep their
+    * original column names and the mapping bridges them at scan/write
+    * time, like Delta's column-mapping mode.
+    */
+  def colMap: Map[String, String] =
+    metadata.map(_.properties).getOrElse(Map.empty).collect {
+      case (k, v) if k.startsWith("graft.colmap.") =>
+        k.stripPrefix("graft.colmap.") -> v
+    }
+
+  def physicalName(c: String): String = colMap.getOrElse(c, c)
+
+  /** Schema with on-disk (physical) column names, for parquet reads. */
+  def physicalSchema: StructType =
+    StructType(schema.fields.map(f => f.copy(name = physicalName(f.name))))
+
   def numFiles: Int = activeFiles.size
   def sizeInBytes: Long = activeFiles.map(_.size).sum
   def numRecords: Long = activeFiles.flatMap(_.stats.map(_.numRecords)).sum

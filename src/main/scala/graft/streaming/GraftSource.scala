@@ -92,9 +92,12 @@ final class GraftSource(
     else
       spark.read
         .option("basePath", path)
-        .schema(snap.schema)
+        .schema(snap.physicalSchema)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
-        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        // physical → logical names (column mapping), restricted to the
+        // source's declared schema
+        .select(schema.fieldNames.map(n =>
+          org.apache.spark.sql.functions.col(snap.physicalName(n)).as(n)): _*)
 
   override def commit(end: OffsetV1): Unit = ()
   override def stop(): Unit = ()

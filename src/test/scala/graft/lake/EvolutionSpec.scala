@@ -22,6 +22,51 @@ class EvolutionSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException](t.append(badType, mergeSchema = true))
   }
 
+  test("rename column is metadata-only; reads, pruning, writes bridge the mapping") {
+    val t = GraftTable.create(spark, tmpDir("rename"), li.limit(200))
+    val filesBefore = t.snapshot.activeFiles.map(_.path).toSet
+    val vBefore = t.version
+    t.renameColumn("l_quantity", "qty")
+    assert(t.version == vBefore + 1)
+    assert(t.snapshot.activeFiles.map(_.path).toSet == filesBefore,
+      "rename must not rewrite any data file")
+    val df = t.toDF
+    assert(df.columns.contains("qty") && !df.columns.contains("l_quantity"))
+    val expectedSum = li.limit(200).agg(sum("l_quantity")).head.getDouble(0)
+    assert(math.abs(df.agg(sum("qty")).head.getDouble(0) - expectedSum) < 1e-6)
+
+    // stats pruning works against the new logical name
+    val (kept, total) = t.pruneFiles(col("qty") < -1.0)
+    assert(kept == 0 && total > 0, s"expected full skip, kept $kept/$total")
+
+    // appends written under the mapping read back seamlessly
+    t.append(df.limit(10))
+    assert(t.toDF.count() == 210)
+    assert(t.toDF.filter(col("qty").isNotNull).count() == 210)
+
+    // rename back to the physical name drops the mapping entry
+    t.renameColumn("qty", "l_quantity")
+    assert(t.snapshot.colMap.isEmpty)
+    assert(t.toDF.filter(col("l_quantity").isNotNull).count() == 210)
+  }
+
+  test("drop column is metadata-only; optimize physically purges it") {
+    val t = GraftTable.create(spark, tmpDir("dropcol"), li.limit(100).repartition(4))
+    val filesBefore = t.snapshot.activeFiles.map(_.path).toSet
+    assert(filesBefore.size >= 2, "need multiple files for optimize to compact")
+    t.dropColumn("l_tax")
+    assert(t.snapshot.activeFiles.map(_.path).toSet == filesBefore)
+    assert(!t.toDF.columns.contains("l_tax"))
+    assert(t.toDF.count() == 100)
+    intercept[IllegalArgumentException](t.dropColumn("l_returnflag_missing"))
+    t.optimize(targetBytes = 1024L * 1024 * 1024)
+    val physical = spark.read.parquet(
+      t.snapshot.activeFiles.map(f => s"${t.path}/${f.path}"): _*)
+    assert(!physical.columns.contains("l_tax"),
+      "optimize rewrite must purge dropped columns")
+    assert(t.toDF.count() == 100)
+  }
+
   test("CHECK constraint rejects violating writes and bad constraint adds") {
     val t = GraftTable.create(spark, tmpDir("constr"), li.limit(100))
     t.addConstraint("positive_qty", "l_quantity > 0")
