@@ -50,6 +50,10 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val updateRe: Regex =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val renameColRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+  private val dropColRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
   private val restoreRe: Regex =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val versionAsOfRe: Regex =
@@ -117,6 +121,14 @@ final class GraftSql(spark: SparkSession) {
           k.trim -> expr(v.trim)
         }.toMap
         table(name).update(expr(cond), assignments).toSeq.sorted.toDF("metric", "value")
+      case renameColRe(name, from, to) =>
+        val v = table(name).renameColumn(from, to)
+        Seq(("renamed", s"$from -> $to"), ("version", v.toString))
+          .toDF("metric", "value")
+      case dropColRe(name, colName) =>
+        val v = table(name).dropColumn(colName)
+        Seq(("dropped", colName), ("version", v.toString))
+          .toDF("metric", "value")
       case restoreRe(name, v) =>
         val nv = table(name).restore(v.toLong)
         Seq(("restoredToVersion", v), ("newVersion", nv.toString))

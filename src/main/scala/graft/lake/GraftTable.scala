@@ -38,25 +38,49 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         col(snap.physicalName(f.name)).as(f.name)).toIndexedSeq: _*)
     }
 
-  private def physicalDfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
-      val base = spark.read
-        .option("basePath", path)
-        .schema(snap.physicalSchema)
-        .parquet(files.map(f => s"$path/${f.path}"): _*)
-      if (snap.dvFiles.isEmpty) base
-      else {
-        // merge-on-read: mask rows marked by deletion vectors via an
-        // anti join on (file, row position) — the scan itself is
-        // untouched, so deletes cost no rewrite until compaction
-        val dv = spark.read.parquet(snap.dvFiles.map(p => s"$path/$p"): _*)
-          .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
-        base
-          .withColumn("__fp", col("_metadata.file_path"))
-          .withColumn("__ri", col("_metadata.row_index"))
-          .join(dv, col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
-            "left_anti")
-          .drop("__fp", "__ri")
-      }
+  /** Log paths are table-root-relative, except shallow-cloned entries
+    * which are absolute references into the source table.
+    */
+  private def dataPath(p: String): String =
+    if (p.startsWith("/")) p else s"$path/$p"
+
+  /** Physical-schema scan of `files`, optionally with `_metadata`
+    * (file_path, row_index) projected as __fp/__ri. Root-relative and
+    * clone-absolute files scan as separate branches so each gets the
+    * right `basePath` for partition-directory inference; `_metadata`
+    * must be projected per branch (it does not survive a union).
+    */
+  private def physicalScan(snap: Snapshot, files: Seq[AddFile],
+                           withMeta: Boolean): DataFrame = {
+    val (abs, rel) = files.partition(_.path.startsWith("/"))
+    val srcRoot = snap.metadata.map(_.properties).getOrElse(Map.empty)
+      .get("graft.cloneSource")
+    def branch(basePath: Option[String], fs: Seq[AddFile]): DataFrame = {
+      val reader = spark.read.schema(snap.physicalSchema)
+      val r = basePath.fold(reader)(b => reader.option("basePath", b))
+        .parquet(fs.map(f => dataPath(f.path)): _*)
+      if (!withMeta) r
+      else r.withColumn("__fp", col("_metadata.file_path"))
+        .withColumn("__ri", col("_metadata.row_index"))
+    }
+    val branches =
+      (if (rel.nonEmpty) Seq(branch(Some(path), rel)) else Nil) ++
+        (if (abs.nonEmpty) Seq(branch(srcRoot, abs)) else Nil)
+    branches.reduce(_ unionByName _)
+  }
+
+  private def physicalDfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    if (snap.dvFiles.isEmpty) physicalScan(snap, files, withMeta = false)
+    else {
+      // merge-on-read: mask rows marked by deletion vectors via an
+      // anti join on (file, row position) — the scan itself is
+      // untouched, so deletes cost no rewrite until compaction
+      val dv = spark.read.parquet(snap.dvFiles.map(dataPath): _*)
+        .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
+      physicalScan(snap, files, withMeta = true)
+        .join(dv, col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
+          "left_anti")
+        .drop("__fp", "__ri")
     }
 
   def toDF: DataFrame = { val s = snapshot; dfForFiles(s, s.activeFiles) }
@@ -420,11 +444,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         metrics = Map("numDeletionVectors" -> "0"))))
       return Map("numDeletionVectors" -> "0")
     }
-    val scan = spark.read.option("basePath", path).schema(s.schema)
-      .parquet(candidates.map(f => s"$path/${f.path}"): _*)
+    // physical scan + logical rename so `cond` (written against the
+    // current schema) evaluates correctly on column-mapped tables
+    val scan0 = physicalScan(s, candidates, withMeta = true)
+    val scan = scan0.select((s.schema.fields.map(f =>
+      col(s.physicalName(f.name)).as(f.name)) ++
+      Seq(col("__fp").as("file_path"), col("__ri").as("row_index"))).toIndexedSeq: _*)
     val marks = scan
-      .withColumn("file_path", col("_metadata.file_path"))
-      .withColumn("row_index", col("_metadata.row_index"))
       .filter(coalesce(cond, lit(false)))
       .select("file_path", "row_index")
     val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
@@ -751,6 +777,38 @@ object GraftTable {
     t.commitAndCheckpoint(Seq(
       CommitInfo(System.currentTimeMillis(), "CONVERT",
         Map("numFiles" -> adds.size.toString), Map.empty), meta) ++ adds)
+    t
+  }
+
+  /** Shallow clone (Delta `SHALLOW CLONE` parity): a new table whose
+    * log references the source's data files by absolute path — zero
+    * bytes copied, O(metadata) cost at any table size. The clone then
+    * evolves independently: writes stage under the clone root, CoW
+    * rewrites replace absolute references with local files, VACUUM
+    * never touches the source (its files live outside the clone root).
+    * Active source deletion vectors are referenced absolutely too, so
+    * MoR-deleted rows stay invisible in the clone.
+    */
+  def shallowClone(spark: SparkSession, sourcePath: String, destPath: String,
+                   version: Option[Long] = None): GraftTable = {
+    val src = forPath(spark, sourcePath)
+    val snap = version.map(src.snapshotAt).getOrElse(src.snapshot)
+    val t = new GraftTable(spark, destPath)
+    require(!t.log.exists, s"GraftLake table already exists at $destPath")
+    Files.createDirectories(Paths.get(destPath))
+    val srcRoot = Paths.get(sourcePath).toAbsolutePath.normalize
+    def absolute(p: String): String =
+      if (p.startsWith("/")) p else srcRoot.resolve(p).toString
+    val meta = snap.metadata.get.copy(
+      properties = snap.metadata.get.properties +
+        ("graft.cloneSource" -> srcRoot.toString))
+    val adds = snap.activeFiles.map(f => f.copy(path = absolute(f.path)))
+    val dvs = snap.dvFiles.map(p => AddDV(absolute(p)))
+    t.commitAndCheckpoint(Seq(
+      CommitInfo(System.currentTimeMillis(), "CLONE",
+        Map("source" -> srcRoot.toString,
+          "sourceVersion" -> snap.version.toString),
+        Map("numFiles" -> adds.size.toString)), meta) ++ adds ++ dvs)
     t
   }
 

@@ -93,7 +93,8 @@ final class GraftSource(
       spark.read
         .option("basePath", path)
         .schema(snap.physicalSchema)
-        .parquet(files.map(f => s"$path/${f.path}"): _*)
+        .parquet(files.map(f =>
+          if (f.path.startsWith("/")) f.path else s"$path/${f.path}"): _*)
         // physical → logical names (column mapping), restricted to the
         // source's declared schema
         .select(schema.fieldNames.map(n =>

@@ -1,0 +1,66 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.{GraftSparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Shallow clone: zero-copy metadata clone that evolves independently
+  * of its source (SURVEY §2.1 L28).
+  */
+class CloneSpec extends GraftSparkSpec {
+
+  private def li = Tables(spark, sfDir, "lineitem")
+
+  private def parquetCount(dir: String): Int = {
+    val p = Paths.get(dir)
+    val w = Files.walk(p)
+    try w.iterator().asScala.count(f =>
+      f.getFileName.toString.endsWith(".parquet") &&
+        !f.toString.contains("_graft_log") &&
+        !f.toString.contains("_graft_dv"))
+    finally w.close()
+  }
+
+  test("clone copies no data, reads the source snapshot, evolves independently") {
+    val srcPath = tmpDir("clone-src")
+    val src = GraftTable.create(spark, srcPath, li.limit(300), Seq("l_returnflag"))
+    src.deleteMergeOnRead(col("l_quantity") < 5.0) // active DV in the snapshot
+    val expected = src.toDF.count()
+
+    val clonePath = tmpDir("clone-dst")
+    val clone = GraftTable.shallowClone(spark, srcPath, clonePath)
+    assert(parquetCount(clonePath) == 0, "shallow clone must copy no data files")
+    assert(clone.toDF.count() == expected, "clone must see the source snapshot incl. DV masks")
+
+    // clone writes stay local; source unaffected
+    clone.append(src.toDF.limit(10))
+    assert(clone.toDF.count() == expected + 10)
+    assert(src.toDF.count() == expected)
+    assert(parquetCount(clonePath) > 0)
+
+    // CoW delete on the clone rewrites into the clone, source intact
+    val srcFilesBefore = parquetCount(srcPath)
+    clone.delete(col("l_returnflag") === "R")
+    assert(clone.toDF.filter(col("l_returnflag") === "R").count() == 0)
+    assert(src.toDF.filter(col("l_returnflag") === "R").count() > 0)
+    assert(parquetCount(srcPath) == srcFilesBefore)
+
+    // vacuum on the clone never reaches outside its root
+    clone.vacuum(retentionHours = 0.0, dryRun = false)
+    assert(parquetCount(srcPath) == srcFilesBefore)
+    assert(src.toDF.count() == expected)
+  }
+
+  test("clone at an older version pins that snapshot") {
+    val srcPath = tmpDir("clonev-src")
+    val src = GraftTable.create(spark, srcPath, li.limit(100))
+    val v0 = src.version
+    src.append(li.limit(50))
+    val clone = GraftTable.shallowClone(spark, srcPath,
+      tmpDir("clonev-dst"), Some(v0))
+    assert(clone.toDF.count() == 100)
+    assert(src.toDF.count() == 150)
+  }
+}
