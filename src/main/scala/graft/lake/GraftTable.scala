@@ -238,6 +238,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Auto compaction (Delta auto-optimize parity): with table property
+    * `graft.autoOptimize=true`, a write that leaves at least
+    * `graft.autoOptimize.minFiles` (default 8) under-sized files
+    * triggers an OPTIMIZE in-line — the steady-state answer to the
+    * reference's streaming small-file genesis (docs/00-overview.md:14).
+    */
+  private def maybeAutoOptimize(): Unit = {
+    val s = snapshot
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    if (props.getOrElse("graft.autoOptimize", "false").toBoolean) {
+      val target = props.get("graft.targetFileSize").map(_.toLong)
+        .getOrElse(128L * 1024 * 1024)
+      val minFiles = props.get("graft.autoOptimize.minFiles").map(_.toInt).getOrElse(8)
+      if (s.activeFiles.count(_.size < target) >= minFiles) optimize(target)
+    }
+  }
+
   /** Append with schema enforcement (names+types must match). With
     * `mergeSchema=true`, brand-new columns are allowed and evolve the
     * table schema; existing files simply read those columns as null.
@@ -249,8 +266,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (!mergeSchema) {
       enforceSchema(df.schema, s.schema)
       val adds = stageWrite(df, s.partitionColumns, dataChange = true)
-      commitAndCheckpoint(info("APPEND",
+      val v = commitAndCheckpoint(info("APPEND",
         metrics = Map("numFiles" -> adds.size.toString)) +: adds)
+      maybeAutoOptimize()
+      v
     } else {
       val table = s.schema
       df.schema.fields.filter(f => table.fieldNames.contains(f.name)).foreach { f =>
@@ -399,8 +418,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       validateConstraints(df, s)
       enforceSchema(df.schema, s.schema)
       val adds = stageWrite(df, s.partitionColumns, dataChange = true)
-      commitAndCheckpoint(info("STREAMING UPDATE",
+      val v = commitAndCheckpoint(info("STREAMING UPDATE",
         params = Map("streamAppId" -> appId, "epochId" -> epochId.toString)) +: adds)
+      maybeAutoOptimize()
+      v
     }
   }
 

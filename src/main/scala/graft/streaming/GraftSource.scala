@@ -105,10 +105,38 @@ final class GraftSource(
   override def toString: String = s"GraftSource[$path]"
 }
 
-/** `spark.readStream.format("graftlake").load(path)` — registered via
-  * META-INF/services so the short name resolves.
+/** Streaming *sink* into a GraftLake table: each micro-batch commits
+  * through [[GraftTable.appendStreamBatch]], whose (queryId, epochId)
+  * txn dedup makes the write exactly-once under engine retries. The
+  * table is created from the first batch's schema if absent.
   */
-final class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
+final class GraftSink(
+    spark: SparkSession,
+    path: String,
+    options: Map[String, String]) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val appId = options.map { case (k, v) => k.toLowerCase -> v }
+    .getOrElse("queryid",
+      options.map { case (k, v) => k.toLowerCase -> v }
+        .getOrElse("checkpointlocation", path))
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = StreamShim.asBatch(data)
+    val table =
+      if (GraftTable.isGraftTable(path)) GraftTable.forPath(spark, path)
+      else GraftTable.create(spark, path, batch.limit(0))
+    table.appendStreamBatch(appId, batchId, batch)
+  }
+
+  override def toString: String = s"GraftSink[$path]"
+}
+
+/** `spark.readStream.format("graftlake").load(path)` and
+  * `df.writeStream.format("graftlake").option("path", ...)` —
+  * registered via META-INF/services so the short name resolves.
+  */
+final class GraftSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graftlake"
 
@@ -132,4 +160,14 @@ final class GraftSourceProvider extends StreamSourceProvider with DataSourceRegi
       providerName: String,
       parameters: Map[String, String]): Source =
     new GraftSource(sqlContext, tablePath(parameters), parameters)
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graftlake sink supports Append output mode only, got $outputMode")
+    new GraftSink(sqlContext.sparkSession, tablePath(parameters), parameters)
+  }
 }

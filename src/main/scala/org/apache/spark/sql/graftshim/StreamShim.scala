@@ -16,6 +16,18 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   */
 object StreamShim {
 
+  /** The inverse bridge, for v1 sinks: `Sink.addBatch` receives a
+    * streaming-incarnated DataFrame that the batch writer refuses; run
+    * its already-planned incremental execution and rewrap the
+    * InternalRow RDD as a plain batch frame (the Delta sink's move).
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+    val session = classic.sparkSession.asInstanceOf[ClassicSession]
+    session.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = false)
+  }
+
   /** Re-create `df` with its leaf scan relations marked streaming and
     * owned by `stream` (the source reporting this batch).
     */

@@ -149,6 +149,19 @@ class LakeSpec extends GraftSparkSpec {
     assert(pt.toDF.filter(col("l_returnflag").isNotNull).count() == 2000)
   }
 
+  test("autoOptimize compacts in-line once small files accumulate") {
+    import org.apache.spark.sql.functions.col
+    val t = GraftTable.create(spark, tmpDir("autoopt"), li.limit(0))
+    t.setTableProperties(Map(
+      "graft.autoOptimize" -> "true",
+      "graft.autoOptimize.minFiles" -> "4"))
+    (1 to 5).foreach(i => t.append(li.limit(100)))
+    assert(t.toDF.count() == 500)
+    assert(t.snapshot.numFiles < 5,
+      s"expected inline compaction, have ${t.snapshot.numFiles} files")
+    assert(t.history.filter(col("operation") === "OPTIMIZE").count() >= 1)
+  }
+
   test("stats computation persists to table properties") {
     val t = GraftTable.create(spark, tmpDir("stats"), li.limit(500))
     val stats = t.computeStats().collect().map(r => r.getString(0) -> r.getLong(2)).toMap

@@ -76,6 +76,38 @@ class GraftSourceSpec extends GraftSparkSpec {
     assert(runOnce(path, ckpt, opts).isEmpty)         // caught up
   }
 
+  test("graftlake sink writes exactly-once; table-to-table pipe works end-to-end") {
+    val nation = Tables(spark, sfDir, "nation")
+    val srcPath = tmpDir("gsink-src")
+    val dstPath = tmpDir("gsink-dst")
+    val ckpt = tmpDir("gsink-ckpt")
+    val src = GraftTable.create(spark, srcPath, nation)
+
+    def pipeOnce(): Unit = {
+      val q = spark.readStream.format("graftlake").load(srcPath)
+        .writeStream.format("graftlake")
+        .option("path", dstPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    pipeOnce()
+    val dst = GraftTable.forPath(spark, dstPath)
+    assert(dst.toDF.count() == nation.count())
+
+    src.append(nation.limit(5))
+    pipeOnce()
+    assert(dst.toDF.count() == nation.count() + 5)
+
+    // re-running with nothing new must not duplicate (exactly-once)
+    pipeOnce()
+    assert(dst.toDF.count() == nation.count() + 5)
+    val content = dst.toDF
+    val expected = nation.unionAll(nation.limit(5))
+    assert(content.exceptAll(expected).isEmpty && expected.exceptAll(content).isEmpty)
+  }
+
   test("CoW rewrite fails the stream; ignoreChanges streams through") {
     val nation = Tables(spark, sfDir, "nation")
     val path = tmpDir("gsrc-cow-table")
