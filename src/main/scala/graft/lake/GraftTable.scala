@@ -99,7 +99,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def readWhere(predicate: Column): DataFrame = {
     val s = snapshot
     val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate)
-    dfForFiles(s, kept).filter(predicate)
+    dfForFiles(s, bloomPrune(s, kept, predicate)).filter(predicate)
   }
 
   /** Active files with stats/partition keys remapped to logical column
@@ -125,8 +125,100 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Files that survive pruning for `predicate` (for tests/metrics). */
   def pruneFiles(predicate: Column): (Int, Int) = {
     val s = snapshot
-    (Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate).size,
-      s.activeFiles.size)
+    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate)
+    (bloomPrune(s, kept, predicate).size, s.activeFiles.size)
+  }
+
+  // ------------------------------------------------- bloom file skipping
+
+  /** Build per-file bloom filters for `column` and register them as a
+    * sidecar (parquet of (file_path, bloom bytes) + a table-property
+    * pointer). Min/max stats can't skip on a high-cardinality key
+    * whose values span every file; a bloom answers "is THIS value
+    * possibly in THAT file" and turns a 100 TB point lookup into a
+    * handful of file reads. Blooms are advisory: rewritten files have
+    * no entry and are simply kept, so correctness never depends on
+    * freshness — recompute after large rewrites to restore skipping.
+    */
+  def computeBloomFilter(column: String, fpp: Double = 0.01): Long = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val s = snapshot
+    require(s.schema.fieldNames.contains(column), s"no such column: $column")
+    val phys = s.physicalName(column)
+    val dt = s.schema(column).dataType
+    import org.apache.spark.sql.types._
+    val put: (BloomFilter, Any) => Unit = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (b, v) => { b.putLong(v.asInstanceOf[Number].longValue()); () }
+      case StringType =>
+        (b, v) => { b.putString(v.asInstanceOf[String]); () }
+      case other => throw new IllegalArgumentException(
+        s"bloom filters support integral/string columns, not $other")
+    }
+    val expected = math.max(1000L,
+      s.activeFiles.flatMap(_.stats.map(_.numRecords)).maxOption.getOrElse(100000L))
+    val pathByAbs = s.activeFiles.map(f =>
+      Paths.get(dataPath(f.path)).toAbsolutePath.normalize.toString -> f.path).toMap
+    val bc = spark.sparkContext.broadcast(pathByAbs)
+    val perFile = physicalScan(s, s.activeFiles, withMeta = true)
+      .select(col("__fp"), col(phys)).rdd
+      .flatMap { r =>
+        if (r.isNullAt(1)) None
+        else {
+          val abs = new java.net.URI(r.getString(0)).getPath
+          bc.value.get(abs).map(lp => (lp, r.get(1)))
+        }
+      }
+      .aggregateByKey(BloomFilter.create(expected, fpp))(
+        (bf, v) => { put(bf, v); bf },
+        (a, b) => a.mergeInPlace(b))
+      .mapValues { bf =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      .collect()
+    val rel = s"_graft_bloom/$column-${UUID.randomUUID()}"
+    val sp = spark
+    import sp.implicits._
+    perFile.toSeq.toDF("file_path", "bloom")
+      .coalesce(1).write.parquet(s"$path/$rel")
+    commitAndCheckpoint(Seq(
+      info("COMPUTE BLOOM", params = Map("column" -> column, "fpp" -> fpp.toString),
+        metrics = Map("numFiles" -> perFile.length.toString)),
+      s.metadata.get.copy(properties =
+        s.metadata.get.properties + (s"graft.bloom.$column" -> rel))))
+  }
+
+  /** Drop files whose bloom proves they can't contain an `attr = lit`
+    * conjunct's value. Files without a bloom entry are kept.
+    */
+  private def bloomPrune(s: Snapshot, files: Seq[AddFile],
+                         predicate: Column): Seq[AddFile] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val sidecars = props.collect {
+      case (k, v) if k.startsWith("graft.bloom.") => k.stripPrefix("graft.bloom.") -> v
+    }
+    if (sidecars.isEmpty) return files
+    val bindings = Pruning.equalityBindings(predicate)
+      .filter { case (c, _) => sidecars.contains(c) }
+    if (bindings.isEmpty) return files
+    val bloomsByCol: Map[String, Map[String, BloomFilter]] =
+      bindings.map(_._1).distinct.map { c =>
+        c -> spark.read.parquet(s"$path/${sidecars(c)}").collect()
+          .map(r => r.getString(0) -> BloomFilter.readFrom(r.getAs[Array[Byte]](1)))
+          .toMap
+      }.toMap
+    def might(bf: BloomFilter, v: Any): Boolean = v match {
+      case n: java.lang.Number => bf.mightContainLong(n.longValue())
+      case u: org.apache.spark.unsafe.types.UTF8String => bf.mightContainString(u.toString)
+      case s: String => bf.mightContainString(s)
+      case other => bf.mightContain(other)
+    }
+    files.filter(f => bindings.forall { case (c, v) =>
+      bloomsByCol(c).get(f.path).forall(might(_, v))
+    })
   }
 
   // --------------------------------------------------------------- write

@@ -25,6 +25,20 @@ object Pruning {
     files.filter(f => conjuncts.forall(c => mayMatch(f, partitionCols, c)))
   }
 
+  /** Top-level equality bindings `attr = literal` in the predicate's
+    * conjuncts — the shapes bloom-filter skipping can consume.
+    */
+  def equalityBindings(predicate: Column): Seq[(String, Any)] =
+    splitConjuncts(normalize(GraftExpr.expression(predicate))).flatMap {
+      case EqualTo(l, r) =>
+        (attrName(l), litValue(r), attrName(r), litValue(l)) match {
+          case (Some(n), Some((v, _)), _, _) => Some(n -> v)
+          case (_, _, Some(n), Some((v, _))) => Some(n -> v)
+          case _ => None
+        }
+      case _ => None
+    }
+
   /** The Spark 4 Column→Expression converter leaves comparison
     * operators as `UnresolvedFunction("=", ...)` nodes (the analyzer
     * usually resolves them); rewrite the shapes pruning understands

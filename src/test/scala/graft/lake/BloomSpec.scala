@@ -1,0 +1,56 @@
+package graft.lake
+
+import graft.{GraftSparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter file skipping: point lookups on a high-cardinality key
+  * where min/max stats can't exclude anything (SURVEY §2.1 L30).
+  */
+class BloomSpec extends GraftSparkSpec {
+
+  private def li = Tables(spark, sfDir, "lineitem")
+
+  test("bloom skipping prunes files min/max can't, result stays exact") {
+    // hash-distribute so every file's orderkey range overlaps fully:
+    // min/max stats are useless, a specific key lives in ~1 file
+    val t = GraftTable.create(spark, tmpDir("bloom"),
+      li.repartition(8, col("l_orderkey")))
+    assert(t.snapshot.numFiles >= 4)
+    // mid-range key: every file's [min,max] covers it, only bloom helps
+    val keys = li.select("l_orderkey").distinct().orderBy("l_orderkey")
+      .collect().map(_.getLong(0))
+    val key = keys(keys.length / 2)
+    val pred = col("l_orderkey") === key
+
+    val (keptBefore, total) = t.pruneFiles(pred)
+    assert(keptBefore == total, "min/max alone must not prune hash-distributed files")
+
+    t.computeBloomFilter("l_orderkey")
+    val (keptAfter, _) = t.pruneFiles(pred)
+    assert(keptAfter < total, s"bloom should skip files, kept $keptAfter/$total")
+
+    val expected = li.filter(pred).count()
+    assert(t.readWhere(pred).count() == expected)
+    assert(expected > 0)
+  }
+
+  test("bloom on a string column; rewritten files fall back to kept") {
+    val t = GraftTable.create(spark, tmpDir("bloom-str"),
+      li.limit(4000).repartition(6, col("l_orderkey")))
+    t.computeBloomFilter("l_returnflag") // low cardinality: every file has all values
+    val (keptAll, totalAll) = t.pruneFiles(col("l_returnflag") === "R")
+    assert(keptAll == totalAll, "value present everywhere must keep all files")
+
+    // an absent value INSIDE the min/max range ("A".."R"): only the
+    // bloom can prove exclusion
+    val (keptNone, _) = t.pruneFiles(col("l_returnflag") === "B")
+    assert(keptNone == 0, s"absent value should skip all files, kept $keptNone")
+
+    // optimize rewrites files -> stale sidecar entries; files are kept
+    t.optimize(targetBytes = 1024L * 1024 * 1024)
+    val (keptStale, totalStale) = t.pruneFiles(col("l_returnflag") === "B")
+    assert(keptStale == totalStale, "rewritten files without bloom entries stay kept")
+    assert(t.readWhere(col("l_returnflag") === "R").count() ==
+      li.limit(4000).filter(col("l_returnflag") === "R").count())
+  }
+}
