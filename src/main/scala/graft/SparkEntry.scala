@@ -47,7 +47,8 @@ object SparkEntry {
     "q23_pivot" -> Analytics.q23Pivot _,
     "q24_json_extract" -> Analytics.q24JsonExtract _,
     "q25_sessionize" -> Analytics.q25Sessionize _,
-    "q26_skew_join" -> Analytics.q26SkewJoin _)
+    "q26_skew_join" -> Analytics.q26SkewJoin _,
+    "q27_range_frame" -> Analytics.q27RangeFrame _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -55,6 +56,7 @@ object SparkEntry {
     "text_quality" -> TextOps.textQuality _,
     "text_langid" -> TextOps.textLangid _,
     "text_fingerprint" -> TextOps.textFingerprint _,
+    "text_pii_scrub" -> TextOps.textPiiScrub _,
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     "dedup_clusters" -> Dedup.dedupClusters _,
@@ -250,6 +252,26 @@ object SparkEntry {
     "text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) " +
         "AS fingerprint FROM documents ORDER BY doc_id"),
+    "q27_range_frame" ->
+      ("SELECT o_custkey, o_orderkey, order_day, " +
+        "CAST(ROUND(CAST(SUM(cents) OVER w AS DOUBLE) / COUNT(*) OVER w) AS BIGINT) " +
+        "AS avg_90d_cents FROM (" +
+        "SELECT o_custkey, o_orderkey, " +
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day " +
+        "FROM orders) t WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day " +
+        "RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) ORDER BY o_custkey, o_orderkey"),
+    "text_pii_scrub" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text, ' '), " +
+        "t -> regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) " +
+        "AS n_email_tokens, " +
+        "CAST(len(list_filter(string_split(text, ' '), " +
+        "t -> regexp_matches(t, 'https?://[^ \\t\\n]+'))) AS BIGINT) AS n_url_tokens, " +
+        "md5(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'https?://[^ \\t\\n]+', '<URL>', 'g')) AS scrubbed_md5 " +
+        "FROM documents ORDER BY doc_id"),
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),

@@ -332,4 +332,25 @@ object Analytics {
         round(sum(col("value") / col("n_user_events")), 2).as("weighted_value"))
       .orderBy("event_type")
   }
+
+  /** RANGE-frame window: per-customer trailing-90-day average order
+    * value. RANGE frames (value-based, tie-inclusive) complement the
+    * ROWS frames of q8/q25 — the moving-aggregate shape time-series
+    * feature pipelines use.
+    */
+  def q27RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("order_day")
+      .rangeBetween(-90, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("order_day"),
+        // exact integer cents: the windowed sum is order-independent,
+        // so the oracle can't drift by float summation order
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("avg_90d_cents",
+        round(sum("cents").over(w) / count(lit(1)).over(w)).cast("long"))
+      .select("o_custkey", "o_orderkey", "order_day", "avg_90d_cents")
+      .orderBy("o_custkey", "o_orderkey")
+  }
 }

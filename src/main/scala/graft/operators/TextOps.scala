@@ -41,6 +41,27 @@ object TextOps {
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** PII-pattern scrubbing: count and redact email addresses and URLs
+    * per document — the cleanup step a training-data pipeline runs
+    * before tokenization. Patterns kept to the Java∩RE2 regex subset
+    * so the DuckDB oracle evaluates them identically; the redacted
+    * text is fingerprinted (md5) so the oracle can verify the full
+    * scrub output without hauling long strings through the compare.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^ \\t\\n]+"
+
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t.rlike(EmailRe)))
+          .cast("long").as("n_email_tokens"),
+        size(filter(split(col("text"), " "), t => t.rlike(UrlRe)))
+          .cast("long").as("n_url_tokens"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>").cast("binary")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+
   /** Corpus-wide top-20 bigrams (n-gram mining: explode → count).
     * Bigram extraction is the native single-pass [[graft.functions.BigramsExpr]].
     */
