@@ -705,18 +705,42 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     var removed = 0
     var added = 0
     val actions = scala.collection.mutable.Buffer[Action]()
-    s.activeFiles.groupBy(_.partitionValues).foreach { case (_, files) =>
-      val small = files.filter(_.size < targetBytes)
-      if (small.size >= 2) {
-        val nOut = math.max(1, math.ceil(small.map(_.size).sum.toDouble / targetBytes).toInt)
-        val adds = stageWrite(dfForFiles(s, small), s.partitionColumns,
-          dataChange = false, targetFiles = Some(nOut))
-        actions ++= small.map(f =>
-          RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
-        actions ++= adds
-        removed += small.size
-        added += adds.size
-      }
+    val compactable = s.activeFiles.groupBy(_.partitionValues).toSeq
+      .map { case (pv, files) => pv -> files.filter(_.size < targetBytes) }
+      .filter(_._2.size >= 2)
+    // partitions whose small files fit ONE target file compact together
+    // in a single Spark job (shuffle on the partition columns maps each
+    // value to one task → one output file per partition dir). At 1000s
+    // of partitions this is 1 job instead of 1 job per partition —
+    // the difference between minutes and hours of driver-serial work.
+    val (single, multi) = compactable.partition {
+      case (_, files) => files.map(_.size).sum <= targetBytes
+    }
+    if (single.nonEmpty) {
+      val files = single.flatMap(_._2)
+      val df0 = dfForFiles(s, files)
+      val df =
+        if (s.partitionColumns.isEmpty) df0.repartition(1)
+        else df0.repartition(math.max(1, single.size),
+          s.partitionColumns.map(col): _*)
+      val adds = stageWrite(df, s.partitionColumns, dataChange = false)
+      actions ++= files.map(f =>
+        RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
+      actions ++= adds
+      removed += files.size
+      added += adds.size
+    }
+    // oversized partitions (rare: they exceed the target alone) still
+    // bin per-partition so each gets its own output-file count
+    multi.foreach { case (_, small) =>
+      val nOut = math.max(1, math.ceil(small.map(_.size).sum.toDouble / targetBytes).toInt)
+      val adds = stageWrite(dfForFiles(s, small), s.partitionColumns,
+        dataChange = false, targetFiles = Some(nOut))
+      actions ++= small.map(f =>
+        RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
+      actions ++= adds
+      removed += small.size
+      added += adds.size
     }
     val metrics = Map(
       "numRemovedFiles" -> removed.toString,

@@ -149,6 +149,24 @@ class LakeSpec extends GraftSparkSpec {
     assert(pt.toDF.filter(col("l_returnflag").isNotNull).count() == 2000)
   }
 
+  test("optimize compacts every partition to one file in a single pass") {
+    import org.apache.spark.sql.functions.col
+    val t = GraftTable.create(spark, tmpDir("opt-multi"),
+      li.limit(3000), Seq("l_returnflag", "l_linestatus"))
+    (1 to 3).foreach(_ => t.append(li.limit(3000))) // small files per partition
+    val parts = t.snapshot.activeFiles.map(_.partitionValues).distinct.size
+    assert(t.snapshot.numFiles > parts)
+    t.optimize()
+    assert(t.snapshot.numFiles == parts,
+      s"expected 1 file per partition ($parts), got ${t.snapshot.numFiles}")
+    assert(t.toDF.count() == 4 * 3000)
+    val byPart = li.limit(3000).groupBy("l_returnflag", "l_linestatus").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2) * 4).toMap
+    val got = t.toDF.groupBy("l_returnflag", "l_linestatus").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == byPart)
+  }
+
   test("autoOptimize compacts in-line once small files accumulate") {
     import org.apache.spark.sql.functions.col
     val t = GraftTable.create(spark, tmpDir("autoopt"), li.limit(0))
