@@ -48,7 +48,8 @@ object SparkEntry {
     "q24_json_extract" -> Analytics.q24JsonExtract _,
     "q25_sessionize" -> Analytics.q25Sessionize _,
     "q26_skew_join" -> Analytics.q26SkewJoin _,
-    "q27_range_frame" -> Analytics.q27RangeFrame _)
+    "q27_range_frame" -> Analytics.q27RangeFrame _,
+    "q28_range_join" -> AsOf.q28RangeJoin _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -261,6 +262,13 @@ object SparkEntry {
         "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day " +
         "FROM orders) t WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day " +
         "RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) ORDER BY o_custkey, o_orderkey"),
+    "q28_range_join" ->
+      ("SELECT p.event_id, COUNT(*) AS n_clicks FROM events p JOIN events c " +
+        "ON p.user_id = c.user_id AND p.event_type = 'purchase' " +
+        "AND c.event_type = 'click' " +
+        "AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000 " +
+        "AND epoch_us(c.ts) <= epoch_us(p.ts) " +
+        "GROUP BY p.event_id ORDER BY p.event_id"),
     "text_pii_scrub" ->
       ("SELECT doc_id, " +
         "CAST(len(list_filter(string_split(text, ' '), " +

@@ -32,6 +32,32 @@ object AsOf {
       .drop("__side", "__carry")
   }
 
+  /** Range (interval) join, bucketized — the second join shape Spark
+    * lacks natively. Attribution: count each user's clicks inside the
+    * hour before every purchase. Intervals explode into fixed 15-min
+    * buckets (≤5 per interval), probes map to exactly one bucket, so
+    * the join is a hash-partitioned equi-join on (user, bucket) + a
+    * residual range filter — candidate volume is bounded by bucket
+    * width instead of the O(purchases × clicks) per-user cross join,
+    * and a probe can't duplicate (it lives in one bucket).
+    */
+  def q28RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val BucketUs = 900000000L // 15 min
+    val e = Tables(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pts"))
+      .withColumn("bucket", explode(sequence(
+        floor((col("pts") - HourUs) / BucketUs), floor(col("pts") / BucketUs))))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cts"))
+      .withColumn("bucket", floor(col("cts") / BucketUs))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("cts") > col("pts") - HourUs && col("cts") <= col("pts"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
   /** For each purchase event, epoch-µs of the user's latest click at
     * or before the purchase (purchases with no prior click dropped,
     * matching the inner-join oracle).
