@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.lake.{AddFile, GraftTable, RemoveFile, Snapshot, TxnLog}
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graftshim.StreamShim
@@ -27,7 +28,7 @@ import org.apache.spark.sql.types.StructType
 final class GraftSource(
     sqlContext: SQLContext,
     path: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source with SupportsTriggerAvailableNow {
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val log = new TxnLog(path)
@@ -59,6 +60,35 @@ final class GraftSource(
       }
       LongOffset(capped)
     }
+
+  // --- admission control / Trigger.AvailableNow ------------------------
+  // With SupportsTriggerAvailableNow the engine snapshots the end
+  // version at query start and drains up to it in successive batches
+  // (each capped by maxVersionsPerTrigger), instead of the v1
+  // single-batch fallback.
+
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = log.latestVersion()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def versionV2(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latest0 = log.latestVersion().getOrElse(return null)
+    val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
+    val base = Option(startOffset).map(versionV2).getOrElse(-1L)
+    val capped = maxVersionsPerTrigger.fold(latest)(m => math.min(latest, base + m))
+    if (capped <= base) null else LongOffset(capped)
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    log.latestVersion().map(LongOffset(_)).orNull
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = version(end)

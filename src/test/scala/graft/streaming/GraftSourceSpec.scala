@@ -15,21 +15,26 @@ import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
   */
 class GraftSourceSpec extends GraftSparkSpec {
 
-  /** One AvailableNow run against `path`, collecting emitted rows. */
-  private def runOnce(path: String, ckpt: String,
-                      opts: Map[String, String] = Map.empty): Seq[Row] = {
+  /** One AvailableNow run against `path`: (emitted rows, #batches). */
+  private def runCounting(path: String, ckpt: String,
+                          opts: Map[String, String] = Map.empty): (Seq[Row], Int) = {
     val got = ArrayBuffer.empty[Row]
+    var batches = 0
     val q = spark.readStream.format("graftlake").options(opts).load(path)
       .writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        got.synchronized { got ++= batch.collect() }
+        got.synchronized { got ++= batch.collect(); batches += 1 }
         ()
       }.start()
     q.awaitTermination(120000)
-    got.toSeq
+    (got.toSeq, batches)
   }
+
+  private def runOnce(path: String, ckpt: String,
+                      opts: Map[String, String] = Map.empty): Seq[Row] =
+    runCounting(path, ckpt, opts)._1
 
   test("initial snapshot, then incremental batches; OPTIMIZE invisible") {
     val orders = Tables(spark, sfDir, "orders")
@@ -67,13 +72,12 @@ class GraftSourceSpec extends GraftSparkSpec {
     t.append(region)                               // v3
     val n = region.count()
     val opts = Map("maxVersionsPerTrigger" -> "1")
-    // AvailableNow falls back to one batch per run for a v1 source, so
-    // each run may advance at most 1 version
-    assert(runOnce(path, ckpt, opts).size == n)       // snapshot at v0
-    assert(runOnce(path, ckpt, opts).size == n)       // v1
-    assert(runOnce(path, ckpt, opts).size == n)       // v2
-    assert(runOnce(path, ckpt, opts).size == n)       // v3
-    assert(runOnce(path, ckpt, opts).isEmpty)         // caught up
+    // SupportsTriggerAvailableNow: one run drains all pending versions
+    // in successive one-version batches (v0 snapshot, then v1..v3)
+    val (rows, batches) = runCounting(path, ckpt, opts)
+    assert(rows.size == 4 * n, s"expected ${4 * n} rows, got ${rows.size}")
+    assert(batches >= 4, s"expected ≥4 capped batches, got $batches")
+    assert(runOnce(path, ckpt, opts).isEmpty) // caught up
   }
 
   test("graftlake sink writes exactly-once; table-to-table pipe works end-to-end") {
