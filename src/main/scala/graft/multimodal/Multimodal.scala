@@ -92,6 +92,39 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** STUB feature extractor: a deterministic 16-dim embedding from
+    * payload bytes (byte histogram folded by FNV mixing). A real
+    * deployment swaps in a vision/audio encoder here; everything
+    * downstream (normalization, ANN search) is unchanged.
+    */
+  def embedStub(payload: Array[Byte], dim: Int = 16): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      val h = (payload(i) & 0xff) * 0x9E3779B1
+      acc(math.floorMod(h, dim)) += 1f
+      i += 1
+    }
+    val norm = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat max 1e-6f
+    acc.map(_ / norm)
+  }
+
+  /** Payload → embedding batches via `mapPartitions` (per-task encoder
+    * init amortized over the batch) — the bridge from multimodal
+    * payloads into the §2.4 similarity/ANN operators.
+    */
+  def payloadEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    payloadTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition encoder init would happen here
+        it.map { case (id, payload) => (id, embedStub(payload)) }
+      }
+      .toDF("doc_id", "embedding")
+  }
+
   /** Batched decode over partitions — the shape a real decoder needs
     * (amortized per-batch codec init, no per-row JNI churn). Uses the
     * stub decoder; exercised by MultimodalSpec.
