@@ -35,7 +35,7 @@ final class GraftSql(spark: SparkSession) {
     throw new IllegalArgumentException(s"unknown GraftLake table: $name"))
 
   private val optimizeRe: Regex =
-    """(?is)^\s*OPTIMIZE\s+(\w+)(\s+VORDER)?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(\s+VORDER)?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(\w+)(\s+VORDER)?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(\s+VORDER)?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val vacuumDryRe: Regex =
     """(?is)^\s*VACUUM\s+(\w+)\s+DRY\s+RUN\s*;?\s*$""".r
   private val vacuumRetainRe: Regex =
@@ -76,14 +76,14 @@ final class GraftSql(spark: SparkSession) {
   def sql(statement: String): DataFrame = {
     import spark.implicits._
     statement match {
-      case optimizeRe(name, vorder1, zcols, vorder2) =>
+      case optimizeRe(name, vorder1, zcols, vorder2, whereCond) =>
         val t = table(name)
         val metrics =
           if (zcols != null)
             t.zorderBy(128L * 1024 * 1024,
               zcols.split(",").map(_.trim).toIndexedSeq: _*)
           else {
-            val m = t.optimize()
+            val m = t.optimize(where = Option(whereCond).map(expr))
             // V-Order ≈ layout optimization flag in the reference
             // (02-lab:126-152: DESCRIBE EXTENDED shows VORDER after
             // OPTIMIZE ... VORDER) — persist it as a table property

@@ -351,9 +351,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * `mergeSchema=true`, brand-new columns are allowed and evolve the
     * table schema; existing files simply read those columns as null.
     */
+  /** Generated columns (Delta parity): `graft.generated.<col> = <sql>`
+    * table properties compute missing columns on append — the way a
+    * pipeline derives a date partition key from an event timestamp
+    * without every writer repeating the expression.
+    */
+  private def applyGeneratedColumns(df: DataFrame, s: Snapshot): DataFrame = {
+    val gens = s.metadata.map(_.properties).getOrElse(Map.empty).collect {
+      case (k, v) if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.") -> v
+    }
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
+    }
+  }
+
   def append(df0: DataFrame, mergeSchema: Boolean = false): Long = {
     val s = snapshot
-    val df = optimizeWriteShape(df0, s)
+    val df = optimizeWriteShape(applyGeneratedColumns(df0, s), s)
     validateConstraints(df, s)
     if (!mergeSchema) {
       enforceSchema(df.schema, s.schema)
@@ -700,12 +715,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * ceil(totalSmall/target) right-sized files. `dataChange=false` —
     * rewrites are invisible to incremental readers.
     */
-  def optimize(targetBytes: Long = 128L * 1024 * 1024): Map[String, String] = {
+  /** `where` scopes compaction to files that may match the predicate
+    * (partition values + footer stats) — `OPTIMIZE ... WHERE`, for
+    * compacting just the hot partitions of a 100 TB table.
+    */
+  def optimize(targetBytes: Long = 128L * 1024 * 1024,
+               where: Option[Column] = None): Map[String, String] = {
     val s = snapshot
     var removed = 0
     var added = 0
     val actions = scala.collection.mutable.Buffer[Action]()
-    val compactable = s.activeFiles.groupBy(_.partitionValues).toSeq
+    val scoped = where match {
+      case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p)
+      case None => s.activeFiles
+    }
+    val compactable = scoped.groupBy(_.partitionValues).toSeq
       .map { case (pv, files) => pv -> files.filter(_.size < targetBytes) }
       .filter(_._2.size >= 2)
     // partitions whose small files fit ONE target file compact together

@@ -67,6 +67,41 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(t.toDF.count() == 100)
   }
 
+  test("generated columns compute missing values on append") {
+    import org.apache.spark.sql.types.DateType
+    val seed = li.limit(50)
+      .withColumn("ship_date", col("l_shipdate").cast(DateType))
+    val t = GraftTable.create(spark, tmpDir("gencol"), seed, Seq("ship_date"))
+    t.setTableProperties(Map(
+      "graft.generated.ship_date" -> "CAST(l_shipdate AS DATE)"))
+    t.append(li.limit(30)) // no ship_date column: generated
+    assert(t.toDF.count() == 80)
+    assert(t.toDF.filter(col("ship_date") =!= col("l_shipdate").cast(DateType))
+      .count() == 0)
+    // explicit values win over generation
+    val explicit = li.limit(10)
+      .withColumn("ship_date", lit("1990-01-01").cast(DateType))
+    t.append(explicit)
+    assert(t.toDF.filter(col("ship_date") === "1990-01-01").count() == 10)
+  }
+
+  test("OPTIMIZE WHERE compacts only matching partitions") {
+    val t = GraftTable.create(spark, tmpDir("optwhere"),
+      li.limit(2000), Seq("l_returnflag"))
+    (1 to 2).foreach(_ => t.append(li.limit(2000)))
+    def filesFor(flag: String) = t.snapshot.activeFiles
+      .count(_.partitionValues.get("l_returnflag").contains(flag))
+    val rBefore = filesFor("R")
+    val aBefore = filesFor("A")
+    assert(rBefore >= 2 && aBefore >= 2)
+    val g = new GraftSql(spark)
+    g.register("tw", t.path)
+    g.sql("OPTIMIZE tw WHERE l_returnflag = 'R'")
+    assert(filesFor("R") == 1, s"R should compact, have ${filesFor("R")}")
+    assert(filesFor("A") == aBefore, "A partition must be untouched")
+    assert(t.toDF.count() == 3 * 2000)
+  }
+
   test("CHECK constraint rejects violating writes and bad constraint adds") {
     val t = GraftTable.create(spark, tmpDir("constr"), li.limit(100))
     t.addConstraint("positive_qty", "l_quantity > 0")
