@@ -291,8 +291,37 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       all.reverse.foreach(Files.deleteIfExists(_))
     }
 
-  private def commitAndCheckpoint(actions: Seq[Action]): Long = {
-    val v = log.commit(actions)
+  /** Commit with optimistic write-write conflict detection: when the
+    * mutation removes (or, via `readPaths`, depends on) files, any
+    * intervening commit that removed one of those same files means our
+    * snapshot is stale — a concurrent DELETE/OPTIMIZE rewrote rows we
+    * planned against — and blindly committing would resurrect deleted
+    * rows or drop a concurrent writer's changes. Such commits fail
+    * with ConcurrentModificationException so the caller re-runs from a
+    * fresh snapshot. Adds-only commits (appends) never conflict and
+    * keep the blind-retry fast path — exactly Delta's rule set.
+    */
+  private def commitAndCheckpoint(actions: Seq[Action], readVersion: Long = -1L,
+                                  readPaths: Set[String] = Set.empty): Long = {
+    val deps = actions.collect { case r: RemoveFile => r.path }.toSet ++ readPaths
+    val v =
+      if (readVersion < 0 || deps.isEmpty) log.commit(actions)
+      else {
+        var committed = -1L
+        while (committed < 0) {
+          val latest = log.latestVersion().getOrElse(-1L)
+          val conflicting = ((readVersion + 1) to latest)
+            .flatMap(log.readCommit)
+            .collect { case r: RemoveFile if deps.contains(r.path) => r.path }
+          if (conflicting.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"table $path changed since version $readVersion: " +
+                s"${conflicting.size} of this operation's input files were " +
+                "removed by a concurrent commit; re-run against the new snapshot")
+          if (log.tryCommitAt(latest + 1, actions)) committed = latest + 1
+        }
+        committed
+      }
     log.maybeCheckpoint(spark, v)
     v
   }
@@ -553,7 +582,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val metrics = Map(
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("DELETE", metrics = metrics)) ++ removes ++ adds)
+    commitAndCheckpoint(Seq(info("DELETE", metrics = metrics)) ++ removes ++ adds,
+      readVersion = s.version)
     metrics
   }
 
@@ -586,7 +616,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val metrics = Map("numDeletionVectors" -> "1",
       "numCandidateFiles" -> candidates.size.toString)
     commitAndCheckpoint(Seq(info("DELETE",
-      params = Map("mode" -> "merge-on-read"), metrics = metrics), AddDV(rel)))
+      params = Map("mode" -> "merge-on-read"), metrics = metrics), AddDV(rel)),
+      readVersion = s.version, readPaths = candidates.map(_.path).toSet)
     metrics
   }
 
@@ -610,7 +641,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val metrics = Map(
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("UPDATE", metrics = metrics)) ++ removes ++ adds)
+    commitAndCheckpoint(Seq(info("UPDATE", metrics = metrics)) ++ removes ++ adds,
+      readVersion = s.version)
     metrics
   }
 
@@ -680,7 +712,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       "numSourceRows" -> source.count().toString,
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("MERGE", metrics = metrics)) ++ removes ++ adds)
+    commitAndCheckpoint(Seq(info("MERGE", metrics = metrics)) ++ removes ++ adds,
+      readVersion = s.version)
     metrics
   }
 
@@ -704,7 +737,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val metrics = Map(
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("REPLACE WHERE", metrics = metrics)) ++ removes ++ adds)
+    commitAndCheckpoint(Seq(info("REPLACE WHERE", metrics = metrics)) ++ removes ++ adds,
+      readVersion = s.version)
     metrics
   }
 
@@ -769,7 +803,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val metrics = Map(
       "numRemovedFiles" -> removed.toString,
       "numAddedFiles" -> added.toString)
-    commitAndCheckpoint(info("OPTIMIZE", metrics = metrics) +: actions.toSeq)
+    commitAndCheckpoint(info("OPTIMIZE", metrics = metrics) +: actions.toSeq,
+      readVersion = s.version)
     metrics
   }
 
@@ -795,7 +830,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       "numAddedFiles" -> adds.size.toString)
     commitAndCheckpoint(Seq(info("OPTIMIZE ZORDER",
       params = Map("zOrderBy" -> cols.mkString(",")), metrics = metrics)) ++
-      removes ++ dvRemoves ++ adds)
+      removes ++ dvRemoves ++ adds, readVersion = s.version)
     metrics
   }
 
@@ -843,7 +878,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val dvAdds = target.dvFiles.map(AddDV)
     val actions = Seq(info("RESTORE", params = Map("version" -> v.toString))) ++
       target.metadata.toSeq ++ removes ++ dvRemoves ++ target.activeFiles ++ dvAdds
-    commitAndCheckpoint(actions)
+    commitAndCheckpoint(actions, readVersion = current.version)
   }
 
   /** DESCRIBE HISTORY equivalent (reference 02-lab:205-211). */

@@ -48,21 +48,30 @@ final class TxnLog(val tablePath: String) {
     */
   def commit(actions: Seq[Action]): Long = {
     var attempt = latestVersion().map(_ + 1).getOrElse(0L)
-    Files.createDirectories(logDir)
-    val payload = actions.map(Actions.toJson).mkString("", "\n", "\n")
     var committed = -1L
     while (committed < 0) {
-      try {
-        Files.write(versionFile(attempt),
-          payload.getBytes(StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        committed = attempt
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          attempt = latestVersion().map(_ + 1).getOrElse(0L)
-      }
+      if (tryCommitAt(attempt, actions)) committed = attempt
+      else attempt = latestVersion().map(_ + 1).getOrElse(0L)
     }
     committed
+  }
+
+  /** Single atomic attempt to commit as exactly version `v`; false on
+    * losing the create race. Callers that must re-validate against
+    * intervening commits (write-write conflict detection) use this
+    * instead of the blind-retry [[commit]].
+    */
+  def tryCommitAt(v: Long, actions: Seq[Action]): Boolean = {
+    Files.createDirectories(logDir)
+    val payload = actions.map(Actions.toJson).mkString("", "\n", "\n")
+    try {
+      Files.write(versionFile(v),
+        payload.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
   }
 
   def readCommit(v: Long): Seq[Action] =

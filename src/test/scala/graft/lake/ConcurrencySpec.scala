@@ -34,6 +34,32 @@ class ConcurrencySpec extends GraftSparkSpec {
     } finally pool.shutdown()
   }
 
+  test("racing DELETE and OPTIMIZE never resurrect deleted rows") {
+    import org.apache.spark.sql.functions.col
+    import java.util.ConcurrentModificationException
+    (1 to 3).foreach { round =>
+      val t = GraftTable.create(spark, tmpDir(s"race-$round"),
+        Tables(spark, sfDir, "lineitem").limit(2000).repartition(6))
+      val nonR = t.toDF.filter(col("l_returnflag") =!= "R").count()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        def submit(op: () => Unit) = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            try { op(); true } catch { case _: ConcurrentModificationException => false }
+        })
+        val fDel = submit(() => { t.delete(col("l_returnflag") === "R"); () })
+        val fOpt = submit(() => { t.optimize(); () })
+        val delOk = fDel.get()
+        fOpt.get()
+        // the losing writer retries from the fresh snapshot
+        if (!delOk) t.delete(col("l_returnflag") === "R")
+        assert(t.toDF.filter(col("l_returnflag") === "R").count() == 0,
+          s"round $round: deleted rows resurrected (delete first try ok=$delOk)")
+        assert(t.toDF.count() == nonR, s"round $round: non-R rows corrupted")
+      } finally pool.shutdown()
+    }
+  }
+
   test("extensions installer registers functions on a fresh session") {
     val s2 = spark.newSession()
     new graft.GraftExtensions() // construct ok; registry path exercised via GraftFunctions
