@@ -12,7 +12,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q1_pricing_summary", "q2_selective_filter", "q5_region_volume",
-        "q7_topn_per_brand", "text_token_count", "sim_bruteforce_topk")
+        "q7_topn_per_brand", "text_token_count", "sim_bruteforce_topk",
+        "q26_skew_join", "q28_range_join", "dedup_clusters")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -49,7 +49,9 @@ object SparkEntry {
     "q25_sessionize" -> Analytics.q25Sessionize _,
     "q26_skew_join" -> Analytics.q26SkewJoin _,
     "q27_range_frame" -> Analytics.q27RangeFrame _,
-    "q28_range_join" -> AsOf.q28RangeJoin _)
+    "q28_range_join" -> AsOf.q28RangeJoin _,
+    "q29_ntile" -> Analytics.q29Ntile _,
+    "q30_string_agg" -> Analytics.q30StringAgg _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -269,6 +271,16 @@ object SparkEntry {
         "AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000 " +
         "AND epoch_us(c.ts) <= epoch_us(p.ts) " +
         "GROUP BY p.event_id ORDER BY p.event_id"),
+    "q29_ntile" ->
+      ("WITH s AS (SELECT o_custkey, ROUND(SUM(o_totalprice),2) AS spend FROM orders " +
+        "GROUP BY o_custkey), d AS (SELECT o_custkey, spend, " +
+        "CAST(NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile FROM s) " +
+        "SELECT decile, COUNT(*) AS n_customers, ROUND(SUM(spend),2) AS decile_spend " +
+        "FROM d GROUP BY decile ORDER BY decile"),
+    "q30_string_agg" ->
+      ("SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, " +
+        "COUNT(*) AS n_nations FROM nation JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"),
     "text_pii_scrub" ->
       ("SELECT doc_id, " +
         "CAST(len(list_filter(string_split(text, ' '), " +

@@ -333,6 +333,34 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** NTILE decile segmentation: customers bucketed into 10 spend
+    * deciles, per-decile totals — the quantile-segmentation shape of
+    * cohort/quality analyses.
+    */
+  def q29Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val spend = o.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), round(sum("spend"), 2).as("decile_spend"))
+      .orderBy("decile")
+  }
+
+  /** Deterministic string aggregation: per-region sorted nation list
+    * (array_sort + concat_ws ≡ DuckDB string_agg ORDER BY).
+    */
+  def q30StringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
   /** RANGE-frame window: per-customer trailing-90-day average order
     * value. RANGE frames (value-based, tie-inclusive) complement the
     * ROWS frames of q8/q25 — the moving-aggregate shape time-series
