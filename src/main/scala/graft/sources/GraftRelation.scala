@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.lake.GraftTable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Batch-read relation for `spark.read.format("graftlake").load(path)`
+  * (and `CREATE ... USING graftlake OPTIONS (path ...)`). Pushed
+  * filters drive GraftLake's file skipping — partition values, footer
+  * min/max stats, and bloom sidecars — before any scan task launches;
+  * Spark still re-applies the full predicate, so unsupported shapes
+  * simply skip the pruning, never correctness.
+  */
+final class GraftRelation(
+    override val sqlContext: SQLContext,
+    path: String) extends BaseRelation with PrunedFilteredScan {
+
+  private val table = GraftTable.forPath(sqlContext.sparkSession, path)
+
+  override def schema: StructType = table.snapshot.schema
+
+  /** We use filters only to skip files; report all as unhandled so
+    * Spark keeps the exact post-scan Filter.
+    */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      (toColumn(l), toColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) => one.orElse(other) // half an AND still prunes
+      }
+    case _ => None // unsupported shape: no pruning, Spark re-filters
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
+    val df = pred.map(table.readWhere).getOrElse(table.toDF)
+    df.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
+  }
+}

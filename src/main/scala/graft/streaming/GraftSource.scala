@@ -161,12 +161,13 @@ final class GraftSink(
   override def toString: String = s"GraftSink[$path]"
 }
 
-/** `spark.readStream.format("graftlake").load(path)` and
+/** `spark.read/readStream.format("graftlake").load(path)` and
   * `df.writeStream.format("graftlake").option("path", ...)` —
   * registered via META-INF/services so the short name resolves.
   */
 final class GraftSourceProvider extends StreamSourceProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graftlake"
 
@@ -190,6 +191,11 @@ final class GraftSourceProvider extends StreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): Source =
     new GraftSource(sqlContext, tablePath(parameters), parameters)
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation =
+    new graft.sources.GraftRelation(sqlContext, tablePath(parameters))
 
   override def createSink(
       sqlContext: SQLContext,

@@ -1,0 +1,37 @@
+package graft.sources
+
+import graft.{GraftSparkSpec, Tables}
+import graft.lake.GraftTable
+import org.apache.spark.sql.functions._
+
+/** Batch reads through `spark.read.format("graftlake")` — the third
+  * leg of the format surface (batch read, streaming read, streaming
+  * write).
+  */
+class GraftRelationSpec extends GraftSparkSpec {
+
+  test("format('graftlake') batch read matches the table API, filters push") {
+    val li = Tables(spark, sfDir, "lineitem").limit(2000)
+    val path = tmpDir("rel-table")
+    val t = GraftTable.create(spark, path, li, Seq("l_returnflag"))
+    t.deleteMergeOnRead(col("l_quantity") < 2.0) // DV must be honored
+
+    val df = spark.read.format("graftlake").load(path)
+    assert(df.count() == t.toDF.count())
+    assert(df.schema.fieldNames.sorted.sameElements(t.toDF.schema.fieldNames.sorted))
+
+    val expect = t.toDF.filter(col("l_returnflag") === "R")
+      .agg(sum("l_quantity")).head.getDouble(0)
+    val got = df.filter(col("l_returnflag") === "R")
+      .agg(sum("l_quantity")).head.getDouble(0)
+    assert(math.abs(got - expect) < 1e-6)
+
+    // SQL surface: USING graftlake
+    spark.sql("DROP VIEW IF EXISTS g_li")
+    spark.sql(s"CREATE TEMPORARY VIEW g_li USING graftlake OPTIONS (path '$path')")
+    assert(spark.table("g_li").count() == t.toDF.count())
+    val sqlCnt = spark.sql(
+      "SELECT COUNT(*) FROM g_li WHERE l_returnflag = 'R'").head.getLong(0)
+    assert(sqlCnt == t.toDF.filter(col("l_returnflag") === "R").count())
+  }
+}
