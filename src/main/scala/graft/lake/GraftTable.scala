@@ -201,11 +201,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case (k, v) if k.startsWith("graft.bloom.") => k.stripPrefix("graft.bloom.") -> v
     }
     if (sidecars.isEmpty) return files
-    val bindings = Pruning.equalityBindings(predicate)
+    val eqBindings = Pruning.equalityBindings(predicate)
       .filter { case (c, _) => sidecars.contains(c) }
-    if (bindings.isEmpty) return files
+    val inLists = Pruning.inBindings(predicate)
+      .filter { case (c, vs) => sidecars.contains(c) && vs.nonEmpty }
+    if (eqBindings.isEmpty && inLists.isEmpty) return files
     val bloomsByCol: Map[String, Map[String, BloomFilter]] =
-      bindings.map(_._1).distinct.map { c =>
+      (eqBindings.map(_._1) ++ inLists.map(_._1)).distinct.map { c =>
         c -> spark.read.parquet(s"$path/${sidecars(c)}").collect()
           .map(r => r.getString(0) -> BloomFilter.readFrom(r.getAs[Array[Byte]](1)))
           .toMap
@@ -216,9 +218,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case s: String => bf.mightContainString(s)
       case other => bf.mightContain(other)
     }
-    files.filter(f => bindings.forall { case (c, v) =>
-      bloomsByCol(c).get(f.path).forall(might(_, v))
-    })
+    files.filter { f =>
+      eqBindings.forall { case (c, v) =>
+        bloomsByCol(c).get(f.path).forall(might(_, v))
+      } && inLists.forall { case (c, vs) =>
+        bloomsByCol(c).get(f.path).forall(bf => vs.exists(might(bf, _)))
+      }
+    }
   }
 
   // --------------------------------------------------------------- write

@@ -39,6 +39,19 @@ object Pruning {
       case _ => None
     }
 
+  /** Top-level `attr IN (literals…)` conjuncts: (attr, candidate
+    * values) — a file survives bloom pruning if ANY value might be in
+    * it.
+    */
+  def inBindings(predicate: Column): Seq[(String, Seq[Any])] =
+    splitConjuncts(normalize(GraftExpr.expression(predicate))).flatMap {
+      case In(a, list) if list.forall(_.foldable) =>
+        attrName(a).map { n =>
+          n -> list.flatMap(litValue(_).map(_._1))
+        }
+      case _ => None
+    }
+
   /** The Spark 4 Column→Expression converter leaves comparison
     * operators as `UnresolvedFunction("=", ...)` nodes (the analyzer
     * usually resolves them); rewrite the shapes pruning understands

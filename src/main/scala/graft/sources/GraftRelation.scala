@@ -22,6 +22,14 @@ final class GraftRelation(
 
   override def schema: StructType = table.snapshot.schema
 
+  /** Planner cost input: on-disk bytes × a decompression factor (the
+    * default BaseRelation size is "assume huge, never broadcast").
+    * This is what lets a small GraftLake dimension auto-broadcast in
+    * joins — the reference's §I point: statistics change plans.
+    */
+  override def sizeInBytes: Long =
+    math.max(1L, table.snapshot.sizeInBytes) * 3
+
   /** We use filters only to skip files; report all as unhandled so
     * Spark keeps the exact post-scan Filter.
     */

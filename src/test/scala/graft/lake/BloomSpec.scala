@@ -32,6 +32,13 @@ class BloomSpec extends GraftSparkSpec {
     val expected = li.filter(pred).count()
     assert(t.readWhere(pred).count() == expected)
     assert(expected > 0)
+
+    // IN-lists prune too: a file survives if ANY value might be in it
+    val key2 = keys(keys.length / 3)
+    val inPred = col("l_orderkey").isin(key, key2)
+    val (keptIn, totalIn) = t.pruneFiles(inPred)
+    assert(keptIn < totalIn, s"IN-list bloom should skip, kept $keptIn/$totalIn")
+    assert(t.readWhere(inPred).count() == li.filter(inPred).count())
   }
 
   test("bloom on a string column; rewritten files fall back to kept") {

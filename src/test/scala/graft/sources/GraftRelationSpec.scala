@@ -34,4 +34,19 @@ class GraftRelationSpec extends GraftSparkSpec {
       "SELECT COUNT(*) FROM g_li WHERE l_returnflag = 'R'").head.getLong(0)
     assert(sqlCnt == t.toDF.filter(col("l_returnflag") === "R").count())
   }
+
+  test("small lake dimension auto-broadcasts from relation size stats") {
+    val nationPath = tmpDir("rel-nation")
+    val ordersPath = tmpDir("rel-orders")
+    GraftTable.create(spark, nationPath, Tables(spark, sfDir, "nation"))
+    GraftTable.create(spark, ordersPath, Tables(spark, sfDir, "orders"))
+    val dim = spark.read.format("graftlake").load(nationPath)
+    val fact = spark.read.format("graftlake").load(ordersPath)
+    val joined = fact.join(dim,
+      col("o_custkey") % 25 === col("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"KB-scale dim should auto-broadcast, plan:\n${plan.take(1500)}")
+    assert(joined.count() > 0)
+  }
 }
