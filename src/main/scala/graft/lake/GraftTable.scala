@@ -83,6 +83,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         .drop("__fp", "__ri")
     }
 
+  /** Scan an explicit file subset of a snapshot (column mapping, DV
+    * masking, and clone-absolute paths all handled) — the streaming
+    * source builds its micro-batches through this.
+    */
+  private[graft] def dfFor(snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    dfForFiles(snap, files)
+
   def toDF: DataFrame = { val s = snapshot; dfForFiles(s, s.activeFiles) }
 
   /** `SELECT ... VERSION AS OF v` (reference 02-lab:205-211). */
@@ -193,6 +200,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Drop files whose bloom proves they can't contain an `attr = lit`
     * conjunct's value. Files without a bloom entry are kept.
     */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+
   private def bloomPrune(s: Snapshot, files: Seq[AddFile],
                          predicate: Column): Seq[AddFile] = {
     import org.apache.spark.util.sketch.BloomFilter
@@ -206,11 +217,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val inLists = Pruning.inBindings(predicate)
       .filter { case (c, vs) => sidecars.contains(c) && vs.nonEmpty }
     if (eqBindings.isEmpty && inLists.isEmpty) return files
+    // sidecars are immutable once written (fresh UUID per recompute):
+    // cache deserialized blooms per relative path across point lookups
     val bloomsByCol: Map[String, Map[String, BloomFilter]] =
       (eqBindings.map(_._1) ++ inLists.map(_._1)).distinct.map { c =>
-        c -> spark.read.parquet(s"$path/${sidecars(c)}").collect()
-          .map(r => r.getString(0) -> BloomFilter.readFrom(r.getAs[Array[Byte]](1)))
-          .toMap
+        c -> bloomCache.getOrElseUpdate(sidecars(c),
+          spark.read.parquet(s"$path/${sidecars(c)}").collect()
+            .map(r => r.getString(0) -> BloomFilter.readFrom(r.getAs[Array[Byte]](1)))
+            .toMap)
       }.toMap
     def might(bf: BloomFilter, v: Any): Boolean = v match {
       case n: java.lang.Number => bf.mightContainLong(n.longValue())
@@ -316,14 +330,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         var committed = -1L
         while (committed < 0) {
           val latest = log.latestVersion().getOrElse(-1L)
-          val conflicting = ((readVersion + 1) to latest)
-            .flatMap(log.readCommit)
+          val intervening = ((readVersion + 1) to latest).flatMap(log.readCommit)
+          val conflicting = intervening
             .collect { case r: RemoveFile if deps.contains(r.path) => r.path }
-          if (conflicting.nonEmpty)
+          // a concurrent merge-on-read DELETE commits only AddDV — it
+          // masks rows in files we're about to rewrite from a snapshot
+          // that predates the mask, so rewriting would resurrect them.
+          // Conservative rule: an intervening DV addition conflicts with
+          // any commit that removes files (two additive MoR deletes
+          // stack fine and stay on the fast path).
+          val dvAdded = actions.exists(_.isInstanceOf[RemoveFile]) &&
+            intervening.exists(_.isInstanceOf[AddDV])
+          if (conflicting.nonEmpty || dvAdded)
             throw new java.util.ConcurrentModificationException(
               s"table $path changed since version $readVersion: " +
-                s"${conflicting.size} of this operation's input files were " +
-                "removed by a concurrent commit; re-run against the new snapshot")
+                (if (dvAdded) "a concurrent merge-on-read delete added a deletion vector"
+                 else s"${conflicting.size} of this operation's input files were " +
+                   "removed by a concurrent commit") +
+                "; re-run against the new snapshot")
           if (log.tryCommitAt(latest + 1, actions)) committed = latest + 1
         }
         committed
@@ -378,7 +402,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val target = props.get("graft.targetFileSize").map(_.toLong)
         .getOrElse(128L * 1024 * 1024)
       val minFiles = props.get("graft.autoOptimize.minFiles").map(_.toInt).getOrElse(8)
-      if (s.activeFiles.count(_.size < target) >= minFiles) optimize(target)
+      if (s.activeFiles.count(_.size < target) >= minFiles)
+        // best-effort: the append that triggered us is already durable,
+        // so a concurrent writer winning the compaction race (CME) must
+        // not make the append look failed — a retry would double-write
+        try optimize(target)
+        catch { case _: java.util.ConcurrentModificationException => () }
     }
   }
 
@@ -419,6 +448,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           s"column ${f.name}: incompatible type ${f.dataType} vs ${table(f.name).dataType}")
       }
       val newFields = df.schema.fields.filterNot(f => table.fieldNames.contains(f.name))
+      // a re-added column whose name matches dropped physical bytes
+      // would silently resurrect pre-drop values from old files
+      newFields.foreach { f =>
+        require(!s.metadata.exists(_.properties.contains(s"graft.dropped.${f.name}")),
+          s"column ${f.name} was previously dropped and its bytes remain in old " +
+            "files; OPTIMIZE to purge them (then clear the graft.dropped property) " +
+            "or use a different name")
+      }
       val merged = StructType(table.fields ++ newFields)
       val adds = stageWrite(df, s.partitionColumns, dataChange = true)
       val metaActions: Seq[Action] =
@@ -455,7 +492,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   /** DROP COLUMN as a metadata-only commit: the column vanishes from
     * the logical schema; existing files keep the bytes until a later
-    * OPTIMIZE/ZORDER rewrite physically purges them.
+    * OPTIMIZE/ZORDER rewrite physically purges them. A tombstone
+    * property blocks re-adding the same name while stale bytes remain
+    * (they would silently resurrect as the new column's values).
     */
   def dropColumn(name: String): Long = {
     val s = snapshot
@@ -463,10 +502,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     require(!s.partitionColumns.contains(name), "cannot drop a partition column")
     require(s.schema.size > 1, "cannot drop the last column")
     val newSchema = StructType(s.schema.fields.filterNot(_.name == name))
+    val props = s.metadata.get.properties - s"graft.colmap.$name" +
+      (s"graft.dropped.${s.physicalName(name)}" -> "true")
     commitAndCheckpoint(Seq(
       info("DROP COLUMN", params = Map("name" -> name)),
-      s.metadata.get.copy(schemaJson = newSchema.json,
-        properties = s.metadata.get.properties - s"graft.colmap.$name")))
+      s.metadata.get.copy(schemaJson = newSchema.json, properties = props)))
   }
 
   /** Merge key/value pairs into the table properties (one commit). */
@@ -557,9 +597,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (seen) version
     else {
       val s = snapshot
-      validateConstraints(df, s)
-      enforceSchema(df.schema, s.schema)
-      val adds = stageWrite(df, s.partitionColumns, dataChange = true)
+      // same write shaping as batch append: generated columns + bin-pack
+      val shaped = optimizeWriteShape(applyGeneratedColumns(df, s), s)
+      validateConstraints(shaped, s)
+      enforceSchema(shaped.schema, s.schema)
+      val adds = stageWrite(shaped, s.partitionColumns, dataChange = true)
       val v = commitAndCheckpoint(info("STREAMING UPDATE",
         params = Map("streamAppId" -> appId, "epochId" -> epochId.toString)) +: adds)
       maybeAutoOptimize()
@@ -1001,8 +1043,12 @@ object GraftTable {
     val srcRoot = Paths.get(sourcePath).toAbsolutePath.normalize
     def absolute(p: String): String =
       if (p.startsWith("/")) p else srcRoot.resolve(p).toString
+    // bloom sidecars stay behind: their pointers resolve against the
+    // clone root and their keys are source-relative paths, so carrying
+    // them over would crash readWhere — recompute blooms on the clone
     val meta = snap.metadata.get.copy(
-      properties = snap.metadata.get.properties +
+      properties = snap.metadata.get.properties
+        .filterNot(_._1.startsWith("graft.bloom.")) +
         ("graft.cloneSource" -> srcRoot.toString))
     val adds = snap.activeFiles.map(f => f.copy(path = absolute(f.path)))
     val dvs = snap.dvFiles.map(p => AddDV(absolute(p)))

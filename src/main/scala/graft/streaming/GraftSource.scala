@@ -32,17 +32,18 @@ final class GraftSource(
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val log = new TxnLog(path)
+  private val table = GraftTable.forPath(spark, path)
   private val opts = options.map { case (k, v) => k.toLowerCase -> v }
   private val ignoreChanges = opts.getOrElse("ignorechanges", "false").toBoolean
 
   /** Admission control: cap how many log versions one micro-batch may
     * cover (Delta's maxFilesPerTrigger analog at commit granularity) —
     * keeps catch-up batches bounded when a stream restarts far behind
-    * on a high-ingest table. The engine re-calls getBatch on restart,
-    * which re-seeds [[lastBatchEnd]], so the cap holds across runs.
+    * on a high-ingest table. Enforced in [[latestOffset]], where the
+    * engine hands us the committed start offset — stateless, so the
+    * cap holds across restarts.
     */
   private val maxVersionsPerTrigger = opts.get("maxversionspertrigger").map(_.toLong)
-  private var lastBatchEnd: Option[Long] = None
 
   override val schema: StructType = Snapshot.at(spark, log).schema
 
@@ -52,14 +53,10 @@ final class GraftSource(
     case other => other.json.trim.toLong
   }
 
+  // Legacy v1 path (unused when the engine sees SupportsAdmissionControl,
+  // which owns capping): report the plain latest version.
   override def getOffset: Option[OffsetV1] =
-    log.latestVersion().map { latest =>
-      val capped = maxVersionsPerTrigger match {
-        case Some(m) => math.min(latest, lastBatchEnd.getOrElse(-1L) + m)
-        case None => latest
-      }
-      LongOffset(capped)
-    }
+    log.latestVersion().map(LongOffset(_))
 
   // --- admission control / Trigger.AvailableNow ------------------------
   // With SupportsTriggerAvailableNow the engine snapshots the end
@@ -92,24 +89,28 @@ final class GraftSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = version(end)
-    lastBatchEnd = Some(endV)
     val batch = start.map(version) match {
       case None =>
-        // initial batch: full snapshot at endV (Delta's "initial snapshot")
+        // initial batch: full snapshot at endV (Delta's "initial
+        // snapshot") — DV masks, column mapping, and clone-absolute
+        // paths all resolve through the table's own scan
         val snap = Snapshot.at(spark, log, Some(endV))
-        require(snap.dvFiles.isEmpty,
-          "streaming read with active deletion vectors is not supported; " +
-            "run OPTIMIZE/ZORDER to materialize them first")
         readFiles(snap, snap.activeFiles)
       case Some(startV) =>
         val actions = ((startV + 1) to endV).flatMap(log.readCommit)
         val changed = actions.collect { case r: RemoveFile if r.dataChange => r }
-        if (changed.nonEmpty && !ignoreChanges)
+        // a merge-on-read DELETE commits only AddDV — no removed files,
+        // but rows the snapshot reader no longer sees; silently
+        // emitting nothing would diverge downstream, so it fails the
+        // append-only contract exactly like a CoW rewrite
+        val dvAdded = actions.exists(_.isInstanceOf[graft.lake.AddDV])
+        if ((changed.nonEmpty || dvAdded) && !ignoreChanges)
           throw new UnsupportedOperationException(
             s"commit range ($startV, $endV] rewrites or deletes data " +
-              s"(${changed.size} removed files); streaming sources are " +
-              "append-only — set option ignoreChanges=true to stream " +
-              "rewritten files anyway (may re-emit rows)")
+              s"(${changed.size} removed files" +
+              (if (dvAdded) ", merge-on-read deletion vectors added" else "") +
+              "); streaming sources are append-only — set option " +
+              "ignoreChanges=true to stream anyway (may re-emit or miss rows)")
         val adds = actions.collect { case a: AddFile if a.dataChange => a }
         readFiles(Snapshot.at(spark, log, Some(endV)), adds)
     }
@@ -120,15 +121,8 @@ final class GraftSource(
     if (files.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     else
-      spark.read
-        .option("basePath", path)
-        .schema(snap.physicalSchema)
-        .parquet(files.map(f =>
-          if (f.path.startsWith("/")) f.path else s"$path/${f.path}"): _*)
-        // physical → logical names (column mapping), restricted to the
-        // source's declared schema
-        .select(schema.fieldNames.map(n =>
-          org.apache.spark.sql.functions.col(snap.physicalName(n)).as(n)): _*)
+      table.dfFor(snap, files)
+        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
 
   override def commit(end: OffsetV1): Unit = ()
   override def stop(): Unit = ()

@@ -29,17 +29,30 @@ object StreamShim {
   }
 
   /** Re-create `df` with its leaf scan relations marked streaming and
-    * owned by `stream` (the source reporting this batch).
+    * owned by `stream` (the source reporting this batch). A plan with
+    * a join (e.g. the deletion-vector anti-join) can't have every leaf
+    * re-tagged — that reads as an unsupported stream-stream join — so
+    * it instead executes as a batch plan whose InternalRow RDD becomes
+    * a single streaming leaf.
     */
   def asStreaming(df: DataFrame, stream: SparkDataStream): DataFrame = {
     val classic = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
     val session = classic.sparkSession.asInstanceOf[ClassicSession]
-    val plan = classic.queryExecution.analyzed.transform {
-      case lr: LogicalRelation =>
-        lr.copy(isStreaming = true, stream = Some(stream))
-      case loc: LocalRelation =>
-        loc.copy(isStreaming = true, stream = Some(stream))
+    val analyzed = classic.queryExecution.analyzed
+    val hasJoin = analyzed
+      .collectFirst { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      .isDefined
+    if (hasJoin) {
+      session.internalCreateDataFrame(
+        classic.queryExecution.toRdd, classic.schema, isStreaming = true)
+    } else {
+      val plan = analyzed.transform {
+        case lr: LogicalRelation =>
+          lr.copy(isStreaming = true, stream = Some(stream))
+        case loc: LocalRelation =>
+          loc.copy(isStreaming = true, stream = Some(stream))
+      }
+      ClassicDataset.ofRows(session, plan)
     }
-    ClassicDataset.ofRows(session, plan)
   }
 }

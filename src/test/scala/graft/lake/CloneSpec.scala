@@ -53,6 +53,20 @@ class CloneSpec extends GraftSparkSpec {
     assert(src.toDF.count() == expected)
   }
 
+  test("cloning a bloom-indexed table drops the stale sidecar pointers") {
+    val srcPath = tmpDir("cloneb-src")
+    val src = GraftTable.create(spark, srcPath,
+      li.limit(1000).repartition(4, col("l_orderkey")))
+    src.computeBloomFilter("l_orderkey")
+    val clone = GraftTable.shallowClone(spark, srcPath, tmpDir("cloneb-dst"))
+    assert(!clone.snapshot.metadata.get.properties.keys
+      .exists(_.startsWith("graft.bloom.")))
+    val key = li.select("l_orderkey").head.getLong(0)
+    // must not crash resolving a sidecar that lives under the source
+    assert(clone.readWhere(col("l_orderkey") === key).count() ==
+      src.readWhere(col("l_orderkey") === key).count())
+  }
+
   test("clone at an older version pins that snapshot") {
     val srcPath = tmpDir("clonev-src")
     val src = GraftTable.create(spark, srcPath, li.limit(100))

@@ -59,6 +59,11 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(!t.toDF.columns.contains("l_tax"))
     assert(t.toDF.count() == 100)
     intercept[IllegalArgumentException](t.dropColumn("l_returnflag_missing"))
+    // re-adding the dropped name is blocked while stale bytes remain —
+    // old files would resurrect pre-drop values as the "new" column
+    intercept[IllegalArgumentException] {
+      t.append(li.limit(5).withColumn("l_tax", lit(0.5)), mergeSchema = true)
+    }
     t.optimize(targetBytes = 1024L * 1024 * 1024)
     val physical = spark.read.parquet(
       t.snapshot.activeFiles.map(f => s"${t.path}/${f.path}"): _*)

@@ -112,6 +112,31 @@ class GraftSourceSpec extends GraftSparkSpec {
     assert(content.exceptAll(expected).isEmpty && expected.exceptAll(content).isEmpty)
   }
 
+  test("merge-on-read delete fails the stream like a CoW rewrite") {
+    val nation = Tables(spark, sfDir, "nation")
+    val path = tmpDir("gsrc-mor-table")
+    val ckpt = tmpDir("gsrc-mor-ckpt")
+    val t = GraftTable.create(spark, path, nation)
+    assert(runOnce(path, ckpt).size == nation.count())
+    t.deleteMergeOnRead(col("n_nationkey") === 0) // AddDV only, no removes
+    val ex = intercept[StreamingQueryException] { runOnce(path, ckpt) }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[UnsupportedOperationException]))
+  }
+
+  test("shallow clones stream: initial snapshot honors DVs and absolute paths") {
+    val orders = Tables(spark, sfDir, "orders")
+    val srcPath = tmpDir("gsrc-clone-src")
+    val src = GraftTable.create(spark, srcPath, orders.limit(500),
+      Seq("o_orderstatus"))
+    src.deleteMergeOnRead(col("o_orderkey") % 7 === 0)
+    val clonePath = tmpDir("gsrc-clone-dst")
+    GraftTable.shallowClone(spark, srcPath, clonePath)
+    val got = runOnce(clonePath, tmpDir("gsrc-clone-ckpt"))
+    assert(got.size == src.toDF.count())
+  }
+
   test("CoW rewrite fails the stream; ignoreChanges streams through") {
     val nation = Tables(spark, sfDir, "nation")
     val path = tmpDir("gsrc-cow-table")
