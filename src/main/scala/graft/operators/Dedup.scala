@@ -147,8 +147,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
+    // every round references `labels` twice (self + neighbor side), so
+    // without lineage truncation the logical plan doubles per round and
+    // OOMs the driver once components need 10+ rounds — each iteration
+    // therefore materializes to a plan leaf via eager localCheckpoint
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -159,16 +163,12 @@ object Dedup {
         .join(nbrMin.select(col("u").as("id"), col("nbr_min")), Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old_label")).count()
-      labels.unpersist()
-      labels = next.select("id", "label").cache()
+      labels = next.select("id", "label")
       rounds += 1
     }
-    // truncate the iteration lineage (50 chained joins otherwise) so
-    // consumers of the result don't replay the propagation
-    val settled = labels.localCheckpoint(true)
-    labels.unpersist()
+    val settled = labels
     edges.unpersist()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     settled
