@@ -65,6 +65,32 @@ class StreamingSpec extends GraftSparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("watermarked stream-stream interval join matches the batch join") {
+    val dir = eventsOnDisk("ss-join-src")
+    val schema = spark.read.parquet(dir).schema
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("purchase", "p").join(side("click", "c"),
+      expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val e = Tables(spark, sfDir, "events")
+    val expected = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+      .join(e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts")),
+        expr("pu = cu AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts"))
+      .count()
+    assert(spark.table("ssjoin_out").count() == expected)
+    assert(expected > 0)
+  }
+
   test("streaming into GraftLake + OPTIMIZE compaction loop") {
     val dir = eventsOnDisk("lake-src")
     val schema = spark.read.parquet(dir).schema
