@@ -51,7 +51,8 @@ object SparkEntry {
     "q27_range_frame" -> Analytics.q27RangeFrame _,
     "q28_range_join" -> AsOf.q28RangeJoin _,
     "q29_ntile" -> Analytics.q29Ntile _,
-    "q30_string_agg" -> Analytics.q30StringAgg _)
+    "q30_string_agg" -> Analytics.q30StringAgg _,
+    "q31_grouping_sets" -> Analytics.q31GroupingSets _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -271,6 +272,12 @@ object SparkEntry {
         "AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000 " +
         "AND epoch_us(c.ts) <= epoch_us(p.ts) " +
         "GROUP BY p.event_id ORDER BY p.event_id"),
+    "q31_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        "COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY gid, l_returnflag, l_linestatus"),
     "q29_ntile" ->
       ("WITH s AS (SELECT o_custkey, ROUND(SUM(o_totalprice),2) AS spend FROM orders " +
         "GROUP BY o_custkey), d AS (SELECT o_custkey, spend, " +

@@ -333,6 +333,21 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Explicit GROUPING SETS with grouping_id — finer than ROLLUP/CUBE:
+    * exactly the (flag,status), (flag), and () aggregation levels, with
+    * the grouping id disambiguating real nulls from subtotal rows.
+    */
+  def q31GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("li_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** NTILE decile segmentation: customers bucketed into 10 spend
     * deciles, per-decile totals — the quantile-segmentation shape of
     * cohort/quality analyses.
