@@ -45,7 +45,18 @@ final class GraftSource(
     */
   private val maxVersionsPerTrigger = opts.get("maxversionspertrigger").map(_.toLong)
 
-  override val schema: StructType = Snapshot.at(spark, log).schema
+  /** Change-data-feed mode: batches carry a `_change_type` column
+    * (insert/delete; an update is a delete+insert pair), so consumers
+    * follow DELETE/UPDATE/MERGE and merge-on-read commits exactly
+    * instead of failing or setting `ignoreChanges`. Each incremental
+    * batch is the row-level snapshot diff over its version range.
+    */
+  private val readChangeFeed = opts.getOrElse("readchangefeed", "false").toBoolean
+
+  override val schema: StructType = {
+    val base = Snapshot.at(spark, log).schema
+    if (readChangeFeed) base.add("_change_type", "string") else base
+  }
 
   private def version(o: OffsetV1): Long = o match {
     case l: LongOffset => l.offset
@@ -89,6 +100,7 @@ final class GraftSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = version(end)
+    if (readChangeFeed) return StreamShim.asStreaming(cdfBatch(start, endV), this)
     val batch = start.map(version) match {
       case None =>
         // initial batch: full snapshot at endV (Delta's "initial
@@ -116,6 +128,22 @@ final class GraftSource(
     }
     StreamShim.asStreaming(batch, this)
   }
+
+  /** CDF batch: initial = snapshot as inserts; incremental = row-level
+    * diff between the range's endpoints (insert/delete tagged).
+    */
+  private def cdfBatch(start: Option[OffsetV1], endV: Long): DataFrame =
+    start.map(version) match {
+      case None =>
+        val snap = Snapshot.at(spark, log, Some(endV))
+        table.dfFor(snap, snap.activeFiles)
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      case Some(startV) =>
+        table.changesBetween(startV, endV)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    }
 
   private def readFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
@@ -175,7 +203,14 @@ final class GraftSourceProvider extends StreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val t = GraftTable.forPath(sqlContext.sparkSession, tablePath(parameters))
-    (shortName(), schema.getOrElse(t.snapshot.schema))
+    val base = schema.getOrElse(t.snapshot.schema)
+    val cdf = parameters.map { case (k, v) => k.toLowerCase -> v }
+      .getOrElse("readchangefeed", "false").toBoolean
+    val resolved =
+      if (cdf && !base.fieldNames.contains("_change_type"))
+        base.add("_change_type", "string")
+      else base
+    (shortName(), resolved)
   }
 
   override def createSource(

@@ -39,10 +39,16 @@ object StreamShim {
     val classic = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
     val session = classic.sparkSession.asInstanceOf[ClassicSession]
     val analyzed = classic.queryExecution.analyzed
+    // multi-leaf or join-bearing plans (DV anti-join, clone-branch
+    // unions, change-feed exceptAll) can't have every leaf re-tagged
+    val scanLeaves = analyzed.collect {
+      case lr: LogicalRelation => lr
+      case loc: LocalRelation => loc
+    }.size
     val hasJoin = analyzed
       .collectFirst { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
       .isDefined
-    if (hasJoin) {
+    if (hasJoin || scanLeaves > 1) {
       session.internalCreateDataFrame(
         classic.queryExecution.toRdd, classic.schema, isStreaming = true)
     } else {

@@ -112,6 +112,32 @@ class GraftSourceSpec extends GraftSparkSpec {
     assert(content.exceptAll(expected).isEmpty && expected.exceptAll(content).isEmpty)
   }
 
+  test("readChangeFeed streams row-level inserts and deletes") {
+    val nation = Tables(spark, sfDir, "nation")
+    val path = tmpDir("gsrc-cdf-table")
+    val ckpt = tmpDir("gsrc-cdf-ckpt")
+    val t = GraftTable.create(spark, path, nation)
+    val opts = Map("readChangeFeed" -> "true")
+
+    val b1 = runOnce(path, ckpt, opts)
+    assert(b1.size == nation.count())
+    assert(b1.forall(_.getAs[String]("_change_type") == "insert"))
+
+    t.append(nation.limit(3))
+    t.delete(col("n_nationkey") === 1) // CoW delete: no failure in CDF mode
+    val b2 = runOnce(path, ckpt, opts)
+    val byType = b2.groupBy(_.getAs[String]("_change_type")).view.mapValues(_.size).toMap
+    // the diff spans (v_run1, v_now]: appended rows that survived the
+    // delete are inserts; original nationkey=1 rows are deletes; an
+    // appended-then-deleted row is in neither endpoint snapshot
+    val appendedDeleted = nation.limit(3).filter(col("n_nationkey") === 1).count()
+    assert(byType.getOrElse("delete", 0) ==
+      nation.filter(col("n_nationkey") === 1).count(), s"got $byType")
+    assert(byType.getOrElse("insert", 0) == 3 - appendedDeleted, s"got $byType")
+
+    assert(runOnce(path, ckpt, opts).isEmpty) // caught up
+  }
+
   test("merge-on-read delete fails the stream like a CoW rewrite") {
     val nation = Tables(spark, sfDir, "nation")
     val path = tmpDir("gsrc-mor-table")
