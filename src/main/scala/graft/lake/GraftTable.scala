@@ -853,6 +853,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       "numAddedFiles" -> added.toString)
     commitAndCheckpoint(info("OPTIMIZE", metrics = metrics) +: actions.toSeq,
       readVersion = s.version)
+    // compaction invalidates per-file blooms (new file paths have no
+    // sidecar entry → kept, skipping degrades); opt-in recompute
+    // restores point-lookup pruning right after the rewrite
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    if (removed > 0 &&
+        props.getOrElse("graft.bloom.autoRecompute", "false").toBoolean)
+      props.keys.filter(_.startsWith("graft.bloom."))
+        .map(_.stripPrefix("graft.bloom."))
+        .filter(snapshot.schema.fieldNames.contains)
+        .foreach(c => computeBloomFilter(c))
     metrics
   }
 

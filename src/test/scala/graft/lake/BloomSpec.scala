@@ -59,5 +59,16 @@ class BloomSpec extends GraftSparkSpec {
     assert(keptStale == totalStale, "rewritten files without bloom entries stay kept")
     assert(t.readWhere(col("l_returnflag") === "R").count() ==
       li.limit(4000).filter(col("l_returnflag") === "R").count())
+
+    // opt-in auto-recompute restores skipping right after a compaction
+    t.setTableProperties(Map("graft.bloom.autoRecompute" -> "true"))
+    t.append(li.limit(500))
+    t.append(li.limit(500))
+    t.optimize(targetBytes = 1024L * 1024 * 1024)
+    val (keptFresh, totalFresh) = t.pruneFiles(col("l_returnflag") === "B")
+    assert(keptFresh == 0, s"recomputed blooms should skip all, kept $keptFresh/$totalFresh")
+    assert(t.readWhere(col("l_returnflag") === "R").count() ==
+      li.limit(4000).unionAll(li.limit(500)).unionAll(li.limit(500))
+        .filter(col("l_returnflag") === "R").count())
   }
 }
