@@ -44,6 +44,7 @@ final class GraftSource(
     * cap holds across restarts.
     */
   private val maxVersionsPerTrigger = opts.get("maxversionspertrigger").map(_.toLong)
+  private val maxBytesPerTrigger = opts.get("maxbytespertrigger").map(_.toLong)
 
   /** Change-data-feed mode: batches carry a `_change_type` column
     * (insert/delete; an update is a delete+insert pair), so consumers
@@ -91,9 +92,27 @@ final class GraftSource(
     val latest0 = log.latestVersion().getOrElse(return null)
     val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
     val base = Option(startOffset).map(versionV2).getOrElse(-1L)
-    val capped = maxVersionsPerTrigger.fold(latest)(m => math.min(latest, base + m))
+    val byVersions = maxVersionsPerTrigger.fold(latest)(m => math.min(latest, base + m))
+    // bytes-based admission: walk forward accumulating each commit's
+    // added bytes, stopping once the cap is crossed (always admitting
+    // at least one version so a single oversized commit still flows)
+    val capped = maxBytesPerTrigger match {
+      case None => byVersions
+      case Some(maxBytes) =>
+        var v = base
+        var bytes = 0L
+        while (v < byVersions &&
+          (bytes == 0L || bytes + commitBytes(v + 1) <= maxBytes)) {
+          v += 1
+          bytes += commitBytes(v)
+        }
+        v
+    }
     if (capped <= base) null else LongOffset(capped)
   }
+
+  private def commitBytes(v: Long): Long =
+    log.readCommit(v).collect { case a: AddFile if a.dataChange => a.size }.sum
 
   override def reportLatestOffset(): OffsetV2 =
     log.latestVersion().map(LongOffset(_)).orNull

@@ -112,6 +112,21 @@ class GraftSourceSpec extends GraftSparkSpec {
     assert(content.exceptAll(expected).isEmpty && expected.exceptAll(content).isEmpty)
   }
 
+  test("maxBytesPerTrigger admits at least one version per batch") {
+    val region = Tables(spark, sfDir, "region")
+    val path = tmpDir("gsrc-bytes-table")
+    val ckpt = tmpDir("gsrc-bytes-ckpt")
+    val t = GraftTable.create(spark, path, region) // v0
+    t.append(region)                               // v1
+    t.append(region)                               // v2
+    val n = region.count()
+    // 1-byte cap: every batch still admits exactly one version
+    val (rows, batches) = runCounting(path, ckpt, Map("maxBytesPerTrigger" -> "1"))
+    assert(rows.size == 3 * n)
+    assert(batches >= 3, s"expected ≥3 byte-capped batches, got $batches")
+    assert(runOnce(path, ckpt, Map("maxBytesPerTrigger" -> "1")).isEmpty)
+  }
+
   test("readChangeFeed streams row-level inserts and deletes") {
     val nation = Tables(spark, sfDir, "nation")
     val path = tmpDir("gsrc-cdf-table")
