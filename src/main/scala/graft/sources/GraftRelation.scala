@@ -16,11 +16,35 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftRelation(
     override val sqlContext: SQLContext,
-    path: String) extends BaseRelation with PrunedFilteredScan {
+    path: String,
+    options: Map[String, String] = Map.empty) extends BaseRelation with PrunedFilteredScan {
 
   private val table = GraftTable.forPath(sqlContext.sparkSession, path)
 
-  override def schema: StructType = table.snapshot.schema
+  /** Time travel through the reader, Delta-style:
+    * `.option("versionAsOf", n)` / `.option("timestampAsOf", ts)`.
+    */
+  private val pinnedVersion: Option[Long] = {
+    val opts = options.map { case (k, v) => k.toLowerCase -> v }
+    opts.get("versionasof").map(_.toLong)
+      .orElse(opts.get("timestampasof").map(ts =>
+        graft.lake.Snapshot.versionAtTimestamp(table.log, parseTs(ts))))
+  }
+
+  private def parseTs(s: String): Long = {
+    import java.time._
+    val t = s.trim
+    val ldt =
+      try LocalDateTime.parse(t.replace(' ', 'T'))
+      catch { case _: Exception => LocalDate.parse(t).atStartOfDay() }
+    ldt.toInstant(ZoneOffset.UTC).toEpochMilli
+  }
+
+  private def snapshotDf =
+    pinnedVersion.map(table.toDFAt).getOrElse(table.toDF)
+
+  override def schema: StructType =
+    pinnedVersion.map(table.snapshotAt(_).schema).getOrElse(table.snapshot.schema)
 
   /** Planner cost input: on-disk bytes × a decompression factor (the
     * default BaseRelation size is "assume huge, never broadcast").
@@ -54,7 +78,12 @@ final class GraftRelation(
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
-    val df = pred.map(table.readWhere).getOrElse(table.toDF)
+    // pruning (stats/bloom) applies only to the live snapshot; pinned
+    // versions scan their full file set and let Spark filter
+    val df = pinnedVersion match {
+      case Some(_) => pred.map(snapshotDf.filter).getOrElse(snapshotDf)
+      case None => pred.map(table.readWhere).getOrElse(table.toDF)
+    }
     df.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
   }
 }

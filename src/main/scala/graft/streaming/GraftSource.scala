@@ -54,6 +54,12 @@ final class GraftSource(
     */
   private val readChangeFeed = opts.getOrElse("readchangefeed", "false").toBoolean
 
+  /** `startingVersion`: skip the initial snapshot and stream commits
+    * from this version onward (Delta parity) — the "tail the table
+    * from now" mode for tables whose history is too large to replay.
+    */
+  private val startingVersion = opts.get("startingversion").map(_.toLong)
+
   override val schema: StructType = {
     val base = Snapshot.at(spark, log).schema
     if (readChangeFeed) base.add("_change_type", "string") else base
@@ -120,7 +126,7 @@ final class GraftSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = version(end)
     if (readChangeFeed) return StreamShim.asStreaming(cdfBatch(start, endV), this)
-    val batch = start.map(version) match {
+    val batch = start.map(version).orElse(startingVersion.map(_ - 1)) match {
       case None =>
         // initial batch: full snapshot at endV (Delta's "initial
         // snapshot") — DV masks, column mapping, and clone-absolute
@@ -152,7 +158,7 @@ final class GraftSource(
     * diff between the range's endpoints (insert/delete tagged).
     */
   private def cdfBatch(start: Option[OffsetV1], endV: Long): DataFrame =
-    start.map(version) match {
+    start.map(version).orElse(startingVersion.map(_ - 1)) match {
       case None =>
         val snap = Snapshot.at(spark, log, Some(endV))
         table.dfFor(snap, snap.activeFiles)
@@ -243,7 +249,7 @@ final class GraftSourceProvider extends StreamSourceProvider
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation =
-    new graft.sources.GraftRelation(sqlContext, tablePath(parameters))
+    new graft.sources.GraftRelation(sqlContext, tablePath(parameters), parameters)
 
   override def createSink(
       sqlContext: SQLContext,

@@ -35,6 +35,20 @@ class GraftRelationSpec extends GraftSparkSpec {
     assert(sqlCnt == t.toDF.filter(col("l_returnflag") === "R").count())
   }
 
+  test("versionAsOf time travel through the format reader") {
+    val nation = Tables(spark, sfDir, "nation")
+    val path = tmpDir("rel-tt")
+    val t = GraftTable.create(spark, path, nation) // v0
+    t.append(nation.limit(5))                      // v1
+    val v0 = spark.read.format("graftlake")
+      .option("versionAsOf", "0").load(path)
+    assert(v0.count() == nation.count())
+    val live = spark.read.format("graftlake").load(path)
+    assert(live.count() == nation.count() + 5)
+    assert(v0.filter(col("n_nationkey") === 0).count() ==
+      nation.filter(col("n_nationkey") === 0).count())
+  }
+
   test("small lake dimension auto-broadcasts from relation size stats") {
     val nationPath = tmpDir("rel-nation")
     val ordersPath = tmpDir("rel-orders")

@@ -112,6 +112,17 @@ class GraftSourceSpec extends GraftSparkSpec {
     assert(content.exceptAll(expected).isEmpty && expected.exceptAll(content).isEmpty)
   }
 
+  test("startingVersion tails new commits without the initial snapshot") {
+    val region = Tables(spark, sfDir, "region")
+    val path = tmpDir("gsrc-sv-table")
+    val t = GraftTable.create(spark, path, region) // v0
+    t.append(region.limit(2))                      // v1
+    t.append(region.limit(3))                      // v2
+    val got = runOnce(path, tmpDir("gsrc-sv-ckpt"),
+      Map("startingVersion" -> "1"))
+    assert(got.size == 5, s"expected v1+v2 rows only, got ${got.size}")
+  }
+
   test("maxBytesPerTrigger admits at least one version per batch") {
     val region = Tables(spark, sfDir, "region")
     val path = tmpDir("gsrc-bytes-table")
