@@ -153,23 +153,37 @@ object Dedup {
     // therefore materializes to a plan leaf via eager localCheckpoint
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    // per-round cost is shuffle overhead, not data: size the shuffle
+    // to the vertex count (1 partition per 500k vertices, capped)
+    val nV = labels.count()
+    val parts = math.max(1, math.min(200, (nV / 500000L).toInt + 1))
+    val e = edges.repartition(parts, col("v")).cache()
+    e.count()
+    edges.unpersist()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val nbrMin = edges
+      val nbrMin = e
         .join(labels.select(col("id").as("v"), col("label").as("lv")), "v")
         .groupBy("u").agg(min("lv").as("nbr_min"))
-      val next = labels
+      val prop = labels
         .join(nbrMin.select(col("u").as("id"), col("nbr_min")), Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jumping (path compression): follow my new label to ITS
+      // label — converges in O(log diameter) rounds instead of O(diameter)
+      val next = prop
+        .join(prop.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), col("old_label"),
+          coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select("id", "label")
       rounds += 1
     }
     val settled = labels
-    edges.unpersist()
+    e.unpersist()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     settled
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
