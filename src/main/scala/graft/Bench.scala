@@ -20,9 +20,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest sf (not timed)
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // JVM/codegen warmup on the smallest sf (not timed): the join
+    // pipeline (entry) plus the text/dedup pipeline, so the first
+    // timed query of each family measures steady state, not first-ever
+    // whole-stage-codegen compilation
+    Seq(
+      () => SparkEntry.entry(spark),
+      () => graft.operators.Dedup.dedupNgramJaccard(spark, "/root/testdata/sf0.001"))
+      .foreach { q =>
+        try q().write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
