@@ -61,14 +61,7 @@ final class GraftSql(spark: SparkSession) {
   private val timestampAsOfRe: Regex =
     """(?is)\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
 
-  private def parseTsMillis(s: String): Long = {
-    import java.time._
-    val trimmed = s.trim
-    val ldt =
-      try LocalDateTime.parse(trimmed.replace(' ', 'T'))
-      catch { case _: Exception => LocalDate.parse(trimmed).atStartOfDay() }
-    ldt.toInstant(ZoneOffset.UTC).toEpochMilli
-  }
+  private def parseTsMillis(s: String): Long = Snapshot.parseTsMillis(s)
 
   /** Execute one statement; DDL/maintenance returns its metrics as a
     * DataFrame, queries return their result.

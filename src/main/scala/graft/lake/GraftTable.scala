@@ -853,17 +853,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       "numAddedFiles" -> added.toString)
     commitAndCheckpoint(info("OPTIMIZE", metrics = metrics) +: actions.toSeq,
       readVersion = s.version)
-    // compaction invalidates per-file blooms (new file paths have no
-    // sidecar entry → kept, skipping degrades); opt-in recompute
-    // restores point-lookup pruning right after the rewrite
+    maybeRecomputeBlooms(s, removed)
+    metrics
+  }
+
+  /** File rewrites invalidate per-file blooms (new paths have no
+    * sidecar entry → kept, skipping degrades); with
+    * `graft.bloomAutoRecompute=true` every rewrite op restores
+    * point-lookup pruning immediately. Own key, NOT in the
+    * `graft.bloom.<column>` sidecar-pointer namespace.
+    */
+  private def maybeRecomputeBlooms(s: Snapshot, removedFiles: Int): Unit = {
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
-    if (removed > 0 &&
-        props.getOrElse("graft.bloom.autoRecompute", "false").toBoolean)
+    if (removedFiles > 0 &&
+        props.getOrElse("graft.bloomAutoRecompute", "false").toBoolean)
       props.keys.filter(_.startsWith("graft.bloom."))
         .map(_.stripPrefix("graft.bloom."))
         .filter(snapshot.schema.fieldNames.contains)
         .foreach(c => computeBloomFilter(c))
-    metrics
   }
 
   /** OPTIMIZE ... ZORDER BY (cols): full rewrite, rows clustered by
@@ -889,6 +896,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     commitAndCheckpoint(Seq(info("OPTIMIZE ZORDER",
       params = Map("zOrderBy" -> cols.mkString(",")), metrics = metrics)) ++
       removes ++ dvRemoves ++ adds, readVersion = s.version)
+    maybeRecomputeBlooms(s, removes.size)
     metrics
   }
 

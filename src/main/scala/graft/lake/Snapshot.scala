@@ -62,6 +62,19 @@ object Snapshot {
     }
   }
 
+  /** Parse a `yyyy-MM-dd[ HH:mm:ss]` time-travel timestamp as UTC
+    * epoch millis (the engine-wide session timezone) — shared by the
+    * SQL front-end and the format reader.
+    */
+  def parseTsMillis(s: String): Long = {
+    import java.time._
+    val trimmed = s.trim
+    val ldt =
+      try LocalDateTime.parse(trimmed.replace(' ', 'T'))
+      catch { case _: Exception => LocalDate.parse(trimmed).atStartOfDay() }
+    ldt.toInstant(ZoneOffset.UTC).toEpochMilli
+  }
+
   /** Version whose commit timestamp is the latest ≤ `tsMillis`. */
   def versionAtTimestamp(log: TxnLog, tsMillis: Long): Long = {
     val vs = log.listVersions()

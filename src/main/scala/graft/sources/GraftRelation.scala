@@ -28,31 +28,29 @@ final class GraftRelation(
     val opts = options.map { case (k, v) => k.toLowerCase -> v }
     opts.get("versionasof").map(_.toLong)
       .orElse(opts.get("timestampasof").map(ts =>
-        graft.lake.Snapshot.versionAtTimestamp(table.log, parseTs(ts))))
+        graft.lake.Snapshot.versionAtTimestamp(table.log,
+          graft.lake.Snapshot.parseTsMillis(ts))))
   }
 
-  private def parseTs(s: String): Long = {
-    import java.time._
-    val t = s.trim
-    val ldt =
-      try LocalDateTime.parse(t.replace(' ', 'T'))
-      catch { case _: Exception => LocalDate.parse(t).atStartOfDay() }
-    ldt.toInstant(ZoneOffset.UTC).toEpochMilli
-  }
+  // replaying the log per planner call would repeat checkpoint reads
+  // several times within one query's analysis
+  private lazy val pinnedSnapshot = pinnedVersion.map(table.snapshotAt)
 
   private def snapshotDf =
     pinnedVersion.map(table.toDFAt).getOrElse(table.toDF)
 
   override def schema: StructType =
-    pinnedVersion.map(table.snapshotAt(_).schema).getOrElse(table.snapshot.schema)
+    pinnedSnapshot.map(_.schema).getOrElse(table.snapshot.schema)
 
   /** Planner cost input: on-disk bytes × a decompression factor (the
     * default BaseRelation size is "assume huge, never broadcast").
     * This is what lets a small GraftLake dimension auto-broadcast in
-    * joins — the reference's §I point: statistics change plans.
+    * joins — the reference's §I point: statistics change plans. A
+    * pinned version reports ITS size, not the live snapshot's.
     */
   override def sizeInBytes: Long =
-    math.max(1L, table.snapshot.sizeInBytes) * 3
+    math.max(1L,
+      pinnedSnapshot.map(_.sizeInBytes).getOrElse(table.snapshot.sizeInBytes)) * 3
 
   /** We use filters only to skip files; report all as unhandled so
     * Spark keeps the exact post-scan Filter.

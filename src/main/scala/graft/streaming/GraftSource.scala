@@ -62,7 +62,9 @@ final class GraftSource(
 
   override val schema: StructType = {
     val base = Snapshot.at(spark, log).schema
-    if (readChangeFeed) base.add("_change_type", "string") else base
+    if (readChangeFeed && !base.fieldNames.contains("_change_type"))
+      base.add("_change_type", "string")
+    else base
   }
 
   private def version(o: OffsetV1): Long = o match {
@@ -97,7 +99,12 @@ final class GraftSource(
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val latest0 = log.latestVersion().getOrElse(return null)
     val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
-    val base = Option(startOffset).map(versionV2).getOrElse(-1L)
+    // a fresh startingVersion stream begins at startingVersion-1, not
+    // -1 — otherwise trigger caps crawl offsets up through the very
+    // history startingVersion was meant to skip
+    val base = math.max(
+      Option(startOffset).map(versionV2).getOrElse(-1L),
+      startingVersion.map(_ - 1).getOrElse(-1L))
     val byVersions = maxVersionsPerTrigger.fold(latest)(m => math.min(latest, base + m))
     // bytes-based admission: walk forward accumulating each commit's
     // added bytes, stopping once the cap is crossed (always admitting
@@ -107,10 +114,13 @@ final class GraftSource(
       case Some(maxBytes) =>
         var v = base
         var bytes = 0L
-        while (v < byVersions &&
-          (bytes == 0L || bytes + commitBytes(v + 1) <= maxBytes)) {
-          v += 1
-          bytes += commitBytes(v)
+        var continue = true
+        while (continue && v < byVersions) {
+          val next = commitBytes(v + 1)
+          if (bytes == 0L || bytes + next <= maxBytes) {
+            v += 1
+            bytes += next
+          } else continue = false
         }
         v
     }

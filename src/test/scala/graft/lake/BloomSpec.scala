@@ -61,7 +61,7 @@ class BloomSpec extends GraftSparkSpec {
       li.limit(4000).filter(col("l_returnflag") === "R").count())
 
     // opt-in auto-recompute restores skipping right after a compaction
-    t.setTableProperties(Map("graft.bloom.autoRecompute" -> "true"))
+    t.setTableProperties(Map("graft.bloomAutoRecompute" -> "true"))
     t.append(li.limit(500))
     t.append(li.limit(500))
     t.optimize(targetBytes = 1024L * 1024 * 1024)
