@@ -50,6 +50,10 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val updateRe: Regex =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val cloneRe: Regex =
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val bloomRe: Regex =
+    """(?is)^\s*COMPUTE\s+BLOOM\s+(?:ON\s+)?(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*$""".r
   private val renameColRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val dropColRe: Regex =
@@ -120,6 +124,18 @@ final class GraftSql(spark: SparkSession) {
           k.trim -> expr(v.trim)
         }.toMap
         table(name).update(expr(cond), assignments).toSeq.sorted.toDF("metric", "value")
+      case cloneRe(newName, srcName, destPath, v) =>
+        val cloned = GraftTable.shallowClone(spark, table(srcName).path,
+          destPath, Option(v).map(_.toLong))
+        tables(newName) = cloned
+        Seq(("cloned", s"$srcName -> $newName"),
+          ("location", destPath),
+          ("sourceVersion", Option(v).getOrElse("latest")))
+          .toDF("metric", "value")
+      case bloomRe(name, colName) =>
+        val ver = table(name).computeBloomFilter(colName)
+        Seq(("bloomColumn", colName), ("version", ver.toString))
+          .toDF("metric", "value")
       case renameColRe(name, from, to) =>
         val v = table(name).renameColumn(from, to)
         Seq(("renamed", s"$from -> $to"), ("version", v.toString))

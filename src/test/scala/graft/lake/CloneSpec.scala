@@ -67,6 +67,21 @@ class CloneSpec extends GraftSparkSpec {
       src.readWhere(col("l_orderkey") === key).count())
   }
 
+  test("SQL surface: SHALLOW CLONE and COMPUTE BLOOM statements") {
+    val srcPath = tmpDir("clonesql-src")
+    val t = GraftTable.create(spark, srcPath,
+      li.limit(1000).repartition(4, col("l_orderkey")))
+    val g = new GraftSql(spark)
+    g.register("src_t", srcPath)
+    g.sql("COMPUTE BLOOM src_t (l_orderkey)")
+    assert(t.snapshot.metadata.get.properties.keys
+      .exists(_.startsWith("graft.bloom.l_orderkey")))
+    val destPath = tmpDir("clonesql-dst")
+    g.sql(s"CREATE TABLE cl SHALLOW CLONE src_t LOCATION '$destPath'")
+    assert(g.table("cl").toDF.count() == 1000)
+    assert(g.sql("SELECT COUNT(*) AS n FROM cl").head.getLong(0) == 1000)
+  }
+
   test("clone at an older version pins that snapshot") {
     val srcPath = tmpDir("clonev-src")
     val src = GraftTable.create(spark, srcPath, li.limit(100))
