@@ -76,15 +76,10 @@ final class GraftSql(spark: SparkSession) {
       case optimizeRe(name, vorder1, zcols, vorder2, whereCond) =>
         val t = table(name)
         val metrics =
-          if (zcols != null) {
-            // silently ignoring the predicate would full-table-rewrite
-            // exactly the table the WHERE was meant to protect
-            require(whereCond == null,
-              "OPTIMIZE ... ZORDER BY does not support WHERE; " +
-                "zorder the whole table or use OPTIMIZE ... WHERE without ZORDER")
-            t.zorderBy(128L * 1024 * 1024,
+          if (zcols != null)
+            t.zorderWhere(128L * 1024 * 1024,
+              Option(whereCond).map(expr),
               zcols.split(",").map(_.trim).toIndexedSeq: _*)
-          }
           else {
             val m = t.optimize(where = Option(whereCond).map(expr))
             // V-Order ≈ layout optimization flag in the reference

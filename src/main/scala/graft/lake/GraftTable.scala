@@ -877,18 +877,33 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * Morton rank so file min/max ranges are tight on every clustered
     * column (reference 02-lab:139-163).
     */
-  def zorderBy(targetBytes: Long, cols: String*): Map[String, String] = {
+  def zorderBy(targetBytes: Long, cols: String*): Map[String, String] =
+    zorderWhere(targetBytes, None, cols: _*)
+
+  /** `where` scopes the rewrite to files that may match (partition +
+    * stats pruning) — re-cluster only the hot slice of a 100 TB table.
+    * DV retirement applies only on a full (unscoped) rewrite, since a
+    * scoped one leaves masked rows in untouched files.
+    */
+  def zorderWhere(targetBytes: Long, where: Option[Column],
+                  cols: String*): Map[String, String] = {
     val s = snapshot
-    val df = dfForFiles(s, s.activeFiles)
+    val scoped = where match {
+      case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p)
+      case None => s.activeFiles
+    }
+    val df = dfForFiles(s, scoped)
     val z = df.withColumn("__zval", ZOrder.zvalue(df, cols))
-    val nOut = math.max(1, math.ceil(s.sizeInBytes.toDouble / targetBytes).toInt)
+    val scopedBytes = scoped.map(_.size).sum
+    val nOut = math.max(1, math.ceil(scopedBytes.toDouble / targetBytes).toInt)
     val clustered = z.repartitionByRange(nOut, col("__zval"))
       .sortWithinPartitions("__zval").drop("__zval")
     val adds = stageWrite(clustered, s.partitionColumns, dataChange = false)
-    val removes = s.activeFiles.map(f =>
+    val removes = scoped.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
-    // full rewrite materializes merge-on-read deletes → DVs retire
-    val dvRemoves = s.dvFiles.map(RemoveDV)
+    // a FULL rewrite materializes merge-on-read deletes → DVs retire;
+    // a scoped one must keep them (other files' masks still apply)
+    val dvRemoves = if (where.isEmpty) s.dvFiles.map(RemoveDV) else Nil
     val metrics = Map(
       "zOrderBy" -> cols.mkString(","),
       "numRemovedFiles" -> removes.size.toString,

@@ -105,6 +105,17 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(filesFor("R") == 1, s"R should compact, have ${filesFor("R")}")
     assert(filesFor("A") == aBefore, "A partition must be untouched")
     assert(t.toDF.count() == 3 * 2000)
+
+    // scoped ZORDER: only the matching partition's files are rewritten
+    val nBefore = filesFor("N")
+    assert(nBefore >= 2)
+    val aPathsBefore = t.snapshot.activeFiles
+      .filter(_.partitionValues.get("l_returnflag").contains("A")).map(_.path).toSet
+    g.sql("OPTIMIZE tw ZORDER BY (l_orderkey) WHERE l_returnflag = 'N'")
+    val aPathsAfter = t.snapshot.activeFiles
+      .filter(_.partitionValues.get("l_returnflag").contains("A")).map(_.path).toSet
+    assert(aPathsAfter == aPathsBefore, "unscoped partitions must keep their files")
+    assert(t.toDF.count() == 3 * 2000)
   }
 
   test("CHECK constraint rejects violating writes and bad constraint adds") {
