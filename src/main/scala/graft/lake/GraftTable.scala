@@ -1065,6 +1065,11 @@ object GraftTable {
     * never touches the source (its files live outside the clone root).
     * Active source deletion vectors are referenced absolutely too, so
     * MoR-deleted rows stay invisible in the clone.
+    *
+    * Caveat (same as Delta shallow clones): VACUUM on the *source* can
+    * delete files a clone still references — run clones against
+    * sources whose retention covers the clone's lifetime, or OPTIMIZE
+    * the clone (localizing its files) before shortening retention.
     */
   def shallowClone(spark: SparkSession, sourcePath: String, destPath: String,
                    version: Option[Long] = None): GraftTable = {

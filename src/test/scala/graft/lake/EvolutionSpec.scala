@@ -44,6 +44,11 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(t.toDF.count() == 210)
     assert(t.toDF.filter(col("qty").isNotNull).count() == 210)
 
+    // time travel to a pre-rename version reads the OLD logical schema
+    val preRename = t.toDFAt(0)
+    assert(preRename.columns.contains("l_quantity") && !preRename.columns.contains("qty"))
+    assert(preRename.count() == 200)
+
     // rename back to the physical name drops the mapping entry
     t.renameColumn("qty", "l_quantity")
     assert(t.snapshot.colMap.isEmpty)
