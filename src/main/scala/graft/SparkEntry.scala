@@ -70,6 +70,9 @@ object SparkEntry {
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_lsh_ann" -> Similarity.simLshAnn _,
     "sim_ivf" -> Similarity.simIvf _,
+    "pipe_stratified_sample" -> Pipeline.pipeStratifiedSample _,
+    "pipe_mixture" -> Pipeline.pipeMixture _,
+    "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
     "mm_decode_meta" -> Multimodal.mmDecodeMeta _,
     "mm_frame_sample" -> Multimodal.mmFrameSample _,
     "mm_resize_plan" -> Multimodal.mmResizePlan _)
@@ -321,6 +324,25 @@ object SparkEntry {
         "ORDER BY cos_raw DESC, cid) AS rn FROM s) SELECT qid, cid, " +
         "ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 " +
         "ORDER BY qid, rn"),
+    "pipe_stratified_sample" ->
+      ("SELECT doc_id, lang, rn FROM (SELECT doc_id, lang, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn " +
+        "FROM documents) t WHERE rn <= 50 ORDER BY doc_id"),
+    "pipe_mixture" ->
+      ("SELECT doc_id, lang, rn FROM (SELECT doc_id, lang, " +
+        "CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 40 WHEN 'es' THEN 40 " +
+        "WHEN 'fr' THEN 20 WHEN 'zh' THEN 20 ELSE 0 END AS quota, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn " +
+        "FROM documents) t WHERE rn <= quota ORDER BY doc_id"),
+    "pipe_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(trim(text)), " +
+        "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, UNNEST(CASE WHEN len(toks) >= 5 THEN " +
+        "list_transform(generate_series(1, len(toks)-4), " +
+        "i -> array_to_string(toks[i:i+4], ' ')) ELSE []::VARCHAR[] END) AS gram FROM t) " +
+        "SELECT DISTINCT c.doc_id, TRUE AS contaminated FROM g c " +
+        "JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < 20) b ON c.gram = b.gram " +
+        "WHERE c.doc_id >= 20 ORDER BY c.doc_id"),
     "mm_decode_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width, " +

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators a training-data pipeline runs after
+  * cleaning/dedup (SURVEY §2.6+): quota sampling per stratum, weighted
+  * source mixing, and eval-set decontamination. All deterministic and
+  * DuckDB-oracle-checked.
+  *
+  * Scale: every operator is one hash-partitioned window or equi-join —
+  * quotas rank within strata (shuffle on the stratum key only), and
+  * decontamination broadcasts the (small) benchmark n-gram set against
+  * the streaming corpus scan.
+  */
+object Pipeline {
+
+  /** Stratified quota sample: up to `quota` docs per language, chosen
+    * deterministically (lowest doc_id first — substitute a salted hash
+    * rank for a uniform draw).
+    */
+  def pipeStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val quota = 50
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= quota)
+      .select("doc_id", "lang", "rn")
+      .orderBy("doc_id")
+  }
+
+  /** Weighted mixture: language quotas proportional to target weights
+    * (en-heavy), filled deterministically per stratum — the "data
+    * recipe" step that assembles a training mix from cleaned sources.
+    */
+  def pipeMixture(spark: SparkSession, dir: String): DataFrame = {
+    val total = 200
+    val weights: Seq[(String, Double)] =
+      Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
+    val quotaCol = weights.foldLeft(lit(0.0)) { case (acc, (l, wt)) =>
+      when(col("lang") === l, lit(math.round(total * wt).toDouble)).otherwise(acc)
+    }
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables(spark, dir, "documents")
+      .withColumn("quota", quotaCol)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("doc_id")
+  }
+
+  /** Token 5-gram windows of the normalized text. (`sequence` counts
+    * DOWN when start > stop, so short texts need the explicit empty.)
+    */
+  private def ngrams5(text: Column): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val n = size(toks) - 4
+    when(n <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n),
+        i => concat_ws(" ", slice(toks, i, lit(5)))))
+  }
+
+  /** Eval-set decontamination: flag corpus docs (doc_id ≥ 20) sharing
+    * any token 5-gram with the benchmark set (doc_id < 20) — the
+    * overlap check run before training on scraped data. The benchmark
+    * n-gram set is small and broadcast; the corpus explode streams.
+    */
+  def pipeDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") < 20)
+      .select(explode(ngrams5(col("text"))).as("g")).distinct()
+    docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), explode(ngrams5(col("text"))).as("g"))
+      .join(broadcast(bench), "g")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+      .orderBy("doc_id")
+  }
+}
