@@ -73,6 +73,7 @@ object SparkEntry {
     "pipe_stratified_sample" -> Pipeline.pipeStratifiedSample _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
+    "pipe_pack" -> Pipeline.pipePack _,
     "mm_decode_meta" -> Multimodal.mmDecodeMeta _,
     "mm_frame_sample" -> Multimodal.mmFrameSample _,
     "mm_resize_plan" -> Multimodal.mmResizePlan _)
@@ -324,6 +325,13 @@ object SparkEntry {
         "ORDER BY cos_raw DESC, cid) AS rn FROM s) SELECT qid, cid, " +
         "ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 " +
         "ORDER BY qid, rn"),
+    "pipe_pack" ->
+      (s"WITH t AS (SELECT doc_id, lang, $wsTok AS toks FROM documents), " +
+        "c AS (SELECT lang, toks, SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+        "SELECT lang, CAST(FLOOR((cum - toks) / 4096) AS BIGINT) AS pack_id, " +
+        "COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS pack_tokens FROM c " +
+        "GROUP BY lang, pack_id ORDER BY lang, pack_id"),
     "pipe_stratified_sample" ->
       ("SELECT doc_id, lang, rn FROM (SELECT doc_id, lang, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn " +

@@ -51,6 +51,24 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Greedy sequence packing: per-language running token count assigns
+    * each doc to the 4096-token pack it starts in — the batch-assembly
+    * step before tokenized pretraining shards. One window pass per
+    * stratum; pack summaries aggregate map-side.
+    */
+  def pipePack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 4096L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .withColumn("toks", graft.functions.TextFunctions.tokenCount(col("text")))
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("pack_id", floor((col("cum") - col("toks")) / budget).cast("long"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_tokens"))
+      .orderBy("lang", "pack_id")
+  }
+
   /** Token 5-gram windows of the normalized text. (`sequence` counts
     * DOWN when start > stop, so short texts need the explicit empty.)
     */
