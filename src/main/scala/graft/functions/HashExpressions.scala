@@ -170,6 +170,43 @@ object BigramsExpr {
   }
 }
 
+/** Token n-gram windows, single pass — same normalization as
+  * [[BigramsExpr]] (trim, lowercase, whitespace split) but emitting
+  * `n`-token windows. Native because the higher-order-function
+  * equivalent (transform + slice + concat_ws) runs interpreted and
+  * re-walks the token array per window.
+  */
+case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    NgramsExpr.kernel(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s"graft.functions.NgramsExpr.kernel($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramsExpr =
+    copy(child = c)
+}
+
+object NgramsExpr {
+  def kernel(v: UTF8String, n: Int): ArrayData = {
+    val tokens = v.toString.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val count = math.max(0, tokens.length - n + 1)
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder(tokens(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(tokens(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   private def unary(name: String)(build: Expression => Expression)
       : Seq[Expression] => Expression = { exprs =>
@@ -188,5 +225,14 @@ object GraftFunctions {
       unary("graft_minhash32")(MinHashSig32.apply), "built-in")
     reg.createOrReplaceTempFunction("graft_bigrams",
       unary("graft_bigrams")(BigramsExpr.apply), "built-in")
+    reg.createOrReplaceTempFunction("graft_ngrams", { exprs =>
+      require(exprs.size == 2, s"graft_ngrams expects (text, n), got ${exprs.size} args")
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_ngrams n must be an integer literal, got $other")
+      }
+      NgramsExpr(exprs.head, n)
+    }, "built-in")
   }
 }

@@ -69,16 +69,13 @@ object Pipeline {
       .orderBy("lang", "pack_id")
   }
 
-  /** Token 5-gram windows of the normalized text. (`sequence` counts
-    * DOWN when start > stop, so short texts need the explicit empty.)
+  /** Token 5-gram windows of the normalized text — the native
+    * single-pass [[graft.functions.NgramsExpr]] kernel (the HOF
+    * transform+slice equivalent runs interpreted per window).
     */
-  private def ngrams5(text: Column): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val n = size(toks) - 4
-    when(n <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), n),
-        i => concat_ws(" ", slice(toks, i, lit(5)))))
-  }
+  private def ngrams5(text: Column): Column =
+    graft.lake.GraftExpr.column(
+      graft.functions.NgramsExpr(graft.lake.GraftExpr.expression(text), 5))
 
   /** Eval-set decontamination: flag corpus docs (doc_id ≥ 20) sharing
     * any token 5-gram with the benchmark set (doc_id < 20) — the
