@@ -158,16 +158,9 @@ case class BigramsExpr(child: Expression) extends UnaryExpression {
 }
 
 object BigramsExpr {
-  def kernel(v: UTF8String): ArrayData = {
-    val tokens = v.toString.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    val out = new Array[Any](math.max(0, tokens.length - 1))
-    var i = 0
-    while (i + 1 < tokens.length) {
-      out(i) = UTF8String.fromString(tokens(i) + " " + tokens(i + 1))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  // one tokenization/normalization implementation: delegate to the
+  // generalized kernel so the two can never diverge
+  def kernel(v: UTF8String): ArrayData = NgramsExpr.kernel(v, 2)
 }
 
 /** Token n-gram windows, single pass — same normalization as

@@ -797,6 +797,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * ceil(totalSmall/target) right-sized files. `dataChange=false` —
     * rewrites are invisible to incremental readers.
     */
+  /** Force predicate analysis against the table schema so a typo'd
+    * column fails loudly instead of matching nothing — in maintenance
+    * ops "prunes nothing" means a silent full-table rewrite.
+    */
+  private def validatePredicate(s: Snapshot, p: Column): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
+      .filter(p).asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.analyzed
+
   /** `where` scopes compaction to files that may match the predicate
     * (partition values + footer stats) — `OPTIMIZE ... WHERE`, for
     * compacting just the hot partitions of a 100 TB table.
@@ -804,6 +813,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def optimize(targetBytes: Long = 128L * 1024 * 1024,
                where: Option[Column] = None): Map[String, String] = {
     val s = snapshot
+    where.foreach(validatePredicate(s, _))
     var removed = 0
     var added = 0
     val actions = scala.collection.mutable.Buffer[Action]()
@@ -888,10 +898,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def zorderWhere(targetBytes: Long, where: Option[Column],
                   cols: String*): Map[String, String] = {
     val s = snapshot
+    where.foreach(validatePredicate(s, _))
     val scoped = where match {
       case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p)
       case None => s.activeFiles
     }
+    if (scoped.isEmpty)
+      return Map("numRemovedFiles" -> "0", "numAddedFiles" -> "0")
     val df = dfForFiles(s, scoped)
     val z = df.withColumn("__zval", ZOrder.zvalue(df, cols))
     val scopedBytes = scoped.map(_.size).sum
@@ -901,9 +914,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val adds = stageWrite(clustered, s.partitionColumns, dataChange = false)
     val removes = scoped.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
-    // a FULL rewrite materializes merge-on-read deletes → DVs retire;
-    // a scoped one must keep them (other files' masks still apply)
-    val dvRemoves = if (where.isEmpty) s.dvFiles.map(RemoveDV) else Nil
+    // a rewrite covering EVERY active file materializes merge-on-read
+    // deletes → DVs retire; a partial one must keep them (untouched
+    // files' masks still apply; entries for rewritten paths go stale
+    // harmlessly and retire on the next full rewrite)
+    val dvRemoves =
+      if (scoped.size == s.activeFiles.size) s.dvFiles.map(RemoveDV) else Nil
     val metrics = Map(
       "zOrderBy" -> cols.mkString(","),
       "numRemovedFiles" -> removes.size.toString,

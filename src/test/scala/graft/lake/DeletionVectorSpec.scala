@@ -35,6 +35,35 @@ class DeletionVectorSpec extends GraftSparkSpec {
     assert(t.toDF.count() == expected)
   }
 
+  test("scoped zorder keeps DV masks for untouched files; full rewrite retires") {
+    val t = GraftTable.create(spark, tmpDir("dv-scoped"),
+      li.limit(3000), Seq("l_returnflag"))
+    // mask rows inside partition A via merge-on-read
+    t.deleteMergeOnRead(col("l_returnflag") === "A" && col("l_quantity") < 10.0)
+    val maskedVisible = t.toDF
+      .filter(col("l_returnflag") === "A" && col("l_quantity") < 10.0).count()
+    assert(maskedVisible == 0)
+    // scoped rewrite of a DIFFERENT partition must not drop A's masks
+    t.zorderWhere(128L * 1024 * 1024, Some(col("l_returnflag") === "N"), "l_orderkey")
+    assert(t.snapshot.dvFiles.nonEmpty, "partial rewrite must keep DVs")
+    assert(t.toDF
+      .filter(col("l_returnflag") === "A" && col("l_quantity") < 10.0).count() == 0,
+      "scoped rewrite of N must not resurrect A's masked rows")
+    // a predicate covering every file is a full rewrite -> DVs retire
+    t.zorderWhere(128L * 1024 * 1024, Some(col("l_quantity") >= -1.0), "l_orderkey")
+    assert(t.snapshot.dvFiles.isEmpty, "full-coverage rewrite must retire DVs")
+    assert(t.toDF
+      .filter(col("l_returnflag") === "A" && col("l_quantity") < 10.0).count() == 0)
+
+    // typo'd predicate fails loudly instead of rewriting everything
+    intercept[org.apache.spark.sql.AnalysisException] {
+      t.zorderWhere(128L * 1024 * 1024, Some(col("l_returnflg") === "A"), "l_orderkey")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      t.optimize(where = Some(col("no_such_col") === 1))
+    }
+  }
+
   test("CoW ops on a DV'd table do not resurrect masked rows") {
     val t = GraftTable.create(spark, tmpDir("dv3"), li.repartition(4))
     t.deleteMergeOnRead(col("l_returnflag") === "R")
