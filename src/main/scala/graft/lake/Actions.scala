@@ -53,6 +53,13 @@ final case class CommitInfo(
 final case class AddDV(path: String) extends Action
 final case class RemoveDV(path: String) extends Action
 
+/** Streaming-writer transaction marker (Delta `txn` action): the
+  * latest epoch committed per stream id, replayed into snapshot state
+  * so the exactly-once dedup check is an O(1) map lookup instead of an
+  * O(history) log scan per micro-batch.
+  */
+final case class SetTxn(appId: String, epoch: Long) extends Action
+
 object Actions {
 
   private def q(s: String): String = "\"" + s.flatMap {
@@ -112,6 +119,8 @@ object Actions {
         "metrics" -> strMap(c.metrics)))
     case d: AddDV => obj("addDV" -> obj("path" -> q(d.path)))
     case d: RemoveDV => obj("removeDV" -> obj("path" -> q(d.path)))
+    case t: SetTxn =>
+      obj("txn" -> obj("appId" -> q(t.appId), "epoch" -> t.epoch.toString))
   }
 
   private val mapper = new ObjectMapper()
@@ -165,6 +174,9 @@ object Actions {
           asStrMap(m.getOrElse("metrics", null)))
       case ("addDV", v) =>
         AddDV(v.asInstanceOf[java.util.Map[String, Any]].asScala("path").toString)
+      case ("txn", v) =>
+        val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
+        SetTxn(m("appId").toString, String.valueOf(m("epoch")).toLong)
       case ("removeDV", v) =>
         RemoveDV(v.asInstanceOf[java.util.Map[String, Any]].asScala("path").toString)
       case (other, _) =>

@@ -586,24 +586,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * exactly-once from foreachBatch (SURVEY §2.1 L16).
     */
   def appendStreamBatch(appId: String, epochId: Long, df: DataFrame): Long = {
-    val seen = (0L to version).exists { v =>
-      log.readCommit(v).exists {
-        case c: CommitInfo =>
-          c.parameters.get("streamAppId").contains(appId) &&
-            c.parameters.get("epochId").contains(epochId.toString)
-        case _ => false
-      }
-    }
-    if (seen) version
+    val s = snapshot
+    // exactly-once dedup: epochs are monotone per stream, so "already
+    // seen" is an O(1) lookup in the replayed txn state (the Delta
+    // SetTransaction pattern) — NOT an O(history) log scan per batch
+    val seen = s.txns.get(appId).exists(_ >= epochId)
+    if (seen) s.version
     else {
-      val s = snapshot
       // same write shaping as batch append: generated columns + bin-pack
       val shaped = optimizeWriteShape(applyGeneratedColumns(df, s), s)
       validateConstraints(shaped, s)
       enforceSchema(shaped.schema, s.schema)
       val adds = stageWrite(shaped, s.partitionColumns, dataChange = true)
-      val v = commitAndCheckpoint(info("STREAMING UPDATE",
-        params = Map("streamAppId" -> appId, "epochId" -> epochId.toString)) +: adds)
+      val v = commitAndCheckpoint(Seq(
+        info("STREAMING UPDATE",
+          params = Map("streamAppId" -> appId, "epochId" -> epochId.toString)),
+        SetTxn(appId, epochId)) ++ adds)
       maybeAutoOptimize()
       v
     }

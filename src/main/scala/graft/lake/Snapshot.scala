@@ -13,7 +13,8 @@ final case class Snapshot(
     version: Long,
     metadata: Option[Metadata],
     activeFiles: Seq[AddFile],
-    dvFiles: Seq[String] = Nil) {
+    dvFiles: Seq[String] = Nil,
+    txns: Map[String, Long] = Map.empty) {
 
   def schema: StructType =
     metadata.map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -87,14 +88,16 @@ object Snapshot {
     var meta: Option[Metadata] = None
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val dvs = scala.collection.mutable.LinkedHashSet[String]()
+    val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     (base ++ tail).foreach {
       case m: Metadata => meta = Some(m)
       case a: AddFile => files(a.path) = a
       case r: RemoveFile => files.remove(r.path)
       case d: AddDV => dvs += d.path
       case d: RemoveDV => dvs -= d.path
+      case t: SetTxn => txns(t.appId) = math.max(t.epoch, txns.getOrElse(t.appId, Long.MinValue))
       case _: CommitInfo => ()
     }
-    Snapshot(v, meta, files.values.toSeq, dvs.toSeq)
+    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap)
   }
 }

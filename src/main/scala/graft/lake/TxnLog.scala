@@ -98,7 +98,8 @@ final class TxnLog(val tablePath: String) {
     val state = Snapshot.replay(this, v)
     val lines = state.metadata.toSeq.map(m => Actions.toJson(m)) ++
       state.activeFiles.map(a => Actions.toJson(a)) ++
-      state.dvFiles.map(p => Actions.toJson(AddDV(p)))
+      state.dvFiles.map(p => Actions.toJson(AddDV(p))) ++
+      state.txns.toSeq.map { case (app, e) => Actions.toJson(SetTxn(app, e)) }
     import spark.implicits._
     spark.createDataset(lines).toDF("action")
       .coalesce(1).write.mode("overwrite").parquet(ckptPath(v).toString)
