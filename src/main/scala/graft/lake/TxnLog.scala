@@ -39,7 +39,19 @@ final class TxnLog(val tablePath: String) {
       finally s.close()
     }
 
-  def latestVersion(): Option[Long] = listVersions().lastOption
+  /** O(tail) instead of O(history): probe upward from the last
+    * checkpoint version (commits are dense, so the first missing file
+    * bounds the latest) rather than listing a directory that holds one
+    * entry per commit ever made.
+    */
+  def latestVersion(): Option[Long] = {
+    if (!exists) return None
+    var v = lastCheckpointVersion().getOrElse(-1L)
+    if (v < 0 && !Files.exists(versionFile(0))) return None
+    if (v < 0) v = 0
+    while (Files.exists(versionFile(v + 1))) v += 1
+    Some(v)
+  }
 
   /** Atomically write `actions` as the next commit. Returns the
     * committed version. CREATE_NEW loses cleanly on a race; the
