@@ -589,8 +589,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s = snapshot
     // exactly-once dedup: epochs are monotone per stream, so "already
     // seen" is an O(1) lookup in the replayed txn state (the Delta
-    // SetTransaction pattern) — NOT an O(history) log scan per batch
-    val seen = s.txns.get(appId).exists(_ >= epochId)
+    // SetTransaction pattern) — NOT an O(history) log scan per batch.
+    // Tables written before txn actions existed recorded only
+    // CommitInfo params: fall back to the legacy scan exactly when the
+    // stream id has no txn entry (once per legacy stream, then the new
+    // commit carries SetTxn and the fast path takes over).
+    val seen = s.txns.get(appId) match {
+      case Some(last) => last >= epochId
+      case None =>
+        (0L to s.version).exists { v =>
+          log.readCommit(v).exists {
+            case c: CommitInfo =>
+              c.parameters.get("streamAppId").contains(appId) &&
+                c.parameters.get("epochId").exists(_.toLong >= epochId)
+            case _ => false
+          }
+        }
+    }
     if (seen) s.version
     else {
       // same write shaping as batch append: generated columns + bin-pack

@@ -46,7 +46,10 @@ final case class Snapshot(
 
 object Snapshot {
 
-  /** Pure-JSON replay (no Spark needed) — used by checkpoint writing. */
+  /** Pure-JSON replay from version 0 (no Spark, no checkpoint). Kept
+    * for diagnostics; the hot paths go through [[at]]'s checkpoint
+    * fast path.
+    */
   private[lake] def replay(log: TxnLog, v: Long): Snapshot =
     applyActions(v, Nil, (0L to v).flatMap(log.readCommit))
 

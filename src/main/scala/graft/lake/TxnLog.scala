@@ -96,9 +96,15 @@ final class TxnLog(val tablePath: String) {
 
   // --- checkpointing -----------------------------------------------------
 
+  /** Tolerant read: `_last_checkpoint` is advisory — a torn/empty file
+    * (crash mid-write, pre-atomic-rename versions) must degrade to
+    * "no checkpoint", never crash the read/commit path.
+    */
   private def lastCheckpointVersion(): Option[Long] =
     if (!Files.exists(lastCkptFile)) None
-    else Some(new String(Files.readAllBytes(lastCkptFile), StandardCharsets.UTF_8).trim.toLong)
+    else scala.util.Try(
+      new String(Files.readAllBytes(lastCkptFile), StandardCharsets.UTF_8)
+        .trim.toLong).toOption
 
   private def ckptPath(v: Long): Path = ckptDir.resolve(f"ckpt-$v%020d")
 
@@ -107,7 +113,9 @@ final class TxnLog(val tablePath: String) {
     * [[GraftTable]] after commits.
     */
   def writeCheckpoint(spark: SparkSession, v: Long): Unit = {
-    val state = Snapshot.replay(this, v)
+    // seed from the previous checkpoint + tail, not a from-zero replay
+    // — otherwise every 10th commit costs O(full history) JSON reads
+    val state = Snapshot.at(spark, this, Some(v))
     val lines = state.metadata.toSeq.map(m => Actions.toJson(m)) ++
       state.activeFiles.map(a => Actions.toJson(a)) ++
       state.dvFiles.map(p => Actions.toJson(AddDV(p))) ++
@@ -115,7 +123,17 @@ final class TxnLog(val tablePath: String) {
     import spark.implicits._
     spark.createDataset(lines).toDF("action")
       .coalesce(1).write.mode("overwrite").parquet(ckptPath(v).toString)
-    Files.write(lastCkptFile, v.toString.getBytes(StandardCharsets.UTF_8))
+    // atomic pointer swap: readers must never observe a torn file
+    val tmp = logDir.resolve(s"_last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, lastCkptFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, lastCkptFile,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** (checkpointVersion, actions) if a usable checkpoint ≤ v exists. */
