@@ -59,6 +59,15 @@ class LakeSpec extends GraftSparkSpec {
     val t2 = GraftTable.forPath(spark, t.path)
     assert(t2.snapshot.activeFiles.map(_.path).toSet ==
       t.snapshot.activeFiles.map(_.path).toSet)
+
+    // a torn _last_checkpoint (crash mid-write) must degrade to full
+    // replay, never break reads or commits
+    val ptr = java.nio.file.Paths.get(t.path, "_graft_log", "_last_checkpoint")
+    java.nio.file.Files.write(ptr, Array.emptyByteArray)
+    val t3 = GraftTable.forPath(spark, t.path)
+    assert(t3.toDF.count() == 100 + 120)
+    t3.append(li.limit(5)) // commit path also survives
+    assert(t3.toDF.count() == 100 + 125)
   }
 
   test("vacuum dry run lists compacted-away files, real run deletes them") {
