@@ -23,13 +23,22 @@ object Bench {
     // JVM/codegen warmup on the smallest sf (not timed): the join
     // pipeline (entry) plus the text/dedup pipeline, so the first
     // timed query of each family measures steady state, not first-ever
-    // whole-stage-codegen compilation
+    // whole-stage-codegen compilation. The warmup dir derives from the
+    // benched dir (sibling sf0.001 when present, else the benched sf
+    // itself) so the warmup can't silently no-op on hosts laid out
+    // differently from ours and skew the first timed query.
+    val warmDir = {
+      val sibling = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(sibling)) sibling.toString else sfDir
+    }
     Seq(
       () => SparkEntry.entry(spark),
-      () => graft.operators.Dedup.dedupNgramJaccard(spark, "/root/testdata/sf0.001"))
+      () => graft.operators.Dedup.dedupNgramJaccard(spark, warmDir))
       .foreach { q =>
         try q().write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup query skipped: ${e.getMessage}")
+        }
       }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -190,11 +190,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     import sp.implicits._
     perFile.toSeq.toDF("file_path", "bloom")
       .coalesce(1).write.parquet(s"$path/$rel")
-    commitAndCheckpoint(Seq(
+    commitMetadataMerge(
       info("COMPUTE BLOOM", params = Map("column" -> column, "fpp" -> fpp.toString),
-        metrics = Map("numFiles" -> perFile.length.toString)),
-      s.metadata.get.copy(properties =
-        s.metadata.get.properties + (s"graft.bloom.$column" -> rel))))
+        metrics = Map("numFiles" -> perFile.length.toString)))(m =>
+      m.copy(properties = m.properties + (s"graft.bloom.$column" -> rel)))
   }
 
   /** Drop files whose bloom proves they can't contain an `attr = lit`
@@ -321,11 +320,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * fresh snapshot. Adds-only commits (appends) never conflict and
     * keep the blind-retry fast path — exactly Delta's rule set.
     */
-  private def commitAndCheckpoint(actions: Seq[Action], readVersion: Long = -1L,
-                                  readPaths: Set[String] = Set.empty): Long = {
+  private[lake] def commitAndCheckpoint(actions: Seq[Action], readVersion: Long = -1L,
+                                        readPaths: Set[String] = Set.empty,
+                                        metadataConflict: Boolean = false): Long = {
     val deps = actions.collect { case r: RemoveFile => r.path }.toSet ++ readPaths
     val v =
-      if (readVersion < 0 || deps.isEmpty) log.commit(actions)
+      if (readVersion < 0 || (deps.isEmpty && !metadataConflict)) log.commit(actions)
       else {
         var committed = -1L
         while (committed < 0) {
@@ -341,10 +341,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           // stack fine and stay on the fast path).
           val dvAdded = actions.exists(_.isInstanceOf[RemoveFile]) &&
             intervening.exists(_.isInstanceOf[AddDV])
-          if (conflicting.nonEmpty || dvAdded)
+          // schema-changing commits (rename/drop/mergeSchema/restore)
+          // write a full Metadata copied from their read snapshot — if
+          // another Metadata landed meanwhile, blindly committing would
+          // silently revert it (lost update). Delta fails the txn on
+          // concurrent metadata updates; so do we.
+          val metaChanged = metadataConflict &&
+            intervening.exists(_.isInstanceOf[Metadata])
+          if (conflicting.nonEmpty || dvAdded || metaChanged)
             throw new java.util.ConcurrentModificationException(
               s"table $path changed since version $readVersion: " +
-                (if (dvAdded) "a concurrent merge-on-read delete added a deletion vector"
+                (if (metaChanged) "a concurrent commit updated the table metadata"
+                 else if (dvAdded) "a concurrent merge-on-read delete added a deletion vector"
                  else s"${conflicting.size} of this operation's input files were " +
                    "removed by a concurrent commit") +
                 "; re-run against the new snapshot")
@@ -354,6 +362,28 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }
     log.maybeCheckpoint(spark, v)
     v
+  }
+
+  /** Commit a metadata transform evaluated against the FRESHEST
+    * metadata inside the retry loop. Property-merge commits (ANALYZE
+    * stats, bloom sidecar pointers, SET TBLPROPERTIES) don't depend on
+    * the schema they read — re-applying the merge onto whatever
+    * metadata won an interleaved race preserves the concurrent change
+    * instead of clobbering it with a stale copy, and spares
+    * long-running callers (computeBloomFilter holds its snapshot
+    * across a whole-table scan) from failing after the expensive part.
+    */
+  private[lake] def commitMetadataMerge(op: CommitInfo)(f: Metadata => Metadata): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val latest = log.latestVersion().getOrElse(
+        throw new IllegalStateException(s"not a GraftLake table: $path"))
+      val fresh = snapshotAt(latest).metadata.getOrElse(
+        throw new IllegalStateException(s"table $path has no metadata"))
+      if (log.tryCommitAt(latest + 1, Seq(op, f(fresh)))) committed = latest + 1
+    }
+    log.maybeCheckpoint(spark, committed)
+    committed
   }
 
   private def info(op: String, params: Map[String, String] = Map.empty,
@@ -455,6 +485,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           s"column ${f.name} was previously dropped and its bytes remain in old " +
             "files; OPTIMIZE to purge them (then clear the graft.dropped property) " +
             "or use a different name")
+        // mirror of the rename guard: a new column named like a renamed
+        // column's PHYSICAL parquet name would make stageWrite bind two
+        // logical columns to one physical name (duplicate-column write
+        // failure, or misbound reads)
+        require(!s.colMap.values.toSet.contains(f.name),
+          s"column ${f.name} collides with the on-disk (physical) name of a " +
+            "renamed column; use a different name")
       }
       val merged = StructType(table.fields ++ newFields)
       val adds = stageWrite(df, s.partitionColumns, dataChange = true)
@@ -463,7 +500,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         else Seq(s.metadata.get.copy(schemaJson = merged.json))
       commitAndCheckpoint(Seq(info("APPEND",
         params = Map("mergeSchema" -> "true"),
-        metrics = Map("numFiles" -> adds.size.toString))) ++ metaActions ++ adds)
+        metrics = Map("numFiles" -> adds.size.toString))) ++ metaActions ++ adds,
+        readVersion = if (newFields.isEmpty) -1L else s.version,
+        metadataConflict = newFields.nonEmpty)
     }
   }
 
@@ -483,11 +522,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val newSchema = StructType(s.schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     val props0 = s.metadata.get.properties - s"graft.colmap.$oldName"
-    val props = if (phys == newName) props0
+    val props1 = if (phys == newName) props0
       else props0 + (s"graft.colmap.$newName" -> phys)
+    // logical-name-keyed sidecar properties follow the rename: a bloom
+    // or stats entry left under the old name would be consulted again
+    // if a LATER rename reuses that name — built from a different
+    // column's values, it could wrongly skip files (silently incorrect
+    // reads, not just degraded skipping)
+    val props = Seq("graft.bloom.", "graft.stats.", "graft.generated.")
+      .foldLeft(props1) { (p, pre) =>
+        p.get(pre + oldName) match {
+          case Some(v) => p - (pre + oldName) + (pre + newName -> v)
+          case None => p
+        }
+      }
     commitAndCheckpoint(Seq(
       info("RENAME COLUMN", params = Map("from" -> oldName, "to" -> newName)),
-      s.metadata.get.copy(schemaJson = newSchema.json, properties = props)))
+      s.metadata.get.copy(schemaJson = newSchema.json, properties = props)),
+      readVersion = s.version, metadataConflict = true)
   }
 
   /** DROP COLUMN as a metadata-only commit: the column vanishes from
@@ -502,20 +554,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     require(!s.partitionColumns.contains(name), "cannot drop a partition column")
     require(s.schema.size > 1, "cannot drop the last column")
     val newSchema = StructType(s.schema.fields.filterNot(_.name == name))
-    val props = s.metadata.get.properties - s"graft.colmap.$name" +
+    val props = s.metadata.get.properties - s"graft.colmap.$name" -
+      s"graft.bloom.$name" - s"graft.stats.$name" - s"graft.generated.$name" +
       (s"graft.dropped.${s.physicalName(name)}" -> "true")
     commitAndCheckpoint(Seq(
       info("DROP COLUMN", params = Map("name" -> name)),
-      s.metadata.get.copy(schemaJson = newSchema.json, properties = props)))
+      s.metadata.get.copy(schemaJson = newSchema.json, properties = props)),
+      readVersion = s.version, metadataConflict = true)
   }
 
   /** Merge key/value pairs into the table properties (one commit). */
-  def setTableProperties(props: Map[String, String]): Long = {
-    val s = snapshot
-    commitAndCheckpoint(Seq(
-      info("SET TBLPROPERTIES", params = props),
-      s.metadata.get.copy(properties = s.metadata.get.properties ++ props)))
-  }
+  def setTableProperties(props: Map[String, String]): Long =
+    commitMetadataMerge(info("SET TBLPROPERTIES", params = props))(m =>
+      m.copy(properties = m.properties ++ props))
 
   /** Row-level changes between two versions as a snapshot diff:
     * `_change_type` ∈ {insert, delete} (an update appears as a
@@ -540,10 +591,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .filter(coalesce(expr(exprSql), lit(true)) === false).count()
     require(violations == 0,
       s"cannot add constraint $name: $violations existing rows violate ($exprSql)")
-    val props = s.metadata.get.properties + (s"graft.constraint.$name" -> exprSql)
-    commitAndCheckpoint(Seq(
-      info("ADD CONSTRAINT", params = Map("name" -> name, "expr" -> exprSql)),
-      s.metadata.get.copy(properties = props)))
+    // property-merge commit, but the validation scan above read data at
+    // `s` — an intervening write could add violating rows; merging onto
+    // fresh metadata still enforces the constraint on all FUTURE writes,
+    // which is the Delta guarantee (existing-row check is best-effort
+    // point-in-time there too)
+    commitMetadataMerge(
+      info("ADD CONSTRAINT", params = Map("name" -> name, "expr" -> exprSql)))(m =>
+      m.copy(properties = m.properties + (s"graft.constraint.$name" -> exprSql)))
   }
 
   private def validateConstraints(df: DataFrame, s: Snapshot): Unit = {
@@ -988,7 +1043,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val dvAdds = target.dvFiles.map(AddDV)
     val actions = Seq(info("RESTORE", params = Map("version" -> v.toString))) ++
       target.metadata.toSeq ++ removes ++ dvRemoves ++ target.activeFiles ++ dvAdds
-    commitAndCheckpoint(actions, readVersion = current.version)
+    commitAndCheckpoint(actions, readVersion = current.version,
+      metadataConflict = true)
   }
 
   /** DESCRIBE HISTORY equivalent (reference 02-lab:205-211). */
@@ -1027,12 +1083,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Option(row.getAs[String](s"mn_$c")).getOrElse(""),
         Option(row.getAs[String](s"mx_$c")).getOrElse(""))
     }
-    val props = s.metadata.get.properties ++ out.map { case (c, t, d, n, mn, mx) =>
+    val statProps = out.map { case (c, t, d, n, mn, mx) =>
       s"graft.stats.$c" -> s"rows=$t;distinct=$d;nulls=$n;min=$mn;max=$mx"
-    }
-    commitAndCheckpoint(Seq(
-      info("ANALYZE", metrics = Map("numColumns" -> cols.size.toString)),
-      s.metadata.get.copy(properties = props)))
+    }.toMap
+    commitMetadataMerge(
+      info("ANALYZE", metrics = Map("numColumns" -> cols.size.toString)))(m =>
+      m.copy(properties = m.properties ++ statProps))
     out.toDF("column", "n_rows", "n_distinct", "n_nulls", "min", "max")
   }
 }

@@ -202,10 +202,21 @@ final class GraftSink(
     path: String,
     options: Map[String, String]) extends org.apache.spark.sql.execution.streaming.Sink {
 
-  private val appId = options.map { case (k, v) => k.toLowerCase -> v }
-    .getOrElse("queryid",
-      options.map { case (k, v) => k.toLowerCase -> v }
-        .getOrElse("checkpointlocation", path))
+  // The dedup identity must be unique per query: falling back to the
+  // table path would make two queries writing the same table (or one
+  // relying on spark.sql.streaming.checkpointLocation) share
+  // (appId, epoch) — the SetTxn dedup would silently DROP the second
+  // query's early batches. Fail fast instead.
+  private val appId = {
+    val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    lower.get("queryid").orElse(lower.get("checkpointlocation")).getOrElse(
+      throw new IllegalArgumentException(
+        "graftlake sink requires a per-query identity for exactly-once " +
+          "dedup: set .option(\"checkpointLocation\", ...) (or " +
+          ".option(\"queryId\", ...)) on the writer — the session-wide " +
+          "spark.sql.streaming.checkpointLocation conf is not visible " +
+          "to the sink"))
+  }
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = StreamShim.asBatch(data)

@@ -60,6 +60,41 @@ class ConcurrencySpec extends GraftSparkSpec {
     }
   }
 
+  test("schema-changing commits fail on an intervening metadata commit") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val t = GraftTable.create(spark, tmpDir("metaconflict"), li.limit(20))
+    val stale = t.snapshot                                   // v0
+    t.setTableProperties(Map("owner" -> "team-a"))           // v1 intervenes
+    // a rename-style commit planned against v0 would clobber v1's
+    // properties — it must fail, not silently revert them
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitAndCheckpoint(Seq(
+        CommitInfo(System.currentTimeMillis(), "TEST", Map.empty, Map.empty),
+        stale.metadata.get),
+        readVersion = stale.version, metadataConflict = true)
+    }
+    assert(t.snapshot.metadata.get.properties.get("owner").contains("team-a"))
+  }
+
+  test("property-merge commits retry onto metadata committed mid-flight") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val t = GraftTable.create(spark, tmpDir("metamerge"), li.limit(20))
+    val other = GraftTable.forPath(spark, t.path)
+    // land a rename BETWEEN the merge's metadata read and its commit
+    // attempt: the first tryCommitAt loses the version race and the
+    // retry must re-apply the merge onto the renamed schema
+    var interleaved = false
+    t.commitMetadataMerge(
+      CommitInfo(System.currentTimeMillis(), "TEST MERGE", Map.empty, Map.empty)) { m =>
+      if (!interleaved) { interleaved = true; other.renameColumn("l_tax", "tax") }
+      m.copy(properties = m.properties + ("graft.test.k" -> "v"))
+    }
+    val s = t.snapshot
+    assert(s.metadata.get.properties.get("graft.test.k").contains("v"))
+    assert(s.schema.fieldNames.contains("tax") && !s.schema.fieldNames.contains("l_tax"),
+      "the concurrent rename must survive the property merge")
+  }
+
   test("extensions installer registers functions on a fresh session") {
     val s2 = spark.newSession()
     new graft.GraftExtensions() // construct ok; registry path exercised via GraftFunctions

@@ -77,6 +77,49 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(t.toDF.count() == 100)
   }
 
+  test("rename re-keys bloom/stats sidecars; reusing the old name sees no stale bloom") {
+    val t = GraftTable.create(spark, tmpDir("rename-bloom"),
+      li.limit(4000).repartition(6, col("l_orderkey")))
+    t.computeBloomFilter("l_returnflag")
+    t.computeStats()
+    t.renameColumn("l_returnflag", "flag")
+    val props = t.snapshot.metadata.get.properties
+    assert(props.contains("graft.bloom.flag") && !props.contains("graft.bloom.l_returnflag"),
+      "bloom sidecar pointer must follow the rename")
+    assert(props.contains("graft.stats.flag") && !props.contains("graft.stats.l_returnflag"))
+    // the re-keyed bloom still skips: physical values are unchanged
+    val (kept, total) = t.pruneFiles(col("flag") === "B")
+    assert(kept == 0 && total > 0, s"re-keyed bloom should skip all, kept $kept/$total")
+
+    // a LATER rename reusing the old name must NOT inherit the old
+    // column's bloom — it was built from different values and could
+    // wrongly skip files that DO contain matching rows
+    t.renameColumn("l_linestatus", "l_returnflag")
+    assert(!t.snapshot.metadata.get.properties.contains("graft.bloom.l_returnflag"))
+    val expected = li.limit(4000).filter(col("l_linestatus") === "F").count()
+    assert(expected > 0)
+    assert(t.readWhere(col("l_returnflag") === "F").count() == expected,
+      "no stale bloom may hide rows of the renamed-in column")
+
+    // drop clears the sidecars too
+    t.dropColumn("flag")
+    val afterDrop = t.snapshot.metadata.get.properties
+    assert(!afterDrop.contains("graft.bloom.flag") && !afterDrop.contains("graft.stats.flag"))
+  }
+
+  test("mergeSchema rejects a new column colliding with a renamed column's physical name") {
+    val t = GraftTable.create(spark, tmpDir("physcollide"), li.limit(50))
+    t.renameColumn("l_shipdate", "ship_ts")
+    // logical "ship_ts" is physically stored as "l_shipdate"; a new
+    // logical "l_shipdate" would bind two logical columns to one
+    // parquet name
+    val bad = t.toDF.limit(5).withColumn("l_shipdate", lit("x"))
+    intercept[IllegalArgumentException](t.append(bad, mergeSchema = true))
+    // a non-colliding new column still evolves fine
+    t.append(t.toDF.limit(5).withColumn("extra", lit(1)), mergeSchema = true)
+    assert(t.toDF.columns.contains("extra"))
+  }
+
   test("generated columns compute missing values on append") {
     import org.apache.spark.sql.types.DateType
     val seed = li.limit(50)

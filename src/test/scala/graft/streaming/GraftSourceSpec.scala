@@ -36,6 +36,19 @@ class GraftSourceSpec extends GraftSparkSpec {
                       opts: Map[String, String] = Map.empty): Seq[Row] =
     runCounting(path, ckpt, opts)._1
 
+  test("sink refuses to start without a per-query dedup identity") {
+    // falling back to the table path would let two queries writing the
+    // same table share (appId, epoch) and silently drop batches
+    val e = intercept[IllegalArgumentException] {
+      new GraftSink(spark, tmpDir("sink-noid"), Map.empty)
+    }
+    assert(e.getMessage.contains("checkpointLocation"))
+    // either identity option satisfies it
+    new GraftSink(spark, tmpDir("sink-qid"), Map("queryId" -> "q1"))
+    new GraftSink(spark, tmpDir("sink-ckpt"),
+      Map("checkpointLocation" -> tmpDir("sink-ckpt-loc")))
+  }
+
   test("initial snapshot, then incremental batches; OPTIMIZE invisible") {
     val orders = Tables(spark, sfDir, "orders")
     val first = orders.filter(col("o_orderkey") % 3 === 0)
