@@ -88,6 +88,7 @@ object SparkEntry {
     "lake_delete_mor" -> LakeOps.lakeDeleteMor _,
     "lake_timetravel" -> LakeOps.lakeTimetravel _,
     "lake_update" -> LakeOps.lakeUpdate _,
+    "lake_update_mor" -> LakeOps.lakeUpdateMor _,
     "lake_merge" -> LakeOps.lakeMerge _,
     "lake_optimize" -> LakeOps.lakeOptimize _,
     "lake_zorder" -> LakeOps.lakeZorder _,
@@ -381,6 +382,10 @@ object SparkEntry {
     "lake_delete_mor" -> LakeOps.liAggOracle.format(
       "(SELECT * FROM lineitem WHERE l_returnflag <> 'R') t"),
     "lake_update" ->
+      ("SELECT l_returnflag, ROUND(SUM(l_discount),4) AS sum_disc, COUNT(*) AS n FROM (" +
+        "SELECT l_returnflag, CASE WHEN l_returnflag='R' THEN 0.0 ELSE l_discount END " +
+        "AS l_discount FROM lineitem) t GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "lake_update_mor" ->
       ("SELECT l_returnflag, ROUND(SUM(l_discount),4) AS sum_disc, COUNT(*) AS n FROM (" +
         "SELECT l_returnflag, CASE WHEN l_returnflag='R' THEN 0.0 ELSE l_discount END " +
         "AS l_discount FROM lineitem) t GROUP BY l_returnflag ORDER BY l_returnflag"),

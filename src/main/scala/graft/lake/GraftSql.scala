@@ -60,6 +60,10 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
   private val restoreRe: Regex =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val restoreTsRe: Regex =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  private val copyIntoRe: Regex =
+    """(?is)^\s*COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*$""".r
   private val versionAsOfRe: Regex =
     """(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val timestampAsOfRe: Regex =
@@ -143,6 +147,12 @@ final class GraftSql(spark: SparkSession) {
         val nv = table(name).restore(v.toLong)
         Seq(("restoredToVersion", v), ("newVersion", nv.toString))
           .toDF("metric", "value")
+      case restoreTsRe(name, ts) =>
+        val nv = table(name).restoreToTimestamp(parseTsMillis(ts))
+        Seq(("restoredToTimestamp", ts), ("newVersion", nv.toString))
+          .toDF("metric", "value")
+      case copyIntoRe(name, src) =>
+        table(name).copyInto(src).toSeq.sorted.toDF("metric", "value")
       case other =>
         // register snapshots (incl. any VERSION AS OF rewrites) and
         // delegate to Spark SQL

@@ -322,10 +322,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   private[lake] def commitAndCheckpoint(actions: Seq[Action], readVersion: Long = -1L,
                                         readPaths: Set[String] = Set.empty,
-                                        metadataConflict: Boolean = false): Long = {
+                                        metadataConflict: Boolean = false,
+                                        conflictOnDV: Boolean = false): Long = {
     val deps = actions.collect { case r: RemoveFile => r.path }.toSet ++ readPaths
     val v =
-      if (readVersion < 0 || (deps.isEmpty && !metadataConflict)) log.commit(actions)
+      if (readVersion < 0 || (deps.isEmpty && !metadataConflict && !conflictOnDV))
+        log.commit(actions)
       else {
         var committed = -1L
         while (committed < 0) {
@@ -339,7 +341,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           // Conservative rule: an intervening DV addition conflicts with
           // any commit that removes files (two additive MoR deletes
           // stack fine and stay on the fast path).
-          val dvAdded = actions.exists(_.isInstanceOf[RemoveFile]) &&
+          val dvAdded = (actions.exists(_.isInstanceOf[RemoveFile]) || conflictOnDV) &&
             intervening.exists(_.isInstanceOf[AddDV])
           // schema-changing commits (rename/drop/mergeSchema/restore)
           // write a full Metadata copied from their read snapshot — if
@@ -762,6 +764,60 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     metrics
   }
 
+  /** UPDATE ... merge-on-read (Delta DV-update parity): matching rows
+    * are masked out via a deletion vector and their updated post-images
+    * appended as new files — write cost O(matched rows) instead of
+    * O(candidate file bytes), the right trade for sparse updates on a
+    * 100 TB table. Compaction (OPTIMIZE ZORDER full rewrite / CoW ops
+    * touching the files) later materializes the masks physically.
+    */
+  def updateMergeOnRead(cond: Column, set: Map[String, Column]): Map[String, String] = {
+    val s = snapshot
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond)
+    if (candidates.isEmpty) {
+      commitAndCheckpoint(Seq(info("UPDATE",
+        params = Map("mode" -> "merge-on-read"),
+        metrics = Map("numDeletionVectors" -> "0"))))
+      return Map("numDeletionVectors" -> "0")
+    }
+    val scan0 = physicalScan(s, candidates, withMeta = true)
+    // rows already masked by existing DVs must not match: appending
+    // their post-image would resurrect deleted rows
+    val maskedScan =
+      if (s.dvFiles.isEmpty) scan0
+      else {
+        val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+          .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
+        scan0.join(dv,
+          col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
+          "left_anti")
+      }
+    val matched = maskedScan.select((s.schema.fields.map(f =>
+      col(s.physicalName(f.name)).as(f.name)) ++
+      Seq(col("__fp").as("file_path"), col("__ri").as("row_index"))).toIndexedSeq: _*)
+      .filter(coalesce(cond, lit(false)))
+    val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
+    matched.select("file_path", "row_index")
+      .write.mode("overwrite").parquet(s"$path/$rel")
+    val updated = set.foldLeft(matched.drop("file_path", "row_index")) {
+      case (df, (c, v)) => df.withColumn(c, v.cast(s.schema(c).dataType))
+    }
+    validateConstraints(updated, s)
+    val adds = stageWrite(updated, s.partitionColumns, dataChange = true)
+    val metrics = Map(
+      "numDeletionVectors" -> "1",
+      "numAddedFiles" -> adds.size.toString,
+      "numCandidateFiles" -> candidates.size.toString)
+    // conflictOnDV: a concurrent MoR delete's mask landed after our
+    // post-images were computed — committing would resurrect its rows
+    commitAndCheckpoint(Seq(info("UPDATE",
+      params = Map("mode" -> "merge-on-read"), metrics = metrics),
+      AddDV(rel)) ++ adds,
+      readVersion = s.version, readPaths = candidates.map(_.path).toSet,
+      conflictOnDV = true)
+    metrics
+  }
+
   /** MERGE INTO by key equality: matched → replace with source row,
     * not-matched → insert (the default clause set of [[mergeBuilder]]).
     */
@@ -1009,13 +1065,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s = snapshot
     val active = s.activeFiles.map(f => root.resolve(f.path).normalize.toString).toSet
     val activeDvDirs = s.dvFiles.map(p => root.resolve(p).normalize)
+    // sidecars referenced from CURRENT table properties (bloom filters,
+    // COPY INTO state) are live metadata, not orphaned data — deleting
+    // them would crash the next pruned read / re-ingest everything.
+    // Stale sidecars (superseded pointers) stay vacuumable.
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val sidecarDirs = (props.collect {
+      case (k, v) if k.startsWith("graft.bloom.") => v
+    }.toSeq ++ props.get("graft.copyInto.state").toSeq)
+      .map(r => root.resolve(r).normalize)
+    val spared = activeDvDirs ++ sidecarDirs
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     val walk = Files.walk(root)
     val candidates =
       try walk.iterator().asScala
         .filter(p => Files.isRegularFile(p))
         .filterNot(p => p.startsWith(log.logDir))
-        .filterNot(p => activeDvDirs.exists(d => p.normalize.startsWith(d)))
+        .filterNot(p => spared.exists(d => p.normalize.startsWith(d)))
         .filter(p => !active.contains(p.normalize.toString))
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .map(_.toString).toSeq.sorted
@@ -1046,6 +1112,83 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     commitAndCheckpoint(actions, readVersion = current.version,
       metadataConflict = true)
   }
+
+  /** RESTORE TABLE ... TO TIMESTAMP AS OF 'ts' — timestamp variant of
+    * [[restore]], resolved through the commit-time index.
+    */
+  def restoreToTimestamp(tsMillis: Long): Long =
+    restore(Snapshot.versionAtTimestamp(log, tsMillis))
+
+  /** COPY INTO (Delta parity): idempotent bulk ingestion of external
+    * parquet files. Each source file is identified by
+    * (absolute path, size, mtime); identities already ingested are
+    * skipped, so retries and scheduled re-runs never double-load even
+    * after the ingested data was compacted into new table files.
+    * Ingestion state is a parquet sidecar referenced from a table
+    * property — O(ingested files) off the log-replay path, and the
+    * new-file check is an anti-join, not a driver-side set.
+    */
+  def copyInto(sourceDir: String): Map[String, String] = {
+    val s = snapshot
+    val srcRoot = Paths.get(sourceDir)
+    val walk = Files.walk(srcRoot)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.toAbsolutePath.normalize).toSeq.sortBy(_.toString)
+      finally walk.close()
+    val sp = spark
+    import sp.implicits._
+    val ids = files.map(p =>
+      (p.toString, s"$p|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"))
+    val stateRel = s.metadata.get.properties.get("graft.copyInto.state")
+    val seen = stateRel
+      .map(r => spark.read.parquet(dataPath(r)).select(col("file_id")))
+      .getOrElse(Seq.empty[String].toDF("file_id"))
+    val fresh = ids.toDF("src_path", "file_id")
+      .join(seen, Seq("file_id"), "left_anti")
+      .select("src_path", "file_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    if (fresh.isEmpty) {
+      commitAndCheckpoint(Seq(info("COPY INTO",
+        params = Map("source" -> sourceDir),
+        metrics = Map("numCopiedFiles" -> "0"))))
+      return Map("numCopiedFiles" -> "0")
+    }
+    val incoming = spark.read.parquet(fresh.map(_._1).toIndexedSeq: _*)
+    enforceSchema(incoming.schema, s.schema)
+    validateConstraints(incoming, s)
+    val adds = stageWrite(incoming, s.partitionColumns, dataChange = true)
+    val newStateRel = s"_graft_copy/state-${UUID.randomUUID()}"
+    seen.unionAll(fresh.map(_._2).toSeq.toDF("file_id"))
+      .coalesce(1).write.parquet(s"$path/$newStateRel")
+    val metrics = Map(
+      "numCopiedFiles" -> fresh.length.toString,
+      "numAddedFiles" -> adds.size.toString)
+    val ci = info("COPY INTO", params = Map("source" -> sourceDir), metrics = metrics)
+    // the state pointer is a property merge: re-applied onto whatever
+    // metadata is freshest at commit time, with the data adds attached
+    var committed = -1L
+    while (committed < 0) {
+      val latest = log.latestVersion().getOrElse(-1L)
+      val m = snapshotAt(latest).metadata.get
+      val m2 = m.copy(properties =
+        m.properties + ("graft.copyInto.state" -> newStateRel))
+      if (log.tryCommitAt(latest + 1, Seq(ci, m2) ++ adds)) committed = latest + 1
+    }
+    log.maybeCheckpoint(spark, committed)
+    metrics
+  }
+
+  /** Idempotent batch append — Delta's `txnAppId`/`txnVersion` writer
+    * options: a retried job with the same (appId, version) is skipped,
+    * making scheduled batch loads effectively exactly-once. Same
+    * SetTxn machinery as the streaming sink.
+    */
+  def appendIdempotent(appId: String, version: Long, df: DataFrame): Long =
+    appendStreamBatch(appId, version, df)
 
   /** DESCRIBE HISTORY equivalent (reference 02-lab:205-211). */
   def history: DataFrame = {

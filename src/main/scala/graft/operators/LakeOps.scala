@@ -82,6 +82,18 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Merge-on-read UPDATE via deletion vector + post-image append:
+    * same observable result as copy-on-write update (L33).
+    */
+  def lakeUpdateMor(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "updatemor"),
+      Tables(spark, dir, "lineitem").repartition(4))
+    t.updateMergeOnRead(col("l_returnflag") === "R", Map("l_discount" -> lit(0.0)))
+    t.toDF.groupBy("l_returnflag")
+      .agg(round(sum("l_discount"), 4).as("sum_disc"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** MERGE: update keys <100 (price×2), insert 50 new keys (L6). */
   def lakeMerge(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")

@@ -64,6 +64,50 @@ class DeletionVectorSpec extends GraftSparkSpec {
     }
   }
 
+  test("merge-on-read update masks originals and appends post-images only") {
+    val t = GraftTable.create(spark, tmpDir("dv-upd"), li.repartition(4))
+    val filesBefore = t.snapshot.activeFiles.map(_.path).toSet
+    val nMatched = li.filter(col("l_returnflag") === "R").count()
+    t.updateMergeOnRead(col("l_returnflag") === "R", Map("l_discount" -> lit(0.0)))
+    // original files untouched; only post-image files appended
+    assert(filesBefore.subsetOf(t.snapshot.activeFiles.map(_.path).toSet),
+      "MoR update must not rewrite candidate files")
+    assert(t.snapshot.dvFiles.size == 1)
+    val postImageRows = t.snapshot.activeFiles
+      .filterNot(f => filesBefore.contains(f.path))
+      .flatMap(_.stats.map(_.numRecords)).sum
+    assert(postImageRows == nMatched,
+      s"appended $postImageRows rows for $nMatched matches")
+    // observable result identical to a CoW update
+    assert(t.toDF.count() == li.count())
+    assert(t.toDF.filter(col("l_returnflag") === "R" && col("l_discount") =!= 0.0)
+      .count() == 0)
+    val untouchedSum = li.filter(col("l_returnflag") =!= "R")
+      .agg(sum("l_discount")).head.getDouble(0)
+    val gotSum = t.toDF.filter(col("l_returnflag") =!= "R")
+      .agg(sum("l_discount")).head.getDouble(0)
+    assert(math.abs(untouchedSum - gotSum) < 1e-6)
+    // time travel to v0 shows pre-update state
+    assert(t.toDFAt(0).filter(col("l_returnflag") === "R" && col("l_discount") > 0)
+      .count() > 0)
+  }
+
+  test("merge-on-read update after MoR delete does not resurrect deleted rows") {
+    val t = GraftTable.create(spark, tmpDir("dv-upd2"), li.repartition(4))
+    t.deleteMergeOnRead(col("l_returnflag") === "R")
+    // the update predicate OVERLAPS deleted rows: R rows are already
+    // masked, so they must not come back as post-images
+    t.updateMergeOnRead(col("l_quantity") >= 0.0, Map("l_tax" -> lit(0.0)))
+    assert(t.toDF.filter(col("l_returnflag") === "R").count() == 0,
+      "MoR update must not resurrect MoR-deleted rows")
+    assert(t.toDF.count() == li.filter(col("l_returnflag") =!= "R").count())
+    assert(t.toDF.filter(col("l_tax") =!= 0.0).count() == 0)
+    // full rewrite still materializes and retires all masks
+    t.zorderBy(64L * 1024, "l_orderkey")
+    assert(t.snapshot.dvFiles.isEmpty)
+    assert(t.toDF.count() == li.filter(col("l_returnflag") =!= "R").count())
+  }
+
   test("CoW ops on a DV'd table do not resurrect masked rows") {
     val t = GraftTable.create(spark, tmpDir("dv3"), li.repartition(4))
     t.deleteMergeOnRead(col("l_returnflag") === "R")

@@ -1,5 +1,7 @@
 package graft.lake
 
+import scala.jdk.CollectionConverters._
+
 import graft.{GraftSparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
@@ -68,6 +70,85 @@ class LakeSpec extends GraftSparkSpec {
     assert(t3.toDF.count() == 100 + 120)
     t3.append(li.limit(5)) // commit path also survives
     assert(t3.toDF.count() == 100 + 125)
+  }
+
+  test("copy into ingests external parquet idempotently by file identity") {
+    val src = tmpDir("copy-src")
+    li.limit(200).repartition(2).write.parquet(src)
+    val t = GraftTable.create(spark, tmpDir("copy-tbl"), li.limit(0))
+    val m1 = t.copyInto(src)
+    assert(m1("numCopiedFiles").toInt == 2)
+    assert(t.toDF.count() == 200)
+    // re-running is a no-op — identities already ingested
+    val m2 = t.copyInto(src)
+    assert(m2("numCopiedFiles") == "0")
+    assert(t.toDF.count() == 200)
+    // idempotency survives compaction of the ingested data
+    t.optimize()
+    assert(t.copyInto(src)("numCopiedFiles") == "0")
+    assert(t.toDF.count() == 200)
+    // a NEW source file is picked up alone (content may overlap — COPY
+    // INTO dedups by file identity, not row content)
+    li.limit(50).coalesce(1).write.mode("append").parquet(src)
+    val m3 = t.copyInto(src)
+    assert(m3("numCopiedFiles").toInt == 1)
+    assert(t.toDF.count() == 250)
+    // schema mismatches are rejected before any write
+    val badSrc = tmpDir("copy-bad")
+    li.limit(5).withColumn("extra", lit(1)).write.parquet(badSrc)
+    intercept[IllegalArgumentException](t.copyInto(badSrc))
+  }
+
+  test("restore to timestamp picks the version at that commit time") {
+    val t = GraftTable.create(spark, tmpDir("restore-ts"), li.limit(100))
+    Thread.sleep(5)
+    val tsAfterV0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.delete(col("l_returnflag") === "R")
+    assert(t.toDF.count() < 100)
+    t.restoreToTimestamp(tsAfterV0)
+    assert(t.toDF.count() == 100)
+  }
+
+  test("idempotent batch append skips replayed (appId, version) pairs") {
+    val t = GraftTable.create(spark, tmpDir("idem"), li.limit(10))
+    t.appendIdempotent("nightly-load", 1, li.limit(20))
+    t.appendIdempotent("nightly-load", 1, li.limit(20)) // retry: skipped
+    assert(t.toDF.count() == 30)
+    t.appendIdempotent("nightly-load", 2, li.limit(5))
+    assert(t.toDF.count() == 35)
+    // a different app's version counter is independent
+    t.appendIdempotent("backfill", 1, li.limit(2))
+    assert(t.toDF.count() == 37)
+  }
+
+  test("vacuum spares property-referenced sidecars, reclaims stale ones") {
+    val t = GraftTable.create(spark, tmpDir("vac-sidecar"),
+      li.limit(3000).repartition(4, col("l_orderkey")))
+    t.computeBloomFilter("l_orderkey")
+    val rel1 = t.snapshot.metadata.get.properties("graft.bloom.l_orderkey")
+    t.vacuum(0.0, dryRun = false)
+    // active sidecar survives; pruned point lookup still works
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel1)))
+    val key = li.limit(3000).select(min("l_orderkey")).head.getLong(0)
+    assert(t.readWhere(col("l_orderkey") === key).count() ==
+      li.limit(3000).filter(col("l_orderkey") === key).count())
+    // recompute supersedes the pointer; the stale sidecar is reclaimed
+    t.computeBloomFilter("l_orderkey")
+    val rel2 = t.snapshot.metadata.get.properties("graft.bloom.l_orderkey")
+    assert(rel2 != rel1)
+    t.vacuum(0.0, dryRun = false)
+    def dataFiles(rel: String): Int = {
+      val d = java.nio.file.Paths.get(t.path, rel)
+      if (!java.nio.file.Files.exists(d)) 0
+      else {
+        val w = java.nio.file.Files.walk(d)
+        try w.iterator().asScala.count(p =>
+          p.getFileName.toString.endsWith(".parquet")) finally w.close()
+      }
+    }
+    assert(dataFiles(rel1) == 0, "superseded bloom sidecar should be vacuumable")
+    assert(dataFiles(rel2) > 0, "active bloom sidecar must survive")
   }
 
   test("vacuum dry run lists compacted-away files, real run deletes them") {

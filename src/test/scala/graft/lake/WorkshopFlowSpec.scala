@@ -79,4 +79,28 @@ class WorkshopFlowSpec extends GraftSparkSpec {
       "SELECT ROUND(SUM(total),2) AS s FROM sales WHERE country='MX'")
       .head().getDouble(0) == 0.0)
   }
+
+  test("RESTORE TIMESTAMP AS OF and COPY INTO statements") {
+    val gsql = new GraftSql(spark)
+    val df = spark.range(100).withColumn("v", col("id") * 2)
+    gsql.registerCreate("ts_tbl", tmpDir("sql-restore-ts"), df)
+    // the SQL literal truncates to seconds: sleep past the boundary so
+    // the truncated timestamp still lands strictly after the CTAS
+    // commit and strictly before the delete's millisecond clock
+    Thread.sleep(1100)
+    val ts = java.time.Instant.ofEpochMilli(System.currentTimeMillis())
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    gsql.sql("DELETE FROM ts_tbl WHERE id < 50")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM ts_tbl").head().getLong(0) == 50)
+    gsql.sql(s"RESTORE TABLE ts_tbl TO TIMESTAMP AS OF '$ts'")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM ts_tbl").head().getLong(0) == 100)
+
+    val src = tmpDir("sql-copy-src")
+    df.limit(30).coalesce(1).write.parquet(src)
+    gsql.sql(s"COPY INTO ts_tbl FROM '$src'")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM ts_tbl").head().getLong(0) == 130)
+    gsql.sql(s"COPY INTO ts_tbl FROM '$src'") // idempotent
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM ts_tbl").head().getLong(0) == 130)
+  }
 }
