@@ -61,6 +61,7 @@ object SparkEntry {
     "text_langid" -> TextOps.textLangid _,
     "text_fingerprint" -> TextOps.textFingerprint _,
     "text_pii_scrub" -> TextOps.textPiiScrub _,
+    "text_repetition" -> TextOps.textRepetition _,
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     "dedup_clusters" -> Dedup.dedupClusters _,
@@ -304,6 +305,17 @@ object SparkEntry {
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
         "'https?://[^ \\t\\n]+', '<URL>', 'g')) AS scrubbed_md5 " +
         "FROM documents ORDER BY doc_id"),
+    "text_repetition" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(trim(text)), " +
+        "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
+        "list_transform(generate_series(1, len(toks)-2), " +
+        "i -> array_to_string(toks[i:i+2], ' ')) ELSE []::VARCHAR[] END AS g3 FROM t) " +
+        "SELECT doc_id, CAST(len(g3) AS BIGINT) AS n_trigrams, " +
+        "CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct, " +
+        "CASE WHEN len(g3) = 0 THEN 0.0 ELSE " +
+        "ROUND(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 4) END " +
+        "AS dup_frac FROM g ORDER BY doc_id"),
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),

@@ -62,6 +62,29 @@ object TextOps {
           UrlRe, "<URL>").cast("binary")).as("scrubbed_md5"))
       .orderBy("doc_id")
 
+  /** Intra-document repetition (Gopher/C4-style quality rule): the
+    * fraction of a document's word trigrams that duplicate an earlier
+    * trigram in the same document. Boilerplate-heavy and
+    * machine-generated pages score high and get filtered before
+    * training. Trigram extraction is the native single-pass
+    * [[graft.functions.NgramsExpr]] kernel.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val g3 = graft.lake.GraftExpr.column(
+      graft.functions.NgramsExpr(graft.lake.GraftExpr.expression(col("text")), 3))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), g3.as("g3"))
+      .select(col("doc_id"),
+        size(col("g3")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_trigrams") === 0, lit(0.0))
+          .otherwise(round(
+            (col("n_trigrams") - col("n_distinct")).cast("double") /
+              col("n_trigrams").cast("double"), 4)))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-wide top-20 bigrams (n-gram mining: explode → count).
     * Bigram extraction is the native single-pass [[graft.functions.BigramsExpr]].
     */

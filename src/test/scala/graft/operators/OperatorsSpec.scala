@@ -55,8 +55,8 @@ class OperatorsSpec extends GraftSparkSpec {
     val ivf = Similarity.simIvf(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = bf.intersect(ivf).size.toDouble / bf.size
-    info(f"IVF recall@5 = $recall%.3f (2/16 probes)")
-    assert(recall >= 0.35, f"IVF recall $recall%.2f too low for 2/16 probes")
+    info(f"IVF recall@5 = $recall%.3f (~19%% of corpus scanned)")
+    assert(recall >= 0.45, f"IVF recall $recall%.2f too low for a ~19%% probe budget")
   }
 
   test("FNV-1a fingerprint is deterministic and normalization-invariant") {
