@@ -52,7 +52,9 @@ object SparkEntry {
     "q28_range_join" -> AsOf.q28RangeJoin _,
     "q29_ntile" -> Analytics.q29Ntile _,
     "q30_string_agg" -> Analytics.q30StringAgg _,
-    "q31_grouping_sets" -> Analytics.q31GroupingSets _)
+    "q31_grouping_sets" -> Analytics.q31GroupingSets _,
+    "q32_percent_rank" -> Analytics.q32PercentRank _,
+    "q33_group_median" -> Analytics.q33GroupMedian _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -75,7 +77,9 @@ object SparkEntry {
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
     "pipe_pack" -> Pipeline.pipePack _,
+    "pipe_incremental_dedup" -> Pipeline.pipeIncrementalDedup _,
     "mm_decode_meta" -> Multimodal.mmDecodeMeta _,
+    "mm_audio_window" -> Multimodal.mmAudioWindow _,
     "mm_frame_sample" -> Multimodal.mmFrameSample _,
     "mm_resize_plan" -> Multimodal.mmResizePlan _)
 
@@ -294,6 +298,42 @@ object SparkEntry {
       ("SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, " +
         "COUNT(*) AS n_nations FROM nation JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY r_name ORDER BY r_name"),
+    "q32_percent_rank" ->
+      ("WITH s AS (SELECT o_custkey, ROUND(SUM(o_totalprice),2) AS spend FROM orders " +
+        "GROUP BY o_custkey) SELECT o_custkey, spend, " +
+        "ROUND(percent_rank() OVER (ORDER BY spend DESC, o_custkey),6) AS pr, " +
+        "ROUND(cume_dist() OVER (ORDER BY spend DESC, o_custkey),6) AS cd " +
+        "FROM s ORDER BY o_custkey"),
+    "q33_group_median" ->
+      ("SELECT l_returnflag, " +
+        "ROUND(quantile_cont(cents, 0.25),1) AS q1_cents, " +
+        "ROUND(quantile_cont(cents, 0.5),1) AS median_cents, " +
+        "ROUND(quantile_cont(cents, 0.75),1) AS q3_cents " +
+        "FROM (SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) " +
+        "AS cents FROM lineitem) t GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "pipe_incremental_dedup" ->
+      ("WITH corpus AS (SELECT DISTINCT md5(text) AS content_hash FROM documents " +
+        "WHERE doc_id < 300), batch AS (" +
+        "SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id >= 300 " +
+        "UNION ALL SELECT doc_id + 200000, md5(text) FROM documents WHERE doc_id < 40) " +
+        "SELECT MIN(doc_id) AS doc_id, content_hash FROM batch b " +
+        "WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.content_hash = b.content_hash) " +
+        "GROUP BY content_hash ORDER BY doc_id"),
+    "mm_audio_window" ->
+      ("WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents), " +
+        "a AS (SELECT doc_id, text, 8000 * (1 << (nb % 3)) AS sample_rate, " +
+        "nb * 50 AS n_samples FROM t), " +
+        "w AS (SELECT doc_id, text, sample_rate, n_samples, " +
+        "GREATEST(FLOOR((n_samples - 400) / 160.0) + 1, 0) AS n_windows FROM a), " +
+        "k AS (SELECT doc_id, text, sample_rate, n_samples, n_windows, " +
+        "LEAST(n_windows, 6) AS k FROM w WHERE n_windows > 0), " +
+        "f AS (SELECT doc_id, text, sample_rate, n_samples, n_windows, " +
+        "UNNEST(generate_series(0, CAST(k AS BIGINT) - 1)) AS i FROM k) " +
+        "SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate, " +
+        "CAST(n_samples AS BIGINT) AS n_samples, CAST(n_windows AS BIGINT) AS n_windows, " +
+        "CAST(i * 160 AS BIGINT) AS win_start, " +
+        "md5(text || '@' || CAST(i * 160 AS VARCHAR)) AS window_checksum " +
+        "FROM f ORDER BY doc_id, win_start"),
     "text_pii_scrub" ->
       ("SELECT doc_id, " +
         "CAST(len(list_filter(string_split(text, ' '), " +

@@ -92,6 +92,37 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Audio windowing plan (oracle-checked): stub audio metadata
+    * (sample rate from payload bytes, duration from byte count) cut
+    * into fixed 400-sample windows at a 160-sample hop — the
+    * frame/hop shape an ASR/audio-tokenizer front-end consumes —
+    * exploded to one row per window (capped for the plan view). The
+    * real PCM decode would slot in at `window_checksum`, keyed by
+    * (payload, window start).
+    */
+  val MaxPlannedWindows = 6
+
+  def mmAudioWindow(spark: SparkSession, dir: String): DataFrame = {
+    val nb = octet_length(col("text")).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), nb.as("n_bytes"),
+        // stub: 8k/16k/32k sample rate, 50 "samples" per payload byte
+        (lit(8000L) * when(nb % 3 === 0, 1L)
+          .when(nb % 3 === 1, 2L).otherwise(4L)).as("sample_rate"),
+        (nb * 50).as("n_samples"))
+      .withColumn("n_windows",
+        greatest(floor((col("n_samples") - 400) / 160) + 1, lit(0L)))
+      .withColumn("k", least(col("n_windows"), lit(MaxPlannedWindows.toLong)))
+      .filter(col("k") > 0)
+      .withColumn("i", explode(sequence(lit(0L), col("k") - 1)))
+      .select(
+        col("doc_id"), col("sample_rate"), col("n_samples"), col("n_windows"),
+        (col("i") * 160).as("win_start"),
+        md5(concat(col("text"), lit("@"), col("i") * 160).cast("binary"))
+          .as("window_checksum"))
+      .orderBy("doc_id", "win_start")
+  }
+
   /** STUB feature extractor: a deterministic 16-dim embedding from
     * payload bytes (byte histogram folded by FNV mixing). A real
     * deployment swaps in a vision/audio encoder here; everything

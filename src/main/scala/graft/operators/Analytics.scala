@@ -396,4 +396,36 @@ object Analytics {
       .select("o_custkey", "o_orderkey", "order_day", "avg_90d_cents")
       .orderBy("o_custkey", "o_orderkey")
   }
+
+  /** Relative-standing windows: percent_rank and cume_dist over a
+    * deterministic total order (spend desc, key) — the normalized-rank
+    * complement to q29's ntile bucketing.
+    */
+  def q32PercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val spend = o.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select("o_custkey", "spend", "pr", "cd")
+      .orderBy("o_custkey")
+  }
+
+  /** Exact per-group median and IQR (grouped continuous quantiles —
+    * q17's global percentiles, pushed into a hash aggregate). Computed
+    * over exact integer cents: an even-count median interpolates to a
+    * half-cent midpoint, which is exactly representable in cents but a
+    * round-half coin-flip in dollars.
+    */
+  def q33GroupMedian(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(cents, 0.25)"), 1).as("q1_cents"),
+        round(expr("percentile(cents, 0.5)"), 1).as("median_cents"),
+        round(expr("percentile(cents, 0.75)"), 1).as("q3_cents"))
+      .orderBy("l_returnflag")
 }

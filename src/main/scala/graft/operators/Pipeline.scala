@@ -69,6 +69,31 @@ object Pipeline {
       .orderBy("lang", "pack_id")
   }
 
+  /** Incremental (cross-run) exact dedup: a new batch is deduplicated
+    * against the already-ingested corpus by content hash, then within
+    * itself — the steady-state shape of a crawling pipeline, where
+    * each day's scrape dedups against billions of prior documents
+    * without re-reading their text (only the hash column ships into
+    * the anti-join; at 100 TB that's the difference between joining
+    * a hash index and joining the corpus). Planted: re-ids of corpus
+    * docs (<40, +200000) must all be dropped as already-ingested.
+    */
+  def pipeIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val corpusHashes = docs.filter(col("doc_id") < 300)
+      .select(md5(col("text")).as("content_hash")).distinct()
+    val planted = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") >= 300).select("doc_id", "text")
+      .unionByName(planted)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    batch
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "content_hash")
+      .orderBy("doc_id")
+  }
+
   /** Token 5-gram windows of the normalized text — the native
     * single-pass [[graft.functions.NgramsExpr]] kernel (the HOF
     * transform+slice equivalent runs interpreted per window).
