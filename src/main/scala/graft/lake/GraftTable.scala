@@ -654,8 +654,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val seen = s.txns.get(appId) match {
       case Some(last) => last >= epochId
       case None =>
+        // skip commits dropped by log cleanup: their SetTxn state is
+        // folded into the checkpoint, so the txns fast path above
+        // already covered them
         (0L to s.version).exists { v =>
-          log.readCommit(v).exists {
+          log.hasCommit(v) && log.readCommit(v).exists {
             case c: CommitInfo =>
               c.parameters.get("streamAppId").contains(appId) &&
                 c.parameters.get("epochId").exists(_.toLong >= epochId)
@@ -1190,11 +1193,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def appendIdempotent(appId: String, version: Long, df: DataFrame): Long =
     appendStreamBatch(appId, version, df)
 
-  /** DESCRIBE HISTORY equivalent (reference 02-lab:205-211). */
+  /** DESCRIBE HISTORY equivalent (reference 02-lab:205-211). Commits
+    * dropped by [[cleanupLogs]] simply don't appear (Delta history
+    * shows only the retained window too).
+    */
   def history: DataFrame = {
     import spark.implicits._
     (0L to version).flatMap { v =>
-      log.readCommit(v).collectFirst { case c: CommitInfo =>
+      if (!log.hasCommit(v)) None
+      else log.readCommit(v).collectFirst { case c: CommitInfo =>
         (v, c.timestamp, c.operation,
           c.parameters.map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(";"),
           c.metrics.map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(";"))
@@ -1202,6 +1209,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }.toDF("version", "timestamp", "operation", "parameters", "metrics")
       .orderBy(col("version").desc)
   }
+
+  /** Log retention: drop commit files already superseded by the latest
+    * checkpoint (see [[TxnLog.cleanupLogs]]). Returns #deleted.
+    */
+  def cleanupLogs(keepVersions: Long = 0): Int = log.cleanupLogs(keepVersions)
 
   /** Table-level column statistics (reference 02-lab:587-663):
     * row count, per-column distinct/null/min/max, persisted as table

@@ -86,9 +86,16 @@ final class TxnLog(val tablePath: String) {
     }
   }
 
-  def readCommit(v: Long): Seq[Action] =
+  def hasCommit(v: Long): Boolean = Files.exists(versionFile(v))
+
+  def readCommit(v: Long): Seq[Action] = {
+    if (!hasCommit(v))
+      throw new IllegalStateException(
+        s"commit $v of $tablePath is unavailable (removed by log cleanup); " +
+          "versions below the retained window cannot be reconstructed")
     Files.readAllLines(versionFile(v), StandardCharsets.UTF_8).asScala
       .filter(_.nonEmpty).flatMap(Actions.fromJson).toSeq
+  }
 
   def commitTimestamp(v: Long): Long =
     readCommit(v).collectFirst { case c: CommitInfo => c.timestamp }
@@ -146,6 +153,37 @@ final class TxnLog(val tablePath: String) {
 
   def maybeCheckpoint(spark: SparkSession, v: Long): Unit =
     if (v > 0 && v % TxnLog.CheckpointInterval == 0) writeCheckpoint(spark, v)
+
+  /** Log retention (Delta `logRetentionDuration` parity): delete commit
+    * JSONs and superseded checkpoint dirs below the latest checkpoint
+    * (minus `keepVersions` extra headroom). Replay of every version ≥
+    * the cutoff still works through the checkpoint; time travel BELOW
+    * it becomes impossible, exactly like Delta after its retention
+    * window. At 100k commits this bounds the log directory instead of
+    * letting it grow one file per commit forever.
+    */
+  def cleanupLogs(keepVersions: Long = 0): Int = {
+    val cvOpt = lastCheckpointVersion()
+    val latestOpt = latestVersion()
+    if (cvOpt.isEmpty || latestOpt.isEmpty) return 0
+    val cutoff = math.min(cvOpt.get, latestOpt.get - keepVersions)
+    val deletable = listVersions().filter(_ < cutoff)
+    deletable.foreach(v => Files.deleteIfExists(versionFile(v)))
+    if (Files.isDirectory(ckptDir)) {
+      val s = Files.list(ckptDir)
+      val dirs = try s.iterator().asScala.toSeq finally s.close()
+      dirs.filter { d =>
+        val n = d.getFileName.toString
+        n.startsWith("ckpt-") &&
+          scala.util.Try(n.stripPrefix("ckpt-").toLong).toOption.exists(_ < cvOpt.get)
+      }.foreach { d =>
+        val w = Files.walk(d)
+        val all = try w.iterator().asScala.toSeq finally w.close()
+        all.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+    deletable.size
+  }
 }
 
 object TxnLog {

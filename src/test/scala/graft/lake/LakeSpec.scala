@@ -72,6 +72,37 @@ class LakeSpec extends GraftSparkSpec {
     assert(t3.toDF.count() == 100 + 125)
   }
 
+  test("log cleanup drops pre-checkpoint commits; table stays fully usable") {
+    val t = GraftTable.create(spark, tmpDir("logclean"), li.limit(50))
+    (1 to 22).foreach(_ => t.append(li.limit(5)))          // checkpoints at 10, 20
+    assert(t.version == 22)
+    val deleted = t.cleanupLogs()
+    assert(deleted == 20, s"expected commits 0..19 dropped, got $deleted")
+    // fresh handle reconstructs through the checkpoint
+    val t2 = GraftTable.forPath(spark, t.path)
+    assert(t2.toDF.count() == 50 + 22 * 5)
+    assert(t2.version == 22)
+    // retained-window time travel still works; below the window fails loudly
+    assert(t2.toDFAt(20).count() == 50 + 20 * 5)
+    intercept[IllegalStateException](t2.toDFAt(5).count())
+    // history shows only the retained window
+    val versions = t2.history.select("version").collect().map(_.getLong(0)).toSet
+    assert(versions == (20L to 22L).toSet)
+    // commits continue from the right version
+    t2.append(li.limit(5))
+    assert(t2.version == 23)
+    assert(t2.toDF.count() == 50 + 23 * 5)
+    // keepVersions headroom retains extra commit FILES (history /
+    // change-stream consumers); snapshot reconstruction still needs
+    // the checkpoint, so time travel below it fails either way
+    val t3 = GraftTable.create(spark, tmpDir("logclean2"), li.limit(10))
+    (1 to 12).foreach(_ => t3.append(li.limit(1)))         // checkpoint at 10
+    t3.cleanupLogs(keepVersions = 4)                       // cutoff = min(10, 12-4)
+    val kept = t3.history.select("version").collect().map(_.getLong(0)).toSet
+    assert(kept == (8L to 12L).toSet, s"commits 8..12 should survive, got $kept")
+    assert(t3.toDFAt(10).count() == 20)
+  }
+
   test("copy into ingests external parquet idempotently by file identity") {
     val src = tmpDir("copy-src")
     li.limit(200).repartition(2).write.parquet(src)
