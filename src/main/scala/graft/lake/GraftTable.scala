@@ -217,13 +217,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .filter { case (c, vs) => sidecars.contains(c) && vs.nonEmpty }
     if (eqBindings.isEmpty && inLists.isEmpty) return files
     // sidecars are immutable once written (fresh UUID per recompute):
-    // cache deserialized blooms per relative path across point lookups
+    // cache deserialized blooms per relative path across point lookups.
+    // A pointer whose sidecar is gone (RESTORE re-activated metadata
+    // from before a vacuum that reclaimed it) degrades to no pruning —
+    // blooms are advisory, never load-bearing for correctness.
     val bloomsByCol: Map[String, Map[String, BloomFilter]] =
       (eqBindings.map(_._1) ++ inLists.map(_._1)).distinct.map { c =>
         c -> bloomCache.getOrElseUpdate(sidecars(c),
-          spark.read.parquet(s"$path/${sidecars(c)}").collect()
-            .map(r => r.getString(0) -> BloomFilter.readFrom(r.getAs[Array[Byte]](1)))
-            .toMap)
+          if (!Files.isDirectory(root.resolve(sidecars(c))))
+            Map.empty[String, BloomFilter]
+          else
+            spark.read.parquet(s"$path/${sidecars(c)}").collect()
+              .map(r => r.getString(0) -> BloomFilter.readFrom(r.getAs[Array[Byte]](1)))
+              .toMap)
       }.toMap
     def might(bf: BloomFilter, v: Any): Boolean = v match {
       case n: java.lang.Number => bf.mightContainLong(n.longValue())
@@ -375,14 +381,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * long-running callers (computeBloomFilter holds its snapshot
     * across a whole-table scan) from failing after the expensive part.
     */
-  private[lake] def commitMetadataMerge(op: CommitInfo)(f: Metadata => Metadata): Long = {
+  private[lake] def commitMetadataMerge(op: CommitInfo, extra: Seq[Action] = Nil)
+                                       (f: Metadata => Metadata): Long = {
     var committed = -1L
     while (committed < 0) {
       val latest = log.latestVersion().getOrElse(
         throw new IllegalStateException(s"not a GraftLake table: $path"))
       val fresh = snapshotAt(latest).metadata.getOrElse(
         throw new IllegalStateException(s"table $path has no metadata"))
-      if (log.tryCommitAt(latest + 1, Seq(op, f(fresh)))) committed = latest + 1
+      if (log.tryCommitAt(latest + 1, Seq(op, f(fresh)) ++ extra)) committed = latest + 1
     }
     log.maybeCheckpoint(spark, committed)
     committed
@@ -734,11 +741,27 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .select("file_path", "row_index")
     val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
     marks.write.mode("overwrite").parquet(s"$path/$rel")
+    // zero actual matches: an empty DV is pure overhead (mask anti-join
+    // on every read, spurious DV-conflict aborts) — no-op instead
+    if (spark.read.parquet(s"$path/$rel").count() == 0) {
+      deleteRecursively(root.resolve(rel))
+      commitAndCheckpoint(Seq(info("DELETE",
+        params = Map("mode" -> "merge-on-read"),
+        metrics = Map("numDeletionVectors" -> "0"))))
+      return Map("numDeletionVectors" -> "0")
+    }
     val metrics = Map("numDeletionVectors" -> "1",
       "numCandidateFiles" -> candidates.size.toString)
+    // conflictOnDV: a concurrent merge-on-read UPDATE both masks rows
+    // and appends post-images; this delete planned its marks against
+    // the pre-update snapshot, so committing blindly would leave the
+    // update's post-image rows (which may match our predicate) alive.
+    // Pure MoR deletes rarely interleave in the same millisecond
+    // window; when they do, the loser re-runs — still correct.
     commitAndCheckpoint(Seq(info("DELETE",
       params = Map("mode" -> "merge-on-read"), metrics = metrics), AddDV(rel)),
-      readVersion = s.version, readPaths = candidates.map(_.path).toSet)
+      readVersion = s.version, readPaths = candidates.map(_.path).toSet,
+      conflictOnDV = true)
     metrics
   }
 
@@ -802,6 +825,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
     matched.select("file_path", "row_index")
       .write.mode("overwrite").parquet(s"$path/$rel")
+    // stats-pruned candidates with zero actual matches: committing an
+    // empty DV would tax every future read with the mask anti-join and
+    // spuriously conflict-abort concurrent rewrites — bail to a no-op
+    // commit instead (footer-only count, no data re-read)
+    if (spark.read.parquet(s"$path/$rel").count() == 0) {
+      deleteRecursively(root.resolve(rel))
+      commitAndCheckpoint(Seq(info("UPDATE",
+        params = Map("mode" -> "merge-on-read"),
+        metrics = Map("numDeletionVectors" -> "0"))))
+      return Map("numDeletionVectors" -> "0")
+    }
     val updated = set.foldLeft(matched.drop("file_path", "row_index")) {
       case (df, (c, v)) => df.withColumn(c, v.cast(s.schema(c).dataType))
     }
@@ -1147,6 +1181,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val ids = files.map(p =>
       (p.toString, s"$p|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"))
     val stateRel = s.metadata.get.properties.get("graft.copyInto.state")
+    // a missing state sidecar (e.g. RESTORE re-activated a pointer
+    // whose sidecar a vacuum reclaimed) must fail loudly: treating it
+    // as empty would silently re-ingest every previously-loaded file
+    stateRel.foreach { r =>
+      if (!Files.isDirectory(root.resolve(r)))
+        throw new IllegalStateException(
+          s"COPY INTO state sidecar $r is missing (vacuumed after a " +
+            "RESTORE?); clear graft.copyInto.state to rebuild ingestion " +
+            "state explicitly before copying again")
+    }
     val seen = stateRel
       .map(r => spark.read.parquet(dataPath(r)).select(col("file_id")))
       .getOrElse(Seq.empty[String].toDF("file_id"))
@@ -1170,18 +1214,27 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val metrics = Map(
       "numCopiedFiles" -> fresh.length.toString,
       "numAddedFiles" -> adds.size.toString)
-    val ci = info("COPY INTO", params = Map("source" -> sourceDir), metrics = metrics)
-    // the state pointer is a property merge: re-applied onto whatever
-    // metadata is freshest at commit time, with the data adds attached
-    var committed = -1L
-    while (committed < 0) {
-      val latest = log.latestVersion().getOrElse(-1L)
-      val m = snapshotAt(latest).metadata.get
-      val m2 = m.copy(properties =
-        m.properties + ("graft.copyInto.state" -> newStateRel))
-      if (log.tryCommitAt(latest + 1, Seq(ci, m2) ++ adds)) committed = latest + 1
+    // property-merge commit with the data adds attached; when a
+    // CONCURRENT copy won the pointer race, its state file holds ids
+    // ours lacks — merge the two sidecars instead of clobbering, or
+    // the loser's files get silently re-ingested on the next run
+    commitMetadataMerge(
+      info("COPY INTO", params = Map("source" -> sourceDir), metrics = metrics),
+      extra = adds) { m =>
+      val freshRel = m.properties.get("graft.copyInto.state")
+      val pointTo =
+        if (freshRel == stateRel) newStateRel
+        else {
+          val freshSeen = freshRel
+            .map(r => spark.read.parquet(dataPath(r)).select(col("file_id")))
+            .getOrElse(Seq.empty[String].toDF("file_id"))
+          val mergedRel = s"_graft_copy/state-${UUID.randomUUID()}"
+          freshSeen.unionAll(fresh.map(_._2).toSeq.toDF("file_id")).distinct()
+            .coalesce(1).write.parquet(s"$path/$mergedRel")
+          mergedRel
+        }
+      m.copy(properties = m.properties + ("graft.copyInto.state" -> pointTo))
     }
-    log.maybeCheckpoint(spark, committed)
     metrics
   }
 
@@ -1212,8 +1265,35 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   /** Log retention: drop commit files already superseded by the latest
     * checkpoint (see [[TxnLog.cleanupLogs]]). Returns #deleted.
+    *
+    * Tables written before SetTxn actions existed recorded streaming
+    * exactly-once state only in CommitInfo params, which checkpoints
+    * do not fold — deleting those commits would re-open the replayed
+    * epochs. Such state is first durably re-committed as SetTxn
+    * actions (and checkpointed) so the dedup guarantee survives
+    * cleanup.
     */
-  def cleanupLogs(keepVersions: Long = 0): Int = log.cleanupLogs(keepVersions)
+  def cleanupLogs(keepVersions: Long = 0): Int = {
+    val s = snapshot
+    val legacy = scala.collection.mutable.Map.empty[String, Long]
+    (0L to s.version).foreach { v =>
+      if (log.hasCommit(v)) log.readCommit(v).foreach {
+        case c: CommitInfo =>
+          for (a <- c.parameters.get("streamAppId");
+               e <- c.parameters.get("epochId"))
+            legacy(a) = math.max(e.toLong, legacy.getOrElse(a, Long.MinValue))
+        case _ => ()
+      }
+    }
+    val missing = legacy.filter { case (a, e) => s.txns.get(a).forall(_ < e) }
+    if (missing.nonEmpty) {
+      val v = commitAndCheckpoint(
+        info("LOG CLEANUP", metrics = Map("numFoldedTxns" -> missing.size.toString)) +:
+          missing.toSeq.sortBy(_._1).map { case (a, e) => SetTxn(a, e) })
+      log.writeCheckpoint(spark, v)
+    }
+    log.cleanupLogs(keepVersions)
+  }
 
   /** Table-level column statistics (reference 02-lab:587-663):
     * row count, per-column distinct/null/min/max, persisted as table

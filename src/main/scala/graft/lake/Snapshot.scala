@@ -50,8 +50,15 @@ object Snapshot {
     * for diagnostics; the hot paths go through [[at]]'s checkpoint
     * fast path.
     */
-  private[lake] def replay(log: TxnLog, v: Long): Snapshot =
+  private[lake] def replay(log: TxnLog, v: Long): Snapshot = {
+    if (!log.hasCommit(0))
+      throw new IllegalStateException(
+        s"version $v of ${log.tablePath} predates the retained log window " +
+          "(commits below the latest checkpoint were removed by log " +
+          "cleanup); only versions at or above the checkpoint can be " +
+          "reconstructed")
     applyActions(v, Nil, (0L to v).flatMap(log.readCommit))
+  }
 
   /** Replay with checkpoint fast-path. */
   def at(spark: SparkSession, log: TxnLog, version: Option[Long] = None): Snapshot = {

@@ -104,14 +104,38 @@ final class TxnLog(val tablePath: String) {
   // --- checkpointing -----------------------------------------------------
 
   /** Tolerant read: `_last_checkpoint` is advisory — a torn/empty file
-    * (crash mid-write, pre-atomic-rename versions) must degrade to
-    * "no checkpoint", never crash the read/commit path.
+    * (crash mid-write, pre-atomic-rename versions) must degrade
+    * gracefully, never crash the read/commit path. Before log cleanup
+    * existed, "gracefully" meant replay-from-0; after cleanup the
+    * early commits are gone and the checkpoint is load-bearing, so a
+    * lost pointer falls back to scanning `_checkpoints/` for the
+    * newest COMPLETE checkpoint (`_SUCCESS` present — a crash between
+    * the parquet write and the pointer swap must not resurrect a torn
+    * checkpoint).
     */
-  private def lastCheckpointVersion(): Option[Long] =
-    if (!Files.exists(lastCkptFile)) None
-    else scala.util.Try(
-      new String(Files.readAllBytes(lastCkptFile), StandardCharsets.UTF_8)
-        .trim.toLong).toOption
+  private def lastCheckpointVersion(): Option[Long] = {
+    val fromPointer =
+      if (!Files.exists(lastCkptFile)) None
+      else scala.util.Try(
+        new String(Files.readAllBytes(lastCkptFile), StandardCharsets.UTF_8)
+          .trim.toLong).toOption
+    fromPointer.orElse(scanCheckpoints())
+  }
+
+  private def scanCheckpoints(): Option[Long] =
+    if (!Files.isDirectory(ckptDir)) None
+    else {
+      val s = Files.list(ckptDir)
+      val versions =
+        try s.iterator().asScala
+          .filter(d => Files.exists(d.resolve("_SUCCESS")))
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("ckpt-"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("ckpt-").toLong).toOption)
+          .toSeq
+        finally s.close()
+      versions.maxOption
+    }
 
   private def ckptPath(v: Long): Path = ckptDir.resolve(f"ckpt-$v%020d")
 

@@ -71,18 +71,13 @@ object Similarity {
       struct(round(cosine(v, litArr(ct)), 8).as("cos"), lit(i).as("idx"))
     }: _*)
 
-  private def normalized(v: Array[Double]): Array[Double] = {
-    val norm = math.sqrt(v.map(x => x * x).sum)
-    if (norm == 0.0) v else v.map(_ / norm)
-  }
-
   /** One Lloyd step: assign every vector to its nearest centroid (by
     * cosine), then average per cluster. The per-(cluster,dimension)
     * partial sums are map-side combined, so shuffle volume is bounded
     * by k×dim per partition, not data size; centroids stay KB-scale
-    * driver metadata. Centroids are re-normalized (spherical k-means):
-    * cosine argmax against unnormalized means would bias assignment
-    * toward long centroids. Empty clusters keep their previous
+    * driver metadata. (No centroid normalization: cosine is
+    * scale-invariant in each argument, so normalizing the mean cannot
+    * change any assignment.) Empty clusters keep their previous
     * centroid.
     */
   private def lloydStep(emb: DataFrame, cents: Seq[Array[Double]]): Seq[Array[Double]] = {
@@ -94,15 +89,15 @@ object Similarity {
       .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("vs"))
       .select(col("cluster"), transform(col("vs"), _.getField("x")).as("centroid"))
       .collect()
-      .map(r => r.getInt(0) -> normalized(r.getSeq[Double](1).toArray)).toMap
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     cents.indices.map(i => updated.getOrElse(i, cents(i)))
   }
 
   /** IVF-style ANN: k coarse centroids seeded from a deterministic
     * stride over the corpus (decorrelated, unlike "first k rows"),
-    * refined by [[LloydIters]] spherical-k-means steps; corpus
-    * assigned to its nearest centroid, queries probe only the top
-    * 3k/16 centroids (~19% of the corpus). k follows the usual
+    * refined by [[LloydIters]] Lloyd steps under cosine assignment;
+    * corpus assigned to its nearest centroid, queries probe only the
+    * top 3k/16 centroids (~19% of the corpus). k follows the usual
     * k≈√n rule (power of two, 16..64 here; at real corpus scale the
     * cap rises with the candidate-join budget) — finer partitioning
     * at the same scan fraction raises recall (measured 0.42 → 0.66
@@ -122,7 +117,7 @@ object Similarity {
     val seeds: Seq[Array[Double]] = emb
       .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(k)
       .select("embedding").collect()
-      .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray)).toSeq
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
     // centroid training needs representative data, not all of it: above
     // 100k vectors a deterministic 1/4 sample keeps the Lloyd passes
     // 4x cheaper with no recall cost; below that the corpus is already

@@ -92,6 +92,15 @@ class LakeSpec extends GraftSparkSpec {
     t2.append(li.limit(5))
     assert(t2.version == 23)
     assert(t2.toDF.count() == 50 + 23 * 5)
+    // after cleanup the checkpoint is load-bearing: a torn pointer must
+    // recover by scanning _checkpoints/, not render the table unreadable
+    val ptr = java.nio.file.Paths.get(t.path, "_graft_log", "_last_checkpoint")
+    java.nio.file.Files.write(ptr, Array.emptyByteArray)
+    val t4 = GraftTable.forPath(spark, t.path)
+    assert(t4.toDF.count() == 50 + 23 * 5,
+      "torn pointer after log cleanup must fall back to checkpoint scan")
+    t4.append(li.limit(5))
+    assert(t4.version == 24)
     // keepVersions headroom retains extra commit FILES (history /
     // change-stream consumers); snapshot reconstruction still needs
     // the checkpoint, so time travel below it fails either way
