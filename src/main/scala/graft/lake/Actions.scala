@@ -53,6 +53,14 @@ final case class CommitInfo(
 final case class AddDV(path: String) extends Action
 final case class RemoveDV(path: String) extends Action
 
+/** Change-data-feed sidecar (Delta `cdc` action): a parquet dir of
+  * this commit's row-level changes (table schema + `_change_type` ∈
+  * insert / delete / update_preimage / update_postimage), written by
+  * DML ops when table property `graft.cdf=true`. Not part of
+  * snapshot state — consumed per-commit by [[GraftTable.changeFeed]].
+  */
+final case class AddCDC(path: String) extends Action
+
 /** Streaming-writer transaction marker (Delta `txn` action): the
   * latest epoch committed per stream id, replayed into snapshot state
   * so the exactly-once dedup check is an O(1) map lookup instead of an
@@ -119,6 +127,7 @@ object Actions {
         "metrics" -> strMap(c.metrics)))
     case d: AddDV => obj("addDV" -> obj("path" -> q(d.path)))
     case d: RemoveDV => obj("removeDV" -> obj("path" -> q(d.path)))
+    case c: AddCDC => obj("addCDC" -> obj("path" -> q(c.path)))
     case t: SetTxn =>
       obj("txn" -> obj("appId" -> q(t.appId), "epoch" -> t.epoch.toString))
   }
@@ -179,6 +188,8 @@ object Actions {
         SetTxn(m("appId").toString, String.valueOf(m("epoch")).toLong)
       case ("removeDV", v) =>
         RemoveDV(v.asInstanceOf[java.util.Map[String, Any]].asScala("path").toString)
+      case ("addCDC", v) =>
+        AddCDC(v.asInstanceOf[java.util.Map[String, Any]].asScala("path").toString)
       case (other, _) =>
         throw new IllegalArgumentException(s"unknown action type: $other")
     }

@@ -590,6 +590,74 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  // --------------------------------------------------- change data feed
+
+  private def cdfEnabled(s: Snapshot): Boolean =
+    s.metadata.exists(_.properties.getOrElse("graft.cdf", "false").toBoolean)
+
+  /** Stage a CDC sidecar for the committing op: `df` = rows in the
+    * CURRENT logical schema plus `_change_type`. Stored under physical
+    * column names (same bridge as data files) so later renames keep
+    * historical CDC readable.
+    */
+  private def stageCdc(s: Snapshot, df: DataFrame): AddCDC = {
+    val rel = s"_graft_cdc/cdc-${UUID.randomUUID()}"
+    val physical = df.select((s.schema.fields.map(f =>
+      col(f.name).as(s.physicalName(f.name))) :+ col("_change_type")).toIndexedSeq: _*)
+    physical.write.parquet(s"$path/$rel")
+    AddCDC(rel)
+  }
+
+  private def emptyChanges(s: Snapshot): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      s.schema.add("_change_type", "string"))
+
+  /** Operation-level change feed (Delta `table_changes` parity): the
+    * row changes each commit in (fromVersion, toVersion] made, tagged
+    * `_change_type` ∈ insert / delete / update_preimage /
+    * update_postimage plus `_commit_version`. Sources per version:
+    * the commit's CDC sidecar when present (written by DML ops under
+    * `graft.cdf=true`); pure-append commits synthesize inserts from
+    * their added files (no sidecar cost on the ingest path); anything
+    * else falls back to an exact per-version snapshot diff
+    * (insert/delete only) — every op stays visible in the feed even
+    * without CDC, at two-snapshot read cost for that version.
+    */
+  def changeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"invalid change-feed range ($fromVersion, $toVersion]")
+    val s = snapshot
+    val outCols = (s.schema.fieldNames.toIndexedSeq :+ "_change_type").map(col)
+    val perVersion = ((fromVersion + 1) to toVersion).map { v =>
+      val actions = log.readCommit(v)
+      val cdcs = actions.collect { case c: AddCDC => c.path }
+      val addsDC = actions.collect { case a: AddFile if a.dataChange => a }
+      val removesDC = actions.collect { case r: RemoveFile if r.dataChange => r }
+      val dvChange = actions.exists(a =>
+        a.isInstanceOf[AddDV] || a.isInstanceOf[RemoveDV])
+      val changes =
+        if (cdcs.nonEmpty) {
+          // explicit schema: CDC written before a mergeSchema evolution
+          // lacks the new columns — they read as null, like old data files
+          val raw = spark.read
+            .schema(s.physicalSchema.add("_change_type", "string"))
+            .parquet(cdcs.map(dataPath): _*)
+          raw.select((s.schema.fields.map(f =>
+            col(s.physicalName(f.name)).as(f.name)) :+ col("_change_type"))
+            .toIndexedSeq: _*)
+        } else if (removesDC.isEmpty && !dvChange && addsDC.nonEmpty)
+          dfForFiles(snapshotAt(v), addsDC)
+            .withColumn("_change_type", lit("insert"))
+        else if (addsDC.isEmpty && removesDC.isEmpty && !dvChange)
+          emptyChanges(s)
+        else
+          changesBetween(v - 1, v)
+      changes.select(outCols: _*).withColumn("_commit_version", lit(v))
+    }
+    perVersion.reduceOption(_ unionByName _)
+      .getOrElse(emptyChanges(s).withColumn("_commit_version", lit(0L)))
+  }
+
   /** CHECK constraint (Delta-style): validated against existing rows
     * now, and against every future data-changing write. A row
     * violates when the expression is FALSE (null passes, per SQL).
@@ -707,10 +775,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val adds = stageWrite(keep, s.partitionColumns, dataChange = true)
     val removes = candidates.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val cdc: Seq[Action] =
+      if (!cdfEnabled(s)) Nil
+      else Seq(stageCdc(s, dfForFiles(s, candidates)
+        .filter(coalesce(cond, lit(false)))
+        .withColumn("_change_type", lit("delete"))))
     val metrics = Map(
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("DELETE", metrics = metrics)) ++ removes ++ adds,
+    commitAndCheckpoint(Seq(info("DELETE", metrics = metrics)) ++ cdc ++ removes ++ adds,
       readVersion = s.version)
     metrics
   }
@@ -731,14 +804,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       return Map("numDeletionVectors" -> "0")
     }
     // physical scan + logical rename so `cond` (written against the
-    // current schema) evaluates correctly on column-mapped tables
+    // current schema) evaluates correctly on column-mapped tables;
+    // rows already masked by existing DVs are excluded (re-marking is
+    // harmless for the mask but would emit phantom CDC deletes)
     val scan0 = physicalScan(s, candidates, withMeta = true)
-    val scan = scan0.select((s.schema.fields.map(f =>
+    val maskedScan0 =
+      if (s.dvFiles.isEmpty) scan0
+      else {
+        val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+          .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
+        scan0.join(dv,
+          col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
+          "left_anti")
+      }
+    val scan = maskedScan0.select((s.schema.fields.map(f =>
       col(s.physicalName(f.name)).as(f.name)) ++
       Seq(col("__fp").as("file_path"), col("__ri").as("row_index"))).toIndexedSeq: _*)
-    val marks = scan
-      .filter(coalesce(cond, lit(false)))
-      .select("file_path", "row_index")
+    val matchedRows = scan.filter(coalesce(cond, lit(false)))
+    val marks = matchedRows.select("file_path", "row_index")
     val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
     marks.write.mode("overwrite").parquet(s"$path/$rel")
     // zero actual matches: an empty DV is pure overhead (mask anti-join
@@ -750,6 +833,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         metrics = Map("numDeletionVectors" -> "0"))))
       return Map("numDeletionVectors" -> "0")
     }
+    val cdc: Seq[Action] =
+      if (!cdfEnabled(s)) Nil
+      else Seq(stageCdc(s, matchedRows.drop("file_path", "row_index")
+        .withColumn("_change_type", lit("delete"))))
     val metrics = Map("numDeletionVectors" -> "1",
       "numCandidateFiles" -> candidates.size.toString)
     // conflictOnDV: a concurrent merge-on-read UPDATE both masks rows
@@ -759,7 +846,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // Pure MoR deletes rarely interleave in the same millisecond
     // window; when they do, the loser re-runs — still correct.
     commitAndCheckpoint(Seq(info("DELETE",
-      params = Map("mode" -> "merge-on-read"), metrics = metrics), AddDV(rel)),
+      params = Map("mode" -> "merge-on-read"), metrics = metrics), AddDV(rel)) ++ cdc,
       readVersion = s.version, readPaths = candidates.map(_.path).toSet,
       conflictOnDV = true)
     metrics
@@ -782,10 +869,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val adds = stageWrite(updated, s.partitionColumns, dataChange = true)
     val removes = candidates.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val cdc: Seq[Action] =
+      if (!cdfEnabled(s)) Nil
+      else {
+        val pre = dfForFiles(s, candidates).filter(coalesce(cond, lit(false)))
+        val post = set.foldLeft(pre) { case (df, (c, v)) =>
+          df.withColumn(c, v.cast(s.schema(c).dataType))
+        }
+        Seq(stageCdc(s,
+          pre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(post.withColumn("_change_type", lit("update_postimage")))))
+      }
     val metrics = Map(
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("UPDATE", metrics = metrics)) ++ removes ++ adds,
+    commitAndCheckpoint(Seq(info("UPDATE", metrics = metrics)) ++ cdc ++ removes ++ adds,
       readVersion = s.version)
     metrics
   }
@@ -841,6 +939,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     validateConstraints(updated, s)
     val adds = stageWrite(updated, s.partitionColumns, dataChange = true)
+    val cdc: Seq[Action] =
+      if (!cdfEnabled(s)) Nil
+      else Seq(stageCdc(s,
+        matched.drop("file_path", "row_index")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updated.withColumn("_change_type", lit("update_postimage")))))
     val metrics = Map(
       "numDeletionVectors" -> "1",
       "numAddedFiles" -> adds.size.toString,
@@ -849,7 +953,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // post-images were computed — committing would resurrect its rows
     commitAndCheckpoint(Seq(info("UPDATE",
       params = Map("mode" -> "merge-on-read"), metrics = metrics),
-      AddDV(rel)) ++ adds,
+      AddDV(rel)) ++ cdc ++ adds,
       readVersion = s.version, readPaths = candidates.map(_.path).toSet,
       conflictOnDV = true)
     metrics
@@ -892,8 +996,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     // matched survivors: replaced by the source row when updateAll
     // (and updateCond holds on the target row), else kept as-is
-    val (replacedKeys, keptMatched) = if (updateAll) {
-      val toUpdate = updateCond match {
+    val (toUpdate, keptMatched) = if (updateAll) {
+      val upd = updateCond match {
         case Some(uc) => afterDelete.filter(coalesce(uc, lit(false)) === true)
         case None => afterDelete
       }
@@ -901,10 +1005,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         case Some(uc) => afterDelete.filter(coalesce(uc, lit(false)) === false)
         case None => afterDelete.limit(0)
       }
-      (toUpdate.select(key), notUpdated)
-    } else (afterDelete.limit(0).select(key), afterDelete)
+      (upd, notUpdated)
+    } else (afterDelete.limit(0), afterDelete)
 
-    val replacements = source.join(replacedKeys, Seq(key), "left_semi")
+    val replacements = source.join(toUpdate.select(key), Seq(key), "left_semi")
     val inserts =
       if (insertUnmatched) source.join(candDF.select(key), Seq(key), "left_anti")
       else source.limit(0)
@@ -917,11 +1021,27 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val adds = stageWrite(merged, s.partitionColumns, dataChange = true)
     val removes = candidates.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val cdc: Seq[Action] =
+      if (!cdfEnabled(s)) Nil
+      else {
+        val deleted = deleteCond match {
+          case Some(dc) => matched.filter(coalesce(dc, lit(false)) === true)
+          case None => matched.limit(0)
+        }
+        Seq(stageCdc(s,
+          deleted.select(fields: _*).withColumn("_change_type", lit("delete"))
+            .unionByName(toUpdate.select(fields: _*)
+              .withColumn("_change_type", lit("update_preimage")))
+            .unionByName(replacements.select(fields: _*)
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(inserts.select(fields: _*)
+              .withColumn("_change_type", lit("insert")))))
+      }
     val metrics = Map(
       "numSourceRows" -> source.count().toString,
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("MERGE", metrics = metrics)) ++ removes ++ adds,
+    commitAndCheckpoint(Seq(info("MERGE", metrics = metrics)) ++ cdc ++ removes ++ adds,
       readVersion = s.version)
     metrics
   }
@@ -943,10 +1063,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       s.partitionColumns, dataChange = true)
     val removes = candidates.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val cdc: Seq[Action] =
+      if (!cdfEnabled(s)) Nil
+      else Seq(stageCdc(s,
+        dfForFiles(s, candidates).filter(coalesce(cond, lit(false)))
+          .select(s.schema.fieldNames.map(col): _*)
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(df.select(s.schema.fieldNames.map(col): _*)
+            .withColumn("_change_type", lit("insert")))))
     val metrics = Map(
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("REPLACE WHERE", metrics = metrics)) ++ removes ++ adds,
+    commitAndCheckpoint(Seq(info("REPLACE WHERE", metrics = metrics)) ++ cdc ++ removes ++ adds,
       readVersion = s.version)
     metrics
   }
@@ -1111,7 +1239,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case (k, v) if k.startsWith("graft.bloom.") => v
     }.toSeq ++ props.get("graft.copyInto.state").toSeq)
       .map(r => root.resolve(r).normalize)
-    val spared = activeDvDirs ++ sidecarDirs
+    // CDC sidecars belong to historical commits, not the current
+    // snapshot — their lifetime is the log's (cleanupLogs reclaims
+    // them with their carrier commits), so vacuum never touches them
+    val spared = activeDvDirs ++ sidecarDirs :+
+      root.resolve("_graft_cdc").normalize
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     val walk = Files.walk(root)
     val candidates =
@@ -1291,6 +1423,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         info("LOG CLEANUP", metrics = Map("numFoldedTxns" -> missing.size.toString)) +:
           missing.toSeq.sortBy(_._1).map { case (a, e) => SetTxn(a, e) })
       log.writeCheckpoint(spark, v)
+    }
+    // CDC sidecars ride with their carrier commits: reclaim the ones
+    // whose commit is about to be dropped (vacuum spares _graft_cdc,
+    // so this is their only collection point)
+    log.cleanupCutoff(keepVersions).foreach { cutoff =>
+      log.listVersions().filter(_ < cutoff).foreach { v =>
+        log.readCommit(v).foreach {
+          case c: AddCDC => deleteRecursively(root.resolve(c.path))
+          case _ => ()
+        }
+      }
     }
     log.cleanupLogs(keepVersions)
   }

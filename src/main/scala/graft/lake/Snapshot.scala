@@ -105,6 +105,7 @@ object Snapshot {
       case r: RemoveFile => files.remove(r.path)
       case d: AddDV => dvs += d.path
       case d: RemoveDV => dvs -= d.path
+      case _: AddCDC => () // per-commit change feed, not snapshot state
       case t: SetTxn => txns(t.appId) = math.max(t.epoch, txns.getOrElse(t.appId, Long.MinValue))
       case _: CommitInfo => ()
     }

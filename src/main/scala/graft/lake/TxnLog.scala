@@ -186,6 +186,11 @@ final class TxnLog(val tablePath: String) {
     * window. At 100k commits this bounds the log directory instead of
     * letting it grow one file per commit forever.
     */
+  /** The version below which [[cleanupLogs]] would delete commits. */
+  def cleanupCutoff(keepVersions: Long = 0): Option[Long] =
+    for (cv <- lastCheckpointVersion(); latest <- latestVersion())
+      yield math.min(cv, latest - keepVersions)
+
   def cleanupLogs(keepVersions: Long = 0): Int = {
     val cvOpt = lastCheckpointVersion()
     val latestOpt = latestVersion()

@@ -164,8 +164,11 @@ final class GraftSource(
     StreamShim.asStreaming(batch, this)
   }
 
-  /** CDF batch: initial = snapshot as inserts; incremental = row-level
-    * diff between the range's endpoints (insert/delete tagged).
+  /** CDF batch: initial = snapshot as inserts; incremental = the
+    * operation-level change feed over the version range (CDC sidecars
+    * when the table writes them, per-version diffs otherwise), so
+    * consumers see update_preimage/update_postimage pairs rather than
+    * synthesized delete+insert when `graft.cdf=true`.
     */
   private def cdfBatch(start: Option[OffsetV1], endV: Long): DataFrame =
     start.map(version).orElse(startingVersion.map(_ - 1)) match {
@@ -176,7 +179,7 @@ final class GraftSource(
             org.apache.spark.sql.functions.lit("insert"))
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       case Some(startV) =>
-        table.changesBetween(startV, endV)
+        table.changeFeed(startV, endV)
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     }
 

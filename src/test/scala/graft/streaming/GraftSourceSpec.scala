@@ -166,13 +166,14 @@ class GraftSourceSpec extends GraftSparkSpec {
     t.delete(col("n_nationkey") === 1) // CoW delete: no failure in CDF mode
     val b2 = runOnce(path, ckpt, opts)
     val byType = b2.groupBy(_.getAs[String]("_change_type")).view.mapValues(_.size).toMap
-    // the diff spans (v_run1, v_now]: appended rows that survived the
-    // delete are inserts; original nationkey=1 rows are deletes; an
-    // appended-then-deleted row is in neither endpoint snapshot
-    val appendedDeleted = nation.limit(3).filter(col("n_nationkey") === 1).count()
-    assert(byType.getOrElse("delete", 0) ==
-      nation.filter(col("n_nationkey") === 1).count(), s"got $byType")
-    assert(byType.getOrElse("insert", 0) == 3 - appendedDeleted, s"got $byType")
+    // per-version feed (Delta table_changes semantics): the append's 3
+    // rows are inserts, and the delete removes every nationkey=1 row
+    // visible at its start — including the one appended just before,
+    // which therefore appears as BOTH an insert and a delete
+    val deletedAtV2 = nation.filter(col("n_nationkey") === 1).count() +
+      nation.limit(3).filter(col("n_nationkey") === 1).count()
+    assert(byType.getOrElse("insert", 0) == 3, s"got $byType")
+    assert(byType.getOrElse("delete", 0) == deletedAtV2, s"got $byType")
 
     assert(runOnce(path, ckpt, opts).isEmpty) // caught up
   }
