@@ -64,6 +64,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
   private val copyIntoRe: Regex =
     """(?is)^\s*COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*$""".r
+  private val tableChangesRe: Regex =
+    """(?is)^\s*TABLE\s+CHANGES\s+(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s*;?\s*$""".r
   private val versionAsOfRe: Regex =
     """(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val timestampAsOfRe: Regex =
@@ -153,6 +155,8 @@ final class GraftSql(spark: SparkSession) {
           .toDF("metric", "value")
       case copyIntoRe(name, src) =>
         table(name).copyInto(src).toSeq.sorted.toDF("metric", "value")
+      case tableChangesRe(name, from, to) =>
+        table(name).changeFeed(from.toLong, to.toLong)
       case other =>
         // register snapshots (incl. any VERSION AS OF rewrites) and
         // delegate to Spark SQL

@@ -976,7 +976,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   private[lake] def executeMerge(source: DataFrame, key: String,
       updateAll: Boolean, updateCond: Option[Column],
-      deleteCond: Option[Column], insertUnmatched: Boolean): Map[String, String] = {
+      deleteCond: Option[Column], insertUnmatched: Boolean,
+      extraActions: Seq[Action] = Nil): Map[String, String] = {
     val s = snapshot
     validateConstraints(source, s)
     enforceSchema(source.schema, s.schema)
@@ -1041,9 +1042,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       "numSourceRows" -> source.count().toString,
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("MERGE", metrics = metrics)) ++ cdc ++ removes ++ adds,
+    commitAndCheckpoint(
+      Seq(info("MERGE", metrics = metrics)) ++ extraActions ++ cdc ++ removes ++ adds,
       readVersion = s.version)
     metrics
+  }
+
+  /** Idempotent streaming upsert — the `foreachBatch` + MERGE pattern
+    * with Delta's txnAppId/txnVersion guard built in: the merge commit
+    * carries a SetTxn for (appId, epochId), so a replayed micro-batch
+    * (engine retry after crash) is skipped instead of double-applied.
+    * Exactly-once upserts from a stream into a 100 TB table.
+    */
+  def mergeStreamBatch(appId: String, epochId: Long, source: DataFrame,
+                       key: String): Map[String, String] = {
+    val s = snapshot
+    if (s.txns.get(appId).exists(_ >= epochId))
+      Map("skippedEpoch" -> epochId.toString)
+    else executeMerge(source, key, updateAll = true, updateCond = None,
+      deleteCond = None, insertUnmatched = true,
+      extraActions = Seq(SetTxn(appId, epochId)))
   }
 
   /** Atomic `replaceWhere`: in ONE commit, drop every row matching

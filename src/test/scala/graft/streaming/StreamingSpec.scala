@@ -91,6 +91,28 @@ class StreamingSpec extends GraftSparkSpec {
     assert(expected > 0)
   }
 
+  test("streaming upsert via foreachBatch merge is exactly-once per epoch") {
+    import graft.Tables
+    val orders = Tables(spark, sfDir, "orders").limit(200)
+    val t = GraftTable.create(spark, tmpDir("stream-upsert"), orders)
+    val nBefore = t.toDF.count()
+    val batch = orders.limit(50)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+    // epoch 0 applies: 50 keys updated, none inserted
+    t.mergeStreamBatch("upserter", 0, batch, "o_orderkey")
+    val afterFirst = t.toDF.agg(sum("o_totalprice")).head.getDouble(0)
+    assert(t.toDF.count() == nBefore)
+    // engine retry replays epoch 0: must be a no-op, not a re-doubling
+    val m = t.mergeStreamBatch("upserter", 0, batch, "o_orderkey")
+    assert(m.contains("skippedEpoch"))
+    assert(math.abs(t.toDF.agg(sum("o_totalprice")).head.getDouble(0) - afterFirst) < 1e-6)
+    // the next epoch inserts unmatched keys
+    val inserts = orders.limit(10)
+      .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+    t.mergeStreamBatch("upserter", 1, inserts, "o_orderkey")
+    assert(t.toDF.count() == nBefore + 10)
+  }
+
   test("streaming into GraftLake + OPTIMIZE compaction loop") {
     val dir = eventsOnDisk("lake-src")
     val schema = spark.read.parquet(dir).schema
