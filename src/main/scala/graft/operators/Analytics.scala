@@ -423,9 +423,13 @@ object Analytics {
     Tables(spark, dir, "lineitem")
       .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(cents, 0.25)"), 1).as("q1_cents"),
-        round(expr("percentile(cents, 0.5)"), 1).as("median_cents"),
-        round(expr("percentile(cents, 0.75)"), 1).as("q3_cents"))
+      // one percentile buffer per group, not three: the exact
+      // percentile aggregate holds every value, so asking for the
+      // array computes all quantiles from a single sort
+      .agg(expr("percentile(cents, array(0.25, 0.5, 0.75))").as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 1).as("q1_cents"),
+        round(element_at(col("ps"), 2), 1).as("median_cents"),
+        round(element_at(col("ps"), 3), 1).as("q3_cents"))
       .orderBy("l_returnflag")
 }

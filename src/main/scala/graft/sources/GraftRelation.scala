@@ -20,17 +20,26 @@ final class GraftRelation(
     options: Map[String, String] = Map.empty) extends BaseRelation with PrunedFilteredScan {
 
   private val table = GraftTable.forPath(sqlContext.sparkSession, path)
+  private val opts = options.map { case (k, v) => k.toLowerCase -> v }
+
+  /** Batch change-feed read (Delta parity):
+    * `.option("readChangeFeed", true)` with optional
+    * `startingVersion`/`endingVersion` (inclusive) returns the
+    * operation-level feed instead of the snapshot.
+    */
+  private val cdfRead = opts.getOrElse("readchangefeed", "false").toBoolean
+  private val cdfStart = opts.get("startingversion").map(_.toLong).getOrElse(0L)
+  private def cdfEnd = opts.get("endingversion").map(_.toLong)
+    .getOrElse(table.version)
 
   /** Time travel through the reader, Delta-style:
     * `.option("versionAsOf", n)` / `.option("timestampAsOf", ts)`.
     */
-  private val pinnedVersion: Option[Long] = {
-    val opts = options.map { case (k, v) => k.toLowerCase -> v }
+  private val pinnedVersion: Option[Long] =
     opts.get("versionasof").map(_.toLong)
       .orElse(opts.get("timestampasof").map(ts =>
         graft.lake.Snapshot.versionAtTimestamp(table.log,
           graft.lake.Snapshot.parseTsMillis(ts))))
-  }
 
   // replaying the log per planner call would repeat checkpoint reads
   // several times within one query's analysis
@@ -39,8 +48,11 @@ final class GraftRelation(
   private def snapshotDf =
     pinnedVersion.map(table.toDFAt).getOrElse(table.toDF)
 
-  override def schema: StructType =
-    pinnedSnapshot.map(_.schema).getOrElse(table.snapshot.schema)
+  override def schema: StructType = {
+    val base = pinnedSnapshot.map(_.schema).getOrElse(table.snapshot.schema)
+    if (cdfRead) base.add("_change_type", "string").add("_commit_version", "long")
+    else base
+  }
 
   /** Planner cost input: on-disk bytes × a decompression factor (the
     * default BaseRelation size is "assume huge, never broadcast").
@@ -75,6 +87,10 @@ final class GraftRelation(
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    if (cdfRead)
+      // changeFeed's range is (from, to]; startingVersion is inclusive
+      return table.changeFeed(cdfStart - 1, cdfEnd)
+        .select(requiredColumns.map(col).toIndexedSeq: _*).rdd
     val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
     // pruning (stats/bloom) applies only to the live snapshot; pinned
     // versions scan their full file set and let Spark filter

@@ -49,6 +49,33 @@ class GraftRelationSpec extends GraftSparkSpec {
       nation.filter(col("n_nationkey") === 0).count())
   }
 
+  test("batch readChangeFeed returns the operation-level feed") {
+    val nation = Tables(spark, sfDir, "nation")
+    val path = tmpDir("rel-cdf")
+    val t = GraftTable.create(spark, path, nation,
+      properties = Map("graft.cdf" -> "true"))        // v0
+    t.update(col("n_regionkey") === 0, Map("n_name" -> lit("X")))  // v1
+    t.delete(col("n_nationkey") === 1)                             // v2
+
+    val feed = spark.read.format("graftlake")
+      .option("readChangeFeed", "true").load(path)
+    val byType = feed.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val updated = nation.filter(col("n_regionkey") === 0).count()
+    assert(byType.get("insert").contains(nation.count())) // v0 CTAS
+    assert(byType.get("update_preimage").contains(updated))
+    assert(byType.get("update_postimage").contains(updated))
+    assert(byType.get("delete").contains(1L))
+
+    // version-bounded: only v2's delete
+    val v2only = spark.read.format("graftlake")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2").load(path)
+    assert(v2only.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    assert(v2only.count() == 1)
+  }
+
   test("small lake dimension auto-broadcasts from relation size stats") {
     val nationPath = tmpDir("rel-nation")
     val ordersPath = tmpDir("rel-orders")
