@@ -156,7 +156,9 @@ final class GraftSql(spark: SparkSession) {
       case copyIntoRe(name, src) =>
         table(name).copyInto(src).toSeq.sorted.toDF("metric", "value")
       case tableChangesRe(name, from, to) =>
-        table(name).changeFeed(from.toLong, to.toLong)
+        // BETWEEN is inclusive of both bounds; changeFeed's range is
+        // (from, to]
+        table(name).changeFeed(from.toLong - 1, to.toLong)
       case other =>
         // register snapshots (incl. any VERSION AS OF rewrites) and
         // delegate to Spark SQL

@@ -331,14 +331,28 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                                         metadataConflict: Boolean = false,
                                         conflictOnDV: Boolean = false): Long = {
     val deps = actions.collect { case r: RemoveFile => r.path }.toSet ++ readPaths
+    val ourTxns = actions.collect { case t: SetTxn => t.appId -> t.epoch }.toMap
     val v =
-      if (readVersion < 0 || (deps.isEmpty && !metadataConflict && !conflictOnDV))
+      if (readVersion < 0 ||
+          (deps.isEmpty && !metadataConflict && !conflictOnDV && ourTxns.isEmpty))
         log.commit(actions)
       else {
         var committed = -1L
         while (committed < 0) {
           val latest = log.latestVersion().getOrElse(-1L)
           val intervening = ((readVersion + 1) to latest).flatMap(log.readCommit)
+          // exactly-once re-validation at commit time: a zombie twin
+          // of the same stream may have committed our epoch between
+          // the caller's snapshot check and now — applying the batch
+          // again would double its rows. Skip without committing.
+          val txnDone = ourTxns.nonEmpty && intervening.exists {
+            case t: SetTxn => ourTxns.get(t.appId).exists(t.epoch >= _)
+            case _ => false
+          }
+          if (txnDone) {
+            log.maybeCheckpoint(spark, latest)
+            return latest
+          }
           val conflicting = intervening
             .collect { case r: RemoveFile if deps.contains(r.path) => r.path }
           // a concurrent merge-on-read DELETE commits only AddDV — it
@@ -608,6 +622,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     AddCDC(rel)
   }
 
+  /** Commit, reclaiming this op's freshly-staged CDC sidecars when the
+    * commit aborts on a write-write conflict: vacuum spares
+    * `_graft_cdc` wholesale (live sidecars belong to history, not the
+    * snapshot), so an aborted op's sidecar would otherwise leak
+    * forever — and MoR ops abort by design under concurrency.
+    */
+  private def commitOrReclaimCdc(cdc: Seq[Action])(commit: => Long): Long =
+    try commit
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        cdc.foreach {
+          case AddCDC(rel) => deleteRecursively(root.resolve(rel))
+          case _ => ()
+        }
+        throw e
+    }
+
   private def emptyChanges(s: Snapshot): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       s.schema.add("_change_type", "string"))
@@ -623,18 +654,50 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * (insert/delete only) — every op stays visible in the feed even
     * without CDC, at two-snapshot read cost for that version.
     */
+  /** Operations whose commits only add rows: their inserts synthesize
+    * straight from the added files. RESTORE also commits adds with no
+    * removes when nothing changed, but re-activating an old file set
+    * inserts nothing — only genuinely append-only ops qualify.
+    */
+  private val AppendOps = Set("APPEND", "STREAMING UPDATE",
+    "CREATE TABLE AS SELECT", "COPY INTO", "CONVERT", "CLONE")
+
   def changeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"invalid change-feed range ($fromVersion, $toVersion]")
     val s = snapshot
     val outCols = (s.schema.fieldNames.toIndexedSeq :+ "_change_type").map(col)
+    // historical frames align to the CURRENT schema by physical-name
+    // identity: renamed columns map over, columns added since read as
+    // null (like old data files), columns dropped since disappear
+    def align(df: DataFrame, from: Snapshot): DataFrame = {
+      val curByPhys = s.schema.fieldNames.map(n => s.physicalName(n) -> n).toMap
+      val renamed = from.schema.fieldNames.foldLeft(df) { (d, oldName) =>
+        curByPhys.get(from.physicalName(oldName)) match {
+          case Some(cur) if cur != oldName => d.withColumnRenamed(oldName, cur)
+          case Some(_) => d
+          case None => d.drop(oldName)
+        }
+      }
+      s.schema.fields.foldLeft(renamed)((d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    // one checkpoint replay at the range start, then O(commit)
+    // incremental advances: a 1000-version catch-up reads ONE
+    // checkpoint, not one per version (the per-version plan union
+    // still grows with the range — bound catch-up batches with
+    // maxVersionsPerTrigger on the streaming path)
+    var snapBefore = snapshotAt(fromVersion)
     val perVersion = ((fromVersion + 1) to toVersion).map { v =>
       val actions = log.readCommit(v)
+      val snapAt = Snapshot.advance(snapBefore, v, actions)
       val cdcs = actions.collect { case c: AddCDC => c.path }
       val addsDC = actions.collect { case a: AddFile if a.dataChange => a }
       val removesDC = actions.collect { case r: RemoveFile if r.dataChange => r }
       val dvChange = actions.exists(a =>
         a.isInstanceOf[AddDV] || a.isInstanceOf[RemoveDV])
+      val op = actions.collectFirst { case c: CommitInfo => c.operation }.getOrElse("")
       val changes =
         if (cdcs.nonEmpty) {
           // explicit schema: CDC written before a mergeSchema evolution
@@ -645,13 +708,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           raw.select((s.schema.fields.map(f =>
             col(s.physicalName(f.name)).as(f.name)) :+ col("_change_type"))
             .toIndexedSeq: _*)
-        } else if (removesDC.isEmpty && !dvChange && addsDC.nonEmpty)
-          dfForFiles(snapshotAt(v), addsDC)
+        } else if (AppendOps.contains(op) && removesDC.isEmpty && !dvChange &&
+            addsDC.nonEmpty)
+          align(dfForFiles(snapAt, addsDC), snapAt)
             .withColumn("_change_type", lit("insert"))
         else if (addsDC.isEmpty && removesDC.isEmpty && !dvChange)
           emptyChanges(s)
-        else
-          changesBetween(v - 1, v)
+        else {
+          // exact per-version diff on current-schema columns
+          val cur = s.schema.fieldNames.map(col).toIndexedSeq
+          val before = align(dfForFiles(snapBefore, snapBefore.activeFiles),
+            snapBefore).select(cur: _*)
+          val after = align(dfForFiles(snapAt, snapAt.activeFiles), snapAt)
+            .select(cur: _*)
+          after.exceptAll(before).withColumn("_change_type", lit("insert"))
+            .unionByName(before.exceptAll(after)
+              .withColumn("_change_type", lit("delete")))
+        }
+      snapBefore = snapAt
       changes.select(outCols: _*).withColumn("_commit_version", lit(v))
     }
     perVersion.reduceOption(_ unionByName _)
@@ -748,10 +822,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       validateConstraints(shaped, s)
       enforceSchema(shaped.schema, s.schema)
       val adds = stageWrite(shaped, s.partitionColumns, dataChange = true)
+      // readVersion engages the conflict loop, whose SetTxn
+      // re-validation catches a zombie twin committing this same epoch
+      // between our snapshot check and now
       val v = commitAndCheckpoint(Seq(
         info("STREAMING UPDATE",
           params = Map("streamAppId" -> appId, "epochId" -> epochId.toString)),
-        SetTxn(appId, epochId)) ++ adds)
+        SetTxn(appId, epochId)) ++ adds, readVersion = s.version)
       maybeAutoOptimize()
       v
     }
@@ -783,8 +860,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val metrics = Map(
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("DELETE", metrics = metrics)) ++ cdc ++ removes ++ adds,
-      readVersion = s.version)
+    commitOrReclaimCdc(cdc)(commitAndCheckpoint(
+      Seq(info("DELETE", metrics = metrics)) ++ cdc ++ removes ++ adds,
+      readVersion = s.version))
     metrics
   }
 
@@ -820,36 +898,45 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val scan = maskedScan0.select((s.schema.fields.map(f =>
       col(s.physicalName(f.name)).as(f.name)) ++
       Seq(col("__fp").as("file_path"), col("__ri").as("row_index"))).toIndexedSeq: _*)
-    val matchedRows = scan.filter(coalesce(cond, lit(false)))
-    val marks = matchedRows.select("file_path", "row_index")
-    val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
-    marks.write.mode("overwrite").parquet(s"$path/$rel")
-    // zero actual matches: an empty DV is pure overhead (mask anti-join
-    // on every read, spurious DV-conflict aborts) — no-op instead
-    if (spark.read.parquet(s"$path/$rel").count() == 0) {
-      deleteRecursively(root.resolve(rel))
-      commitAndCheckpoint(Seq(info("DELETE",
-        params = Map("mode" -> "merge-on-read"),
-        metrics = Map("numDeletionVectors" -> "0"))))
-      return Map("numDeletionVectors" -> "0")
-    }
-    val cdc: Seq[Action] =
-      if (!cdfEnabled(s)) Nil
-      else Seq(stageCdc(s, matchedRows.drop("file_path", "row_index")
-        .withColumn("_change_type", lit("delete"))))
-    val metrics = Map("numDeletionVectors" -> "1",
-      "numCandidateFiles" -> candidates.size.toString)
-    // conflictOnDV: a concurrent merge-on-read UPDATE both masks rows
-    // and appends post-images; this delete planned its marks against
-    // the pre-update snapshot, so committing blindly would leave the
-    // update's post-image rows (which may match our predicate) alive.
-    // Pure MoR deletes rarely interleave in the same millisecond
-    // window; when they do, the loser re-runs — still correct.
-    commitAndCheckpoint(Seq(info("DELETE",
-      params = Map("mode" -> "merge-on-read"), metrics = metrics), AddDV(rel)) ++ cdc,
-      readVersion = s.version, readPaths = candidates.map(_.path).toSet,
-      conflictOnDV = true)
-    metrics
+    // with CDF on, the matched rows feed both the marks write and the
+    // CDC sidecar: persist so the candidate scan runs once
+    val withCdf = cdfEnabled(s)
+    val matchedRows0 = scan.filter(coalesce(cond, lit(false)))
+    val matchedRows =
+      if (withCdf) matchedRows0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else matchedRows0
+    try {
+      val marks = matchedRows.select("file_path", "row_index")
+      val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
+      marks.write.mode("overwrite").parquet(s"$path/$rel")
+      // zero actual matches: an empty DV is pure overhead (mask anti-join
+      // on every read, spurious DV-conflict aborts) — no-op instead
+      if (spark.read.parquet(s"$path/$rel").count() == 0) {
+        deleteRecursively(root.resolve(rel))
+        commitAndCheckpoint(Seq(info("DELETE",
+          params = Map("mode" -> "merge-on-read"),
+          metrics = Map("numDeletionVectors" -> "0"))))
+        return Map("numDeletionVectors" -> "0")
+      }
+      val cdc: Seq[Action] =
+        if (!withCdf) Nil
+        else Seq(stageCdc(s, matchedRows.drop("file_path", "row_index")
+          .withColumn("_change_type", lit("delete"))))
+      val metrics = Map("numDeletionVectors" -> "1",
+        "numCandidateFiles" -> candidates.size.toString)
+      // conflictOnDV: a concurrent merge-on-read UPDATE both masks rows
+      // and appends post-images; this delete planned its marks against
+      // the pre-update snapshot, so committing blindly would leave the
+      // update's post-image rows (which may match our predicate) alive.
+      // Pure MoR deletes rarely interleave in the same millisecond
+      // window; when they do, the loser re-runs — still correct.
+      commitOrReclaimCdc(cdc)(commitAndCheckpoint(Seq(info("DELETE",
+        params = Map("mode" -> "merge-on-read"), metrics = metrics), AddDV(rel)) ++ cdc,
+        readVersion = s.version, readPaths = candidates.map(_.path).toSet,
+        conflictOnDV = true))
+      metrics
+    } finally if (withCdf) { matchedRows.unpersist(); () }
   }
 
   /** UPDATE ... SET assignments WHERE cond. */
@@ -883,8 +970,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val metrics = Map(
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("UPDATE", metrics = metrics)) ++ cdc ++ removes ++ adds,
-      readVersion = s.version)
+    commitOrReclaimCdc(cdc)(commitAndCheckpoint(
+      Seq(info("UPDATE", metrics = metrics)) ++ cdc ++ removes ++ adds,
+      readVersion = s.version))
     metrics
   }
 
@@ -916,47 +1004,53 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
           "left_anti")
       }
+    // matched feeds the marks write, the post-image write, and (with
+    // CDF) the CDC sidecar — persist so the candidate scan + DV
+    // anti-join runs once, not three times (O(matches) storage)
     val matched = maskedScan.select((s.schema.fields.map(f =>
       col(s.physicalName(f.name)).as(f.name)) ++
       Seq(col("__fp").as("file_path"), col("__ri").as("row_index"))).toIndexedSeq: _*)
       .filter(coalesce(cond, lit(false)))
-    val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
-    matched.select("file_path", "row_index")
-      .write.mode("overwrite").parquet(s"$path/$rel")
-    // stats-pruned candidates with zero actual matches: committing an
-    // empty DV would tax every future read with the mask anti-join and
-    // spuriously conflict-abort concurrent rewrites — bail to a no-op
-    // commit instead (footer-only count, no data re-read)
-    if (spark.read.parquet(s"$path/$rel").count() == 0) {
-      deleteRecursively(root.resolve(rel))
-      commitAndCheckpoint(Seq(info("UPDATE",
-        params = Map("mode" -> "merge-on-read"),
-        metrics = Map("numDeletionVectors" -> "0"))))
-      return Map("numDeletionVectors" -> "0")
-    }
-    val updated = set.foldLeft(matched.drop("file_path", "row_index")) {
-      case (df, (c, v)) => df.withColumn(c, v.cast(s.schema(c).dataType))
-    }
-    validateConstraints(updated, s)
-    val adds = stageWrite(updated, s.partitionColumns, dataChange = true)
-    val cdc: Seq[Action] =
-      if (!cdfEnabled(s)) Nil
-      else Seq(stageCdc(s,
-        matched.drop("file_path", "row_index")
-          .withColumn("_change_type", lit("update_preimage"))
-          .unionByName(updated.withColumn("_change_type", lit("update_postimage")))))
-    val metrics = Map(
-      "numDeletionVectors" -> "1",
-      "numAddedFiles" -> adds.size.toString,
-      "numCandidateFiles" -> candidates.size.toString)
-    // conflictOnDV: a concurrent MoR delete's mask landed after our
-    // post-images were computed — committing would resurrect its rows
-    commitAndCheckpoint(Seq(info("UPDATE",
-      params = Map("mode" -> "merge-on-read"), metrics = metrics),
-      AddDV(rel)) ++ cdc ++ adds,
-      readVersion = s.version, readPaths = candidates.map(_.path).toSet,
-      conflictOnDV = true)
-    metrics
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
+      matched.select("file_path", "row_index")
+        .write.mode("overwrite").parquet(s"$path/$rel")
+      // stats-pruned candidates with zero actual matches: committing an
+      // empty DV would tax every future read with the mask anti-join and
+      // spuriously conflict-abort concurrent rewrites — bail to a no-op
+      // commit instead (footer-only count, no data re-read)
+      if (spark.read.parquet(s"$path/$rel").count() == 0) {
+        deleteRecursively(root.resolve(rel))
+        commitAndCheckpoint(Seq(info("UPDATE",
+          params = Map("mode" -> "merge-on-read"),
+          metrics = Map("numDeletionVectors" -> "0"))))
+        return Map("numDeletionVectors" -> "0")
+      }
+      val updated = set.foldLeft(matched.drop("file_path", "row_index")) {
+        case (df, (c, v)) => df.withColumn(c, v.cast(s.schema(c).dataType))
+      }
+      validateConstraints(updated, s)
+      val adds = stageWrite(updated, s.partitionColumns, dataChange = true)
+      val cdc: Seq[Action] =
+        if (!cdfEnabled(s)) Nil
+        else Seq(stageCdc(s,
+          matched.drop("file_path", "row_index")
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(updated.withColumn("_change_type", lit("update_postimage")))))
+      val metrics = Map(
+        "numDeletionVectors" -> "1",
+        "numAddedFiles" -> adds.size.toString,
+        "numCandidateFiles" -> candidates.size.toString)
+      // conflictOnDV: a concurrent MoR delete's mask landed after our
+      // post-images were computed — committing would resurrect its rows
+      commitOrReclaimCdc(cdc)(commitAndCheckpoint(Seq(info("UPDATE",
+        params = Map("mode" -> "merge-on-read"), metrics = metrics),
+        AddDV(rel)) ++ cdc ++ adds,
+        readVersion = s.version, readPaths = candidates.map(_.path).toSet,
+        conflictOnDV = true))
+      metrics
+    } finally matched.unpersist()
   }
 
   /** MERGE INTO by key equality: matched → replace with source row,
@@ -1042,9 +1136,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       "numSourceRows" -> source.count().toString,
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(
+    commitOrReclaimCdc(cdc)(commitAndCheckpoint(
       Seq(info("MERGE", metrics = metrics)) ++ extraActions ++ cdc ++ removes ++ adds,
-      readVersion = s.version)
+      readVersion = s.version))
     metrics
   }
 
@@ -1092,8 +1186,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val metrics = Map(
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("REPLACE WHERE", metrics = metrics)) ++ cdc ++ removes ++ adds,
-      readVersion = s.version)
+    commitOrReclaimCdc(cdc)(commitAndCheckpoint(
+      Seq(info("REPLACE WHERE", metrics = metrics)) ++ cdc ++ removes ++ adds,
+      readVersion = s.version))
     metrics
   }
 

@@ -86,6 +86,30 @@ object Snapshot {
     ldt.toInstant(ZoneOffset.UTC).toEpochMilli
   }
 
+  /** Apply one commit's actions on top of an existing snapshot — the
+    * O(commit) incremental advance a version-walking consumer (change
+    * feed) uses instead of a fresh checkpoint replay per version.
+    */
+  def advance(base: Snapshot, v: Long, tail: Seq[Action]): Snapshot = {
+    var meta = base.metadata
+    val files = scala.collection.mutable.LinkedHashMap(
+      base.activeFiles.map(a => a.path -> a): _*)
+    val dvs = scala.collection.mutable.LinkedHashSet(base.dvFiles: _*)
+    val txns = scala.collection.mutable.LinkedHashMap(base.txns.toSeq: _*)
+    tail.foreach {
+      case m: Metadata => meta = Some(m)
+      case a: AddFile => files(a.path) = a
+      case r: RemoveFile => files.remove(r.path)
+      case d: AddDV => dvs += d.path
+      case d: RemoveDV => dvs -= d.path
+      case t: SetTxn =>
+        txns(t.appId) = math.max(t.epoch, txns.getOrElse(t.appId, Long.MinValue))
+      case _: AddCDC => ()
+      case _: CommitInfo => ()
+    }
+    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap)
+  }
+
   /** Version whose commit timestamp is the latest ≤ `tsMillis`. */
   def versionAtTimestamp(log: TxnLog, tsMillis: Long): Long = {
     val vs = log.listVersions()

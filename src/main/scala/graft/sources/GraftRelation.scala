@@ -50,8 +50,16 @@ final class GraftRelation(
 
   override def schema: StructType = {
     val base = pinnedSnapshot.map(_.schema).getOrElse(table.snapshot.schema)
-    if (cdfRead) base.add("_change_type", "string").add("_commit_version", "long")
-    else base
+    if (!cdfRead) base
+    else {
+      // guard against tables that already carry the CDF columns (same
+      // check as the streaming source's sourceSchema)
+      val withType =
+        if (base.fieldNames.contains("_change_type")) base
+        else base.add("_change_type", "string")
+      if (withType.fieldNames.contains("_commit_version")) withType
+      else withType.add("_commit_version", "long")
+    }
   }
 
   /** Planner cost input: on-disk bytes × a decompression factor (the

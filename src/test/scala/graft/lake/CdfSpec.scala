@@ -102,6 +102,38 @@ class CdfSpec extends GraftSparkSpec {
     assert(t.changeFeed(1, 2).count() == 0, "compaction must be invisible")
   }
 
+  test("change feed stays readable across renames and schema evolution") {
+    val t = GraftTable.create(spark, tmpDir("cdf-evo"), li.limit(100),
+      properties = Map("graft.cdf" -> "true"))
+    t.delete(col("l_linenumber") === 1)                    // v1: CDC sidecar
+    t.renameColumn("l_discount", "disc")                   // v2: metadata-only
+    t.append(t.toDF.limit(5).withColumn("extra", lit(1L)),
+      mergeSchema = true)                                  // v3: new column
+    val feed = t.changeFeed(0, 3)
+    // v1's CDC rows surface under the RENAMED column name, with values
+    val v1del = feed.filter(col("_commit_version") === 1 &&
+      col("_change_type") === "delete")
+    assert(v1del.count() == li.limit(100).filter(col("l_linenumber") === 1).count())
+    assert(v1del.filter(col("disc").isNull).count() == 0,
+      "renamed column must carry the historical values")
+    // columns added later read as null for earlier versions
+    assert(v1del.filter(col("extra").isNotNull).count() == 0)
+    // the rename itself is invisible (metadata-only commit)
+    assert(feed.filter(col("_commit_version") === 2).count() == 0)
+    // evolved appends carry the new column
+    val v3 = feed.filter(col("_commit_version") === 3)
+    assert(v3.count() == 5)
+    assert(v3.filter(col("extra") === 1L).count() == 5)
+  }
+
+  test("a no-op restore emits no phantom inserts") {
+    val t = GraftTable.create(spark, tmpDir("cdf-restore"), li.limit(100))
+    t.append(li.limit(10))          // v1
+    t.restore(1)                    // v2: same file set re-activated
+    assert(t.changeFeed(1, 2).count() == 0,
+      "restoring to the current state must not re-emit the table as inserts")
+  }
+
   test("cleanupLogs reclaims CDC sidecars with their carrier commits") {
     val t = GraftTable.create(spark, tmpDir("cdf-clean"), li.limit(100),
       properties = Map("graft.cdf" -> "true"))

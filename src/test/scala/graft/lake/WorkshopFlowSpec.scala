@@ -102,5 +102,11 @@ class WorkshopFlowSpec extends GraftSparkSpec {
     assert(gsql.sql("SELECT COUNT(*) AS n FROM ts_tbl").head().getLong(0) == 130)
     gsql.sql(s"COPY INTO ts_tbl FROM '$src'") // idempotent
     assert(gsql.sql("SELECT COUNT(*) AS n FROM ts_tbl").head().getLong(0) == 130)
+
+    // TABLE CHANGES is inclusive of BOTH bounds: version 1 is the
+    // delete, so BETWEEN 1 AND 1 must surface its 50 delete rows
+    val ch = gsql.sql("TABLE CHANGES ts_tbl BETWEEN 1 AND 1")
+    assert(ch.filter(col("_change_type") === "delete").count() == 50)
+    assert(ch.count() == 50)
   }
 }
