@@ -53,6 +53,14 @@ final case class CommitInfo(
 final case class AddDV(path: String) extends Action
 final case class RemoveDV(path: String) extends Action
 
+/** Reader/writer feature gating (Delta `protocol` action): a client
+  * must support at least these versions to read/commit the table.
+  * Lets future formats (new action types, encodings) be introduced
+  * without old clients silently misreading them — they fail fast with
+  * an upgrade message instead.
+  */
+final case class Protocol(minReaderVersion: Int, minWriterVersion: Int) extends Action
+
 /** Change-data-feed sidecar (Delta `cdc` action): a parquet dir of
   * this commit's row-level changes (table schema + `_change_type` ∈
   * insert / delete / update_preimage / update_postimage), written by
@@ -128,6 +136,10 @@ object Actions {
     case d: AddDV => obj("addDV" -> obj("path" -> q(d.path)))
     case d: RemoveDV => obj("removeDV" -> obj("path" -> q(d.path)))
     case c: AddCDC => obj("addCDC" -> obj("path" -> q(c.path)))
+    case p: Protocol =>
+      obj("protocol" -> obj(
+        "minReaderVersion" -> p.minReaderVersion.toString,
+        "minWriterVersion" -> p.minWriterVersion.toString))
     case t: SetTxn =>
       obj("txn" -> obj("appId" -> q(t.appId), "epoch" -> t.epoch.toString))
   }
@@ -190,6 +202,10 @@ object Actions {
         RemoveDV(v.asInstanceOf[java.util.Map[String, Any]].asScala("path").toString)
       case ("addCDC", v) =>
         AddCDC(v.asInstanceOf[java.util.Map[String, Any]].asScala("path").toString)
+      case ("protocol", v) =>
+        val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
+        Protocol(String.valueOf(m("minReaderVersion")).toInt,
+          String.valueOf(m("minWriterVersion")).toInt)
       case (other, _) =>
         throw new IllegalArgumentException(s"unknown action type: $other")
     }

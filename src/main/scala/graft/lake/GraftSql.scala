@@ -47,7 +47,9 @@ final class GraftSql(spark: SparkSession) {
   private val extendedRe: Regex =
     """(?is)^\s*DESCRIBE\s+EXTENDED\s+(\w+)\s*;?\s*$""".r
   private val deleteRe: Regex =
-    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val analyzeRe: Regex =
+    """(?is)^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
   private val updateRe: Regex =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val cloneRe: Regex =
@@ -118,7 +120,11 @@ final class GraftSql(spark: SparkSession) {
         val propRows = s.metadata.toSeq.flatMap(_.properties.toSeq.sorted)
         (schemaRows ++ propRows).toDF("col_name", "data_type")
       case deleteRe(name, cond) =>
-        table(name).delete(expr(cond)).toSeq.sorted.toDF("metric", "value")
+        // no WHERE = whole-table delete (Delta parity)
+        val c = Option(cond).map(expr).getOrElse(lit(true))
+        table(name).delete(c).toSeq.sorted.toDF("metric", "value")
+      case analyzeRe(name) =>
+        table(name).computeStats()
       case updateRe(name, sets, cond) =>
         val assignments = sets.split(",").map { a =>
           val Array(k, v) = a.split("=", 2)

@@ -330,6 +330,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                                         readPaths: Set[String] = Set.empty,
                                         metadataConflict: Boolean = false,
                                         conflictOnDV: Boolean = false): Long = {
+    // writer half of the protocol gate (the reader half lives in
+    // Snapshot.at): a table whose floor was raised by a newer client
+    // must not accept commits this client could encode wrongly
+    if (log.latestVersion().isDefined)
+      snapshot.protocol.foreach { p =>
+        if (p.minWriterVersion > Snapshot.SupportedWriterVersion)
+          throw new UnsupportedOperationException(
+            s"table $path requires writer version ${p.minWriterVersion} " +
+              s"(this client supports ${Snapshot.SupportedWriterVersion}); " +
+              "upgrade the client to write it")
+      }
     val deps = actions.collect { case r: RemoveFile => r.path }.toSet ++ readPaths
     val ourTxns = actions.collect { case t: SetTxn => t.appId -> t.epoch }.toMap
     val v =
@@ -1506,6 +1517,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }
     }.toDF("version", "timestamp", "operation", "parameters", "metrics")
       .orderBy(col("version").desc)
+  }
+
+  /** Raise the table's protocol floor (Delta `upgradeTableProtocol`):
+    * clients must support at least these reader/writer versions from
+    * now on. Monotone only, and never beyond what THIS client
+    * supports (you would lock yourself out of your own table).
+    */
+  def upgradeProtocol(minReader: Int, minWriter: Int): Long = {
+    val s = snapshot
+    val cur = s.protocol.getOrElse(Protocol(1, 1))
+    require(minReader >= cur.minReaderVersion && minWriter >= cur.minWriterVersion,
+      s"protocol can only be upgraded (current: $cur)")
+    require(minReader <= Snapshot.SupportedReaderVersion &&
+      minWriter <= Snapshot.SupportedWriterVersion,
+      "cannot upgrade beyond this client's supported versions")
+    commitAndCheckpoint(Seq(
+      info("UPGRADE PROTOCOL", params = Map(
+        "minReaderVersion" -> minReader.toString,
+        "minWriterVersion" -> minWriter.toString)),
+      Protocol(minReader, minWriter)))
   }
 
   /** Log retention: drop commit files already superseded by the latest

@@ -14,7 +14,8 @@ final case class Snapshot(
     metadata: Option[Metadata],
     activeFiles: Seq[AddFile],
     dvFiles: Seq[String] = Nil,
-    txns: Map[String, Long] = Map.empty) {
+    txns: Map[String, Long] = Map.empty,
+    protocol: Option[Protocol] = None) {
 
   def schema: StructType =
     metadata.map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -60,17 +61,34 @@ object Snapshot {
     applyActions(v, Nil, (0L to v).flatMap(log.readCommit))
   }
 
-  /** Replay with checkpoint fast-path. */
+  /** Highest protocol this client implements. Bump when the log gains
+    * actions/encodings an older client would misread.
+    */
+  val SupportedReaderVersion = 1
+  val SupportedWriterVersion = 1
+
+  /** Replay with checkpoint fast-path. Enforces the reader half of the
+    * protocol gate here — the one chokepoint every read path (table
+    * API, format relation, streaming source) goes through.
+    */
   def at(spark: SparkSession, log: TxnLog, version: Option[Long] = None): Snapshot = {
     val latest = log.latestVersion().getOrElse(
       throw new IllegalStateException(s"not a GraftLake table: ${log.tablePath}"))
     val v = version.getOrElse(latest)
     require(v <= latest, s"version $v does not exist (latest: $latest)")
-    log.readCheckpoint(spark, v) match {
+    val snap = log.readCheckpoint(spark, v) match {
       case Some((cv, base)) =>
         applyActions(v, base, ((cv + 1) to v).flatMap(log.readCommit))
       case None => replay(log, v)
     }
+    snap.protocol.foreach { p =>
+      if (p.minReaderVersion > SupportedReaderVersion)
+        throw new UnsupportedOperationException(
+          s"table ${log.tablePath} requires reader version " +
+            s"${p.minReaderVersion} (this client supports " +
+            s"$SupportedReaderVersion); upgrade the client to read it")
+    }
+    snap
   }
 
   /** Parse a `yyyy-MM-dd[ HH:mm:ss]` time-travel timestamp as UTC
@@ -92,12 +110,14 @@ object Snapshot {
     */
   def advance(base: Snapshot, v: Long, tail: Seq[Action]): Snapshot = {
     var meta = base.metadata
+    var proto = base.protocol
     val files = scala.collection.mutable.LinkedHashMap(
       base.activeFiles.map(a => a.path -> a): _*)
     val dvs = scala.collection.mutable.LinkedHashSet(base.dvFiles: _*)
     val txns = scala.collection.mutable.LinkedHashMap(base.txns.toSeq: _*)
     tail.foreach {
       case m: Metadata => meta = Some(m)
+      case p: Protocol => proto = Some(p)
       case a: AddFile => files(a.path) = a
       case r: RemoveFile => files.remove(r.path)
       case d: AddDV => dvs += d.path
@@ -107,7 +127,7 @@ object Snapshot {
       case _: AddCDC => ()
       case _: CommitInfo => ()
     }
-    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap)
+    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap, proto)
   }
 
   /** Version whose commit timestamp is the latest ≤ `tsMillis`. */
@@ -120,11 +140,13 @@ object Snapshot {
 
   private def applyActions(v: Long, base: Seq[Action], tail: Seq[Action]): Snapshot = {
     var meta: Option[Metadata] = None
+    var proto: Option[Protocol] = None
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val dvs = scala.collection.mutable.LinkedHashSet[String]()
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     (base ++ tail).foreach {
       case m: Metadata => meta = Some(m)
+      case p: Protocol => proto = Some(p)
       case a: AddFile => files(a.path) = a
       case r: RemoveFile => files.remove(r.path)
       case d: AddDV => dvs += d.path
@@ -133,6 +155,6 @@ object Snapshot {
       case t: SetTxn => txns(t.appId) = math.max(t.epoch, txns.getOrElse(t.appId, Long.MinValue))
       case _: CommitInfo => ()
     }
-    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap)
+    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap, proto)
   }
 }

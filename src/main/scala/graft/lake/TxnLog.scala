@@ -148,6 +148,7 @@ final class TxnLog(val tablePath: String) {
     // — otherwise every 10th commit costs O(full history) JSON reads
     val state = Snapshot.at(spark, this, Some(v))
     val lines = state.metadata.toSeq.map(m => Actions.toJson(m)) ++
+      state.protocol.toSeq.map(p => Actions.toJson(p)) ++
       state.activeFiles.map(a => Actions.toJson(a)) ++
       state.dvFiles.map(p => Actions.toJson(AddDV(p))) ++
       state.txns.toSeq.map { case (app, e) => Actions.toJson(SetTxn(app, e)) }

@@ -72,6 +72,22 @@ class LakeSpec extends GraftSparkSpec {
     assert(t3.toDF.count() == 100 + 125)
   }
 
+  test("protocol gating blocks too-old readers and writers, upgrades are monotone") {
+    val t = GraftTable.create(spark, tmpDir("proto"), li.limit(10))
+    t.upgradeProtocol(1, 1)
+    assert(t.toDF.count() == 10)
+    intercept[IllegalArgumentException](t.upgradeProtocol(0, 1)) // downgrade
+    intercept[IllegalArgumentException](t.upgradeProtocol(2, 2)) // beyond client
+    // a foreign newer writer raised the reader floor: reads fail fast
+    t.log.commit(Seq(Protocol(2, 2)))
+    intercept[UnsupportedOperationException](t.toDF.count())
+    // writer-only floor raise: reads still flow, commits refuse
+    val t2 = GraftTable.create(spark, tmpDir("proto2"), li.limit(10))
+    t2.log.commit(Seq(Protocol(1, 2)))
+    assert(t2.toDF.count() == 10)
+    intercept[UnsupportedOperationException](t2.append(li.limit(5)))
+  }
+
   test("log cleanup drops pre-checkpoint commits; table stays fully usable") {
     val t = GraftTable.create(spark, tmpDir("logclean"), li.limit(50))
     (1 to 22).foreach(_ => t.append(li.limit(5)))          // checkpoints at 10, 20

@@ -108,5 +108,12 @@ class WorkshopFlowSpec extends GraftSparkSpec {
     val ch = gsql.sql("TABLE CHANGES ts_tbl BETWEEN 1 AND 1")
     assert(ch.filter(col("_change_type") === "delete").count() == 50)
     assert(ch.count() == 50)
+
+    // ANALYZE TABLE persists stats; DELETE without WHERE empties
+    gsql.sql("ANALYZE TABLE ts_tbl COMPUTE STATISTICS")
+    assert(gsql.table("ts_tbl").snapshot.metadata.get.properties.keys
+      .exists(_.startsWith("graft.stats.")))
+    gsql.sql("DELETE FROM ts_tbl")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM ts_tbl").head().getLong(0) == 0)
   }
 }
