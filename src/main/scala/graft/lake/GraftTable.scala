@@ -333,14 +333,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // writer half of the protocol gate (the reader half lives in
     // Snapshot.at): a table whose floor was raised by a newer client
     // must not accept commits this client could encode wrongly
-    if (log.latestVersion().isDefined)
-      snapshot.protocol.foreach { p =>
-        if (p.minWriterVersion > Snapshot.SupportedWriterVersion)
-          throw new UnsupportedOperationException(
-            s"table $path requires writer version ${p.minWriterVersion} " +
-              s"(this client supports ${Snapshot.SupportedWriterVersion}); " +
-              "upgrade the client to write it")
-      }
+    currentProtocol().foreach { p =>
+      if (p.minWriterVersion > Snapshot.SupportedWriterVersion)
+        throw new UnsupportedOperationException(
+          s"table $path requires writer version ${p.minWriterVersion} " +
+            s"(this client supports ${Snapshot.SupportedWriterVersion}); " +
+            "upgrade the client to write it")
+    }
     val deps = actions.collect { case r: RemoveFile => r.path }.toSet ++ readPaths
     val ourTxns = actions.collect { case t: SetTxn => t.appId -> t.epoch }.toMap
     val v =
@@ -423,6 +422,32 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private def info(op: String, params: Map[String, String] = Map.empty,
                    metrics: Map[String, String] = Map.empty): CommitInfo =
     CommitInfo(System.currentTimeMillis(), op, params, metrics)
+
+  // Per-handle protocol cache: one full replay on first use, then only
+  // the commits that landed since are scanned — a per-commit gate must
+  // not cost a per-commit snapshot replay.
+  private var protoSeen: Long = -2L
+  private var protoCur: Option[Protocol] = None
+
+  private def currentProtocol(): Option[Protocol] = synchronized {
+    val latest = log.latestVersion().getOrElse(-1L)
+    if (latest < 0) None
+    else {
+      if (protoSeen < -1L) {
+        protoCur = Snapshot.at(spark, log).protocol
+        protoSeen = latest
+      }
+      while (protoSeen < latest) {
+        protoSeen += 1
+        if (log.hasCommit(protoSeen))
+          log.readCommit(protoSeen).foreach {
+            case p: Protocol => protoCur = Some(p)
+            case _ => ()
+          }
+      }
+      protoCur
+    }
+  }
 
   /** Databricks-style "Optimize Write" (reference
     * docs/03-databricks-notes.md:3 — "Z-Order + Optimize Write"): when
