@@ -156,9 +156,17 @@ object Actions {
     else o.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
       .map { case (k, v) => k -> String.valueOf(v).toLong }
 
+  private val KnownActions = Set("add", "remove", "metaData", "commitInfo",
+    "addDV", "removeDV", "addCDC", "txn", "protocol")
+
   def fromJson(line: String): Option[Action] = {
     val root = mapper.readValue(line, classOf[java.util.Map[String, Any]]).asScala
-    root.headOption.map {
+    // forward compatibility: unknown action types are SKIPPED, not
+    // fatal — a writer introducing one must also raise the protocol
+    // floor, whose gate then yields a clear "upgrade the client"
+    // error; throwing here would preempt that message with an opaque
+    // parse crash before the Protocol action is even seen
+    root.headOption.filter(kv => KnownActions(kv._1)).map {
       case ("add", v) =>
         val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
         val stats = Option(m.getOrElse("stats", null)).map { so =>
@@ -206,7 +214,7 @@ object Actions {
         val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
         Protocol(String.valueOf(m("minReaderVersion")).toInt,
           String.valueOf(m("minWriterVersion")).toInt)
-      case (other, _) =>
+      case (other, _) => // unreachable: filtered to KnownActions above
         throw new IllegalArgumentException(s"unknown action type: $other")
     }
   }

@@ -354,14 +354,28 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           // exactly-once re-validation at commit time: a zombie twin
           // of the same stream may have committed our epoch between
           // the caller's snapshot check and now — applying the batch
-          // again would double its rows. Skip without committing.
+          // again would double its rows. Skip without committing
+          // (reclaiming any CDC sidecar this op staged — no commit
+          // will ever reference it).
           val txnDone = ourTxns.nonEmpty && intervening.exists {
             case t: SetTxn => ourTxns.get(t.appId).exists(t.epoch >= _)
             case _ => false
           }
           if (txnDone) {
+            actions.foreach {
+              case AddCDC(rel) => deleteRecursively(root.resolve(rel))
+              case _ => ()
+            }
             log.maybeCheckpoint(spark, latest)
             return latest
+          }
+          // protocol re-validation: a concurrent client may have raised
+          // the writer floor since our gate check at entry
+          intervening.collect { case p: Protocol => p }.lastOption.foreach { p =>
+            if (p.minWriterVersion > Snapshot.SupportedWriterVersion)
+              throw new UnsupportedOperationException(
+                s"table $path requires writer version ${p.minWriterVersion} " +
+                  s"(this client supports ${Snapshot.SupportedWriterVersion})")
           }
           val conflicting = intervening
             .collect { case r: RemoveFile if deps.contains(r.path) => r.path }
@@ -444,6 +458,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             case p: Protocol => protoCur = Some(p)
             case _ => ()
           }
+        else {
+          // a commit in our scan range was dropped by log cleanup — a
+          // protocol upgrade may be folded into the checkpoint only;
+          // re-seed from a full replay rather than silently skipping
+          protoCur = Snapshot.at(spark, log).protocol
+          protoSeen = log.latestVersion().getOrElse(protoSeen)
+        }
       }
       protoCur
     }
@@ -667,7 +688,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private def commitOrReclaimCdc(cdc: Seq[Action])(commit: => Long): Long =
     try commit
     catch {
-      case e: java.util.ConcurrentModificationException =>
+      // ANY failure to commit orphans the sidecar, not just conflicts
+      case e: Throwable =>
         cdc.foreach {
           case AddCDC(rel) => deleteRecursively(root.resolve(rel))
           case _ => ()
@@ -992,6 +1014,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val adds = stageWrite(updated, s.partitionColumns, dataChange = true)
     val removes = candidates.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    // unlike the MoR paths (sparse matches, persisted), CoW candidates
+    // are the full rewrite set — persisting them would spill
+    // O(candidate bytes); one extra pruned scan is the cheaper trade
     val cdc: Seq[Action] =
       if (!cdfEnabled(s)) Nil
       else {
@@ -1595,16 +1620,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     // CDC sidecars ride with their carrier commits: reclaim the ones
     // whose commit is about to be dropped (vacuum spares _graft_cdc,
-    // so this is their only collection point)
-    log.cleanupCutoff(keepVersions).foreach { cutoff =>
-      log.listVersions().filter(_ < cutoff).foreach { v =>
-        log.readCommit(v).foreach {
-          case c: AddCDC => deleteRecursively(root.resolve(c.path))
-          case _ => ()
-        }
+    // so this is their only collection point). Commits are deleted
+    // FIRST, against the same cutoff the sidecar scan used — a crash
+    // in between leaves orphaned sidecars (a leak), never commits
+    // referencing deleted sidecars (a broken change feed).
+    log.cleanupCutoff(keepVersions).map { cutoff =>
+      val cdcPaths = log.listVersions().filter(_ < cutoff).flatMap { v =>
+        log.readCommit(v).collect { case c: AddCDC => c.path }
       }
-    }
-    log.cleanupLogs(keepVersions)
+      val n = log.cleanupLogsAt(cutoff)
+      cdcPaths.foreach(p => deleteRecursively(root.resolve(p)))
+      n
+    }.getOrElse(0)
   }
 
   /** Table-level column statistics (reference 02-lab:587-663):

@@ -187,17 +187,25 @@ final class TxnLog(val tablePath: String) {
     * window. At 100k commits this bounds the log directory instead of
     * letting it grow one file per commit forever.
     */
-  /** The version below which [[cleanupLogs]] would delete commits. */
+  /** Latest durable checkpoint version (pointer or dir-scan recovery). */
+  def checkpointVersion: Option[Long] = lastCheckpointVersion()
+
+  /** The version below which [[cleanupLogsAt]] would delete commits. */
   def cleanupCutoff(keepVersions: Long = 0): Option[Long] =
     for (cv <- lastCheckpointVersion(); latest <- latestVersion())
       yield math.min(cv, latest - keepVersions)
 
-  def cleanupLogs(keepVersions: Long = 0): Int = {
-    val cvOpt = lastCheckpointVersion()
-    val latestOpt = latestVersion()
-    if (cvOpt.isEmpty || latestOpt.isEmpty) return 0
-    val cutoff = math.min(cvOpt.get, latestOpt.get - keepVersions)
-    val deletable = listVersions().filter(_ < cutoff)
+  def cleanupLogs(keepVersions: Long = 0): Int =
+    cleanupCutoff(keepVersions).map(cleanupLogsAt).getOrElse(0)
+
+  /** Delete commits below an EXPLICIT cutoff (callers that reclaim
+    * per-commit side state first must act on the same cutoff they
+    * scanned, or a checkpoint advancing in between silently widens
+    * the deletion past what they prepared for).
+    */
+  def cleanupLogsAt(cutoff: Long): Int = {
+    val cv = lastCheckpointVersion().getOrElse(return 0)
+    val deletable = listVersions().filter(_ < math.min(cutoff, cv + 1))
     deletable.foreach(v => Files.deleteIfExists(versionFile(v)))
     if (Files.isDirectory(ckptDir)) {
       val s = Files.list(ckptDir)
@@ -205,7 +213,7 @@ final class TxnLog(val tablePath: String) {
       dirs.filter { d =>
         val n = d.getFileName.toString
         n.startsWith("ckpt-") &&
-          scala.util.Try(n.stripPrefix("ckpt-").toLong).toOption.exists(_ < cvOpt.get)
+          scala.util.Try(n.stripPrefix("ckpt-").toLong).toOption.exists(_ < cv)
       }.foreach { d =>
         val w = Files.walk(d)
         val all = try w.iterator().asScala.toSeq finally w.close()

@@ -28,7 +28,13 @@ final class GraftRelation(
     * operation-level feed instead of the snapshot.
     */
   private val cdfRead = opts.getOrElse("readchangefeed", "false").toBoolean
-  private val cdfStart = opts.get("startingversion").map(_.toLong).getOrElse(0L)
+  private def cdfStart = opts.get("startingversion").map(_.toLong).getOrElse {
+    // default: full history; on a log-cleaned table versions below the
+    // checkpoint cannot be reconstructed — start just above it instead
+    // of failing on a nonsensical "version -1" replay
+    if (table.log.hasCommit(0)) 0L
+    else table.log.checkpointVersion.map(_ + 1).getOrElse(0L)
+  }
   private def cdfEnd = opts.get("endingversion").map(_.toLong)
     .getOrElse(table.version)
 
