@@ -60,6 +60,39 @@ class ConcurrencySpec extends GraftSparkSpec {
     }
   }
 
+  test("racing MoR update and MoR delete converge to a serializable outcome") {
+    import org.apache.spark.sql.functions.col
+    import java.util.ConcurrentModificationException
+    (1 to 2).foreach { round =>
+      val li = Tables(spark, sfDir, "lineitem").limit(2000).repartition(4)
+      val t = GraftTable.create(spark, tmpDir(s"mor-race-$round"), li)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        def retrying(op: () => Unit) = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            var done = false
+            while (!done)
+              try { op(); done = true }
+              catch { case _: ConcurrentModificationException => () }
+          }
+        })
+        val fUpd = retrying(() => { t.updateMergeOnRead(
+          col("l_returnflag") === "R",
+          Map("l_tax" -> org.apache.spark.sql.functions.lit(0.0))); () })
+        val fDel = retrying(() => { t.deleteMergeOnRead(
+          col("l_returnflag") === "R"); () })
+        fUpd.get(); fDel.get()
+        // both serializations end with every R row masked: update-then-
+        // delete masks originals AND post-images; delete-then-update
+        // matches nothing (already masked). Either way no resurrection.
+        assert(t.toDF.filter(col("l_returnflag") === "R").count() == 0,
+          s"round $round: R rows resurrected by the MoR race")
+        assert(t.toDF.count() == li.filter(col("l_returnflag") =!= "R").count(),
+          s"round $round: non-R rows corrupted")
+      } finally pool.shutdown()
+    }
+  }
+
   test("schema-changing commits fail on an intervening metadata commit") {
     val li = Tables(spark, sfDir, "lineitem")
     val t = GraftTable.create(spark, tmpDir("metaconflict"), li.limit(20))
