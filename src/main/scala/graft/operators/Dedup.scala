@@ -154,18 +154,12 @@ object Dedup {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     // per-round cost is shuffle overhead, not data: size the shuffle
-    // to the vertex count (1 partition per 500k vertices, capped) —
-    // including the SESSION shuffle partitioning for the loop's joins,
-    // which otherwise launch spark.sql.shuffle.partitions tasks per
-    // stage regardless of how tiny the label frame is. Restored after;
-    // queries run sequentially through Verify/Bench so the scoped
-    // mutation is safe.
+    // to the vertex count (1 partition per 500k vertices, capped);
+    // AQE coalesces the loop joins' post-shuffle partitions, so the
+    // session shuffle width is left alone (mutating it is a
+    // session-global race against any concurrent query)
     val nV = labels.count()
     val parts = math.max(1, math.min(200, (nV / 500000L).toInt + 1))
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val prevShuffle = spark.conf.get(shuffleKey)
-    spark.conf.set(shuffleKey, parts.toString)
-    try {
     val e = edges.repartition(parts, col("v")).cache()
     e.count()
     edges.unpersist()
@@ -198,10 +192,6 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .orderBy("doc_id")
-      // the loop's frames are all materialized (localCheckpoint), so
-      // restoring the session shuffle width here cannot re-plan them
-      .localCheckpoint(true)
-    } finally spark.conf.set(shuffleKey, prevShuffle)
   }
 
   /** Embedding cosine near-dup via random-hyperplane LSH buckets +

@@ -66,14 +66,21 @@ class ConcurrencySpec extends GraftSparkSpec {
     (1 to 2).foreach { round =>
       val li = Tables(spark, sfDir, "lineitem").limit(2000).repartition(4)
       val t = GraftTable.create(spark, tmpDir(s"mor-race-$round"), li)
+      // expected counts come from the TABLE, not a re-executed limit()
+      // plan (limit without ordering is not deterministic across runs)
+      val nonR = t.toDF.filter(col("l_returnflag") =!= "R").count()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       try {
         def retrying(op: () => Unit) = pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = {
             var done = false
-            while (!done)
+            var attempts = 0
+            while (!done) {
+              attempts += 1
+              assert(attempts <= 10, "MoR conflict never resolved after 10 retries")
               try { op(); done = true }
               catch { case _: ConcurrentModificationException => () }
+            }
           }
         })
         val fUpd = retrying(() => { t.updateMergeOnRead(
@@ -81,14 +88,14 @@ class ConcurrencySpec extends GraftSparkSpec {
           Map("l_tax" -> org.apache.spark.sql.functions.lit(0.0))); () })
         val fDel = retrying(() => { t.deleteMergeOnRead(
           col("l_returnflag") === "R"); () })
-        fUpd.get(); fDel.get()
+        fUpd.get(300, java.util.concurrent.TimeUnit.SECONDS)
+        fDel.get(300, java.util.concurrent.TimeUnit.SECONDS)
         // both serializations end with every R row masked: update-then-
         // delete masks originals AND post-images; delete-then-update
         // matches nothing (already masked). Either way no resurrection.
         assert(t.toDF.filter(col("l_returnflag") === "R").count() == 0,
           s"round $round: R rows resurrected by the MoR race")
-        assert(t.toDF.count() == li.filter(col("l_returnflag") =!= "R").count(),
-          s"round $round: non-R rows corrupted")
+        assert(t.toDF.count() == nonR, s"round $round: non-R rows corrupted")
       } finally pool.shutdown()
     }
   }
