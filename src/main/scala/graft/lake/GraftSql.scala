@@ -68,6 +68,12 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*$""".r
   private val tableChangesRe: Regex =
     """(?is)^\s*TABLE\s+CHANGES\s+(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s*;?\s*$""".r
+  private val mergeRe: Regex =
+    """(?is)^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$""".r
+  private val mergeOnRe: Regex =
+    """(?is)^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$""".r
+  private val mergeClauseRe: Regex =
+    """(?is)WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)\s*(?=WHEN\s|$)""".r
   private val versionAsOfRe: Regex =
     """(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val timestampAsOfRe: Regex =
@@ -165,6 +171,9 @@ final class GraftSql(spark: SparkSession) {
         // BETWEEN is inclusive of both bounds; changeFeed's range is
         // (from, to]
         table(name).changeFeed(from.toLong - 1, to.toLong)
+      case mergeRe(tName, tAlias, sName, sAlias, onClause, clauseTail) =>
+        executeSqlMerge(tName, Option(tAlias), sName, Option(sAlias),
+          onClause, clauseTail)
       case other =>
         // register snapshots (incl. any VERSION AS OF rewrites) and
         // delegate to Spark SQL
@@ -189,5 +198,66 @@ final class GraftSql(spark: SparkSession) {
         tables.foreach { case (n, t) => t.toDF.createOrReplaceTempView(n) }
         spark.sql(rewritten)
     }
+  }
+
+  /** `MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k WHEN ... THEN ...`
+    * (Delta's SQL merge surface). The ON clause must be a single-column
+    * key equality. Source- and target-alias references inside
+    * conditions and assignments are rewritten to the builder's frame:
+    * `b.c` → `src_c`, `a.c` → `c`. Supported clause actions: matched
+    * `UPDATE SET * | UPDATE SET c = e, ...` / `DELETE`, not-matched
+    * `INSERT *`, not-matched-by-source `UPDATE SET ...` / `DELETE`.
+    */
+  private def executeSqlMerge(tName: String, tAlias: Option[String],
+      sName: String, sAlias: Option[String],
+      onClause: String, clauseTail: String): DataFrame = {
+    import spark.implicits._
+    val key = onClause match {
+      case mergeOnRe(_, kt, _, ks) =>
+        require(kt.equalsIgnoreCase(ks),
+          s"MERGE ON must equate the same key column, got $kt = $ks")
+        kt
+      case _ => throw new IllegalArgumentException(
+        s"MERGE ON must be a single-column key equality, got: $onClause")
+    }
+    val source =
+      if (tables.contains(sName)) table(sName).toDF else spark.table(sName)
+    val tgtRefs = (tAlias.toSeq :+ tName).map(a => s"(?i)\\b$a\\.")
+    val srcRefs = (sAlias.toSeq :+ sName).map(a => s"(?i)\\b$a\\.(\\w+)")
+    def rewrite(e: String): String = {
+      val s1 = srcRefs.foldLeft(e)((acc, r) => acc.replaceAll(r, "src_$1"))
+      tgtRefs.foldLeft(s1)((acc, r) => acc.replaceAll(r, ""))
+    }
+    def assignments(sets: String): Map[String, org.apache.spark.sql.Column] =
+      sets.split(",").map { a =>
+        val Array(k, v) = a.split("=", 2)
+        rewrite(k.trim) -> expr(rewrite(v.trim))
+      }.toMap
+    val updateSetRe = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+    var b = table(tName).mergeBuilder(source, key)
+      .whenMatchedKeep().whenNotMatchedIgnore()
+    mergeClauseRe.findAllMatchIn(clauseTail).foreach { m =>
+      val kind = m.group(1).toUpperCase.replaceAll("\\s+", " ")
+      val cond = Option(m.group(2)).map(c => expr(rewrite(c)))
+      val action = m.group(3).trim
+      (kind, action) match {
+        case ("MATCHED", updateSetRe(sets)) if sets.trim == "*" =>
+          b = b.whenMatchedUpdateAll(cond)
+        case ("MATCHED", updateSetRe(sets)) =>
+          b = b.whenMatchedUpdate(assignments(sets), cond)
+        case ("MATCHED", a) if a.equalsIgnoreCase("DELETE") =>
+          b = b.whenMatchedDelete(cond.getOrElse(lit(true)))
+        case ("NOT MATCHED", a) if a.toUpperCase.startsWith("INSERT") =>
+          require(cond.isEmpty, "conditional NOT MATCHED INSERT is not supported")
+          b = b.whenNotMatchedInsertAll()
+        case ("NOT MATCHED BY SOURCE", updateSetRe(sets)) =>
+          b = b.whenNotMatchedBySourceUpdate(assignments(sets), cond)
+        case ("NOT MATCHED BY SOURCE", a) if a.equalsIgnoreCase("DELETE") =>
+          b = b.whenNotMatchedBySourceDelete(cond)
+        case (k, a) => throw new IllegalArgumentException(
+          s"unsupported MERGE clause: WHEN $k THEN $a")
+      }
+    }
+    b.execute().toSeq.sorted.toDF("metric", "value")
   }
 }

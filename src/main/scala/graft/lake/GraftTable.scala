@@ -1129,9 +1129,67 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def mergeBuilder(source: DataFrame, key: String): MergeBuilder =
     new MergeBuilder(this, source, key)
 
+  /** Source columns re-exposed as `src_<name>` (key kept unprefixed
+    * too, as the join key) so partial-update assignments can reference
+    * both sides of a matched pair without ambiguity.
+    */
+  private def srcPrefixed(source: DataFrame, key: String): DataFrame =
+    source.select(col(key) +: source.columns.toIndexedSeq.map(c =>
+      col(c).as(s"src_$c")): _*)
+
+  /** Evaluate `set` assignments simultaneously against `df` (all
+    * right-hand sides see pre-assignment values), yielding the table
+    * schema.
+    */
+  private def assignAll(df: DataFrame, set: Map[String, Column],
+                        s: Snapshot, gate: Option[Column]): DataFrame =
+    df.select(s.schema.fields.toIndexedSeq.map { f =>
+      set.get(f.name) match {
+        case Some(v) =>
+          val cast = v.cast(f.dataType)
+          gate.fold(cast)(g =>
+            when(coalesce(g, lit(false)), cast).otherwise(col(f.name))).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+
+  /** NOT MATCHED BY SOURCE rewrite: delete clause first, then update
+    * assignments gated by their condition (both evaluated on the
+    * target row). Identity when neither clause is set.
+    */
+  private def applyNmbs(df: DataFrame, s: Snapshot,
+      nmbsUpdate: Option[(Option[Column], Map[String, Column])],
+      nmbsDelete: Option[Column]): DataFrame = {
+    val afterDelete = nmbsDelete match {
+      case Some(dc) => df.filter(coalesce(dc, lit(false)) === false)
+      case None => df
+    }
+    nmbsUpdate match {
+      case Some((cond, set)) =>
+        assignAll(afterDelete, set, s, Some(cond.getOrElse(lit(true))))
+      case None => afterDelete
+    }
+  }
+
+  /** Files that can hold rows a NOT-MATCHED-BY-SOURCE clause may touch:
+    * everything outside the source-key candidate range, stats-pruned by
+    * the clause conditions (an unconditional clause keeps them all).
+    */
+  private def nmbsRestFiles(s: Snapshot, candidatePaths: Set[String],
+      nmbsUpdate: Option[(Option[Column], Map[String, Column])],
+      nmbsDelete: Option[Column]): Seq[AddFile] = {
+    if (nmbsUpdate.isEmpty && nmbsDelete.isEmpty) return Nil
+    val rest = logicalFiles(s).filterNot(f => candidatePaths(f.path))
+    val conds = nmbsDelete.toSeq ++ nmbsUpdate.map(_._1.getOrElse(lit(true))).toSeq
+    Pruning.prune(rest, s.schema, s.partitionColumns, conds.reduce(_ || _))
+  }
+
   private[lake] def executeMerge(source: DataFrame, key: String,
       updateAll: Boolean, updateCond: Option[Column],
+      updateSet: Option[Map[String, Column]] = None,
       deleteCond: Option[Column], insertUnmatched: Boolean,
+      nmbsUpdate: Option[(Option[Column], Map[String, Column])] = None,
+      nmbsDelete: Option[Column] = None,
       extraActions: Seq[Action] = Nil): Map[String, String] = {
     val s = snapshot
     validateConstraints(source, s)
@@ -1142,7 +1200,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val candDF = dfForFiles(s, candidates)
     val fields = s.schema.fieldNames.toIndexedSeq.map(col)
 
+    // target rows with no source match: NOT-MATCHED-BY-SOURCE clauses
+    // apply — inside the candidate files AND in the (clause-pruned)
+    // rest of the table, which by key-range construction holds no match
     val untouched = candDF.join(source, Seq(key), "left_anti")
+    val restFiles = nmbsRestFiles(s, candidates.map(_.path).toSet, nmbsUpdate, nmbsDelete)
+    val restDF = dfForFiles(s, restFiles)
     val matched = candDF.join(source.select(key), Seq(key), "left_semi")
     // matched rows that survive (delete condition not met), evaluated
     // against the TARGET row
@@ -1150,8 +1213,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case Some(dc) => matched.filter(coalesce(dc, lit(false)) === false)
       case None => matched
     }
-    // matched survivors: replaced by the source row when updateAll
-    // (and updateCond holds on the target row), else kept as-is
+    // matched survivors: replaced by the source row (or partial-update
+    // assignments) when updateAll (and updateCond holds on the target
+    // row), else kept as-is
     val (toUpdate, keptMatched) = if (updateAll) {
       val upd = updateCond match {
         case Some(uc) => afterDelete.filter(coalesce(uc, lit(false)) === true)
@@ -1164,18 +1228,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       (upd, notUpdated)
     } else (afterDelete.limit(0), afterDelete)
 
-    val replacements = source.join(toUpdate.select(key), Seq(key), "left_semi")
+    val replacements = updateSet match {
+      case Some(set) =>
+        assignAll(toUpdate.join(srcPrefixed(source, key), Seq(key)), set, s, None)
+      case None => source.join(toUpdate.select(key), Seq(key), "left_semi")
+    }
     val inserts =
       if (insertUnmatched) source.join(candDF.select(key), Seq(key), "left_anti")
       else source.limit(0)
 
-    val merged = Seq(untouched, keptMatched)
+    val merged = Seq(applyNmbs(untouched, s, nmbsUpdate, nmbsDelete),
+        applyNmbs(restDF, s, nmbsUpdate, nmbsDelete), keptMatched)
       .map(_.select(fields: _*))
       .reduce(_ unionByName _)
       .unionByName(replacements.select(fields: _*))
       .unionByName(inserts.select(fields: _*))
+    if (updateSet.isDefined || nmbsUpdate.isDefined)
+      validateConstraints(merged, s)
     val adds = stageWrite(merged, s.partitionColumns, dataChange = true)
-    val removes = candidates.map(f =>
+    val removes = (candidates ++ restFiles).map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
     val cdc: Seq[Action] =
       if (!cdfEnabled(s)) Nil
@@ -1184,11 +1255,34 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           case Some(dc) => matched.filter(coalesce(dc, lit(false)) === true)
           case None => matched.limit(0)
         }
+        val unmatchedAll = untouched.select(fields: _*)
+          .unionByName(restDF.select(fields: _*))
+        val nmbsDeleted = nmbsDelete match {
+          case Some(dc) => unmatchedAll.filter(coalesce(dc, lit(false)) === true)
+          case None => unmatchedAll.limit(0)
+        }
+        val nmbsPre = nmbsUpdate match {
+          case Some((cond, _)) =>
+            applyNmbs(unmatchedAll, s, None, nmbsDelete)
+              .filter(coalesce(cond.getOrElse(lit(true)), lit(false)) === true)
+          case None => unmatchedAll.limit(0)
+        }
+        val nmbsPost = nmbsUpdate match {
+          case Some((cond, set)) =>
+            assignAll(nmbsPre, set, s, Some(cond.getOrElse(lit(true))))
+          case None => unmatchedAll.limit(0)
+        }
         Seq(stageCdc(s,
           deleted.select(fields: _*).withColumn("_change_type", lit("delete"))
+            .unionByName(nmbsDeleted.select(fields: _*)
+              .withColumn("_change_type", lit("delete")))
             .unionByName(toUpdate.select(fields: _*)
               .withColumn("_change_type", lit("update_preimage")))
             .unionByName(replacements.select(fields: _*)
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(nmbsPre.select(fields: _*)
+              .withColumn("_change_type", lit("update_preimage")))
+            .unionByName(nmbsPost.select(fields: _*)
               .withColumn("_change_type", lit("update_postimage")))
             .unionByName(inserts.select(fields: _*)
               .withColumn("_change_type", lit("insert")))))
@@ -1201,6 +1295,159 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       Seq(info("MERGE", metrics = metrics)) ++ extraActions ++ cdc ++ removes ++ adds,
       readVersion = s.version))
     metrics
+  }
+
+  /** MERGE merge-on-read (DV path): every clause's effect on existing
+    * target rows becomes a deletion-vector mask, with update post-images
+    * and inserts appended as new files — write cost O(changed rows +
+    * source rows) instead of O(candidate file bytes). The right trade
+    * for a small delta merging into a 100 TB table: candidate files are
+    * never rewritten; compaction materializes the masks later.
+    */
+  private[lake] def executeMergeMoR(source: DataFrame, key: String,
+      updateAll: Boolean, updateCond: Option[Column],
+      updateSet: Option[Map[String, Column]],
+      deleteCond: Option[Column], insertUnmatched: Boolean,
+      nmbsUpdate: Option[(Option[Column], Map[String, Column])],
+      nmbsDelete: Option[Column]): Map[String, String] = {
+    val s = snapshot
+    validateConstraints(source, s)
+    enforceSchema(source.schema, s.schema)
+    val kr = source.agg(min(col(key)), max(col(key))).head()
+    val keyRange = col(key) >= lit(kr.get(0)) && col(key) <= lit(kr.get(1))
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, keyRange)
+    val restFiles = nmbsRestFiles(s, candidates.map(_.path).toSet, nmbsUpdate, nmbsDelete)
+    val scanFiles = candidates ++ restFiles
+    val fields = s.schema.fieldNames.toIndexedSeq.map(col)
+
+    // unmasked target rows of every file a clause may touch, with
+    // (file_path, row_index) identity for DV marks
+    val live: DataFrame =
+      if (scanFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(s.schema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField("file_path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("row_index",
+              org.apache.spark.sql.types.LongType))))
+      else {
+        val scan0 = physicalScan(s, scanFiles, withMeta = true)
+        val masked =
+          if (s.dvFiles.isEmpty) scan0
+          else {
+            val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+              .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
+            scan0.join(dv,
+              col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
+              "left_anti")
+          }
+        masked.select((s.schema.fields.map(f =>
+          col(s.physicalName(f.name)).as(f.name)) ++
+          Seq(col("__fp").as("file_path"), col("__ri").as("row_index"))).toIndexedSeq: _*)
+      }
+    // matched / NMBS-changed rows are sparse (a small delta against a
+    // huge table) — persist them so the candidate scan runs once across
+    // the DV write, the post-image write, and the CDC sidecar
+    val matched = live.join(source.select(key), Seq(key), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unmatchedTarget = live.join(source.select(key), Seq(key), "left_anti")
+    val changeConds = nmbsDelete.toSeq ++ nmbsUpdate.map(_._1.getOrElse(lit(true))).toSeq
+    val nmbsChanged = (if (changeConds.isEmpty) unmatchedTarget.limit(0)
+      else unmatchedTarget.filter(coalesce(changeConds.reduce(_ || _), lit(false)) === true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val delRows = deleteCond match {
+        case Some(dc) => matched.filter(coalesce(dc, lit(false)) === true)
+        case None => matched.limit(0)
+      }
+      val afterDelete = deleteCond match {
+        case Some(dc) => matched.filter(coalesce(dc, lit(false)) === false)
+        case None => matched
+      }
+      val updRows =
+        if (!updateAll) afterDelete.limit(0)
+        else updateCond.fold(afterDelete)(uc =>
+          afterDelete.filter(coalesce(uc, lit(false)) === true))
+      val postImages = updateSet match {
+        case Some(set) =>
+          assignAll(updRows.join(srcPrefixed(source, key), Seq(key)), set, s, None)
+        case None => source.join(updRows.select(key), Seq(key), "left_semi")
+      }
+      val nmbsDelRows = nmbsDelete match {
+        case Some(dc) => nmbsChanged.filter(coalesce(dc, lit(false)) === true)
+        case None => nmbsChanged.limit(0)
+      }
+      val nmbsSurvivors = nmbsDelete match {
+        case Some(dc) => nmbsChanged.filter(coalesce(dc, lit(false)) === false)
+        case None => nmbsChanged
+      }
+      val nmbsUpdPre = nmbsUpdate match {
+        case Some((cond, _)) => nmbsSurvivors.filter(
+          coalesce(cond.getOrElse(lit(true)), lit(false)) === true)
+        case None => nmbsChanged.limit(0)
+      }
+      val nmbsPost = nmbsUpdate match {
+        case Some((_, set)) => assignAll(nmbsUpdPre, set, s, None)
+        case None => nmbsChanged.limit(0).select(fields: _*)
+      }
+      val inserts =
+        if (insertUnmatched) source.join(live.select(key), Seq(key), "left_anti")
+        else source.limit(0)
+
+      val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
+      Seq(delRows, updRows, nmbsDelRows, nmbsUpdPre)
+        .map(_.select("file_path", "row_index")).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$path/$rel")
+      val nMasked = spark.read.parquet(s"$path/$rel").count()
+
+      val newRows = postImages.select(fields: _*)
+        .unionByName(nmbsPost.select(fields: _*))
+        .unionByName(inserts.select(fields: _*))
+      if (updateSet.isDefined || nmbsUpdate.isDefined)
+        validateConstraints(newRows, s)
+      // empty unions stage zero-row part files — drop them rather than
+      // commit adds that tax every future scan
+      val adds0 = stageWrite(newRows, s.partitionColumns, dataChange = true)
+      val (adds, emptyAdds) = adds0.partition(_.stats.forall(_.numRecords > 0))
+      emptyAdds.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
+      if (nMasked == 0 && adds.isEmpty) {
+        deleteRecursively(root.resolve(rel))
+        commitAndCheckpoint(Seq(info("MERGE",
+          params = Map("mode" -> "merge-on-read"),
+          metrics = Map("numDeletionVectors" -> "0"))))
+        return Map("numDeletionVectors" -> "0")
+      }
+      val dvActions: Seq[Action] =
+        if (nMasked > 0) Seq(AddDV(rel))
+        else { deleteRecursively(root.resolve(rel)); Nil }
+      val cdc: Seq[Action] =
+        if (!cdfEnabled(s)) Nil
+        else Seq(stageCdc(s,
+          delRows.select(fields: _*).withColumn("_change_type", lit("delete"))
+            .unionByName(nmbsDelRows.select(fields: _*)
+              .withColumn("_change_type", lit("delete")))
+            .unionByName(updRows.select(fields: _*)
+              .withColumn("_change_type", lit("update_preimage")))
+            .unionByName(postImages.select(fields: _*)
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(nmbsUpdPre.select(fields: _*)
+              .withColumn("_change_type", lit("update_preimage")))
+            .unionByName(nmbsPost.select(fields: _*)
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(inserts.select(fields: _*)
+              .withColumn("_change_type", lit("insert")))))
+      val metrics = Map(
+        "numSourceRows" -> source.count().toString,
+        "numDeletionVectors" -> (if (nMasked > 0) "1" else "0"),
+        "numMaskedRows" -> nMasked.toString,
+        "numAddedFiles" -> adds.size.toString)
+      commitOrReclaimCdc(cdc)(commitAndCheckpoint(Seq(info("MERGE",
+        params = Map("mode" -> "merge-on-read"), metrics = metrics)) ++
+        dvActions ++ cdc ++ adds,
+        readVersion = s.version, readPaths = scanFiles.map(_.path).toSet,
+        conflictOnDV = true))
+      metrics
+    } finally { matched.unpersist(); nmbsChanged.unpersist(); () }
   }
 
   /** Idempotent streaming upsert — the `foreachBatch` + MERGE pattern

@@ -9,30 +9,82 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   .whenMatchedDelete(col("status") === "tombstone")
   *   .whenMatchedUpdateAll()
   *   .whenNotMatchedInsertAll()
+  *   .whenNotMatchedBySourceDelete()
   *   .execute()
   * }}}
   *
   * Clause semantics: matched rows meeting the delete condition are
   * removed; remaining matched rows are replaced by the source row when
-  * update is enabled (and its optional condition holds on the target
-  * row); unmatched source rows are inserted when insert is enabled.
+  * update-all is enabled (or rewritten by `whenMatchedUpdate`
+  * assignments), gated by the optional condition evaluated on the
+  * target row; unmatched source rows are inserted when insert is
+  * enabled. `whenNotMatchedBySource*` clauses act on TARGET rows with
+  * no source match (Delta's `WHEN NOT MATCHED BY SOURCE`), with the
+  * condition evaluated on the target row.
+  *
+  * `whenMatchedUpdate` assignments see the target row's columns
+  * unprefixed and the source row's columns as `src_<name>` — e.g.
+  * `Map("qty" -> (col("qty") + col("src_qty")))`.
+  *
+  * `mergeOnRead()` switches execution to the deletion-vector path:
+  * changed target rows are masked via a DV sidecar and their
+  * post-images appended, so write cost is O(changed rows) instead of
+  * O(candidate file bytes) — the right trade for a small delta
+  * merging into a 100 TB table.
   */
 final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, key: String) {
   private var updateAll = true
   private var updateCond: Option[Column] = None
+  private var updateSet: Option[Map[String, Column]] = None
   private var deleteCond: Option[Column] = None
   private var insertUnmatched = true
+  private var nmbsDelete: Option[Column] = None
+  private var nmbsUpdate: Option[(Option[Column], Map[String, Column])] = None
+  private var mor = false
 
   def whenMatchedUpdateAll(condition: Option[Column] = None): MergeBuilder = {
-    updateAll = true; updateCond = condition; this
+    updateAll = true; updateCond = condition; updateSet = None; this
   }
-  def whenMatchedKeep(): MergeBuilder = { updateAll = false; updateCond = None; this }
+  /** Partial-column matched update: assignments may reference target
+    * columns directly and source columns as `src_<name>`.
+    */
+  def whenMatchedUpdate(set: Map[String, Column],
+                        condition: Option[Column] = None): MergeBuilder = {
+    updateAll = true; updateCond = condition; updateSet = Some(set); this
+  }
+  def whenMatchedKeep(): MergeBuilder = {
+    updateAll = false; updateCond = None; updateSet = None; this
+  }
   def whenMatchedDelete(condition: Column): MergeBuilder = {
     deleteCond = Some(condition); this
   }
   def whenNotMatchedInsertAll(): MergeBuilder = { insertUnmatched = true; this }
   def whenNotMatchedIgnore(): MergeBuilder = { insertUnmatched = false; this }
 
+  /** Delete target rows that have no source match (optionally gated by
+    * a condition on the target row). Without a condition this rewrites
+    * every unmatched file — with one, stats pruning bounds the rewrite
+    * to files that may hold matching rows.
+    */
+  def whenNotMatchedBySourceDelete(condition: Option[Column] = None): MergeBuilder = {
+    nmbsDelete = Some(condition.getOrElse(org.apache.spark.sql.functions.lit(true))); this
+  }
+  /** Update target rows that have no source match; assignments see only
+    * target columns (there is no source row by definition).
+    */
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column],
+                                   condition: Option[Column] = None): MergeBuilder = {
+    nmbsUpdate = Some((condition, set)); this
+  }
+
+  /** Execute merge-on-read: DV-mask changed rows + append post-images. */
+  def mergeOnRead(): MergeBuilder = { mor = true; this }
+
   def execute(): Map[String, String] =
-    t.executeMerge(source, key, updateAll, updateCond, deleteCond, insertUnmatched)
+    if (mor)
+      t.executeMergeMoR(source, key, updateAll, updateCond, updateSet,
+        deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete)
+    else
+      t.executeMerge(source, key, updateAll, updateCond, updateSet,
+        deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete)
 }

@@ -62,4 +62,156 @@ class MergeBuilderSpec extends GraftSparkSpec {
     assert(n == 40)
     assert(gsql.sql("SELECT COUNT(*) AS n FROM mo").head().getLong(0) == 55)
   }
+
+  test("whenNotMatchedBySourceDelete drops target rows absent from the source") {
+    val (o, t) = freshOrders("mb-nmbs-del")
+    val src = o.filter(col("o_orderkey") < 500)
+    t.mergeBuilder(src, "o_orderkey")
+      .whenMatchedKeep()
+      .whenNotMatchedIgnore()
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    assert(t.toDF.count() == o.filter(col("o_orderkey") < 500).count())
+  }
+
+  test("conditional NMBS update rewrites only unmatched rows meeting the condition") {
+    val (o, t) = freshOrders("mb-nmbs-upd")
+    val src = o.filter(col("o_orderkey") < 500)
+    t.mergeBuilder(src, "o_orderkey")
+      .whenMatchedKeep()
+      .whenNotMatchedIgnore()
+      .whenNotMatchedBySourceUpdate(
+        Map("o_totalprice" -> lit(-7.0)),
+        condition = Some(col("o_orderstatus") === "F"))
+      .execute()
+    val hit = t.toDF.filter(col("o_totalprice") === -7.0).count()
+    val expected = o.filter(col("o_orderkey") >= 500 && col("o_orderstatus") === "F").count()
+    assert(hit == expected, s"updated $hit expected $expected")
+    assert(t.toDF.count() == o.count())
+  }
+
+  test("whenMatchedUpdate assignments see target columns and src_ source columns") {
+    val (o, t) = freshOrders("mb-partial")
+    val src = o.filter(col("o_orderkey") < 200)
+      .withColumn("o_totalprice", lit(10.0))
+    t.mergeBuilder(src, "o_orderkey")
+      .whenMatchedUpdate(Map(
+        "o_totalprice" -> (col("o_totalprice") + col("src_o_totalprice")),
+        "o_orderpriority" -> lit("merged")))
+      .whenNotMatchedIgnore()
+      .execute()
+    val got = t.toDF.filter(col("o_orderkey") < 200)
+      .select(sum(col("o_totalprice")).as("s")).head().getDouble(0)
+    val want = o.filter(col("o_orderkey") < 200)
+      .select(sum(col("o_totalprice") + 10.0).as("s")).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-6, s"got $got want $want")
+    assert(t.toDF.filter(col("o_orderpriority") === "merged").count() ==
+      o.filter(col("o_orderkey") < 200).count())
+    // rows outside the key range untouched
+    assert(t.toDF.filter(col("o_orderkey") >= 200 && col("o_orderpriority") === "merged")
+      .count() == 0)
+  }
+
+  test("merge-on-read merge matches copy-on-write results without rewriting files") {
+    val o = Tables(spark, sfDir, "orders")
+    val cow = GraftTable.create(spark, tmpDir("mb-mor-cow"), o)
+    val mor = GraftTable.create(spark, tmpDir("mb-mor-dv"), o)
+    val src = o.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(o.filter(col("o_orderkey") < 20)
+        .withColumn("o_orderkey", col("o_orderkey") + 9000000L))
+    def clauses(b: MergeBuilder) = b
+      .whenMatchedDelete(col("o_orderstatus") === "F")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+    val filesBefore = mor.snapshot.activeFiles.map(_.path).toSet
+    clauses(cow.mergeBuilder(src, "o_orderkey")).execute()
+    val m = clauses(mor.mergeBuilder(src, "o_orderkey")).mergeOnRead().execute()
+    assert(m("numDeletionVectors") == "1")
+    // MoR: every pre-merge file is still active (post-images/inserts append)
+    assert(filesBefore.subsetOf(mor.snapshot.activeFiles.map(_.path).toSet),
+      "merge-on-read rewrote existing files")
+    val a = cow.toDF.orderBy("o_orderkey", "o_totalprice").collect()
+    val b = mor.toDF.orderBy("o_orderkey", "o_totalprice").collect()
+    assert(a.toSeq == b.toSeq, s"CoW ${a.length} rows vs MoR ${b.length} rows differ")
+  }
+
+  test("merge-on-read NMBS clauses mask unmatched rows instead of rewriting") {
+    val o = Tables(spark, sfDir, "orders")
+    val cow = GraftTable.create(spark, tmpDir("mb-mor-nmbs-cow"), o)
+    val mor = GraftTable.create(spark, tmpDir("mb-mor-nmbs-dv"), o)
+    val src = o.filter(col("o_orderkey") < 1000)
+    def clauses(b: MergeBuilder) = b
+      .whenMatchedKeep()
+      .whenNotMatchedIgnore()
+      .whenNotMatchedBySourceDelete(Some(col("o_orderstatus") === "O"))
+      .whenNotMatchedBySourceUpdate(
+        Map("o_totalprice" -> lit(0.0)),
+        condition = Some(col("o_orderstatus") === "F"))
+    clauses(cow.mergeBuilder(src, "o_orderkey")).execute()
+    val filesBefore = mor.snapshot.activeFiles.map(_.path).toSet
+    clauses(mor.mergeBuilder(src, "o_orderkey")).mergeOnRead().execute()
+    assert(filesBefore.subsetOf(mor.snapshot.activeFiles.map(_.path).toSet))
+    val a = cow.toDF.orderBy("o_orderkey").collect()
+    val b = mor.toDF.orderBy("o_orderkey").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("SQL MERGE INTO drives matched, insert and by-source clauses") {
+    val gsql = new GraftSql(spark)
+    val o = Tables(spark, sfDir, "orders")
+    gsql.registerCreate("mt", tmpDir("mb-sqlmerge"), o)
+    o.filter(col("o_orderkey") < 300)
+      .withColumn("o_totalprice", lit(5.0))
+      .createOrReplaceTempView("msrc")
+    gsql.sql(
+      """MERGE INTO mt AS t USING msrc AS s ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND t.o_orderstatus = 'F'
+        |  THEN UPDATE SET o_totalprice = t.o_totalprice + s.o_totalprice
+        |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P' THEN DELETE""".stripMargin)
+    val t = gsql.table("mt").toDF
+    val bumped = t.filter(col("o_orderkey") < 300 && col("o_orderstatus") === "F")
+      .select(sum("o_totalprice")).head().getDouble(0)
+    val want = o.filter(col("o_orderkey") < 300 && col("o_orderstatus") === "F")
+      .select(sum(col("o_totalprice") + 5.0)).head().getDouble(0)
+    assert(math.abs(bumped - want) < 1e-6, s"got $bumped want $want")
+    assert(t.filter(col("o_orderkey") >= 300 && col("o_orderstatus") === "P").count() == 0)
+    val expectRows = o.count() -
+      o.filter(col("o_orderkey") >= 300 && col("o_orderstatus") === "P").count()
+    assert(t.count() == expectRows)
+  }
+
+  test("SQL MERGE INTO upserts with UPDATE SET * and INSERT *") {
+    val gsql = new GraftSql(spark)
+    val o = Tables(spark, sfDir, "orders")
+    gsql.registerCreate("mt2", tmpDir("mb-sqlmerge2"), o)
+    o.filter(col("o_orderkey") < 100)
+      .withColumn("o_totalprice", lit(-3.0))
+      .withColumn("o_orderkey",
+        when(col("o_orderkey") < 50, col("o_orderkey") + 9000000L)
+          .otherwise(col("o_orderkey")))
+      .createOrReplaceTempView("msrc2")
+    gsql.sql(
+      """MERGE INTO mt2 USING msrc2 ON mt2.o_orderkey = msrc2.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val t = gsql.table("mt2").toDF
+    assert(t.count() == o.count() +
+      o.filter(col("o_orderkey") < 50).count())
+    assert(t.filter(col("o_totalprice") === -3.0).count() ==
+      o.filter(col("o_orderkey") < 100).count())
+  }
+
+  test("merge-on-read merge with no matches and no inserts is a no-op commit") {
+    val (o, t) = freshOrders("mb-mor-noop")
+    val src = o.limit(10).withColumn("o_orderkey", col("o_orderkey") + 9000000L)
+    val m = t.mergeBuilder(src, "o_orderkey")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedIgnore()
+      .mergeOnRead()
+      .execute()
+    assert(m("numDeletionVectors") == "0")
+    assert(t.snapshot.dvFiles.isEmpty, "no-op merge committed a DV")
+    assert(t.toDF.count() == o.count())
+  }
 }
