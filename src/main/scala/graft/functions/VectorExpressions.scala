@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native dot product over two numeric arrays (float or double
@@ -72,4 +72,130 @@ case class DotProd(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProd =
     copy(left = l, right = r)
+}
+
+/** Indices of the `p` nearest centroids (by cosine) for a vector, in
+  * descending-similarity order (ties broken by lower index). The
+  * centroid matrix rides along as a plan *reference object* — one
+  * broadcast-style constant shared by the whole stage — instead of a
+  * k×dim literal expression tree, so planning/codegen cost is O(1) in
+  * k and the per-row cost is a single tight O(k·dim) loop. This is
+  * what makes IVF coarse quantization viable at large k (k≈8√n): at
+  * k=256, the literal-tree formulation was 16k+ expression nodes and
+  * dominated the round-2 bench.
+  */
+case class TopCentroidIds(child: Expression, cents: Array[Array[Double]], p: Int)
+    extends UnaryExpression {
+  require(p >= 1 && p <= cents.length, s"p must be in [1, ${cents.length}], got $p")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    TopCentroidIds.kernel(v.asInstanceOf[ArrayData], cents, p, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TopCentroidIds.kernel($c, $ref, $p, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopCentroidIds =
+    copy(child = c)
+}
+
+object TopCentroidIds {
+  /** Static kernel — also the codegen call target. Cosine reduces to
+    * dot(v, c)/|c| argmax since |v| is constant across candidates.
+    */
+  def kernel(v: ArrayData, cents: Array[Array[Double]], p: Int,
+             isFloat: Boolean): ArrayData = {
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val ct = cents(j)
+      val n = math.min(v.numElements(), ct.length)
+      var dot = 0.0
+      var nc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * ct(i)
+        nc += ct(i) * ct(i)
+        i += 1
+      }
+      scores(j) = if (nc > 0) dot / math.sqrt(nc) else Double.NegativeInfinity
+      j += 1
+    }
+    val out = new Array[Any](p)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < p) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var jj = 0
+      while (jj < k) {
+        if (!taken(jj) && scores(jj) > bestScore) { best = jj; bestScore = scores(jj) }
+        jj += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Signed random-hyperplane LSH signature, one bit per plane packed
+  * into a long (≤64 planes). Same reference-object trick as
+  * [[TopCentroidIds]]: the plane matrix is a plan constant, not a
+  * planes×dim literal tree, so 64-plane signatures (4 bands × 16 bits
+  * = 65,536 buckets per band — bucket count ≥ O(√n) up to n≈4×10⁹)
+  * cost the same to plan as 16-plane ones did.
+  */
+case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  require(planes.length <= 64, s"at most 64 planes fit a long, got ${planes.length}")
+
+  override def dataType: DataType = LongType
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      HyperplaneSigExpr.kernel(v.asInstanceOf[ArrayData], planes, isFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSigExpr.kernel($c, $ref, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigExpr =
+    copy(child = c)
+}
+
+object HyperplaneSigExpr {
+  def kernel(v: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
+    var sig = 0L
+    var j = 0
+    while (j < planes.length) {
+      val pl = planes(j)
+      val n = math.min(v.numElements(), pl.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * pl(i)
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
 }

@@ -25,15 +25,16 @@ object VectorFunctions {
 
   /** Signed random-hyperplane LSH signature: one bit per plane,
     * packed into a long. Planes are a deterministic constant (seeded),
-    * so signatures are reproducible across runs and executors.
+    * so signatures are reproducible across runs and executors. Native
+    * [[HyperplaneSigExpr]] kernel — the plane matrix is a plan
+    * reference object, so 64 planes plan as cheaply as 16.
     */
-  def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column = {
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
-      val planeCol = array(plane.map(lit): _*)
-      val d = dot(v, planeCol)
-      acc.bitwiseOR(when(d > 0, lit(1L << i)).otherwise(lit(0L)))
-    }
-  }
+  def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
+    GraftSqlShims.column(HyperplaneSigExpr(GraftSqlShims.expression(v), planes))
+
+  /** Indices of the `p` nearest centroids by cosine, descending. */
+  def topCentroidIds(v: Column, cents: Array[Array[Double]], p: Int): Column =
+    GraftSqlShims.column(TopCentroidIds(GraftSqlShims.expression(v), cents, p))
 
   /** Deterministic pseudo-gaussian hyperplanes (fixed seed). */
   def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

