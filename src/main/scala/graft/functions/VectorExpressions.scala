@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -110,24 +110,50 @@ object TopCentroidIds {
   /** Static kernel — also the codegen call target. Cosine reduces to
     * dot(v, c)/|c| argmax since |v| is constant across candidates.
     */
+  /** Per-centroid inverse norms are plan constants — compute once per
+    * centroid matrix identity, not once per row per centroid.
+    */
+  private val invNormCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Array[Double]], Array[Double]]())
+
+  private def invNorms(cents: Array[Array[Double]]): Array[Double] = {
+    val cached = invNormCache.get(cents)
+    if (cached != null) return cached
+    val out = new Array[Double](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      var nc = 0.0
+      var i = 0
+      val ct = cents(j)
+      while (i < ct.length) { nc += ct(i) * ct(i); i += 1 }
+      out(j) = if (nc > 0) 1.0 / math.sqrt(nc) else 0.0
+      j += 1
+    }
+    invNormCache.put(cents, out)
+    out
+  }
+
   def kernel(v: ArrayData, cents: Array[Array[Double]], p: Int,
              isFloat: Boolean): ArrayData = {
     val k = cents.length
+    val inv = invNorms(cents)
     val scores = new Array[Double](k)
     var j = 0
     while (j < k) {
       val ct = cents(j)
       val n = math.min(v.numElements(), ct.length)
       var dot = 0.0
-      var nc = 0.0
       var i = 0
       while (i < n) {
         val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
         dot += x * ct(i)
-        nc += ct(i) * ct(i)
         i += 1
       }
-      scores(j) = if (nc > 0) dot / math.sqrt(nc) else Double.NegativeInfinity
+      val s = dot * inv(j)
+      // NaN (e.g. NaN element in the input vector) must not poison the
+      // greedy selection below — map it to -Inf so ordering stays total.
+      scores(j) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       j += 1
     }
     val out = new Array[Any](p)
@@ -140,6 +166,14 @@ object TopCentroidIds {
       while (jj < k) {
         if (!taken(jj) && scores(jj) > bestScore) { best = jj; bestScore = scores(jj) }
         jj += 1
+      }
+      if (best < 0) {
+        // All remaining scores are -Inf (zero-norm centroids / NaN input):
+        // fall back to the first un-taken index so output stays total and
+        // deterministic.
+        var f = 0
+        while (taken(f)) f += 1
+        best = f
       }
       taken(best) = true
       out(r) = best

@@ -144,16 +144,42 @@ object IvfIndex {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]
 
-  def centroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    memo.computeIfAbsent(dir, d => loadSidecar(d).getOrElse {
-      val cents = build(spark, d)
-      saveSidecar(d, cents)
-      cents
+  def centroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val key = cacheKey(spark, dir)
+    memo.computeIfAbsent(key, _ => {
+      val expectedK = kFor(EmbCount(spark, dir))
+      loadSidecar(key, expectedK).getOrElse {
+        val cents = build(spark, dir)
+        saveSidecar(key, cents)
+        cents
+      }
     })
+  }
 
-  private def kFor(n: Long): Int = math.min(1024, math.max(16, math.min(
-    Integer.highestOneBit(math.max(1L, n / 2).toInt),
-    Integer.highestOneBit((8 * math.sqrt(n.toDouble)).toInt))))
+  /** Cache key covers the *data*, not just the path: row count plus the
+    * parquet files' (mtime, length) fingerprint, so a regenerated table
+    * at the same path rebuilds instead of silently reloading stale
+    * centroids.
+    */
+  private def cacheKey(spark: SparkSession, dir: String): String = {
+    val n = EmbCount(spark, dir)
+    val f = new java.io.File(dir, "embeddings.parquet")
+    val files = if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+                else Array(f)
+    val fp = files.foldLeft(0L)((acc, x) =>
+      acc ^ java.lang.Long.rotateLeft(x.lastModified(), 17) ^ x.length())
+    s"$dir#v4#$Probes#$Spill#n=$n#fp=${java.lang.Long.toHexString(fp)}"
+  }
+
+  private def kFor(n: Long): Int = {
+    // clamp to Int range BEFORE narrowing: (n/2).toInt wraps negative
+    // past 2^32 and collapses k to the floor, breaking k=8*sqrt(n) scaling
+    val half = Integer.highestOneBit(
+      math.min(math.max(1L, n / 2), Int.MaxValue.toLong).toInt)
+    val bySqrt = Integer.highestOneBit(
+      math.max(1, math.min(8.0 * math.sqrt(n.toDouble), Int.MaxValue.toDouble).toInt))
+    math.min(1024, math.max(16, math.min(half, bySqrt)))
+  }
 
   private def build(spark: SparkSession, dir: String): Array[Array[Double]] = {
     val emb = Tables(spark, dir, "embeddings")
@@ -196,28 +222,32 @@ object IvfIndex {
 
   // --- sidecar persistence (plain text: one centroid per line) ---
 
-  private def sidecarPath(dir: String): java.nio.file.Path = {
-    val key = java.lang.Long.toHexString(
-      graft.functions.Fnv.hashString(s"$dir#v3#$Probes#$Spill"))
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), s"graft-ivf-$key.txt")
+  private def sidecarPath(key: String): java.nio.file.Path = {
+    val h = java.lang.Long.toHexString(graft.functions.Fnv.hashString(key))
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), s"graft-ivf-$h.txt")
   }
 
-  private def loadSidecar(dir: String): Option[Array[Array[Double]]] = {
-    val p = sidecarPath(dir)
+  /** Reload only if the persisted index matches what we'd build now:
+    * centroid count == kFor(current n) and a consistent dimension —
+    * anything else means the data changed under the path; rebuild.
+    */
+  private def loadSidecar(key: String, expectedK: Int): Option[Array[Array[Double]]] = {
+    val p = sidecarPath(key)
     if (!java.nio.file.Files.isRegularFile(p)) None
     else scala.util.Try {
       val lines = java.nio.file.Files.readAllLines(p)
       lines.toArray(Array.empty[String]).filter(_.nonEmpty)
         .map(_.split(',').map(_.toDouble))
-    }.toOption.filter(_.nonEmpty)
+    }.toOption.filter(c =>
+      c.length == expectedK && c.nonEmpty && c.forall(_.length == c.head.length))
   }
 
-  private def saveSidecar(dir: String, cents: Array[Array[Double]]): Unit =
+  private def saveSidecar(key: String, cents: Array[Array[Double]]): Unit =
     scala.util.Try {
       val tmp = java.nio.file.Files.createTempFile("graft-ivf", ".tmp")
       val body = cents.map(_.mkString(",")).mkString("\n")
       java.nio.file.Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, sidecarPath(dir),
+      java.nio.file.Files.move(tmp, sidecarPath(key),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 }
