@@ -41,15 +41,27 @@ object Bench {
         }
       }
 
+    // Hygiene: a cache-heavy query must not inflate its neighbors'
+    // numbers (GC/memory pressure looked like regressions in earlier
+    // rounds), so every measurement starts from a clean cache; and each
+    // query runs twice with the min reported, so one-off JIT/GC hiccups
+    // don't read as plan regressions.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once()
+      val t = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
+      name -> t
     }
+    spark.catalog.clearCache()
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

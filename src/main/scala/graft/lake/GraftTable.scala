@@ -1184,7 +1184,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     Pruning.prune(rest, s.schema, s.partitionColumns, conds.reduce(_ || _))
   }
 
-  private[lake] def executeMerge(source: DataFrame, key: String,
+  private[lake] def executeMerge(sourceIn: DataFrame, key: String,
       updateAll: Boolean, updateCond: Option[Column],
       updateSet: Option[Map[String, Column]] = None,
       deleteCond: Option[Column], insertUnmatched: Boolean,
@@ -1192,6 +1192,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       nmbsDelete: Option[Column] = None,
       extraActions: Seq[Action] = Nil): Map[String, String] = {
     val s = snapshot
+    // the source is a small delta against a huge table and is referenced
+    // by the key-range probe, four joins, and the numSourceRows metric —
+    // persist once instead of recomputing an arbitrary source plan per use
+    val source = sourceIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val numSourceRows = source.count()
     validateConstraints(source, s)
     enforceSchema(source.schema, s.schema)
     val kr = source.agg(min(col(key)), max(col(key))).head()
@@ -1288,12 +1293,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
               .withColumn("_change_type", lit("insert")))))
       }
     val metrics = Map(
-      "numSourceRows" -> source.count().toString,
+      "numSourceRows" -> numSourceRows.toString,
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitOrReclaimCdc(cdc)(commitAndCheckpoint(
+    try commitOrReclaimCdc(cdc)(commitAndCheckpoint(
       Seq(info("MERGE", metrics = metrics)) ++ extraActions ++ cdc ++ removes ++ adds,
       readVersion = s.version))
+    finally { source.unpersist(); () }
     metrics
   }
 
@@ -1304,13 +1310,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * for a small delta merging into a 100 TB table: candidate files are
     * never rewritten; compaction materializes the masks later.
     */
-  private[lake] def executeMergeMoR(source: DataFrame, key: String,
+  private[lake] def executeMergeMoR(sourceIn: DataFrame, key: String,
       updateAll: Boolean, updateCond: Option[Column],
       updateSet: Option[Map[String, Column]],
       deleteCond: Option[Column], insertUnmatched: Boolean,
       nmbsUpdate: Option[(Option[Column], Map[String, Column])],
       nmbsDelete: Option[Column]): Map[String, String] = {
     val s = snapshot
+    // small-delta source feeds the key-range probe, the semi/anti joins
+    // and the numSourceRows metric — persist once (see executeMerge)
+    val source = sourceIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val numSourceRows = source.count()
     validateConstraints(source, s)
     enforceSchema(source.schema, s.schema)
     val kr = source.agg(min(col(key)), max(col(key))).head()
@@ -1437,7 +1447,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             .unionByName(inserts.select(fields: _*)
               .withColumn("_change_type", lit("insert")))))
       val metrics = Map(
-        "numSourceRows" -> source.count().toString,
+        "numSourceRows" -> numSourceRows.toString,
         "numDeletionVectors" -> (if (nMasked > 0) "1" else "0"),
         "numMaskedRows" -> nMasked.toString,
         "numAddedFiles" -> adds.size.toString)
@@ -1447,7 +1457,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         readVersion = s.version, readPaths = scanFiles.map(_.path).toSet,
         conflictOnDV = true))
       metrics
-    } finally { matched.unpersist(); nmbsChanged.unpersist(); () }
+    } finally { source.unpersist(); matched.unpersist(); nmbsChanged.unpersist(); () }
   }
 
   /** Idempotent streaming upsert — the `foreachBatch` + MERGE pattern

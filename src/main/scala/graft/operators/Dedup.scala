@@ -103,19 +103,22 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup: 64-bit signature, 8×8-bit bands, Hamming ≤ 8
-    * verification on collisions. A single-token perturbation moves
-    * few bits, so near-dups collide on most bands. Deterministic;
-    * rows-only check.
+  /** SimHash near-dup: 64-bit signature, 4 tables × 16-bit band keys
+    * (65,536 buckets per band — bucket-key cardinality ≥ √n up to
+    * n≈4×10⁹, so each band self-join stays ~O(n·√n) instead of the
+    * O(n²/256) an 8-bit key collapses to at corpus scale), Hamming ≤ 8
+    * verification on collisions. A single-token perturbation moves few
+    * bits, so near-dups still agree on all 16 bits of some band.
+    * Deterministic; rows-only check.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = withPlantedNearDups(Tables(spark, dir, "documents"), tail = " zq")
       .withColumn("sig", expr("graft_simhash64(text)"))
     val banded = docs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 8).map(i =>
+      explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
-          col("sig").bitwiseAND(lit(0xffL << (8 * i))).as("band_bits"))): _*))
+          shiftright(col("sig"), 16 * i).bitwiseAND(lit(0xffffL)).as("band_bits"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.band_bits"))
     val a = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
