@@ -104,15 +104,102 @@ object SparkEntry {
     "lake_vacuum" -> LakeOps.lakeVacuum _)
 
   private val rev = "ROUND(SUM(l_extendedprice*(1.0-l_discount)),2)"
+
+  /** DuckDB replica of [[graft.functions.Fnv.hashBytes]]: FNV-1a
+    * folded over the UTF-8 bytes of column `sh` from a given seed,
+    * in unsigned-64 arithmetic via HUGEINT mod 2^64. The xor touches
+    * only the low byte, so it is lifted to BIGINT and spliced back.
+    */
+  private def fnvFoldSql(seed: String): String =
+    s"list_reduce(list_prepend(CAST('$seed' AS HUGEINT), " +
+      "list_transform(range(1, length(sh)+1), " +
+      "j -> CAST(ord(substr(sh, CAST(j AS INT), 1)) AS HUGEINT))), " +
+      "(acc, c) -> ((acc - (acc % 256) + " +
+      "CAST(xor(CAST(acc % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT)) " +
+      "* 1099511628211) % CAST('18446744073709551616' AS HUGEINT))"
+
+  /** CTE chain replicating the MinHash-LSH candidate generator
+    * ([[graft.functions.MinHashSig32]] + banded self-join) in DuckDB:
+    * planted near-dups, 3-word shingles, two FNV-1a hashes per
+    * shingle, 32 Kirsch–Mitzenmacher components (signed-min like the
+    * Scala kernel), 8 bands of 4 components. Ends with `sig`
+    * (doc_id, 32-component signature) and `cand` (id_a < id_b pairs
+    * agreeing on all of some band).
+    */
+  private val minhashCandSql =
+    "WITH base AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 100000, text || ' appended near duplicate tail marker' " +
+      "FROM documents WHERE doc_id < 20), " +
+      "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), " +
+      "t -> t <> '') AS ts FROM base), " +
+      "sh0 AS (SELECT doc_id, CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+      "ELSE list_transform(range(1, len(ts)-1), i -> ts[CAST(i AS INT)] || ' ' || " +
+      "ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2]) END AS shl FROM toks), " +
+      "shx AS (SELECT doc_id, UNNEST(shl) AS sh FROM sh0), " +
+      s"hs AS (SELECT doc_id, ${fnvFoldSql("14695981039346656037")} AS h1, " +
+      s"${fnvFoldSql("11400714819323198485")} AS h2 FROM shx), " +
+      "comp AS (SELECT doc_id, i, MIN(CASE WHEN hm >= CAST('9223372036854775808' AS HUGEINT) " +
+      "THEN CAST(hm - CAST('18446744073709551616' AS HUGEINT) AS BIGINT) " +
+      "ELSE CAST(hm AS BIGINT) END) AS c FROM " +
+      "(SELECT doc_id, i, (h1 + i * h2) % CAST('18446744073709551616' AS HUGEINT) AS hm " +
+      "FROM hs CROSS JOIN (SELECT UNNEST(range(0, 32)) AS i) ii) GROUP BY doc_id, i), " +
+      "sig AS (SELECT doc_id, list(c ORDER BY i) AS sig FROM comp GROUP BY doc_id), " +
+      "bands AS (SELECT doc_id, i // 4 AS band, array_to_string(list(c ORDER BY i), ',') " +
+      "AS bkey FROM comp GROUP BY doc_id, i // 4), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"
+
   private val jaccardPairsSql =
-    "SELECT id_a, id_b, jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-      "ROUND(CAST(len(list_intersect(" +
-      "list_distinct(regexp_split_to_array(lower(trim(a.text)),'\\s+')), " +
-      "list_distinct(regexp_split_to_array(lower(trim(b.text)),'\\s+')))) AS DOUBLE) / " +
-      "CAST(len(list_distinct(regexp_split_to_array(lower(trim(a.text)),'\\s+') || " +
-      "regexp_split_to_array(lower(trim(b.text)),'\\s+'))) AS DOUBLE), 4) AS jaccard " +
-      "FROM documents a JOIN documents b ON length(a.text)=length(b.text) " +
-      "AND a.doc_id < b.doc_id) t WHERE jaccard >= 0.5 ORDER BY id_a, id_b"
+    minhashCandSql +
+      ", ws AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) " +
+      "AS ws FROM base) " +
+      "SELECT id_a, id_b, ROUND(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 4) AS jaccard " +
+      "FROM cand JOIN ws wa ON wa.doc_id = id_a JOIN ws wb ON wb.doc_id = id_b " +
+      "WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5 ORDER BY id_a, id_b"
+
+  /** DuckDB replica of [[graft.functions.SimHash64]] + the 4×16-bit
+    * banded self-join: per-token FNV-1a (reusing [[fnvFoldSql]] via
+    * the `sh` alias), per-bit sign sums, unsigned band extraction,
+    * Hamming ≤ 8 on collisions.
+    */
+  private val simhashSql =
+    "WITH base AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 100000, text || ' zq' FROM documents WHERE doc_id < 20), " +
+      "toks AS (SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), " +
+      "t -> t <> '')) AS sh FROM base), " +
+      s"hs AS (SELECT doc_id, ${fnvFoldSql("14695981039346656037")} AS h FROM toks), " +
+      "bits AS (SELECT doc_id, b, SUM(CASE WHEN " +
+      "(h // power(CAST(2 AS HUGEINT), CAST(b AS INT))::HUGEINT) % 2 = 1 " +
+      "THEN 1 ELSE -1 END) AS cnt " +
+      "FROM hs CROSS JOIN (SELECT UNNEST(range(0, 64)) AS b) bb GROUP BY doc_id, b), " +
+      "sigu AS (SELECT doc_id, SUM(CASE WHEN cnt > 0 " +
+      "THEN power(CAST(2 AS HUGEINT), CAST(b AS INT))::HUGEINT " +
+      "ELSE CAST(0 AS HUGEINT) END) AS su FROM bits GROUP BY doc_id), " +
+      "sig AS (SELECT b.doc_id, COALESCE(su, CAST(0 AS HUGEINT)) AS su, " +
+      "COALESCE(CASE WHEN su >= CAST('9223372036854775808' AS HUGEINT) " +
+      "THEN CAST(su - CAST('18446744073709551616' AS HUGEINT) AS BIGINT) " +
+      "ELSE CAST(su AS BIGINT) END, 0) AS sg " +
+      "FROM base b LEFT JOIN sigu ON sigu.doc_id = b.doc_id), " +
+      "bands AS (SELECT doc_id, sg, i AS band, " +
+      "(su // power(CAST(2 AS HUGEINT), CAST(16*i AS INT))::HUGEINT) % 65536 AS band_bits " +
+      "FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS i) ii) " +
+      "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.band_bits = b.band_bits " +
+      "AND a.doc_id < b.doc_id WHERE bit_count(xor(a.sg, b.sg)) <= 8 " +
+      "ORDER BY id_a, id_b"
+
+  private val minhashLshSql =
+    minhashCandSql +
+      " SELECT id_a, id_b, ROUND(CAST(len(list_filter(range(1, 33), " +
+      "i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32, 4) " +
+      "AS est_jaccard FROM cand " +
+      "JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b " +
+      "WHERE CAST(len(list_filter(range(1, 33), " +
+      "i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32 >= 0.5 " +
+      "ORDER BY id_a, id_b"
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
 
   /** DuckDB oracle SQL, driver-run on the same parquet tables. */
@@ -360,6 +447,8 @@ object SparkEntry {
       ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
     "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql,
     "dedup_clusters" ->
       (s"WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ($jaccardPairsSql) p), " +
         "edges AS (SELECT id_a AS u, id_b AS v FROM jp " +
@@ -369,6 +458,16 @@ object SparkEntry {
         "comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u) " +
         "SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) " +
         "AS cluster_size FROM comp ORDER BY doc_id"),
+    "dedup_embedding" ->
+      ("WITH base AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+        "SELECT vec_id + 100000, list_transform(embedding, (x, i) -> CASE WHEN i = 1 " +
+        "THEN CAST(CAST(x AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT) " +
+        "ELSE x END) FROM embeddings WHERE vec_id < 20), " +
+        "d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM base) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos " +
+        "FROM d a JOIN d b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.e, b.e) >= 0.99 ORDER BY id_a, id_b"),
     "sim_bruteforce_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
         "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +

@@ -24,20 +24,26 @@ object Dedup {
       .select("content_hash", "keep_id", "n_copies")
       .orderBy("keep_id")
 
-  /** Word-set Jaccard over exact-blocked pairs (block = char length —
-    * a deterministic blocking key the DuckDB oracle replicates).
+  /** Word-set Jaccard over MinHash-LSH candidate pairs: candidates
+    * come from the banded [[bandedSigs]] signature join (the same
+    * generator as [[dedupMinhashLsh]]), then the exact word-set
+    * Jaccard verifies each candidate. Unlike length-blocking, this
+    * finds unequal-length near-dups (the planted append-a-tail pairs)
+    * and candidate generation stays a hash-partitioned equi-join —
+    * no quadratic within-block blowup at corpus scale. The DuckDB
+    * oracle replicates the FNV-1a/Kirsch–Mitzenmacher signature
+    * arithmetic exactly, so the full pipeline is oracle-checked.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
     // word sets are materialized BELOW the join (once per doc), not
     // recomputed per candidate pair — at n docs with p pairs that's
     // O(n) tokenizations instead of O(p)
-    val d = Tables(spark, dir, "documents")
-      .select(col("doc_id"), wordSet(col("text")).as("ws"),
-        length(col("text")).as("len"))
-    val a = d.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("len"))
-    val b = d.select(col("doc_id").as("id_b"), col("ws").as("ws_b"), col("len"))
-    a.join(b, "len")
-      .filter(col("id_a") < col("id_b"))
+    val d = docs.select(col("doc_id"), wordSet(col("text")).as("ws"))
+    minhashCandidates(bandedSigs(docs, "doc_id", "text", k = 32, bands = 8))
+      .join(d.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
           size(array_union(col("ws_a"), col("ws_b"))).cast("double"), 4))
@@ -76,22 +82,30 @@ object Dedup {
     docs.select("doc_id", "text").unionByName(variants)
   }
 
-  /** MinHash+LSH near-dup candidate pairs with estimated Jaccard
-    * (fraction of agreeing signature components). Deterministic
-    * (xxhash64, fixed band plan); rows-only correctness check.
+  /** LSH-banded candidate pairs from the k=32/8-band MinHash
+    * signature: pairs agreeing on all 4 components of some band.
+    * Deduped on ids BEFORE any (wider) verification join so each
+    * pair is verified exactly once.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val k = 32; val bands = 8
-    GraftFunctions.register(spark)
-    val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
-    val sigs = bandedSigs(docs, "doc_id", "text", k, bands)
-    // dedup candidate pairs on ids BEFORE the (wider) similarity
-    // estimate so each pair is scored exactly once
-    val pairs = sigs.select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
+  private def minhashCandidates(sigs: DataFrame): DataFrame = {
+    sigs.select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
       .join(sigs.select(col("doc_id").as("id_b"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with estimated Jaccard
+    * (fraction of agreeing signature components). Deterministic
+    * (FNV-1a + Kirsch–Mitzenmacher, fixed band plan) and replicated
+    * arithmetic-for-arithmetic by the DuckDB oracle.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    GraftFunctions.register(spark)
+    val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
+    val sigs = bandedSigs(docs, "doc_id", "text", k, bands = 8)
+    val pairs = minhashCandidates(sigs)
     val sigTable = sigs.select(col("doc_id"), col("__sig")).distinct()
     pairs
       .join(sigTable.select(col("doc_id").as("id_a"), col("__sig").as("sig_a")), "id_a")

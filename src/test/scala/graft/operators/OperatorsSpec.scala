@@ -20,6 +20,18 @@ class OperatorsSpec extends GraftSparkSpec {
     assert(found.size >= 18, s"minhash LSH found only ${found.size}/20 planted pairs")
   }
 
+  test("ngram-jaccard verifies planted UNEQUAL-length near-dups via LSH candidates") {
+    // length-blocking could never surface these (tail-appended text has
+    // a different char length than its original) — the LSH candidate
+    // generator must, and the exact word-set Jaccard must score ≥ 0.5
+    val rows = Dedup.dedupNgramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val planted = (0L until 20L).map(i => (i, i + 100000L))
+    val found = planted.filter(rows.contains)
+    assert(found.size >= 18, s"only ${found.size}/20 planted unequal-length pairs verified")
+    found.foreach(p => assert(rows(p) >= 0.5 && rows(p) <= 1.0))
+  }
+
   test("simhash finds planted near-duplicates within hamming 8") {
     val pairs = Dedup.dedupSimhash(spark, sfDir)
       .select("id_a", "id_b").collect()
