@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // CBO bridge: LogicalRelations over graftlake tables pick up
+    // ANALYZE stats as catalog statistics (rowCount/NDV/nulls), so
+    // EXPLAIN EXTENDED and join planning see them with zero API calls
+    ext.injectPostHocResolutionRule(graft.plans.GraftStatsRule.apply)
     ext.injectFunction((FunctionIdentifier("graft_fingerprint64"),
       info("graft_fingerprint64", "64-bit FNV-1a rolling fingerprint of normalized text"),
       unary("graft_fingerprint64")(Fingerprint64)))

@@ -78,6 +78,41 @@ final class GraftRelation(
     math.max(1L,
       pinnedSnapshot.map(_.sizeInBytes).getOrElse(table.snapshot.sizeInBytes)) * 3
 
+  /** Analyzed statistics as Catalyst catalog stats, for
+    * [[graft.plans.GraftStatsRule]] to attach to this relation's
+    * LogicalRelation: row count + per-column NDV/null counts (min/max
+    * only for numeric columns, where the catalog's external-string
+    * representation round-trips safely). None when ANALYZE hasn't run,
+    * or for CDF / time-travel reads whose shape or content the live
+    * table's stats don't describe.
+    */
+  private[graft] def catalogStatistics
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics] = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    import org.apache.spark.sql.types.NumericType
+    if (cdfRead || pinnedVersion.isDefined) return None
+    val cs = graft.lake.Cbo.tableStats(table)
+    if (cs.isEmpty) None
+    else {
+      val types = table.snapshot.schema.fields.map(f => f.name -> f.dataType).toMap
+      val colStats = cs.flatMap { case (name, st) =>
+        types.get(name).map { dt =>
+          val (mn, mx) = dt match {
+            case _: NumericType =>
+              (Some(st.min).filter(_.nonEmpty), Some(st.max).filter(_.nonEmpty))
+            case _ => (None, None)
+          }
+          name -> CatalogColumnStat(
+            distinctCount = Some(BigInt(st.distinct)), min = mn, max = mx,
+            nullCount = Some(BigInt(st.nulls)), avgLen = None, maxLen = None,
+            histogram = None, version = 2)
+        }
+      }
+      val rows = cs.values.head.rows
+      Some(CatalogStatistics(BigInt(sizeInBytes), Some(BigInt(rows)), colStats.toMap))
+    }
+  }
+
   /** We use filters only to skip files; report all as unhandled so
     * Spark keeps the exact post-scan Filter.
     */

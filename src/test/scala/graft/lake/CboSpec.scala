@@ -42,6 +42,56 @@ class CboSpec extends GraftSparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ANALYZE stats reach Catalyst: optimizedPlan.stats + CBO broadcast flip") {
+    val dimPath = tmpDir("cbo_cat_dim")
+    val dim = GraftTable.create(spark, dimPath, Tables(spark, sfDir, "nation"))
+    val factPath = tmpDir("cbo_cat_fact")
+    val fact = GraftTable.create(spark, factPath, Tables(spark, sfDir, "customer"))
+
+    def read(p: String) = spark.read.format("graftlake").load(p)
+
+    // before ANALYZE: no catalog stats — rowCount absent
+    assert(read(dimPath).queryExecution.optimizedPlan.stats.rowCount.isEmpty)
+
+    dim.computeStats()
+    fact.computeStats()
+    val nDim = dim.toDF.count()
+
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // rowCount + per-attribute NDV flow into the optimized plan with
+      // no explicit API call — the reference's §I EXPLAIN EXTENDED check
+      val st = read(dimPath).queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(nDim)), s"rowCount=${st.rowCount}")
+      assert(st.attributeStats.nonEmpty)
+      val ndvs = st.attributeStats.map { case (a, s) => a.name -> s.distinctCount }
+      assert(ndvs.get("n_nationkey").flatten.contains(BigInt(nDim)))
+
+      // CBO sizeInBytes derives from rowCount × row width, far below the
+      // raw-file-size heuristic; pick a threshold between the two and the
+      // join broadcasts only because stats flowed in
+      val statsSize = st.sizeInBytes.toLong
+      // the relation's size heuristic: on-disk snapshot bytes × 3
+      val rawSize = dim.snapshot.sizeInBytes * 3
+      assert(statsSize < rawSize,
+        s"CBO row-based size $statsSize should undercut raw $rawSize")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((statsSize + rawSize) / 2).toString)
+      val joined = read(factPath).join(read(dimPath),
+        col("c_nationkey") === col("n_nationkey"))
+      assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val joinedNoCbo = read(factPath).join(read(dimPath),
+        col("c_nationkey") === col("n_nationkey"))
+      assert(!joinedNoCbo.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("selectivity estimates come from NDV and row counts") {
     val t = GraftTable.create(spark, tmpDir("cbo_sel"),
       Tables(spark, sfDir, "lineitem"))
