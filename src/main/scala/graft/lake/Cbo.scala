@@ -23,12 +23,17 @@ object Cbo {
   final case class ColumnStats(rows: Long, distinct: Long, nulls: Long,
                                min: String, max: String)
 
-  /** Parsed `graft.stats.<column>` table properties. */
+  /** Parsed `graft.stats.<column>` table properties. Non-stat keys in
+    * the namespace (e.g. `graft.stats.autoCollect=true`) are skipped,
+    * not parse errors.
+    */
   def tableStats(t: GraftTable): Map[String, ColumnStats] = {
     val props = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
-    props.collect { case (k, v) if k.startsWith("graft.stats.") =>
-      val fields = v.split(";", -1).map { kv =>
-        val Array(a, b) = kv.split("=", 2); a -> b
+    props.collect { case (k, v)
+        if k.startsWith("graft.stats.") && v.contains("rows=") =>
+      val fields = v.split(";", -1).collect {
+        case kv if kv.contains("=") =>
+          val Array(a, b) = kv.split("=", 2); a -> b
       }.toMap
       k.stripPrefix("graft.stats.") -> ColumnStats(
         fields("rows").toLong, fields("distinct").toLong,

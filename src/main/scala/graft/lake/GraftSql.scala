@@ -95,14 +95,16 @@ final class GraftSql(spark: SparkSession) {
               Option(whereCond).map(expr),
               zcols.split(",").map(_.trim).toIndexedSeq: _*)
           else {
-            val m = t.optimize(where = Option(whereCond).map(expr))
-            // V-Order ≈ layout optimization flag in the reference
-            // (02-lab:126-152: DESCRIBE EXTENDED shows VORDER after
-            // OPTIMIZE ... VORDER) — persist it as a table property
-            if (vorder1 != null || vorder2 != null) {
+            // V-Order (02-lab:126-152): persist the property FIRST so
+            // this very rewrite applies the physical layout — range-
+            // clustered, within-file-sorted output (see
+            // GraftTable.vorderColumns), not just a flag for DESCRIBE
+            // EXTENDED to show
+            if (vorder1 != null || vorder2 != null)
               t.setTableProperties(Map("graft.vorder" -> "true"))
-              m + ("vorder" -> "true")
-            } else m
+            val m = t.optimize(where = Option(whereCond).map(expr))
+            if (vorder1 != null || vorder2 != null) m + ("vorder" -> "true")
+            else m
           }
         metrics.toSeq.sorted.toDF("metric", "value")
       case vacuumDryRe(name) =>

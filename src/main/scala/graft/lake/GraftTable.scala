@@ -542,13 +542,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   def append(df0: DataFrame, mergeSchema: Boolean = false): Long = {
     val s = snapshot
-    val df = optimizeWriteShape(applyGeneratedColumns(df0, s), s)
+    // V-Order tables keep subsequent writes ordered too (the reference
+    // platform's semantics once the property is on) — per-write-task
+    // sort, no extra shuffle
+    val shaped = optimizeWriteShape(applyGeneratedColumns(df0, s), s)
+    val vc = vorderColumns(s).filter(shaped.columns.contains)
+    val df = if (vc.isEmpty) shaped
+      else shaped.sortWithinPartitions(
+        (s.partitionColumns.filter(shaped.columns.contains) ++ vc).map(col): _*)
     validateConstraints(df, s)
     if (!mergeSchema) {
       enforceSchema(df.schema, s.schema)
       val adds = stageWrite(df, s.partitionColumns, dataChange = true)
       val v = commitAndCheckpoint(info("APPEND",
         metrics = Map("numFiles" -> adds.size.toString)) +: adds)
+      maybeAutoCollectStats(adds)
       maybeAutoOptimize()
       v
     } else {
@@ -578,12 +586,74 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val metaActions: Seq[Action] =
         if (newFields.isEmpty) Nil
         else Seq(s.metadata.get.copy(schemaJson = merged.json))
-      commitAndCheckpoint(Seq(info("APPEND",
+      val v = commitAndCheckpoint(Seq(info("APPEND",
         params = Map("mergeSchema" -> "true"),
         metrics = Map("numFiles" -> adds.size.toString))) ++ metaActions ++ adds,
         readVersion = if (newFields.isEmpty) -1L else s.version,
         metadataConflict = newFields.nonEmpty)
+      maybeAutoCollectStats(adds)
+      v
     }
+  }
+
+  /** Auto stats at write (reference docs/02-lab-optimizations.md:596 —
+    * statistics collect automatically on write, no explicit ANALYZE):
+    * with table property `graft.stats.autoCollect=true`, every append
+    * refreshes the `graft.stats.*` properties. The first collection
+    * runs a full ANALYZE; afterwards the update is INCREMENTAL and
+    * proportional to the delta, not the table — rows and null counts
+    * accumulate from the staged files' parquet footer stats, min/max
+    * merge type-aware, and only NDV needs a scan, of the newly written
+    * files alone (the merged NDV is a documented lower bound —
+    * `max(old, batch)` — exact again at the next explicit ANALYZE).
+    * At 100 TB that is the only viable shape: stats cost per commit is
+    * O(delta), never O(table). Deletes/updates leave stats stale until
+    * the next ANALYZE, as estimates may be.
+    */
+  private def maybeAutoCollectStats(adds: Seq[AddFile]): Unit = {
+    val s = snapshot
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    if (adds.isEmpty ||
+        !props.getOrElse("graft.stats.autoCollect", "false").toBoolean) return
+    val old = Cbo.tableStats(this)
+    if (old.isEmpty) { computeStats(); return }
+    val cols = s.schema.fieldNames.toSeq.filter(old.contains)
+    val batch = dfForFiles(s, adds)
+    val dRow = batch.agg(lit(1).as("__one"),
+      cols.map(c => countDistinct(col(c)).as(s"d_$c")): _*).head()
+    val addRows = adds.flatMap(_.stats.map(_.numRecords)).sum
+    val types = s.schema.fields.map(f => f.name -> f.dataType).toMap
+    // type-aware string min/max merge: numeric strings compare by value,
+    // everything else (dates/timestamps/strings as cast by computeStats)
+    // compares lexicographically, which their rendering preserves
+    def less(a: String, b: String, c: String): Boolean = types(c) match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        // NaN/Inf renderings don't parse as BigDecimal — fall back to
+        // lexicographic rather than fail the write's stats refresh
+        scala.util.Try(BigDecimal(a) < BigDecimal(b)).getOrElse(a < b)
+      case _ => a < b
+    }
+    def mergeBound(o: String, vs: Seq[String], c: String, takeMin: Boolean): String = {
+      val all = (Seq(o) ++ vs).filter(_.nonEmpty)
+      if (all.isEmpty) ""
+      else all.reduce((x, y) =>
+        if (less(x, y, c) == takeMin) x else y)
+    }
+    val statProps = cols.map { c =>
+      val o = old(c)
+      val phys = s.physicalName(c)
+      val fstats = adds.flatMap(_.stats)
+      val mn = mergeBound(o.min, fstats.flatMap(_.minValues.get(phys)), c, takeMin = true)
+      val mx = mergeBound(o.max, fstats.flatMap(_.maxValues.get(phys)), c, takeMin = false)
+      val nulls = o.nulls + fstats.map(_.nullCounts.getOrElse(phys, 0L)).sum
+      val d = math.max(o.distinct, dRow.getAs[Long](s"d_$c"))
+      s"graft.stats.$c" -> s"rows=${o.rows + addRows};distinct=$d;nulls=$nulls;min=$mn;max=$mx"
+    }.toMap
+    commitMetadataMerge(
+      info("ANALYZE", params = Map("mode" -> "auto"),
+        metrics = Map("numColumns" -> cols.size.toString)))(m =>
+      m.copy(properties = m.properties ++ statProps))
+    ()
   }
 
   /** RENAME COLUMN as a metadata-only commit (Delta column-mapping
@@ -1530,10 +1600,31 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * (partition values + footer stats) — `OPTIMIZE ... WHERE`, for
     * compacting just the hot partitions of a 100 TB table.
     */
+  /** V-Order analog (reference docs/02-lab-optimizations.md:116-152):
+    * with table property `graft.vorder=true`, rewrites physically
+    * cluster rows by `graft.vorder.columns` (default: every
+    * non-partition column in schema order) — not just a flag. During
+    * OPTIMIZE the rewrite range-partitions on the sort columns when it
+    * emits several files (disjoint per-file min/max → file-stats
+    * skipping prunes by value) and sorts within every file (row-group
+    * locality + tighter parquet encodings). Sorting is row-order only,
+    * so results are unchanged; only scan cost moves.
+    */
+  private def vorderColumns(s: Snapshot): Seq[String] = {
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    if (!props.getOrElse("graft.vorder", "false").toBoolean) Nil
+    else props.get("graft.vorder.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(s.schema.fieldNames.toSeq)
+      .filter(s.schema.fieldNames.contains)
+      .filterNot(s.partitionColumns.contains)
+  }
+
   def optimize(targetBytes: Long = 128L * 1024 * 1024,
                where: Option[Column] = None): Map[String, String] = {
     val s = snapshot
     where.foreach(validatePredicate(s, _))
+    val vcols = vorderColumns(s)
     var removed = 0
     var added = 0
     val actions = scala.collection.mutable.Buffer[Action]()
@@ -1555,10 +1646,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (single.nonEmpty) {
       val files = single.flatMap(_._2)
       val df0 = dfForFiles(s, files)
-      val df =
+      val shaped =
         if (s.partitionColumns.isEmpty) df0.repartition(1)
         else df0.repartition(math.max(1, single.size),
           s.partitionColumns.map(col): _*)
+      // V-Order: each output file is written in sort order (partition
+      // columns lead so partitionBy routing never interleaves)
+      val df =
+        if (vcols.isEmpty) shaped
+        else shaped.sortWithinPartitions(
+          (s.partitionColumns ++ vcols).map(col): _*)
       val adds = stageWrite(df, s.partitionColumns, dataChange = false)
       actions ++= files.map(f =>
         RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
@@ -1570,8 +1667,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // bin per-partition so each gets its own output-file count
     multi.foreach { case (_, small) =>
       val nOut = math.max(1, math.ceil(small.map(_.size).sum.toDouble / targetBytes).toInt)
-      val adds = stageWrite(dfForFiles(s, small), s.partitionColumns,
-        dataChange = false, targetFiles = Some(nOut))
+      // V-Order with several output files: range-partition on the sort
+      // columns so files carry DISJOINT value ranges — file-level
+      // min/max stats then prune scans by value, the physical payoff
+      // the reference demos after OPTIMIZE VORDER
+      val df0 = dfForFiles(s, small)
+      val (df, target) =
+        if (vcols.isEmpty) (df0, Some(nOut))
+        else if (nOut <= 1)
+          (df0.repartition(1).sortWithinPartitions(vcols.map(col): _*), None)
+        else (df0.repartitionByRange(nOut, vcols.map(col): _*)
+          .sortWithinPartitions(vcols.map(col): _*), None)
+      val adds = stageWrite(df, s.partitionColumns,
+        dataChange = false, targetFiles = target)
       actions ++= small.map(f =>
         RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
       actions ++= adds

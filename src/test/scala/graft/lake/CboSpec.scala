@@ -92,6 +92,33 @@ class CboSpec extends GraftSparkSpec {
     }
   }
 
+  test("autoCollect maintains stats per append with no explicit ANALYZE") {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val t = GraftTable.create(spark, tmpDir("cbo_auto"), li.limit(100))
+    t.setTableProperties(Map("graft.stats.autoCollect" -> "true"))
+    assert(Cbo.tableStats(t).isEmpty, "no stats before the first write")
+
+    // first auto-collect = full ANALYZE of the whole table
+    t.append(li.limit(150).filter(col("l_orderkey") >= 0))
+    val first = Cbo.tableStats(t)
+    assert(first.nonEmpty, "stats must exist after a plain append")
+    assert(Cbo.rowCount(t).contains(100L + 150L))
+
+    // second append updates incrementally: rows accumulate from footer
+    // stats, min/max widen, NDV never shrinks
+    val batch = li.limit(400)
+    t.append(batch)
+    val second = Cbo.tableStats(t)
+    assert(Cbo.rowCount(t).contains(100L + 150L + 400L))
+    assert(second("l_returnflag").distinct >= first("l_returnflag").distinct)
+    assert(BigDecimal(second("l_quantity").min) <= BigDecimal(first("l_quantity").min))
+    assert(BigDecimal(second("l_quantity").max) >= BigDecimal(first("l_quantity").max))
+    // the auto refresh is logged as an auto-mode ANALYZE
+    val hist = t.history.collect().map(_.getAs[String]("operation"))
+    assert(hist.count(_ == "ANALYZE") >= 2)
+  }
+
   test("selectivity estimates come from NDV and row counts") {
     val t = GraftTable.create(spark, tmpDir("cbo_sel"),
       Tables(spark, sfDir, "lineitem"))
