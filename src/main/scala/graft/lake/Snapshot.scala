@@ -67,6 +67,23 @@ object Snapshot {
   val SupportedReaderVersion = 1
   val SupportedWriterVersion = 1
 
+  /** LRU of reconstructed snapshots. A committed version's content is
+    * immutable (commits are CREATE_NEW files), so (path, version,
+    * commit-file identity) fully determines the snapshot; the identity
+    * component catches a table deleted and recreated at the same path.
+    * Bounded: snapshots are KB–MB of file metadata, and the hot set is
+    * the latest version of each live table. Saves a full log replay —
+    * including the Spark checkpoint-parquet read — on every one of the
+    * many `snapshot` accesses a single DML/maintenance op performs.
+    */
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Option[(Long, Long)]), Snapshot](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Option[(Long, Long)]), Snapshot])
+          : Boolean = size() > 64
+    })
+
   /** Replay with checkpoint fast-path. Enforces the reader half of the
     * protocol gate here — the one chokepoint every read path (table
     * API, format relation, streaming source) goes through.
@@ -76,10 +93,16 @@ object Snapshot {
       throw new IllegalStateException(s"not a GraftLake table: ${log.tablePath}"))
     val v = version.getOrElse(latest)
     require(v <= latest, s"version $v does not exist (latest: $latest)")
-    val snap = log.readCheckpoint(spark, v) match {
-      case Some((cv, base)) =>
-        applyActions(v, base, ((cv + 1) to v).flatMap(log.readCommit))
-      case None => replay(log, v)
+    val key = (log.tablePath, v, log.commitFileId(v))
+    val cachedSnap = cache.get(key)
+    val snap = if (cachedSnap != null) cachedSnap else {
+      val built = log.readCheckpoint(spark, v) match {
+        case Some((cv, base)) =>
+          applyActions(v, base, ((cv + 1) to v).flatMap(log.readCommit))
+        case None => replay(log, v)
+      }
+      cache.put(key, built)
+      built
     }
     snap.protocol.foreach { p =>
       if (p.minReaderVersion > SupportedReaderVersion)

@@ -88,6 +88,19 @@ final class TxnLog(val tablePath: String) {
 
   def hasCommit(v: Long): Boolean = Files.exists(versionFile(v))
 
+  /** Filesystem identity of a commit file (ns-precision mtime + size),
+    * None if cleaned up. Distinguishes a deleted-and-recreated table at
+    * the same path — committed versions are otherwise immutable, which
+    * is what makes snapshot caching by (path, version, identity) safe.
+    */
+  def commitFileId(v: Long): Option[(Long, Long)] =
+    scala.util.Try {
+      val a = Files.readAttributes(versionFile(v),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      (a.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS),
+        a.size)
+    }.toOption
+
   def readCommit(v: Long): Seq[Action] = {
     if (!hasCommit(v))
       throw new IllegalStateException(
