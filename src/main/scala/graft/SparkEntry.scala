@@ -200,6 +200,40 @@ object SparkEntry {
       "WHERE CAST(len(list_filter(range(1, 33), " +
       "i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32 >= 0.5 " +
       "ORDER BY id_a, id_b"
+  /** DuckDB replica of [[graft.operators.Similarity.simLshAnn]]: the
+    * deterministic 64×64 hyperplane matrix
+    * ([[graft.functions.VectorFunctions.planes]], seed 42) is embedded
+    * as a literal (Java's shortest-round-trip double rendering parses
+    * back to the identical double), bit j = dot(e, plane_j) > 0, and
+    * each of the 4 bands keys on its low-b-bit slice with
+    * b = ⌈log₂√n⌉ clamped to [4,16] — computed from COUNT(*) so the
+    * same SQL holds at every scale factor. Candidates are band-bucket
+    * collisions; exact cosine re-ranks the top 5 per query.
+    */
+  private def simLshAnnSql: String = {
+    val planes = graft.functions.VectorFunctions.planes(64, 64)
+    val lit = planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"WITH pl AS (SELECT $lit::DOUBLE[][] AS ps), " +
+      "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      "prm AS (SELECT LEAST(16, GREATEST(4, " +
+      "CAST(ceil(log2(sqrt(COUNT(*)))) AS INT))) AS b FROM emb), " +
+      "bits AS (SELECT vec_id, list_transform(ps, " +
+      "p -> CASE WHEN list_dot_product(e, p) > 0 THEN 1 ELSE 0 END) AS bs " +
+      "FROM emb, pl), " +
+      "banded AS (SELECT vec_id, band, CAST(list_sum(list_transform(range(1, b+1), " +
+      "k -> bs[CAST(band*b + k AS INT)] * CAST(power(2, k-1) AS INT))) AS BIGINT) AS bbits " +
+      "FROM bits, prm, (SELECT UNNEST(range(0, 4)) AS band) bands), " +
+      "cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid " +
+      "FROM banded q JOIN banded c ON q.band = c.band AND q.bbits = c.bbits " +
+      "WHERE q.vec_id < 10 AND c.vec_id >= 10), " +
+      "s AS (SELECT qid, cid, list_cosine_similarity(a.e, b.e) AS cos_raw " +
+      "FROM cand JOIN emb a ON a.vec_id = qid JOIN emb b ON b.vec_id = cid), " +
+      "r AS (SELECT qid, cid, cos_raw, ROW_NUMBER() OVER (PARTITION BY qid " +
+      "ORDER BY cos_raw DESC, cid) AS rn FROM s) " +
+      "SELECT qid, cid, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
+      "FROM r WHERE rn <= 5 ORDER BY qid, rn"
+  }
+
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
 
   /** DuckDB oracle SQL, driver-run on the same parquet tables. */
@@ -468,6 +502,7 @@ object SparkEntry {
         "ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos " +
         "FROM d a JOIN d b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.e, b.e) >= 0.99 ORDER BY id_a, id_b"),
+    "sim_lsh_ann" -> simLshAnnSql,
     "sim_bruteforce_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
         "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
