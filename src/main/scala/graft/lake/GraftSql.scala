@@ -53,13 +53,25 @@ final class GraftSql(spark: SparkSession) {
   private val updateRe: Regex =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val cloneRe: Regex =
-    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val reorgRe: Regex =
+    """(?is)^\s*REORG\s+TABLE\s+(\w+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val bloomRe: Regex =
     """(?is)^\s*COMPUTE\s+BLOOM\s+(?:ON\s+)?(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*$""".r
   private val renameColRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val dropColRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
+  private val addColRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*$""".r
+  private val addConstraintRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val dropConstraintRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+  private val setPropsRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val propPairRe: Regex =
+    """'([^']+)'\s*=\s*'([^']*)'""".r
   private val restoreRe: Regex =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val restoreTsRe: Regex =
@@ -139,14 +151,21 @@ final class GraftSql(spark: SparkSession) {
           k.trim -> expr(v.trim)
         }.toMap
         table(name).update(expr(cond), assignments).toSeq.sorted.toDF("metric", "value")
-      case cloneRe(newName, srcName, destPath, v) =>
-        val cloned = GraftTable.shallowClone(spark, table(srcName).path,
-          destPath, Option(v).map(_.toLong))
+      case cloneRe(newName, mode, srcName, destPath, v) =>
+        val deep = mode.equalsIgnoreCase("DEEP")
+        val cloned =
+          if (deep) GraftTable.deepClone(spark, table(srcName).path,
+            destPath, Option(v).map(_.toLong))
+          else GraftTable.shallowClone(spark, table(srcName).path,
+            destPath, Option(v).map(_.toLong))
         tables(newName) = cloned
         Seq(("cloned", s"$srcName -> $newName"),
+          ("mode", mode.toLowerCase),
           ("location", destPath),
           ("sourceVersion", Option(v).getOrElse("latest")))
           .toDF("metric", "value")
+      case reorgRe(name) =>
+        table(name).reorgPurge().toSeq.sorted.toDF("metric", "value")
       case bloomRe(name, colName) =>
         val ver = table(name).computeBloomFilter(colName)
         Seq(("bloomColumn", colName), ("version", ver.toString))
@@ -158,6 +177,32 @@ final class GraftSql(spark: SparkSession) {
       case dropColRe(name, colName) =>
         val v = table(name).dropColumn(colName)
         Seq(("dropped", colName), ("version", v.toString))
+          .toDF("metric", "value")
+      case addConstraintRe(name, cname, exprSql) =>
+        val v = table(name).addConstraint(cname, exprSql)
+        Seq(("constraint", cname), ("version", v.toString))
+          .toDF("metric", "value")
+      case dropConstraintRe(name, cname) =>
+        val v = table(name).dropConstraint(cname)
+        Seq(("droppedConstraint", cname), ("version", v.toString))
+          .toDF("metric", "value")
+      case addColRe(name, rest) =>
+        // accept both `ADD COLUMN c TYPE` and `ADD COLUMNS (c TYPE)`
+        val body0 = rest.trim
+        val body = if (body0.startsWith("(") && body0.endsWith(")"))
+          body0.substring(1, body0.length - 1).trim else body0
+        val Array(colName, typeStr) = body.split("\\s+", 2)
+        val dt = org.apache.spark.sql.types.StructType
+          .fromDDL(s"$colName $typeStr").head.dataType
+        val v = table(name).addColumn(colName, dt)
+        Seq(("addedColumn", s"$colName ${dt.simpleString}"),
+          ("version", v.toString)).toDF("metric", "value")
+      case setPropsRe(name, body) =>
+        val props = propPairRe.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        require(props.nonEmpty, s"no 'k'='v' pairs in TBLPROPERTIES: $body")
+        val v = table(name).setTableProperties(props)
+        (props.toSeq.sorted :+ ("version" -> v.toString))
           .toDF("metric", "value")
       case restoreRe(name, v) =>
         val nv = table(name).restore(v.toLong)

@@ -880,6 +880,32 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       m.copy(properties = m.properties + (s"graft.constraint.$name" -> exprSql)))
   }
 
+  /** Drop a CHECK constraint: metadata-merge commit removing the
+    * property; future writes stop validating it.
+    */
+  def dropConstraint(name: String): Long =
+    commitMetadataMerge(
+      info("DROP CONSTRAINT", params = Map("name" -> name)))(m =>
+      m.copy(properties = m.properties - s"graft.constraint.$name"))
+
+  /** `ALTER TABLE ... ADD COLUMN`: metadata-only schema extension — no
+    * data file is touched; existing files read the new column as null
+    * through the same scan path mergeSchema evolution uses. Schema
+    * changes conflict-fail against concurrent metadata commits rather
+    * than silently losing either change.
+    */
+  def addColumn(name: String,
+                dataType: org.apache.spark.sql.types.DataType): Long = {
+    val s = snapshot
+    require(!s.schema.fieldNames.contains(name),
+      s"column $name already exists")
+    val meta = s.metadata.get.copy(
+      schemaJson = s.schema.add(name, dataType, nullable = true).json)
+    commitAndCheckpoint(Seq(info("ADD COLUMN",
+      params = Map("column" -> name, "type" -> dataType.simpleString)),
+      meta), readVersion = s.version, metadataConflict = true)
+  }
+
   private def validateConstraints(df: DataFrame, s: Snapshot): Unit = {
     val constraints = s.metadata.toSeq.flatMap(_.properties.collect {
       case (k, v) if k.startsWith("graft.constraint.") =>
@@ -1695,6 +1721,53 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     metrics
   }
 
+  /** `REORG TABLE ... APPLY (PURGE)` (Delta parity): materialize
+    * merge-on-read deletes/updates by rewriting ONLY the files that
+    * carry DV-masked rows, then retiring every deletion vector.
+    * O(masked data), not O(table) — on a 100 TB table where a few
+    * files hold masked rows, this touches just those files, where
+    * OPTIMIZE would also bin-pack every small file it finds. Purge is
+    * layout-only (the logical row set is unchanged), so no change-feed
+    * entries are emitted and time travel before the purge still sees
+    * the masks.
+    */
+  def reorgPurge(targetBytes: Long = 128L * 1024 * 1024): Map[String, String] = {
+    val s = snapshot
+    if (s.dvFiles.isEmpty) {
+      commitAndCheckpoint(Seq(info("REORG",
+        params = Map("applyPurge" -> "true"),
+        metrics = Map("numRewrittenFiles" -> "0"))))
+      return Map("numRewrittenFiles" -> "0")
+    }
+    // DV marks key on _metadata.file_path URIs; map back to log
+    // entries by path suffix (file names are UUID-unique)
+    val dvPaths = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+      .select("file_path").distinct().collect().map(_.getString(0))
+    val masked = s.activeFiles.filter(f =>
+      dvPaths.exists(u => u.endsWith("/" + f.path) || u == f.path))
+    // dfForFiles applies the DV mask (and column mapping), so the
+    // rewrite carries exactly the masked files' live rows; stageWrite
+    // maps logical back to physical names, keeping renames valid
+    val df = dfForFiles(s, masked)
+    val nOut = math.max(1,
+      math.ceil(masked.map(_.size).sum.toDouble / targetBytes).toInt)
+    val adds = stageWrite(df, s.partitionColumns, dataChange = false,
+      targetFiles = if (s.partitionColumns.isEmpty) Some(nOut) else None)
+    val actions = masked.map(f => RemoveFile(f.path,
+      System.currentTimeMillis(), dataChange = false)) ++
+      adds ++ s.dvFiles.map(RemoveDV)
+    val metrics = Map(
+      "numRewrittenFiles" -> masked.size.toString,
+      "numAddedFiles" -> adds.size.toString,
+      "numRemovedDVs" -> s.dvFiles.size.toString)
+    commitAndCheckpoint(info("REORG", params = Map("applyPurge" -> "true"),
+      metrics = metrics) +: actions,
+      readVersion = s.version, readPaths = masked.map(_.path).toSet,
+      conflictOnDV = true)
+    maybeRecomputeBlooms(s, masked.size)
+    metrics
+  }
+
   /** File rewrites invalidate per-file blooms (new paths have no
     * sidecar entry → kept, skipping degrades); with
     * `graft.bloomAutoRecompute=true` every rewrite op restores
@@ -2119,6 +2192,82 @@ object GraftTable {
         Map("source" -> srcRoot.toString,
           "sourceVersion" -> snap.version.toString),
         Map("numFiles" -> adds.size.toString)), meta) ++ adds ++ dvs)
+    t
+  }
+
+  /** Deep clone: a fully independent copy of the table at a version.
+    * Unmasked data files are byte-copied in a distributed job (their
+    * footer stats ride along unchanged — no recompute pass); files
+    * with DV-masked rows are instead rewritten through a masked scan,
+    * so the clone holds no deletion vectors and no reference of any
+    * kind back to the source. History does not clone — the copy
+    * starts at version 0 (Delta CLONE semantics); bloom sidecars stay
+    * behind for the same reason as shallow clone.
+    */
+  def deepClone(spark: SparkSession, sourcePath: String, destPath: String,
+                version: Option[Long] = None): GraftTable = {
+    val src = forPath(spark, sourcePath)
+    val snap = version.map(src.snapshotAt).getOrElse(src.snapshot)
+    val t = new GraftTable(spark, destPath)
+    require(!t.log.exists, s"GraftLake table already exists at $destPath")
+    Files.createDirectories(Paths.get(destPath))
+    val now = System.currentTimeMillis()
+    val dvPaths: Seq[String] =
+      if (snap.dvFiles.isEmpty) Nil
+      else spark.read.parquet(snap.dvFiles.map(src.dataPath): _*)
+        .select("file_path").distinct().collect().map(_.getString(0)).toSeq
+    val (masked, plain) = snap.activeFiles.partition(f =>
+      dvPaths.exists(u => u.endsWith("/" + f.path) || u == f.path))
+    // destination-relative path: kept verbatim for source-relative
+    // entries; rebuilt from partition values for clone-absolute ones
+    // (a deep clone of a shallow clone) so directory inference works
+    def destRel(f: AddFile): String =
+      if (!f.path.startsWith("/")) f.path
+      else {
+        val dirs = snap.partitionColumns.flatMap(c =>
+          f.partitionValues.get(c).map(v =>
+            s"$c=${java.net.URLEncoder.encode(v, "UTF-8")}"))
+        (dirs :+ s"deep-${UUID.randomUUID()}-${Paths.get(f.path).getFileName}")
+          .mkString("/")
+      }
+    val copyPairs = plain.map(f => (src.dataPath(f.path), destRel(f)))
+    if (copyPairs.nonEmpty)
+      spark.sparkContext
+        .parallelize(copyPairs, math.max(1, math.min(copyPairs.size, 64)))
+        .foreach { case (from, rel) =>
+          val dest = Paths.get(destPath).resolve(rel)
+          Files.createDirectories(dest.getParent)
+          Files.copy(Paths.get(from), dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+    val copiedAdds = plain.zip(copyPairs).map { case (f, (_, rel)) =>
+      f.copy(path = rel, modificationTime = now, dataChange = true)
+    }
+    val meta = snap.metadata.get.copy(
+      properties = snap.metadata.get.properties
+        .filterNot(_._1.startsWith("graft.bloom."))
+        .-("graft.cloneSource"),
+      createdTime = now)
+    val rewrittenAdds =
+      if (masked.isEmpty) Nil
+      else {
+        // masked files: materialize live rows through the source's
+        // DV-masked scan, staged directly into the destination.
+        // stageWrite consults the DEST log (absent → no column map),
+        // so convert back to physical names here to stay consistent
+        // with the cloned metadata's column mapping
+        val live = src.dfFor(snap, masked).select(snap.schema.fields.map(f =>
+          col(f.name).as(snap.physicalName(f.name))).toIndexedSeq: _*)
+        t.stageWrite(live, snap.partitionColumns, dataChange = true)
+      }
+    t.commitAndCheckpoint(Seq(
+      CommitInfo(now, "CLONE",
+        Map("source" -> Paths.get(sourcePath).toAbsolutePath.normalize.toString,
+          "sourceVersion" -> snap.version.toString, "mode" -> "deep"),
+        Map("numCopiedFiles" -> copiedAdds.size.toString,
+          "numRewrittenFiles" -> masked.size.toString)),
+      meta) ++ snap.protocol.toSeq ++ copiedAdds ++ rewrittenAdds)
     t
   }
 

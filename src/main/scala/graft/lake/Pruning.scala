@@ -69,6 +69,9 @@ object Pruning {
         case (">", Seq(l, r)) => GreaterThan(l, r)
         case (">=", Seq(l, r)) => GreaterThanOrEqual(l, r)
         case ("in", l +: rest) if rest.nonEmpty => In(l, rest)
+        case ("startswith", Seq(l, r)) => StartsWith(l, r)
+        case ("isnull", Seq(x)) => IsNull(x)
+        case ("isnotnull", Seq(x)) => IsNotNull(x)
         case _ => e
       }
     case And(l, r) => And(normalize(l), normalize(r))
@@ -171,9 +174,52 @@ object Pruning {
             })
           case None => true
         }
+      case StartsWith(l, r) =>
+        (attrName(l), litValue(r)) match {
+          case (Some(name), Some((p: UTF8String, StringType))) =>
+            val prefix = p.toString
+            bounds(name) match {
+              case Some((mn, mx)) =>
+                // matches form the interval [prefix, prefixUpper):
+                // file range [mn,mx] must intersect it. Footer bounds
+                // stay valid under parquet stat truncation (truncated
+                // min is ≤ data, truncated max ≥ data), so this only
+                // ever keeps extra files, never drops a match.
+                mx.compareTo(prefix) >= 0 &&
+                  prefixUpper(prefix).forall(u => mn.compareTo(u) < 0)
+              case None => true
+            }
+          case _ => true
+        }
+      case IsNull(a) =>
+        attrName(a) match {
+          // a partition column's value is constant per file; null
+          // partitions surface as the default-partition dir — keep
+          case Some(name) if !partitionCols.contains(name) =>
+            f.stats.forall(st => st.nullCounts.get(name).forall(_ > 0))
+          case _ => true
+        }
+      case IsNotNull(a) =>
+        attrName(a) match {
+          case Some(name) if !partitionCols.contains(name) =>
+            f.stats.forall(st =>
+              st.nullCounts.get(name).forall(_ < st.numRecords))
+          case _ => true
+        }
       case Or(l, r) =>
         mayMatch(f, partitionCols, l) || mayMatch(f, partitionCols, r)
       case _ => true // unsupported shape → cannot exclude
     }
+  }
+
+  /** Smallest string above every string with the given prefix (the
+    * exclusive upper bound of the prefix interval): increment the last
+    * non-￿ char and drop the tail. None when no such bound exists
+    * (all-￿ prefix).
+    */
+  private def prefixUpper(prefix: String): Option[String] = {
+    val i = prefix.lastIndexWhere(_ != Char.MaxValue)
+    if (i < 0) None
+    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
   }
 }

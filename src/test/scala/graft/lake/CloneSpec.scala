@@ -82,6 +82,51 @@ class CloneSpec extends GraftSparkSpec {
     assert(g.sql("SELECT COUNT(*) AS n FROM cl").head.getLong(0) == 1000)
   }
 
+  test("deep clone copies data, materializes DV masks, fully detaches") {
+    val srcPath = tmpDir("deep-src")
+    val src = GraftTable.create(spark, srcPath,
+      li.limit(300).repartition(4), Seq("l_returnflag"))
+    src.deleteMergeOnRead(col("l_quantity") < 5.0)
+    val expected = src.toDF.count()
+    val expectedSum = src.toDF.agg(sum("l_extendedprice")).head.getDouble(0)
+
+    val clonePath = tmpDir("deep-dst")
+    val clone = GraftTable.deepClone(spark, srcPath, clonePath)
+    assert(parquetCount(clonePath) > 0, "deep clone must copy data files")
+    assert(clone.snapshot.dvFiles.isEmpty,
+      "deep clone must materialize masks, not carry DVs")
+    assert(clone.snapshot.activeFiles.forall(!_.path.startsWith("/")),
+      "deep clone must hold no absolute refs into the source")
+    assert(clone.toDF.count() == expected)
+    assert(math.abs(clone.toDF.agg(sum("l_extendedprice")).head.getDouble(0)
+      - expectedSum) < 1e-6)
+    // unmasked files keep their footer stats without a recompute pass
+    assert(clone.snapshot.activeFiles.exists(_.stats.isDefined))
+
+    // full detachment: destroying the source leaves the clone readable
+    val w = Files.walk(Paths.get(srcPath))
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally w.close()
+    assert(clone.toDF.count() == expected,
+      "clone must survive source deletion")
+    // and the clone keeps evolving on its own
+    clone.delete(col("l_returnflag") === "R")
+    assert(clone.toDF.filter(col("l_returnflag") === "R").count() == 0)
+  }
+
+  test("SQL surface: DEEP CLONE pins a version and detaches") {
+    val srcPath = tmpDir("deepsql-src")
+    val src = GraftTable.create(spark, srcPath, li.limit(100))
+    val v0 = src.version
+    src.append(li.limit(50))
+    val g = new GraftSql(spark)
+    g.register("dsrc", srcPath)
+    val destPath = tmpDir("deepsql-dst")
+    g.sql(s"CREATE TABLE dcl DEEP CLONE dsrc LOCATION '$destPath' VERSION AS OF $v0")
+    assert(g.table("dcl").toDF.count() == 100)
+    assert(g.table("dcl").snapshot.activeFiles.forall(!_.path.startsWith("/")))
+  }
+
   test("clone at an older version pins that snapshot") {
     val srcPath = tmpDir("clonev-src")
     val src = GraftTable.create(spark, srcPath, li.limit(100))

@@ -23,6 +23,38 @@ class DeletionVectorSpec extends GraftSparkSpec {
     assert(t.toDFAt(0).count() == li.count())
   }
 
+  test("REORG APPLY PURGE rewrites only DV'd files and retires all DVs") {
+    val t = GraftTable.create(spark, tmpDir("dvpurge"), li.repartition(8))
+    // delete confined to one lineitem range so most files carry no mask
+    t.deleteMergeOnRead(col("l_orderkey") < 50)
+    val expected = t.toDF.count()
+    val before = t.snapshot
+    assert(before.dvFiles.nonEmpty)
+    val dvPaths = spark.read.parquet(before.dvFiles.map(p => s"${t.path}/$p"): _*)
+      .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    val untouched = before.activeFiles.map(_.path)
+      .filterNot(rel => dvPaths.exists(_.endsWith("/" + rel))).toSet
+    val m = t.reorgPurge()
+    val after = t.snapshot
+    assert(after.dvFiles.isEmpty, "purge must retire every DV")
+    assert(untouched.subsetOf(after.activeFiles.map(_.path).toSet),
+      "files without masked rows must survive purge untouched")
+    assert(m("numRewrittenFiles").toInt ==
+      before.activeFiles.size - untouched.size)
+    assert(t.toDF.count() == expected, "purge must not change the row set")
+    assert(t.toDF.filter(col("l_orderkey") < 50).count() == 0)
+    // time travel before the purge still sees DV-masked state
+    assert(t.toDFAt(before.version).count() == expected)
+  }
+
+  test("REORG APPLY PURGE on a DV-free table is a metadata no-op") {
+    val t = GraftTable.create(spark, tmpDir("dvpurge0"), li.limit(100))
+    val files = t.snapshot.activeFiles.map(_.path).toSet
+    val m = t.reorgPurge()
+    assert(m("numRewrittenFiles") == "0")
+    assert(t.snapshot.activeFiles.map(_.path).toSet == files)
+  }
+
   test("two MoR deletes stack; zorder materializes and retires DVs") {
     val t = GraftTable.create(spark, tmpDir("dv2"), li.repartition(4))
     t.deleteMergeOnRead(col("l_returnflag") === "R")

@@ -22,6 +22,41 @@ class EvolutionSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException](t.append(badType, mergeSchema = true))
   }
 
+  test("ADD COLUMN is metadata-only; DDL statements round-trip via SQL") {
+    val path = tmpDir("addcol")
+    val t = GraftTable.create(spark, path, li.limit(100))
+    val filesBefore = t.snapshot.activeFiles.map(_.path).toSet
+    val g = new GraftSql(spark)
+    g.register("ac", path)
+    g.sql("ALTER TABLE ac ADD COLUMN quality_tier STRING")
+    assert(t.snapshot.activeFiles.map(_.path).toSet == filesBefore,
+      "ADD COLUMN must not touch data files")
+    assert(t.toDF.columns.contains("quality_tier"))
+    assert(t.toDF.filter(col("quality_tier").isNull).count() == 100)
+    intercept[IllegalArgumentException](t.addColumn("quality_tier",
+      org.apache.spark.sql.types.StringType))
+    // parenthesized-type and COLUMNS(...) forms parse too
+    g.sql("ALTER TABLE ac ADD COLUMNS (price_dec DECIMAL(10,2))")
+    assert(t.snapshot.schema("price_dec").dataType.simpleString == "decimal(10,2)")
+    // appends may now carry the new column; old rows read null
+    t.append(li.limit(10).withColumn("quality_tier", lit("gold"))
+      .withColumn("price_dec", lit(1.5).cast("decimal(10,2)")))
+    assert(t.toDF.filter(col("quality_tier") === "gold").count() == 10)
+
+    // constraint DDL: add enforces on writes, drop stops enforcing
+    g.sql("ALTER TABLE ac ADD CONSTRAINT qty_pos CHECK (l_quantity > 0)")
+    val bad = t.toDF.limit(5).withColumn("l_quantity", lit(-1.0))
+    intercept[IllegalArgumentException](t.append(bad))
+    g.sql("ALTER TABLE ac DROP CONSTRAINT qty_pos")
+    t.append(bad) // constraint gone
+    assert(t.toDF.filter(col("l_quantity") < 0).count() == 5)
+
+    // SET TBLPROPERTIES via SQL
+    g.sql("ALTER TABLE ac SET TBLPROPERTIES ('graft.custom'='42', 'x'='y')")
+    val props = t.snapshot.metadata.get.properties
+    assert(props("graft.custom") == "42" && props("x") == "y")
+  }
+
   test("rename column is metadata-only; reads, pruning, writes bridge the mapping") {
     val t = GraftTable.create(spark, tmpDir("rename"), li.limit(200))
     val filesBefore = t.snapshot.activeFiles.map(_.path).toSet

@@ -36,6 +36,37 @@ class LakeSpec extends GraftSparkSpec {
     assert(got == expected)
   }
 
+  test("prefix and null-count predicates skip files") {
+    // range-cluster on the string key so each file covers a disjoint
+    // lexicographic slice — the shape prefix skipping needs
+    val ranged = li.withColumn("ship_tag",
+        concat(col("l_returnflag"), lit("-"), col("l_linestatus")))
+      .repartitionByRange(8, col("ship_tag"))
+      .sortWithinPartitions("ship_tag")
+    val t = GraftTable.create(spark, tmpDir("skipstr"), ranged)
+    // ship_tag has few distinct values, so the range partitioner may
+    // emit fewer than 8 non-empty files — only relative pruning matters
+    val (kept, total) = t.pruneFiles(col("ship_tag").startsWith("R-"))
+    assert(total >= 3)
+    assert(kept < total, s"prefix pruning kept $kept of $total")
+    assert(t.readWhere(col("ship_tag").startsWith("R-")).count() ==
+      li.filter(col("l_returnflag") === "R").count())
+
+    // IS NULL skips files that have no nulls at all (footer nullCount=0)
+    val withNulls = li.withColumn("maybe_null",
+      when(col("l_orderkey") < 100, lit(null).cast("string"))
+        .otherwise(col("l_returnflag")))
+      .repartitionByRange(8, col("l_orderkey"))
+    val tn = GraftTable.create(spark, tmpDir("skipnull"), withNulls)
+    val (keptN, totalN) = tn.pruneFiles(col("maybe_null").isNull)
+    assert(keptN < totalN, s"IS NULL pruning kept $keptN of $totalN")
+    assert(tn.readWhere(col("maybe_null").isNull).count() ==
+      li.filter(col("l_orderkey") < 100).count())
+    // IS NOT NULL keeps everything here (no all-null file), still correct
+    assert(tn.readWhere(col("maybe_null").isNotNull).count() ==
+      li.filter(col("l_orderkey") >= 100).count())
+  }
+
   test("partition pruning keeps only matching partition files") {
     val t = GraftTable.create(spark, tmpDir("part"), li, Seq("l_returnflag"))
     val (kept, total) = t.pruneFiles(col("l_returnflag") === "R")
