@@ -54,7 +54,10 @@ object SparkEntry {
     "q30_string_agg" -> Analytics.q30StringAgg _,
     "q31_grouping_sets" -> Analytics.q31GroupingSets _,
     "q32_percent_rank" -> Analytics.q32PercentRank _,
-    "q33_group_median" -> Analytics.q33GroupMedian _)
+    "q33_group_median" -> Analytics.q33GroupMedian _,
+    "q34_min_cost_supplier" -> Analytics.q34MinCostSupplier _,
+    "q35_solo_supplier" -> Analytics.q35SoloSupplierOrders _,
+    "q36_top_rev_supplier" -> Analytics.q36TopRevenueSupplier _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -425,6 +428,33 @@ object SparkEntry {
         "ROUND(percent_rank() OVER (ORDER BY spend DESC, o_custkey),6) AS pr, " +
         "ROUND(cume_dist() OVER (ORDER BY spend DESC, o_custkey),6) AS cd " +
         "FROM s ORDER BY o_custkey"),
+    "q34_min_cost_supplier" ->
+      ("WITH ps AS (SELECT l_partkey, l_suppkey, " +
+        "ROUND(AVG(l_extendedprice / l_quantity), 2) AS cost FROM lineitem " +
+        "GROUP BY l_partkey, l_suppkey), " +
+        "minc AS (SELECT l_partkey, MIN(cost) AS min_cost FROM ps GROUP BY l_partkey) " +
+        "SELECT ps.l_partkey, s_name, n_name, min_cost FROM ps " +
+        "JOIN minc ON ps.l_partkey = minc.l_partkey AND ps.cost = minc.min_cost " +
+        "JOIN supplier ON ps.l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE ps.l_partkey < 200 ORDER BY ps.l_partkey, s_name"),
+    "q35_solo_supplier" ->
+      ("WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), " +
+        "multi AS (SELECT l_orderkey FROM pairs GROUP BY l_orderkey " +
+        "HAVING COUNT(*) > 1) " +
+        "SELECT s_suppkey, s_name, n_solo_orders FROM (" +
+        "SELECT l_suppkey, COUNT(*) AS n_solo_orders FROM pairs " +
+        "WHERE l_orderkey NOT IN (SELECT l_orderkey FROM multi) " +
+        "GROUP BY l_suppkey) t JOIN supplier ON l_suppkey = s_suppkey " +
+        "ORDER BY n_solo_orders DESC, s_suppkey LIMIT 20"),
+    "q36_top_rev_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, " +
+        "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, total_rev FROM rev " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) ORDER BY s_suppkey"),
     "q33_group_median" ->
       ("SELECT l_returnflag, " +
         "ROUND(quantile_cont(cents, 0.25),1) AS q1_cents, " +

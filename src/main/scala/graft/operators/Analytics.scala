@@ -432,4 +432,68 @@ object Analytics {
         round(element_at(col("ps"), 2), 1).as("median_cents"),
         round(element_at(col("ps"), 3), 1).as("q3_cents"))
       .orderBy("l_returnflag")
+
+  /** TPC-H Q2 shape (min-cost supplier): per-group aggregate, group
+    * MIN over it, equality join back to recover the argmin rows —
+    * Catalyst's decorrelation of `cost = (SELECT MIN(cost) ... WHERE
+    * same part)`. Both aggregates shuffle on l_partkey, so AQE plans
+    * the join-back without a third shuffle; the dim joins broadcast.
+    */
+  def q34MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val ps = li.groupBy("l_partkey", "l_suppkey")
+      .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 2).as("cost"))
+    // fresh aliases break the ps→minc self-join lineage ambiguity
+    val minc = ps.select(col("l_partkey").as("mk"), col("cost"))
+      .groupBy("mk").agg(min("cost").as("min_cost"))
+    ps.join(minc, ps("l_partkey") === minc("mk") &&
+        ps("cost") === minc("min_cost"))
+      .join(broadcast(s), ps("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .filter(ps("l_partkey") < 200)
+      .select(ps("l_partkey"), col("s_name"), col("n_name"), col("min_cost"))
+      .orderBy("l_partkey", "s_name")
+  }
+
+  /** TPC-H Q21 flavor: orders served by exactly one supplier, credited
+    * to that supplier — distinct projection, grouped cardinality
+    * filter, anti join, then re-aggregate. The anti join is the
+    * NOT-EXISTS decorrelation; everything shuffles on l_orderkey until
+    * the final supplier rollup.
+    */
+  def q35SoloSupplierOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    val multi = pairs.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp")).filter(col("n_supp") > 1)
+    pairs.join(multi, Seq("l_orderkey"), "left_anti")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_solo_orders"))
+      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_solo_orders"))
+      .orderBy(col("n_solo_orders").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q15 shape (top supplier by windowed revenue): aggregate
+    * view, scalar-subquery MAX over it, equality join back — ties
+    * all surface, like the SQL. The 1-row MAX side broadcasts.
+    */
+  def q36TopRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val rev = li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_rev"))
+    val mx = rev.agg(max("total_rev").as("max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
 }
