@@ -1857,22 +1857,55 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val spared = activeDvDirs ++ sidecarDirs :+
       root.resolve("_graft_cdc").normalize
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
-    val walk = Files.walk(root)
+    // exact-prefix dir guard ("/"-terminated) — a string prefix alone
+    // would let `dv-1` spare `dv-12/...`
+    // function VALUE over plain locals (never a nested def): the Spark
+    // closure below must not drag `this` (and its SparkSession) in
+    val sparedStrs = spared.map(_.toString)
+    val cutoffMs = cutoff
+    val deletable: (Path, Set[String]) => Boolean = (p, act) => {
+      val np = p.normalize.toString
+      Files.isRegularFile(p) &&
+        !sparedStrs.exists(d => np == d || np.startsWith(d + "/")) &&
+        !act.contains(np) &&
+        Files.getLastModifiedTime(p).toMillis < cutoffMs
+    }
+    // Distributed listing: the DRIVER only reads the first directory
+    // level; each subtree walks inside a Spark task, so a table with
+    // millions of files (100 TB, thousands of partition dirs) lists in
+    // parallel instead of one serial metadata crawl. The active-file
+    // set ships once per executor as a broadcast.
+    val lst = Files.list(root)
+    val firstLevel = try lst.iterator().asScala.toSeq finally lst.close()
+    val (dirs, rootFiles) = firstLevel.partition(Files.isDirectory(_))
+    val walkDirs = dirs.filterNot(_.normalize == log.logDir.normalize)
+      .map(_.toString)
+    val activeB = spark.sparkContext.broadcast(active)
+    val subCandidates: Seq[String] =
+      if (walkDirs.isEmpty) Nil
+      else spark.sparkContext
+        .parallelize(walkDirs, math.max(1, math.min(walkDirs.size, 64)))
+        .flatMap { d =>
+          val w = Files.walk(Paths.get(d))
+          try w.iterator().asScala
+            .filter(deletable(_, activeB.value)).map(_.toString).toList
+          finally w.close()
+        }.collect().toSeq
     val candidates =
-      try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .filterNot(p => p.startsWith(log.logDir))
-        .filterNot(p => spared.exists(d => p.normalize.startsWith(d)))
-        .filter(p => !active.contains(p.normalize.toString))
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-        .map(_.toString).toSeq.sorted
-      finally walk.close()
+      (subCandidates ++
+        rootFiles.filter(deletable(_, active)).map(_.toString)).sorted
     if (!dryRun) {
-      candidates.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      // parallel delete (Delta vacuum parity): unlink syscalls spread
+      // across the cluster instead of a serial driver loop
+      if (candidates.nonEmpty)
+        spark.sparkContext.parallelize(candidates,
+            math.max(1, math.min(candidates.size / 1000 + 1, 64)))
+          .foreach { p => Files.deleteIfExists(Paths.get(p)); () }
       log.commit(Seq(info("VACUUM",
         params = Map("retentionHours" -> retentionHours.toString),
         metrics = Map("numDeletedFiles" -> candidates.size.toString))))
     }
+    activeB.unpersist()
     candidates.toDF("path")
   }
 
