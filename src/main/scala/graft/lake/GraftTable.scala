@@ -1880,32 +1880,46 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val (dirs, rootFiles) = firstLevel.partition(Files.isDirectory(_))
     val walkDirs = dirs.filterNot(_.normalize == log.logDir.normalize)
       .map(_.toString)
-    val activeB = spark.sparkContext.broadcast(active)
+    // small tables (≤ ~10k live files) list on the driver — two Spark
+    // jobs of scheduling overhead would dwarf the walk itself; the
+    // distributed path is for the millions-of-files regime
     val subCandidates: Seq[String] =
       if (walkDirs.isEmpty) Nil
-      else spark.sparkContext
-        .parallelize(walkDirs, math.max(1, math.min(walkDirs.size, 64)))
-        .flatMap { d =>
+      else if (active.size <= 10000)
+        walkDirs.flatMap { d =>
           val w = Files.walk(Paths.get(d))
           try w.iterator().asScala
-            .filter(deletable(_, activeB.value)).map(_.toString).toList
+            .filter(deletable(_, active)).map(_.toString).toList
           finally w.close()
-        }.collect().toSeq
+        }
+      else {
+        val activeB = spark.sparkContext.broadcast(active)
+        try spark.sparkContext
+          .parallelize(walkDirs, math.max(1, math.min(walkDirs.size, 64)))
+          .flatMap { d =>
+            val w = Files.walk(Paths.get(d))
+            try w.iterator().asScala
+              .filter(deletable(_, activeB.value)).map(_.toString).toList
+            finally w.close()
+          }.collect().toSeq
+        finally activeB.unpersist()
+      }
     val candidates =
       (subCandidates ++
         rootFiles.filter(deletable(_, active)).map(_.toString)).sorted
     if (!dryRun) {
       // parallel delete (Delta vacuum parity): unlink syscalls spread
-      // across the cluster instead of a serial driver loop
-      if (candidates.nonEmpty)
+      // across the cluster instead of a serial driver loop; small
+      // candidate sets skip the job-scheduling overhead
+      if (candidates.size > 10000)
         spark.sparkContext.parallelize(candidates,
             math.max(1, math.min(candidates.size / 1000 + 1, 64)))
           .foreach { p => Files.deleteIfExists(Paths.get(p)); () }
+      else candidates.foreach(p => Files.deleteIfExists(Paths.get(p)))
       log.commit(Seq(info("VACUUM",
         params = Map("retentionHours" -> retentionHours.toString),
         metrics = Map("numDeletedFiles" -> candidates.size.toString))))
     }
-    activeB.unpersist()
     candidates.toDF("path")
   }
 
