@@ -68,6 +68,7 @@ object SparkEntry {
     "text_pii_scrub" -> TextOps.textPiiScrub _,
     "text_repetition" -> TextOps.textRepetition _,
     "dedup_exact" -> Dedup.dedupExact _,
+    "dedup_normalized" -> Dedup.dedupNormalized _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     "dedup_clusters" -> Dedup.dedupClusters _,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh _,
@@ -78,6 +79,7 @@ object SparkEntry {
     "sim_ivf" -> Similarity.simIvf _,
     "pipe_stratified_sample" -> Pipeline.pipeStratifiedSample _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
+    "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
     "pipe_pack" -> Pipeline.pipePack _,
     "pipe_incremental_dedup" -> Pipeline.pipeIncrementalDedup _,
@@ -510,6 +512,17 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
+    "dedup_normalized" ->
+      ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash, " +
+        "MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents " +
+        "GROUP BY 1 ORDER BY keep_id"),
+    "pipe_corpus_stats" ->
+      ("SELECT source, lang, COUNT(*) AS n_docs, " +
+        "COUNT(DISTINCT md5(text)) AS n_unique, " +
+        "CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens, " +
+        "CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents " +
+        "GROUP BY source, lang ORDER BY source, lang"),
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,

@@ -24,6 +24,20 @@ object Dedup {
       .select("content_hash", "keep_id", "n_copies")
       .orderBy("keep_id")
 
+  /** Exact dedup on NORMALIZED content: lowercase, trim, collapse
+    * whitespace runs — catches formatting-only duplicates (extra
+    * spaces, case drift) that byte-exact hashing misses, at the same
+    * single-hash-aggregate cost. The standard first-pass between exact
+    * and fuzzy dedup in web-corpus pipelines.
+    */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("content_hash", "keep_id", "n_copies")
+      .orderBy("keep_id")
+
   /** Word-set Jaccard over MinHash-LSH candidate pairs: candidates
     * come from the banded [[bandedSigs]] signature join (the same
     * generator as [[dedupMinhashLsh]]), then the exact word-set

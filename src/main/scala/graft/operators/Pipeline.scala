@@ -31,6 +31,26 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Corpus audit: per (source, lang) document counts, unique-content
+    * counts, token and char totals — the QA report a data pipeline
+    * runs before mixing, surfacing per-source duplication rates and
+    * volume shares. One hash aggregate over (source, lang); the
+    * distinct-content count rides the same shuffle as a count of
+    * distinct md5s.
+    */
+  def pipeCorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    Tables(spark, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        sum(toks).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy("source", "lang")
+  }
+
   /** Weighted mixture: language quotas proportional to target weights
     * (en-heavy), filled deterministically per stratum — the "data
     * recipe" step that assembles a training mix from cleaned sources.
