@@ -57,7 +57,9 @@ object SparkEntry {
     "q33_group_median" -> Analytics.q33GroupMedian _,
     "q34_min_cost_supplier" -> Analytics.q34MinCostSupplier _,
     "q35_solo_supplier" -> Analytics.q35SoloSupplierOrders _,
-    "q36_top_rev_supplier" -> Analytics.q36TopRevenueSupplier _)
+    "q36_top_rev_supplier" -> Analytics.q36TopRevenueSupplier _,
+    "q37_funnel" -> Analytics.q37Funnel _,
+    "q38_retention" -> Analytics.q38Retention _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -449,6 +451,27 @@ object SparkEntry {
         "WHERE l_orderkey NOT IN (SELECT l_orderkey FROM multi) " +
         "GROUP BY l_suppkey) t JOIN supplier ON l_suppkey = s_suppkey " +
         "ORDER BY n_solo_orders DESC, s_suppkey LIMIT 20"),
+    "q37_funnel" ->
+      ("WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, MIN(ts) AS t_click FROM events e " +
+        "JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view " +
+        "WHERE event_type = 'click' GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, MIN(ts) AS t_purchase FROM events e " +
+        "JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click " +
+        "WHERE event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT stage, n_users FROM (" +
+        "SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v " +
+        "UNION ALL SELECT '2_click', COUNT(*) FROM c " +
+        "UNION ALL SELECT '3_purchase', COUNT(*) FROM p) t ORDER BY stage"),
+    "q38_retention" ->
+      ("WITH cohort AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id) " +
+        "SELECT cohort_day, day_offset, n_users FROM (" +
+        "SELECT c.cohort_day, date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) " +
+        "AS day_offset, COUNT(DISTINCT e.user_id) AS n_users FROM events e " +
+        "JOIN cohort c ON e.user_id = c.user_id " +
+        "GROUP BY 1, 2) t WHERE day_offset IN (1, 7) ORDER BY cohort_day, day_offset"),
     "q36_top_rev_supplier" ->
       ("WITH rev AS (SELECT l_suppkey, " +
         "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev " +

@@ -155,6 +155,48 @@ object Analytics {
       .orderBy("window_start", "event_type")
   }
 
+  /** Ordered funnel (view → click → purchase): per-user first-event
+    * times chained by strict ts order — each stage only counts users
+    * whose event happened AFTER their previous stage's. Three
+    * aggregates + two joins, all shuffling on user_id; no window over
+    * raw events, so per-reducer state is one row per user per stage.
+    */
+  def q37Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention: users cohorted by first-signup day, counted as
+    * retained on day offsets 1 and 7 when ANY later event lands on
+    * cohort_day + offset. Two shuffles on user_id, then a small
+    * (cohort, offset) rollup.
+    */
+  def q38Retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .withColumn("day_offset",
+        datediff(to_date(col("ts")), col("cohort_day")).cast("long"))
+      .filter(col("day_offset").isin(1L, 7L))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Skew-resistant two-phase aggregation: explicit salting splits a
     * hot key across `Salts` reducers (partial agg), then a cheap
     * final agg over `Salts` rows/key merges. The per-key result is
