@@ -434,7 +434,8 @@ object SparkEntry {
         "FROM s ORDER BY o_custkey"),
     "q34_min_cost_supplier" ->
       ("WITH ps AS (SELECT l_partkey, l_suppkey, " +
-        "ROUND(AVG(l_extendedprice / l_quantity), 2) AS cost FROM lineitem " +
+        "ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / " +
+        "(SUM(CAST(l_quantity AS BIGINT)) * 100.0), 2) AS cost FROM lineitem " +
         "GROUP BY l_partkey, l_suppkey), " +
         "minc AS (SELECT l_partkey, MIN(cost) AS min_cost FROM ps GROUP BY l_partkey) " +
         "SELECT ps.l_partkey, s_name, n_name, min_cost FROM ps " +

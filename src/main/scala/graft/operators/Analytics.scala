@@ -505,8 +505,14 @@ object Analytics {
     val li = Tables(spark, dir, "lineitem")
     val s = Tables(spark, dir, "supplier")
     val n = Tables(spark, dir, "nation")
+    // cost in EXACT integer cents (price is exact cents, qty integral):
+    // long sums are order-independent, so the min/argmin comparison
+    // can never flip on a last-ulp summation difference the way
+    // ROUND(AVG(double),2) can between engines
     val ps = li.groupBy("l_partkey", "l_suppkey")
-      .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 2).as("cost"))
+      .agg(round(
+        sum(round(col("l_extendedprice") * 100).cast("long")) /
+          (sum(col("l_quantity").cast("long")) * 100.0), 2).as("cost"))
     // fresh aliases break the ps→minc self-join lineage ambiguity
     val minc = ps.select(col("l_partkey").as("mk"), col("cost"))
       .groupBy("mk").agg(min("cost").as("min_cost"))
