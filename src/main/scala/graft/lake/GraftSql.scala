@@ -70,6 +70,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
   private val setPropsRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val clusterByRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s*(?:\(\s*([\w,\s]+?)\s*\)|NONE)\s*;?\s*$""".r
   private val propPairRe: Regex =
     """'([^']+)'\s*=\s*'([^']*)'""".r
   private val restoreRe: Regex =
@@ -196,6 +198,15 @@ final class GraftSql(spark: SparkSession) {
           .fromDDL(s"$colName $typeStr").head.dataType
         val v = table(name).addColumn(colName, dt)
         Seq(("addedColumn", s"$colName ${dt.simpleString}"),
+          ("version", v.toString)).toDF("metric", "value")
+      case clusterByRe(name, cols) =>
+        val t = table(name)
+        val v =
+          if (cols == null)
+            t.commitRemoveProperty("graft.clusterBy")
+          else t.setTableProperties(Map("graft.clusterBy" ->
+            cols.split(",").map(_.trim).filter(_.nonEmpty).mkString(",")))
+        Seq(("clusterBy", Option(cols).getOrElse("NONE")),
           ("version", v.toString)).toDF("metric", "value")
       case setPropsRe(name, body) =>
         val props = propPairRe.findAllMatchIn(body)

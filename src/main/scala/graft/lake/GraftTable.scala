@@ -888,6 +888,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       info("DROP CONSTRAINT", params = Map("name" -> name)))(m =>
       m.copy(properties = m.properties - s"graft.constraint.$name"))
 
+  /** Remove one table property (UNSET TBLPROPERTIES) via the same
+    * lost-update-safe metadata-merge commit.
+    */
+  def commitRemoveProperty(key: String): Long =
+    commitMetadataMerge(
+      info("UNSET TBLPROPERTIES", params = Map("key" -> key)))(m =>
+      m.copy(properties = m.properties - key))
+
   /** `ALTER TABLE ... ADD COLUMN`: metadata-only schema extension — no
     * data file is touched; existing files read the new column as null
     * through the same scan path mergeSchema evolution uses. Schema
@@ -1650,6 +1658,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                where: Option[Column] = None): Map[String, String] = {
     val s = snapshot
     where.foreach(validatePredicate(s, _))
+    // CLUSTER BY (liquid-clustering-lite): a persisted clustering spec
+    // makes plain OPTIMIZE apply the Z-order layout automatically —
+    // users declare the clustering once, every later maintenance pass
+    // keeps it, like Delta's `ALTER TABLE ... CLUSTER BY`
+    val clusterCols = s.metadata.map(_.properties).getOrElse(Map.empty)
+      .get("graft.clusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+      .filter(s.schema.fieldNames.contains)
+    if (clusterCols.nonEmpty)
+      return zorderWhere(targetBytes, where, clusterCols: _*)
     val vcols = vorderColumns(s)
     var removed = 0
     var added = 0

@@ -36,6 +36,32 @@ class LakeSpec extends GraftSparkSpec {
     assert(got == expected)
   }
 
+  test("CLUSTER BY makes plain OPTIMIZE apply the z-order layout") {
+    val path = tmpDir("clusterby")
+    val t = GraftTable.create(spark, path, li.repartition(8))
+    val g = new GraftSql(spark)
+    g.register("cb", path)
+    // single clustering column → pure range layout, so date skipping
+    // is deterministic even with few output files (the multi-column
+    // interleave itself is covered by the zorder suites)
+    g.sql("ALTER TABLE cb CLUSTER BY (l_shipdate)")
+    val expected = li.count()
+    // tiny file target forces several outputs at sf0.001 so file-stats
+    // selectivity is observable; no explicit zorder call — the spec drives it
+    t.optimize(targetBytes = 32L * 1024)
+    val (kept, total) = t.pruneFiles(
+      col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+    assert(total > 1, "clustered optimize should emit several files")
+    assert(kept < total,
+      s"clustered layout must make date filters skip files ($kept/$total)")
+    assert(t.toDF.count() == expected)
+    // CLUSTER BY NONE reverts OPTIMIZE to plain bin-packing
+    g.sql("ALTER TABLE cb CLUSTER BY NONE")
+    assert(!t.snapshot.metadata.get.properties.contains("graft.clusterBy"))
+    t.optimize()
+    assert(t.toDF.count() == expected)
+  }
+
   test("prefix and null-count predicates skip files") {
     // range-cluster on the string key so each file covers a disjoint
     // lexicographic slice — the shape prefix skipping needs
