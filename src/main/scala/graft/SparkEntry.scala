@@ -69,6 +69,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.textFingerprint _,
     "text_pii_scrub" -> TextOps.textPiiScrub _,
     "text_repetition" -> TextOps.textRepetition _,
+    "text_entropy" -> TextOps.textEntropy _,
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_normalized" -> Dedup.dedupNormalized _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
@@ -536,6 +537,17 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
+    "text_entropy" ->
+      ("WITH chars AS (SELECT doc_id, UNNEST(string_split(text, '')) AS ch " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM chars WHERE ch <> '' " +
+        "GROUP BY doc_id, ch), " +
+        "g AS (SELECT doc_id, list(cnt ORDER BY ch) AS cs, SUM(cnt) AS total " +
+        "FROM f GROUP BY doc_id) " +
+        "SELECT doc_id, ROUND(list_reduce(list_prepend(0.0, " +
+        "list_transform(cs, c -> CAST(c AS DOUBLE))), " +
+        "(acc, c) -> acc - (c / total) * ln(c / total)), 4) AS entropy_nats " +
+        "FROM g ORDER BY doc_id"),
     "dedup_normalized" ->
       ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash, " +
         "MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents " +
