@@ -6,11 +6,27 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver.
   * Results are fully materialized through the noop sink — `count()`
   * would let Catalyst prune the per-row compute we're measuring.
+  *
+  * Numbers from a contended host are worse than no numbers (round 4
+  * recorded phantom 13× regressions from a busy machine), so the run
+  * defends itself three ways: an exclusive lock file serializes
+  * concurrent Bench JVMs, the timed section waits for system load to
+  * drain first, and a fixed canary query timed at start and end stamps
+  * `"valid":false` on the emitted JSON when the environment drifted
+  * >1.5× mid-run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Serialize whole-bench execution across processes: concurrent JVMs
+    // (sbt test, a second bench) corrupt timings. Blocks until the lock
+    // is free rather than failing, so a queued bench still runs.
+    val lockCh = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get("/root/repo/.bench.lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,6 +57,31 @@ object Bench {
         }
       }
 
+    // Wait (bounded) for other load on the host to drain before timing
+    // anything: a correctness runner or stray JVM sharing the cores
+    // shows up as phantom plan regressions.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    val loadGate = cpus.toDouble / 4
+    val idleDeadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    while (loadAvg() > loadGate && System.nanoTime() < idleDeadline) Thread.sleep(5000)
+    val loadAtStart = loadAvg()
+
+    // Contention canary: one fixed read+aggregate timed before and after
+    // the suite. The plans never change between the two runs, so any
+    // drift is the environment, not the code.
+    def canary(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // untimed codegen warm for the canary shape itself
+    val canaryStart = math.min(canary(), canary())
+
     // Hygiene: a cache-heavy query must not inflate its neighbors'
     // numbers (GC/memory pressure looked like regressions in earlier
     // rounds), so every measurement starts from a clean cache; and each
@@ -61,11 +102,15 @@ object Bench {
       val t = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
       name -> t
     }
+    val canaryEnd = math.min(canary(), canary())
     spark.catalog.clearCache()
+    val drift = canaryEnd / math.max(canaryStart, 1e-9)
+    val valid = drift <= 1.5 && drift >= (1.0 / 1.5)
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}""")
+    lock.release(); lockCh.close()
     spark.stop()
   }
 }

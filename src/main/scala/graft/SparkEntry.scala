@@ -476,12 +476,13 @@ object SparkEntry {
         "GROUP BY 1, 2) t WHERE day_offset IN (1, 7) ORDER BY cohort_day, day_offset"),
     "q36_top_rev_supplier" ->
       ("WITH rev AS (SELECT l_suppkey, " +
-        "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev " +
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_u " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
         "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
-        "SELECT s_suppkey, s_name, total_rev FROM rev " +
-        "JOIN supplier ON l_suppkey = s_suppkey " +
-        "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) ORDER BY s_suppkey"),
+        "SELECT s_suppkey, s_name, ROUND(rev_u / 10000.0, 2) AS total_rev " +
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE rev_u = (SELECT MAX(rev_u) FROM rev) ORDER BY s_suppkey"),
     "q33_group_median" ->
       ("SELECT l_returnflag, " +
         "ROUND(quantile_cont(cents, 0.25),1) AS q1_cents, " +

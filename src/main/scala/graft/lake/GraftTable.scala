@@ -1758,12 +1758,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         metrics = Map("numRewrittenFiles" -> "0"))))
       return Map("numRewrittenFiles" -> "0")
     }
-    // DV marks key on _metadata.file_path URIs; map back to log
-    // entries by path suffix (file names are UUID-unique)
+    // DV marks key on _metadata.file_path URIs; resolve them to log
+    // entries through canonical filesystem paths (guarded against
+    // representation drift — see GraftTable.dvMaskedFiles)
     val dvPaths = spark.read.parquet(s.dvFiles.map(dataPath): _*)
       .select("file_path").distinct().collect().map(_.getString(0))
-    val masked = s.activeFiles.filter(f =>
-      dvPaths.exists(u => u.endsWith("/" + f.path) || u == f.path))
+    val masked = GraftTable.dvMaskedFiles(
+      dvPaths.toIndexedSeq, s.activeFiles, dataPath)
     // dfForFiles applies the DV mask (and column mapping), so the
     // rewrite carries exactly the masked files' live rows; stageWrite
     // maps logical back to physical names, keeping renames valid
@@ -2175,6 +2176,45 @@ object GraftTable {
 
   def isGraftTable(path: String): Boolean = new TxnLog(path).exists
 
+  /** `_metadata.file_path` renders as a percent-encoded URI (possibly
+    * `file:/...` rather than `file:///...`), while log entries are raw
+    * filesystem names — a string-suffix comparison between the two
+    * silently misses as soon as the representations diverge (spaces,
+    * non-ASCII partition values). Both sides reduce to one canonical
+    * absolute filesystem path before any DV↔file matching.
+    */
+  private[lake] def canonicalFsPath(p: String): String = {
+    val raw =
+      try {
+        val u = new java.net.URI(p)
+        if (u.getScheme != null) u.getPath else p
+      } catch { case _: java.net.URISyntaxException => p }
+    Paths.get(raw).toAbsolutePath.normalize.toString
+  }
+
+  /** Resolve deletion-vector `file_path` URIs to the snapshot's active
+    * files. A DV entry that resolves to nothing is legitimate only when
+    * its carrier file was rewritten out of the table (partial ZORDER);
+    * if an ACTIVE file shares the entry's unique file name, the miss is
+    * a path-representation bug and proceeding would retire the mask
+    * while treating the file as unmasked — resurrecting deleted rows —
+    * so fail the operation instead.
+    */
+  private[lake] def dvMaskedFiles(dvPaths: Seq[String], active: Seq[AddFile],
+                                  toFsPath: String => String): Seq[AddFile] = {
+    val byCanon = active.map(f => canonicalFsPath(toFsPath(f.path)) -> f).toMap
+    val activeNames =
+      active.map(f => Paths.get(f.path).getFileName.toString).toSet
+    dvPaths.flatMap { u =>
+      val hit = byCanon.get(canonicalFsPath(u))
+      require(hit.isDefined || !activeNames.contains(
+          Paths.get(canonicalFsPath(u)).getFileName.toString),
+        s"deletion-vector entry $u failed to resolve to the active file " +
+          "sharing its name; aborting rather than resurrecting deleted rows")
+      hit
+    }.distinct
+  }
+
   def forPath(spark: SparkSession, path: String): GraftTable = {
     require(isGraftTable(path), s"not a GraftLake table: $path")
     new GraftTable(spark, path)
@@ -2282,17 +2322,23 @@ object GraftTable {
       if (snap.dvFiles.isEmpty) Nil
       else spark.read.parquet(snap.dvFiles.map(src.dataPath): _*)
         .select("file_path").distinct().collect().map(_.getString(0)).toSeq
-    val (masked, plain) = snap.activeFiles.partition(f =>
-      dvPaths.exists(u => u.endsWith("/" + f.path) || u == f.path))
+    val maskedSet =
+      dvMaskedFiles(dvPaths, snap.activeFiles, src.dataPath).map(_.path).toSet
+    val (masked, plain) =
+      snap.activeFiles.partition(f => maskedSet.contains(f.path))
     // destination-relative path: kept verbatim for source-relative
     // entries; rebuilt from partition values for clone-absolute ones
-    // (a deep clone of a shallow clone) so directory inference works
+    // (a deep clone of a shallow clone) so directory inference works.
+    // Escaping must be Hive's (what Spark wrote and its partition
+    // inference + stageWrite's URLDecoder invert) — URLEncoder's
+    // '+'-for-space convention would make inferred values disagree
+    // with the AddFile.partitionValues carried in the log.
     def destRel(f: AddFile): String =
       if (!f.path.startsWith("/")) f.path
       else {
         val dirs = snap.partitionColumns.flatMap(c =>
           f.partitionValues.get(c).map(v =>
-            s"$c=${java.net.URLEncoder.encode(v, "UTF-8")}"))
+            s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"))
         (dirs :+ s"deep-${UUID.randomUUID()}-${Paths.get(f.path).getFileName}")
           .mkString("/")
       }

@@ -185,8 +185,14 @@ object Pruning {
                 // stay valid under parquet stat truncation (truncated
                 // min is ≤ data, truncated max ≥ data), so this only
                 // ever keeps extra files, never drops a match.
-                mx.compareTo(prefix) >= 0 &&
-                  prefixUpper(prefix).forall(u => mn.compareTo(u) < 0)
+                // Compare as UTF8String (code-point order): the footer
+                // min/max were written in UTF-8 byte order, and Java
+                // String.compareTo (UTF-16 unit order) disagrees with
+                // it between supplementary chars and [U+E000,U+FFFF].
+                UTF8String.fromString(mx)
+                    .compareTo(UTF8String.fromString(prefix)) >= 0 &&
+                  prefixUpper(prefix).forall(u => UTF8String.fromString(mn)
+                    .compareTo(UTF8String.fromString(u)) < 0)
               case None => true
             }
           case _ => true
@@ -218,8 +224,20 @@ object Pruning {
     * (all-￿ prefix).
     */
   private def prefixUpper(prefix: String): Option[String] = {
-    val i = prefix.lastIndexWhere(_ != Char.MaxValue)
+    // increment the last incrementable CODE POINT (not UTF-16 unit) so
+    // the bound sorts correctly in the same code-point order the stats
+    // comparison uses; the surrogate range is skipped — no valid
+    // string contains a lone surrogate, so U+E000 is the successor of
+    // U+D7FF in achievable values.
+    val cps = prefix.codePoints().toArray
+    val i = cps.lastIndexWhere(_ < Character.MAX_CODE_POINT)
     if (i < 0) None
-    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+    else {
+      var next = cps(i) + 1
+      if (next >= Character.MIN_SURROGATE.toInt &&
+          next <= Character.MAX_SURROGATE.toInt)
+        next = Character.MAX_SURROGATE.toInt + 1
+      Some(new String(cps, 0, i) + new String(Character.toChars(next)))
+    }
   }
 }

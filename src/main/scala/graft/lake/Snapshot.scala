@@ -76,12 +76,12 @@ object Snapshot {
     * including the Spark checkpoint-parquet read — on every one of the
     * many `snapshot` accesses a single DML/maintenance op performs.
     */
+  private type CacheKey =
+    (String, Long, Option[(Long, Long)], Option[(Long, Long)])
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Option[(Long, Long)]), Snapshot](
-        64, 0.75f, true) {
+    new java.util.LinkedHashMap[CacheKey, Snapshot](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Option[(Long, Long)]), Snapshot])
-          : Boolean = size() > 64
+          e: java.util.Map.Entry[CacheKey, Snapshot]): Boolean = size() > 64
     })
 
   /** Replay with checkpoint fast-path. Enforces the reader half of the
@@ -93,15 +93,22 @@ object Snapshot {
       throw new IllegalStateException(s"not a GraftLake table: ${log.tablePath}"))
     val v = version.getOrElse(latest)
     require(v <= latest, s"version $v does not exist (latest: $latest)")
-    val key = (log.tablePath, v, log.commitFileId(v))
-    val cachedSnap = cache.get(key)
+    // Identity = this version's commit file AND the version-0 commit
+    // file: a table dropped and recreated at the same path can
+    // reproduce (v, mtime, size) on coarse-mtime filesystems, but
+    // colliding on the creation commit too is vanishingly unlikely.
+    // A cleaned-up commit file (identity None) is uncacheable — None
+    // would alias every recreated table at that (path, version).
+    val vId = log.commitFileId(v)
+    val key = (log.tablePath, v, vId, log.commitFileId(0L))
+    val cachedSnap = if (vId.isEmpty) null else cache.get(key)
     val snap = if (cachedSnap != null) cachedSnap else {
       val built = log.readCheckpoint(spark, v) match {
         case Some((cv, base)) =>
           applyActions(v, base, ((cv + 1) to v).flatMap(log.readCommit))
         case None => replay(log, v)
       }
-      cache.put(key, built)
+      if (vId.nonEmpty) cache.put(key, built)
       built
     }
     snap.protocol.foreach { p =>

@@ -552,16 +552,23 @@ object Analytics {
   def q36TopRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val s = Tables(spark, dir, "supplier")
+    // revenue in EXACT integer cent·percent units (price is exact
+    // cents, discount exact percent): the long sum is summation-order
+    // independent, so the argmax equality can never flip on a last-ulp
+    // difference between Spark's partial-agg order and DuckDB's —
+    // same hazard q34 fixed for its argmin. Division to display
+    // dollars happens after the winner is chosen.
     val rev = li.filter(
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy("l_suppkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("total_rev"))
-    val mx = rev.agg(max("total_rev").as("max_rev"))
-    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
+    val mx = rev.agg(max("rev_u").as("max_u"))
+    rev.join(broadcast(mx), col("rev_u") === col("max_u"))
       .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_u") / 10000.0, 2).as("total_rev"))
       .orderBy("s_suppkey")
   }
 }

@@ -149,6 +149,35 @@ class DeletionVectorSpec extends GraftSparkSpec {
     assert(t.toDF.count() == expected)
   }
 
+  test("purge resolves DV masks on partition values URIs percent-encode") {
+    // partition value with a space: the scan's _metadata.file_path URI
+    // renders it %20 while log paths keep it literal — a suffix string
+    // match misses every masked file, silently resurrecting deletes
+    val df = li.limit(2000)
+      .withColumn("grp", concat(col("l_returnflag"), lit(" x")))
+    val t = GraftTable.create(spark, tmpDir("dv-uri"), df, Seq("grp"))
+    t.deleteMergeOnRead(col("grp") === "R x")
+    assert(t.snapshot.dvFiles.nonEmpty)
+    val expected = df.filter(col("grp") =!= "R x").count()
+    assert(t.toDF.count() == expected)
+    val m = t.reorgPurge()
+    assert(m("numRewrittenFiles").toInt > 0,
+      "the masked file must be FOUND, not silently treated as unmasked")
+    assert(t.snapshot.dvFiles.isEmpty)
+    assert(t.toDF.count() == expected,
+      "purge must not resurrect rows masked in an encoded-URI partition")
+    assert(t.toDF.filter(col("grp") === "R x").count() == 0)
+
+    // deep clone of a shallow clone with the same spacey partitions:
+    // destRel rebuilds partition dirs — escaping must round-trip so
+    // directory-inferred values agree with the log's partitionValues
+    val sc = GraftTable.shallowClone(spark, t.path, tmpDir("dv-uri-sc"))
+    val dc = GraftTable.deepClone(spark, sc.path, tmpDir("dv-uri-dc"))
+    assert(dc.toDF.count() == expected)
+    assert(dc.toDF.filter(col("grp") === "A x").count() ==
+      df.filter(col("grp") === "A x").count())
+  }
+
   test("vacuum spares active deletion vectors; restore brings DV state back") {
     val t = GraftTable.create(spark, tmpDir("dv4"), li.repartition(4))
     t.deleteMergeOnRead(col("l_returnflag") === "R")
