@@ -618,11 +618,20 @@ object SparkEntry {
         "SELECT DISTINCT c.doc_id, TRUE AS contaminated FROM g c " +
         "JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < 20) b ON c.gram = b.gram " +
         "WHERE c.doc_id >= 20 ORDER BY c.doc_id"),
+    // the oracle reproduces the payload BUILDER's arithmetic; Spark's
+    // values come from parsing the built container header bytes, so a
+    // green row proves the parse round-trips the real binary layout
     "mm_decode_meta" ->
-      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width, " +
-        "CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height, " +
-        "md5(text) AS checksum FROM documents ORDER BY doc_id"),
+      ("WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS nb " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN nb + 54 ELSE nb + 44 END AS BIGINT) AS n_bytes, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN nb % 640 + 1 ELSE 0 END AS BIGINT) AS width, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN (nb * 7) % 480 + 1 ELSE 0 END AS BIGINT) AS height, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 * (1 << (nb % 3)) END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE nb END AS BIGINT) AS n_samples, " +
+        "md5(text) AS checksum FROM t ORDER BY doc_id"),
     "mm_frame_sample" ->
       ("WITH t AS (SELECT doc_id, text, octet_length(encode(text)) % 16 + 1 AS n_frames " +
         "FROM documents), k AS (SELECT doc_id, text, n_frames, LEAST(n_frames, 4) AS k FROM t), " +
@@ -636,7 +645,8 @@ object SparkEntry {
         "GREATEST(CAST(FLOOR(width * LEAST(224.0/width, LEAST(224.0/height, 1.0))) AS BIGINT), 1) AS out_w, " +
         "GREATEST(CAST(FLOOR(height * LEAST(224.0/width, LEAST(224.0/height, 1.0))) AS BIGINT), 1) AS out_h " +
         "FROM (SELECT doc_id, octet_length(encode(text)) % 640 + 1 AS width, " +
-        "(octet_length(encode(text)) * 7) % 480 + 1 AS height FROM documents) t ORDER BY doc_id"),
+        "(octet_length(encode(text)) * 7) % 480 + 1 AS height FROM documents " +
+        "WHERE doc_id % 2 = 0) t ORDER BY doc_id"),
     "lake_roundtrip" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_optimize" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_zorder" -> LakeOps.liAggOracle.format("lineitem"),

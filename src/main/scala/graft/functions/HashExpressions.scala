@@ -200,6 +200,60 @@ object NgramsExpr {
   }
 }
 
+/** Per-document character Shannon entropy (nats) in ONE pass — the
+  * histogram and the −Σ p·ln p fold both happen inside the kernel, so
+  * a corpus-scale scan does per-row work instead of exploding one row
+  * per character through two hash aggregates (the previous shape:
+  * ~10¹⁴ shuffled rows at 100 TB for what is a per-doc fold).
+  *
+  * Bit-compatibility contract with the DuckDB oracle: the fold visits
+  * (char, count) pairs in ascending code-point order — the same order
+  * as `list(cnt ORDER BY ch)` under DuckDB's binary collation (UTF-8
+  * bytes preserve code-point order) and as Spark's `sort_array` over
+  * single-char strings — and uses the identical double operations
+  * `acc - (c/total) * ln(c/total)`, so the unrounded double is
+  * bit-identical to both the old explode pipeline and the oracle.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.valueOf(CharEntropy.kernel(v.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropy.kernel($c)")
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(c)
+}
+
+object CharEntropy {
+  def kernel(v: UTF8String): Double = {
+    val s = v.toString
+    // ASCII fast path (an array IS ascending code-point order);
+    // non-ASCII spills to a sorted map that merges in after 127
+    val ascii = new Array[Long](128)
+    var other: java.util.TreeMap[Integer, Long] = null
+    var total = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.TreeMap[Integer, Long]()
+        other.merge(cp, 1L, (a, b) => a + b)
+      }
+      total += 1
+      i += Character.charCount(cp)
+    }
+    var acc = 0.0
+    def add(cnt: Long): Unit = if (cnt > 0) {
+      val p = cnt.toDouble / total.toDouble
+      acc -= p * Math.log(p)
+    }
+    var c = 0
+    while (c < 128) { add(ascii(c)); c += 1 }
+    if (other != null) other.values.forEach(cnt => add(cnt))
+    acc
+  }
+}
+
 object GraftFunctions {
   private def unary(name: String)(build: Expression => Expression)
       : Seq[Expression] => Expression = { exprs =>
@@ -218,6 +272,8 @@ object GraftFunctions {
       unary("graft_minhash32")(MinHashSig32.apply), "built-in")
     reg.createOrReplaceTempFunction("graft_bigrams",
       unary("graft_bigrams")(BigramsExpr.apply), "built-in")
+    reg.createOrReplaceTempFunction("graft_char_entropy",
+      unary("graft_char_entropy")(CharEntropy.apply), "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams", { exprs =>
       require(exprs.size == 2, s"graft_ngrams expects (text, n), got ${exprs.size} args")
       val n = exprs(1) match {

@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dependency-free media container codec: BMP (54-byte
+  * BITMAPINFOHEADER) and WAV (RIFF/fmt/data) headers are built and
+  * parsed byte-for-byte — no codec libraries exist in this
+  * environment, but header geometry/sample metadata is plain binary
+  * layout, so the "decode metadata" step of the multimodal pipeline
+  * can be genuinely real: the parser reads little-endian fields from
+  * the payload, never recomputing them from side information.
+  * Payloads with neither magic fall back to the deterministic stub
+  * arithmetic (format "raw") so opaque binaries still flow.
+  */
+object MediaCodec {
+
+  final case class MediaMeta(format: String, width: Long, height: Long,
+                             sampleRate: Long, nSamples: Long)
+
+  private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+    le16(b, off, v & 0xffff); le16(b, off + 2, (v >>> 16) & 0xffff)
+  }
+  private def readLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    readLe16(b, off) | (readLe16(b, off + 2) << 16)
+
+  /** A real BMP: 14-byte file header + 40-byte BITMAPINFOHEADER,
+    * `pixels` appended as the (possibly truncated) 24bpp pixel data.
+    */
+  def makeBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    val b = new Array[Byte](54 + pixels.length)
+    b(0) = 'B'; b(1) = 'M'
+    le32(b, 2, 54 + pixels.length) // file size
+    le32(b, 10, 54)                // pixel data offset
+    le32(b, 14, 40)                // DIB header size
+    le32(b, 18, width)
+    le32(b, 22, height)
+    le16(b, 26, 1)                 // planes
+    le16(b, 28, 24)                // bits per pixel
+    le32(b, 34, pixels.length)     // image size
+    le32(b, 38, 2835); le32(b, 42, 2835) // 72 DPI
+    System.arraycopy(pixels, 0, b, 54, pixels.length)
+    b
+  }
+
+  /** A real PCM WAV: RIFF/WAVE + fmt (mono, 8-bit) + data chunks. */
+  def makeWav(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    val b = new Array[Byte](44 + data.length)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    le32(b, 4, 36 + data.length)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    le32(b, 16, 16)           // fmt chunk size
+    le16(b, 20, 1)            // PCM
+    le16(b, 22, 1)            // mono
+    le32(b, 24, sampleRate)
+    le32(b, 28, sampleRate)   // byte rate = rate * blockAlign(1)
+    le16(b, 32, 1)            // block align
+    le16(b, 34, 8)            // bits per sample
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    le32(b, 40, data.length)
+    System.arraycopy(data, 0, b, 44, data.length)
+    b
+  }
+
+  /** Sniff + parse. Every emitted field comes from the payload bytes
+    * themselves; unknown formats get the legacy deterministic stub
+    * dimensions so opaque payloads keep flowing through the pipeline.
+    */
+  def decode(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    if (n >= 54 && payload(0) == 'B' && payload(1) == 'M') {
+      val w = readLe32(payload, 18)
+      val h = readLe32(payload, 22)
+      // negative height = top-down row order; geometry is |h|
+      MediaMeta("bmp", math.abs(w.toLong), math.abs(h.toLong), 0L, 0L)
+    } else if (n >= 44 && payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E') {
+      // chunk walk (fmt/data in any order, unknown chunks skipped)
+      var off = 12
+      var rate = 0L; var blockAlign = 1L; var dataSize = 0L
+      while (off + 8 <= n) {
+        val id = new String(payload, off, 4, "US-ASCII")
+        val size = readLe32(payload, off + 4).toLong & 0xffffffffL
+        if (id == "fmt " && off + 8 + 16 <= n) {
+          rate = readLe32(payload, off + 12).toLong & 0xffffffffL
+          blockAlign = math.max(1, readLe16(payload, off + 20)).toLong
+        } else if (id == "data") {
+          dataSize = size
+        }
+        off += 8 + size.toInt + (size.toInt & 1) // chunks are 2-aligned
+      }
+      MediaMeta("wav", 0L, 0L, rate, dataSize / blockAlign)
+    } else {
+      MediaMeta("raw", (n % 640) + 1L, ((n.toLong * 7) % 480) + 1L, 0L, 0L)
+    }
+  }
+}
+
+/** Build a real media payload around `content` bytes: kind "bmp"
+  * wraps them as pixel data under a header whose geometry derives
+  * deterministically from the byte count; kind "wav" wraps them as
+  * 8-bit mono PCM at a byte-count-derived sample rate. The table
+  * builder for multimodal tests/oracles — the DECODE side never sees
+  * the derivation, only the bytes.
+  */
+case class MakeMediaPayload(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(content: Any, kind: Any): Any =
+    MakeMediaPayload.kernel(content.asInstanceOf[Array[Byte]], kind.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, k) =>
+      s"graft.functions.MakeMediaPayload.kernel($c, $k.toString())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : MakeMediaPayload = copy(left = l, right = r)
+}
+
+object MakeMediaPayload {
+  def kernel(content: Array[Byte], kind: String): Array[Byte] = {
+    val nb = content.length
+    kind match {
+      case "bmp" =>
+        MediaCodec.makeBmp((nb % 640) + 1, ((nb * 7) % 480) + 1, content)
+      case "wav" =>
+        MediaCodec.makeWav(8000 << (nb % 3), content)
+      case other =>
+        throw new IllegalArgumentException(s"unknown media kind: $other")
+    }
+  }
+}
+
+/** Parse media metadata out of a binary payload (see [[MediaCodec]]):
+  * struct(format, width, height, sample_rate, n_samples), all read
+  * from the payload's own header bytes.
+  */
+case class DecodeMedia(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DecodeMedia.schema
+  override def nullSafeEval(v: Any): Any =
+    DecodeMedia.kernel(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.InternalRow)" +
+        s"graft.functions.DecodeMedia.kernel($c)")
+  override protected def withNewChildInternal(c: Expression): DecodeMedia = copy(c)
+}
+
+object DecodeMedia {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false)))
+
+  def kernel(payload: Array[Byte]): InternalRow = {
+    val m = MediaCodec.decode(payload)
+    new GenericInternalRow(Array[Any](UTF8String.fromString(m.format),
+      m.width, m.height, m.sampleRate, m.nSamples))
+  }
+}

@@ -5,48 +5,76 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2.5): media payloads are
-  * opaque `binary` columns with typed metadata structs. The Spark
-  * side — schema, partitioning, batch shape — is real; the actual
-  * image/audio codec step is STUBBED (no codec libs in this
-  * container) behind [[Multimodal.decodeStub]], which derives
-  * deterministic fake dimensions from the payload bytes.
+  * opaque `binary` columns with typed metadata structs. Image (BMP)
+  * and audio (WAV) payloads carry REAL container headers built and
+  * parsed byte-for-byte by [[graft.functions.MediaCodec]] — the
+  * metadata-decode step reads the header's little-endian fields, not
+  * side information. Only pixel/PCM *content* interpretation (frame
+  * decode, resampling) remains out of scope for this container
+  * (no codec libraries), stubbed behind [[Multimodal.decodeStub]] /
+  * [[Multimodal.embedStub]].
   */
 object Multimodal {
 
-  /** Typed metadata produced by the (stubbed) decoder. */
+  /** Typed metadata produced by the decoder. */
   case class DecodedMeta(doc_id: Long, n_bytes: Long, width: Int,
                          height: Int, n_frames: Int)
 
-  /** STUB decoder — replace with a real codec (e.g. javax.imageio /
-    * ffmpeg bindings) in a deployment that ships codecs. Deterministic
-    * pure function of the payload so tests and oracles are stable.
+  /** STUB content decoder for formats without a parseable header —
+    * replace with a real codec (e.g. javax.imageio / ffmpeg bindings)
+    * in a deployment that ships codecs. Deterministic pure function of
+    * the payload so tests and oracles are stable.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
     ((n % 640) + 1, ((n * 7) % 480) + 1, (n % 16) + 1)
   }
 
+  private def ge = graft.lake.GraftExpr
+
+  /** Even docs become BMP images, odd docs 8-bit mono WAV audio —
+    * both with genuine headers wrapping the doc bytes as content.
+    */
+  private def mediaKind = when(col("doc_id") % 2 === 0, lit("bmp"))
+    .otherwise(lit("wav"))
+
+  private def mediaPayload = ge.column(graft.functions.MakeMediaPayload(
+    ge.expression(col("text").cast("binary")), ge.expression(mediaKind)))
+
   /** Documents as a multimodal table: binary payload + typed meta. */
   def payloadTable(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents").select(
       col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      struct(lit("application/x-fake").as("mime"),
-        octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
+      mediaPayload.as("payload"),
+      struct(
+        when(col("doc_id") % 2 === 0, lit("image/bmp"))
+          .otherwise(lit("audio/x-wav")).as("mime"),
+        (octet_length(col("text")).cast("long") +
+          when(col("doc_id") % 2 === 0, lit(54L)).otherwise(lit(44L)))
+          .as("n_bytes")).as("meta"))
 
-  /** Pure-expression metadata extraction (oracle-checked): byte size,
-    * stub dimensions, content checksum. Stays in codegen end-to-end.
+  /** Metadata extraction (oracle-checked): build a real container
+    * payload, then PARSE its header — width/height/sample_rate come
+    * from the payload's own bytes via the native
+    * [[graft.functions.DecodeMedia]] expression, codegen end-to-end.
+    * The oracle reproduces the builder's derivation arithmetic, so a
+    * green row proves parse(build(x)) round-trips through real bytes.
     */
-  def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
-    val nb = octet_length(col("text")).cast("long")
-    Tables(spark, dir, "documents").select(
+  def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("payload", mediaPayload)
+      .withColumn("m", ge.column(graft.functions.DecodeMedia(
+        ge.expression(col("payload")))))
+      .select(
         col("doc_id"),
-        nb.as("n_bytes"),
-        (nb % 640 + 1).as("width"),
-        ((nb * 7) % 480 + 1).as("height"),
+        col("m.format").as("format"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.n_samples").as("n_samples"),
         md5(col("text").cast("binary")).as("checksum"))
       .orderBy("doc_id")
-  }
 
   /** Frame sampling plan (oracle-checked): every payload reports a
     * stubbed frame count; up to [[MaxSampledFrames]] frames are picked
@@ -74,15 +102,20 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** Resize planning (oracle-checked): aspect-preserving fit of the
-    * stub dimensions into a 224×224 target — the geometry step of an
-    * image pipeline, as pure integer expressions (the pixel resample
-    * itself is the codec stub's job).
+  /** Resize planning (oracle-checked): aspect-preserving fit into a
+    * 224×224 target of dimensions PARSED from the image payloads'
+    * real BMP headers — the geometry step of an image pipeline (the
+    * pixel resample itself is the codec stub's job). Audio payloads
+    * have no geometry, so the plan covers the image half of the table.
     */
   def mmResizePlan(spark: SparkSession, dir: String): DataFrame = {
-    val nb = octet_length(col("text")).cast("long")
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), (nb % 640 + 1).as("width"), ((nb * 7) % 480 + 1).as("height"))
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("payload", mediaPayload)
+      .withColumn("m", ge.column(graft.functions.DecodeMedia(
+        ge.expression(col("payload")))))
+      .select(col("doc_id"), col("m.width").as("width"),
+        col("m.height").as("height"))
       .withColumn("scale",
         least(lit(224.0) / col("width"), least(lit(224.0) / col("height"), lit(1.0))))
       .select(
@@ -157,8 +190,10 @@ object Multimodal {
   }
 
   /** Batched decode over partitions — the shape a real decoder needs
-    * (amortized per-batch codec init, no per-row JNI churn). Uses the
-    * stub decoder; exercised by MultimodalSpec.
+    * (amortized per-batch codec init, no per-row JNI churn). Headers
+    * are parsed for real by [[graft.functions.MediaCodec]]; only
+    * unknown formats fall back to the stub. Exercised by
+    * MultimodalSpec against the expression-side parse.
     */
   def decodeFrames(spark: SparkSession, dir: String): Dataset[DecodedMeta] = {
     import spark.implicits._
@@ -168,7 +203,13 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition (per-task) decoder init would happen here
         it.map { case (id, payload) =>
-          val (w, h, f) = decodeStub(payload)
+          val m = graft.functions.MediaCodec.decode(payload)
+          val (w, h, f) = m.format match {
+            case "bmp" => (m.width.toInt, m.height.toInt, 1)
+            case "wav" =>
+              (0, 0, math.max(0L, (m.nSamples - 400) / 160 + 1).toInt)
+            case _ => decodeStub(payload)
+          }
           DecodedMeta(id, payload.length.toLong, w, h, f)
         }
       }

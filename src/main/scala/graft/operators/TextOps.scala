@@ -99,23 +99,20 @@ object TextOps {
 
   /** Character-level Shannon entropy per document — a compressibility
     * quality signal (low-entropy docs are boilerplate/repetition,
-    * Gopher-style filters cut on it). The per-doc Σ −p·ln p folds over
-    * a SORTED (char, count) list via `aggregate`, so float summation
-    * order is deterministic and bit-identical to the DuckDB oracle's
-    * identical ordered fold — grouped-agg order would differ in the
-    * last ulp between engines.
+    * Gopher-style filters cut on it). The histogram and the Σ −p·ln p
+    * fold run inside the native single-pass
+    * [[graft.functions.CharEntropy]] kernel (ascending code-point
+    * fold order, so the double is bit-identical to the DuckDB
+    * oracle's `list(cnt ORDER BY ch)` fold) — no explode, no
+    * per-character shuffle rows. Empty documents are filtered, not
+    * scored 0: the oracle's `WHERE ch <> ''` drops them the same way.
     */
-  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ent = graft.lake.GraftExpr.column(
+      graft.functions.CharEntropy(graft.lake.GraftExpr.expression(col("text"))))
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cs"),
-        sum("cnt").as("total"))
-      .select(col("doc_id"),
-        round(aggregate(col("cs"), lit(0.0), (acc, s) =>
-          acc - (s.getField("cnt") / col("total")) *
-            log(s.getField("cnt") / col("total"))), 4).as("entropy_nats"))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), round(ent, 4).as("entropy_nats"))
       .orderBy("doc_id")
+  }
 }

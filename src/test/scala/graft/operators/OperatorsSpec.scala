@@ -94,6 +94,38 @@ class OperatorsSpec extends GraftSparkSpec {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("native CharEntropy is bit-identical to the ordered explode fold, no explode in plan") {
+    // the retired shape: one row per character through two hash
+    // aggregates, folded over a sorted (char, count) list — kept here
+    // as the semantics oracle the native kernel must reproduce exactly
+    val docs = Tables(spark, sfDir, "documents")
+    val reference = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cs"),
+        sum("cnt").as("total"))
+      .select(col("doc_id"),
+        round(aggregate(col("cs"), lit(0.0), (acc, s) =>
+          acc - (s.getField("cnt") / col("total")) *
+            log(s.getField("cnt") / col("total"))), 4).as("entropy_nats"))
+    val native = TextOps.textEntropy(spark, sfDir)
+    assert(native.count() == docs.filter(length(col("text")) > 0).count())
+    assert(native.join(reference, Seq("doc_id"))
+      .filter(native("entropy_nats") =!= reference("entropy_nats"))
+      .count() == 0, "native kernel diverged from the ordered-fold reference")
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"entropy plan still explodes:\n$plan")
+    // non-ASCII spill path: known two-char distribution
+    import spark.implicits._
+    val got = Seq("aéaé").toDF("text")
+      .select(graft.lake.GraftExpr.column(graft.functions.CharEntropy(
+        graft.lake.GraftExpr.expression(col("text")))).as("e"))
+      .head.getDouble(0)
+    assert(math.abs(got - math.log(2.0)) < 1e-12)
+  }
+
   test("every declared oracle has a matching query entry") {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
