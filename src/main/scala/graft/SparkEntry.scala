@@ -242,6 +242,43 @@ object SparkEntry {
       "FROM r WHERE rn <= 5 ORDER BY qid, rn"
   }
 
+  /** DuckDB replica of [[graft.operators.Similarity.simIvf]]: the
+    * coarse quantizer is a strided medoid sample (exact table rows),
+    * so the whole index is re-derivable in SQL — k = clamped
+    * highestOneBit arithmetic via binary-string length (exact integer
+    * logic, no float log2), assignment score replays the
+    * [[graft.functions.TopCentroidIds]] kernel op-for-op
+    * (`dot * (1/sqrt(nc))`, ties to the lower centroid index), corpus
+    * takes its top-2 (spill) lists, queries probe their top-6, and
+    * exact cosine re-ranks the candidate join. Bit-compatible because
+    * every float is exact in double and both engines fold
+    * dot-products left-to-right in dimension order.
+    */
+  private def simIvfSql: String =
+    "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      "prm AS (SELECT COUNT(*) AS n, LEAST(1024, GREATEST(16, LEAST(" +
+      "CAST(power(2, length(bin(GREATEST(1, COUNT(*) // 2))) - 1) AS BIGINT), " +
+      "CAST(power(2, length(bin(GREATEST(1, CAST(FLOOR(8 * sqrt(COUNT(*))) AS BIGINT)))) - 1) AS BIGINT)))) AS k " +
+      "FROM emb), " +
+      "seeds AS (SELECT cid_c, c, list_dot_product(c, c) AS nc FROM (" +
+      "SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid_c, e AS c " +
+      "FROM emb, prm WHERE vec_id % GREATEST(1, n // k) = 0) s, prm " +
+      "WHERE cid_c < k), " +
+      "assign AS (SELECT vec_id, cid_c, CASE WHEN nc > 0 THEN " +
+      "list_dot_product(e, c) * (1.0 / sqrt(nc)) ELSE 0.0 END AS score " +
+      "FROM emb CROSS JOIN seeds), " +
+      "ranked AS (SELECT vec_id, cid_c, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id ORDER BY score DESC, cid_c) AS rr FROM assign), " +
+      "qa AS (SELECT vec_id AS qid, cid_c FROM ranked WHERE vec_id < 10 AND rr <= 6), " +
+      "ca AS (SELECT vec_id AS cid, cid_c FROM ranked WHERE vec_id >= 10 AND rr <= 2), " +
+      "cand AS (SELECT DISTINCT qid, cid FROM qa JOIN ca USING (cid_c)), " +
+      "sc AS (SELECT qid, cid, list_cosine_similarity(a.e, b.e) AS cos_raw " +
+      "FROM cand JOIN emb a ON a.vec_id = qid JOIN emb b ON b.vec_id = cid), " +
+      "r AS (SELECT qid, cid, cos_raw, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn FROM sc) " +
+      "SELECT qid, cid, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
+      "FROM r WHERE rn <= 5 ORDER BY qid, rn"
+
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
 
   /** DuckDB oracle SQL, driver-run on the same parquet tables. */
@@ -583,6 +620,7 @@ object SparkEntry {
         "FROM d a JOIN d b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.e, b.e) >= 0.99 ORDER BY id_a, id_b"),
     "sim_lsh_ann" -> simLshAnnSql,
+    "sim_ivf" -> simIvfSql,
     "sim_bruteforce_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
         "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +

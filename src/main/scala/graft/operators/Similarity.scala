@@ -82,10 +82,14 @@ object Similarity {
     * re-ranks the candidate join. Scan fraction ≈ spill·probes/k with
     * k = 8√n, so the probed share *shrinks* as the corpus grows
     * (4.8% at sf0.1, →0 at 100 TB); centroid build cost is paid once
-    * per table, not per query. Measured (numpy sim on the real data):
-    * recall@5 0.62 at sf0.001, 0.54 at sf0.1 — isotropic synthetic
-    * embeddings are the recall ceiling here, not the index. Rows-only
-    * check + recall spec (OperatorsSpec).
+    * per table, not per query. The coarse quantizer is a strided
+    * MEDOID sample (k actual table rows) rather than k-means: on the
+    * isotropic synthetic embeddings the recall difference from Lloyd
+    * iterations is inside the noise (the data, not the index, is the
+    * recall ceiling), and exact data-point centroids make the whole
+    * operator DuckDB-replicable bit-for-bit — so this path is now
+    * FULLY oracle-checked (see SparkEntry.simIvfSql), plus the recall
+    * spec in OperatorsSpec.
     */
   def simIvf(spark: SparkSession, dir: String): DataFrame = {
     val cents = IvfIndex.centroids(spark, dir)
@@ -134,12 +138,15 @@ object EmbCount {
   * k = 8√n (power of two) follows the FAISS-style nlist guidance —
   * finer partitioning at a fixed probe budget raises recall; probes
   * and spill are fixed so the scan fraction spill·probes/k falls as
-  * the corpus grows.
+  * the corpus grows. Centroids are a deterministic strided sample of
+  * table rows (medoids): exact float vectors, so the quantizer is
+  * replicable outside Spark — the property the full-result DuckDB
+  * oracle rests on — where Lloyd-averaged centroids would carry
+  * engine-specific float-summation order in every coordinate.
   */
 object IvfIndex {
   val Probes = 6
   val Spill = 2
-  private val LloydIters = 3
 
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]
@@ -168,7 +175,9 @@ object IvfIndex {
                 else Array(f)
     val fp = files.foldLeft(0L)((acc, x) =>
       acc ^ java.lang.Long.rotateLeft(x.lastModified(), 17) ^ x.length())
-    s"$dir#v4#$Probes#$Spill#n=$n#fp=${java.lang.Long.toHexString(fp)}"
+    // v5: medoid quantizer — a v4 sidecar holds Lloyd centroids and
+    // must not be reloaded (the oracle replays the medoid arithmetic)
+    s"$dir#v5#$Probes#$Spill#n=$n#fp=${java.lang.Long.toHexString(fp)}"
   }
 
   private def kFor(n: Long): Int = {
@@ -181,43 +190,17 @@ object IvfIndex {
     math.min(1024, math.max(16, math.min(half, bySqrt)))
   }
 
+  /** Strided medoid selection: every stride-th vector in vec_id order,
+    * capped at k — one pruned scan, k×dim floats to the driver.
+    */
   private def build(spark: SparkSession, dir: String): Array[Array[Double]] = {
     val emb = Tables(spark, dir, "embeddings")
     val n = EmbCount(spark, dir)
     val k = kFor(n)
     val stride = math.max(1L, n / k)
-    val seeds: Array[Array[Double]] = emb
-      .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(k)
+    emb.filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    // train on a deterministic sample above 100k vectors: centroids
-    // need representative data, not all of it
-    val train = if (n >= 100000) emb.filter(col("vec_id") % 4 === 0) else emb
-    (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(train, c))
-  }
-
-  /** One Lloyd step under cosine assignment: nearest centroid via the
-    * native [[graft.functions.TopCentroidIds]] kernel, then per-
-    * (cluster, dimension) averages — map-side combined, so shuffle
-    * volume is k×dim per partition regardless of data size. Empty
-    * clusters keep their previous centroid. (No centroid
-    * normalization: cosine is scale-invariant in each argument.)
-    */
-  private def lloydStep(emb: DataFrame,
-                        cents: Array[Array[Double]]): Array[Array[Double]] = {
-    val updated = emb
-      .withColumn("cluster", element_at(topCentroidIds(col("embedding"), cents, 1), 1))
-      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("cluster", "pos").agg(avg("x").as("x"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cl, rows) =>
-        val dim = rows.map(_.getInt(1)).max + 1
-        val v = new Array[Double](dim)
-        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
-        cl -> v
-      }
-    cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
   }
 
   // --- sidecar persistence (plain text: one centroid per line) ---
