@@ -610,14 +610,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * O(delta), never O(table). Deletes/updates leave stats stale until
     * the next ANALYZE, as estimates may be.
     */
+  /** Stats column cap: first-N schema columns, session-overridable. */
+  private def statsMaxColumns: Int =
+    spark.conf.getOption("spark.graft.stats.maxColumns")
+      .map(_.toInt).getOrElse(GraftTable.DefaultStatsColumns)
+
   private def maybeAutoCollectStats(adds: Seq[AddFile]): Unit = {
     val s = snapshot
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     if (adds.isEmpty ||
         !props.getOrElse("graft.stats.autoCollect", "false").toBoolean) return
+    // session-level enablement on top of the table property (Fabric
+    // gates extended stats per SESSION, 02-lab:604-633): an ingest job
+    // can switch collection off without a metadata commit
+    if (!spark.conf.getOption("spark.graft.stats.autoCollect.enabled")
+        .forall(_.toBoolean)) return
     val old = Cbo.tableStats(this)
     if (old.isEmpty) { computeStats(); return }
-    val cols = s.schema.fieldNames.toSeq.filter(old.contains)
+    val cols = s.schema.fieldNames.toSeq.take(statsMaxColumns).filter(old.contains)
     val batch = dfForFiles(s, adds)
     val dRow = batch.agg(lit(1).as("__one"),
       cols.map(c => countDistinct(col(c)).as(s"d_$c")): _*).head()
@@ -1661,14 +1671,47 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // CLUSTER BY (liquid-clustering-lite): a persisted clustering spec
     // makes plain OPTIMIZE apply the Z-order layout automatically —
     // users declare the clustering once, every later maintenance pass
-    // keeps it, like Delta's `ALTER TABLE ... CLUSTER BY`
-    val clusterCols = s.metadata.map(_.properties).getOrElse(Map.empty)
+    // keeps it, like Delta's `ALTER TABLE ... CLUSTER BY`. Maintenance
+    // is INCREMENTAL like Delta's liquid clustering: the last
+    // cluster-applying commit is stamped in `graft.clusterBy.version`,
+    // and the next pass rewrites only files added since — on a 100 TB
+    // table a small append costs a small rewrite, never a full one.
+    // Full rewrite happens when there is no valid stamp: first apply,
+    // changed column spec, or a stamp below the log-retention window.
+    val props0 = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val clusterCols = props0
       .get("graft.clusterBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
       .filter(s.schema.fieldNames.contains)
-    if (clusterCols.nonEmpty)
-      return zorderWhere(targetBytes, where, clusterCols: _*)
+    if (clusterCols.nonEmpty) {
+      val spec = clusterCols.mkString(",")
+      val sinceStamp: Option[Seq[AddFile]] =
+        if (where.nonEmpty) None // explicit scope wins
+        else for {
+          vs <- props0.get("graft.clusterBy.version")
+          v <- scala.util.Try(vs.toLong).toOption
+          if props0.get("graft.clusterBy.applied").contains(spec)
+          base <- scala.util.Try(snapshotAt(v)).toOption
+        } yield {
+          val clustered = base.activeFiles.map(_.path).toSet
+          s.activeFiles.filterNot(f => clustered.contains(f.path))
+        }
+      val m = sinceStamp match {
+        case Some(newFiles) => zorderFiles(s, newFiles, targetBytes, clusterCols)
+        case None => zorderWhere(targetBytes, where, clusterCols: _*)
+      }
+      // stamp the applying commit (only for unscoped passes — a WHERE
+      // rewrite covers part of the table and must not claim it all)
+      if (where.isEmpty) m.get("commitVersion").foreach { cv =>
+        commitMetadataMerge(info("CLUSTER BY MAINTENANCE",
+          params = Map("clusterBy" -> spec, "appliedVersion" -> cv)))(meta =>
+          meta.copy(properties = meta.properties +
+            ("graft.clusterBy.version" -> cv) +
+            ("graft.clusterBy.applied" -> spec)))
+      }
+      return m
+    }
     val vcols = vorderColumns(s)
     var removed = 0
     var added = 0
@@ -1824,6 +1867,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p)
       case None => s.activeFiles
     }
+    zorderFiles(s, scoped, targetBytes, cols)
+  }
+
+  /** Z-order rewrite of an explicit file subset (the scoped half of
+    * [[zorderWhere]], also driven directly by incremental CLUSTER BY
+    * maintenance). DVs retire only when the subset covers every
+    * active file.
+    */
+  private def zorderFiles(s: Snapshot, scoped: Seq[AddFile], targetBytes: Long,
+                          cols: Seq[String]): Map[String, String] = {
     if (scoped.isEmpty)
       return Map("numRemovedFiles" -> "0", "numAddedFiles" -> "0")
     val df = dfForFiles(s, scoped)
@@ -1845,11 +1898,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       "zOrderBy" -> cols.mkString(","),
       "numRemovedFiles" -> removes.size.toString,
       "numAddedFiles" -> adds.size.toString)
-    commitAndCheckpoint(Seq(info("OPTIMIZE ZORDER",
+    val v = commitAndCheckpoint(Seq(info("OPTIMIZE ZORDER",
       params = Map("zOrderBy" -> cols.mkString(",")), metrics = metrics)) ++
       removes ++ dvRemoves ++ adds, readVersion = s.version)
     maybeRecomputeBlooms(s, removes.size)
-    metrics
+    metrics + ("commitVersion" -> v.toString)
   }
 
   /** VACUUM (reference 02-lab:295-309): delete files on disk that are
@@ -2059,17 +2112,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   /** DESCRIBE HISTORY equivalent (reference 02-lab:205-211). Commits
     * dropped by [[cleanupLogs]] simply don't appear (Delta history
-    * shows only the retained window too).
+    * shows only the retained window too). Cost is O(retained window):
+    * one log-directory listing finds the surviving commit files — at
+    * the 100k-commit design point a cleaned-up table probes only its
+    * retention window, never 0..version. `limit` paginates to the
+    * newest N entries (Delta `history(limit)` parity) and skips even
+    * reading older commits.
     */
-  def history: DataFrame = {
+  def history: DataFrame = history(Int.MaxValue)
+
+  def history(limit: Int): DataFrame = {
     import spark.implicits._
-    (0L to version).flatMap { v =>
-      if (!log.hasCommit(v)) None
-      else log.readCommit(v).collectFirst { case c: CommitInfo =>
-        (v, c.timestamp, c.operation,
-          c.parameters.map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(";"),
-          c.metrics.map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(";"))
-      }
+    val top = version
+    log.listVersions().filter(_ <= top).takeRight(limit).flatMap { v =>
+      // tolerate a concurrent cleanup racing the listing
+      scala.util.Try(log.readCommit(v)).toOption.toSeq.flatten
+        .collectFirst { case c: CommitInfo =>
+          (v, c.timestamp, c.operation,
+            c.parameters.map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(";"),
+            c.metrics.map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(";"))
+        }
     }.toDF("version", "timestamp", "operation", "parameters", "metrics")
       .orderBy(col("version").desc)
   }
@@ -2142,12 +2204,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Table-level column statistics (reference 02-lab:587-663):
     * row count, per-column distinct/null/min/max, persisted as table
     * properties so later sessions (and planners) can read them.
+    * Collection is capped at the first [[GraftTable.DefaultStatsColumns]]
+    * schema columns (Fabric caps extended stats the same way,
+    * 02-lab:604-633) — on a 1000-column table an uncapped NDV pass is
+    * an unbounded scan; override per session with
+    * `spark.graft.stats.maxColumns`.
     */
   def computeStats(): DataFrame = {
     import spark.implicits._
     val s = snapshot
     val df = toDF
-    val cols = s.schema.fieldNames.toSeq
+    val cols = s.schema.fieldNames.toSeq.take(statsMaxColumns)
     val aggs = cols.flatMap(c => Seq(
       countDistinct(col(c)).as(s"d_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"),
@@ -2173,6 +2240,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 }
 
 object GraftTable {
+
+  /** ANALYZE / auto-stats NDV collection covers at most this many
+    * leading schema columns unless `spark.graft.stats.maxColumns`
+    * overrides it (Fabric's extended-stats collector has the same
+    * 32-column cap).
+    */
+  val DefaultStatsColumns = 32
 
   def isGraftTable(path: String): Boolean = new TxnLog(path).exists
 

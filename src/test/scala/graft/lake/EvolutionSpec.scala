@@ -244,6 +244,59 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(after.contains("l_orderkey")) // schema rows present too
   }
 
+  test("stats collection caps at 32 columns, session conf overrides and gates") {
+    // 40-column table: ANALYZE must scan only the first 32 (Fabric's
+    // extended-stats cap), never all of a wide schema
+    val wide = li.limit(50).select(
+      (Seq(col("l_orderkey")) ++
+        (1 to 39).map(i => (col("l_partkey") + i).as(s"c$i"))): _*)
+    val t = GraftTable.create(spark, tmpDir("stats-cap"), wide)
+    t.computeStats()
+    def statCols = t.snapshot.metadata.get.properties.keys
+      .filter(_.startsWith("graft.stats.")).toSeq
+    assert(statCols.size == 32, s"expected 32 capped stat columns, got ${statCols.size}")
+
+    // session override widens (or narrows) the cap
+    spark.conf.set("spark.graft.stats.maxColumns", "5")
+    try {
+      val t2 = GraftTable.create(spark, tmpDir("stats-cap5"), wide)
+      t2.computeStats()
+      val n = t2.snapshot.metadata.get.properties.keys
+        .count(_.startsWith("graft.stats."))
+      assert(n == 5, s"expected 5 stat columns under the override, got $n")
+    } finally spark.conf.unset("spark.graft.stats.maxColumns")
+
+    // session kill-switch: auto-collect table property respected only
+    // when the session allows it
+    val t3 = GraftTable.create(spark, tmpDir("stats-gate"), li.limit(50),
+      properties = Map("graft.stats.autoCollect" -> "true"))
+    // NB: the autoCollect switch itself lives under the graft.stats.
+    // prefix — exclude it when counting collected columns
+    def collected = t3.snapshot.metadata.get.properties.keys
+      .filter(k => k.startsWith("graft.stats.") && k != "graft.stats.autoCollect")
+    spark.conf.set("spark.graft.stats.autoCollect.enabled", "false")
+    try {
+      t3.append(li.limit(10))
+      assert(collected.isEmpty,
+        "session-disabled auto-collect must not write stats")
+    } finally spark.conf.unset("spark.graft.stats.autoCollect.enabled")
+    t3.append(li.limit(10))
+    assert(collected.nonEmpty, "re-enabled session collects on the next write")
+  }
+
+  test("history reads only retained commits and paginates") {
+    val t = GraftTable.create(spark, tmpDir("hist-win"), li.limit(20))
+    (1 to 24).foreach(_ => t.append(li.limit(1)))
+    assert(t.version == 24)
+    t.cleanupLogs()
+    val kept = t.log.listVersions()
+    assert(kept.head > 0, "cleanup must drop early commits")
+    val h = t.history.select("version").collect().map(_.getLong(0)).sorted
+    assert(h.sameElements(kept), "history rows = retained commit files")
+    val page = t.history(3).select("version").collect().map(_.getLong(0)).sorted
+    assert(page.sameElements(kept.takeRight(3)), "history(3) = newest 3 retained")
+  }
+
   test("convert adopts an existing partitioned parquet dir without rewrite") {
     val dir = tmpDir("convert")
     li.write.partitionBy("l_returnflag").parquet(dir)

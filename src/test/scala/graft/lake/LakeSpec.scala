@@ -62,6 +62,36 @@ class LakeSpec extends GraftSparkSpec {
     assert(t.toDF.count() == expected)
   }
 
+  test("CLUSTER BY maintenance is incremental: later optimize touches only new files") {
+    val path = tmpDir("clusterby-inc")
+    val t = GraftTable.create(spark, path, li.repartition(8))
+    val g = new GraftSql(spark)
+    g.register("cbi", path)
+    g.sql("ALTER TABLE cbi CLUSTER BY (l_shipdate)")
+    val n0 = t.snapshot.numFiles
+    val m1 = t.optimize(targetBytes = 32L * 1024)
+    assert(m1("numRemovedFiles").toInt == n0, "first pass clusters the whole table")
+    val clustered = t.snapshot.activeFiles.map(_.path).toSet
+    // small append: the next pass must rewrite ONLY the appended files
+    t.append(li.limit(500).repartition(2))
+    val m2 = t.optimize(targetBytes = 32L * 1024)
+    assert(m2("numRemovedFiles").toInt == 2,
+      s"incremental pass must rewrite only the 2 new files, got ${m2("numRemovedFiles")}")
+    assert(clustered.subsetOf(t.snapshot.activeFiles.map(_.path).toSet),
+      "previously clustered files must survive an incremental pass untouched")
+    // nothing new since the stamp -> maintenance is a no-op
+    val m3 = t.optimize(targetBytes = 32L * 1024)
+    assert(m3("numRemovedFiles").toInt == 0)
+    assert(t.toDF.count() == li.count() + 500)
+    // changing the clustering spec invalidates the stamp -> full rewrite
+    g.sql("ALTER TABLE cbi CLUSTER BY (l_orderkey)")
+    val nBefore = t.snapshot.numFiles
+    val m4 = t.optimize(targetBytes = 32L * 1024)
+    assert(m4("numRemovedFiles").toInt == nBefore,
+      "a changed CLUSTER BY spec must re-cluster the whole table")
+    assert(t.toDF.count() == li.count() + 500)
+  }
+
   test("prefix and null-count predicates skip files") {
     // range-cluster on the string key so each file covers a disjoint
     // lexicographic slice — the shape prefix skipping needs
