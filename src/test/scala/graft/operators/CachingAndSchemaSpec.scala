@@ -28,6 +28,36 @@ class CachingAndSchemaSpec extends GraftSparkSpec {
     df.unpersist(blocking = true)
   }
 
+  /** §H on the lab's OWN file: /root/reference/docs/files/
+    * orders_dataset.csv (50k orders) read with the lab's explicit
+    * StructType (02-lab:495-505) vs inferSchema (02-lab:526-539).
+    */
+  test("reference orders_dataset.csv: lab's explicit schema vs inferSchema") {
+    val csv = "/root/reference/docs/files/orders_dataset.csv"
+    assume(new java.io.File(csv).isFile, "reference CSV not present")
+    val ordersSchema = StructType(Seq(
+      StructField("order_id", LongType),
+      StructField("order_ts", TimestampType),
+      StructField("country", StringType),
+      StructField("category", StringType),
+      StructField("price", DoubleType),
+      StructField("quantity", IntegerType)))
+    val explicit = spark.read.schema(ordersSchema)
+      .option("header", "true").csv(csv)
+    val inferred = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(csv)
+    assert(explicit.schema == ordersSchema)
+    assert(explicit.count() == 50000 && inferred.count() == 50000)
+    // date-only strings infer as DATE, the lab's declared type is
+    // TIMESTAMP — the silent type drift §H warns about; values agree
+    // once the inferred frame is cast to the declared schema
+    assert(explicit.exceptAll(inferred.select(
+      ordersSchema.map(f => col(f.name).cast(f.dataType)): _*)).isEmpty)
+    // the lab's §B baseline filter runs identically on the lab data
+    assert(explicit.filter(col("country") === "US" &&
+      col("category") === "electronics").count() > 0)
+  }
+
   test("explicit schema CSV read matches inferSchema but skips the inference scan") {
     val dir = tmpDir("csv")
     Tables(spark, sfDir, "orders")
