@@ -1429,7 +1429,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       updateSet: Option[Map[String, Column]],
       deleteCond: Option[Column], insertUnmatched: Boolean,
       nmbsUpdate: Option[(Option[Column], Map[String, Column])],
-      nmbsDelete: Option[Column]): Map[String, String] = {
+      nmbsDelete: Option[Column],
+      extraActions: Seq[Action] = Nil): Map[String, String] = {
     val s = snapshot
     // small-delta source feeds the key-range probe, the semi/anti joins
     // and the numSourceRows metric — persist once (see executeMerge)
@@ -1536,9 +1537,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       emptyAdds.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
       if (nMasked == 0 && adds.isEmpty) {
         deleteRecursively(root.resolve(rel))
+        // a no-op epoch still advances the SetTxn watermark: a replay
+        // after crash must see the epoch as applied
         commitAndCheckpoint(Seq(info("MERGE",
           params = Map("mode" -> "merge-on-read"),
-          metrics = Map("numDeletionVectors" -> "0"))))
+          metrics = Map("numDeletionVectors" -> "0"))) ++ extraActions)
         return Map("numDeletionVectors" -> "0")
       }
       val dvActions: Seq[Action] =
@@ -1567,7 +1570,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         "numAddedFiles" -> adds.size.toString)
       commitOrReclaimCdc(cdc)(commitAndCheckpoint(Seq(info("MERGE",
         params = Map("mode" -> "merge-on-read"), metrics = metrics)) ++
-        dvActions ++ cdc ++ adds,
+        dvActions ++ cdc ++ adds ++ extraActions,
         readVersion = s.version, readPaths = scanFiles.map(_.path).toSet,
         conflictOnDV = true))
       metrics
@@ -1579,12 +1582,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * carries a SetTxn for (appId, epochId), so a replayed micro-batch
     * (engine retry after crash) is skipped instead of double-applied.
     * Exactly-once upserts from a stream into a 100 TB table.
+    *
+    * With table property `graft.streamUpsert.mor=true` each epoch
+    * commits merge-on-read: DV masks over updated rows + appended
+    * post-images/inserts, O(changed rows) per epoch. At high epoch
+    * rates the copy-on-write default rewrites every candidate file
+    * every epoch — write amplification that MoR avoids entirely;
+    * compaction moves to the maintenance schedule (OPTIMIZE / REORG
+    * PURGE), where it belongs.
     */
   def mergeStreamBatch(appId: String, epochId: Long, source: DataFrame,
                        key: String): Map[String, String] = {
     val s = snapshot
     if (s.txns.get(appId).exists(_ >= epochId))
       Map("skippedEpoch" -> epochId.toString)
+    else if (s.metadata.map(_.properties).getOrElse(Map.empty)
+        .getOrElse("graft.streamUpsert.mor", "false").toBoolean)
+      executeMergeMoR(source, key, updateAll = true, updateCond = None,
+        updateSet = None, deleteCond = None, insertUnmatched = true,
+        nmbsUpdate = None, nmbsDelete = None,
+        extraActions = Seq(SetTxn(appId, epochId)))
     else executeMerge(source, key, updateAll = true, updateCond = None,
       deleteCond = None, insertUnmatched = true,
       extraActions = Seq(SetTxn(appId, epochId)))

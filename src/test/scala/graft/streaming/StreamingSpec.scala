@@ -113,6 +113,41 @@ class StreamingSpec extends GraftSparkSpec {
     assert(t.toDF.count() == nBefore + 10)
   }
 
+  test("MoR streaming upsert: epochs commit DVs + appends, no candidate rewrites") {
+    val orders = graft.Tables(spark, sfDir, "orders")
+    val t = GraftTable.create(spark, tmpDir("stream-upsert-mor"),
+      orders.repartition(4),
+      properties = Map("graft.streamUpsert.mor" -> "true"))
+    val nBefore = t.toDF.count()
+    val filesBefore = t.snapshot.activeFiles.map(_.path).toSet
+    val batch = orders.limit(50)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+    t.mergeStreamBatch("mor-upserter", 0, batch, "o_orderkey")
+    // MoR shape: original files untouched, masks + post-images appended
+    assert(filesBefore.subsetOf(t.snapshot.activeFiles.map(_.path).toSet),
+      "MoR epoch must not rewrite candidate files")
+    assert(t.snapshot.dvFiles.size == 1, "epoch must commit a deletion vector")
+    assert(t.toDF.count() == nBefore)
+    val doubled = t.toDF.join(batch.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("want")), col("o_orderkey") === col("k"))
+      .filter(col("o_totalprice") =!= col("want")).count()
+    assert(doubled == 0, "post-images must carry the updated values")
+    // replay of the same epoch is skipped (SetTxn rode the MoR commit)
+    val m = t.mergeStreamBatch("mor-upserter", 0, batch, "o_orderkey")
+    assert(m.contains("skippedEpoch"))
+    // next epoch stacks another DV; inserts append
+    val inserts = orders.limit(10)
+      .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+    t.mergeStreamBatch("mor-upserter", 1,
+      batch.limit(5).unionByName(inserts), "o_orderkey")
+    assert(t.toDF.count() == nBefore + 10)
+    assert(t.snapshot.dvFiles.size == 2)
+    // maintenance materializes the masks back into plain files
+    t.reorgPurge()
+    assert(t.snapshot.dvFiles.isEmpty)
+    assert(t.toDF.count() == nBefore + 10)
+  }
+
   test("streaming into GraftLake + OPTIMIZE compaction loop") {
     val dir = eventsOnDisk("lake-src")
     val schema = spark.read.parquet(dir).schema
