@@ -70,7 +70,10 @@ object Bench {
 
     // Contention canary: one fixed read+aggregate timed before and after
     // the suite. The plans never change between the two runs, so any
-    // drift is the environment, not the code.
+    // END-side slowdown is the environment, not the code. Drift BELOW 1
+    // is expected and benign — the JVM keeps JIT-compiling through the
+    // suite, so the end canary runs closer to steady state; start-side
+    // contention is covered by the load gate + load_at_start instead.
     def canary(): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -79,7 +82,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    canary() // untimed codegen warm for the canary shape itself
+    canary(); canary() // untimed: codegen + page-cache warm for the canary shape
     val canaryStart = math.min(canary(), canary())
 
     // Hygiene: a cache-heavy query must not inflate its neighbors'
@@ -105,7 +108,7 @@ object Bench {
     val canaryEnd = math.min(canary(), canary())
     spark.catalog.clearCache()
     val drift = canaryEnd / math.max(canaryStart, 1e-9)
-    val valid = drift <= 1.5 && drift >= (1.0 / 1.5)
+    val valid = drift <= 1.5
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
