@@ -105,7 +105,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def readWhere(predicate: Column): DataFrame = {
     val s = snapshot
-    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate)
+    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate, generatedExprs(s))
     dfForFiles(s, bloomPrune(s, kept, predicate)).filter(predicate)
   }
 
@@ -132,7 +132,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Files that survive pruning for `predicate` (for tests/metrics). */
   def pruneFiles(predicate: Column): (Int, Int) = {
     val s = snapshot
-    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate)
+    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate, generatedExprs(s))
     (bloomPrune(s, kept, predicate).size, s.activeFiles.size)
   }
 
@@ -530,15 +530,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * pipeline derives a date partition key from an event timestamp
     * without every writer repeating the expression.
     */
-  private def applyGeneratedColumns(df: DataFrame, s: Snapshot): DataFrame = {
-    val gens = s.metadata.map(_.properties).getOrElse(Map.empty).collect {
+  private def applyGeneratedColumns(df: DataFrame, s: Snapshot): DataFrame =
+    generatedExprs(s).foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
+    }
+
+  /** `graft.generated.<col>` property map — the write-side column
+    * generators, also consumed by pruning to derive partition bounds
+    * from source-column predicates (Pruning.deriveGenerated).
+    */
+  private def generatedExprs(s: Snapshot): Map[String, String] =
+    s.metadata.map(_.properties).getOrElse(Map.empty).collect {
       case (k, v) if k.startsWith("graft.generated.") =>
         k.stripPrefix("graft.generated.") -> v
     }
-    gens.foldLeft(df) { case (d, (c, e)) =>
-      if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
-    }
-  }
 
   def append(df0: DataFrame, mergeSchema: Boolean = false): Long = {
     val s = snapshot
@@ -1014,7 +1019,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def delete(cond: Column): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("DELETE", metrics = Map("numRemovedFiles" -> "0"))))
       return Map("numRemovedFiles" -> "0")
@@ -1046,7 +1051,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def deleteMergeOnRead(cond: Column): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("DELETE",
         params = Map("mode" -> "merge-on-read"),
@@ -1114,7 +1119,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** UPDATE ... SET assignments WHERE cond. */
   def update(cond: Column, set: Map[String, Column]): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("UPDATE", metrics = Map("numRemovedFiles" -> "0"))))
       return Map("numRemovedFiles" -> "0")
@@ -1160,7 +1165,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def updateMergeOnRead(cond: Column, set: Map[String, Column]): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("UPDATE",
         params = Map("mode" -> "merge-on-read"),
@@ -1295,7 +1300,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (nmbsUpdate.isEmpty && nmbsDelete.isEmpty) return Nil
     val rest = logicalFiles(s).filterNot(f => candidatePaths(f.path))
     val conds = nmbsDelete.toSeq ++ nmbsUpdate.map(_._1.getOrElse(lit(true))).toSeq
-    Pruning.prune(rest, s.schema, s.partitionColumns, conds.reduce(_ || _))
+    Pruning.prune(rest, s.schema, s.partitionColumns, conds.reduce(_ || _), generatedExprs(s))
   }
 
   private[lake] def executeMerge(sourceIn: DataFrame, key: String,
@@ -1315,7 +1320,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     enforceSchema(source.schema, s.schema)
     val kr = source.agg(min(col(key)), max(col(key))).head()
     val keyRange = col(key) >= lit(kr.get(0)) && col(key) <= lit(kr.get(1))
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, keyRange)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, keyRange, generatedExprs(s))
     val candDF = dfForFiles(s, candidates)
     val fields = s.schema.fieldNames.toIndexedSeq.map(col)
 
@@ -1440,7 +1445,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     enforceSchema(source.schema, s.schema)
     val kr = source.agg(min(col(key)), max(col(key))).head()
     val keyRange = col(key) >= lit(kr.get(0)) && col(key) <= lit(kr.get(1))
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, keyRange)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, keyRange, generatedExprs(s))
     val restFiles = nmbsRestFiles(s, candidates.map(_.path).toSet, nmbsUpdate, nmbsDelete)
     val scanFiles = candidates ++ restFiles
     val fields = s.schema.fieldNames.toIndexedSeq.map(col)
@@ -1616,7 +1621,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s = snapshot
     validateConstraints(df, s)
     enforceSchema(df.schema, s.schema)
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond)
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
     val keep = dfForFiles(s, candidates)
       .filter(coalesce(cond, lit(false)) === false)
       .select(s.schema.fieldNames.map(col): _*)
@@ -1734,7 +1739,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     var added = 0
     val actions = scala.collection.mutable.Buffer[Action]()
     val scoped = where match {
-      case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p)
+      case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p, generatedExprs(s))
       case None => s.activeFiles
     }
     val compactable = scoped.groupBy(_.partitionValues).toSeq
@@ -1881,7 +1886,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s = snapshot
     where.foreach(validatePredicate(s, _))
     val scoped = where match {
-      case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p)
+      case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p, generatedExprs(s))
       case None => s.activeFiles
     }
     zorderFiles(s, scoped, targetBytes, cols)

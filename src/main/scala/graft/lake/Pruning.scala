@@ -20,10 +20,119 @@ import org.apache.spark.unsafe.types.UTF8String
 object Pruning {
 
   def prune(files: Seq[AddFile], schema: StructType,
-            partitionCols: Seq[String], predicate: Column): Seq[AddFile] = {
+            partitionCols: Seq[String], predicate: Column,
+            generated: Map[String, String] = Map.empty): Seq[AddFile] = {
     val conjuncts = splitConjuncts(normalize(GraftExpr.expression(predicate)))
-    files.filter(f => conjuncts.forall(c => mayMatch(f, partitionCols, c)))
+    val derived = deriveGenerated(generated, conjuncts)
+    val all = conjuncts ++ derived
+    files.filter(f => all.forall(c => mayMatch(f, partitionCols, c)))
   }
+
+  /** Generated-column pruning (Delta parity): when a partition column
+    * is generated from a source column through a MONOTONE expression
+    * (`day = CAST(ts AS DATE)`), a predicate on the source column
+    * implies bounds on the partition column — `ts >= L` implies
+    * `day >= g(L)` — so a query that filters only on the raw
+    * timestamp still prunes date partitions. Supported shapes:
+    * CAST(src AS DATE), to_date(src), date_trunc(unit, src),
+    * year(src), substring(src, 1, n). Conservative: unrecognized
+    * generation expressions or literals that fail to map derive
+    * nothing (keep behavior unchanged).
+    */
+  private def deriveGenerated(generated: Map[String, String],
+                              conjuncts: Seq[Expression]): Seq[Expression] = {
+    if (generated.isEmpty) return Nil
+    generated.toSeq.flatMap { case (gcol, sql) =>
+      genMapping(sql).toSeq.flatMap { case (src, g) =>
+        def gLit(e: Expression): Option[Literal] =
+          litValue(e).flatMap { case (v, t) => g(v, t) }
+            .map { case (gv, gt) => Literal(gv, gt) }
+        val ga = UnresolvedAttribute(gcol)
+        conjuncts.flatMap {
+          case EqualTo(l, r) if attrName(l).contains(src) =>
+            gLit(r).map(EqualTo(ga, _))
+          case EqualTo(l, r) if attrName(r).contains(src) =>
+            gLit(l).map(EqualTo(ga, _))
+          case GreaterThan(l, r) if attrName(l).contains(src) =>
+            gLit(r).map(GreaterThanOrEqual(ga, _)) // step fn: non-strict
+          case GreaterThanOrEqual(l, r) if attrName(l).contains(src) =>
+            gLit(r).map(GreaterThanOrEqual(ga, _))
+          case LessThan(l, r) if attrName(l).contains(src) =>
+            gLit(r).map(LessThanOrEqual(ga, _))
+          case LessThanOrEqual(l, r) if attrName(l).contains(src) =>
+            gLit(r).map(LessThanOrEqual(ga, _))
+          case GreaterThan(l, r) if attrName(r).contains(src) =>
+            gLit(l).map(LessThanOrEqual(ga, _)) // lit > src ≡ src < lit
+          case GreaterThanOrEqual(l, r) if attrName(r).contains(src) =>
+            gLit(l).map(LessThanOrEqual(ga, _))
+          case LessThan(l, r) if attrName(r).contains(src) =>
+            gLit(l).map(GreaterThanOrEqual(ga, _))
+          case LessThanOrEqual(l, r) if attrName(r).contains(src) =>
+            gLit(l).map(GreaterThanOrEqual(ga, _))
+          case In(a, list) if attrName(a).contains(src) && list.forall(_.foldable) =>
+            val mapped = list.map(gLit)
+            if (mapped.forall(_.isDefined)) Some(In(ga, mapped.flatten.distinct))
+            else None
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Parse a generation expression and, when it is a supported
+    * monotone shape over a single source attribute, return
+    * (srcColumn, literal mapper). The mapper applies the generation
+    * function to a predicate literal via resolved Catalyst eval —
+    * exactly the arithmetic the write path used to produce the
+    * partition value.
+    */
+  private def genMapping(sql: String)
+      : Option[(String, (Any, DataType) => Option[(Any, DataType)])] = Try {
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+  }.toOption.flatMap {
+    case c: Cast if c.dataType == DateType =>
+      attrName(c.child).map(_ -> castMapper(DateType))
+    case f: UnresolvedFunction =>
+      val args = f.arguments
+      (f.nameParts.last.toLowerCase, args) match {
+        case ("to_date", Seq(a)) =>
+          attrName(a).map(_ -> castMapper(DateType))
+        case ("date_trunc", Seq(u, a)) if litValue(u).isDefined =>
+          val unit = litValue(u).get._1
+          attrName(a).map(_ -> { (v: Any, t: DataType) =>
+            Try {
+              val ts = Cast(Literal(v, t), TimestampType).withTimeZone("UTC")
+              val e = TruncTimestamp(Literal(unit, StringType), ts, Some("UTC"))
+              (e.eval(), TimestampType)
+            }.toOption.filter(_._1 != null)
+          })
+        case ("year", Seq(a)) =>
+          attrName(a).map(_ -> { (v: Any, t: DataType) =>
+            Try {
+              val d = Cast(Literal(v, t), DateType).withTimeZone("UTC")
+              (Year(d).eval(), IntegerType)
+            }.toOption.filter(_._1 != null)
+          })
+        case ("substring" | "substr", Seq(a, p, n))
+            if litValue(p).exists(_._1 == 1) && litValue(n).isDefined =>
+          attrName(a).map(_ -> { (v: Any, t: DataType) =>
+            if (t != StringType) None
+            else Try {
+              (Substring(Literal(v, t), Literal(1), Literal(
+                litValue(n).get._1.asInstanceOf[Number].intValue())).eval(),
+                StringType)
+            }.toOption.filter(_._1 != null)
+          })
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def castMapper(to: DataType)
+      : (Any, DataType) => Option[(Any, DataType)] = (v, t) =>
+    Try {
+      (Cast(Literal(v, t), to).withTimeZone("UTC").eval(), to)
+    }.toOption.filter(_._1 != null)
 
   /** Top-level equality bindings `attr = literal` in the predicate's
     * conjuncts — the shapes bloom-filter skipping can consume.
@@ -115,10 +224,18 @@ object Pruning {
         BigDecimal(stored).compare(lit.asInstanceOf[Decimal].toBigDecimal)
       case StringType =>
         stored.compareTo(lit.asInstanceOf[UTF8String].toString)
-      case TimestampType | TimestampNTZType => // stored = epoch micros (INT64)
-        stored.toLong.compare(lit.asInstanceOf[Number].longValue())
-      case DateType => // stored = epoch days (INT32)
-        stored.toInt.compare(lit.asInstanceOf[Number].intValue())
+      case TimestampType | TimestampNTZType =>
+        // footer stats store epoch micros; partition-dir values render
+        // as "yyyy-MM-dd HH:mm:ss" — accept both
+        val us = Try(stored.toLong).getOrElse(
+          Snapshot.parseTsMillis(stored) * 1000L)
+        us.compare(lit.asInstanceOf[Number].longValue())
+      case DateType =>
+        // footer stats store epoch days; partition-dir values render
+        // as "yyyy-MM-dd" — accept both
+        val days = Try(stored.toInt).getOrElse(
+          java.time.LocalDate.parse(stored).toEpochDay.toInt)
+        days.compare(lit.asInstanceOf[Number].intValue())
       case BooleanType =>
         stored.toBoolean.compare(lit.asInstanceOf[Boolean])
       case _ => throw new MatchError(t)

@@ -173,6 +173,41 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(t.toDF.filter(col("ship_date") === "1990-01-01").count() == 10)
   }
 
+  test("generated-column partition pruning: raw-timestamp filters prune date partitions") {
+    import org.apache.spark.sql.types.DateType
+    val seed = li.limit(3000)
+      .withColumn("ship_date", col("l_shipdate").cast(DateType))
+    val t = GraftTable.create(spark, tmpDir("gencol-prune"), seed, Seq("ship_date"),
+      properties = Map("graft.generated.ship_date" -> "CAST(l_shipdate AS DATE)"))
+    assert(t.snapshot.numFiles > 3, "need several date partitions to observe pruning")
+    // predicate ONLY on the raw timestamp — pruning must derive the
+    // ship_date partition bound through the generation expression
+    val cutoff = lit("2003-01-01").cast("timestamp")
+    val (kept, total) = t.pruneFiles(col("l_shipdate") >= cutoff)
+    assert(kept < total, s"generated-column pruning must drop partitions ($kept/$total)")
+    // correctness: pruned read returns exactly the unpruned rows
+    assert(t.readWhere(col("l_shipdate") >= cutoff).count() ==
+      t.toDF.filter(col("l_shipdate") >= cutoff).count())
+    // equality derives an equality partition bound
+    val tsType = t.toDF.schema("l_shipdate").dataType
+    val someDay = lit(t.toDF.select(col("l_shipdate").cast("string"))
+      .head.getString(0)).cast(tsType)
+    val (k2, t2) = t.pruneFiles(col("l_shipdate") === someDay)
+    assert(k2 <= 2 && k2 < t2, s"equality on the source column should hit ~1 partition ($k2/$t2)")
+    assert(t.readWhere(col("l_shipdate") === someDay).count() ==
+      t.toDF.filter(col("l_shipdate") === someDay).count())
+
+    // year(src) generation also derives bounds
+    val t3 = GraftTable.create(spark, tmpDir("gencol-prune-yr"),
+      li.limit(3000).withColumn("ship_year", year(col("l_shipdate"))),
+      Seq("ship_year"),
+      properties = Map("graft.generated.ship_year" -> "year(l_shipdate)"))
+    val (k3, t3n) = t3.pruneFiles(col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+    assert(k3 < t3n, s"year() generation must prune year partitions ($k3/$t3n)")
+    assert(t3.readWhere(col("l_shipdate") < lit("2001-01-01").cast("timestamp")).count() ==
+      t3.toDF.filter(col("l_shipdate") < lit("2001-01-01").cast("timestamp")).count())
+  }
+
   test("OPTIMIZE WHERE compacts only matching partitions") {
     val t = GraftTable.create(spark, tmpDir("optwhere"),
       li.limit(2000), Seq("l_returnflag"))
