@@ -24,7 +24,7 @@ object Bench {
     // (sbt test, a second bench) corrupt timings. Blocks until the lock
     // is free rather than failing, so a queued bench still runs.
     val lockCh = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get("/root/repo/.bench.lock"),
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), ".bench.lock"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
     val lock = lockCh.lock()
     val spark = SparkSession.builder()

@@ -87,19 +87,27 @@ object MediaCodec {
         payload(2) == 'F' && payload(3) == 'F' &&
         payload(8) == 'W' && payload(9) == 'A' &&
         payload(10) == 'V' && payload(11) == 'E') {
-      // chunk walk (fmt/data in any order, unknown chunks skipped)
-      var off = 12
+      // chunk walk (fmt/data in any order, unknown chunks skipped).
+      // Sizes are untrusted: step in Long and stop on any chunk whose
+      // declared size runs past the buffer — a hostile 0xFFFFFFF8 size
+      // narrowed to Int would otherwise stall the loop (off += 0) and
+      // hang the scan task on one malformed row.
+      var off = 12L
       var rate = 0L; var blockAlign = 1L; var dataSize = 0L
-      while (off + 8 <= n) {
-        val id = new String(payload, off, 4, "US-ASCII")
-        val size = readLe32(payload, off + 4).toLong & 0xffffffffL
+      var walking = true
+      while (walking && off + 8 <= n) {
+        val o = off.toInt
+        val id = new String(payload, o, 4, "US-ASCII")
+        val size = readLe32(payload, o + 4).toLong & 0xffffffffL
         if (id == "fmt " && off + 8 + 16 <= n) {
-          rate = readLe32(payload, off + 12).toLong & 0xffffffffL
-          blockAlign = math.max(1, readLe16(payload, off + 20)).toLong
+          rate = readLe32(payload, o + 12).toLong & 0xffffffffL
+          blockAlign = math.max(1, readLe16(payload, o + 20)).toLong
         } else if (id == "data") {
           dataSize = size
         }
-        off += 8 + size.toInt + (size.toInt & 1) // chunks are 2-aligned
+        val step = 8L + size + (size & 1L) // chunks are 2-aligned
+        if (off + step > n) walking = false // truncated/corrupt tail
+        else off += step
       }
       MediaMeta("wav", 0L, 0L, rate, dataSize / blockAlign)
     } else {

@@ -940,6 +940,27 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       require(violations == 0,
         s"CHECK constraint $name ($exprSql) violated by $violations incoming rows")
     }
+    // Generated columns are an implicit CHECK (Delta parity): a writer
+    // that supplies the column explicitly must supply the value the
+    // generation expression produces. Without this, a divergent
+    // explicit value (or an UPDATE of the source column that keeps the
+    // stale generated value) breaks the monotone-derivation pruning
+    // contract and pruned reads silently lose rows.
+    generatedExprs(s).foreach { case (c, exprSql) =>
+      if (df.columns.contains(c) &&
+          scala.util.Try(df(c)).isSuccess) {
+        val srcCols = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(exprSql).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name
+          }
+        if (srcCols.forall(df.columns.contains)) {
+          val bad = df.filter(!(col(c) <=> expr(exprSql))).count()
+          require(bad == 0,
+            s"generated column $c must equal $exprSql; $bad incoming rows diverge")
+        }
+      }
+    }
   }
 
   /** Overwrite; `overwriteSchema=true` allows a schema change
@@ -1124,11 +1145,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       commitAndCheckpoint(Seq(info("UPDATE", metrics = Map("numRemovedFiles" -> "0"))))
       return Map("numRemovedFiles" -> "0")
     }
-    val updated = set.foldLeft(dfForFiles(s, candidates)) { case (df, (c, v)) =>
-      df.withColumn(c,
-        when(coalesce(cond, lit(false)), v.cast(s.schema(c).dataType))
-          .otherwise(col(c)))
-    }
+    val updated = regenerateGenerated(
+      set.foldLeft(dfForFiles(s, candidates)) { case (df, (c, v)) =>
+        df.withColumn(c,
+          when(coalesce(cond, lit(false)), v.cast(s.schema(c).dataType))
+            .otherwise(col(c)))
+      }, set.keySet, s, Some(cond))
     validateConstraints(updated, s)
     val adds = stageWrite(updated, s.partitionColumns, dataChange = true)
     val removes = candidates.map(f =>
@@ -1140,9 +1162,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (!cdfEnabled(s)) Nil
       else {
         val pre = dfForFiles(s, candidates).filter(coalesce(cond, lit(false)))
-        val post = set.foldLeft(pre) { case (df, (c, v)) =>
+        val post = regenerateGenerated(set.foldLeft(pre) { case (df, (c, v)) =>
           df.withColumn(c, v.cast(s.schema(c).dataType))
-        }
+        }, set.keySet, s, None)
         Seq(stageCdc(s,
           pre.withColumn("_change_type", lit("update_preimage"))
             .unionByName(post.withColumn("_change_type", lit("update_postimage")))))
@@ -1207,9 +1229,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           metrics = Map("numDeletionVectors" -> "0"))))
         return Map("numDeletionVectors" -> "0")
       }
-      val updated = set.foldLeft(matched.drop("file_path", "row_index")) {
-        case (df, (c, v)) => df.withColumn(c, v.cast(s.schema(c).dataType))
-      }
+      val updated = regenerateGenerated(
+        set.foldLeft(matched.drop("file_path", "row_index")) {
+          case (df, (c, v)) => df.withColumn(c, v.cast(s.schema(c).dataType))
+        }, set.keySet, s, None)
       validateConstraints(updated, s)
       val adds = stageWrite(updated, s.partitionColumns, dataChange = true)
       val cdc: Seq[Action] =
@@ -1262,7 +1285,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   private def assignAll(df: DataFrame, set: Map[String, Column],
                         s: Snapshot, gate: Option[Column]): DataFrame =
-    df.select(s.schema.fields.toIndexedSeq.map { f =>
+    regenerateGenerated(df.select(s.schema.fields.toIndexedSeq.map { f =>
       set.get(f.name) match {
         case Some(v) =>
           val cast = v.cast(f.dataType)
@@ -1270,7 +1293,31 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             when(coalesce(g, lit(false)), cast).otherwise(col(f.name))).as(f.name)
         case None => col(f.name)
       }
-    }: _*)
+    }: _*), set.keySet, s, gate)
+
+  /** Re-derive generated columns whose SOURCE columns were just
+    * assigned (and that were not assigned explicitly themselves): an
+    * UPDATE of the source must move the row to its new generated
+    * value/partition, or the generated-column invariant (and with it
+    * the monotone-derivation pruning) silently breaks.
+    */
+  private def regenerateGenerated(df: DataFrame, setCols: Set[String],
+                                  s: Snapshot, gate: Option[Column]): DataFrame =
+    generatedExprs(s).foldLeft(df) { case (d, (c, exprSql)) =>
+      val srcs = scala.util.Try(
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(exprSql).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name
+          }).getOrElse(Nil)
+      if (setCols.contains(c) || !d.columns.contains(c) ||
+          !srcs.exists(setCols.contains)) d
+      else {
+        val regen = expr(exprSql).cast(s.schema(c).dataType)
+        d.withColumn(c, gate.fold(regen)(g =>
+          when(coalesce(g, lit(false)), regen).otherwise(col(c))))
+      }
+    }
 
   /** NOT MATCHED BY SOURCE rewrite: delete clause first, then update
     * assignments gated by their condition (both evaluated on the
@@ -1720,7 +1767,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           s.activeFiles.filterNot(f => clustered.contains(f.path))
         }
       val m = sinceStamp match {
-        case Some(newFiles) => zorderFiles(s, newFiles, targetBytes, clusterCols)
+        case Some(newFiles) =>
+          // merge-on-read masks would otherwise accumulate forever: an
+          // incremental pass never covers every active file, so the
+          // full-coverage DV retirement in zorderFiles can't fire.
+          // Fold the masked files into the pass — rewriting them
+          // materializes the deletes, making every DV retirable.
+          val maskedActive =
+            if (s.dvFiles.isEmpty) Nil
+            else {
+              val dvPaths = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+                .select("file_path").distinct().collect().map(_.getString(0))
+              GraftTable.dvMaskedFiles(dvPaths.toIndexedSeq, s.activeFiles, dataPath)
+            }
+          val scope = (newFiles ++ maskedActive).distinctBy(_.path)
+          zorderFiles(s, scope, targetBytes, clusterCols,
+            retireDvs = s.dvFiles.nonEmpty)
         case None => zorderWhere(targetBytes, where, clusterCols: _*)
       }
       // stamp the applying commit (only for unscoped passes — a WHERE
@@ -1894,11 +1956,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   /** Z-order rewrite of an explicit file subset (the scoped half of
     * [[zorderWhere]], also driven directly by incremental CLUSTER BY
-    * maintenance). DVs retire only when the subset covers every
-    * active file.
+    * maintenance). DVs retire when the subset covers every active
+    * file, or when the caller proves coverage of every MASKED file
+    * (`retireDvs` — the incremental-clustering case, which folds the
+    * masked files into its scope).
     */
   private def zorderFiles(s: Snapshot, scoped: Seq[AddFile], targetBytes: Long,
-                          cols: Seq[String]): Map[String, String] = {
+                          cols: Seq[String],
+                          retireDvs: Boolean = false): Map[String, String] = {
     if (scoped.isEmpty)
       return Map("numRemovedFiles" -> "0", "numAddedFiles" -> "0")
     val df = dfForFiles(s, scoped)
@@ -1915,7 +1980,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // files' masks still apply; entries for rewritten paths go stale
     // harmlessly and retire on the next full rewrite)
     val dvRemoves =
-      if (scoped.size == s.activeFiles.size) s.dvFiles.map(RemoveDV) else Nil
+      if (retireDvs || scoped.size == s.activeFiles.size)
+        s.dvFiles.map(RemoveDV)
+      else Nil
     val metrics = Map(
       "zOrderBy" -> cols.mkString(","),
       "numRemovedFiles" -> removes.size.toString,

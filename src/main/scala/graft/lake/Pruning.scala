@@ -101,15 +101,15 @@ object Pruning {
           val unit = litValue(u).get._1
           attrName(a).map(_ -> { (v: Any, t: DataType) =>
             Try {
-              val ts = Cast(Literal(v, t), TimestampType).withTimeZone("UTC")
-              val e = TruncTimestamp(Literal(unit, StringType), ts, Some("UTC"))
+              val ts = Cast(Literal(v, t), TimestampType).withTimeZone(sessionTz)
+              val e = TruncTimestamp(Literal(unit, StringType), ts, Some(sessionTz))
               (e.eval(), TimestampType)
             }.toOption.filter(_._1 != null)
           })
         case ("year", Seq(a)) =>
           attrName(a).map(_ -> { (v: Any, t: DataType) =>
             Try {
-              val d = Cast(Literal(v, t), DateType).withTimeZone("UTC")
+              val d = Cast(Literal(v, t), DateType).withTimeZone(sessionTz)
               (Year(d).eval(), IntegerType)
             }.toOption.filter(_._1 != null)
           })
@@ -131,7 +131,7 @@ object Pruning {
   private def castMapper(to: DataType)
       : (Any, DataType) => Option[(Any, DataType)] = (v, t) =>
     Try {
-      (Cast(Literal(v, t), to).withTimeZone("UTC").eval(), to)
+      (Cast(Literal(v, t), to).withTimeZone(sessionTz).eval(), to)
     }.toOption.filter(_._1 != null)
 
   /** Top-level equality bindings `attr = literal` in the predicate's
@@ -199,16 +199,35 @@ object Pruning {
     case _ => None
   }
 
+  /** The timezone every derivation/eval here must share with the
+    * write path and Spark's own post-scan filter: the SESSION local
+    * timezone (graft's entry points set it to UTC, but the library
+    * must stay correct in any session).
+    */
+  private def sessionTz: String =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
   /** Fold a (possibly Cast-wrapped) literal-valued expression.
     * Casts of string literals to timestamp need a timezone to eval —
-    * pin UTC (the engine-wide session timezone).
+    * use the session's (what Spark's own filter evaluation will use).
     */
   private def litValue(e: Expression): Option[(Any, DataType)] = e match {
     case Literal(v, t) if v != null => Some((v, t))
     case c: Cast if c.foldable =>
-      val cz = if (c.timeZoneId.isEmpty) c.withTimeZone("UTC") else c
+      val cz = if (c.timeZoneId.isEmpty) c.withTimeZone(sessionTz) else c
       Try((cz.eval(), c.dataType)).toOption.filter(_._1 != null)
     case _ => None
+  }
+
+  /** Wall-clock rendering ("yyyy-MM-dd[ HH:mm:ss[.f]]") → epoch
+    * micros in `tz` — how partition-directory timestamp values parse
+    * back.
+    */
+  private def wallToMicros(s: String, tz: String): Long = {
+    val ldt = Try(java.time.LocalDateTime.parse(s.replace(' ', 'T')))
+      .getOrElse(java.time.LocalDate.parse(s).atStartOfDay())
+    val inst = ldt.atZone(java.time.ZoneId.of(tz)).toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
 
   /** Compare a stored stat string against a literal of type `t`.
@@ -223,12 +242,19 @@ object Pruning {
       case _: DecimalType =>
         BigDecimal(stored).compare(lit.asInstanceOf[Decimal].toBigDecimal)
       case StringType =>
-        stored.compareTo(lit.asInstanceOf[UTF8String].toString)
-      case TimestampType | TimestampNTZType =>
+        // code-point (UTF-8 byte) order — the order the footer stats
+        // were written in; Java String.compareTo (UTF-16 unit order)
+        // disagrees between supplementary chars and [U+E000,U+FFFF],
+        // same hazard prefixUpper/StartsWith guard against
+        UTF8String.fromString(stored).compareTo(lit.asInstanceOf[UTF8String])
+      case TimestampType =>
         // footer stats store epoch micros; partition-dir values render
-        // as "yyyy-MM-dd HH:mm:ss" — accept both
-        val us = Try(stored.toLong).getOrElse(
-          Snapshot.parseTsMillis(stored) * 1000L)
+        // as session-local wall time — accept both
+        val us = Try(stored.toLong).getOrElse(wallToMicros(stored, sessionTz))
+        us.compare(lit.asInstanceOf[Number].longValue())
+      case TimestampNTZType =>
+        // NTZ wall time is zone-free: epoch encoding fixes UTC
+        val us = Try(stored.toLong).getOrElse(wallToMicros(stored, "UTC"))
         us.compare(lit.asInstanceOf[Number].longValue())
       case DateType =>
         // footer stats store epoch days; partition-dir values render

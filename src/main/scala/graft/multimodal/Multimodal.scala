@@ -206,8 +206,9 @@ object Multimodal {
           val m = graft.functions.MediaCodec.decode(payload)
           val (w, h, f) = m.format match {
             case "bmp" => (m.width.toInt, m.height.toInt, 1)
-            case "wav" =>
-              (0, 0, math.max(0L, (m.nSamples - 400) / 160 + 1).toInt)
+            case "wav" => // floorDiv: plain / truncates toward zero and
+              // yields a phantom window for 241..399-sample clips
+              (0, 0, math.max(0L, Math.floorDiv(m.nSamples - 400, 160L) + 1).toInt)
             case _ => decodeStub(payload)
           }
           DecodedMeta(id, payload.length.toLong, w, h, f)

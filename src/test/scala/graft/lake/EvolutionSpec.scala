@@ -155,7 +155,7 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(t.toDF.columns.contains("extra"))
   }
 
-  test("generated columns compute missing values on append") {
+  test("generated columns compute on append, reject divergent explicit values, regenerate on update") {
     import org.apache.spark.sql.types.DateType
     val seed = li.limit(50)
       .withColumn("ship_date", col("l_shipdate").cast(DateType))
@@ -166,11 +166,24 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(t.toDF.count() == 80)
     assert(t.toDF.filter(col("ship_date") =!= col("l_shipdate").cast(DateType))
       .count() == 0)
-    // explicit values win over generation
-    val explicit = li.limit(10)
-      .withColumn("ship_date", lit("1990-01-01").cast(DateType))
-    t.append(explicit)
-    assert(t.toDF.filter(col("ship_date") === "1990-01-01").count() == 10)
+    // matching explicit values are accepted
+    t.append(li.limit(10).withColumn("ship_date", col("l_shipdate").cast(DateType)))
+    assert(t.toDF.count() == 90)
+    // DIVERGENT explicit values are rejected (Delta parity): allowing
+    // them would break the generated-column invariant that pruning
+    // derives partition bounds from — silently wrong pruned reads
+    intercept[IllegalArgumentException] {
+      t.append(li.limit(10)
+        .withColumn("ship_date", lit("1990-01-01").cast(DateType)))
+    }
+    assert(t.toDF.count() == 90)
+    // UPDATE of the SOURCE column regenerates the generated column, so
+    // rows move to the partition their new source value implies
+    val newTs = lit("1990-06-15").cast(t.toDF.schema("l_shipdate").dataType)
+    t.update(col("l_orderkey") >= 0, Map("l_shipdate" -> newTs))
+    assert(t.toDF.filter(col("ship_date") =!= col("l_shipdate").cast(DateType))
+      .count() == 0, "update must regenerate ship_date from the new l_shipdate")
+    assert(t.toDF.filter(col("ship_date") === "1990-06-15").count() == 90)
   }
 
   test("generated-column partition pruning: raw-timestamp filters prune date partitions") {

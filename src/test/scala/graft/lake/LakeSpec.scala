@@ -90,6 +90,19 @@ class LakeSpec extends GraftSparkSpec {
     assert(m4("numRemovedFiles").toInt == nBefore,
       "a changed CLUSTER BY spec must re-cluster the whole table")
     assert(t.toDF.count() == li.count() + 500)
+    // MoR masks must not accumulate under clustered maintenance: the
+    // incremental pass folds masked files into its scope and retires
+    // every DV (an incremental-only loop would otherwise never cover
+    // all active files, so retirement could never fire)
+    t.deleteMergeOnRead(col("l_orderkey") < 100)
+    assert(t.snapshot.dvFiles.nonEmpty)
+    val expected = t.toDF.count()
+    t.optimize(targetBytes = 32L * 1024)
+    assert(t.snapshot.dvFiles.isEmpty,
+      "clustered incremental maintenance must retire deletion vectors")
+    assert(t.toDF.count() == expected)
+    assert(t.toDF.filter(col("l_orderkey") < 100).count() == 0,
+      "materializing masks must not resurrect deleted rows")
   }
 
   test("prefix and null-count predicates skip files") {
