@@ -70,6 +70,7 @@ object SparkEntry {
     "text_pii_scrub" -> TextOps.textPiiScrub _,
     "text_repetition" -> TextOps.textRepetition _,
     "text_entropy" -> TextOps.textEntropy _,
+    "text_gopher_filter" -> TextOps.textGopherFilter _,
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_normalized" -> Dedup.dedupNormalized _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
@@ -585,6 +586,25 @@ object SparkEntry {
         "SELECT doc_id, ROUND(list_reduce(list_prepend(0.0, " +
         "list_transform(cs, c -> CAST(c AS DOUBLE))), " +
         "(acc, c) -> acc - (c / total) * ln(c / total)), 4) AS entropy_nats " +
+        "FROM g ORDER BY doc_id"),
+    "text_gopher_filter" ->
+      ("WITH t AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 " +
+        "THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END AS w " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+        "CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS n_word_chars, " +
+        "CAST((length(text) - length(replace(text, '#', ''))) + " +
+        "(length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+        "CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words, " +
+        "CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS n_stopwords " +
+        "FROM t), " +
+        "g AS (SELECT *, CASE WHEN n_words = 0 THEN 0.0 ELSE " +
+        "ROUND(CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 4) END AS mean_word_len " +
+        "FROM f) " +
+        "SELECT doc_id, n_words, mean_word_len, n_symbols, n_alpha_words, n_stopwords, " +
+        "(n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 " +
+        "AND n_symbols * 10 < n_words AND n_alpha_words * 10 > n_words * 8 " +
+        "AND n_stopwords >= 2) AS keep " +
         "FROM g ORDER BY doc_id"),
     "dedup_normalized" ->
       ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash, " +

@@ -97,6 +97,48 @@ object TextOps {
       .limit(20)
   }
 
+  /** Gopher-style document quality gate (Rae et al. 2021 §A1.1, the
+    * rule set most large-corpus pipelines start from): word-count
+    * window, mean word length window, symbol-to-word ratio ('#' and
+    * '…'/'...'), alphabetic-word fraction, minimum stopword hits.
+    * Emits the per-rule features plus the composite keep flag so a
+    * pipeline can tune thresholds without recomputing; all arithmetic
+    * is integer-derived, replicated exactly by the DuckDB oracle.
+    */
+  def textGopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), words.as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        length(regexp_replace(trim(col("text")), "\\s+", ""))
+          .cast("long").as("n_word_chars"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("n_symbols"),
+        size(filter(col("w"), w => w.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha_words"),
+        size(filter(col("w"), w => lower(w).isInCollection(stops)))
+          .cast("long").as("n_stopwords"))
+      .withColumn("mean_word_len",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(col("n_word_chars").cast("double") /
+            col("n_words").cast("double"), 4)))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("n_symbols") * 10 < col("n_words") &&
+          col("n_alpha_words") * 10 > col("n_words") * 8 &&
+          col("n_stopwords") >= 2)
+      .select("doc_id", "n_words", "mean_word_len", "n_symbols",
+        "n_alpha_words", "n_stopwords", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Character-level Shannon entropy per document — a compressibility
     * quality signal (low-entropy docs are boilerplate/repetition,
     * Gopher-style filters cut on it). The histogram and the Σ −p·ln p
