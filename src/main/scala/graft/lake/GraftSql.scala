@@ -35,7 +35,7 @@ final class GraftSql(spark: SparkSession) {
     throw new IllegalArgumentException(s"unknown GraftLake table: $name"))
 
   private val optimizeRe: Regex =
-    """(?is)^\s*OPTIMIZE\s+(\w+)(\s+VORDER)?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(\s+VORDER)?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(\w+)(\s+FULL)?(\s+VORDER)?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(\s+VORDER)?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val vacuumDryRe: Regex =
     """(?is)^\s*VACUUM\s+(\w+)\s+DRY\s+RUN\s*;?\s*$""".r
   private val vacuumRetainRe: Regex =
@@ -101,7 +101,7 @@ final class GraftSql(spark: SparkSession) {
   def sql(statement: String): DataFrame = {
     import spark.implicits._
     statement match {
-      case optimizeRe(name, vorder1, zcols, vorder2, whereCond) =>
+      case optimizeRe(name, full, vorder1, zcols, vorder2, whereCond) =>
         val t = table(name)
         val metrics =
           if (zcols != null)
@@ -116,7 +116,8 @@ final class GraftSql(spark: SparkSession) {
             // EXTENDED to show
             if (vorder1 != null || vorder2 != null)
               t.setTableProperties(Map("graft.vorder" -> "true"))
-            val m = t.optimize(where = Option(whereCond).map(expr))
+            val m = t.optimize(where = Option(whereCond).map(expr),
+              full = full != null)
             if (vorder1 != null || vorder2 != null) m + ("vorder" -> "true")
             else m
           }

@@ -1733,8 +1733,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .filterNot(s.partitionColumns.contains)
   }
 
+  /** `full = true` (SQL `OPTIMIZE t FULL`, Delta parity) forces a
+    * whole-table re-cluster on a CLUSTER BY table, ignoring the
+    * incremental stamp — the escape hatch after the clustering has
+    * degraded (many incremental passes each clustered only within
+    * their own file set).
+    */
   def optimize(targetBytes: Long = 128L * 1024 * 1024,
-               where: Option[Column] = None): Map[String, String] = {
+               where: Option[Column] = None,
+               full: Boolean = false): Map[String, String] = {
     val s = snapshot
     where.foreach(validatePredicate(s, _))
     // CLUSTER BY (liquid-clustering-lite): a persisted clustering spec
@@ -1756,7 +1763,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (clusterCols.nonEmpty) {
       val spec = clusterCols.mkString(",")
       val sinceStamp: Option[Seq[AddFile]] =
-        if (where.nonEmpty) None // explicit scope wins
+        if (where.nonEmpty || full) None // explicit scope / FULL wins
         else for {
           vs <- props0.get("graft.clusterBy.version")
           v <- scala.util.Try(vs.toLong).toOption

@@ -103,6 +103,13 @@ class LakeSpec extends GraftSparkSpec {
     assert(t.toDF.count() == expected)
     assert(t.toDF.filter(col("l_orderkey") < 100).count() == 0,
       "materializing masks must not resurrect deleted rows")
+    // OPTIMIZE t FULL ignores the stamp: whole-table re-cluster
+    val nAll = t.snapshot.numFiles
+    val mFull = g.sql("OPTIMIZE cbi FULL").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mFull("numRemovedFiles").toInt == nAll,
+      "FULL must re-cluster every file despite a valid stamp")
+    assert(t.toDF.count() == expected)
   }
 
   test("prefix and null-count predicates skip files") {
