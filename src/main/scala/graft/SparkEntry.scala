@@ -71,6 +71,7 @@ object SparkEntry {
     "text_repetition" -> TextOps.textRepetition _,
     "text_entropy" -> TextOps.textEntropy _,
     "text_gopher_filter" -> TextOps.textGopherFilter _,
+    "text_vocab" -> TextOps.textVocab _,
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_normalized" -> Dedup.dedupNormalized _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
@@ -78,6 +79,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh _,
     "dedup_simhash" -> Dedup.dedupSimhash _,
     "dedup_embedding" -> Dedup.dedupEmbedding _,
+    "dedup_semantic" -> Dedup.dedupSemantic _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_lsh_ann" -> Similarity.simLshAnn _,
     "sim_ivf" -> Similarity.simIvf _,
@@ -87,6 +89,8 @@ object SparkEntry {
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
     "pipe_pack" -> Pipeline.pipePack _,
     "pipe_incremental_dedup" -> Pipeline.pipeIncrementalDedup _,
+    "pipe_shuffle" -> Pipeline.pipeShuffle _,
+    "pipe_split" -> Pipeline.pipeSplit _,
     "mm_decode_meta" -> Multimodal.mmDecodeMeta _,
     "mm_audio_window" -> Multimodal.mmAudioWindow _,
     "mm_frame_sample" -> Multimodal.mmFrameSample _,
@@ -638,7 +642,37 @@ object SparkEntry {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos " +
         "FROM d a JOIN d b ON a.vec_id < b.vec_id " +
-        "WHERE list_cosine_similarity(a.e, b.e) >= 0.99 ORDER BY id_a, id_b"),
+        // filter on the ROUNDED cosine — the Spark side rounds before its
+        // threshold, so a 0.98996 boundary value must pass on both engines
+        "WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.99 ORDER BY id_a, id_b"),
+    "dedup_semantic" ->
+      ("WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "prm AS (SELECT COUNT(*) AS n, LEAST(1024, GREATEST(16, LEAST(" +
+        "CAST(power(2, length(bin(GREATEST(1, COUNT(*) // 2))) - 1) AS BIGINT), " +
+        "CAST(power(2, length(bin(GREATEST(1, CAST(FLOOR(8 * sqrt(COUNT(*))) AS BIGINT)))) - 1) AS BIGINT)))) AS k " +
+        "FROM emb0), " +
+        "seeds AS (SELECT cid_c, c, list_dot_product(c, c) AS nc FROM (" +
+        "SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid_c, e AS c " +
+        "FROM emb0, prm WHERE vec_id % GREATEST(1, n // k) = 0) s, prm " +
+        "WHERE cid_c < k), " +
+        "base AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+        "SELECT vec_id + 100000, list_transform(embedding, (x, i) -> CASE WHEN i = 1 " +
+        "THEN CAST(CAST(x AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT) " +
+        "ELSE x END) FROM embeddings WHERE vec_id < 20), " +
+        "d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM base), " +
+        "assign AS (SELECT vec_id, cid_c, CASE WHEN nc > 0 THEN " +
+        "list_dot_product(e, c) * (1.0 / sqrt(nc)) ELSE 0.0 END AS score " +
+        "FROM d CROSS JOIN seeds), " +
+        "cl AS (SELECT vec_id, cid_c AS cluster FROM (SELECT vec_id, cid_c, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid_c) AS rr " +
+        "FROM assign) r WHERE rr = 1), " +
+        "p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b FROM cl a " +
+        "JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id), " +
+        "sc AS (SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b, " +
+        "ROUND(list_cosine_similarity(da.e, db.e), 4) AS cos FROM p " +
+        "JOIN d da ON da.vec_id = id_a JOIN d db ON db.vec_id = id_b) " +
+        "SELECT cluster, id_a, id_b, cos FROM sc WHERE cos >= 0.99 " +
+        "ORDER BY id_a, id_b"),
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf" -> simIvfSql,
     "sim_bruteforce_topk" ->
@@ -661,6 +695,22 @@ object SparkEntry {
       ("SELECT doc_id, lang, rn FROM (SELECT doc_id, lang, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn " +
         "FROM documents) t WHERE rn <= 50 ORDER BY doc_id"),
+    "text_vocab" ->
+      ("WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "v AS (SELECT word, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq " +
+        "FROM w GROUP BY word) " +
+        "SELECT word, freq, doc_freq, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY freq DESC, word) AS BIGINT) AS rank FROM v ORDER BY rank"),
+    "pipe_shuffle" ->
+      ("SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS shuffle_key, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) " +
+        "AS BIGINT) AS pos FROM documents ORDER BY pos"),
+    "pipe_split" ->
+      ("SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket, " +
+        "CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 97 THEN 'train' " +
+        "WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 99 THEN 'validation' " +
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
     "pipe_mixture" ->
       ("SELECT doc_id, lang, rn FROM (SELECT doc_id, lang, " +
         "CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 40 WHEN 'es' THEN 40 " +

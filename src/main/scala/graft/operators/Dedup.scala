@@ -260,4 +260,42 @@ object Dedup {
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * corpus with the table's coarse quantizer ([[IvfIndex]] medoids —
+    * built once per table, the same index the IVF ANN path uses), then
+    * compare embeddings pairwise ONLY within a cluster and report
+    * pairs with cosine ≥ 0.99 (keep-lowest-id policy is then a trivial
+    * `id_b` drop). Candidate generation is an equi-join on the cluster
+    * id — with k ≈ 8√n centroids the expected cluster size is ~√n/8,
+    * so the within-cluster self-join is ~O(n·√n), never all-pairs,
+    * and the cluster assignment itself is one codegen'd map over the
+    * scan. Planted near-identical vectors (+0.05 on dim 0, id offset
+    * +100000) give known positives; pairs split across cluster
+    * boundaries are out of scope BY DESIGN (the SemDeDup recall
+    * trade), and the DuckDB oracle replays the identical medoid
+    * assignment so both engines agree on scope exactly.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val cents = IvfIndex.centroids(spark, dir)
+    val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val variants = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    val all = emb.unionByName(variants)
+      .withColumn("cluster",
+        element_at(VectorFunctions.topCentroidIds(col("embedding"), cents, 1), 1)
+          .cast("long"))
+    val a = all.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = all.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= 0.99)
+      .select("cluster", "id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -138,4 +138,45 @@ object Pipeline {
       .withColumn("contaminated", lit(true))
       .orderBy("doc_id")
   }
+
+  /** Fibonacci-multiplier hash shared by [[pipeShuffle]] and
+    * [[pipeSplit]]: exact in 64-bit integer arithmetic on both engines
+    * (doc_id ≤ ~2^40 × 2654435761 stays far under 2^63), so the
+    * "random" order and bucket are bit-reproducible in the oracle —
+    * the property a resumable training run needs from its shuffle.
+    */
+  private def docHash(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic global shuffle: the training-order randomization
+    * pass before sharding. Ordering by a hash of the key (not by
+    * `rand()`) makes the permutation reproducible across retries and
+    * engines while still decorrelating neighbors. The global
+    * row_number is for the oracle-checked output; the production path
+    * writes hash-range-partitioned shards (`repartitionByRange` on
+    * shuffle_key), which needs no global sort.
+    */
+  def pipeShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), docHash(col("doc_id")).as("shuffle_key"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+      .select("doc_id", "shuffle_key", "pos")
+      .orderBy("pos")
+
+  /** Hash-bucket train/validation/test split (97/2/1): membership
+    * depends only on doc_id, so it is stable as the corpus grows —
+    * new documents never move an old document across splits, the
+    * invariant that keeps a long-lived eval set uncontaminated. One
+    * codegen'd projection, no shuffle at all.
+    */
+  def pipeSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), (docHash(col("doc_id")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 97, "train")
+          .when(col("bucket") < 99, "validation")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
 }

