@@ -92,6 +92,7 @@ object SparkEntry {
     "pipe_shuffle" -> Pipeline.pipeShuffle _,
     "pipe_split" -> Pipeline.pipeSplit _,
     "mm_decode_meta" -> Multimodal.mmDecodeMeta _,
+    "mm_content_stats" -> Multimodal.mmContentStats _,
     "mm_audio_window" -> Multimodal.mmAudioWindow _,
     "mm_frame_sample" -> Multimodal.mmFrameSample _,
     "mm_resize_plan" -> Multimodal.mmResizePlan _)
@@ -740,6 +741,21 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 * (1 << (nb % 3)) END AS BIGINT) AS sample_rate, " +
         "CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE nb END AS BIGINT) AS n_samples, " +
         "md5(text) AS checksum FROM t ORDER BY doc_id"),
+    // content stats recomputed from the SOURCE bytes the builder
+    // wrapped (docs are ASCII, so ascii(ch) is the byte value): a
+    // match proves the Spark parser located exactly the content span
+    // via the payload's own header fields
+    "mm_content_stats" ->
+      ("WITH c AS (SELECT doc_id, ascii(unnest(regexp_split_to_array(text, ''))) AS b " +
+        "FROM documents WHERE length(text) > 0), " +
+        "s AS (SELECT doc_id, COUNT(*) AS n, CAST(SUM(b) AS BIGINT) AS sm, " +
+        "CAST(SUM(b * b) AS BIGINT) AS sq, CAST(MIN(b) AS BIGINT) AS mn, " +
+        "CAST(MAX(b) AS BIGINT) AS mx FROM c GROUP BY doc_id) " +
+        "SELECT d.doc_id, CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format, " +
+        "COALESCE(s.n, 0) AS n_content, COALESCE(s.sm, 0) AS byte_sum, " +
+        "COALESCE(s.sq, 0) AS byte_sumsq, COALESCE(s.mn, 0) AS min_byte, " +
+        "COALESCE(s.mx, 0) AS max_byte " +
+        "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
     "mm_frame_sample" ->
       ("WITH t AS (SELECT doc_id, text, octet_length(encode(text)) % 16 + 1 AS n_frames " +
         "FROM documents), k AS (SELECT doc_id, text, n_frames, LEAST(n_frames, 4) AS k FROM t), " +

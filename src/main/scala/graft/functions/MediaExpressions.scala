@@ -178,3 +178,86 @@ object DecodeMedia {
       m.width, m.height, m.sampleRate, m.nSamples))
   }
 }
+
+/** CONTENT decode: locate the pixel array (BMP, via the header's own
+  * pixel-data offset field) or PCM samples (WAV, via the data chunk
+  * the RIFF walk finds) inside the payload and fold byte-level
+  * statistics over them — count, sum, sum-of-squares (the RMS/energy
+  * numerator), min, max, all in exact integer arithmetic. This is the
+  * step that was previously stubbed: every number here comes from
+  * content BYTES addressed by parsed header fields, not from side
+  * metadata. Unknown formats fold over the whole payload ("raw").
+  */
+case class MediaContentStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaContentStats.schema
+  override def nullSafeEval(v: Any): Any =
+    MediaContentStats.kernel(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.InternalRow)" +
+        s"graft.functions.MediaContentStats.kernel($c)")
+  override protected def withNewChildInternal(c: Expression): MediaContentStats =
+    copy(c)
+}
+
+object MediaContentStats {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("n_content", LongType, nullable = false),
+    StructField("byte_sum", LongType, nullable = false),
+    StructField("byte_sumsq", LongType, nullable = false),
+    StructField("min_byte", LongType, nullable = false),
+    StructField("max_byte", LongType, nullable = false)))
+
+  /** (format, content offset, content length) — offsets come from the
+    * payload's own header fields, clamped to the buffer so declared
+    * sizes past the end (truncated/hostile files) never overrun.
+    */
+  private def contentSpan(p: Array[Byte]): (String, Int, Int) = {
+    val n = p.length
+    def le16(off: Int) = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def le32(off: Int) = le16(off) | (le16(off + 2) << 16)
+    if (n >= 54 && p(0) == 'B' && p(1) == 'M') {
+      val off = math.max(14 + 40, le32(10)) // pixel-array offset field
+      val declared = le32(34).toLong & 0xffffffffL // biSizeImage
+      val size = if (declared == 0) math.max(0, n - off).toLong else declared
+      val o = math.min(off.toLong, n.toLong).toInt
+      ("bmp", o, math.min(size, (n - o).toLong).toInt)
+    } else if (n >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E') {
+      var off = 12L
+      var dataOff = 0L; var dataSize = 0L
+      var walking = true
+      while (walking && off + 8 <= n) {
+        val o = off.toInt
+        val id = new String(p, o, 4, "US-ASCII")
+        val size = le32(o + 4).toLong & 0xffffffffL
+        if (id == "data") { dataOff = off + 8; dataSize = size; walking = false }
+        else {
+          val step = 8L + size + (size & 1L)
+          if (off + step > n) walking = false else off += step
+        }
+      }
+      val o = math.min(dataOff, n.toLong).toInt
+      ("wav", o, math.min(dataSize, (n - o).toLong).toInt)
+    } else ("raw", 0, n)
+  }
+
+  def kernel(payload: Array[Byte]): InternalRow = {
+    val (fmt, off, len) = contentSpan(payload)
+    var i = 0
+    var sum = 0L; var sumsq = 0L
+    var mn = if (len == 0) 0L else 255L
+    var mx = 0L
+    while (i < len) {
+      val b = (payload(off + i) & 0xff).toLong
+      sum += b; sumsq += b * b
+      if (b < mn) mn = b
+      if (b > mx) mx = b
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromString(fmt),
+      len.toLong, sum, sumsq, mn, mx))
+  }
+}

@@ -156,6 +156,32 @@ object Multimodal {
       .orderBy("doc_id", "win_start")
   }
 
+  /** Content decode (oracle-checked): byte statistics of the pixel
+    * array / PCM samples located by the payload's OWN header fields —
+    * the native [[graft.functions.MediaContentStats]] expression walks
+    * the BMP pixel-offset field or the RIFF data chunk and folds
+    * count/sum/sum-of-squares/min/max over the content bytes in exact
+    * integer arithmetic (sumsq is the RMS/energy numerator an audio
+    * gate thresholds on; min==max flags constant-color/silent
+    * payloads). The oracle recomputes the same stats from the source
+    * bytes the builder wrapped, so a green row proves the parser
+    * addressed exactly the content span through real headers.
+    */
+  def mmContentStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("payload", mediaPayload)
+      .withColumn("s", ge.column(graft.functions.MediaContentStats(
+        ge.expression(col("payload")))))
+      .select(
+        col("doc_id"),
+        col("s.format").as("format"),
+        col("s.n_content").as("n_content"),
+        col("s.byte_sum").as("byte_sum"),
+        col("s.byte_sumsq").as("byte_sumsq"),
+        col("s.min_byte").as("min_byte"),
+        col("s.max_byte").as("max_byte"))
+      .orderBy("doc_id")
+
   /** STUB feature extractor: a deterministic 16-dim embedding from
     * payload bytes (byte histogram folded by FNV mixing). A real
     * deployment swaps in a vision/audio encoder here; everything

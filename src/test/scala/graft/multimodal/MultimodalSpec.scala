@@ -76,6 +76,45 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(MediaCodec.decode("not a media file".getBytes).format == "raw")
   }
 
+  test("content stats address the span the header declares, not byte 54+") {
+    import graft.functions.{MediaCodec, MediaContentStats}
+    def stats(p: Array[Byte]) = MediaContentStats.kernel(p)
+    // crafted BMP whose pixel-array OFFSET field says 60 (6 bytes of
+    // palette/gap after the 54-byte headers): a parser that blindly
+    // slices [54:] would fold the gap bytes in and get sum 99+3 wrong
+    val px = Array[Byte](10, 20, 30)
+    val bmp = MediaCodec.makeBmp(3, 1, Array[Byte](99, 99, 99, 99, 99, 99) ++ px)
+    bmp(10) = 60 // pixel data offset -> 60
+    bmp(34) = 3; bmp(35) = 0; bmp(36) = 0; bmp(37) = 0 // biSizeImage -> 3
+    val r = stats(bmp)
+    assert(r.getString(0) == "bmp")
+    assert(r.getLong(1) == 3 && r.getLong(2) == 60 && r.getLong(3) == 1400)
+    assert(r.getLong(4) == 10 && r.getLong(5) == 30)
+    // WAV: data chunk located by the RIFF walk even behind a LIST chunk
+    val wav = java.nio.ByteBuffer.allocate(74)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(66)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(16000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(10)
+      .put(Array.tabulate[Byte](10)(i => (i + 1).toByte))
+    val w = stats(wav.array())
+    assert(w.getString(0) == "wav")
+    assert(w.getLong(1) == 10 && w.getLong(2) == 55 && w.getLong(3) == 385)
+    assert(w.getLong(4) == 1 && w.getLong(5) == 10)
+    // truncated data chunk: declared 10 bytes, only 4 present (data
+    // bytes start at offset 56; cut at 60) — the fold must clamp
+    val trunc = java.util.Arrays.copyOf(wav.array(), 60)
+    assert(stats(trunc).getLong(1) == 4)
+    // raw fallback covers the whole payload
+    val raw = stats("ab".getBytes("US-ASCII"))
+    assert(raw.getString(0) == "raw" && raw.getLong(1) == 2 &&
+      raw.getLong(2) == 'a' + 'b')
+  }
+
   test("batched stub decode agrees with the expression-side metadata") {
     val decoded = Multimodal.decodeFrames(spark, sfDir).toDF()
       .select(col("doc_id"), col("n_bytes"), col("width").cast("long").as("width"),
