@@ -72,6 +72,7 @@ object SparkEntry {
     "text_entropy" -> TextOps.textEntropy _,
     "text_gopher_filter" -> TextOps.textGopherFilter _,
     "text_vocab" -> TextOps.textVocab _,
+    "text_rarity" -> TextOps.textRarity _,
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_normalized" -> Dedup.dedupNormalized _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
@@ -703,6 +704,14 @@ object SparkEntry {
         "FROM w GROUP BY word) " +
         "SELECT word, freq, doc_freq, CAST(ROW_NUMBER() OVER " +
         "(ORDER BY freq DESC, word) AS BIGINT) AS rank FROM v ORDER BY rank"),
+    "text_rarity" ->
+      ("WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "v AS (SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) " +
+        "AS BIGINT) AS rank FROM w GROUP BY word) " +
+        "SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(rank) AS BIGINT) AS rank_sum, " +
+        "ROUND(CAST(SUM(rank) AS DOUBLE) / COUNT(*), 4) AS mean_rank " +
+        "FROM w JOIN v USING (word) GROUP BY doc_id ORDER BY doc_id"),
     "pipe_shuffle" ->
       ("SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS shuffle_key, " +
         "CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) " +

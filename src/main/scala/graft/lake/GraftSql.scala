@@ -74,6 +74,10 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s*(?:\(\s*([\w,\s]+?)\s*\)|NONE)\s*;?\s*$""".r
   private val propPairRe: Regex =
     """'([^']+)'\s*=\s*'([^']*)'""".r
+  private val showPropsRe: Regex =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*$""".r
+  private val showPartitionsRe: Regex =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+(\w+)\s*;?\s*$""".r
   private val restoreRe: Regex =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val restoreTsRe: Regex =
@@ -142,6 +146,29 @@ final class GraftSql(spark: SparkSession) {
           (f.name, f.dataType.simpleString))
         val propRows = s.metadata.toSeq.flatMap(_.properties.toSeq.sorted)
         (schemaRows ++ propRows).toDF("col_name", "data_type")
+      case showPropsRe(name) =>
+        table(name).snapshot.metadata.toSeq
+          .flatMap(_.properties.toSeq).sorted.toDF("key", "value")
+      case showPartitionsRe(name) =>
+        // partition inventory from log metadata only (the file list the
+        // snapshot already holds) — no data files are opened, same as
+        // Delta's SHOW PARTITIONS
+        val s = table(name).snapshot
+        val cols = s.partitionColumns
+        require(cols.nonEmpty, s"table $name is not partitioned")
+        val rows = s.activeFiles
+          .map(f => cols.map(c => f.partitionValues.getOrElse(c, "")))
+          .groupBy(identity).toSeq
+          .map { case (vals, fs) =>
+            org.apache.spark.sql.Row.fromSeq(vals :+ fs.size.toLong) }
+          .sortBy(_.mkString("/"))
+        val schema = org.apache.spark.sql.types.StructType(
+          cols.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType)) :+
+            org.apache.spark.sql.types.StructField("num_files",
+              org.apache.spark.sql.types.LongType))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
       case deleteRe(name, cond) =>
         // no WHERE = whole-table delete (Delta parity)
         val c = Option(cond).map(expr).getOrElse(lit(true))

@@ -182,4 +182,28 @@ object TextOps {
           .orderBy(col("freq").desc, col("word"))).cast("long"))
       .select("word", "freq", "doc_freq", "rank")
       .orderBy("rank")
+
+  /** Word-rarity quality score (the CCNet/perplexity-filter shape with
+    * an exact-arithmetic proxy): each document's words join the corpus
+    * vocabulary and the doc is scored by the SUM and MEAN of its
+    * words' frequency ranks — common-word documents score low,
+    * rare/garbage-word documents high, and a pipeline thresholds the
+    * tails. Rank sums are exact integers so the score can never
+    * diverge between engines; the vocab is broadcast (a few MB even
+    * web-scale — top-k it if larger) so the corpus side streams with
+    * no shuffle before the per-doc aggregate.
+    */
+  def textRarity(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = textVocab(spark, dir).select("word", "rank")
+    Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("rank").as("rank_sum"))
+      .withColumn("mean_rank",
+        round(col("rank_sum").cast("double") / col("n_words").cast("double"), 4))
+      .select("doc_id", "n_words", "rank_sum", "mean_rank")
+      .orderBy("doc_id")
+  }
 }

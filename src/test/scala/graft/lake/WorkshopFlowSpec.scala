@@ -78,6 +78,20 @@ class WorkshopFlowSpec extends GraftSparkSpec {
     assert(gsql.sql(
       "SELECT ROUND(SUM(total),2) AS s FROM sales WHERE country='MX'")
       .head().getDouble(0) == 0.0)
+
+    // SHOW PARTITIONS: one row per live partition value, from log
+    // metadata only; SHOW TBLPROPERTIES surfaces what SET wrote
+    val parts = gsql.sql("SHOW PARTITIONS sales_by_country")
+    assert(parts.columns.toSeq == Seq("country", "num_files"))
+    val partVals = parts.select("country").collect().map(_.getString(0)).toSet
+    assert(partVals == countries.toSet)
+    gsql.sql("ALTER TABLE sales SET TBLPROPERTIES ('graft.demo'='on')")
+    val props = gsql.sql("SHOW TBLPROPERTIES sales")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.demo").contains("on"))
+    intercept[IllegalArgumentException] {
+      gsql.sql("SHOW PARTITIONS sales") // unpartitioned
+    }
   }
 
   test("RESTORE TIMESTAMP AS OF and COPY INTO statements") {
