@@ -75,14 +75,49 @@ final class TxnLog(val tablePath: String) {
     */
   def tryCommitAt(v: Long, actions: Seq[Action]): Boolean = {
     Files.createDirectories(logDir)
-    val payload = actions.map(Actions.toJson).mkString("", "\n", "\n")
+    val adjusted = monotonicIct(v, actions)
+    val payload = adjusted.map(Actions.toJson).mkString("", "\n", "\n")
     try {
       Files.write(versionFile(v),
         payload.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      // cache only on SUCCESS: a lost race means v holds the winner's
+      // timestamp, not ours — caching ours would let a later commit
+      // under-clamp against it
+      adjusted.collectFirst { case c: CommitInfo => c.timestamp }
+        .foreach { ts =>
+          synchronized { ictCacheVersion = v; ictCacheTs = ts }
+        }
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
+  // In-commit-timestamp monotonicity (Delta ICT parity): TIMESTAMP AS
+  // OF resolves "latest commit ts ≤ t", which is only well-defined if
+  // commit timestamps never run backwards — wall clocks can (NTP step,
+  // a writer on a skewed host). Clamp each CommitInfo to at least
+  // predecessor+1 at the one chokepoint every commit passes through.
+  // The predecessor's ts is cached per (handle, version) so the steady
+  // state costs zero extra reads; a lost commit race invalidates the
+  // cache naturally (the retry targets a different v).
+  private var ictCacheVersion: Long = -2L
+  private var ictCacheTs: Long = -1L
+
+  private def monotonicIct(v: Long, actions: Seq[Action]): Seq[Action] = {
+    if (v <= 0 || !actions.exists(_.isInstanceOf[CommitInfo])) actions
+    else {
+      val prevTs = synchronized {
+        if (ictCacheVersion == v - 1) ictCacheTs
+        else if (hasCommit(v - 1)) commitTimestamp(v - 1)
+        else -1L // predecessor cleaned up: any wall time is fine
+      }
+      actions.map {
+        case c: CommitInfo if c.timestamp <= prevTs =>
+          c.copy(timestamp = prevTs + 1)
+        case a => a
+      }
     }
   }
 

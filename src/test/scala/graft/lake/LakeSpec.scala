@@ -273,6 +273,26 @@ class LakeSpec extends GraftSparkSpec {
     assert(t.toDF.count() == 100)
   }
 
+  test("commit timestamps are monotonic even when the wall clock runs backwards") {
+    val t = GraftTable.create(spark, tmpDir("ict"), li.limit(10))
+    val log = new TxnLog(t.path)
+    val v0Ts = log.commitTimestamp(0L)
+    // a writer on a skewed host stamps a commit BEFORE the table's
+    // creation time — the log must clamp it to predecessor+1, or
+    // TIMESTAMP AS OF "latest ts <= t" becomes ill-defined
+    val v = log.commit(Seq(
+      CommitInfo(v0Ts - 60000, "SKEWED", Map.empty, Map.empty)))
+    assert(log.commitTimestamp(v) == v0Ts + 1,
+      s"expected clamp to ${v0Ts + 1}, got ${log.commitTimestamp(v)}")
+    // normal forward-clock commits keep their own timestamp
+    val v2 = log.commit(Seq(
+      CommitInfo(System.currentTimeMillis() + 60000, "FUTURE", Map.empty, Map.empty)))
+    assert(log.commitTimestamp(v2) > log.commitTimestamp(v))
+    // time travel at a ts between the clamped pair resolves in order
+    assert(Snapshot.versionAtTimestamp(log, v0Ts) == 0L)
+    assert(Snapshot.versionAtTimestamp(log, v0Ts + 1) == v)
+  }
+
   test("idempotent batch append skips replayed (appId, version) pairs") {
     val t = GraftTable.create(spark, tmpDir("idem"), li.limit(10))
     t.appendIdempotent("nightly-load", 1, li.limit(20))
