@@ -116,7 +116,8 @@ object SparkEntry {
     "lake_data_skipping" -> LakeOps.lakeDataSkipping _,
     "lake_restore" -> LakeOps.lakeRestore _,
     "lake_history" -> LakeOps.lakeHistory _,
-    "lake_vacuum" -> LakeOps.lakeVacuum _)
+    "lake_vacuum" -> LakeOps.lakeVacuum _,
+    "lake_rowtracking" -> LakeOps.lakeRowTracking _)
 
   private val rev = "ROUND(SUM(l_extendedprice*(1.0-l_discount)),2)"
 
@@ -785,6 +786,13 @@ object SparkEntry {
     "lake_zorder" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_restore" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_vacuum" -> LakeOps.liAggOracle.format("lineitem"),
+    // id = create-time global key rank (deterministic two-file sorted
+    // write); OPTIMIZE + DELETE must both preserve surviving ids
+    "lake_rowtracking" ->
+      ("WITH base AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 200), " +
+        "ids AS (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id " +
+        "FROM base) SELECT o_orderkey, row_id FROM ids " +
+        "WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey"),
     "lake_timetravel" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_delete" -> LakeOps.liAggOracle.format(
       "(SELECT * FROM lineitem WHERE l_returnflag <> 'R') t"),

@@ -28,7 +28,11 @@ final case class AddFile(
     size: Long,
     modificationTime: Long,
     dataChange: Boolean,
-    stats: Option[FileStats]) extends Action
+    stats: Option[FileStats],
+    // row tracking: first stable row id in this file — row i of the
+    // file has id baseRowId + i unless a materialized _graft_row_id
+    // column (written by layout rewrites) overrides it
+    baseRowId: Option[Long] = None) extends Action
 
 final case class RemoveFile(
     path: String,
@@ -76,6 +80,13 @@ final case class AddCDC(path: String) extends Action
   */
 final case class SetTxn(appId: String, epoch: Long) extends Action
 
+/** Row-tracking high-water mark (Delta row-ID HWM parity): the
+  * largest stable row id ever reserved in this table. Replayed into
+  * snapshot state so id assignment never reuses a range — including
+  * ranges held by REMOVED files, which time travel still reads.
+  */
+final case class RowIdHighWaterMark(highWaterMark: Long) extends Action
+
 object Actions {
 
   private def q(s: String): String = "\"" + s.flatMap {
@@ -115,7 +126,11 @@ object Actions {
           "nullCounts" -> longMap(s.nullCounts)))
         case None => base
       }
-      obj("add" -> obj(withStats: _*))
+      val withRowId = f.baseRowId match {
+        case Some(b) => withStats :+ ("baseRowId" -> b.toString)
+        case None => withStats
+      }
+      obj("add" -> obj(withRowId: _*))
     case r: RemoveFile =>
       obj("remove" -> obj(
         "path" -> q(r.path),
@@ -142,6 +157,8 @@ object Actions {
         "minWriterVersion" -> p.minWriterVersion.toString))
     case t: SetTxn =>
       obj("txn" -> obj("appId" -> q(t.appId), "epoch" -> t.epoch.toString))
+    case h: RowIdHighWaterMark =>
+      obj("rowIdHwm" -> obj("highWaterMark" -> h.highWaterMark.toString))
   }
 
   private val mapper = new ObjectMapper()
@@ -157,7 +174,7 @@ object Actions {
       .map { case (k, v) => k -> String.valueOf(v).toLong }
 
   private val KnownActions = Set("add", "remove", "metaData", "commitInfo",
-    "addDV", "removeDV", "addCDC", "txn", "protocol")
+    "addDV", "removeDV", "addCDC", "txn", "protocol", "rowIdHwm")
 
   def fromJson(line: String): Option[Action] = {
     val root = mapper.readValue(line, classOf[java.util.Map[String, Any]]).asScala
@@ -183,7 +200,9 @@ object Actions {
           String.valueOf(m("size")).toLong,
           String.valueOf(m("modificationTime")).toLong,
           String.valueOf(m("dataChange")).toBoolean,
-          stats)
+          stats,
+          Option(m.getOrElse("baseRowId", null))
+            .map(v => String.valueOf(v).toLong))
       case ("remove", v) =>
         val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
         RemoveFile(m("path").toString,
@@ -214,6 +233,9 @@ object Actions {
         val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
         Protocol(String.valueOf(m("minReaderVersion")).toInt,
           String.valueOf(m("minWriterVersion")).toInt)
+      case ("rowIdHwm", v) =>
+        val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
+        RowIdHighWaterMark(String.valueOf(m("highWaterMark")).toLong)
       case (other, _) => // unreachable: filtered to KnownActions above
         throw new IllegalArgumentException(s"unknown action type: $other")
     }

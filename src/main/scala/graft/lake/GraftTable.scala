@@ -51,12 +51,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * must be projected per branch (it does not survive a union).
     */
   private def physicalScan(snap: Snapshot, files: Seq[AddFile],
-                           withMeta: Boolean): DataFrame = {
+                           withMeta: Boolean,
+                           extraCols: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     val (abs, rel) = files.partition(_.path.startsWith("/"))
     val srcRoot = snap.metadata.map(_.properties).getOrElse(Map.empty)
       .get("graft.cloneSource")
     def branch(basePath: Option[String], fs: Seq[AddFile]): DataFrame = {
-      val reader = spark.read.schema(snap.physicalSchema)
+      val reader = spark.read.schema(org.apache.spark.sql.types.StructType(
+        snap.physicalSchema.fields ++ extraCols))
       val r = basePath.fold(reader)(b => reader.option("basePath", b))
         .parquet(fs.map(f => dataPath(f.path)): _*)
       if (!withMeta) r
@@ -91,6 +94,99 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     dfForFiles(snap, files)
 
   def toDF: DataFrame = { val s = snapshot; dfForFiles(s, s.activeFiles) }
+
+  // ------------------------------------------------- row tracking
+
+  /** Physical column layout rewrites materialize stable ids into. */
+  private[lake] val RowIdCol = "_graft_row_id"
+
+  private def rowTrackingOn(s: Snapshot): Boolean =
+    s.metadata.exists(_.properties.get("graft.rowTracking").contains("true"))
+
+  /** Read with a stable `row_id` column (Delta row-tracking parity;
+    * requires table property `graft.rowTracking=true`). An id follows
+    * its row for the row's whole life: fresh files resolve
+    * baseRowId + position-in-file, files produced by layout rewrites
+    * (OPTIMIZE / ZORDER compaction) carry the materialized
+    * [[RowIdCol]] column instead — so compaction reshuffling rows
+    * across files never changes any row's id. The base-id side of the
+    * resolve is a broadcast of (file name → base) pairs, KBs of
+    * metadata riding the same `_metadata.file_path` join shape the
+    * deletion-vector mask uses.
+    */
+  def toDFWithRowIds: DataFrame = {
+    val s = snapshot
+    require(rowTrackingOn(s),
+      s"row tracking is not enabled on $path (set graft.rowTracking=true at create)")
+    rowIdScan(s, s.activeFiles).withColumnRenamed(RowIdCol, "row_id")
+  }
+
+  /** Scan `files` with the stable-id column resolved (materialized
+    * value first, else base + row position), DV masks applied, and
+    * physical names mapped back to logical — the read half of row
+    * tracking, also the rewrite source that lets layout ops preserve
+    * ids.
+    */
+  private def rowIdScan(s: Snapshot, files: Seq[AddFile]): DataFrame = {
+    import spark.implicits._
+    val extra = org.apache.spark.sql.types.StructField(RowIdCol,
+      org.apache.spark.sql.types.LongType, nullable = true)
+    val scan0 = physicalScan(s, files, withMeta = true, extraCols = Seq(extra))
+    val scan = if (s.dvFiles.isEmpty) scan0 else {
+      val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+        .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
+      scan0.join(dv,
+        col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
+        "left_anti")
+    }
+    // Spark-generated part files carry a task UUID, so the bare file
+    // name is a safe unique join key against _metadata.file_path (no
+    // URI-encoding hazards — names are plain ASCII); guard anyway.
+    val entries = files.flatMap(f => f.baseRowId.map(b =>
+      (Paths.get(f.path).getFileName.toString, b)))
+    require(entries.map(_._1).distinct.size == entries.size,
+      s"duplicate data-file names in $path; row-id resolve would be ambiguous")
+    val baseDf = broadcast(entries.toDF("__rt_name", "__rt_base"))
+    val joined = scan
+      .withColumn("__rt_name", element_at(split(col("__fp"), "/"), -1))
+      .join(baseDf, Seq("__rt_name"), "left")
+      .withColumn(RowIdCol,
+        coalesce(col(RowIdCol), col("__rt_base") + col("__ri")))
+      .drop("__fp", "__ri", "__rt_name", "__rt_base")
+    if (s.colMap.isEmpty)
+      joined.select((s.schema.fieldNames.toSeq :+ RowIdCol).map(col): _*)
+    else
+      joined.select(s.schema.fields.map(f =>
+        col(s.physicalName(f.name)).as(f.name)).toSeq :+ col(RowIdCol): _*)
+  }
+
+  /** Rewrite source for layout ops (OPTIMIZE/ZORDER, dataChange =
+    * false): with row tracking on, rows carry their resolved stable id
+    * as the materialized [[RowIdCol]] physical column into the new
+    * files — the snapshot-visible schema is unchanged, and readers
+    * prefer the materialized value. Without row tracking this is the
+    * plain masked read.
+    */
+  private def layoutRewriteSource(s: Snapshot, files: Seq[AddFile]): DataFrame =
+    if (!rowTrackingOn(s)) dfForFiles(s, files) else rowIdScan(s, files)
+
+  /** Reserve contiguous id ranges for a commit's fresh files from the
+    * snapshot high-water mark. Files without numRecords stats stay
+    * unassigned (their readers emit null ids) rather than risk range
+    * overlap. Called per optimistic-commit ATTEMPT with that attempt's
+    * hwm, so a lost race reassigns from the winner's mark.
+    */
+  private def assignRowIds(actions: Seq[Action], hwm: Long): Seq[Action] = {
+    var next = hwm + 1
+    val out = actions.map {
+      case a: AddFile if a.baseRowId.isEmpty && a.stats.isDefined =>
+        val withId = a.copy(baseRowId = Some(next))
+        next += math.max(0L, a.stats.get.numRecords)
+        withId
+      case x => x
+    }
+    if (next == hwm + 1) actions else out :+ RowIdHighWaterMark(next - 1)
+  }
 
   /** `SELECT ... VERSION AS OF v` (reference 02-lab:205-211). */
   def toDFAt(v: Long): DataFrame = { val s = snapshotAt(v); dfForFiles(s, s.activeFiles) }
@@ -342,11 +438,33 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     val deps = actions.collect { case r: RemoveFile => r.path }.toSet ++ readPaths
     val ourTxns = actions.collect { case t: SetTxn => t.appId -> t.epoch }.toMap
+    // row tracking: id ranges are reserved from the hwm of the LATEST
+    // version at each commit attempt — assignment must re-run per
+    // attempt, never be baked into `actions` once, or two racing
+    // appends would both reserve from the same mark and collide
+    val trackRows = actions.exists(_.isInstanceOf[AddFile]) && {
+      val meta = actions.collectFirst { case m: Metadata => m }
+        .orElse(if (log.exists) snapshot.metadata else None)
+      meta.exists(_.properties.get("graft.rowTracking").contains("true"))
+    }
+    def withRowIds(attemptLatest: Long): Seq[Action] =
+      if (!trackRows) actions
+      else assignRowIds(actions,
+        if (attemptLatest < 0) -1L else snapshotAt(attemptLatest).rowIdHwm)
     val v =
       if (readVersion < 0 ||
-          (deps.isEmpty && !metadataConflict && !conflictOnDV && ourTxns.isEmpty))
-        log.commit(actions)
-      else {
+          (deps.isEmpty && !metadataConflict && !conflictOnDV && ourTxns.isEmpty)) {
+        if (!trackRows) log.commit(actions)
+        else {
+          var committed = -1L
+          while (committed < 0) {
+            val latest = log.latestVersion().getOrElse(-1L)
+            if (log.tryCommitAt(latest + 1, withRowIds(latest)))
+              committed = latest + 1
+          }
+          committed
+        }
+      } else {
         var committed = -1L
         while (committed < 0) {
           val latest = log.latestVersion().getOrElse(-1L)
@@ -402,7 +520,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                  else s"${conflicting.size} of this operation's input files were " +
                    "removed by a concurrent commit") +
                 "; re-run against the new snapshot")
-          if (log.tryCommitAt(latest + 1, actions)) committed = latest + 1
+          if (log.tryCommitAt(latest + 1, withRowIds(latest))) committed = latest + 1
         }
         committed
       }
@@ -1045,7 +1163,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       commitAndCheckpoint(Seq(info("DELETE", metrics = Map("numRemovedFiles" -> "0"))))
       return Map("numRemovedFiles" -> "0")
     }
-    val keep = dfForFiles(s, candidates)
+    // with row tracking on, surviving rows carry their stable id
+    // through the rewrite (Delta "preserved row ids" semantics) — a
+    // downstream incremental consumer keyed on row_id must not see a
+    // delete of OTHER rows reassign the survivors
+    val keep = layoutRewriteSource(s, candidates)
       .filter(coalesce(cond, lit(false)) === false)
     val adds = stageWrite(keep, s.partitionColumns, dataChange = true)
     val removes = candidates.map(f =>
@@ -1145,8 +1267,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       commitAndCheckpoint(Seq(info("UPDATE", metrics = Map("numRemovedFiles" -> "0"))))
       return Map("numRemovedFiles" -> "0")
     }
+    // row tracking: updated rows keep their stable id (the UPDATE is
+    // the same row, post-image) — the materialized column rides the
+    // rewrite untouched by the set clauses
     val updated = regenerateGenerated(
-      set.foldLeft(dfForFiles(s, candidates)) { case (df, (c, v)) =>
+      set.foldLeft(layoutRewriteSource(s, candidates)) { case (df, (c, v)) =>
         df.withColumn(c,
           when(coalesce(cond, lit(false)), v.cast(s.schema(c).dataType))
             .otherwise(col(c)))
@@ -1824,7 +1949,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     if (single.nonEmpty) {
       val files = single.flatMap(_._2)
-      val df0 = dfForFiles(s, files)
+      val df0 = layoutRewriteSource(s, files)
       val shaped =
         if (s.partitionColumns.isEmpty) df0.repartition(1)
         else df0.repartition(math.max(1, single.size),
@@ -1850,7 +1975,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // columns so files carry DISJOINT value ranges — file-level
       // min/max stats then prune scans by value, the physical payoff
       // the reference demos after OPTIMIZE VORDER
-      val df0 = dfForFiles(s, small)
+      val df0 = layoutRewriteSource(s, small)
       val (df, target) =
         if (vcols.isEmpty) (df0, Some(nOut))
         else if (nOut <= 1)
@@ -1899,10 +2024,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .select("file_path").distinct().collect().map(_.getString(0))
     val masked = GraftTable.dvMaskedFiles(
       dvPaths.toIndexedSeq, s.activeFiles, dataPath)
-    // dfForFiles applies the DV mask (and column mapping), so the
-    // rewrite carries exactly the masked files' live rows; stageWrite
-    // maps logical back to physical names, keeping renames valid
-    val df = dfForFiles(s, masked)
+    // the rewrite source applies the DV mask (and column mapping), so
+    // it carries exactly the masked files' live rows — with stable ids
+    // materialized when row tracking is on; stageWrite maps logical
+    // back to physical names, keeping renames valid
+    val df = layoutRewriteSource(s, masked)
     val nOut = math.max(1,
       math.ceil(masked.map(_.size).sum.toDouble / targetBytes).toInt)
     val adds = stageWrite(df, s.partitionColumns, dataChange = false,
@@ -1973,7 +2099,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                           retireDvs: Boolean = false): Map[String, String] = {
     if (scoped.isEmpty)
       return Map("numRemovedFiles" -> "0", "numAddedFiles" -> "0")
-    val df = dfForFiles(s, scoped)
+    val df = layoutRewriteSource(s, scoped)
     val z = df.withColumn("__zval", ZOrder.zvalue(df, cols))
     val scopedBytes = scoped.map(_.size).sum
     val nOut = math.max(1, math.ceil(scopedBytes.toDouble / targetBytes).toInt)

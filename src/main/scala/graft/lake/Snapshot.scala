@@ -15,7 +15,11 @@ final case class Snapshot(
     activeFiles: Seq[AddFile],
     dvFiles: Seq[String] = Nil,
     txns: Map[String, Long] = Map.empty,
-    protocol: Option[Protocol] = None) {
+    protocol: Option[Protocol] = None,
+    // row tracking: largest row id ever reserved (-1 = none yet).
+    // Monotone across versions — removed files keep their ranges
+    // because time travel still reads them.
+    rowIdHwm: Long = -1L) {
 
   def schema: StructType =
     metadata.map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -145,6 +149,7 @@ object Snapshot {
       base.activeFiles.map(a => a.path -> a): _*)
     val dvs = scala.collection.mutable.LinkedHashSet(base.dvFiles: _*)
     val txns = scala.collection.mutable.LinkedHashMap(base.txns.toSeq: _*)
+    var hwm = base.rowIdHwm
     tail.foreach {
       case m: Metadata => meta = Some(m)
       case p: Protocol => proto = Some(p)
@@ -154,10 +159,11 @@ object Snapshot {
       case d: RemoveDV => dvs -= d.path
       case t: SetTxn =>
         txns(t.appId) = math.max(t.epoch, txns.getOrElse(t.appId, Long.MinValue))
+      case h: RowIdHighWaterMark => hwm = math.max(hwm, h.highWaterMark)
       case _: AddCDC => ()
       case _: CommitInfo => ()
     }
-    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap, proto)
+    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap, proto, hwm)
   }
 
   /** Version whose commit timestamp is the latest ≤ `tsMillis`. */
@@ -174,6 +180,7 @@ object Snapshot {
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val dvs = scala.collection.mutable.LinkedHashSet[String]()
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var hwm = -1L
     (base ++ tail).foreach {
       case m: Metadata => meta = Some(m)
       case p: Protocol => proto = Some(p)
@@ -183,8 +190,9 @@ object Snapshot {
       case d: RemoveDV => dvs -= d.path
       case _: AddCDC => () // per-commit change feed, not snapshot state
       case t: SetTxn => txns(t.appId) = math.max(t.epoch, txns.getOrElse(t.appId, Long.MinValue))
+      case h: RowIdHighWaterMark => hwm = math.max(hwm, h.highWaterMark)
       case _: CommitInfo => ()
     }
-    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap, proto)
+    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap, proto, hwm)
   }
 }

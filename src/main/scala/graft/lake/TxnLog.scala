@@ -199,7 +199,9 @@ final class TxnLog(val tablePath: String) {
       state.protocol.toSeq.map(p => Actions.toJson(p)) ++
       state.activeFiles.map(a => Actions.toJson(a)) ++
       state.dvFiles.map(p => Actions.toJson(AddDV(p))) ++
-      state.txns.toSeq.map { case (app, e) => Actions.toJson(SetTxn(app, e)) }
+      state.txns.toSeq.map { case (app, e) => Actions.toJson(SetTxn(app, e)) } ++
+      (if (state.rowIdHwm >= 0)
+         Seq(Actions.toJson(RowIdHighWaterMark(state.rowIdHwm))) else Nil)
     import spark.implicits._
     spark.createDataset(lines).toDF("action")
       .coalesce(1).write.mode("overwrite").parquet(ckptPath(v).toString)

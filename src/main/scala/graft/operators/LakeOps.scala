@@ -172,4 +172,25 @@ object LakeOps {
     t.vacuum(retentionHours = 0.0, dryRun = false)
     liAgg(t.toDF)
   }
+
+  /** Row tracking end-to-end (L50): a sorted two-file create makes the
+    * id assignment order deterministic (range-partitioned files are
+    * committed in path order = key order, rows positioned in sort
+    * order), so id = global key rank at create time. OPTIMIZE then
+    * compacts the files and a DELETE rewrites survivors — the emitted
+    * (key, row_id) pairs prove both layout and DML rewrites preserved
+    * every surviving row's id, against an oracle that recomputes the
+    * create-time ranks with ROW_NUMBER.
+    */
+  def lakeRowTracking(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "orders")
+      .select("o_orderkey").orderBy("o_orderkey").limit(200)
+      .repartitionByRange(2, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    val t = GraftTable.create(spark, workDir(dir, "rowtrack"), src,
+      properties = Map("graft.rowTracking" -> "true"))
+    t.optimize()
+    t.delete(col("o_orderkey") % 3 === 0)
+    t.toDFWithRowIds.select("o_orderkey", "row_id").orderBy("o_orderkey")
+  }
 }

@@ -1,0 +1,111 @@
+package graft.lake
+
+import graft.GraftSparkSpec
+import org.apache.spark.sql.functions._
+
+/** Row tracking (Delta parity): stable row ids assigned at commit,
+  * resolved at read (base + position, or the materialized column), and
+  * PRESERVED across layout rewrites — the invariant incremental
+  * downstream pipelines key on.
+  */
+class RowTrackingSpec extends GraftSparkSpec {
+
+  private def rtCreate(name: String, n: Int, parts: Int): GraftTable = {
+    val df = spark.range(n).select(col("id").as("k"), (col("id") * 3).as("v"))
+    GraftTable.create(spark, tmpDir(name), df.repartition(parts),
+      properties = Map("graft.rowTracking" -> "true"))
+  }
+
+  private def idMap(t: GraftTable): Map[Long, Long] =
+    t.toDFWithRowIds.select("k", "row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("fresh writes get dense unique ids; appends extend the range") {
+    val t = rtCreate("rt-basic", 100, 4)
+    val ids0 = idMap(t)
+    assert(ids0.size == 100)
+    assert(ids0.values.toSeq.sorted == (0L until 100L))
+    t.append(spark.range(100, 150).select(col("id").as("k"), (col("id") * 3).as("v")))
+    val ids1 = idMap(t)
+    assert(ids1.size == 150)
+    assert(ids1.values.toSeq.sorted == (0L until 150L))
+    // old rows kept their ids
+    ids0.foreach { case (k, id) => assert(ids1(k) == id) }
+  }
+
+  test("OPTIMIZE compaction preserves every row's id") {
+    val t = rtCreate("rt-opt", 200, 8)
+    val before = idMap(t)
+    val m = t.optimize()
+    assert(m("numRemovedFiles").toInt >= 2, "compaction must have happened")
+    val after = idMap(t)
+    assert(after == before, "layout rewrite changed row ids")
+  }
+
+  test("ZORDER rewrite preserves ids; later appends never reuse ranges") {
+    val t = rtCreate("rt-z", 200, 4)
+    val before = idMap(t)
+    t.zorderBy(128L * 1024 * 1024, "v")
+    assert(idMap(t) == before)
+    // delete some rows (their ids retire with them), then append: the
+    // high-water mark must prevent range reuse
+    t.delete(col("k") < 50)
+    t.append(spark.range(1000, 1040)
+      .select(col("id").as("k"), (col("id") * 3).as("v")))
+    val ids = idMap(t)
+    assert(ids.size == 190)
+    val fresh = ids.filter(_._1 >= 1000).values.toSet
+    val surviving = before.filter(_._1 >= 50).values.toSet
+    assert(ids.filter(_._1 < 1000).forall { case (k, id) => before(k) == id },
+      "surviving rows must keep their ids across a CoW delete")
+    assert(fresh.intersect(before.values.toSet).isEmpty,
+      "fresh rows reused ids retired with deleted rows")
+    assert(surviving.subsetOf(ids.values.toSet))
+  }
+
+  test("merge-on-read delete keeps surviving ids; purge materializes them") {
+    val t = rtCreate("rt-mor", 120, 3)
+    val before = idMap(t)
+    t.deleteMergeOnRead(col("k") % 2 === 0)
+    val afterDel = idMap(t)
+    assert(afterDel.size == 60)
+    afterDel.foreach { case (k, id) => assert(before(k) == id) }
+    t.reorgPurge()
+    val afterPurge = idMap(t)
+    assert(afterPurge == afterDel, "REORG PURGE changed surviving row ids")
+  }
+
+  test("UPDATE keeps ids: the post-image is the same row") {
+    val t = rtCreate("rt-upd", 80, 4)
+    val before = idMap(t)
+    t.update(col("k") < 10, Map("v" -> lit(-1L)))
+    val after = idMap(t)
+    assert(after == before, "UPDATE must not reassign ids (same logical row)")
+    val updated = t.toDFWithRowIds.filter(col("v") === -1L).count()
+    assert(updated == 10)
+  }
+
+  test("high-water mark survives checkpoint + log cleanup") {
+    val t = rtCreate("rt-ckpt", 20, 1)
+    (1 to 12).foreach { i =>
+      t.append(spark.range(20L * i, 20L * (i + 1))
+        .select(col("id").as("k"), (col("id") * 3).as("v")))
+    }
+    val log = new TxnLog(t.path)
+    assert(log.checkpointVersion.exists(_ >= 10), "checkpoint expected")
+    log.cleanupLogs()
+    val ids = idMap(t)
+    assert(ids.size == 260)
+    assert(ids.values.toSet.size == 260, "ids must stay unique through checkpoint")
+    // ids are exactly the 260 reserved so far — hwm was not lost
+    assert(ids.values.max == 259L)
+  }
+
+  test("row tracking off -> reads refuse, commits stay untouched") {
+    val df = spark.range(10).select(col("id").as("k"))
+    val t = GraftTable.create(spark, tmpDir("rt-off"), df)
+    intercept[IllegalArgumentException] { t.toDFWithRowIds }
+    assert(t.snapshot.activeFiles.forall(_.baseRowId.isEmpty))
+    assert(t.snapshot.rowIdHwm == -1L)
+  }
+}
