@@ -131,6 +131,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     import spark.implicits._
     val extra = org.apache.spark.sql.types.StructField(RowIdCol,
       org.apache.spark.sql.types.LongType, nullable = true)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(s.schema.fields :+ extra))
     val scan0 = physicalScan(s, files, withMeta = true, extraCols = Seq(extra))
     val scan = if (s.dvFiles.isEmpty) scan0 else {
       val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
@@ -1493,15 +1496,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val kr = source.agg(min(col(key)), max(col(key))).head()
     val keyRange = col(key) >= lit(kr.get(0)) && col(key) <= lit(kr.get(1))
     val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, keyRange, generatedExprs(s))
-    val candDF = dfForFiles(s, candidates)
+    // row tracking: surviving target rows (kept, updated, or NMBS-
+    // transformed) carry their stable id through the rewrite; inserts
+    // ride with a null materialized id and resolve to the new files'
+    // fresh base range — ids from disjoint ranges can never collide
+    val rt = rowTrackingOn(s)
+    val candDF = layoutRewriteSource(s, candidates)
     val fields = s.schema.fieldNames.toIndexedSeq.map(col)
+    val outFields = if (rt) fields :+ col(RowIdCol) else fields
 
     // target rows with no source match: NOT-MATCHED-BY-SOURCE clauses
     // apply — inside the candidate files AND in the (clause-pruned)
     // rest of the table, which by key-range construction holds no match
     val untouched = candDF.join(source, Seq(key), "left_anti")
     val restFiles = nmbsRestFiles(s, candidates.map(_.path).toSet, nmbsUpdate, nmbsDelete)
-    val restDF = dfForFiles(s, restFiles)
+    val restDF = layoutRewriteSource(s, restFiles)
     val matched = candDF.join(source.select(key), Seq(key), "left_semi")
     // matched rows that survive (delete condition not met), evaluated
     // against the TARGET row
@@ -1527,18 +1536,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val replacements = updateSet match {
       case Some(set) =>
         assignAll(toUpdate.join(srcPrefixed(source, key), Seq(key)), set, s, None)
-      case None => source.join(toUpdate.select(key), Seq(key), "left_semi")
+      case None =>
+        // update-all: the source row replaces the target row, which
+        // KEEPS its id (same logical row) — attach it by key
+        if (rt) source.join(toUpdate.select(col(key), col(RowIdCol)), Seq(key))
+        else source.join(toUpdate.select(key), Seq(key), "left_semi")
     }
-    val inserts =
+    val inserts0 =
       if (insertUnmatched) source.join(candDF.select(key), Seq(key), "left_anti")
       else source.limit(0)
+    val inserts =
+      if (rt) inserts0.withColumn(RowIdCol, lit(null).cast("long"))
+      else inserts0
 
     val merged = Seq(applyNmbs(untouched, s, nmbsUpdate, nmbsDelete),
         applyNmbs(restDF, s, nmbsUpdate, nmbsDelete), keptMatched)
-      .map(_.select(fields: _*))
+      .map(_.select(outFields: _*))
       .reduce(_ unionByName _)
-      .unionByName(replacements.select(fields: _*))
-      .unionByName(inserts.select(fields: _*))
+      .unionByName(replacements.select(outFields: _*))
+      .unionByName(inserts.select(outFields: _*))
     if (updateSet.isDefined || nmbsUpdate.isDefined)
       validateConstraints(merged, s)
     val adds = stageWrite(merged, s.partitionColumns, dataChange = true)

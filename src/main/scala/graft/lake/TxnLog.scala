@@ -203,8 +203,15 @@ final class TxnLog(val tablePath: String) {
       (if (state.rowIdHwm >= 0)
          Seq(Actions.toJson(RowIdHighWaterMark(state.rowIdHwm))) else Nil)
     import spark.implicits._
-    spark.createDataset(lines).toDF("action")
-      .coalesce(1).write.mode("overwrite").parquet(ckptPath(v).toString)
+    // single parquet part while the state is small; shard at ~100k
+    // actions so a 100k-file table's checkpoint is written (and later
+    // scanned) in parallel instead of through one task — the reader
+    // globs the directory either way, so part count is invisible to it
+    val ds = spark.createDataset(lines).toDF("action")
+    val shaped =
+      if (lines.size <= 100000) ds.coalesce(1)
+      else ds.repartition(math.ceil(lines.size / 100000.0).toInt)
+    shaped.write.mode("overwrite").parquet(ckptPath(v).toString)
     // atomic pointer swap: readers must never observe a torn file
     val tmp = logDir.resolve(s"_last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))

@@ -51,11 +51,26 @@ final class GraftRelation(
   // several times within one query's analysis
   private lazy val pinnedSnapshot = pinnedVersion.map(table.snapshotAt)
 
+  /** Row tracking through the reader (Delta parity):
+    * `.option("rowIds", true)` appends the stable `row_id` column —
+    * requires `graft.rowTracking=true` on the table. Live-snapshot
+    * reads only (a pinned version's files may predate id assignment).
+    */
+  private val withRowIds = opts.getOrElse("rowids", "false").toBoolean
+  require(!withRowIds || (!cdfRead && pinnedVersion.isEmpty),
+    "rowIds cannot combine with readChangeFeed or time travel")
+
   private def snapshotDf =
-    pinnedVersion.map(table.toDFAt).getOrElse(table.toDF)
+    if (withRowIds) table.toDFWithRowIds
+    else pinnedVersion.map(table.toDFAt).getOrElse(table.toDF)
 
   override def schema: StructType = {
-    val base = pinnedSnapshot.map(_.schema).getOrElse(table.snapshot.schema)
+    val base0 = pinnedSnapshot.map(_.schema).getOrElse(table.snapshot.schema)
+    val base =
+      if (!withRowIds) base0
+      else StructType(base0.fields :+
+        org.apache.spark.sql.types.StructField("row_id",
+          org.apache.spark.sql.types.LongType, nullable = true))
     if (!cdfRead) base
     else {
       // guard against tables that already carry the CDF columns (same
@@ -152,10 +167,12 @@ final class GraftRelation(
     val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
     // pruning (stats/bloom) applies only to the live snapshot; pinned
     // versions scan their full file set and let Spark filter
-    val df = pinnedVersion match {
-      case Some(_) => pred.map(snapshotDf.filter).getOrElse(snapshotDf)
-      case None => pred.map(table.readWhere).getOrElse(table.toDF)
-    }
+    val df =
+      if (withRowIds) pred.map(snapshotDf.filter).getOrElse(snapshotDf)
+      else pinnedVersion match {
+        case Some(_) => pred.map(snapshotDf.filter).getOrElse(snapshotDf)
+        case None => pred.map(table.readWhere).getOrElse(table.toDF)
+      }
     df.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
   }
 }

@@ -85,6 +85,26 @@ class RowTrackingSpec extends GraftSparkSpec {
     assert(updated == 10)
   }
 
+  test("MERGE keeps ids for kept and updated rows; inserts get fresh ones") {
+    val t = rtCreate("rt-merge", 60, 3)
+    val before = idMap(t)
+    // source: update keys 0..9 (replace v), insert keys 1000..1009
+    val src = spark.range(10).select(col("id").as("k"), lit(-7L).as("v"))
+      .unionByName(spark.range(1000, 1010)
+        .select(col("id").as("k"), (col("id") * 3).as("v")))
+    t.merge(src, "k")
+    val after = idMap(t)
+    assert(after.size == 70)
+    // every pre-existing row — updated or untouched — kept its id
+    before.foreach { case (k, id) => assert(after(k) == id,
+      s"row $k changed id $id -> ${after(k)} across MERGE") }
+    // inserted rows got ids disjoint from every pre-existing one
+    val freshIds = after.filter(_._1 >= 1000).values.toSet
+    assert(freshIds.size == 10)
+    assert(freshIds.intersect(before.values.toSet).isEmpty)
+    assert(t.toDFWithRowIds.filter(col("v") === -7L).count() == 10)
+  }
+
   test("high-water mark survives checkpoint + log cleanup") {
     val t = rtCreate("rt-ckpt", 20, 1)
     (1 to 12).foreach { i =>

@@ -76,6 +76,28 @@ class GraftRelationSpec extends GraftSparkSpec {
     assert(v2only.count() == 1)
   }
 
+  test("rowIds option surfaces stable row_id through the format reader") {
+    val path = tmpDir("rel-rowids")
+    val df0 = spark.range(50).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val t = GraftTable.create(spark, path, df0.repartition(4),
+      properties = Map("graft.rowTracking" -> "true"))
+    t.optimize() // ids must survive the rewrite through the reader too
+    val viaReader = spark.read.format("graftlake")
+      .option("rowIds", "true").load(path)
+    assert(viaReader.schema.fieldNames.contains("row_id"))
+    val readerIds = viaReader.select("k", "row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val apiIds = t.toDFWithRowIds.select("k", "row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(readerIds == apiIds)
+    assert(readerIds.values.toSeq.sorted == (0L until 50L))
+    // incompatible combinations refuse loudly
+    intercept[Exception] {
+      spark.read.format("graftlake").option("rowIds", "true")
+        .option("versionAsOf", "0").load(path).count()
+    }
+  }
+
   test("small lake dimension auto-broadcasts from relation size stats") {
     val nationPath = tmpDir("rel-nation")
     val ordersPath = tmpDir("rel-orders")
