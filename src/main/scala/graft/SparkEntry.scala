@@ -92,6 +92,7 @@ object SparkEntry {
     "pipe_incremental_dedup" -> Pipeline.pipeIncrementalDedup _,
     "pipe_shuffle" -> Pipeline.pipeShuffle _,
     "pipe_split" -> Pipeline.pipeSplit _,
+    "pipe_e2e" -> Pipeline.pipeEndToEnd _,
     "mm_decode_meta" -> Multimodal.mmDecodeMeta _,
     "mm_content_stats" -> Multimodal.mmContentStats _,
     "mm_audio_window" -> Multimodal.mmAudioWindow _,
@@ -288,6 +289,55 @@ object SparkEntry {
       "FROM r WHERE rn <= 5 ORDER BY qid, rn"
 
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
+
+  private val gopherFilterSql: String =
+    ("WITH t AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 " +
+        "THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END AS w " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+        "CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS n_word_chars, " +
+        "CAST((length(text) - length(replace(text, '#', ''))) + " +
+        "(length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+        "CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words, " +
+        "CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS n_stopwords " +
+        "FROM t), " +
+        "g AS (SELECT *, CASE WHEN n_words = 0 THEN 0.0 ELSE " +
+        "ROUND(CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 4) END AS mean_word_len " +
+        "FROM f) " +
+        "SELECT doc_id, n_words, mean_word_len, n_symbols, n_alpha_words, n_stopwords, " +
+        "(n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 " +
+        "AND n_symbols * 10 < n_words AND n_alpha_words * 10 > n_words * 8 " +
+        "AND n_stopwords >= 2) AS keep " +
+        "FROM g ORDER BY doc_id")
+
+  private val decontaminateSql: String =
+    ("WITH t AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(trim(text)), " +
+        "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, UNNEST(CASE WHEN len(toks) >= 5 THEN " +
+        "list_transform(generate_series(1, len(toks)-4), " +
+        "i -> array_to_string(toks[i:i+4], ' ')) ELSE []::VARCHAR[] END) AS gram FROM t) " +
+        "SELECT DISTINCT c.doc_id, TRUE AS contaminated FROM g c " +
+        "JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < 20) b ON c.gram = b.gram " +
+        "WHERE c.doc_id >= 20 ORDER BY c.doc_id")
+
+  /** The whole corpus-assembly pipeline under ONE oracle: Gopher
+    * quality gate → exact dedup (keep lowest id per content hash) →
+    * eval-set decontamination → stratified sample. Composed from the
+    * per-stage oracle fragments, so a green row certifies the stage
+    * COMPOSITION cross-engine, not just each stage alone.
+    */
+  private val pipeE2eSql: String =
+    s"WITH kept AS (SELECT doc_id FROM ($gopherFilterSql) gf WHERE keep), " +
+      "d AS (SELECT MIN(doc_id) AS doc_id FROM documents JOIN kept USING (doc_id) " +
+      "GROUP BY md5(text)), " +
+      s"cont AS (SELECT doc_id FROM ($decontaminateSql) ct), " +
+      "clean AS (SELECT doc_id FROM d WHERE doc_id >= 20 " +
+      "AND doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      "smp AS (SELECT doc_id, lang, ROW_NUMBER() OVER " +
+      "(PARTITION BY lang ORDER BY doc_id) AS rn " +
+      "FROM clean JOIN documents USING (doc_id)) " +
+      "SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM smp " +
+      "WHERE rn <= 30 ORDER BY doc_id"
 
   /** DuckDB oracle SQL, driver-run on the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
@@ -594,25 +644,7 @@ object SparkEntry {
         "list_transform(cs, c -> CAST(c AS DOUBLE))), " +
         "(acc, c) -> acc - (c / total) * ln(c / total)), 4) AS entropy_nats " +
         "FROM g ORDER BY doc_id"),
-    "text_gopher_filter" ->
-      ("WITH t AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 " +
-        "THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END AS w " +
-        "FROM documents), " +
-        "f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
-        "CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS n_word_chars, " +
-        "CAST((length(text) - length(replace(text, '#', ''))) + " +
-        "(length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
-        "CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words, " +
-        "CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS n_stopwords " +
-        "FROM t), " +
-        "g AS (SELECT *, CASE WHEN n_words = 0 THEN 0.0 ELSE " +
-        "ROUND(CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 4) END AS mean_word_len " +
-        "FROM f) " +
-        "SELECT doc_id, n_words, mean_word_len, n_symbols, n_alpha_words, n_stopwords, " +
-        "(n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 " +
-        "AND n_symbols * 10 < n_words AND n_alpha_words * 10 > n_words * 8 " +
-        "AND n_stopwords >= 2) AS keep " +
-        "FROM g ORDER BY doc_id"),
+    "text_gopher_filter" -> gopherFilterSql,
     "dedup_normalized" ->
       ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash, " +
         "MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents " +
@@ -728,15 +760,8 @@ object SparkEntry {
         "WHEN 'fr' THEN 20 WHEN 'zh' THEN 20 ELSE 0 END AS quota, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn " +
         "FROM documents) t WHERE rn <= quota ORDER BY doc_id"),
-    "pipe_decontaminate" ->
-      ("WITH t AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(trim(text)), " +
-        "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), " +
-        "g AS (SELECT doc_id, UNNEST(CASE WHEN len(toks) >= 5 THEN " +
-        "list_transform(generate_series(1, len(toks)-4), " +
-        "i -> array_to_string(toks[i:i+4], ' ')) ELSE []::VARCHAR[] END) AS gram FROM t) " +
-        "SELECT DISTINCT c.doc_id, TRUE AS contaminated FROM g c " +
-        "JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < 20) b ON c.gram = b.gram " +
-        "WHERE c.doc_id >= 20 ORDER BY c.doc_id"),
+    "pipe_decontaminate" -> decontaminateSql,
+    "pipe_e2e" -> pipeE2eSql,
     // the oracle reproduces the payload BUILDER's arithmetic; Spark's
     // values come from parsing the built container header bytes, so a
     // green row proves the parse round-trips the real binary layout

@@ -170,6 +170,35 @@ object Pipeline {
     * invariant that keeps a long-lived eval set uncontaminated. One
     * codegen'd projection, no shuffle at all.
     */
+  /** The whole corpus-assembly pipeline, one oracle-checked query:
+    * Gopher quality gate → exact dedup (keep lowest id per content
+    * hash) → eval-set decontamination (5-gram overlap with the
+    * benchmark docs) → per-language stratified sample. Each stage is
+    * the same operator the standalone queries use, so a green hash
+    * certifies the COMPOSITION — stage interfaces, id flow, filter
+    * order — not just each stage alone. Every stage is a hash
+    * aggregate, broadcast join, or per-stratum window: nothing here
+    * changes shape at 100 TB.
+    */
+  def pipeEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val kept = TextOps.textGopherFilter(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val deduped = docs.join(kept, "doc_id")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val contaminated = pipeDecontaminate(spark, dir).select("doc_id")
+    val clean = deduped.filter(col("doc_id") >= 20)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    clean.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 30)
+      .select("doc_id", "lang", "rn")
+      .orderBy("doc_id")
+  }
+
   def pipeSplit(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), (docHash(col("doc_id")) % 100).as("bucket"))
