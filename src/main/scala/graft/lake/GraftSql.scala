@@ -74,6 +74,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s*(?:\(\s*([\w,\s]+?)\s*\)|NONE)\s*;?\s*$""".r
   private val propPairRe: Regex =
     """'([^']+)'\s*=\s*'([^']*)'""".r
+  private val insertRe: Regex =
+    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+((?:SELECT|VALUES|TABLE)\s*.+?)\s*;?\s*$""".r
   private val showPropsRe: Regex =
     """(?is)^\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*$""".r
   private val showPartitionsRe: Regex =
@@ -146,6 +148,31 @@ final class GraftSql(spark: SparkSession) {
           (f.name, f.dataType.simpleString))
         val propRows = s.metadata.toSeq.flatMap(_.properties.toSeq.sorted)
         (schemaRows ++ propRows).toDF("col_name", "data_type")
+      case insertRe(mode, name, payload) =>
+        val t = table(name)
+        // the payload may SELECT from any registered lake table —
+        // including the target itself: toDF binds the PRE-insert
+        // snapshot eagerly, so `INSERT INTO t SELECT * FROM t` reads
+        // the old state while the write stages new files
+        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        val src0 = payload.trim.toUpperCase match {
+          case p if p.startsWith("VALUES") => spark.sql(s"SELECT * FROM $payload")
+          case p if p.startsWith("TABLE") => spark.sql(payload)
+          case _ => spark.sql(payload)
+        }
+        // standard INSERT semantics: positional column mapping, values
+        // coerced to the table schema (append() then enforces it)
+        val schema = t.snapshot.schema
+        require(src0.columns.length == schema.fields.length,
+          s"INSERT provides ${src0.columns.length} columns, " +
+            s"table $name has ${schema.fields.length}")
+        val src = src0.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+        val n0 = src.count()
+        if (mode.equalsIgnoreCase("OVERWRITE")) t.replaceWhere(lit(true), src)
+        else t.append(src)
+        Seq(("numInsertedRows", n0.toString)).toDF("metric", "value")
       case showPropsRe(name) =>
         table(name).snapshot.metadata.toSeq
           .flatMap(_.properties.toSeq).sorted.toDF("key", "value")

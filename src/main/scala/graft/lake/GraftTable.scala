@@ -127,13 +127,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * tracking, also the rewrite source that lets layout ops preserve
     * ids.
     */
-  private def rowIdScan(s: Snapshot, files: Seq[AddFile]): DataFrame = {
+  private def rowIdScan(s: Snapshot, files: Seq[AddFile],
+                        keepMeta: Boolean = false): DataFrame = {
     import spark.implicits._
     val extra = org.apache.spark.sql.types.StructField(RowIdCol,
       org.apache.spark.sql.types.LongType, nullable = true)
+    val metaFields = if (!keepMeta) Nil else Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("row_index",
+        org.apache.spark.sql.types.LongType))
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(s.schema.fields :+ extra))
+        org.apache.spark.sql.types.StructType(
+          (s.schema.fields :+ extra) ++ metaFields))
     val scan0 = physicalScan(s, files, withMeta = true, extraCols = Seq(extra))
     val scan = if (s.dvFiles.isEmpty) scan0 else {
       val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
@@ -155,12 +162,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .join(baseDf, Seq("__rt_name"), "left")
       .withColumn(RowIdCol,
         coalesce(col(RowIdCol), col("__rt_base") + col("__ri")))
-      .drop("__fp", "__ri", "__rt_name", "__rt_base")
-    if (s.colMap.isEmpty)
-      joined.select((s.schema.fieldNames.toSeq :+ RowIdCol).map(col): _*)
-    else
-      joined.select(s.schema.fields.map(f =>
-        col(s.physicalName(f.name)).as(f.name)).toSeq :+ col(RowIdCol): _*)
+    val logicalCols =
+      if (s.colMap.isEmpty) s.schema.fieldNames.toSeq.map(col)
+      else s.schema.fields.toSeq.map(f => col(s.physicalName(f.name)).as(f.name))
+    val metaCols = if (!keepMeta) Nil
+      else Seq(col("__fp").as("file_path"), col("__ri").as("row_index"))
+    joined.select(logicalCols ++ (col(RowIdCol) +: metaCols): _*)
   }
 
   /** Rewrite source for layout ops (OPTIMIZE/ZORDER, dataChange =
@@ -1637,11 +1644,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val restFiles = nmbsRestFiles(s, candidates.map(_.path).toSet, nmbsUpdate, nmbsDelete)
     val scanFiles = candidates ++ restFiles
     val fields = s.schema.fieldNames.toIndexedSeq.map(col)
+    // row tracking: post-images keep the masked original's id (same
+    // logical row, like the CoW path); inserts resolve to the new
+    // files' fresh base range via a null materialized id
+    val rt = rowTrackingOn(s)
+    val outFields = if (rt) fields :+ col(RowIdCol) else fields
 
     // unmasked target rows of every file a clause may touch, with
     // (file_path, row_index) identity for DV marks
     val live: DataFrame =
-      if (scanFiles.isEmpty)
+      if (rt) rowIdScan(s, scanFiles, keepMeta = true)
+      else if (scanFiles.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           org.apache.spark.sql.types.StructType(s.schema.fields ++ Seq(
             org.apache.spark.sql.types.StructField("file_path",
@@ -1689,7 +1702,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val postImages = updateSet match {
         case Some(set) =>
           assignAll(updRows.join(srcPrefixed(source, key), Seq(key)), set, s, None)
-        case None => source.join(updRows.select(key), Seq(key), "left_semi")
+        case None =>
+          if (rt) source.join(updRows.select(col(key), col(RowIdCol)), Seq(key))
+          else source.join(updRows.select(key), Seq(key), "left_semi")
       }
       val nmbsDelRows = nmbsDelete match {
         case Some(dc) => nmbsChanged.filter(coalesce(dc, lit(false)) === true)
@@ -1706,11 +1721,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }
       val nmbsPost = nmbsUpdate match {
         case Some((_, set)) => assignAll(nmbsUpdPre, set, s, None)
-        case None => nmbsChanged.limit(0).select(fields: _*)
+        case None => nmbsChanged.limit(0).select(outFields: _*)
       }
-      val inserts =
+      val inserts0 =
         if (insertUnmatched) source.join(live.select(key), Seq(key), "left_anti")
         else source.limit(0)
+      val inserts =
+        if (rt) inserts0.withColumn(RowIdCol, lit(null).cast("long"))
+        else inserts0
 
       val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
       Seq(delRows, updRows, nmbsDelRows, nmbsUpdPre)
@@ -1718,9 +1736,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         .write.mode("overwrite").parquet(s"$path/$rel")
       val nMasked = spark.read.parquet(s"$path/$rel").count()
 
-      val newRows = postImages.select(fields: _*)
-        .unionByName(nmbsPost.select(fields: _*))
-        .unionByName(inserts.select(fields: _*))
+      val newRows = postImages.select(outFields: _*)
+        .unionByName(nmbsPost.select(outFields: _*))
+        .unionByName(inserts.select(outFields: _*))
       if (updateSet.isDefined || nmbsUpdate.isDefined)
         validateConstraints(newRows, s)
       // empty unions stage zero-row part files — drop them rather than

@@ -105,6 +105,24 @@ class RowTrackingSpec extends GraftSparkSpec {
     assert(t.toDFWithRowIds.filter(col("v") === -7L).count() == 10)
   }
 
+  test("merge-on-read MERGE: post-images carry the masked original's id") {
+    val t = rtCreate("rt-mor-merge", 60, 3)
+    val before = idMap(t)
+    val src = spark.range(10).select(col("id").as("k"), lit(-9L).as("v"))
+      .unionByName(spark.range(2000, 2005)
+        .select(col("id").as("k"), (col("id") * 3).as("v")))
+    t.mergeBuilder(src, "k").mergeOnRead().execute()
+    val after = idMap(t)
+    assert(after.size == 65)
+    // updated rows were masked + re-appended — same id rides the
+    // materialized column into the post-image file
+    before.foreach { case (k, id) => assert(after(k) == id,
+      s"row $k changed id across MoR MERGE") }
+    val freshIds = after.filter(_._1 >= 2000).values.toSet
+    assert(freshIds.size == 5 && freshIds.intersect(before.values.toSet).isEmpty)
+    assert(t.toDFWithRowIds.filter(col("v") === -9L).count() == 10)
+  }
+
   test("high-water mark survives checkpoint + log cleanup") {
     val t = rtCreate("rt-ckpt", 20, 1)
     (1 to 12).foreach { i =>

@@ -92,6 +92,23 @@ class WorkshopFlowSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException] {
       gsql.sql("SHOW PARTITIONS sales") // unpartitioned
     }
+
+    // INSERT INTO VALUES / SELECT, and INSERT OVERWRITE
+    val beforeInsert = gsql.sql("SELECT COUNT(*) AS n FROM sales").head().getLong(0)
+    gsql.sql("INSERT INTO sales VALUES " +
+      "(99999, 42, 'US', 'electronics', 10.0, 2, 20.0)")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM sales").head().getLong(0)
+      == beforeInsert + 1)
+    gsql.sql("INSERT INTO sales_by_country SELECT * FROM sales WHERE country = 'JP'")
+    val jp2 = gsql.sql(
+      "SELECT COUNT(*) AS n FROM sales_by_country WHERE country='JP'")
+      .head().getLong(0)
+    assert(jp2 == 2 * gsql.sql(
+      "SELECT COUNT(*) AS n FROM sales WHERE country='JP'").head().getLong(0))
+    gsql.sql("INSERT OVERWRITE sales SELECT * FROM sales WHERE country = 'DE'")
+    val after = gsql.sql("SELECT country, COUNT(*) AS n FROM sales GROUP BY country")
+      .collect()
+    assert(after.length == 1 && after(0).getString(0) == "DE")
   }
 
   test("RESTORE TIMESTAMP AS OF and COPY INTO statements") {
