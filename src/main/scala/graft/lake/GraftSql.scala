@@ -74,6 +74,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s*(?:\(\s*([\w,\s]+?)\s*\)|NONE)\s*;?\s*$""".r
   private val propPairRe: Regex =
     """'([^']+)'\s*=\s*'([^']*)'""".r
+  private val ctasRe: Regex =
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)(?:\s+PARTITIONED\s+BY\s*\(([\w,\s]+)\))?\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\s+.+?)\s*;?\s*$""".r
   private val insertRe: Regex =
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+((?:SELECT|VALUES|TABLE)\s*.+?)\s*;?\s*$""".r
   private val showPropsRe: Regex =
@@ -136,10 +138,14 @@ final class GraftSql(spark: SparkSession) {
       case historyRe(name) => table(name).history
       case detailRe(name) =>
         val s = table(name).snapshot
+        val props = s.metadata.map(_.properties).getOrElse(Map.empty)
         Seq((table(name).path, s.version, s.numFiles, s.sizeInBytes,
-          s.partitionColumns.mkString(","), s.numRecords))
+          s.partitionColumns.mkString(","), s.numRecords,
+          props.getOrElse("graft.clusterBy", ""),
+          props.getOrElse("graft.rowTracking", "false").toBoolean))
           .toDF("location", "version", "numFiles", "sizeInBytes",
-            "partitionColumns", "numRecords")
+            "partitionColumns", "numRecords", "clusteringColumns",
+            "rowTracking")
       case extendedRe(name) =>
         // schema rows followed by table properties (reference 02-lab:
         // 128-136 checks the VORDER property here)
@@ -148,6 +154,15 @@ final class GraftSql(spark: SparkSession) {
           (f.name, f.dataType.simpleString))
         val propRows = s.metadata.toSeq.flatMap(_.properties.toSeq.sorted)
         (schemaRows ++ propRows).toDF("col_name", "data_type")
+      case ctasRe(name, partBy, location, select) =>
+        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        val df = spark.sql(select)
+        val parts = Option(partBy).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        val t = GraftTable.create(spark, location, df, parts)
+        tables(name) = t
+        Seq(("location", location), ("numFiles",
+          t.snapshot.numFiles.toString)).toDF("metric", "value")
       case insertRe(mode, name, payload) =>
         val t = table(name)
         // the payload may SELECT from any registered lake table —

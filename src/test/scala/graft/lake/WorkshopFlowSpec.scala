@@ -109,6 +109,15 @@ class WorkshopFlowSpec extends GraftSparkSpec {
     val after = gsql.sql("SELECT country, COUNT(*) AS n FROM sales GROUP BY country")
       .collect()
     assert(after.length == 1 && after(0).getString(0) == "DE")
+
+    // CTAS: partitioned create straight from a SELECT over lake tables
+    gsql.sql("CREATE TABLE de_sales PARTITIONED BY (category) LOCATION '" +
+      tmpDir("workshop-ctas") + "' AS SELECT * FROM sales")
+    val ctasDetail = gsql.sql("DESCRIBE DETAIL de_sales").head()
+    assert(ctasDetail.getAs[String]("partitionColumns") == "category")
+    assert(!ctasDetail.getAs[Boolean]("rowTracking"))
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM de_sales").head().getLong(0)
+      == gsql.sql("SELECT COUNT(*) AS n FROM sales").head().getLong(0))
   }
 
   test("RESTORE TIMESTAMP AS OF and COPY INTO statements") {
