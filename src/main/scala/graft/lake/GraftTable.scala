@@ -195,7 +195,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         withId
       case x => x
     }
-    if (next == hwm + 1) actions else out :+ RowIdHighWaterMark(next - 1)
+    // PRE-assigned files (clone commits carry the source's ids) must
+    // push the mark past their ranges too — without this a clone's log
+    // has no hwm and the first append to it would reuse source ranges
+    val preMax = out.collect {
+      case a: AddFile if a.baseRowId.isDefined =>
+        a.baseRowId.get + math.max(0L, a.stats.map(_.numRecords).getOrElse(0L)) - 1
+    }.maxOption.getOrElse(-1L)
+    val newHwm = math.max(next - 1, preMax)
+    if (newHwm <= hwm) actions else out :+ RowIdHighWaterMark(newHwm)
   }
 
   /** `SELECT ... VERSION AS OF v` (reference 02-lab:205-211). */
@@ -2698,9 +2706,15 @@ object GraftTable {
         // DV-masked scan, staged directly into the destination.
         // stageWrite consults the DEST log (absent → no column map),
         // so convert back to physical names here to stay consistent
-        // with the cloned metadata's column mapping
-        val live = src.dfFor(snap, masked).select(snap.schema.fields.map(f =>
-          col(f.name).as(snap.physicalName(f.name))).toIndexedSeq: _*)
+        // with the cloned metadata's column mapping. With row tracking
+        // on, the rewrite carries each live row's stable id — the
+        // byte-copied files keep theirs, so the rewritten ones must too
+        val rt = src.rowTrackingOn(snap)
+        val live0 =
+          if (rt) src.rowIdScan(snap, masked) else src.dfFor(snap, masked)
+        val live = live0.select(snap.schema.fields.map(f =>
+          col(f.name).as(snap.physicalName(f.name))).toIndexedSeq ++
+          (if (rt) Seq(col(src.RowIdCol)) else Nil): _*)
         t.stageWrite(live, snap.partitionColumns, dataChange = true)
       }
     t.commitAndCheckpoint(Seq(

@@ -139,6 +139,36 @@ class RowTrackingSpec extends GraftSparkSpec {
     assert(ids.values.max == 259L)
   }
 
+  test("clones keep source ids; appends to the clone never reuse them") {
+    val t = rtCreate("rt-clone-src", 100, 4)
+    val srcIds = idMap(t)
+    val clone = GraftTable.shallowClone(spark, t.path,
+      tmpDir("rt-clone-dst"))
+    val cloneIds = clone.toDFWithRowIds.select("k", "row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cloneIds == srcIds, "clone must keep the source's row ids")
+    // the clone's hwm must cover the inherited ranges
+    clone.append(spark.range(5000, 5020)
+      .select(col("id").as("k"), (col("id") * 3).as("v")))
+    val after = clone.toDFWithRowIds.select("k", "row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size == 120)
+    assert(after.values.toSet.size == 120,
+      "append to a clone reused inherited id ranges")
+  }
+
+  test("deep clone of a DV-masked table keeps every surviving row's id") {
+    val t = rtCreate("rt-deep-src", 90, 3)
+    t.deleteMergeOnRead(col("k") % 3 === 0)
+    val srcIds = idMap(t)
+    assert(srcIds.size == 60)
+    val clone = GraftTable.deepClone(spark, t.path, tmpDir("rt-deep-dst"))
+    val cloneIds = clone.toDFWithRowIds.select("k", "row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cloneIds == srcIds,
+      "deep clone's masked-file rewrite must carry row ids")
+  }
+
   test("row tracking off -> reads refuse, commits stay untouched") {
     val df = spark.range(10).select(col("id").as("k"))
     val t = GraftTable.create(spark, tmpDir("rt-off"), df)
