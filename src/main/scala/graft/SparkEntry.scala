@@ -746,13 +746,13 @@ object SparkEntry {
         "ROUND(CAST(SUM(rank) AS DOUBLE) / COUNT(*), 4) AS mean_rank " +
         "FROM w JOIN v USING (word) GROUP BY doc_id ORDER BY doc_id"),
     "pipe_shuffle" ->
-      ("SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS shuffle_key, " +
-        "CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) " +
+      ("SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 4294967296 AS shuffle_key, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) " +
         "AS BIGINT) AS pos FROM documents ORDER BY pos"),
     "pipe_split" ->
-      ("SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket, " +
-        "CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 97 THEN 'train' " +
-        "WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 99 THEN 'validation' " +
+      ("SELECT doc_id, (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket, " +
+        "CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 97 THEN 'train' " +
+        "WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 99 THEN 'validation' " +
         "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
     "pipe_mixture" ->
       ("SELECT doc_id, lang, rn FROM (SELECT doc_id, lang, " +

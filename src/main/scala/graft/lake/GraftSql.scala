@@ -142,7 +142,9 @@ final class GraftSql(spark: SparkSession) {
         Seq((table(name).path, s.version, s.numFiles, s.sizeInBytes,
           s.partitionColumns.mkString(","), s.numRecords,
           props.getOrElse("graft.clusterBy", ""),
-          props.getOrElse("graft.rowTracking", "false").toBoolean))
+          // exact "true" check — the same predicate the engine's
+          // rowTrackingOn uses; .toBoolean would crash on junk values
+          props.get("graft.rowTracking").contains("true")))
           .toDF("location", "version", "numFiles", "sizeInBytes",
             "partitionColumns", "numRecords", "clusteringColumns",
             "rowTracking")
@@ -170,11 +172,10 @@ final class GraftSql(spark: SparkSession) {
         // snapshot eagerly, so `INSERT INTO t SELECT * FROM t` reads
         // the old state while the write stages new files
         tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
-        val src0 = payload.trim.toUpperCase match {
-          case p if p.startsWith("VALUES") => spark.sql(s"SELECT * FROM $payload")
-          case p if p.startsWith("TABLE") => spark.sql(payload)
-          case _ => spark.sql(payload)
-        }
+        val src0 =
+          if (payload.trim.toUpperCase.startsWith("VALUES"))
+            spark.sql(s"SELECT * FROM $payload")
+          else spark.sql(payload)
         // standard INSERT semantics: positional column mapping, values
         // coerced to the table schema (append() then enforces it)
         val schema = t.snapshot.schema
@@ -184,10 +185,21 @@ final class GraftSql(spark: SparkSession) {
         val src = src0.toDF(schema.fieldNames.toIndexedSeq: _*)
           .select(schema.fields.toSeq.map(f =>
             col(f.name).cast(f.dataType).as(f.name)): _*)
-        val n0 = src.count()
-        if (mode.equalsIgnoreCase("OVERWRITE")) t.replaceWhere(lit(true), src)
-        else t.append(src)
-        Seq(("numInsertedRows", n0.toString)).toDF("metric", "value")
+        // row count comes from the committed files' stats, not a
+        // pre-count: counting first would evaluate the source twice
+        // and can disagree with the write for non-deterministic
+        // payloads
+        val inserted =
+          if (mode.equalsIgnoreCase("OVERWRITE")) {
+            t.replaceWhere(lit(true), src)
+            t.snapshot.numRecords
+          } else {
+            val v = t.append(src)
+            t.log.readCommit(v)
+              .collect { case a: AddFile => a.stats.map(_.numRecords).getOrElse(0L) }
+              .sum
+          }
+        Seq(("numInsertedRows", inserted.toString)).toDF("metric", "value")
       case showPropsRe(name) =>
         table(name).snapshot.metadata.toSeq
           .flatMap(_.properties.toSeq).sorted.toDF("key", "value")

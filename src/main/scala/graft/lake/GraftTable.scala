@@ -114,11 +114,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * metadata riding the same `_metadata.file_path` join shape the
     * deletion-vector mask uses.
     */
-  def toDFWithRowIds: DataFrame = {
+  def toDFWithRowIds: DataFrame = readWhereWithRowIds(None)
+
+  /** Stats/partition/bloom-pruned row-id read: ids are a per-file
+    * property, so skipping files can never change a surviving row's
+    * id — the rowIds reader path keeps the same file skipping as the
+    * plain one. The caller still applies the full predicate.
+    */
+  def readWhereWithRowIds(predicate: Option[Column]): DataFrame = {
     val s = snapshot
     require(rowTrackingOn(s),
       s"row tracking is not enabled on $path (set graft.rowTracking=true at create)")
-    rowIdScan(s, s.activeFiles).withColumnRenamed(RowIdCol, "row_id")
+    val files = predicate match {
+      case Some(p) => bloomPrune(s,
+        Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p,
+          generatedExprs(s)), p)
+      case None => s.activeFiles
+    }
+    rowIdScan(s, files).withColumnRenamed(RowIdCol, "row_id")
   }
 
   /** Scan `files` with the stable-id column resolved (materialized
@@ -1427,7 +1440,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * schema.
     */
   private def assignAll(df: DataFrame, set: Map[String, Column],
-                        s: Snapshot, gate: Option[Column]): DataFrame =
+                        s: Snapshot, gate: Option[Column]): DataFrame = {
+    // the stable-id column (present on row-tracked rewrite sources)
+    // must ride through the assignment projection untouched — dropping
+    // it here would crash the merge paths' outFields selection
+    val carry =
+      if (df.columns.contains(RowIdCol)) Seq(col(RowIdCol)) else Nil
     regenerateGenerated(df.select(s.schema.fields.toIndexedSeq.map { f =>
       set.get(f.name) match {
         case Some(v) =>
@@ -1436,7 +1454,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             when(coalesce(g, lit(false)), cast).otherwise(col(f.name))).as(f.name)
         case None => col(f.name)
       }
-    }: _*), set.keySet, s, gate)
+    } ++ carry: _*), set.keySet, s, gate)
+  }
 
   /** Re-derive generated columns whose SOURCE columns were just
     * assigned (and that were not assigned explicitly themselves): an
@@ -1553,8 +1572,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         assignAll(toUpdate.join(srcPrefixed(source, key), Seq(key)), set, s, None)
       case None =>
         // update-all: the source row replaces the target row, which
-        // KEEPS its id (same logical row) — attach it by key
-        if (rt) source.join(toUpdate.select(col(key), col(RowIdCol)), Seq(key))
+        // KEEPS its id (same logical row) — attach it by key. One id
+        // per key (min for determinism): duplicate-key targets
+        // collapse to one replacement row exactly as the left_semi
+        // non-tracked path does, so enabling row tracking never
+        // changes the merged row count
+        if (rt) source.join(toUpdate.groupBy(key)
+          .agg(min(col(RowIdCol)).as(RowIdCol)), Seq(key))
         else source.join(toUpdate.select(key), Seq(key), "left_semi")
     }
     val inserts0 =
@@ -1711,7 +1735,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         case Some(set) =>
           assignAll(updRows.join(srcPrefixed(source, key), Seq(key)), set, s, None)
         case None =>
-          if (rt) source.join(updRows.select(col(key), col(RowIdCol)), Seq(key))
+          // one id per key (min) — multiplicity parity with left_semi,
+          // see the copy-on-write path
+          if (rt) source.join(updRows.groupBy(key)
+            .agg(min(col(RowIdCol)).as(RowIdCol)), Seq(key))
           else source.join(updRows.select(key), Seq(key), "left_semi")
       }
       val nmbsDelRows = nmbsDelete match {
@@ -1836,10 +1863,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     validateConstraints(df, s)
     enforceSchema(df.schema, s.schema)
     val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
-    val keep = dfForFiles(s, candidates)
+    // row tracking: rows that survive the predicate keep their ids
+    // through the rewrite (same invariant as DELETE); the replacement
+    // rows are new rows and draw fresh ids via a null materialized id
+    val rt = rowTrackingOn(s)
+    val outCols =
+      if (rt) s.schema.fieldNames.map(col).toSeq :+ col(RowIdCol)
+      else s.schema.fieldNames.map(col).toSeq
+    val keep = layoutRewriteSource(s, candidates)
       .filter(coalesce(cond, lit(false)) === false)
-      .select(s.schema.fieldNames.map(col): _*)
-    val adds = stageWrite(keep.unionByName(df.select(s.schema.fieldNames.map(col): _*)),
+      .select(outCols: _*)
+    val incoming0 = df.select(s.schema.fieldNames.map(col): _*)
+    val incoming =
+      if (rt) incoming0.withColumn(RowIdCol, lit(null).cast("long"))
+      else incoming0
+    val adds = stageWrite(keep.unionByName(incoming),
       s.partitionColumns, dataChange = true)
     val removes = candidates.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))

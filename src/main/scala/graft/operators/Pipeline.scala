@@ -140,13 +140,17 @@ object Pipeline {
   }
 
   /** Fibonacci-multiplier hash shared by [[pipeShuffle]] and
-    * [[pipeSplit]]: exact in 64-bit integer arithmetic on both engines
-    * (doc_id ≤ ~2^40 × 2654435761 stays far under 2^63), so the
-    * "random" order and bucket are bit-reproducible in the oracle —
-    * the property a resumable training run needs from its shuffle.
+    * [[pipeSplit]]: the id is reduced mod 2^31 BEFORE the multiply so
+    * the product stays under 2^63 for every possible long id — exact
+    * 64-bit integer arithmetic on both engines (no silent wraparound
+    * on one side and an overflow error on the other), which is what
+    * makes the "random" order and bucket bit-reproducible in the
+    * oracle. Ids ≥ 2^31 alias into the same hash space; the hash
+    * stays a fine shuffle/bucket key (collisions only tie-break by
+    * doc_id), just not a bijection there.
     */
   private def docHash(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(4294967296L))
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
 
   /** Deterministic global shuffle: the training-order randomization
     * pass before sharding. Ordering by a hash of the key (not by
@@ -164,12 +168,6 @@ object Pipeline {
       .select("doc_id", "shuffle_key", "pos")
       .orderBy("pos")
 
-  /** Hash-bucket train/validation/test split (97/2/1): membership
-    * depends only on doc_id, so it is stable as the corpus grows —
-    * new documents never move an old document across splits, the
-    * invariant that keeps a long-lived eval set uncontaminated. One
-    * codegen'd projection, no shuffle at all.
-    */
   /** The whole corpus-assembly pipeline, one oracle-checked query:
     * Gopher quality gate → exact dedup (keep lowest id per content
     * hash) → eval-set decontamination (5-gram overlap with the
@@ -199,6 +197,12 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Hash-bucket train/validation/test split (97/2/1): membership
+    * depends only on doc_id, so it is stable as the corpus grows —
+    * new documents never move an old document across splits, the
+    * invariant that keeps a long-lived eval set uncontaminated. One
+    * codegen'd projection, no shuffle at all.
+    */
   def pipeSplit(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), (docHash(col("doc_id")) % 100).as("bucket"))

@@ -61,8 +61,7 @@ final class GraftRelation(
     "rowIds cannot combine with readChangeFeed or time travel")
 
   private def snapshotDf =
-    if (withRowIds) table.toDFWithRowIds
-    else pinnedVersion.map(table.toDFAt).getOrElse(table.toDF)
+    pinnedVersion.map(table.toDFAt).getOrElse(table.toDF)
 
   override def schema: StructType = {
     val base0 = pinnedSnapshot.map(_.schema).getOrElse(table.snapshot.schema)
@@ -168,8 +167,12 @@ final class GraftRelation(
     // pruning (stats/bloom) applies only to the live snapshot; pinned
     // versions scan their full file set and let Spark filter
     val df =
-      if (withRowIds) pred.map(snapshotDf.filter).getOrElse(snapshotDf)
-      else pinnedVersion match {
+      if (withRowIds) {
+        // same file skipping as the plain path: ids are per-file, so
+        // pruning can never change a surviving row's id
+        val base = table.readWhereWithRowIds(pred)
+        pred.map(base.filter).getOrElse(base)
+      } else pinnedVersion match {
         case Some(_) => pred.map(snapshotDf.filter).getOrElse(snapshotDf)
         case None => pred.map(table.readWhere).getOrElse(table.toDF)
       }

@@ -105,6 +105,23 @@ class RowTrackingSpec extends GraftSparkSpec {
     assert(t.toDFWithRowIds.filter(col("v") === -7L).count() == 10)
   }
 
+  test("MERGE with explicit UPDATE SET keeps ids (CoW and MoR)") {
+    // regression: assignAll used to drop the materialized id column,
+    // crashing any row-tracked merge with a partial update clause
+    Seq(false, true).foreach { mor =>
+      val t = rtCreate(s"rt-set-merge-$mor", 40, 2)
+      val before = idMap(t)
+      val src = spark.range(8).select(col("id").as("k"), lit(0L).as("v"))
+      val b = t.mergeBuilder(src, "k")
+        .whenMatchedUpdate(Map("v" -> lit(-5L)))
+        .whenNotMatchedIgnore()
+      (if (mor) b.mergeOnRead() else b).execute()
+      val after = idMap(t)
+      assert(after == before, s"ids changed across UPDATE SET merge (mor=$mor)")
+      assert(t.toDFWithRowIds.filter(col("v") === -5L).count() == 8)
+    }
+  }
+
   test("merge-on-read MERGE: post-images carry the masked original's id") {
     val t = rtCreate("rt-mor-merge", 60, 3)
     val before = idMap(t)
@@ -139,6 +156,20 @@ class RowTrackingSpec extends GraftSparkSpec {
     assert(ids.values.max == 259L)
   }
 
+  test("replaceWhere keeps survivors' ids; replacements get fresh ones") {
+    val t = rtCreate("rt-rw", 60, 2)
+    val before = idMap(t)
+    val repl = spark.range(3000, 3010)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+    t.replaceWhere(col("k") < 20, repl)
+    val after = idMap(t)
+    assert(after.size == 50)
+    after.filter(_._1 < 3000).foreach { case (k, id) =>
+      assert(before(k) == id, s"survivor $k reassigned across replaceWhere") }
+    val fresh = after.filter(_._1 >= 3000).values.toSet
+    assert(fresh.size == 10 && fresh.intersect(before.values.toSet).isEmpty)
+  }
+
   test("clones keep source ids; appends to the clone never reuse them") {
     val t = rtCreate("rt-clone-src", 100, 4)
     val srcIds = idMap(t)
@@ -167,6 +198,18 @@ class RowTrackingSpec extends GraftSparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cloneIds == srcIds,
       "deep clone's masked-file rewrite must carry row ids")
+  }
+
+  test("row ids survive column rename (column mapping) and DV masking together") {
+    val t = rtCreate("rt-colmap", 50, 2)
+    val before = idMap(t)
+    t.renameColumn("v", "value") // metadata-only: physical name differs now
+    t.deleteMergeOnRead(col("k") >= 40)
+    val after = t.toDFWithRowIds.select("k", "row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size == 40)
+    after.foreach { case (k, id) => assert(before(k) == id) }
+    assert(t.toDFWithRowIds.columns.contains("value"))
   }
 
   test("row tracking off -> reads refuse, commits stay untouched") {
