@@ -28,9 +28,9 @@ object MediaCodec {
   private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
     le16(b, off, v & 0xffff); le16(b, off + 2, (v >>> 16) & 0xffff)
   }
-  private def readLe16(b: Array[Byte], off: Int): Int =
+  private[functions] def readLe16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-  private def readLe32(b: Array[Byte], off: Int): Int =
+  private[functions] def readLe32(b: Array[Byte], off: Int): Int =
     readLe16(b, off) | (readLe16(b, off + 2) << 16)
 
   /** A real BMP: 14-byte file header + 40-byte BITMAPINFOHEADER,
@@ -215,8 +215,7 @@ object MediaContentStats {
     */
   private def contentSpan(p: Array[Byte]): (String, Int, Int) = {
     val n = p.length
-    def le16(off: Int) = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
-    def le32(off: Int) = le16(off) | (le16(off + 2) << 16)
+    def le32(off: Int) = MediaCodec.readLe32(p, off)
     if (n >= 54 && p(0) == 'B' && p(1) == 'M') {
       val off = math.max(14 + 40, le32(10)) // pixel-array offset field
       val declared = le32(34).toLong & 0xffffffffL // biSizeImage
