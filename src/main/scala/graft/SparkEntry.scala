@@ -118,7 +118,8 @@ object SparkEntry {
     "lake_restore" -> LakeOps.lakeRestore _,
     "lake_history" -> LakeOps.lakeHistory _,
     "lake_vacuum" -> LakeOps.lakeVacuum _,
-    "lake_rowtracking" -> LakeOps.lakeRowTracking _)
+    "lake_rowtracking" -> LakeOps.lakeRowTracking _,
+    "lake_insert" -> LakeOps.lakeInsert _)
 
   private val rev = "ROUND(SUM(l_extendedprice*(1.0-l_discount)),2)"
 
@@ -811,6 +812,11 @@ object SparkEntry {
     "lake_zorder" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_restore" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_vacuum" -> LakeOps.liAggOracle.format("lineitem"),
+    // seed evens + INSERT odds = whole table; OVERWRITE keeps only 'R'
+    "lake_insert" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS sum_price, " +
+        "ROUND(SUM(l_quantity),2) AS sum_qty FROM lineitem WHERE l_returnflag = 'R' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // id = create-time global key rank (deterministic two-file sorted
     // write); OPTIMIZE + DELETE must both preserve surviving ids
     "lake_rowtracking" ->

@@ -173,6 +173,23 @@ object LakeOps {
     liAgg(t.toDF)
   }
 
+  /** INSERT INTO / OVERWRITE through the SQL surface (L52): seed with
+    * the low keys, INSERT the high keys back in via SQL, then INSERT
+    * OVERWRITE down to one returnflag — the final aggregate must match
+    * an oracle computed from the ORIGINAL parquet, proving both
+    * statements' row arithmetic end-to-end.
+    */
+  def lakeInsert(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val gsql = new graft.lake.GraftSql(spark)
+    gsql.registerCreate("li_ins", workDir(dir, "insert"),
+      li.filter(col("l_orderkey") % 2 === 0))
+    li.filter(col("l_orderkey") % 2 =!= 0).createOrReplaceTempView("li_odd")
+    gsql.sql("INSERT INTO li_ins SELECT * FROM li_odd")
+    gsql.sql("INSERT OVERWRITE li_ins SELECT * FROM li_ins WHERE l_returnflag = 'R'")
+    liAgg(gsql.table("li_ins").toDF)
+  }
+
   /** Row tracking end-to-end (L50): a sorted two-file create makes the
     * id assignment order deterministic (range-partitioned files are
     * committed in path order = key order, rows positioned in sort
