@@ -119,7 +119,8 @@ object SparkEntry {
     "lake_history" -> LakeOps.lakeHistory _,
     "lake_vacuum" -> LakeOps.lakeVacuum _,
     "lake_rowtracking" -> LakeOps.lakeRowTracking _,
-    "lake_insert" -> LakeOps.lakeInsert _)
+    "lake_insert" -> LakeOps.lakeInsert _,
+    "lake_identity" -> LakeOps.lakeIdentity _)
 
   private val rev = "ROUND(SUM(l_extendedprice*(1.0-l_discount)),2)"
 
@@ -824,6 +825,16 @@ object SparkEntry {
         "ids AS (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id " +
         "FROM base) SELECT o_orderkey, row_id FROM ids " +
         "WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey"),
+    // identity = start + step*(rank-1) in sorted row order for the
+    // create batch; the append batch resumes past the create batch's
+    // last value (mark 82 = 10 + 3*24), proving the cross-commit mark
+    "lake_identity" ->
+      ("WITH a AS (SELECT n_name, 7 + 3*ROW_NUMBER() OVER (ORDER BY n_name) AS n_seq " +
+        "FROM nation), " +
+        "b AS (SELECT r_name AS n_name, 82 + 3*ROW_NUMBER() OVER (ORDER BY r_name) AS n_seq " +
+        "FROM region) " +
+        "SELECT n_seq, n_name FROM (SELECT * FROM a UNION ALL SELECT * FROM b) t " +
+        "ORDER BY n_seq"),
     "lake_timetravel" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_delete" -> LakeOps.liAggOracle.format(
       "(SELECT * FROM lineitem WHERE l_returnflag <> 'R') t"),

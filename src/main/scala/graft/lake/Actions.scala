@@ -87,6 +87,14 @@ final case class SetTxn(appId: String, epoch: Long) extends Action
   */
 final case class RowIdHighWaterMark(highWaterMark: Long) extends Action
 
+/** Identity-column allocation mark (Delta `GENERATED ALWAYS AS
+  * IDENTITY` parity): the furthest value handed out for `column` —
+  * largest for a positive step, smallest for a negative one. Replayed
+  * last-wins (identity appends serialize via commit conflict) so every
+  * writer allocates strictly past all previously written values.
+  */
+final case class IdentityHighWaterMark(column: String, highWaterMark: Long) extends Action
+
 object Actions {
 
   private def q(s: String): String = "\"" + s.flatMap {
@@ -159,6 +167,10 @@ object Actions {
       obj("txn" -> obj("appId" -> q(t.appId), "epoch" -> t.epoch.toString))
     case h: RowIdHighWaterMark =>
       obj("rowIdHwm" -> obj("highWaterMark" -> h.highWaterMark.toString))
+    case h: IdentityHighWaterMark =>
+      obj("identityHwm" -> obj(
+        "column" -> q(h.column),
+        "highWaterMark" -> h.highWaterMark.toString))
   }
 
   private val mapper = new ObjectMapper()
@@ -174,7 +186,7 @@ object Actions {
       .map { case (k, v) => k -> String.valueOf(v).toLong }
 
   private val KnownActions = Set("add", "remove", "metaData", "commitInfo",
-    "addDV", "removeDV", "addCDC", "txn", "protocol", "rowIdHwm")
+    "addDV", "removeDV", "addCDC", "txn", "protocol", "rowIdHwm", "identityHwm")
 
   def fromJson(line: String): Option[Action] = {
     val root = mapper.readValue(line, classOf[java.util.Map[String, Any]]).asScala
@@ -236,6 +248,10 @@ object Actions {
       case ("rowIdHwm", v) =>
         val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
         RowIdHighWaterMark(String.valueOf(m("highWaterMark")).toLong)
+      case ("identityHwm", v) =>
+        val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
+        IdentityHighWaterMark(m("column").toString,
+          String.valueOf(m("highWaterMark")).toLong)
       case (other, _) => // unreachable: filtered to KnownActions above
         throw new IllegalArgumentException(s"unknown action type: $other")
     }

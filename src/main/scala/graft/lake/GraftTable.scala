@@ -456,7 +456,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[lake] def commitAndCheckpoint(actions: Seq[Action], readVersion: Long = -1L,
                                         readPaths: Set[String] = Set.empty,
                                         metadataConflict: Boolean = false,
-                                        conflictOnDV: Boolean = false): Long = {
+                                        conflictOnDV: Boolean = false,
+                                        conflictOnIdentity: Boolean = false): Long = {
     // writer half of the protocol gate (the reader half lives in
     // Snapshot.at): a table whose floor was raised by a newer client
     // must not accept commits this client could encode wrongly
@@ -484,7 +485,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         if (attemptLatest < 0) -1L else snapshotAt(attemptLatest).rowIdHwm)
     val v =
       if (readVersion < 0 ||
-          (deps.isEmpty && !metadataConflict && !conflictOnDV && ourTxns.isEmpty)) {
+          (deps.isEmpty && !metadataConflict && !conflictOnDV &&
+            !conflictOnIdentity && ourTxns.isEmpty)) {
         if (!trackRows) log.commit(actions)
         else {
           var committed = -1L
@@ -543,11 +545,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           // concurrent metadata updates; so do we.
           val metaChanged = metadataConflict &&
             intervening.exists(_.isInstanceOf[Metadata])
-          if (conflicting.nonEmpty || dvAdded || metaChanged)
+          // identity allocations reserve from the snapshot's mark — a
+          // concurrent allocation that landed first means our staged
+          // values may collide with its; committing would silently
+          // break uniqueness, so serialize (Delta conflicts here too)
+          val idAdvanced = conflictOnIdentity &&
+            intervening.exists(_.isInstanceOf[IdentityHighWaterMark])
+          if (conflicting.nonEmpty || dvAdded || metaChanged || idAdvanced)
             throw new java.util.ConcurrentModificationException(
               s"table $path changed since version $readVersion: " +
                 (if (metaChanged) "a concurrent commit updated the table metadata"
                  else if (dvAdded) "a concurrent merge-on-read delete added a deletion vector"
+                 else if (idAdvanced) "a concurrent commit allocated identity values"
                  else s"${conflicting.size} of this operation's input files were " +
                    "removed by a concurrent commit") +
                 "; re-run against the new snapshot")
@@ -694,12 +703,70 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         k.stripPrefix("graft.generated.") -> v
     }
 
+  /** Identity columns (Delta `GENERATED ALWAYS AS IDENTITY` parity):
+    * `graft.identity.<col> = "start,step"`. Appends that omit the
+    * column get unique long values allocated strictly past every
+    * previously written one (gaps allowed — Delta's contract too).
+    * Values are MATERIALIZED into the data files at write time, so
+    * layout and DML rewrites carry them unchanged; the furthest
+    * allocated value is persisted as an [[IdentityHighWaterMark]]
+    * computed from the staged files' own footer stats — O(#files)
+    * driver metadata work, no data scan. Explicit values are rejected
+    * (ALWAYS semantics), and identity appends serialize: concurrent
+    * allocations conflict at commit rather than double-allocate.
+    */
+  private def identitySpecs(props: Map[String, String]): Map[String, (Long, Long)] =
+    props.collect {
+      case (k, v) if k.startsWith("graft.identity.") =>
+        val Array(st, sp) = v.split(",", 2)
+        val step = sp.trim.toLong
+        require(step != 0, s"identity step must be non-zero in $k = $v")
+        k.stripPrefix("graft.identity.") -> (st.trim.toLong, step)
+    }
+
+  private def applyIdentityColumns(df: DataFrame,
+      specs: Map[String, (Long, Long)], marks: Map[String, Long]): DataFrame =
+    specs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, (start, step))) =>
+      require(!d.columns.contains(c),
+        s"identity column $c is GENERATED ALWAYS — explicit values cannot be " +
+          "supplied; omit the column and the table allocates them")
+      val mark = marks.getOrElse(c, start - step)
+      // monotonically_increasing_id is unique per (partition, row) —
+      // values jump between input partitions (gaps are allowed) but
+      // every allocation lands strictly past the current mark in step
+      // direction, with no global sort and no shuffle
+      d.withColumn(c, lit(mark) + (monotonically_increasing_id() + 1L) * step)
+    }
+
+  private def identityMarkActions(adds: Seq[AddFile],
+      specs: Map[String, (Long, Long)], marks: Map[String, Long],
+      phys: String => String): Seq[Action] =
+    specs.toSeq.sortBy(_._1).flatMap { case (c, (_, step)) =>
+      val nonEmptyFiles = adds.filter(_.stats.exists(_.numRecords > 0))
+      val vals = nonEmptyFiles.flatMap(_.stats.flatMap(st =>
+        (if (step > 0) st.maxValues.get(phys(c)) else st.minValues.get(phys(c)))
+          .flatMap(v => scala.util.Try(v.toLong).toOption)))
+      // missing footer stats would under-advance the mark and a later
+      // append would silently re-allocate the same values — fail loudly
+      require(vals.size == nonEmptyFiles.size,
+        s"identity column $c: staged file lacks footer min/max stats; " +
+          "cannot advance the allocation mark safely")
+      if (vals.isEmpty) None
+      else {
+        val mark = if (step > 0) vals.max else vals.min
+        if (marks.get(c).exists(p => if (step > 0) mark <= p else mark >= p)) None
+        else Some(IdentityHighWaterMark(c, mark))
+      }
+    }
+
   def append(df0: DataFrame, mergeSchema: Boolean = false): Long = {
     val s = snapshot
+    val idSpecs = identitySpecs(s.metadata.map(_.properties).getOrElse(Map.empty))
+    val withId = applyIdentityColumns(df0, idSpecs, s.identityHwm)
     // V-Order tables keep subsequent writes ordered too (the reference
     // platform's semantics once the property is on) — per-write-task
     // sort, no extra shuffle
-    val shaped = optimizeWriteShape(applyGeneratedColumns(df0, s), s)
+    val shaped = optimizeWriteShape(applyGeneratedColumns(withId, s), s)
     val vc = vorderColumns(s).filter(shaped.columns.contains)
     val df = if (vc.isEmpty) shaped
       else shaped.sortWithinPartitions(
@@ -708,8 +775,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (!mergeSchema) {
       enforceSchema(df.schema, s.schema)
       val adds = stageWrite(df, s.partitionColumns, dataChange = true)
-      val v = commitAndCheckpoint(info("APPEND",
-        metrics = Map("numFiles" -> adds.size.toString)) +: adds)
+      val idMarks = identityMarkActions(adds, idSpecs, s.identityHwm, s.physicalName)
+      val v = commitAndCheckpoint((info("APPEND",
+        metrics = Map("numFiles" -> adds.size.toString)) +: adds) ++ idMarks,
+        readVersion = if (idMarks.isEmpty) -1L else s.version,
+        conflictOnIdentity = idMarks.nonEmpty)
       maybeAutoCollectStats(adds)
       maybeAutoOptimize()
       v
@@ -737,14 +807,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }
       val merged = StructType(table.fields ++ newFields)
       val adds = stageWrite(df, s.partitionColumns, dataChange = true)
+      val idMarks = identityMarkActions(adds, idSpecs, s.identityHwm, s.physicalName)
       val metaActions: Seq[Action] =
         if (newFields.isEmpty) Nil
         else Seq(s.metadata.get.copy(schemaJson = merged.json))
       val v = commitAndCheckpoint(Seq(info("APPEND",
         params = Map("mergeSchema" -> "true"),
-        metrics = Map("numFiles" -> adds.size.toString))) ++ metaActions ++ adds,
-        readVersion = if (newFields.isEmpty) -1L else s.version,
-        metadataConflict = newFields.nonEmpty)
+        metrics = Map("numFiles" -> adds.size.toString))) ++ metaActions ++ adds ++ idMarks,
+        readVersion = if (newFields.isEmpty && idMarks.isEmpty) -1L else s.version,
+        metadataConflict = newFields.nonEmpty,
+        conflictOnIdentity = idMarks.nonEmpty)
       maybeAutoCollectStats(adds)
       v
     }
@@ -2772,14 +2844,17 @@ object GraftTable {
     val t = new GraftTable(spark, path)
     require(!t.log.exists, s"GraftLake table already exists at $path")
     Files.createDirectories(Paths.get(path))
-    val meta = Metadata(df.schema.json, partitionBy, properties,
+    val idSpecs = t.identitySpecs(properties)
+    val df1 = t.applyIdentityColumns(df, idSpecs, Map.empty)
+    val meta = Metadata(df1.schema.json, partitionBy, properties,
       System.currentTimeMillis())
-    val adds = t.stageWrite(df, partitionBy, dataChange = true)
+    val adds = t.stageWrite(df1, partitionBy, dataChange = true)
+    val idMarks = t.identityMarkActions(adds, idSpecs, Map.empty, identity)
     t.commitAndCheckpoint(Seq(
       CommitInfo(System.currentTimeMillis(), "CREATE TABLE AS SELECT",
         Map("partitionBy" -> partitionBy.mkString(",")),
         Map("numFiles" -> adds.size.toString)),
-      meta) ++ adds)
+      meta) ++ adds ++ idMarks)
     t
   }
 }

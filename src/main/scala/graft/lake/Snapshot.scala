@@ -19,7 +19,11 @@ final case class Snapshot(
     // row tracking: largest row id ever reserved (-1 = none yet).
     // Monotone across versions — removed files keep their ranges
     // because time travel still reads them.
-    rowIdHwm: Long = -1L) {
+    rowIdHwm: Long = -1L,
+    // identity columns: per-column furthest allocated value (largest
+    // for a positive step, smallest for a negative one); last-wins
+    // replay, identity appends serialize via commit conflict
+    identityHwm: Map[String, Long] = Map.empty) {
 
   def schema: StructType =
     metadata.map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -150,6 +154,7 @@ object Snapshot {
     val dvs = scala.collection.mutable.LinkedHashSet(base.dvFiles: _*)
     val txns = scala.collection.mutable.LinkedHashMap(base.txns.toSeq: _*)
     var hwm = base.rowIdHwm
+    val idHwm = scala.collection.mutable.LinkedHashMap(base.identityHwm.toSeq: _*)
     tail.foreach {
       case m: Metadata => meta = Some(m)
       case p: Protocol => proto = Some(p)
@@ -160,10 +165,12 @@ object Snapshot {
       case t: SetTxn =>
         txns(t.appId) = math.max(t.epoch, txns.getOrElse(t.appId, Long.MinValue))
       case h: RowIdHighWaterMark => hwm = math.max(hwm, h.highWaterMark)
+      case h: IdentityHighWaterMark => idHwm(h.column) = h.highWaterMark
       case _: AddCDC => ()
       case _: CommitInfo => ()
     }
-    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap, proto, hwm)
+    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap, proto, hwm,
+      idHwm.toMap)
   }
 
   /** Version whose commit timestamp is the latest ≤ `tsMillis`. */
@@ -181,6 +188,7 @@ object Snapshot {
     val dvs = scala.collection.mutable.LinkedHashSet[String]()
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     var hwm = -1L
+    val idHwm = scala.collection.mutable.LinkedHashMap[String, Long]()
     (base ++ tail).foreach {
       case m: Metadata => meta = Some(m)
       case p: Protocol => proto = Some(p)
@@ -191,8 +199,10 @@ object Snapshot {
       case _: AddCDC => () // per-commit change feed, not snapshot state
       case t: SetTxn => txns(t.appId) = math.max(t.epoch, txns.getOrElse(t.appId, Long.MinValue))
       case h: RowIdHighWaterMark => hwm = math.max(hwm, h.highWaterMark)
+      case h: IdentityHighWaterMark => idHwm(h.column) = h.highWaterMark
       case _: CommitInfo => ()
     }
-    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap, proto, hwm)
+    Snapshot(v, meta, files.values.toSeq, dvs.toSeq, txns.toMap, proto, hwm,
+      idHwm.toMap)
   }
 }

@@ -201,7 +201,9 @@ final class TxnLog(val tablePath: String) {
       state.dvFiles.map(p => Actions.toJson(AddDV(p))) ++
       state.txns.toSeq.map { case (app, e) => Actions.toJson(SetTxn(app, e)) } ++
       (if (state.rowIdHwm >= 0)
-         Seq(Actions.toJson(RowIdHighWaterMark(state.rowIdHwm))) else Nil)
+         Seq(Actions.toJson(RowIdHighWaterMark(state.rowIdHwm))) else Nil) ++
+      state.identityHwm.toSeq.sortBy(_._1).map { case (c, m) =>
+        Actions.toJson(IdentityHighWaterMark(c, m)) }
     import spark.implicits._
     // single parquet part while the state is small; shard at ~100k
     // actions so a 100k-file table's checkpoint is written (and later

@@ -210,4 +210,22 @@ object LakeOps {
     t.delete(col("o_orderkey") % 3 === 0)
     t.toDFWithRowIds.select("o_orderkey", "row_id").orderBy("o_orderkey")
   }
+
+  /** Identity columns (L54): single-partition sorted writes make the
+    * allocation order deterministic (one input partition → values are
+    * the contiguous start/step sequence in row order), so the DuckDB
+    * oracle can replay the exact arithmetic with ROW_NUMBER — proving
+    * start/step allocation, ALWAYS materialization into data files,
+    * and the cross-commit mark advance (the append's first value sits
+    * strictly past the create batch's last).
+    */
+  def lakeIdentity(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation")
+      .select("n_name").repartition(1).sortWithinPartitions("n_name")
+    val t = GraftTable.create(spark, workDir(dir, "identity"), nation,
+      properties = Map("graft.identity.n_seq" -> "10,3"))
+    t.append(Tables(spark, dir, "region")
+      .select(col("r_name").as("n_name")).repartition(1).sortWithinPartitions("n_name"))
+    t.toDF.select("n_seq", "n_name").orderBy("n_seq")
+  }
 }

@@ -186,6 +186,50 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(t.toDF.filter(col("ship_date") === "1990-06-15").count() == 90)
   }
 
+  test("identity columns allocate unique values past the mark; ALWAYS semantics; rewrites preserve") {
+    val src = li.limit(40).select("l_orderkey", "l_quantity")
+    val t = GraftTable.create(spark, tmpDir("identity"), src,
+      properties = Map("graft.identity.row_seq" -> "100,2"))
+    def ids(): Set[Long] =
+      t.toDF.select("row_seq").collect().map(_.getLong(0)).toSet
+    val ids0 = ids()
+    assert(ids0.size == 40, "every row gets a distinct identity value")
+    assert(ids0.forall(v => v >= 100 && (v - 100) % 2 == 0),
+      "values start at `start` and respect the step")
+    // second append allocates strictly past everything already written
+    t.append(li.limit(25).select("l_orderkey", "l_quantity"))
+    val ids1 = ids()
+    assert(ids1.size == 65 && ids0.subsetOf(ids1))
+    assert((ids1 -- ids0).min > ids0.max)
+    // GENERATED ALWAYS: explicit values are refused
+    intercept[IllegalArgumentException] {
+      t.append(li.limit(5).select("l_orderkey", "l_quantity")
+        .withColumn("row_seq", lit(1L)))
+    }
+    // layout rewrites carry materialized values unchanged
+    t.optimize()
+    assert(ids() == ids1, "OPTIMIZE must not reassign identity values")
+    t.delete(col("row_seq") === ids1.max)
+    assert(ids() == ids1 - ids1.max, "CoW DELETE preserves surviving ids")
+    // the mark survives checkpointing: cross the checkpoint interval,
+    // then allocate from a FRESH handle (snapshot seeded from parquet)
+    (1 to 10).foreach(_ => t.append(li.limit(2).select("l_orderkey", "l_quantity")))
+    val t2 = GraftTable.forPath(spark, t.path)
+    t2.append(li.limit(3).select("l_orderkey", "l_quantity"))
+    val fin = t2.toDF.select("row_seq").collect().map(_.getLong(0))
+    assert(fin.length == fin.distinct.length, "no identity value reused after checkpoint replay")
+    // negative step descends
+    val d = GraftTable.create(spark, tmpDir("identity-desc"),
+      li.limit(10).select("l_orderkey"),
+      properties = Map("graft.identity.neg_seq" -> "0,-3"))
+    val neg0 = d.toDF.select("neg_seq").collect().map(_.getLong(0)).toSet
+    assert(neg0.size == 10 && neg0.forall(v => v <= 0 && v % 3 == 0))
+    d.append(li.limit(4).select("l_orderkey"))
+    val neg1 = d.toDF.select("neg_seq").collect().map(_.getLong(0)).toSet
+    assert(neg1.size == 14 && (neg1 -- neg0).max < neg0.min,
+      "negative step allocates strictly below the previous minimum")
+  }
+
   test("generated-column partition pruning: raw-timestamp filters prune date partitions") {
     import org.apache.spark.sql.types.DateType
     val seed = li.limit(3000)
