@@ -59,7 +59,11 @@ object SparkEntry {
     "q35_solo_supplier" -> Analytics.q35SoloSupplierOrders _,
     "q36_top_rev_supplier" -> Analytics.q36TopRevenueSupplier _,
     "q37_funnel" -> Analytics.q37Funnel _,
-    "q38_retention" -> Analytics.q38Retention _)
+    "q38_retention" -> Analytics.q38Retention _,
+    "q39_order_priority" -> Analytics.q39OrderPriority _,
+    "q40_cust_distribution" -> Analytics.q40CustDistribution _,
+    "q41_big_orders" -> Analytics.q41BigOrders _,
+    "q42_inactive_balance" -> Analytics.q42InactiveBalance _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -550,6 +554,36 @@ object SparkEntry {
         "WHERE l_orderkey NOT IN (SELECT l_orderkey FROM multi) " +
         "GROUP BY l_suppkey) t JOIN supplier ON l_suppkey = s_suppkey " +
         "ORDER BY n_solo_orders DESC, s_suppkey LIMIT 20"),
+    "q39_order_priority" ->
+      ("SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q40_cust_distribution" ->
+      ("SELECT c_count, COUNT(*) AS custdist FROM (" +
+        "SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count " +
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "GROUP BY c.c_custkey) t " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "q41_big_orders" ->
+      ("WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) " +
+        "AS total_qty " +
+        "FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 300) " +
+        "SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty " +
+        "FROM big JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "q42_inactive_balance" ->
+      ("WITH pos AS (SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS tot, " +
+        "COUNT(*) AS n FROM customer WHERE c_acctbal > 0) " +
+        "SELECT c_mktsegment, COUNT(*) AS numcust, " +
+        "ROUND(SUM(c_acctbal),2) AS totacctbal FROM customer c, pos " +
+        "WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * n > tot " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "q37_funnel" ->
       ("WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id), " +

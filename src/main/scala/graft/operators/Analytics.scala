@@ -571,4 +571,87 @@ object Analytics {
         round(col("rev_u") / 10000.0, 2).as("total_rev"))
       .orderBy("s_suppkey")
   }
+
+  /** TPC-H Q4 shape (order-priority checking): orders from one quarter
+    * counted per priority when at least one of their lineitems shipped
+    * AFTER the order date — a correlated EXISTS decorrelated to a
+    * left-semi join with a non-equi residual. One shuffle on the order
+    * key for the semi join (the quarter filter pushes to the orders
+    * scan first), then a five-group rollup.
+    */
+  def q39OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val q = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    q.join(li, q("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > q("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join so zero-order customers survive with count 0, then a
+    * histogram over the per-customer counts. First aggregate shuffles
+    * on c_custkey; the histogram input is one row per customer, so
+    * the second shuffle is already small at any corpus size.
+    */
+  def q40CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val counts = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+    counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total
+    * quantity clears a threshold, joined back to customer + order
+    * attributes. Quantity sums in exact integer units so the
+    * threshold test can never flip between engines; the big-order key
+    * set is tiny, so the join-back is effectively a semi-join that
+    * AQE sizes down.
+    */
+  def q41BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(c("c_custkey"), c("c_name"), o("o_orderkey"),
+        o("o_totalprice"), big("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape (inactive high-balance accounts): customers whose
+    * balance beats the positive-balance average and who placed no
+    * order since 2000, rolled up per market segment. The average test
+    * runs in EXACT integer cents cross-multiplied against the count
+    * (cents·n > total-cents), so no borderline row can flip on a
+    * last-ulp AVG difference between engines; the 1-row aggregate
+    * broadcasts, and the inactivity check is an anti join against the
+    * (date-filtered) order keys.
+    */
+  def q42InactiveBalance(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val pos = c.filter(col("c_acctbal") > 0)
+      .agg(sum(round(col("c_acctbal") * 100).cast("long")).as("tot"),
+        count(lit(1)).as("n"))
+    val recent = o
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    c.crossJoin(broadcast(pos))
+      .filter(round(col("c_acctbal") * 100).cast("long") * col("n") > col("tot"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
 }
