@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhash _,
     "dedup_embedding" -> Dedup.dedupEmbedding _,
     "dedup_semantic" -> Dedup.dedupSemantic _,
+    "dedup_substring" -> Dedup.dedupSubstring _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_lsh_ann" -> Similarity.simLshAnn _,
     "sim_ivf" -> Similarity.simIvf _,
@@ -744,6 +745,17 @@ object SparkEntry {
         "JOIN d da ON da.vec_id = id_a JOIN d db ON db.vec_id = id_b) " +
         "SELECT cluster, id_a, id_b, cos FROM sc WHERE cos >= 0.99 " +
         "ORDER BY id_a, id_b"),
+    // fixed 60-char windows at stride 20, md5-fingerprinted; windows in
+    // >32 docs dropped (boilerplate cut), pairs sharing ≥2 windows kept
+    "dedup_substring" ->
+      ("WITH wins AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(p AS INT), 60)) AS h " +
+        "FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-59, 20)) AS p) s " +
+        "WHERE len(text) >= 60), " +
+        "freq AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) <= 32), " +
+        "w2 AS (SELECT * FROM wins WHERE h IN (SELECT h FROM freq)) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared " +
+        "FROM w2 a JOIN w2 b USING (h) WHERE a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"),
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf" -> simIvfSql,
     "sim_bruteforce_topk" ->

@@ -298,4 +298,38 @@ object Dedup {
       .select("cluster", "id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
+
+  /** Substring-level exact dedup (the goal of Lee et al. 2021's
+    * suffix-array dedup, re-expressed as a distributed fingerprint
+    * join): md5 fingerprints of fixed 60-char windows at stride 20 —
+    * two documents sharing ≥2 distinct window fingerprints contain
+    * verbatim-copied spans even when the documents as wholes are not
+    * near-duplicates. Windows appearing in >32 documents are dropped
+    * before the self-join (the same frequency cut LSH banding relies
+    * on), so no boilerplate fingerprint can blow a join bucket up
+    * quadratically at corpus scale; everything else is hash-partitioned
+    * equi-join work. substr/md5 arithmetic is engine-portable, so the
+    * DuckDB oracle replays the exact window set.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val w = 60
+    val stride = 20
+    val wins = Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text)-${w - 1}, $stride), " +
+          s"p -> md5(cast(substring(text, p, $w) as binary)))")).as("h"))
+      .distinct()
+    val rare = wins.groupBy("h").agg(count(lit(1)).as("nf"))
+      .filter(col("nf") <= 32).select("h")
+    val w2 = wins.join(rare, Seq("h"))
+    val left = w2.select(col("h"), col("doc_id").as("doc_a"))
+    val right = w2.select(col("h"), col("doc_id").as("doc_b"))
+    left.join(right, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
 }
