@@ -1236,18 +1236,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     if (seen) s.version
     else {
-      // same write shaping as batch append: generated columns + bin-pack
-      val shaped = optimizeWriteShape(applyGeneratedColumns(df, s), s)
+      // same write shaping as batch append: identity allocation +
+      // generated columns + bin-pack
+      val idSpecs = identitySpecs(s.metadata.map(_.properties).getOrElse(Map.empty))
+      val withId = applyIdentityColumns(df, idSpecs, s.identityHwm)
+      val shaped = optimizeWriteShape(applyGeneratedColumns(withId, s), s)
       validateConstraints(shaped, s)
       enforceSchema(shaped.schema, s.schema)
       val adds = stageWrite(shaped, s.partitionColumns, dataChange = true)
+      val idMarks = identityMarkActions(adds, idSpecs, s.identityHwm, s.physicalName)
       // readVersion engages the conflict loop, whose SetTxn
       // re-validation catches a zombie twin committing this same epoch
       // between our snapshot check and now
       val v = commitAndCheckpoint(Seq(
         info("STREAMING UPDATE",
           params = Map("streamAppId" -> appId, "epochId" -> epochId.toString)),
-        SetTxn(appId, epochId)) ++ adds, readVersion = s.version)
+        SetTxn(appId, epochId)) ++ adds ++ idMarks, readVersion = s.version,
+        conflictOnIdentity = idMarks.nonEmpty)
       maybeAutoOptimize()
       v
     }

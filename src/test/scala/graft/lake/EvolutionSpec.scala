@@ -218,6 +218,11 @@ class EvolutionSpec extends GraftSparkSpec {
     t2.append(li.limit(3).select("l_orderkey", "l_quantity"))
     val fin = t2.toDF.select("row_seq").collect().map(_.getLong(0))
     assert(fin.length == fin.distinct.length, "no identity value reused after checkpoint replay")
+    // streaming micro-batch epochs allocate through the same shaping
+    t2.appendStreamBatch("idstream", 0L, li.limit(2).select("l_orderkey", "l_quantity"))
+    val fin2 = t2.toDF.select("row_seq").collect().map(_.getLong(0))
+    assert(fin2.length == fin.length + 2 && fin2.length == fin2.distinct.length,
+      "streaming epoch must allocate fresh identity values")
     // negative step descends
     val d = GraftTable.create(spark, tmpDir("identity-desc"),
       li.limit(10).select("l_orderkey"),
