@@ -2257,7 +2257,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (scoped.isEmpty)
       return Map("numRemovedFiles" -> "0", "numAddedFiles" -> "0")
     val df = layoutRewriteSource(s, scoped)
-    val z = df.withColumn("__zval", ZOrder.zvalue(df, cols))
+    // `graft.layout.curve = hilbert` switches the clustering rank to
+    // the Hilbert index (Delta liquid clustering's curve); default is
+    // Morton interleave, matching OPTIMIZE ZORDER semantics
+    val curve = s.metadata.map(_.properties).getOrElse(Map.empty)
+      .getOrElse("graft.layout.curve", "morton")
+    val z = df.withColumn("__zval", ZOrder.zvalue(df, cols, curve))
     val scopedBytes = scoped.map(_.size).sum
     val nOut = math.max(1, math.ceil(scopedBytes.toDouble / targetBytes).toInt)
     val clustered = z.repartitionByRange(nOut, col("__zval"))
