@@ -72,6 +72,10 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
   private val clusterByRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s*(?:\(\s*([\w,\s]+?)\s*\)|NONE)\s*;?\s*$""".r
+  private val setDefaultRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*$""".r
+  private val dropDefaultRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*$""".r
   private val propPairRe: Regex =
     """'([^']+)'\s*=\s*'([^']*)'""".r
   private val ctasRe: Regex =
@@ -281,6 +285,17 @@ final class GraftSql(spark: SparkSession) {
         val v = table(name).addColumn(colName, dt)
         Seq(("addedColumn", s"$colName ${dt.simpleString}"),
           ("version", v.toString)).toDF("metric", "value")
+      case setDefaultRe(name, colName, exprStr) =>
+        val t = table(name)
+        require(t.snapshot.schema.fieldNames.contains(colName),
+          s"cannot set a default on unknown column $colName")
+        val v = t.setTableProperties(Map(s"graft.default.$colName" -> exprStr))
+        Seq(("defaultSet", s"$colName = $exprStr"), ("version", v.toString))
+          .toDF("metric", "value")
+      case dropDefaultRe(name, colName) =>
+        val v = table(name).commitRemoveProperty(s"graft.default.$colName")
+        Seq(("defaultDropped", colName), ("version", v.toString))
+          .toDF("metric", "value")
       case clusterByRe(name, cols) =>
         val t = table(name)
         val v =

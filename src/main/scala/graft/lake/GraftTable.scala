@@ -703,6 +703,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         k.stripPrefix("graft.generated.") -> v
     }
 
+  /** Column defaults (Delta `ALTER COLUMN ... SET DEFAULT` parity):
+    * `graft.default.<col> = <sql>` fills the column on writes that
+    * OMIT it — unlike generated columns there is no invariant, so
+    * explicitly supplied values always win and nothing re-validates
+    * them. The expression evaluates per write (so `current_date()`
+    * style defaults stamp ingest time), cast to the declared column
+    * type.
+    */
+  private def applyDefaultColumns(df: DataFrame, s: Snapshot): DataFrame = {
+    val schema = s.schema
+    s.metadata.map(_.properties).getOrElse(Map.empty).collect {
+      case (k, v) if k.startsWith("graft.default.") =>
+        k.stripPrefix("graft.default.") -> v
+    }.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c) || !schema.fieldNames.contains(c)) d
+      else d.withColumn(c, expr(e).cast(schema(c).dataType))
+    }
+  }
+
   /** Identity columns (Delta `GENERATED ALWAYS AS IDENTITY` parity):
     * `graft.identity.<col> = "start,step"`. Appends that omit the
     * column get unique long values allocated strictly past every
@@ -766,7 +785,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // V-Order tables keep subsequent writes ordered too (the reference
     // platform's semantics once the property is on) — per-write-task
     // sort, no extra shuffle
-    val shaped = optimizeWriteShape(applyGeneratedColumns(withId, s), s)
+    val shaped = optimizeWriteShape(
+      applyGeneratedColumns(applyDefaultColumns(withId, s), s), s)
     val vc = vorderColumns(s).filter(shaped.columns.contains)
     val df = if (vc.isEmpty) shaped
       else shaped.sortWithinPartitions(
@@ -1240,7 +1260,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // generated columns + bin-pack
       val idSpecs = identitySpecs(s.metadata.map(_.properties).getOrElse(Map.empty))
       val withId = applyIdentityColumns(df, idSpecs, s.identityHwm)
-      val shaped = optimizeWriteShape(applyGeneratedColumns(withId, s), s)
+      val shaped = optimizeWriteShape(
+        applyGeneratedColumns(applyDefaultColumns(withId, s), s), s)
       validateConstraints(shaped, s)
       enforceSchema(shaped.schema, s.schema)
       val adds = stageWrite(shaped, s.partitionColumns, dataChange = true)

@@ -235,6 +235,25 @@ class EvolutionSpec extends GraftSparkSpec {
       "negative step allocates strictly below the previous minimum")
   }
 
+  test("column defaults fill omitted columns; explicit values win; DROP DEFAULT reverts") {
+    val path = tmpDir("defaults")
+    val t = GraftTable.create(spark, path,
+      li.limit(20).select("l_orderkey", "l_quantity").withColumn("tier", lit("gold")))
+    val g = new GraftSql(spark)
+    g.register("dft", path)
+    g.sql("ALTER TABLE dft ALTER COLUMN tier SET DEFAULT 'standard'")
+    t.append(li.limit(5).select("l_orderkey", "l_quantity")) // omitted → default
+    assert(t.toDF.filter(col("tier") === "standard").count() == 5)
+    // unlike generated columns: explicit values win, nothing re-validates
+    t.append(li.limit(3).select("l_orderkey", "l_quantity")
+      .withColumn("tier", lit("silver")))
+    assert(t.toDF.filter(col("tier") === "silver").count() == 3)
+    g.sql("ALTER TABLE dft ALTER COLUMN tier DROP DEFAULT")
+    intercept[Exception](t.append(li.limit(2).select("l_orderkey", "l_quantity")))
+    intercept[IllegalArgumentException](
+      g.sql("ALTER TABLE dft ALTER COLUMN nope SET DEFAULT 1"))
+  }
+
   test("generated-column partition pruning: raw-timestamp filters prune date partitions") {
     import org.apache.spark.sql.types.DateType
     val seed = li.limit(3000)
