@@ -89,6 +89,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_lsh_ann" -> Similarity.simLshAnn _,
     "sim_ivf" -> Similarity.simIvf _,
+    "sim_pq" -> Similarity.simPq _,
     "pipe_stratified_sample" -> Pipeline.pipeStratifiedSample _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
@@ -293,6 +294,36 @@ object SparkEntry {
       "r AS (SELECT qid, cid, cos_raw, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn FROM sc) " +
       "SELECT qid, cid, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
+      "FROM r WHERE rn <= 5 ORDER BY qid, rn"
+
+  /** Full replay of the PQ operator: strided-medoid codebooks, int64
+    * quantization (FLOOR(x·10⁴+0.5) — the same IEEE op chain as
+    * Math.round), per-subspace L2² tables, encode argmin with the
+    * lowest-codeword tiebreak, ADC sums. Every value is exact integer
+    * arithmetic, so the comparison is bit-for-bit, not tolerance-based.
+    */
+  private def simPqSql: String =
+    "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      "prm AS (SELECT GREATEST(1, (COUNT(*) FILTER (WHERE vec_id >= 10)) // 64) AS stride, " +
+      "MAX(len(e)) // 32 AS sub FROM emb), " +
+      "cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec_id " +
+      "FROM emb, prm WHERE vec_id >= 10 AND (vec_id - 10) % stride = 0 " +
+      "QUALIFY c < 64), " +
+      "qc AS (SELECT vec_id, UNNEST(generate_series(1, len(e))) AS i, UNNEST(e) AS x FROM emb), " +
+      "qq AS (SELECT vec_id, i, CAST(FLOOR(x * 10000 + 0.5) AS BIGINT) AS q FROM qc), " +
+      "wq AS (SELECT c, i, q FROM cw JOIN qq USING (vec_id)), " +
+      "d AS (SELECT v.vec_id, w.c, (v.i - 1) // sub AS j, " +
+      "SUM((v.q - w.q) * (v.q - w.q)) AS d " +
+      "FROM qq v, wq w, prm WHERE v.i = w.i GROUP BY 1, 2, 3), " +
+      "code AS (SELECT vec_id AS cid, j, c FROM (" +
+      "SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS r " +
+      "FROM d WHERE vec_id >= 10) WHERE r = 1), " +
+      "qt AS (SELECT vec_id AS qid, j, c, d FROM d WHERE vec_id < 10), " +
+      "adc AS (SELECT qid, cid, CAST(SUM(qt.d) AS BIGINT) AS adc " +
+      "FROM code JOIN qt USING (j, c) GROUP BY 1, 2), " +
+      "r AS (SELECT qid, cid, adc, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY adc, cid) AS rn FROM adc) " +
+      "SELECT qid, cid, adc, CAST(rn AS BIGINT) AS rn " +
       "FROM r WHERE rn <= 5 ORDER BY qid, rn"
 
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
@@ -758,6 +789,7 @@ object SparkEntry {
         "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"),
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf" -> simIvfSql,
+    "sim_pq" -> simPqSql,
     "sim_bruteforce_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
         "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +

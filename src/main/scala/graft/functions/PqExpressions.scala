@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, FloatType, StructField, StructType}
+
+/** Product-quantization ADC scan (Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI): one
+  * codegen'd pass per corpus vector that (a) encodes the vector —
+  * per-subspace argmin against the codebook — and (b) emits the
+  * asymmetric-distance-computation value for every query via table
+  * lookups. At scale the codes are what you'd materialize at OPTIMIZE
+  * time (a 32× memory compression of float32 embeddings); here the
+  * encode fuses into the scan because the corpus streams through
+  * anyway.
+  *
+  * ALL arithmetic is exact int64: coordinates quantize to units of
+  * 1e-4 via floor(x·10⁴ + 0.5) — the one rounding both this kernel
+  * and DuckDB's FLOOR express identically for negative values, unlike
+  * ROUND's half-away-from-zero — and L2² distances are integer sums,
+  * associative in any order. No float-summation-order hazard exists
+  * anywhere in the operator, so the DuckDB oracle matches bit-for-bit.
+  */
+case class PqAdcDistances(child: Expression,
+    codebooks: Array[Array[Array[Long]]], // m × ks × sub quantized coords
+    qtables: Array[Array[Array[Long]]])   // nq × m × ks integer L2² tables
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    PqAdcDistances.kernel(v.asInstanceOf[ArrayData], codebooks, qtables, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("books", codebooks, "long[][][]")
+    val t = ctx.addReferenceObj("qtables", qtables, "long[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqAdcDistances.kernel($c, $b, $t, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdcDistances =
+    copy(child = c)
+}
+
+object PqAdcDistances {
+  final val Scale = 10000.0
+
+  /** floor(x·10⁴ + 0.5) — Math.round(double)'s definition, chosen
+    * because DuckDB's FLOOR(x*10000 + 0.5) is the same IEEE op chain.
+    */
+  def quantize(x: Double): Long = Math.round(x * Scale)
+
+  def kernel(v: ArrayData, books: Array[Array[Array[Long]]],
+             qtables: Array[Array[Array[Long]]], isFloat: Boolean): GenericArrayData = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * sub
+      val cws = books(j)
+      var best = 0
+      var bestD = Long.MaxValue
+      var cidx = 0
+      while (cidx < cws.length) {
+        val cw = cws(cidx)
+        var d = 0L
+        var i = 0
+        while (i < sub) {
+          val x = quantize(
+            if (isFloat) v.getFloat(base + i).toDouble else v.getDouble(base + i))
+          val diff = x - cw(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = cidx } // tie → lowest cid
+        cidx += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    val out = new Array[Any](qtables.length)
+    var qi = 0
+    while (qi < qtables.length) {
+      var s = 0L
+      j = 0
+      while (j < m) { s += qtables(qi)(j)(codes(j)); j += 1 }
+      out(qi) = java.lang.Long.valueOf(s)
+      qi += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Bounded top-k-per-query aggregate over the ADC scan's output: input
+  * rows are (cid, array of nq ADC distances); the buffer holds nq
+  * sorted (adc, cid) lists capped at k pairs each. This is the shape
+  * that survives 100 TB: PQ scores EVERY corpus row, so a window-rank
+  * top-k would shuffle n·nq scored rows to nq partitions — this
+  * aggregate instead combines map-side (each task ships ≤ nq·k pairs,
+  * KBs) and the final merge touches #partitions·nq·k pairs total.
+  * Ties break toward the lowest cid, matching the DuckDB oracle's
+  * `ORDER BY adc, cid`.
+  */
+case class PqTopK(cid: Expression, adcs: Expression, nq: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Array[Long]]] with BinaryLike[Expression] {
+
+  override def left: Expression = cid
+  override def right: Expression = adcs
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("qid", LongType, nullable = false),
+    StructField("cid", LongType, nullable = false),
+    StructField("adc", LongType, nullable = false),
+    StructField("rn", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): Array[Array[Long]] =
+    Array.fill(nq)(Array.emptyLongArray)
+
+  override def update(b: Array[Array[Long]], input: InternalRow): Array[Array[Long]] = {
+    val c = cid.eval(input)
+    val a = adcs.eval(input)
+    if (c != null && a != null) {
+      val id = c.asInstanceOf[Long]
+      val arr = a.asInstanceOf[ArrayData]
+      var qi = 0
+      while (qi < nq) { b(qi) = insert(b(qi), arr.getLong(qi), id); qi += 1 }
+    }
+    b
+  }
+
+  override def merge(b: Array[Array[Long]], o: Array[Array[Long]]): Array[Array[Long]] = {
+    var qi = 0
+    while (qi < nq) {
+      val ob = o(qi)
+      var i = 0
+      while (i < ob.length) { b(qi) = insert(b(qi), ob(i), ob(i + 1)); i += 2 }
+      qi += 1
+    }
+    b
+  }
+
+  /** Insert one (adc, cid) pair into a flat [adc0,cid0,adc1,cid1,…]
+    * array kept ascending by (adc, cid) and capped at k pairs. k is
+    * single-digit, so an O(k) copy beats heap bookkeeping.
+    */
+  private def insert(arr: Array[Long], adc: Long, id: Long): Array[Long] = {
+    val np = arr.length / 2
+    var pos = 0
+    while (pos < np &&
+      (arr(2 * pos) < adc || (arr(2 * pos) == adc && arr(2 * pos + 1) < id))) pos += 1
+    if (pos >= k) return arr
+    val newNp = math.min(k, np + 1)
+    val out = new Array[Long](newNp * 2)
+    System.arraycopy(arr, 0, out, 0, pos * 2)
+    out(2 * pos) = adc
+    out(2 * pos + 1) = id
+    val tailPairs = math.min(np - pos, newNp - pos - 1)
+    if (tailPairs > 0) System.arraycopy(arr, pos * 2, out, (pos + 1) * 2, tailPairs * 2)
+    out
+  }
+
+  override def eval(b: Array[Array[Long]]): Any = {
+    val rows = Array.newBuilder[Any]
+    var qi = 0
+    while (qi < nq) {
+      val a = b(qi)
+      var i = 0
+      while (i < a.length) {
+        rows += new GenericInternalRow(
+          Array[Any](qi.toLong, a(i + 1), a(i), (i / 2 + 1).toLong))
+        i += 2
+      }
+      qi += 1
+    }
+    new GenericArrayData(rows.result())
+  }
+
+  override def serialize(b: Array[Array[Long]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.map(a => 4 + a.length * 8).sum)
+    bb.putInt(b.length)
+    b.foreach { a => bb.putInt(a.length); a.foreach(bb.putLong) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Array[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bb.getInt()) { Array.fill(bb.getInt())(bb.getLong()) }
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): PqTopK = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): PqTopK = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqTopK =
+    copy(cid = l, adcs = r)
+  override def prettyName: String = "pq_topk"
+}

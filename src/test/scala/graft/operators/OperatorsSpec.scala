@@ -113,6 +113,43 @@ class OperatorsSpec extends GraftSparkSpec {
     assert(recall >= 0.45, f"IVF recall $recall%.2f too low for a ~19%% probe budget")
   }
 
+  test("PQ ADC recovers exact-L2 top-5 with recall >= 0.5 via a bounded aggregate") {
+    import graft.functions.VectorFunctions.dot
+    val pq = Similarity.simPq(spark, sfDir)
+    // the top-k must be the bounded PqTopK aggregate (map-side combine,
+    // shuffles nq·k pairs per task), not a window rank over n·nq rows
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_topk"), "expected the PqTopK aggregate in the plan")
+    assert(!plan.contains("Window"), "PQ top-k must not plan as a window rank")
+    val rows = pq.collect()
+    assert(rows.length == 50, s"expected 10 queries x 5, got ${rows.length}")
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val byRn = rs.sortBy(_.getLong(3))
+      assert(byRn.map(_.getLong(3)).toSeq == (1L to 5L), s"rn not contiguous for $qid")
+      val adcs = byRn.map(_.getLong(2)).toSeq
+      assert(adcs == adcs.sorted, s"ADC not ascending for $qid")
+    }
+    // ground truth: exact double L2^2 via the polarization identity
+    // (the PQ metric is L2, so that's the fair recall target — cosine
+    // truth would fold in the metric mismatch, not quantization error)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2").asc, col("cid").asc)
+    val truth = c.join(broadcast(q))
+      .withColumn("d2", dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("ce"))
+        + dot(col("ce"), col("ce")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    info(f"PQ recall@5 vs exact L2 = $recall%.3f (m=32, ks=64)")
+    assert(recall >= 0.5, f"PQ recall $recall%.2f below floor for ks=64/sub=2")
+  }
+
   test("FNV-1a fingerprint is deterministic and normalization-invariant") {
     assert(Fnv.hashString("hello world") == Fnv.hashString("hello world"))
     assert(Fnv.hashString("a") != Fnv.hashString("b"))
