@@ -296,35 +296,64 @@ object SparkEntry {
       "SELECT qid, cid, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
       "FROM r WHERE rn <= 5 ORDER BY qid, rn"
 
-  /** Full replay of the PQ operator: strided-medoid codebooks, int64
-    * quantization (FLOOR(x·10⁴+0.5) — the same IEEE op chain as
-    * Math.round), per-subspace L2² tables, encode argmin with the
-    * lowest-codeword tiebreak, ADC sums. Every value is exact integer
-    * arithmetic, so the comparison is bit-for-bit, not tolerance-based.
+  /** Full replay of the PQ operator: strided-medoid codebook seeds,
+    * int64 quantization (FLOOR(x·10⁴+0.5) — the same IEEE op chain as
+    * Math.round), [[graft.operators.PqCodebook.Iters]] unrolled Lloyd
+    * refinement rounds (truncating integer-division centroids — DuckDB
+    * `//` and Scala `Long./` agree), per-subspace L2² tables, encode
+    * argmin with the lowest-codeword tiebreak, ADC sums. Every value
+    * is exact integer arithmetic, so the comparison is bit-for-bit,
+    * not tolerance-based.
     */
-  private def simPqSql: String =
-    "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-      "prm AS (SELECT GREATEST(1, (COUNT(*) FILTER (WHERE vec_id >= 10)) // 64) AS stride, " +
-      "MAX(len(e)) // 32 AS sub FROM emb), " +
-      "cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec_id " +
-      "FROM emb, prm WHERE vec_id >= 10 AND (vec_id - 10) % stride = 0 " +
-      "QUALIFY c < 64), " +
-      "qc AS (SELECT vec_id, UNNEST(generate_series(1, len(e))) AS i, UNNEST(e) AS x FROM emb), " +
-      "qq AS (SELECT vec_id, i, CAST(FLOOR(x * 10000 + 0.5) AS BIGINT) AS q FROM qc), " +
-      "wq AS (SELECT c, i, q FROM cw JOIN qq USING (vec_id)), " +
-      "d AS (SELECT v.vec_id, w.c, (v.i - 1) // sub AS j, " +
-      "SUM((v.q - w.q) * (v.q - w.q)) AS d " +
-      "FROM qq v, wq w, prm WHERE v.i = w.i GROUP BY 1, 2, 3), " +
-      "code AS (SELECT vec_id AS cid, j, c FROM (" +
-      "SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS r " +
-      "FROM d WHERE vec_id >= 10) WHERE r = 1), " +
-      "qt AS (SELECT vec_id AS qid, j, c, d FROM d WHERE vec_id < 10), " +
-      "adc AS (SELECT qid, cid, CAST(SUM(qt.d) AS BIGINT) AS adc " +
-      "FROM code JOIN qt USING (j, c) GROUP BY 1, 2), " +
-      "r AS (SELECT qid, cid, adc, ROW_NUMBER() OVER " +
-      "(PARTITION BY qid ORDER BY adc, cid) AS rn FROM adc) " +
-      "SELECT qid, cid, adc, CAST(rn AS BIGINT) AS rn " +
-      "FROM r WHERE rn <= 5 ORDER BY qid, rn"
+  private def simPqSql: String = {
+    val ks = graft.operators.PqCodebook.Ks
+    val m = graft.operators.PqCodebook.M
+    val tn = graft.operators.PqCodebook.TrainN
+    val iters = graft.operators.PqCodebook.Iters
+    val head =
+      "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"prm AS (SELECT GREATEST(1, (COUNT(*) FILTER (WHERE vec_id >= 10)) // $ks) AS stride, " +
+        s"GREATEST(1, (COUNT(*) FILTER (WHERE vec_id >= 10)) // $tn) AS tstride, " +
+        s"MAX(len(e)) // $m AS sub FROM emb), " +
+        "cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec_id " +
+        "FROM emb, prm WHERE vec_id >= 10 AND (vec_id - 10) % stride = 0 " +
+        s"QUALIFY c < $ks), " +
+        "qc AS (SELECT vec_id, UNNEST(generate_series(1, len(e))) AS i, UNNEST(e) AS x FROM emb), " +
+        "vq AS (SELECT vec_id, (i - 1) // sub AS j, (i - 1) % sub AS si, " +
+        "CAST(FLOOR(x * 10000 + 0.5) AS BIGINT) AS q FROM qc, prm), " +
+        "ts AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS t, vec_id " +
+        "FROM emb, prm WHERE vec_id >= 10 AND (vec_id - 10) % tstride = 0 " +
+        s"QUALIFY t < $tn), " +
+        "tq AS (SELECT vq.vec_id, j, si, q FROM vq JOIN ts ON vq.vec_id = ts.vec_id), " +
+        "b0 AS (SELECT c, j, si, q FROM cw JOIN vq ON cw.vec_id = vq.vec_id), "
+    val lloyd = (1 to iters).map { t =>
+      val p = s"b${t - 1}"
+      s"a$t AS (SELECT vec_id, j, c FROM (" +
+        "SELECT tq.vec_id, tq.j, b.c, ROW_NUMBER() OVER (PARTITION BY tq.vec_id, tq.j " +
+        "ORDER BY SUM((tq.q - b.q) * (tq.q - b.q)), b.c) AS r " +
+        s"FROM tq, $p b WHERE tq.j = b.j AND tq.si = b.si " +
+        "GROUP BY tq.vec_id, tq.j, b.c) WHERE r = 1), " +
+        s"n$t AS (SELECT a.j, a.c, t.si, SUM(t.q) // COUNT(*) AS q " +
+        s"FROM a$t a JOIN tq t ON a.vec_id = t.vec_id AND a.j = t.j " +
+        "GROUP BY a.j, a.c, t.si), " +
+        s"b$t AS (SELECT b.j, b.c, b.si, COALESCE(n.q, b.q) AS q " +
+        s"FROM $p b LEFT JOIN n$t n ON b.j = n.j AND b.c = n.c AND b.si = n.si), "
+    }.mkString
+    val tail =
+      "d AS (SELECT v.vec_id, w.c, v.j, SUM((v.q - w.q) * (v.q - w.q)) AS d " +
+        s"FROM vq v, b$iters w WHERE v.j = w.j AND v.si = w.si GROUP BY 1, 2, 3), " +
+        "code AS (SELECT vec_id AS cid, j, c FROM (" +
+        "SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS r " +
+        "FROM d WHERE vec_id >= 10) WHERE r = 1), " +
+        "qt AS (SELECT vec_id AS qid, j, c, d FROM d WHERE vec_id < 10), " +
+        "adc AS (SELECT qid, cid, CAST(SUM(qt.d) AS BIGINT) AS adc " +
+        "FROM code JOIN qt USING (j, c) GROUP BY 1, 2), " +
+        "r AS (SELECT qid, cid, adc, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY adc, cid) AS rn FROM adc) " +
+        "SELECT qid, cid, adc, CAST(rn AS BIGINT) AS rn " +
+        "FROM r WHERE rn <= 5 ORDER BY qid, rn"
+    head + lloyd + tail
+  }
 
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
 
