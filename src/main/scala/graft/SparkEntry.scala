@@ -63,7 +63,9 @@ object SparkEntry {
     "q39_order_priority" -> Analytics.q39OrderPriority _,
     "q40_cust_distribution" -> Analytics.q40CustDistribution _,
     "q41_big_orders" -> Analytics.q41BigOrders _,
-    "q42_inactive_balance" -> Analytics.q42InactiveBalance _)
+    "q42_inactive_balance" -> Analytics.q42InactiveBalance _,
+    "q43_nation_trade" -> Analytics.q43NationTrade _,
+    "q44_market_share" -> Analytics.q44MarketShare _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -645,6 +647,36 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
         "AND o.o_orderdate >= TIMESTAMP '2000-01-01') " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q43_nation_trade" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q44_market_share" ->
+      ("WITH t AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(SUM(CASE WHEN n1.n_name = 'NATION_7' THEN " +
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS nat, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS tot " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "JOIN region ON n2.n_regionkey = r_regionkey " +
+        "WHERE p_type = 'PROMO' AND r_name = 'ASIA' GROUP BY 1) " +
+        "SELECT o_year, ROUND(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS mkt_share " +
+        "FROM t ORDER BY o_year"),
     "q37_funnel" ->
       ("WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id), " +

@@ -638,6 +638,80 @@ object Analytics {
     * broadcasts, and the inactivity check is an anti join against the
     * (date-filtered) order keys.
     */
+  /** Exact revenue in 1e-4-dollar units: cents × (100 − discount
+    * basis points), both factors integer-rounded once. Integer sums
+    * are associative in any order, so partial aggregation can never
+    * produce a different total than the single-threaded oracle — the
+    * cross-engine hazard ROUND(SUM(double)) queries carry near
+    * rounding boundaries (the q34/q36 lesson).
+    */
+  private def revE4 =
+    round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two
+    * nations — lineitem→supplier nation on one side, order→customer
+    * nation on the other — per ship year. The 25-row nation dim
+    * broadcasts twice under different role names; the fact-side joins
+    * shuffle on their natural keys and AQE handles the rest. Revenue
+    * stays in exact 1e-4-dollar integers end-to-end.
+    */
+  def q43NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val n1 = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revE4).as("revenue_e4"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape (national market share): NATION_7's share of
+    * PROMO-part revenue sold into ASIA, per order year. Numerator and
+    * denominator aggregate in exact 1e-4-dollar integers (one
+    * conditional, one plain sum — a single pass); only the final
+    * per-year ratio goes through doubles, and both engines divide the
+    * SAME two integers, so the quotient is bit-identical before the
+    * 4-dp round. The 5-row ASIA nation set and the 25-row supplier
+    * nation dim broadcast.
+    */
+  def q44MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    val s = Tables(spark, dir, "supplier")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    val ns = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val asiaN = n.join(broadcast(r.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    li.join(p.filter(col("p_type") === "PROMO"), li("l_partkey") === p("p_partkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(asiaN), col("c_nationkey") === col("c_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_7", revE4).otherwise(0L)).as("nat"),
+        sum(revE4).as("tot"))
+      .select(col("o_year"),
+        round(col("nat").cast("double") / col("tot").cast("double"), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   def q42InactiveBalance(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
     val o = Tables(spark, dir, "orders")
