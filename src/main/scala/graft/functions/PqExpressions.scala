@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, FloatType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, FloatType, StructField, StructType}
 
 /** Product-quantization ADC scan (Jégou et al. 2011, "Product
   * Quantization for Nearest Neighbor Search", IEEE TPAMI): one
@@ -201,4 +201,117 @@ case class PqTopK(cid: Expression, adcs: Expression, nq: Int, k: Int,
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqTopK =
     copy(cid = l, adcs = r)
   override def prettyName: String = "pq_topk"
+}
+
+/** [[PqTopK]] generalized to double scores, DESCENDING (similarity,
+  * not distance): input rows are (cid, array of nq cosine scores); the
+  * buffer keeps nq sorted lists of ≤k (score, cid) pairs, score bits
+  * stored via `doubleToLongBits` so the flat-long-array buffer layout
+  * and serializer carry over unchanged. Comparison uses
+  * `java.lang.Double.compare` — a total order whose NaN-is-largest
+  * convention matches Spark's `desc` window sort, so this aggregate is
+  * a drop-in for the `row_number() over (partition by qid order by cos
+  * desc, cid)` shape without the n·nq-rows-into-nq-reducers shuffle:
+  * each map task ships ≤ nq·k pairs and the final merge touches
+  * #partitions·nq·k pairs total. Ties break toward the lowest cid,
+  * matching the oracle's `ORDER BY cos DESC, cid`.
+  */
+case class ScoreTopK(cid: Expression, scores: Expression, nq: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Array[Long]]] with BinaryLike[Expression] {
+
+  override def left: Expression = cid
+  override def right: Expression = scores
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("qid", LongType, nullable = false),
+    StructField("cid", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false),
+    StructField("rn", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): Array[Array[Long]] =
+    Array.fill(nq)(Array.emptyLongArray)
+
+  override def update(b: Array[Array[Long]], input: InternalRow): Array[Array[Long]] = {
+    val c = cid.eval(input)
+    val a = scores.eval(input)
+    if (c != null && a != null) {
+      val id = c.asInstanceOf[Long]
+      val arr = a.asInstanceOf[ArrayData]
+      var qi = 0
+      while (qi < nq) {
+        b(qi) = insert(b(qi), java.lang.Double.doubleToLongBits(arr.getDouble(qi)), id)
+        qi += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: Array[Array[Long]], o: Array[Array[Long]]): Array[Array[Long]] = {
+    var qi = 0
+    while (qi < nq) {
+      val ob = o(qi)
+      var i = 0
+      while (i < ob.length) { b(qi) = insert(b(qi), ob(i), ob(i + 1)); i += 2 }
+      qi += 1
+    }
+    b
+  }
+
+  /** Insert one (scoreBits, cid) pair into a flat array kept DESCENDING
+    * by score (ties ascending by cid) and capped at k pairs.
+    */
+  private def insert(arr: Array[Long], sBits: Long, id: Long): Array[Long] = {
+    val s = java.lang.Double.longBitsToDouble(sBits)
+    val np = arr.length / 2
+    var pos = 0
+    var advance = true
+    while (pos < np && advance) {
+      val cmp = java.lang.Double.compare(java.lang.Double.longBitsToDouble(arr(2 * pos)), s)
+      if (cmp > 0 || (cmp == 0 && arr(2 * pos + 1) < id)) pos += 1 else advance = false
+    }
+    if (pos >= k) return arr
+    val newNp = math.min(k, np + 1)
+    val out = new Array[Long](newNp * 2)
+    System.arraycopy(arr, 0, out, 0, pos * 2)
+    out(2 * pos) = sBits
+    out(2 * pos + 1) = id
+    val tailPairs = math.min(np - pos, newNp - pos - 1)
+    if (tailPairs > 0) System.arraycopy(arr, pos * 2, out, (pos + 1) * 2, tailPairs * 2)
+    out
+  }
+
+  override def eval(b: Array[Array[Long]]): Any = {
+    val rows = Array.newBuilder[Any]
+    var qi = 0
+    while (qi < nq) {
+      val a = b(qi)
+      var i = 0
+      while (i < a.length) {
+        rows += new GenericInternalRow(Array[Any](qi.toLong, a(i + 1),
+          java.lang.Double.longBitsToDouble(a(i)), (i / 2 + 1).toLong))
+        i += 2
+      }
+      qi += 1
+    }
+    new GenericArrayData(rows.result())
+  }
+
+  override def serialize(b: Array[Array[Long]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.map(a => 4 + a.length * 8).sum)
+    bb.putInt(b.length)
+    b.foreach { a => bb.putInt(a.length); a.foreach(bb.putLong) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Array[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bb.getInt()) { Array.fill(bb.getInt())(bb.getLong()) }
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ScoreTopK = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ScoreTopK = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ScoreTopK =
+    copy(cid = l, scores = r)
+  override def prettyName: String = "score_topk"
 }

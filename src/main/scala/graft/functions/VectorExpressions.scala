@@ -183,6 +183,90 @@ object TopCentroidIds {
   }
 }
 
+/** Cosine similarity of one corpus vector against ALL query vectors in
+  * a single pass: returns an nq-element double array. The query matrix
+  * rides along as a plan reference object (same trick as
+  * [[TopCentroidIds]]); query norms are computed once per matrix
+  * identity, so the per-row cost is nq fused dot products plus one
+  * corpus-norm — no join, no shuffle, no n·nq intermediate rows.
+  * Arithmetic is the exact chain the former
+  * `DotProd(q,c)/(sqrt(DotProd(q,q))*sqrt(DotProd(c,c)))` composition
+  * produced (left-to-right double accumulation), so the DuckDB
+  * `list_cosine_similarity` oracle keeps matching at 4 dp.
+  */
+case class CosineScores(child: Expression, qvs: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    CosineScores.kernel(v.asInstanceOf[ArrayData], qvs, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qvs", qvs, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CosineScores.kernel($c, $ref, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CosineScores =
+    copy(child = c)
+}
+
+object CosineScores {
+  private val normCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Array[Double]], Array[Double]]())
+
+  private def norms(qvs: Array[Array[Double]]): Array[Double] = {
+    val cached = normCache.get(qvs)
+    if (cached != null) return cached
+    val out = new Array[Double](qvs.length)
+    var q = 0
+    while (q < qvs.length) {
+      var acc = 0.0
+      var i = 0
+      val qv = qvs(q)
+      while (i < qv.length) { acc += qv(i) * qv(i); i += 1 }
+      out(q) = math.sqrt(acc)
+      q += 1
+    }
+    normCache.put(qvs, out)
+    out
+  }
+
+  def kernel(v: ArrayData, qvs: Array[Array[Double]], isFloat: Boolean): ArrayData = {
+    val qn = norms(qvs)
+    val ne = v.numElements()
+    var cc = 0.0
+    var i = 0
+    while (i < ne) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      cc += x * x
+      i += 1
+    }
+    val cn = math.sqrt(cc)
+    val out = new Array[Any](qvs.length)
+    var q = 0
+    while (q < qvs.length) {
+      val qv = qvs(q)
+      val n = math.min(ne, qv.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += qv(i) * x
+        i += 1
+      }
+      out(q) = java.lang.Double.valueOf(dot / (qn(q) * cn))
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Signed random-hyperplane LSH signature, one bit per plane packed
   * into a long (≤64 planes). Same reference-object trick as
   * [[TopCentroidIds]]: the plane matrix is a plan constant, not a

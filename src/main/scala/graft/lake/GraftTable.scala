@@ -311,15 +311,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         bf.writeTo(bos)
         bos.toByteArray
       }
-      .collect()
+    // Each bitset is ~1.2 MB per 1M-row file at fpp 0.01; at 100k files
+    // the sidecar is ~100 GB, so it must stream executor→parquet with
+    // full parallelism — the driver never holds a bitset.
     val rel = s"_graft_bloom/$column-${UUID.randomUUID()}"
-    val sp = spark
-    import sp.implicits._
-    perFile.toSeq.toDF("file_path", "bloom")
-      .coalesce(1).write.parquet(s"$path/$rel")
+    val sidecarSchema = StructType(Seq(
+      StructField("file_path", StringType), StructField("bloom", BinaryType)))
+    spark.createDataFrame(
+        perFile.map { case (p, b) => Row(p, b) }, sidecarSchema)
+      .write.parquet(s"$path/$rel")
+    val numFiles = spark.read.parquet(s"$path/$rel").count()
     commitMetadataMerge(
       info("COMPUTE BLOOM", params = Map("column" -> column, "fpp" -> fpp.toString),
-        metrics = Map("numFiles" -> perFile.length.toString)))(m =>
+        metrics = Map("numFiles" -> numFiles.toString)))(m =>
       m.copy(properties = m.properties + (s"graft.bloom.$column" -> rel)))
   }
 

@@ -19,19 +19,35 @@ object Similarity {
   private val QuerySetSize = 10
   private val TopK = 5
 
-  /** Brute-force cosine top-k: exact baseline, DuckDB-oracle-checked. */
+  /** Brute-force cosine top-k: exact baseline, DuckDB-oracle-checked.
+    *
+    * Scale shape: the query matrix is a plan constant
+    * ([[graft.functions.CosineScores]] scores one corpus row against
+    * all queries in a fused kernel — no join, no n·nq intermediate
+    * rows) and the bounded [[graft.functions.ScoreTopK]] aggregate
+    * keeps k best per query with map-side combine, so no shuffle
+    * carries more than partitions·nq·k pairs. The former
+    * `row_number() over (partition by qid)` re-rank shuffled every
+    * scored pair into nq reducers — the whole corpus per reducer at
+    * scale.
+    */
   def simBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CosineScores, ScoreTopK}
+    import org.apache.spark.sql.GraftSqlShims
     val emb = Tables(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = emb.filter(col("vec_id") >= QuerySetSize)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid"))
-    c.join(broadcast(q))
-      .withColumn("cos_raw", cosine(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
-      .select(col("qid"), col("cid"), round(col("cos_raw"), 4).as("cos"), col("rn").cast("long").as("rn"))
+    val qvs = emb.filter(col("vec_id") < QuerySetSize).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"),
+        GraftSqlShims.column(CosineScores(
+          GraftSqlShims.expression(col("embedding")), qvs)).as("coss"))
+      .select(GraftSqlShims.column(ScoreTopK(
+          GraftSqlShims.expression(col("cid")),
+          GraftSqlShims.expression(col("coss")),
+          qvs.length, TopK).toAggregateExpression()).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r.qid"), col("r.cid"), round(col("r.cos"), 4).as("cos"), col("r.rn"))
       .orderBy("qid", "rn")
   }
 
@@ -55,23 +71,21 @@ object Similarity {
       math.ceil(math.log(math.sqrt(n.toDouble)) / math.log(2.0)).toInt))
     val mask = (1L << b) - 1
     val emb = Tables(spark, dir, "embeddings")
-      .withColumn("sig", hyperplaneSig(col("embedding"), ps))
-    val banded = emb.select(col("vec_id"), col("embedding"), col("sig"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        shiftright(col("sig"), b * i).bitwiseAND(lit(mask)).as("bits"))): _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bits"))
+    // bucket keys only — the banded frames never carry the embedding,
+    // so the collision join and candidate-dedup shuffle move 16-byte
+    // id pairs, not 256-byte vectors
+    val banded = emb.withColumn("sig", hyperplaneSig(col("embedding"), ps))
+      .select(col("vec_id"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          shiftright(col("sig"), b * i).bitwiseAND(lit(mask)).as("bits"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bits"))
     val q = banded.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("band"), col("bits"))
+      .select(col("vec_id").as("qid"), col("band"), col("bits"))
     val c = banded.filter(col("vec_id") >= QuerySetSize)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("band"), col("bits"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid"))
-    q.join(c, Seq("band", "bits"))
-      .select("qid", "qe", "cid", "ce").distinct()
-      .withColumn("cos_raw", cosine(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
-      .select(col("qid"), col("cid"), round(col("cos_raw"), 4).as("cos"), col("rn").cast("long").as("rn"))
-      .orderBy("qid", "rn")
+      .select(col("vec_id").as("cid"), col("band"), col("bits"))
+    val cand = broadcast(q).join(c, Seq("band", "bits"))
+      .select("qid", "cid").distinct()
+    rerank(emb, cand)
   }
 
   /** IVF-style ANN over the persisted [[IvfIndex]]: the corpus is
@@ -94,18 +108,36 @@ object Similarity {
   def simIvf(spark: SparkSession, dir: String): DataFrame = {
     val cents = IvfIndex.centroids(spark, dir)
     val emb = Tables(spark, dir, "embeddings")
+    // cluster assignments only — candidate generation and dedup move
+    // id pairs; vectors re-attach after the dedup (see rerank)
     val corpus = emb.filter(col("vec_id") >= QuerySetSize)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      .select(col("vec_id").as("cid"),
         explode(topCentroidIds(col("embedding"), cents, IvfIndex.Spill)).as("cluster"))
     val queries = emb.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      .select(col("vec_id").as("qid"),
         explode(topCentroidIds(col("embedding"), cents,
           math.min(IvfIndex.Probes, cents.length))).as("cluster"))
+    // spill assignment can land the same (query, candidate) pair in
+    // two probed clusters — dedup (on ids) before the exact re-rank
+    val cand = broadcast(queries).join(corpus, "cluster")
+      .select("qid", "cid").distinct()
+    rerank(emb, cand)
+  }
+
+  /** Exact-cosine re-rank of a bounded candidate id-pair set: the
+    * candidate list broadcasts against the corpus scan (no corpus
+    * shuffle), query vectors broadcast, and the top-k window runs over
+    * candidates only (≤ buckets·√n pairs by construction — never the
+    * n·nq full-scores shape, which is [[simBruteforceTopk]]'s bounded
+    * aggregate's job).
+    */
+  private def rerank(emb: DataFrame, cand: DataFrame): DataFrame = {
+    val qv = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cv = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid"))
-    broadcast(queries).join(corpus, "cluster")
-      // spill assignment can land the same (query, candidate) pair in
-      // two probed clusters — dedup before the exact re-rank
-      .select("qid", "qe", "cid", "ce").distinct()
+    broadcast(cand).join(cv, "cid").join(broadcast(qv), "qid")
       .withColumn("cos_raw", cosine(col("qe"), col("ce")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)

@@ -334,6 +334,23 @@ class LakeSpec extends GraftSparkSpec {
     assert(dataFiles(rel2) > 0, "active bloom sidecar must survive")
   }
 
+  test("bloom sidecar is written with executor parallelism, not via the driver") {
+    val t = GraftTable.create(spark, tmpDir("bloom-par"),
+      li.limit(4000).repartition(8, col("l_orderkey")))
+    t.computeBloomFilter("l_orderkey")
+    val rel = t.snapshot.metadata.get.properties("graft.bloom.l_orderkey")
+    val d = java.nio.file.Paths.get(t.path, rel)
+    val w = java.nio.file.Files.walk(d)
+    val parts = try w.iterator().asScala.count(p =>
+      p.getFileName.toString.endsWith(".parquet")) finally w.close()
+    // one bitset row per data file, written as a distributed parquet —
+    // a driver-side coalesce(1) path would produce exactly one part.
+    assert(parts > 1, s"expected multi-part bloom sidecar, got $parts part(s)")
+    val key = li.limit(4000).select(min("l_orderkey")).head.getLong(0)
+    assert(t.readWhere(col("l_orderkey") === key).count() ==
+      li.limit(4000).filter(col("l_orderkey") === key).count())
+  }
+
   test("vacuum dry run lists compacted-away files, real run deletes them") {
     val t = GraftTable.create(spark, tmpDir("vac"), li.repartition(16))
     t.optimize()
