@@ -471,6 +471,13 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity),2) " +
         "AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    // sketch values are engine-specific; the contract is exact-side
+    // equality plus in-bound flags the Spark side computed against
+    // exact quantiles (see Analytics.q13Approx)
+    "q13_approx" ->
+      ("SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
+        "TRUE AS parts_within_bound, TRUE AS p50_within_bound, " +
+        "TRUE AS p95_within_bound FROM lineitem"),
     "q17_exact_percentile" ->
       ("SELECT ROUND(quantile_cont(l_extendedprice, 0.25),2) AS p25, " +
         "ROUND(quantile_cont(l_extendedprice, 0.5),2) AS p50, " +

@@ -279,15 +279,45 @@ object Analytics {
       .orderBy("n_name", "r_name")
   }
 
-  /** Sketches: approx distinct (HLL++) + approx percentiles. Sketch
-    * outputs are engine-specific → rows-only check (no DuckDB oracle).
+  /** Sketches under a deterministic error-bound contract. The sketch
+    * values themselves are engine-specific (HLL++ register layout, GK
+    * compaction order), so the emitted row carries the EXACT distinct
+    * count plus booleans asserting each sketch landed inside its
+    * documented bound: approx_count_distinct's default rsd is 5%
+    * (checked at 3σ = 15%), percentile_approx at accuracy 10000 has
+    * rank error 1e-4 (checked against exact quantiles at ±1% rank —
+    * 100× the guarantee, still a real assertion). DuckDB replays the
+    * exact side and emits literal TRUEs, so a sketch drifting out of
+    * bounds turns the row red. Exact bounds use the q17 distributed
+    * order-statistics shape (cluster-wide sort, ≤8 doubles to the
+    * driver), never a single-reducer `percentile` buffer.
     */
   def q13Approx(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
-    li.agg(
-      approx_count_distinct("l_partkey").as("approx_parts"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-      percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+    val a = li.agg(
+      approx_count_distinct("l_partkey").as("ap"),
+      percentile_approx(col("l_extendedprice").cast("double"), lit(0.5), lit(10000)).as("ap50"),
+      percentile_approx(col("l_extendedprice").cast("double"), lit(0.95), lit(10000)).as("ap95"),
+      countDistinct(col("l_partkey")).as("np")).head()
+    val (approxParts, ap50, ap95, exactParts) =
+      (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getLong(3))
+    val vals = li.select(col("l_extendedprice").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val n = vals.count()
+    val pos = Seq(0.49, 0.51, 0.94, 0.96).map(q => (n - 1).toDouble * q)
+    val ranks = pos.flatMap(p => Seq(p.floor.toLong, p.ceil.toLong)).toSet
+    val picked = vals.sort("v").rdd.map(_.getDouble(0)).zipWithIndex()
+      .filter { case (_, i) => ranks.contains(i) }
+      .map(_.swap).collectAsMap()
+    val qb = pos.map { p =>
+      val lo = picked(p.floor.toLong)
+      lo + (picked(p.ceil.toLong) - lo) * (p - p.floor)
+    }
+    spark.range(1).select(
+      lit(exactParts).as("exact_parts"),
+      lit(math.abs(approxParts - exactParts) <= 0.15 * exactParts).as("parts_within_bound"),
+      lit(ap50 >= qb(0) && ap50 <= qb(1)).as("p50_within_bound"),
+      lit(ap95 >= qb(2) && ap95 <= qb(3)).as("p95_within_bound"))
   }
 
   /** CUBE: all grouping-set combinations incl. grand total. */
