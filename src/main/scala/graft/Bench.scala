@@ -112,7 +112,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
+    println(json)
+    // the driver's stdout tail-capture has truncated the leading ~18
+    // query keys in past rounds — persist the full line so the artifact
+    // is always self-contained
+    try java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     lock.release(); lockCh.close()
     spark.stop()
   }

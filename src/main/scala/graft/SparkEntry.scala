@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_semantic" -> Dedup.dedupSemantic _,
     "dedup_substring" -> Dedup.dedupSubstring _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
+    "sim_pq_materialized" -> Similarity.simPqMaterialized _,
     "sim_lsh_ann" -> Similarity.simLshAnn _,
     "sim_ivf" -> Similarity.simIvf _,
     "sim_pq" -> Similarity.simPq _,
@@ -858,6 +859,10 @@ object SparkEntry {
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf" -> simIvfSql,
     "sim_pq" -> simPqSql,
+    // the materialized-codes path is bit-identical to sim_pq by
+    // construction (same training rows, exact-int64 arithmetic), so it
+    // shares the full codebook-replay oracle
+    "sim_pq_materialized" -> simPqSql,
     "sim_bruteforce_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
         "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, FloatType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, FloatType, StructField, StructType}
 
 /** Product-quantization ADC scan (Jégou et al. 2011, "Product
   * Quantization for Nearest Neighbor Search", IEEE TPAMI): one
@@ -59,9 +59,48 @@ object PqAdcDistances {
 
   def kernel(v: ArrayData, books: Array[Array[Array[Long]]],
              qtables: Array[Array[Array[Long]]], isFloat: Boolean): GenericArrayData = {
+    val codes = PqEncode.kernel(v, books, isFloat)
+    PqAdcFromCodes.kernel(codes, qtables)
+  }
+}
+
+/** Encode one vector to its PQ codes: per-subspace argmin against the
+  * codebook, one byte per subspace (requires ks ≤ 256 codewords). This
+  * is the kernel OPTIMIZE runs when materializing a PQ index — codes
+  * are m bytes/vector, an 8× compression of the float32 embedding at
+  * m = dim/2, and later ANN queries scan codes instead of vectors.
+  * Same exact-int64 arithmetic as [[PqAdcDistances]] (ties → lowest
+  * codeword), so codes match the DuckDB replica bit-for-bit.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Long]]])
+  extends UnaryExpression {
+  require(codebooks(0).length <= 256, "PQ codes are one byte: ks must be <= 256")
+
+  override def dataType: DataType = BinaryType
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.kernel(v.asInstanceOf[ArrayData], codebooks, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("books", codebooks, "long[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqEncode.kernel($c, $b, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+object PqEncode {
+  def kernel(v: ArrayData, books: Array[Array[Array[Long]]],
+             isFloat: Boolean): Array[Byte] = {
+    import PqAdcDistances.quantize
     val m = books.length
     val sub = books(0)(0).length
-    val codes = new Array[Int](m)
+    val codes = new Array[Byte](m)
     var j = 0
     while (j < m) {
       val base = j * sub
@@ -83,15 +122,47 @@ object PqAdcDistances {
         if (d < bestD) { bestD = d; best = cidx } // tie → lowest cid
         cidx += 1
       }
-      codes(j) = best
+      codes(j) = best.toByte
       j += 1
     }
+    codes
+  }
+}
+
+/** ADC distances from MATERIALIZED codes: the m-byte code column
+  * (written at OPTIMIZE by [[PqEncode]]) turns into the per-query
+  * integer L2² sums via pure table lookups — no embedding read, no
+  * encode argmin, just m additions per (row, query). This is the
+  * 100 TB query path: the scan is memory-bound over m bytes/vector.
+  */
+case class PqAdcFromCodes(child: Expression, qtables: Array[Array[Array[Long]]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    PqAdcFromCodes.kernel(v.asInstanceOf[Array[Byte]], qtables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("qtables", qtables, "long[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqAdcFromCodes.kernel($c, $t);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdcFromCodes =
+    copy(child = c)
+}
+
+object PqAdcFromCodes {
+  def kernel(codes: Array[Byte], qtables: Array[Array[Array[Long]]]): GenericArrayData = {
+    val m = codes.length
     val out = new Array[Any](qtables.length)
     var qi = 0
     while (qi < qtables.length) {
+      val qt = qtables(qi)
       var s = 0L
-      j = 0
-      while (j < m) { s += qtables(qi)(j)(codes(j)); j += 1 }
+      var j = 0
+      while (j < m) { s += qt(j)(codes(j) & 0xFF); j += 1 }
       out(qi) = java.lang.Long.valueOf(s)
       qi += 1
     }

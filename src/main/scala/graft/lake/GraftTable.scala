@@ -183,6 +183,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     joined.select(logicalCols ++ (col(RowIdCol) +: metaCols): _*)
   }
 
+  /** Delta-parity guard for row-tracked update-all MERGE: several
+    * source rows matching one target key would each inherit the SAME
+    * stable row id (the target's), breaking id uniqueness — refuse
+    * instead of silently duplicating ids. (Non-tracked merges keep
+    * their documented duplicate-collapse semantics; with ids at stake
+    * the ambiguity must be an error.) One aggregation over the source
+    * — the small delta side of a merge — semi-joined to matched keys.
+    */
+  private def requireUniqueSourceKeys(source: DataFrame,
+      matchedKeys: DataFrame, key: String): Unit = {
+    val dup = source.groupBy(key).count().filter(col("count") > 1)
+      .join(matchedKeys, Seq(key), "left_semi").limit(1).count()
+    require(dup == 0,
+      s"MERGE: multiple source rows match the same target key '$key' on a " +
+        "row-tracked table — each replacement would carry the same stable " +
+        "row id; deduplicate the source first")
+  }
+
   /** Rewrite source for layout ops (OPTIMIZE/ZORDER, dataChange =
     * false): with row tracking on, rows carry their resolved stable id
     * as the materialized [[RowIdCol]] physical column into the new
@@ -202,7 +220,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private def assignRowIds(actions: Seq[Action], hwm: Long): Seq[Action] = {
     var next = hwm + 1
     val out = actions.map {
-      case a: AddFile if a.baseRowId.isEmpty && a.stats.isDefined =>
+      // dataChange = false (OPTIMIZE/ZORDER/PURGE) rewrites carry every
+      // surviving id MATERIALIZED — assigning a fresh base there would
+      // let the reader's base+position fallback hand new ids to rows
+      // whose id is legitimately null (origin file lacked stats), i.e.
+      // a layout op would change a row's id. Only data-changing adds
+      // (appends, DML post-images, merge inserts) draw fresh ranges.
+      case a: AddFile if a.baseRowId.isEmpty && a.stats.isDefined && a.dataChange =>
         val withId = a.copy(baseRowId = Some(next))
         next += math.max(0L, a.stats.get.numRecords)
         withId
@@ -326,6 +350,67 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         metrics = Map("numFiles" -> numFiles.toString)))(m =>
       m.copy(properties = m.properties + (s"graft.bloom.$column" -> rel)))
   }
+
+  // ------------------------------------------------- PQ ANN index
+
+  /** Materialize a product-quantization ANN index for `vecCol`:
+    * trains deterministic codebooks from the table's own rows
+    * (strided medoids + exact-int64 Lloyd — see
+    * [[graft.operators.PqCodebook]]), encodes every row to m-byte
+    * codes via the codegen'd [[graft.functions.PqEncode]] kernel
+    * (one distributed pass, written as a parallel parquet sidecar),
+    * and commits the codebook itself as table metadata. Later ANN
+    * queries scan the codes sidecar — m bytes/vector, an 8×
+    * compression — instead of re-encoding the corpus per session.
+    *
+    * Idempotent: the commit stamps a fingerprint of the active file
+    * set; when the data hasn't changed the call is a metadata no-op.
+    * Readers must check the same fingerprint and fall back to
+    * encode-on-scan when stale (any DML invalidates the stamp; the
+    * next OPTIMIZE refreshes it via the `graft.pq.index` property).
+    */
+  def buildPqIndex(idCol: String, vecCol: String): Long = {
+    import org.apache.spark.sql.GraftSqlShims
+    val s = snapshot
+    require(s.schema.fieldNames.contains(idCol), s"no such column: $idCol")
+    require(s.schema.fieldNames.contains(vecCol), s"no such column: $vecCol")
+    val pfx = s"graft.pq.$vecCol"
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val fp = GraftTable.pqFingerprint(s)
+    if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
+    val df = dfForFiles(s, s.activeFiles)
+    val n = df.count()
+    require(n > 0, "cannot build a PQ index on an empty table")
+    val minId = df.agg(min(col(idCol)).cast("long")).head.getLong(0)
+    val books = graft.operators.PqCodebook.train(df, idCol, vecCol, minId, n)
+    val rel = s"_graft_pq/$vecCol-${UUID.randomUUID()}"
+    df.select(col(idCol).cast("long").as("id"),
+        GraftSqlShims.column(graft.functions.PqEncode(
+          GraftSqlShims.expression(col(vecCol)), books)).as("codes"))
+      .write.parquet(s"$path/$rel")
+    commitMetadataMerge(
+      info("BUILD PQ INDEX",
+        params = Map("column" -> vecCol, "idColumn" -> idCol),
+        metrics = Map("numVectors" -> n.toString)))(m =>
+      m.copy(properties = m.properties ++ Map(
+        s"$pfx.sidecar" -> rel,
+        s"$pfx.id" -> idCol,
+        s"$pfx.books" -> graft.operators.PqCodebook.encodeBooks(books),
+        s"$pfx.fingerprint" -> fp)))
+  }
+
+  /** Declared via `graft.pq.index` = "idCol,vecCol": every OPTIMIZE
+    * refreshes the materialized codes (no-op when the fingerprint is
+    * current) — the index lives with the table's maintenance cycle.
+    */
+  private def maybeRebuildPqIndex(): Unit =
+    snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+      .get("graft.pq.index").foreach { spec =>
+        spec.split(",").map(_.trim) match {
+          case Array(idCol, vecCol) => buildPqIndex(idCol, vecCol); ()
+          case _ => ()
+        }
+      }
 
   /** Drop files whose bloom proves they can't contain an `attr = lit`
     * conjunct's value. Files without a bloom entry are kept.
@@ -587,9 +672,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     while (committed < 0) {
       val latest = log.latestVersion().getOrElse(
         throw new IllegalStateException(s"not a GraftLake table: $path"))
-      val fresh = snapshotAt(latest).metadata.getOrElse(
+      val snapL = snapshotAt(latest)
+      val fresh = snapL.metadata.getOrElse(
         throw new IllegalStateException(s"table $path has no metadata"))
-      if (log.tryCommitAt(latest + 1, Seq(op, f(fresh)) ++ extra)) committed = latest + 1
+      val merged = f(fresh)
+      // enabling row tracking / identity raises the writer floor in the
+      // SAME commit, so a pre-feature writer can never interleave a
+      // mark-dropping commit after the feature is on
+      val need = GraftTable.requiredWriterVersion(merged.properties)
+      val curProto = snapL.protocol.getOrElse(Protocol(1, 1))
+      val protoUp: Seq[Action] =
+        if (need > curProto.minWriterVersion)
+          Seq(curProto.copy(minWriterVersion = need))
+        else Nil
+      if (log.tryCommitAt(latest + 1, Seq(op, merged) ++ protoUp ++ extra))
+        committed = latest + 1
     }
     log.maybeCheckpoint(spark, committed)
     committed
@@ -765,6 +862,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       specs: Map[String, (Long, Long)], marks: Map[String, Long],
       phys: String => String): Seq[Action] =
     specs.toSeq.sortBy(_._1).flatMap { case (c, (_, step)) =>
+      // a stats-LESS AddFile (Stats.collect swallows footer-read
+      // failures) would be invisible to the min/max sweep below, so the
+      // mark would silently under-advance and a later append could
+      // re-allocate already-written values — with identity at stake,
+      // every staged file must carry stats, not just readable min/max
+      require(adds.forall(_.stats.nonEmpty),
+        s"identity column $c: a staged file carries no footer stats at " +
+          "all; cannot advance the allocation mark safely")
       val nonEmptyFiles = adds.filter(_.stats.exists(_.numRecords > 0))
       val vals = nonEmptyFiles.flatMap(_.stats.flatMap(st =>
         (if (step > 0) st.maxValues.get(phys(c)) else st.minValues.get(phys(c)))
@@ -1679,8 +1784,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         // collapse to one replacement row exactly as the left_semi
         // non-tracked path does, so enabling row tracking never
         // changes the merged row count
-        if (rt) source.join(toUpdate.groupBy(key)
-          .agg(min(col(RowIdCol)).as(RowIdCol)), Seq(key))
+        if (rt) {
+          requireUniqueSourceKeys(source, toUpdate.select(key), key)
+          source.join(toUpdate.groupBy(key)
+            .agg(min(col(RowIdCol)).as(RowIdCol)), Seq(key))
+        }
         else source.join(toUpdate.select(key), Seq(key), "left_semi")
     }
     val inserts0 =
@@ -1839,8 +1947,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         case None =>
           // one id per key (min) — multiplicity parity with left_semi,
           // see the copy-on-write path
-          if (rt) source.join(updRows.groupBy(key)
-            .agg(min(col(RowIdCol)).as(RowIdCol)), Seq(key))
+          if (rt) {
+            requireUniqueSourceKeys(source, updRows.select(key), key)
+            source.join(updRows.groupBy(key)
+              .agg(min(col(RowIdCol)).as(RowIdCol)), Seq(key))
+          }
           else source.join(updRows.select(key), Seq(key), "left_semi")
       }
       val nmbsDelRows = nmbsDelete match {
@@ -2108,6 +2219,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             ("graft.clusterBy.version" -> cv) +
             ("graft.clusterBy.applied" -> spec)))
       }
+      maybeRebuildPqIndex()
       return m
     }
     val vcols = vorderColumns(s)
@@ -2178,6 +2290,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     commitAndCheckpoint(info("OPTIMIZE", metrics = metrics) +: actions.toSeq,
       readVersion = s.version)
     maybeRecomputeBlooms(s, removed)
+    maybeRebuildPqIndex()
     metrics
   }
 
@@ -2330,7 +2443,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // Stale sidecars (superseded pointers) stay vacuumable.
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     val sidecarDirs = (props.collect {
-      case (k, v) if k.startsWith("graft.bloom.") => v
+      case (k, v) if k.startsWith("graft.bloom.") ||
+        (k.startsWith("graft.pq.") && k.endsWith(".sidecar")) => v
     }.toSeq ++ props.get("graft.copyInto.state").toSeq)
       .map(r => root.resolve(r).normalize)
     // CDC sidecars belong to historical commits, not the current
@@ -2659,6 +2773,30 @@ object GraftTable {
 
   def isGraftTable(path: String): Boolean = new TxnLog(path).exists
 
+  /** Writer-protocol floor a property set demands: row tracking and
+    * identity columns depend on replayed high-water-mark actions a v1
+    * writer silently drops (Actions.fromJson skips unknown actions) —
+    * such a writer could commit AddFiles without advancing the marks
+    * and permit id/identity range reuse. Tables enabling either
+    * feature must raise `minWriterVersion` to 2 so pre-feature
+    * writers are rejected at the commit gate.
+    */
+  private[lake] def requiredWriterVersion(props: Map[String, String]): Int =
+    if (props.get("graft.rowTracking").contains("true") ||
+        props.keys.exists(_.startsWith("graft.identity."))) 2
+    else 1
+
+  /** Fingerprint of a snapshot's logical row set (active data files +
+    * deletion vectors): stamped into PQ-index commits so readers can
+    * tell "codes reflect the current data" apart from "stale after
+    * DML" in O(files) string work, no data reads.
+    */
+  private[lake] def pqFingerprint(s: Snapshot): String = {
+    val ids = (s.activeFiles.map(_.path).sorted ++ s.dvFiles.sorted)
+    java.lang.Long.toHexString(
+      graft.functions.Fnv.hashString(ids.mkString("|")))
+  }
+
   /** `_metadata.file_path` renders as a percent-encoded URI (possibly
     * `file:/...` rather than `file:///...`), while log entries are raw
     * filesystem names — a string-suffix comparison between the two
@@ -2885,11 +3023,16 @@ object GraftTable {
       System.currentTimeMillis())
     val adds = t.stageWrite(df1, partitionBy, dataChange = true)
     val idMarks = t.identityMarkActions(adds, idSpecs, Map.empty, identity)
-    t.commitAndCheckpoint(Seq(
+    // feature properties raise the writer floor above the default 1
+    // (see requiredWriterVersion) so a pre-feature client never writes
+    // this table
+    val need = requiredWriterVersion(properties)
+    val proto: Seq[Action] = if (need > 1) Seq(Protocol(1, need)) else Nil
+    t.commitAndCheckpoint((Seq(
       CommitInfo(System.currentTimeMillis(), "CREATE TABLE AS SELECT",
         Map("partitionBy" -> partitionBy.mkString(",")),
         Map("numFiles" -> adds.size.toString)),
-      meta) ++ adds ++ idMarks)
+      meta) ++ proto) ++ adds ++ idMarks)
     t
   }
 }

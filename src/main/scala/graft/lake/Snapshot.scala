@@ -73,7 +73,10 @@ object Snapshot {
     * actions/encodings an older client would misread.
     */
   val SupportedReaderVersion = 1
-  val SupportedWriterVersion = 1
+  // writer v2 = understands rowIdHwm/identityHwm actions: a v1 writer
+  // would silently drop them and permit row-id/identity range reuse,
+  // so tables with those features raise their floor to 2
+  val SupportedWriterVersion = 2
 
   /** LRU of reconstructed snapshots. A committed version's content is
     * immutable (commits are CREATE_NEW files), so (path, version,

@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object LakeOps {
 
-  private def workDir(dir: String, name: String): String = {
+  /** Path of a query's work table WITHOUT resetting it (for specs that
+    * reopen the table a gate query built).
+    */
+  private[operators] def workDirPath(dir: String, name: String): String = {
+    val sf = Paths.get(dir).getFileName.toString
+    Paths.get("target", "lakework", s"$name-$sf").toString
+  }
+
+  private[operators] def workDir(dir: String, name: String): String = {
     val sf = Paths.get(dir).getFileName.toString
     val p = Paths.get("target", "lakework", s"$name-$sf")
     if (Files.exists(p)) {

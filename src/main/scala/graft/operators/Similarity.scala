@@ -88,6 +88,46 @@ object Similarity {
     rerank(emb, cand)
   }
 
+  /** [[simPq]] over codes MATERIALIZED at OPTIMIZE time — the 100 TB
+    * session shape the fused-scan variant only simulates. The corpus
+    * lives in a GraftTable whose `graft.pq.index` property makes
+    * OPTIMIZE train the codebook once (committed as table metadata)
+    * and write every row's m-byte codes as a parquet sidecar; the
+    * query then scans ONLY the codes — an 8× smaller read than the
+    * float32 embeddings, with zero encode work — and looks distances
+    * up via [[graft.functions.PqAdcFromCodes]]. Deterministic
+    * end-to-end (same training rows, same exact-int64 arithmetic), so
+    * the result is bit-identical to [[simPq]] and shares its full
+    * DuckDB oracle. Staleness contract: the sidecar carries the active
+    * file-set fingerprint; after DML the reader falls back to
+    * encode-on-scan until the next OPTIMIZE (see
+    * [[graft.lake.GraftTable.buildPqIndex]]).
+    */
+  def simPqMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{PqAdcFromCodes, PqTopK}
+    import org.apache.spark.sql.GraftSqlShims
+    val emb = Tables(spark, dir, "embeddings")
+    val t = graft.lake.GraftTable.create(spark, LakeOps.workDir(dir, "pqmat"),
+      emb.filter(col("vec_id") >= QuerySetSize),
+      properties = Map("graft.pq.index" -> "vec_id,embedding"))
+    t.optimize()
+    val props = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    val books = PqCodebook.decodeBooks(props("graft.pq.embedding.books"))
+    val qtables = PqCodebook.queryTables(books, PqCodebook.queryVectors(spark, dir))
+    val codes = spark.read.parquet(s"${t.path}/${props("graft.pq.embedding.sidecar")}")
+    codes
+      .select(col("id").as("cid"),
+        GraftSqlShims.column(PqAdcFromCodes(
+          GraftSqlShims.expression(col("codes")), qtables)).as("adcs"))
+      .select(GraftSqlShims.column(PqTopK(
+          GraftSqlShims.expression(col("cid")),
+          GraftSqlShims.expression(col("adcs")),
+          qtables.length, TopK).toAggregateExpression()).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r.qid"), col("r.cid"), col("r.adc"), col("r.rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** IVF-style ANN over the persisted [[IvfIndex]]: the corpus is
     * multi-assigned to its top-[[IvfIndex.Spill]] centroids (public
     * "multiple assignment" IVF — doubles the chance a true neighbor
@@ -223,28 +263,46 @@ object PqCodebook {
       : (Array[Array[Array[Long]]], Array[Array[Array[Long]]]) = {
     val emb = Tables(spark, dir, "embeddings")
     val n = EmbCount(spark, dir)
-    val stride = math.max(1L, (n - QuerySet) / Ks)
-    val cw = emb.filter(col("vec_id") >= QuerySet &&
-        (col("vec_id") - QuerySet) % stride === 0)
-      .orderBy("vec_id").limit(Ks)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(f => PqAdcDistances.quantize(f.toDouble)).toArray)
+    val books = train(emb.filter(col("vec_id") >= QuerySet),
+      "vec_id", "embedding", QuerySet.toLong, n - QuerySet)
+    (books, queryTables(books, queryVectors(spark, dir)))
+  }
+
+  /** The pre-quantized query vectors (vec_id < QuerySet), in id order. */
+  def queryVectors(spark: SparkSession, dir: String): Array[Array[Long]] =
+    Tables(spark, dir, "embeddings").filter(col("vec_id") < QuerySet)
+      .orderBy("vec_id").select("embedding").collect().map(quantizeRow)
+
+  def quantizeRow(r: org.apache.spark.sql.Row): Array[Long] =
+    r.getSeq[Float](0).map(f => PqAdcDistances.quantize(f.toDouble)).toArray
+
+  /** Train codebooks over any (id, vector) corpus frame: strided
+    * medoid seed + [[Iters]] Lloyd rounds on a strided ≤[[TrainN]]-row
+    * sample, all in exact int64. `minId`/`n` parameterize the stride
+    * arithmetic so a GraftTable holding the same rows trains the
+    * bit-identical codebook the raw-parquet path does.
+    */
+  def train(corpus: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+      minId: Long, n: Long): Array[Array[Array[Long]]] = {
+    val stride = math.max(1L, n / Ks)
+    val cw = corpus.filter((col(idCol) - minId) % stride === 0)
+      .orderBy(idCol).limit(Ks).select(vecCol).collect().map(quantizeRow)
     val dim = cw.head.length
     require(dim % M == 0, s"embedding dim $dim not divisible by $M subspaces")
     val sub = dim / M
     val seed = Array.tabulate(M)(j => cw.map(_.slice(j * sub, (j + 1) * sub)))
-    val tstride = math.max(1L, (n - QuerySet) / TrainN)
-    val train = emb.filter(col("vec_id") >= QuerySet &&
-        (col("vec_id") - QuerySet) % tstride === 0)
-      .orderBy("vec_id").limit(TrainN)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(f => PqAdcDistances.quantize(f.toDouble)).toArray)
-    val books = lloyd(seed, train, sub)
-    val qvs = emb.filter(col("vec_id") < QuerySet).orderBy("vec_id")
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(f => PqAdcDistances.quantize(f.toDouble)).toArray)
-    val qtables = qvs.map { qv =>
-      Array.tabulate(M, cw.length) { (j, c) =>
+    val tstride = math.max(1L, n / TrainN)
+    val sample = corpus.filter((col(idCol) - minId) % tstride === 0)
+      .orderBy(idCol).limit(TrainN).select(vecCol).collect().map(quantizeRow)
+    lloyd(seed, sample, sub)
+  }
+
+  /** Per-query integer L2² lookup tables against trained codebooks. */
+  def queryTables(books: Array[Array[Array[Long]]],
+      qvs: Array[Array[Long]]): Array[Array[Array[Long]]] = {
+    val sub = books(0)(0).length
+    qvs.map { qv =>
+      Array.tabulate(books.length, books(0).length) { (j, c) =>
         var d = 0L
         var i = 0
         while (i < sub) {
@@ -255,7 +313,22 @@ object PqCodebook {
         d
       }
     }
-    (books, qtables)
+  }
+
+  /** Codebooks ↔ table-property string (m;ks;sub;csv of int64 coords —
+    * ~35 KB at m=32/ks=64/sub=2: KB-scale metadata that belongs in the
+    * table log, never in `java.io.tmpdir`).
+    */
+  def encodeBooks(books: Array[Array[Array[Long]]]): String =
+    s"${books.length};${books(0).length};${books(0)(0).length};" +
+      books.iterator.flatMap(_.iterator.flatMap(_.iterator)).mkString(",")
+
+  def decodeBooks(s: String): Array[Array[Array[Long]]] = {
+    val parts = s.split(";")
+    val (m, ks, sub) = (parts(0).toInt, parts(1).toInt, parts(2).toInt)
+    val flat = parts(3).split(",").map(_.toLong)
+    require(flat.length == m * ks * sub, s"corrupt codebook property: ${flat.length} coords")
+    Array.tabulate(m, ks, sub)((j, c, i) => flat((j * ks + c) * sub + i))
   }
 
   /** Lloyd iterations in exact int64: assign each training vector's

@@ -184,13 +184,14 @@ class LakeSpec extends GraftSparkSpec {
     t.upgradeProtocol(1, 1)
     assert(t.toDF.count() == 10)
     intercept[IllegalArgumentException](t.upgradeProtocol(0, 1)) // downgrade
-    intercept[IllegalArgumentException](t.upgradeProtocol(2, 2)) // beyond client
+    intercept[IllegalArgumentException](t.upgradeProtocol(2, 3)) // beyond client
     // a foreign newer writer raised the reader floor: reads fail fast
     t.log.commit(Seq(Protocol(2, 2)))
     intercept[UnsupportedOperationException](t.toDF.count())
-    // writer-only floor raise: reads still flow, commits refuse
+    // writer-only floor raise (v3 > this client's v2): reads still
+    // flow, commits refuse; v2 itself is supported (row tracking)
     val t2 = GraftTable.create(spark, tmpDir("proto2"), li.limit(10))
-    t2.log.commit(Seq(Protocol(1, 2)))
+    t2.log.commit(Seq(Protocol(1, 3)))
     assert(t2.toDF.count() == 10)
     intercept[UnsupportedOperationException](t2.append(li.limit(5)))
   }

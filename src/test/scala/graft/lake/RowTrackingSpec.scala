@@ -212,6 +212,38 @@ class RowTrackingSpec extends GraftSparkSpec {
     assert(t.toDFWithRowIds.columns.contains("value"))
   }
 
+  test("MERGE refuses duplicate source keys on a row-tracked table (CoW and MoR)") {
+    // two source rows matching one target key would each inherit the
+    // SAME stable id — Delta parity: error, don't duplicate ids
+    val src = spark.range(5).select(col("id").as("k"), lit(-1L).as("v"))
+      .unionByName(spark.range(3, 5).select(col("id").as("k"), lit(-2L).as("v")))
+    val t1 = rtCreate("rt-dupsrc-cow", 20, 2)
+    val e1 = intercept[IllegalArgumentException] { t1.merge(src, "k") }
+    assert(e1.getMessage.contains("multiple source rows"))
+    val t2 = rtCreate("rt-dupsrc-mor", 20, 2)
+    val e2 = intercept[IllegalArgumentException] {
+      t2.mergeBuilder(src, "k").whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll().mergeOnRead().execute()
+    }
+    assert(e2.getMessage.contains("multiple source rows"))
+    // a duplicate-free source still merges fine
+    t2.merge(spark.range(3).select(col("id").as("k"), lit(-9L).as("v")), "k")
+    assert(t2.toDFWithRowIds.filter(col("v") === -9L).count() == 3)
+  }
+
+  test("row tracking / identity raise the writer protocol floor to 2") {
+    val t = rtCreate("rt-proto", 10, 1)
+    assert(t.snapshot.protocol.exists(_.minWriterVersion >= 2),
+      "rowTracking table must reject pre-feature (v1) writers")
+    // enabling the feature later via SET TBLPROPERTIES raises it too
+    val plain = GraftTable.create(spark, tmpDir("rt-proto-late"),
+      spark.range(5).select(col("id").as("k")))
+    assert(plain.snapshot.protocol.forall(_.minWriterVersion < 2))
+    plain.setTableProperties(Map("graft.identity.seq" -> "0,1"))
+    assert(plain.snapshot.protocol.exists(_.minWriterVersion >= 2),
+      "identity property must raise the writer floor in the same commit")
+  }
+
   test("row tracking off -> reads refuse, commits stay untouched") {
     val df = spark.range(10).select(col("id").as("k"))
     val t = GraftTable.create(spark, tmpDir("rt-off"), df)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{GraftSparkSpec, Tables}
+import graft.lake.GraftTable
+import org.apache.spark.sql.functions._
+
+/** Materialized PQ index: OPTIMIZE trains the codebook once, persists
+  * it as table metadata, writes m-byte codes as a sidecar; queries
+  * scan codes instead of re-encoding the corpus per session.
+  */
+class PqIndexSpec extends GraftSparkSpec {
+
+  test("materialized codes reproduce the fused-scan result; query plan reads codes only") {
+    val mat = Similarity.simPqMaterialized(spark, sfDir)
+    val plan = mat.queryExecution.executedPlan.toString
+    assert(plan.contains("_graft_pq"), "query must scan the codes sidecar")
+    assert(!plan.contains("embeddings.parquet"),
+      "materialized path must not re-read or re-encode the embeddings")
+    val fused = Similarity.simPq(spark, sfDir).collect().map(_.toSeq)
+    assert(mat.collect().map(_.toSeq).toSeq == fused.toSeq)
+  }
+
+  test("rebuild is fingerprint-gated: no-op while data unchanged, refresh after DML") {
+    Similarity.simPqMaterialized(spark, sfDir).collect()
+    val t = GraftTable.forPath(spark, LakeOps.workDirPath(sfDir, "pqmat"))
+    def builds: Long = t.history.filter(col("operation") === "BUILD PQ INDEX").count()
+    assert(builds == 1)
+    t.optimize() // nothing compacted, fingerprint unchanged -> skip
+    assert(builds == 1, "second OPTIMIZE must not re-encode unchanged data")
+    // DML invalidates the stamp: the reader can detect staleness and the
+    // next OPTIMIZE refreshes the codes
+    t.delete(col("vec_id") % 7 === 0)
+    val props = t.snapshot.metadata.get.properties
+    assert(props.contains("graft.pq.embedding.fingerprint"))
+    t.optimize()
+    assert(builds == 2, "OPTIMIZE after DML must rebuild the codes")
+    // the refreshed sidecar excludes deleted rows
+    val p2 = t.snapshot.metadata.get.properties
+    val ids = spark.read.parquet(s"${t.path}/${p2("graft.pq.embedding.sidecar")}")
+      .filter(col("id") % 7 === 0).count()
+    assert(ids == 0)
+  }
+
+  test("vacuum spares the live PQ sidecar") {
+    Similarity.simPqMaterialized(spark, sfDir).collect()
+    val t = GraftTable.forPath(spark, LakeOps.workDirPath(sfDir, "pqmat"))
+    val rel = t.snapshot.metadata.get.properties("graft.pq.embedding.sidecar")
+    t.vacuum(0.0, dryRun = false)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel)))
+    // codes still readable end-to-end
+    assert(spark.read.parquet(s"${t.path}/$rel").count() > 0)
+  }
+
+  test("codebook property round-trips") {
+    val books = Array.tabulate(4, 3, 2)((a, b, c) => (a * 100 + b * 10 + c).toLong)
+    val back = PqCodebook.decodeBooks(PqCodebook.encodeBooks(books))
+    assert(back.map(_.map(_.toSeq).toSeq).toSeq == books.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+}
