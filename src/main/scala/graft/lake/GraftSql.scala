@@ -82,6 +82,12 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)(?:\s+PARTITIONED\s+BY\s*\(([\w,\s]+)\))?\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\s+.+?)\s*;?\s*$""".r
   private val insertRe: Regex =
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+((?:SELECT|VALUES|TABLE)\s*.+?)\s*;?\s*$""".r
+  private val insertColsRe: Regex =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*\(([\w,\s]+)\)\s*((?:SELECT|VALUES|TABLE)\s*.+?)\s*;?\s*$""".r
+  private val deleteInRe: Regex =
+    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s+IN\s*\(\s*(SELECT\s+.+)\)\s*;?\s*$""".r
+  private val createSchemaRe: Regex =
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s*\((.+?)\)\s*(?:USING\s+graftlake\s+)?(?:PARTITIONED\s+BY\s*\(([\w,\s]+)\)\s*)?LOCATION\s+'([^']+)'\s*;?\s*$""".r
   private val showPropsRe: Regex =
     """(?is)^\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*$""".r
   private val showPartitionsRe: Regex =
@@ -169,6 +175,74 @@ final class GraftSql(spark: SparkSession) {
         tables(name) = t
         Seq(("location", location), ("numFiles",
           t.snapshot.numFiles.toString)).toDF("metric", "value")
+      case createSchemaRe(name, ddl, partBy, location) =>
+        // explicit-schema create: an empty table whose schema comes
+        // from the DDL column list, ready for INSERT/COPY INTO
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val parts = Option(partBy).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        val df = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val t = GraftTable.create(spark, location, df, parts)
+        tables(name) = t
+        Seq(("location", location), ("schema", schema.simpleString))
+          .toDF("metric", "value")
+      case insertColsRe(name, colsStr, payload) =>
+        // named-column INSERT: listed columns map positionally; omitted
+        // columns fill from declared defaults, identity columns
+        // allocate, everything else inserts NULL (standard semantics)
+        val t = table(name)
+        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        val schema = t.snapshot.schema
+        val cols = colsStr.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"unknown column $c in INSERT column list for $name"))
+        val src0 =
+          if (payload.trim.toUpperCase.startsWith("VALUES"))
+            spark.sql(s"SELECT * FROM $payload")
+          else spark.sql(payload)
+        require(src0.columns.length == cols.length,
+          s"INSERT provides ${src0.columns.length} columns, " +
+            s"column list names ${cols.length}")
+        val named = src0.toDF(cols: _*).select(cols.map(c =>
+          col(c).cast(schema(c).dataType).as(c)): _*)
+        val props = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+        val autoFilled = props.keys.collect {
+          case k if k.startsWith("graft.identity.") => k.stripPrefix("graft.identity.")
+          case k if k.startsWith("graft.default.") => k.stripPrefix("graft.default.")
+        }.toSet
+        val filled = schema.fields
+          .filterNot(f => cols.contains(f.name) || autoFilled(f.name))
+          .foldLeft(named)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        val v = t.append(filled)
+        val inserted = t.log.readCommit(v)
+          .collect { case a: AddFile => a.stats.map(_.numRecords).getOrElse(0L) }
+          .sum
+        Seq(("numInsertedRows", inserted.toString)).toDF("metric", "value")
+      case deleteInRe(name, keyCol, sub) =>
+        // IN-subquery DELETE runs as a keyed anti-merge: the subquery
+        // result joins the table on the key (hash equi-join — the
+        // 100 TB shape; never a collected value list) and matched rows
+        // delete via the CoW merge path with its stats pruning
+        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        val schema = table(name).snapshot.schema
+        require(schema.fieldNames.contains(keyCol),
+          s"unknown column $keyCol in DELETE ... WHERE $keyCol IN (...)")
+        // pad the key set to the table schema (typed nulls) — the merge
+        // machinery enforces source-schema parity; only the key joins
+        val keys = schema.fields.foldLeft(
+            spark.sql(sub).toDF(keyCol).distinct()
+              .withColumn(keyCol, col(keyCol).cast(schema(keyCol).dataType))) {
+            (d, f) =>
+              if (f.name == keyCol) d
+              else d.withColumn(f.name, lit(null).cast(f.dataType))
+          }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        val m = table(name).mergeBuilder(keys, keyCol)
+          .whenMatchedKeep().whenNotMatchedIgnore()
+          .whenMatchedDelete(lit(true))
+          .execute()
+        m.toSeq.sorted.toDF("metric", "value")
       case insertRe(mode, name, payload) =>
         val t = table(name)
         // the payload may SELECT from any registered lake table —

@@ -156,4 +156,41 @@ class WorkshopFlowSpec extends GraftSparkSpec {
     gsql.sql("DELETE FROM ts_tbl")
     assert(gsql.sql("SELECT COUNT(*) AS n FROM ts_tbl").head().getLong(0) == 0)
   }
+
+  test("explicit-schema CREATE, named-column INSERT, IN-subquery DELETE") {
+    val gsql = new GraftSql(spark)
+    // CREATE TABLE (schema) USING graftlake LOCATION: empty, typed
+    gsql.sql("CREATE TABLE regs (rid BIGINT, name STRING, score DOUBLE) " +
+      s"USING graftlake LOCATION '${tmpDir("sql-create-schema")}'")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM regs").head().getLong(0) == 0)
+    assert(gsql.table("regs").snapshot.schema.fieldNames.toSeq ==
+      Seq("rid", "name", "score"))
+
+    // named-column INSERT: listed columns map positionally, omitted
+    // column (score) inserts NULL
+    gsql.sql("INSERT INTO regs (rid, name) VALUES (1, 'ada'), (2, 'bob'), (3, 'eve')")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM regs").head().getLong(0) == 3)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM regs WHERE score IS NULL")
+      .head().getLong(0) == 3)
+    // reordered column list still maps by name
+    gsql.sql("INSERT INTO regs (name, score, rid) VALUES ('zoe', 9.5, 4)")
+    assert(gsql.sql("SELECT score FROM regs WHERE rid = 4").head().getDouble(0) == 9.5)
+    // omitted column with a declared default fills from the default
+    gsql.sql("ALTER TABLE regs ALTER COLUMN score SET DEFAULT 1.5")
+    gsql.sql("INSERT INTO regs (rid, name) VALUES (5, 'kim')")
+    assert(gsql.sql("SELECT score FROM regs WHERE rid = 5").head().getDouble(0) == 1.5)
+    // unknown column in the list refuses
+    intercept[IllegalArgumentException](
+      gsql.sql("INSERT INTO regs (rid, nope) VALUES (9, 'x')"))
+
+    // IN-subquery DELETE: keyed anti-merge against the subquery result
+    val other = spark.range(3, 10).select(col("id").as("rid"))
+    other.createOrReplaceTempView("doomed")
+    gsql.sql("DELETE FROM regs WHERE rid IN (SELECT rid FROM doomed)")
+    assert(gsql.sql("SELECT rid FROM regs ORDER BY rid").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // subquery over a registered lake table works too
+    gsql.sql("DELETE FROM regs WHERE rid IN (SELECT rid FROM regs WHERE name = 'bob')")
+    assert(gsql.sql("SELECT rid FROM regs").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
