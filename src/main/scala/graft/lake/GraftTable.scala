@@ -260,6 +260,38 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     dfForFiles(s, bloomPrune(s, kept, predicate)).filter(predicate)
   }
 
+  /** Dynamic file pruning (Delta DFP parity, API-level): when a
+    * selective dimension frame drives an equi-join into this table,
+    * collect the dim side's distinct join keys — the dim side of a
+    * broadcast join is bounded by the broadcast budget, so its key
+    * set collects exactly like Spark's own DPP `InSubqueryExec` —
+    * and prune this table's files with the resulting IN predicate
+    * through the full stats + bloom + partition skipping stack
+    * BEFORE the join executes. Past `maxKeys` the key list degrades
+    * to the dim's [min, max] range — still file-skipping on
+    * range-clustered layouts. Pruning is file-level and advisory:
+    * the returned frame still carries every row of the kept files,
+    * so it must be joined on `key` (the join applies the real
+    * predicate); correctness never depends on the key set.
+    */
+  def readDynamicallyPruned(dim: DataFrame, key: String,
+      maxKeys: Int = 10000): DataFrame = {
+    val s = snapshot
+    require(s.schema.fieldNames.contains(key), s"no such column: $key")
+    val keys = dim.select(col(key)).distinct().limit(maxKeys + 1)
+      .collect().map(_.get(0)).filter(_ != null)
+    if (keys.isEmpty) return dfForFiles(s, Nil)
+    val pred =
+      if (keys.length <= maxKeys) col(key).isin(keys.toIndexedSeq: _*)
+      else {
+        val r = dim.agg(min(col(key)), max(col(key))).head()
+        col(key) >= lit(r.get(0)) && col(key) <= lit(r.get(1))
+      }
+    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns,
+      pred, generatedExprs(s))
+    dfForFiles(s, bloomPrune(s, kept, pred))
+  }
+
   /** Active files with stats/partition keys remapped to logical column
     * names so pruning can match predicates written against the current
     * (possibly renamed) schema. Identity when no mapping exists.

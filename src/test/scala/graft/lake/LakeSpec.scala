@@ -335,6 +335,33 @@ class LakeSpec extends GraftSparkSpec {
     assert(dataFiles(rel2) > 0, "active bloom sidecar must survive")
   }
 
+  test("dynamic file pruning: a selective dim filter skips fact files before the join") {
+    // range-clustered fact table: tight per-file min/max on the key
+    val fact = li.limit(6000).repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+    val t = GraftTable.create(spark, tmpDir("dfp"), fact)
+    val allFiles = t.toDF.inputFiles.length
+    assert(allFiles >= 8)
+    // selective dim: 3 keys from the low end of the range
+    val lowKeys = li.limit(6000).select("l_orderkey").distinct()
+      .orderBy("l_orderkey").limit(3)
+    val pruned = t.readDynamicallyPruned(lowKeys, "l_orderkey")
+    assert(pruned.inputFiles.length < allFiles,
+      s"expected file skipping, scanned ${pruned.inputFiles.length}/$allFiles")
+    // joined result identical to the unpruned join
+    val j1 = pruned.join(lowKeys, "l_orderkey").count()
+    val j2 = t.toDF.join(lowKeys, "l_orderkey").count()
+    assert(j1 == j2 && j1 > 0)
+    // empty dim side -> empty (schema-preserving) scan
+    val empty = t.readDynamicallyPruned(lowKeys.limit(0), "l_orderkey")
+    assert(empty.count() == 0 && empty.columns.sameElements(t.toDF.columns))
+    // past maxKeys the key list degrades to a [min,max] range and still
+    // prunes a range-clustered table
+    val ranged = t.readDynamicallyPruned(lowKeys, "l_orderkey", maxKeys = 1)
+    assert(ranged.inputFiles.length < allFiles)
+    assert(ranged.join(lowKeys, "l_orderkey").count() == j2)
+  }
+
   test("bloom sidecar is written with executor parallelism, not via the driver") {
     val t = GraftTable.create(spark, tmpDir("bloom-par"),
       li.limit(4000).repartition(8, col("l_orderkey")))
