@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.dedupSubstring _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_pq_materialized" -> Similarity.simPqMaterialized _,
+    "sim_ivf_materialized" -> Similarity.simIvfMaterialized _,
     "sim_lsh_ann" -> Similarity.simLshAnn _,
     "sim_ivf" -> Similarity.simIvf _,
     "sim_pq" -> Similarity.simPq _,
@@ -858,6 +859,9 @@ object SparkEntry {
         "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"),
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf" -> simIvfSql,
+    // materialized-assignments IVF replays the same centroid stride and
+    // assignment kernel over the same rows — bit-identical to sim_ivf
+    "sim_ivf_materialized" -> simIvfSql,
     "sim_pq" -> simPqSql,
     // the materialized-codes path is bit-identical to sim_pq by
     // construction (same training rows, exact-int64 arithmetic), so it

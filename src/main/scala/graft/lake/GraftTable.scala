@@ -431,18 +431,82 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         s"$pfx.fingerprint" -> fp)))
   }
 
-  /** Declared via `graft.pq.index` = "idCol,vecCol": every OPTIMIZE
-    * refreshes the materialized codes (no-op when the fingerprint is
-    * current) — the index lives with the table's maintenance cycle.
+  /** Materialize an IVF coarse index for `vecCol`: centroids are a
+    * deterministic strided-medoid sample of the table's rows (exact
+    * data points — replicable outside Spark), written as a KB-to-MB
+    * parquet sidecar next to the table (never `java.io.tmpdir`), and
+    * every row's top-`probes` centroid assignments (the codegen'd
+    * [[graft.functions.TopCentroidIds]] kernel) persist as a second
+    * sidecar in one distributed pass. ANN queries then read
+    * assignments — 12-byte rows — instead of re-scoring the corpus
+    * against every centroid per session. Same fingerprint idempotence
+    * contract as [[buildPqIndex]].
     */
-  private def maybeRebuildPqIndex(): Unit =
-    snapshot.metadata.map(_.properties).getOrElse(Map.empty)
-      .get("graft.pq.index").foreach { spec =>
-        spec.split(",").map(_.trim) match {
-          case Array(idCol, vecCol) => buildPqIndex(idCol, vecCol); ()
-          case _ => ()
-        }
+  def buildIvfIndex(idCol: String, vecCol: String, probes: Int = 6): Long = {
+    import org.apache.spark.sql.GraftSqlShims
+    val s = snapshot
+    require(s.schema.fieldNames.contains(idCol), s"no such column: $idCol")
+    require(s.schema.fieldNames.contains(vecCol), s"no such column: $vecCol")
+    val pfx = s"graft.ivf.$vecCol"
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val fp = GraftTable.pqFingerprint(s)
+    if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
+    val df = dfForFiles(s, s.activeFiles)
+    val n = df.count()
+    require(n > 0, "cannot build an IVF index on an empty table")
+    val k = graft.operators.IvfIndex.kFor(n)
+    val stride = math.max(1L, n / k)
+    val cents = df.filter(col(idCol) % stride === 0).orderBy(idCol).limit(k)
+      .select(vecCol).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case other => other.toString.toDouble
+      }.toArray)
+    val rel = s"_graft_ivf/$vecCol-${UUID.randomUUID()}"
+    val sp = spark
+    import sp.implicits._
+    // centroids are k×dim ≤ MBs of index metadata — one tidy file is
+    // the right shape (unlike bloom bitsets, which are data-scale)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid_c", "c").coalesce(1).write.parquet(s"$path/$rel/centroids")
+    df.select(col(idCol).cast("long").as("id"),
+        posexplode(graft.functions.VectorFunctions.topCentroidIds(
+          col(vecCol), cents, math.min(probes, cents.length))))
+      .select(col("id"), (col("pos") + 1).cast("int").as("rr"),
+        col("col").as("cluster"))
+      .write.parquet(s"$path/$rel/assign")
+    commitMetadataMerge(
+      info("BUILD IVF INDEX",
+        params = Map("column" -> vecCol, "idColumn" -> idCol,
+          "k" -> k.toString, "probes" -> probes.toString),
+        metrics = Map("numVectors" -> n.toString)))(m =>
+      m.copy(properties = m.properties ++ Map(
+        s"$pfx.sidecar" -> rel,
+        s"$pfx.id" -> idCol,
+        s"$pfx.k" -> k.toString,
+        s"$pfx.fingerprint" -> fp)))
+  }
+
+  /** Declared via `graft.pq.index` / `graft.ivf.index` = "idCol,vecCol":
+    * every OPTIMIZE refreshes the materialized ANN artifacts (no-op
+    * when the fingerprint is current) — indexes live with the table's
+    * maintenance cycle.
+    */
+  private def maybeRebuildPqIndex(): Unit = {
+    val props = snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    def split2(spec: String): Option[(String, String)] =
+      spec.split(",").map(_.trim) match {
+        case Array(a, b) => Some((a, b))
+        case _ => None
       }
+    props.get("graft.pq.index").flatMap(split2).foreach {
+      case (idCol, vecCol) => buildPqIndex(idCol, vecCol)
+    }
+    props.get("graft.ivf.index").flatMap(split2).foreach {
+      case (idCol, vecCol) => buildIvfIndex(idCol, vecCol)
+    }
+  }
 
   /** Drop files whose bloom proves they can't contain an `attr = lit`
     * conjunct's value. Files without a bloom entry are kept.
@@ -2476,7 +2540,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     val sidecarDirs = (props.collect {
       case (k, v) if k.startsWith("graft.bloom.") ||
-        (k.startsWith("graft.pq.") && k.endsWith(".sidecar")) => v
+        ((k.startsWith("graft.pq.") || k.startsWith("graft.ivf.")) &&
+          k.endsWith(".sidecar")) => v
     }.toSeq ++ props.get("graft.copyInto.state").toSeq)
       .map(r => root.resolve(r).normalize)
     // CDC sidecars belong to historical commits, not the current

@@ -164,6 +164,34 @@ object Similarity {
     rerank(emb, cand)
   }
 
+  /** [[simIvf]] over assignments MATERIALIZED at OPTIMIZE time: the
+    * embeddings live in a GraftTable whose `graft.ivf.index` property
+    * makes OPTIMIZE persist the strided-medoid centroids AND every
+    * row's top-probe cluster assignments as parquet sidecars next to
+    * the table (see [[graft.lake.GraftTable.buildIvfIndex]]). The
+    * query then reads 12-byte assignment rows — no per-session
+    * centroid scoring over the corpus — joins query probes (rr ≤
+    * Probes) against corpus lists (rr ≤ Spill) on the cluster id, and
+    * exact cosine re-ranks. Centroid selection and assignment replay
+    * the [[IvfIndex]] arithmetic over the same rows, so the result is
+    * bit-identical to [[simIvf]] and shares its full DuckDB oracle.
+    */
+  def simIvfMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val t = graft.lake.GraftTable.create(spark, LakeOps.workDir(dir, "ivfmat"),
+      emb, properties = Map("graft.ivf.index" -> "vec_id,embedding"))
+    t.optimize()
+    val props = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    val assign = spark.read.parquet(
+      s"${t.path}/${props("graft.ivf.embedding.sidecar")}/assign")
+    val qa = assign.filter(col("id") < QuerySetSize && col("rr") <= IvfIndex.Probes)
+      .select(col("id").as("qid"), col("cluster"))
+    val ca = assign.filter(col("id") >= QuerySetSize && col("rr") <= IvfIndex.Spill)
+      .select(col("id").as("cid"), col("cluster"))
+    val cand = broadcast(qa).join(ca, "cluster").select("qid", "cid").distinct()
+    rerank(t.toDF, cand)
+  }
+
   /** Exact-cosine re-rank of a bounded candidate id-pair set: the
     * candidate list broadcasts against the corpus scan (no corpus
     * shuffle), query vectors broadcast, and the top-k window runs over
@@ -441,7 +469,7 @@ object IvfIndex {
     s"$dir#v5#$Probes#$Spill#n=$n#fp=${java.lang.Long.toHexString(fp)}"
   }
 
-  private def kFor(n: Long): Int = {
+  private[graft] def kFor(n: Long): Int = {
     // clamp to Int range BEFORE narrowing: (n/2).toInt wraps negative
     // past 2^32 and collapses k to the floor, breaking k=8*sqrt(n) scaling
     val half = Integer.highestOneBit(

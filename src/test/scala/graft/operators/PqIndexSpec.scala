@@ -51,6 +51,22 @@ class PqIndexSpec extends GraftSparkSpec {
     assert(spark.read.parquet(s"${t.path}/$rel").count() > 0)
   }
 
+  test("materialized IVF assignments reproduce the per-session result; rebuild gated") {
+    val mat = Similarity.simIvfMaterialized(spark, sfDir)
+    val live = Similarity.simIvf(spark, sfDir).collect().map(_.toSeq)
+    assert(mat.collect().map(_.toSeq).toSeq == live.toSeq)
+    val t = GraftTable.forPath(spark, LakeOps.workDirPath(sfDir, "ivfmat"))
+    def builds: Long = t.history.filter(col("operation") === "BUILD IVF INDEX").count()
+    assert(builds == 1)
+    t.optimize() // fingerprint unchanged -> no re-assignment pass
+    assert(builds == 1)
+    // live sidecars (centroids + assignments) survive vacuum
+    val rel = t.snapshot.metadata.get.properties("graft.ivf.embedding.sidecar")
+    t.vacuum(0.0, dryRun = false)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel, "assign")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel, "centroids")))
+  }
+
   test("codebook property round-trips") {
     val books = Array.tabulate(4, 3, 2)((a, b, c) => (a * 100 + b * 10 + c).toLong)
     val back = PqCodebook.decodeBooks(PqCodebook.encodeBooks(books))
