@@ -288,36 +288,36 @@ object Analytics {
     * rank error 1e-4 (checked against exact quantiles at ±1% rank —
     * 100× the guarantee, still a real assertion). DuckDB replays the
     * exact side and emits literal TRUEs, so a sketch drifting out of
-    * bounds turns the row red. Exact bounds use the q17 distributed
-    * order-statistics shape (cluster-wide sort, ≤8 doubles to the
-    * driver), never a single-reducer `percentile` buffer.
+    * bounds turns the row red. The percentile check verifies RANK, not
+    * value: the sketch returns an actual data value occupying rank
+    * positions (#{v < x}, #{v ≤ x}] — one conditional-count aggregate
+    * (O(n) scan, map-side combine, no sort) asserts that interval
+    * intersects the ±1%-rank window, so no order statistics and no
+    * single-reducer `percentile` buffer anywhere.
     */
   def q13Approx(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
+    val price = col("l_extendedprice").cast("double")
     val a = li.agg(
       approx_count_distinct("l_partkey").as("ap"),
-      percentile_approx(col("l_extendedprice").cast("double"), lit(0.5), lit(10000)).as("ap50"),
-      percentile_approx(col("l_extendedprice").cast("double"), lit(0.95), lit(10000)).as("ap95"),
-      countDistinct(col("l_partkey")).as("np")).head()
-    val (approxParts, ap50, ap95, exactParts) =
-      (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getLong(3))
-    val vals = li.select(col("l_extendedprice").cast("double").as("v"))
-      .filter(col("v").isNotNull)
-    val n = vals.count()
-    val pos = Seq(0.49, 0.51, 0.94, 0.96).map(q => (n - 1).toDouble * q)
-    val ranks = pos.flatMap(p => Seq(p.floor.toLong, p.ceil.toLong)).toSet
-    val picked = vals.sort("v").rdd.map(_.getDouble(0)).zipWithIndex()
-      .filter { case (_, i) => ranks.contains(i) }
-      .map(_.swap).collectAsMap()
-    val qb = pos.map { p =>
-      val lo = picked(p.floor.toLong)
-      lo + (picked(p.ceil.toLong) - lo) * (p - p.floor)
-    }
+      percentile_approx(price, lit(0.5), lit(10000)).as("ap50"),
+      percentile_approx(price, lit(0.95), lit(10000)).as("ap95"),
+      countDistinct(col("l_partkey")).as("np"),
+      count(price).as("n")).head()
+    val (approxParts, ap50, ap95, exactParts, n) =
+      (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getLong(3), a.getLong(4))
+    val b = li.agg(
+      count(when(price < ap50, 1)).as("lt50"),
+      count(when(price <= ap50, 1)).as("le50"),
+      count(when(price < ap95, 1)).as("lt95"),
+      count(when(price <= ap95, 1)).as("le95")).head()
+    def rankWithin(lt: Long, le: Long, q: Double): Boolean =
+      lt + 1 <= (q + 0.01) * n && le >= (q - 0.01) * n
     spark.range(1).select(
       lit(exactParts).as("exact_parts"),
       lit(math.abs(approxParts - exactParts) <= 0.15 * exactParts).as("parts_within_bound"),
-      lit(ap50 >= qb(0) && ap50 <= qb(1)).as("p50_within_bound"),
-      lit(ap95 >= qb(2) && ap95 <= qb(3)).as("p95_within_bound"))
+      lit(rankWithin(b.getLong(0), b.getLong(1), 0.5)).as("p50_within_bound"),
+      lit(rankWithin(b.getLong(2), b.getLong(3), 0.95)).as("p95_within_bound"))
   }
 
   /** CUBE: all grouping-set combinations incl. grand total. */
