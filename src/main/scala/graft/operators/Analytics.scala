@@ -284,9 +284,10 @@ object Analytics {
     * compaction order), so the emitted row carries the EXACT distinct
     * count plus booleans asserting each sketch landed inside its
     * documented bound: approx_count_distinct's default rsd is 5%
-    * (checked at 3σ = 15%), percentile_approx at accuracy 10000 has
-    * rank error 1e-4 (checked against exact quantiles at ±1% rank —
-    * 100× the guarantee, still a real assertion). DuckDB replays the
+    * (checked at 3σ = 15%), percentile_approx at accuracy 1000 has
+    * rank error 1e-3 (checked at ±1% rank — 10× the guarantee, still
+    * a real assertion; accuracy 10000 cost ~8 s of GK compression at
+    * sf0.1 for precision the assertion can't see). DuckDB replays the
     * exact side and emits literal TRUEs, so a sketch drifting out of
     * bounds turns the row red. The percentile check verifies RANK, not
     * value: the sketch returns an actual data value occupying rank
@@ -298,14 +299,17 @@ object Analytics {
   def q13Approx(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val price = col("l_extendedprice").cast("double")
+    // exact distinct runs as its OWN aggregation: mixing distinct and
+    // non-distinct aggregates in one agg plans an Expand that doubles
+    // every scanned row through the sketch updates
     val a = li.agg(
       approx_count_distinct("l_partkey").as("ap"),
-      percentile_approx(price, lit(0.5), lit(10000)).as("ap50"),
-      percentile_approx(price, lit(0.95), lit(10000)).as("ap95"),
-      countDistinct(col("l_partkey")).as("np"),
+      percentile_approx(price, lit(0.5), lit(1000)).as("ap50"),
+      percentile_approx(price, lit(0.95), lit(1000)).as("ap95"),
       count(price).as("n")).head()
-    val (approxParts, ap50, ap95, exactParts, n) =
-      (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getLong(3), a.getLong(4))
+    val (approxParts, ap50, ap95, n) =
+      (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getLong(3))
+    val exactParts = li.select("l_partkey").distinct().count()
     val b = li.agg(
       count(when(price < ap50, 1)).as("lt50"),
       count(when(price <= ap50, 1)).as("le50"),
