@@ -129,6 +129,7 @@ object SparkEntry {
     "lake_history" -> LakeOps.lakeHistory _,
     "lake_vacuum" -> LakeOps.lakeVacuum _,
     "lake_rowtracking" -> LakeOps.lakeRowTracking _,
+    "lake_dfp" -> LakeOps.lakeDfp _,
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _)
 
@@ -972,6 +973,13 @@ object SparkEntry {
     "lake_insert" ->
       ("SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS sum_price, " +
         "ROUND(SUM(l_quantity),2) AS sum_qty FROM lineitem WHERE l_returnflag = 'R' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // dynamic file pruning must drop no matching rows: the pruned,
+    // dim-driven join aggregates identically to the unpruned plan
+    "lake_dfp" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS sum_price " +
+        "FROM lineitem JOIN (SELECT o_orderkey FROM orders " +
+        "WHERE o_totalprice > 400000) o ON l_orderkey = o_orderkey " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // id = create-time global key rank (deterministic two-file sorted
     // write); OPTIMIZE + DELETE must both preserve surviving ids

@@ -86,6 +86,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*\(([\w,\s]+)\)\s*((?:SELECT|VALUES|TABLE)\s*.+?)\s*;?\s*$""".r
   private val deleteInRe: Regex =
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s+IN\s*\(\s*(SELECT\s+.+)\)\s*;?\s*$""".r
+  private val updateInRe: Regex =
+    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(\w+)\s+IN\s*\(\s*(SELECT\s+.+)\)\s*;?\s*$""".r
   private val createSchemaRe: Regex =
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s*\((.+?)\)\s*(?:USING\s+graftlake\s+)?(?:PARTITIONED\s+BY\s*\(([\w,\s]+)\)\s*)?LOCATION\s+'([^']+)'\s*;?\s*$""".r
   private val showPropsRe: Regex =
@@ -220,25 +222,28 @@ final class GraftSql(spark: SparkSession) {
           .collect { case a: AddFile => a.stats.map(_.numRecords).getOrElse(0L) }
           .sum
         Seq(("numInsertedRows", inserted.toString)).toDF("metric", "value")
+      case updateInRe(name, sets, keyCol, sub) =>
+        // IN-subquery UPDATE: same keyed-merge shape as the IN-subquery
+        // DELETE; SET expressions evaluate on the target row
+        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        val assignments = sets.split(",").map { a =>
+          val Array(k, v) = a.split("=", 2)
+          k.trim -> expr(v.trim)
+        }.toMap
+        val m = table(name).mergeBuilder(
+            paddedKeySource(name, keyCol, sub), keyCol)
+          .whenMatchedKeep().whenNotMatchedIgnore()
+          .whenMatchedUpdate(assignments, None)
+          .execute()
+        m.toSeq.sorted.toDF("metric", "value")
       case deleteInRe(name, keyCol, sub) =>
         // IN-subquery DELETE runs as a keyed anti-merge: the subquery
         // result joins the table on the key (hash equi-join — the
         // 100 TB shape; never a collected value list) and matched rows
         // delete via the CoW merge path with its stats pruning
         tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
-        val schema = table(name).snapshot.schema
-        require(schema.fieldNames.contains(keyCol),
-          s"unknown column $keyCol in DELETE ... WHERE $keyCol IN (...)")
-        // pad the key set to the table schema (typed nulls) — the merge
-        // machinery enforces source-schema parity; only the key joins
-        val keys = schema.fields.foldLeft(
-            spark.sql(sub).toDF(keyCol).distinct()
-              .withColumn(keyCol, col(keyCol).cast(schema(keyCol).dataType))) {
-            (d, f) =>
-              if (f.name == keyCol) d
-              else d.withColumn(f.name, lit(null).cast(f.dataType))
-          }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-        val m = table(name).mergeBuilder(keys, keyCol)
+        val m = table(name).mergeBuilder(
+            paddedKeySource(name, keyCol, sub), keyCol)
           .whenMatchedKeep().whenNotMatchedIgnore()
           .whenMatchedDelete(lit(true))
           .execute()
@@ -427,6 +432,24 @@ final class GraftSql(spark: SparkSession) {
         tables.foreach { case (n, t) => t.toDF.createOrReplaceTempView(n) }
         spark.sql(rewritten)
     }
+  }
+
+  /** Evaluate an IN-subquery's key set and pad it to the target
+    * table's schema with typed nulls — the merge machinery enforces
+    * source-schema parity, and only the key column ever joins.
+    */
+  private def paddedKeySource(name: String, keyCol: String,
+      sub: String): DataFrame = {
+    val schema = table(name).snapshot.schema
+    require(schema.fieldNames.contains(keyCol),
+      s"unknown column $keyCol in the IN-subquery predicate for $name")
+    schema.fields.foldLeft(
+        spark.sql(sub).toDF(keyCol).distinct()
+          .withColumn(keyCol, col(keyCol).cast(schema(keyCol).dataType))) {
+        (d, f) =>
+          if (f.name == keyCol) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** `MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k WHEN ... THEN ...`

@@ -198,6 +198,28 @@ object LakeOps {
     liAgg(gsql.table("li_ins").toDF)
   }
 
+  /** Dynamic file pruning under the oracle (L58): the fact table is
+    * range-clustered on the join key, and a selective dim frame drives
+    * the join through `readDynamicallyPruned`, so the scan opens only
+    * files whose key range intersects the dim's keys. The aggregate
+    * must match DuckDB computed from the ORIGINAL parquet — proving
+    * the pruning dropped no matching rows.
+    */
+  def lakeDfp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val t = graft.lake.GraftTable.create(spark, workDir(dir, "dfp"),
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"))
+    val dim = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    t.readDynamicallyPruned(dim, "l_orderkey")
+      .join(dim, "l_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Row tracking end-to-end (L50): a sorted two-file create makes the
     * id assignment order deterministic (range-partitioned files are
     * committed in path order = key order, rows positioned in sort

@@ -192,5 +192,14 @@ class WorkshopFlowSpec extends GraftSparkSpec {
     // subquery over a registered lake table works too
     gsql.sql("DELETE FROM regs WHERE rid IN (SELECT rid FROM regs WHERE name = 'bob')")
     assert(gsql.sql("SELECT rid FROM regs").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // IN-subquery UPDATE: SET evaluates on the target row
+    gsql.sql("INSERT INTO regs (rid, name, score) VALUES (6, 'pat', 2.0), (7, 'lee', 3.0)")
+    spark.range(6, 8).select(col("id").as("rid")).createOrReplaceTempView("bump")
+    gsql.sql("UPDATE regs SET score = score * 10 WHERE rid IN (SELECT rid FROM bump)")
+    assert(gsql.sql("SELECT SUM(score) AS s FROM regs WHERE rid >= 6")
+      .head().getDouble(0) == 50.0)
+    assert(gsql.sql("SELECT score FROM regs WHERE rid = 1").head().isNullAt(0),
+      "rows outside the key set must be untouched")
   }
 }
