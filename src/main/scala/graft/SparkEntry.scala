@@ -65,7 +65,16 @@ object SparkEntry {
     "q41_big_orders" -> Analytics.q41BigOrders _,
     "q42_inactive_balance" -> Analytics.q42InactiveBalance _,
     "q43_nation_trade" -> Analytics.q43NationTrade _,
-    "q44_market_share" -> Analytics.q44MarketShare _)
+    "q44_market_share" -> Analytics.q44MarketShare _,
+    "q45_product_profit" -> Analytics.q45ProductProfit _,
+    "q46_returned_items" -> Analytics.q46ReturnedItems _,
+    "q47_important_parts" -> Analytics.q47ImportantParts _,
+    "q48_ship_priority" -> Analytics.q48ShipPriority _,
+    "q49_promo_effect" -> Analytics.q49PromoEffect _,
+    "q50_small_qty_revenue" -> Analytics.q50SmallQtyRevenue _,
+    "q51_brand_bands" -> Analytics.q51BrandBands _,
+    "q52_excess_suppliers" -> Analytics.q52ExcessSuppliers _,
+    "q53_supplier_variety" -> Analytics.q53SupplierVariety _)
 
   val pipelineQueries: Map[String, Q] = Map(
     "text_token_count" -> TextOps.textTokenCount _,
@@ -687,6 +696,91 @@ object SparkEntry {
         "WHERE p_type = 'PROMO' AND r_name = 'ASIA' GROUP BY 1) " +
         "SELECT o_year, ROUND(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS mkt_share " +
         "FROM t ORDER BY o_year"),
+    "q45_product_profit" ->
+      ("SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT)) - " +
+        "CAST(ROUND(p_retailprice*100) AS BIGINT) * " +
+        "CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS profit_e4 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_type = 'ECONOMY' GROUP BY 1, 2 ORDER BY nation, o_year DESC"),
+    "q46_returned_items" ->
+      ("SELECT c_custkey, c_name, n_name AS nation, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"),
+    "q47_important_parts" ->
+      ("WITH pp AS (SELECT l_partkey, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS value_e4 " +
+        "FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(value_e4) AS BIGINT) AS total_e4 FROM pp) " +
+        "SELECT l_partkey, value_e4 FROM pp, t WHERE value_e4 * 1000 > total_e4 " +
+        "ORDER BY value_e4 DESC, l_partkey"),
+    "q48_ship_priority" ->
+      ("SELECT l_linestatus, " +
+        "COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count, " +
+        "COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE EXTRACT(year FROM l_shipdate) = 1997 " +
+        "AND DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60 " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q49_promo_effect" ->
+      ("WITH t AS (SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS o_month, " +
+        "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN " +
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_e4, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_e4 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE EXTRACT(year FROM l_shipdate) = 1997 GROUP BY 1) " +
+        "SELECT o_month, ROUND(100.0 * promo_e4 / total_e4, 4) AS promo_pct " +
+        "FROM t ORDER BY o_month"),
+    "q50_small_qty_revenue" ->
+      ("WITH pp AS (SELECT l_partkey AS pk, " +
+        "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qc, " +
+        "COUNT(*) AS n FROM lineitem GROUP BY 1) " +
+        "SELECT p_brand, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem JOIN pp ON l_partkey = pk " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "WHERE CAST(ROUND(l_quantity*100) AS BIGINT) * 2 * n < sum_qc " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q51_brand_bands" ->
+      ("SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4, " +
+        "COUNT(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5) " +
+        "OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10) " +
+        "OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)"),
+    "q52_excess_suppliers" ->
+      ("WITH ps AS (SELECT l_partkey, l_suppkey, " +
+        "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS q_ps " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_type = 'PROMO' AND EXTRACT(year FROM l_shipdate) = 1997 " +
+        "GROUP BY 1, 2), " +
+        "pt AS (SELECT l_partkey AS pk, CAST(SUM(q_ps) AS BIGINT) AS q_p, " +
+        "COUNT(*) AS n_supp FROM ps GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, n_name AS nation " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM ps JOIN pt ON l_partkey = pk " +
+        "WHERE q_ps * n_supp > q_p * 2) ORDER BY s_suppkey"),
+    "q53_supplier_variety" ->
+      ("SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_type <> 'PROMO' AND l_suppkey NOT IN " +
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size"),
     "q37_funnel" ->
       ("WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id), " +

@@ -762,4 +762,196 @@ object Analytics {
       .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
       .orderBy("c_mktsegment")
   }
+
+  /** Exact quantity in centi-units (l_quantity is a 2-dp double in the
+    * dataset): one integer rounding, then every comparison and sum is
+    * integer arithmetic — same rationale as [[revE4]].
+    */
+  private def qtyC = round(col("l_quantity") * 100).cast("long")
+
+  /** TPC-H Q9 shape (product-type profit): profit per (supplier
+    * nation, order year) over the 5-way lineitem⋈part⋈supplier⋈orders⋈
+    * nation join, restricted to one part type. The dataset has no
+    * partsupp, so the cost side is quantity × retail price; both
+    * revenue and cost stay in exact 1e-4-dollar integers so partial
+    * aggregation order can never flip the total. Dims broadcast, the
+    * fact joins shuffle on their natural keys.
+    */
+  def q45ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part").filter(col("p_type") === "ECONOMY")
+    val s = Tables(spark, dir, "supplier")
+    val o = Tables(spark, dir, "orders")
+    val n = Tables(spark, dir, "nation")
+    val costE4 = round(col("p_retailprice") * 100).cast("long") * qtyC
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revE4 - costE4).as("profit_e4"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to
+    * returns per customer in one quarter, top 20. The revenue ranks in
+    * exact 1e-4 integers so the LIMIT cutoff cannot flip on a rounding
+    * difference; ties break on the unique customer key.
+    */
+  def q46ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+      .agg(sum(revE4).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose shipped value
+    * exceeds 1/1000 of the corpus total. The global total is a 1-row
+    * aggregate that broadcasts into the per-part filter, and the
+    * threshold test cross-multiplies integers (value·1000 > total)
+    * instead of dividing, so no borderline part can flip on a quotient
+    * ulp.
+    */
+  def q47ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val perPart = li.groupBy("l_partkey").agg(sum(revE4).as("value_e4"))
+    val total = li.agg(sum(revE4).as("total_e4"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_e4") * 1000 > col("total_e4"))
+      .select(col("l_partkey"), col("value_e4"))
+      .orderBy(col("value_e4").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape (shipping-priority classification): per line
+    * status, how many late-shipped 1997 lineitems belonged to
+    * high-priority orders vs the rest — the conditional-count pivot
+    * over a fact⋈fact join. "Late" is an integer day-difference
+    * predicate pushed to the join output.
+    */
+  def q48ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(year(col("l_shipdate")) === 1997 &&
+        datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .groupBy("l_linestatus")
+      .agg(count(when(high, 1)).as("high_line_count"),
+        count(when(!high, 1)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q14 shape (promotion effect): the PROMO share of monthly
+    * 1997 revenue. Numerator and denominator aggregate as exact 1e-4
+    * integers in ONE pass (conditional sum); only the final ratio is a
+    * double, and both engines divide the same two integers so the
+    * quotient is bit-identical before the 4-dp round.
+    */
+  def q49PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1997)
+    val p = Tables(spark, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(month(col("l_shipdate")).cast("long").as("o_month"))
+      .agg(sum(when(col("p_type") === "PROMO", revE4).otherwise(0L)).as("promo_e4"),
+        sum(revE4).as("total_e4"))
+      .select(col("o_month"),
+        round(lit(100.0) * col("promo_e4") / col("total_e4"), 4).as("promo_pct"))
+      .orderBy("o_month")
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): per brand, revenue from
+    * lineitems under half the part's average quantity. The per-part
+    * average is never materialized as a double — the predicate
+    * cross-multiplies integer centi-quantities (2·q·n < Σq), so the
+    * below-average test is exact. Per-part aggregate joins back to the
+    * fact on the part key (shuffle on l_partkey both sides — one
+    * exchange reused).
+    */
+  def q50SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(qtyC).as("sum_qc"), count(lit(1)).as("n"))
+    li.join(perPart, li("l_partkey") === col("pk"))
+      .filter(qtyC * 2 * col("n") < col("sum_qc"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(revE4).as("revenue_e4"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, OR'd predicate bands): three
+    * disjunctive (brand, quantity-band, size-band) arms collapse into
+    * one scan — the OR evaluates post-join, no UNION of three scans.
+    * Single-row output in exact integers.
+    */
+  def q51BrandBands(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    val arm1 = col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+      col("p_size").between(1, 5)
+    val arm2 = col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+      col("p_size").between(1, 10)
+    val arm3 = col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+      col("p_size").between(1, 15)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(sum(revE4).as("revenue_e4"), count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q20 shape (excess-share suppliers): suppliers who shipped
+    * more than twice the per-supplier average of some PROMO part in
+    * 1997 — a two-level aggregate (part×supplier, then part) whose
+    * comparison cross-multiplies integers (q·n > 2·Σq), semi-joined
+    * back to the supplier dim. No quantity ever becomes a double.
+    */
+  def q52ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1997)
+    val p = Tables(spark, dir, "part").filter(col("p_type") === "PROMO")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val ps = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(qtyC).as("q_ps"))
+    val perPart = ps.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q_ps")).as("q_p"), count(lit(1)).as("n_supp"))
+    val excess = ps.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("q_ps") * col("n_supp") > col("q_p") * 2)
+      .select("l_suppkey").distinct()
+    s.join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 shape (supplier variety): distinct suppliers per
+    * (brand, size) for non-PROMO parts, excluding negative-balance
+    * suppliers via an anti join (the Q16 "complaints" exclusion). The
+    * (part, supplier) pairs project to ids before the distinct, so the
+    * count-distinct shuffle carries 16-byte rows.
+    */
+  def q53SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part").filter(col("p_type") =!= "PROMO")
+    val bad = Tables(spark, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select("s_suppkey")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(bad), li("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select(col("p_brand"), col("p_size"), col("l_suppkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
 }
