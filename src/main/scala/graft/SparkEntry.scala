@@ -103,6 +103,7 @@ object SparkEntry {
     "sim_lsh_ann" -> Similarity.simLshAnn _,
     "sim_ivf" -> Similarity.simIvf _,
     "sim_pq" -> Similarity.simPq _,
+    "sim_ivfpq" -> Similarity.simIvfPq _,
     "pipe_stratified_sample" -> Pipeline.pipeStratifiedSample _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
@@ -285,15 +286,21 @@ object SparkEntry {
     * every float is exact in double and both engines fold
     * dot-products left-to-right in dimension order.
     */
-  private def simIvfSql: String =
-    "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-      "prm AS (SELECT COUNT(*) AS n, LEAST(1024, GREATEST(16, LEAST(" +
+  private val embCte: String =
+    "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+  /** IVF candidate-generation CTE chain (ends in `cand(qid, cid)`) —
+    * shared by the sim_ivf oracles and composed with the PQ chain in
+    * [[simIvfPqSql]] (CTE names are disjoint from the PQ chain's).
+    */
+  private val ivfCandCtes: String =
+    "iprm AS (SELECT COUNT(*) AS n, LEAST(1024, GREATEST(16, LEAST(" +
       "CAST(power(2, length(bin(GREATEST(1, COUNT(*) // 2))) - 1) AS BIGINT), " +
       "CAST(power(2, length(bin(GREATEST(1, CAST(FLOOR(8 * sqrt(COUNT(*))) AS BIGINT)))) - 1) AS BIGINT)))) AS k " +
       "FROM emb), " +
       "seeds AS (SELECT cid_c, c, list_dot_product(c, c) AS nc FROM (" +
       "SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid_c, e AS c " +
-      "FROM emb, prm WHERE vec_id % GREATEST(1, n // k) = 0) s, prm " +
+      "FROM emb, iprm WHERE vec_id % GREATEST(1, n // k) = 0) s, iprm " +
       "WHERE cid_c < k), " +
       "assign AS (SELECT vec_id, cid_c, CASE WHEN nc > 0 THEN " +
       "list_dot_product(e, c) * (1.0 / sqrt(nc)) ELSE 0.0 END AS score " +
@@ -302,12 +309,26 @@ object SparkEntry {
       "(PARTITION BY vec_id ORDER BY score DESC, cid_c) AS rr FROM assign), " +
       "qa AS (SELECT vec_id AS qid, cid_c FROM ranked WHERE vec_id < 10 AND rr <= 6), " +
       "ca AS (SELECT vec_id AS cid, cid_c FROM ranked WHERE vec_id >= 10 AND rr <= 2), " +
-      "cand AS (SELECT DISTINCT qid, cid FROM qa JOIN ca USING (cid_c)), " +
+      "cand AS (SELECT DISTINCT qid, cid FROM qa JOIN ca USING (cid_c))"
+
+  private def simIvfSql: String =
+    s"WITH $embCte, $ivfCandCtes, " +
       "sc AS (SELECT qid, cid, list_cosine_similarity(a.e, b.e) AS cos_raw " +
       "FROM cand JOIN emb a ON a.vec_id = qid JOIN emb b ON b.vec_id = cid), " +
       "r AS (SELECT qid, cid, cos_raw, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn FROM sc) " +
       "SELECT qid, cid, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
+      "FROM r WHERE rn <= 5 ORDER BY qid, rn"
+
+  /** IVF candidates scored by PQ-ADC — the [[simIvfSql]] chain joined
+    * against the [[simPqSql]] chain's `adc` table, ranked ascending.
+    */
+  private def simIvfPqSql: String =
+    s"WITH $embCte, $ivfCandCtes, $pqAdcCtes, " +
+      "r AS (SELECT qid, cid, adc, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY adc, cid) AS rn " +
+      "FROM adc JOIN cand USING (qid, cid)) " +
+      "SELECT qid, cid, adc, CAST(rn AS BIGINT) AS rn " +
       "FROM r WHERE rn <= 5 ORDER BY qid, rn"
 
   /** Full replay of the PQ operator: strided-medoid codebook seeds,
@@ -319,14 +340,17 @@ object SparkEntry {
     * is exact integer arithmetic, so the comparison is bit-for-bit,
     * not tolerance-based.
     */
-  private def simPqSql: String = {
+  /** PQ codebook-train + encode + ADC CTE chain (ends in
+    * `adc(qid, cid, adc)` over ALL query×corpus pairs) — shared by
+    * [[simPqSql]] and [[simIvfPqSql]]. Expects `emb` in scope.
+    */
+  private def pqAdcCtes: String = {
     val ks = graft.operators.PqCodebook.Ks
     val m = graft.operators.PqCodebook.M
     val tn = graft.operators.PqCodebook.TrainN
     val iters = graft.operators.PqCodebook.Iters
     val head =
-      "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-        s"prm AS (SELECT GREATEST(1, (COUNT(*) FILTER (WHERE vec_id >= 10)) // $ks) AS stride, " +
+      s"prm AS (SELECT GREATEST(1, (COUNT(*) FILTER (WHERE vec_id >= 10)) // $ks) AS stride, " +
         s"GREATEST(1, (COUNT(*) FILTER (WHERE vec_id >= 10)) // $tn) AS tstride, " +
         s"MAX(len(e)) // $m AS sub FROM emb), " +
         "cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec_id " +
@@ -361,13 +385,16 @@ object SparkEntry {
         "FROM d WHERE vec_id >= 10) WHERE r = 1), " +
         "qt AS (SELECT vec_id AS qid, j, c, d FROM d WHERE vec_id < 10), " +
         "adc AS (SELECT qid, cid, CAST(SUM(qt.d) AS BIGINT) AS adc " +
-        "FROM code JOIN qt USING (j, c) GROUP BY 1, 2), " +
-        "r AS (SELECT qid, cid, adc, ROW_NUMBER() OVER " +
-        "(PARTITION BY qid ORDER BY adc, cid) AS rn FROM adc) " +
-        "SELECT qid, cid, adc, CAST(rn AS BIGINT) AS rn " +
-        "FROM r WHERE rn <= 5 ORDER BY qid, rn"
+        "FROM code JOIN qt USING (j, c) GROUP BY 1, 2)"
     head + lloyd + tail
   }
+
+  private def simPqSql: String =
+    s"WITH $embCte, $pqAdcCtes, " +
+      "r AS (SELECT qid, cid, adc, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY adc, cid) AS rn FROM adc) " +
+      "SELECT qid, cid, adc, CAST(rn AS BIGINT) AS rn " +
+      "FROM r WHERE rn <= 5 ORDER BY qid, rn"
 
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
 
@@ -958,6 +985,8 @@ object SparkEntry {
     // assignment kernel over the same rows — bit-identical to sim_ivf
     "sim_ivf_materialized" -> simIvfSql,
     "sim_pq" -> simPqSql,
+    // IVF candidates scored with PQ-ADC: both replica chains composed
+    "sim_ivfpq" -> simIvfPqSql,
     // the materialized-codes path is bit-identical to sim_pq by
     // construction (same training rows, exact-int64 arithmetic), so it
     // shares the full codebook-replay oracle

@@ -213,6 +213,56 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** IVF-PQ composition (the FAISS IVFPQ shape, Jégou et al. 2011):
+    * the IVF coarse quantizer narrows the corpus to the probed
+    * clusters' candidates, and PQ-ADC table lookups — not exact
+    * cosine — score them. At 100 TB this is THE standard ANN
+    * deployment shape: the scan touches spill·probes/k of the corpus,
+    * and what it reads per row is the m-byte code, not the float32
+    * vector, so the candidate scoring I/O shrinks by both factors
+    * multiplicatively. Candidate generation is the [[simIvf]]
+    * id-pair equi-join; each distinct candidate row is ADC-scored
+    * ONCE (the per-pair join re-attaches only the scored integer),
+    * and the final top-k ranks a bounded candidate set. Every stage
+    * is deterministic integer/medoid arithmetic, so the full chain —
+    * centroid assignment, codebook training, encode, ADC, rank —
+    * replays bit-for-bit in the DuckDB oracle.
+    */
+  def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqAdcDistances
+    import org.apache.spark.sql.GraftSqlShims
+    val cents = IvfIndex.centroids(spark, dir)
+    val emb = Tables(spark, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"),
+        explode(topCentroidIds(col("embedding"), cents, IvfIndex.Spill)).as("cluster"))
+    val queries = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("qid"),
+        explode(topCentroidIds(col("embedding"), cents,
+          math.min(IvfIndex.Probes, cents.length))).as("cluster"))
+    val cand = broadcast(queries).join(corpus, "cluster")
+      .select("qid", "cid").distinct()
+    val (books, qtables) = PqCodebook(spark, dir)
+    val cv = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    // one ADC evaluation per candidate ROW (all queries' tables in one
+    // fused kernel pass); the per-(qid,cid) join then moves only the
+    // picked integer, and the top-k window ranks candidates only
+    val scoredCids = broadcast(cand.select("cid").distinct())
+      .join(cv, "cid")
+      .select(col("cid"),
+        GraftSqlShims.column(PqAdcDistances(
+          GraftSqlShims.expression(col("embedding")), books, qtables)).as("adcs"))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
+    cand.join(scoredCids, "cid")
+      .select(col("qid"), col("cid"),
+        element_at(col("adcs"), (col("qid") + 1).cast("int")).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("cid"), col("adc"), col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Product-quantization ADC scan (Jégou et al. 2011): the corpus
     * streams once through a codegen'd kernel that encodes each vector
     * against per-subspace codebooks and emits table-lookup distances
