@@ -88,6 +88,7 @@ object SparkEntry {
     "text_gopher_filter" -> TextOps.textGopherFilter _,
     "text_vocab" -> TextOps.textVocab _,
     "text_rarity" -> TextOps.textRarity _,
+    "text_perplexity" -> TextOps.textPerplexity _,
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_normalized" -> Dedup.dedupNormalized _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
@@ -1026,6 +1027,21 @@ object SparkEntry {
         "SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(rank) AS BIGINT) AS rank_sum, " +
         "ROUND(CAST(SUM(rank) AS DOUBLE) / COUNT(*), 4) AS mean_rank " +
         "FROM w JOIN v USING (word) GROUP BY doc_id ORDER BY doc_id"),
+    // corpus bigram LM: floor-log2 surprisal as binary-string length
+    // difference -- exact integers, so the model replays bit-for-bit
+    "text_perplexity" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "bi AS (SELECT doc_id, UNNEST(w[1:len(w)-1]) AS w1, UNNEST(w[2:len(w)]) AS w2 " +
+        "FROM t WHERE len(w) >= 2), " +
+        "c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1), " +
+        "v AS (SELECT COUNT(*) AS v FROM c1), " +
+        "s AS (SELECT doc_id, length(bin(c1 + v)) - length(bin(c12)) AS bits " +
+        "FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v) " +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits_sum, " +
+        "ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS bits_per_bigram " +
+        "FROM s GROUP BY 1 ORDER BY 1"),
     "pipe_shuffle" ->
       ("SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 4294967296 AS shuffle_key, " +
         "CAST(ROW_NUMBER() OVER (ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) " +

@@ -193,6 +193,53 @@ object TextOps {
     * web-scale — top-k it if larger) so the corpus side streams with
     * no shuffle before the per-doc aggregate.
     */
+  /** Corpus-bigram-LM surprisal scoring (the CCNet/KenLM perplexity-
+    * filter shape): a bigram language model trains on the corpus
+    * itself — history counts c1(w₁) and bigram counts c12(w₁,w₂) — and
+    * each document is scored by its mean per-bigram surprisal. The
+    * surprisal is the INTEGER floor-log2 approximation
+    * `⌊log₂(c1+V)⌋ − ⌊log₂ c12⌋` of the add-smoothed bits
+    * `log₂((c1+V)/c12)` (within 1 bit per term, monotone in the
+    * probability): computed as a binary-string length difference, it
+    * is exact integer arithmetic end-to-end, so per-doc sums are
+    * associative in any aggregation order and the DuckDB oracle
+    * replays the whole model bit-for-bit — the property a float
+    * `ln()` chain can never have.
+    *
+    * Scale shape: bigram extraction is an array `zip_with` (no
+    * positional self-join), counts aggregate map-side before the
+    * (w₁,w₂)-key shuffle, the scoring join reuses the SAME (w₁,w₂)
+    * partitioning as the count aggregate (one exchange), the
+    * vocab-sized history table broadcasts, and the 1-row V constant
+    * cross-joins. Nothing driver-side scales with the corpus.
+    */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("bits", (length(bin(col("c1") + col("v"))) -
+        length(bin(col("c12")))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits_sum"))
+      .withColumn("bits_per_bigram",
+        round(col("bits_sum").cast("double") / col("n_bigrams").cast("double"), 4))
+      .select("doc_id", "n_bigrams", "bits_sum", "bits_per_bigram")
+      .orderBy("doc_id")
+  }
+
   def textRarity(spark: SparkSession, dir: String): DataFrame = {
     val vocab = textVocab(spark, dir).select("word", "rank")
     Tables(spark, dir, "documents")
