@@ -930,7 +930,9 @@ object Analytics {
     val excess = ps.join(perPart, col("l_partkey") === col("pk"))
       .filter(col("q_ps") * col("n_supp") > col("q_p") * 2)
       .select("l_suppkey").distinct()
-    s.join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+    // the qualifying-supplier id set is bounded by the supplier dim —
+    // broadcast it so the semi join never shuffles the dim at scale
+    s.join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
       .orderBy("s_suppkey")

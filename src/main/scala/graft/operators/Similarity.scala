@@ -254,7 +254,7 @@ object Similarity {
         GraftSqlShims.column(PqAdcDistances(
           GraftSqlShims.expression(col("embedding")), books, qtables)).as("adcs"))
     val w = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-    cand.join(scoredCids, "cid")
+    broadcast(cand).join(scoredCids, "cid")
       .select(col("qid"), col("cid"),
         element_at(col("adcs"), (col("qid") + 1).cast("int")).as("adc"))
       .withColumn("rn", row_number().over(w))
