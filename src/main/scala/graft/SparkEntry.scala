@@ -109,6 +109,7 @@ object SparkEntry {
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
+    "pipe_fuzzy_decontaminate" -> Pipeline.pipeFuzzyDecontaminate _,
     "pipe_pack" -> Pipeline.pipePack _,
     "pipe_incremental_dedup" -> Pipeline.pipeIncrementalDedup _,
     "pipe_shuffle" -> Pipeline.pipeShuffle _,
@@ -1058,6 +1059,19 @@ object SparkEntry {
         "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn " +
         "FROM documents) t WHERE rn <= quota ORDER BY doc_id"),
     "pipe_decontaminate" -> decontaminateSql,
+    // MinHash-LSH corpus x eval collision join + exact word-set
+    // Jaccard verification, per-corpus-doc rollup
+    "pipe_fuzzy_decontaminate" ->
+      (minhashCandSql +
+        ", ws AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) " +
+        "AS ws FROM base), " +
+        "p AS (SELECT id_b AS doc_id, id_a AS eval_id, " +
+        "CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) AS jac_raw " +
+        "FROM cand JOIN ws wa ON wa.doc_id = id_a JOIN ws wb ON wb.doc_id = id_b " +
+        "WHERE id_a < 20 AND id_b >= 20) " +
+        "SELECT doc_id, COUNT(*) AS n_eval_matches, MAX(ROUND(jac_raw, 4)) AS max_jaccard " +
+        "FROM p WHERE jac_raw >= 0.5 GROUP BY 1 ORDER BY 1"),
     "pipe_e2e" -> pipeE2eSql,
     // the oracle reproduces the payload BUILDER's arithmetic; Spark's
     // values come from parsing the built container header bytes, so a

@@ -71,7 +71,7 @@ object Dedup {
     * [[graft.functions.MinHashSig32]] expression (one FNV hash per
     * shingle + Kirsch–Mitzenmacher mixing).
     */
-  private def bandedSigs(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def bandedSigs(df: DataFrame, idCol: String, textCol: String,
                          k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val withSig = df.withColumn("__sig", expr(s"graft_minhash32($textCol)"))

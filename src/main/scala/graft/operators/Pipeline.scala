@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.TextFunctions.wordSet
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -136,6 +137,48 @@ object Pipeline {
       .join(broadcast(bench), "g")
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(true))
+      .orderBy("doc_id")
+  }
+
+  /** FUZZY eval-set decontamination: exact n-gram overlap
+    * ([[pipeDecontaminate]]) misses paraphrased or lightly-edited
+    * benchmark leaks, so this pass runs MinHash-LSH between the
+    * corpus and the eval set — the same banded signature machinery as
+    * [[Dedup.dedupMinhashLsh]] — and verifies bucket collisions with
+    * exact word-set Jaccard ≥ 0.5. Per flagged corpus doc it reports
+    * how many eval docs it near-duplicates and the strongest overlap.
+    *
+    * Scale shape: the eval side (benchmarks — thousands of docs, not
+    * corpus-scale) broadcasts in BOTH the banded-signature collision
+    * join and the verification join, so the 100 TB corpus streams
+    * with no shuffle; candidates are bounded by bucket collisions.
+    * The planted near-dups (eval text + an appended tail) give the
+    * path known positives that exact 5-gram matching also sees —
+    * while a real paraphrase leak only this pass would catch.
+    */
+  def pipeFuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Dedup.withPlantedNearDups(Tables(spark, dir, "documents"))
+    val sigs = Dedup.bandedSigs(docs, "doc_id", "text", k = 32, bands = 8)
+    val ev = sigs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("eval_id"), col("band"), col("band_hash"))
+    val corp = sigs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), col("band"), col("band_hash"))
+    val cand = broadcast(ev).join(corp, Seq("band", "band_hash"))
+      .select("eval_id", "doc_id").distinct()
+    val ws = docs.select(col("doc_id"), wordSet(col("text")).as("ws"))
+    val evw = ws.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("eval_id"), col("ws").as("ws_e"))
+    cand
+      .join(ws, "doc_id")
+      .join(broadcast(evw), "eval_id")
+      .withColumn("jac_raw",
+        size(array_intersect(col("ws"), col("ws_e"))).cast("double") /
+          size(array_union(col("ws"), col("ws_e"))).cast("double"))
+      .filter(col("jac_raw") >= 0.5)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(round(col("jac_raw"), 4)).as("max_jaccard"))
       .orderBy("doc_id")
   }
 
