@@ -76,6 +76,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*$""".r
   private val dropDefaultRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*$""".r
+  private val alterTypeRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*$""".r
   private val propPairRe: Regex =
     """'([^']+)'\s*=\s*'([^']*)'""".r
   private val ctasRe: Regex =
@@ -363,6 +365,13 @@ final class GraftSql(spark: SparkSession) {
           .fromDDL(s"$colName $typeStr").head.dataType
         val v = table(name).addColumn(colName, dt)
         Seq(("addedColumn", s"$colName ${dt.simpleString}"),
+          ("version", v.toString)).toDF("metric", "value")
+      case alterTypeRe(name, colName, typeStr) =>
+        // widening type change: metadata-only, validated in the table
+        val dt = org.apache.spark.sql.types.StructType
+          .fromDDL(s"$colName $typeStr").head.dataType
+        val v = table(name).alterColumnType(colName, dt)
+        Seq(("alteredType", s"$colName ${dt.simpleString}"),
           ("version", v.toString)).toDF("metric", "value")
       case setDefaultRe(name, colName, exprStr) =>
         val t = table(name)

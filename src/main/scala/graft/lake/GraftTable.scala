@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** GraftLake table: ACID-ish table format on Parquet with a JSON
   * transaction log — the full maintenance surface the reference
@@ -1171,6 +1171,42 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     commitAndCheckpoint(Seq(
       info("DROP COLUMN", params = Map("name" -> name)),
       s.metadata.get.copy(schemaJson = newSchema.json, properties = props)),
+      readVersion = s.version, metadataConflict = true)
+  }
+
+  /** Widening ALTER COLUMN TYPE as a metadata-only commit (Delta 4.0
+    * type-widening parity): only promotions the parquet reader applies
+    * losslessly at scan time are allowed (byte→short→int→long,
+    * float→double, int→double via the Spark 4 widening reader), so no
+    * data file is rewritten — old files decode through the widened
+    * schema, new appends write it natively. Pruning keeps working
+    * across mixed files because footer stats are stored as rendered
+    * strings and parsed by the PREDICATE literal's type (a stored
+    * int32 "123" compares correctly against a long literal). Stats
+    * and bloom sidecars stay valid: value identity is preserved by a
+    * widening, only the physical encoding differs.
+    */
+  def alterColumnType(name: String, to: DataType): Long = {
+    val s = snapshot
+    require(s.schema.fieldNames.contains(name), s"no such column: $name")
+    require(!s.partitionColumns.contains(name),
+      "cannot change a partition column's type (directory values are typed by name)")
+    val from = s.schema(name).dataType
+    val widenings: Map[DataType, Set[DataType]] = Map(
+      ByteType -> Set[DataType](ShortType, IntegerType, LongType),
+      ShortType -> Set[DataType](IntegerType, LongType),
+      IntegerType -> Set[DataType](LongType, DoubleType),
+      FloatType -> Set[DataType](DoubleType))
+    require(widenings.get(from).exists(_.contains(to)),
+      s"unsupported type change ${from.simpleString} -> ${to.simpleString}: " +
+        "only lossless widenings (byte/short/int -> wider integral, " +
+        "int -> double, float -> double) are metadata-only")
+    val newSchema = StructType(s.schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    commitAndCheckpoint(Seq(
+      info("ALTER COLUMN TYPE", params = Map("column" -> name,
+        "from" -> from.simpleString, "to" -> to.simpleString)),
+      s.metadata.get.copy(schemaJson = newSchema.json)),
       readVersion = s.version, metadataConflict = true)
   }
 

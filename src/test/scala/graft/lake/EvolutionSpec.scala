@@ -235,6 +235,40 @@ class EvolutionSpec extends GraftSparkSpec {
       "negative step allocates strictly below the previous minimum")
   }
 
+  test("type widening is metadata-only; mixed-width files read, prune, and update") {
+    import spark.implicits._
+    val path = tmpDir("widen")
+    val t = GraftTable.create(spark, path,
+      Seq((1, 1.5f, "a"), (2, 2.5f, "b"), (3, 3.5f, "c")).toDF("k", "x", "s"))
+    val filesBefore = t.snapshot.activeFiles.map(_.path).toSet
+    // disallowed changes refuse loudly
+    intercept[IllegalArgumentException](
+      t.alterColumnType("k", org.apache.spark.sql.types.ShortType))
+    intercept[IllegalArgumentException](
+      t.alterColumnType("s", org.apache.spark.sql.types.LongType))
+    val g = new GraftSql(spark)
+    g.register("wd", path)
+    g.sql("ALTER TABLE wd ALTER COLUMN k TYPE BIGINT")
+    t.alterColumnType("x", org.apache.spark.sql.types.DoubleType)
+    // metadata-only: no file rewritten, schema widened
+    assert(t.snapshot.activeFiles.map(_.path).toSet == filesBefore)
+    assert(t.snapshot.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.snapshot.schema("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // old int32/float files decode through the widened schema, and a
+    // new append writes values only the wide type can hold
+    t.append(Seq((7000000000L, 9.25, "d")).toDF("k", "x", "s"))
+    assert(t.toDF.agg(sum("k")).head.getLong(0) == 7000000006L)
+    assert(t.toDF.filter(col("x") === 2.5d).count() == 1)
+    // stats pruning still skips on the widened column across mixed files
+    assert(t.readWhere(col("k") === 7000000000L).count() == 1)
+    // DML reads old-width files and rewrites them at the new width
+    t.update(col("k") === 2L, Map("x" -> lit(20.5d)))
+    assert(t.toDF.filter(col("k") === 2L).select("x").head.getDouble(0) == 20.5)
+    assert(t.toDF.count() == 4)
+  }
+
   test("column defaults fill omitted columns; explicit values win; DROP DEFAULT reverts") {
     val path = tmpDir("defaults")
     val t = GraftTable.create(spark, path,
