@@ -105,6 +105,7 @@ object SparkEntry {
     "sim_ivf" -> Similarity.simIvf _,
     "sim_pq" -> Similarity.simPq _,
     "sim_ivfpq" -> Similarity.simIvfPq _,
+    "sim_pq_rerank" -> Similarity.simPqRerank _,
     "pipe_stratified_sample" -> Pipeline.pipeStratifiedSample _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
@@ -117,6 +118,7 @@ object SparkEntry {
     "pipe_e2e" -> Pipeline.pipeEndToEnd _,
     "mm_decode_meta" -> Multimodal.mmDecodeMeta _,
     "mm_content_stats" -> Multimodal.mmContentStats _,
+    "mm_png_meta" -> Multimodal.mmPngMeta _,
     "mm_audio_window" -> Multimodal.mmAudioWindow _,
     "mm_frame_sample" -> Multimodal.mmFrameSample _,
     "mm_resize_plan" -> Multimodal.mmResizePlan _)
@@ -142,6 +144,7 @@ object SparkEntry {
     "lake_vacuum" -> LakeOps.lakeVacuum _,
     "lake_rowtracking" -> LakeOps.lakeRowTracking _,
     "lake_dfp" -> LakeOps.lakeDfp _,
+    "lake_bloom_join" -> LakeOps.lakeBloomJoin _,
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _)
 
@@ -396,6 +399,21 @@ object SparkEntry {
       "r AS (SELECT qid, cid, adc, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY adc, cid) AS rn FROM adc) " +
       "SELECT qid, cid, adc, CAST(rn AS BIGINT) AS rn " +
+      "FROM r WHERE rn <= 5 ORDER BY qid, rn"
+
+  /** ADC top-20 shortlist re-ranked by exact cosine — the
+    * [[pqAdcCtes]] chain composed with the exact re-rank used by the
+    * IVF/LSH oracles, replaying `Similarity.simPqRerank` end-to-end.
+    */
+  private def simPqRerankSql: String =
+    s"WITH $embCte, $pqAdcCtes, " +
+      "cand AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY adc, cid) AS rc FROM adc) WHERE rc <= 20), " +
+      "sc AS (SELECT qid, cid, list_cosine_similarity(a.e, b.e) AS cos_raw " +
+      "FROM cand JOIN emb a ON a.vec_id = qid JOIN emb b ON b.vec_id = cid), " +
+      "r AS (SELECT qid, cid, cos_raw, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn FROM sc) " +
+      "SELECT qid, cid, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
       "FROM r WHERE rn <= 5 ORDER BY qid, rn"
 
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
@@ -989,6 +1007,7 @@ object SparkEntry {
     "sim_pq" -> simPqSql,
     // IVF candidates scored with PQ-ADC: both replica chains composed
     "sim_ivfpq" -> simIvfPqSql,
+    "sim_pq_rerank" -> simPqRerankSql,
     // the materialized-codes path is bit-identical to sim_pq by
     // construction (same training rows, exact-int64 arithmetic), so it
     // shares the full codebook-replay oracle
@@ -1102,6 +1121,19 @@ object SparkEntry {
         "COALESCE(s.sq, 0) AS byte_sumsq, COALESCE(s.mn, 0) AS min_byte, " +
         "COALESCE(s.mx, 0) AS max_byte " +
         "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+    // PNG: the oracle replays the builder's geometry arithmetic and
+    // recomputes content stats from the SOURCE bytes; Spark's values
+    // come from parsing big-endian chunk framing + CRC-verified IHDR
+    "mm_png_meta" ->
+      ("WITH c AS (SELECT doc_id, ascii(unnest(regexp_split_to_array(text, ''))) AS b " +
+        "FROM documents WHERE length(text) > 0), " +
+        "s AS (SELECT doc_id, COUNT(*) AS n, CAST(SUM(b) AS BIGINT) AS sm FROM c GROUP BY doc_id), " +
+        "t AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents) " +
+        "SELECT t.doc_id, 'png' AS format, CAST(nb + 57 AS BIGINT) AS n_bytes, " +
+        "CAST(nb % 640 + 1 AS BIGINT) AS width, " +
+        "CAST((nb * 7) % 480 + 1 AS BIGINT) AS height, " +
+        "COALESCE(s.n, 0) AS n_content, COALESCE(s.sm, 0) AS byte_sum " +
+        "FROM t LEFT JOIN s ON t.doc_id = s.doc_id ORDER BY t.doc_id"),
     "mm_frame_sample" ->
       ("WITH t AS (SELECT doc_id, text, octet_length(encode(text)) % 16 + 1 AS n_frames " +
         "FROM documents), k AS (SELECT doc_id, text, n_frames, LEAST(n_frames, 4) AS k FROM t), " +
@@ -1133,6 +1165,13 @@ object SparkEntry {
       ("SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS sum_price " +
         "FROM lineitem JOIN (SELECT o_orderkey FROM orders " +
         "WHERE o_totalprice > 400000) o ON l_orderkey = o_orderkey " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the bloom row filter is advisory (false positives only); the
+    // exact join must make the result identical to the plain plan
+    "lake_bloom_join" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS sum_price " +
+        "FROM lineitem JOIN (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT') o ON l_orderkey = o_orderkey " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // id = create-time global key rank (deterministic two-file sorted
     // write); OPTIMIZE + DELETE must both preserve surviving ids

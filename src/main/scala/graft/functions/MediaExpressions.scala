@@ -33,6 +33,79 @@ object MediaCodec {
   private[functions] def readLe32(b: Array[Byte], off: Int): Int =
     readLe16(b, off) | (readLe16(b, off + 2) << 16)
 
+  // PNG fields are big-endian (ISO/IEC 15948 §5.2)
+  private def be32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >>> 24) & 0xff).toByte; b(off + 1) = ((v >>> 16) & 0xff).toByte
+    b(off + 2) = ((v >>> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+  }
+  private[functions] def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  /** A real PNG container: signature + IHDR (8-bit RGB, real CRC32
+    * over type+data per chunk) + one IDAT carrying `content` + IEND.
+    * The pixel stream isn't zlib-framed — the decode step reads only
+    * the chunk structure and IHDR fields, never inflates — but every
+    * offset, length, and CRC is the genuine wire layout, so the
+    * parser is exercised against real binary framing.
+    */
+  def makePng(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+    val b = new Array[Byte](57 + content.length)
+    System.arraycopy(PngSig, 0, b, 0, 8)
+    be32(b, 8, 13)                         // IHDR length
+    b(12) = 'I'; b(13) = 'H'; b(14) = 'D'; b(15) = 'R'
+    be32(b, 16, width)
+    be32(b, 20, height)
+    b(24) = 8                              // bit depth
+    b(25) = 2                              // color type: truecolor
+    // compression(26)/filter(27)/interlace(28) stay 0
+    be32(b, 29, crc32(b, 12, 17).toInt)    // CRC over type + data
+    val idat = 33
+    be32(b, idat, content.length)
+    b(idat + 4) = 'I'; b(idat + 5) = 'D'; b(idat + 6) = 'A'; b(idat + 7) = 'T'
+    System.arraycopy(content, 0, b, idat + 8, content.length)
+    be32(b, idat + 8 + content.length, crc32(b, idat + 4, 4 + content.length).toInt)
+    val iend = idat + 12 + content.length
+    be32(b, iend, 0)
+    b(iend + 4) = 'I'; b(iend + 5) = 'E'; b(iend + 6) = 'N'; b(iend + 7) = 'D'
+    be32(b, iend + 8, crc32(b, iend + 4, 4).toInt)
+    b
+  }
+
+  private[functions] def isPng(p: Array[Byte]): Boolean =
+    p.length >= 33 && (0 until 8).forall(i => p(i) == PngSig(i))
+
+  /** Offset+length of the first IDAT chunk's data, or (0, 0). The
+    * same hostile-size discipline as the RIFF walk: lengths step in
+    * Long and any chunk running past the buffer stops the walk.
+    */
+  private[functions] def pngIdatSpan(p: Array[Byte]): (Int, Int) = {
+    val n = p.length
+    var off = 8L
+    while (off + 8 <= n) {
+      val o = off.toInt
+      val size = readBe32(p, o).toLong & 0xffffffffL
+      val id = new String(p, o + 4, 4, "US-ASCII")
+      if (id == "IDAT") {
+        val dOff = math.min(off + 8, n.toLong).toInt
+        return (dOff, math.min(size, (n - dOff).toLong).toInt)
+      }
+      val step = 12L + size // length + type + data + CRC
+      if (off + step > n || id == "IEND") return (0, 0)
+      off += step
+    }
+    (0, 0)
+  }
+
   /** A real BMP: 14-byte file header + 40-byte BITMAPINFOHEADER,
     * `pixels` appended as the (possibly truncated) 24bpp pixel data.
     */
@@ -110,6 +183,22 @@ object MediaCodec {
         else off += step
       }
       MediaMeta("wav", 0L, 0L, rate, dataSize / blockAlign)
+    } else if (isPng(payload)) {
+      // IHDR must be the first chunk (spec §11.2.2) and its CRC must
+      // verify — a corrupt header falls through to "raw" rather than
+      // emitting garbage geometry
+      val len = readBe32(payload, 8)
+      val typeOk = payload(12) == 'I' && payload(13) == 'H' &&
+        payload(14) == 'D' && payload(15) == 'R'
+      if (typeOk && len == 13 && {
+        val c = new java.util.zip.CRC32()
+        c.update(payload, 12, 17)
+        c.getValue == (readBe32(payload, 29).toLong & 0xffffffffL)
+      }) {
+        val w = readBe32(payload, 16).toLong & 0xffffffffL
+        val h = readBe32(payload, 20).toLong & 0xffffffffL
+        MediaMeta("png", w, h, 0L, 0L)
+      } else MediaMeta("raw", (n % 640) + 1L, ((n.toLong * 7) % 480) + 1L, 0L, 0L)
     } else {
       MediaMeta("raw", (n % 640) + 1L, ((n.toLong * 7) % 480) + 1L, 0L, 0L)
     }
@@ -143,6 +232,8 @@ object MakeMediaPayload {
         MediaCodec.makeBmp((nb % 640) + 1, ((nb * 7) % 480) + 1, content)
       case "wav" =>
         MediaCodec.makeWav(8000 << (nb % 3), content)
+      case "png" =>
+        MediaCodec.makePng((nb % 640) + 1, ((nb * 7) % 480) + 1, content)
       case other =>
         throw new IllegalArgumentException(s"unknown media kind: $other")
     }
@@ -240,6 +331,9 @@ object MediaContentStats {
       }
       val o = math.min(dataOff, n.toLong).toInt
       ("wav", o, math.min(dataSize, (n - o).toLong).toInt)
+    } else if (MediaCodec.isPng(p)) {
+      val (off, len) = MediaCodec.pngIdatSpan(p)
+      ("png", off, len)
     } else ("raw", 0, n)
   }
 

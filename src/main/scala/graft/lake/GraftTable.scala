@@ -292,6 +292,54 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     dfForFiles(s, bloomPrune(s, kept, pred))
   }
 
+  /** Runtime bloom semi-join filter: where [[readDynamicallyPruned]]
+    * degrades to a [min,max] range past `maxKeys` exact keys, this
+    * keeps ROW-level selectivity at any dim cardinality. The dim's
+    * distinct keys fold into one bounded bloom (built executor-side
+    * with `treeAggregate`; the driver holds a single ~`1.2 MB/1M keys`
+    * bitset, never the keys), files are pruned by the dim's [min,max]
+    * through the stats stack, and surviving rows stream through a
+    * codegen'd [[graft.functions.BloomMightContain]] probe BEFORE the
+    * join's shuffle/build — at 100 TB this cuts the fact side's
+    * shuffle input by the join selectivity for a 10M-key dim that DFP
+    * can't enumerate. Advisory like DFP: false positives only widen
+    * the scan; the caller's join applies the exact equality.
+    */
+  def readBloomJoinFiltered(dim: DataFrame, key: String,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val s = snapshot
+    require(s.schema.fieldNames.contains(key), s"no such column: $key")
+    val dt = s.schema(key).dataType
+    import org.apache.spark.sql.types._
+    val integral = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"bloom join filters support integral/string keys, not $other")
+    }
+    val keys = dim.select(col(key)).na.drop().distinct()
+    val n = keys.count()
+    if (n == 0) return dfForFiles(s, Nil)
+    val bounds = keys.agg(min(col(key)), max(col(key))).head()
+    val rangePred = col(key) >= lit(bounds.get(0)) && col(key) <= lit(bounds.get(1))
+    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns,
+      rangePred, generatedExprs(s))
+    val bf = keys.rdd.treeAggregate(BloomFilter.create(math.max(1000L, n), fpp))(
+      (b, r) => {
+        if (integral) b.putLong(r.get(0).asInstanceOf[Number].longValue())
+        else b.putString(r.getString(0))
+        b
+      },
+      (a, b) => a.mergeInPlace(b))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import org.apache.spark.sql.GraftSqlShims
+    dfForFiles(s, kept).filter(GraftSqlShims.column(
+      graft.functions.BloomMightContain(
+        GraftSqlShims.expression(col(key)), bos.toByteArray)))
+  }
+
   /** Active files with stats/partition keys remapped to logical column
     * names so pruning can match predicates written against the current
     * (possibly renamed) schema. Identity when no mapping exists.

@@ -76,6 +76,32 @@ object Multimodal {
         md5(col("text").cast("binary")).as("checksum"))
       .orderBy("doc_id")
 
+  /** PNG parse round-trip (oracle-checked): every doc wraps as a real
+    * PNG container — big-endian chunk framing, CRC32-verified IHDR,
+    * content in an IDAT chunk — and the geometry AND content stats
+    * are read back from the payload's own bytes: width/height from
+    * IHDR, the byte fold over the span the IDAT chunk walk locates.
+    * A corrupt IHDR CRC degrades to "raw" (spec'd in MultimodalSpec),
+    * so geometry is never trusted from an unverified header.
+    */
+  def mmPngMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("payload", ge.column(graft.functions.MakeMediaPayload(
+        ge.expression(col("text").cast("binary")), ge.expression(lit("png")))))
+      .withColumn("m", ge.column(graft.functions.DecodeMedia(
+        ge.expression(col("payload")))))
+      .withColumn("s", ge.column(graft.functions.MediaContentStats(
+        ge.expression(col("payload")))))
+      .select(
+        col("doc_id"),
+        col("m.format").as("format"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("s.n_content").as("n_content"),
+        col("s.byte_sum").as("byte_sum"))
+      .orderBy("doc_id")
+
   /** Frame sampling plan (oracle-checked): every payload reports a
     * stubbed frame count; up to [[MaxSampledFrames]] frames are picked
     * evenly across the clip (`floor(i * n_frames / k)` — the standard

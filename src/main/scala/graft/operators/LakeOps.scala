@@ -220,6 +220,26 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Runtime bloom semi-join (L62): a dim too wide for DFP's exact key
+    * list drives a row-level bloom probe into the fact scan before the
+    * join. The filter is advisory (fpp widens, never narrows), so the
+    * pruned join must aggregate identically to the plain-SQL oracle.
+    */
+  def lakeBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val t = graft.lake.GraftTable.create(spark, workDir(dir, "bloomjoin"),
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"))
+    val dim = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    t.readBloomJoinFiltered(dim, "l_orderkey")
+      .join(dim, "l_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Row tracking end-to-end (L50): a sorted two-file create makes the
     * id assignment order deterministic (range-partitioned files are
     * committed in path order = key order, rows positioned in sort

@@ -213,6 +213,41 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Two-stage PQ serving shape (ADC shortlist → exact re-rank — the
+    * standard FAISS `search`-then-refine deployment): compressed-domain
+    * table lookups narrow the corpus to [[RerankC]] candidates per
+    * query, then exact cosine on the shortlist's true vectors fixes
+    * the quantization error in the final ranking. At 100 TB the first
+    * stage reads m-byte codes (32× less I/O than float32) over the
+    * whole corpus and the second stage fetches only nq·C full vectors
+    * — the refine cost is independent of corpus size. Both stages are
+    * deterministic (int64 ADC, fixed tiebreaks), so the DuckDB oracle
+    * replays the exact composition.
+    */
+  def simPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{PqAdcDistances, PqTopK}
+    import org.apache.spark.sql.GraftSqlShims
+    val emb = Tables(spark, dir, "embeddings")
+    val (books, qtables) = PqCodebook(spark, dir)
+    val cand = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"),
+        GraftSqlShims.column(PqAdcDistances(
+          GraftSqlShims.expression(col("embedding")), books, qtables)).as("adcs"))
+      .select(GraftSqlShims.column(PqTopK(
+          GraftSqlShims.expression(col("cid")),
+          GraftSqlShims.expression(col("adcs")),
+          qtables.length, RerankC).toAggregateExpression()).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r.qid"), col("r.cid"))
+    rerank(emb, cand)
+  }
+
+  /** ADC-shortlist width for [[simPqRerank]]: wide enough that PQ
+    * quantization error rarely pushes a true top-[[TopK]] neighbor
+    * out, small enough that the refine stage stays O(nq·C).
+    */
+  private val RerankC = 20
+
   /** IVF-PQ composition (the FAISS IVFPQ shape, Jégou et al. 2011):
     * the IVF coarse quantizer narrows the corpus to the probed
     * clusters' candidates, and PQ-ADC table lookups — not exact

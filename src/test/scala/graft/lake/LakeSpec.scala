@@ -362,6 +362,34 @@ class LakeSpec extends GraftSparkSpec {
     assert(ranged.join(lowKeys, "l_orderkey").count() == j2)
   }
 
+  test("bloom semi-join filter cuts scanned rows; join result is exact") {
+    val fact = li.limit(6000).repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+    val t = GraftTable.create(spark, tmpDir("bloomjoin"), fact)
+    val total = t.toDF.count()
+    // a dim far wider than DFP's exact-key budget would allow at scale
+    val dim = li.limit(6000).select("l_orderkey").distinct()
+      .orderBy("l_orderkey").limit(40)
+    val exact = t.toDF.join(dim, "l_orderkey").count()
+    val filtered = t.readBloomJoinFiltered(dim, "l_orderkey")
+    val survivors = filtered.count()
+    // advisory: never drops a matching row, and at fpp 0.01 the
+    // survivor set is a sliver of the table, pre-shuffle
+    assert(survivors >= exact, "bloom filter must never drop a match")
+    assert(survivors < total / 2,
+      s"expected row-level cut, kept $survivors/$total")
+    assert(filtered.join(dim, "l_orderkey").count() == exact && exact > 0)
+    // string keys probe through the same putString convention
+    val st = GraftTable.create(spark, tmpDir("bloomjoin-s"),
+      li.limit(3000).select("l_returnflag", "l_extendedprice"))
+    val sdim = spark.createDataFrame(Seq(Tuple1("R"))).toDF("l_returnflag")
+    val sf = st.readBloomJoinFiltered(sdim, "l_returnflag")
+    assert(sf.count() ==
+      st.toDF.filter(col("l_returnflag") === "R").count())
+    // empty dim -> empty schema-preserving scan
+    assert(t.readBloomJoinFiltered(dim.limit(0), "l_orderkey").count() == 0)
+  }
+
   test("bloom sidecar is written with executor parallelism, not via the driver") {
     val t = GraftTable.create(spark, tmpDir("bloom-par"),
       li.limit(4000).repartition(8, col("l_orderkey")))

@@ -76,6 +76,30 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(MediaCodec.decode("not a media file".getBytes).format == "raw")
   }
 
+  test("png codec: CRC-verified IHDR parse, IDAT span, corrupt-header fallback") {
+    import graft.functions.MediaCodec
+    // build→parse round-trips geometry through real chunk framing
+    val content = "idat payload bytes".getBytes("US-ASCII")
+    val png = MediaCodec.makePng(321, 95, content)
+    val m = MediaCodec.decode(png)
+    assert(m.format == "png" && m.width == 321 && m.height == 95)
+    // a flipped bit in the IHDR width invalidates the CRC: the parser
+    // must refuse the geometry, not emit garbage
+    val bad = png.clone()
+    bad(17) = (bad(17) ^ 0x01).toByte
+    assert(MediaCodec.decode(bad).format == "raw")
+    // content stats fold exactly the IDAT span the chunk walk locates
+    val row = graft.functions.MediaContentStats.kernel(png)
+    assert(row.getUTF8String(0).toString == "png")
+    assert(row.getLong(1) == content.length)
+    assert(row.getLong(2) == content.map(_ & 0xff).map(_.toLong).sum)
+    // truncated mid-IDAT: the declared size runs past the buffer and
+    // the walk stops without overrun
+    val trunc = java.util.Arrays.copyOf(png, 40)
+    assert(MediaCodec.decode(trunc).format == "png")
+    assert(graft.functions.MediaContentStats.kernel(trunc).getLong(1) <= 7)
+  }
+
   test("content stats address the span the header declares, not byte 54+") {
     import graft.functions.{MediaCodec, MediaContentStats}
     def stats(p: Array[Byte]) = MediaContentStats.kernel(p)
