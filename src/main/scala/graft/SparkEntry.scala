@@ -87,6 +87,7 @@ object SparkEntry {
     "text_entropy" -> TextOps.textEntropy _,
     "text_gopher_filter" -> TextOps.textGopherFilter _,
     "text_vocab" -> TextOps.textVocab _,
+    "text_tfidf" -> TextOps.textTfidf _,
     "text_rarity" -> TextOps.textRarity _,
     "text_perplexity" -> TextOps.textPerplexity _,
     "dedup_exact" -> Dedup.dedupExact _,
@@ -145,6 +146,7 @@ object SparkEntry {
     "lake_rowtracking" -> LakeOps.lakeRowTracking _,
     "lake_dfp" -> LakeOps.lakeDfp _,
     "lake_bloom_join" -> LakeOps.lakeBloomJoin _,
+    "lake_dynamic_overwrite" -> LakeOps.lakeDynamicOverwrite _,
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _)
 
@@ -1039,6 +1041,22 @@ object SparkEntry {
         "FROM w GROUP BY word) " +
         "SELECT word, freq, doc_freq, CAST(ROW_NUMBER() OVER " +
         "(ORDER BY freq DESC, word) AS BIGINT) AS rank FROM v ORDER BY rank"),
+    // tf·idf with integer floor-log2 idf (binary-length difference):
+    // exact integer scores, fixed (score desc, word) tiebreak
+    "text_tfidf" ->
+      ("WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2), " +
+        "dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM w), " +
+        "s AS (SELECT tf.doc_id, tf.word, tf.tf, dfq.df, " +
+        "CAST(length(bin(n_docs)) - length(bin(df)) AS BIGINT) AS idf_bits " +
+        "FROM tf JOIN dfq USING (word) CROSS JOIN nd), " +
+        "r AS (SELECT doc_id, word, tf, df, tf * idf_bits AS score, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf * idf_bits DESC, word) AS rn " +
+        "FROM s) " +
+        "SELECT doc_id, CAST(rn AS BIGINT) AS rn, word, tf, df, " +
+        "CAST(score AS BIGINT) AS score FROM r WHERE rn <= 3 ORDER BY doc_id, rn"),
     "text_rarity" ->
       ("WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
         "FROM documents WHERE length(trim(text)) > 0), " +
@@ -1166,6 +1184,16 @@ object SparkEntry {
         "FROM lineitem JOIN (SELECT o_orderkey FROM orders " +
         "WHERE o_totalprice > 400000) o ON l_orderkey = o_orderkey " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // untouched partitions keep source rows; the 'R' partition is
+    // replaced by the doubled-quantity backfill
+    "lake_dynamic_overwrite" ->
+      ("WITH src AS (SELECT l_returnflag, l_quantity, l_extendedprice " +
+        "FROM lineitem WHERE l_returnflag <> 'R' " +
+        "UNION ALL SELECT l_returnflag, l_quantity * 2 AS l_quantity, " +
+        "l_extendedprice FROM lineitem WHERE l_returnflag = 'R') " +
+        "SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity),2) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice),2) AS sum_price " +
+        "FROM src GROUP BY l_returnflag ORDER BY l_returnflag"),
     // the bloom row filter is advisory (false positives only); the
     // exact join must make the result identical to the plain plan
     "lake_bloom_join" ->

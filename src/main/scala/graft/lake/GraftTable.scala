@@ -2291,6 +2291,48 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     metrics
   }
 
+  /** Dynamic partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic` / Delta parity): atomically
+    * replaces exactly the partitions PRESENT in `df`; every other
+    * partition keeps its files. The touched set is read from the
+    * staged files' OWN partition values — the same Hive-style
+    * dir-name encoding the log stores — so value rendering (nulls,
+    * URL escaping) can never diverge between "what was written" and
+    * "what gets removed". The standard idempotent daily-backfill
+    * write: at 100 TB the commit is metadata-only for untouched
+    * partitions and the data write runs with full parallelism;
+    * conflicts with concurrent rewrites of the replaced files fail
+    * the commit (optimistic rules), not corrupt it.
+    */
+  def overwritePartitionsDynamic(df: DataFrame): Map[String, String] = {
+    val s = snapshot
+    require(s.partitionColumns.nonEmpty,
+      "dynamic partition overwrite requires a partitioned table")
+    validateConstraints(df, s)
+    enforceSchema(df.schema, s.schema)
+    val adds = stageWrite(df, s.partitionColumns, dataChange = true)
+    val touched = adds.map(_.partitionValues).toSet
+    val replaced = s.activeFiles.filter(f => touched.contains(f.partitionValues))
+    val removes = replaced.map(f =>
+      RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val cdc: Seq[Action] =
+      if (!cdfEnabled(s)) Nil
+      else Seq(stageCdc(s,
+        dfForFiles(s, replaced).select(s.schema.fieldNames.map(col): _*)
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(df.select(s.schema.fieldNames.map(col): _*)
+            .withColumn("_change_type", lit("insert")))))
+    val metrics = Map(
+      "numReplacedPartitions" -> touched.size.toString,
+      "numRemovedFiles" -> removes.size.toString,
+      "numAddedFiles" -> adds.size.toString)
+    commitOrReclaimCdc(cdc)(commitAndCheckpoint(
+      Seq(info("DYNAMIC PARTITION OVERWRITE", metrics = metrics)) ++
+        cdc ++ removes ++ adds,
+      readVersion = s.version))
+    metrics
+  }
+
   // ------------------------------------------------- maintenance ops
 
   /** OPTIMIZE bin-packing (reference 02-lab:116-152): per partition,

@@ -220,6 +220,25 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Dynamic partition overwrite (L63): only the partition present in
+    * the incoming frame is replaced; the others keep their files. The
+    * oracle recomputes untouched partitions from the source and the
+    * replaced partition from the backfill arithmetic.
+    */
+  def lakeDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    val t = graft.lake.GraftTable.create(spark, workDir(dir, "dynover"),
+      li, partitionBy = Seq("l_returnflag"))
+    val backfill = li.filter(col("l_returnflag") === "R")
+      .withColumn("l_quantity", col("l_quantity") * 2)
+    t.overwritePartitionsDynamic(backfill)
+    t.toDF.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Runtime bloom semi-join (L62): a dim too wide for DFP's exact key
     * list drives a row-level bloom probe into the fact scan before the
     * join. The filter is advisory (fpp widens, never narrows), so the

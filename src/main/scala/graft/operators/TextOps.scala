@@ -213,6 +213,39 @@ object TextOps {
     * vocab-sized history table broadcasts, and the 1-row V constant
     * cross-joins. Nothing driver-side scales with the corpus.
     */
+  /** TF-IDF distinctive-term extraction: each document's top-3 terms
+    * by `tf · idf` where idf is the INTEGER floor-log2 approximation
+    * `⌊log₂ N⌋ − ⌊log₂ df⌋` (binary-string length difference — the
+    * same exact-arithmetic trick as [[textPerplexity]], so scores can
+    * never diverge between engines). The keyword/topic-extraction
+    * primitive of a corpus QA pipeline.
+    *
+    * Scale shape: ONE tokenize pass feeds both aggregates — document
+    * frequency is a re-aggregate of the (doc, word) TF table, reusing
+    * its shuffle output — the vocab-sized DF table broadcasts, the
+    * 1-row N constant cross-joins, and the top-3 window partitions by
+    * doc (per-doc distinct terms, never corpus-scale per reducer).
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = tok.agg(countDistinct("doc_id").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_bits",
+        (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("long"))
+      .withColumn("score", col("tf") * col("idf_bits"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "word", "tf", "df", "score")
+      .orderBy("doc_id", "rn")
+  }
+
   def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)

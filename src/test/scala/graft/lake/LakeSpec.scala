@@ -470,6 +470,34 @@ class LakeSpec extends GraftSparkSpec {
       li.filter(col("l_returnflag") =!= "R").count())
   }
 
+  test("dynamic partition overwrite replaces only the partitions in the frame") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = GraftTable.create(spark, tmpDir("dynover"), li, Seq("l_returnflag"))
+    val untouchedBefore = t.snapshot.activeFiles
+      .filter(_.partitionValues.get("l_returnflag").exists(_ != "R"))
+      .map(_.path).toSet
+    val v0 = t.version
+    val backfill = li.filter(col("l_returnflag") === "R").limit(50)
+      .withColumn("l_quantity", lit(777.0))
+    val m = t.overwritePartitionsDynamic(backfill)
+    assert(t.version == v0 + 1, "dynamic overwrite must be one commit")
+    assert(m("numReplacedPartitions") == "1")
+    // the R partition holds exactly the backfill; others keep their
+    // FILES (not just their rows) — untouched partitions are
+    // metadata-untouched
+    assert(t.toDF.filter(col("l_returnflag") === "R").count() == 50)
+    assert(t.toDF.filter(col("l_returnflag") === "R" &&
+      col("l_quantity") =!= 777.0).count() == 0)
+    val untouchedAfter = t.snapshot.activeFiles
+      .filter(_.partitionValues.get("l_returnflag").exists(_ != "R"))
+      .map(_.path).toSet
+    assert(untouchedAfter == untouchedBefore)
+    // unpartitioned tables refuse (that would be a full overwrite)
+    val flat = GraftTable.create(spark, tmpDir("dynover-flat"), li.limit(10))
+    intercept[IllegalArgumentException](
+      flat.overwritePartitionsDynamic(li.limit(5)))
+  }
+
   test("optimizeWrite coalesces many input tasks into target-sized files") {
     import org.apache.spark.sql.functions.col
     val t = GraftTable.create(spark, tmpDir("optw"), li.limit(0))
