@@ -35,6 +35,7 @@ object SparkEntry {
     "q11_distinct_parts" -> Analytics.q11DistinctParts _,
     "q12_event_windows" -> Analytics.q12EventWindows _,
     "q13_approx" -> Analytics.q13Approx _,
+    "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
     "q15_skew_salted" -> Analytics.q15SkewSalted _,
     "q16_rollup" -> Analytics.q16Rollup _,
@@ -539,6 +540,15 @@ object SparkEntry {
       ("SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
         "TRUE AS parts_within_bound, TRUE AS p50_within_bound, " +
         "TRUE AS p95_within_bound FROM lineitem"),
+    // Misra-Gries contract: exact heavy hitters recomputed exactly;
+    // the sketch's recall and n/k error bound asserted as TRUE
+    "q54_heavy_hitters" ->
+      ("WITH w AS (SELECT substr(unnest(regexp_split_to_array(trim(text), '\\s+')), 1, 1) AS item " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "e AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM w GROUP BY 1), " +
+        "n AS (SELECT COUNT(*) AS n_total FROM w) " +
+        "SELECT item, exact_cnt, TRUE AS in_sketch, TRUE AS est_err_ok " +
+        "FROM e, n WHERE exact_cnt * 24 > n_total ORDER BY item"),
     "q17_exact_percentile" ->
       ("SELECT ROUND(quantile_cont(l_extendedprice, 0.25),2) AS p25, " +
         "ROUND(quantile_cont(l_extendedprice, 0.5),2) AS p50, " +

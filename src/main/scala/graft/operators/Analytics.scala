@@ -956,4 +956,41 @@ object Analytics {
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
   }
+
+  /** Heavy hitters under a bounded Misra–Gries summary
+    * ([[graft.functions.MisraGries]]): the sketch pass ships ≤ k−1
+    * counters per partition (a full distinct aggregate at 100 TB
+    * would shuffle every key), the exact pass recomputes true counts
+    * for the reported rows only, and the emitted rows carry the
+    * theorem's contract — every item with frequency > n/k is in the
+    * summary, every estimate within n/k of truth — as boolean columns
+    * the oracle asserts TRUE (q13's sketch-bound pattern). The item
+    * key is the token's first letter: genuinely skewed (20%
+    * head / 3% tail), so k=24 compresses 19 keys and the threshold
+    * splits head from tail.
+    */
+  def q54HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShims
+    val K = 24
+    val toks = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(substring(col("w"), 1, 1).as("item"))
+    val exact = toks.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    val sk = toks
+      .select(GraftSqlShims.column(graft.functions.MisraGries(
+        GraftSqlShims.expression(col("item")), K).toAggregateExpression()).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("exact_cnt") * K > col("n_total"))
+      .join(broadcast(sk), Seq("item"), "left")
+      .select(col("item"), col("exact_cnt"),
+        col("est").isNotNull.as("in_sketch"),
+        (col("est").isNotNull &&
+          abs(col("est") - col("exact_cnt")) <= col("n_total") / K)
+          .as("est_err_ok"))
+      .orderBy("item")
+  }
 }

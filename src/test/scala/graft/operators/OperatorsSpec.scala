@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   */
 class OperatorsSpec extends GraftSparkSpec {
 
+  test("Misra-Gries keeps every >n/k item within n/k error across partition merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlShims
+    // zipf-ish stream: item i repeated 2000/i times, i = 1..40 — with
+    // k=8 the threshold n/8 splits a handful of head items from a
+    // long tail, and 32 partitions force the mergeable-summaries path
+    val rows = (1 to 40).flatMap(i => Seq.fill(2000 / i)(f"item$i%02d"))
+    val df = spark.createDataset(new scala.util.Random(42).shuffle(rows))
+      .repartition(32).toDF("item")
+    val n = rows.size.toLong
+    val k = 8
+    val est = df.select(GraftSqlShims.column(graft.functions.MisraGries(
+        GraftSqlShims.expression(col("item")), k).toAggregateExpression()).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toMap
+    assert(est.size <= k - 1, s"summary must hold at most k-1 counters, got ${est.size}")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (item, f) =>
+      if (f > n / k)
+        assert(est.contains(item), s"heavy item $item (f=$f > ${n / k}) must survive")
+      est.get(item).foreach { e =>
+        assert(e <= f && f - e <= n / k,
+          s"estimate $e for $item outside [f - n/k, f] = [${f - n / k}, $f]")
+      }
+    }
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     val pairs = Dedup.dedupMinhashLsh(spark, sfDir)
       .select("id_a", "id_b").collect()
