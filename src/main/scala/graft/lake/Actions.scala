@@ -63,7 +63,9 @@ final case class RemoveDV(path: String) extends Action
   * without old clients silently misreading them — they fail fast with
   * an upgrade message instead.
   */
-final case class Protocol(minReaderVersion: Int, minWriterVersion: Int) extends Action
+final case class Protocol(minReaderVersion: Int, minWriterVersion: Int,
+    readerFeatures: Seq[String] = Nil,
+    writerFeatures: Seq[String] = Nil) extends Action
 
 /** Change-data-feed sidecar (Delta `cdc` action): a parquet dir of
   * this commit's row-level changes (table schema + `_change_type` ∈
@@ -160,9 +162,17 @@ object Actions {
     case d: RemoveDV => obj("removeDV" -> obj("path" -> q(d.path)))
     case c: AddCDC => obj("addCDC" -> obj("path" -> q(c.path)))
     case p: Protocol =>
-      obj("protocol" -> obj(
+      // feature lists are written only when present, so pre-feature
+      // logs stay byte-identical and old readers parse new logs that
+      // don't use named features
+      val base = Seq(
         "minReaderVersion" -> p.minReaderVersion.toString,
-        "minWriterVersion" -> p.minWriterVersion.toString))
+        "minWriterVersion" -> p.minWriterVersion.toString)
+      val withR = if (p.readerFeatures.isEmpty) base
+        else base :+ ("readerFeatures" -> strArr(p.readerFeatures.sorted))
+      val withW = if (p.writerFeatures.isEmpty) withR
+        else withR :+ ("writerFeatures" -> strArr(p.writerFeatures.sorted))
+      obj("protocol" -> obj(withW: _*))
     case t: SetTxn =>
       obj("txn" -> obj("appId" -> q(t.appId), "epoch" -> t.epoch.toString))
     case h: RowIdHighWaterMark =>
@@ -243,8 +253,13 @@ object Actions {
         AddCDC(v.asInstanceOf[java.util.Map[String, Any]].asScala("path").toString)
       case ("protocol", v) =>
         val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
+        def feats(k: String): Seq[String] = m.get(k) match {
+          case Some(l: java.util.List[_]) => l.asScala.map(String.valueOf).toSeq
+          case _ => Nil
+        }
         Protocol(String.valueOf(m("minReaderVersion")).toInt,
-          String.valueOf(m("minWriterVersion")).toInt)
+          String.valueOf(m("minWriterVersion")).toInt,
+          feats("readerFeatures"), feats("writerFeatures"))
       case ("rowIdHwm", v) =>
         val m = v.asInstanceOf[java.util.Map[String, Any]].asScala
         RowIdHighWaterMark(String.valueOf(m("highWaterMark")).toLong)

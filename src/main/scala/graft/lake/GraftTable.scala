@@ -700,6 +700,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           s"table $path requires writer version ${p.minWriterVersion} " +
             s"(this client supports ${Snapshot.SupportedWriterVersion}); " +
             "upgrade the client to write it")
+      val unknown = p.writerFeatures.filterNot(Snapshot.SupportedWriterFeatures)
+      if (unknown.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"table $path requires writer features " +
+            s"${unknown.sorted.mkString(", ")} this client does not " +
+            "implement; upgrade the client to write it")
     }
     val deps = actions.collect { case r: RemoveFile => r.path }.toSet ++ readPaths
     val ourTxns = actions.collect { case t: SetTxn => t.appId -> t.epoch }.toMap
@@ -760,6 +766,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
               throw new UnsupportedOperationException(
                 s"table $path requires writer version ${p.minWriterVersion} " +
                   s"(this client supports ${Snapshot.SupportedWriterVersion})")
+            val unknown = p.writerFeatures.filterNot(Snapshot.SupportedWriterFeatures)
+            if (unknown.nonEmpty)
+              throw new UnsupportedOperationException(
+                s"table $path requires writer features " +
+                  s"${unknown.sorted.mkString(", ")} this client does not implement")
           }
           val conflicting = intervening
             .collect { case r: RemoveFile if deps.contains(r.path) => r.path }
@@ -824,10 +835,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // SAME commit, so a pre-feature writer can never interleave a
       // mark-dropping commit after the feature is on
       val need = GraftTable.requiredWriterVersion(merged.properties)
+      val needF = GraftTable.requiredWriterFeatures(merged.properties)
       val curProto = snapL.protocol.getOrElse(Protocol(1, 1))
       val protoUp: Seq[Action] =
-        if (need > curProto.minWriterVersion)
-          Seq(curProto.copy(minWriterVersion = need))
+        if (need > curProto.minWriterVersion ||
+            !needF.forall(curProto.writerFeatures.contains))
+          Seq(curProto.copy(
+            minWriterVersion = math.max(need, curProto.minWriterVersion),
+            writerFeatures =
+              (curProto.writerFeatures ++ needF).distinct.sorted))
         else Nil
       if (log.tryCommitAt(latest + 1, Seq(op, merged) ++ protoUp ++ extra))
         committed = latest + 1
@@ -2887,7 +2903,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * now on. Monotone only, and never beyond what THIS client
     * supports (you would lock yourself out of your own table).
     */
-  def upgradeProtocol(minReader: Int, minWriter: Int): Long = {
+  def upgradeProtocol(minReader: Int, minWriter: Int,
+      readerFeatures: Seq[String] = Nil,
+      writerFeatures: Seq[String] = Nil): Long = {
     val s = snapshot
     val cur = s.protocol.getOrElse(Protocol(1, 1))
     require(minReader >= cur.minReaderVersion && minWriter >= cur.minWriterVersion,
@@ -2895,11 +2913,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     require(minReader <= Snapshot.SupportedReaderVersion &&
       minWriter <= Snapshot.SupportedWriterVersion,
       "cannot upgrade beyond this client's supported versions")
+    require(readerFeatures.forall(Snapshot.SupportedReaderFeatures) &&
+      writerFeatures.forall(Snapshot.SupportedWriterFeatures),
+      "cannot require features this client does not implement itself")
+    val rf = (cur.readerFeatures ++ readerFeatures).distinct.sorted
+    val wf = (cur.writerFeatures ++ writerFeatures).distinct.sorted
     commitAndCheckpoint(Seq(
       info("UPGRADE PROTOCOL", params = Map(
         "minReaderVersion" -> minReader.toString,
-        "minWriterVersion" -> minWriter.toString)),
-      Protocol(minReader, minWriter)))
+        "minWriterVersion" -> minWriter.toString) ++
+        (if (rf.nonEmpty) Map("readerFeatures" -> rf.mkString(",")) else Map.empty) ++
+        (if (wf.nonEmpty) Map("writerFeatures" -> wf.mkString(",")) else Map.empty)),
+      Protocol(minReader, minWriter, rf, wf)))
   }
 
   /** Log retention: drop commit files already superseded by the latest
@@ -3008,6 +3033,17 @@ object GraftTable {
     if (props.get("graft.rowTracking").contains("true") ||
         props.keys.exists(_.startsWith("graft.identity."))) 2
     else 1
+
+  /** Named writer features the table's properties demand (Delta 3.x
+    * feature-name parity): the same commit that enables the property
+    * stamps the feature, so the gate can tell a client exactly WHICH
+    * capability it lacks instead of an opaque version number.
+    */
+  private[lake] def requiredWriterFeatures(props: Map[String, String]): Seq[String] =
+    Seq(
+      props.get("graft.rowTracking").contains("true") -> "rowTracking",
+      props.keys.exists(_.startsWith("graft.identity.")) -> "identityColumns")
+      .collect { case (true, f) => f }
 
   /** Fingerprint of a snapshot's logical row set (active data files +
     * deletion vectors): stamped into PQ-index commits so readers can
@@ -3250,7 +3286,10 @@ object GraftTable {
     // (see requiredWriterVersion) so a pre-feature client never writes
     // this table
     val need = requiredWriterVersion(properties)
-    val proto: Seq[Action] = if (need > 1) Seq(Protocol(1, need)) else Nil
+    val needF = requiredWriterFeatures(properties)
+    val proto: Seq[Action] =
+      if (need > 1 || needF.nonEmpty)
+        Seq(Protocol(1, need, writerFeatures = needF.sorted)) else Nil
     t.commitAndCheckpoint((Seq(
       CommitInfo(System.currentTimeMillis(), "CREATE TABLE AS SELECT",
         Map("partitionBy" -> partitionBy.mkString(",")),

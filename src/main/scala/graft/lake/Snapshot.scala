@@ -78,6 +78,20 @@ object Snapshot {
   // so tables with those features raise their floor to 2
   val SupportedWriterVersion = 2
 
+  /** Named table features this client can read/write (Delta 3.x
+    * `readerFeatures`/`writerFeatures` parity): version numbers gate
+    * coarsely — "v2" says nothing about WHICH capability a client
+    * lacks — while feature names let a table demand exactly what it
+    * uses and let clients fail with an actionable message. A protocol
+    * action carrying an unknown name blocks the read/commit.
+    */
+  val SupportedReaderFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "changeDataFeed", "typeWidening",
+    "generatedColumns", "timestampNtz", "v2Checkpoint")
+  val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++ Set(
+    "rowTracking", "identityColumns", "checkConstraints", "defaultColumns",
+    "clustering", "appendOnly", "invariants")
+
   /** LRU of reconstructed snapshots. A committed version's content is
     * immutable (commits are CREATE_NEW files), so (path, version,
     * commit-file identity) fully determines the snapshot; the identity
@@ -128,6 +142,12 @@ object Snapshot {
           s"table ${log.tablePath} requires reader version " +
             s"${p.minReaderVersion} (this client supports " +
             s"$SupportedReaderVersion); upgrade the client to read it")
+      val unknown = p.readerFeatures.filterNot(SupportedReaderFeatures)
+      if (unknown.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"table ${log.tablePath} requires reader features " +
+            s"${unknown.sorted.mkString(", ")} this client does not " +
+            "implement; upgrade the client to read it")
     }
     snap
   }

@@ -196,6 +196,38 @@ class LakeSpec extends GraftSparkSpec {
     intercept[UnsupportedOperationException](t2.append(li.limit(5)))
   }
 
+  test("named table features gate by capability and stamp on enablement") {
+    // enabling row tracking stamps the feature name in the SAME commit
+    val t = GraftTable.create(spark, tmpDir("feat"),
+      li.limit(10).select("l_orderkey"),
+      properties = Map("graft.rowTracking" -> "true"))
+    val p0 = t.snapshot.protocol.get
+    assert(p0.writerFeatures.contains("rowTracking") && p0.minWriterVersion == 2)
+    // known features round-trip the log and keep the table writable
+    t.upgradeProtocol(1, 2, readerFeatures = Seq("deletionVectors"),
+      writerFeatures = Seq("checkConstraints"))
+    t.append(li.limit(3).select("l_orderkey"))
+    val p1 = GraftTable.forPath(spark, t.path).snapshot.protocol.get
+    assert(p1.readerFeatures == Seq("deletionVectors"))
+    assert(p1.writerFeatures.sorted == Seq("checkConstraints", "rowTracking"))
+    // a feature name this client doesn't implement can't be demanded
+    intercept[IllegalArgumentException](
+      t.upgradeProtocol(1, 2, writerFeatures = Seq("futureMagic")))
+    // a foreign table demanding an unknown WRITER feature still reads,
+    // refuses commits with the feature named in the error
+    val t2 = GraftTable.create(spark, tmpDir("feat2"), li.limit(10))
+    t2.log.commit(Seq(Protocol(1, 2, writerFeatures = Seq("futureMagic"))))
+    assert(t2.toDF.count() == 10)
+    val e = intercept[UnsupportedOperationException](t2.append(li.limit(5)))
+    assert(e.getMessage.contains("futureMagic"))
+    // an unknown READER feature blocks the read itself
+    val t3 = GraftTable.create(spark, tmpDir("feat3"), li.limit(10))
+    t3.log.commit(Seq(Protocol(1, 1, readerFeatures = Seq("alienEncoding"))))
+    val e2 = intercept[UnsupportedOperationException](
+      GraftTable.forPath(spark, t3.path).toDF.count())
+    assert(e2.getMessage.contains("alienEncoding"))
+  }
+
   test("log cleanup drops pre-checkpoint commits; table stays fully usable") {
     val t = GraftTable.create(spark, tmpDir("logclean"), li.limit(50))
     (1 to 22).foreach(_ => t.append(li.limit(5)))          // checkpoints at 10, 20
