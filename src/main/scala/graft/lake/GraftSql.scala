@@ -82,6 +82,14 @@ final class GraftSql(spark: SparkSession) {
     """'([^']+)'\s*=\s*'([^']*)'""".r
   private val ctasRe: Regex =
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)(?:\s+PARTITIONED\s+BY\s*\(([\w,\s]+)\))?\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\s+.+?)\s*;?\s*$""".r
+  private val createOrReplaceRe: Regex =
+    """(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(\w+)(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(SELECT\s+.+?)\s*;?\s*$""".r
+  private val truncateRe: Regex =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$""".r
+  private val dropTableRe: Regex =
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+  private val showColumnsRe: Regex =
+    """(?is)^\s*SHOW\s+COLUMNS\s+(?:IN|FROM)\s+(\w+)\s*;?\s*$""".r
   private val insertRe: Regex =
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+((?:SELECT|VALUES|TABLE)\s*.+?)\s*;?\s*$""".r
   private val insertColsRe: Regex =
@@ -179,6 +187,35 @@ final class GraftSql(spark: SparkSession) {
         tables(name) = t
         Seq(("location", location), ("numFiles",
           t.snapshot.numFiles.toString)).toDF("metric", "value")
+      case createOrReplaceRe(name, location, select) =>
+        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        val df = spark.sql(select)
+        tables.get(name) match {
+          case Some(t) =>
+            // replace keeps the table's history (one OVERWRITE commit,
+            // Delta CREATE OR REPLACE semantics), schema may change
+            val v = t.overwrite(df, overwriteSchema = true)
+            Seq(("replaced", name), ("version", v.toString))
+              .toDF("metric", "value")
+          case None =>
+            val loc = Option(location).getOrElse(throw new IllegalArgumentException(
+              s"CREATE OR REPLACE of unknown table $name needs LOCATION"))
+            val t = GraftTable.create(spark, loc, df)
+            tables(name) = t
+            Seq(("location", loc), ("numFiles",
+              t.snapshot.numFiles.toString)).toDF("metric", "value")
+        }
+      case truncateRe(name) =>
+        table(name).truncate().toSeq.sortBy(_._1).toDF("metric", "value")
+      case dropTableRe(name) =>
+        // external-table semantics (the only kind here): unregister the
+        // name, leave data + log for re-registration
+        Seq(("dropped", tables.remove(name).isDefined.toString))
+          .toDF("metric", "value")
+      case showColumnsRe(name) =>
+        table(name).snapshot.schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString))
+          .toDF("col_name", "data_type")
       case createSchemaRe(name, ddl, partBy, location) =>
         // explicit-schema create: an empty table whose schema comes
         // from the DDL column list, ready for INSERT/COPY INTO

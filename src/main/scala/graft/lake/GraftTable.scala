@@ -2307,6 +2307,29 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     metrics
   }
 
+  /** TRUNCATE TABLE: drops every active file in ONE metadata-only
+    * commit — zero rewrite I/O regardless of table size (a
+    * whole-table CoW DELETE would stage an empty rewrite; this just
+    * removes). History and time travel keep the old versions; CDF
+    * (when enabled) records the delete images so downstream
+    * consumers see the rows leave.
+    */
+  def truncate(): Map[String, String] = {
+    val s = snapshot
+    val removes = s.activeFiles.map(f =>
+      RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    val cdc: Seq[Action] =
+      if (!cdfEnabled(s) || removes.isEmpty) Nil
+      else Seq(stageCdc(s,
+        toDF.select(s.schema.fieldNames.map(col): _*)
+          .withColumn("_change_type", lit("delete"))))
+    val metrics = Map("numRemovedFiles" -> removes.size.toString)
+    commitOrReclaimCdc(cdc)(commitAndCheckpoint(
+      Seq(info("TRUNCATE", metrics = metrics)) ++ cdc ++ removes,
+      readVersion = s.version))
+    metrics
+  }
+
   /** Dynamic partition overwrite (Spark's
     * `partitionOverwriteMode=dynamic` / Delta parity): atomically
     * replaces exactly the partitions PRESENT in `df`; every other

@@ -202,4 +202,35 @@ class WorkshopFlowSpec extends GraftSparkSpec {
     assert(gsql.sql("SELECT score FROM regs WHERE rid = 1").head().isNullAt(0),
       "rows outside the key set must be untouched")
   }
+
+  test("CREATE OR REPLACE, TRUNCATE, SHOW COLUMNS, DROP TABLE") {
+    val gsql = new GraftSql(spark)
+    val loc = tmpDir("sql-cort")
+    gsql.sql(s"CREATE OR REPLACE TABLE facts LOCATION '$loc' AS " +
+      "SELECT 1 AS k, 'one' AS v")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM facts").head().getLong(0) == 1)
+    // replace: new contents AND schema, same log (history grows)
+    gsql.sql("CREATE OR REPLACE TABLE facts AS " +
+      "SELECT 10 AS k, 2.5 AS score UNION ALL SELECT 20, 3.5")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM facts").head().getLong(0) == 2)
+    assert(gsql.table("facts").version >= 1, "replace must extend history")
+    assert(gsql.table("facts").toDFAt(0).count() == 1,
+      "pre-replace version stays time-travelable")
+    // SHOW COLUMNS reflects the replaced schema
+    val cols = gsql.sql("SHOW COLUMNS IN facts").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols == Seq("k" -> "int", "score" -> "decimal(2,1)"))
+    // TRUNCATE: metadata-only (no rewrite), history preserved
+    val m = gsql.sql("TRUNCATE TABLE facts").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(m("numRemovedFiles").toInt > 0)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM facts").head().getLong(0) == 0)
+    assert(gsql.table("facts").toDFAt(1).count() == 2,
+      "truncate must not erase history")
+    // DROP TABLE unregisters the name; data stays for re-registration
+    gsql.sql("DROP TABLE facts")
+    intercept[IllegalArgumentException](gsql.table("facts"))
+    gsql.register("facts2", loc)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM facts2").head().getLong(0) == 0)
+  }
 }
