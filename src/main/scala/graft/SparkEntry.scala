@@ -148,6 +148,7 @@ object SparkEntry {
     "lake_dfp" -> LakeOps.lakeDfp _,
     "lake_bloom_join" -> LakeOps.lakeBloomJoin _,
     "lake_dynamic_overwrite" -> LakeOps.lakeDynamicOverwrite _,
+    "lake_mv_incremental" -> LakeOps.lakeMvIncremental _,
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _)
 
@@ -1194,6 +1195,20 @@ object SparkEntry {
         "FROM lineitem JOIN (SELECT o_orderkey FROM orders " +
         "WHERE o_totalprice > 400000) o ON l_orderkey = o_orderkey " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // incremental MV == full recompute: replay the DELETE, UPDATE,
+    // and append against the seed and aggregate from scratch
+    "lake_mv_incremental" ->
+      ("WITH base AS (SELECT l_orderkey, l_returnflag, " +
+        "CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c FROM lineitem), " +
+        "s1 AS (SELECT * FROM base WHERE l_orderkey % 7 <> 0), " +
+        "s2 AS (SELECT l_orderkey, l_returnflag, " +
+        "CASE WHEN l_orderkey % 5 = 0 THEN qty_c + 100 ELSE qty_c END AS qty_c FROM s1), " +
+        "s3 AS (SELECT * FROM s2 UNION ALL " +
+        "SELECT l_orderkey, l_returnflag, qty_c * 2 AS qty_c FROM base " +
+        "WHERE l_orderkey % 11 = 0) " +
+        "SELECT l_returnflag, COUNT(*) AS n_rows, " +
+        "CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c " +
+        "FROM s3 GROUP BY l_returnflag ORDER BY l_returnflag"),
     // untouched partitions keep source rows; the 'R' partition is
     // replaced by the doubled-quantity backfill
     "lake_dynamic_overwrite" ->

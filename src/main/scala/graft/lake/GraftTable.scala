@@ -1523,6 +1523,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     commitAndCheckpoint(Seq(info("OVERWRITE"), meta) ++ removes ++ adds)
   }
 
+  /** Overwrite + property merge in ONE commit — used by incremental MV
+    * refresh ([[MaterializedAgg]]): the new state and its
+    * source-version stamp must land atomically, or a crash between
+    * them would double-apply the next delta.
+    */
+  private[lake] def overwriteWithProperties(df: DataFrame,
+      props: Map[String, String], operation: String): Long = {
+    val s = snapshot
+    validateConstraints(df, s)
+    enforceSchema(df.schema, s.schema)
+    val meta0 = s.metadata.get
+    val meta = meta0.copy(properties = meta0.properties ++ props)
+    val adds = stageWrite(df, s.partitionColumns, dataChange = true)
+    val removes = s.activeFiles.map(f =>
+      RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+    commitAndCheckpoint(
+      Seq(info(operation, params = props), meta) ++ removes ++ adds,
+      readVersion = s.version, metadataConflict = true)
+  }
+
   private def enforceSchema(incoming: StructType, table: StructType): Unit = {
     val in = incoming.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
     val tb = table.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq

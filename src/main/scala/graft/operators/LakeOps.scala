@@ -220,6 +220,33 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Incremental materialized aggregate (L66): the MV is created from
+    * the seed table, the source then takes a DELETE, an UPDATE, and
+    * an append, and ONE incremental refresh folds their change images
+    * into the view. The oracle recomputes the final aggregate from
+    * scratch — a green row proves incremental == full recompute
+    * across all three DML change shapes.
+    */
+  def lakeMvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    val src = graft.lake.GraftTable.create(spark, workDir(dir, "mvsrc"),
+      base, properties = Map("graft.cdf" -> "true"))
+    val mv = graft.lake.MaterializedAgg.create(spark, workDir(dir, "mv"),
+      src, Seq("l_returnflag"), Seq("qty_c"))
+    src.delete(col("l_orderkey") % 7 === 0)
+    src.update(col("l_orderkey") % 5 === 0,
+      Map("qty_c" -> (col("qty_c") + lit(100L))))
+    src.append(base.filter(col("l_orderkey") % 11 === 0)
+      .withColumn("qty_c", col("qty_c") * 2))
+    mv.refresh()
+    mv.toDF
+      .select(col("l_returnflag"), col("mv_count").as("n_rows"),
+        col("mv_sum_qty_c").as("sum_qty_c"))
+      .orderBy("l_returnflag")
+  }
+
   /** Dynamic partition overwrite (L63): only the partition present in
     * the incoming frame is replaced; the others keep their files. The
     * oracle recomputes untouched partitions from the source and the

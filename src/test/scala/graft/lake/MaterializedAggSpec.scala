@@ -1,0 +1,62 @@
+package graft.lake
+
+import graft.{GraftSparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class MaterializedAggSpec extends GraftSparkSpec {
+
+  private def li = Tables(spark, sfDir, "lineitem")
+    .select(col("l_orderkey"), col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"))
+
+  private def recompute(t: GraftTable) = t.toDF
+    .groupBy("l_returnflag")
+    .agg(count(lit(1)).as("mv_count"), sum("qty_c").as("mv_sum_qty_c"))
+    .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def viewState(mv: MaterializedAgg) = mv.toDF
+    .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("incremental refresh equals full recompute across DML shapes — no CDC needed") {
+    // NO graft.cdf: the refresh must stay exact through the change
+    // feed's per-version diff fallback (updates arrive as
+    // retract+insert pairs)
+    val src = GraftTable.create(spark, tmpDir("mv-src"), li.limit(400))
+    val mv = MaterializedAgg.create(spark, tmpDir("mv-view"), src,
+      Seq("l_returnflag"), Seq("qty_c"))
+    assert(viewState(mv) == recompute(src), "initial materialization")
+    src.delete(col("l_orderkey") % 3 === 0)
+    src.update(col("l_orderkey") % 4 === 0,
+      Map("qty_c" -> (col("qty_c") * 2)))
+    src.append(li.limit(50))
+    mv.refresh()
+    assert(viewState(mv) == recompute(src),
+      "delete+update+append folded incrementally must equal recompute")
+    // refresh with an unchanged source is a no-op commit-wise
+    val v = mv.view.version
+    mv.refresh()
+    assert(mv.view.version == v, "unchanged source must not commit")
+    // the source-version stamp rides the SAME commit as the new state
+    val props = mv.view.snapshot.metadata.get.properties
+    assert(props("graft.mv.sourceVersion").toLong == src.version)
+  }
+
+  test("fully retracted groups vanish; reattach validates the source") {
+    val src = GraftTable.create(spark, tmpDir("mv-src2"),
+      li.filter(col("l_returnflag").isin("A", "R")).limit(200))
+    val mv = MaterializedAgg.create(spark, tmpDir("mv-view2"), src,
+      Seq("l_returnflag"), Seq("qty_c"))
+    assert(mv.toDF.count() == 2)
+    src.delete(col("l_returnflag") === "A")
+    mv.refresh()
+    assert(viewState(mv) == recompute(src))
+    assert(mv.toDF.filter(col("l_returnflag") === "A").count() == 0,
+      "a group whose rows are all deleted must leave the view")
+    // reattach by path; wrong source refuses
+    val again = MaterializedAgg.forPath(spark, mv.view.path, src)
+    assert(viewState(again) == recompute(src))
+    val other = GraftTable.create(spark, tmpDir("mv-src3"), li.limit(10))
+    intercept[IllegalArgumentException](
+      MaterializedAgg.forPath(spark, mv.view.path, other))
+  }
+}
