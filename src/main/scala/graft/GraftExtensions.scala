@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ANALYZE stats as catalog statistics (rowCount/NDV/nulls), so
     // EXPLAIN EXTENDED and join planning see them with zero API calls
     ext.injectPostHocResolutionRule(graft.plans.GraftStatsRule.apply)
+    // transparent MV rewrite: whole-table aggregates matching a
+    // registered, FRESH materialized view read the view state instead
+    ext.injectPostHocResolutionRule(graft.plans.MvRewriteRule.apply)
     ext.injectFunction((FunctionIdentifier("graft_fingerprint64"),
       info("graft_fingerprint64", "64-bit FNV-1a rolling fingerprint of normalized text"),
       unary("graft_fingerprint64")(Fingerprint64)))

@@ -1,0 +1,104 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import graft.lake.MaterializedAgg
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Session registry of materialized views eligible for transparent
+  * query rewrite ([[MvRewriteRule]]). Registration is explicit — the
+  * MV owner opts the view into answering source queries.
+  */
+object MvCatalog {
+  private val views = mutable.Map[String, MaterializedAgg]()
+
+  def register(mv: MaterializedAgg): Unit =
+    synchronized { views(mv.source.path) = mv }
+  def deregister(sourcePath: String): Unit =
+    synchronized { views.remove(sourcePath); () }
+  def clear(): Unit = synchronized(views.clear())
+  private[plans] def lookup(p: String => Boolean): Option[MaterializedAgg] =
+    synchronized { views.collectFirst { case (sp, mv) if p(sp) => mv } }
+}
+
+/** Transparent materialized-view rewrite (the half that makes an MV a
+  * VIEW and not just a cached table): a whole-table `GROUP BY` whose
+  * grouping set and aggregates are exactly what a registered
+  * [[MaterializedAgg]] maintains is answered from the KB–GB view
+  * state instead of the full source scan — at 100 TB that turns the
+  * dashboard aggregate into a metadata-sized read.
+  *
+  * Strictly correctness-gated: the rewrite fires only when (a) the
+  * scanned file set IS the source's current active file set (a stale
+  * DataFrame handle keeps its own plan), (b) the view's stamped
+  * source version equals the source's current version (a stale view
+  * never answers), and (c) every output expression maps 1:1 onto
+  * stored state — grouping attrs, `count(*)`/`count(1)`, or
+  * `sum(col)` over a maintained column. Anything else leaves the
+  * plan untouched. Output attribute ids are preserved, so downstream
+  * operators resolve unchanged.
+  */
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(groupingExprs, aggExprs, lr: LogicalRelation, _) =>
+      rewrite(agg, groupingExprs, aggExprs, lr).getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate, groupingExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], lr: LogicalRelation): Option[LogicalPlan] = {
+    val scanned: Seq[String] = lr.relation match {
+      case h: HadoopFsRelation =>
+        h.location.inputFiles.toSeq.map(u => new java.net.URI(u).getPath)
+      case _ => return None
+    }
+    if (scanned.isEmpty) return None
+    val mv = MvCatalog.lookup(sp =>
+      scanned.forall(_.startsWith(
+        java.nio.file.Paths.get(sp).toAbsolutePath.normalize.toString)))
+      .getOrElse(return None)
+    // freshness: the view must reflect the source's CURRENT version…
+    val srcProps = mv.view.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    if (!srcProps.get("graft.mv.sourceVersion").map(_.toLong)
+        .contains(mv.source.version)) return None
+    // …and the plan must scan exactly that version's active files
+    val active = mv.source.snapshot.activeFiles.map(a =>
+      java.nio.file.Paths.get(mv.source.path).resolve(a.path)
+        .toAbsolutePath.normalize.toString).toSet
+    if (scanned.toSet != active) return None
+
+    val groupCols = srcProps("graft.mv.groupCols").split(",").toSeq.filter(_.nonEmpty)
+    val sumCols = srcProps("graft.mv.sumCols").split(",").toSet
+    val groupNames = groupingExprs.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (groupNames.toSet != groupCols.toSet) return None
+
+    val mvPlan = mv.toDF.queryExecution.analyzed
+    val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+
+    def sumSource(e: Expression): Option[String] = e match {
+      case a: AttributeReference if sumCols.contains(a.name) => Some(a.name)
+      case Cast(a: AttributeReference, _, _, _) if sumCols.contains(a.name) =>
+        Some(a.name)
+      case _ => None
+    }
+    val projections = aggExprs.map {
+      case a: AttributeReference if groupCols.contains(a.name) =>
+        Alias(Cast(mvOut(a.name), a.dataType), a.name)(exprId = a.exprId)
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), name) =>
+        Alias(Cast(mvOut(MaterializedAgg.CountCol), al.dataType), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(Sum(e, _), _, false, None, _), name) =>
+        val c = sumSource(e).getOrElse(return None)
+        Alias(Cast(mvOut(MaterializedAgg.sumName(c)), al.dataType), name)(exprId = al.exprId)
+      case _ => return None
+    }
+    Some(Project(projections, mvPlan))
+  }
+}

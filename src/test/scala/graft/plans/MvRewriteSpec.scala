@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.{GraftSparkSpec, Tables}
+import graft.lake.{GraftTable, MaterializedAgg}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MvRewriteSpec extends GraftSparkSpec {
+
+  private def li = Tables(spark, sfDir, "lineitem")
+    .select(col("l_orderkey"), col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"))
+
+  private def scansView(df: DataFrame, viewDir: String): Boolean =
+    df.queryExecution.executedPlan.toString.contains(viewDir)
+
+  test("fresh MV answers matching aggregates; stale views and other shapes don't") {
+    val src = GraftTable.create(spark, tmpDir("mvr-src"), li.limit(300))
+    val viewDir = tmpDir("mvr-view")
+    val mv = MaterializedAgg.create(spark, viewDir, src,
+      Seq("l_returnflag"), Seq("qty_c"))
+    def q = src.toDF.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("qty_c").as("s"))
+    val expect = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    MvCatalog.register(mv)
+    try {
+      // rewrite fires: the plan reads the view, values are identical
+      assert(scansView(q, "mvr-view"), "fresh MV must answer the aggregate")
+      assert(q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet == expect)
+      // non-matching shapes keep the source plan: a filter below the
+      // agg, an aggregate the view doesn't store, a different grouping
+      val filtered = src.toDF.filter(col("qty_c") > 0)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(!scansView(filtered, "mvr-view"))
+      val avgQ = src.toDF.groupBy("l_returnflag").agg(avg("qty_c").as("a"))
+      assert(!scansView(avgQ, "mvr-view"))
+      val otherG = src.toDF.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      assert(!scansView(otherG, "mvr-view"))
+      // source moved: the stale view must NOT answer, results stay true
+      src.append(li.limit(40))
+      val expect2 = (q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet, scansView(q, "mvr-view"))
+      assert(!expect2._2, "stale MV must not answer")
+      // refreshed view answers again, with the post-append numbers
+      mv.refresh()
+      assert(scansView(q, "mvr-view"))
+      assert(q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet == expect2._1)
+    } finally MvCatalog.clear()
+  }
+}
