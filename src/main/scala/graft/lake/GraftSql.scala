@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 final class GraftSql(spark: SparkSession) {
 
   private val tables = scala.collection.mutable.Map[String, GraftTable]()
+  private val matViews = scala.collection.mutable.Map[String, MaterializedAgg]()
 
   def register(name: String, path: String): GraftTable = {
     val t = GraftTable.forPath(spark, path)
@@ -90,6 +91,14 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
   private val showColumnsRe: Regex =
     """(?is)^\s*SHOW\s+COLUMNS\s+(?:IN|FROM)\s+(\w+)\s*;?\s*$""".r
+  private val createMvRe: Regex =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+([\w,\s]+?)\s*;?\s*$""".r
+  private val refreshMvRe: Regex =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$""".r
+  private val mvSumItemRe: Regex =
+    """(?i)^SUM\s*\(\s*(\w+)\s*\)(?:\s+AS\s+\w+)?$""".r
+  private val mvCountItemRe: Regex =
+    """(?i)^COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+\w+)?$""".r
   private val insertRe: Regex =
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+((?:SELECT|VALUES|TABLE)\s*.+?)\s*;?\s*$""".r
   private val insertColsRe: Regex =
@@ -216,6 +225,32 @@ final class GraftSql(spark: SparkSession) {
         table(name).snapshot.schema.fields.toSeq
           .map(f => (f.name, f.dataType.simpleString))
           .toDF("col_name", "data_type")
+      case createMvRe(name, location, selectList, srcName, groupBy) =>
+        // select list must be exactly what the view can maintain:
+        // group columns, COUNT(*), SUM(col) — anything else refuses
+        val groupCols = groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sumCols = selectList.split(",").map(_.trim).filter(_.nonEmpty)
+          .flatMap {
+            case mvSumItemRe(c) => Some(c)
+            case mvCountItemRe() => None
+            case item if groupCols.contains(item) => None
+            case item => throw new IllegalArgumentException(
+              s"materialized views maintain group columns, COUNT(*), and " +
+                s"SUM(col) only; cannot maintain: $item")
+          }.toSeq
+        val mv = MaterializedAgg.create(spark, location, table(srcName),
+          groupCols, sumCols)
+        matViews(name) = mv
+        tables(name) = mv.view
+        // opt the view into transparent query rewrite for this session
+        graft.plans.MvCatalog.register(mv)
+        Seq(("location", location), ("sourceVersion",
+          table(srcName).version.toString)).toDF("metric", "value")
+      case refreshMvRe(name) =>
+        val mv = matViews.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown materialized view: $name"))
+        val v = mv.refresh()
+        Seq(("version", v.toString)).toDF("metric", "value")
       case createSchemaRe(name, ddl, partBy, location) =>
         // explicit-schema create: an empty table whose schema comes
         // from the DDL column list, ready for INSERT/COPY INTO

@@ -233,4 +233,28 @@ class WorkshopFlowSpec extends GraftSparkSpec {
     gsql.register("facts2", loc)
     assert(gsql.sql("SELECT COUNT(*) AS n FROM facts2").head().getLong(0) == 0)
   }
+
+  test("CREATE / REFRESH MATERIALIZED VIEW statements") {
+    val gsql = new GraftSql(spark)
+    try {
+      gsql.registerCreate("mvsrc", tmpDir("sql-mv-src"),
+        graft.Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            round(col("l_quantity") * 100).cast("long").as("qty_c")).limit(300))
+      gsql.sql(s"CREATE MATERIALIZED VIEW flag_stats LOCATION '${tmpDir("sql-mv")}' " +
+        "AS SELECT l_returnflag, COUNT(*), SUM(qty_c) FROM mvsrc GROUP BY l_returnflag")
+      // the view is queryable like a table and already materialized
+      val n0 = gsql.sql("SELECT SUM(mv_count) AS n FROM flag_stats").head().getLong(0)
+      assert(n0 == 300)
+      // source DML + REFRESH folds the delta in
+      gsql.sql("DELETE FROM mvsrc WHERE l_orderkey % 2 = 0")
+      gsql.sql("REFRESH MATERIALIZED VIEW flag_stats")
+      val n1 = gsql.sql("SELECT SUM(mv_count) AS n FROM flag_stats").head().getLong(0)
+      assert(n1 == gsql.sql("SELECT COUNT(*) AS n FROM mvsrc").head().getLong(0))
+      // unmaintainable select list refuses loudly
+      intercept[IllegalArgumentException](
+        gsql.sql(s"CREATE MATERIALIZED VIEW bad LOCATION '${tmpDir("sql-mv-bad")}' " +
+          "AS SELECT l_returnflag, AVG(qty_c) FROM mvsrc GROUP BY l_returnflag"))
+    } finally graft.plans.MvCatalog.clear()
+  }
 }
