@@ -113,6 +113,37 @@ class StreamingSpec extends GraftSparkSpec {
     assert(t.toDF.count() == nBefore + 10)
   }
 
+  test("streaming ingestion keeps a materialized view fresh per epoch") {
+    import graft.Tables
+    import graft.lake.MaterializedAgg
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    val t = GraftTable.create(spark, tmpDir("stream-mv-src"), li.limit(100))
+    val mv = MaterializedAgg.create(spark, tmpDir("stream-mv"), t,
+      Seq("l_returnflag"), Seq("qty_c"))
+    // the foreachBatch loop a production pipeline runs: exactly-once
+    // epoch append, then an incremental MV refresh riding the epoch
+    (0 until 3).foreach { epoch =>
+      val batch = li.limit(200).filter(col("l_orderkey") % 3 === epoch)
+      t.appendStreamBatch("mv-feeder", epoch, batch)
+      mv.refresh()
+      val expect = t.toDF.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("c"), sum("qty_c").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = mv.toDF.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"view must match source after epoch $epoch")
+    }
+    // an engine-retried epoch is deduped upstream, so the refresh
+    // after it is a no-op and the view never double-counts
+    val vBefore = mv.view.version
+    t.appendStreamBatch("mv-feeder", 2,
+      li.limit(200).filter(col("l_orderkey") % 3 === 2))
+    mv.refresh()
+    assert(mv.view.version == vBefore, "replayed epoch must not move the view")
+  }
+
   test("MoR streaming upsert: epochs commit DVs + appends, no candidate rewrites") {
     val orders = graft.Tables(spark, sfDir, "orders")
     val t = GraftTable.create(spark, tmpDir("stream-upsert-mor"),
