@@ -2327,6 +2327,37 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     metrics
   }
 
+  /** Change the table's partition layout in ONE atomic commit —
+    * Delta makes you overwrite manually; here it's a first-class
+    * migration for "the query pattern changed, repartition by the new
+    * key". A distributed rewrite partitioned by the new columns and
+    * the metadata flip land together; `dataChange=false` keeps the
+    * rewrite invisible to incremental readers (rows are unchanged,
+    * only relocated — same contract as OPTIMIZE), row-tracked ids
+    * ride the rewrite materialized, and history keeps the old layout
+    * readable via time travel. `Nil` de-partitions.
+    */
+  def repartitionTable(partitionBy: Seq[String]): Map[String, String] = {
+    val s = snapshot
+    partitionBy.foreach(c => require(s.schema.fieldNames.contains(c),
+      s"no such column: $c"))
+    require(partitionBy != s.partitionColumns,
+      s"table is already partitioned by (${partitionBy.mkString(", ")})")
+    val src = layoutRewriteSource(s, s.activeFiles)
+    val adds = stageWrite(src, partitionBy, dataChange = false)
+    val removes = s.activeFiles.map(f =>
+      RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
+    val meta = s.metadata.get.copy(partitionColumns = partitionBy)
+    val metrics = Map(
+      "partitionBy" -> partitionBy.mkString(","),
+      "numRemovedFiles" -> removes.size.toString,
+      "numAddedFiles" -> adds.size.toString)
+    commitAndCheckpoint(
+      Seq(info("REPARTITION TABLE", params = metrics), meta) ++ removes ++ adds,
+      readVersion = s.version, metadataConflict = true)
+    metrics
+  }
+
   /** TRUNCATE TABLE: drops every active file in ONE metadata-only
     * commit — zero rewrite I/O regardless of table size (a
     * whole-table CoW DELETE would stage an empty rewrite; this just

@@ -502,6 +502,36 @@ class LakeSpec extends GraftSparkSpec {
       li.filter(col("l_returnflag") =!= "R").count())
   }
 
+  test("repartitionTable migrates the layout atomically; ids and history survive") {
+    import org.apache.spark.sql.functions.col
+    val t = GraftTable.create(spark, tmpDir("repart"),
+      li.limit(600).select("l_orderkey", "l_returnflag", "l_quantity"),
+      properties = Map("graft.rowTracking" -> "true"))
+    val n = t.toDF.count()
+    val idsBefore = t.toDFWithRowIds.select("l_orderkey", "row_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val v0 = t.version
+    val m = t.repartitionTable(Seq("l_returnflag"))
+    assert(t.version == v0 + 1, "migration must be one commit")
+    assert(m("partitionBy") == "l_returnflag")
+    // new layout: hive-style partition values on every file, pruning works
+    assert(t.snapshot.partitionColumns == Seq("l_returnflag"))
+    assert(t.snapshot.activeFiles.forall(_.partitionValues.contains("l_returnflag")))
+    val (kept, total) = t.pruneFiles(col("l_returnflag") === "R")
+    assert(kept < total, "partition pruning must work on the new layout")
+    // rows, and row-tracked ids, are unchanged by the relocation
+    assert(t.toDF.count() == n)
+    val idsAfter = t.toDFWithRowIds.select("l_orderkey", "row_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(idsAfter == idsBefore, "a layout migration must not reassign ids")
+    // the old layout stays readable via time travel; de-partition works
+    assert(t.toDFAt(v0).count() == n)
+    t.repartitionTable(Nil)
+    assert(t.snapshot.partitionColumns.isEmpty && t.toDF.count() == n)
+    intercept[IllegalArgumentException](t.repartitionTable(Nil))
+    intercept[IllegalArgumentException](t.repartitionTable(Seq("nope")))
+  }
+
   test("dynamic partition overwrite replaces only the partitions in the frame") {
     import org.apache.spark.sql.functions.{col, lit}
     val t = GraftTable.create(spark, tmpDir("dynover"), li, Seq("l_returnflag"))
