@@ -46,7 +46,16 @@ final class MaterializedAgg private (val spark: SparkSession,
   def refresh(): Long = {
     val from = props(VersionKey).toLong
     val to = source.version
-    if (to <= from) return view.version
+    if (to == from) return view.version
+    if (to < from) {
+      // the source log ends below the stamp (table recreated at the
+      // same path, or history truncated): no forward change feed
+      // exists, so re-materialize from the current snapshot —
+      // silently keeping the newer state would serve phantom rows
+      val init = MaterializedAgg.aggregate(source.toDFAt(to), groupCols, sumCols)
+      return view.overwriteWithProperties(init,
+        Map(VersionKey -> to.toString), "MV REMATERIALIZE")
+    }
     val cf = source.changeFeed(from, to)
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
@@ -77,6 +86,12 @@ object MaterializedAgg {
   val CountCol = "mv_count"
   def sumName(c: String): String = s"mv_sum_$c"
 
+  private[lake] def aggregate(df: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(CountCol),
+        sumCols.map(c => sum(col(c).cast("long")).as(sumName(c))): _*)
+
   /** Materialize `SELECT groupCols, count(*), sum(sumCols…) FROM
     * source GROUP BY groupCols` at `path`, stamped with the source
     * version the initial full aggregation read.
@@ -88,10 +103,7 @@ object MaterializedAgg {
     (groupCols ++ sumCols).foreach(c =>
       require(fields.contains(c), s"no such source column: $c"))
     val v = source.version
-    val init = source.toDFAt(v)
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as(CountCol),
-        sumCols.map(c => sum(col(c).cast("long")).as(sumName(c))): _*)
+    val init = aggregate(source.toDFAt(v), groupCols, sumCols)
     val t = GraftTable.create(spark, path, init, properties = Map(
       SourceKey -> source.path, GroupKey -> groupCols.mkString(","),
       SumKey -> sumCols.mkString(","), VersionKey -> v.toString))

@@ -59,4 +59,18 @@ class MaterializedAggSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException](
       MaterializedAgg.forPath(spark, mv.view.path, other))
   }
+
+  test("source RESTORE folds through the change feed as a rollback") {
+    val src = GraftTable.create(spark, tmpDir("mv-src4"), li.limit(100))
+    val vSeed = src.version
+    src.append(li.limit(60))
+    val mv = MaterializedAgg.create(spark, tmpDir("mv-view4"), src,
+      Seq("l_returnflag"), Seq("qty_c"))
+    // restore commits FORWARD (action replay), so the refresh sees it
+    // as a normal change-feed range whose diff retracts the rollback
+    src.restore(vSeed)
+    mv.refresh()
+    assert(viewState(mv) == recompute(src),
+      "after a source rollback the view must reflect the restored rows")
+  }
 }
