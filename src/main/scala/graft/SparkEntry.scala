@@ -97,10 +97,12 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.dedupClusters _,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh _,
     "dedup_simhash" -> Dedup.dedupSimhash _,
+    "dedup_keep_longest" -> Dedup.dedupKeepLongest _,
     "dedup_embedding" -> Dedup.dedupEmbedding _,
     "dedup_semantic" -> Dedup.dedupSemantic _,
     "dedup_substring" -> Dedup.dedupSubstring _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
+    "sim_range" -> Similarity.simRange _,
     "sim_pq_materialized" -> Similarity.simPqMaterialized _,
     "sim_ivf_materialized" -> Similarity.simIvfMaterialized _,
     "sim_lsh_ann" -> Similarity.simLshAnn _,
@@ -109,6 +111,7 @@ object SparkEntry {
     "sim_ivfpq" -> Similarity.simIvfPq _,
     "sim_pq_rerank" -> Similarity.simPqRerank _,
     "pipe_stratified_sample" -> Pipeline.pipeStratifiedSample _,
+    "pipe_curriculum" -> Pipeline.pipeCurriculum _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
@@ -961,6 +964,24 @@ object SparkEntry {
         "comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u) " +
         "SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) " +
         "AS cluster_size FROM comp ORDER BY doc_id"),
+    // same connected-components chain as dedup_clusters, then the
+    // keep-longest representative pick rides a window + aggregate on
+    // the cluster key
+    "dedup_keep_longest" ->
+      (s"WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ($jaccardPairsSql) p), " +
+        "edges AS (SELECT id_a AS u, id_b AS v FROM jp " +
+        "UNION SELECT id_b AS u, id_a AS v FROM jp), " +
+        "reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t " +
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u), " +
+        "comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u), " +
+        "len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents), " +
+        "m AS (SELECT comp.doc_id, cluster_id, n_chars, ROW_NUMBER() OVER (" +
+        "PARTITION BY cluster_id ORDER BY n_chars DESC, comp.doc_id) AS rn " +
+        "FROM comp JOIN len USING (doc_id)) " +
+        "SELECT cluster_id, COUNT(*) AS n_members, " +
+        "MAX(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id, " +
+        "MAX(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars " +
+        "FROM m GROUP BY 1 ORDER BY 1"),
     "dedup_embedding" ->
       ("WITH base AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
         "SELECT vec_id + 100000, list_transform(embedding, (x, i) -> CASE WHEN i = 1 " +
@@ -1034,6 +1055,14 @@ object SparkEntry {
         "ORDER BY cos_raw DESC, cid) AS rn FROM s) SELECT qid, cid, " +
         "ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 " +
         "ORDER BY qid, rn"),
+    // radius search: same exact-cosine base as sim_bruteforce_topk,
+    // thresholded on the ROUNDED score so the float boundary agrees
+    "sim_range" ->
+      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
+        "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
+        "FROM embeddings WHERE vec_id >= 10), s AS (SELECT qid, cid, " +
+        "ROUND(list_cosine_similarity(qe, ce), 4) AS cos FROM q CROSS JOIN c) " +
+        "SELECT qid, cid, cos FROM s WHERE cos >= 0.3 ORDER BY qid, cid"),
     "pipe_pack" ->
       (s"WITH t AS (SELECT doc_id, lang, $wsTok AS toks FROM documents), " +
         "c AS (SELECT lang, toks, SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id " +
@@ -1091,6 +1120,31 @@ object SparkEntry {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits_sum, " +
         "ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS bits_per_bigram " +
         "FROM s GROUP BY 1 ORDER BY 1"),
+    // curriculum deciles over the exact-integer surprisal rate: cut
+    // points are the values at 1-indexed ranks (i*n)//10 of the sorted
+    // rate column (ties share a value, so tie order is irrelevant) and
+    // bucket = 1 + #(cuts < rate) — replays Pipeline.pipeCurriculum's
+    // rank-selection + broadcast-comparison exactly
+    "pipe_curriculum" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "bi AS (SELECT doc_id, UNNEST(w[1:len(w)-1]) AS w1, UNNEST(w[2:len(w)]) AS w2 " +
+        "FROM t WHERE len(w) >= 2), " +
+        "c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1), " +
+        "v AS (SELECT COUNT(*) AS v FROM c1), " +
+        "s AS (SELECT doc_id, length(bin(c1 + v)) - length(bin(c12)) AS bits " +
+        "FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v), " +
+        "p AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits_sum " +
+        "FROM s GROUP BY 1), " +
+        "sc AS (SELECT doc_id, (bits_sum * 1000) // n_bigrams AS rate FROM p), " +
+        "n AS (SELECT COUNT(*) AS n FROM sc), " +
+        "rk AS (SELECT rate, ROW_NUMBER() OVER (ORDER BY rate) AS rn FROM sc), " +
+        "cuts AS (SELECT rk.rate AS cut FROM rk, n WHERE rk.rn >= 1 AND rk.rn IN (" +
+        "(1*n.n)//10, (2*n.n)//10, (3*n.n)//10, (4*n.n)//10, (5*n.n)//10, " +
+        "(6*n.n)//10, (7*n.n)//10, (8*n.n)//10, (9*n.n)//10)) " +
+        "SELECT doc_id, rate, CAST(1 + (SELECT COUNT(*) FROM cuts WHERE cut < sc.rate) " +
+        "AS BIGINT) AS bucket FROM sc ORDER BY doc_id"),
     "pipe_shuffle" ->
       ("SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 4294967296 AS shuffle_key, " +
         "CAST(ROW_NUMBER() OVER (ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) " +

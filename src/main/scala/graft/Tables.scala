@@ -14,11 +14,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses
-      // natively; read the raw int64 nanos and convert (values are
-      // µs-precision, so the cast is lossless).
+      // events.parquet's `ts` physical type has varied across driver
+      // testdata generations: TIMESTAMP(NANOS) (which Spark 4 refuses
+      // natively — read as int64 nanos and convert; µs precision makes
+      // it lossless), timestamp[us] without UTC adjustment (read as
+      // TIMESTAMP_NTZ), or a plain UTC timestamp. Normalize every
+      // variant to the same TimestampType µs values (sessions run UTC)
+      // so downstream operators and oracles are generation-agnostic.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -254,6 +254,72 @@ object CharEntropy {
   }
 }
 
+/** MOSS winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003,
+  * §"Winnowing"): FNV-1a hashes of the [[WinnowFingerprints.K]]-gram
+  * character shingles, then one fingerprint selected per sliding
+  * window of [[WinnowFingerprints.W]] consecutive hashes — the
+  * RIGHTMOST minimal hash, the paper's robust-winnowing tie rule —
+  * deduplicated by position. Guarantees any shared substring of
+  * length ≥ K+W−1 contributes at least one common fingerprint, at
+  * ~2/(W+1) the density of the full k-gram set: the plagiarism /
+  * near-copy detection primitive whole-document hashing misses.
+  *
+  * One pass per row inside whole-stage codegen (selected positions
+  * are non-decreasing as the window slides, so last-position dedup is
+  * global dedup). Entries are `"pos:hash"` strings (1-indexed code
+  * point position, signed-64 decimal hash) so the DuckDB oracle can
+  * rebuild the identical list with substr + the FNV fold replica.
+  * Input must be pre-normalized (the query applies lower(trim(...))).
+  */
+case class WinnowFingerprints(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    WinnowFingerprints.kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFingerprints.kernel($c)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(c)
+}
+
+object WinnowFingerprints {
+  /** Shingle width in code points. */
+  final val K = 8
+  /** Window width in consecutive shingle hashes. */
+  final val W = 4
+
+  def kernel(v: UTF8String): ArrayData = {
+    val s = v.toString
+    val cps = s.codePoints().toArray
+    val m = cps.length - K + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val bytes = new String(cps, i, K).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hashes(i) = Fnv.hashBytes(bytes, 0, bytes.length)
+      i += 1
+    }
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var last = -1
+    var s0 = 0
+    while (s0 <= m - W) {
+      var best = s0
+      var j = s0 + 1
+      while (j < s0 + W) {
+        if (hashes(j) <= hashes(best)) best = j // rightmost minimum
+        j += 1
+      }
+      if (best != last) {
+        sel += UTF8String.fromString(s"${best + 1}:${hashes(best)}")
+        last = best
+      }
+      s0 += 1
+    }
+    new GenericArrayData(sel.toArray)
+  }
+}
+
 object GraftFunctions {
   private def unary(name: String)(build: Expression => Expression)
       : Seq[Expression] => Expression = { exprs =>

@@ -225,6 +225,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cluster-representative selection: collapse each near-dup cluster
+    * ([[dedupClusters]]) to its LONGEST member (ties → lowest doc_id)
+    * — the standard "keep the most complete copy" policy a dedup
+    * pipeline applies before dropping the rest (truncated/mirrored
+    * variants lose to the original).
+    *
+    * Scale shape: the row_number window partitions on cluster_id and
+    * the following per-cluster aggregate groups on the SAME key, so
+    * the representative pick and the member count ride one shuffle;
+    * cluster sizes are near-dup-bounded (≪ corpus), never skewed to a
+    * single reducer.
+    */
+  def dedupKeepLongest(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(spark, dir).select("doc_id", "cluster_id")
+    val len = Tables(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    cl.join(len, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("rep_doc_id"),
+        max(when(col("rn") === 1, col("n_chars"))).as("rep_chars"))
+      .orderBy("cluster_id")
+  }
+
   /** Embedding cosine near-dup via random-hyperplane LSH buckets +
     * cosine verification. Planted near-identical vectors (+0.05 on
     * dim 0, id offset +100000). Deterministic; rows-only check.

@@ -255,4 +255,39 @@ object Pipeline {
           .otherwise("test"))
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
+
+  /** Curriculum quality bucketing: assign every document to a decile
+    * of the corpus-bigram-LM surprisal score ([[TextOps
+    * .textPerplexity]]'s exact-integer `bits_sum`), the ordering a
+    * curriculum/annealing data schedule feeds from (cleanest decile
+    * last, noisiest first — or dropped outright).
+    *
+    * Scale shape: the naive `ntile(10) OVER (ORDER BY score)` is a
+    * single-reducer global sort at 100 TB. Instead the nine decile cut
+    * points are selected by distributed-sort rank selection (the
+    * [[graft.operators.Analytics.q17ExactPercentile]] machinery — only
+    * 9 longs ever reach the driver) and bucket assignment is a
+    * zero-shuffle codegen'd comparison against the broadcast-literal
+    * cuts. Ties share a value, so every tied doc lands in the same
+    * bucket on both engines: bucket = 1 + #(cuts < rate), exact
+    * integer arithmetic end-to-end.
+    */
+  def pipeCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TextOps.textPerplexity(spark, dir)
+      .select(col("doc_id"),
+        expr("bits_sum * 1000 div n_bigrams").as("rate"))
+    val n = scores.count()
+    val ranks = (1 to 9).map(i => (i * n) / 10 - 1).filter(_ >= 0).distinct
+    val rankSet = ranks.toSet
+    val picked = scores.select(col("rate")).sort("rate")
+      .rdd.map(_.getLong(0)).zipWithIndex()
+      .filter { case (_, i) => rankSet.contains(i) }
+      .map(_.swap).collectAsMap()
+    val cuts = ranks.map(picked)
+    val bucket = cuts.map(c => when(col("rate") > lit(c), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0)) + lit(1)
+    scores.withColumn("bucket", bucket.cast("long"))
+      .select("doc_id", "rate", "bucket")
+      .orderBy("doc_id")
+  }
 }

@@ -51,6 +51,45 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Radius (range) similarity search: every (query, corpus) pair
+    * with cosine ≥ [[RangeTau]] — the "all near neighbors within a
+    * similarity radius" companion of top-k retrieval (the shape
+    * retrieval-augmented dedup and paraphrase mining ask for, where
+    * the neighbor COUNT is unknown a priori).
+    *
+    * Scale shape: the query matrix is a plan constant scored by the
+    * fused [[graft.functions.CosineScores]] kernel, the per-row
+    * explode + threshold filter is a narrow codegen'd pipeline (no
+    * shuffle, no join — the n·nq pairs exist only transiently inside
+    * one whole-stage-codegen span and die at the filter), and the
+    * output is bounded by the radius selectivity, not the corpus
+    * size. Thresholding happens on the ROUNDED cosine on both engines
+    * so boundary values agree bit-for-bit.
+    */
+  def simRange(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineScores
+    import org.apache.spark.sql.GraftSqlShims
+    val emb = Tables(spark, dir, "embeddings")
+    val qvs = emb.filter(col("vec_id") < QuerySetSize).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"),
+        GraftSqlShims.column(CosineScores(
+          GraftSqlShims.expression(col("embedding")), qvs)).as("coss"))
+      .select(col("cid"), posexplode(col("coss")).as(Seq("qid", "cos")))
+      .select(col("qid").cast("long").as("qid"), col("cid"),
+        round(col("cos"), 4).as("cos"))
+      .filter(col("cos") >= RangeTau)
+      .orderBy("qid", "cid")
+  }
+
+  /** Similarity radius for [[simRange]]: wide enough to return a
+    * non-trivial neighbor set on the synthetic embeddings, tight
+    * enough that the result stays selectivity-bounded.
+    */
+  private val RangeTau = 0.3
+
   /** Random-hyperplane LSH ANN: 64-bit signatures, 4 bands × 16 bits.
     * 65,536 buckets per band — bucket-key cardinality scales with the
     * corpus (≥√n up to n≈4×10⁹; beyond that, widen the signature),

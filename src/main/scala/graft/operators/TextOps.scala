@@ -286,4 +286,28 @@ object TextOps {
       .select("doc_id", "n_words", "rank_sum", "mean_rank")
       .orderBy("doc_id")
   }
+
+  /** MOSS winnowing fingerprints per document
+    * ([[graft.functions.WinnowFingerprints]]): the position-robust
+    * local fingerprint set that guarantees detection of any shared
+    * substring of ≥ K+W−1 chars at ~2/(W+1) the density of full
+    * k-gram hashing. Emitted as (count, md5-of-set) so the compare
+    * never ships long arrays; one codegen'd pass per row, no explode,
+    * no shuffle beyond the final sort.
+    */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WinnowFingerprints
+    import org.apache.spark.sql.GraftSqlShims
+    val tx = lower(trim(col("text")))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        greatest(length(tx) - lit(WinnowFingerprints.K - 1), lit(0))
+          .cast("long").as("n_grams"),
+        GraftSqlShims.column(WinnowFingerprints(
+          GraftSqlShims.expression(tx))).as("fps"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        md5(concat_ws(",", col("fps"))).as("fp_md5"))
+      .orderBy("doc_id")
+  }
 }
