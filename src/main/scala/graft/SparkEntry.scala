@@ -140,6 +140,7 @@ object SparkEntry {
     "lake_update" -> LakeOps.lakeUpdate _,
     "lake_update_mor" -> LakeOps.lakeUpdateMor _,
     "lake_merge" -> LakeOps.lakeMerge _,
+    "lake_merge_composite" -> LakeOps.lakeMergeComposite _,
     "lake_optimize" -> LakeOps.lakeOptimize _,
     "lake_zorder" -> LakeOps.lakeZorder _,
     "lake_partition_prune" -> LakeOps.lakePartitionPrune _,
@@ -1319,6 +1320,16 @@ object SparkEntry {
         "merged AS (SELECT * FROM orders WHERE o_orderkey NOT IN " +
         "(SELECT o_orderkey FROM src) UNION ALL SELECT * FROM src) " +
         "SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice),2) AS total FROM merged"),
+    "lake_merge_composite" ->
+      ("WITH base AS (SELECT l_orderkey, l_linenumber, COUNT(*) AS n_lines, " +
+        "SUM(l_quantity) AS qty FROM lineitem GROUP BY 1,2), " +
+        "src AS (SELECT l_orderkey, l_linenumber, n_lines, qty*2 AS qty FROM base " +
+        "WHERE l_orderkey < 100 UNION ALL SELECT l_orderkey+10000000 AS l_orderkey, " +
+        "l_linenumber, n_lines, qty FROM base WHERE l_orderkey < 50), " +
+        "merged AS (SELECT * FROM base t WHERE NOT EXISTS (SELECT 1 FROM src s " +
+        "WHERE s.l_orderkey=t.l_orderkey AND s.l_linenumber=t.l_linenumber) " +
+        "UNION ALL SELECT * FROM src) " +
+        "SELECT COUNT(*) AS n, ROUND(SUM(qty),2) AS sum_qty FROM merged"),
     "lake_partition_prune" ->
       ("SELECT l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity),2) AS sum_qty " +
         "FROM lineitem WHERE l_returnflag='R' GROUP BY l_linestatus ORDER BY l_linestatus"),

@@ -533,9 +533,10 @@ final class GraftSql(spark: SparkSession) {
       }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** `MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k WHEN ... THEN ...`
-    * (Delta's SQL merge surface). The ON clause must be a single-column
-    * key equality. Source- and target-alias references inside
+  /** `MERGE INTO t [AS a] USING s [AS b] ON a.k1 = b.k1 [AND a.k2 =
+    * b.k2 ...] WHEN ... THEN ...` (Delta's SQL merge surface). The ON
+    * clause must be a conjunction of same-name column equalities — a
+    * composite natural key. Source- and target-alias references inside
     * conditions and assignments are rewritten to the builder's frame:
     * `b.c` → `src_c`, `a.c` → `c`. Supported clause actions: matched
     * `UPDATE SET * | UPDATE SET c = e, ...` / `DELETE`, not-matched
@@ -545,13 +546,13 @@ final class GraftSql(spark: SparkSession) {
       sName: String, sAlias: Option[String],
       onClause: String, clauseTail: String): DataFrame = {
     import spark.implicits._
-    val key = onClause match {
+    val keys = onClause.split("(?i)\\bAND\\b").map(_.trim).toSeq.map {
       case mergeOnRe(_, kt, _, ks) =>
         require(kt.equalsIgnoreCase(ks),
           s"MERGE ON must equate the same key column, got $kt = $ks")
         kt
-      case _ => throw new IllegalArgumentException(
-        s"MERGE ON must be a single-column key equality, got: $onClause")
+      case conjunct => throw new IllegalArgumentException(
+        s"MERGE ON must be a conjunction of key equalities, got: $conjunct")
     }
     val source =
       if (tables.contains(sName)) table(sName).toDF else spark.table(sName)
@@ -567,7 +568,7 @@ final class GraftSql(spark: SparkSession) {
         rewrite(k.trim) -> expr(rewrite(v.trim))
       }.toMap
     val updateSetRe = """(?is)^UPDATE\s+SET\s+(.+)$""".r
-    var b = table(tName).mergeBuilder(source, key)
+    var b = table(tName).mergeBuilder(source, keys)
       .whenMatchedKeep().whenNotMatchedIgnore()
     mergeClauseRe.findAllMatchIn(clauseTail).foreach { m =>
       val kind = m.group(1).toUpperCase.replaceAll("\\s+", " ")

@@ -192,13 +192,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * — the small delta side of a merge — semi-joined to matched keys.
     */
   private def requireUniqueSourceKeys(source: DataFrame,
-      matchedKeys: DataFrame, key: String): Unit = {
-    val dup = source.groupBy(key).count().filter(col("count") > 1)
-      .join(matchedKeys, Seq(key), "left_semi").limit(1).count()
+      matchedKeys: DataFrame, keys: Seq[String]): Unit = {
+    val dup = source.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+      .join(matchedKeys, keys, "left_semi").limit(1).count()
     require(dup == 0,
-      s"MERGE: multiple source rows match the same target key '$key' on a " +
-        "row-tracked table — each replacement would carry the same stable " +
+      s"MERGE: multiple source rows match the same target key '${keys.mkString(",")}' " +
+        "on a row-tracked table — each replacement would carry the same stable " +
         "row id; deduplicate the source first")
+  }
+
+  /** Per-key-column [min,max] of the source delta as ONE 1-row agg;
+    * the conjunction lets stats pruning scope the merge rewrite to
+    * target files overlapping the delta on EVERY key column.
+    */
+  private def sourceKeyRange(source: DataFrame, keys: Seq[String]): Column = {
+    val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val kr = source.agg(aggs.head, aggs.tail: _*).head()
+    keys.zipWithIndex.map { case (k, i) =>
+      col(k) >= lit(kr.get(2 * i)) && col(k) <= lit(kr.get(2 * i + 1))
+    }.reduce(_ && _)
   }
 
   /** Rewrite source for layout ops (OPTIMIZE/ZORDER, dataChange =
@@ -558,11 +570,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   /** Drop files whose bloom proves they can't contain an `attr = lit`
     * conjunct's value. Files without a bloom entry are kept.
+    *
+    * Membership is evaluated DISTRIBUTED: the sidecar is data-scale
+    * (~1.2 MB bitset per 1M-row file at fpp 0.01 — ~100 GB at the
+    * 100k-file design point), so the driver must never deserialize a
+    * bitset. Tasks read only the candidate files' sidecar rows
+    * (IN-pushdown for small candidate sets, broadcast semi-join
+    * above that), probe each bitset executor-side, and ship back just
+    * the paths the blooms EXCLUDE — O(#candidates) strings.
     */
-  private val bloomCache =
-    scala.collection.concurrent.TrieMap
-      .empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
-
   private def bloomPrune(s: Snapshot, files: Seq[AddFile],
                          predicate: Column): Seq[AddFile] = {
     import org.apache.spark.util.sketch.BloomFilter
@@ -576,34 +592,50 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val inLists = Pruning.inBindings(predicate)
       .filter { case (c, vs) => sidecars.contains(c) && vs.nonEmpty }
     if (eqBindings.isEmpty && inLists.isEmpty) return files
-    // sidecars are immutable once written (fresh UUID per recompute):
-    // cache deserialized blooms per relative path across point lookups.
-    // A pointer whose sidecar is gone (RESTORE re-activated metadata
-    // from before a vacuum that reclaimed it) degrades to no pruning —
-    // blooms are advisory, never load-bearing for correctness.
-    val bloomsByCol: Map[String, Map[String, BloomFilter]] =
-      (eqBindings.map(_._1) ++ inLists.map(_._1)).distinct.map { c =>
-        c -> bloomCache.getOrElseUpdate(sidecars(c),
-          if (!Files.isDirectory(root.resolve(sidecars(c))))
-            Map.empty[String, BloomFilter]
-          else
-            spark.read.parquet(s"$path/${sidecars(c)}").collect()
-              .map(r => r.getString(0) -> BloomFilter.readFrom(r.getAs[Array[Byte]](1)))
-              .toMap)
-      }.toMap
-    def might(bf: BloomFilter, v: Any): Boolean = v match {
+    // Each conjunct is one check: the file survives it when ANY of the
+    // check's values might be present (eq = single-value IN). Probe
+    // values normalize to plain JVM types so the task closure ships.
+    def plain(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
+    val checksByCol: Map[String, Seq[Seq[Any]]] =
+      (eqBindings.map { case (c, v) => c -> Seq(v) } ++ inLists)
+        .groupBy(_._1).map { case (c, cks) => c -> cks.map(_._2.map(plain)) }
+    val candidates = files.map(_.path)
+    val mightFn: (BloomFilter, Any) => Boolean = (bf, v) => v match {
       case n: java.lang.Number => bf.mightContainLong(n.longValue())
-      case u: org.apache.spark.unsafe.types.UTF8String => bf.mightContainString(u.toString)
-      case s: String => bf.mightContainString(s)
+      case str: String => bf.mightContainString(str)
       case other => bf.mightContain(other)
     }
-    files.filter { f =>
-      eqBindings.forall { case (c, v) =>
-        bloomsByCol(c).get(f.path).forall(might(_, v))
-      } && inLists.forall { case (c, vs) =>
-        bloomsByCol(c).get(f.path).forall(bf => vs.exists(might(bf, _)))
+    val sp = spark
+    import sp.implicits._
+    val excluded: Set[String] = checksByCol.iterator.flatMap { case (c, checks) =>
+      // A pointer whose sidecar is gone (RESTORE re-activated metadata
+      // from before a vacuum that reclaimed it) degrades to no pruning —
+      // blooms are advisory, never load-bearing for correctness.
+      val rel = sidecars(c)
+      if (!Files.isDirectory(root.resolve(rel))) Iterator.empty
+      else {
+        val sidecar = spark.read.parquet(s"$path/$rel")
+        val scoped =
+          if (candidates.size <= 1024)
+            sidecar.filter(col("file_path").isin(candidates: _*))
+          else
+            sidecar.join(broadcast(candidates.toDF("file_path")),
+              Seq("file_path"), "left_semi")
+        scoped.select(col("file_path"), col("bloom"))
+          .as[(String, Array[Byte])]
+          .mapPartitions { it =>
+            it.flatMap { case (p, bytes) =>
+              val bf = BloomFilter.readFrom(bytes)
+              if (checks.forall(vs => vs.exists(v => mightFn(bf, v)))) None
+              else Some(p)
+            }
+          }.collect().iterator
       }
-    }
+    }.toSet
+    if (excluded.isEmpty) files else files.filterNot(f => excluded(f.path))
   }
 
   // --------------------------------------------------------------- write
@@ -1841,6 +1873,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def merge(source: DataFrame, key: String): Map[String, String] =
     mergeBuilder(source, key).execute()
 
+  /** Composite-key MERGE (Delta `ON a.k1 = b.k1 AND a.k2 = b.k2`
+    * parity): a row matches when EVERY key column is equal.
+    */
+  def merge(source: DataFrame, keys: Seq[String]): Map[String, String] =
+    mergeBuilder(source, keys).execute()
+
   /** Delta-style conditional MERGE: `whenMatchedDelete(cond)`,
     * `whenMatchedUpdateAll([cond])`, `whenNotMatchedInsertAll()`.
     * Candidate files are pruned to the source's key range (computed
@@ -1848,14 +1886,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * touches only the overlapping slice of a 100 TB table.
     */
   def mergeBuilder(source: DataFrame, key: String): MergeBuilder =
-    new MergeBuilder(this, source, key)
+    mergeBuilder(source, Seq(key))
 
-  /** Source columns re-exposed as `src_<name>` (key kept unprefixed
+  /** Conditional-MERGE builder on a composite equality key: matching,
+    * key-range file pruning, and the row-tracking uniqueness guard all
+    * operate on the column TUPLE (per-column [min,max] conjunction for
+    * pruning — each column prunes independently, their intersection
+    * scopes the rewrite).
+    */
+  def mergeBuilder(source: DataFrame, keys: Seq[String]): MergeBuilder = {
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    require(keys.distinct.size == keys.size, s"duplicate MERGE key in $keys")
+    new MergeBuilder(this, source, keys)
+  }
+
+  /** Source columns re-exposed as `src_<name>` (keys kept unprefixed
     * too, as the join key) so partial-update assignments can reference
     * both sides of a matched pair without ambiguity.
     */
-  private def srcPrefixed(source: DataFrame, key: String): DataFrame =
-    source.select(col(key) +: source.columns.toIndexedSeq.map(c =>
+  private def srcPrefixed(source: DataFrame, keys: Seq[String]): DataFrame =
+    source.select(keys.map(col) ++ source.columns.toIndexedSeq.map(c =>
       col(c).as(s"src_$c")): _*)
 
   /** Evaluate `set` assignments simultaneously against `df` (all
@@ -1935,7 +1985,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     Pruning.prune(rest, s.schema, s.partitionColumns, conds.reduce(_ || _), generatedExprs(s))
   }
 
-  private[lake] def executeMerge(sourceIn: DataFrame, key: String,
+  private[lake] def executeMerge(sourceIn: DataFrame, keys: Seq[String],
       updateAll: Boolean, updateCond: Option[Column],
       updateSet: Option[Map[String, Column]] = None,
       deleteCond: Option[Column], insertUnmatched: Boolean,
@@ -1950,8 +2000,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val numSourceRows = source.count()
     validateConstraints(source, s)
     enforceSchema(source.schema, s.schema)
-    val kr = source.agg(min(col(key)), max(col(key))).head()
-    val keyRange = col(key) >= lit(kr.get(0)) && col(key) <= lit(kr.get(1))
+    val keyRange = sourceKeyRange(source, keys)
     val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, keyRange, generatedExprs(s))
     // row tracking: surviving target rows (kept, updated, or NMBS-
     // transformed) carry their stable id through the rewrite; inserts
@@ -1965,10 +2014,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // target rows with no source match: NOT-MATCHED-BY-SOURCE clauses
     // apply — inside the candidate files AND in the (clause-pruned)
     // rest of the table, which by key-range construction holds no match
-    val untouched = candDF.join(source, Seq(key), "left_anti")
+    val untouched = candDF.join(source, keys, "left_anti")
     val restFiles = nmbsRestFiles(s, candidates.map(_.path).toSet, nmbsUpdate, nmbsDelete)
     val restDF = layoutRewriteSource(s, restFiles)
-    val matched = candDF.join(source.select(key), Seq(key), "left_semi")
+    val keyCols = keys.map(col)
+    val matched = candDF.join(source.select(keyCols: _*), keys, "left_semi")
     // matched rows that survive (delete condition not met), evaluated
     // against the TARGET row
     val afterDelete = deleteCond match {
@@ -1992,7 +2042,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
     val replacements = updateSet match {
       case Some(set) =>
-        assignAll(toUpdate.join(srcPrefixed(source, key), Seq(key)), set, s, None)
+        assignAll(toUpdate.join(srcPrefixed(source, keys), keys), set, s, None)
       case None =>
         // update-all: the source row replaces the target row, which
         // KEEPS its id (same logical row) — attach it by key. One id
@@ -2001,14 +2051,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         // non-tracked path does, so enabling row tracking never
         // changes the merged row count
         if (rt) {
-          requireUniqueSourceKeys(source, toUpdate.select(key), key)
-          source.join(toUpdate.groupBy(key)
-            .agg(min(col(RowIdCol)).as(RowIdCol)), Seq(key))
+          requireUniqueSourceKeys(source, toUpdate.select(keyCols: _*), keys)
+          source.join(toUpdate.groupBy(keyCols: _*)
+            .agg(min(col(RowIdCol)).as(RowIdCol)), keys)
         }
-        else source.join(toUpdate.select(key), Seq(key), "left_semi")
+        else source.join(toUpdate.select(keyCols: _*), keys, "left_semi")
     }
     val inserts0 =
-      if (insertUnmatched) source.join(candDF.select(key), Seq(key), "left_anti")
+      if (insertUnmatched) source.join(candDF.select(keyCols: _*), keys, "left_anti")
       else source.limit(0)
     val inserts =
       if (rt) inserts0.withColumn(RowIdCol, lit(null).cast("long"))
@@ -2082,7 +2132,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * for a small delta merging into a 100 TB table: candidate files are
     * never rewritten; compaction materializes the masks later.
     */
-  private[lake] def executeMergeMoR(sourceIn: DataFrame, key: String,
+  private[lake] def executeMergeMoR(sourceIn: DataFrame, keys: Seq[String],
       updateAll: Boolean, updateCond: Option[Column],
       updateSet: Option[Map[String, Column]],
       deleteCond: Option[Column], insertUnmatched: Boolean,
@@ -2096,8 +2146,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val numSourceRows = source.count()
     validateConstraints(source, s)
     enforceSchema(source.schema, s.schema)
-    val kr = source.agg(min(col(key)), max(col(key))).head()
-    val keyRange = col(key) >= lit(kr.get(0)) && col(key) <= lit(kr.get(1))
+    val keyRange = sourceKeyRange(source, keys)
     val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, keyRange, generatedExprs(s))
     val restFiles = nmbsRestFiles(s, candidates.map(_.path).toSet, nmbsUpdate, nmbsDelete)
     val scanFiles = candidates ++ restFiles
@@ -2137,9 +2186,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // matched / NMBS-changed rows are sparse (a small delta against a
     // huge table) — persist them so the candidate scan runs once across
     // the DV write, the post-image write, and the CDC sidecar
-    val matched = live.join(source.select(key), Seq(key), "left_semi")
+    val keyCols = keys.map(col)
+    val matched = live.join(source.select(keyCols: _*), keys, "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val unmatchedTarget = live.join(source.select(key), Seq(key), "left_anti")
+    val unmatchedTarget = live.join(source.select(keyCols: _*), keys, "left_anti")
     val changeConds = nmbsDelete.toSeq ++ nmbsUpdate.map(_._1.getOrElse(lit(true))).toSeq
     val nmbsChanged = (if (changeConds.isEmpty) unmatchedTarget.limit(0)
       else unmatchedTarget.filter(coalesce(changeConds.reduce(_ || _), lit(false)) === true))
@@ -2159,16 +2209,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           afterDelete.filter(coalesce(uc, lit(false)) === true))
       val postImages = updateSet match {
         case Some(set) =>
-          assignAll(updRows.join(srcPrefixed(source, key), Seq(key)), set, s, None)
+          assignAll(updRows.join(srcPrefixed(source, keys), keys), set, s, None)
         case None =>
           // one id per key (min) — multiplicity parity with left_semi,
           // see the copy-on-write path
           if (rt) {
-            requireUniqueSourceKeys(source, updRows.select(key), key)
-            source.join(updRows.groupBy(key)
-              .agg(min(col(RowIdCol)).as(RowIdCol)), Seq(key))
+            requireUniqueSourceKeys(source, updRows.select(keyCols: _*), keys)
+            source.join(updRows.groupBy(keyCols: _*)
+              .agg(min(col(RowIdCol)).as(RowIdCol)), keys)
           }
-          else source.join(updRows.select(key), Seq(key), "left_semi")
+          else source.join(updRows.select(keyCols: _*), keys, "left_semi")
       }
       val nmbsDelRows = nmbsDelete match {
         case Some(dc) => nmbsChanged.filter(coalesce(dc, lit(false)) === true)
@@ -2188,7 +2238,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         case None => nmbsChanged.limit(0).select(outFields: _*)
       }
       val inserts0 =
-        if (insertUnmatched) source.join(live.select(key), Seq(key), "left_anti")
+        if (insertUnmatched) source.join(live.select(keyCols: _*), keys, "left_anti")
         else source.limit(0)
       val inserts =
         if (rt) inserts0.withColumn(RowIdCol, lit(null).cast("long"))
@@ -2273,11 +2323,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       Map("skippedEpoch" -> epochId.toString)
     else if (s.metadata.map(_.properties).getOrElse(Map.empty)
         .getOrElse("graft.streamUpsert.mor", "false").toBoolean)
-      executeMergeMoR(source, key, updateAll = true, updateCond = None,
+      executeMergeMoR(source, Seq(key), updateAll = true, updateCond = None,
         updateSet = None, deleteCond = None, insertUnmatched = true,
         nmbsUpdate = None, nmbsDelete = None,
         extraActions = Seq(SetTxn(appId, epochId)))
-    else executeMerge(source, key, updateAll = true, updateCond = None,
+    else executeMerge(source, Seq(key), updateAll = true, updateCond = None,
       deleteCond = None, insertUnmatched = true,
       extraActions = Seq(SetTxn(appId, epochId)))
   }

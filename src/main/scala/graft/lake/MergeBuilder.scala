@@ -32,7 +32,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   * O(candidate file bytes) — the right trade for a small delta
   * merging into a 100 TB table.
   */
-final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, key: String) {
+final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: Seq[String]) {
   private var updateAll = true
   private var updateCond: Option[Column] = None
   private var updateSet: Option[Map[String, Column]] = None
@@ -82,9 +82,9 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, key: S
 
   def execute(): Map[String, String] =
     if (mor)
-      t.executeMergeMoR(source, key, updateAll, updateCond, updateSet,
+      t.executeMergeMoR(source, keys, updateAll, updateCond, updateSet,
         deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete)
     else
-      t.executeMerge(source, key, updateAll, updateCond, updateSet,
+      t.executeMerge(source, keys, updateAll, updateCond, updateSet,
         deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete)
 }

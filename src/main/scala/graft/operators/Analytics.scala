@@ -560,18 +560,19 @@ object Analytics {
   }
 
   /** TPC-H Q21 flavor: orders served by exactly one supplier, credited
-    * to that supplier — distinct projection, grouped cardinality
-    * filter, anti join, then re-aggregate. The anti join is the
-    * NOT-EXISTS decorrelation; everything shuffles on l_orderkey until
-    * the final supplier rollup.
+    * to that supplier. Single pass: the NOT-EXISTS ("no second
+    * supplier") decorrelates to a per-order supplier count, computed
+    * as a window over the SAME l_orderkey shuffle the distinct already
+    * paid for — the earlier distinct+groupBy+anti-join shape scanned
+    * lineitem and ran its biggest exchange twice (round-6 audit).
     */
   def q35SoloSupplierOrders(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val s = Tables(spark, dir, "supplier")
     val pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    val multi = pairs.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_supp")).filter(col("n_supp") > 1)
-    pairs.join(multi, Seq("l_orderkey"), "left_anti")
+    pairs
+      .withColumn("n_supp", count(lit(1)).over(Window.partitionBy("l_orderkey")))
+      .filter(col("n_supp") === 1)
       .groupBy("l_suppkey").agg(count(lit(1)).as("n_solo_orders"))
       .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_solo_orders"))

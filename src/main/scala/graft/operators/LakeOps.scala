@@ -114,6 +114,26 @@ object LakeOps {
     t.toDF.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
   }
 
+  /** Composite-key MERGE on the tuple (l_orderkey, l_linenumber):
+    * the target is the deterministic per-tuple aggregate of lineitem
+    * (the raw synthetic table has duplicate tuples), so every order
+    * carries several lines — a single-key merge on l_orderkey would
+    * collapse them; the tuple key updates each line independently
+    * (qty×2 on a slice, shifted inserts) (L70).
+    */
+  def lakeMergeComposite(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("qty"))
+    val t = GraftTable.create(spark, workDir(dir, "mergecomp"), base)
+    val updates = base.filter(col("l_orderkey") < 100)
+      .withColumn("qty", col("qty") * 2)
+    val inserts = base.filter(col("l_orderkey") < 50)
+      .withColumn("l_orderkey", col("l_orderkey") + 10000000L)
+    t.merge(updates.unionByName(inserts), Seq("l_orderkey", "l_linenumber"))
+    t.toDF.agg(count(lit(1)).as("n"), round(sum("qty"), 2).as("sum_qty"))
+  }
+
   /** OPTIMIZE bin-packing: 64 tiny files → few, content intact (L7). */
   def lakeOptimize(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, workDir(dir, "optimize"),

@@ -41,6 +41,31 @@ class BloomSpec extends GraftSparkSpec {
     assert(t.readWhere(inPred).count() == li.filter(inPred).count())
   }
 
+  test("bloom probes evaluate task-side, scoped to candidate files only") {
+    val t = GraftTable.create(spark, tmpDir("bloom-scoped"),
+      li.repartition(8, col("l_orderkey")))
+    t.computeBloomFilter("l_orderkey")
+    val rel = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+      .apply("graft.bloom.l_orderkey")
+    // Plant a sidecar row for a path that is NOT a read candidate whose
+    // bytes are not a serialized bloom. The distributed read path scopes
+    // to candidate files before deserializing, so this row is never
+    // touched; the old driver path (collect the WHOLE sidecar into a
+    // Map) would throw deserializing it — this is the regression guard
+    // that the ~100 GB-at-design-point artifact stays out of the driver.
+    import spark.implicits._
+    Seq(("not-an-active-file.parquet", Array[Byte](1, 2, 3)))
+      .toDF("file_path", "bloom")
+      .write.mode("append").parquet(s"${t.path}/$rel")
+    val keys = li.select("l_orderkey").distinct().orderBy("l_orderkey")
+      .collect().map(_.getLong(0))
+    val key = keys(keys.length / 2)
+    val (kept, total) = t.pruneFiles(col("l_orderkey") === key)
+    assert(kept < total, s"bloom should still skip files, kept $kept/$total")
+    assert(t.readWhere(col("l_orderkey") === key).count() ==
+      li.filter(col("l_orderkey") === key).count())
+  }
+
   test("bloom on a string column; rewritten files fall back to kept") {
     val t = GraftTable.create(spark, tmpDir("bloom-str"),
       li.limit(4000).repartition(6, col("l_orderkey")))

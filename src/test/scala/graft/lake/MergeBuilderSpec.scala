@@ -202,6 +202,89 @@ class MergeBuilderSpec extends GraftSparkSpec {
       o.filter(col("o_orderkey") < 100).count())
   }
 
+  // tuple-unique composite-key base: per-(order, line) aggregate of
+  // lineitem (the raw synthetic table has duplicate tuples). Several
+  // lines per order ⇒ matching on l_orderkey alone would collapse them.
+  private def compBase = Tables(spark, sfDir, "lineitem")
+    .groupBy("l_orderkey", "l_linenumber")
+    .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("qty"))
+
+  test("composite-key merge matches on the column tuple, not any one key") {
+    val base = compBase
+    val t = GraftTable.create(spark, tmpDir("mb-comp"), base)
+    val updates = base.filter(col("l_orderkey") < 100)
+      .withColumn("qty", col("qty") * 2)
+    val inserts = base.filter(col("l_orderkey") < 50)
+      .withColumn("l_orderkey", col("l_orderkey") + 8000000L)
+    t.merge(updates.unionByName(inserts), Seq("l_orderkey", "l_linenumber"))
+    assert(t.toDF.count() == base.count() + inserts.count())
+    val gotQty = t.toDF.filter(col("l_orderkey") < 100)
+      .agg(sum("qty")).head().getDouble(0)
+    val expQty = base.filter(col("l_orderkey") < 100)
+      .agg(sum(col("qty") * 2)).head().getDouble(0)
+    assert(math.abs(gotQty - expQty) < 1e-6)
+  }
+
+  test("composite-key partial update sees src_ columns; MoR path agrees") {
+    val base = compBase
+    val src = base.filter(col("l_orderkey") < 60)
+      .withColumn("qty", col("qty") + 1.0)
+    def run(name: String, mor: Boolean) = {
+      val t = GraftTable.create(spark, tmpDir(name), base)
+      var b = t.mergeBuilder(src, Seq("l_orderkey", "l_linenumber"))
+        .whenMatchedUpdate(Map("qty" -> col("src_qty")),
+          condition = Some(col("l_linenumber") <= 3))
+        .whenNotMatchedIgnore()
+      if (mor) b = b.mergeOnRead()
+      b.execute()
+      t.toDF.agg(round(sum("qty"), 4)).head().getDouble(0)
+    }
+    val cow = run("mb-comp-cow", mor = false)
+    val expected = base.withColumn("qty",
+        when(col("l_orderkey") < 60 && col("l_linenumber") <= 3,
+          col("qty") + 1.0).otherwise(col("qty")))
+      .agg(round(sum("qty"), 4)).head().getDouble(0)
+    assert(cow == expected, s"CoW composite partial update: $cow vs $expected")
+    assert(run("mb-comp-mor", mor = true) == expected, "MoR disagrees with CoW")
+  }
+
+  test("row-tracked composite merge: tuple-unique source passes, dup tuple raises") {
+    val base = compBase.filter(col("l_orderkey") < 200)
+    val t = GraftTable.create(spark, tmpDir("mb-comp-rt"), base,
+      properties = Map("graft.rowTracking" -> "true"))
+    // source rows share l_orderkey (several lines) but tuples are unique
+    val src = base.filter(col("l_orderkey") < 40)
+      .withColumn("qty", col("qty") + 1.0)
+    val before = t.toDFWithRowIds.orderBy("l_orderkey", "l_linenumber")
+      .select("row_id").collect().toSeq
+    t.merge(src, Seq("l_orderkey", "l_linenumber"))
+    val after = t.toDFWithRowIds.orderBy("l_orderkey", "l_linenumber")
+      .select("row_id").collect().toSeq
+    assert(after == before, "stable ids must survive a composite-key update")
+    val dup = src.unionByName(src.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      t.merge(dup, Seq("l_orderkey", "l_linenumber"))
+    }
+    assert(e.getMessage.contains("deduplicate"))
+  }
+
+  test("SQL MERGE with a composite ON conjunction") {
+    val gsql = new GraftSql(spark)
+    val base = compBase
+    gsql.registerCreate("mtc", tmpDir("mb-sqlcomp"), base)
+    base.filter(col("l_orderkey") < 30)
+      .withColumn("qty", lit(-5.0))
+      .createOrReplaceTempView("msrcc")
+    gsql.sql(
+      """MERGE INTO mtc USING msrcc
+        |ON mtc.l_orderkey = msrcc.l_orderkey AND mtc.l_linenumber = msrcc.l_linenumber
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val t = gsql.table("mtc").toDF
+    assert(t.count() == base.count())
+    assert(t.filter(col("qty") === -5.0).count() ==
+      base.filter(col("l_orderkey") < 30).count())
+  }
+
   test("merge-on-read merge with no matches and no inserts is a no-op commit") {
     val (o, t) = freshOrders("mb-mor-noop")
     val src = o.limit(10).withColumn("o_orderkey", col("o_orderkey") + 9000000L)
