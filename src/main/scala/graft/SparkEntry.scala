@@ -89,6 +89,7 @@ object SparkEntry {
     "text_gopher_filter" -> TextOps.textGopherFilter _,
     "text_vocab" -> TextOps.textVocab _,
     "text_tfidf" -> TextOps.textTfidf _,
+    "text_winnow" -> TextOps.textWinnow _,
     "text_rarity" -> TextOps.textRarity _,
     "text_perplexity" -> TextOps.textPerplexity _,
     "dedup_exact" -> Dedup.dedupExact _,
@@ -153,6 +154,7 @@ object SparkEntry {
     "lake_bloom_join" -> LakeOps.lakeBloomJoin _,
     "lake_dynamic_overwrite" -> LakeOps.lakeDynamicOverwrite _,
     "lake_mv_incremental" -> LakeOps.lakeMvIncremental _,
+    "lake_mv_avg" -> LakeOps.lakeMvAvg _,
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _)
 
@@ -307,7 +309,7 @@ object SparkEntry {
     * [[simIvfPqSql]] (CTE names are disjoint from the PQ chain's).
     */
   private val ivfCandCtes: String =
-    "iprm AS (SELECT COUNT(*) AS n, LEAST(1024, GREATEST(16, LEAST(" +
+    "iprm AS (SELECT COUNT(*) AS n, LEAST(1048576, GREATEST(16, LEAST(" +
       "CAST(power(2, length(bin(GREATEST(1, COUNT(*) // 2))) - 1) AS BIGINT), " +
       "CAST(power(2, length(bin(GREATEST(1, CAST(FLOOR(8 * sqrt(COUNT(*))) AS BIGINT)))) - 1) AS BIGINT)))) AS k " +
       "FROM emb), " +
@@ -997,7 +999,7 @@ object SparkEntry {
         "WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.99 ORDER BY id_a, id_b"),
     "dedup_semantic" ->
       ("WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-        "prm AS (SELECT COUNT(*) AS n, LEAST(1024, GREATEST(16, LEAST(" +
+        "prm AS (SELECT COUNT(*) AS n, LEAST(1048576, GREATEST(16, LEAST(" +
         "CAST(power(2, length(bin(GREATEST(1, COUNT(*) // 2))) - 1) AS BIGINT), " +
         "CAST(power(2, length(bin(GREATEST(1, CAST(FLOOR(8 * sqrt(COUNT(*))) AS BIGINT)))) - 1) AS BIGINT)))) AS k " +
         "FROM emb0), " +
@@ -1075,6 +1077,34 @@ object SparkEntry {
       ("SELECT doc_id, lang, rn FROM (SELECT doc_id, lang, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn " +
         "FROM documents) t WHERE rn <= 50 ORDER BY doc_id"),
+    // MOSS winnowing replica: k=8 char shingles, FNV-1a per shingle
+    // (the shared fold replica), w=4 sliding windows picking the
+    // rightmost minimal hash under SIGNED comparison — the packed
+    // arg_min key biases the unsigned fold by 2^63 so HUGEINT order
+    // matches the kernel's signed-long order, then tie-breaks toward
+    // the larger position via (2^32-1 − i). Consecutive-dup dedup is
+    // plain DISTINCT (selected positions are non-decreasing).
+    "text_winnow" ->
+      ("WITH docs AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "pos AS (SELECT doc_id, t, UNNEST(range(1, greatest(length(t)-6,1))) AS i FROM docs), " +
+        "grams AS (SELECT doc_id, CAST(i AS BIGINT) AS i, " +
+        "substr(t, CAST(i AS INT), 8) AS sh FROM pos), " +
+        "hs AS (SELECT doc_id, i, CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT) " +
+        "THEN CAST(hu - CAST('18446744073709551616' AS HUGEINT) AS BIGINT) " +
+        "ELSE CAST(hu AS BIGINT) END AS h, " +
+        "(((hu + CAST('9223372036854775808' AS HUGEINT)) % " +
+        "CAST('18446744073709551616' AS HUGEINT)) * 4294967296 + (4294967295 - i)) AS k " +
+        s"FROM (SELECT doc_id, i, ${fnvFoldSql("14695981039346656037")} AS hu FROM grams)), " +
+        "wins AS (SELECT a.doc_id, a.i AS s0, " +
+        "arg_min(b.i, b.k) AS bi, arg_min(b.h, b.k) AS bh " +
+        "FROM hs a JOIN hs b ON b.doc_id=a.doc_id AND b.i BETWEEN a.i AND a.i+3 " +
+        "GROUP BY a.doc_id, a.i HAVING COUNT(*) = 4), " +
+        "ded AS (SELECT DISTINCT doc_id, bi, bh FROM wins), " +
+        "fps AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, " +
+        "string_agg(bi || ':' || bh, ',' ORDER BY bi) AS s FROM ded GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(greatest(length(t)-7,0) AS BIGINT) AS n_grams, " +
+        "COALESCE(f.n_fp, 0) AS n_fp, md5(COALESCE(f.s,'')) AS fp_md5 " +
+        "FROM docs d LEFT JOIN fps f USING(doc_id) ORDER BY doc_id"),
     "text_vocab" ->
       ("WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
         "FROM documents WHERE length(trim(text)) > 0), " +
@@ -1263,6 +1293,17 @@ object SparkEntry {
         "WHERE l_orderkey % 11 = 0) " +
         "SELECT l_returnflag, COUNT(*) AS n_rows, " +
         "CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c " +
+        "FROM s3 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "lake_mv_avg" ->
+      ("WITH base AS (SELECT l_orderkey, l_returnflag, " +
+        "CASE WHEN l_orderkey % 3 = 0 THEN NULL " +
+        "ELSE CAST(ROUND(l_quantity * 100) AS BIGINT) END AS qty_c FROM lineitem), " +
+        "s1 AS (SELECT * FROM base WHERE l_orderkey % 7 <> 0), " +
+        "s3 AS (SELECT * FROM s1 UNION ALL " +
+        "SELECT l_orderkey, l_returnflag, qty_c * 2 AS qty_c FROM base " +
+        "WHERE l_orderkey % 11 = 0) " +
+        "SELECT l_returnflag, COUNT(qty_c) AS n_vals, " +
+        "ROUND(AVG(qty_c),4) AS avg_qty_c " +
         "FROM s3 GROUP BY l_returnflag ORDER BY l_returnflag"),
     // untouched partitions keep source rows; the 'R' partition is
     // replaced by the doubled-quantity backfill

@@ -258,8 +258,10 @@ object CharEntropy {
   * §"Winnowing"): FNV-1a hashes of the [[WinnowFingerprints.K]]-gram
   * character shingles, then one fingerprint selected per sliding
   * window of [[WinnowFingerprints.W]] consecutive hashes — the
-  * RIGHTMOST minimal hash, the paper's robust-winnowing tie rule —
-  * deduplicated by position. Guarantees any shared substring of
+  * RIGHTMOST minimal hash, the paper's (plain) winnowing tie rule;
+  * robust winnowing, which prefers re-selecting the previously
+  * selected hash on ties, is a different variant — deduplicated by
+  * position. Guarantees any shared substring of
   * length ≥ K+W−1 contributes at least one common fingerprint, at
   * ~2/(W+1) the density of the full k-gram set: the plagiarism /
   * near-copy detection primitive whole-document hashing misses.
@@ -340,6 +342,8 @@ object GraftFunctions {
       unary("graft_bigrams")(BigramsExpr.apply), "built-in")
     reg.createOrReplaceTempFunction("graft_char_entropy",
       unary("graft_char_entropy")(CharEntropy.apply), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow_fps",
+      unary("graft_winnow_fps")(WinnowFingerprints.apply), "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams", { exprs =>
       require(exprs.size == 2, s"graft_ngrams expects (text, n), got ${exprs.size} args")
       val n = exprs(1) match {

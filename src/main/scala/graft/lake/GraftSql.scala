@@ -97,6 +97,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$""".r
   private val mvSumItemRe: Regex =
     """(?i)^SUM\s*\(\s*(\w+)\s*\)(?:\s+AS\s+\w+)?$""".r
+  private val mvAvgItemRe: Regex =
+    """(?i)^AVG\s*\(\s*(\w+)\s*\)(?:\s+AS\s+\w+)?$""".r
   private val mvCountItemRe: Regex =
     """(?i)^COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+\w+)?$""".r
   private val insertRe: Regex =
@@ -227,17 +229,20 @@ final class GraftSql(spark: SparkSession) {
           .toDF("col_name", "data_type")
       case createMvRe(name, location, selectList, srcName, groupBy) =>
         // select list must be exactly what the view can maintain:
-        // group columns, COUNT(*), SUM(col) — anything else refuses
+        // group columns, COUNT(*), SUM(col), AVG(col) — an AVG is
+        // stored as its sum + non-null count pair, so it maintains
+        // the same state a SUM does; anything else refuses
         val groupCols = groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val sumCols = selectList.split(",").map(_.trim).filter(_.nonEmpty)
           .flatMap {
             case mvSumItemRe(c) => Some(c)
+            case mvAvgItemRe(c) => Some(c)
             case mvCountItemRe() => None
             case item if groupCols.contains(item) => None
             case item => throw new IllegalArgumentException(
-              s"materialized views maintain group columns, COUNT(*), and " +
-                s"SUM(col) only; cannot maintain: $item")
-          }.toSeq
+              s"materialized views maintain group columns, COUNT(*), " +
+                s"SUM(col), and AVG(col) only; cannot maintain: $item")
+          }.distinct.toSeq
         val mv = MaterializedAgg.create(spark, location, table(srcName),
           groupCols, sumCols)
         matViews(name) = mv

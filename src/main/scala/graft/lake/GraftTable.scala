@@ -502,6 +502,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * against every centroid per session. Same fingerprint idempotence
     * contract as [[buildPqIndex]].
     */
+  /** Strided medoid centroid selection as a DataFrame: every
+    * stride-th row in id order, 0-based dense centroid ids. The
+    * global row_number window runs over the ALREADY-strided subset
+    * (~k rows of index metadata), never the corpus.
+    */
+  private def ivfCentroidsDf(df: DataFrame, idCol: String, vecCol: String,
+      stride: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.filter(col(idCol) % stride === 0)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("c"))
+      .withColumn("cid_c",
+        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+      .filter(col("cid_c") < k)
+      .select(col("cid_c"), col("c"))
+  }
+
   def buildIvfIndex(idCol: String, vecCol: String, probes: Int = 6): Long = {
     import org.apache.spark.sql.GraftSqlShims
     val s = snapshot
@@ -516,26 +532,41 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     require(n > 0, "cannot build an IVF index on an empty table")
     val k = graft.operators.IvfIndex.kFor(n)
     val stride = math.max(1L, n / k)
-    val cents = df.filter(col(idCol) % stride === 0).orderBy(idCol).limit(k)
-      .select(vecCol).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: java.lang.Float => f.toDouble
-        case d: java.lang.Double => d.doubleValue()
-        case other => other.toString.toDouble
-      }.toArray)
     val rel = s"_graft_ivf/$vecCol-${UUID.randomUUID()}"
-    val sp = spark
-    import sp.implicits._
-    // centroids are k×dim ≤ MBs of index metadata — one tidy file is
-    // the right shape (unlike bloom bitsets, which are data-scale)
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cid_c", "c").coalesce(1).write.parquet(s"$path/$rel/centroids")
-    df.select(col(idCol).cast("long").as("id"),
-        posexplode(graft.functions.VectorFunctions.topCentroidIds(
-          col(vecCol), cents, math.min(probes, cents.length))))
-      .select(col("id"), (col("pos") + 1).cast("int").as("rr"),
-        col("col").as("cluster"))
-      .write.parquet(s"$path/$rel/assign")
+    if (k <= graft.operators.IvfIndex.PlanConstantMaxK) {
+      val cents = df.filter(col(idCol) % stride === 0).orderBy(idCol).limit(k)
+        .select(vecCol).collect()
+        .map(_.getSeq[Any](0).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case other => other.toString.toDouble
+        }.toArray)
+      val sp = spark
+      import sp.implicits._
+      // centroids are k×dim ≤ MBs of index metadata — one tidy file is
+      // the right shape (unlike bloom bitsets, which are data-scale)
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cid_c", "c").coalesce(1).write.parquet(s"$path/$rel/centroids")
+      df.select(col(idCol).cast("long").as("id"),
+          posexplode(graft.functions.VectorFunctions.topCentroidIds(
+            col(vecCol), cents, math.min(probes, cents.length))))
+        .select(col("id"), (col("pos") + 1).cast("int").as("rr"),
+          col("col").as("cluster"))
+        .write.parquet(s"$path/$rel/assign")
+    } else {
+      // large-k path: centroids never touch the driver — the strided
+      // medoid selection stays a DataFrame, the sidecar shards like
+      // any other table, and assignment is the broadcast-join kernel
+      // twin (bit-identical scores; see assignTopCentroids)
+      val centsDf = ivfCentroidsDf(df, idCol, vecCol, stride, k)
+      centsDf.write.parquet(s"$path/$rel/centroids")
+      graft.functions.VectorFunctions.assignTopCentroids(
+          df.select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("__v")),
+          "id", "__v", spark.read.parquet(s"$path/$rel/centroids"),
+          math.min(probes, k))
+        .write.parquet(s"$path/$rel/assign")
+    }
     commitMetadataMerge(
       info("BUILD IVF INDEX",
         params = Map("column" -> vecCol, "idColumn" -> idCol,
@@ -3155,7 +3186,8 @@ object GraftTable {
     */
   private[lake] def requiredWriterVersion(props: Map[String, String]): Int =
     if (props.get("graft.rowTracking").contains("true") ||
-        props.keys.exists(_.startsWith("graft.identity."))) 2
+        props.keys.exists(_.startsWith("graft.identity.")) ||
+        props.contains("graft.mv.source")) 2
     else 1
 
   /** Named writer features the table's properties demand (Delta 3.x
@@ -3166,7 +3198,11 @@ object GraftTable {
   private[lake] def requiredWriterFeatures(props: Map[String, String]): Seq[String] =
     Seq(
       props.get("graft.rowTracking").contains("true") -> "rowTracking",
-      props.keys.exists(_.startsWith("graft.identity.")) -> "identityColumns")
+      props.keys.exists(_.startsWith("graft.identity.")) -> "identityColumns",
+      // MV view state: a writer that doesn't understand the
+      // refresh/version-stamp invariant must not commit into it — a
+      // plain append would desync state from its sourceVersion stamp
+      props.contains("graft.mv.source") -> "materializedView")
       .collect { case (true, f) => f }
 
   /** Fingerprint of a snapshot's logical row set (active data files +

@@ -59,19 +59,23 @@ final class MaterializedAgg private (val spark: SparkSession,
     val cf = source.changeFeed(from, to)
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
+    val deltaAggs =
+      sum(sign).as(CountCol) +: sumCols.flatMap(c => Seq(
+        sum(sign * col(c).cast("long")).as(sumName(c)),
+        sum(sign * when(col(c).isNotNull, 1L).otherwise(0L)).as(cntName(c))))
     val delta = cf
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(sign).as(CountCol),
-        sumCols.map(c => sum(sign * col(c).cast("long")).as(sumName(c))): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
     // fold = union + re-aggregate: groups NULL keys together (a join
     // on keys would not) and never names columns ambiguously; the
     // union is view-state-sized + delta-sized, both far below source
-    val outCols = groupCols ++ (CountCol +: sumCols.map(sumName))
+    val stateCols = CountCol +: sumCols.flatMap(c => Seq(sumName(c), cntName(c)))
+    val outCols = groupCols ++ stateCols
+    val foldAggs = stateCols.map(c => sum(c).as(c))
     val next = view.toDF.select(outCols.map(col): _*)
       .unionByName(delta.select(outCols.map(col): _*))
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(CountCol).as(CountCol),
-        sumCols.map(c => sum(sumName(c)).as(sumName(c))): _*)
+      .agg(foldAggs.head, foldAggs.tail: _*)
       .filter(col(CountCol) > 0) // fully-retracted groups disappear
     view.overwriteWithProperties(next, Map(VersionKey -> to.toString),
       "MV REFRESH")
@@ -85,12 +89,19 @@ object MaterializedAgg {
   private val VersionKey = "graft.mv.sourceVersion"
   val CountCol = "mv_count"
   def sumName(c: String): String = s"mv_sum_$c"
+  /** Per-column NON-NULL count: with [[sumName]] it derives an exact
+    * AVG (`sum/cnt`, not `sum/count(*)` — the two differ whenever the
+    * averaged column has NULLs), retractable like the sums.
+    */
+  def cntName(c: String): String = s"mv_cnt_$c"
 
   private[lake] def aggregate(df: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as(CountCol),
-        sumCols.map(c => sum(col(c).cast("long")).as(sumName(c))): _*)
+      sumCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as(CountCol) +: sumCols.flatMap(c => Seq(
+      sum(col(c).cast("long")).as(sumName(c)),
+      count(col(c)).as(cntName(c))))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Materialize `SELECT groupCols, count(*), sum(sumCols…) FROM
     * source GROUP BY groupCols` at `path`, stamped with the source

@@ -90,7 +90,7 @@ object Snapshot {
     "generatedColumns", "timestampNtz", "v2Checkpoint")
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++ Set(
     "rowTracking", "identityColumns", "checkConstraints", "defaultColumns",
-    "clustering", "appendOnly", "invariants")
+    "clustering", "appendOnly", "invariants", "materializedView")
 
   /** LRU of reconstructed snapshots. A committed version's content is
     * immutable (commits are CREATE_NEW files), so (path, version,

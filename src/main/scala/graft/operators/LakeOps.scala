@@ -134,6 +134,31 @@ object LakeOps {
     t.toDF.agg(count(lit(1)).as("n"), round(sum("qty"), 2).as("sum_qty"))
   }
 
+  /** AVG-maintaining MV (L71): state stores sum + NON-NULL count per
+    * averaged column, so the derived avg is exact even when the
+    * column has NULLs (sum/count(*) would be wrong there). Same
+    * delete/append churn shape as [[lakeMvIncremental]], with a
+    * NULL stripe injected.
+    */
+  def lakeMvAvg(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        when(col("l_orderkey") % 3 === 0, lit(null).cast("long"))
+          .otherwise(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+    val src = graft.lake.GraftTable.create(spark, workDir(dir, "mvavgsrc"),
+      base, properties = Map("graft.cdf" -> "true"))
+    val mv = graft.lake.MaterializedAgg.create(spark, workDir(dir, "mvavg"),
+      src, Seq("l_returnflag"), Seq("qty_c"))
+    src.delete(col("l_orderkey") % 7 === 0)
+    src.append(base.filter(col("l_orderkey") % 11 === 0)
+      .withColumn("qty_c", col("qty_c") * 2))
+    mv.refresh()
+    mv.toDF.select(col("l_returnflag"),
+        col("mv_cnt_qty_c").as("n_vals"),
+        round(col("mv_sum_qty_c") / col("mv_cnt_qty_c"), 4).as("avg_qty_c"))
+      .orderBy("l_returnflag")
+  }
+
   /** OPTIMIZE bin-packing: 64 tiny files → few, content intact (L7). */
   def lakeOptimize(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, workDir(dir, "optimize"),

@@ -263,27 +263,38 @@ object Pipeline {
     * last, noisiest first — or dropped outright).
     *
     * Scale shape: the naive `ntile(10) OVER (ORDER BY score)` is a
-    * single-reducer global sort at 100 TB. Instead the nine decile cut
-    * points are selected by distributed-sort rank selection (the
-    * [[graft.operators.Analytics.q17ExactPercentile]] machinery — only
-    * 9 longs ever reach the driver) and bucket assignment is a
+    * single-reducer global sort at 100 TB — and so is a full
+    * sort+zipWithIndex rank selection. Instead the nine cut VALUES are
+    * read off a per-distinct-rate histogram: `rate` is an integer
+    * per-mille bit rate (≲ tens of thousands of distinct values at any
+    * corpus size, bounded by the bits-per-bigram range — value-bounded,
+    * not row-bounded), so one hash aggregate shrinks the corpus to a
+    * value histogram and the cumulative-count window runs over THAT.
+    * The value at 0-based rank r is the unique rate whose cumulative
+    * span contains r (cum−cnt ≤ r < cum); ≤9 histogram rows reach the
+    * driver, no corpus sort anywhere. Bucket assignment stays a
     * zero-shuffle codegen'd comparison against the broadcast-literal
     * cuts. Ties share a value, so every tied doc lands in the same
     * bucket on both engines: bucket = 1 + #(cuts < rate), exact
     * integer arithmetic end-to-end.
     */
   def pipeCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: feeds the histogram pass and the final bucket
+    // projection — the bigram-LM DAG behind textPerplexity runs once
     val scores = TextOps.textPerplexity(spark, dir)
       .select(col("doc_id"),
         expr("bits_sum * 1000 div n_bigrams").as("rate"))
-    val n = scores.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = scores.groupBy("rate").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("rate")))
+    val n = hist.agg(max("cum")).head().getLong(0)
     val ranks = (1 to 9).map(i => (i * n) / 10 - 1).filter(_ >= 0).distinct
-    val rankSet = ranks.toSet
-    val picked = scores.select(col("rate")).sort("rate")
-      .rdd.map(_.getLong(0)).zipWithIndex()
-      .filter { case (_, i) => rankSet.contains(i) }
-      .map(_.swap).collectAsMap()
-    val cuts = ranks.map(picked)
+    val crossing = ranks.map(r =>
+      col("cum") - col("cnt") <= r && col("cum") > r).reduce(_ || _)
+    val picked = hist.filter(crossing)
+      .select(col("rate"), col("cnt"), col("cum")).collect()
+    val cuts = ranks.map(r => picked.find(p =>
+      p.getLong(2) - p.getLong(1) <= r && r < p.getLong(2)).get.getLong(0))
     val bucket = cuts.map(c => when(col("rate") > lit(c), 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0)) + lit(1)
     scores.withColumn("bucket", bucket.cast("long"))

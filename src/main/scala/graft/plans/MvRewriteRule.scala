@@ -4,8 +4,9 @@ import scala.collection.mutable
 
 import graft.lake.MaterializedAgg
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -39,9 +40,10 @@ object MvCatalog {
   * source version equals the source's current version (a stale view
   * never answers), and (c) every output expression maps 1:1 onto
   * stored state — grouping attrs, `count(*)`/`count(1)`, or
-  * `sum(col)` over a maintained column. Anything else leaves the
-  * plan untouched. Output attribute ids are preserved, so downstream
-  * operators resolve unchanged.
+  * `sum(col)` / `avg(col)` / `count(col)` over a maintained column
+  * (avg divides the stored sum by the stored NON-NULL count).
+  * Anything else leaves the plan untouched. Output attribute ids are
+  * preserved, so downstream operators resolve unchanged.
   */
 case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -97,6 +99,20 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(Sum(e, _), _, false, None, _), name) =>
         val c = sumSource(e).getOrElse(return None)
         Alias(Cast(mvOut(MaterializedAgg.sumName(c)), al.dataType), name)(exprId = al.exprId)
+      // AVG = stored sum / stored NON-NULL count (exact even when the
+      // averaged column has NULLs — count(*) would be wrong there).
+      // A group whose values are all NULL has a NULL stored sum, so
+      // the division yields NULL like avg does; no divide-by-zero.
+      case al @ Alias(AggregateExpression(Average(e, _), _, false, None, _), name) =>
+        val c = sumSource(e).getOrElse(return None)
+        Alias(Cast(Divide(
+          Cast(mvOut(MaterializedAgg.sumName(c)), DoubleType),
+          Cast(mvOut(MaterializedAgg.cntName(c)), DoubleType)), al.dataType),
+          name)(exprId = al.exprId)
+      // count(col) = stored non-null count for a maintained column
+      case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), name)
+          if sumCols.contains(a.name) =>
+        Alias(Cast(mvOut(MaterializedAgg.cntName(a.name)), al.dataType), name)(exprId = al.exprId)
       case _ => return None
     }
     Some(Project(projections, mvPlan))

@@ -60,6 +60,17 @@ class MaterializedAggSpec extends GraftSparkSpec {
       MaterializedAgg.forPath(spark, mv.view.path, other))
   }
 
+  test("MV view state is protocol-stamped with a named writer feature") {
+    val src = GraftTable.create(spark, tmpDir("mv-src-proto"), li.limit(50))
+    val mv = MaterializedAgg.create(spark, tmpDir("mv-view-proto"), src,
+      Seq("l_returnflag"), Seq("qty_c"))
+    val proto = mv.view.snapshot.protocol
+    assert(proto.exists(_.writerFeatures.contains("materializedView")),
+      "view state must carry the materializedView writer feature")
+    assert(proto.exists(_.minWriterVersion >= 2),
+      "pre-feature (v1) writers must be rejected from view state")
+  }
+
   test("source RESTORE folds through the change feed as a rollback") {
     val src = GraftTable.create(spark, tmpDir("mv-src4"), li.limit(100))
     val vSeed = src.version

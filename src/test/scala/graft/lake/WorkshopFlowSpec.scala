@@ -251,10 +251,20 @@ class WorkshopFlowSpec extends GraftSparkSpec {
       gsql.sql("REFRESH MATERIALIZED VIEW flag_stats")
       val n1 = gsql.sql("SELECT SUM(mv_count) AS n FROM flag_stats").head().getLong(0)
       assert(n1 == gsql.sql("SELECT COUNT(*) AS n FROM mvsrc").head().getLong(0))
-      // unmaintainable select list refuses loudly
+      // AVG maintains as its sum + non-null count pair
+      gsql.sql(s"CREATE MATERIALIZED VIEW flag_avg LOCATION '${tmpDir("sql-mv-avg")}' " +
+        "AS SELECT l_returnflag, AVG(qty_c) FROM mvsrc GROUP BY l_returnflag")
+      val avgGot = gsql.sql("SELECT l_returnflag, " +
+          "CAST(mv_sum_qty_c AS DOUBLE) / mv_cnt_qty_c AS a FROM flag_avg ORDER BY l_returnflag")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val avgExp = gsql.sql("SELECT l_returnflag, AVG(qty_c) AS a FROM mvsrc " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(avgGot == avgExp)
+      // unmaintainable select list still refuses loudly
       intercept[IllegalArgumentException](
         gsql.sql(s"CREATE MATERIALIZED VIEW bad LOCATION '${tmpDir("sql-mv-bad")}' " +
-          "AS SELECT l_returnflag, AVG(qty_c) FROM mvsrc GROUP BY l_returnflag"))
+          "AS SELECT l_returnflag, MAX(qty_c) FROM mvsrc GROUP BY l_returnflag"))
     } finally graft.plans.MvCatalog.clear()
   }
 }

@@ -67,6 +67,32 @@ class PqIndexSpec extends GraftSparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel, "centroids")))
   }
 
+  test("broadcast-join assignment is bit-identical to the kernel at k > 1024") {
+    import graft.functions.VectorFunctions
+    // deterministic synthetic vectors (id-derived, no RNG); k past the
+    // old hard cap exercises the path real corpora hit at ~10^5 rows
+    val dim = 8
+    val vecs = spark.range(1400).select(col("id"),
+      array((0 until dim).map(j =>
+        (sin(col("id") * (j + 3)) * 100).cast("double")): _*).as("v"))
+    val k = 1300
+    val centsLocal = vecs.filter(col("id") < k).orderBy("id")
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val kernel = vecs.select(col("id"),
+        posexplode(VectorFunctions.topCentroidIds(col("v"), centsLocal, 6)))
+      .select(col("id"), (col("pos") + 1).cast("int").as("rr"),
+        col("col").as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val centsDf = vecs.filter(col("id") < k).orderBy("id")
+      .select(col("id").cast("int").as("cid_c"), col("v").as("c"))
+    val joined = VectorFunctions.assignTopCentroids(vecs, "id", "v", centsDf, 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(joined == kernel,
+      "join-path assignments must be bit-identical to the kernel's")
+    assert(IvfIndex.kFor(100000000L) > 1024,
+      "k must keep scaling as 8·√n past the old 1024 cap")
+  }
+
   test("codebook property round-trips") {
     val books = Array.tabulate(4, 3, 2)((a, b, c) => (a * 100 + b * 10 + c).toLong)
     val back = PqCodebook.decodeBooks(PqCodebook.encodeBooks(books))

@@ -34,8 +34,8 @@ class MvRewriteSpec extends GraftSparkSpec {
       val filtered = src.toDF.filter(col("qty_c") > 0)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
       assert(!scansView(filtered, "mvr-view"))
-      val avgQ = src.toDF.groupBy("l_returnflag").agg(avg("qty_c").as("a"))
-      assert(!scansView(avgQ, "mvr-view"))
+      val maxQ = src.toDF.groupBy("l_returnflag").agg(max("qty_c").as("m"))
+      assert(!scansView(maxQ, "mvr-view"))
       val otherG = src.toDF.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
       assert(!scansView(otherG, "mvr-view"))
       // source moved: the stale view must NOT answer, results stay true
@@ -48,6 +48,38 @@ class MvRewriteSpec extends GraftSparkSpec {
       assert(scansView(q, "mvr-view"))
       assert(q.collect().map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2))).toSet == expect2._1)
+    } finally MvCatalog.clear()
+  }
+
+  test("avg and count(col) rewrite from stored sum + non-null count, NULL-exact") {
+    // NULL stripe in the averaged column: avg must divide by the
+    // NON-NULL count — a sum/count(*) derivation would be wrong here
+    val withNulls = li.withColumn("qty_c",
+      when(col("l_orderkey") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("qty_c")))
+    val src = GraftTable.create(spark, tmpDir("mvr-avg-src"), withNulls.limit(400))
+    val mv = MaterializedAgg.create(spark, tmpDir("mvr-avg-view"), src,
+      Seq("l_returnflag"), Seq("qty_c"))
+    def q = src.toDF.groupBy("l_returnflag")
+      .agg(avg("qty_c").as("a"), count(col("qty_c")).as("nv"))
+    val expect = q.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    MvCatalog.register(mv)
+    try {
+      assert(scansView(q, "mvr-avg-view"), "fresh MV must answer avg/count(col)")
+      assert(q.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getLong(2))).toSet == expect)
+      // exactness survives incremental maintenance of the counts
+      src.delete(col("l_orderkey") % 7 === 0)
+      mv.refresh()
+      assert(scansView(q, "mvr-avg-view"))
+      val fromView = q.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      MvCatalog.clear()
+      assert(!scansView(q, "mvr-avg-view"))
+      val fromSource = q.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(fromView == fromSource, "view-answered avg differs from source scan")
     } finally MvCatalog.clear()
   }
 }
