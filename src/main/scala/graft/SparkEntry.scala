@@ -155,6 +155,7 @@ object SparkEntry {
     "lake_dynamic_overwrite" -> LakeOps.lakeDynamicOverwrite _,
     "lake_mv_incremental" -> LakeOps.lakeMvIncremental _,
     "lake_mv_avg" -> LakeOps.lakeMvAvg _,
+    "lake_mv_minmax" -> LakeOps.lakeMvMinMax _,
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _)
 
@@ -1304,6 +1305,16 @@ object SparkEntry {
         "WHERE l_orderkey % 11 = 0) " +
         "SELECT l_returnflag, COUNT(qty_c) AS n_vals, " +
         "ROUND(AVG(qty_c),4) AS avg_qty_c " +
+        "FROM s3 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "lake_mv_minmax" ->
+      ("WITH base AS (SELECT l_orderkey, l_returnflag, " +
+        "CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c FROM lineitem), " +
+        "s1 AS (SELECT * FROM base WHERE qty_c <= 4000), " +
+        "s3 AS (SELECT * FROM s1 UNION ALL " +
+        "SELECT l_orderkey, l_returnflag, qty_c + 50 AS qty_c FROM base " +
+        "WHERE l_orderkey % 13 = 0) " +
+        "SELECT l_returnflag, COUNT(*) AS n_rows, " +
+        "MIN(qty_c) AS min_qty_c, MAX(qty_c) AS max_qty_c " +
         "FROM s3 GROUP BY l_returnflag ORDER BY l_returnflag"),
     // untouched partitions keep source rows; the 'R' partition is
     // replaced by the doubled-quantity backfill

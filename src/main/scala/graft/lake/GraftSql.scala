@@ -99,6 +99,10 @@ final class GraftSql(spark: SparkSession) {
     """(?i)^SUM\s*\(\s*(\w+)\s*\)(?:\s+AS\s+\w+)?$""".r
   private val mvAvgItemRe: Regex =
     """(?i)^AVG\s*\(\s*(\w+)\s*\)(?:\s+AS\s+\w+)?$""".r
+  private val mvMinItemRe: Regex =
+    """(?i)^MIN\s*\(\s*(\w+)\s*\)(?:\s+AS\s+\w+)?$""".r
+  private val mvMaxItemRe: Regex =
+    """(?i)^MAX\s*\(\s*(\w+)\s*\)(?:\s+AS\s+\w+)?$""".r
   private val mvCountItemRe: Regex =
     """(?i)^COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+\w+)?$""".r
   private val insertRe: Regex =
@@ -229,22 +233,30 @@ final class GraftSql(spark: SparkSession) {
           .toDF("col_name", "data_type")
       case createMvRe(name, location, selectList, srcName, groupBy) =>
         // select list must be exactly what the view can maintain:
-        // group columns, COUNT(*), SUM(col), AVG(col) — an AVG is
-        // stored as its sum + non-null count pair, so it maintains
-        // the same state a SUM does; anything else refuses
+        // group columns, COUNT(*), SUM/AVG(col) (avg stores its sum +
+        // non-null count pair), MIN/MAX(col) (insert-only fold with
+        // recompute-on-retract) — anything else refuses
         val groupCols = groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val sumCols = selectList.split(",").map(_.trim).filter(_.nonEmpty)
-          .flatMap {
-            case mvSumItemRe(c) => Some(c)
-            case mvAvgItemRe(c) => Some(c)
-            case mvCountItemRe() => None
-            case item if groupCols.contains(item) => None
-            case item => throw new IllegalArgumentException(
-              s"materialized views maintain group columns, COUNT(*), " +
-                s"SUM(col), and AVG(col) only; cannot maintain: $item")
-          }.distinct.toSeq
+        val items = selectList.split(",").map(_.trim).filter(_.nonEmpty)
+        val sumCols = items.flatMap {
+          case mvSumItemRe(c) => Some(c)
+          case mvAvgItemRe(c) => Some(c)
+          case _ => None
+        }.distinct.toSeq
+        val minColsSql = items.flatMap {
+          case mvMinItemRe(c) => Some(c); case _ => None }.distinct.toSeq
+        val maxColsSql = items.flatMap {
+          case mvMaxItemRe(c) => Some(c); case _ => None }.distinct.toSeq
+        items.foreach {
+          case mvSumItemRe(_) | mvAvgItemRe(_) | mvMinItemRe(_) |
+               mvMaxItemRe(_) | mvCountItemRe() => ()
+          case item if groupCols.contains(item) => ()
+          case item => throw new IllegalArgumentException(
+            s"materialized views maintain group columns, COUNT(*), " +
+              s"SUM/AVG(col), and MIN/MAX(col) only; cannot maintain: $item")
+        }
         val mv = MaterializedAgg.create(spark, location, table(srcName),
-          groupCols, sumCols)
+          groupCols, sumCols, minColsSql, maxColsSql)
         matViews(name) = mv
         tables(name) = mv.view
         // opt the view into transparent query rewrite for this session

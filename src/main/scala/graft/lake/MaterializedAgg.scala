@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Incrementally maintained aggregate materialized view (the
   * lakehouse MV shape): the view's state is itself a [[GraftTable]]
-  * holding group keys + RETRACTABLE aggregates (count and sums —
-  * algebraic, so row-level change images maintain them exactly), and
-  * `refresh()` advances it from the source's change feed instead of
-  * re-aggregating the source.
+  * holding group keys + RETRACTABLE aggregates (count, sums, and
+  * per-column non-null counts — algebraic, so row-level change images
+  * maintain them exactly; AVG derives as sum/cnt), plus optional
+  * MIN/MAX columns maintained insert-only with recompute-on-retract
+  * (a retraction can remove the extreme, which no fold recovers — the
+  * affected GROUPS re-aggregate from a dirty-key-scoped source scan,
+  * everything else keeps the fold), and `refresh()` advances it from
+  * the source's change feed instead of re-aggregating the source.
   *
   * Why it scales: a refresh reads only the rows that CHANGED since
   * the stamped source version (CDC sidecars when present, exact
@@ -36,6 +40,10 @@ final class MaterializedAgg private (val spark: SparkSession,
     props(GroupKey).split(",").toSeq.filter(_.nonEmpty)
   private def sumCols: Seq[String] =
     props(SumKey).split(",").toSeq.filter(_.nonEmpty)
+  private def minCols: Seq[String] =
+    props.getOrElse(MinKey, "").split(",").toSeq.filter(_.nonEmpty)
+  private def maxCols: Seq[String] =
+    props.getOrElse(MaxKey, "").split(",").toSeq.filter(_.nonEmpty)
 
   def toDF: DataFrame = view.toDF
 
@@ -52,31 +60,64 @@ final class MaterializedAgg private (val spark: SparkSession,
       // same path, or history truncated): no forward change feed
       // exists, so re-materialize from the current snapshot —
       // silently keeping the newer state would serve phantom rows
-      val init = MaterializedAgg.aggregate(source.toDFAt(to), groupCols, sumCols)
+      val init = MaterializedAgg.aggregate(source.toDFAt(to), groupCols,
+        sumCols, minCols, maxCols)
       return view.overwriteWithProperties(init,
         Map(VersionKey -> to.toString), "MV REMATERIALIZE")
     }
     val cf = source.changeFeed(from, to)
-    val sign = when(col("_change_type").isin("insert", "update_postimage"),
-      lit(1L)).otherwise(lit(-1L))
+    val isInsert = col("_change_type").isin("insert", "update_postimage")
+    val sign = when(isInsert, lit(1L)).otherwise(lit(-1L))
+    // min/max fold only INSERT-side values (retract rows contribute
+    // null, which min/max ignore) — valid for groups with no retracts;
+    // retracted groups are recomputed below
     val deltaAggs =
-      sum(sign).as(CountCol) +: sumCols.flatMap(c => Seq(
+      sum(sign).as(CountCol) +: (sumCols.flatMap(c => Seq(
         sum(sign * col(c).cast("long")).as(sumName(c)),
-        sum(sign * when(col(c).isNotNull, 1L).otherwise(0L)).as(cntName(c))))
+        sum(sign * when(col(c).isNotNull, 1L).otherwise(0L)).as(cntName(c)))) ++
+        minCols.map(c => min(when(isInsert, col(c))).as(minName(c))) ++
+        maxCols.map(c => max(when(isInsert, col(c))).as(maxName(c))))
     val delta = cf
       .groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     // fold = union + re-aggregate: groups NULL keys together (a join
     // on keys would not) and never names columns ambiguously; the
     // union is view-state-sized + delta-sized, both far below source
-    val stateCols = CountCol +: sumCols.flatMap(c => Seq(sumName(c), cntName(c)))
+    val stateCols = CountCol +: (sumCols.flatMap(c => Seq(sumName(c), cntName(c))) ++
+      minCols.map(minName) ++ maxCols.map(maxName))
     val outCols = groupCols ++ stateCols
-    val foldAggs = stateCols.map(c => sum(c).as(c))
-    val next = view.toDF.select(outCols.map(col): _*)
+    val foldAggs = stateCols.map {
+      case c if c.startsWith("mv_min_") => min(c).as(c)
+      case c if c.startsWith("mv_max_") => max(c).as(c)
+      case c => sum(c).as(c)
+    }
+    val folded = view.toDF.select(outCols.map(col): _*)
       .unionByName(delta.select(outCols.map(col): _*))
       .groupBy(groupCols.map(col): _*)
       .agg(foldAggs.head, foldAggs.tail: _*)
       .filter(col(CountCol) > 0) // fully-retracted groups disappear
+    // recompute-on-retract: a retraction may have removed a group's
+    // current min/max, which no fold can recover — every group the
+    // change feed RETRACTED from is re-aggregated from the source at
+    // `to`, scoped by a (broadcastable) dirty-key semi-join; clean
+    // groups keep the fold. Null-safe key equality so NULL-keyed
+    // groups route correctly. Without min/max columns the dirty set
+    // is irrelevant (count/sum/cnt fold exactly) and is skipped.
+    val next =
+      if (minCols.isEmpty && maxCols.isEmpty) folded
+      else {
+        val dirty = cf.filter(!isInsert)
+          .select(groupCols.map(col): _*).distinct()
+        val dAlias = dirty.alias("__dk")
+        def keyEq(l: DataFrame): Column = groupCols.map(k =>
+          l(k) <=> org.apache.spark.sql.functions.col(s"__dk.$k")).reduce(_ && _)
+        val clean = folded.join(dAlias, keyEq(folded), "left_anti")
+        val src = source.toDFAt(to)
+        val recomputed = MaterializedAgg.aggregate(
+          src.join(dAlias, keyEq(src), "left_semi"),
+          groupCols, sumCols, minCols, maxCols)
+        clean.unionByName(recomputed)
+      }
     view.overwriteWithProperties(next, Map(VersionKey -> to.toString),
       "MV REFRESH")
   }
@@ -86,6 +127,8 @@ object MaterializedAgg {
   private val SourceKey = "graft.mv.source"
   private val GroupKey = "graft.mv.groupCols"
   private val SumKey = "graft.mv.sumCols"
+  private val MinKey = "graft.mv.minCols"
+  private val MaxKey = "graft.mv.maxCols"
   private val VersionKey = "graft.mv.sourceVersion"
   val CountCol = "mv_count"
   def sumName(c: String): String = s"mv_sum_$c"
@@ -94,30 +137,43 @@ object MaterializedAgg {
     * averaged column has NULLs), retractable like the sums.
     */
   def cntName(c: String): String = s"mv_cnt_$c"
+  /** MIN/MAX state, kept in the column's NATIVE type (no long cast —
+    * extremes don't need retraction-exact integer arithmetic, they
+    * need order). Maintained insert-only by fold; retracting groups
+    * recompute (see refresh).
+    */
+  def minName(c: String): String = s"mv_min_$c"
+  def maxName(c: String): String = s"mv_max_$c"
 
   private[lake] def aggregate(df: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as(CountCol) +: sumCols.flatMap(c => Seq(
+      sumCols: Seq[String], minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): DataFrame = {
+    val aggs = count(lit(1)).as(CountCol) +: (sumCols.flatMap(c => Seq(
       sum(col(c).cast("long")).as(sumName(c)),
-      count(col(c)).as(cntName(c))))
+      count(col(c)).as(cntName(c)))) ++
+      minCols.map(c => min(col(c)).as(minName(c))) ++
+      maxCols.map(c => max(col(c)).as(maxName(c))))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Materialize `SELECT groupCols, count(*), sum(sumCols…) FROM
-    * source GROUP BY groupCols` at `path`, stamped with the source
-    * version the initial full aggregation read.
+  /** Materialize `SELECT groupCols, count(*), sum(sumCols…),
+    * min(minCols…), max(maxCols…) FROM source GROUP BY groupCols` at
+    * `path`, stamped with the source version the initial full
+    * aggregation read.
     */
   def create(spark: SparkSession, path: String, source: GraftTable,
-      groupCols: Seq[String], sumCols: Seq[String]): MaterializedAgg = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): MaterializedAgg = {
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     val fields = source.snapshot.schema.fieldNames.toSet
-    (groupCols ++ sumCols).foreach(c =>
+    (groupCols ++ sumCols ++ minCols ++ maxCols).foreach(c =>
       require(fields.contains(c), s"no such source column: $c"))
     val v = source.version
-    val init = aggregate(source.toDFAt(v), groupCols, sumCols)
+    val init = aggregate(source.toDFAt(v), groupCols, sumCols, minCols, maxCols)
     val t = GraftTable.create(spark, path, init, properties = Map(
       SourceKey -> source.path, GroupKey -> groupCols.mkString(","),
-      SumKey -> sumCols.mkString(","), VersionKey -> v.toString))
+      SumKey -> sumCols.mkString(","), MinKey -> minCols.mkString(","),
+      MaxKey -> maxCols.mkString(","), VersionKey -> v.toString))
     new MaterializedAgg(spark, t, source)
   }
 

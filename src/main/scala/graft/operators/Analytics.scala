@@ -733,8 +733,13 @@ object Analytics {
     val asiaN = n.join(broadcast(r.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey").as("c_nk"))
-    li.join(p.filter(col("p_type") === "PROMO"), li("l_partkey") === p("p_partkey"))
-      .join(s, li("l_suppkey") === s("s_suppkey"))
+    // part (filtered) and supplier are the 0.2·SF / 0.01·SF dims —
+    // pin their broadcasts like q43/q45 rather than leaving the 100×
+    // scale-up to AQE's runtime rescue; orders/customer stay shuffle
+    // joins (both scale with SF)
+    li.join(broadcast(p.filter(col("p_type") === "PROMO")),
+        li("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(ns), col("s_nationkey") === col("s_nk"))

@@ -159,6 +159,28 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** MIN/MAX-maintaining MV (L72): extremes fold insert-only; the
+    * delete below removes the top qty band, so every group's stored
+    * max is retracted and refresh MUST take the recompute-on-retract
+    * path (a fold alone would serve the stale max).
+    */
+  def lakeMvMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    val src = graft.lake.GraftTable.create(spark, workDir(dir, "mvmmsrc"),
+      base, properties = Map("graft.cdf" -> "true"))
+    val mv = graft.lake.MaterializedAgg.create(spark, workDir(dir, "mvmm"),
+      src, Seq("l_returnflag"), Nil, minCols = Seq("qty_c"), maxCols = Seq("qty_c"))
+    src.delete(col("qty_c") > 4000)
+    src.append(base.filter(col("l_orderkey") % 13 === 0)
+      .withColumn("qty_c", col("qty_c") + 50))
+    mv.refresh()
+    mv.toDF.select(col("l_returnflag"), col("mv_count").as("n_rows"),
+        col("mv_min_qty_c").as("min_qty_c"), col("mv_max_qty_c").as("max_qty_c"))
+      .orderBy("l_returnflag")
+  }
+
   /** OPTIMIZE bin-packing: 64 tiny files → few, content intact (L7). */
   def lakeOptimize(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, workDir(dir, "optimize"),

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import graft.lake.MaterializedAgg
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -76,6 +76,10 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val groupCols = srcProps("graft.mv.groupCols").split(",").toSeq.filter(_.nonEmpty)
     val sumCols = srcProps("graft.mv.sumCols").split(",").toSet
+    val minCols = srcProps.getOrElse("graft.mv.minCols", "")
+      .split(",").filter(_.nonEmpty).toSet
+    val maxCols = srcProps.getOrElse("graft.mv.maxCols", "")
+      .split(",").filter(_.nonEmpty).toSet
     val groupNames = groupingExprs.map {
       case a: AttributeReference => a.name
       case _ => return None
@@ -113,6 +117,13 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), name)
           if sumCols.contains(a.name) =>
         Alias(Cast(mvOut(MaterializedAgg.cntName(a.name)), al.dataType), name)(exprId = al.exprId)
+      // min/max answer from their native-typed state columns
+      case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), name)
+          if minCols.contains(a.name) =>
+        Alias(Cast(mvOut(MaterializedAgg.minName(a.name)), al.dataType), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), name)
+          if maxCols.contains(a.name) =>
+        Alias(Cast(mvOut(MaterializedAgg.maxName(a.name)), al.dataType), name)(exprId = al.exprId)
       case _ => return None
     }
     Some(Project(projections, mvPlan))

@@ -60,6 +60,34 @@ class MaterializedAggSpec extends GraftSparkSpec {
       MaterializedAgg.forPath(spark, mv.view.path, other))
   }
 
+  test("min/max state: insert-only folds, boundary retraction recomputes, null-safe") {
+    // NULL stripe: min/max must ignore NULLs on both paths
+    val withNulls = li.withColumn("qty_c",
+      when(col("l_orderkey") % 4 === 0, lit(null).cast("long"))
+        .otherwise(col("qty_c")))
+    val src = GraftTable.create(spark, tmpDir("mv-mm-src"), withNulls.limit(200),
+      properties = Map("graft.cdf" -> "true"))
+    val mv = MaterializedAgg.create(spark, tmpDir("mv-mm-view"), src,
+      Seq("l_returnflag"), Nil, minCols = Seq("qty_c"), maxCols = Seq("qty_c"))
+    def expect = src.toDF.groupBy("l_returnflag")
+      .agg(min("qty_c").as("mn"), max("qty_c").as("mx"))
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+    def got = mv.toDF
+      .select(col("l_returnflag"), col("mv_min_qty_c"), col("mv_max_qty_c"))
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+    assert(got == expect, "initial min/max materialization")
+    // append-only delta: fold path (no retraction anywhere)
+    src.append(withNulls.limit(60))
+    mv.refresh()
+    assert(got == expect, "insert-only fold must track min/max")
+    // delete the rows holding the global max: every affected group's
+    // stored max is retracted — only the recompute path can recover
+    val mx = src.toDF.agg(max("qty_c")).head().getLong(0)
+    src.delete(col("qty_c") === mx)
+    mv.refresh()
+    assert(got == expect, "boundary retraction must recompute, not keep the fold")
+  }
+
   test("MV view state is protocol-stamped with a named writer feature") {
     val src = GraftTable.create(spark, tmpDir("mv-src-proto"), li.limit(50))
     val mv = MaterializedAgg.create(spark, tmpDir("mv-view-proto"), src,

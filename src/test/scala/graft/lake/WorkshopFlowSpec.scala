@@ -261,10 +261,26 @@ class WorkshopFlowSpec extends GraftSparkSpec {
           "GROUP BY l_returnflag ORDER BY l_returnflag")
         .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
       assert(avgGot == avgExp)
+      // MIN/MAX maintain (insert-only fold + recompute-on-retract)
+      gsql.sql(s"CREATE MATERIALIZED VIEW flag_mm LOCATION '${tmpDir("sql-mv-mm")}' " +
+        "AS SELECT l_returnflag, MIN(qty_c), MAX(qty_c) FROM mvsrc GROUP BY l_returnflag")
+      // delete rows holding the current max -> refresh must recompute
+      gsql.sql("DELETE FROM mvsrc WHERE qty_c > 3000")
+      gsql.sql("REFRESH MATERIALIZED VIEW flag_mm")
+      val mmGot = gsql.sql("SELECT l_returnflag, mv_min_qty_c, mv_max_qty_c " +
+          "FROM flag_mm ORDER BY l_returnflag")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // the WHERE suppresses the L67 rewrite (filter below the agg), so
+      // this truly recomputes from the source — qty_c is never NULL
+      // here, so values are unchanged and the assertion is not circular
+      val mmExp = gsql.sql("SELECT l_returnflag, MIN(qty_c) AS mn, MAX(qty_c) AS mx " +
+          "FROM mvsrc WHERE qty_c IS NOT NULL GROUP BY l_returnflag ORDER BY l_returnflag")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(mmGot == mmExp, "retract-recomputed min/max must match the source")
       // unmaintainable select list still refuses loudly
       intercept[IllegalArgumentException](
         gsql.sql(s"CREATE MATERIALIZED VIEW bad LOCATION '${tmpDir("sql-mv-bad")}' " +
-          "AS SELECT l_returnflag, MAX(qty_c) FROM mvsrc GROUP BY l_returnflag"))
+          "AS SELECT l_returnflag, SUM(qty_c * 2) FROM mvsrc GROUP BY l_returnflag"))
     } finally graft.plans.MvCatalog.clear()
   }
 }

@@ -82,4 +82,23 @@ class MvRewriteSpec extends GraftSparkSpec {
       assert(fromView == fromSource, "view-answered avg differs from source scan")
     } finally MvCatalog.clear()
   }
+
+  test("min/max rewrite answers from native-typed state") {
+    val src = GraftTable.create(spark, tmpDir("mvr-mm-src"), li.limit(300))
+    val mv = MaterializedAgg.create(spark, tmpDir("mvr-mm-view"), src,
+      Seq("l_returnflag"), Nil, minCols = Seq("qty_c"), maxCols = Seq("qty_c"))
+    def q = src.toDF.groupBy("l_returnflag")
+      .agg(min("qty_c").as("mn"), max("qty_c").as("mx"))
+    MvCatalog.register(mv)
+    try {
+      assert(scansView(q, "mvr-mm-view"), "fresh MV must answer min/max")
+      val fromView = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      MvCatalog.clear()
+      assert(!scansView(q, "mvr-mm-view"))
+      val fromSource = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fromView == fromSource, "view-answered min/max differs from source")
+    } finally MvCatalog.clear()
+  }
 }
