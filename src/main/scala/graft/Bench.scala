@@ -116,11 +116,16 @@ object Bench {
     println(json)
     // the driver's stdout tail-capture has truncated the leading ~18
     // query keys in past rounds — persist the full line so the artifact
-    // is always self-contained
-    try java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    // is always self-contained. Written twice: target/ for tooling and
+    // BENCH_LOCAL.json at the repo root (NOT gitignored) so a valid run
+    // can be committed as evidence even when the log capture truncates.
+    Seq(java.nio.file.Paths.get("target", "bench.json"),
+        java.nio.file.Paths.get("BENCH_LOCAL.json")).foreach { p =>
+      try java.nio.file.Files.write(p,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     lock.release(); lockCh.close()
     spark.stop()

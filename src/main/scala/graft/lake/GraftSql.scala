@@ -132,7 +132,9 @@ final class GraftSql(spark: SparkSession) {
   private val mergeOnRe: Regex =
     """(?is)^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$""".r
   private val mergeClauseRe: Regex =
-    """(?is)WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)\s*(?=WHEN\s|$)""".r
+    """(?is)WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*|INSERT\s*\([^)]+\)\s*VALUES\s*\(.+?\))\s*(?=WHEN\s|$)""".r
+  private val mergeInsertColsRe: Regex =
+    """(?is)^INSERT\s*\(([^)]+)\)\s*VALUES\s*\((.+)\)$""".r
   private val versionAsOfRe: Regex =
     """(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val timestampAsOfRe: Regex =
@@ -579,6 +581,26 @@ final class GraftSql(spark: SparkSession) {
       val s1 = srcRefs.foldLeft(e)((acc, r) => acc.replaceAll(r, "src_$1"))
       tgtRefs.foldLeft(s1)((acc, r) => acc.replaceAll(r, ""))
     }
+    // NOT MATCHED clauses evaluate on the raw SOURCE frame (there is
+    // no target row and no src_ prefix): alias refs rewrite to bare
+    // source column names instead
+    def rewriteIns(e: String): String = {
+      val s1 = srcRefs.foldLeft(e)((acc, r) => acc.replaceAll(r, "$1"))
+      tgtRefs.foldLeft(s1)((acc, r) => acc.replaceAll(r, ""))
+    }
+    // split on top-level commas only (function calls carry commas)
+    def splitTop(s0: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; var start = 0
+      s0.zipWithIndex.foreach {
+        case ('(', _) => depth += 1
+        case (')', _) => depth -= 1
+        case (',', i) if depth == 0 => out += s0.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      out += s0.substring(start)
+      out.toSeq
+    }
     def assignments(sets: String): Map[String, org.apache.spark.sql.Column] =
       sets.split(",").map { a =>
         val Array(k, v) = a.split("=", 2)
@@ -598,9 +620,16 @@ final class GraftSql(spark: SparkSession) {
           b = b.whenMatchedUpdate(assignments(sets), cond)
         case ("MATCHED", a) if a.equalsIgnoreCase("DELETE") =>
           b = b.whenMatchedDelete(cond.getOrElse(lit(true)))
+        case ("NOT MATCHED", mergeInsertColsRe(colList, valList)) =>
+          val insCond = Option(m.group(2)).map(c => expr(rewriteIns(c)))
+          val cols = colList.split(",").map(c => rewriteIns(c.trim))
+          val vals = splitTop(valList).map(v => expr(rewriteIns(v.trim)))
+          require(cols.length == vals.length,
+            s"INSERT column/value arity mismatch: ${cols.length} vs ${vals.length}")
+          b = b.whenNotMatchedInsert(cols.toSeq.zip(vals).toMap, insCond)
         case ("NOT MATCHED", a) if a.toUpperCase.startsWith("INSERT") =>
-          require(cond.isEmpty, "conditional NOT MATCHED INSERT is not supported")
-          b = b.whenNotMatchedInsertAll()
+          b = b.whenNotMatchedInsertAll(
+            Option(m.group(2)).map(c => expr(rewriteIns(c))))
         case ("NOT MATCHED BY SOURCE", updateSetRe(sets)) =>
           b = b.whenNotMatchedBySourceUpdate(assignments(sets), cond)
         case ("NOT MATCHED BY SOURCE", a) if a.equalsIgnoreCase("DELETE") =>

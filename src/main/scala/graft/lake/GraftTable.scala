@@ -2016,12 +2016,42 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     Pruning.prune(rest, s.schema, s.partitionColumns, conds.reduce(_ || _), generatedExprs(s))
   }
 
+  /** Unmatched-source insert rows: optional condition gates on the
+    * SOURCE row; explicit assignments build the table row from source
+    * columns (omitted columns NULL, generated columns derived unless
+    * explicitly assigned — an inserted row must satisfy the generated
+    * invariant or later monotone-derivation pruning silently breaks).
+    */
+  private def buildInserts(unmatched: DataFrame, s: Snapshot,
+      insertCond: Option[Column],
+      insertSet: Option[Map[String, Column]]): DataFrame = {
+    val gated = insertCond.fold(unmatched)(c =>
+      unmatched.filter(coalesce(c, lit(false)) === true))
+    insertSet match {
+      case None => gated
+      case Some(set) =>
+        // build the row (assigned or NULL), then derive unassigned
+        // generated columns from the BUILT values — Delta computes
+        // generated columns over the final inserted row, not the source
+        val row = gated.select(s.schema.fields.toIndexedSeq.map { f =>
+          set.get(f.name).map(_.cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+        generatedExprs(s).foldLeft(row) { case (d, (c, exprSql)) =>
+          if (set.contains(c)) d
+          else d.withColumn(c, expr(exprSql).cast(s.schema(c).dataType))
+        }
+    }
+  }
+
   private[lake] def executeMerge(sourceIn: DataFrame, keys: Seq[String],
       updateAll: Boolean, updateCond: Option[Column],
       updateSet: Option[Map[String, Column]] = None,
       deleteCond: Option[Column], insertUnmatched: Boolean,
       nmbsUpdate: Option[(Option[Column], Map[String, Column])] = None,
       nmbsDelete: Option[Column] = None,
+      insertCond: Option[Column] = None,
+      insertSet: Option[Map[String, Column]] = None,
       extraActions: Seq[Action] = Nil): Map[String, String] = {
     val s = snapshot
     // the source is a small delta against a huge table and is referenced
@@ -2089,7 +2119,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         else source.join(toUpdate.select(keyCols: _*), keys, "left_semi")
     }
     val inserts0 =
-      if (insertUnmatched) source.join(candDF.select(keyCols: _*), keys, "left_anti")
+      if (insertUnmatched) buildInserts(
+        source.join(candDF.select(keyCols: _*), keys, "left_anti"),
+        s, insertCond, insertSet)
       else source.limit(0)
     val inserts =
       if (rt) inserts0.withColumn(RowIdCol, lit(null).cast("long"))
@@ -2101,7 +2133,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .reduce(_ unionByName _)
       .unionByName(replacements.select(outFields: _*))
       .unionByName(inserts.select(outFields: _*))
-    if (updateSet.isDefined || nmbsUpdate.isDefined)
+    if (updateSet.isDefined || nmbsUpdate.isDefined || insertSet.isDefined)
       validateConstraints(merged, s)
     val adds = stageWrite(merged, s.partitionColumns, dataChange = true)
     val removes = (candidates ++ restFiles).map(f =>
@@ -2169,6 +2201,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       deleteCond: Option[Column], insertUnmatched: Boolean,
       nmbsUpdate: Option[(Option[Column], Map[String, Column])],
       nmbsDelete: Option[Column],
+      insertCond: Option[Column] = None,
+      insertSet: Option[Map[String, Column]] = None,
       extraActions: Seq[Action] = Nil): Map[String, String] = {
     val s = snapshot
     // small-delta source feeds the key-range probe, the semi/anti joins
@@ -2269,7 +2303,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         case None => nmbsChanged.limit(0).select(outFields: _*)
       }
       val inserts0 =
-        if (insertUnmatched) source.join(live.select(keyCols: _*), keys, "left_anti")
+        if (insertUnmatched) buildInserts(
+          source.join(live.select(keyCols: _*), keys, "left_anti"),
+          s, insertCond, insertSet)
         else source.limit(0)
       val inserts =
         if (rt) inserts0.withColumn(RowIdCol, lit(null).cast("long"))
@@ -2284,7 +2320,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val newRows = postImages.select(outFields: _*)
         .unionByName(nmbsPost.select(outFields: _*))
         .unionByName(inserts.select(outFields: _*))
-      if (updateSet.isDefined || nmbsUpdate.isDefined)
+      if (updateSet.isDefined || nmbsUpdate.isDefined || insertSet.isDefined)
         validateConstraints(newRows, s)
       // empty unions stage zero-row part files — drop them rather than
       // commit adds that tax every future scan

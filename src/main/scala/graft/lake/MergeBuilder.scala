@@ -38,6 +38,8 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: 
   private var updateSet: Option[Map[String, Column]] = None
   private var deleteCond: Option[Column] = None
   private var insertUnmatched = true
+  private var insertCond: Option[Column] = None
+  private var insertSet: Option[Map[String, Column]] = None
   private var nmbsDelete: Option[Column] = None
   private var nmbsUpdate: Option[(Option[Column], Map[String, Column])] = None
   private var mor = false
@@ -58,8 +60,24 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: 
   def whenMatchedDelete(condition: Column): MergeBuilder = {
     deleteCond = Some(condition); this
   }
-  def whenNotMatchedInsertAll(): MergeBuilder = { insertUnmatched = true; this }
-  def whenNotMatchedIgnore(): MergeBuilder = { insertUnmatched = false; this }
+  /** Insert unmatched source rows, optionally only those meeting a
+    * condition evaluated on the SOURCE row (Delta `WHEN NOT MATCHED
+    * AND cond THEN INSERT *`).
+    */
+  def whenNotMatchedInsertAll(condition: Option[Column] = None): MergeBuilder = {
+    insertUnmatched = true; insertCond = condition; insertSet = None; this
+  }
+  /** Explicit-column insert: assignments are evaluated on the SOURCE
+    * row; omitted columns insert NULL, unassigned generated columns
+    * derive from the built row (Delta `INSERT (cols) VALUES (…)`).
+    */
+  def whenNotMatchedInsert(set: Map[String, Column],
+                           condition: Option[Column] = None): MergeBuilder = {
+    insertUnmatched = true; insertCond = condition; insertSet = Some(set); this
+  }
+  def whenNotMatchedIgnore(): MergeBuilder = {
+    insertUnmatched = false; insertCond = None; insertSet = None; this
+  }
 
   /** Delete target rows that have no source match (optionally gated by
     * a condition on the target row). Without a condition this rewrites
@@ -83,8 +101,10 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: 
   def execute(): Map[String, String] =
     if (mor)
       t.executeMergeMoR(source, keys, updateAll, updateCond, updateSet,
-        deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete)
+        deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete,
+        insertCond, insertSet)
     else
       t.executeMerge(source, keys, updateAll, updateCond, updateSet,
-        deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete)
+        deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete,
+        insertCond, insertSet)
 }

@@ -285,6 +285,65 @@ class MergeBuilderSpec extends GraftSparkSpec {
       base.filter(col("l_orderkey") < 30).count())
   }
 
+  test("conditional and explicit-column NOT MATCHED INSERT, CoW and MoR") {
+    val o = Tables(spark, sfDir, "orders")
+    val src = o.filter(col("o_orderkey") < 80)
+      .withColumn("o_orderkey", col("o_orderkey") + 7000000L)
+    def run(mor: Boolean) = {
+      val t = GraftTable.create(spark, tmpDir(s"mb-inscond-$mor"), o)
+      var b = t.mergeBuilder(src, "o_orderkey")
+        .whenMatchedKeep()
+        .whenNotMatchedInsertAll(condition = Some(col("o_orderstatus") === "O"))
+      if (mor) b = b.mergeOnRead()
+      b.execute()
+      t.toDF.filter(col("o_orderkey") >= 7000000L).count()
+    }
+    val expected = src.filter(col("o_orderstatus") === "O").count()
+    assert(expected > 0 && expected < src.count(), "condition must be selective")
+    assert(run(mor = false) == expected, "CoW conditional insert")
+    assert(run(mor = true) == expected, "MoR conditional insert")
+
+    // explicit columns: assigned from the source row, omitted -> NULL
+    val t2 = GraftTable.create(spark, tmpDir("mb-inscols"), o)
+    t2.mergeBuilder(src, "o_orderkey")
+      .whenMatchedKeep()
+      .whenNotMatchedInsert(Map(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_totalprice" -> (col("o_totalprice") * 2)))
+      .execute()
+    val ins = t2.toDF.filter(col("o_orderkey") >= 7000000L)
+    assert(ins.count() == src.count())
+    assert(ins.filter(col("o_orderstatus").isNull).count() == src.count(),
+      "omitted columns must insert NULL")
+    val gotPrice = ins.agg(round(sum("o_totalprice"), 2)).head().getDouble(0)
+    val expPrice = src.agg(round(sum(col("o_totalprice") * 2), 2)).head().getDouble(0)
+    assert(gotPrice == expPrice)
+  }
+
+  test("SQL MERGE: conditional INSERT * and INSERT (cols) VALUES (...)") {
+    val gsql = new GraftSql(spark)
+    val o = Tables(spark, sfDir, "orders")
+    gsql.registerCreate("mti", tmpDir("mb-sqlins"), o)
+    o.filter(col("o_orderkey") < 60)
+      .withColumn("o_orderkey", col("o_orderkey") + 7000000L)
+      .createOrReplaceTempView("msrci")
+    gsql.sql(
+      """MERGE INTO mti USING msrci ON mti.o_orderkey = msrci.o_orderkey
+        |WHEN NOT MATCHED AND msrci.o_orderstatus = 'F' THEN
+        |INSERT (o_orderkey, o_custkey, o_totalprice)
+        |VALUES (msrci.o_orderkey, msrci.o_custkey, msrci.o_totalprice * 3)""".stripMargin)
+    val t = gsql.table("mti").toDF
+    val srcF = o.filter(col("o_orderkey") < 60 && col("o_orderstatus") === "F")
+    assert(t.filter(col("o_orderkey") >= 7000000L).count() == srcF.count())
+    assert(t.filter(col("o_orderkey") >= 7000000L)
+      .filter(col("o_orderdate").isNull).count() == srcF.count())
+    val got = t.filter(col("o_orderkey") >= 7000000L)
+      .agg(round(sum("o_totalprice"), 2)).head().getDouble(0)
+    val exp = srcF.agg(round(sum(col("o_totalprice") * 3), 2)).head().getDouble(0)
+    assert(got == exp)
+  }
+
   test("merge-on-read merge with no matches and no inserts is a no-op commit") {
     val (o, t) = freshOrders("mb-mor-noop")
     val src = o.limit(10).withColumn("o_orderkey", col("o_orderkey") + 9000000L)
