@@ -230,31 +230,21 @@ object Analytics {
     */
   def q17ExactPercentile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
-    // distributed order statistics WITHOUT a corpus sort: the
-    // `percentile` aggregate buffers every value through one final
-    // reducer, and a full sort+zipWithIndex indexes all n rows to
-    // read 8 of them. Instead one hash aggregate shrinks the column
-    // to its per-distinct-value histogram (extendedprice is
-    // part-price × quantity at 2 decimal places — value-bounded, far
-    // below row count at any SF), a cumulative window runs over THAT,
-    // and the ≤8 bracketing rank values are read where their rank
-    // falls inside a value's cumulative span. Interpolation
-    // (lo+frac·(hi−lo), the percentile/quantile_cont rule) happens on
-    // the ≤8 driver-side doubles.
+    // distributed order statistics: range-sort the column, index it,
+    // select the ≤8 bracketing ranks, interpolate (same lo+frac·(hi−lo)
+    // rule as percentile/quantile_cont). The `percentile` aggregate
+    // buffers every value through one final reducer — fine at 600k
+    // rows, dead at a 100 TB column; here the sort is cluster-wide and
+    // only 8 doubles ever reach the driver.
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
     val vals = li.select(col("l_extendedprice").cast("double").as("v"))
       .filter(col("v").isNotNull)
-    val hist = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(Window.orderBy("v")))
-    val n = hist.agg(max("cum")).head().getLong(0)
+    val n = vals.count()
     val pos = qs.map(q => (n - 1).toDouble * q)
-    val ranks = pos.flatMap(p => Seq(p.floor.toLong, p.ceil.toLong)).distinct
-    val crossing = ranks.map(r =>
-      col("cum") - col("cnt") <= r && col("cum") > r).reduce(_ || _)
-    val picked0 = hist.filter(crossing)
-      .select(col("v"), col("cnt"), col("cum")).collect()
-    val picked = ranks.map(r => r -> picked0.find(p =>
-      p.getLong(2) - p.getLong(1) <= r && r < p.getLong(2)).get.getDouble(0)).toMap
+    val ranks = pos.flatMap(p => Seq(p.floor.toLong, p.ceil.toLong)).toSet
+    val picked = vals.sort("v").rdd.map(_.getDouble(0)).zipWithIndex()
+      .filter { case (_, i) => ranks.contains(i) }
+      .map(_.swap).collectAsMap()
     val ps = pos.map { p =>
       val lo = picked(p.floor.toLong)
       lo + (picked(p.ceil.toLong) - lo) * (p - p.floor)
