@@ -1538,6 +1538,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       meta), readVersion = s.version, metadataConflict = true)
   }
 
+  /** MERGE schema evolution (Delta `withSchemaEvolution` parity):
+    * every source column the table lacks is appended (nullable,
+    * metadata-only commit) before the merge plans; existing rows read
+    * NULL for it. Evolution only ADDS — a source missing an existing
+    * table column still refuses with the schema-mismatch error.
+    */
+  private[lake] def evolveSchemaFor(source: DataFrame): Unit = {
+    val s = snapshot
+    source.schema.fields
+      .filterNot(f => s.schema.fieldNames.contains(f.name))
+      .foreach(f => addColumn(f.name, f.dataType))
+  }
+
   private def validateConstraints(df: DataFrame, s: Snapshot): Unit = {
     val constraints = s.metadata.toSeq.flatMap(_.properties.collect {
       case (k, v) if k.startsWith("graft.constraint.") =>

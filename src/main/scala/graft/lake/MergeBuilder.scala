@@ -98,7 +98,16 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: 
   /** Execute merge-on-read: DV-mask changed rows + append post-images. */
   def mergeOnRead(): MergeBuilder = { mor = true; this }
 
-  def execute(): Map[String, String] =
+  /** Append source columns the table lacks before merging (Delta
+    * `withSchemaEvolution`): metadata-only ADD COLUMN per new field,
+    * existing rows read NULL. The source must still carry every
+    * EXISTING table column.
+    */
+  def withSchemaEvolution(): MergeBuilder = { evolve = true; this }
+  private var evolve = false
+
+  def execute(): Map[String, String] = {
+    if (evolve) t.evolveSchemaFor(source)
     if (mor)
       t.executeMergeMoR(source, keys, updateAll, updateCond, updateSet,
         deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete,
@@ -107,4 +116,5 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: 
       t.executeMerge(source, keys, updateAll, updateCond, updateSet,
         deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete,
         insertCond, insertSet)
+  }
 }

@@ -344,6 +344,32 @@ class MergeBuilderSpec extends GraftSparkSpec {
     assert(got == exp)
   }
 
+  test("withSchemaEvolution appends new source columns before merging") {
+    val o = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val t = GraftTable.create(spark, tmpDir("mb-evolve"), o)
+    val src = o.filter(col("o_orderkey") < 100)
+      .withColumn("o_channel",
+        concat(lit("web-"), (col("o_orderkey") % 3).cast("string")))
+      .withColumn("o_orderkey",
+        when(col("o_orderkey") < 50, col("o_orderkey") + 7000000L)
+          .otherwise(col("o_orderkey")))
+    // without evolution the extra column refuses loudly
+    intercept[IllegalArgumentException] { t.merge(src, "o_orderkey") }
+    t.mergeBuilder(src, "o_orderkey").withSchemaEvolution()
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t.snapshot.schema.fieldNames.contains("o_channel"))
+    // merged rows (updates + inserts) carry values, untouched rows NULL
+    assert(t.toDF.filter(col("o_channel").isNotNull).count() == src.count())
+    assert(t.toDF.filter(col("o_channel").isNull).count() ==
+      t.toDF.count() - src.count())
+    // evolution only adds: a source missing an existing column refuses
+    intercept[IllegalArgumentException] {
+      t.mergeBuilder(src.drop("o_custkey"), "o_orderkey")
+        .withSchemaEvolution().execute()
+    }
+  }
+
   test("merge-on-read merge with no matches and no inserts is a no-op commit") {
     val (o, t) = freshOrders("mb-mor-noop")
     val src = o.limit(10).withColumn("o_orderkey", col("o_orderkey") + 9000000L)
