@@ -127,7 +127,8 @@ object SparkEntry {
     "mm_png_meta" -> Multimodal.mmPngMeta _,
     "mm_audio_window" -> Multimodal.mmAudioWindow _,
     "mm_frame_sample" -> Multimodal.mmFrameSample _,
-    "mm_resize_plan" -> Multimodal.mmResizePlan _)
+    "mm_resize_plan" -> Multimodal.mmResizePlan _,
+    "mm_phash_dedup" -> Multimodal.mmPhashDedup _)
 
   /** GraftLake table-layer queries (SURVEY §2.1): each rebuilds an
     * isolated table under target/ and proves content invariants
@@ -1223,6 +1224,35 @@ object SparkEntry {
         "md5(text) AS checksum FROM t ORDER BY doc_id"),
     // content stats recomputed from the SOURCE bytes the builder
     // wrapped (docs are ASCII, so ascii(ch) is the byte value): a
+    // aHash replica over the BMP content span (== the text bytes, the
+    // invariant mm_content_stats proves): 64 equal index-span cells,
+    // bit = exact-integer mean comparison, 4×16-bit band buckets,
+    // Hamming ≤ 6 verified by counting differing bits
+    "mm_phash_dedup" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, substr(text, 1, length(text) - 10) || 'XXXXXXXXXX' " +
+        "FROM documents WHERE doc_id < 20), " +
+        "docs AS (SELECT doc_id, text, length(text) AS n FROM base " +
+        "WHERE length(text) >= 64), " +
+        "b AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i, " +
+        "ascii(substr(text, CAST(i AS INT), 1)) AS v, n " +
+        "FROM docs, UNNEST(range(1, length(text) + 1)) AS u(i)), " +
+        "cells AS (SELECT doc_id, (i * 64) // n AS c, SUM(v) AS cs, " +
+        "COUNT(*) AS cn, n FROM b GROUP BY doc_id, (i * 64) // n, n), " +
+        "tot AS (SELECT doc_id, SUM(v) AS ts FROM b GROUP BY doc_id), " +
+        "bits AS (SELECT c.doc_id, c.c, CASE WHEN c.cs * c.n > t.ts * c.cn " +
+        "THEN 1 ELSE 0 END AS bit FROM cells c JOIN tot t USING (doc_id)), " +
+        "bands AS (SELECT doc_id, c // 16 AS band, " +
+        "SUM(bit * (1 << CAST(c % 16 AS INT))) AS key FROM bits GROUP BY 1, 2), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b " +
+        "FROM bands a JOIN bands b2 ON a.band = b2.band AND a.key = b2.key " +
+        "AND a.doc_id < b2.doc_id), " +
+        "ham AS (SELECT cand.id_a, cand.id_b, " +
+        "SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS d " +
+        "FROM cand JOIN bits x ON x.doc_id = cand.id_a " +
+        "JOIN bits y ON y.doc_id = cand.id_b AND y.c = x.c GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, CAST(d AS BIGINT) AS hamming FROM ham " +
+        "WHERE d <= 6 ORDER BY id_a, id_b"),
     // match proves the Spark parser located exactly the content span
     // via the payload's own header fields
     "mm_content_stats" ->

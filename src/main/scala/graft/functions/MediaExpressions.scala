@@ -304,7 +304,7 @@ object MediaContentStats {
     * payload's own header fields, clamped to the buffer so declared
     * sizes past the end (truncated/hostile files) never overrun.
     */
-  private def contentSpan(p: Array[Byte]): (String, Int, Int) = {
+  private[functions] def contentSpan(p: Array[Byte]): (String, Int, Int) = {
     val n = p.length
     def le32(off: Int) = MediaCodec.readLe32(p, off)
     if (n >= 54 && p(0) == 'B' && p(1) == 'M') {
@@ -352,5 +352,56 @@ object MediaContentStats {
     }
     new GenericInternalRow(Array[Any](UTF8String.fromString(fmt),
       len.toLong, sum, sumsq, mn, mx))
+  }
+}
+
+/** 64-bit average-hash perceptual fingerprint of a media payload's
+  * CONTENT bytes (the decoded pixel/sample span, located via the
+  * payload's own header fields like [[MediaContentStats]]): the
+  * content is split into 64 equal index-span cells and bit i is set
+  * when cell i's mean exceeds the global mean — compared in EXACT
+  * integer arithmetic (`cellSum·len > total·cellLen`), so both
+  * engines agree bit-for-bit with no float mean anywhere. Payloads
+  * whose content differs slightly (appended tail, small edits) flip
+  * few cells, so near-duplicate media land within a small Hamming
+  * distance — the banding + verify shape of SimHash dedup applied to
+  * decoded media. One pass, codegen'd.
+  *
+  * Exactness bound: `cellSum·len` stays in int64 for content up to
+  * ~3·10⁸ bytes — far above any per-row payload this engine stores.
+  */
+case class MediaAHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    MediaAHash64.kernel(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaAHash64.kernel($c)")
+  override protected def withNewChildInternal(c: Expression): MediaAHash64 =
+    copy(c)
+}
+
+object MediaAHash64 {
+  def kernel(payload: Array[Byte]): Long = {
+    val (_, off, len) = MediaContentStats.contentSpan(payload)
+    if (len == 0) return 0L
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < len) {
+      val c = ((i.toLong * 64L) / len).toInt
+      val b = (payload(off + i) & 0xff).toLong
+      cellSum(c) += b
+      cellN(c) += 1
+      total += b
+      i += 1
+    }
+    var h = 0L
+    var c = 0
+    while (c < 64) {
+      if (cellN(c) > 0 && cellSum(c) * len > total * cellN(c)) h |= (1L << c)
+      c += 1
+    }
+    h
   }
 }

@@ -208,6 +208,53 @@ object Multimodal {
         col("s.max_byte").as("max_byte"))
       .orderBy("doc_id")
 
+  /** Perceptual near-duplicate image dedup (M9): every doc becomes a
+    * real BMP payload, the codegen'd [[graft.functions.MediaAHash64]]
+    * kernel fingerprints the decoded content span (64-cell integer
+    * average hash), and near-identical images surface through the
+    * SimHash banding shape — 4 bands × 16 bits bucket candidates,
+    * exact Hamming distance (`bit_count(xor)`) verifies ≤ 6. Planted
+    * copies OVERWRITE their last 10 bytes (same length — cell
+    * boundaries don't move, only trailing cells can flip), landing
+    * within the radius while unrelated docs don't.
+    *
+    * Scale: hashing is one pass over each payload; the band join
+    * ships (band, 16-bit key, doc_id) rows only — the SimHash-dedup
+    * cost shape, applied to decoded media instead of text.
+    */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val base = docs
+      .unionAll(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text").substr(lit(1), length(col("text")) - 10),
+            lit("XXXXXXXXXX")).as("text")))
+      .filter(length(col("text")) >= 64)
+    val hashed = base
+      .withColumn("payload", ge.column(graft.functions.MakeMediaPayload(
+        ge.expression(col("text").cast("binary")), ge.expression(lit("bmp")))))
+      .withColumn("h", ge.column(graft.functions.MediaAHash64(
+        ge.expression(col("payload")))))
+      .select("doc_id", "h")
+    val bands = hashed.select(col("doc_id"), col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
+    val cand = bands.select(col("band"), col("key"),
+        col("doc_id").as("id_a"), col("h").as("ha"))
+      .join(bands.select(col("band"), col("key"),
+        col("doc_id").as("id_b"), col("h").as("hb")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
   /** STUB feature extractor: a deterministic 16-dim embedding from
     * payload bytes (byte histogram folded by FNV mixing). A real
     * deployment swaps in a vision/audio encoder here; everything
