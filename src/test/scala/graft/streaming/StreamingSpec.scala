@@ -19,6 +19,54 @@ class StreamingSpec extends GraftSparkSpec {
     dir
   }
 
+  test("streaming dedup admits each normalized content once across batches") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text").limit(120)
+    val dir = tmpDir("sdedup-src")
+    docs.coalesce(1).write.mode("append").parquet(dir)
+    // second micro-batch file: case/whitespace variants of 40 early
+    // docs (duplicates under the canonical key) + 20 genuinely new
+    docs.limit(40).select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
+      .unionAll(spark.range(20).select((col("id") + 200000).as("doc_id"),
+        concat(lit("unique streaming doc "), col("id").cast("string")).as("text")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.dedupExact(stream, "text").writeStream
+      .outputMode("append").format("memory").queryName("sdedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sdedup_out")
+    val expectedDistinct = spark.read.parquet(dir)
+      .select(StreamOps.contentKey(col("text")).as("k")).distinct().count()
+    assert(got.count() == expectedDistinct,
+      s"want one row per distinct content, got ${got.count()} vs $expectedDistinct")
+    assert(got.select(StreamOps.contentKey(col("text")).as("k"))
+      .groupBy("k").count().filter(col("count") > 1).count() == 0,
+      "a content key must never be admitted twice")
+  }
+
+  test("watermark-bounded streaming dedup collapses time-local duplicates") {
+    val base = Tables(spark, sfDir, "documents").select("doc_id", "text").limit(60)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val dir = tmpDir("sdedup-wm")
+    base.coalesce(1).write.mode("append").parquet(dir)
+    base.limit(30)
+      .select((col("doc_id") + 500).as("doc_id"), col("text"),
+        lit("2026-01-01 00:05:00").cast("timestamp").as("ts"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.dedupExactWithinWatermark(stream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_wm_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("sdedup_wm_out").count() == 60,
+      "duplicates arriving inside the watermark window must collapse")
+  }
+
   test("windowed aggregation over a stream matches the batch result") {
     val dir = eventsOnDisk("win-src")
     val schema = spark.read.parquet(dir).schema
