@@ -560,19 +560,21 @@ object Analytics {
   }
 
   /** TPC-H Q21 flavor: orders served by exactly one supplier, credited
-    * to that supplier. Single pass: the NOT-EXISTS ("no second
-    * supplier") decorrelates to a per-order supplier count, computed
-    * as a window over the SAME l_orderkey shuffle the distinct already
-    * paid for — the earlier distinct+groupBy+anti-join shape scanned
-    * lineitem and ran its biggest exchange twice (round-6 audit).
+    * to that supplier. ONE lineitem exchange: the NOT-EXISTS ("no
+    * second supplier") decorrelates to a per-order distinct supplier
+    * SET (collect_set aggregates map-side, so the shuffle carries
+    * partially-built sets, not raw line items), solo orders are the
+    * size-1 sets — no second distinct shuffle, no window re-partition
+    * (the earlier distinct+window shape still re-shuffled from the
+    * (orderkey, suppkey) hash to orderkey alone).
     */
   def q35SoloSupplierOrders(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val s = Tables(spark, dir, "supplier")
-    val pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    pairs
-      .withColumn("n_supp", count(lit(1)).over(Window.partitionBy("l_orderkey")))
-      .filter(col("n_supp") === 1)
+    li.select("l_orderkey", "l_suppkey")
+      .groupBy("l_orderkey").agg(collect_set("l_suppkey").as("supps"))
+      .filter(size(col("supps")) === 1)
+      .select(col("supps")(0).as("l_suppkey"))
       .groupBy("l_suppkey").agg(count(lit(1)).as("n_solo_orders"))
       .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_solo_orders"))

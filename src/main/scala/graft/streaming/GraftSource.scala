@@ -238,7 +238,9 @@ final class GraftSink(
   */
 final class GraftSourceProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
-    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graftlake"
 
@@ -274,6 +276,42 @@ final class GraftSourceProvider extends StreamSourceProvider
       sqlContext: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation =
     new graft.sources.GraftRelation(sqlContext, tablePath(parameters), parameters)
+
+  /** Batch write (`df.write.format("graftlake").mode(...)`, Delta
+    * parity): ErrorIfExists/Ignore create, Append appends (creating a
+    * missing table like Delta does), Overwrite replaces the data in
+    * one commit (schema change gated behind `overwriteSchema=true`).
+    * V1 `CreatableRelationProvider` never receives `partitionBy`, so
+    * partition columns ride `option("partitionBy", "a,b")` at create.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val path = tablePath(parameters)
+    val spark = sqlContext.sparkSession
+    val exists = GraftTable.isGraftTable(path)
+    val parts = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        require(!exists, s"GraftLake table already exists at $path")
+        GraftTable.create(spark, path, data, parts)
+      case SaveMode.Ignore =>
+        if (!exists) GraftTable.create(spark, path, data, parts)
+      case SaveMode.Append =>
+        if (!exists) GraftTable.create(spark, path, data, parts)
+        else GraftTable.forPath(spark, path).append(data,
+          mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+      case SaveMode.Overwrite =>
+        if (!exists) GraftTable.create(spark, path, data, parts)
+        else GraftTable.forPath(spark, path).overwrite(data,
+          overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean))
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createSink(
       sqlContext: SQLContext,

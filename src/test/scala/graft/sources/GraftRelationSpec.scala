@@ -10,6 +10,30 @@ import org.apache.spark.sql.functions._
   */
 class GraftRelationSpec extends GraftSparkSpec {
 
+  test("format('graftlake') batch WRITE: create, append, overwrite, modes") {
+    val li = Tables(spark, sfDir, "lineitem").limit(500)
+    val path = tmpDir("rel-write")
+    // ErrorIfExists creates; a second create refuses
+    li.write.format("graftlake").option("partitionBy", "l_returnflag")
+      .mode("errorifexists").save(path)
+    val t = GraftTable.forPath(spark, path)
+    assert(t.toDF.count() == 500)
+    assert(t.snapshot.partitionColumns == Seq("l_returnflag"))
+    intercept[IllegalArgumentException] {
+      li.write.format("graftlake").mode("errorifexists").save(path)
+    }
+    // Ignore is a no-op on an existing table
+    li.limit(10).write.format("graftlake").mode("ignore").save(path)
+    assert(t.toDF.count() == 500)
+    // Append lands a new commit; reads through the format see it
+    li.limit(100).write.format("graftlake").mode("append").save(path)
+    assert(spark.read.format("graftlake").load(path).count() == 600)
+    // Overwrite replaces data in one commit, history intact
+    li.limit(50).write.format("graftlake").mode("overwrite").save(path)
+    assert(t.toDF.count() == 50)
+    assert(t.toDFAt(0).count() == 500, "time travel must survive overwrite")
+  }
+
   test("format('graftlake') batch read matches the table API, filters push") {
     val li = Tables(spark, sfDir, "lineitem").limit(2000)
     val path = tmpDir("rel-table")
