@@ -221,12 +221,25 @@ final class GraftSink(
           "to the sink"))
   }
 
+  // Micro-batch ingest is the reference's named origin of small-file
+  // problems: `optimizeEvery = N` runs OPTIMIZE bin-packing after
+  // every Nth epoch, so file count stays bounded by ingest rate ÷ N
+  // instead of growing one file set per trigger. Compaction commits
+  // are dataChange=false — downstream incremental readers never see
+  // them as new data.
+  private val optimizeEvery: Long = {
+    val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    lower.get("optimizeevery").map(_.toLong).getOrElse(0L)
+  }
+
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = StreamShim.asBatch(data)
     val table =
       if (GraftTable.isGraftTable(path)) GraftTable.forPath(spark, path)
       else GraftTable.create(spark, path, batch.limit(0))
     table.appendStreamBatch(appId, batchId, batch)
+    if (optimizeEvery > 0 && batchId > 0 && batchId % optimizeEvery == 0)
+      table.optimize()
   }
 
   override def toString: String = s"GraftSink[$path]"

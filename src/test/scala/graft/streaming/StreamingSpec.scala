@@ -227,6 +227,29 @@ class StreamingSpec extends GraftSparkSpec {
     assert(t.toDF.count() == nBefore + 10)
   }
 
+  test("sink option optimizeEvery keeps the file count bounded while ingesting") {
+    // many tiny micro-batches (one file per trigger) with in-loop
+    // compaction: the end state must hold every row in FEWER files
+    // than epochs — the small-file genesis story closed inside the sink
+    val src = tmpDir("sink-opt-src")
+    Tables(spark, sfDir, "events").repartition(6).write.parquet(src)
+    val n = spark.read.parquet(src).count()
+    val out = tmpDir("sink-opt-table")
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .repartition(4) // 4 files per epoch without compaction
+      .writeStream.format("graftlake")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("sink-opt-ckpt"))
+      .option("optimizeEvery", "2")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val t = GraftTable.forPath(spark, out)
+    assert(t.toDF.count() == n, "compaction must not lose or duplicate rows")
+    assert(t.history.filter(col("operation") === "OPTIMIZE").count() >= 1,
+      "the sink must have run OPTIMIZE mid-ingest")
+  }
+
   test("streaming into GraftLake + OPTIMIZE compaction loop") {
     val dir = eventsOnDisk("lake-src")
     val schema = spark.read.parquet(dir).schema
