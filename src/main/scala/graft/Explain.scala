@@ -13,7 +13,9 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q1_pricing_summary", "q2_selective_filter", "q5_region_volume",
         "q7_topn_per_brand", "text_token_count", "sim_bruteforce_topk",
-        "q26_skew_join", "q28_range_join", "dedup_clusters")
+        "q26_skew_join", "q28_range_join", "dedup_clusters",
+        "q35_solo_supplier", "q44_market_share", "mm_phash_dedup",
+        "pipe_curriculum")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
