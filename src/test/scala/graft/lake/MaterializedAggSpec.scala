@@ -88,6 +88,38 @@ class MaterializedAggSpec extends GraftSparkSpec {
     assert(got == expect, "boundary retraction must recompute, not keep the fold")
   }
 
+  test("racing refreshes converge: view equals recompute, no double-apply") {
+    import java.util.ConcurrentModificationException
+    val src = GraftTable.create(spark, tmpDir("mv-race-src"), li.limit(300),
+      properties = Map("graft.cdf" -> "true"))
+    val viewDir = tmpDir("mv-race-view")
+    MaterializedAgg.create(spark, viewDir, src, Seq("l_returnflag"), Seq("qty_c"))
+    src.delete(col("l_orderkey") % 5 === 0)
+    src.append(li.limit(40))
+    // two handles race the SAME refresh window; each either lands or
+    // loses the optimistic commit — in every interleaving the stamp
+    // and the folded state move together, so the view can never
+    // double-apply the delta
+    val h1 = MaterializedAgg.forPath(spark, viewDir, src)
+    val h2 = MaterializedAgg.forPath(spark, viewDir, src)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      def submit(mv: MaterializedAgg) =
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            try { mv.refresh(); true }
+            catch { case _: ConcurrentModificationException => false }
+        })
+      val a = submit(h1); val b = submit(h2)
+      val (okA, okB) = (a.get(), b.get())
+      assert(okA || okB, "at least one refresh must land")
+      // a loser retried now is a version-check no-op, never a re-fold
+      MaterializedAgg.forPath(spark, viewDir, src).refresh()
+      assert(viewState(MaterializedAgg.forPath(spark, viewDir, src)) ==
+        recompute(src), "post-race view state diverged from recompute")
+    } finally pool.shutdown()
+  }
+
   test("MV view state is protocol-stamped with a named writer feature") {
     val src = GraftTable.create(spark, tmpDir("mv-src-proto"), li.limit(50))
     val mv = MaterializedAgg.create(spark, tmpDir("mv-view-proto"), src,
