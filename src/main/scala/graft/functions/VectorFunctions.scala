@@ -37,36 +37,45 @@ object VectorFunctions {
     GraftSqlShims.column(TopCentroidIds(GraftSqlShims.expression(v), cents, p))
 
   /** Distributed top-`p` centroid assignment — the k-scalable twin of
-    * [[topCentroidIds]]. Past a few thousand centroids, shipping a
-    * k×dim matrix as a plan constant with every task binary stops
-    * making sense; here the centroids stay a (broadcast) DataFrame,
-    * every (row, centroid) score exists only transiently inside one
-    * codegen span, and a per-row window keeps the top p. EXACT
-    * arithmetic parity with the [[TopCentroidIds]] kernel: the same
-    * sequential-fold [[DotProd]] for dot and norm, the same
-    * `dot · (1/√norm)` scoring (0 for a zero centroid), NaN → −∞,
-    * ties broken toward the lower centroid id — so either path yields
-    * bit-identical assignments and the DuckDB oracle replica covers
-    * both.
+    * [[topCentroidIds]]. The centroid matrix rides as a BROADCAST
+    * VARIABLE (one torrent-distributed copy per executor, never baked
+    * into the plan), and the SAME [[TopCentroidIds]] kernel selects
+    * each row's top p in one tight O(k·dim) loop — bit-identical
+    * assignments by construction, so the DuckDB oracle replica covers
+    * both paths. No (row, centroid) pair is ever materialized: a
+    * crossJoin + per-row window would shuffle n·k rows into the
+    * window exchange, which is exactly the shape this function
+    * exists to avoid. (The matrix is index METADATA — k×dim doubles,
+    * ≤ GBs at k=2²⁰ — the same driver-side footprint any broadcast
+    * build side has; bloom sidecars, which are data-scale, must never
+    * take this route.)
     *
-    * `cents` columns: `(cid_c int, c array<double>)`.
-    * Output: `(id long, rr int 1-based, cluster int)`.
+    * `cents` columns: `(cid_c int, c array<double>)`, dense 0-based
+    * ids. Output: `(id long, rr int 1-based, cluster int)`.
     */
   def assignTopCentroids(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, probes: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nc = dot(col("c"), col("c"))
-    val s0 = dot(col(vecCol), col("c")) *
-      when(nc > 0, lit(1.0) / sqrt(nc)).otherwise(lit(0.0))
-    val score = when(isnan(s0), lit(Double.NegativeInfinity)).otherwise(s0)
-    val w = Window.partitionBy(idCol).orderBy(col("__score").desc, col("cid_c"))
-    df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cents))
-      .withColumn("__score", score)
-      .withColumn("rr", row_number().over(w))
-      .filter(col("rr") <= probes)
-      .select(col(idCol).cast("long").as("id"), col("rr").cast("int").as("rr"),
-        col("cid_c").cast("int").as("cluster"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val arr: Array[Array[Double]] = cents.orderBy("cid_c")
+      .select("c").collect().map(_.getSeq[Double](0).toArray)
+    val bc = spark.sparkContext.broadcast(arr)
+    val p = math.min(probes, arr.length)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          val ranked = TopCentroidIds.kernel(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray),
+            cs, p, false)
+          (0 until ranked.numElements()).iterator.map(i =>
+            (id, i + 1, ranked.getInt(i)))
+        }
+      }
+      .toDF("id", "rr", "cluster")
+      .select(col("id"), col("rr").cast("int").as("rr"),
+        col("cluster").cast("int").as("cluster"))
   }
 
   /** Deterministic pseudo-gaussian hyperplanes (fixed seed). */

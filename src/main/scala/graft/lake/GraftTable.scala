@@ -554,10 +554,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           col("col").as("cluster"))
         .write.parquet(s"$path/$rel/assign")
     } else {
-      // large-k path: centroids never touch the driver — the strided
-      // medoid selection stays a DataFrame, the sidecar shards like
-      // any other table, and assignment is the broadcast-join kernel
-      // twin (bit-identical scores; see assignTopCentroids)
+      // large-k path: the sidecar shards like any other table and
+      // assignment runs the SAME kernel against a broadcast-variable
+      // centroid matrix (one copy per executor, not a plan constant;
+      // bit-identical scores — see assignTopCentroids)
       val centsDf = ivfCentroidsDf(df, idCol, vecCol, stride, k)
       centsDf.write.parquet(s"$path/$rel/centroids")
       graft.functions.VectorFunctions.assignTopCentroids(

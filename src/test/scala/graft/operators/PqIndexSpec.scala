@@ -67,7 +67,7 @@ class PqIndexSpec extends GraftSparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel, "centroids")))
   }
 
-  test("broadcast-join assignment is bit-identical to the kernel at k > 1024") {
+  test("broadcast-variable assignment is bit-identical to the kernel at k > 1024") {
     import graft.functions.VectorFunctions
     // deterministic synthetic vectors (id-derived, no RNG); k past the
     // old hard cap exercises the path real corpora hit at ~10^5 rows
@@ -88,7 +88,7 @@ class PqIndexSpec extends GraftSparkSpec {
     val joined = VectorFunctions.assignTopCentroids(vecs, "id", "v", centsDf, 6)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(joined == kernel,
-      "join-path assignments must be bit-identical to the kernel's")
+      "broadcast-path assignments must be bit-identical to the kernel's")
     assert(IvfIndex.kFor(100000000L) > 1024,
       "k must keep scaling as 8·√n past the old 1024 cap")
   }
