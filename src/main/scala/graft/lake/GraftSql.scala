@@ -588,15 +588,23 @@ final class GraftSql(spark: SparkSession) {
       val s1 = srcRefs.foldLeft(e)((acc, r) => acc.replaceAll(r, "$1"))
       tgtRefs.foldLeft(s1)((acc, r) => acc.replaceAll(r, ""))
     }
-    // split on top-level commas only (function calls carry commas)
+    // split on top-level commas only: parens nest (function calls) and
+    // single-quoted SQL strings may carry commas or parens — both are
+    // opaque to the splitter ('' is the escaped quote inside a string)
     def splitTop(s0: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var depth = 0; var start = 0
-      s0.zipWithIndex.foreach {
-        case ('(', _) => depth += 1
-        case (')', _) => depth -= 1
-        case (',', i) if depth == 0 => out += s0.substring(start, i); start = i + 1
-        case _ => ()
+      var depth = 0; var start = 0; var inStr = false
+      var i = 0
+      while (i < s0.length) {
+        s0.charAt(i) match {
+          case '\'' => inStr = !inStr
+          case '(' if !inStr => depth += 1
+          case ')' if !inStr => depth -= 1
+          case ',' if !inStr && depth == 0 =>
+            out += s0.substring(start, i); start = i + 1
+          case _ => ()
+        }
+        i += 1
       }
       out += s0.substring(start)
       out.toSeq

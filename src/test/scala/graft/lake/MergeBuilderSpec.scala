@@ -331,11 +331,16 @@ class MergeBuilderSpec extends GraftSparkSpec {
     gsql.sql(
       """MERGE INTO mti USING msrci ON mti.o_orderkey = msrci.o_orderkey
         |WHEN NOT MATCHED AND msrci.o_orderstatus = 'F' THEN
-        |INSERT (o_orderkey, o_custkey, o_totalprice)
-        |VALUES (msrci.o_orderkey, msrci.o_custkey, msrci.o_totalprice * 3)""".stripMargin)
+        |INSERT (o_orderkey, o_custkey, o_totalprice, o_orderpriority)
+        |VALUES (msrci.o_orderkey, msrci.o_custkey, msrci.o_totalprice * 3,
+        |concat('x,(y', ')z'))""".stripMargin)
     val t = gsql.table("mti").toDF
     val srcF = o.filter(col("o_orderkey") < 60 && col("o_orderstatus") === "F")
     assert(t.filter(col("o_orderkey") >= 7000000L).count() == srcF.count())
+    // commas/parens inside string literals must not confuse the
+    // top-level VALUES splitter
+    assert(t.filter(col("o_orderkey") >= 7000000L)
+      .filter(col("o_orderpriority") === "x,(y)z").count() == srcF.count())
     assert(t.filter(col("o_orderkey") >= 7000000L)
       .filter(col("o_orderdate").isNull).count() == srcF.count())
     val got = t.filter(col("o_orderkey") >= 7000000L)
