@@ -508,26 +508,64 @@ object Analytics {
   }
 
   /** Exact per-group median and IQR (grouped continuous quantiles —
-    * q17's global percentiles, pushed into a hash aggregate). Computed
+    * q17's distributed sort-select generalized per group). Computed
     * over exact integer cents: an even-count median interpolates to a
     * half-cent midpoint, which is exactly representable in cents but a
     * round-half coin-flip in dollars.
+    *
+    * The obvious `percentile(cents, array(...))` aggregate buffers
+    * EVERY group value inside one ObjectHashAggregate task — with 3
+    * return flags at 100× that is the whole column in one executor.
+    * (A value-histogram variant is also out: cents are near-unique, so
+    * the histogram ≈ the data — the q17 lesson.) Instead: one
+    * cluster-wide range sort on (group, cents), per-group rank offsets
+    * from a |groups|-row count aggregate, and only the ≤6 bracketing
+    * values per group ever reach the driver. Interpolation over exact
+    * integers at frac ∈ {0,.25,.5,.75} is exact in double, so the
+    * result is bit-identical to the percentile() aggregate.
     */
-  def q33GroupMedian(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
+  def q33GroupMedian(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75)
+    val vals = Tables(spark, dir, "lineitem")
       .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
-      .groupBy("l_returnflag")
-      // one percentile buffer per group, not three: the exact
-      // percentile aggregate holds every value, so asking for the
-      // array computes all quantiles from a single sort. (A value-
-      // histogram + cumulative-window variant measured slower here:
-      // cents are nearly all distinct, so the histogram ≈ the data.)
-      .agg(expr("percentile(cents, array(0.25, 0.5, 0.75))").as("ps"))
+      .select(col("l_returnflag").as("g"), col("cents"))
+      .filter(col("cents").isNotNull)
+    // |groups| rows (3 here); sorted with the same binary-ASCII order
+    // the range sort below uses, so cumulative offsets line up
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val needed: Set[Long] = counts.flatMap { case (g, n) =>
+      qs.flatMap { q =>
+        val p = (n - 1).toDouble * q
+        Seq(offsets(g) + p.floor.toLong, offsets(g) + p.ceil.toLong)
+      }
+    }.toSet
+    // global range-partitioned sort; zipWithIndex gives the ordinal in
+    // (g, cents) order, and equal values straddling a partition edge
+    // can't change which VALUE sits at a rank
+    val picked = vals.sort("g", "cents").rdd
+      .map(_.getLong(1)).zipWithIndex()
+      .filter { case (_, i) => needed.contains(i) }
+      .map(_.swap).collectAsMap()
+    val rows = counts.map { case (g, n) =>
+      val ps = qs.map { q =>
+        val p = (n - 1).toDouble * q
+        val lo = picked(offsets(g) + p.floor.toLong).toDouble
+        val hi = picked(offsets(g) + p.ceil.toLong).toDouble
+        lo + (hi - lo) * (p - p.floor)
+      }
+      (g, ps(0), ps(1), ps(2))
+    }.toIndexedSeq
+    import vals.sparkSession.implicits._
+    rows.toDF("l_returnflag", "q1_raw", "m_raw", "q3_raw")
       .select(col("l_returnflag"),
-        round(element_at(col("ps"), 1), 1).as("q1_cents"),
-        round(element_at(col("ps"), 2), 1).as("median_cents"),
-        round(element_at(col("ps"), 3), 1).as("q3_cents"))
+        round(col("q1_raw"), 1).as("q1_cents"),
+        round(col("m_raw"), 1).as("median_cents"),
+        round(col("q3_raw"), 1).as("q3_cents"))
       .orderBy("l_returnflag")
+  }
 
   /** TPC-H Q2 shape (min-cost supplier): per-group aggregate, group
     * MIN over it, equality join back to recover the argmin rows —

@@ -168,20 +168,29 @@ object TextOps {
     * aggregate as a count of per-doc firsts rather than a second
     * count(distinct) pass over the pairs.
     */
-  def textVocab(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("freq"), countDistinct("doc_id").as("doc_freq"))
-      // the global rank window runs on the AGGREGATED vocab (one row
-      // per distinct word — KBs even for web-scale corpora), so the
-      // single-partition sort it implies is not a data-scale sort
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("freq").desc, col("word"))).cast("long"))
-      .select("word", "freq", "doc_freq", "rank")
-      .orderBy("rank")
+    // Two-phase global rank, NOT a Window.orderBy over the whole vocab:
+    // a global window funnels every row through ONE reducer, and on a
+    // web corpus "distinct whitespace tokens" (URLs, hashes, garbage)
+    // run 10⁸–10⁹ rows — far past a single task. Instead: cluster-wide
+    // range sort on the rank key, then zipWithIndex (per-partition
+    // counts + contiguous offsets — the textbook two-phase rank).
+    // (freq desc, word) is a total order, so ranks are deterministic.
+    val sorted = agg.select(col("word"), col("freq"), col("doc_freq"))
+      .sort(col("freq").desc, col("word"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), i + 1L)
+    }
+    spark.createDataFrame(indexed, schema).orderBy("rank")
+  }
 
   /** Word-rarity quality score (the CCNet/perplexity-filter shape with
     * an exact-arithmetic proxy): each document's words join the corpus
@@ -235,7 +244,13 @@ object TextOps {
     val nDocs = tok.agg(countDistinct("doc_id").as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
-    tf.join(broadcast(dfreq), "word")
+    // NO broadcast hint on dfreq: it is corpus-DERIVED (one row per
+    // distinct token — 10⁸⁺ on a web corpus), and a forced hint
+    // overrides Spark's size check, OOMing every executor at scale.
+    // Unhinted, AQE broadcasts it while it is actually small and
+    // sort-merges on the word key once it isn't. The 1-row N aggregate
+    // stays pinned — constant-bounded sides are the safe hint class.
+    tf.join(dfreq, "word")
       .crossJoin(broadcast(nDocs))
       .withColumn("idf_bits",
         (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("long"))
@@ -260,8 +275,15 @@ object TextOps {
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
-    bi.join(c12, Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    // Fold the history counts into the bigram table FIRST: c12 ⋈ c1 is
+    // a model-scale join (bigram-types × vocab rows), so the corpus
+    // side then needs only ONE scoring join on its existing (w1,w2)
+    // key. No broadcast hint on either corpus-derived table — a forced
+    // hint on a 10⁸⁺-row web vocab overrides Spark's size check and
+    // OOMs executors; unhinted, AQE broadcasts while genuinely small.
+    // Only the 1-row V constant stays pinned.
+    val model = c12.join(c1, Seq("w1"))
+    bi.join(model, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
       .withColumn("bits", (length(bin(col("c1") + col("v"))) -
         length(bin(col("c12")))).cast("long"))
@@ -275,12 +297,19 @@ object TextOps {
 
   def textRarity(spark: SparkSession, dir: String): DataFrame = {
     val vocab = textVocab(spark, dir).select("word", "rank")
+    // Pre-aggregate tokens to per-doc term frequencies so the scoring
+    // join ships per-doc DISTINCT words, not raw corpus tokens; then
+    // rank_sum = Σ rank·tf reconstructs the per-token sum exactly.
+    // NO broadcast hint on the vocab — corpus-derived (10⁸⁺ distinct
+    // tokens on web data); unhinted, AQE broadcasts it only while
+    // Spark's size check says it fits, else sort-merge on `word`.
     Tables(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
-      .join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .join(vocab, Seq("word"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("rank").as("rank_sum"))
+      .agg(sum("tf").as("n_words"), sum(col("rank") * col("tf")).as("rank_sum"))
       .withColumn("mean_rank",
         round(col("rank_sum").cast("double") / col("n_words").cast("double"), 4))
       .select("doc_id", "n_words", "rank_sum", "mean_rank")
