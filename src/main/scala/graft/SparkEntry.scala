@@ -143,6 +143,7 @@ object SparkEntry {
     "lake_update_mor" -> LakeOps.lakeUpdateMor _,
     "lake_merge" -> LakeOps.lakeMerge _,
     "lake_merge_composite" -> LakeOps.lakeMergeComposite _,
+    "lake_merge_predicate" -> LakeOps.lakeMergePredicate _,
     "lake_optimize" -> LakeOps.lakeOptimize _,
     "lake_zorder" -> LakeOps.lakeZorder _,
     "lake_partition_prune" -> LakeOps.lakePartitionPrune _,
@@ -1412,6 +1413,21 @@ object SparkEntry {
         "WHERE s.l_orderkey=t.l_orderkey AND s.l_linenumber=t.l_linenumber) " +
         "UNION ALL SELECT * FROM src) " +
         "SELECT COUNT(*) AS n, ROUND(SUM(qty),2) AS sum_qty FROM merged"),
+    "lake_merge_predicate" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c FROM orders), " +
+        "src AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 2 = 0 " +
+        "THEN price_c + 1000 ELSE price_c - 1000 END AS price_c FROM base " +
+        "WHERE o_orderkey < 2000 UNION ALL SELECT o_orderkey + 10000000, " +
+        "o_custkey, price_c FROM base WHERE o_orderkey < 500), " +
+        "merged AS (SELECT t.o_orderkey, t.o_custkey, CASE WHEN s.o_orderkey " +
+        "IS NOT NULL THEN s.price_c ELSE t.price_c END AS price_c FROM base t " +
+        "LEFT JOIN src s ON t.o_orderkey = s.o_orderkey AND s.price_c > t.price_c " +
+        "UNION ALL SELECT s.o_orderkey, s.o_custkey, s.price_c FROM src s " +
+        "WHERE NOT EXISTS (SELECT 1 FROM base t WHERE t.o_orderkey = s.o_orderkey " +
+        "AND s.price_c > t.price_c)) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(price_c) AS BIGINT) AS sum_price FROM merged"),
     "lake_partition_prune" ->
       ("SELECT l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity),2) AS sum_qty " +
         "FROM lineitem WHERE l_returnflag='R' GROUP BY l_linestatus ORDER BY l_linestatus"),

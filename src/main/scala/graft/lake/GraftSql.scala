@@ -552,27 +552,46 @@ final class GraftSql(spark: SparkSession) {
       }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** `MERGE INTO t [AS a] USING s [AS b] ON a.k1 = b.k1 [AND a.k2 =
-    * b.k2 ...] WHEN ... THEN ...` (Delta's SQL merge surface). The ON
-    * clause must be a conjunction of same-name column equalities — a
-    * composite natural key. Source- and target-alias references inside
-    * conditions and assignments are rewritten to the builder's frame:
-    * `b.c` → `src_c`, `a.c` → `c`. Supported clause actions: matched
-    * `UPDATE SET * | UPDATE SET c = e, ...` / `DELETE`, not-matched
-    * `INSERT *`, not-matched-by-source `UPDATE SET ...` / `DELETE`.
+  /** `MERGE INTO t [AS a] USING s [AS b] ON <cond> WHEN ... THEN ...`
+    * (Delta's SQL merge surface). The ON clause must contain at least
+    * one same-name column equality conjunct — the natural key that
+    * drives file pruning and the hash join; every OTHER top-level
+    * conjunct (range guards like `b.ts > a.ts`, cross-named
+    * equalities, parenthesized disjunctions) becomes a residual
+    * predicate riding the match join. Source- and target-alias
+    * references inside conditions and assignments are rewritten to
+    * the builder's frame: `b.c` → `src_c`, `a.c` → `c`.
+    *
+    * Clause semantics are Delta's first-match-in-order: multiple
+    * `WHEN NOT MATCHED` clauses insert each row by the FIRST clause
+    * whose condition it meets; a MATCHED UPDATE written before a
+    * MATCHED DELETE shields its rows from the delete. At most one
+    * MATCHED UPDATE, one MATCHED DELETE, and one of each NOT MATCHED
+    * BY SOURCE action per statement — a repeat is an error, never a
+    * silent last-wins. String literals are opaque to the clause
+    * scanner and every splitter.
     */
   private def executeSqlMerge(tName: String, tAlias: Option[String],
       sName: String, sAlias: Option[String],
       onClause: String, clauseTail: String): DataFrame = {
     import spark.implicits._
-    val keys = onClause.split("(?i)\\bAND\\b").map(_.trim).toSeq.map {
-      case mergeOnRe(_, kt, _, ks) =>
-        require(kt.equalsIgnoreCase(ks),
-          s"MERGE ON must equate the same key column, got $kt = $ks")
-        kt
-      case conjunct => throw new IllegalArgumentException(
-        s"MERGE ON must be a conjunction of key equalities, got: $conjunct")
-    }
+    val tgtAliases = (tAlias.toSeq :+ tName).map(_.toLowerCase)
+    val srcAliases = (sAlias.toSeq :+ sName).map(_.toLowerCase)
+    // 0 = unqualified, 1 = target, 2 = source, -1 = unknown alias
+    def side(q: String): Int =
+      if (q == null) 0 else if (tgtAliases.contains(q.toLowerCase)) 1
+      else if (srcAliases.contains(q.toLowerCase)) 2 else -1
+    val (keyConjs, residConjs) = splitTopAnd(onClause).map(_.trim)
+      .partition {
+        case mergeOnRe(q1, c1, q2, c2) =>
+          val (s1, s2) = (side(q1), side(q2))
+          c1.equalsIgnoreCase(c2) && s1 >= 0 && s2 >= 0 &&
+            (s1 == 0 || s2 == 0 || s1 != s2)
+        case _ => false
+      }
+    val keys = keyConjs.map { case mergeOnRe(_, kt, _, _) => kt }
+    require(keys.nonEmpty,
+      s"MERGE ON needs at least one same-column key equality, got: $onClause")
     val source =
       if (tables.contains(sName)) table(sName).toDF else spark.table(sName)
     val tgtRefs = (tAlias.toSeq :+ tName).map(a => s"(?i)\\b$a\\.")
@@ -609,43 +628,148 @@ final class GraftSql(spark: SparkSession) {
       out += s0.substring(start)
       out.toSeq
     }
+    // first top-level '=' (outside strings and parens) splits an
+    // assignment — commas/equals inside calls or literals are opaque
+    def splitAssign(a: String): (String, String) = {
+      var depth = 0; var inStr = false; var i = 0
+      while (i < a.length) {
+        a.charAt(i) match {
+          case '\'' => inStr = !inStr
+          case '(' if !inStr => depth += 1
+          case ')' if !inStr => depth -= 1
+          case '=' if !inStr && depth == 0 =>
+            return (a.substring(0, i), a.substring(i + 1))
+          case _ => ()
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(s"malformed assignment: $a")
+    }
     def assignments(sets: String): Map[String, org.apache.spark.sql.Column] =
-      sets.split(",").map { a =>
-        val Array(k, v) = a.split("=", 2)
+      splitTop(sets).map { a =>
+        val (k, v) = splitAssign(a)
         rewrite(k.trim) -> expr(rewrite(v.trim))
       }.toMap
     val updateSetRe = """(?is)^UPDATE\s+SET\s+(.+)$""".r
     var b = table(tName).mergeBuilder(source, keys)
       .whenMatchedKeep().whenNotMatchedIgnore()
-    mergeClauseRe.findAllMatchIn(clauseTail).foreach { m =>
-      val kind = m.group(1).toUpperCase.replaceAll("\\s+", " ")
-      val cond = Option(m.group(2)).map(c => expr(rewrite(c)))
-      val action = m.group(3).trim
-      (kind, action) match {
-        case ("MATCHED", updateSetRe(sets)) if sets.trim == "*" =>
-          b = b.whenMatchedUpdateAll(cond)
-        case ("MATCHED", updateSetRe(sets)) =>
-          b = b.whenMatchedUpdate(assignments(sets), cond)
+    if (residConjs.nonEmpty)
+      b = b.onCondition(expr(rewrite(
+        residConjs.map(c => s"($c)").mkString(" AND "))))
+    // the clause scanner runs over a literal-masked copy so a ') WHEN '
+    // or 'THEN' inside a string can never end a clause early; group
+    // CONTENT is lifted from the original by match position
+    val masked = maskLiterals(clauseTail)
+    val clauses = mergeClauseRe.findAllMatchIn(masked).map { m =>
+      def g(i: Int): Option[String] =
+        Option(m.group(i)).map(_ => clauseTail.substring(m.start(i), m.end(i)))
+      (g(1).get.toUpperCase.replaceAll("\\s+", " "), g(2), g(3).get.trim)
+    }.toList
+    // Delta first-match ordering for target-row clauses: each clause
+    // applies only where no EARLIER clause of the same family fired
+    var earlierMatched = List.empty[Option[org.apache.spark.sql.Column]]
+    var earlierNmbs = List.empty[Option[org.apache.spark.sql.Column]]
+    def gated(cond: Option[org.apache.spark.sql.Column],
+        earlier: List[Option[org.apache.spark.sql.Column]]):
+        Option[org.apache.spark.sql.Column] = {
+      if (earlier.isEmpty) cond
+      else {
+        val noneEarlier = earlier
+          .map(c => coalesce(c.getOrElse(lit(true)), lit(false)) === false)
+          .reduce(_ && _)
+        Some(cond.map(_ && noneEarlier).getOrElse(noneEarlier))
+      }
+    }
+    var seen = Set.empty[String]
+    def once(k: String): Unit = {
+      require(!seen(k), s"MERGE supports at most one $k clause")
+      seen += k
+    }
+    clauses.foreach { case (kind, condStr, action) =>
+      val cond = condStr.map(c => expr(rewrite(c)))
+      val actionMasked = maskLiterals(action)
+      (kind, actionMasked) match {
+        case ("MATCHED", updateSetRe(_)) =>
+          once("WHEN MATCHED ... UPDATE")
+          val sets = updateSetRe.findFirstMatchIn(actionMasked)
+            .map(m => action.substring(m.start(1), m.end(1))).get
+          b = if (sets.trim == "*") b.whenMatchedUpdateAll(gated(cond, earlierMatched))
+            else b.whenMatchedUpdate(assignments(sets), gated(cond, earlierMatched))
+          earlierMatched :+= cond
         case ("MATCHED", a) if a.equalsIgnoreCase("DELETE") =>
-          b = b.whenMatchedDelete(cond.getOrElse(lit(true)))
-        case ("NOT MATCHED", mergeInsertColsRe(colList, valList)) =>
-          val insCond = Option(m.group(2)).map(c => expr(rewriteIns(c)))
+          once("WHEN MATCHED ... DELETE")
+          b = b.whenMatchedDelete(gated(cond, earlierMatched).getOrElse(lit(true)))
+          earlierMatched :+= cond
+        case ("NOT MATCHED", mergeInsertColsRe(_, _)) =>
+          val mm = mergeInsertColsRe.findFirstMatchIn(actionMasked).get
+          val colList = action.substring(mm.start(1), mm.end(1))
+          val valList = action.substring(mm.start(2), mm.end(2))
+          val insCond = condStr.map(c => expr(rewriteIns(c)))
           val cols = colList.split(",").map(c => rewriteIns(c.trim))
           val vals = splitTop(valList).map(v => expr(rewriteIns(v.trim)))
           require(cols.length == vals.length,
             s"INSERT column/value arity mismatch: ${cols.length} vs ${vals.length}")
+          // ordered clause list in the builder — first match wins
           b = b.whenNotMatchedInsert(cols.toSeq.zip(vals).toMap, insCond)
         case ("NOT MATCHED", a) if a.toUpperCase.startsWith("INSERT") =>
-          b = b.whenNotMatchedInsertAll(
-            Option(m.group(2)).map(c => expr(rewriteIns(c))))
-        case ("NOT MATCHED BY SOURCE", updateSetRe(sets)) =>
-          b = b.whenNotMatchedBySourceUpdate(assignments(sets), cond)
+          b = b.whenNotMatchedInsertAll(condStr.map(c => expr(rewriteIns(c))))
+        case ("NOT MATCHED BY SOURCE", updateSetRe(_)) =>
+          once("WHEN NOT MATCHED BY SOURCE ... UPDATE")
+          val sets = updateSetRe.findFirstMatchIn(actionMasked)
+            .map(m => action.substring(m.start(1), m.end(1))).get
+          b = b.whenNotMatchedBySourceUpdate(assignments(sets), gated(cond, earlierNmbs))
+          earlierNmbs :+= cond
         case ("NOT MATCHED BY SOURCE", a) if a.equalsIgnoreCase("DELETE") =>
-          b = b.whenNotMatchedBySourceDelete(cond)
+          once("WHEN NOT MATCHED BY SOURCE ... DELETE")
+          b = b.whenNotMatchedBySourceDelete(gated(cond, earlierNmbs))
+          earlierNmbs :+= cond
         case (k, a) => throw new IllegalArgumentException(
           s"unsupported MERGE clause: WHEN $k THEN $a")
       }
     }
     b.execute().toSeq.sorted.toDF("metric", "value")
+  }
+
+  /** Same-length copy with every character inside a single-quoted SQL
+    * string literal replaced by '_' ('' escapes stay masked): regexes
+    * and keyword scanners run on the mask, content is lifted from the
+    * original by position.
+    */
+  private def maskLiterals(s: String): String = {
+    val b = s.toCharArray
+    var inStr = false
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '\'') inStr = !inStr
+      else if (inStr) b(i) = '_'
+      i += 1
+    }
+    new String(b)
+  }
+
+  /** Split on top-level (?i)AND keywords — parens nest, string
+    * literals are opaque, word boundaries required.
+    */
+  private def splitTopAnd(s0: String): Seq[String] = {
+    val masked = maskLiterals(s0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var i = 0
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if depth == 0 && (c == 'a' || c == 'A') &&
+            i + 3 <= masked.length &&
+            masked.substring(i, i + 3).equalsIgnoreCase("and") &&
+            (i == 0 || !isWord(masked.charAt(i - 1))) &&
+            (i + 3 == masked.length || !isWord(masked.charAt(i + 3))) =>
+          out += s0.substring(start, i); start = i + 3; i += 2
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s0.substring(start)
+    out.toSeq
   }
 }

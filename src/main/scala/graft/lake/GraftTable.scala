@@ -1952,6 +1952,31 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     source.select(keys.map(col) ++ source.columns.toIndexedSeq.map(c =>
       col(c).as(s"src_$c")): _*)
 
+  /** Matched (target,source) pairs on the equality keys, with the
+    * residual ON predicate (if any) applied as a filter on the match
+    * join and a uniqueness guard over the surviving PAIRS: under an
+    * arbitrary ON, two source rows may share a key yet residual-match
+    * the same target row — each would produce its own replacement, so
+    * that is refused loudly (Delta raises the same multiple-match
+    * error). The per-target id exists only inside this frame.
+    */
+  private def matchedPairs(tgt: DataFrame, source: DataFrame,
+      keys: Seq[String], matchCond: Option[Column]): DataFrame = {
+    val p0 = tgt.withColumn("__mid", monotonically_increasing_id())
+      .join(srcPrefixed(source, keys), keys)
+    matchCond match {
+      case None => p0.drop("__mid")
+      case Some(mc) =>
+        val p = p0.filter(coalesce(mc, lit(false)) === true)
+        val dup = p.groupBy(col("__mid")).count().filter(col("count") > 1)
+          .limit(1).count()
+        require(dup == 0,
+          "MERGE: a target row matches multiple source rows under the ON " +
+            "condition — deduplicate the source or tighten the predicate")
+        p.drop("__mid")
+    }
+  }
+
   /** Evaluate `set` assignments simultaneously against `df` (all
     * right-hand sides see pre-assignment values), yielding the table
     * schema.
@@ -2029,32 +2054,41 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     Pruning.prune(rest, s.schema, s.partitionColumns, conds.reduce(_ || _), generatedExprs(s))
   }
 
-  /** Unmatched-source insert rows: optional condition gates on the
+  /** Unmatched-source insert rows under ORDERED first-match clause
+    * semantics (Delta: a row is inserted by the FIRST `WHEN NOT
+    * MATCHED` clause whose condition it meets). Conditions gate on the
     * SOURCE row; explicit assignments build the table row from source
     * columns (omitted columns NULL, generated columns derived unless
     * explicitly assigned — an inserted row must satisfy the generated
     * invariant or later monotone-derivation pruning silently breaks).
     */
   private def buildInserts(unmatched: DataFrame, s: Snapshot,
-      insertCond: Option[Column],
-      insertSet: Option[Map[String, Column]]): DataFrame = {
-    val gated = insertCond.fold(unmatched)(c =>
-      unmatched.filter(coalesce(c, lit(false)) === true))
-    insertSet match {
-      case None => gated
-      case Some(set) =>
-        // build the row (assigned or NULL), then derive unassigned
-        // generated columns from the BUILT values — Delta computes
-        // generated columns over the final inserted row, not the source
-        val row = gated.select(s.schema.fields.toIndexedSeq.map { f =>
-          set.get(f.name).map(_.cast(f.dataType))
-            .getOrElse(lit(null).cast(f.dataType)).as(f.name)
-        }: _*)
-        generatedExprs(s).foldLeft(row) { case (d, (c, exprSql)) =>
-          if (set.contains(c)) d
-          else d.withColumn(c, expr(exprSql).cast(s.schema(c).dataType))
-        }
+      clauses: Seq[(Option[Column], Option[Map[String, Column]])]): DataFrame = {
+    val built = clauses.zipWithIndex.map { case ((cond, set), i) =>
+      // first-match: clause i sees only rows failing every earlier
+      // clause's condition (an earlier unconditional clause takes all)
+      val gate = clauses.take(i).map(_._1.getOrElse(lit(true)))
+        .foldLeft(coalesce(cond.getOrElse(lit(true)), lit(false)) === true)(
+          (g, e) => g && (coalesce(e, lit(false)) === false))
+      val gated = unmatched.filter(gate)
+      set match {
+        case None => gated
+        case Some(m) =>
+          // build the row (assigned or NULL), then derive unassigned
+          // generated columns from the BUILT values — Delta computes
+          // generated columns over the final inserted row, not the source
+          val row = gated.select(s.schema.fields.toIndexedSeq.map { f =>
+            m.get(f.name).map(_.cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+          }: _*)
+          generatedExprs(s).foldLeft(row) { case (d, (c, exprSql)) =>
+            if (m.contains(c)) d
+            else d.withColumn(c, expr(exprSql).cast(s.schema(c).dataType))
+          }
+      }
     }
+    built.map(_.select(s.schema.fieldNames.toIndexedSeq.map(col): _*))
+      .reduce(_ unionByName _)
   }
 
   private[lake] def executeMerge(sourceIn: DataFrame, keys: Seq[String],
@@ -2065,6 +2099,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       nmbsDelete: Option[Column] = None,
       insertCond: Option[Column] = None,
       insertSet: Option[Map[String, Column]] = None,
+      moreInserts: Seq[(Option[Column], Option[Map[String, Column]])] = Nil,
+      matchCond: Option[Column] = None,
       extraActions: Seq[Action] = Nil): Map[String, String] = {
     val s = snapshot
     // the source is a small delta against a huge table and is referenced
@@ -2084,15 +2120,39 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val candDF = layoutRewriteSource(s, candidates)
     val fields = s.schema.fieldNames.toIndexedSeq.map(col)
     val outFields = if (rt) fields :+ col(RowIdCol) else fields
+    val keyCols = keys.map(col)
+
+    // Arbitrary-ON support: the equality keys still drive key-range
+    // pruning and the hash join; a residual boolean (target columns
+    // unprefixed, source columns `src_`-prefixed) rides as an extra
+    // join predicate — a row pair "matches" only when keys are equal
+    // AND the residual holds (NULL residual = no match, like SQL ON).
+    val srcM = source.select(source.columns.toIndexedSeq.map(c =>
+      col(c).as(s"src_$c")): _*)
+    val fullCondM = matchCond.map(mc =>
+      keys.map(k => col(k) === col(s"src_$k")).reduce(_ && _) &&
+        (coalesce(mc, lit(false)) === true))
+    def semiSrc(tgt: DataFrame): DataFrame = fullCondM match {
+      case None => tgt.join(source.select(keyCols: _*), keys, "left_semi")
+      case Some(c) => tgt.join(srcM, c, "left_semi")
+    }
+    def antiSrc(tgt: DataFrame): DataFrame = fullCondM match {
+      case None => tgt.join(source, keys, "left_anti")
+      case Some(c) => tgt.join(srcM, c, "left_anti")
+    }
+    def srcUnmatched(tgt: DataFrame): DataFrame = fullCondM match {
+      case None => source.join(tgt.select(keyCols: _*), keys, "left_anti")
+      case Some(c) => srcM.join(tgt, c, "left_anti")
+        .select(source.columns.toIndexedSeq.map(c2 => col(s"src_$c2").as(c2)): _*)
+    }
 
     // target rows with no source match: NOT-MATCHED-BY-SOURCE clauses
     // apply — inside the candidate files AND in the (clause-pruned)
     // rest of the table, which by key-range construction holds no match
-    val untouched = candDF.join(source, keys, "left_anti")
+    val untouched = antiSrc(candDF)
     val restFiles = nmbsRestFiles(s, candidates.map(_.path).toSet, nmbsUpdate, nmbsDelete)
     val restDF = layoutRewriteSource(s, restFiles)
-    val keyCols = keys.map(col)
-    val matched = candDF.join(source.select(keyCols: _*), keys, "left_semi")
+    val matched = semiSrc(candDF)
     // matched rows that survive (delete condition not met), evaluated
     // against the TARGET row
     val afterDelete = deleteCond match {
@@ -2114,10 +2174,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       (upd, notUpdated)
     } else (afterDelete.limit(0), afterDelete)
 
-    val replacements = updateSet match {
-      case Some(set) =>
-        assignAll(toUpdate.join(srcPrefixed(source, keys), keys), set, s, None)
-      case None =>
+    val replacements = (updateSet, matchCond) match {
+      case (Some(set), _) =>
+        assignAll(matchedPairs(toUpdate, source, keys, matchCond), set, s, None)
+      case (None, Some(_)) =>
+        // residual path: guarded (target,source) PAIRS — each updated
+        // target is replaced by its unique residual-matching source
+        // row, keeping its stable id when row tracking is on
+        val srcCols = s.schema.fieldNames.toIndexedSeq.map(n => col(s"src_$n").as(n))
+        matchedPairs(toUpdate, source, keys, matchCond)
+          .select((if (rt) srcCols :+ col(RowIdCol) else srcCols): _*)
+      case (None, None) =>
         // update-all: the source row replaces the target row, which
         // KEEPS its id (same logical row) — attach it by key. One id
         // per key (min for determinism): duplicate-key targets
@@ -2132,10 +2199,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         else source.join(toUpdate.select(keyCols: _*), keys, "left_semi")
     }
     val inserts0 =
-      if (insertUnmatched) buildInserts(
-        source.join(candDF.select(keyCols: _*), keys, "left_anti"),
-        s, insertCond, insertSet)
-      else source.limit(0)
+      if (insertUnmatched) buildInserts(srcUnmatched(candDF), s,
+        (insertCond, insertSet) +: moreInserts)
+      else source.limit(0).select(
+        s.schema.fieldNames.toIndexedSeq.map(col): _*)
     val inserts =
       if (rt) inserts0.withColumn(RowIdCol, lit(null).cast("long"))
       else inserts0
@@ -2216,6 +2283,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       nmbsDelete: Option[Column],
       insertCond: Option[Column] = None,
       insertSet: Option[Map[String, Column]] = None,
+      moreInserts: Seq[(Option[Column], Option[Map[String, Column]])] = Nil,
+      matchCond: Option[Column] = None,
       extraActions: Seq[Action] = Nil): Map[String, String] = {
     val s = snapshot
     // small-delta source feeds the key-range probe, the semi/anti joins
@@ -2265,9 +2334,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // huge table) — persist them so the candidate scan runs once across
     // the DV write, the post-image write, and the CDC sidecar
     val keyCols = keys.map(col)
-    val matched = live.join(source.select(keyCols: _*), keys, "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val unmatchedTarget = live.join(source.select(keyCols: _*), keys, "left_anti")
+    // arbitrary-ON residual rides the match join (see executeMerge)
+    val srcM = source.select(source.columns.toIndexedSeq.map(c =>
+      col(c).as(s"src_$c")): _*)
+    val fullCondM = matchCond.map(mc =>
+      keys.map(k => col(k) === col(s"src_$k")).reduce(_ && _) &&
+        (coalesce(mc, lit(false)) === true))
+    val matched = (fullCondM match {
+        case None => live.join(source.select(keyCols: _*), keys, "left_semi")
+        case Some(c) => live.join(srcM, c, "left_semi")
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unmatchedTarget = fullCondM match {
+      case None => live.join(source.select(keyCols: _*), keys, "left_anti")
+      case Some(c) => live.join(srcM, c, "left_anti")
+    }
     val changeConds = nmbsDelete.toSeq ++ nmbsUpdate.map(_._1.getOrElse(lit(true))).toSeq
     val nmbsChanged = (if (changeConds.isEmpty) unmatchedTarget.limit(0)
       else unmatchedTarget.filter(coalesce(changeConds.reduce(_ || _), lit(false)) === true))
@@ -2285,10 +2365,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         if (!updateAll) afterDelete.limit(0)
         else updateCond.fold(afterDelete)(uc =>
           afterDelete.filter(coalesce(uc, lit(false)) === true))
-      val postImages = updateSet match {
-        case Some(set) =>
-          assignAll(updRows.join(srcPrefixed(source, keys), keys), set, s, None)
-        case None =>
+      val postImages = (updateSet, matchCond) match {
+        case (Some(set), _) =>
+          assignAll(matchedPairs(updRows, source, keys, matchCond), set, s, None)
+        case (None, Some(_)) =>
+          // residual path: guarded pairs, post-image = source row (+
+          // the masked target's stable id when row tracking is on)
+          val srcCols = s.schema.fieldNames.toIndexedSeq.map(n => col(s"src_$n").as(n))
+          matchedPairs(updRows, source, keys, matchCond)
+            .select((if (rt) srcCols :+ col(RowIdCol) else srcCols): _*)
+        case (None, None) =>
           // one id per key (min) — multiplicity parity with left_semi,
           // see the copy-on-write path
           if (rt) {
@@ -2315,11 +2401,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         case Some((_, set)) => assignAll(nmbsUpdPre, set, s, None)
         case None => nmbsChanged.limit(0).select(outFields: _*)
       }
+      val srcUnmatched = fullCondM match {
+        case None => source.join(live.select(keyCols: _*), keys, "left_anti")
+        case Some(c) => srcM.join(live, c, "left_anti")
+          .select(source.columns.toIndexedSeq.map(c2 => col(s"src_$c2").as(c2)): _*)
+      }
       val inserts0 =
-        if (insertUnmatched) buildInserts(
-          source.join(live.select(keyCols: _*), keys, "left_anti"),
-          s, insertCond, insertSet)
-        else source.limit(0)
+        if (insertUnmatched) buildInserts(srcUnmatched, s,
+          (insertCond, insertSet) +: moreInserts)
+        else source.limit(0).select(
+          s.schema.fieldNames.toIndexedSeq.map(col): _*)
       val inserts =
         if (rt) inserts0.withColumn(RowIdCol, lit(null).cast("long"))
         else inserts0

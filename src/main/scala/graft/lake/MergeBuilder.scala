@@ -37,12 +37,21 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: 
   private var updateCond: Option[Column] = None
   private var updateSet: Option[Map[String, Column]] = None
   private var deleteCond: Option[Column] = None
-  private var insertUnmatched = true
-  private var insertCond: Option[Column] = None
-  private var insertSet: Option[Map[String, Column]] = None
+  // ordered WHEN NOT MATCHED clauses (first-match semantics, like
+  // Delta); the default is one unconditional INSERT * until the first
+  // explicit insert clause replaces it
+  private var insertClauses: List[(Option[Column], Option[Map[String, Column]])] =
+    List((None, None))
+  private var insertDefault = true
   private var nmbsDelete: Option[Column] = None
   private var nmbsUpdate: Option[(Option[Column], Map[String, Column])] = None
+  private var matchCond: Option[Column] = None
   private var mor = false
+
+  private def addInsert(c: Option[Column], set: Option[Map[String, Column]]): Unit = {
+    if (insertDefault) { insertClauses = Nil; insertDefault = false }
+    insertClauses = insertClauses :+ ((c, set))
+  }
 
   def whenMatchedUpdateAll(condition: Option[Column] = None): MergeBuilder = {
     updateAll = true; updateCond = condition; updateSet = None; this
@@ -62,10 +71,12 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: 
   }
   /** Insert unmatched source rows, optionally only those meeting a
     * condition evaluated on the SOURCE row (Delta `WHEN NOT MATCHED
-    * AND cond THEN INSERT *`).
+    * AND cond THEN INSERT *`). Repeated `whenNotMatchedInsert*` calls
+    * build an ORDERED clause list: each unmatched row is inserted by
+    * the FIRST clause whose condition it meets (Delta's semantics).
     */
   def whenNotMatchedInsertAll(condition: Option[Column] = None): MergeBuilder = {
-    insertUnmatched = true; insertCond = condition; insertSet = None; this
+    addInsert(condition, None); this
   }
   /** Explicit-column insert: assignments are evaluated on the SOURCE
     * row; omitted columns insert NULL, unassigned generated columns
@@ -73,10 +84,23 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: 
     */
   def whenNotMatchedInsert(set: Map[String, Column],
                            condition: Option[Column] = None): MergeBuilder = {
-    insertUnmatched = true; insertCond = condition; insertSet = Some(set); this
+    addInsert(condition, Some(set)); this
   }
   def whenNotMatchedIgnore(): MergeBuilder = {
-    insertUnmatched = false; insertCond = None; insertSet = None; this
+    insertClauses = Nil; insertDefault = false; this
+  }
+
+  /** Additional boolean match predicate ANDed onto the key equality
+    * (Delta's arbitrary `ON` surface, e.g. `ON t.k = s.k AND s.ts >
+    * t.ts`): reference target columns unprefixed and source columns as
+    * `src_<name>`. The equality keys still drive file pruning and the
+    * hash join; the residual rides as a predicate on the match join, so
+    * a key-equal pair with a false (or NULL) residual is NOT matched —
+    * the source row falls to the insert clauses and the target row to
+    * the not-matched-by-source clauses, exactly like SQL MERGE.
+    */
+  def onCondition(residual: Column): MergeBuilder = {
+    matchCond = Some(residual); this
   }
 
   /** Delete target rows that have no source match (optionally gated by
@@ -108,13 +132,17 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: 
 
   def execute(): Map[String, String] = {
     if (evolve) t.evolveSchemaFor(source)
+    val insertUnmatched = insertClauses.nonEmpty
+    val (insertCond, insertSet) =
+      insertClauses.headOption.getOrElse((None, None))
+    val moreInserts = if (insertClauses.isEmpty) Nil else insertClauses.tail
     if (mor)
       t.executeMergeMoR(source, keys, updateAll, updateCond, updateSet,
         deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete,
-        insertCond, insertSet)
+        insertCond, insertSet, moreInserts, matchCond)
     else
       t.executeMerge(source, keys, updateAll, updateCond, updateSet,
         deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete,
-        insertCond, insertSet)
+        insertCond, insertSet, moreInserts, matchCond)
   }
 }

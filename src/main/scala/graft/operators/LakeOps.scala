@@ -134,6 +134,34 @@ object LakeOps {
     t.toDF.agg(count(lit(1)).as("n"), round(sum("qty"), 2).as("sum_qty"))
   }
 
+  /** MERGE with an arbitrary ON predicate (L73 — Delta's full `ON`
+    * surface): the equality key still drives key-range file pruning
+    * and the hash join; the `src price > target price` residual rides
+    * the match join as an extra predicate. A key-equal pair failing
+    * the residual is NOT matched, so its target row keeps its value
+    * and its source row falls through to the INSERT clause — exactly
+    * SQL MERGE semantics, which the DuckDB oracle replays with a
+    * full-condition LEFT JOIN + NOT EXISTS.
+    */
+  def lakeMergePredicate(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val t = GraftTable.create(spark, workDir(dir, "mergepred"), base)
+    val src = base.filter(col("o_orderkey") < 2000)
+      .withColumn("price_c",
+        when(col("o_orderkey") % 2 === 0, col("price_c") + 1000L)
+          .otherwise(col("price_c") - 1000L))
+      .unionByName(base.filter(col("o_orderkey") < 500)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    t.mergeBuilder(src, "o_orderkey")
+      .onCondition(col("src_price_c") > col("price_c"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    t.toDF.agg(count(lit(1)).as("n"), sum("price_c").as("sum_price"))
+  }
+
   /** AVG-maintaining MV (L71): state stores sum + NON-NULL count per
     * averaged column, so the derived avg is exact even when the
     * column has NULLs (sum/count(*) would be wrong there). Same

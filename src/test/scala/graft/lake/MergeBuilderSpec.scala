@@ -375,6 +375,165 @@ class MergeBuilderSpec extends GraftSparkSpec {
     }
   }
 
+  test("residual ON predicate: only-if-newer upsert, CoW and MoR agree") {
+    val o = Tables(spark, sfDir, "orders")
+    // half the source rows carry a HIGHER price (should update), half a
+    // LOWER one (key-equal but residual-failed: must NOT update)
+    val src = o.filter(col("o_orderkey") < 2000)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 2 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice") - 10.0))
+    def run(name: String, mor: Boolean) = {
+      val t = GraftTable.create(spark, tmpDir(name), o)
+      var b = t.mergeBuilder(src, "o_orderkey")
+        .onCondition(col("src_o_totalprice") > col("o_totalprice"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedIgnore()
+      if (mor) b = b.mergeOnRead()
+      b.execute()
+      t.toDF.orderBy("o_orderkey").collect().toSeq
+    }
+    val cow = run("mb-resid-cow", mor = false)
+    val expected = o.withColumn("o_totalprice",
+        when(col("o_orderkey") < 2000 && col("o_orderkey") % 2 === 0,
+          col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(cow == expected, "residual-gated update must touch only newer rows")
+    assert(run("mb-resid-mor", mor = true) == expected, "MoR disagrees with CoW")
+  }
+
+  test("residual ON: key-equal residual-failed source rows fall to INSERT") {
+    val (o, t) = freshOrders("mb-resid-ins")
+    val src = o.filter(col("o_orderkey") < 100)
+      .withColumn("o_totalprice", col("o_totalprice") - 5.0) // always stale
+    t.mergeBuilder(src, "o_orderkey")
+      .onCondition(col("src_o_totalprice") > col("o_totalprice"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    // SQL MERGE semantics: stale rows are unmatched, so they INSERT as
+    // duplicate-key rows; targets stay untouched
+    assert(t.toDF.count() == o.count() + src.count())
+    assert(t.toDF.filter(col("o_orderkey") < 100).count() == 2 * src.count())
+  }
+
+  test("residual ON: a target matching two source rows raises the pair guard") {
+    val (o, t) = freshOrders("mb-resid-dup")
+    val one = o.filter(col("o_orderkey") < 10)
+    val src = one.withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .unionByName(one.withColumn("o_totalprice", col("o_totalprice") + 2.0))
+    val e = intercept[IllegalArgumentException] {
+      t.mergeBuilder(src, "o_orderkey")
+        .onCondition(col("src_o_totalprice") > col("o_totalprice"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedIgnore()
+        .execute()
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
+  test("ordered NOT MATCHED clauses insert by first matching condition") {
+    val (o, t) = freshOrders("mb-ins-order")
+    val src = o.filter(col("o_orderkey") < 120)
+      .withColumn("o_orderkey", col("o_orderkey") + 7000000L)
+    t.mergeBuilder(src, "o_orderkey")
+      .whenMatchedKeep()
+      .whenNotMatchedInsert(
+        Map("o_orderkey" -> col("o_orderkey"), "o_totalprice" -> lit(111.0)),
+        condition = Some(col("o_orderstatus") === "F"))
+      .whenNotMatchedInsertAll()
+      .execute()
+    val ins = t.toDF.filter(col("o_orderkey") >= 7000000L)
+    val nF = src.filter(col("o_orderstatus") === "F").count()
+    assert(nF > 0 && nF < src.count(), "condition must be selective")
+    assert(ins.count() == src.count(), "every unmatched row inserts exactly once")
+    // first clause wins for F rows (explicit set: price 111, status NULL)
+    assert(ins.filter(col("o_totalprice") === 111.0 &&
+      col("o_orderstatus").isNull).count() == nF)
+    // remaining rows fall through to INSERT * with their source values
+    assert(ins.filter(col("o_orderstatus").isNotNull).count() == src.count() - nF)
+  }
+
+  test("SQL MERGE: residual ON conjunct, first-match inserts, literal-proof parsing") {
+    val gsql = new GraftSql(spark)
+    val o = Tables(spark, sfDir, "orders")
+    gsql.registerCreate("mtp", tmpDir("mb-sqlpred"), o)
+    o.filter(col("o_orderkey") < 400)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 2 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice") - 10.0))
+      .withColumn("o_orderkey",
+        when(col("o_orderkey") < 200, col("o_orderkey") + 7000000L)
+          .otherwise(col("o_orderkey")))
+      .createOrReplaceTempView("msrcp")
+    gsql.sql(
+      """MERGE INTO mtp AS t USING msrcp AS s
+        |ON t.o_orderkey = s.o_orderkey AND s.o_totalprice > t.o_totalprice
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.o_orderkey >= 7000000 AND s.o_orderstatus = 'F' THEN
+        |INSERT (o_orderkey, o_totalprice, o_orderpriority)
+        |VALUES (s.o_orderkey, s.o_totalprice, 'a) WHEN MATCHED THEN b')
+        |WHEN NOT MATCHED AND s.o_orderkey >= 7000000 THEN INSERT *""".stripMargin)
+    val t = gsql.table("mtp").toDF
+    // matched existing keys in [200,400): only even (newer) rows updated
+    val evens = o.filter(col("o_orderkey") >= 200 && col("o_orderkey") < 400 &&
+      col("o_orderkey") % 2 === 0)
+    val gotUpd = t.filter(col("o_orderkey") >= 200 && col("o_orderkey") < 400)
+      .agg(round(sum("o_totalprice"), 2)).head().getDouble(0)
+    val wantUpd = o.filter(col("o_orderkey") >= 200 && col("o_orderkey") < 400)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 2 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+      .agg(round(sum("o_totalprice"), 2)).head().getDouble(0)
+    assert(evens.count() > 0 && gotUpd == wantUpd)
+    // new keys: F rows hit the FIRST insert clause (string literal with
+    // ') WHEN ... THEN' intact), the rest fall to INSERT *
+    val newRows = t.filter(col("o_orderkey") >= 7000000L)
+    val srcNew = o.filter(col("o_orderkey") < 200)
+    val nNewF = srcNew.filter(col("o_orderstatus") === "F").count()
+    assert(newRows.count() == srcNew.count())
+    assert(newRows.filter(col("o_orderpriority") === "a) WHEN MATCHED THEN b")
+      .count() == nNewF)
+    assert(newRows.filter(col("o_custkey").isNotNull).count() ==
+      srcNew.count() - nNewF, "INSERT * rows keep their source columns")
+  }
+
+  test("SQL MERGE rejects a repeated MATCHED UPDATE clause") {
+    val gsql = new GraftSql(spark)
+    val o = Tables(spark, sfDir, "orders")
+    gsql.registerCreate("mtdup", tmpDir("mb-sqldup"), o.limit(50))
+    o.limit(10).createOrReplaceTempView("msrcd")
+    val e = intercept[IllegalArgumentException] {
+      gsql.sql(
+        """MERGE INTO mtdup USING msrcd ON mtdup.o_orderkey = msrcd.o_orderkey
+          |WHEN MATCHED AND mtdup.o_orderstatus = 'F' THEN UPDATE SET o_totalprice = 1.0
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = 2.0""".stripMargin)
+    }
+    assert(e.getMessage.contains("at most one"))
+  }
+
+  test("SQL MERGE: UPDATE before DELETE shields rows first-match style") {
+    val gsql = new GraftSql(spark)
+    val o = Tables(spark, sfDir, "orders")
+    gsql.registerCreate("mtfm", tmpDir("mb-sqlfm"), o)
+    o.filter(col("o_orderkey") < 300).createOrReplaceTempView("msrcf")
+    // UPDATE fires for 'F' rows FIRST; DELETE is unconditional but must
+    // only see rows the update didn't claim
+    gsql.sql(
+      """MERGE INTO mtfm USING msrcf ON mtfm.o_orderkey = msrcf.o_orderkey
+        |WHEN MATCHED AND mtfm.o_orderstatus = 'F'
+        |  THEN UPDATE SET o_orderpriority = concat('u,p', 'd'), o_totalprice = 999.0
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val t = gsql.table("mtfm").toDF
+    val matchedF = o.filter(col("o_orderkey") < 300 && col("o_orderstatus") === "F")
+    val matchedOther = o.filter(col("o_orderkey") < 300 && col("o_orderstatus") =!= "F")
+    assert(t.count() == o.count() - matchedOther.count(),
+      "non-F matched rows delete; F rows survive updated")
+    assert(t.filter(col("o_orderkey") < 300).count() == matchedF.count())
+    // SET splitter: comma inside the concat literal stays intact
+    assert(t.filter(col("o_orderpriority") === "u,pd").count() == matchedF.count())
+  }
+
   test("merge-on-read merge with no matches and no inserts is a no-op commit") {
     val (o, t) = freshOrders("mb-mor-noop")
     val src = o.limit(10).withColumn("o_orderkey", col("o_orderkey") + 9000000L)
