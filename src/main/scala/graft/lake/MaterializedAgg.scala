@@ -165,9 +165,26 @@ object MaterializedAgg {
       groupCols: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): MaterializedAgg = {
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
-    val fields = source.snapshot.schema.fieldNames.toSet
+    val schema = source.snapshot.schema
+    val fields = schema.fieldNames.toSet
     (groupCols ++ sumCols ++ minCols ++ maxCols).foreach(c =>
       require(fields.contains(c), s"no such source column: $c"))
+    // SUM/AVG state lives in exact long arithmetic so retractions are
+    // lossless; a fractional column would be silently truncated per
+    // row and every rewritten SUM/AVG would be wrong — refuse loudly
+    // (store cents, not dollars). MIN/MAX keep native types: any
+    // orderable column is fine there.
+    sumCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"materialized SUM/AVG column '$c' must be integral, got " +
+          s"${schema(c).dataType.simpleString}: sums/averages maintain in " +
+          "exact long arithmetic — scale fractional values to integers first")
+    }
     val v = source.version
     val init = aggregate(source.toDFAt(v), groupCols, sumCols, minCols, maxCols)
     val t = GraftTable.create(spark, path, init, properties = Map(

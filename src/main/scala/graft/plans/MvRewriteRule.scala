@@ -84,10 +84,28 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => a.name
       case _ => return None
     }
-    if (groupNames.toSet != groupCols.toSet) return None
+    // exact-shape match reads state as-is; a STRICT SUBSET of the
+    // view's keys re-aggregates it (classic rollup: GROUP BY country
+    // answered from (country, category) state — sums/counts fold by
+    // summing, min/max by min/max, avg from refolded sum/cnt). The
+    // state is KB–GB, so the re-aggregate is still metadata-sized
+    // next to a 100 TB source scan. A superset or mismatch declines.
+    val exact = groupNames.toSet == groupCols.toSet
+    val rollup = !exact && groupNames.toSet.subsetOf(groupCols.toSet) &&
+      groupNames.toSet.size == groupNames.size
+    if (!exact && !rollup) return None
 
     val mvPlan = mv.toDF.queryExecution.analyzed
     val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+    // missing state column (e.g. a view written by a pre-upgrade
+    // binary without cnt/min/max columns) declines the rewrite rather
+    // than crash analysis — "anything else leaves the plan untouched"
+    def mvCol(n: String): Option[Attribute] = mvOut.get(n)
+    def fold(fn: Expression => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+        e: Expression): Expression =
+      if (!rollup) e
+      else AggregateExpression(fn(e), org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+        isDistinct = false)
 
     def sumSource(e: Expression): Option[String] = e match {
       case a: AttributeReference if sumCols.contains(a.name) => Some(a.name)
@@ -97,35 +115,49 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val projections = aggExprs.map {
       case a: AttributeReference if groupCols.contains(a.name) =>
-        Alias(Cast(mvOut(a.name), a.dataType), a.name)(exprId = a.exprId)
+        val c = mvCol(a.name).getOrElse(return None)
+        Alias(Cast(c, a.dataType), a.name)(exprId = a.exprId)
       case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), name) =>
-        Alias(Cast(mvOut(MaterializedAgg.CountCol), al.dataType), name)(exprId = al.exprId)
+        val c = mvCol(MaterializedAgg.CountCol).getOrElse(return None)
+        Alias(Cast(fold(Sum(_), c), al.dataType), name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(Sum(e, _), _, false, None, _), name) =>
         val c = sumSource(e).getOrElse(return None)
-        Alias(Cast(mvOut(MaterializedAgg.sumName(c)), al.dataType), name)(exprId = al.exprId)
+        val st = mvCol(MaterializedAgg.sumName(c)).getOrElse(return None)
+        Alias(Cast(fold(Sum(_), st), al.dataType), name)(exprId = al.exprId)
       // AVG = stored sum / stored NON-NULL count (exact even when the
       // averaged column has NULLs — count(*) would be wrong there).
       // A group whose values are all NULL has a NULL stored sum, so
       // the division yields NULL like avg does; no divide-by-zero.
       case al @ Alias(AggregateExpression(Average(e, _), _, false, None, _), name) =>
         val c = sumSource(e).getOrElse(return None)
+        val st = mvCol(MaterializedAgg.sumName(c)).getOrElse(return None)
+        val ct = mvCol(MaterializedAgg.cntName(c)).getOrElse(return None)
         Alias(Cast(Divide(
-          Cast(mvOut(MaterializedAgg.sumName(c)), DoubleType),
-          Cast(mvOut(MaterializedAgg.cntName(c)), DoubleType)), al.dataType),
+          Cast(fold(Sum(_), st), DoubleType),
+          Cast(fold(Sum(_), ct), DoubleType)), al.dataType),
           name)(exprId = al.exprId)
       // count(col) = stored non-null count for a maintained column
       case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), name)
           if sumCols.contains(a.name) =>
-        Alias(Cast(mvOut(MaterializedAgg.cntName(a.name)), al.dataType), name)(exprId = al.exprId)
-      // min/max answer from their native-typed state columns
+        val ct = mvCol(MaterializedAgg.cntName(a.name)).getOrElse(return None)
+        Alias(Cast(fold(Sum(_), ct), al.dataType), name)(exprId = al.exprId)
+      // min/max answer from their native-typed state columns (and fold
+      // by min-of-mins / max-of-maxes under rollup)
       case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), name)
           if minCols.contains(a.name) =>
-        Alias(Cast(mvOut(MaterializedAgg.minName(a.name)), al.dataType), name)(exprId = al.exprId)
+        val st = mvCol(MaterializedAgg.minName(a.name)).getOrElse(return None)
+        Alias(Cast(fold(Min(_), st), al.dataType), name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), name)
           if maxCols.contains(a.name) =>
-        Alias(Cast(mvOut(MaterializedAgg.maxName(a.name)), al.dataType), name)(exprId = al.exprId)
+        val st = mvCol(MaterializedAgg.maxName(a.name)).getOrElse(return None)
+        Alias(Cast(fold(Max(_), st), al.dataType), name)(exprId = al.exprId)
       case _ => return None
     }
-    Some(Project(projections, mvPlan))
+    if (exact) Some(Project(projections, mvPlan))
+    else {
+      val groupAttrs: Seq[Expression] =
+        groupNames.map(n => mvCol(n).getOrElse(return None))
+      Some(Aggregate(groupAttrs, projections, mvPlan))
+    }
   }
 }

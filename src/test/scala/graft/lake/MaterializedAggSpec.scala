@@ -88,6 +88,23 @@ class MaterializedAggSpec extends GraftSparkSpec {
     assert(got == expect, "boundary retraction must recompute, not keep the fold")
   }
 
+  test("fractional SUM/AVG columns refuse at create; MIN/MAX accept them") {
+    val src = GraftTable.create(spark, tmpDir("mv-frac-src"),
+      Tables(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity")))
+    // long-state sums would truncate a double per row — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.create(spark, tmpDir("mv-frac-view"), src,
+        Seq("l_returnflag"), Seq("l_quantity"))
+    }
+    assert(e.getMessage.contains("integral"))
+    // extremes keep native types: a double min/max column is fine
+    val mv = MaterializedAgg.create(spark, tmpDir("mv-frac-mm"), src,
+      Seq("l_returnflag"), Nil,
+      minCols = Seq("l_quantity"), maxCols = Seq("l_quantity"))
+    assert(mv.toDF.count() > 0)
+  }
+
   test("racing refreshes converge: view equals recompute, no double-apply") {
     import java.util.ConcurrentModificationException
     val src = GraftTable.create(spark, tmpDir("mv-race-src"), li.limit(300),

@@ -83,6 +83,44 @@ class MvRewriteSpec extends GraftSparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("rollup rewrite: GROUP BY over a strict subset of view keys re-aggregates state") {
+    val base = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        when(col("l_orderkey") % 3 === 0, lit(null).cast("long"))
+          .otherwise(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+    val src = GraftTable.create(spark, tmpDir("mvr-ru-src"), base.limit(500))
+    val mv = MaterializedAgg.create(spark, tmpDir("mvr-ru-view"), src,
+      Seq("l_returnflag", "l_linestatus"), Seq("qty_c"),
+      minCols = Seq("qty_c"), maxCols = Seq("qty_c"))
+    // every foldable aggregate at once, over ONE of the two view keys
+    def q = src.toDF.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("qty_c").as("s"),
+        avg("qty_c").as("a"), count(col("qty_c")).as("nv"),
+        min("qty_c").as("mn"), max("qty_c").as("mx"))
+    // and the degenerate subset: the global (no-key) aggregate
+    def g = src.toDF.agg(count(lit(1)).as("n"), sum("qty_c").as("s"))
+    MvCatalog.register(mv)
+    try {
+      assert(scansView(q, "mvr-ru-view"), "subset grouping must answer from state")
+      assert(scansView(g, "mvr-ru-view"), "global aggregate is a subset too")
+      val fromView = q.collect().map(_.toSeq).toSet
+      val gView = g.collect().map(_.toSeq).toSet
+      MvCatalog.clear()
+      assert(!scansView(q, "mvr-ru-view"))
+      val fromSource = q.collect().map(_.toSeq).toSet
+      assert(fromView == fromSource,
+        "rollup-answered aggregates differ from the source scan")
+      assert(gView == g.collect().map(_.toSeq).toSet)
+      // superset and disjoint groupings decline
+      MvCatalog.register(mv)
+      val superset = src.toDF.groupBy("l_returnflag", "l_linestatus", "qty_c")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansView(superset, "mvr-ru-view"), "superset grouping must decline")
+      val disjoint = src.toDF.groupBy("qty_c").agg(count(lit(1)).as("n"))
+      assert(!scansView(disjoint, "mvr-ru-view"), "non-subset grouping must decline")
+    } finally MvCatalog.clear()
+  }
+
   test("min/max rewrite answers from native-typed state") {
     val src = GraftTable.create(spark, tmpDir("mvr-mm-src"), li.limit(300))
     val mv = MaterializedAgg.create(spark, tmpDir("mvr-mm-view"), src,
