@@ -79,6 +79,10 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*$""".r
   private val alterTypeRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*$""".r
+  private val setNotNullRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*$""".r
+  private val dropNotNullRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*$""".r
   private val propPairRe: Regex =
     """'([^']+)'\s*=\s*'([^']*)'""".r
   private val ctasRe: Regex =
@@ -464,6 +468,14 @@ final class GraftSql(spark: SparkSession) {
         val v = table(name).alterColumnType(colName, dt)
         Seq(("alteredType", s"$colName ${dt.simpleString}"),
           ("version", v.toString)).toDF("metric", "value")
+      case setNotNullRe(name, colName) =>
+        val v = table(name).setNotNull(colName)
+        Seq(("notNullSet", colName), ("version", v.toString))
+          .toDF("metric", "value")
+      case dropNotNullRe(name, colName) =>
+        val v = table(name).dropNotNull(colName)
+        Seq(("notNullDropped", colName), ("version", v.toString))
+          .toDF("metric", "value")
       case setDefaultRe(name, colName, exprStr) =>
         val t = table(name)
         require(t.snapshot.schema.fieldNames.contains(colName),

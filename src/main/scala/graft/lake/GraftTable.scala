@@ -1504,6 +1504,55 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       m.copy(properties = m.properties + (s"graft.constraint.$name" -> exprSql)))
   }
 
+  /** `ALTER COLUMN c SET NOT NULL` (Delta parity — the standard DDL
+    * spelling, not a CHECK emulation): existing data validates via
+    * AddFile footer stats when every active file carries a nullCount
+    * for the column and none is masked by a deletion vector —
+    * driver-side metadata, NO data scan, the point at 100 TB. Files
+    * without stats (or a nonzero stat count that DV masks might
+    * excuse) fall back to one counting scan. The commit flips the
+    * schema field to non-nullable; every future data-changing write
+    * refuses rows with a NULL in the column.
+    */
+  def setNotNull(column: String): Long = {
+    val s = snapshot
+    require(s.schema.fieldNames.contains(column), s"no such column: $column")
+    val files = s.activeFiles
+    val statNulls: Option[Long] =
+      if (files.forall(_.stats.exists(_.nullCounts.contains(column))))
+        Some(files.flatMap(_.stats.map(_.nullCounts(column))).sum)
+      else None
+    // stats==0 proves no nulls even under DV masking (masked rows only
+    // REMOVE nulls); stats>0 with DVs present may all be masked → scan
+    val nulls = statNulls match {
+      case Some(0L) => 0L
+      case Some(n) if s.dvFiles.isEmpty => n
+      case _ => toDF.filter(col(column).isNull).count()
+    }
+    require(nulls == 0,
+      s"cannot SET NOT NULL on $column: $nulls existing rows are NULL")
+    val meta = s.metadata.get
+    val newSchema = org.apache.spark.sql.types.StructType(s.schema.fields.map(
+      f => if (f.name == column) f.copy(nullable = false) else f))
+    commitAndCheckpoint(Seq(info("SET NOT NULL",
+      params = Map("column" -> column)),
+      meta.copy(schemaJson = newSchema.json)),
+      readVersion = s.version, metadataConflict = true)
+  }
+
+  /** `ALTER COLUMN c DROP NOT NULL`: metadata-only relaxation. */
+  def dropNotNull(column: String): Long = {
+    val s = snapshot
+    require(s.schema.fieldNames.contains(column), s"no such column: $column")
+    val meta = s.metadata.get
+    val newSchema = org.apache.spark.sql.types.StructType(s.schema.fields.map(
+      f => if (f.name == column) f.copy(nullable = true) else f))
+    commitAndCheckpoint(Seq(info("DROP NOT NULL",
+      params = Map("column" -> column)),
+      meta.copy(schemaJson = newSchema.json)),
+      readVersion = s.version, metadataConflict = true)
+  }
+
   /** Drop a CHECK constraint: metadata-merge commit removing the
     * property; future writes stop validating it.
     */
@@ -1561,6 +1610,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         .filter(coalesce(expr(exprSql), lit(true)) === false).count()
       require(violations == 0,
         s"CHECK constraint $name ($exprSql) violated by $violations incoming rows")
+    }
+    // NOT NULL columns (schema-level nullable=false) refuse NULL
+    // incoming rows — unlike CHECK, where NULL passes per SQL
+    s.schema.fields.filterNot(_.nullable).foreach { f =>
+      if (df.columns.contains(f.name)) {
+        val nNull = df.filter(col(f.name).isNull).count()
+        require(nNull == 0,
+          s"NOT NULL constraint on ${f.name} violated by $nNull incoming rows")
+      }
     }
     // Generated columns are an implicit CHECK (Delta parity): a writer
     // that supplies the column explicitly must supply the value the

@@ -22,6 +22,56 @@ class EvolutionSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException](t.append(badType, mergeSchema = true))
   }
 
+  test("SET NOT NULL: stats-only validation, write enforcement, DROP relaxes") {
+    val base = li.limit(200).select(col("l_orderkey"), col("l_returnflag"),
+      when(col("l_orderkey") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("l_quantity")).as("qty"))
+    val t = GraftTable.create(spark, tmpDir("evo-nn"), base)
+    // a column with existing NULLs refuses (counted via footer stats)
+    val e = intercept[IllegalArgumentException](t.setNotNull("qty"))
+    assert(e.getMessage.contains("existing rows are NULL"))
+    // a clean column accepts — via the stats fast path: every active
+    // file carries a nullCount, so no data scan is needed
+    assert(t.snapshot.activeFiles.forall(
+      _.stats.exists(_.nullCounts.contains("l_returnflag"))),
+      "precondition: stats must cover the column for the stats-only path")
+    t.setNotNull("l_returnflag")
+    assert(!t.snapshot.schema("l_returnflag").nullable)
+    // enforcement: a write carrying a NULL refuses loudly
+    val bad = base.withColumn("l_returnflag",
+      when(col("l_orderkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("l_returnflag")))
+    val e2 = intercept[IllegalArgumentException](t.append(bad))
+    assert(e2.getMessage.contains("NOT NULL constraint on l_returnflag"))
+    // clean writes still land; DROP NOT NULL relaxes enforcement
+    t.append(base.limit(10))
+    assert(t.toDF.count() == 210)
+    t.dropNotNull("l_returnflag")
+    assert(t.snapshot.schema("l_returnflag").nullable)
+    t.append(bad.limit(21))
+    assert(t.toDF.filter(col("l_returnflag").isNull).count() > 0)
+  }
+
+  test("SET NOT NULL after a masking delete: DV-excused nulls validate by scan") {
+    val base = li.limit(100).select(col("l_orderkey"),
+      when(col("l_orderkey") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("l_quantity")).as("qty"))
+    val t = GraftTable.create(spark, tmpDir("evo-nn-dv"), base)
+    assert(base.filter(col("qty").isNull).count() > 0)
+    // remove every NULL row via a deletion vector (stats now overcount)
+    t.deleteMergeOnRead(col("qty").isNull)
+    assert(t.snapshot.dvFiles.nonEmpty, "precondition: delete must be MoR")
+    t.setNotNull("qty") // falls back to the scan and passes
+    assert(!t.snapshot.schema("qty").nullable)
+    // SQL spelling round-trips
+    val gsql = new GraftSql(spark)
+    gsql.register("nnt", t.path)
+    gsql.sql("ALTER TABLE nnt ALTER COLUMN qty DROP NOT NULL")
+    assert(t.snapshot.schema("qty").nullable)
+    gsql.sql("ALTER TABLE nnt ALTER COLUMN qty SET NOT NULL")
+    assert(!t.snapshot.schema("qty").nullable)
+  }
+
   test("ADD COLUMN is metadata-only; DDL statements round-trip via SQL") {
     val path = tmpDir("addcol")
     val t = GraftTable.create(spark, path, li.limit(100))
