@@ -293,16 +293,17 @@ object SparkEntry {
   }
 
   /** DuckDB replica of [[graft.operators.Similarity.simIvf]]: the
-    * coarse quantizer is a strided medoid sample (exact table rows),
-    * so the whole index is re-derivable in SQL — k = clamped
-    * highestOneBit arithmetic via binary-string length (exact integer
-    * logic, no float log2), assignment score replays the
-    * [[graft.functions.TopCentroidIds]] kernel op-for-op
+    * coarse quantizer is a strided medoid seed refined by int64 Lloyd
+    * rounds (see [[ivfCandCtes]]), so the whole index is re-derivable
+    * in SQL — k = clamped highestOneBit arithmetic via binary-string
+    * length (exact integer logic, no float log2), assignment score
+    * replays the [[graft.functions.TopCentroidIds]] kernel op-for-op
     * (`dot * (1/sqrt(nc))`, ties to the lower centroid index), corpus
-    * takes its top-2 (spill) lists, queries probe their top-6, and
+    * takes its top-Spill lists, queries probe their top-Probes, and
     * exact cosine re-ranks the candidate join. Bit-compatible because
-    * every float is exact in double and both engines fold
-    * dot-products left-to-right in dimension order.
+    * every intermediate is an exact integer (or an exact int-valued
+    * double) and both engines fold the final float dot-products
+    * left-to-right in dimension order.
     */
   private val embCte: String =
     "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
@@ -310,24 +311,68 @@ object SparkEntry {
   /** IVF candidate-generation CTE chain (ends in `cand(qid, cid)`) —
     * shared by the sim_ivf oracles and composed with the PQ chain in
     * [[simIvfPqSql]] (CTE names are disjoint from the PQ chain's).
+    * Replays [[graft.operators.IvfIndex.trainCentroids]] end-to-end:
+    * quantized strided-medoid seeds, [[graft.operators.IvfIndex.Rounds]]
+    * unrolled int64 Lloyd rounds (integer dot × 1/√(integer norm)
+    * assignment with ties to the lower centroid, truncating-division
+    * means, empty cells keep their codeword), then the final
+    * float-embedding assignment against the refined (int-valued)
+    * centroids — every intermediate is exact, so the comparison stays
+    * bit-for-bit.
     */
-  private val ivfCandCtes: String =
-    "iprm AS (SELECT COUNT(*) AS n, LEAST(1048576, GREATEST(16, LEAST(" +
-      "CAST(power(2, length(bin(GREATEST(1, COUNT(*) // 2))) - 1) AS BIGINT), " +
-      "CAST(power(2, length(bin(GREATEST(1, CAST(FLOOR(8 * sqrt(COUNT(*))) AS BIGINT)))) - 1) AS BIGINT)))) AS k " +
-      "FROM emb), " +
-      "seeds AS (SELECT cid_c, c, list_dot_product(c, c) AS nc FROM (" +
-      "SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid_c, e AS c " +
-      "FROM emb, iprm WHERE vec_id % GREATEST(1, n // k) = 0) s, iprm " +
-      "WHERE cid_c < k), " +
+  /** Quantizer-training CTE chain — the SQL replica of
+    * [[graft.operators.IvfIndex.trainCentroids]], ending in
+    * `seeds(cid_c, c DOUBLE[], nc)`. `embName` is the CTE holding
+    * `(vec_id, e DOUBLE[])` for the training corpus. Shared by the
+    * sim_ivf chain and the SemDeDup oracle.
+    */
+  private def ivfQuantizerCtes(embName: String): String = {
+    val rounds = graft.operators.IvfIndex.Rounds
+    val cap = graft.operators.IvfIndex.TrainCap
+    val head =
+      "iprm AS (SELECT COUNT(*) AS n, LEAST(1048576, GREATEST(16, LEAST(" +
+        "CAST(power(2, length(bin(GREATEST(1, COUNT(*) // 2))) - 1) AS BIGINT), " +
+        "CAST(power(2, length(bin(GREATEST(1, CAST(FLOOR(8 * sqrt(COUNT(*))) AS BIGINT)))) - 1) AS BIGINT)))) AS k " +
+        s"FROM $embName), " +
+        "ivq AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos, " +
+        "CAST(FLOOR(x * 10000 + 0.5) AS BIGINT) AS q FROM " +
+        s"(SELECT vec_id, UNNEST(generate_series(1, len(e))) AS i, UNNEST(e) AS x FROM $embName)), " +
+        "icw AS (SELECT cid_c, vec_id FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid_c, vec_id " +
+        s"FROM $embName, iprm WHERE vec_id % GREATEST(1, n // k) = 0) s, iprm WHERE cid_c < k), " +
+        "ic0 AS (SELECT s.cid_c, v.pos, v.q FROM icw s JOIN ivq v USING (vec_id)), " +
+        s"itr AS (SELECT v.* FROM ivq v, iprm WHERE v.vec_id % GREATEST(1, n // $cap) = 0), "
+    val lloyd = (1 to rounds).map { t =>
+      val p = s"ic${t - 1}"
+      s"inc$t AS (SELECT cid_c, SUM(q * q) AS nc FROM $p GROUP BY 1), " +
+        s"iasg$t AS (SELECT vec_id, cid_c FROM (SELECT v.vec_id, c.cid_c, " +
+        "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
+        "CASE WHEN ANY_VALUE(n.nc) > 0 THEN CAST(SUM(v.q * c.q) AS DOUBLE) * " +
+        "(1.0 / sqrt(CAST(ANY_VALUE(n.nc) AS DOUBLE))) ELSE 0.0 END DESC, c.cid_c) AS r " +
+        s"FROM itr v JOIN $p c USING (pos) JOIN inc$t n ON c.cid_c = n.cid_c " +
+        "GROUP BY v.vec_id, c.cid_c) WHERE r = 1), " +
+        s"iup$t AS (SELECT a.cid_c, v.pos, SUM(v.q) // COUNT(*) AS q " +
+        s"FROM iasg$t a JOIN itr v USING (vec_id) GROUP BY 1, 2), " +
+        s"ic$t AS (SELECT c.cid_c, c.pos, COALESCE(u.q, c.q) AS q " +
+        s"FROM $p c LEFT JOIN iup$t u ON c.cid_c = u.cid_c AND c.pos = u.pos), "
+    }.mkString
+    head + lloyd +
+      "seeds AS (SELECT cid_c, c, list_dot_product(c, c) AS nc FROM " +
+      s"(SELECT cid_c, list(CAST(q AS DOUBLE) ORDER BY pos) AS c FROM ic$rounds GROUP BY 1))"
+  }
+
+  private val ivfCandCtes: String = {
+    val probes = graft.operators.IvfIndex.Probes
+    val spill = graft.operators.IvfIndex.Spill
+    ivfQuantizerCtes("emb") + ", " +
       "assign AS (SELECT vec_id, cid_c, CASE WHEN nc > 0 THEN " +
       "list_dot_product(e, c) * (1.0 / sqrt(nc)) ELSE 0.0 END AS score " +
       "FROM emb CROSS JOIN seeds), " +
       "ranked AS (SELECT vec_id, cid_c, ROW_NUMBER() OVER " +
       "(PARTITION BY vec_id ORDER BY score DESC, cid_c) AS rr FROM assign), " +
-      "qa AS (SELECT vec_id AS qid, cid_c FROM ranked WHERE vec_id < 10 AND rr <= 6), " +
-      "ca AS (SELECT vec_id AS cid, cid_c FROM ranked WHERE vec_id >= 10 AND rr <= 2), " +
+      s"qa AS (SELECT vec_id AS qid, cid_c FROM ranked WHERE vec_id < 10 AND rr <= $probes), " +
+      s"ca AS (SELECT vec_id AS cid, cid_c FROM ranked WHERE vec_id >= 10 AND rr <= $spill), " +
       "cand AS (SELECT DISTINCT qid, cid FROM qa JOIN ca USING (cid_c))"
+  }
 
   private def simIvfSql: String =
     s"WITH $embCte, $ivfCandCtes, " +
@@ -1002,14 +1047,7 @@ object SparkEntry {
         "WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.99 ORDER BY id_a, id_b"),
     "dedup_semantic" ->
       ("WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-        "prm AS (SELECT COUNT(*) AS n, LEAST(1048576, GREATEST(16, LEAST(" +
-        "CAST(power(2, length(bin(GREATEST(1, COUNT(*) // 2))) - 1) AS BIGINT), " +
-        "CAST(power(2, length(bin(GREATEST(1, CAST(FLOOR(8 * sqrt(COUNT(*))) AS BIGINT)))) - 1) AS BIGINT)))) AS k " +
-        "FROM emb0), " +
-        "seeds AS (SELECT cid_c, c, list_dot_product(c, c) AS nc FROM (" +
-        "SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid_c, e AS c " +
-        "FROM emb0, prm WHERE vec_id % GREATEST(1, n // k) = 0) s, prm " +
-        "WHERE cid_c < k), " +
+        ivfQuantizerCtes("emb0") + ", " +
         "base AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
         "SELECT vec_id + 100000, list_transform(embedding, (x, i) -> CASE WHEN i = 1 " +
         "THEN CAST(CAST(x AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT) " +

@@ -502,45 +502,28 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * against every centroid per session. Same fingerprint idempotence
     * contract as [[buildPqIndex]].
     */
-  /** Strided medoid centroid selection as a DataFrame: every
-    * stride-th row in id order, 0-based dense centroid ids. The
-    * global row_number window runs over the ALREADY-strided subset
-    * (~k rows of index metadata), never the corpus.
-    */
-  private def ivfCentroidsDf(df: DataFrame, idCol: String, vecCol: String,
-      stride: Long, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.filter(col(idCol) % stride === 0)
-      .select(col(idCol), col(vecCol).cast("array<double>").as("c"))
-      .withColumn("cid_c",
-        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
-      .filter(col("cid_c") < k)
-      .select(col("cid_c"), col("c"))
-  }
-
-  def buildIvfIndex(idCol: String, vecCol: String, probes: Int = 6): Long = {
+  def buildIvfIndex(idCol: String, vecCol: String,
+      probes: Int = graft.operators.IvfIndex.Probes): Long = {
     import org.apache.spark.sql.GraftSqlShims
     val s = snapshot
     require(s.schema.fieldNames.contains(idCol), s"no such column: $idCol")
     require(s.schema.fieldNames.contains(vecCol), s"no such column: $vecCol")
     val pfx = s"graft.ivf.$vecCol"
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
-    val fp = GraftTable.pqFingerprint(s)
+    // "v6:" stamps the quantizer ALGORITHM into the fingerprint: a
+    // sidecar built by an older binary (unrefined medoids) fails the
+    // gate and rebuilds, instead of silently serving a different index
+    val fp = s"v6:${GraftTable.pqFingerprint(s)}"
     if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
     val df = dfForFiles(s, s.activeFiles)
     val n = df.count()
     require(n > 0, "cannot build an IVF index on an empty table")
     val k = graft.operators.IvfIndex.kFor(n)
-    val stride = math.max(1L, n / k)
     val rel = s"_graft_ivf/$vecCol-${UUID.randomUUID()}"
+    // seed + Lloyd refinement (exact int64, distributed) — the same
+    // trainer the session path uses, so both quantizers are identical
+    val cents = graft.operators.IvfIndex.trainCentroids(df, idCol, vecCol, n)
     if (k <= graft.operators.IvfIndex.PlanConstantMaxK) {
-      val cents = df.filter(col(idCol) % stride === 0).orderBy(idCol).limit(k)
-        .select(vecCol).collect()
-        .map(_.getSeq[Any](0).map {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue()
-          case other => other.toString.toDouble
-        }.toArray)
       val sp = spark
       import sp.implicits._
       // centroids are k×dim ≤ MBs of index metadata — one tidy file is
@@ -558,8 +541,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // assignment runs the SAME kernel against a broadcast-variable
       // centroid matrix (one copy per executor, not a plan constant;
       // bit-identical scores — see assignTopCentroids)
-      val centsDf = ivfCentroidsDf(df, idCol, vecCol, stride, k)
-      centsDf.write.parquet(s"$path/$rel/centroids")
+      val sp = spark
+      import sp.implicits._
+      sp.sparkContext.parallelize(
+          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq, 32)
+        .toDF("cid_c", "c").write.parquet(s"$path/$rel/centroids")
       graft.functions.VectorFunctions.assignTopCentroids(
           df.select(col(idCol).cast("long").as("id"),
             col(vecCol).cast("array<double>").as("__v")),

@@ -136,8 +136,10 @@ class OperatorsSpec extends GraftSparkSpec {
     val ivf = Similarity.simIvf(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = bf.intersect(ivf).size.toDouble / bf.size
-    info(f"IVF recall@5 = $recall%.3f (~19%% of corpus scanned)")
-    assert(recall >= 0.45, f"IVF recall $recall%.2f too low for a ~19%% probe budget")
+    info(f"IVF recall@5 = $recall%.3f (~23%% of corpus scanned)")
+    // Lloyd-refined centroids + the spill=4/probes=8 budget measured
+    // 0.80 here (0.72 at sf0.1) — the verdict-6 bar is >= 0.75
+    assert(recall >= 0.75, f"IVF recall $recall%.2f below the refined-quantizer bar")
   }
 
   test("PQ ADC recovers exact-L2 top-5 with recall >= 0.5 via a bounded aggregate") {
