@@ -113,6 +113,7 @@ object SparkEntry {
     "sim_pq_rerank" -> Similarity.simPqRerank _,
     "pipe_stratified_sample" -> Pipeline.pipeStratifiedSample _,
     "pipe_curriculum" -> Pipeline.pipeCurriculum _,
+    "pipe_cluster_sample" -> Pipeline.pipeClusterSample _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
@@ -1217,6 +1218,22 @@ object SparkEntry {
         "(6*n.n)//10, (7*n.n)//10, (8*n.n)//10, (9*n.n)//10)) " +
         "SELECT doc_id, rate, CAST(1 + (SELECT COUNT(*) FROM cuts WHERE cut < sc.rate) " +
         "AS BIGINT) AS bucket FROM sc ORDER BY doc_id"),
+    // cluster-balanced sampling: the shared Lloyd-refined quantizer
+    // assigns every vector top-1, a per-cluster row_number keeps the 4
+    // lowest ids — replays Pipeline.pipeClusterSample exactly
+    "pipe_cluster_sample" ->
+      ("WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        ivfQuantizerCtes("emb0") + ", " +
+        "assign AS (SELECT vec_id, cid_c, CASE WHEN nc > 0 THEN " +
+        "list_dot_product(e, c) * (1.0 / sqrt(nc)) ELSE 0.0 END AS score " +
+        "FROM emb0 CROSS JOIN seeds), " +
+        "cl AS (SELECT vec_id, cid_c AS cluster FROM (SELECT vec_id, cid_c, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid_c) AS rr " +
+        "FROM assign) r WHERE rr = 1) " +
+        "SELECT CAST(cluster AS BIGINT) AS cluster, vec_id, rank FROM (" +
+        "SELECT cluster, vec_id, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY cluster ORDER BY vec_id) AS BIGINT) AS rank FROM cl) " +
+        "WHERE rank <= 4 ORDER BY cluster, vec_id"),
     "pipe_shuffle" ->
       ("SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 4294967296 AS shuffle_key, " +
         "CAST(ROW_NUMBER() OVER (ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) " +

@@ -301,4 +301,43 @@ object Pipeline {
       .select("doc_id", "rate", "bucket")
       .orderBy("doc_id")
   }
+
+  /** Cluster-balanced diversity sampling (the embedding-space quota
+    * counterpart of [[pipeStratifiedSample]], as used for cluster-
+    * balanced data curation in SemDeDup-style pipelines): assign every
+    * vector to its nearest coarse-quantizer centroid — the SAME
+    * Lloyd-refined [[IvfIndex]] the ANN and SemDeDup paths share, so
+    * the notion of "semantic bucket" is consistent across the engine —
+    * and keep at most [[ClusterSampleQuota]] rows per cluster
+    * (lowest vec_id first; substitute a salted hash rank for a uniform
+    * draw). Dense clusters are capped, sparse clusters survive intact,
+    * so the sample preserves embedding-space coverage instead of
+    * mirroring the density skew of the crawl.
+    *
+    * Scale: assignment is one codegen'd map over the scan (no
+    * per-query index build — centroids are table metadata); the quota
+    * is a window partitioned on the cluster key — a hash shuffle into
+    * ~k groups of ~n/k rows, never a global sort. The DuckDB oracle
+    * replays quantizer training + assignment + ranking exactly.
+    */
+  def pipeClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val cents = IvfIndex.centroids(spark, dir)
+    val assigned = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        element_at(VectorFunctions.topCentroidIds(col("embedding"), cents, 1), 1)
+          .cast("long").as("cluster"))
+    val w = Window.partitionBy("cluster").orderBy("vec_id")
+    assigned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= ClusterSampleQuota)
+      .select("cluster", "vec_id", "rank")
+      .orderBy("cluster", "vec_id")
+  }
+
+  /** Per-cluster cap for [[pipeClusterSample]] — with k = 8√n centroids
+    * the expected cluster size is √n/8, so a fixed cap keeps roughly
+    * 8·quota·√n rows: a sample that GROWS sublinearly with the corpus.
+    */
+  val ClusterSampleQuota = 4
 }

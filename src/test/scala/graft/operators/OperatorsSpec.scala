@@ -86,6 +86,24 @@ class OperatorsSpec extends GraftSparkSpec {
     out.foreach(r => assert(r.getDouble(3) >= 0.99))
   }
 
+  test("cluster-balanced sample caps every cluster and keeps sparse ones intact") {
+    val s = Pipeline.pipeClusterSample(spark, sfDir)
+    val perCluster = s.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perCluster.values.forall(_ <= Pipeline.ClusterSampleQuota),
+      "a cluster exceeded its quota")
+    // balance: the sample must span many clusters, not collapse into a
+    // few dense ones (coverage is the point of cluster-balanced draws)
+    val n = graft.operators.EmbCount(spark, sfDir)
+    assert(perCluster.size >= (n / 16).toInt,
+      s"only ${perCluster.size} clusters represented")
+    // determinism: within a cluster the kept ids are the lowest ones
+    val c0 = perCluster.keys.head
+    val kept = s.filter(col("cluster") === c0).orderBy("vec_id")
+      .select("rank").collect().map(_.getLong(0)).toSeq
+    assert(kept == (1L to kept.size))
+  }
+
   test("shuffle is a permutation and split fractions are near 97/2/1") {
     val n = Tables(spark, sfDir, "documents").count()
     val sh = Pipeline.pipeShuffle(spark, sfDir)
