@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     "dedup_clusters" -> Dedup.dedupClusters _,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh _,
+    "dedup_minhash_materialized" -> Dedup.dedupMinhashMaterialized _,
     "dedup_simhash" -> Dedup.dedupSimhash _,
     "dedup_keep_longest" -> Dedup.dedupKeepLongest _,
     "dedup_embedding" -> Dedup.dedupEmbedding _,
@@ -1006,6 +1007,9 @@ object SparkEntry {
         "GROUP BY source, lang ORDER BY source, lang"),
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    // the sidecar replays the session signature/band arithmetic over
+    // the same rows — bit-identical to dedup_minhash_lsh
+    "dedup_minhash_materialized" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_clusters" ->
       (s"WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ($jaccardPairsSql) p), " +

@@ -565,10 +565,58 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         s"$pfx.fingerprint" -> fp)))
   }
 
-  /** Declared via `graft.pq.index` / `graft.ivf.index` = "idCol,vecCol":
-    * every OPTIMIZE refreshes the materialized ANN artifacts (no-op
-    * when the fingerprint is current) — indexes live with the table's
-    * maintenance cycle.
+  /** Materialize a MinHash-LSH near-duplicate index for `textCol`:
+    * one distributed pass computes every row's k-component signature
+    * (the codegen'd `graft_minhash32` kernel — one FNV hash per
+    * shingle + Kirsch–Mitzenmacher mixing) into a `sigs` sidecar
+    * (id + k longs ≈ 260 B/doc), then band keys derive from the
+    * PERSISTED signatures into a `bands` sidecar. Dedup queries read
+    * the sidecars — fixed-width rows instead of re-shingling the
+    * corpus text per session; at 100 TB that turns every dedup run
+    * after the first into a scan of ~0.3% of the corpus bytes. Same
+    * fingerprint idempotence contract as [[buildPqIndex]]; band
+    * derivation is shared with the session path
+    * ([[graft.operators.Dedup.bandKeysFromSig]]) so persisted and
+    * session-derived keys are bit-identical.
+    */
+  def buildMinhashIndex(idCol: String, textCol: String): Long = {
+    val s = snapshot
+    require(s.schema.fieldNames.contains(idCol), s"no such column: $idCol")
+    require(s.schema.fieldNames.contains(textCol), s"no such column: $textCol")
+    val pfx = s"graft.minhash.$textCol"
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val fp = GraftTable.pqFingerprint(s)
+    if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
+    val df = dfForFiles(s, s.activeFiles)
+    val n = df.count()
+    require(n > 0, "cannot build a MinHash index on an empty table")
+    graft.functions.GraftFunctions.register(spark)
+    val rel = s"_graft_minhash/$textCol-${UUID.randomUUID()}"
+    df.select(col(idCol).cast("long").as("id"),
+        expr(s"graft_minhash32($textCol)").as("sig"))
+      .write.parquet(s"$path/$rel/sigs")
+    graft.operators.Dedup.bandKeysFromSig(
+        spark.read.parquet(s"$path/$rel/sigs"), "id", "sig",
+        graft.operators.Dedup.MinhashK, graft.operators.Dedup.MinhashBands)
+      .select(col("id"), col("band"), col("band_hash"))
+      .write.parquet(s"$path/$rel/bands")
+    commitMetadataMerge(
+      info("BUILD MINHASH INDEX",
+        params = Map("column" -> textCol, "idColumn" -> idCol,
+          "k" -> graft.operators.Dedup.MinhashK.toString,
+          "bands" -> graft.operators.Dedup.MinhashBands.toString),
+        metrics = Map("numDocs" -> n.toString)))(m =>
+      m.copy(properties = m.properties ++ Map(
+        s"$pfx.sidecar" -> rel,
+        s"$pfx.id" -> idCol,
+        s"$pfx.fingerprint" -> fp)))
+  }
+
+  /** Declared via `graft.pq.index` / `graft.ivf.index` (= "idCol,vecCol")
+    * / `graft.minhash.index` (= "idCol,textCol"):
+    * every OPTIMIZE refreshes the materialized ANN/dedup artifacts
+    * (no-op when the fingerprint is current) — indexes live with the
+    * table's maintenance cycle.
     */
   private def maybeRebuildPqIndex(): Unit = {
     val props = snapshot.metadata.map(_.properties).getOrElse(Map.empty)
@@ -582,6 +630,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     props.get("graft.ivf.index").flatMap(split2).foreach {
       case (idCol, vecCol) => buildIvfIndex(idCol, vecCol)
+    }
+    props.get("graft.minhash.index").flatMap(split2).foreach {
+      case (idCol, textCol) => buildMinhashIndex(idCol, textCol)
     }
   }
 
@@ -3021,7 +3072,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     val sidecarDirs = (props.collect {
       case (k, v) if k.startsWith("graft.bloom.") ||
-        ((k.startsWith("graft.pq.") || k.startsWith("graft.ivf.")) &&
+        ((k.startsWith("graft.pq.") || k.startsWith("graft.ivf.") ||
+          k.startsWith("graft.minhash.")) &&
           k.endsWith(".sidecar")) => v
     }.toSeq ++ props.get("graft.copyInto.state").toSeq)
       .map(r => root.resolve(r).normalize)

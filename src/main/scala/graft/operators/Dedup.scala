@@ -66,22 +66,38 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** MinHash plan shared by the session path and the OPTIMIZE-
+    * materialized index (graft.minhash.index): k signature components
+    * in b bands — both sides must agree or the sidecar would index a
+    * different LSH family than the query probes.
+    */
+  private[graft] val MinhashK = 32
+  private[graft] val MinhashBands = 8
+
   /** Banded signature rows: (id, band, band_hash), b bands of r rows.
     * The k=32 signature comes from the single-pass native
     * [[graft.functions.MinHashSig32]] expression (one FNV hash per
     * shingle + Kirsch–Mitzenmacher mixing).
     */
   private[operators] def bandedSigs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, bands: Int): DataFrame =
+    bandKeysFromSig(df.withColumn("__sig", expr(s"graft_minhash32($textCol)")),
+      idCol, "__sig", k, bands)
+
+  /** Band keys derived from an ALREADY-computed signature column —
+    * the piece [[graft.lake.GraftTable.buildMinhashIndex]] shares, so
+    * persisted band keys are bit-identical to session-derived ones.
+    */
+  private[graft] def bandKeysFromSig(df: DataFrame, idCol: String, sigCol: String,
                          k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val withSig = df.withColumn("__sig", expr(s"graft_minhash32($textCol)"))
     val bandCols = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b) +: (0 until r).map(i =>
-          element_at(col("__sig"), b * r + i + 1)): _*).as("band_hash"))
+          element_at(col(sigCol), b * r + i + 1)): _*).as("band_hash"))
     }: _*)
-    withSig.select(col(idCol), col("__sig"), explode(bandCols).as("bb"))
-      .select(col(idCol), col("__sig"), col("bb.band"), col("bb.band_hash"))
+    df.select(col(idCol), col(sigCol), explode(bandCols).as("bb"))
+      .select(col(idCol), col(sigCol), col("bb.band"), col("bb.band_hash"))
   }
 
   /** Documents plus deterministically-planted near-duplicates (tail
@@ -127,6 +143,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           x === y), p => p)).cast("double") / k, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[dedupMinhashLsh]] over signatures MATERIALIZED at OPTIMIZE
+    * time — the 100 TB session shape: the corpus lives in a GraftTable
+    * whose `graft.minhash.index` property makes OPTIMIZE persist every
+    * row's k=32 MinHash signature (~260 B/doc) and its 8 band keys as
+    * parquet sidecars (see [[graft.lake.GraftTable.buildMinhashIndex]]).
+    * The dedup query then joins fixed-width BAND rows for candidates
+    * and verifies est-Jaccard from the stored signatures — zero
+    * re-shingling, no document text in any shuffle, and every dedup
+    * run after the first scans ~0.3% of the corpus bytes. Signature
+    * and band arithmetic replay the session path over the same rows,
+    * so the result is bit-identical to [[dedupMinhashLsh]] and shares
+    * its full DuckDB oracle. Staleness contract: the sidecar carries
+    * the active file-set fingerprint; any DML invalidates it and the
+    * next OPTIMIZE rebuilds.
+    */
+  def dedupMinhashMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    val expected = Tables(spark, dir, "documents").count() + 20
+    val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
+    val t = Similarity.indexFixture(spark, dir, "mhmat",
+      "graft.minhash.index" -> "doc_id,text", expected)(docs)
+    val props = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    val rel = props("graft.minhash.text.sidecar")
+    val bands = spark.read.parquet(s"${t.path}/$rel/bands")
+    val sigs = spark.read.parquet(s"${t.path}/$rel/sigs")
+    val pairs = bands.select(col("id").as("id_a"), col("band"), col("band_hash"))
+      .join(bands.select(col("id").as("id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          x === y), p => p)).cast("double") / MinhashK, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("id_a", "id_b")
   }

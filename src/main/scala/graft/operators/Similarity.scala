@@ -155,7 +155,7 @@ object Similarity {
     * READ path; the fingerprint contract makes staleness impossible
     * (any data change forces the rebuild on the next OPTIMIZE).
     */
-  private def indexFixture(spark: SparkSession, dir: String, name: String,
+  private[operators] def indexFixture(spark: SparkSession, dir: String, name: String,
       indexProp: (String, String), expectedRows: Long)
       (df: => DataFrame): graft.lake.GraftTable = {
     val path = LakeOps.workDirPath(dir, name)

@@ -72,6 +72,27 @@ class PqIndexSpec extends GraftSparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel, "centroids")))
   }
 
+  test("materialized MinHash sidecars reproduce the session dedup; rebuild gated") {
+    val live = Dedup.dedupMinhashLsh(spark, sfDir).collect().map(_.toSeq)
+    val idx = Dedup.dedupMinhashMaterialized(spark, sfDir)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("_graft_minhash"), "query must scan the minhash sidecars")
+    assert(!plan.contains("documents.parquet"),
+      "materialized path must not re-shingle the document text")
+    assert(idx.collect().map(_.toSeq).toSeq == live.toSeq)
+    val t = GraftTable.forPath(spark, LakeOps.workDirPath(sfDir, "mhmat"))
+    def builds: Long = t.history.filter(col("operation") === "BUILD MINHASH INDEX").count()
+    val settled = builds
+    assert(settled >= 1)
+    t.optimize() // fingerprint unchanged -> no re-signing pass
+    assert(builds == settled)
+    // live sidecars (sigs + bands) survive vacuum
+    val rel = t.snapshot.metadata.get.properties("graft.minhash.text.sidecar")
+    t.vacuum(0.0, dryRun = false)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel, "sigs")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel, "bands")))
+  }
+
   test("broadcast-variable assignment is bit-identical to the kernel at k > 1024") {
     import graft.functions.VectorFunctions
     // deterministic synthetic vectors (id-derived, no RNG); k past the
