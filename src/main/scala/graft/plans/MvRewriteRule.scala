@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DoubleType
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -42,6 +42,9 @@ object MvCatalog {
   * stored state — grouping attrs, `count(*)`/`count(1)`, or
   * `sum(col)` / `avg(col)` / `count(col)` over a maintained column
   * (avg divides the stored sum by the stored NON-NULL count).
+  * A `WHERE` below the aggregate is admissible when it is
+  * deterministic and references view KEY columns only — it filters
+  * whole groups, so it runs over the stored state verbatim.
   * Anything else leaves the plan untouched. Output attribute ids are
   * preserved, so downstream operators resolve unchanged.
   */
@@ -49,11 +52,20 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(groupingExprs, aggExprs, lr: LogicalRelation, _) =>
-      rewrite(agg, groupingExprs, aggExprs, lr).getOrElse(agg)
+      rewrite(agg, groupingExprs, aggExprs, lr, None).getOrElse(agg)
+    // WHERE over view KEY columns only: such a predicate partitions
+    // whole groups, so it applies over the stored state verbatim —
+    // `GROUP BY category WHERE country='DE'` answers from a
+    // (country, category) view by filtering + re-aggregating KB-scale
+    // state. Predicates touching any non-key column decline.
+    case agg @ Aggregate(groupingExprs, aggExprs,
+        Filter(cond, lr: LogicalRelation), _) =>
+      rewrite(agg, groupingExprs, aggExprs, lr, Some(cond)).getOrElse(agg)
   }
 
   private def rewrite(agg: Aggregate, groupingExprs: Seq[Expression],
-      aggExprs: Seq[NamedExpression], lr: LogicalRelation): Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression], lr: LogicalRelation,
+      filter: Option[Expression]): Option[LogicalPlan] = {
     val scanned: Seq[String] = lr.relation match {
       case h: HadoopFsRelation =>
         h.location.inputFiles.toSeq.map(u => new java.net.URI(u).getPath)
@@ -94,6 +106,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val rollup = !exact && groupNames.toSet.subsetOf(groupCols.toSet) &&
       groupNames.toSet.size == groupNames.size
     if (!exact && !rollup) return None
+    // filter admissibility: deterministic and over view keys only
+    filter.foreach { cond =>
+      if (!cond.deterministic) return None
+      if (!cond.references.forall(a => groupCols.contains(a.name))) return None
+    }
 
     val mvPlan = mv.toDF.queryExecution.analyzed
     val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
@@ -153,11 +170,25 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(Cast(fold(Max(_), st), al.dataType), name)(exprId = al.exprId)
       case _ => return None
     }
-    if (exact) Some(Project(projections, mvPlan))
+    // the admissible WHERE re-targets its key attributes at the
+    // state's columns (same names, same types — keys are stored
+    // natively); a type drift between source and state declines
+    val base: LogicalPlan = filter match {
+      case Some(cond) =>
+        val remapped = cond.transform {
+          case a: AttributeReference =>
+            val c = mvCol(a.name).getOrElse(return None)
+            if (c.dataType != a.dataType) return None
+            c
+        }
+        Filter(remapped, mvPlan)
+      case None => mvPlan
+    }
+    if (exact) Some(Project(projections, base))
     else {
       val groupAttrs: Seq[Expression] =
         groupNames.map(n => mvCol(n).getOrElse(return None))
-      Some(Aggregate(groupAttrs, projections, mvPlan))
+      Some(Aggregate(groupAttrs, projections, base))
     }
   }
 }

@@ -121,6 +121,43 @@ class MvRewriteSpec extends GraftSparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("key-only WHERE rewrites over state; value-column WHERE declines") {
+    val base = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    val src = GraftTable.create(spark, tmpDir("mvr-f-src"), base.limit(500))
+    val mv = MaterializedAgg.create(spark, tmpDir("mvr-f-view"), src,
+      Seq("l_returnflag", "l_linestatus"), Seq("qty_c"))
+    MvCatalog.register(mv)
+    try {
+      // exact grouping + filter on a key
+      def qe = src.toDF.filter(col("l_returnflag") =!= "A")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("qty_c").as("s"))
+      // rollup grouping + filter on the OTHER key (not in the output)
+      def qr = src.toDF.filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag").agg(sum("qty_c").as("s"), avg("qty_c").as("a"))
+      assert(scansView(qe, "mvr-f-view"), "key-filtered exact shape must answer")
+      assert(scansView(qr, "mvr-f-view"), "key-filtered rollup must answer")
+      val ve = qe.collect().map(_.toSeq).toSet
+      val vr = qr.collect().map(_.toSeq).toSet
+      // a predicate over a VALUE column cannot partition groups: decline
+      val bad = src.toDF.filter(col("qty_c") > 100)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(!scansView(bad, "mvr-f-view"), "value-column WHERE must decline")
+      // a key-filter mixed with a value reference declines too
+      val mixed = src.toDF
+        .filter(col("l_returnflag") === "N" && col("qty_c") > 0)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(!scansView(mixed, "mvr-f-view"))
+      MvCatalog.clear()
+      assert(qe.collect().map(_.toSeq).toSet == ve,
+        "view-answered key-filtered exact differs from source")
+      assert(qr.collect().map(_.toSeq).toSet == vr,
+        "view-answered key-filtered rollup differs from source")
+    } finally MvCatalog.clear()
+  }
+
   test("min/max rewrite answers from native-typed state") {
     val src = GraftTable.create(spark, tmpDir("mvr-mm-src"), li.limit(300))
     val mv = MaterializedAgg.create(spark, tmpDir("mvr-mm-view"), src,
