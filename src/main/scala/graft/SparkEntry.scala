@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_semantic" -> Dedup.dedupSemantic _,
     "dedup_substring" -> Dedup.dedupSubstring _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
+    "sim_filtered_topk" -> Similarity.simFilteredTopk _,
     "sim_range" -> Similarity.simRange _,
     "sim_pq_materialized" -> Similarity.simPqMaterialized _,
     "sim_ivf_materialized" -> Similarity.simIvfMaterialized _,
@@ -161,7 +162,8 @@ object SparkEntry {
     "lake_mv_avg" -> LakeOps.lakeMvAvg _,
     "lake_mv_minmax" -> LakeOps.lakeMvMinMax _,
     "lake_insert" -> LakeOps.lakeInsert _,
-    "lake_identity" -> LakeOps.lakeIdentity _)
+    "lake_identity" -> LakeOps.lakeIdentity _,
+    "lake_manifest" -> LakeOps.lakeManifest _)
 
   private val rev = "ROUND(SUM(l_extendedprice*(1.0-l_discount)),2)"
 
@@ -1104,6 +1106,17 @@ object SparkEntry {
         "ORDER BY cos_raw DESC, cid) AS rn FROM s) SELECT qid, cid, " +
         "ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 " +
         "ORDER BY qid, rn"),
+    // filtered vector search: identical exact-cosine chain, corpus
+    // pre-filtered on the metadata predicate before any vector math
+    "sim_filtered_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
+        "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
+        "FROM embeddings WHERE vec_id >= 10 AND label IN (2, 5, 7)), s AS (SELECT qid, cid, " +
+        "list_cosine_similarity(qe, ce) AS cos_raw FROM q CROSS JOIN c), r AS (" +
+        "SELECT qid, cid, cos_raw, ROW_NUMBER() OVER (PARTITION BY qid " +
+        "ORDER BY cos_raw DESC, cid) AS rn FROM s) SELECT qid, cid, " +
+        "ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 " +
+        "ORDER BY qid, rn"),
     // radius search: same exact-cosine base as sim_bruteforce_topk,
     // thresholded on the ROUNDED score so the float boundary agrees
     "sim_range" ->
@@ -1423,6 +1436,13 @@ object SparkEntry {
         "FROM lineitem JOIN (SELECT o_orderkey FROM orders " +
         "WHERE o_orderpriority = '1-URGENT') o ON l_orderkey = o_orderkey " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // symlink manifest (Delta GENERATE parity): an EXTERNAL parquet
+    // reader over the manifest-listed paths must see exactly the
+    // post-OPTIMIZE post-DELETE snapshot
+    "lake_manifest" ->
+      ("SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price " +
+        "FROM lineitem WHERE l_orderkey % 3 <> 0"),
     // id = create-time global key rank (deterministic two-file sorted
     // write); OPTIMIZE + DELETE must both preserve surviving ids
     "lake_rowtracking" ->

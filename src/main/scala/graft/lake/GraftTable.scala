@@ -445,6 +445,125 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   // ------------------------------------------------- PQ ANN index
 
+  /** Relative part dirs of a materialized index: the base sidecar from
+    * the last full build plus any incremental delta parts appended
+    * since. Readers union the parts; vacuum spares every referenced
+    * part; a crash between writing a part and committing its pointer
+    * leaves an unreferenced dir that no reader ever sees.
+    */
+  private def indexPartRels(props: Map[String, String], pfx: String): Seq[String] =
+    props.get(s"$pfx.sidecar").toSeq ++
+      props.getOrElse(s"$pfx.deltas", "").split(",").filter(_.nonEmpty).toSeq
+
+  private def indexPartsFrom(props: Map[String, String], pfx: String,
+      sub: String): DataFrame = {
+    val rels = indexPartRels(props, pfx)
+    require(rels.nonEmpty, s"no materialized index under property prefix $pfx")
+    val suffix = if (sub.isEmpty) "" else s"/$sub"
+    rels.map(r => spark.read.parquet(s"$path/$r$suffix")).reduce(_ unionByName _)
+  }
+
+  private def indexParts(pfx: String, sub: String = ""): DataFrame =
+    indexPartsFrom(snapshot.metadata.map(_.properties).getOrElse(Map.empty), pfx, sub)
+
+  /** Persisted MinHash signatures (id, sig) across base + delta parts. */
+  def minhashSigs(textCol: String): DataFrame =
+    indexParts(s"graft.minhash.$textCol", "sigs")
+  /** Persisted MinHash LSH band keys (id, band, band_hash). */
+  def minhashBands(textCol: String): DataFrame =
+    indexParts(s"graft.minhash.$textCol", "bands")
+  /** Persisted PQ codes (id, codes) across base + delta parts. */
+  def pqCodes(vecCol: String): DataFrame = indexParts(s"graft.pq.$vecCol")
+  /** Persisted IVF assignments (id, rr, cluster) across base + deltas. */
+  def ivfAssignments(vecCol: String): DataFrame =
+    indexParts(s"graft.ivf.$vecCol", "assign")
+
+  /** Cost gate + row-level delta for an incremental index refresh over
+    * the commit window (stamped, cur]. Change-feed versions that
+    * synthesize from CDC sidecars or added files are O(delta); a
+    * non-CDF DML or RESTORE costs an exact two-snapshot diff for that
+    * version — a few of those still beat re-encoding the corpus, many
+    * do not, so past [[GraftTable.MaxDiffFallbackVersions]] the caller
+    * falls back to a full rebuild.
+    */
+  private def indexDeltaFeed(stamped: Long, cur: Long): Option[DataFrame] = {
+    if (stamped < 0 || stamped >= cur) return None
+    var fallbacks = 0
+    ((stamped + 1) to cur).foreach { v =>
+      val actions = log.readCommit(v)
+      val cdc = actions.exists(_.isInstanceOf[AddCDC])
+      val addsDC = actions.exists {
+        case a: AddFile => a.dataChange
+        case _ => false
+      }
+      val removesDC = actions.exists {
+        case r: RemoveFile => r.dataChange
+        case _ => false
+      }
+      val dvChange = actions.exists(a =>
+        a.isInstanceOf[AddDV] || a.isInstanceOf[RemoveDV])
+      val op = actions.collectFirst { case c: CommitInfo => c.operation }.getOrElse("")
+      val cheap = cdc || (!addsDC && !removesDC && !dvChange) ||
+        (AppendOps.contains(op) && !removesDC && !dvChange && addsDC)
+      if (!cheap) fallbacks += 1
+    }
+    if (fallbacks > GraftTable.MaxDiffFallbackVersions) None
+    else Some(changeFeed(stamped, cur))
+  }
+
+  /** Shared skeleton of the three incremental index refreshes: split
+    * the change feed into inserts and retired rows, then
+    *  - layout-only window (OPTIMIZE/ZORDER compaction — zero row
+    *    changes): restamp the fingerprint, no data work at all. At
+    *    100 TB this is the big one — compaction no longer forces a
+    *    corpus re-encode, because index rows are keyed by id, not file;
+    *  - append-only window: `writeDelta` encodes EXACTLY the inserted
+    *    rows into a new delta part — O(delta) work, the ingest path's
+    *    steady state;
+    *  - deletes/updates present: rows for DIRTY ids are re-derived
+    *    wholesale from the current table and untouched rows carried
+    *    over (`writeConsolidated`) — exact under duplicate ids, one
+    *    O(index) + O(dirty rows) consolidation, never a corpus re-scan.
+    * Each branch commits the new part pointers, fingerprint, and
+    * covered version atomically.
+    */
+  private def incrementalIndexRefresh(s: Snapshot, fp: String, pfx: String,
+      opName: String, colParam: (String, String), idCol: String,
+      feed0: DataFrame)(
+      writeDelta: DataFrame => String)(
+      writeConsolidated: (DataFrame, DataFrame) => String): Long = {
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val feed = feed0.persist()
+    try {
+      val ins = feed.filter(col("_change_type").isin("insert", "update_postimage"))
+      val deadN = feed.filter(
+        col("_change_type").isin("delete", "update_preimage")).count()
+      val insN = ins.count()
+      def stamp(mode: String, extraProps: Map[String, String]): Long =
+        commitMetadataMerge(info(opName,
+          params = Map(colParam, "mode" -> mode),
+          metrics = Map("numInserted" -> insN.toString,
+            "numRemoved" -> deadN.toString)))(m =>
+          m.copy(properties = m.properties ++ extraProps ++ Map(
+            s"$pfx.fingerprint" -> fp,
+            s"$pfx.version" -> s.version.toString)))
+      if (insN == 0 && deadN == 0) stamp("restamp", Map.empty)
+      else if (deadN == 0) {
+        val delta = writeDelta(ins)
+        val deltas = (props.getOrElse(s"$pfx.deltas", "")
+          .split(",").filter(_.nonEmpty) :+ delta).mkString(",")
+        stamp("append", Map(s"$pfx.deltas" -> deltas))
+      } else {
+        val dirty = feed.select(col(idCol).cast("long").as("id")).distinct()
+        val cur = dfForFiles(s, s.activeFiles)
+        val fresh = cur.join(dirty, cur(idCol).cast("long") === dirty("id"),
+          "left_semi")
+        val rel = writeConsolidated(dirty, fresh)
+        stamp("consolidate", Map(s"$pfx.sidecar" -> rel, s"$pfx.deltas" -> ""))
+      }
+    } finally { feed.unpersist(); () }
+  }
+
   /** Materialize a product-quantization ANN index for `vecCol`:
     * trains deterministic codebooks from the table's own rows
     * (strided medoids + exact-int64 Lloyd — see
@@ -470,22 +589,51 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     val fp = GraftTable.pqFingerprint(s)
     if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
+    def encode(rows: DataFrame, books: Array[Array[Array[Long]]]): DataFrame =
+      rows.select(col(idCol).cast("long").as("id"),
+        GraftSqlShims.column(graft.functions.PqEncode(
+          GraftSqlShims.expression(col(vecCol)), books)).as("codes"))
+    // incremental refresh: the codebooks are FROZEN at their training
+    // version (FAISS `add` semantics) — existing codes stay valid and
+    // new rows encode against the same books, so the index catches up
+    // in O(delta) instead of re-encoding the corpus. Recall drifts
+    // only as far as the data distribution does; a full rebuild (new
+    // table, or a window past the diff-fallback budget) retrains.
+    for {
+      stamped <- props.get(s"$pfx.version").map(_.toLong)
+      if props.contains(s"$pfx.sidecar")
+      booksStr <- props.get(s"$pfx.books")
+      feed <- indexDeltaFeed(stamped, s.version)
+    } return {
+      val books = graft.operators.PqCodebook.decodeBooks(booksStr)
+      incrementalIndexRefresh(s, fp, pfx, "REFRESH PQ INDEX",
+        "column" -> vecCol, idCol, feed) { ins =>
+        val delta = s"_graft_pq/$vecCol-delta-${UUID.randomUUID()}"
+        encode(ins, books).write.parquet(s"$path/$delta")
+        delta
+      } { (dirty, fresh) =>
+        val rel = s"_graft_pq/$vecCol-${UUID.randomUUID()}"
+        indexPartsFrom(props, pfx, "").join(dirty, Seq("id"), "left_anti")
+          .unionByName(encode(fresh, books))
+          .write.parquet(s"$path/$rel")
+        rel
+      }
+    }
     val df = dfForFiles(s, s.activeFiles)
     val n = df.count()
     require(n > 0, "cannot build a PQ index on an empty table")
     val minId = df.agg(min(col(idCol)).cast("long")).head.getLong(0)
     val books = graft.operators.PqCodebook.train(df, idCol, vecCol, minId, n)
     val rel = s"_graft_pq/$vecCol-${UUID.randomUUID()}"
-    df.select(col(idCol).cast("long").as("id"),
-        GraftSqlShims.column(graft.functions.PqEncode(
-          GraftSqlShims.expression(col(vecCol)), books)).as("codes"))
-      .write.parquet(s"$path/$rel")
+    encode(df, books).write.parquet(s"$path/$rel")
     commitMetadataMerge(
       info("BUILD PQ INDEX",
         params = Map("column" -> vecCol, "idColumn" -> idCol),
         metrics = Map("numVectors" -> n.toString)))(m =>
       m.copy(properties = m.properties ++ Map(
         s"$pfx.sidecar" -> rel,
+        s"$pfx.deltas" -> "",
+        s"$pfx.version" -> s.version.toString,
         s"$pfx.id" -> idCol,
         s"$pfx.books" -> graft.operators.PqCodebook.encodeBooks(books),
         s"$pfx.fingerprint" -> fp)))
@@ -515,6 +663,57 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // gate and rebuilds, instead of silently serving a different index
     val fp = s"v6:${GraftTable.pqFingerprint(s)}"
     if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
+    // assignment of a row set against a persisted centroid parquet —
+    // the same two kernel paths the full build uses (plan-constant
+    // matrix under PlanConstantMaxK, broadcast variable above), so
+    // incremental and full assignments are bit-identical
+    def assignRows(rows: DataFrame, kk: Int, pr: Int,
+        centDf: DataFrame): DataFrame =
+      if (kk <= graft.operators.IvfIndex.PlanConstantMaxK) {
+        val cents = centDf.orderBy("cid_c").collect()
+          .map(_.getSeq[Double](1).toArray)
+        rows.select(col(idCol).cast("long").as("id"),
+            posexplode(graft.functions.VectorFunctions.topCentroidIds(
+              col(vecCol), cents, math.min(pr, cents.length))))
+          .select(col("id"), (col("pos") + 1).cast("int").as("rr"),
+            col("col").as("cluster"))
+      } else
+        graft.functions.VectorFunctions.assignTopCentroids(
+          rows.select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("__v")),
+          "id", "__v", centDf, math.min(pr, kk))
+    // incremental refresh: the coarse quantizer is FROZEN at its
+    // training version — k stays at the build-time 8√n and new rows
+    // assign against the persisted centroids, so catch-up is O(delta).
+    // The scan-fraction guarantee (spill·probes/k) degrades only as
+    // the corpus outgrows the trained k; a full rebuild retrains.
+    for {
+      stamped <- props.get(s"$pfx.version").map(_.toLong)
+      baseRel <- props.get(s"$pfx.sidecar")
+      kStr <- props.get(s"$pfx.k")
+      prStr <- props.get(s"$pfx.probes")
+      // a changed probe budget needs a full re-assignment, not a delta
+      if prStr.toInt == probes
+      feed <- indexDeltaFeed(stamped, s.version)
+    } return {
+      val centDf = spark.read.parquet(s"$path/$baseRel/centroids")
+      incrementalIndexRefresh(s, fp, pfx, "REFRESH IVF INDEX",
+        "column" -> vecCol, idCol, feed) { ins =>
+        val delta = s"_graft_ivf/$vecCol-delta-${UUID.randomUUID()}"
+        assignRows(ins, kStr.toInt, prStr.toInt, centDf)
+          .write.parquet(s"$path/$delta/assign")
+        delta
+      } { (dirty, fresh) =>
+        val rel = s"_graft_ivf/$vecCol-${UUID.randomUUID()}"
+        // the new base carries the (frozen) centroids forward so the
+        // sidecar pointer stays self-contained
+        centDf.coalesce(1).write.parquet(s"$path/$rel/centroids")
+        indexPartsFrom(props, pfx, "assign").join(dirty, Seq("id"), "left_anti")
+          .unionByName(assignRows(fresh, kStr.toInt, prStr.toInt, centDf))
+          .write.parquet(s"$path/$rel/assign")
+        rel
+      }
+    }
     val df = dfForFiles(s, s.activeFiles)
     val n = df.count()
     require(n > 0, "cannot build an IVF index on an empty table")
@@ -560,8 +759,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         metrics = Map("numVectors" -> n.toString)))(m =>
       m.copy(properties = m.properties ++ Map(
         s"$pfx.sidecar" -> rel,
+        s"$pfx.deltas" -> "",
+        s"$pfx.version" -> s.version.toString,
         s"$pfx.id" -> idCol,
         s"$pfx.k" -> k.toString,
+        s"$pfx.probes" -> probes.toString,
         s"$pfx.fingerprint" -> fp)))
   }
 
@@ -587,19 +789,43 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     val fp = GraftTable.pqFingerprint(s)
     if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
+    graft.functions.GraftFunctions.register(spark)
+    // incremental refresh: a version-stamped sidecar catches up by
+    // encoding only the rows the change feed says moved — signatures
+    // are per-row artifacts, so a frozen-model concern doesn't exist
+    def sigsOf(rows: DataFrame): DataFrame =
+      rows.select(col(idCol).cast("long").as("id"),
+        expr(s"graft_minhash32($textCol)").as("sig"))
+    def writeBands(rel: String): Unit =
+      graft.operators.Dedup.bandKeysFromSig(
+          spark.read.parquet(s"$path/$rel/sigs"), "id", "sig",
+          graft.operators.Dedup.MinhashK, graft.operators.Dedup.MinhashBands)
+        .select(col("id"), col("band"), col("band_hash"))
+        .write.parquet(s"$path/$rel/bands")
+    for {
+      stamped <- props.get(s"$pfx.version").map(_.toLong)
+      if props.contains(s"$pfx.sidecar")
+      feed <- indexDeltaFeed(stamped, s.version)
+    } return incrementalIndexRefresh(s, fp, pfx, "REFRESH MINHASH INDEX",
+      "column" -> textCol, idCol, feed) { ins =>
+      val delta = s"_graft_minhash/$textCol-delta-${UUID.randomUUID()}"
+      sigsOf(ins).write.parquet(s"$path/$delta/sigs")
+      writeBands(delta)
+      delta
+    } { (dirty, fresh) =>
+      val rel = s"_graft_minhash/$textCol-${UUID.randomUUID()}"
+      indexPartsFrom(props, pfx, "sigs").join(dirty, Seq("id"), "left_anti")
+        .unionByName(sigsOf(fresh))
+        .write.parquet(s"$path/$rel/sigs")
+      writeBands(rel)
+      rel
+    }
     val df = dfForFiles(s, s.activeFiles)
     val n = df.count()
     require(n > 0, "cannot build a MinHash index on an empty table")
-    graft.functions.GraftFunctions.register(spark)
     val rel = s"_graft_minhash/$textCol-${UUID.randomUUID()}"
-    df.select(col(idCol).cast("long").as("id"),
-        expr(s"graft_minhash32($textCol)").as("sig"))
-      .write.parquet(s"$path/$rel/sigs")
-    graft.operators.Dedup.bandKeysFromSig(
-        spark.read.parquet(s"$path/$rel/sigs"), "id", "sig",
-        graft.operators.Dedup.MinhashK, graft.operators.Dedup.MinhashBands)
-      .select(col("id"), col("band"), col("band_hash"))
-      .write.parquet(s"$path/$rel/bands")
+    sigsOf(df).write.parquet(s"$path/$rel/sigs")
+    writeBands(rel)
     commitMetadataMerge(
       info("BUILD MINHASH INDEX",
         params = Map("column" -> textCol, "idColumn" -> idCol,
@@ -608,6 +834,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         metrics = Map("numDocs" -> n.toString)))(m =>
       m.copy(properties = m.properties ++ Map(
         s"$pfx.sidecar" -> rel,
+        s"$pfx.deltas" -> "",
+        s"$pfx.version" -> s.version.toString,
         s"$pfx.id" -> idCol,
         s"$pfx.fingerprint" -> fp)))
   }
@@ -3055,6 +3283,51 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     metrics + ("commitVersion" -> v.toString)
   }
 
+  // ----------------------------------------------------------- manifest
+
+  /** Delta `GENERATE symlink_format_manifest` parity: write text
+    * manifests naming the current snapshot's active data files in
+    * absolute-path form, so engines with no GraftLake reader (DuckDB,
+    * Trino/Presto via Hive symlink tables) can query the table's data
+    * directly. Layout matches Hive's SymlinkTextInputFormat:
+    * `_graft_manifest/manifest` for unpartitioned tables, one
+    * `_graft_manifest/<k=v>/…/manifest` per partition otherwise.
+    *
+    * The artifact is SNAPSHOT-STALE by design (the same caveat Delta
+    * documents): it names the generating version's files, so re-run
+    * after DML/OPTIMIZE; until then external readers keep a consistent
+    * older view for as long as vacuum retention outlives it. Tables
+    * carrying deletion vectors refuse — a raw parquet reader would
+    * resurrect masked rows. O(#files) driver-side metadata, no scan
+    * (the same scale class as Delta's own manifest generation).
+    * Returns the written manifest file paths.
+    */
+  def generateManifest(): Seq[String] = {
+    val s = snapshot
+    if (s.dvFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        "cannot generate a symlink manifest while deletion vectors are " +
+          "active: external parquet readers would resurrect masked rows " +
+          "(run REORG TABLE ... APPLY (PURGE) first)")
+    val dir = root.resolve("_graft_manifest")
+    deleteRecursively(dir)
+    val groups: Seq[(String, Seq[AddFile])] =
+      if (s.partitionColumns.isEmpty) Seq("" -> s.activeFiles)
+      else s.activeFiles.groupBy(f => s.partitionColumns.map(c =>
+          s"$c=${f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
+        .mkString("/")).toSeq
+    groups.map { case (sub, files) =>
+      val d = if (sub.isEmpty) dir else dir.resolve(sub)
+      Files.createDirectories(d)
+      val body = files.map(f =>
+          root.resolve(f.path).toAbsolutePath.normalize.toString)
+        .sorted.mkString("", "\n", "\n")
+      val p = d.resolve("manifest")
+      Files.write(p, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p.toString
+    }.sorted
+  }
+
   /** VACUUM (reference 02-lab:295-309): delete files on disk that are
     * not referenced by the current snapshot and are older than the
     * retention window. `dryRun=true` only lists. Truncates time
@@ -3070,18 +3343,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // them would crash the next pruned read / re-ingest everything.
     // Stale sidecars (superseded pointers) stay vacuumable.
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
-    val sidecarDirs = (props.collect {
-      case (k, v) if k.startsWith("graft.bloom.") ||
-        ((k.startsWith("graft.pq.") || k.startsWith("graft.ivf.") ||
-          k.startsWith("graft.minhash.")) &&
-          k.endsWith(".sidecar")) => v
-    }.toSeq ++ props.get("graft.copyInto.state").toSeq)
+    val sidecarDirs = (props.toSeq.flatMap {
+      case (k, v) if k.startsWith("graft.bloom.") => Seq(v)
+      case (k, v) if (k.startsWith("graft.pq.") || k.startsWith("graft.ivf.") ||
+          k.startsWith("graft.minhash.")) && k.endsWith(".sidecar") => Seq(v)
+      // incremental index delta parts are live index data too
+      case (k, v) if (k.startsWith("graft.pq.") || k.startsWith("graft.ivf.") ||
+          k.startsWith("graft.minhash.")) && k.endsWith(".deltas") =>
+        v.split(",").filter(_.nonEmpty).toSeq
+      case _ => Nil
+    } ++ props.get("graft.copyInto.state").toSeq)
       .map(r => root.resolve(r).normalize)
     // CDC sidecars belong to historical commits, not the current
     // snapshot — their lifetime is the log's (cleanupLogs reclaims
     // them with their carrier commits), so vacuum never touches them
     val spared = activeDvDirs ++ sidecarDirs :+
-      root.resolve("_graft_cdc").normalize
+      root.resolve("_graft_cdc").normalize :+
+      // symlink manifests are external-reader metadata; their LISTED
+      // data files are vacuumable once stale (the documented caveat)
+      root.resolve("_graft_manifest").normalize
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     // exact-prefix dir guard ("/"-terminated) — a string prefix alone
     // would let `dv-1` spare `dv-12/...`
@@ -3446,6 +3726,13 @@ object GraftTable {
     * tell "codes reflect the current data" apart from "stale after
     * DML" in O(files) string work, no data reads.
     */
+  /** Incremental index refreshes tolerate at most this many
+    * exact-diff fallback versions in the catch-up window before a
+    * full rebuild is declared cheaper (each fallback version costs
+    * two snapshot scans; the rebuild costs one corpus encode).
+    */
+  private[lake] val MaxDiffFallbackVersions = 4
+
   private[lake] def pqFingerprint(s: Snapshot): String = {
     val ids = (s.activeFiles.map(_.path).sorted ++ s.dvFiles.sorted)
     java.lang.Long.toHexString(

@@ -167,10 +167,10 @@ object Dedup {
     val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
     val t = Similarity.indexFixture(spark, dir, "mhmat",
       "graft.minhash.index" -> "doc_id,text", expected)(docs)
-    val props = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
-    val rel = props("graft.minhash.text.sidecar")
-    val bands = spark.read.parquet(s"${t.path}/$rel/bands")
-    val sigs = spark.read.parquet(s"${t.path}/$rel/sigs")
+    // part-union readers: base sidecar plus any incremental delta
+    // parts the index accumulated since its last full build
+    val bands = t.minhashBands("text")
+    val sigs = t.minhashSigs("text")
     val pairs = bands.select(col("id").as("id_a"), col("band"), col("band_hash"))
       .join(bands.select(col("id").as("id_b"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))

@@ -361,6 +361,33 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Symlink manifest round-trip (L77, Delta GENERATE parity): a
+    * partitioned lake table writes Hive-layout manifests of its active
+    * files after maintenance (OPTIMIZE) and DML (DELETE), and an
+    * EXTERNAL reader — plain `spark.read.parquet` over exactly the
+    * manifest-listed paths, no GraftLake code on the read side —
+    * aggregates the same answer the lake reader does. The DELETE makes
+    * the check bite: a manifest generated before it (or a reader
+    * ignoring it) would count the deleted rows.
+    */
+  def lakeManifest(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    val t = graft.lake.GraftTable.create(spark, workDir(dir, "manifest"),
+      li, partitionBy = Seq("l_returnflag"))
+    t.optimize()
+    t.delete(col("l_orderkey") % 3 === 0)
+    val manifests = t.generateManifest()
+    val listed = spark.read.textFile(manifests: _*).collect().toSeq
+    // Hive symlink semantics: partition VALUES come from the partition
+    // spec (the manifest subdir), not the data files — the aggregate
+    // uses data-file columns only, like any symlink-table consumer
+    spark.read.parquet(listed: _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+
   /** Runtime bloom semi-join (L62): a dim too wide for DFP's exact key
     * list drives a row-level bloom probe into the fact scan before the
     * join. The filter is advisory (fpp widens, never narrows), so the

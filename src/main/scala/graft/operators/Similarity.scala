@@ -51,6 +51,51 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Filtered (predicate-constrained) top-k vector search: exact
+    * cosine top-k among only the corpus vectors satisfying a metadata
+    * predicate — the "vector search with a WHERE clause" shape every
+    * retrieval stack needs (tenant scoping, language/label filters,
+    * date ranges). Pre-filtering, not post-filtering: the predicate
+    * cuts the corpus BEFORE any vector arithmetic, so k survivors are
+    * guaranteed (post-filtering top-k then discarding non-matching
+    * rows can return fewer than k).
+    *
+    * Scale shape: the predicate is an ordinary pushed parquet filter
+    * — files whose `label` stats exclude the wanted set are skipped
+    * and non-matching rows die at the scan, so the fused
+    * [[graft.functions.CosineScores]] kernel and bounded
+    * [[graft.functions.ScoreTopK]] aggregate (map-side combined,
+    * ≤ partitions·nq·k pairs in the shuffle) only ever see matching
+    * vectors. Selectivity multiplies INTO the scan cost instead of
+    * being paid after it.
+    */
+  def simFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CosineScores, ScoreTopK}
+    import org.apache.spark.sql.GraftSqlShims
+    val emb = Tables(spark, dir, "embeddings")
+    val qvs = emb.filter(col("vec_id") < QuerySetSize).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    emb.filter(col("vec_id") >= QuerySetSize &&
+        col("label").isin(FilteredLabels: _*))
+      .select(col("vec_id").as("cid"),
+        GraftSqlShims.column(CosineScores(
+          GraftSqlShims.expression(col("embedding")), qvs)).as("coss"))
+      .select(GraftSqlShims.column(ScoreTopK(
+          GraftSqlShims.expression(col("cid")),
+          GraftSqlShims.expression(col("coss")),
+          qvs.length, TopK).toAggregateExpression()).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r.qid"), col("r.cid"), round(col("r.cos"), 4).as("cos"), col("r.rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Label set for [[simFilteredTopk]]'s metadata predicate (~30% of
+    * the synthetic corpus — selective enough to change every top-k
+    * list, wide enough that all queries keep k matches).
+    */
+  private val FilteredLabels: Seq[Int] = Seq(2, 5, 7)
+
   /** Radius (range) similarity search: every (query, corpus) pair
     * with cosine ≥ [[RangeTau]] — the "all near neighbors within a
     * similarity radius" companion of top-k retrieval (the shape
@@ -190,7 +235,7 @@ object Similarity {
     val props = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
     val books = PqCodebook.decodeBooks(props("graft.pq.embedding.books"))
     val qtables = PqCodebook.queryTables(books, PqCodebook.queryVectors(spark, dir))
-    val codes = spark.read.parquet(s"${t.path}/${props("graft.pq.embedding.sidecar")}")
+    val codes = t.pqCodes("embedding")
     codes
       .select(col("id").as("cid"),
         GraftSqlShims.column(PqAdcFromCodes(
@@ -254,9 +299,7 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings")
     val t = indexFixture(spark, dir, "ivfmat",
       "graft.ivf.index" -> "vec_id,embedding", EmbCount(spark, dir))(emb)
-    val props = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
-    val assign = spark.read.parquet(
-      s"${t.path}/${props("graft.ivf.embedding.sidecar")}/assign")
+    val assign = t.ivfAssignments("embedding")
     val qa = assign.filter(col("id") < QuerySetSize && col("rr") <= IvfIndex.Probes)
       .select(col("id").as("qid"), col("cluster"))
     val ca = assign.filter(col("id") >= QuerySetSize && col("rr") <= IvfIndex.Spill)

@@ -623,4 +623,36 @@ class LakeSpec extends GraftSparkSpec {
     val props = t.snapshot.metadata.get.properties
     assert(props.keys.exists(_.startsWith("graft.stats.l_orderkey")))
   }
+
+  test("symlink manifest: Hive layout, DV refusal, SQL statement, vacuum survival") {
+    import spark.implicits._
+    val df = (0 until 60).map(i => (i.toLong, s"p${i % 3}", i * 10L))
+      .toDF("k", "part", "v")
+    val t = GraftTable.create(spark, tmpDir("manifest-spec"), df,
+      partitionBy = Seq("part"))
+    val manifests = t.generateManifest()
+    // one manifest per partition, Hive subdir layout
+    assert(manifests.size == 3)
+    assert(manifests.forall(_.contains("_graft_manifest/part=")))
+    val listed = spark.read.textFile(manifests: _*).collect().toSeq
+    assert(spark.read.parquet(listed: _*).count() == 60)
+    // regeneration after DML reflects the new snapshot
+    t.delete(col("k") % 2 === 0)
+    val listed2 = spark.read.textFile(t.generateManifest(): _*).collect().toSeq
+    assert(spark.read.parquet(listed2: _*).count() == 30)
+    // manifest files survive vacuum (external readers keep working)
+    t.vacuum(0.0, dryRun = false)
+    assert(spark.read.textFile(
+      t.path + "/_graft_manifest/*/manifest").count() > 0)
+    // a deletion-vector table refuses: raw parquet would resurrect rows
+    t.deleteMergeOnRead(col("k") === 1)
+    val e = intercept[UnsupportedOperationException](t.generateManifest())
+    assert(e.getMessage.contains("deletion vectors"))
+    // SQL spelling
+    t.reorgPurge()
+    val gsql = new GraftSql(spark)
+    gsql.register("mtab", t.path)
+    val out = gsql.sql("GENERATE symlink_format_manifest FOR TABLE mtab")
+    assert(out.filter(col("metric") === "manifest").count() == 3)
+  }
 }

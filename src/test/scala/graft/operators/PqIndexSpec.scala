@@ -24,21 +24,22 @@ class PqIndexSpec extends GraftSparkSpec {
     Similarity.simPqMaterialized(spark, sfDir).collect()
     val t = GraftTable.forPath(spark, LakeOps.workDirPath(sfDir, "pqmat"))
     def builds: Long = t.history.filter(col("operation") === "BUILD PQ INDEX").count()
+    def refreshes: Long = t.history.filter(col("operation") === "REFRESH PQ INDEX").count()
     assert(builds == 1)
     t.optimize() // nothing compacted, fingerprint unchanged -> skip
-    assert(builds == 1, "second OPTIMIZE must not re-encode unchanged data")
-    // DML invalidates the stamp: the reader can detect staleness and the
-    // next OPTIMIZE refreshes the codes
+    assert(builds == 1 && refreshes == 0,
+      "second OPTIMIZE must not re-encode unchanged data")
+    // DML invalidates the stamp: the reader can detect staleness and
+    // the next OPTIMIZE catches the codes up — incrementally (a
+    // one-version delete window consolidates dirty ids instead of
+    // re-encoding the corpus)
     t.delete(col("vec_id") % 7 === 0)
     val props = t.snapshot.metadata.get.properties
     assert(props.contains("graft.pq.embedding.fingerprint"))
     t.optimize()
-    assert(builds == 2, "OPTIMIZE after DML must rebuild the codes")
+    assert(builds + refreshes == 2, "OPTIMIZE after DML must refresh the codes")
     // the refreshed sidecar excludes deleted rows
-    val p2 = t.snapshot.metadata.get.properties
-    val ids = spark.read.parquet(s"${t.path}/${p2("graft.pq.embedding.sidecar")}")
-      .filter(col("id") % 7 === 0).count()
-    assert(ids == 0)
+    assert(t.pqCodes("embedding").filter(col("id") % 7 === 0).count() == 0)
   }
 
   test("vacuum spares the live PQ sidecar") {

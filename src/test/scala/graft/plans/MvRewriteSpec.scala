@@ -158,6 +158,31 @@ class MvRewriteSpec extends GraftSparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("HAVING composes over the rewrite: the post-aggregate filter rides the state read") {
+    // HAVING lowers to a Filter ABOVE the Aggregate referencing the
+    // aggregate's output attributes; the rewrite preserves output
+    // attribute ids, so the filter resolves against the rewritten
+    // subtree untouched — post-aggregate predicates (including on
+    // aggregate values, which a BELOW-aggregate WHERE must decline)
+    // come for free and still read KB-scale state, not the source.
+    val src = GraftTable.create(spark, tmpDir("mvr-h-src"), li.limit(400))
+    val mv = MaterializedAgg.create(spark, tmpDir("mvr-h-view"), src,
+      Seq("l_returnflag"), Seq("qty_c"))
+    def q = src.toDF.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("qty_c").as("s"))
+      .filter(col("s") > 1000 && col("l_returnflag") =!= "zz")
+    MvCatalog.register(mv)
+    try {
+      assert(scansView(q, "mvr-h-view"),
+        "a HAVING above the aggregate must not block the rewrite")
+      val fromView = q.collect().map(_.toSeq).toSet
+      MvCatalog.clear()
+      assert(!scansView(q, "mvr-h-view"))
+      assert(q.collect().map(_.toSeq).toSet == fromView,
+        "view-answered HAVING query differs from source")
+    } finally MvCatalog.clear()
+  }
+
   test("min/max rewrite answers from native-typed state") {
     val src = GraftTable.create(spark, tmpDir("mvr-mm-src"), li.limit(300))
     val mv = MaterializedAgg.create(spark, tmpDir("mvr-mm-view"), src,
