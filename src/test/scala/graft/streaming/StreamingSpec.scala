@@ -270,4 +270,71 @@ class StreamingSpec extends GraftSparkSpec {
     assert(table.snapshot.numFiles <= filesBefore)
     assert(table.toDF.count() == rows)
   }
+
+  test("stream-static enrichment: a stream joined to a lake dim matches the batch join") {
+    // the standard enrichment shape: micro-batches broadcast-join a
+    // slowly-changing GraftLake dimension; per-batch snapshot reads
+    // keep the dim consistent within an epoch
+    import spark.implicits._
+    val dim = GraftTable.create(spark, tmpDir("ss-dim"),
+      (0 until 10).map(i => (i.toLong, s"seg-${i % 3}")).toDF("uid", "segment"))
+    val src = tmpDir("ss-src")
+    (0 until 200).map(i => (i.toLong, i % 10L)).toDF("ev_id", "uid")
+      .repartition(4).write.parquet(src)
+    val out = new java.util.concurrent.atomic.AtomicReference[Seq[(String, Long)]](Nil)
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("ss-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val joined = batch.join(broadcast(dim.toDF), "uid")
+          .groupBy("segment").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        out.updateAndGet(prev => prev ++ joined)
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    val streamed = out.get.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val batch = spark.read.parquet(src).join(broadcast(dim.toDF), "uid")
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "stream-static enrichment must match the batch join")
+  }
+
+  test("streaming ingest maintains the MinHash index incrementally via optimizeEvery") {
+    // the 100 TB ingest loop end-to-end: micro-batch appends + in-loop
+    // compaction, with the table's `graft.minhash.index` property
+    // making every OPTIMIZE catch the dedup index up through the
+    // change feed — ONE full build ever, every later pass O(delta)
+    import spark.implicits._
+    def docs(ids: Range) = ids.map(i =>
+      (i.toLong, s"streamed document $i with body ${i * 17}")).toDF("doc_id", "text")
+    val table = GraftTable.create(spark, tmpDir("stream-mh-table"),
+      docs(0 until 20),
+      properties = Map("graft.minhash.index" -> "doc_id,text"))
+    table.optimize() // full build on the seed
+    val src = tmpDir("stream-mh-src")
+    docs(20 until 60).repartition(4).write.parquet(src)
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format("graftlake")
+      .option("path", table.path)
+      .option("checkpointLocation", tmpDir("stream-mh-ckpt"))
+      .option("optimizeEvery", "2")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    table.optimize() // settle the tail epochs
+    assert(table.history.filter(col("operation") === "BUILD MINHASH INDEX")
+      .count() == 1, "streaming ingest must never trigger a full re-sign")
+    assert(table.history.filter(col("operation") === "REFRESH MINHASH INDEX")
+      .count() >= 1, "maintenance passes must catch up incrementally")
+    graft.functions.GraftFunctions.register(spark)
+    val fresh = table.toDF.select(col("doc_id").as("id"),
+        expr("graft_minhash32(text)").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val stored = table.minhashSigs("text").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(stored == fresh,
+      "the incrementally-maintained index must equal a fresh full signing")
+  }
 }
