@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.dedupSubstring _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_filtered_topk" -> Similarity.simFilteredTopk _,
+    "sim_knn_join" -> Similarity.simKnnJoin _,
     "sim_range" -> Similarity.simRange _,
     "sim_pq_materialized" -> Similarity.simPqMaterialized _,
     "sim_ivf_materialized" -> Similarity.simIvfMaterialized _,
@@ -376,6 +377,29 @@ object SparkEntry {
       s"qa AS (SELECT vec_id AS qid, cid_c FROM ranked WHERE vec_id < 10 AND rr <= $probes), " +
       s"ca AS (SELECT vec_id AS cid, cid_c FROM ranked WHERE vec_id >= 10 AND rr <= $spill), " +
       "cand AS (SELECT DISTINCT qid, cid FROM qa JOIN ca USING (cid_c))"
+  }
+
+  /** KNN self-join replay: the shared quantizer CTEs, spill
+    * assignment for BOTH sides, same-cluster candidate pairs, exact
+    * cosine + rank — op-for-op with [[graft.operators.Similarity.simKnnJoin]].
+    */
+  private def simKnnJoinSql: String = {
+    val spill = graft.operators.IvfIndex.Spill
+    s"WITH $embCte, ${ivfQuantizerCtes("emb")}, " +
+      "assign AS (SELECT vec_id, cid_c, CASE WHEN nc > 0 THEN " +
+      "list_dot_product(e, c) * (1.0 / sqrt(nc)) ELSE 0.0 END AS score " +
+      "FROM emb CROSS JOIN seeds), " +
+      "ranked AS (SELECT vec_id, cid_c, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id ORDER BY score DESC, cid_c) AS rr FROM assign), " +
+      s"ca AS (SELECT vec_id, cid_c FROM ranked WHERE rr <= $spill), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "FROM ca a JOIN ca b USING (cid_c) WHERE a.vec_id <> b.vec_id), " +
+      "sc AS (SELECT id_a, id_b, list_cosine_similarity(x.e, y.e) AS cos_raw " +
+      "FROM cand JOIN emb x ON x.vec_id = id_a JOIN emb y ON y.vec_id = id_b), " +
+      "r AS (SELECT id_a, id_b, cos_raw, ROW_NUMBER() OVER " +
+      "(PARTITION BY id_a ORDER BY cos_raw DESC, id_b) AS rn FROM sc) " +
+      "SELECT id_a, id_b, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
+      "FROM r WHERE rn <= 3 ORDER BY id_a, rn"
   }
 
   private def simIvfSql: String =
@@ -1086,6 +1110,7 @@ object SparkEntry {
         "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"),
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf" -> simIvfSql,
+    "sim_knn_join" -> simKnnJoinSql,
     // materialized-assignments IVF replays the same centroid stride and
     // assignment kernel over the same rows — bit-identical to sim_ivf
     "sim_ivf_materialized" -> simIvfSql,

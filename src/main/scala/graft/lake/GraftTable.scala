@@ -3316,16 +3316,34 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       else s.activeFiles.groupBy(f => s.partitionColumns.map(c =>
           s"$c=${f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
         .mkString("/")).toSeq
-    groups.map { case (sub, files) =>
+    // one (path, body) pair per partition — plain values so the
+    // parallel branch's task closure ships nothing of `this`
+    val jobs: Seq[(String, String)] = groups.map { case (sub, files) =>
       val d = if (sub.isEmpty) dir else dir.resolve(sub)
-      Files.createDirectories(d)
       val body = files.map(f =>
           root.resolve(f.path).toAbsolutePath.normalize.toString)
         .sorted.mkString("", "\n", "\n")
-      val p = d.resolve("manifest")
+      (d.resolve("manifest").toString, body)
+    }
+    def writeOne(pathStr: String, body: String): Unit = {
+      val p = Paths.get(pathStr)
+      Files.createDirectories(p.getParent)
       Files.write(p, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      p.toString
-    }.sorted
+      ()
+    }
+    // ≤10k partitions write on the driver (two jobs of scheduling
+    // overhead would dwarf the writes); past that the writes fan out
+    // as a Spark job — the 10⁵-partition regime stays wall-clock flat
+    if (jobs.size <= 10000) jobs.foreach { case (p, b) => writeOne(p, b) }
+    else spark.sparkContext
+      .parallelize(jobs, math.min(64, 1 + jobs.size / 1000))
+      .foreach { case (p, b) =>
+        val path = Paths.get(p)
+        Files.createDirectories(path.getParent)
+        Files.write(path, b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      }
+    jobs.map(_._1).sorted
   }
 
   /** VACUUM (reference 02-lab:295-309): delete files on disk that are

@@ -283,6 +283,48 @@ object Similarity {
     rerank(emb, cand)
   }
 
+  /** KNN self-join: every vector's top-[[KnnK]] nearest neighbors
+    * among ALL other vectors — the all-pairs adjacency a SemDeDup
+    * sweep, a diversity/coverage audit, or a graph-based curation
+    * pass consumes (vs. [[simBruteforceTopk]]'s few-queries-vs-corpus
+    * shape, this is corpus-vs-corpus). Brute force is O(n²) and dead
+    * at 100 TB; candidates instead come from the SHARED Lloyd-refined
+    * IVF quantizer (the same centroids S3/D9/P11 use): both sides
+    * multi-assign to their top-[[IvfIndex.Spill]] clusters and only
+    * same-cluster pairs are scored — the equi-join shape, candidate
+    * count ~ n·spill²·(n/k) with k = 8√n, i.e. ~O(n^1.5) total work
+    * spread across hash partitions instead of n² anywhere. Exact
+    * cosine + deterministic tie-break rank per left id; the window
+    * runs over each id's bounded candidate list only. The DuckDB
+    * oracle replays quantizer training, assignment, candidate scope,
+    * and rank op-for-op, so recall loss from cluster scoping can
+    * never hide an engine divergence.
+    */
+  def simKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cents = IvfIndex.centroids(spark, dir)
+    val emb = Tables(spark, dir, "embeddings")
+    val assigned = emb.select(col("vec_id"),
+      explode(topCentroidIds(col("embedding"), cents,
+        math.min(IvfIndex.Spill, cents.length))).as("cluster"))
+    val cand = assigned.select(col("vec_id").as("id_a"), col("cluster"))
+      .join(assigned.select(col("vec_id").as("id_b"), col("cluster")), "cluster")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val vb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val w = Window.partitionBy("id_a").orderBy(col("cos_raw").desc, col("id_b"))
+    cand.join(vb, "id_b").join(va, "id_a")
+      .withColumn("cos_raw", cosine(col("ea"), col("eb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnK)
+      .select(col("id_a"), col("id_b"),
+        round(col("cos_raw"), 4).as("cos"), col("rn").cast("long").as("rn"))
+      .orderBy("id_a", "rn")
+  }
+
+  /** Neighbors kept per vector in [[simKnnJoin]]. */
+  private val KnnK = 3
+
   /** [[simIvf]] over assignments MATERIALIZED at OPTIMIZE time: the
     * embeddings live in a GraftTable whose `graft.ivf.index` property
     * makes OPTIMIZE persist the strided-medoid centroids AND every
