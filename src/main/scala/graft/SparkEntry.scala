@@ -106,6 +106,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_filtered_topk" -> Similarity.simFilteredTopk _,
     "sim_knn_join" -> Similarity.simKnnJoin _,
+    "sim_sq_topk" -> Similarity.simSqTopk _,
     "sim_range" -> Similarity.simRange _,
     "sim_pq_materialized" -> Similarity.simPqMaterialized _,
     "sim_ivf_materialized" -> Similarity.simIvfMaterialized _,
@@ -378,6 +379,37 @@ object SparkEntry {
       s"ca AS (SELECT vec_id AS cid, cid_c FROM ranked WHERE vec_id >= 10 AND rr <= $spill), " +
       "cand AS (SELECT DISTINCT qid, cid FROM qa JOIN ca USING (cid_c))"
   }
+
+  /** SQ8 replay: FLOOR(x·10⁴+0.5) quantization, strided ≤1024-row
+    * per-dimension scale training, sign-preserving truncating codes
+    * clamped at ±127, exact int64 num/norm² sums, one double division
+    * — op-for-op with [[graft.functions.SqScores]].
+    */
+  private def simSqSql: String =
+    s"WITH $embCte, " +
+      "sn AS (SELECT COUNT(*) AS n FROM emb WHERE vec_id >= 10), " +
+      "sprm AS (SELECT GREATEST(1, n // 1024) AS tstride FROM sn), " +
+      "sq AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos, " +
+      "CAST(FLOOR(x * 10000 + 0.5) AS BIGINT) AS q " +
+      "FROM (SELECT vec_id, UNNEST(generate_series(1, len(e))) AS i, UNNEST(e) AS x FROM emb)), " +
+      "samp AS (SELECT vec_id FROM emb, sprm WHERE vec_id >= 10 AND (vec_id - 10) % tstride = 0 " +
+      "QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 1024), " +
+      "smax AS (SELECT pos, GREATEST(1, MAX(ABS(q))) AS s " +
+      "FROM sq JOIN samp USING (vec_id) GROUP BY pos), " +
+      "codes AS (SELECT vec_id, v.pos, CASE WHEN q < 0 THEN -LEAST(127, ((-q) * 127) // s) " +
+      "ELSE LEAST(127, (q * 127) // s) END * s AS cs " +
+      "FROM sq v JOIN smax m ON v.pos = m.pos WHERE vec_id >= 10), " +
+      "qn AS (SELECT vec_id AS qid, SUM(q * q) AS qn2 FROM sq WHERE vec_id < 10 GROUP BY 1), " +
+      "agg AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.q * b.cs) AS num, " +
+      "SUM(b.cs * b.cs) AS n2 FROM sq a JOIN codes b ON a.pos = b.pos " +
+      "WHERE a.vec_id < 10 GROUP BY 1, 2), " +
+      "scored AS (SELECT qid, cid, CASE WHEN n2 > 0 AND qn2 > 0 THEN CAST(num AS DOUBLE) / " +
+      "(sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) ELSE 0.0 END AS score " +
+      "FROM agg JOIN qn USING (qid)), " +
+      "r AS (SELECT qid, cid, score, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM scored) " +
+      "SELECT qid, cid, ROUND(score, 4) AS cos_sq, CAST(rn AS BIGINT) AS rn " +
+      "FROM r WHERE rn <= 5 ORDER BY qid, rn"
 
   /** KNN self-join replay: the shared quantizer CTEs, spill
     * assignment for BOTH sides, same-cluster candidate pairs, exact
@@ -1111,6 +1143,7 @@ object SparkEntry {
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf" -> simIvfSql,
     "sim_knn_join" -> simKnnJoinSql,
+    "sim_sq_topk" -> simSqSql,
     // materialized-assignments IVF replays the same centroid stride and
     // assignment kernel over the same rows — bit-identical to sim_ivf
     "sim_ivf_materialized" -> simIvfSql,

@@ -317,3 +317,105 @@ object HyperplaneSigExpr {
     sig
   }
 }
+
+/** SQ8 scalar-quantization scoring kernel (FAISS `SQ8` family): the
+  * corpus row is quantized on the fly to one signed byte per
+  * dimension against per-dimension int64 scales (`smax`, trained from
+  * a deterministic strided sample), then scored against every
+  * pre-quantized query in EXACT int64 — `num = Σ qq_d·c_d·smax_d`,
+  * `norm² = Σ (c_d·smax_d)²` — with one double division at the edge.
+  * Byte codes mean 4× less state than float32 when materialized; the
+  * integer arithmetic means a DuckDB oracle can replay every code and
+  * score bit-for-bit (quantize = FLOOR(x·10⁴+0.5); code =
+  * sign-preserving truncating `(|q|·127)/smax`, the exact op chain
+  * DuckDB's `//` floor-division matches on non-negatives).
+  */
+case class SqScores(child: Expression, smax: Array[Long],
+    qqs: Array[Array[Long]]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    SqScores.kernel(v.asInstanceOf[ArrayData], smax, qqs, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sref = ctx.addReferenceObj("smax", smax, "long[]")
+    val qref = ctx.addReferenceObj("qqs", qqs, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SqScores.kernel($c, $sref, $qref, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SqScores =
+    copy(child = c)
+}
+
+object SqScores {
+  private val qnormCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Array[Long]], Array[Double]]())
+
+  /** √(Σ qq_d²) per query — the int sum is exact, the sqrt is the one
+    * shared double op (same value on both engines).
+    */
+  private def qnorms(qqs: Array[Array[Long]]): Array[Double] = {
+    val cached = qnormCache.get(qqs)
+    if (cached != null) return cached
+    val out = new Array[Double](qqs.length)
+    var q = 0
+    while (q < qqs.length) {
+      var acc = 0L
+      var i = 0
+      val qq = qqs(q)
+      while (i < qq.length) { acc += qq(i) * qq(i); i += 1 }
+      out(q) = math.sqrt(acc.toDouble)
+      q += 1
+    }
+    qnormCache.put(qqs, out)
+    out
+  }
+
+  /** Sign-preserving truncating code with the FAISS clamp: scales are
+    * trained on a sample, so an unsampled outlier can exceed them —
+    * its code saturates at ±127 instead of overflowing the byte range.
+    */
+  def quantizeToCode(q: Long, s: Long): Long =
+    if (q < 0) -math.min(127L, ((-q) * 127L) / s)
+    else math.min(127L, (q * 127L) / s)
+
+  def kernel(v: ArrayData, smax: Array[Long], qqs: Array[Array[Long]],
+      isFloat: Boolean): ArrayData = {
+    val qn = qnorms(qqs)
+    val ne = math.min(v.numElements(), smax.length)
+    // dequantized-code coordinates cs_d = c_d·smax_d and their exact
+    // int64 norm² — the 127·10⁴ scale cancels between num and norm
+    val cs = new Array[Long](ne)
+    var norm2 = 0L
+    var i = 0
+    while (i < ne) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val q = Math.round(x * 10000.0)
+      val c = quantizeToCode(q, smax(i))
+      val csd = c * smax(i)
+      cs(i) = csd
+      norm2 += csd * csd
+      i += 1
+    }
+    val cn = math.sqrt(norm2.toDouble)
+    val out = new Array[Any](qqs.length)
+    var q = 0
+    while (q < qqs.length) {
+      val qq = qqs(q)
+      val n = math.min(ne, qq.length)
+      var num = 0L
+      i = 0
+      while (i < n) { num += qq(i) * cs(i); i += 1 }
+      out(q) = java.lang.Double.valueOf(
+        if (norm2 > 0L && qn(q) > 0.0) num.toDouble / (cn * qn(q)) else 0.0)
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -37,6 +37,8 @@ final class GraftSql(spark: SparkSession) {
 
   private val optimizeRe: Regex =
     """(?is)^\s*OPTIMIZE\s+(\w+)(\s+FULL)?(\s+VORDER)?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(\s+VORDER)?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val vacuumLiteRe: Regex =
+    """(?is)^\s*VACUUM\s+(\w+)\s+LITE(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val vacuumDryRe: Regex =
     """(?is)^\s*VACUUM\s+(\w+)\s+DRY\s+RUN\s*;?\s*$""".r
   private val vacuumRetainRe: Regex =
@@ -175,6 +177,10 @@ final class GraftSql(spark: SparkSession) {
             else m
           }
         metrics.toSeq.sorted.toDF("metric", "value")
+      case vacuumLiteRe(name, hours, dry) =>
+        table(name).vacuumLite(
+          Option(hours).map(_.toDouble).getOrElse(7 * 24.0),
+          dryRun = dry != null)
       case vacuumDryRe(name) =>
         table(name).vacuum(retentionHours = 7 * 24.0, dryRun = true)
       case vacuumRetainRe(name, hours) =>

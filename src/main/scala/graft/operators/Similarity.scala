@@ -283,6 +283,53 @@ object Similarity {
     rerank(emb, cand)
   }
 
+  /** SQ8 scalar-quantized top-k (the FAISS `SQ8` family — the third
+    * standard compression point beside exact float32 and PQ codes):
+    * per-dimension int64 scales train from the SAME deterministic
+    * strided ≤1024-row sample discipline PQ's codebooks use, every
+    * corpus row quantizes to one signed byte per dimension (4× less
+    * than float32 when materialized; unsampled outliers saturate at
+    * ±127, the FAISS clamp), and the fused [[graft.functions.SqScores]]
+    * kernel scores each row against all pre-quantized queries in
+    * EXACT int64 with one double division at the edge. Bounded
+    * [[graft.functions.ScoreTopK]] keeps k per query with map-side
+    * combine — the same ≤ partitions·nq·k shuffle as the brute-force
+    * path, at a quarter of the per-row arithmetic width. Every code
+    * and score replays bit-for-bit in the DuckDB oracle.
+    */
+  def simSqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{ScoreTopK, SqScores}
+    import org.apache.spark.sql.GraftSqlShims
+    val emb = Tables(spark, dir, "embeddings")
+    val qqs = emb.filter(col("vec_id") < QuerySetSize).orderBy("vec_id")
+      .select("embedding").collect().map(PqCodebook.quantizeRow)
+    val corpus = emb.filter(col("vec_id") >= QuerySetSize)
+    val n = corpus.count()
+    val tstride = math.max(1L, n / SqTrainN)
+    val sample = corpus
+      .filter((col("vec_id") - QuerySetSize) % tstride === 0)
+      .orderBy("vec_id").limit(SqTrainN)
+      .select("embedding").collect().map(PqCodebook.quantizeRow)
+    val dim = sample.head.length
+    val smax = Array.tabulate(dim)(d =>
+      math.max(1L, sample.iterator.map(v => math.abs(v(d))).max))
+    corpus
+      .select(col("vec_id").as("cid"),
+        GraftSqlShims.column(SqScores(
+          GraftSqlShims.expression(col("embedding")), smax, qqs)).as("scores"))
+      .select(GraftSqlShims.column(ScoreTopK(
+          GraftSqlShims.expression(col("cid")),
+          GraftSqlShims.expression(col("scores")),
+          qqs.length, TopK).toAggregateExpression()).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r.qid"), col("r.cid"),
+        round(col("r.cos"), 4).as("cos_sq"), col("r.rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Scale-training sample cap for [[simSqTopk]] — the PQ discipline. */
+  private val SqTrainN = 1024
+
   /** KNN self-join: every vector's top-[[KnnK]] nearest neighbors
     * among ALL other vectors — the all-pairs adjacency a SemDeDup
     * sweep, a diversity/coverage audit, or a graph-based curation

@@ -624,6 +624,46 @@ class LakeSpec extends GraftSparkSpec {
     assert(props.keys.exists(_.startsWith("graft.stats.l_orderkey")))
   }
 
+  test("VACUUM LITE reclaims exactly the log-tombstoned files, never untracked debris") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("vac-lite"),
+      (0 until 40).map(i => (i.toLong, i * 2L)).toDF("k", "v"))
+    // CoW DELETE + OPTIMIZE tombstone the rewritten originals
+    t.delete(col("k") % 4 === 0)
+    t.optimize()
+    // untracked debris (an aborted writer's leftover): LITE must NOT
+    // touch it — that is the full walk's job
+    val junk = java.nio.file.Paths.get(t.path, "junk-leftover.parquet")
+    java.nio.file.Files.write(junk, Array[Byte](1, 2, 3))
+    val listed = t.vacuumLite(0.0, dryRun = true)
+      .collect().map(_.getString(0)).toSet
+    assert(listed.nonEmpty, "CoW rewrites must leave reclaimable tombstones")
+    assert(!listed.exists(_.contains("junk-leftover")),
+      "LITE candidates come from the log, not a filesystem walk")
+    val active = t.snapshot.activeFiles.map(f =>
+      java.nio.file.Paths.get(t.path, f.path).toAbsolutePath.normalize.toString).toSet
+    assert(listed.intersect(active).isEmpty, "LITE must never touch live files")
+    t.vacuumLite(0.0, dryRun = false)
+    assert(listed.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(java.nio.file.Files.exists(junk), "debris survives LITE")
+    assert(t.toDF.count() == 30, "table reads unaffected")
+    // retention: a fresh tombstone inside the window is kept
+    t.delete(col("k") === 1)
+    assert(t.vacuumLite(24.0, dryRun = true).count() == 0)
+    // SQL spelling, and tombstoned DV sidecars reclaim too
+    t.deleteMergeOnRead(col("k") === 3)
+    t.reorgPurge() // materializes the mask, retires the DV
+    val gsql = new GraftSql(spark)
+    gsql.register("vl", t.path)
+    val viaSql = gsql.sql("VACUUM vl LITE RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(viaSql.exists(_.contains("_graft_dv")),
+      "a retired deletion vector must be a LITE candidate")
+    gsql.sql("VACUUM vl LITE RETAIN 0 HOURS")
+    assert(viaSql.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(t.toDF.count() == 28)
+  }
+
   test("symlink manifest: Hive layout, DV refusal, SQL statement, vacuum survival") {
     import spark.implicits._
     val df = (0 until 60).map(i => (i.toLong, s"p${i % 3}", i * 10L))

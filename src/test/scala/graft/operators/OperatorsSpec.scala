@@ -160,6 +160,22 @@ class OperatorsSpec extends GraftSparkSpec {
     assert(recall >= 0.75, f"IVF recall $recall%.2f below the refined-quantizer bar")
   }
 
+  test("SQ8 quantized top-5 tracks the exact cosine top-5 closely") {
+    val bf = Similarity.simBruteforceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sqDf = Similarity.simSqTopk(spark, sfDir)
+    // the top-k must stay the bounded aggregate, never a window rank
+    val plan = sqDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "SQ top-k must not plan as a window rank")
+    val sq = sqDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(sq).size.toDouble / bf.size
+    info(f"SQ8 recall@5 vs exact cosine = $recall%.3f (1 byte/dim)")
+    // one signed byte per dimension loses little on cosine rank —
+    // far tighter than PQ's sub-vector codes (that's the trade: 4x
+    // compression vs PQ's 8x, much higher fidelity)
+    assert(recall >= 0.9, f"SQ8 recall $recall%.2f below the 1-byte/dim bar")
+  }
+
   test("PQ ADC recovers exact-L2 top-5 with recall >= 0.5 via a bounded aggregate") {
     import graft.functions.VectorFunctions.dot
     val pq = Similarity.simPq(spark, sfDir)
