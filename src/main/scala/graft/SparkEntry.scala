@@ -107,6 +107,7 @@ object SparkEntry {
     "sim_filtered_topk" -> Similarity.simFilteredTopk _,
     "sim_knn_join" -> Similarity.simKnnJoin _,
     "sim_sq_topk" -> Similarity.simSqTopk _,
+    "sim_sq_materialized" -> Similarity.simSqMaterialized _,
     "sim_range" -> Similarity.simRange _,
     "sim_pq_materialized" -> Similarity.simPqMaterialized _,
     "sim_ivf_materialized" -> Similarity.simIvfMaterialized _,
@@ -1144,6 +1145,9 @@ object SparkEntry {
     "sim_ivf" -> simIvfSql,
     "sim_knn_join" -> simKnnJoinSql,
     "sim_sq_topk" -> simSqSql,
+    // the materialized-codes path shares the session chain's scales
+    // and code arithmetic, so it shares the full replay oracle
+    "sim_sq_materialized" -> simSqSql,
     // materialized-assignments IVF replays the same centroid stride and
     // assignment kernel over the same rows — bit-identical to sim_ivf
     "sim_ivf_materialized" -> simIvfSql,

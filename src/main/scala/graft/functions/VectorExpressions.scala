@@ -403,19 +403,111 @@ object SqScores {
       norm2 += csd * csd
       i += 1
     }
+    scoreAgainst(cs, norm2, qqs)
+  }
+
+  /** Shared scoring tail: exact int64 dot of the dequantized-code
+    * coordinates against every pre-quantized query, one double
+    * division each — used by both the fused path and the
+    * persisted-codes path so their scores are bit-identical.
+    */
+  def scoreAgainst(cs: Array[Long], norm2: Long,
+      qqs: Array[Array[Long]]): ArrayData = {
+    val qn = qnorms(qqs)
     val cn = math.sqrt(norm2.toDouble)
     val out = new Array[Any](qqs.length)
     var q = 0
     while (q < qqs.length) {
       val qq = qqs(q)
-      val n = math.min(ne, qq.length)
+      val n = math.min(cs.length, qq.length)
       var num = 0L
-      i = 0
+      var i = 0
       while (i < n) { num += qq(i) * cs(i); i += 1 }
       out(q) = java.lang.Double.valueOf(
         if (norm2 > 0L && qn(q) > 0.0) num.toDouble / (cn * qn(q)) else 0.0)
       q += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** SQ8 encode: one signed byte per dimension against the trained
+  * per-dimension scales — the materializable half of [[SqScores]]
+  * (codes persist as a 4×-smaller sidecar at OPTIMIZE; scales are
+  * KB-scale table metadata). Same quantize/clamp arithmetic, so a
+  * stored code equals what the fused kernel derives on the fly.
+  */
+case class SqEncode(child: Expression, smax: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    SqEncode.kernel(v.asInstanceOf[ArrayData], smax, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sref = ctx.addReferenceObj("smax", smax, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SqEncode.kernel($c, $sref, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SqEncode =
+    copy(child = c)
+}
+
+object SqEncode {
+  def kernel(v: ArrayData, smax: Array[Long], isFloat: Boolean): Array[Byte] = {
+    val ne = math.min(v.numElements(), smax.length)
+    val out = new Array[Byte](ne)
+    var i = 0
+    while (i < ne) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = SqScores.quantizeToCode(Math.round(x * 10000.0), smax(i)).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** [[SqScores]] over PERSISTED codes: reconstructs cs_d = code_d·smax_d
+  * from the byte sidecar and runs the identical exact-int64 scoring —
+  * reads 1 byte/dim instead of 4 (float32) with zero re-quantize work.
+  */
+case class SqScoresFromCodes(child: Expression, smax: Array[Long],
+    qqs: Array[Array[Long]]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    SqScoresFromCodes.kernel(v.asInstanceOf[Array[Byte]], smax, qqs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sref = ctx.addReferenceObj("smax", smax, "long[]")
+    val qref = ctx.addReferenceObj("qqs", qqs, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SqScoresFromCodes.kernel($c, $sref, $qref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SqScoresFromCodes =
+    copy(child = c)
+}
+
+object SqScoresFromCodes {
+  def kernel(codes: Array[Byte], smax: Array[Long],
+      qqs: Array[Array[Long]]): ArrayData = {
+    val ne = math.min(codes.length, smax.length)
+    val cs = new Array[Long](ne)
+    var norm2 = 0L
+    var i = 0
+    while (i < ne) {
+      val csd = codes(i).toLong * smax(i)
+      cs(i) = csd
+      norm2 += csd * csd
+      i += 1
+    }
+    SqScores.scoreAgainst(cs, norm2, qqs)
   }
 }

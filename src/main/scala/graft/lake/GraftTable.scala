@@ -639,6 +639,84 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         s"$pfx.fingerprint" -> fp)))
   }
 
+  /** Materialize an SQ8 index for `vecCol` (FAISS SQ8 family):
+    * per-dimension int64 scales train from the deterministic strided
+    * ≤1024-row sample (the PQ discipline; KB-scale metadata committed
+    * as a table property), every row encodes to one signed byte per
+    * dimension via the codegen'd [[graft.functions.SqEncode]] — a 4×
+    * smaller scan than float32 with far higher rank fidelity than
+    * PQ's sub-vector codes. Same fingerprint idempotence contract as
+    * [[buildPqIndex]]; incremental refreshes freeze the scales.
+    */
+  def buildSqIndex(idCol: String, vecCol: String): Long = {
+    import org.apache.spark.sql.GraftSqlShims
+    val s = snapshot
+    require(s.schema.fieldNames.contains(idCol), s"no such column: $idCol")
+    require(s.schema.fieldNames.contains(vecCol), s"no such column: $vecCol")
+    val pfx = s"graft.sq.$vecCol"
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val fp = GraftTable.pqFingerprint(s)
+    if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
+    def encode(rows: DataFrame, smax: Array[Long]): DataFrame =
+      rows.select(col(idCol).cast("long").as("id"),
+        GraftSqlShims.column(graft.functions.SqEncode(
+          GraftSqlShims.expression(col(vecCol)), smax)).as("codes"))
+    // incremental refresh: scales FROZEN at their training version —
+    // existing codes stay valid, new rows encode against the same
+    // scales (an outlier saturates at ±127, the FAISS clamp), catch-up
+    // is O(delta); a full rebuild retrains
+    for {
+      stamped <- props.get(s"$pfx.version").map(_.toLong)
+      if props.contains(s"$pfx.sidecar")
+      scalesStr <- props.get(s"$pfx.scales")
+      feed <- indexDeltaFeed(stamped, s.version)
+    } return {
+      val smax = scalesStr.split(",").map(_.toLong)
+      incrementalIndexRefresh(s, fp, pfx, "REFRESH SQ INDEX",
+        "column" -> vecCol, idCol, feed) { ins =>
+        val delta = s"_graft_sq/$vecCol-delta-${UUID.randomUUID()}"
+        encode(ins, smax).write.parquet(s"$path/$delta")
+        delta
+      } { (dirty, fresh) =>
+        val rel = s"_graft_sq/$vecCol-${UUID.randomUUID()}"
+        indexPartsFrom(props, pfx, "").join(dirty, Seq("id"), "left_anti")
+          .unionByName(encode(fresh, smax))
+          .write.parquet(s"$path/$rel")
+        rel
+      }
+    }
+    val df = dfForFiles(s, s.activeFiles)
+    val n = df.count()
+    require(n > 0, "cannot build an SQ index on an empty table")
+    val minId = df.agg(min(col(idCol)).cast("long")).head.getLong(0)
+    // strided ≤1024-row sample, quantized at 10⁴ — identical to the
+    // session operator's training, so codes are bit-shared
+    val tstride = math.max(1L, n / 1024L)
+    val sample = df
+      .filter((col(idCol) - minId) % tstride === 0)
+      .orderBy(idCol).limit(1024).select(vecCol).collect()
+      .map(graft.operators.PqCodebook.quantizeRow)
+    val dim = sample.head.length
+    val smax = Array.tabulate(dim)(d =>
+      math.max(1L, sample.iterator.map(v => math.abs(v(d))).max))
+    val rel = s"_graft_sq/$vecCol-${UUID.randomUUID()}"
+    encode(df, smax).write.parquet(s"$path/$rel")
+    commitMetadataMerge(
+      info("BUILD SQ INDEX",
+        params = Map("column" -> vecCol, "idColumn" -> idCol),
+        metrics = Map("numVectors" -> n.toString)))(m =>
+      m.copy(properties = m.properties ++ Map(
+        s"$pfx.sidecar" -> rel,
+        s"$pfx.deltas" -> "",
+        s"$pfx.version" -> s.version.toString,
+        s"$pfx.id" -> idCol,
+        s"$pfx.scales" -> smax.mkString(","),
+        s"$pfx.fingerprint" -> fp)))
+  }
+
+  /** Persisted SQ8 codes (id, codes) across base + delta parts. */
+  def sqCodes(vecCol: String): DataFrame = indexParts(s"graft.sq.$vecCol")
+
   /** Materialize an IVF coarse index for `vecCol`: centroids are a
     * deterministic strided-medoid sample of the table's rows (exact
     * data points — replicable outside Spark), written as a KB-to-MB
@@ -861,6 +939,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     props.get("graft.minhash.index").flatMap(split2).foreach {
       case (idCol, textCol) => buildMinhashIndex(idCol, textCol)
+    }
+    props.get("graft.sq.index").flatMap(split2).foreach {
+      case (idCol, vecCol) => buildSqIndex(idCol, vecCol)
     }
   }
 
@@ -3361,13 +3442,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // them would crash the next pruned read / re-ingest everything.
     // Stale sidecars (superseded pointers) stay vacuumable.
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    def isIndexProp(k: String): Boolean =
+      k.startsWith("graft.pq.") || k.startsWith("graft.ivf.") ||
+        k.startsWith("graft.minhash.") || k.startsWith("graft.sq.")
     val sidecarDirs = (props.toSeq.flatMap {
       case (k, v) if k.startsWith("graft.bloom.") => Seq(v)
-      case (k, v) if (k.startsWith("graft.pq.") || k.startsWith("graft.ivf.") ||
-          k.startsWith("graft.minhash.")) && k.endsWith(".sidecar") => Seq(v)
+      case (k, v) if isIndexProp(k) && k.endsWith(".sidecar") => Seq(v)
       // incremental index delta parts are live index data too
-      case (k, v) if (k.startsWith("graft.pq.") || k.startsWith("graft.ivf.") ||
-          k.startsWith("graft.minhash.")) && k.endsWith(".deltas") =>
+      case (k, v) if isIndexProp(k) && k.endsWith(".deltas") =>
         v.split(",").filter(_.nonEmpty).toSeq
       case _ => Nil
     } ++ props.get("graft.copyInto.state").toSeq)

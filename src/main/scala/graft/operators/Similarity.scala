@@ -330,6 +330,43 @@ object Similarity {
   /** Scale-training sample cap for [[simSqTopk]] — the PQ discipline. */
   private val SqTrainN = 1024
 
+  /** [[simSqTopk]] over codes MATERIALIZED at OPTIMIZE (L79): the
+    * corpus lives in a GraftTable whose `graft.sq.index` property
+    * makes OPTIMIZE train the per-dimension scales (table metadata)
+    * and persist every row's byte codes as a sidecar; the query scans
+    * 1 byte/dim via [[graft.functions.SqScoresFromCodes]] — a 4×
+    * smaller read than the embeddings with zero re-quantize work —
+    * and the scales + codes arithmetic is shared with the session
+    * path, so the result is bit-identical to [[simSqTopk]] and shares
+    * its full DuckDB oracle. Incremental refreshes (L76) extend the
+    * sidecar in O(delta) with frozen scales.
+    */
+  def simSqMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{ScoreTopK, SqScoresFromCodes}
+    import org.apache.spark.sql.GraftSqlShims
+    val emb = Tables(spark, dir, "embeddings")
+    val t = indexFixture(spark, dir, "sqmat",
+      "graft.sq.index" -> "vec_id,embedding",
+      EmbCount(spark, dir) - QuerySetSize)(
+      emb.filter(col("vec_id") >= QuerySetSize))
+    val props = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    val smax = props("graft.sq.embedding.scales").split(",").map(_.toLong)
+    val qqs = emb.filter(col("vec_id") < QuerySetSize).orderBy("vec_id")
+      .select("embedding").collect().map(PqCodebook.quantizeRow)
+    t.sqCodes("embedding")
+      .select(col("id").as("cid"),
+        GraftSqlShims.column(SqScoresFromCodes(
+          GraftSqlShims.expression(col("codes")), smax, qqs)).as("scores"))
+      .select(GraftSqlShims.column(ScoreTopK(
+          GraftSqlShims.expression(col("cid")),
+          GraftSqlShims.expression(col("scores")),
+          qqs.length, TopK).toAggregateExpression()).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r.qid"), col("r.cid"),
+        round(col("r.cos"), 4).as("cos_sq"), col("r.rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** KNN self-join: every vector's top-[[KnnK]] nearest neighbors
     * among ALL other vectors — the all-pairs adjacency a SemDeDup
     * sweep, a diversity/coverage audit, or a graph-based curation

@@ -186,6 +186,34 @@ class IncrementalIndexSpec extends GraftSparkSpec {
     expected.foreach { case (id, c) => assert(codes(id) == c) }
   }
 
+  test("sq: incremental append freezes the scales and encodes only new rows") {
+    import org.apache.spark.sql.GraftSqlShims
+    val t = GraftTable.create(spark, tmpDir("incidx-sq"),
+      embDf(spark, 0L until 70L),
+      properties = Map("graft.sq.index" -> "vec_id,embedding"))
+    t.optimize()
+    val scalesBefore = t.snapshot.metadata.get.properties("graft.sq.embedding.scales")
+    val codesBefore = t.sqCodes("embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    t.append(embDf(spark, 70L until 82L))
+    t.optimize()
+    assert(ops(t, "BUILD SQ INDEX") == 1 && ops(t, "REFRESH SQ INDEX") == 1)
+    val props = t.snapshot.metadata.get.properties
+    assert(props("graft.sq.embedding.scales") == scalesBefore,
+      "scales must stay frozen across an incremental refresh")
+    val codes = t.sqCodes("embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(codes.size == 82)
+    codesBefore.foreach { case (id, c) => assert(codes(id) == c) }
+    val smax = scalesBefore.split(",").map(_.toLong)
+    val expected = embDf(spark, 70L until 82L)
+      .select(col("vec_id").cast("long").as("id"),
+        GraftSqlShims.column(graft.functions.SqEncode(
+          GraftSqlShims.expression(col("embedding")), smax)).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    expected.foreach { case (id, c) => assert(codes(id) == c) }
+  }
+
   test("ivf: incremental append assigns new rows against the frozen centroids") {
     val t = GraftTable.create(spark, tmpDir("incidx-ivf"),
       embDf(spark, 0L until 80L),
