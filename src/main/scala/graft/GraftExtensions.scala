@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent MV rewrite: whole-table aggregates matching a
     // registered, FRESH materialized view read the view state instead
     ext.injectPostHocResolutionRule(graft.plans.MvRewriteRule.apply)
+    // metadata-only aggregates: whole-table count/min/max over a scan
+    // equal to a table's active file set folds the log's footer stats
+    ext.injectPostHocResolutionRule(graft.plans.StatsAggregateRule.apply)
     ext.injectFunction((FunctionIdentifier("graft_fingerprint64"),
       info("graft_fingerprint64", "64-bit FNV-1a rolling fingerprint of normalized text"),
       unary("graft_fingerprint64")(Fingerprint64)))

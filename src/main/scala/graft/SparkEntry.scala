@@ -134,6 +134,7 @@ object SparkEntry {
     "mm_audio_window" -> Multimodal.mmAudioWindow _,
     "mm_frame_sample" -> Multimodal.mmFrameSample _,
     "mm_resize_plan" -> Multimodal.mmResizePlan _,
+    "mm_patch_grid" -> Multimodal.mmPatchGrid _,
     "mm_phash_dedup" -> Multimodal.mmPhashDedup _)
 
   /** GraftLake table-layer queries (SURVEY §2.1): each rebuilds an
@@ -1429,6 +1430,21 @@ object SparkEntry {
         "FROM (SELECT doc_id, octet_length(encode(text)) % 640 + 1 AS width, " +
         "(octet_length(encode(text)) * 7) % 480 + 1 AS height FROM documents " +
         "WHERE doc_id % 2 = 0) t ORDER BY doc_id"),
+    // ViT patch grid: replay the BMP geometry construction, then the
+    // row-major 16x16 grid with edge-clamped extents, first 8 patches
+    "mm_patch_grid" ->
+      ("WITH g AS (SELECT doc_id, CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width, " +
+        "CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height FROM documents " +
+        "WHERE doc_id % 2 = 0), " +
+        "d AS (SELECT doc_id, width, height, (width + 15) // 16 AS grid_cols, " +
+        "(height + 15) // 16 AS grid_rows FROM g), " +
+        "e AS (SELECT d.*, grid_cols * grid_rows AS n_patches, " +
+        "UNNEST(generate_series(0, CAST(LEAST(grid_cols * grid_rows - 1, 7) AS BIGINT))) AS patch_id FROM d) " +
+        "SELECT doc_id, width, height, n_patches, patch_id, " +
+        "(patch_id % grid_cols) * 16 AS x0, (patch_id // grid_cols) * 16 AS y0, " +
+        "LEAST(16, width - (patch_id % grid_cols) * 16) AS pw, " +
+        "LEAST(16, height - (patch_id // grid_cols) * 16) AS ph " +
+        "FROM e ORDER BY doc_id, patch_id"),
     "lake_roundtrip" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_optimize" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_zorder" -> LakeOps.liAggOracle.format("lineitem"),

@@ -151,6 +151,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** ViT patch-grid plan (oracle-checked): the standard vision-
+    * transformer preprocessing cut — a [[PatchSize]]×[[PatchSize]]
+    * grid over the geometry decoded from the payload's OWN BMP
+    * header, one row per planned patch with pixel offsets and
+    * edge-clamped extents (the right-most/bottom-most patches
+    * shrink). Row-major patch ids; total patch count exact per image;
+    * the per-image explode is capped at [[MaxPlannedPatches]] rows for
+    * the plan view (the real pixel-extract would consume `n_patches`
+    * in full, keyed by (payload, x0, y0)). Integer arithmetic
+    * end-to-end, so the DuckDB oracle replays it exactly.
+    */
+  val PatchSize = 16
+  val MaxPlannedPatches = 8
+
+  def mmPatchGrid(spark: SparkSession, dir: String): DataFrame = {
+    val p = PatchSize
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("payload", mediaPayload)
+      .withColumn("m", ge.column(graft.functions.DecodeMedia(
+        ge.expression(col("payload")))))
+      .select(col("doc_id"), col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"))
+      .withColumn("grid_cols", expr(s"(width + ${p - 1}) div $p"))
+      .withColumn("grid_rows", expr(s"(height + ${p - 1}) div $p"))
+      .withColumn("n_patches", col("grid_cols") * col("grid_rows"))
+      .withColumn("patch_id", explode(sequence(lit(0L),
+        least(col("n_patches") - 1, lit(MaxPlannedPatches - 1L)))))
+      .withColumn("px", col("patch_id") % col("grid_cols"))
+      .withColumn("py", expr("patch_id div grid_cols"))
+      .withColumn("x0", col("px") * p)
+      .withColumn("y0", col("py") * p)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_patches"), col("patch_id"), col("x0"), col("y0"),
+        least(lit(p.toLong), col("width") - col("x0")).as("pw"),
+        least(lit(p.toLong), col("height") - col("y0")).as("ph"))
+      .orderBy("doc_id", "patch_id")
+  }
+
   /** Audio windowing plan (oracle-checked): stub audio metadata
     * (sample rate from payload bytes, duration from byte count) cut
     * into fixed 400-sample windows at a 160-sample hop — the
