@@ -387,7 +387,6 @@ object SqScores {
 
   def kernel(v: ArrayData, smax: Array[Long], qqs: Array[Array[Long]],
       isFloat: Boolean): ArrayData = {
-    val qn = qnorms(qqs)
     val ne = math.min(v.numElements(), smax.length)
     // dequantized-code coordinates cs_d = c_d·smax_d and their exact
     // int64 norm² — the 127·10⁴ scale cancels between num and norm

@@ -527,9 +527,16 @@ final class GraftSql(spark: SparkSession) {
         // BETWEEN is inclusive of both bounds; changeFeed's range is
         // (from, to]
         table(name).changeFeed(from.toLong - 1, to.toLong)
-      case mergeRe(tName, tAlias, sName, sAlias, onClause, clauseTail) =>
-        executeSqlMerge(tName, Option(tAlias), sName, Option(sAlias),
-          onClause, clauseTail)
+      case stmt if mergeRe.findFirstMatchIn(maskLiterals(stmt)).isDefined =>
+        // match group POSITIONS against the literal-masked text (a
+        // string literal containing " WHEN " must not end the ON
+        // clause early), then slice the ORIGINAL text so literal
+        // contents survive into the parsed clauses
+        val m = mergeRe.findFirstMatchIn(maskLiterals(stmt)).get
+        def slice(g: Int): String =
+          if (m.start(g) < 0) null else stmt.substring(m.start(g), m.end(g))
+        executeSqlMerge(slice(1), Option(slice(2)), slice(3), Option(slice(4)),
+          slice(5), slice(6))
       case other =>
         // register snapshots (incl. any VERSION AS OF rewrites) and
         // delegate to Spark SQL

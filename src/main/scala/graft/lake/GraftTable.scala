@@ -490,7 +490,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (stamped < 0 || stamped >= cur) return None
     var fallbacks = 0
     ((stamped + 1) to cur).foreach { v =>
-      val actions = log.readCommit(v)
+      // a commit reclaimed by log cleanup makes the window unreadable:
+      // the change feed cannot catch up, so the index takes the full
+      // rebuild instead of failing every OPTIMIZE forever
+      val actions = scala.util.Try(log.readCommit(v)).getOrElse(return None)
       val cdc = actions.exists(_.isInstanceOf[AddCDC])
       val addsDC = actions.exists {
         case a: AddFile => a.dataChange
@@ -689,16 +692,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val n = df.count()
     require(n > 0, "cannot build an SQ index on an empty table")
     val minId = df.agg(min(col(idCol)).cast("long")).head.getLong(0)
-    // strided ≤1024-row sample, quantized at 10⁴ — identical to the
-    // session operator's training, so codes are bit-shared
-    val tstride = math.max(1L, n / 1024L)
-    val sample = df
-      .filter((col(idCol) - minId) % tstride === 0)
-      .orderBy(idCol).limit(1024).select(vecCol).collect()
-      .map(graft.operators.PqCodebook.quantizeRow)
-    val dim = sample.head.length
-    val smax = Array.tabulate(dim)(d =>
-      math.max(1L, sample.iterator.map(v => math.abs(v(d))).max))
+    // the SHARED trainer (SqScales.train — also what the session
+    // operator and the DuckDB oracle replay), so codes are bit-shared
+    val smax = graft.operators.SqScales.train(df, idCol, vecCol, minId, n)
     val rel = s"_graft_sq/$vecCol-${UUID.randomUUID()}"
     encode(df, smax).write.parquet(s"$path/$rel")
     commitMetadataMerge(
@@ -1864,9 +1860,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s = snapshot
     require(s.schema.fieldNames.contains(column), s"no such column: $column")
     val files = s.activeFiles
+    // footer stats are keyed by PHYSICAL column names (column mapping:
+    // a renamed column keeps its on-disk key) — a logical-name lookup
+    // would miss after a rename, or worse hit another column's stats
+    // after a rename chain reuses the name
+    val phys = s.physicalName(column)
     val statNulls: Option[Long] =
-      if (files.forall(_.stats.exists(_.nullCounts.contains(column))))
-        Some(files.flatMap(_.stats.map(_.nullCounts(column))).sum)
+      if (files.forall(_.stats.exists(_.nullCounts.contains(phys))))
+        Some(files.flatMap(_.stats.map(_.nullCounts(phys))).sum)
       else None
     // stats==0 proves no nulls even under DV masking (masked rows only
     // REMOVE nulls); stats>0 with DVs present may all be masked → scan
@@ -1946,7 +1947,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .foreach(f => addColumn(f.name, f.dataType))
   }
 
-  private def validateConstraints(df: DataFrame, s: Snapshot): Unit = {
+  /** `omittedReadsNull`: whether a column MISSING from `df` will read
+    * back as NULL after this write (appends, partial inserts) — an
+    * overwrite that replaces the schema drops missing columns instead,
+    * so the NOT NULL omission refusal doesn't apply there.
+    */
+  private def validateConstraints(df: DataFrame, s: Snapshot,
+      omittedReadsNull: Boolean = true): Unit = {
     val constraints = s.metadata.toSeq.flatMap(_.properties.collect {
       case (k, v) if k.startsWith("graft.constraint.") =>
         k.stripPrefix("graft.constraint.") -> v
@@ -1958,13 +1965,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         s"CHECK constraint $name ($exprSql) violated by $violations incoming rows")
     }
     // NOT NULL columns (schema-level nullable=false) refuse NULL
-    // incoming rows — unlike CHECK, where NULL passes per SQL
+    // incoming rows — unlike CHECK, where NULL passes per SQL. A frame
+    // OMITTING the column entirely (a mergeSchema append, a partial
+    // INSERT) would read back as all-NULL, so it refuses too — unless
+    // a default or generated expression will fill it before staging.
+    val filled = generatedExprs(s).keySet ++
+      s.metadata.toSeq.flatMap(_.properties.keys.collect {
+        case k if k.startsWith("graft.default.") =>
+          k.stripPrefix("graft.default.")
+        case k if k.startsWith("graft.identity.") =>
+          k.stripPrefix("graft.identity.")
+      })
     s.schema.fields.filterNot(_.nullable).foreach { f =>
       if (df.columns.contains(f.name)) {
         val nNull = df.filter(col(f.name).isNull).count()
         require(nNull == 0,
           s"NOT NULL constraint on ${f.name} violated by $nNull incoming rows")
-      }
+      } else if (omittedReadsNull) require(filled.contains(f.name),
+        s"NOT NULL constraint on ${f.name}: incoming rows omit the column " +
+          "(it would read back NULL)")
     }
     // Generated columns are an implicit CHECK (Delta parity): a writer
     // that supplies the column explicitly must supply the value the
@@ -1994,7 +2013,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def overwrite(df: DataFrame, overwriteSchema: Boolean = false): Long = {
     val s = snapshot
-    validateConstraints(df, s)
+    validateConstraints(df, s, omittedReadsNull = !overwriteSchema)
     if (!overwriteSchema) enforceSchema(df.schema, s.schema)
     val meta = s.metadata.get.copy(schemaJson = df.schema.json)
     val adds = stageWrite(df, s.partitionColumns, dataChange = true)
@@ -2617,8 +2636,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .reduce(_ unionByName _)
       .unionByName(replacements.select(outFields: _*))
       .unionByName(inserts.select(outFields: _*))
-    if (updateSet.isDefined || nmbsUpdate.isDefined || insertSet.isDefined)
-      validateConstraints(merged, s)
+    // unconditional: insert-ALL / update-ALL copy SOURCE values, which
+    // can violate CHECK/NOT NULL exactly like explicit sets can; with
+    // no constraints declared this is free (no jobs run)
+    validateConstraints(merged, s)
     val adds = stageWrite(merged, s.partitionColumns, dataChange = true)
     val removes = (candidates ++ restFiles).map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
@@ -2828,8 +2849,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val newRows = postImages.select(outFields: _*)
         .unionByName(nmbsPost.select(outFields: _*))
         .unionByName(inserts.select(outFields: _*))
-      if (updateSet.isDefined || nmbsUpdate.isDefined || insertSet.isDefined)
-        validateConstraints(newRows, s)
+      // unconditional, as in the CoW path: *-clauses copy source values
+      validateConstraints(newRows, s)
       // empty unions stage zero-row part files — drop them rather than
       // commit adds that tax every future scan
       val adds0 = stageWrite(newRows, s.partitionColumns, dataChange = true)

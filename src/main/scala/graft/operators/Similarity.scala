@@ -304,15 +304,8 @@ object Similarity {
     val qqs = emb.filter(col("vec_id") < QuerySetSize).orderBy("vec_id")
       .select("embedding").collect().map(PqCodebook.quantizeRow)
     val corpus = emb.filter(col("vec_id") >= QuerySetSize)
-    val n = corpus.count()
-    val tstride = math.max(1L, n / SqTrainN)
-    val sample = corpus
-      .filter((col("vec_id") - QuerySetSize) % tstride === 0)
-      .orderBy("vec_id").limit(SqTrainN)
-      .select("embedding").collect().map(PqCodebook.quantizeRow)
-    val dim = sample.head.length
-    val smax = Array.tabulate(dim)(d =>
-      math.max(1L, sample.iterator.map(v => math.abs(v(d))).max))
+    val smax = SqScales.train(corpus, "vec_id", "embedding",
+      QuerySetSize, corpus.count())
     corpus
       .select(col("vec_id").as("cid"),
         GraftSqlShims.column(SqScores(
@@ -327,8 +320,6 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** Scale-training sample cap for [[simSqTopk]] — the PQ discipline. */
-  private val SqTrainN = 1024
 
   /** [[simSqTopk]] over codes MATERIALIZED at OPTIMIZE (L79): the
     * corpus lives in a GraftTable whose `graft.sq.index` property
@@ -583,6 +574,28 @@ object Similarity {
   * arithmetic. Driver cost: two pruned KB-scale collects (Ks + nq
   * rows); at 100 TB codebooks stay KBs of broadcast metadata.
   */
+/** SQ8 per-dimension scale training — ONE implementation shared by
+  * the session operator ([[Similarity.simSqTopk]]) and the
+  * materialized index (`GraftTable.buildSqIndex`), so their codes can
+  * never drift; the DuckDB oracle replays this exact arithmetic
+  * (strided ≤[[SqScales.TrainN]]-row sample, 10⁴ quantization,
+  * per-dimension `max(|q|)` with a floor of 1).
+  */
+object SqScales {
+  val TrainN = 1024
+
+  def train(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, minId: Long, n: Long): Array[Long] = {
+    val tstride = math.max(1L, n / TrainN)
+    val sample = corpus.filter((col(idCol) - minId) % tstride === 0)
+      .orderBy(idCol).limit(TrainN).select(vecCol).collect()
+      .map(PqCodebook.quantizeRow)
+    val dim = sample.head.length
+    Array.tabulate(dim)(d =>
+      math.max(1L, sample.iterator.map(v => math.abs(v(d))).max))
+  }
+}
+
 object PqCodebook {
   import graft.functions.PqAdcDistances
 

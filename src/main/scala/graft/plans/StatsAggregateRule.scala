@@ -65,6 +65,11 @@ case class StatsAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val t = GraftTable.forPath(spark, root.toString)
     val s = t.snapshot
     if (s.dvFiles.nonEmpty) return None
+    // column mapping: stats are keyed by PHYSICAL names while the
+    // scan's attributes may be either side of a rename (and a rename
+    // chain can re-use a name for a different column) — decline
+    // rather than fold another column's stats
+    if (s.schema.fieldNames.exists(n => s.physicalName(n) != n)) return None
     val active = s.activeFiles.map(a =>
       root.resolve(a.path).toAbsolutePath.normalize.toString).toSet
     if (scanned.map(p =>

@@ -515,4 +515,40 @@ class EvolutionSpec extends GraftSparkSpec {
     t.delete(col("l_returnflag") === "R")
     assert(t.toDF.filter(col("l_returnflag") === "R").count() == 0)
   }
+
+  test("NOT NULL refuses a mergeSchema append that omits the column") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("nn-omit"),
+      (1 to 10).map(i => (i.toLong, i * 2L)).toDF("k", "c"))
+    t.setNotNull("c")
+    // a frame missing c would read back NULL in a NOT NULL column
+    val e = intercept[IllegalArgumentException] {
+      t.append((11 to 15).map(i => Tuple1(i.toLong)).toDF("k"),
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("omit the column"))
+    assert(t.toDF.count() == 10, "the refused append must not commit")
+    // with a column default declared, the omitted column fills -> fine
+    t.setTableProperties(Map("graft.default.c" -> "0"))
+    t.append((11 to 15).map(i => Tuple1(i.toLong)).toDF("k"), mergeSchema = true)
+    assert(t.toDF.count() == 15)
+    assert(t.toDF.filter(col("c").isNull).count() == 0)
+  }
+
+  test("SET NOT NULL after renames reads the RIGHT column's stats") {
+    import spark.implicits._
+    // v carries nulls, x does not; after v->w and x->v, the NAME v
+    // denotes the clean column and w the nullful one — a logical-name
+    // stats lookup would cross them
+    val df = (1 to 30).map(i =>
+      (i.toLong, if (i % 5 == 0) None else Some(i.toLong), i * 7L))
+      .toDF("k", "v", "x")
+    val t = GraftTable.create(spark, tmpDir("nn-rename"), df)
+    t.renameColumn("v", "w")
+    t.renameColumn("x", "v")
+    t.setNotNull("v") // old x: no nulls -> must succeed
+    val e = intercept[IllegalArgumentException](t.setNotNull("w"))
+    assert(e.getMessage.contains("existing rows are NULL"),
+      "the nullful renamed column must refuse")
+  }
 }

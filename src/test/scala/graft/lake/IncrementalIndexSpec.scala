@@ -124,6 +124,26 @@ class IncrementalIndexSpec extends GraftSparkSpec {
     assert(storedSigs(t) == sessionSigs(t))
   }
 
+  test("a log-cleaned catch-up window falls back to a full rebuild, not a crash") {
+    val t = GraftTable.create(spark, tmpDir("incidx-mh-cleaned"),
+      docsDf(spark, 0L until 30L),
+      properties = Map("graft.minhash.index" -> "doc_id,text"))
+    t.optimize()
+    // enough commits to cross a checkpoint, then reclaim the window's
+    // JSONs — the change feed can no longer replay (stamped, cur]
+    (0 until 12).foreach(i => t.append(docsDf(spark, 100L + i * 10 until 100L + i * 10 + 5)))
+    t.log.cleanupLogs()
+    // the original BUILD's commit is itself cleaned: history now shows
+    // only post-cleanup ops, so count NEW maintenance entries from zero
+    assert(ops(t, "BUILD MINHASH INDEX") == 0)
+    t.optimize()
+    assert(ops(t, "BUILD MINHASH INDEX") == 1,
+      "an unreadable window must take the full rebuild")
+    assert(ops(t, "REFRESH MINHASH INDEX") == 0,
+      "the change feed cannot catch up over reclaimed commits")
+    assert(storedSigs(t) == sessionSigs(t))
+  }
+
   test("vacuum spares delta parts; unreferenced part dirs are invisible to readers") {
     val t = GraftTable.create(spark, tmpDir("incidx-mh-vacuum"),
       docsDf(spark, 0L until 25L),

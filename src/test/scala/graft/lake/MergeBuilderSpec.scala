@@ -534,6 +534,47 @@ class MergeBuilderSpec extends GraftSparkSpec {
     assert(t.filter(col("o_orderpriority") === "u,pd").count() == matchedF.count())
   }
 
+  test("constraints apply to EVERY merge clause, including later ordered inserts and *-copies") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("mb-cons"),
+      (1 to 20).map(i => (i.toLong, i * 10L)).toDF("k", "v"))
+    t.addConstraint("v_pos", "v > 0")
+    // insert-ALL copying a violating SOURCE row must refuse (the old
+    // gate skipped validation when no explicit set was present)
+    val badAll = Seq((99L, -5L)).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      t.mergeBuilder(badAll, "k").whenMatchedKeep()
+        .whenNotMatchedInsertAll().execute()
+    }
+    assert(e1.getMessage.contains("v_pos"))
+    // a SECOND ordered NOT MATCHED clause with an explicit set must
+    // validate too (first clause is insert-all and doesn't fire)
+    val badSecond = Seq((98L, 7L)).toDF("k", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      t.mergeBuilder(badSecond, "k").whenMatchedKeep()
+        .whenNotMatchedInsert(Map("k" -> col("k"), "v" -> lit(-1L)),
+          condition = Some(col("v") > 100))
+        .whenNotMatchedInsert(Map("k" -> col("k"), "v" -> lit(-2L)))
+        .execute()
+    }
+    assert(e2.getMessage.contains("v_pos"))
+    assert(t.toDF.count() == 20, "refused merges must not commit")
+  }
+
+  test("SQL MERGE: a string literal containing ' WHEN ' inside the ON clause parses") {
+    import spark.implicits._
+    val gsql = new GraftSql(spark)
+    gsql.registerCreate("mwl", tmpDir("mb-onlit"),
+      Seq((1L, "a"), (2L, "x WHEN y")).toDF("k", "tag"))
+    Seq((2L, "x WHEN y"), (3L, "z")).toDF("k", "tag")
+      .createOrReplaceTempView("mwlsrc")
+    gsql.sql("MERGE INTO mwl AS t USING mwlsrc AS s " +
+      "ON t.k = s.k AND s.tag = 'x WHEN y' " +
+      "WHEN MATCHED THEN DELETE")
+    val left = gsql.sql("SELECT k FROM mwl").collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L), "the literal-guarded match must delete row 2 only")
+  }
+
   test("merge-on-read merge with no matches and no inserts is a no-op commit") {
     val (o, t) = freshOrders("mb-mor-noop")
     val src = o.limit(10).withColumn("o_orderkey", col("o_orderkey") + 9000000L)

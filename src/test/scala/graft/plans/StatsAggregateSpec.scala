@@ -49,6 +49,24 @@ class StatsAggregateSpec extends GraftSparkSpec {
     assert(r.getLong(0) == 25 && r.isNullAt(1))
   }
 
+  test("a column-mapped (renamed) table declines: stats keys are physical names") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("statagg-rename"),
+      (1 to 50).map(i => (i.toLong, i * 2L)).toDF("k", "v"))
+    t.renameColumn("v", "w")
+    // after the rename, toDF projects physical->logical names, so the
+    // bare-aggregate shape doesn't appear; a raw parquet scan of the
+    // same files would see PHYSICAL names that no longer mean what the
+    // stats keys say under rename chains - the rule declines on any
+    // mapping. Either way: real scan, right answer.
+    val q = t.toDF.agg(max("w").as("m"))
+    assert(q.head.getLong(0) == 100L)
+    val raw = spark.read.parquet(t.snapshot.activeFiles.map(f =>
+      s"${t.path}/${f.path}"): _*).agg(count(lit(1)).as("n"))
+    assert(!metadataOnly(raw), "mapped tables must keep the real scan")
+    assert(raw.head.getLong(0) == 50)
+  }
+
   test("filters, deletion vectors, and string min/max decline the rewrite") {
     import spark.implicits._
     val data = (1 to 80).map(i => (i.toLong, s"s$i")).toDF("k", "s")
