@@ -522,7 +522,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     *    corpus re-encode, because index rows are keyed by id, not file;
     *  - append-only window: `writeDelta` encodes EXACTLY the inserted
     *    rows into a new delta part — O(delta) work, the ingest path's
-    *    steady state;
+    *    steady state (past [[GraftTable.MaxIndexDeltaParts]] parts the
+    *    pass consolidates instead, bounding reader fan-in);
     *  - deletes/updates present: rows for DIRTY ids are re-derived
     *    wholesale from the current table and untouched rows carried
     *    over (`writeConsolidated`) — exact under duplicate ids, one
@@ -550,8 +551,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           m.copy(properties = m.properties ++ extraProps ++ Map(
             s"$pfx.fingerprint" -> fp,
             s"$pfx.version" -> s.version.toString)))
+      val priorDeltas = props.getOrElse(s"$pfx.deltas", "")
+        .split(",").count(_.nonEmpty)
       if (insN == 0 && deadN == 0) stamp("restamp", Map.empty)
-      else if (deadN == 0) {
+      else if (deadN == 0 && priorDeltas < GraftTable.MaxIndexDeltaParts) {
         val delta = writeDelta(ins)
         val deltas = (props.getOrElse(s"$pfx.deltas", "")
           .split(",").filter(_.nonEmpty) :+ delta).mkString(",")
@@ -3917,6 +3920,13 @@ object GraftTable {
     * two snapshot scans; the rebuild costs one corpus encode).
     */
   private[lake] val MaxDiffFallbackVersions = 4
+
+  /** Past this many accumulated delta parts an append-only refresh
+    * consolidates into one base instead of appending another part —
+    * bounding what readers union and keeping part-file counts flat
+    * under long micro-batch ingest runs.
+    */
+  private[lake] val MaxIndexDeltaParts = 16
 
   private[lake] def pqFingerprint(s: Snapshot): String = {
     val ids = (s.activeFiles.map(_.path).sorted ++ s.dvFiles.sorted)

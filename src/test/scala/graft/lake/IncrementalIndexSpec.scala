@@ -124,6 +124,26 @@ class IncrementalIndexSpec extends GraftSparkSpec {
     assert(storedSigs(t) == sessionSigs(t))
   }
 
+  test("delta parts are capped: long ingest runs consolidate instead of accumulating") {
+    val t = GraftTable.create(spark, tmpDir("incidx-mh-cap"),
+      docsDf(spark, 0L until 10L),
+      properties = Map("graft.minhash.index" -> "doc_id,text"))
+    t.optimize()
+    def deltaCount = t.snapshot.metadata.get.properties("graft.minhash.text.deltas")
+      .split(",").count(_.nonEmpty)
+    (0 until GraftTable.MaxIndexDeltaParts + 2).foreach { i =>
+      t.append(docsDf(spark, 1000L + i * 2 until 1000L + i * 2 + 2))
+      t.optimize()
+      assert(deltaCount <= GraftTable.MaxIndexDeltaParts,
+        "reader fan-in must stay bounded under micro-batch ingest")
+    }
+    assert(t.history.filter(col("operation") === "REFRESH MINHASH INDEX")
+      .filter(col("parameters").contains("mode=consolidate")).count() >= 1,
+      "the cap must have forced at least one consolidation")
+    assert(ops(t, "BUILD MINHASH INDEX") == 1, "never a full re-sign")
+    assert(storedSigs(t) == sessionSigs(t))
+  }
+
   test("a log-cleaned catch-up window falls back to a full rebuild, not a crash") {
     val t = GraftTable.create(spark, tmpDir("incidx-mh-cleaned"),
       docsDf(spark, 0L until 30L),
