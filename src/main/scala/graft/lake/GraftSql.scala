@@ -55,6 +55,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
   private val updateRe: Regex =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val createLikeRe: Regex =
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
   private val cloneRe: Regex =
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val reorgRe: Regex =
@@ -425,6 +427,10 @@ final class GraftSql(spark: SparkSession) {
           k.trim -> expr(v.trim)
         }.toMap
         table(name).update(expr(cond), assignments).toSeq.sorted.toDF("metric", "value")
+      case createLikeRe(newName, srcName, destPath) =>
+        val created = GraftTable.createLike(spark, table(srcName).path, destPath)
+        tables(newName) = created
+        Seq(("created", s"$newName LIKE $srcName")).toDF("metric", "value")
       case cloneRe(newName, mode, srcName, destPath, v) =>
         val deep = mode.equalsIgnoreCase("DEEP")
         val cloned =

@@ -4148,6 +4148,35 @@ object GraftTable {
   }
 
   /** CREATE TABLE AS SELECT: initial write + metadata commit. */
+  /** `CREATE TABLE ... LIKE src` (Delta/Spark parity): an EMPTY table
+    * at `destPath` with the source's schema, partition layout, and
+    * table CONFIGURATION — constraints, feature flags, index
+    * DECLARATIONS (`graft.*.index`), clustering spec — but none of
+    * its data-derived state: sidecar pointers, fingerprints, stats,
+    * bloom pointers, and applied-clustering stamps stay behind
+    * (copying them would point the new table at the source's
+    * artifacts or claim validity it never earned).
+    */
+  def createLike(spark: SparkSession, srcPath: String,
+      destPath: String): GraftTable = {
+    val src = GraftTable.forPath(spark, srcPath)
+    val s = src.snapshot
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    def indexNs(k: String): Boolean =
+      k.startsWith("graft.pq.") || k.startsWith("graft.ivf.") ||
+        k.startsWith("graft.minhash.") || k.startsWith("graft.sq.")
+    val kept = props.filterNot { case (k, _) =>
+      k.startsWith("graft.bloom.") || k.startsWith("graft.stats.") ||
+        k == "graft.copyInto.state" ||
+        k == "graft.clusterBy.version" || k == "graft.clusterBy.applied" ||
+        (indexNs(k) && !k.endsWith(".index"))
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], s.schema)
+    GraftTable.create(spark, destPath, empty,
+      partitionBy = s.partitionColumns, properties = kept)
+  }
+
   def create(spark: SparkSession, path: String, df: DataFrame,
              partitionBy: Seq[String] = Nil,
              properties: Map[String, String] = Map.empty): GraftTable = {

@@ -63,18 +63,29 @@ case class StatsAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val root = tableRoot(java.nio.file.Paths.get(scanned.head)).getOrElse(return None)
     if (!GraftTable.isGraftTable(root.toString)) return None
     val t = GraftTable.forPath(spark, root.toString)
-    val s = t.snapshot
+    val cur = t.snapshot
+    val scannedSet = scanned.map(p =>
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString).toSet
+    def matches(sn: graft.lake.Snapshot): Boolean =
+      sn.activeFiles.map(a =>
+        root.resolve(a.path).toAbsolutePath.normalize.toString).toSet == scannedSet
+    // the scan may be a TIME-TRAVEL read (`toDFAt(v).count()`): its
+    // file set is some recent version's active set, whose stats are
+    // just as truthful — probe a bounded window of prior versions
+    // (snapshot loads are cached; versions lost to log cleanup skip)
+    val s =
+      if (matches(cur)) cur
+      else ((cur.version - 1) to math.max(0L, cur.version - 8) by -1)
+        .iterator
+        .flatMap(v => Try(t.snapshotAt(v)).toOption)
+        .find(matches)
+        .getOrElse(return None)
     if (s.dvFiles.nonEmpty) return None
     // column mapping: stats are keyed by PHYSICAL names while the
     // scan's attributes may be either side of a rename (and a rename
     // chain can re-use a name for a different column) — decline
     // rather than fold another column's stats
     if (s.schema.fieldNames.exists(n => s.physicalName(n) != n)) return None
-    val active = s.activeFiles.map(a =>
-      root.resolve(a.path).toAbsolutePath.normalize.toString).toSet
-    if (scanned.map(p =>
-        java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString).toSet != active)
-      return None
     val files = s.activeFiles
     if (files.exists(_.stats.isEmpty)) return None
 

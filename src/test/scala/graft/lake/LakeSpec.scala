@@ -624,6 +624,38 @@ class LakeSpec extends GraftSparkSpec {
     assert(props.keys.exists(_.startsWith("graft.stats.l_orderkey")))
   }
 
+  test("CREATE TABLE LIKE copies schema/partitioning/config, never data-derived state") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("like-src"),
+      (0 until 40).map(i => (i.toLong, s"p${i % 2}", s"doc body $i"))
+        .toDF("doc_id", "part", "text"),
+      partitionBy = Seq("part"),
+      properties = Map("graft.minhash.index" -> "doc_id,text"))
+    src.addConstraint("id_pos", "doc_id >= 0")
+    src.optimize() // materializes the index -> sidecar/fingerprint props
+    src.computeBloomFilter("doc_id")
+    val t = GraftTable.createLike(spark, src.path, tmpDir("like-dst"))
+    assert(t.toDF.count() == 0, "LIKE creates an empty table")
+    assert(t.snapshot.schema == src.snapshot.schema)
+    assert(t.snapshot.partitionColumns == Seq("part"))
+    val props = t.snapshot.metadata.get.properties
+    assert(props.get("graft.minhash.index").contains("doc_id,text"),
+      "index DECLARATIONS are configuration and copy over")
+    assert(props.contains("graft.constraint.id_pos"))
+    assert(!props.keys.exists(k => k.contains(".sidecar") ||
+      k.contains(".fingerprint") || k.startsWith("graft.bloom.")),
+      "data-derived pointers must not copy (they reference the source's files)")
+    // the copied constraint enforces on the new table
+    val e = intercept[IllegalArgumentException](
+      t.append(Seq((-1L, "p0", "bad")).toDF("doc_id", "part", "text")))
+    assert(e.getMessage.contains("id_pos"))
+    // SQL spelling
+    val gsql = new GraftSql(spark)
+    gsql.register("likesrc", src.path)
+    gsql.sql(s"CREATE TABLE likedst LIKE likesrc LOCATION '${tmpDir("like-dst2")}'")
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM likedst").head.getLong(0) == 0)
+  }
+
   test("VACUUM LITE reclaims exactly the log-tombstoned files, never untracked debris") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("vac-lite"),

@@ -49,6 +49,21 @@ class StatsAggregateSpec extends GraftSparkSpec {
     assert(r.getLong(0) == 25 && r.isNullAt(1))
   }
 
+  test("a time-travel read's count answers from the matching version's stats") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("statagg-tt"),
+      (1 to 100).map(i => (i.toLong, i * 2L)).toDF("k", "v"))
+    val v0 = t.version
+    t.delete(col("k") > 60)
+    t.append((101 to 110).map(i => (i.toLong, i * 2L)).toDF("k", "v"))
+    val historical = t.toDFAt(v0).agg(count(lit(1)).as("n"), max("k").as("m"))
+    assert(metadataOnly(historical), "a recent version's scan must fold its stats")
+    val r = historical.head
+    assert(r.getLong(0) == 100 && r.getLong(1) == 100L)
+    val current = t.toDF.agg(count(lit(1)).as("n"))
+    assert(metadataOnly(current) && current.head.getLong(0) == 70)
+  }
+
   test("a column-mapped (renamed) table declines: stats keys are physical names") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("statagg-rename"),
