@@ -110,6 +110,28 @@ class IncrementalIndexSpec extends GraftSparkSpec {
     assert(!stored.exists(_._1 % 5 == 0), "deleted ids must leave the index")
   }
 
+  test("minhash: a CDF-enabled DML window catches up from CDC sidecars") {
+    // with graft.cdf=true the update's pre/post images come from the
+    // commit's CDC sidecar — O(delta), no per-version snapshot diff —
+    // and update_preimage/update_postimage rows drive the dirty set
+    val t = GraftTable.create(spark, tmpDir("incidx-mh-cdf"),
+      docsDf(spark, 0L until 30L),
+      properties = Map("graft.minhash.index" -> "doc_id,text",
+        "graft.cdf" -> "true"))
+    t.optimize()
+    t.update(col("doc_id") === 11,
+      Map("text" -> lit("cdf-rewritten body")))
+    t.delete(col("doc_id") === 12)
+    t.optimize()
+    assert(ops(t, "BUILD MINHASH INDEX") == 1,
+      "CDC windows must stay incremental")
+    assert(ops(t, "REFRESH MINHASH INDEX") == 1)
+    val stored = storedSigs(t)
+    assert(stored == sessionSigs(t),
+      "CDC-driven consolidation must equal a fresh full signing")
+    assert(!stored.exists(_._1 == 12L))
+  }
+
   test("minhash: windows past the diff-fallback budget take a full rebuild") {
     val t = GraftTable.create(spark, tmpDir("incidx-mh-budget"),
       docsDf(spark, 0L until 40L),
