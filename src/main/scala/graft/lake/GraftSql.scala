@@ -55,6 +55,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
   private val updateRe: Regex =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val showCreateRe: Regex =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$""".r
   private val createLikeRe: Regex =
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
   private val cloneRe: Regex =
@@ -427,6 +429,24 @@ final class GraftSql(spark: SparkSession) {
           k.trim -> expr(v.trim)
         }.toMap
         table(name).update(expr(cond), assignments).toSeq.sorted.toDF("metric", "value")
+      case showCreateRe(name) =>
+        // Spark/Delta parity: one row, the re-runnable DDL — schema
+        // with NOT NULL markers, partitioning, location, properties
+        val t = table(name)
+        val s = t.snapshot
+        val cols = s.schema.fields.map(f =>
+          s"  ${f.name} ${f.dataType.sql}${if (!f.nullable) " NOT NULL" else ""}")
+          .mkString(",\n")
+        val part =
+          if (s.partitionColumns.isEmpty) ""
+          else s"\nPARTITIONED BY (${s.partitionColumns.mkString(", ")})"
+        val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+        val propStr =
+          if (props.isEmpty) ""
+          else "\nTBLPROPERTIES (" + props.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")"
+        Seq(s"CREATE TABLE $name (\n$cols\n)\nUSING graftlake$part" +
+          s"\nLOCATION '${t.path}'$propStr").toDF("createtab_stmt")
       case createLikeRe(newName, srcName, destPath) =>
         val created = GraftTable.createLike(spark, table(srcName).path, destPath)
         tables(newName) = created

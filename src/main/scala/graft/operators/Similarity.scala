@@ -929,6 +929,11 @@ object IvfIndex {
   }
 
   // --- sidecar persistence (plain text: one centroid per line) ---
+  // This is a SESSION cache keyed by data fingerprint — fine under
+  // tmpdir because losing it only costs a retrain. The DURABLE
+  // artifact is the L59 materialized index, which OPTIMIZE persists
+  // NEXT TO THE TABLE (GraftTable.buildIvfIndex) with the full
+  // fingerprint/idempotence contract; deployments should prefer it.
 
   private def sidecarPath(key: String): java.nio.file.Path = {
     val h = java.lang.Long.toHexString(graft.functions.Fnv.hashString(key))

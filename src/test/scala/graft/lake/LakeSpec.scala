@@ -624,6 +624,23 @@ class LakeSpec extends GraftSparkSpec {
     assert(props.keys.exists(_.startsWith("graft.stats.l_orderkey")))
   }
 
+  test("SHOW CREATE TABLE emits re-runnable DDL with NOT NULL, partitioning, properties") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("showcreate"),
+      (0 until 10).map(i => (i.toLong, s"p${i % 2}", i * 2L)).toDF("k", "part", "v"),
+      partitionBy = Seq("part"),
+      properties = Map("graft.cdf" -> "true"))
+    t.setNotNull("k")
+    val gsql = new GraftSql(spark)
+    gsql.register("sct", t.path)
+    val ddl = gsql.sql("SHOW CREATE TABLE sct").head.getString(0)
+    assert(ddl.contains("k BIGINT NOT NULL"))
+    assert(ddl.contains("PARTITIONED BY (part)"))
+    assert(ddl.contains("USING graftlake"))
+    assert(ddl.contains(s"LOCATION '${t.path}'"))
+    assert(ddl.contains("'graft.cdf' = 'true'"))
+  }
+
   test("CREATE TABLE LIKE copies schema/partitioning/config, never data-derived state") {
     import spark.implicits._
     val src = GraftTable.create(spark, tmpDir("like-src"),
