@@ -165,6 +165,7 @@ object SparkEntry {
     "lake_mv_incremental" -> LakeOps.lakeMvIncremental _,
     "lake_mv_avg" -> LakeOps.lakeMvAvg _,
     "lake_mv_minmax" -> LakeOps.lakeMvMinMax _,
+    "lake_mv_join" -> LakeOps.lakeMvJoin _,
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _,
     "lake_manifest" -> LakeOps.lakeManifest _)
@@ -1476,6 +1477,19 @@ object SparkEntry {
         "SELECT l_returnflag, COUNT(*) AS n_rows, " +
         "CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c " +
         "FROM s3 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // join view: fold fact deltas, then rebuild on the dim change —
+    // must equal the from-scratch fact'⋈dim' aggregate
+    "lake_mv_join" ->
+      ("WITH fact AS (SELECT l_orderkey, CAST(ROUND(l_quantity * 100) AS BIGINT) " +
+        "AS qty_c FROM lineitem), " +
+        "f1 AS (SELECT * FROM fact WHERE l_orderkey % 7 <> 0), " +
+        "f2 AS (SELECT * FROM f1 UNION ALL SELECT l_orderkey, qty_c * 3 AS qty_c " +
+        "FROM fact WHERE l_orderkey % 11 = 0), " +
+        "dim AS (SELECT o_orderkey AS l_orderkey, CASE WHEN o_orderpriority = '5-LOW' " +
+        "THEN '4-NOT SPECIFIED' ELSE o_orderpriority END AS o_orderpriority FROM orders) " +
+        "SELECT o_orderpriority, COUNT(*) AS n_rows, CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c " +
+        "FROM f2 JOIN dim USING (l_orderkey) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "lake_mv_avg" ->
       ("WITH base AS (SELECT l_orderkey, l_returnflag, " +
         "CASE WHEN l_orderkey % 3 = 0 THEN NULL " +

@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   * not dollars).
   */
 final class MaterializedAgg private (val spark: SparkSession,
-    val view: GraftTable, val source: GraftTable) {
+    val view: GraftTable, val source: GraftTable,
+    val dim: Option[GraftTable] = None) {
   import MaterializedAgg._
 
   private def props: Map[String, String] =
@@ -45,6 +46,19 @@ final class MaterializedAgg private (val spark: SparkSession,
   private def maxCols: Seq[String] =
     props.getOrElse(MaxKey, "").split(",").toSeq.filter(_.nonEmpty)
 
+  private def joinKeys: Seq[String] =
+    props.getOrElse(JoinKeysKey, "").split(",").toSeq.filter(_.nonEmpty)
+
+  /** The view's INPUT frame at a source version: the source alone, or
+    * the fact⋈dim inner join for join views (dim read at its CURRENT
+    * version — the incremental branch only runs when that version
+    * still equals the stamp).
+    */
+  private def inputAt(v: Long): DataFrame = dim match {
+    case Some(d) => source.toDFAt(v).join(d.toDF, joinKeys)
+    case None => source.toDFAt(v)
+  }
+
   def toDF: DataFrame = view.toDF
 
   /** Fold source changes in (stampedVersion, current] into the view.
@@ -54,18 +68,41 @@ final class MaterializedAgg private (val spark: SparkSession,
   def refresh(): Long = {
     val from = props(VersionKey).toLong
     val to = source.version
+    // join views: a DIM change invalidates every fold (rows that
+    // joined differently have no per-row change images on the fact's
+    // feed) — re-materialize from the current snapshots and stamp
+    // both versions. Dims are slowly-changing by design; this is the
+    // standard warehouse trade: fact deltas fold, dim changes rebuild.
+    dim.foreach { d =>
+      if (!props.get(DimVersionKey).map(_.toLong).contains(d.version)) {
+        val init = MaterializedAgg.aggregate(inputAt(to), groupCols,
+          sumCols, minCols, maxCols)
+        return view.overwriteWithProperties(init,
+          Map(VersionKey -> to.toString,
+            DimVersionKey -> d.version.toString), "MV REMATERIALIZE")
+      }
+    }
     if (to == from) return view.version
     if (to < from) {
       // the source log ends below the stamp (table recreated at the
       // same path, or history truncated): no forward change feed
       // exists, so re-materialize from the current snapshot —
       // silently keeping the newer state would serve phantom rows
-      val init = MaterializedAgg.aggregate(source.toDFAt(to), groupCols,
+      val init = MaterializedAgg.aggregate(inputAt(to), groupCols,
         sumCols, minCols, maxCols)
       return view.overwriteWithProperties(init,
-        Map(VersionKey -> to.toString), "MV REMATERIALIZE")
+        Map(VersionKey -> to.toString) ++
+          dim.map(d => DimVersionKey -> d.version.toString), "MV REMATERIALIZE")
     }
-    val cf = source.changeFeed(from, to)
+    // join views fold Δfact ⋈ dim: each change image joins the (still
+    // unchanged) dim before aggregation, so fold arithmetic is
+    // untouched — a fact row whose key misses the dim contributes
+    // nothing, exactly like the full aggregate
+    val cf0 = source.changeFeed(from, to)
+    val cf = dim match {
+      case Some(d) => cf0.join(d.toDF, joinKeys)
+      case None => cf0
+    }
     val isInsert = col("_change_type").isin("insert", "update_postimage")
     val sign = when(isInsert, lit(1L)).otherwise(lit(-1L))
     // min/max fold only INSERT-side values (retract rows contribute
@@ -112,7 +149,7 @@ final class MaterializedAgg private (val spark: SparkSession,
         def keyEq(l: DataFrame): Column = groupCols.map(k =>
           l(k) <=> org.apache.spark.sql.functions.col(s"__dk.$k")).reduce(_ && _)
         val clean = folded.join(dAlias, keyEq(folded), "left_anti")
-        val src = source.toDFAt(to)
+        val src = inputAt(to)
         val recomputed = MaterializedAgg.aggregate(
           src.join(dAlias, keyEq(src), "left_semi"),
           groupCols, sumCols, minCols, maxCols)
@@ -130,6 +167,9 @@ object MaterializedAgg {
   private val MinKey = "graft.mv.minCols"
   private val MaxKey = "graft.mv.maxCols"
   private val VersionKey = "graft.mv.sourceVersion"
+  val DimKey = "graft.mv.dim"
+  private val DimVersionKey = "graft.mv.dimVersion"
+  private val JoinKeysKey = "graft.mv.joinKeys"
   val CountCol = "mv_count"
   def sumName(c: String): String = s"mv_sum_$c"
   /** Per-column NON-NULL count: with [[sumName]] it derives an exact
@@ -192,6 +232,56 @@ object MaterializedAgg {
       SumKey -> sumCols.mkString(","), MinKey -> minCols.mkString(","),
       MaxKey -> maxCols.mkString(","), VersionKey -> v.toString))
     new MaterializedAgg(spark, t, source)
+  }
+
+  /** Join-view variant (the star-schema MV shape): materialize
+    * `SELECT groupCols, count(*), sum(…), min/max(…) FROM source JOIN
+    * dim ON joinKeys GROUP BY groupCols` — group/aggregate columns
+    * may come from EITHER side of the inner join. Fact-side changes
+    * fold incrementally exactly like the single-table view (each
+    * change image joins the dim before aggregation); a DIM change
+    * re-materializes on the next refresh (no per-row images exist for
+    * re-joined fact rows) — dims are slowly-changing by design, so
+    * refresh stays O(fact delta) in the steady state and O(one
+    * fact⋈dim aggregate) when the dim moves. Duplicate dim join keys
+    * multiply fact rows identically in the full and incremental
+    * paths, so results stay self-consistent (but declare unique dims
+    * for sane semantics).
+    */
+  def createJoin(spark: SparkSession, path: String, source: GraftTable,
+      dim: GraftTable, joinKeys: Seq[String], groupCols: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): MaterializedAgg = {
+    require(groupCols.nonEmpty, "materialized aggregate needs group columns")
+    require(joinKeys.nonEmpty, "join view needs join key columns")
+    val sf = source.snapshot.schema.fieldNames.toSet
+    val df2 = dim.snapshot.schema.fieldNames.toSet
+    joinKeys.foreach(k => require(sf.contains(k) && df2.contains(k),
+      s"join key $k must exist on both sides"))
+    val joined = sf ++ df2
+    (groupCols ++ sumCols ++ minCols ++ maxCols).foreach(c =>
+      require(joined.contains(c), s"no such column on either side: $c"))
+    sumCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = if (sf.contains(c)) source.snapshot.schema(c).dataType
+        else dim.snapshot.schema(c).dataType
+      val ok = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"materialized SUM/AVG column '$c' must be integral, got " +
+        s"${dt.simpleString}")
+    }
+    val v = source.version
+    val init = aggregate(source.toDFAt(v).join(dim.toDF, joinKeys),
+      groupCols, sumCols, minCols, maxCols)
+    val t = GraftTable.create(spark, path, init, properties = Map(
+      SourceKey -> source.path, GroupKey -> groupCols.mkString(","),
+      SumKey -> sumCols.mkString(","), MinKey -> minCols.mkString(","),
+      MaxKey -> maxCols.mkString(","), VersionKey -> v.toString,
+      DimKey -> dim.path, JoinKeysKey -> joinKeys.mkString(","),
+      DimVersionKey -> dim.version.toString))
+    new MaterializedAgg(spark, t, source, Some(dim))
   }
 
   /** Reattach an existing view to its source (validated by path). */

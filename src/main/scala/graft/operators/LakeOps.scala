@@ -342,6 +342,38 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Join-view MV (L83, the star-schema shape): the view aggregates
+    * fact⋈dim; fact deletes/appends FOLD through the change feed
+    * (each image joins the unchanged dim first), then a dim update
+    * triggers the documented re-materialization on the next refresh.
+    * The oracle replays the full final fact'⋈dim' aggregate, so the
+    * fold→rebuild sequence must land exactly on the from-scratch
+    * answer.
+    */
+  def lakeMvJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    val dimDf = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val src = graft.lake.GraftTable.create(spark, workDir(dir, "mvjfact"),
+      fact, properties = Map("graft.cdf" -> "true"))
+    val d = graft.lake.GraftTable.create(spark, workDir(dir, "mvjdim"), dimDf)
+    val mv = graft.lake.MaterializedAgg.createJoin(spark, workDir(dir, "mvj"),
+      src, d, Seq("l_orderkey"), Seq("o_orderpriority"), Seq("qty_c"))
+    src.delete(col("l_orderkey") % 7 === 0)
+    src.append(fact.filter(col("l_orderkey") % 11 === 0)
+      .withColumn("qty_c", col("qty_c") * 3))
+    mv.refresh() // fact deltas fold; dim untouched
+    d.update(col("o_orderpriority") === "5-LOW",
+      Map("o_orderpriority" -> lit("4-NOT SPECIFIED")))
+    mv.refresh() // dim moved -> re-materialize
+    mv.toDF
+      .select(col("o_orderpriority"), col("mv_count").as("n_rows"),
+        col("mv_sum_qty_c").as("sum_qty_c"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Dynamic partition overwrite (L63): only the partition present in
     * the incoming frame is replaced; the others keep their files. The
     * oracle recomputes untouched partitions from the source and the

@@ -78,6 +78,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     // freshness: the view must reflect the source's CURRENT version…
     val srcProps = mv.view.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    // a JOIN view's state aggregates fact⋈dim, not the source alone —
+    // answering a plain source GROUP BY from it would be wrong
+    if (srcProps.contains(MaterializedAgg.DimKey)) return None
     if (!srcProps.get("graft.mv.sourceVersion").map(_.toLong)
         .contains(mv.source.version)) return None
     // …and the plan must scan exactly that version's active files

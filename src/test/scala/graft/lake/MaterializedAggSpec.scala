@@ -161,4 +161,40 @@ class MaterializedAggSpec extends GraftSparkSpec {
     assert(viewState(mv) == recompute(src),
       "after a source rollback the view must reflect the restored rows")
   }
+
+  test("join view: fact deltas FOLD (MV REFRESH), a dim change REBUILDS, both exact") {
+    import spark.implicits._
+    val fact = (1 to 60).map(i => (i.toLong % 12, i.toLong, i * 10L))
+      .toDF("fk", "seq", "v")
+    val dimDf = (0L until 12L).map(k => (k, s"seg-${k % 3}")).toDF("fk", "segment")
+    val src = GraftTable.create(spark, tmpDir("mvj-fact"), fact,
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvj-dim"), dimDf)
+    val mv = MaterializedAgg.createJoin(spark, tmpDir("mvj-view"),
+      src, d, Seq("fk"), Seq("segment"), Seq("v"))
+    def expect = src.toDF.join(d.toDF, "fk").groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def state = mv.toDF.select("segment", "mv_count", "mv_sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def ops(op: String) = mv.view.history
+      .filter(col("operation") === op).count()
+    // fact-side deltas fold incrementally
+    src.delete(col("seq") % 4 === 0)
+    src.append(Seq((3L, 1000L, 777L)).toDF("fk", "seq", "v"))
+    mv.refresh()
+    assert(state == expect, "folded join view must equal fact'/dim recompute")
+    assert(ops("MV REFRESH") == 1 && ops("MV REMATERIALIZE") == 0,
+      "a dim-stable window must fold, not rebuild")
+    // dim change: the next refresh re-materializes
+    d.update(col("fk") === 3, Map("segment" -> lit("seg-moved")))
+    mv.refresh()
+    assert(state == expect, "post-dim-change view must equal the fresh join")
+    assert(ops("MV REMATERIALIZE") == 1, "a dim change must rebuild")
+    // a fact row with no dim match contributes nothing, incrementally too
+    src.append(Seq((99L, 2000L, 5L)).toDF("fk", "seq", "v"))
+    mv.refresh()
+    assert(state == expect)
+    assert(ops("MV REFRESH") == 2, "the dangling-key append still folds")
+  }
 }
