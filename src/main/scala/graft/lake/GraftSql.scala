@@ -105,6 +105,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*SHOW\s+COLUMNS\s+(?:IN|FROM)\s+(\w+)\s*;?\s*$""".r
   private val createMvRe: Regex =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+([\w,\s]+?)\s*;?\s*$""".r
+  private val createMvJoinRe: Regex =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+JOIN\s+(\w+)\s+USING\s*\(([\w,\s]+)\)\s+GROUP\s+BY\s+([\w,\s]+?)\s*;?\s*$""".r
   private val refreshMvRe: Regex =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$""".r
   private val mvSumItemRe: Regex =
@@ -251,6 +253,38 @@ final class GraftSql(spark: SparkSession) {
         table(name).snapshot.schema.fields.toSeq
           .map(f => (f.name, f.dataType.simpleString))
           .toDF("col_name", "data_type")
+      case createMvJoinRe(name, location, selectList, srcName, dimName,
+          using, groupBy) =>
+        // join view (L83): same maintainable select surface, columns
+        // may come from either side; fact deltas fold, dim changes
+        // rebuild. NOT registered for transparent rewrite — its state
+        // aggregates the join, not the source table alone.
+        val groupCols = groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val joinKeys = using.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val items = selectList.split(",").map(_.trim).filter(_.nonEmpty)
+        val sumCols = items.flatMap {
+          case mvSumItemRe(c) => Some(c)
+          case mvAvgItemRe(c) => Some(c)
+          case _ => None
+        }.distinct.toSeq
+        val minColsSql = items.flatMap {
+          case mvMinItemRe(c) => Some(c); case _ => None }.distinct.toSeq
+        val maxColsSql = items.flatMap {
+          case mvMaxItemRe(c) => Some(c); case _ => None }.distinct.toSeq
+        items.foreach {
+          case mvSumItemRe(_) | mvAvgItemRe(_) | mvMinItemRe(_) |
+               mvMaxItemRe(_) | mvCountItemRe() => ()
+          case item if groupCols.contains(item) => ()
+          case item => throw new IllegalArgumentException(
+            s"materialized views maintain group columns, COUNT(*), " +
+              s"SUM/AVG(col), and MIN/MAX(col) only; cannot maintain: $item")
+        }
+        val mv = MaterializedAgg.createJoin(spark, location, table(srcName),
+          table(dimName), joinKeys, groupCols, sumCols, minColsSql, maxColsSql)
+        matViews(name) = mv
+        tables(name) = mv.view
+        Seq(("location", location), ("sourceVersion",
+          table(srcName).version.toString)).toDF("metric", "value")
       case createMvRe(name, location, selectList, srcName, groupBy) =>
         // select list must be exactly what the view can maintain:
         // group columns, COUNT(*), SUM/AVG(col) (avg stores its sum +

@@ -197,4 +197,29 @@ class MaterializedAggSpec extends GraftSparkSpec {
     assert(state == expect)
     assert(ops("MV REFRESH") == 2, "the dangling-key append still folds")
   }
+
+  test("SQL join view: CREATE ... JOIN USING, REFRESH folds then rebuilds") {
+    import spark.implicits._
+    val gsql = new GraftSql(spark)
+    gsql.registerCreate("jfact",
+      tmpDir("mvjsql-fact"),
+      (1 to 40).map(i => (i.toLong % 8, i.toLong, i * 5L)).toDF("fk", "seq", "v"))
+    gsql.registerCreate("jdim", tmpDir("mvjsql-dim"),
+      (0L until 8L).map(k => (k, s"g${k % 2}")).toDF("fk", "grp"))
+    gsql.sql("CREATE MATERIALIZED VIEW jmv LOCATION '" +
+      tmpDir("mvjsql-view") + "' AS SELECT grp, COUNT(*), SUM(v) " +
+      "FROM jfact JOIN jdim USING (fk) GROUP BY grp")
+    def expect = gsql.sql(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS s FROM jfact JOIN jdim USING (fk) GROUP BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def state = gsql.sql("SELECT grp, mv_count, mv_sum_v FROM jmv")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state == expect)
+    gsql.sql("DELETE FROM jfact WHERE seq % 3 = 0")
+    gsql.sql("REFRESH MATERIALIZED VIEW jmv")
+    assert(state == expect, "SQL-created join view must fold fact deltas")
+    gsql.sql("UPDATE jdim SET grp = 'moved' WHERE fk = 2")
+    gsql.sql("REFRESH MATERIALIZED VIEW jmv")
+    assert(state == expect, "SQL-created join view must rebuild on dim change")
+  }
 }
