@@ -257,8 +257,8 @@ final class GraftSql(spark: SparkSession) {
           using, groupBy) =>
         // join view (L83): same maintainable select surface, columns
         // may come from either side; fact deltas fold, dim changes
-        // rebuild. NOT registered for transparent rewrite — its state
-        // aggregates the join, not the source table alone.
+        // rebuild. Registered for the JOIN-SHAPE transparent rewrite
+        // (the single-table rewrite declines dim-bearing views).
         val groupCols = groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val joinKeys = using.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val items = selectList.split(",").map(_.trim).filter(_.nonEmpty)
@@ -283,6 +283,7 @@ final class GraftSql(spark: SparkSession) {
           table(dimName), joinKeys, groupCols, sumCols, minColsSql, maxColsSql)
         matViews(name) = mv
         tables(name) = mv.view
+        graft.plans.MvCatalog.register(mv)
         Seq(("location", location), ("sourceVersion",
           table(srcName).version.toString)).toDF("metric", "value")
       case createMvRe(name, location, selectList, srcName, groupBy) =>

@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DoubleType
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.EqualTo
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -61,6 +63,91 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case agg @ Aggregate(groupingExprs, aggExprs,
         Filter(cond, lr: LogicalRelation), _) =>
       rewrite(agg, groupingExprs, aggExprs, lr, Some(cond)).getOrElse(agg)
+    // the JOIN-VIEW shape (L83): `fact ⋈ dim GROUP BY …` — the USING
+    // idiom resolves to Aggregate over a pure-attribute Project over
+    // an Inner Join of two relations
+    case agg @ Aggregate(groupingExprs, aggExprs,
+        Project(projList, Join(l: LogicalRelation, r: LogicalRelation,
+          Inner, Some(cond), _)), _)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      rewriteJoin(agg, groupingExprs, aggExprs, l, r, cond).getOrElse(agg)
+  }
+
+  private def scannedFiles(lr: LogicalRelation): Option[Seq[String]] =
+    lr.relation match {
+      case h: HadoopFsRelation =>
+        Some(h.location.inputFiles.toSeq.map(u => new java.net.URI(u).getPath))
+      case _ => None
+    }
+
+  private def activeSet(t: graft.lake.GraftTable): Set[String] =
+    t.snapshot.activeFiles.map(a =>
+      java.nio.file.Paths.get(t.path).resolve(a.path)
+        .toAbsolutePath.normalize.toString).toSet
+
+  /** Rewrite `fact ⋈ dim GROUP BY keys` onto a registered, DOUBLY
+    * fresh join view: both sides' scans must be their tables' current
+    * active sets, both version stamps current, the join condition an
+    * equi-conjunction on exactly the view's join keys, the grouping
+    * and aggregates an exact match onto stored state.
+    */
+  private def rewriteJoin(agg: Aggregate, groupingExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], l: LogicalRelation,
+      r: LogicalRelation, cond: Expression): Option[LogicalPlan] = {
+    val scannedL = scannedFiles(l).getOrElse(return None)
+    val scannedR = scannedFiles(r).getOrElse(return None)
+    if (scannedL.isEmpty || scannedR.isEmpty) return None
+    val mv = MvCatalog.lookup(sp =>
+      scannedL.forall(_.startsWith(
+        java.nio.file.Paths.get(sp).toAbsolutePath.normalize.toString)))
+      .getOrElse(return None)
+    val dim = mv.dim.getOrElse(return None)
+    val vprops = mv.view.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    // freshness on BOTH stamps, and both scans must be current
+    if (!vprops.get("graft.mv.sourceVersion").map(_.toLong)
+        .contains(mv.source.version)) return None
+    if (!vprops.get("graft.mv.dimVersion").map(_.toLong)
+        .contains(dim.version)) return None
+    def norm(p: String): String =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    if (scannedL.map(norm).toSet != activeSet(mv.source)) return None
+    if (scannedR.map(norm).toSet != activeSet(dim)) return None
+    // the join condition must be an equi-conjunction on EXACTLY the
+    // view's join keys, one side from each relation
+    val joinKeys = vprops.getOrElse("graft.mv.joinKeys", "")
+      .split(",").filter(_.nonEmpty).toSet
+    val lAttrs = l.output.map(a => a.exprId -> a.name).toMap
+    val rAttrs = r.output.map(a => a.exprId -> a.name).toMap
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+        conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val pairs = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (la, ra) = (lAttrs.get(a.exprId), rAttrs.get(b.exprId))
+        val (lb, rb) = (lAttrs.get(b.exprId), rAttrs.get(a.exprId))
+        if (la.isDefined && ra.isDefined && la == ra) la.get
+        else if (lb.isDefined && rb.isDefined && lb == rb) lb.get
+        else return None
+      case _ => return None
+    }
+    if (pairs.toSet != joinKeys) return None
+    val groupCols = vprops("graft.mv.groupCols").split(",").toSeq.filter(_.nonEmpty)
+    val groupNames = groupingExprs.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (groupNames.toSet != groupCols.toSet) return None
+    val sumCols = vprops("graft.mv.sumCols").split(",").toSet
+    val minCols = vprops.getOrElse("graft.mv.minCols", "")
+      .split(",").filter(_.nonEmpty).toSet
+    val maxCols = vprops.getOrElse("graft.mv.maxCols", "")
+      .split(",").filter(_.nonEmpty).toSet
+    val mvPlan = mv.toDF.queryExecution.analyzed
+    val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+    stateProjections(aggExprs, mvOut, groupCols, sumCols, minCols, maxCols,
+      rollup = false).map(projections => Project(projections, mvPlan))
   }
 
   private def rewrite(agg: Aggregate, groupingExprs: Seq[Expression],
@@ -117,23 +204,53 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val mvPlan = mv.toDF.queryExecution.analyzed
     val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
-    // missing state column (e.g. a view written by a pre-upgrade
-    // binary without cnt/min/max columns) declines the rewrite rather
-    // than crash analysis — "anything else leaves the plan untouched"
+    val projections = stateProjections(aggExprs, mvOut, groupCols, sumCols,
+      minCols, maxCols, rollup).getOrElse(return None)
+    // the admissible WHERE re-targets its key attributes at the
+    // state's columns (same names, same types — keys are stored
+    // natively); a type drift between source and state declines
+    val base: LogicalPlan = filter match {
+      case Some(cond) =>
+        val remapped = cond.transform {
+          case a: AttributeReference =>
+            val c = mvOut.get(a.name).getOrElse(return None)
+            if (c.dataType != a.dataType) return None
+            c
+        }
+        Filter(remapped, mvPlan)
+      case None => mvPlan
+    }
+    if (exact) Some(Project(projections, base))
+    else {
+      val groupAttrs: Seq[Expression] =
+        groupNames.map(n => mvOut.get(n).getOrElse(return None))
+      Some(Aggregate(groupAttrs, projections, base))
+    }
+  }
+
+  /** Map every output expression 1:1 onto stored view state — ONE
+    * implementation shared by the single-table and join-view rewrites
+    * so their aggregate surface can never drift. A missing state
+    * column (pre-upgrade view) or an unmappable expression yields
+    * None; under `rollup` foldable aggregates re-aggregate.
+    */
+  private def stateProjections(aggExprs: Seq[NamedExpression],
+      mvOut: Map[String, Attribute], groupCols: Seq[String],
+      sumCols: Set[String], minCols: Set[String], maxCols: Set[String],
+      rollup: Boolean): Option[Seq[NamedExpression]] = {
     def mvCol(n: String): Option[Attribute] = mvOut.get(n)
     def fold(fn: Expression => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
         e: Expression): Expression =
       if (!rollup) e
       else AggregateExpression(fn(e), org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
         isDistinct = false)
-
     def sumSource(e: Expression): Option[String] = e match {
       case a: AttributeReference if sumCols.contains(a.name) => Some(a.name)
       case Cast(a: AttributeReference, _, _, _) if sumCols.contains(a.name) =>
         Some(a.name)
       case _ => None
     }
-    val projections = aggExprs.map {
+    Some(aggExprs.map {
       case a: AttributeReference if groupCols.contains(a.name) =>
         val c = mvCol(a.name).getOrElse(return None)
         Alias(Cast(c, a.dataType), a.name)(exprId = a.exprId)
@@ -172,26 +289,6 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val st = mvCol(MaterializedAgg.maxName(a.name)).getOrElse(return None)
         Alias(Cast(fold(Max(_), st), al.dataType), name)(exprId = al.exprId)
       case _ => return None
-    }
-    // the admissible WHERE re-targets its key attributes at the
-    // state's columns (same names, same types — keys are stored
-    // natively); a type drift between source and state declines
-    val base: LogicalPlan = filter match {
-      case Some(cond) =>
-        val remapped = cond.transform {
-          case a: AttributeReference =>
-            val c = mvCol(a.name).getOrElse(return None)
-            if (c.dataType != a.dataType) return None
-            c
-        }
-        Filter(remapped, mvPlan)
-      case None => mvPlan
-    }
-    if (exact) Some(Project(projections, base))
-    else {
-      val groupAttrs: Seq[Expression] =
-        groupNames.map(n => mvCol(n).getOrElse(return None))
-      Some(Aggregate(groupAttrs, projections, base))
-    }
+    })
   }
 }

@@ -201,4 +201,46 @@ class MvRewriteSpec extends GraftSparkSpec {
       assert(fromView == fromSource, "view-answered min/max differs from source")
     } finally MvCatalog.clear()
   }
+
+  test("join-shape rewrite: fact-join-dim GROUP BY answers from a doubly-fresh join view") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("mvr-j-fact"),
+      (1 to 50).map(i => (i.toLong % 10, i.toLong, i * 3L)).toDF("fk", "seq", "v"),
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvr-j-dim"),
+      (0L until 10L).map(k => (k, s"g${k % 3}")).toDF("fk", "grp"))
+    val mv = MaterializedAgg.createJoin(spark, tmpDir("mvr-j-view"),
+      src, d, Seq("fk"), Seq("grp"), Seq("v"))
+    MvCatalog.register(mv)
+    try {
+      def q = src.toDF.join(d.toDF, Seq("fk")).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      assert(scansView(q, "mvr-j-view"),
+        "a doubly-fresh join view must answer the join aggregate")
+      val fromView = q.collect().map(_.toSeq).toSet
+      // the plain single-table aggregate must NOT be answered by the
+      // join view (its state aggregates the join, not the fact alone)
+      val plain = src.toDF.groupBy("fk").agg(count(lit(1)).as("n"))
+      assert(!scansView(plain, "mvr-j-view"))
+      // fact moved: stale view declines until refresh
+      src.append(Seq((3L, 999L, 7L)).toDF("fk", "seq", "v"))
+      assert(!scansView(q, "mvr-j-view"), "a stale fact stamp must decline")
+      mv.refresh()
+      assert(scansView(q, "mvr-j-view"))
+      // dim moved: declines until the refresh re-materializes
+      d.update(col("fk") === 2, Map("grp" -> lit("gX")))
+      assert(!scansView(q, "mvr-j-view"), "a stale dim stamp must decline")
+      mv.refresh()
+      assert(scansView(q, "mvr-j-view"))
+      // values equal the real join throughout
+      val real = {
+        MvCatalog.clear()
+        val r = q.collect().map(_.toSeq).toSet
+        MvCatalog.register(mv)
+        r
+      }
+      assert(q.collect().map(_.toSeq).toSet == real)
+      assert(fromView.nonEmpty)
+    } finally MvCatalog.clear()
+  }
 }
