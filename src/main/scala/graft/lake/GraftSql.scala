@@ -372,10 +372,7 @@ final class GraftSql(spark: SparkSession) {
         // IN-subquery UPDATE: same keyed-merge shape as the IN-subquery
         // DELETE; SET expressions evaluate on the target row
         tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
-        val assignments = sets.split(",").map { a =>
-          val Array(k, v) = a.split("=", 2)
-          k.trim -> expr(v.trim)
-        }.toMap
+        val assignments = setAssignments(sets)
         val m = table(name).mergeBuilder(
             paddedKeySource(name, keyCol, sub), keyCol)
           .whenMatchedKeep().whenNotMatchedIgnore()
@@ -459,11 +456,8 @@ final class GraftSql(spark: SparkSession) {
       case analyzeRe(name) =>
         table(name).computeStats()
       case updateRe(name, sets, cond) =>
-        val assignments = sets.split(",").map { a =>
-          val Array(k, v) = a.split("=", 2)
-          k.trim -> expr(v.trim)
-        }.toMap
-        table(name).update(expr(cond), assignments).toSeq.sorted.toDF("metric", "value")
+        table(name).update(expr(cond), setAssignments(sets))
+          .toSeq.sorted.toDF("metric", "value")
       case showCreateRe(name) =>
         // Spark/Delta parity: one row, the re-runnable DDL — schema
         // with NOT NULL markers, partitioning, location, properties
@@ -697,44 +691,6 @@ final class GraftSql(spark: SparkSession) {
       val s1 = srcRefs.foldLeft(e)((acc, r) => acc.replaceAll(r, "$1"))
       tgtRefs.foldLeft(s1)((acc, r) => acc.replaceAll(r, ""))
     }
-    // split on top-level commas only: parens nest (function calls) and
-    // single-quoted SQL strings may carry commas or parens — both are
-    // opaque to the splitter ('' is the escaped quote inside a string)
-    def splitTop(s0: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var depth = 0; var start = 0; var inStr = false
-      var i = 0
-      while (i < s0.length) {
-        s0.charAt(i) match {
-          case '\'' => inStr = !inStr
-          case '(' if !inStr => depth += 1
-          case ')' if !inStr => depth -= 1
-          case ',' if !inStr && depth == 0 =>
-            out += s0.substring(start, i); start = i + 1
-          case _ => ()
-        }
-        i += 1
-      }
-      out += s0.substring(start)
-      out.toSeq
-    }
-    // first top-level '=' (outside strings and parens) splits an
-    // assignment — commas/equals inside calls or literals are opaque
-    def splitAssign(a: String): (String, String) = {
-      var depth = 0; var inStr = false; var i = 0
-      while (i < a.length) {
-        a.charAt(i) match {
-          case '\'' => inStr = !inStr
-          case '(' if !inStr => depth += 1
-          case ')' if !inStr => depth -= 1
-          case '=' if !inStr && depth == 0 =>
-            return (a.substring(0, i), a.substring(i + 1))
-          case _ => ()
-        }
-        i += 1
-      }
-      throw new IllegalArgumentException(s"malformed assignment: $a")
-    }
     def assignments(sets: String): Map[String, org.apache.spark.sql.Column] =
       splitTop(sets).map { a =>
         val (k, v) = splitAssign(a)
@@ -836,6 +792,59 @@ final class GraftSql(spark: SparkSession) {
     }
     new String(b)
   }
+
+  /** Split on top-level commas only: parens nest (function calls) and
+    * single-quoted SQL strings may carry commas or parens — both are
+    * opaque to the splitter ('' is the escaped quote inside a string).
+    * Shared by MERGE assignment/VALUES lists and the UPDATE SET lists.
+    */
+  private def splitTop(s0: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var inStr = false
+    var i = 0
+    while (i < s0.length) {
+      s0.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          out += s0.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s0.substring(start)
+    out.toSeq
+  }
+
+  /** First top-level '=' (outside strings and parens) splits an
+    * assignment — commas/equals inside calls or literals are opaque.
+    */
+  private def splitAssign(a: String): (String, String) = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < a.length) {
+      a.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case '=' if !inStr && depth == 0 =>
+          return (a.substring(0, i), a.substring(i + 1))
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"malformed assignment: $a")
+  }
+
+  /** UPDATE SET list → column/expression map, literal- and
+    * paren-aware (a comma inside concat('a,b', x) never splits).
+    */
+  private def setAssignments(sets: String)
+      : Map[String, org.apache.spark.sql.Column] =
+    splitTop(sets).map { a =>
+      val (k, v) = splitAssign(a)
+      k.trim -> org.apache.spark.sql.functions.expr(v.trim)
+    }.toMap
 
   /** Split on top-level (?i)AND keywords — parens nest, string
     * literals are opaque, word boundaries required.

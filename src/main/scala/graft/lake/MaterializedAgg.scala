@@ -284,15 +284,20 @@ object MaterializedAgg {
     new MaterializedAgg(spark, t, source, Some(dim))
   }
 
-  /** Reattach an existing view to its source (validated by path). */
+  /** Reattach an existing view to its source (validated by path). A
+    * join view reattaches its dim from the stored pointer too —
+    * without it, refresh would fold the fact feed UNJOINED and
+    * silently corrupt the state.
+    */
   def forPath(spark: SparkSession, path: String,
       source: GraftTable): MaterializedAgg = {
     val t = GraftTable.forPath(spark, path)
     val stored = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
-      .getOrElse(SourceKey,
-        throw new IllegalArgumentException(s"not a materialized view: $path"))
-    require(stored == source.path,
-      s"view at $path materializes $stored, not ${source.path}")
-    new MaterializedAgg(spark, t, source)
+    val srcPath = stored.getOrElse(SourceKey,
+      throw new IllegalArgumentException(s"not a materialized view: $path"))
+    require(srcPath == source.path,
+      s"view at $path materializes $srcPath, not ${source.path}")
+    val dim = stored.get(DimKey).map(GraftTable.forPath(spark, _))
+    new MaterializedAgg(spark, t, source, dim)
   }
 }

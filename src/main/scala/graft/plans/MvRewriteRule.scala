@@ -89,7 +89,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * fresh join view: both sides' scans must be their tables' current
     * active sets, both version stamps current, the join condition an
     * equi-conjunction on exactly the view's join keys, the grouping
-    * and aggregates an exact match onto stored state.
+    * an exact match — or a strict subset (rollup re-aggregation) —
+    * of the view's keys, every aggregate mapped onto stored state.
     */
   private def rewriteJoin(agg: Aggregate, groupingExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], l: LogicalRelation,
@@ -138,7 +139,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => a.name
       case _ => return None
     }
-    if (groupNames.toSet != groupCols.toSet) return None
+    // exact keys read state as-is; a strict SUBSET re-aggregates the
+    // stored state — the same rollup contract as the single-table
+    // path (GROUP BY region answered from (region, category) join
+    // state), and the subset may come from EITHER side of the join
+    val exact = groupNames.toSet == groupCols.toSet
+    val rollup = !exact && groupNames.toSet.subsetOf(groupCols.toSet) &&
+      groupNames.toSet.size == groupNames.size
+    if (!exact && !rollup) return None
     val sumCols = vprops("graft.mv.sumCols").split(",").toSet
     val minCols = vprops.getOrElse("graft.mv.minCols", "")
       .split(",").filter(_.nonEmpty).toSet
@@ -146,8 +154,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .split(",").filter(_.nonEmpty).toSet
     val mvPlan = mv.toDF.queryExecution.analyzed
     val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
-    stateProjections(aggExprs, mvOut, groupCols, sumCols, minCols, maxCols,
-      rollup = false).map(projections => Project(projections, mvPlan))
+    val projections = stateProjections(aggExprs, mvOut, groupCols, sumCols,
+      minCols, maxCols, rollup).getOrElse(return None)
+    if (exact) Some(Project(projections, mvPlan))
+    else {
+      val groupAttrs: Seq[Expression] =
+        groupNames.map(n => mvOut.get(n).getOrElse(return None))
+      Some(Aggregate(groupAttrs, projections, mvPlan))
+    }
   }
 
   private def rewrite(agg: Aggregate, groupingExprs: Seq[Expression],

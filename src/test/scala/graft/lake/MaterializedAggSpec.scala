@@ -198,6 +198,43 @@ class MaterializedAggSpec extends GraftSparkSpec {
     assert(ops("MV REFRESH") == 2, "the dangling-key append still folds")
   }
 
+  test("join view reopened via forPath reattaches the dim; refresh stays exact") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("mvj-fp-fact"),
+      (1 to 40).map(i => (i.toLong % 8, i.toLong, i * 7L)).toDF("fk", "seq", "v"),
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvj-fp-dim"),
+      (0L until 8L).map(k => (k, s"s${k % 2}")).toDF("fk", "segment"))
+    val viewDir = tmpDir("mvj-fp-view")
+    MaterializedAgg.createJoin(spark, viewDir, src, d,
+      Seq("fk"), Seq("segment"), Seq("v"))
+    // a FRESH handle (new session in real life) must rediscover the
+    // dim from the stored pointer — refreshing without it would fold
+    // the fact feed unjoined and corrupt dim-side groupings
+    val reopened = MaterializedAgg.forPath(spark, viewDir, src)
+    src.append(Seq((3L, 999L, 11L), (5L, 998L, 13L)).toDF("fk", "seq", "v"))
+    reopened.refresh()
+    val expect = src.toDF.join(d.toDF, "fk").groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val state = reopened.toDF.select(col("segment"), col("mv_count"),
+        col("mv_sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state == expect,
+      "a forPath-reopened join view must fold fact deltas through the dim")
+    // a dim change through the reopened handle still rebuilds
+    d.update(col("fk") === 1, Map("segment" -> lit("sX")))
+    reopened.refresh()
+    val expect2 = src.toDF.join(d.toDF, "fk").groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val state2 = reopened.toDF.select(col("segment"), col("mv_count"),
+        col("mv_sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state2 == expect2,
+      "a dim change seen through forPath must rebuild exactly")
+  }
+
   test("SQL join view: CREATE ... JOIN USING, REFRESH folds then rebuilds") {
     import spark.implicits._
     val gsql = new GraftSql(spark)

@@ -243,4 +243,42 @@ class MvRewriteSpec extends GraftSparkSpec {
       assert(fromView.nonEmpty)
     } finally MvCatalog.clear()
   }
+
+  test("join-view rollup: a strict subset of join-view keys re-aggregates state") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("mvr-jr-fact"),
+      (1 to 60).map(i => (i.toLong % 12, i.toLong, i * 5L)).toDF("fk", "seq", "v"),
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvr-jr-dim"),
+      (0L until 12L).map(k => (k, s"g${k % 4}")).toDF("fk", "grp"))
+    // view keys (grp, fk): one from each side of the join
+    val mv = MaterializedAgg.createJoin(spark, tmpDir("mvr-jr-view"),
+      src, d, Seq("fk"), Seq("grp", "fk"), Seq("v"))
+    MvCatalog.register(mv)
+    try {
+      // subset key from the DIM side rolls up stored state
+      def byGrp = src.toDF.join(d.toDF, Seq("fk")).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"))
+      // subset key from the FACT side rolls up too
+      def byFk = src.toDF.join(d.toDF, Seq("fk")).groupBy("fk")
+        .agg(sum("v").as("s"))
+      val (expectGrp, expectFk) = {
+        MvCatalog.clear()
+        val r = (byGrp.collect().map(_.toSeq).toSet,
+          byFk.collect().map(_.toSeq).toSet)
+        MvCatalog.register(mv)
+        r
+      }
+      assert(scansView(byGrp, "mvr-jr-view"),
+        "a dim-side subset of join-view keys must roll up from state")
+      assert(byGrp.collect().map(_.toSeq).toSet == expectGrp)
+      assert(scansView(byFk, "mvr-jr-view"),
+        "a fact-side subset of join-view keys must roll up from state")
+      assert(byFk.collect().map(_.toSeq).toSet == expectFk)
+      // a grouping OUTSIDE the view's keys still declines
+      val bySeq = src.toDF.join(d.toDF, Seq("fk")).groupBy("seq")
+        .agg(sum("v").as("s"))
+      assert(!scansView(bySeq, "mvr-jr-view"))
+    } finally MvCatalog.clear()
+  }
 }
