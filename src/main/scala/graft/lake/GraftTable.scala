@@ -287,8 +287,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * predicate); correctness never depends on the key set.
     */
   def readDynamicallyPruned(dim: DataFrame, key: String,
-      maxKeys: Int = 10000): DataFrame = {
-    val s = snapshot
+      maxKeys: Int = 10000, versionAsOf: Option[Long] = None): DataFrame = {
+    val s = versionAsOf.map(snapshotAt).getOrElse(snapshot)
     require(s.schema.fieldNames.contains(key), s"no such column: $key")
     val keys = dim.select(col(key)).distinct().limit(maxKeys + 1)
       .collect().map(_.get(0)).filter(_ != null)

@@ -61,60 +61,92 @@ final class MaterializedAgg private (val spark: SparkSession,
 
   def toDF: DataFrame = view.toDF
 
-  /** Fold source changes in (stampedVersion, current] into the view.
-    * Returns the view version (unchanged when the source hasn't
-    * moved).
+  /** Fold source (and, for join views, dim) changes since the stamped
+    * versions into the view. Returns the view version (unchanged when
+    * nothing moved).
     */
   def refresh(): Long = {
     val from = props(VersionKey).toLong
     val to = source.version
-    // join views: a DIM change invalidates every fold (rows that
-    // joined differently have no per-row change images on the fact's
-    // feed) — re-materialize from the current snapshots and stamp
-    // both versions. Dims are slowly-changing by design; this is the
-    // standard warehouse trade: fact deltas fold, dim changes rebuild.
-    dim.foreach { d =>
-      if (!props.get(DimVersionKey).map(_.toLong).contains(d.version)) {
-        val init = MaterializedAgg.aggregate(inputAt(to), groupCols,
-          sumCols, minCols, maxCols)
-        return view.overwriteWithProperties(init,
-          Map(VersionKey -> to.toString,
-            DimVersionKey -> d.version.toString), "MV REMATERIALIZE")
-      }
-    }
-    if (to == from) return view.version
-    if (to < from) {
-      // the source log ends below the stamp (table recreated at the
-      // same path, or history truncated): no forward change feed
-      // exists, so re-materialize from the current snapshot —
-      // silently keeping the newer state would serve phantom rows
+    def rematerialize(): Long = {
+      // a log ending below its stamp (table recreated at the same
+      // path, or history truncated) has no forward change feed —
+      // re-materialize from the current snapshots; silently keeping
+      // the newer state would serve phantom rows
       val init = MaterializedAgg.aggregate(inputAt(to), groupCols,
         sumCols, minCols, maxCols)
-      return view.overwriteWithProperties(init,
+      view.overwriteWithProperties(init,
         Map(VersionKey -> to.toString) ++
           dim.map(d => DimVersionKey -> d.version.toString), "MV REMATERIALIZE")
     }
-    // join views fold Δfact ⋈ dim: each change image joins the (still
-    // unchanged) dim before aggregation, so fold arithmetic is
-    // untouched — a fact row whose key misses the dim contributes
-    // nothing, exactly like the full aggregate
-    val cf0 = source.changeFeed(from, to)
-    val cf = dim match {
-      case Some(d) => cf0.join(d.toDF, joinKeys)
-      case None => cf0
+    if (to < from) return rematerialize()
+    val dimFromTo: Option[(GraftTable, Long, Long)] = dim.map { d =>
+      val st = props.get(DimVersionKey).map(_.toLong)
+        .getOrElse(return rematerialize())
+      if (d.version < st) return rematerialize()
+      (d, st, d.version)
     }
-    val isInsert = col("_change_type").isin("insert", "update_postimage")
-    val sign = when(isInsert, lit(1L)).otherwise(lit(-1L))
+    val dimMoved = dimFromTo.exists { case (_, f, t) => f != t }
+    if (to == from && !dimMoved) return view.version
+    // Each change image carries a fold sign; both fold directions
+    // produce the same (group, agg-source, __sign) row shape, so one
+    // union + one aggregate folds everything.
+    def signed(cf: DataFrame): DataFrame = cf.withColumn("__sign",
+      when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+        .otherwise(lit(-1L)))
+    val needed = (groupCols ++ sumCols ++ minCols ++ maxCols).distinct
+    val outShape = needed :+ "__sign"
+    // Join views fold BOTH feeds, telescoping through dim@stamp:
+    //   state                       = Σ fact@from ⋈ dim@dimFrom
+    //   + Δfact(from→to) ⋈ dim@dimFrom  → Σ fact@to ⋈ dim@dimFrom
+    //   + Δdim(dimFrom→dimTo) ⋈ fact@to → Σ fact@to ⋈ dim@dimTo
+    // Exact for every algebraic aggregate (the join is bilinear in
+    // its sides); min/max retract groups recompute below. The dim
+    // fold reads the fact through dynamic file pruning on the dim
+    // delta's keys — O(fact files touching dirty keys), not a full
+    // fact scan, which is what makes an SCD dim update affordable
+    // against a 100 TB fact. A fact row whose key misses the dim
+    // contributes nothing in either direction, exactly like the full
+    // aggregate.
+    val deltaParts: Seq[DataFrame] = dimFromTo match {
+      case None =>
+        Seq(signed(source.changeFeed(from, to))
+          .select(outShape.map(col): _*))
+      case Some((d, dimFrom, dimTo)) =>
+        val factFields = source.snapshot.schema.fieldNames.toSet
+        val dimFields = d.snapshot.schema.fieldNames.toSet
+        def sideCols(fields: Set[String]): Seq[String] =
+          needed.filter(fields.contains).filterNot(joinKeys.contains)
+        val factPart =
+          if (to == from) None
+          else Some(
+            signed(source.changeFeed(from, to))
+              .select((joinKeys ++ sideCols(factFields) :+ "__sign").map(col): _*)
+              .join(d.toDFAt(dimFrom), joinKeys)
+              .select(outShape.map(col): _*))
+        val dimPart =
+          if (dimFrom == dimTo) None
+          else {
+            val dcf = signed(d.changeFeed(dimFrom, dimTo))
+              .select((joinKeys ++ sideCols(dimFields) :+ "__sign").map(col): _*)
+            val fact = source.readDynamicallyPruned(dcf, joinKeys.head,
+              versionAsOf = Some(to))
+            Some(dcf.join(fact, joinKeys).select(outShape.map(col): _*))
+          }
+        Seq(factPart, dimPart).flatten
+    }
+    val deltaRows = deltaParts.reduce(_ unionByName _)
+    val isInsert = col("__sign") > 0
     // min/max fold only INSERT-side values (retract rows contribute
     // null, which min/max ignore) — valid for groups with no retracts;
     // retracted groups are recomputed below
     val deltaAggs =
-      sum(sign).as(CountCol) +: (sumCols.flatMap(c => Seq(
-        sum(sign * col(c).cast("long")).as(sumName(c)),
-        sum(sign * when(col(c).isNotNull, 1L).otherwise(0L)).as(cntName(c)))) ++
+      sum(col("__sign")).as(CountCol) +: (sumCols.flatMap(c => Seq(
+        sum(col("__sign") * col(c).cast("long")).as(sumName(c)),
+        sum(col("__sign") * when(col(c).isNotNull, 1L).otherwise(0L)).as(cntName(c)))) ++
         minCols.map(c => min(when(isInsert, col(c))).as(minName(c))) ++
         maxCols.map(c => max(when(isInsert, col(c))).as(maxName(c))))
-    val delta = cf
+    val delta = deltaRows
       .groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     // fold = union + re-aggregate: groups NULL keys together (a join
@@ -143,7 +175,7 @@ final class MaterializedAgg private (val spark: SparkSession,
     val next =
       if (minCols.isEmpty && maxCols.isEmpty) folded
       else {
-        val dirty = cf.filter(!isInsert)
+        val dirty = deltaRows.filter(!isInsert)
           .select(groupCols.map(col): _*).distinct()
         val dAlias = dirty.alias("__dk")
         def keyEq(l: DataFrame): Column = groupCols.map(k =>
@@ -155,7 +187,9 @@ final class MaterializedAgg private (val spark: SparkSession,
           groupCols, sumCols, minCols, maxCols)
         clean.unionByName(recomputed)
       }
-    view.overwriteWithProperties(next, Map(VersionKey -> to.toString),
+    view.overwriteWithProperties(next,
+      Map(VersionKey -> to.toString) ++
+        dimFromTo.map { case (_, _, dimTo) => DimVersionKey -> dimTo.toString },
       "MV REFRESH")
   }
 }
@@ -237,16 +271,17 @@ object MaterializedAgg {
   /** Join-view variant (the star-schema MV shape): materialize
     * `SELECT groupCols, count(*), sum(…), min/max(…) FROM source JOIN
     * dim ON joinKeys GROUP BY groupCols` — group/aggregate columns
-    * may come from EITHER side of the inner join. Fact-side changes
-    * fold incrementally exactly like the single-table view (each
-    * change image joins the dim before aggregation); a DIM change
-    * re-materializes on the next refresh (no per-row images exist for
-    * re-joined fact rows) — dims are slowly-changing by design, so
-    * refresh stays O(fact delta) in the steady state and O(one
-    * fact⋈dim aggregate) when the dim moves. Duplicate dim join keys
-    * multiply fact rows identically in the full and incremental
-    * paths, so results stay self-consistent (but declare unique dims
-    * for sane semantics).
+    * may come from EITHER side of the inner join. BOTH sides fold
+    * incrementally: fact changes join the dim at its stamped version,
+    * dim changes join the fact at its refreshed version (read through
+    * dynamic file pruning on the dim delta's keys, so an SCD dim
+    * update costs O(fact files touching dirty keys), never a full
+    * fact scan); the two folds telescope exactly (see refresh). A
+    * full re-materialization happens only when a log was truncated or
+    * recreated below its stamp. Duplicate dim join keys multiply fact
+    * rows identically in the full and incremental paths, so results
+    * stay self-consistent (but declare unique dims for sane
+    * semantics).
     */
   def createJoin(spark: SparkSession, path: String, source: GraftTable,
       dim: GraftTable, joinKeys: Seq[String], groupCols: Seq[String],

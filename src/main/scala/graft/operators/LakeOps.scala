@@ -367,7 +367,7 @@ object LakeOps {
     mv.refresh() // fact deltas fold; dim untouched
     d.update(col("o_orderpriority") === "5-LOW",
       Map("o_orderpriority" -> lit("4-NOT SPECIFIED")))
-    mv.refresh() // dim moved -> re-materialize
+    mv.refresh() // dim delta folds against the DFP-pruned fact
     mv.toDF
       .select(col("o_orderpriority"), col("mv_count").as("n_rows"),
         col("mv_sum_qty_c").as("sum_qty_c"))

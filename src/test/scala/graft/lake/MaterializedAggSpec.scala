@@ -162,7 +162,7 @@ class MaterializedAggSpec extends GraftSparkSpec {
       "after a source rollback the view must reflect the restored rows")
   }
 
-  test("join view: fact deltas FOLD (MV REFRESH), a dim change REBUILDS, both exact") {
+  test("join view: fact AND dim deltas fold incrementally, both exact") {
     import spark.implicits._
     val fact = (1 to 60).map(i => (i.toLong % 12, i.toLong, i * 10L))
       .toDF("fk", "seq", "v")
@@ -186,16 +186,24 @@ class MaterializedAggSpec extends GraftSparkSpec {
     assert(state == expect, "folded join view must equal fact'/dim recompute")
     assert(ops("MV REFRESH") == 1 && ops("MV REMATERIALIZE") == 0,
       "a dim-stable window must fold, not rebuild")
-    // dim change: the next refresh re-materializes
+    // a dim change FOLDS too: Δdim joins the fact at the refreshed
+    // version (moving fact rows between dim-side groups), no rebuild
     d.update(col("fk") === 3, Map("segment" -> lit("seg-moved")))
     mv.refresh()
     assert(state == expect, "post-dim-change view must equal the fresh join")
-    assert(ops("MV REMATERIALIZE") == 1, "a dim change must rebuild")
+    assert(ops("MV REFRESH") == 2 && ops("MV REMATERIALIZE") == 0,
+      "a dim change must fold through the dim change feed, not rebuild")
+    // fact and dim moving in the SAME window telescopes exactly
+    src.delete(col("seq") === 1000L)
+    d.update(col("fk") === 5, Map("segment" -> lit("seg-five")))
+    mv.refresh()
+    assert(state == expect, "a mixed fact+dim window must fold exactly")
+    assert(ops("MV REFRESH") == 3 && ops("MV REMATERIALIZE") == 0)
     // a fact row with no dim match contributes nothing, incrementally too
     src.append(Seq((99L, 2000L, 5L)).toDF("fk", "seq", "v"))
     mv.refresh()
     assert(state == expect)
-    assert(ops("MV REFRESH") == 2, "the dangling-key append still folds")
+    assert(ops("MV REFRESH") == 4, "the dangling-key append still folds")
   }
 
   test("join view reopened via forPath reattaches the dim; refresh stays exact") {
@@ -222,7 +230,7 @@ class MaterializedAggSpec extends GraftSparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(state == expect,
       "a forPath-reopened join view must fold fact deltas through the dim")
-    // a dim change through the reopened handle still rebuilds
+    // a dim change through the reopened handle folds through its feed
     d.update(col("fk") === 1, Map("segment" -> lit("sX")))
     reopened.refresh()
     val expect2 = src.toDF.join(d.toDF, "fk").groupBy("segment")
@@ -232,10 +240,10 @@ class MaterializedAggSpec extends GraftSparkSpec {
         col("mv_sum_v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(state2 == expect2,
-      "a dim change seen through forPath must rebuild exactly")
+      "a dim change seen through forPath must fold exactly")
   }
 
-  test("SQL join view: CREATE ... JOIN USING, REFRESH folds then rebuilds") {
+  test("SQL join view: CREATE ... JOIN USING, REFRESH folds both feeds") {
     import spark.implicits._
     val gsql = new GraftSql(spark)
     gsql.registerCreate("jfact",
@@ -257,6 +265,6 @@ class MaterializedAggSpec extends GraftSparkSpec {
     assert(state == expect, "SQL-created join view must fold fact deltas")
     gsql.sql("UPDATE jdim SET grp = 'moved' WHERE fk = 2")
     gsql.sql("REFRESH MATERIALIZED VIEW jmv")
-    assert(state == expect, "SQL-created join view must rebuild on dim change")
+    assert(state == expect, "SQL-created join view must fold the dim change")
   }
 }

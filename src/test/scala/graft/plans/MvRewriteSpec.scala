@@ -227,7 +227,7 @@ class MvRewriteSpec extends GraftSparkSpec {
       assert(!scansView(q, "mvr-j-view"), "a stale fact stamp must decline")
       mv.refresh()
       assert(scansView(q, "mvr-j-view"))
-      // dim moved: declines until the refresh re-materializes
+      // dim moved: declines until the next refresh folds the dim delta
       d.update(col("fk") === 2, Map("grp" -> lit("gX")))
       assert(!scansView(q, "mvr-j-view"), "a stale dim stamp must decline")
       mv.refresh()
