@@ -192,6 +192,39 @@ class StreamingSpec extends GraftSparkSpec {
     assert(mv.view.version == vBefore, "replayed epoch must not move the view")
   }
 
+  test("streaming ingestion keeps a JOIN view fresh; a mid-stream dim change folds") {
+    import spark.implicits._
+    import graft.lake.MaterializedAgg
+    val fact0 = (1 to 40).map(i => (i.toLong % 10, i.toLong, i * 2L))
+      .toDF("fk", "seq", "v")
+    val t = GraftTable.create(spark, tmpDir("stream-jmv-fact"), fact0,
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("stream-jmv-dim"),
+      (0L until 10L).map(k => (k, s"g${k % 3}")).toDF("fk", "grp"))
+    val mv = MaterializedAgg.createJoin(spark, tmpDir("stream-jmv"),
+      t, d, Seq("fk"), Seq("grp"), Seq("v"))
+    def check(epoch: Int): Unit = {
+      val expect = t.toDF.join(d.toDF, "fk").groupBy("grp")
+        .agg(count(lit(1)).as("c"), sum("v").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = mv.toDF.select(col("grp"), col("mv_count"), col("mv_sum_v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"join view must match fact'/dim after epoch $epoch")
+    }
+    (0 until 3).foreach { epoch =>
+      val batch = (1 to 20).map(i => (i.toLong % 10, 1000L * epoch + i, i * 3L))
+        .toDF("fk", "seq", "v")
+      t.appendStreamBatch("jmv-feeder", epoch, batch)
+      // epoch 1 also moves the dim (an SCD update landing mid-stream):
+      // the same refresh folds BOTH feeds, no rebuild
+      if (epoch == 1) d.update(col("fk") === 4, Map("grp" -> lit("gMoved")))
+      mv.refresh()
+      check(epoch)
+    }
+    assert(mv.view.history.filter(col("operation") === "MV REMATERIALIZE")
+      .count() == 0, "the streaming loop must never pay a rebuild")
+  }
+
   test("MoR streaming upsert: epochs commit DVs + appends, no candidate rewrites") {
     val orders = graft.Tables(spark, sfDir, "orders")
     val t = GraftTable.create(spark, tmpDir("stream-upsert-mor"),
