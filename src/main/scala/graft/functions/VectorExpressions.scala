@@ -267,6 +267,56 @@ object CosineScores {
   }
 }
 
+/** Fused Euclidean-distance kernel, [[CosineScores]]'s L2 sibling:
+  * one corpus row against every plan-constant query vector in a
+  * single pass, returning NEGATED distances (−√Σ(vᵢ−qᵢ)²) so the
+  * shared max-keeping [[ScoreTopK]] aggregate keeps the NEAREST
+  * neighbors — one bounded top-k path serves every metric.
+  */
+case class L2Scores(child: Expression, qvs: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    L2Scores.kernel(v.asInstanceOf[ArrayData], qvs, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qvs", qvs, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.L2Scores.kernel($c, $ref, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): L2Scores =
+    copy(child = c)
+}
+
+object L2Scores {
+  def kernel(v: ArrayData, qvs: Array[Array[Double]], isFloat: Boolean): ArrayData = {
+    val ne = v.numElements()
+    val out = new Array[Any](qvs.length)
+    var q = 0
+    while (q < qvs.length) {
+      val qv = qvs(q)
+      val n = math.min(ne, qv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val d = x - qv(i)
+        acc += d * d
+        i += 1
+      }
+      out(q) = java.lang.Double.valueOf(-math.sqrt(acc))
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Signed random-hyperplane LSH signature, one bit per plane packed
   * into a long (≤64 planes). Same reference-object trick as
   * [[TopCentroidIds]]: the plane matrix is a plan constant, not a

@@ -69,6 +69,35 @@ object Similarity {
     * vectors. Selectivity multiplies INTO the scan cost instead of
     * being paid after it.
     */
+  /** Euclidean (L2) nearest-neighbor top-k — the metric-general twin
+    * of [[simBruteforceTopk]]: identical fused-kernel + bounded-top-k
+    * shape, with [[graft.functions.L2Scores]] emitting negated
+    * distances so the same max-keeping [[graft.functions.ScoreTopK]]
+    * aggregate keeps the NEAREST rows. One scan, no shuffle wider
+    * than partitions·nq·k — the metric changes one expression, not
+    * the plan.
+    */
+  def simL2Topk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{L2Scores, ScoreTopK}
+    import org.apache.spark.sql.GraftSqlShims
+    val emb = Tables(spark, dir, "embeddings")
+    val qvs = emb.filter(col("vec_id") < QuerySetSize).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"),
+        GraftSqlShims.column(L2Scores(
+          GraftSqlShims.expression(col("embedding")), qvs)).as("negd"))
+      .select(GraftSqlShims.column(ScoreTopK(
+          GraftSqlShims.expression(col("cid")),
+          GraftSqlShims.expression(col("negd")),
+          qvs.length, TopK).toAggregateExpression()).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r.qid"), col("r.cid"),
+        round(-col("r.cos"), 4).as("dist"), col("r.rn"))
+      .orderBy("qid", "rn")
+  }
+
   def simFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{CosineScores, ScoreTopK}
     import org.apache.spark.sql.GraftSqlShims
