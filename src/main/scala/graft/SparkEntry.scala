@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.dedupSubstring _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_l2_topk" -> Similarity.simL2Topk _,
+    "sim_mips_topk" -> Similarity.simMipsTopk _,
     "sim_filtered_topk" -> Similarity.simFilteredTopk _,
     "sim_knn_join" -> Similarity.simKnnJoin _,
     "sim_sq_topk" -> Similarity.simSqTopk _,
@@ -1181,6 +1182,16 @@ object SparkEntry {
         "SELECT qid, cid, d_raw, ROW_NUMBER() OVER (PARTITION BY qid " +
         "ORDER BY d_raw, cid) AS rn FROM s) SELECT qid, cid, " +
         "ROUND(d_raw, 4) AS dist, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 " +
+        "ORDER BY qid, rn"),
+    // MIPS top-k: raw inner product, largest-is-best, same tie-break
+    "sim_mips_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
+        "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
+        "FROM embeddings WHERE vec_id >= 10), s AS (SELECT qid, cid, " +
+        "list_inner_product(qe, ce) AS dot_raw FROM q CROSS JOIN c), r AS (" +
+        "SELECT qid, cid, dot_raw, ROW_NUMBER() OVER (PARTITION BY qid " +
+        "ORDER BY dot_raw DESC, cid) AS rn FROM s) SELECT qid, cid, " +
+        "ROUND(dot_raw, 4) AS dot, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 " +
         "ORDER BY qid, rn"),
     // filtered vector search: identical exact-cosine chain, corpus
     // pre-filtered on the metadata predicate before any vector math

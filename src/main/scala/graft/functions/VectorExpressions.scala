@@ -317,6 +317,54 @@ object L2Scores {
   }
 }
 
+/** Fused inner-product kernel (MIPS — maximum-inner-product search,
+  * the metric recommendation/retrieval models train for): raw dot of
+  * one corpus row against every plan-constant query vector. Largest
+  * IS best, so [[ScoreTopK]] consumes the scores unmodified.
+  */
+case class InnerScores(child: Expression, qvs: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    InnerScores.kernel(v.asInstanceOf[ArrayData], qvs, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qvs", qvs, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.InnerScores.kernel($c, $ref, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): InnerScores =
+    copy(child = c)
+}
+
+object InnerScores {
+  def kernel(v: ArrayData, qvs: Array[Array[Double]], isFloat: Boolean): ArrayData = {
+    val ne = v.numElements()
+    val out = new Array[Any](qvs.length)
+    var q = 0
+    while (q < qvs.length) {
+      val qv = qvs(q)
+      val n = math.min(ne, qv.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += qv(i) * x
+        i += 1
+      }
+      out(q) = java.lang.Double.valueOf(dot)
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Signed random-hyperplane LSH signature, one bit per plane packed
   * into a long (≤64 planes). Same reference-object trick as
   * [[TopCentroidIds]]: the plane matrix is a plan constant, not a

@@ -98,6 +98,33 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Maximum-inner-product (MIPS) top-k — the third metric on the
+    * shared fused-kernel + bounded-top-k chassis (what two-tower
+    * retrieval and recommendation models score with). Raw dot is
+    * already max-is-best, so [[graft.functions.ScoreTopK]] consumes
+    * [[graft.functions.InnerScores]] unmodified.
+    */
+  def simMipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{InnerScores, ScoreTopK}
+    import org.apache.spark.sql.GraftSqlShims
+    val emb = Tables(spark, dir, "embeddings")
+    val qvs = emb.filter(col("vec_id") < QuerySetSize).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"),
+        GraftSqlShims.column(InnerScores(
+          GraftSqlShims.expression(col("embedding")), qvs)).as("dots"))
+      .select(GraftSqlShims.column(ScoreTopK(
+          GraftSqlShims.expression(col("cid")),
+          GraftSqlShims.expression(col("dots")),
+          qvs.length, TopK).toAggregateExpression()).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r.qid"), col("r.cid"),
+        round(col("r.cos"), 4).as("dot"), col("r.rn"))
+      .orderBy("qid", "rn")
+  }
+
   def simFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{CosineScores, ScoreTopK}
     import org.apache.spark.sql.GraftSqlShims
