@@ -324,6 +324,112 @@ object TextOps {
     * never ships long arrays; one codegen'd pass per row, no explode,
     * no shuffle beyond the final sort.
     */
+  /** Distributed BPE merge training (the tokenizer-induction step of
+    * an LLM data pipeline): learn the first `rounds` byte-pair merges
+    * from the corpus, greedy highest-count-first with a deterministic
+    * (count desc, pair asc) tie-break.
+    *
+    * Scale shape — the classic one: the corpus is scanned ONCE into a
+    * distinct-word frequency table (the shuffle is vocab-sized, and
+    * every later round runs over THAT table, never the corpus).
+    * Symbol sequences live as space-joined strings, so each round is
+    * (a) adjacent-pair counting via the existing codegen'd
+    * `graft_bigrams` kernel + a map-side-combined sum, (b) a 1-row
+    * `limit(1)` top-pair collect (the only driver traffic: one pair
+    * per round), and (c) one compiled boundary-anchored
+    * `regexp_replace` applying the merge greedy-left-to-right —
+    * `(?<=^| )a b(?=$| )` keeps matching after a zero-gap so
+    * `b b b b` merges to `bb bb`, exactly reference BPE. Eager
+    * localCheckpoint per round caps lineage like the CC loop.
+    */
+  private[operators] def bpeMerges(words: DataFrame, rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    graft.functions.GraftFunctions.register(words.sparkSession)
+    var syms = words
+      .select(regexp_replace(col("word"), "(?<=.)(?=.)", " ").as("syms"),
+        col("cnt"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val top = syms
+        .select(explode(expr("graft_bigrams(syms)")).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((r + 1L, a, b, top(0).getLong(1)))
+        val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+          java.util.regex.Pattern.quote(b) + "(?=$| )"
+        syms = syms
+          .select(regexp_replace(col("syms"), lit(pat), lit(a + b)).as("syms"),
+            col("cnt"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** BPE trainer over the `documents` corpus: the first 16 merges as
+    * (rank, left, right, merged, pair_count). Iterative (each round
+    * depends on the last merge), so correctness is spec-anchored to
+    * an in-test reference implementation rather than a SQL oracle.
+    */
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    bpeMerges(words, 16)
+      .toDF("rank", "left", "right", "pair_count")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+      .orderBy("rank")
+  }
+
+  /** Apply trained BPE merges: segment the corpus under a merge list
+    * and report per-doc token counts (the "how long is my corpus in
+    * MY tokenizer" question every data budget starts with).
+    *
+    * Scale shape: merges apply to the DISTINCT-WORD table, not the
+    * corpus — with no pair counting between rounds the whole merge
+    * list composes into ONE projection (16 compiled regexp_replaces,
+    * single pass over the vocab), and documents join the word→token
+    * count map on the word key. The corpus is scanned once to
+    * tokenize and once to join; merge depth never re-scans it.
+    */
+  private[operators] def bpeSegmentCounts(words: DataFrame,
+      merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    val syms = merges.foldLeft(
+        regexp_replace(col("word"), "(?<=.)(?=.)", " ")) {
+      case (acc, (_, a, b, _)) =>
+        regexp_replace(acc, lit("(?<=^| )" +
+          java.util.regex.Pattern.quote(a) + " " +
+          java.util.regex.Pattern.quote(b) + "(?=$| )"), lit(a + b))
+    }
+    words.select(col("word"), size(split(syms, " ")).cast("long").as("n_tok"))
+  }
+
+  def textBpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val words = docs.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val merges = bpeMerges(words, 16)
+    docs.join(bpeSegmentCounts(words.select("word"), merges), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   def textWinnow(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WinnowFingerprints
     import org.apache.spark.sql.GraftSqlShims

@@ -121,6 +121,85 @@ class OperatorsSpec extends GraftSparkSpec {
     assert(splits.getOrElse("validation", 0L) + splits.getOrElse("test", 0L) > 0)
   }
 
+  test("BPE merges equal a reference implementation, ties and overlaps included") {
+    import spark.implicits._
+    // reference BPE: count all adjacent symbol pairs weighted by word
+    // frequency, take (count desc, pair asc), merge greedy
+    // left-to-right, repeat
+    def refBpe(words: Map[String, Long], rounds: Int)
+        : Seq[(Long, String, String, Long)] = {
+      var tbl: Map[Vector[String], Long] =
+        words.groupMapReduce(w => w._1.map(_.toString).toVector)(_._2)(_ + _)
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        tbl.foreach { case (v, c) =>
+          v.indices.dropRight(1).foreach { i =>
+            counts((v(i), v(i + 1))) =
+              counts.getOrElse((v(i), v(i + 1)), 0L) + c
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((a, b), pc) = counts.toSeq
+            .minBy { case ((x, y), c) => (-c, s"$x $y") }
+          out += ((r.toLong, a, b, pc))
+          tbl = tbl.groupMapReduce { case (v, _) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < v.length) {
+              if (i + 1 < v.length && v(i) == a && v(i + 1) == b) {
+                nb += (a + b); i += 2
+              } else { nb += v(i); i += 1 }
+            }
+            nb.result()
+          }(_._2)(_ + _)
+        }
+      }
+      out.result()
+    }
+    // crafted corpus: a tie (ab vs cd), an overlap run (bbbb), and
+    // repeated words exercising the weighting
+    val words = Map("abab" -> 3L, "cdcd" -> 3L, "bbbb" -> 2L, "abc" -> 1L)
+    val wordsDf = words.toSeq.toDF("word", "cnt")
+    val got = TextOps.bpeMerges(wordsDf, 6)
+    val want = refBpe(words, 6)
+    assert(got == want,
+      s"distributed merges $got must equal reference $want")
+    // the corpus-level trainer produces 16 dense ranks with sane rows
+    val trained = TextOps.textBpeTrain(spark, sfDir).collect()
+    assert(trained.map(_.getLong(0)).toSeq == (1L to 16L),
+      "trainer must emit dense ranks 1..16")
+    trained.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2),
+        "merged symbol must concatenate the pair")
+      assert(r.getLong(4) > 0, "merge counts must be positive")
+    }
+  }
+
+  test("BPE segmentation: token counts bounded by chars, reduced by merges") {
+    import spark.implicits._
+    val words = Seq(("abab", 3L), ("abc", 1L)).toDF("word", "cnt")
+    val merges = TextOps.bpeMerges(words, 2)
+    val seg = TextOps.bpeSegmentCounts(words.select("word"), merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge 1 is (a,b) with count 7 → "abab"=[ab,ab], "abc"=[ab,c];
+    // merge 2 then joins the dominant remainder
+    assert(seg("abc") == 2, s"abc must segment to [ab, c], got ${seg("abc")}")
+    assert(seg("abab") <= 2)
+    val segged = TextOps.textBpeSegment(spark, sfDir)
+    val row = segged.agg(sum("n_words"), sum("n_tokens")).collect()(0)
+    assert(row.getLong(1) >= row.getLong(0),
+      "every word is at least one token")
+    // merges only ever reduce the unmerged (1 token per char) ceiling
+    val charCeil = Tables(spark, sfDir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(sum(length(col("word")).cast("long"))).collect()(0).getLong(0)
+    assert(row.getLong(1) < charCeil,
+      "16 merges must compress below the per-char ceiling")
+  }
+
   test("vocab frequencies are consistent with the corpus token count") {
     val vocab = TextOps.textVocab(spark, sfDir)
     val totalFromVocab = vocab.agg(sum("freq")).collect()(0).getLong(0)
