@@ -90,6 +90,7 @@ object SparkEntry {
     "text_vocab" -> TextOps.textVocab _,
     "text_tfidf" -> TextOps.textTfidf _,
     "text_winnow" -> TextOps.textWinnow _,
+    "text_search" -> TextOps.textSearch _,
     "text_rarity" -> TextOps.textRarity _,
     "text_perplexity" -> TextOps.textPerplexity _,
     "dedup_exact" -> Dedup.dedupExact _,
@@ -1229,6 +1230,15 @@ object SparkEntry {
     // arg_min key biases the unsigned fold by 2^63 so HUGEINT order
     // matches the kernel's signed-long order, then tie-breaks toward
     // the larger position via (2^32-1 − i). Consecutive-dup dedup is
+    // keyword search: AND-match over the materialized inverted index
+    // must equal a direct tokenize-and-filter over the corpus
+    "text_search" ->
+      ("WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +
+        "WHERE term IN ('merge', 'vector') GROUP BY doc_id, term) " +
+        "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS hits FROM tf GROUP BY doc_id " +
+        "HAVING COUNT(DISTINCT term) = 2 ORDER BY doc_id"),
     // plain DISTINCT (selected positions are non-decreasing).
     "text_winnow" ->
       ("WITH docs AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +

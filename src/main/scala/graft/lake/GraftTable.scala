@@ -917,11 +917,82 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         s"$pfx.fingerprint" -> fp)))
   }
 
+  /** Materialize an inverted text index for `textCol`: one
+    * distributed tokenize pass produces (id, term, tf) postings,
+    * written term-clustered (repartition by term + sort within
+    * partitions) so every parquet part carries a tight term min/max —
+    * a keyword query's term equality prunes postings FILES through
+    * footer stats before any row is read. Keyword search then joins
+    * bounded postings instead of scanning document text: at 100 TB a
+    * two-term query reads a few term-clustered parquet ranges, not
+    * the corpus.
+    *
+    * Same contract as the MinHash/PQ/IVF/SQ8 family: fingerprint
+    * idempotence, staleness detectable, OPTIMIZE auto-refresh via the
+    * `graft.text.index` property, vacuum-spared sidecars, and
+    * O(delta) incremental maintenance (append windows write delta
+    * parts, compaction restamps with zero data work, dirty-id windows
+    * consolidate).
+    */
+  def buildTextIndex(idCol: String, textCol: String): Long = {
+    val s = snapshot
+    require(s.schema.fieldNames.contains(idCol), s"no such column: $idCol")
+    require(s.schema.fieldNames.contains(textCol), s"no such column: $textCol")
+    val pfx = s"graft.text.$textCol"
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val fp = GraftTable.pqFingerprint(s)
+    if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
+    def postingsOf(rows: DataFrame): DataFrame =
+      rows.select(col(idCol).cast("long").as("id"),
+          explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    def writePostings(p: DataFrame, rel: String): Unit =
+      p.repartition(col("term")).sortWithinPartitions("term", "id")
+        .write.parquet(s"$path/$rel")
+    for {
+      stamped <- props.get(s"$pfx.version").map(_.toLong)
+      if props.contains(s"$pfx.sidecar")
+      feed <- indexDeltaFeed(stamped, s.version)
+    } return incrementalIndexRefresh(s, fp, pfx, "REFRESH TEXT INDEX",
+      "column" -> textCol, idCol, feed) { ins =>
+      val delta = s"_graft_text/$textCol-delta-${UUID.randomUUID()}"
+      writePostings(postingsOf(ins), delta)
+      delta
+    } { (dirty, fresh) =>
+      val rel = s"_graft_text/$textCol-${UUID.randomUUID()}"
+      writePostings(
+        indexPartsFrom(props, pfx, "").join(dirty, Seq("id"), "left_anti")
+          .unionByName(postingsOf(fresh)), rel)
+      rel
+    }
+    val df = dfForFiles(s, s.activeFiles)
+    val n = df.count()
+    require(n > 0, "cannot build a text index on an empty table")
+    val rel = s"_graft_text/$textCol-${UUID.randomUUID()}"
+    writePostings(postingsOf(df), rel)
+    commitMetadataMerge(
+      info("BUILD TEXT INDEX",
+        params = Map("column" -> textCol, "idColumn" -> idCol),
+        metrics = Map("numDocs" -> n.toString)))(m =>
+      m.copy(properties = m.properties ++ Map(
+        s"$pfx.sidecar" -> rel,
+        s"$pfx.deltas" -> "",
+        s"$pfx.version" -> s.version.toString,
+        s"$pfx.id" -> idCol,
+        s"$pfx.fingerprint" -> fp)))
+  }
+
+  /** Persisted inverted-index postings (id, term, tf), base + deltas. */
+  def textPostings(textCol: String): DataFrame =
+    indexParts(s"graft.text.$textCol")
+
   /** Declared via `graft.pq.index` / `graft.ivf.index` (= "idCol,vecCol")
-    * / `graft.minhash.index` (= "idCol,textCol"):
-    * every OPTIMIZE refreshes the materialized ANN/dedup artifacts
-    * (no-op when the fingerprint is current) — indexes live with the
-    * table's maintenance cycle.
+    * / `graft.minhash.index` / `graft.text.index` (= "idCol,textCol")
+    * / `graft.sq.index`:
+    * every OPTIMIZE refreshes the materialized ANN/dedup/search
+    * artifacts (no-op when the fingerprint is current) — indexes live
+    * with the table's maintenance cycle.
     */
   private def maybeRebuildPqIndex(): Unit = {
     val props = snapshot.metadata.map(_.properties).getOrElse(Map.empty)
@@ -941,6 +1012,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     props.get("graft.sq.index").flatMap(split2).foreach {
       case (idCol, vecCol) => buildSqIndex(idCol, vecCol)
+    }
+    props.get("graft.text.index").flatMap(split2).foreach {
+      case (idCol, textCol) => buildTextIndex(idCol, textCol)
     }
   }
 
@@ -3468,7 +3542,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     def isIndexProp(k: String): Boolean =
       k.startsWith("graft.pq.") || k.startsWith("graft.ivf.") ||
-        k.startsWith("graft.minhash.") || k.startsWith("graft.sq.")
+        k.startsWith("graft.minhash.") || k.startsWith("graft.sq.") ||
+        k.startsWith("graft.text.")
     val sidecarDirs = (props.toSeq.flatMap {
       case (k, v) if k.startsWith("graft.bloom.") => Seq(v)
       case (k, v) if isIndexProp(k) && k.endsWith(".sidecar") => Seq(v)

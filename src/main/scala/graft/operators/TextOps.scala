@@ -430,6 +430,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Keyword search over the L84 OPTIMIZE-materialized inverted
+    * index: AND-match documents containing every query term, ranked
+    * input by total term frequency. The query touches ONLY the
+    * postings sidecar — term-clustered parquet whose footer min/max
+    * prune non-matching files — never the document text; repeat
+    * searches on a 100 TB corpus read a few term ranges.
+    */
+  def textSearch(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("merge", "vector")
+    val docs = Tables(spark, dir, "documents")
+    val t = Similarity.indexFixture(spark, dir, "textidx",
+      "graft.text.index" -> "doc_id,text", docs.count())(docs)
+    t.textPostings("text")
+      .filter(col("term").isin(terms: _*))
+      .groupBy("id")
+      .agg(countDistinct("term").as("n_terms"), sum("tf").as("hits"))
+      .filter(col("n_terms") === terms.length)
+      .select(col("id").as("doc_id"), col("hits"))
+      .orderBy("doc_id")
+  }
+
   def textWinnow(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WinnowFingerprints
     import org.apache.spark.sql.GraftSqlShims

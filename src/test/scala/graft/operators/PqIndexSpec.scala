@@ -94,6 +94,43 @@ class PqIndexSpec extends GraftSparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel, "bands")))
   }
 
+  test("inverted text index: plan reads postings only; incremental append + dirty-id refresh exact") {
+    import spark.implicits._
+    val search = TextOps.textSearch(spark, sfDir)
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("_graft_text"), "query must scan the postings sidecar")
+    assert(!plan.contains("documents.parquet"),
+      "index-backed search must not tokenize the document text")
+    assert(search.count() > 0, "query terms exist in the corpus")
+    // lifecycle on a private table (the shared fixture stays pristine)
+    val t = GraftTable.create(spark, tmpDir("textidx-life"),
+      Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+        (3L, "gamma alpha")).toDF("doc_id", "text"),
+      properties = Map("graft.text.index" -> "doc_id,text"))
+    t.optimize()
+    def freshPostings = t.toDF
+      .select(col("doc_id").as("id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .collect().map(_.toSeq).toSet
+    assert(t.textPostings("text").collect().map(_.toSeq).toSet == freshPostings)
+    // append-only window writes a delta part, no full rebuild
+    t.append(Seq((4L, "delta delta alpha")).toDF("doc_id", "text"))
+    t.optimize()
+    assert(t.snapshot.metadata.get.properties("graft.text.text.deltas").nonEmpty,
+      "an append window must land as a delta part")
+    assert(t.textPostings("text").collect().map(_.toSeq).toSet == freshPostings)
+    // a dirty-id window (update) consolidates exactly
+    t.update(col("doc_id") === 2L, Map("text" -> lit("epsilon only")))
+    t.optimize()
+    assert(t.textPostings("text").collect().map(_.toSeq).toSet == freshPostings,
+      "post-update postings must equal a fresh derivation")
+    // live postings survive vacuum
+    val rel = t.snapshot.metadata.get.properties("graft.text.text.sidecar")
+    t.vacuum(0.0, dryRun = false)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel)))
+  }
+
   test("broadcast-variable assignment is bit-identical to the kernel at k > 1024") {
     import graft.functions.VectorFunctions
     // deterministic synthetic vectors (id-derived, no RNG); k past the
