@@ -70,7 +70,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Project(projList, Join(l: LogicalRelation, r: LogicalRelation,
           Inner, Some(cond), _)), _)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      rewriteJoin(agg, groupingExprs, aggExprs, l, r, cond).getOrElse(agg)
+      rewriteJoin(agg, groupingExprs, aggExprs, l, r, cond, None).getOrElse(agg)
+    // join view + WHERE over view KEY columns only (same whole-group
+    // admissibility as the single-table case)
+    case agg @ Aggregate(groupingExprs, aggExprs,
+        Filter(fcond, Project(projList,
+          Join(l: LogicalRelation, r: LogicalRelation, Inner, Some(cond), _))), _)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      rewriteJoin(agg, groupingExprs, aggExprs, l, r, cond, Some(fcond))
+        .getOrElse(agg)
   }
 
   private def scannedFiles(lr: LogicalRelation): Option[Seq[String]] =
@@ -94,7 +102,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def rewriteJoin(agg: Aggregate, groupingExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], l: LogicalRelation,
-      r: LogicalRelation, cond: Expression): Option[LogicalPlan] = {
+      r: LogicalRelation, cond: Expression,
+      filter: Option[Expression]): Option[LogicalPlan] = {
     val scannedL = scannedFiles(l).getOrElse(return None)
     val scannedR = scannedFiles(r).getOrElse(return None)
     if (scannedL.isEmpty || scannedR.isEmpty) return None
@@ -152,15 +161,33 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .split(",").filter(_.nonEmpty).toSet
     val maxCols = vprops.getOrElse("graft.mv.maxCols", "")
       .split(",").filter(_.nonEmpty).toSet
+    // filter admissibility mirrors the single-table path: a
+    // deterministic predicate over view KEY columns partitions whole
+    // groups, so it runs over stored state with attrs re-targeted
+    filter.foreach { fcond =>
+      if (!fcond.deterministic) return None
+      if (!fcond.references.forall(a => groupCols.contains(a.name))) return None
+    }
     val mvPlan = mv.toDF.queryExecution.analyzed
     val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
     val projections = stateProjections(aggExprs, mvOut, groupCols, sumCols,
       minCols, maxCols, rollup).getOrElse(return None)
-    if (exact) Some(Project(projections, mvPlan))
+    val base: LogicalPlan = filter match {
+      case Some(fcond) =>
+        val remapped = fcond.transform {
+          case a: AttributeReference =>
+            val c = mvOut.get(a.name).getOrElse(return None)
+            if (c.dataType != a.dataType) return None
+            c
+        }
+        Filter(remapped, mvPlan)
+      case None => mvPlan
+    }
+    if (exact) Some(Project(projections, base))
     else {
       val groupAttrs: Seq[Expression] =
         groupNames.map(n => mvOut.get(n).getOrElse(return None))
-      Some(Aggregate(groupAttrs, projections, mvPlan))
+      Some(Aggregate(groupAttrs, projections, base))
     }
   }
 

@@ -279,6 +279,22 @@ class MvRewriteSpec extends GraftSparkSpec {
       val bySeq = src.toDF.join(d.toDF, Seq("fk")).groupBy("seq")
         .agg(sum("v").as("s"))
       assert(!scansView(bySeq, "mvr-jr-view"))
+      // key-only WHERE over the join composes with the rollup
+      def filtered = src.toDF.join(d.toDF, Seq("fk"))
+        .filter(col("grp") =!= "g1").groupBy("grp").agg(sum("v").as("s"))
+      val expectF = {
+        MvCatalog.clear()
+        val r = filtered.collect().map(_.toSeq).toSet
+        MvCatalog.register(mv)
+        r
+      }
+      assert(scansView(filtered, "mvr-jr-view"),
+        "a key-only WHERE over a join view must rewrite")
+      assert(filtered.collect().map(_.toSeq).toSet == expectF)
+      // a WHERE touching a non-key column declines
+      val valueFiltered = src.toDF.join(d.toDF, Seq("fk"))
+        .filter(col("v") > 10).groupBy("grp").agg(sum("v").as("s"))
+      assert(!scansView(valueFiltered, "mvr-jr-view"))
     } finally MvCatalog.clear()
   }
 }
