@@ -91,6 +91,7 @@ object SparkEntry {
     "text_tfidf" -> TextOps.textTfidf _,
     "text_winnow" -> TextOps.textWinnow _,
     "text_search" -> TextOps.textSearch _,
+    "text_phrase" -> TextOps.textPhraseSearch _,
     "text_rarity" -> TextOps.textRarity _,
     "text_perplexity" -> TextOps.textPerplexity _,
     "dedup_exact" -> Dedup.dedupExact _,
@@ -1239,6 +1240,17 @@ object SparkEntry {
         "WHERE term IN ('merge', 'vector') GROUP BY doc_id, term) " +
         "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS hits FROM tf GROUP BY doc_id " +
         "HAVING COUNT(DISTINCT term) = 2 ORDER BY doc_id"),
+    // phrase adjacency: 1-based token ordinals on both sides;
+    // generate_subscripts zips with unnest in DuckDB
+    "text_phrase" ->
+      ("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM d), " +
+        "a AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'), " +
+        "b AS (SELECT doc_id, pos FROM toks WHERE term = 'vector') " +
+        "SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_adj FROM a " +
+        "JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 " +
+        "GROUP BY a.doc_id ORDER BY a.doc_id"),
     // plain DISTINCT (selected positions are non-decreasing).
     "text_winnow" ->
       ("WITH docs AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +

@@ -942,11 +942,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     val fp = GraftTable.pqFingerprint(s)
     if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
+    // positions are 1-based token ordinals — (id, term, tf, positions)
+    // postings serve membership (tf) AND phrase adjacency queries
     def postingsOf(rows: DataFrame): DataFrame =
       rows.select(col(idCol).cast("long").as("id"),
-          explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+          posexplode(split(lower(trim(col(textCol))), "\\s+"))
+            .as(Seq("pos", "term")))
         .filter(length(col("term")) > 0)
-        .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("id", "term").agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos") + 1)).as("positions"))
     def writePostings(p: DataFrame, rel: String): Unit =
       p.repartition(col("term")).sortWithinPartitions("term", "id")
         .write.parquet(s"$path/$rel")
@@ -983,7 +987,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         s"$pfx.fingerprint" -> fp)))
   }
 
-  /** Persisted inverted-index postings (id, term, tf), base + deltas. */
+  /** Persisted inverted-index postings (id, term, tf, positions),
+    * base + deltas.
+    */
   def textPostings(textCol: String): DataFrame =
     indexParts(s"graft.text.$textCol")
 

@@ -437,17 +437,43 @@ object TextOps {
     * prune non-matching files — never the document text; repeat
     * searches on a 100 TB corpus read a few term ranges.
     */
+  private def textIndexFixture(spark: SparkSession,
+      dir: String): graft.lake.GraftTable = {
+    val docs = Tables(spark, dir, "documents")
+    Similarity.indexFixture(spark, dir, "tpidx",
+      "graft.text.index" -> "doc_id,text", docs.count())(docs)
+  }
+
   def textSearch(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("merge", "vector")
-    val docs = Tables(spark, dir, "documents")
-    val t = Similarity.indexFixture(spark, dir, "textidx",
-      "graft.text.index" -> "doc_id,text", docs.count())(docs)
-    t.textPostings("text")
+    textIndexFixture(spark, dir).textPostings("text")
       .filter(col("term").isin(terms: _*))
       .groupBy("id")
       .agg(countDistinct("term").as("n_terms"), sum("tf").as("hits"))
       .filter(col("n_terms") === terms.length)
       .select(col("id").as("doc_id"), col("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Phrase search over the positional postings: documents where the
+    * query terms appear ADJACENT in order, with the occurrence count
+    * — `positions` makes a two-term phrase an array-intersection of
+    * (first term's positions + 1) with the second term's, no document
+    * text and no token re-derivation anywhere. Same file-pruned
+    * term-clustered read as [[textSearch]].
+    */
+  def textPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(w1, w2) = Seq("merge", "vector")
+    val posts = textIndexFixture(spark, dir).textPostings("text")
+    val a = posts.filter(col("term") === w1)
+      .select(col("id"), col("positions").as("pa"))
+    val b = posts.filter(col("term") === w2)
+      .select(col("id"), col("positions").as("pb"))
+    a.join(b, "id")
+      .select(col("id").as("doc_id"),
+        size(array_intersect(transform(col("pa"), p => p + 1), col("pb")))
+          .cast("long").as("n_adj"))
+      .filter(col("n_adj") > 0)
       .orderBy("doc_id")
   }
 

@@ -110,8 +110,9 @@ class PqIndexSpec extends GraftSparkSpec {
     t.optimize()
     def freshPostings = t.toDF
       .select(col("doc_id").as("id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "term")))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos") + 1)).as("positions"))
       .collect().map(_.toSeq).toSet
     assert(t.textPostings("text").collect().map(_.toSeq).toSet == freshPostings)
     // append-only window writes a delta part, no full rebuild
