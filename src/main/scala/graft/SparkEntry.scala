@@ -92,6 +92,7 @@ object SparkEntry {
     "text_winnow" -> TextOps.textWinnow _,
     "text_search" -> TextOps.textSearch _,
     "text_phrase" -> TextOps.textPhraseSearch _,
+    "text_search_ranked" -> TextOps.textSearchRanked _,
     "text_rarity" -> TextOps.textRarity _,
     "text_perplexity" -> TextOps.textPerplexity _,
     "dedup_exact" -> Dedup.dedupExact _,
@@ -1240,6 +1241,19 @@ object SparkEntry {
         "WHERE term IN ('merge', 'vector') GROUP BY doc_id, term) " +
         "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS hits FROM tf GROUP BY doc_id " +
         "HAVING COUNT(DISTINCT term) = 2 ORDER BY doc_id"),
+    // ranked OR retrieval: tf·(⌊log₂N⌋−⌊log₂df⌋) exact-integer
+    // scoring, N = table row count (empty-text docs included)
+    "text_search_ranked" ->
+      ("WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks " +
+        "WHERE term IN ('merge', 'vector', 'customer') GROUP BY doc_id, term), " +
+        "dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+        "nd AS (SELECT COUNT(*) AS n_docs FROM documents) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+        "CAST(SUM(tf * (length(bin(n_docs)) - length(bin(df)))) AS BIGINT) AS score " +
+        "FROM tf JOIN dfq USING (term) CROSS JOIN nd " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     // phrase adjacency: 1-based token ordinals on both sides;
     // generate_subscripts zips with unnest in DuckDB
     "text_phrase" ->

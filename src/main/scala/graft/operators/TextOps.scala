@@ -455,6 +455,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Ranked (OR-semantics) keyword retrieval over the index: docs
+    * matching ANY query term scored by Σ tf·idf, idf the exact-integer
+    * floor-log2 `⌊log₂N⌋−⌊log₂df⌋` (T12/T13's engine-portable trick).
+    * Everything derives from the postings sidecar — df is a re-count
+    * of the already-filtered term rows, N folds from log stats — so
+    * ranking adds no corpus access to the T17 read.
+    */
+  def textSearchRanked(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("merge", "vector", "customer")
+    val posts = textIndexFixture(spark, dir).textPostings("text")
+      .filter(col("term").isin(terms: _*))
+    val dfq = posts.groupBy("term").agg(countDistinct("id").as("df"))
+    val nDocs = lit(Tables(spark, dir, "documents").count())
+    posts.join(dfq, "term")
+      .withColumn("idf_bits",
+        (length(bin(nDocs)) - length(bin(col("df")))).cast("long"))
+      .groupBy("id")
+      .agg(countDistinct("term").as("n_terms"),
+        sum(col("tf") * col("idf_bits")).as("score"))
+      .select(col("id").as("doc_id"), col("n_terms"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Phrase search over the positional postings: documents where the
     * query terms appear ADJACENT in order, with the occurrence count
     * — `positions` makes a two-term phrase an array-intersection of
