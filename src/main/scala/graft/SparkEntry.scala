@@ -111,6 +111,7 @@ object SparkEntry {
     "sim_mips_topk" -> Similarity.simMipsTopk _,
     "sim_filtered_topk" -> Similarity.simFilteredTopk _,
     "sim_knn_join" -> Similarity.simKnnJoin _,
+    "sim_pagerank" -> Similarity.simPagerank _,
     "sim_sq_topk" -> Similarity.simSqTopk _,
     "sim_sq_materialized" -> Similarity.simSqMaterialized _,
     "sim_range" -> Similarity.simRange _,
@@ -423,9 +424,12 @@ object SparkEntry {
     * assignment for BOTH sides, same-cluster candidate pairs, exact
     * cosine + rank — op-for-op with [[graft.operators.Similarity.simKnnJoin]].
     */
-  private def simKnnJoinSql: String = {
+  /** KNN self-join CTE chain ending in `knnr(id_a, id_b, cos_raw, rn)`
+    * — shared by [[simKnnJoinSql]] and [[simPagerankSql]].
+    */
+  private def knnCtes: String = {
     val spill = graft.operators.IvfIndex.Spill
-    s"WITH $embCte, ${ivfQuantizerCtes("emb")}, " +
+    s"$embCte, ${ivfQuantizerCtes("emb")}, " +
       "assign AS (SELECT vec_id, cid_c, CASE WHEN nc > 0 THEN " +
       "list_dot_product(e, c) * (1.0 / sqrt(nc)) ELSE 0.0 END AS score " +
       "FROM emb CROSS JOIN seeds), " +
@@ -436,10 +440,37 @@ object SparkEntry {
       "FROM ca a JOIN ca b USING (cid_c) WHERE a.vec_id <> b.vec_id), " +
       "sc AS (SELECT id_a, id_b, list_cosine_similarity(x.e, y.e) AS cos_raw " +
       "FROM cand JOIN emb x ON x.vec_id = id_a JOIN emb y ON y.vec_id = id_b), " +
-      "r AS (SELECT id_a, id_b, cos_raw, ROW_NUMBER() OVER " +
-      "(PARTITION BY id_a ORDER BY cos_raw DESC, id_b) AS rn FROM sc) " +
+      "knnr AS (SELECT id_a, id_b, cos_raw, ROW_NUMBER() OVER " +
+      "(PARTITION BY id_a ORDER BY cos_raw DESC, id_b) AS rn FROM sc)"
+  }
+
+  private def simKnnJoinSql: String =
+    s"WITH $knnCtes " +
       "SELECT id_a, id_b, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
-      "FROM r WHERE rn <= 3 ORDER BY id_a, rn"
+      "FROM knnr WHERE rn <= 3 ORDER BY id_a, rn"
+
+  /** Exact-integer PageRank replay over the KNN edges: mass at scale
+    * 10¹², `r // outdeg` contributions, `(17·Σ) // 20` damping — all
+    * integer, so the 3 unrolled iterations match Spark bit-for-bit.
+    */
+  private def simPagerankSql: String = {
+    val S = "1000000000000"
+    def iter(prev: String, cur: String): String =
+      s"$cur AS (SELECT nodes.id, CAST((($S * 3) // 20) // n + " +
+        s"(17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS r " +
+        "FROM nodes CROSS JOIN nn LEFT JOIN (" +
+        s"SELECT id_b, SUM($prev.r // deg) AS s FROM edges " +
+        s"JOIN $prev ON $prev.id = edges.id_a JOIN odeg USING (id_a) " +
+        "GROUP BY id_b) c ON c.id_b = nodes.id)"
+    s"WITH $knnCtes, " +
+      "edges AS (SELECT id_a, id_b FROM knnr WHERE rn <= 3), " +
+      "nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM edges " +
+      "UNION ALL SELECT id_b FROM edges)), " +
+      "nn AS (SELECT COUNT(*) AS n FROM nodes), " +
+      "odeg AS (SELECT id_a, COUNT(*) AS deg FROM edges GROUP BY id_a), " +
+      s"r0 AS (SELECT id, $S // n AS r FROM nodes CROSS JOIN nn), " +
+      iter("r0", "r1") + ", " + iter("r1", "r2") + ", " + iter("r2", "r3") +
+      " SELECT id AS vec_id, r AS pr FROM r3 ORDER BY vec_id"
   }
 
   private def simIvfSql: String =
@@ -1151,6 +1182,7 @@ object SparkEntry {
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf" -> simIvfSql,
     "sim_knn_join" -> simKnnJoinSql,
+    "sim_pagerank" -> simPagerankSql,
     "sim_sq_topk" -> simSqSql,
     // the materialized-codes path shares the session chain's scales
     // and code arithmetic, so it shares the full replay oracle

@@ -135,62 +135,66 @@ final class MaterializedAgg private (val spark: SparkSession,
           }
         Seq(factPart, dimPart).flatten
     }
-    val deltaRows = deltaParts.reduce(_ unionByName _)
-    val isInsert = col("__sign") > 0
-    // min/max fold only INSERT-side values (retract rows contribute
-    // null, which min/max ignore) — valid for groups with no retracts;
-    // retracted groups are recomputed below
-    val deltaAggs =
-      sum(col("__sign")).as(CountCol) +: (sumCols.flatMap(c => Seq(
-        sum(col("__sign") * col(c).cast("long")).as(sumName(c)),
-        sum(col("__sign") * when(col(c).isNotNull, 1L).otherwise(0L)).as(cntName(c)))) ++
-        minCols.map(c => min(when(isInsert, col(c))).as(minName(c))) ++
-        maxCols.map(c => max(when(isInsert, col(c))).as(maxName(c))))
-    val delta = deltaRows
-      .groupBy(groupCols.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
-    // fold = union + re-aggregate: groups NULL keys together (a join
-    // on keys would not) and never names columns ambiguously; the
-    // union is view-state-sized + delta-sized, both far below source
-    val stateCols = CountCol +: (sumCols.flatMap(c => Seq(sumName(c), cntName(c))) ++
-      minCols.map(minName) ++ maxCols.map(maxName))
-    val outCols = groupCols ++ stateCols
-    val foldAggs = stateCols.map {
-      case c if c.startsWith("mv_min_") => min(c).as(c)
-      case c if c.startsWith("mv_max_") => max(c).as(c)
-      case c => sum(c).as(c)
-    }
-    val folded = view.toDF.select(outCols.map(col): _*)
-      .unionByName(delta.select(outCols.map(col): _*))
-      .groupBy(groupCols.map(col): _*)
-      .agg(foldAggs.head, foldAggs.tail: _*)
-      .filter(col(CountCol) > 0) // fully-retracted groups disappear
-    // recompute-on-retract: a retraction may have removed a group's
-    // current min/max, which no fold can recover — every group the
-    // change feed RETRACTED from is re-aggregated from the source at
-    // `to`, scoped by a (broadcastable) dirty-key semi-join; clean
-    // groups keep the fold. Null-safe key equality so NULL-keyed
-    // groups route correctly. Without min/max columns the dirty set
-    // is irrelevant (count/sum/cnt fold exactly) and is skipped.
-    val next =
-      if (minCols.isEmpty && maxCols.isEmpty) folded
-      else {
-        val dirty = deltaRows.filter(!isInsert)
-          .select(groupCols.map(col): _*).distinct()
-        val dAlias = dirty.alias("__dk")
-        def keyEq(l: DataFrame): Column = groupCols.map(k =>
-          l(k) <=> org.apache.spark.sql.functions.col(s"__dk.$k")).reduce(_ && _)
-        val clean = folded.join(dAlias, keyEq(folded), "left_anti")
-        val src = inputAt(to)
-        val recomputed = MaterializedAgg.aggregate(
-          src.join(dAlias, keyEq(src), "left_semi"),
-          groupCols, sumCols, minCols, maxCols)
-        clean.unionByName(recomputed)
+    // referenced by the fold aggregate AND the dirty-key set: persist
+    // so the change-feed diffs behind it compute once per refresh
+    val deltaRows = deltaParts.reduce(_ unionByName _).persist()
+    try {
+      val isInsert = col("__sign") > 0
+      // min/max fold only INSERT-side values (retract rows contribute
+      // null, which min/max ignore) — valid for groups with no retracts;
+      // retracted groups are recomputed below
+      val deltaAggs =
+        sum(col("__sign")).as(CountCol) +: (sumCols.flatMap(c => Seq(
+          sum(col("__sign") * col(c).cast("long")).as(sumName(c)),
+          sum(col("__sign") * when(col(c).isNotNull, 1L).otherwise(0L)).as(cntName(c)))) ++
+          minCols.map(c => min(when(isInsert, col(c))).as(minName(c))) ++
+          maxCols.map(c => max(when(isInsert, col(c))).as(maxName(c))))
+      val delta = deltaRows
+        .groupBy(groupCols.map(col): _*)
+        .agg(deltaAggs.head, deltaAggs.tail: _*)
+      // fold = union + re-aggregate: groups NULL keys together (a join
+      // on keys would not) and never names columns ambiguously; the
+      // union is view-state-sized + delta-sized, both far below source
+      val stateCols = CountCol +: (sumCols.flatMap(c => Seq(sumName(c), cntName(c))) ++
+        minCols.map(minName) ++ maxCols.map(maxName))
+      val outCols = groupCols ++ stateCols
+      val foldAggs = stateCols.map {
+        case c if c.startsWith("mv_min_") => min(c).as(c)
+        case c if c.startsWith("mv_max_") => max(c).as(c)
+        case c => sum(c).as(c)
       }
-    view.overwriteWithProperties(next,
-      Map(VersionKey -> to.toString) ++
-        dimFromTo.map { case (_, _, dimTo) => DimVersionKey -> dimTo.toString },
-      "MV REFRESH")
+      val folded = view.toDF.select(outCols.map(col): _*)
+        .unionByName(delta.select(outCols.map(col): _*))
+        .groupBy(groupCols.map(col): _*)
+        .agg(foldAggs.head, foldAggs.tail: _*)
+        .filter(col(CountCol) > 0) // fully-retracted groups disappear
+      // recompute-on-retract: a retraction may have removed a group's
+      // current min/max, which no fold can recover — every group the
+      // change feed RETRACTED from is re-aggregated from the source at
+      // `to`, scoped by a (broadcastable) dirty-key semi-join; clean
+      // groups keep the fold. Null-safe key equality so NULL-keyed
+      // groups route correctly. Without min/max columns the dirty set
+      // is irrelevant (count/sum/cnt fold exactly) and is skipped.
+      val next =
+        if (minCols.isEmpty && maxCols.isEmpty) folded
+        else {
+          val dirty = deltaRows.filter(!isInsert)
+            .select(groupCols.map(col): _*).distinct()
+          val dAlias = dirty.alias("__dk")
+          def keyEq(l: DataFrame): Column = groupCols.map(k =>
+            l(k) <=> org.apache.spark.sql.functions.col(s"__dk.$k")).reduce(_ && _)
+          val clean = folded.join(dAlias, keyEq(folded), "left_anti")
+          val src = inputAt(to)
+          val recomputed = MaterializedAgg.aggregate(
+            src.join(dAlias, keyEq(src), "left_semi"),
+            groupCols, sumCols, minCols, maxCols)
+          clean.unionByName(recomputed)
+        }
+      view.overwriteWithProperties(next,
+        Map(VersionKey -> to.toString) ++
+          dimFromTo.map { case (_, _, dimTo) => DimVersionKey -> dimTo.toString },
+        "MV REFRESH")
+    } finally { deltaRows.unpersist(); () }
   }
 }
 

@@ -456,6 +456,50 @@ object Similarity {
   /** Neighbors kept per vector in [[simKnnJoin]]. */
   private val KnnK = 3
 
+  /** PageRank centrality over the [[simKnnJoin]] similarity graph —
+    * the "which documents are authoritative / representative"
+    * primitive a corpus-curation pass ranks with (and the inverse:
+    * low-centrality outliers for filtering).
+    *
+    * EXACT-INTEGER arithmetic throughout (the repo's floor-log2 /
+    * int64-Lloyd discipline): ranks live as integer mass at scale
+    * 10¹², per-edge contributions are `r div outdeg`, damping is
+    * `(17·Σ) div 20` — every sum is order-independent integer
+    * addition, so the DuckDB oracle matches bit-for-bit where a
+    * float PR would drift with aggregation order. Dangling-node mass
+    * is dropped (simplified PR), identically on both engines.
+    *
+    * Scale shape: 3 power-iteration rounds, each ONE shuffle on the
+    * destination key (edges ⋈ ranks map-side on src, partial-summed
+    * contributions); the graph is the KNN output (≤ k·n edges), never
+    * densified; no driver traffic beyond the node count.
+    */
+  def simPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000000L
+    val edges = simKnnJoin(spark, dir)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("id"), expr(s"$Scale div n").as("r"))
+    (1 to 3).foreach { _ =>
+      val contrib = edges.join(outdeg, "src")
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("r div deg")).as("s"))
+      r = nodes.crossJoin(broadcast(nn))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (expr(s"(($Scale * 3) div 20) div n") +
+            expr("(17 * coalesce(s, 0L)) div 20")).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(col("id").as("vec_id"), col("r").as("pr")).orderBy("vec_id")
+  }
+
   /** [[simIvf]] over assignments MATERIALIZED at OPTIMIZE time: the
     * embeddings live in a GraftTable whose `graft.ivf.index` property
     * makes OPTIMIZE persist the strided-medoid centroids AND every
