@@ -46,11 +46,25 @@ object Cbo {
   def rowCount(t: GraftTable): Option[Long] =
     tableStats(t).values.headOption.map(_.rows)
 
+  /** Single-column informational PRIMARY KEY, if declared. */
+  def primaryKeyColumn(t: GraftTable): Option[String] =
+    t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+      .get("graft.pk").map(_.split(":", 2)(1).split(",").toSeq)
+      .collect { case Seq(one) => one }
+
   /** Estimated selectivity of `column = const` via 1/NDV — the
-    * classic uniform-distribution CBO estimate.
+    * classic uniform-distribution CBO estimate. A declared
+    * single-column PRIMARY KEY is definitionally unique, so its NDV
+    * is the footer-stats row count with no ANALYZE pass — exact where
+    * the sampled NDV is approximate.
     */
-  def equalitySelectivity(t: GraftTable, column: String): Option[Double] =
+  def equalitySelectivity(t: GraftTable, column: String): Option[Double] = {
+    if (primaryKeyColumn(t).contains(column)) {
+      val rows = t.snapshot.activeFiles.flatMap(_.stats.map(_.numRecords)).sum
+      if (rows > 0) return Some(1.0 / rows)
+    }
     tableStats(t).get(column).map(s => 1.0 / math.max(1L, s.distinct))
+  }
 
   /** Estimated surviving rows of an equality filter on `column`. */
   def estimatedRowsAfterEquality(t: GraftTable, column: String): Option[Long] =

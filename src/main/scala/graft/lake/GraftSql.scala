@@ -73,6 +73,10 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*$""".r
   private val addConstraintRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val addPkRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+PRIMARY\s+KEY\s*\(([^)]+)\)(?:\s+NOT\s+ENFORCED)?\s*;?\s*$""".r
+  private val addFkRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+FOREIGN\s+KEY\s*\(([^)]+)\)\s+REFERENCES\s+(\w+)\s*\(([^)]+)\)(?:\s+NOT\s+ENFORCED)?\s*;?\s*$""".r
   private val dropConstraintRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
   private val setPropsRe: Regex =
@@ -510,6 +514,19 @@ final class GraftSql(spark: SparkSession) {
       case addConstraintRe(name, cname, exprSql) =>
         val v = table(name).addConstraint(cname, exprSql)
         Seq(("constraint", cname), ("version", v.toString))
+          .toDF("metric", "value")
+      case addPkRe(name, cname, cols) =>
+        val v = table(name).addPrimaryKey(cname,
+          cols.split(",").map(_.trim).toSeq)
+        Seq(("primaryKey", cname), ("version", v.toString))
+          .toDF("metric", "value")
+      case addFkRe(name, cname, cols, refName, refCols) =>
+        // the referenced table resolves to its PATH so the pointer
+        // outlives this session's name registry
+        val v = table(name).addForeignKey(cname,
+          cols.split(",").map(_.trim).toSeq, table(refName).path,
+          refCols.split(",").map(_.trim).toSeq)
+        Seq(("foreignKey", cname), ("version", v.toString))
           .toDF("metric", "value")
       case dropConstraintRe(name, cname) =>
         val v = table(name).dropConstraint(cname)

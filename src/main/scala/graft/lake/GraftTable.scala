@@ -1983,13 +1983,58 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       readVersion = s.version, metadataConflict = true)
   }
 
-  /** Drop a CHECK constraint: metadata-merge commit removing the
-    * property; future writes stop validating it.
+  /** Informational PRIMARY KEY (Databricks Delta parity — declared
+    * NOT ENFORCED, metadata-only): documents the table's key and
+    * feeds the CBO, which treats a single-column PK's NDV as the row
+    * count by definition ([[Cbo.equalitySelectivity]]) — exact
+    * selectivity with no ANALYZE pass. Writes are NOT validated
+    * against it (the Databricks contract); MERGE's uniqueness guard
+    * remains the enforcement point that matters.
     */
-  def dropConstraint(name: String): Long =
+  def addPrimaryKey(name: String, cols: Seq[String]): Long = {
+    val s = snapshot
+    cols.foreach(c => require(s.schema.fieldNames.contains(c),
+      s"no such column: $c"))
+    require(cols.nonEmpty, "primary key needs columns")
+    require(!s.metadata.exists(_.properties.contains("graft.pk")),
+      "table already declares a primary key (drop it first)")
+    commitMetadataMerge(info("ADD CONSTRAINT", params = Map(
+      "name" -> name, "type" -> "PRIMARY KEY",
+      "columns" -> cols.mkString(","))))(m =>
+      m.copy(properties = m.properties +
+        ("graft.pk" -> s"$name:${cols.mkString(",")}")))
+  }
+
+  /** Informational FOREIGN KEY: records that `cols` reference
+    * `refPath`'s `refCols` — star-schema documentation surfaced by
+    * DESCRIBE DETAIL (a join planner MAY read it to assume key
+    * containment; nothing is enforced, per the Databricks contract).
+    */
+  def addForeignKey(name: String, cols: Seq[String], refPath: String,
+      refCols: Seq[String]): Long = {
+    val s = snapshot
+    cols.foreach(c => require(s.schema.fieldNames.contains(c),
+      s"no such column: $c"))
+    require(cols.nonEmpty && cols.length == refCols.length,
+      "foreign key column lists must be non-empty and same-length")
+    commitMetadataMerge(info("ADD CONSTRAINT", params = Map(
+      "name" -> name, "type" -> "FOREIGN KEY",
+      "columns" -> cols.mkString(","), "references" -> refPath)))(m =>
+      m.copy(properties = m.properties + (s"graft.fk.$name" ->
+        s"${cols.mkString(",")}>$refPath:${refCols.mkString(",")}")))
+  }
+
+  /** Drop a CHECK / PRIMARY KEY / FOREIGN KEY constraint by name:
+    * metadata-merge commit removing the matching property.
+    */
+  def dropConstraint(name: String): Long = {
+    val props = snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    val pkNamed = props.get("graft.pk").exists(_.split(":", 2)(0) == name)
     commitMetadataMerge(
       info("DROP CONSTRAINT", params = Map("name" -> name)))(m =>
-      m.copy(properties = m.properties - s"graft.constraint.$name"))
+      m.copy(properties = m.properties - s"graft.constraint.$name" -
+        s"graft.fk.$name" -- (if (pkNamed) Seq("graft.pk") else Nil)))
+  }
 
   /** Remove one table property (UNSET TBLPROPERTIES) via the same
     * lost-update-safe metadata-merge commit.

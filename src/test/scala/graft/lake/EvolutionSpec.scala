@@ -551,4 +551,33 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(e.getMessage.contains("existing rows are NULL"),
       "the nullful renamed column must refuse")
   }
+
+  test("informational PK/FK: metadata-only, PK feeds exact CBO selectivity") {
+    import spark.implicits._
+    val dim = GraftTable.create(spark, tmpDir("pk-dim"),
+      (1L to 100L).map(k => (k, s"n$k")).toDF("k", "nm"))
+    val fact = GraftTable.create(spark, tmpDir("pk-fact"),
+      (1 to 400).map(i => (i.toLong % 100 + 1, i.toLong)).toDF("k", "v"))
+    val gsql = new GraftSql(spark)
+    gsql.register("pdim", dim.path); gsql.register("pfact", fact.path)
+    gsql.sql("ALTER TABLE pdim ADD CONSTRAINT dim_pk PRIMARY KEY (k) NOT ENFORCED")
+    gsql.sql("ALTER TABLE pfact ADD CONSTRAINT fact_fk FOREIGN KEY (k) " +
+      "REFERENCES pdim (k) NOT ENFORCED")
+    val dprops = dim.snapshot.metadata.get.properties
+    assert(dprops("graft.pk") == "dim_pk:k")
+    val fprops = fact.snapshot.metadata.get.properties
+    assert(fprops("graft.fk.fact_fk") == s"k>${dim.path}:k")
+    // PK selectivity is exact 1/rows with NO ANALYZE having run
+    assert(Cbo.equalitySelectivity(dim, "k").contains(1.0 / 100),
+      "a declared PK must yield exact selectivity from footer stats")
+    // writes are NOT validated (informational contract)
+    dim.append(Seq((1L, "dup")).toDF("k", "nm"))
+    assert(dim.toDF.count() == 101)
+    // a second PK refuses; DROP CONSTRAINT removes by name
+    intercept[IllegalArgumentException](dim.addPrimaryKey("again", Seq("nm")))
+    gsql.sql("ALTER TABLE pdim DROP CONSTRAINT dim_pk")
+    assert(!dim.snapshot.metadata.get.properties.contains("graft.pk"))
+    gsql.sql("ALTER TABLE pfact DROP CONSTRAINT fact_fk")
+    assert(!fact.snapshot.metadata.get.properties.contains("graft.fk.fact_fk"))
+  }
 }
