@@ -108,7 +108,7 @@ final class MaterializedAgg private (val spark: SparkSession,
     // against a 100 TB fact. A fact row whose key misses the dim
     // contributes nothing in either direction, exactly like the full
     // aggregate.
-    val deltaParts: Seq[DataFrame] = dimFromTo match {
+    val deltaParts: Seq[DataFrame] = try dimFromTo match {
       case None =>
         Seq(signed(source.changeFeed(from, to))
           .select(outShape.map(col): _*))
@@ -134,6 +134,12 @@ final class MaterializedAgg private (val spark: SparkSession,
             Some(dcf.join(fact, joinKeys).select(outShape.map(col): _*))
           }
         Seq(factPart, dimPart).flatten
+    } catch {
+      // a fold window that reaches below a log-cleaned checkpoint (the
+      // change feed or a stamped-version snapshot is gone) degrades to
+      // a re-materialization — correct state at full-aggregate cost,
+      // the same contract as the index refreshes' rebuild fallback
+      case scala.util.control.NonFatal(_) => return rematerialize()
     }
     // referenced by the fold aggregate AND the dirty-key set: persist
     // so the change-feed diffs behind it compute once per refresh

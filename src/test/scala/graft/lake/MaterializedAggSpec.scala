@@ -206,6 +206,29 @@ class MaterializedAggSpec extends GraftSparkSpec {
     assert(ops("MV REFRESH") == 4, "the dangling-key append still folds")
   }
 
+  test("a refresh window reaching below cleaned-up logs degrades to a rebuild, exact") {
+    val src = GraftTable.create(spark, tmpDir("mv-clean-src"), li.limit(100))
+    val mv = MaterializedAgg.create(spark, tmpDir("mv-clean-view"), src,
+      Seq("l_returnflag"), Seq("qty_c"))
+    // advance past a checkpoint, then reclaim the pre-checkpoint
+    // commits the stamped window would need
+    (1 to 12).foreach(_ => src.append(li.limit(10)))
+    src.log.cleanupLogs()
+    mv.refresh()
+    assert(viewState(mv) == recompute(src),
+      "a truncated change-feed window must rebuild to the exact state")
+    assert(mv.view.history.filter(col("operation") === "MV REMATERIALIZE")
+      .count() >= 1, "the degraded path must be a re-materialization")
+    // and the NEXT refresh folds incrementally again
+    src.append(li.limit(10))
+    val before = mv.view.history
+      .filter(col("operation") === "MV REFRESH").count()
+    mv.refresh()
+    assert(viewState(mv) == recompute(src))
+    assert(mv.view.history.filter(col("operation") === "MV REFRESH")
+      .count() == before + 1, "post-rebuild refreshes fold again")
+  }
+
   test("join view reopened via forPath reattaches the dim; refresh stays exact") {
     import spark.implicits._
     val src = GraftTable.create(spark, tmpDir("mvj-fp-fact"),
