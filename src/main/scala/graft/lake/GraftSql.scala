@@ -77,6 +77,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+PRIMARY\s+KEY\s*\(([^)]+)\)(?:\s+NOT\s+ENFORCED)?\s*;?\s*$""".r
   private val addFkRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+FOREIGN\s+KEY\s*\(([^)]+)\)\s+REFERENCES\s+(\w+)\s*\(([^)]+)\)(?:\s+NOT\s+ENFORCED)?\s*;?\s*$""".r
+  private val fsckRe: Regex =
+    """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+(\w+)(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val dropConstraintRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
   private val setPropsRe: Regex =
@@ -528,6 +530,8 @@ final class GraftSql(spark: SparkSession) {
           refCols.split(",").map(_.trim).toSeq)
         Seq(("foreignKey", cname), ("version", v.toString))
           .toDF("metric", "value")
+      case fsckRe(name, dry) =>
+        table(name).fsckRepair(dryRun = dry != null)
       case dropConstraintRe(name, cname) =>
         val v = table(name).dropConstraint(cname)
         Seq(("droppedConstraint", cname), ("version", v.toString))

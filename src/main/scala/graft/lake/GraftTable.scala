@@ -3581,6 +3581,40 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * retention window. `dryRun=true` only lists. Truncates time
     * travel, exactly like the reference warns.
     */
+  /** `FSCK REPAIR TABLE` (Delta parity): drop log references to data
+    * files that no longer exist physically (out-of-band deletion,
+    * storage loss) so the table becomes readable again — the
+    * remaining rows, honestly, instead of a permanent scan failure.
+    * Existence checks run as a Spark job over the file list (at 100k
+    * files the driver never serially stats the store); the repair
+    * commit removes only the missing entries (`dataChange = true` —
+    * rows genuinely disappeared, CDC/streaming readers must see it)
+    * and conflicts against concurrent writers via the normal
+    * optimistic protocol. `DRY RUN` lists without committing.
+    */
+  def fsckRepair(dryRun: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    val rootStr = root.toString
+    val rels = s.activeFiles.map(_.path)
+    val missing: Seq[String] =
+      if (rels.isEmpty) Nil
+      else spark.sparkContext.parallelize(rels, math.max(1,
+          math.min(rels.length / 1000 + 1, 64)))
+        .filter(r => !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(rootStr).resolve(r)))
+        .collect().toSeq
+    if (!dryRun && missing.nonEmpty) {
+      val now = System.currentTimeMillis()
+      commitAndCheckpoint(
+        info("FSCK REPAIR TABLE",
+          metrics = Map("numRemovedFiles" -> missing.length.toString)) +:
+          missing.map(RemoveFile(_, now, dataChange = true)),
+        readVersion = s.version)
+    }
+    missing.toDF("missing_file")
+  }
+
   def vacuum(retentionHours: Double, dryRun: Boolean = true): DataFrame = {
     import spark.implicits._
     val s = snapshot

@@ -744,4 +744,36 @@ class LakeSpec extends GraftSparkSpec {
     val out = gsql.sql("GENERATE symlink_format_manifest FOR TABLE mtab")
     assert(out.filter(col("metric") === "manifest").count() == 3)
   }
+
+  test("FSCK repairs out-of-band file loss; DRY RUN only lists") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("fsck"),
+      (1L to 100L).toDF("id").repartition(4))
+    val before = t.toDF.count()
+    assert(before == 100)
+    // lose one data file out-of-band (storage incident)
+    val victim = t.snapshot.activeFiles.head.path
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t.path, victim))
+    // DRY RUN reports without committing
+    val dry = t.fsckRepair(dryRun = true)
+    assert(dry.collect().map(_.getString(0)).toSeq == Seq(victim))
+    assert(t.snapshot.activeFiles.map(_.path).contains(victim),
+      "DRY RUN must not commit")
+    // repair drops exactly the missing reference; reads work again
+    val v0 = t.version
+    t.fsckRepair(dryRun = false)
+    assert(t.version == v0 + 1)
+    assert(!t.snapshot.activeFiles.map(_.path).contains(victim))
+    val after = t.toDF.count()
+    assert(after < before && after > 0,
+      "surviving rows read honestly after repair")
+    // an intact table is a no-op (no commit)
+    val v1 = t.version
+    assert(t.fsckRepair(dryRun = false).count() == 0)
+    assert(t.version == v1)
+    // SQL spelling
+    val gsql = new GraftSql(spark)
+    gsql.register("ftab", t.path)
+    assert(gsql.sql("FSCK REPAIR TABLE ftab DRY RUN").count() == 0)
+  }
 }
