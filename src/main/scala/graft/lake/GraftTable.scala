@@ -287,18 +287,35 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * predicate); correctness never depends on the key set.
     */
   def readDynamicallyPruned(dim: DataFrame, key: String,
+      maxKeys: Int = 10000, versionAsOf: Option[Long] = None): DataFrame =
+    readDynamicallyPrunedMulti(dim, Seq(key), maxKeys, versionAsOf)
+
+  /** Composite-key dynamic file pruning: each key column contributes
+    * its own IN-set (≤ `maxKeys` distinct values) or [min,max] range
+    * conjunct — per-column pruning like the composite-key MERGE's
+    * range prune, evaluated through the full stats+partition+bloom
+    * skipping stack. The conjunction over-approximates the tuple set
+    * (a file surviving every per-column test may hold no matching
+    * TUPLE), which is safe: the caller's join applies the real
+    * predicate.
+    */
+  def readDynamicallyPrunedMulti(dim: DataFrame, keys: Seq[String],
       maxKeys: Int = 10000, versionAsOf: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "dynamic pruning needs at least one key column")
     val s = versionAsOf.map(snapshotAt).getOrElse(snapshot)
-    require(s.schema.fieldNames.contains(key), s"no such column: $key")
-    val keys = dim.select(col(key)).distinct().limit(maxKeys + 1)
-      .collect().map(_.get(0)).filter(_ != null)
-    if (keys.isEmpty) return dfForFiles(s, Nil)
-    val pred =
-      if (keys.length <= maxKeys) col(key).isin(keys.toIndexedSeq: _*)
+    keys.foreach(k =>
+      require(s.schema.fieldNames.contains(k), s"no such column: $k"))
+    val preds = keys.map { key =>
+      val vals = dim.select(col(key)).distinct().limit(maxKeys + 1)
+        .collect().map(_.get(0)).filter(_ != null)
+      if (vals.isEmpty) return dfForFiles(s, Nil)
+      if (vals.length <= maxKeys) col(key).isin(vals.toIndexedSeq: _*)
       else {
         val r = dim.agg(min(col(key)), max(col(key))).head()
         col(key) >= lit(r.get(0)) && col(key) <= lit(r.get(1))
       }
+    }
+    val pred = preds.reduce(_ && _)
     val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns,
       pred, generatedExprs(s))
     dfForFiles(s, bloomPrune(s, kept, pred))

@@ -129,7 +129,7 @@ final class MaterializedAgg private (val spark: SparkSession,
           else {
             val dcf = signed(d.changeFeed(dimFrom, dimTo))
               .select((joinKeys ++ sideCols(dimFields) :+ "__sign").map(col): _*)
-            val fact = source.readDynamicallyPruned(dcf, joinKeys.head,
+            val fact = source.readDynamicallyPrunedMulti(dcf, joinKeys,
               versionAsOf = Some(to))
             Some(dcf.join(fact, joinKeys).select(outShape.map(col): _*))
           }

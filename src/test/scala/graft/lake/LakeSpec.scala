@@ -394,6 +394,24 @@ class LakeSpec extends GraftSparkSpec {
     assert(ranged.join(lowKeys, "l_orderkey").count() == j2)
   }
 
+  test("composite-key dynamic pruning conjoins per-column cuts; join stays exact") {
+    import spark.implicits._
+    // files clustered on (a) so the second column adds a further cut
+    val fact = (0L until 4000L).map(i => (i / 500L, i % 40L, i))
+      .toDF("a", "b", "v").repartitionByRange(8, col("a"))
+      .sortWithinPartitions("a", "b")
+    val t = GraftTable.create(spark, tmpDir("dfp-multi"), fact)
+    val allFiles = t.toDF.inputFiles.length
+    val dim = Seq((1L, 5L), (1L, 7L), (2L, 9L)).toDF("a", "b")
+    val pruned = t.readDynamicallyPrunedMulti(dim, Seq("a", "b"))
+    assert(pruned.inputFiles.length < allFiles,
+      s"expected skipping, scanned ${pruned.inputFiles.length}/$allFiles")
+    val j1 = pruned.join(dim, Seq("a", "b")).count()
+    val j2 = t.toDF.join(dim, Seq("a", "b")).count()
+    assert(j1 == j2 && j1 > 0,
+      "the conjunction over-approximates tuples; the join must equalize")
+  }
+
   test("bloom semi-join filter cuts scanned rows; join result is exact") {
     val fact = li.limit(6000).repartitionByRange(8, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
