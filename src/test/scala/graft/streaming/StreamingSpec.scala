@@ -86,6 +86,43 @@ class StreamingSpec extends GraftSparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream attribution join with watermarks matches the batch join") {
+    // the click-attribution shape: each purchase joins the same
+    // user's clicks in the preceding hour — both sides unbounded
+    // streams, state bounded by the watermark + time-range condition
+    val ev = Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "event_type")
+    val clicksDir = tmpDir("ssj-clicks"); val buysDir = tmpDir("ssj-buys")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .write.mode("overwrite").parquet(clicksDir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id"), col("ts").as("buy_ts"))
+      .write.mode("overwrite").parquet(buysDir)
+    val cSchema = spark.read.parquet(clicksDir).schema
+    val bSchema = spark.read.parquet(buysDir).schema
+    val clicks = spark.readStream.schema(cSchema).parquet(clicksDir)
+      .withWatermark("click_ts", "1 hour")
+    val buys = spark.readStream.schema(bSchema).parquet(buysDir)
+      .withWatermark("buy_ts", "1 hour")
+    val joined = buys.join(clicks,
+      col("buyer_id") === col("user_id") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("buy_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj_out").count()
+    val expected = spark.read.parquet(buysDir).join(
+        spark.read.parquet(clicksDir),
+        col("buyer_id") === col("user_id") &&
+          col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("buy_ts")).count()
+    assert(got == expected && got > 0,
+      s"stream-stream join must equal batch: $got vs $expected")
+  }
+
   test("stateful sessionization with flatMapGroupsWithState") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
