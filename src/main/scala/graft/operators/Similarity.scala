@@ -449,7 +449,8 @@ object Similarity {
     import graft.lake.GraftTable
     val emb = Tables(spark, dir, "embeddings")
     val fpRow = emb.agg(count(lit(1)).as("n"),
-      sum(xxhash64(col("vec_id")).bitwiseAND(lit(0xffffffffL))).as("h")).head()
+      sum(xxhash64(col("vec_id"), col("embedding"))
+        .bitwiseAND(lit(0xffffffffL))).as("h")).head()
     val fp = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
     val path = LakeOps.workDirPath(dir, "knnedges")
     val valid = !forceBuild && GraftTable.isGraftTable(path) &&
