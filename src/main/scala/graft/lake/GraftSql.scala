@@ -172,7 +172,7 @@ final class GraftSql(spark: SparkSession) {
         val t = table(name)
         val metrics =
           if (zcols != null)
-            t.zorderWhere(128L * 1024 * 1024,
+            t.zorderWhere(0L,
               Option(whereCond).map(expr),
               zcols.split(",").map(_.trim).toIndexedSeq: _*)
           else {

@@ -3260,10 +3260,32 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * degraded (many incremental passes each clustered only within
     * their own file set).
     */
-  def optimize(targetBytes: Long = 128L * 1024 * 1024,
+  /** Target-file-size resolution (Databricks auto-tune parity):
+    * explicit caller value > `graft.targetFileSize` property > a tier
+    * keyed on total active bytes (128 MB under 10 GB, 256 MB under
+    * 100 GB, 512 MB under 1 TB, 1 GB above) — larger tables want
+    * larger files so file-count metadata stays bounded at 100 TB.
+    */
+  private def resolveTargetBytes(s: Snapshot): Long = {
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    props.get("graft.targetFileSize").map(_.toLong).getOrElse {
+      val total = s.activeFiles.map(_.size).sum
+      val GB = 1024L * 1024 * 1024
+      if (total < 10 * GB) 128L * 1024 * 1024
+      else if (total < 100 * GB) 256L * 1024 * 1024
+      else if (total < 1024 * GB) 512L * 1024 * 1024
+      else GB
+    }
+  }
+
+  /** `targetBytes = 0` (the default) auto-resolves via
+    * [[resolveTargetBytes]]; an explicit positive value wins.
+    */
+  def optimize(targetBytes: Long = 0L,
                where: Option[Column] = None,
                full: Boolean = false): Map[String, String] = {
     val s = snapshot
+    val target = if (targetBytes > 0) targetBytes else resolveTargetBytes(s)
     where.foreach(validatePredicate(s, _))
     // CLUSTER BY (liquid-clustering-lite): a persisted clustering spec
     // makes plain OPTIMIZE apply the Z-order layout automatically —
@@ -3309,9 +3331,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
               GraftTable.dvMaskedFiles(dvPaths.toIndexedSeq, s.activeFiles, dataPath)
             }
           val scope = (newFiles ++ maskedActive).distinctBy(_.path)
-          zorderFiles(s, scope, targetBytes, clusterCols,
+          zorderFiles(s, scope, target, clusterCols,
             retireDvs = s.dvFiles.nonEmpty)
-        case None => zorderWhere(targetBytes, where, clusterCols: _*)
+        case None => zorderWhere(target, where, clusterCols: _*)
       }
       // stamp the applying commit (only for unscoped passes — a WHERE
       // rewrite covers part of the table and must not claim it all)
@@ -3334,7 +3356,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case None => s.activeFiles
     }
     val compactable = scoped.groupBy(_.partitionValues).toSeq
-      .map { case (pv, files) => pv -> files.filter(_.size < targetBytes) }
+      .map { case (pv, files) => pv -> files.filter(_.size < target) }
       .filter(_._2.size >= 2)
     // partitions whose small files fit ONE target file compact together
     // in a single Spark job (shuffle on the partition columns maps each
@@ -3342,7 +3364,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // of partitions this is 1 job instead of 1 job per partition —
     // the difference between minutes and hours of driver-serial work.
     val (single, multi) = compactable.partition {
-      case (_, files) => files.map(_.size).sum <= targetBytes
+      case (_, files) => files.map(_.size).sum <= target
     }
     if (single.nonEmpty) {
       val files = single.flatMap(_._2)
@@ -3367,20 +3389,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // oversized partitions (rare: they exceed the target alone) still
     // bin per-partition so each gets its own output-file count
     multi.foreach { case (_, small) =>
-      val nOut = math.max(1, math.ceil(small.map(_.size).sum.toDouble / targetBytes).toInt)
+      val nOut = math.max(1, math.ceil(small.map(_.size).sum.toDouble / target).toInt)
       // V-Order with several output files: range-partition on the sort
       // columns so files carry DISJOINT value ranges — file-level
       // min/max stats then prune scans by value, the physical payoff
       // the reference demos after OPTIMIZE VORDER
       val df0 = layoutRewriteSource(s, small)
-      val (df, target) =
+      val (df, targetFilesOpt) =
         if (vcols.isEmpty) (df0, Some(nOut))
         else if (nOut <= 1)
           (df0.repartition(1).sortWithinPartitions(vcols.map(col): _*), None)
         else (df0.repartitionByRange(nOut, vcols.map(col): _*)
           .sortWithinPartitions(vcols.map(col): _*), None)
       val adds = stageWrite(df, s.partitionColumns,
-        dataChange = false, targetFiles = target)
+        dataChange = false, targetFiles = targetFilesOpt)
       actions ++= small.map(f =>
         RemoveFile(f.path, System.currentTimeMillis(), dataChange = false))
       actions ++= adds
@@ -3477,12 +3499,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def zorderWhere(targetBytes: Long, where: Option[Column],
                   cols: String*): Map[String, String] = {
     val s = snapshot
+    val target = if (targetBytes > 0) targetBytes else resolveTargetBytes(s)
     where.foreach(validatePredicate(s, _))
     val scoped = where match {
       case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p, generatedExprs(s))
       case None => s.activeFiles
     }
-    zorderFiles(s, scoped, targetBytes, cols)
+    zorderFiles(s, scoped, target, cols)
   }
 
   /** Z-order rewrite of an explicit file subset (the scoped half of
