@@ -148,7 +148,7 @@ final class GraftSql(spark: SparkSession) {
   private val tableChangesRe: Regex =
     """(?is)^\s*TABLE\s+CHANGES\s+(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s*;?\s*$""".r
   private val mergeRe: Regex =
-    """(?is)^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$""".r
+    """(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$""".r
   private val mergeOnRe: Regex =
     """(?is)^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$""".r
   private val mergeClauseRe: Regex =
@@ -611,8 +611,8 @@ final class GraftSql(spark: SparkSession) {
         val m = mergeRe.findFirstMatchIn(maskLiterals(stmt)).get
         def slice(g: Int): String =
           if (m.start(g) < 0) null else stmt.substring(m.start(g), m.end(g))
-        executeSqlMerge(slice(1), Option(slice(2)), slice(3), Option(slice(4)),
-          slice(5), slice(6))
+        executeSqlMerge(slice(2), Option(slice(3)), slice(4), Option(slice(5)),
+          slice(6), slice(7), evolve = slice(1) != null)
       case other =>
         // register snapshots (incl. any VERSION AS OF rewrites) and
         // delegate to Spark SQL
@@ -678,7 +678,8 @@ final class GraftSql(spark: SparkSession) {
     */
   private def executeSqlMerge(tName: String, tAlias: Option[String],
       sName: String, sAlias: Option[String],
-      onClause: String, clauseTail: String): DataFrame = {
+      onClause: String, clauseTail: String,
+      evolve: Boolean = false): DataFrame = {
     import spark.implicits._
     val tgtAliases = (tAlias.toSeq :+ tName).map(_.toLowerCase)
     val srcAliases = (sAlias.toSeq :+ sName).map(_.toLowerCase)
@@ -720,6 +721,7 @@ final class GraftSql(spark: SparkSession) {
     val updateSetRe = """(?is)^UPDATE\s+SET\s+(.+)$""".r
     var b = table(tName).mergeBuilder(source, keys)
       .whenMatchedKeep().whenNotMatchedIgnore()
+    if (evolve) b = b.withSchemaEvolution()
     if (residConjs.nonEmpty)
       b = b.onCondition(expr(rewrite(
         residConjs.map(c => s"($c)").mkString(" AND "))))

@@ -375,6 +375,27 @@ class MergeBuilderSpec extends GraftSparkSpec {
     }
   }
 
+  test("SQL MERGE WITH SCHEMA EVOLUTION adds new source columns") {
+    val o = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val t = GraftTable.create(spark, tmpDir("mb-evolve-sql"), o)
+    val src = o.filter(col("o_orderkey") < 100)
+      .withColumn("o_channel", lit("web"))
+    val gsql = new GraftSql(spark)
+    gsql.register("etab", t.path)
+    src.createOrReplaceTempView("esrc")
+    // without the keyword the extra column still refuses loudly
+    intercept[IllegalArgumentException] {
+      gsql.sql("MERGE INTO etab USING esrc ON etab.o_orderkey = esrc.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    gsql.sql("MERGE WITH SCHEMA EVOLUTION INTO etab USING esrc " +
+      "ON etab.o_orderkey = esrc.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(t.snapshot.schema.fieldNames.contains("o_channel"))
+    assert(t.toDF.filter(col("o_channel").isNotNull).count() == src.count())
+  }
+
   test("residual ON predicate: only-if-newer upsert, CoW and MoR agree") {
     val o = Tables(spark, sfDir, "orders")
     // half the source rows carry a HIGHER price (should update), half a
