@@ -125,6 +125,7 @@ object SparkEntry {
     "pipe_stratified_sample" -> Pipeline.pipeStratifiedSample _,
     "pipe_curriculum" -> Pipeline.pipeCurriculum _,
     "pipe_cluster_sample" -> Pipeline.pipeClusterSample _,
+    "pipe_token_budget" -> Pipeline.pipeTokenBudget _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
@@ -1393,6 +1394,17 @@ object SparkEntry {
     // cluster-balanced sampling: the shared Lloyd-refined quantizer
     // assigns every vector top-1, a per-cluster row_number keeps the 4
     // lowest ids — replays Pipeline.pipeClusterSample exactly
+    // token-budget selection: inclusive running total over the
+    // (quality desc, doc_id) order, integer 40% budget
+    "pipe_token_budget" ->
+      ("WITH d AS (SELECT doc_id, " + wsTok + " AS n_tokens, " +
+        "ROUND(LEAST((" + wsTok + ")/100.0, 1.0)*0.5 + " +
+        "(1.0 - (CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT))" +
+        "/GREATEST(CAST(length(text) AS BIGINT), 1.0))*0.5, 4) AS q FROM documents), " +
+        "tot AS (SELECT SUM(n_tokens) AS t FROM d), " +
+        "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum FROM d) " +
+        "SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens FROM c CROSS JOIN tot " +
+        "WHERE cum <= t * 2 // 5 ORDER BY doc_id"),
     "pipe_cluster_sample" ->
       ("WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
         ivfQuantizerCtes("emb0") + ", " +

@@ -340,4 +340,51 @@ object Pipeline {
     * 8·quota·√n rows: a sample that GROWS sublinearly with the corpus.
     */
   val ClusterSampleQuota = 4
+
+  /** Token-budget corpus selection: fill 40% of the corpus's token
+    * mass with the best documents, quality-first — the "what fits in
+    * my training budget" cut every data mix starts from. Selection is
+    * the prefix of the (quality desc, doc_id) order whose INCLUSIVE
+    * running token total stays within budget.
+    *
+    * Scale shape: the running total is a distributed EXACT cumulative
+    * sum — cluster-wide range sort on the rank key, per-partition
+    * token totals (one number per partition to the driver), scanned
+    * offsets back out, each partition adds its offset to a local
+    * running sum. The same two-phase discipline as textVocab's rank:
+    * no `Window.orderBy` over the whole corpus funneling every row
+    * through one reducer.
+    */
+  def pipeTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("q"))
+    val sorted = docs.repartitionByRange(32, col("q").desc, col("doc_id"))
+      .sortWithinPartitions(col("q").desc, col("doc_id"))
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.map(_.getLong(1)).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val budget = offsets.last * 2 / 5
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val t = r.getLong(1); acc += t
+        org.apache.spark.sql.Row(r.getLong(0), t, acc)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+      .filter(col("cum_tokens") <= budget)
+      .orderBy("doc_id")
+  }
 }
