@@ -358,7 +358,10 @@ object LakeOps {
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
     val src = graft.lake.GraftTable.create(spark, workDir(dir, "mvjfact"),
       fact, properties = Map("graft.cdf" -> "true"))
-    val d = graft.lake.GraftTable.create(spark, workDir(dir, "mvjdim"), dimDf)
+    // CDF on the dim too: an SCD dim's updates then feed the fold as
+    // CDC sidecars instead of a two-snapshot diff per refresh
+    val d = graft.lake.GraftTable.create(spark, workDir(dir, "mvjdim"), dimDf,
+      properties = Map("graft.cdf" -> "true"))
     val mv = graft.lake.MaterializedAgg.createJoin(spark, workDir(dir, "mvj"),
       src, d, Seq("l_orderkey"), Seq("o_orderpriority"), Seq("qty_c"))
     src.delete(col("l_orderkey") % 7 === 0)
