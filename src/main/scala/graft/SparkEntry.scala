@@ -34,6 +34,7 @@ object SparkEntry {
     "q10_conditional_agg" -> Analytics.q10ConditionalAgg _,
     "q11_distinct_parts" -> Analytics.q11DistinctParts _,
     "q12_event_windows" -> Analytics.q12EventWindows _,
+    "q55_gap_fill" -> Analytics.q55GapFill _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -677,6 +678,19 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n, " +
         "ROUND(SUM(value),2) AS sum_value FROM events " +
         "GROUP BY 1,2 ORDER BY 1,2"),
+    // dense (type x hour) grid, zero-filled: generate_series is
+    // inclusive on both ends, matching Spark's sequence()
+    "q55_gap_fill" ->
+      ("WITH span AS (SELECT date_trunc('hour', MIN(ts)) AS lo, " +
+        "date_trunc('hour', MAX(ts)) AS hi FROM events), " +
+        "grid AS (SELECT t.event_type, g.hour_ts FROM " +
+        "(SELECT DISTINCT event_type FROM events) t CROSS JOIN " +
+        "(SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM span) g), " +
+        "c AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2) " +
+        "SELECT grid.event_type, grid.hour_ts, COALESCE(c.cnt, 0) AS n " +
+        "FROM grid LEFT JOIN c USING (event_type, hour_ts) " +
+        "ORDER BY event_type, hour_ts"),
     "q14_asof_join" ->
       ("SELECT p.event_id, MAX(epoch_us(c.ts)) AS last_click_us FROM events p " +
         "JOIN events c ON p.user_id=c.user_id AND c.event_type='click' AND c.ts<=p.ts " +

@@ -155,6 +155,36 @@ object Analytics {
       .orderBy("window_start", "event_type")
   }
 
+  /** Time-series gap fill: the dense (event_type × hour) grid over
+    * the corpus span with ZERO-filled empty buckets — what every
+    * monitoring/forecast consumer needs before resampling (a missing
+    * bucket and a zero bucket are different facts).
+    *
+    * Scale shape: the grid derives from a 1-row [min,max] aggregate
+    * crossed (broadcast) with the small distinct-type set, `sequence`
+    * explodes hours grid-side — |types|·|hours| rows, independent of
+    * event count — and the hourly counts aggregate map-side before
+    * their one shuffle; the grid join is broadcast (grid ≪ counts).
+    */
+  def q55GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val span = e.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val types = e.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val counts = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"))
+    broadcast(grid).join(counts, Seq("event_type", "hour_ts"), "left")
+      .select(col("event_type"), col("hour_ts"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour_ts")
+  }
+
   /** Ordered funnel (view → click → purchase): per-user first-event
     * times chained by strict ts order — each stage only counts users
     * whose event happened AFTER their previous stage's. Three
