@@ -35,6 +35,8 @@ object SparkEntry {
     "q11_distinct_parts" -> Analytics.q11DistinctParts _,
     "q12_event_windows" -> Analytics.q12EventWindows _,
     "q55_gap_fill" -> Analytics.q55GapFill _,
+    "q56_histogram" -> Analytics.q56Histogram _,
+    "q57_regression" -> Analytics.q57Regression _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -678,6 +680,20 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n, " +
         "ROUND(SUM(value),2) AS sum_value FROM events " +
         "GROUP BY 1,2 ORDER BY 1,2"),
+    // algebraic one-pass correlation/regression per group
+    "q57_regression" ->
+      ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "ROUND(corr(l_quantity, l_extendedprice), 4) AS r, " +
+        "ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope, " +
+        "ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    // integer-cents equi-width histogram, identical div arithmetic
+    "q56_histogram" ->
+      ("WITH o AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders), " +
+        "span AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o) " +
+        "SELECT LEAST(((cents - lo) * 20) // (hi - lo + 1), 19) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents " +
+        "FROM o CROSS JOIN span GROUP BY 1 ORDER BY bucket"),
     // dense (type x hour) grid, zero-filled: generate_series is
     // inclusive on both ends, matching Spark's sequence()
     "q55_gap_fill" ->

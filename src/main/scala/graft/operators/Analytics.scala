@@ -185,6 +185,44 @@ object Analytics {
       .orderBy("event_type", "hour_ts")
   }
 
+  /** Equi-width value histogram over order totals: 20 buckets between
+    * the observed [min,max] — the distribution-profiling primitive
+    * behind data-quality dashboards and skew diagnosis. Bucket edges
+    * come from ONE 1-row min/max aggregate (broadcast), bucketing is
+    * integer cents arithmetic (identical in both engines), and the
+    * bucket aggregate map-side-combines into ≤21 rows — nothing
+    * driver-side or shuffle-wide scales with the data.
+    */
+  def q56Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val span = o.agg(min("cents").as("lo"), max("cents").as("hi"))
+    o.crossJoin(broadcast(span))
+      .select(least(expr("((cents - lo) * 20) div (hi - lo + 1)"), lit(19L))
+          .cast("long").as("bucket"),
+        col("cents"), col("lo"), col("hi"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("cents").as("lo_cents"),
+        max("cents").as("hi_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Per-group correlation + least-squares fit (price ~ quantity by
+    * return flag) — the relationship-profiling aggregate behind
+    * anomaly screens. corr/regr_* are algebraic one-pass aggregates
+    * (sums of x, y, xy, x², y²): map-side combined, 3 output rows,
+    * no second scan and nothing value-ordered.
+    */
+  def q57Regression(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   /** Ordered funnel (view → click → purchase): per-user first-event
     * times chained by strict ts order — each stage only counts users
     * whose event happened AFTER their previous stage's. Three
