@@ -232,6 +232,17 @@ final class GraftSink(
     lower.get("optimizeevery").map(_.toLong).getOrElse(0L)
   }
 
+  // `refreshMv = <viewPath>` keeps a materialized view over THIS
+  // table fresh inside the ingest loop: each epoch's exactly-once
+  // append is followed by an O(epoch delta) change-feed fold, so
+  // dashboards read current state without a separate refresh
+  // scheduler. Join views ride the same call (the dim reattaches from
+  // the stored pointer).
+  private val refreshMv: Option[String] = {
+    val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    lower.get("refreshmv")
+  }
+
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = StreamShim.asBatch(data)
     val table =
@@ -240,6 +251,8 @@ final class GraftSink(
     table.appendStreamBatch(appId, batchId, batch)
     if (optimizeEvery > 0 && batchId > 0 && batchId % optimizeEvery == 0)
       table.optimize()
+    refreshMv.foreach(v =>
+      graft.lake.MaterializedAgg.forPath(spark, v, table).refresh())
   }
 
   override def toString: String = s"GraftSink[$path]"

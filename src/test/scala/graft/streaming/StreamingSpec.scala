@@ -320,6 +320,38 @@ class StreamingSpec extends GraftSparkSpec {
       "the sink must have run OPTIMIZE mid-ingest")
   }
 
+  test("sink option refreshMv keeps a materialized view fresh per epoch") {
+    import graft.lake.MaterializedAgg
+    val src = tmpDir("sink-mv-src")
+    Tables(spark, sfDir, "events")
+      .select(col("event_type"), (col("value") * 100).cast("long").as("v_c"))
+      .repartition(5).write.parquet(src)
+    // seed the table + view from the first slice, then stream the rest
+    val seed = spark.read.parquet(src).limit(0)
+    val out = tmpDir("sink-mv-table")
+    val t0 = GraftTable.create(spark, out, seed)
+    val viewDir = tmpDir("sink-mv-view")
+    MaterializedAgg.create(spark, viewDir, t0, Seq("event_type"), Seq("v_c"))
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format("graftlake")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("sink-mv-ckpt"))
+      .option("refreshMv", viewDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val t = GraftTable.forPath(spark, out)
+    val mv = MaterializedAgg.forPath(spark, viewDir, t)
+    val expect = t.toDF.groupBy("event_type")
+      .agg(count(lit(1)).as("c"), sum("v_c").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = mv.toDF.select(col("event_type"), col("mv_count"), col("mv_sum_v_c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, "in-loop refresh must leave the view current at stream end")
+    assert(mv.view.history.filter(col("operation") === "MV REFRESH").count() >= 2,
+      "each epoch must fold the view forward")
+  }
+
   test("streaming into GraftLake + OPTIMIZE compaction loop") {
     val dir = eventsOnDisk("lake-src")
     val schema = spark.read.parquet(dir).schema
