@@ -37,6 +37,7 @@ object SparkEntry {
     "q55_gap_fill" -> Analytics.q55GapFill _,
     "q56_histogram" -> Analytics.q56Histogram _,
     "q57_regression" -> Analytics.q57Regression _,
+    "q58_mode" -> Analytics.q58Mode _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -680,6 +681,14 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n, " +
         "ROUND(SUM(value),2) AS sum_value FROM events " +
         "GROUP BY 1,2 ORDER BY 1,2"),
+    // exact mode, explicit (count desc, value) tie-break both sides
+    "q58_mode" ->
+      ("WITH c AS (SELECT l_returnflag, CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2), " +
+        "r AS (SELECT l_returnflag, qty_c, cnt, ROW_NUMBER() OVER " +
+        "(PARTITION BY l_returnflag ORDER BY cnt DESC, qty_c) AS rn FROM c) " +
+        "SELECT l_returnflag, qty_c AS mode_qty_c, cnt FROM r WHERE rn = 1 " +
+        "ORDER BY l_returnflag"),
     // algebraic one-pass correlation/regression per group
     "q57_regression" ->
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +

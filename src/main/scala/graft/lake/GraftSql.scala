@@ -476,11 +476,23 @@ final class GraftSql(spark: SparkSession) {
           if (s.partitionColumns.isEmpty) ""
           else s"\nPARTITIONED BY (${s.partitionColumns.mkString(", ")})"
         val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+        // informational PK/FK render as their DDL clauses (re-runnable)
+        val pkStr = props.get("graft.pk").map { v =>
+          val Array(n, c) = v.split(":", 2)
+          s",\n  CONSTRAINT $n PRIMARY KEY ($c) NOT ENFORCED"
+        }.getOrElse("")
+        val fkStr = props.toSeq.filter(_._1.startsWith("graft.fk."))
+          .sortBy(_._1).map { case (k, v) =>
+            val n = k.stripPrefix("graft.fk.")
+            val Array(c, ref) = v.split(">", 2)
+            val Array(rp, rc) = ref.split(":", 2)
+            s",\n  CONSTRAINT $n FOREIGN KEY ($c) REFERENCES `$rp` ($rc) NOT ENFORCED"
+          }.mkString
         val propStr =
           if (props.isEmpty) ""
           else "\nTBLPROPERTIES (" + props.toSeq.sortBy(_._1)
             .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")"
-        Seq(s"CREATE TABLE $name (\n$cols\n)\nUSING graftlake$part" +
+        Seq(s"CREATE TABLE $name (\n$cols$pkStr$fkStr\n)\nUSING graftlake$part" +
           s"\nLOCATION '${t.path}'$propStr").toDF("createtab_stmt")
       case createLikeRe(newName, srcName, destPath) =>
         val created = GraftTable.createLike(spark, table(srcName).path, destPath)

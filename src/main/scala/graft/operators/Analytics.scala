@@ -223,6 +223,25 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Exact per-group mode with a deterministic tie-break (most
+    * frequent quantity per return flag; ties → smallest value).
+    * The window ranks DISTINCT (group, value) pairs — cardinality
+    * bounded by distinct values, never raw rows — after a map-side
+    * combined count; DuckDB's mode() has an unspecified tie-break, so
+    * both engines spell the rank explicitly.
+    */
+  def q58Mode(spark: SparkSession, dir: String): DataFrame = {
+    val counted = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), qtyC.as("qty_c"))
+      .groupBy("l_returnflag", "qty_c").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("qty_c"))
+    counted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("qty_c").as("mode_qty_c"), col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   /** Ordered funnel (view → click → purchase): per-user first-event
     * times chained by strict ts order — each stage only counts users
     * whose event happened AFTER their previous stage's. Three

@@ -575,6 +575,12 @@ class EvolutionSpec extends GraftSparkSpec {
     assert(dim.toDF.count() == 101)
     // a second PK refuses; DROP CONSTRAINT removes by name
     intercept[IllegalArgumentException](dim.addPrimaryKey("again", Seq("nm")))
+    // SHOW CREATE renders both as re-runnable constraint clauses
+    val ddl = gsql.sql("SHOW CREATE TABLE pfact").collect()(0).getString(0)
+    assert(ddl.contains("CONSTRAINT fact_fk FOREIGN KEY (k) REFERENCES"),
+      s"FK clause missing from: $ddl")
+    val dimDdl = gsql.sql("SHOW CREATE TABLE pdim").collect()(0).getString(0)
+    assert(dimDdl.contains("CONSTRAINT dim_pk PRIMARY KEY (k) NOT ENFORCED"))
     gsql.sql("ALTER TABLE pdim DROP CONSTRAINT dim_pk")
     assert(!dim.snapshot.metadata.get.properties.contains("graft.pk"))
     gsql.sql("ALTER TABLE pfact DROP CONSTRAINT fact_fk")
