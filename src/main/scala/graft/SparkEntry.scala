@@ -143,6 +143,7 @@ object SparkEntry {
     "mm_content_stats" -> Multimodal.mmContentStats _,
     "mm_png_meta" -> Multimodal.mmPngMeta _,
     "mm_audio_window" -> Multimodal.mmAudioWindow _,
+    "mm_audio_features" -> Multimodal.mmAudioFeatures _,
     "mm_frame_sample" -> Multimodal.mmFrameSample _,
     "mm_resize_plan" -> Multimodal.mmResizePlan _,
     "mm_patch_grid" -> Multimodal.mmPatchGrid _,
@@ -1079,6 +1080,23 @@ object SparkEntry {
         "SELECT MIN(doc_id) AS doc_id, content_hash FROM batch b " +
         "WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.content_hash = b.content_hash) " +
         "GROUP BY content_hash ORDER BY doc_id"),
+    // exact-integer audio features replayed from the SOURCE bytes:
+    // mean = sum // n, crossings/deltas via the position self-join
+    "mm_audio_features" ->
+      ("WITH c AS (SELECT doc_id, ascii(unnest(regexp_split_to_array(text, ''))) AS b, " +
+        "generate_subscripts(regexp_split_to_array(text, ''), 1) AS pos " +
+        "FROM documents WHERE doc_id % 2 = 1 AND length(text) > 0), " +
+        "m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(b) AS BIGINT) // COUNT(*) AS mean FROM c GROUP BY doc_id), " +
+        "f AS (SELECT a.doc_id, CAST(SUM(CASE WHEN (a.b >= m.mean) <> (b2.b >= m.mean) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS cr, CAST(SUM(abs(b2.b - a.b)) AS BIGINT) AS sad " +
+        "FROM c a JOIN c b2 ON a.doc_id = b2.doc_id AND b2.pos = a.pos + 1 " +
+        "JOIN m ON m.doc_id = a.doc_id GROUP BY a.doc_id) " +
+        "SELECT d.doc_id, COALESCE(m.n, 0) AS n_samples, " +
+        "CAST(COALESCE(m.mean, 0) AS BIGINT) AS mean_b, " +
+        "COALESCE(f.cr, 0) AS n_mean_cross, COALESCE(f.sad, 0) AS sum_abs_delta " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d " +
+        "LEFT JOIN m USING (doc_id) LEFT JOIN f USING (doc_id) ORDER BY doc_id"),
     "mm_audio_window" ->
       ("WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents), " +
         "a AS (SELECT doc_id, text, 8000 * (1 << (nb % 3)) AS sample_rate, " +

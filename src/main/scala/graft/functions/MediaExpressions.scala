@@ -279,6 +279,53 @@ object DecodeMedia {
   * content BYTES addressed by parsed header fields, not from side
   * metadata. Unknown formats fold over the whole payload ("raw").
   */
+/** Exact-integer DSP features over a payload's CONTENT span (the
+  * decoded sample bytes, located via the same header walk as
+  * [[MediaContentStats]]): sample count, integer mean (`sum div n`),
+  * MEAN-CROSSING count (adjacent pairs straddling the mean — the
+  * activity measure that stays meaningful where classic zero-crossing
+  * degenerates on unsigned PCM that never leaves one half-range), and
+  * sum of absolute first differences (roughness). All integer
+  * arithmetic, one codegen'd pass — both engines replay it exactly.
+  */
+case class MediaAudioFeatures(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaAudioFeatures.schema
+  override def nullSafeEval(v: Any): Any =
+    MediaAudioFeatures.kernel(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.InternalRow)" +
+        s"graft.functions.MediaAudioFeatures.kernel($c)")
+  override protected def withNewChildInternal(c: Expression): MediaAudioFeatures =
+    copy(c)
+}
+
+object MediaAudioFeatures {
+  val schema: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("mean_b", LongType, nullable = false),
+    StructField("n_mean_cross", LongType, nullable = false),
+    StructField("sum_abs_delta", LongType, nullable = false)))
+
+  def kernel(payload: Array[Byte]): InternalRow = {
+    val (_, off, len) = MediaContentStats.contentSpan(payload)
+    var sum = 0L
+    var i = 0
+    while (i < len) { sum += (payload(off + i) & 0xff).toLong; i += 1 }
+    val mean = if (len == 0) 0L else sum / len
+    var cross = 0L; var sad = 0L
+    i = 1
+    while (i < len) {
+      val a = (payload(off + i - 1) & 0xff).toLong
+      val b = (payload(off + i) & 0xff).toLong
+      if ((a >= mean) != (b >= mean)) cross += 1
+      sad += math.abs(b - a)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](len.toLong, mean, cross, sad))
+  }
+}
+
 case class MediaContentStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = MediaContentStats.schema
   override def nullSafeEval(v: Any): Any =

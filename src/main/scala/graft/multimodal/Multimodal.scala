@@ -102,6 +102,24 @@ object Multimodal {
         col("s.byte_sum").as("byte_sum"))
       .orderBy("doc_id")
 
+  /** Audio feature extraction (oracle-checked): WAV payloads parse
+    * their data chunk and emit exact-integer DSP features — sample
+    * count, integer mean, mean-crossing count, absolute-delta sum —
+    * in one codegen'd [[graft.functions.MediaAudioFeatures]] pass.
+    * The real spectral featurizer would slot in at this seam with
+    * the same (payload → feature struct) shape.
+    */
+  def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame =
+    payloadTable(spark, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .withColumn("f", ge.column(graft.functions.MediaAudioFeatures(
+        ge.expression(col("payload")))))
+      .select(col("doc_id"), col("f.n_samples").as("n_samples"),
+        col("f.mean_b").as("mean_b"),
+        col("f.n_mean_cross").as("n_mean_cross"),
+        col("f.sum_abs_delta").as("sum_abs_delta"))
+      .orderBy("doc_id")
+
   /** Frame sampling plan (oracle-checked): every payload reports a
     * stubbed frame count; up to [[MaxSampledFrames]] frames are picked
     * evenly across the clip (`floor(i * n_frames / k)` — the standard
