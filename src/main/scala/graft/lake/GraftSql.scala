@@ -60,7 +60,7 @@ final class GraftSql(spark: SparkSession) {
   private val createLikeRe: Regex =
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
   private val cloneRe: Regex =
-    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""".r
   private val reorgRe: Regex =
     """(?is)^\s*REORG\s+TABLE\s+(\w+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val bloomRe: Regex =
@@ -498,13 +498,18 @@ final class GraftSql(spark: SparkSession) {
         val created = GraftTable.createLike(spark, table(srcName).path, destPath)
         tables(newName) = created
         Seq(("created", s"$newName LIKE $srcName")).toDF("metric", "value")
-      case cloneRe(newName, mode, srcName, destPath, v) =>
+      case cloneRe(newName, mode, srcName, destPath, v, ts) =>
         val deep = mode.equalsIgnoreCase("DEEP")
+        // TIMESTAMP AS OF resolves through the commit-time index, the
+        // same clock RESTORE and SELECT time travel use
+        val pinned: Option[Long] = Option(v).map(_.toLong).orElse(
+          Option(ts).map(x =>
+            Snapshot.versionAtTimestamp(table(srcName).log, parseTsMillis(x))))
         val cloned =
           if (deep) GraftTable.deepClone(spark, table(srcName).path,
-            destPath, Option(v).map(_.toLong))
+            destPath, pinned)
           else GraftTable.shallowClone(spark, table(srcName).path,
-            destPath, Option(v).map(_.toLong))
+            destPath, pinned)
         tables(newName) = cloned
         Seq(("cloned", s"$srcName -> $newName"),
           ("mode", mode.toLowerCase),

@@ -137,4 +137,21 @@ class CloneSpec extends GraftSparkSpec {
     assert(clone.toDF.count() == 100)
     assert(src.toDF.count() == 150)
   }
+
+  test("SQL clone TIMESTAMP AS OF pins through the commit-time index") {
+    val srcPath = tmpDir("clonets-src")
+    val src = GraftTable.create(spark, srcPath, li.limit(100))
+    val tsAfterSeed = src.history.filter(col("version") === src.version)
+      .collect()(0).getLong(1)
+    src.append(li.limit(50))
+    val g = new GraftSql(spark)
+    g.register("tsrc", srcPath)
+    val destPath = tmpDir("clonets-dst")
+    val tsStr = new java.sql.Timestamp(tsAfterSeed).toString
+    g.sql(s"CREATE TABLE tcl SHALLOW CLONE tsrc LOCATION '$destPath' " +
+      s"TIMESTAMP AS OF '$tsStr'")
+    assert(g.table("tcl").toDF.count() == 100,
+      "the timestamp must resolve to the pre-append snapshot")
+    assert(src.toDF.count() == 150)
+  }
 }
