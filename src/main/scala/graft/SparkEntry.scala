@@ -109,6 +109,7 @@ object SparkEntry {
     "dedup_keep_longest" -> Dedup.dedupKeepLongest _,
     "dedup_embedding" -> Dedup.dedupEmbedding _,
     "dedup_semantic" -> Dedup.dedupSemantic _,
+    "dedup_semantic_materialized" -> Dedup.dedupSemanticMaterialized _,
     "dedup_substring" -> Dedup.dedupSubstring _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_l2_topk" -> Similarity.simL2Topk _,
@@ -1224,6 +1225,30 @@ object SparkEntry {
         "sc AS (SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b, " +
         "ROUND(list_cosine_similarity(da.e, db.e), 4) AS cos FROM p " +
         "JOIN d da ON da.vec_id = id_a JOIN d db ON db.vec_id = id_b) " +
+        "SELECT cluster, id_a, id_b, cos FROM sc WHERE cos >= 0.99 " +
+        "ORDER BY id_a, id_b"),
+    // index-backed SemDeDup: the quantizer trains over the SAME
+    // corpus-plus-variants frame the durable index covers, so the
+    // whole chain (stride seeds, Lloyd rounds, top-1 assignment,
+    // same-cluster pairing, cosine verify) replays over `emb2`
+    "dedup_semantic_materialized" ->
+      ("WITH base AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+        "SELECT vec_id + 100000, list_transform(embedding, (x, i) -> CASE WHEN i = 1 " +
+        "THEN CAST(CAST(x AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT) " +
+        "ELSE x END) FROM embeddings WHERE vec_id < 20), " +
+        "emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM base), " +
+        ivfQuantizerCtes("emb2") + ", " +
+        "assign AS (SELECT vec_id, cid_c, CASE WHEN nc > 0 THEN " +
+        "list_dot_product(e, c) * (1.0 / sqrt(nc)) ELSE 0.0 END AS score " +
+        "FROM emb2 CROSS JOIN seeds), " +
+        "cl AS (SELECT vec_id, cid_c AS cluster FROM (SELECT vec_id, cid_c, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid_c) AS rr " +
+        "FROM assign) r WHERE rr = 1), " +
+        "p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b FROM cl a " +
+        "JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id), " +
+        "sc AS (SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b, " +
+        "ROUND(list_cosine_similarity(da.e, db.e), 4) AS cos FROM p " +
+        "JOIN emb2 da ON da.vec_id = id_a JOIN emb2 db ON db.vec_id = id_b) " +
         "SELECT cluster, id_a, id_b, cos FROM sc WHERE cos >= 0.99 " +
         "ORDER BY id_a, id_b"),
     // fixed 60-char windows at stride 20, md5-fingerprinted; windows in

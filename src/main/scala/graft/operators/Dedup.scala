@@ -397,20 +397,57 @@ object Dedup {
     * trade), and the DuckDB oracle replays the identical medoid
     * assignment so both engines agree on scope exactly.
     */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
-    val cents = IvfIndex.centroids(spark, dir)
-    val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
-    val variants = emb.filter(col("vec_id") < 20)
+  /** Planted near-identical vectors shared by the session and
+    * index-backed SemDeDup variants (+0.05 on dim 0, id offset
+    * +100000).
+    */
+  private def semanticVariants(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 20)
       .select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
-    val all = emb.unionByName(variants)
+
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val cents = IvfIndex.centroids(spark, dir)
+    val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val all = emb.unionByName(semanticVariants(emb))
       .withColumn("cluster",
         element_at(VectorFunctions.topCentroidIds(col("embedding"), cents, 1), 1)
           .cast("long"))
     val a = all.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = all.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= 0.99)
+      .select("cluster", "id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SemDeDup over the L59 OPTIMIZE-materialized IVF index: the
+    * corpus-plus-variants frame lives in a GraftTable whose
+    * `graft.ivf.index` property persists Lloyd-refined centroids and
+    * every row's cluster assignments at OPTIMIZE; the dedup pass then
+    * reads 12-byte assignment rows (rr = 1 → top-1 cluster) instead
+    * of re-scoring embeddings per session — repeat semantic-dedup
+    * sweeps on a 100 TB corpus scan the index sidecar, not the
+    * vectors, until the exact-cosine verify on same-cluster pairs.
+    */
+  def dedupSemanticMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val expected = emb.count() + 20
+    val t = Similarity.indexFixture(spark, dir, "semidx",
+      "graft.ivf.index" -> "vec_id,embedding", expected)(
+      emb.unionByName(semanticVariants(emb)))
+    val top1 = t.ivfAssignments("embedding").filter(col("rr") === 1)
+      .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
+    val vecs = t.toDF.select("vec_id", "embedding")
+    val withCl = top1.join(vecs, "vec_id")
+    val a = withCl.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = withCl.select(col("cluster"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"))
     a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
