@@ -116,6 +116,7 @@ object SparkEntry {
     "sim_mips_topk" -> Similarity.simMipsTopk _,
     "sim_filtered_topk" -> Similarity.simFilteredTopk _,
     "sim_knn_join" -> Similarity.simKnnJoin _,
+    "sim_filtered_ivf" -> Similarity.simFilteredIvf _,
     "sim_pagerank" -> Similarity.simPagerank _,
     "sim_sq_topk" -> Similarity.simSqTopk _,
     "sim_sq_materialized" -> Similarity.simSqMaterialized _,
@@ -479,6 +480,21 @@ object SparkEntry {
       iter("r0", "r1") + ", " + iter("r1", "r2") + ", " + iter("r2", "r3") +
       " SELECT id AS vec_id, r AS pr FROM r3 ORDER BY vec_id"
   }
+
+  /** [[simIvfSql]] with a corpus-side label pre-filter on the
+    * candidate rows — the index-backed "vector search with a WHERE
+    * clause" replay.
+    */
+  private def simFilteredIvfSql: String =
+    s"WITH $embCte, $ivfCandCtes, " +
+      "candf AS (SELECT qid, cid FROM cand JOIN embeddings x ON x.vec_id = cid " +
+      "WHERE x.label IN (2, 5, 7)), " +
+      "sc AS (SELECT qid, cid, list_cosine_similarity(a.e, b.e) AS cos_raw " +
+      "FROM candf JOIN emb a ON a.vec_id = qid JOIN emb b ON b.vec_id = cid), " +
+      "r AS (SELECT qid, cid, cos_raw, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn FROM sc) " +
+      "SELECT qid, cid, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
+      "FROM r WHERE rn <= 5 ORDER BY qid, rn"
 
   private def simIvfSql: String =
     s"WITH $embCte, $ivfCandCtes, " +
@@ -1265,6 +1281,7 @@ object SparkEntry {
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf" -> simIvfSql,
     "sim_knn_join" -> simKnnJoinSql,
+    "sim_filtered_ivf" -> simFilteredIvfSql,
     "sim_pagerank" -> simPagerankSql,
     "sim_sq_topk" -> simSqSql,
     // the materialized-codes path shares the session chain's scales

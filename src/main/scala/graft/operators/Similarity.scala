@@ -557,6 +557,31 @@ object Similarity {
     rerank(t.toDF, cand)
   }
 
+  /** Filtered ANN over the L59 materialized index: the metadata
+    * predicate cuts the CORPUS-side assignment rows before the
+    * cluster join (pre-filtering — k survivors guaranteed within the
+    * probed clusters), so tenant-scoped / label-scoped vector search
+    * reads 12-byte assignment rows plus only the matching vectors.
+    * Shares `sim_ivf_materialized`'s fixture — one durable index
+    * serves both the plain and the filtered search.
+    */
+  def simFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val t = indexFixture(spark, dir, "ivfmat",
+      "graft.ivf.index" -> "vec_id,embedding", EmbCount(spark, dir))(emb)
+    val assign = t.ivfAssignments("embedding")
+    val qa = assign.filter(col("id") < QuerySetSize && col("rr") <= IvfIndex.Probes)
+      .select(col("id").as("qid"), col("cluster"))
+    val keep = emb.filter(col("vec_id") >= QuerySetSize &&
+        col("label").isin(2, 5, 7))
+      .select(col("vec_id").as("cid"))
+    val ca = assign.filter(col("id") >= QuerySetSize && col("rr") <= IvfIndex.Spill)
+      .select(col("id").as("cid"), col("cluster"))
+      .join(keep, "cid")
+    val cand = broadcast(qa).join(ca, "cluster").select("qid", "cid").distinct()
+    rerank(t.toDF, cand)
+  }
+
   /** Exact-cosine re-rank of a bounded candidate id-pair set: the
     * candidate list broadcasts against the corpus scan (no corpus
     * shuffle), query vectors broadcast, and the top-k window runs over
