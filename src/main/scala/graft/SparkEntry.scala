@@ -38,6 +38,7 @@ object SparkEntry {
     "q56_histogram" -> Analytics.q56Histogram _,
     "q57_regression" -> Analytics.q57Regression _,
     "q58_mode" -> Analytics.q58Mode _,
+    "q59_basket" -> Analytics.q59Basket _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -699,6 +700,14 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n, " +
         "ROUND(SUM(value),2) AS sum_value FROM events " +
         "GROUP BY 1,2 ORDER BY 1,2"),
+    // market-basket pairs within orders, total-ordered top-20
+    "q59_basket" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) " +
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20"),
     // exact mode, explicit (count desc, value) tie-break both sides
     "q58_mode" ->
       ("WITH c AS (SELECT l_returnflag, CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c, " +

@@ -242,6 +242,24 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Market-basket co-occurrence: top part pairs ordered together.
+    * The self-join runs WITHIN order keys (hash-partitioned equi-join
+    * on l_orderkey), so pair fan-out is Σ items² per order — bounded
+    * by basket size, never corpus²; pair counts map-side combine and
+    * only the global top-20 (total-ordered tie-break) reach the sort.
+    */
+  def q59Basket(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+    pairs.groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   /** Ordered funnel (view → click → purchase): per-user first-event
     * times chained by strict ts order — each stage only counts users
     * whose event happened AFTER their previous stage's. Three
