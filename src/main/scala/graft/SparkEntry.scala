@@ -96,6 +96,7 @@ object SparkEntry {
     "text_tfidf" -> TextOps.textTfidf _,
     "text_winnow" -> TextOps.textWinnow _,
     "text_search" -> TextOps.textSearch _,
+    "text_langid_eval" -> TextOps.textLangidEval _,
     "text_phrase" -> TextOps.textPhraseSearch _,
     "text_search_ranked" -> TextOps.textSearchRanked _,
     "text_rarity" -> TextOps.textRarity _,
@@ -597,6 +598,23 @@ object SparkEntry {
       "SELECT qid, cid, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
       "FROM r WHERE rn <= 5 ORDER BY qid, rn"
 
+  /** Shared langid prediction chain (doc_id, lang, lang_pred) — the
+    * per-doc oracle orders it; the eval oracle aggregates it.
+    */
+  private val langidCoreSql: String =
+    "SELECT doc_id, lang, CASE " +
+      "WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh' " +
+      "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' " +
+      "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' " +
+      "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM (" +
+      "SELECT doc_id, lang, " +
+      "len(regexp_extract_all(lower(text),'\\b(the|and|of|is|to)\\b')) AS s_en, " +
+      "len(regexp_extract_all(lower(text),'\\b(der|die|das|und|ist)\\b')) AS s_de, " +
+      "len(regexp_extract_all(lower(text),'\\b(el|los|las|es|y)\\b')) AS s_es, " +
+      "len(regexp_extract_all(lower(text),'\\b(le|les|et|est|une)\\b')) AS s_fr, " +
+      "len(regexp_extract_all(text,'[\\x{4e00}-\\x{9fff}]')) AS s_zh " +
+      "FROM documents) t"
+
   private val wsTok = "CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) END"
 
   private val gopherFilterSql: String =
@@ -842,19 +860,13 @@ object SparkEntry {
         s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, $wsTok AS n_words, " +
         "CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT) " +
         "AS n_punct FROM documents) t ORDER BY doc_id"),
-    "text_langid" ->
-      ("SELECT doc_id, lang, CASE " +
-        "WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh' " +
-        "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' " +
-        "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' " +
-        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM (" +
-        "SELECT doc_id, lang, " +
-        "len(regexp_extract_all(lower(text),'\\b(the|and|of|is|to)\\b')) AS s_en, " +
-        "len(regexp_extract_all(lower(text),'\\b(der|die|das|und|ist)\\b')) AS s_de, " +
-        "len(regexp_extract_all(lower(text),'\\b(el|los|las|es|y)\\b')) AS s_es, " +
-        "len(regexp_extract_all(lower(text),'\\b(le|les|et|est|une)\\b')) AS s_fr, " +
-        "len(regexp_extract_all(text,'[\\x{4e00}-\\x{9fff}]')) AS s_zh " +
-        "FROM documents) t ORDER BY doc_id"),
+    "text_langid" -> (langidCoreSql + " ORDER BY doc_id"),
+    // confusion matrix over the same prediction chain: per (labelled,
+    // predicted) pair counts — the eval loop a langid gate needs
+    "text_langid_eval" ->
+      (s"WITH pred AS ($langidCoreSql) " +
+        "SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),
     "text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) " +
         "AS fingerprint FROM documents ORDER BY doc_id"),

@@ -29,6 +29,16 @@ object TextOps {
         qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Confusion matrix over the language-ID heuristic: per (labelled,
+    * predicted) pair counts — the eval loop a langid quality gate
+    * needs before trusting its routing. One re-aggregate of the
+    * prediction chain; ≤ |langs|² output rows.
+    */
+  def textLangidEval(spark: SparkSession, dir: String): DataFrame =
+    textLangid(spark, dir)
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
   /** Per-doc heuristic language ID next to the labelled lang. */
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
