@@ -15,7 +15,9 @@ object Explain {
         "q7_topn_per_brand", "text_token_count", "sim_bruteforce_topk",
         "q26_skew_join", "q28_range_join", "dedup_clusters",
         "q35_solo_supplier", "q44_market_share", "mm_phash_dedup",
-        "pipe_curriculum")
+        "pipe_curriculum", "text_search", "sim_pagerank",
+        "pipe_token_budget", "q55_gap_fill", "q59_basket",
+        "dedup_semantic_materialized", "sim_filtered_ivf")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
