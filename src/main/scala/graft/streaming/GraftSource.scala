@@ -54,11 +54,21 @@ final class GraftSource(
     */
   private val readChangeFeed = opts.getOrElse("readchangefeed", "false").toBoolean
 
-  /** `startingVersion`: skip the initial snapshot and stream commits
-    * from this version onward (Delta parity) — the "tail the table
-    * from now" mode for tables whose history is too large to replay.
+  /** `startingVersion` / `startingTimestamp`: skip the initial
+    * snapshot and stream commits from this point onward (Delta
+    * parity) — the "tail the table from now" mode for tables whose
+    * history is too large to replay. A timestamp resolves through the
+    * same commit-time index as `TIMESTAMP AS OF`; both set is an
+    * error.
     */
-  private val startingVersion = opts.get("startingversion").map(_.toLong)
+  private val startingVersion: Option[Long] = {
+    val v = opts.get("startingversion").map(_.toLong)
+    val ts = opts.get("startingtimestamp").map(s =>
+      Snapshot.versionAtTimestamp(log, Snapshot.parseTsMillis(s)))
+    require(v.isEmpty || ts.isEmpty,
+      "set startingVersion or startingTimestamp, not both")
+    v.orElse(ts)
+  }
 
   override val schema: StructType = {
     val base = Snapshot.at(spark, log).schema

@@ -134,6 +134,15 @@ class GraftSourceSpec extends GraftSparkSpec {
     val got = runOnce(path, tmpDir("gsrc-sv-ckpt"),
       Map("startingVersion" -> "1"))
     assert(got.size == 5, s"expected v1+v2 rows only, got ${got.size}")
+    // startingTimestamp resolves through the same commit-time index
+    val ts1 = t.history.filter(col("version") === 1).collect()(0).getLong(1)
+    val got2 = runOnce(path, tmpDir("gsrc-sts-ckpt"),
+      Map("startingTimestamp" -> new java.sql.Timestamp(ts1).toString))
+    assert(got2.size == 5, s"timestamp tail must equal version tail, got ${got2.size}")
+    intercept[Exception] {
+      runOnce(path, tmpDir("gsrc-both-ckpt"),
+        Map("startingVersion" -> "1", "startingTimestamp" -> "2026-01-01"))
+    }
   }
 
   test("maxBytesPerTrigger admits at least one version per batch") {
