@@ -39,6 +39,7 @@ object SparkEntry {
     "q57_regression" -> Analytics.q57Regression _,
     "q58_mode" -> Analytics.q58Mode _,
     "q59_basket" -> Analytics.q59Basket _,
+    "q60_basket_lift" -> Analytics.q60BasketLift _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -718,6 +719,20 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n, " +
         "ROUND(SUM(value),2) AS sum_value FROM events " +
         "GROUP BY 1,2 ORDER BY 1,2"),
+    // association metrics: integer supports, one rounded lift ratio
+    "q60_basket_lift" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM li), " +
+        "it AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM li GROUP BY 1), " +
+        "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_ab FROM li a JOIN li b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 3) " +
+        "SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b, " +
+        "ROUND(CAST(n_ab AS DOUBLE) * n_total / (ia.n_item * ib.n_item), 4) AS lift " +
+        "FROM p JOIN it ia ON ia.l_partkey = part_a " +
+        "JOIN it ib ON ib.l_partkey = part_b CROSS JOIN tot " +
+        "ORDER BY n_ab DESC, part_a, part_b LIMIT 20"),
     // market-basket pairs within orders, total-ordered top-20
     "q59_basket" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) " +

@@ -260,6 +260,34 @@ object Analytics {
       .limit(20)
   }
 
+  /** Association metrics over the basket pairs: support counts stay
+    * exact integers; lift = n_ab·N / (n_a·n_b) rounds once at the
+    * edge. Item counts join the pair table on its own keys (two
+    * broadcastable aggregates); the 1-row order total cross-joins.
+    */
+  def q60BasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = li.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val itemN = li.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(itemN.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")), "part_a")
+      .join(itemN.select(col("l_partkey").as("part_b"), col("n_item").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab") * col("n_total") /
+          (col("n_a") * col("n_b")), 4).as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   /** Ordered funnel (view → click → purchase): per-user first-event
     * times chained by strict ts order — each stage only counts users
     * whose event happened AFTER their previous stage's. Three
