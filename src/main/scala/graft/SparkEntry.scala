@@ -183,6 +183,7 @@ object SparkEntry {
     "lake_mv_avg" -> LakeOps.lakeMvAvg _,
     "lake_mv_minmax" -> LakeOps.lakeMvMinMax _,
     "lake_mv_join" -> LakeOps.lakeMvJoin _,
+    "lake_mv_distinct" -> LakeOps.lakeMvDistinct _,
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _,
     "lake_manifest" -> LakeOps.lakeManifest _)
@@ -1717,6 +1718,18 @@ object SparkEntry {
         "FROM s3 GROUP BY l_returnflag ORDER BY l_returnflag"),
     // join view: fold fact deltas, then rebuild on the dim change —
     // must equal the from-scratch fact'⋈dim' aggregate
+    // COUNT DISTINCT view: the oracle replays the net table state
+    // (partial delete, full delete, shifted append) then counts
+    // distinct orders per flag from scratch
+    "lake_mv_distinct" ->
+      ("WITH base AS (SELECT l_orderkey, l_returnflag, l_linenumber FROM lineitem), " +
+        "s1 AS (SELECT * FROM base WHERE NOT (l_linenumber = 1 AND l_orderkey % 3 = 0)), " +
+        "s2 AS (SELECT * FROM s1 WHERE l_orderkey % 7 <> 0), " +
+        "s3 AS (SELECT * FROM s2 UNION ALL " +
+        "SELECT l_orderkey + 10000000, l_returnflag, l_linenumber FROM base " +
+        "WHERE l_orderkey % 11 = 0) " +
+        "SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct " +
+        "FROM s3 GROUP BY l_returnflag ORDER BY l_returnflag"),
     "lake_mv_join" ->
       ("WITH fact AS (SELECT l_orderkey, CAST(ROUND(l_quantity * 100) AS BIGINT) " +
         "AS qty_c FROM lineitem), " +

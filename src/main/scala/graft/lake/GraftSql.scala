@@ -18,6 +18,8 @@ final class GraftSql(spark: SparkSession) {
 
   private val tables = scala.collection.mutable.Map[String, GraftTable]()
   private val matViews = scala.collection.mutable.Map[String, MaterializedAgg]()
+  private val distinctViews =
+    scala.collection.mutable.Map[String, MaterializedDistinct]()
 
   def register(name: String, path: String): GraftTable = {
     val t = GraftTable.forPath(spark, path)
@@ -125,6 +127,8 @@ final class GraftSql(spark: SparkSession) {
     """(?i)^MAX\s*\(\s*(\w+)\s*\)(?:\s+AS\s+\w+)?$""".r
   private val mvCountItemRe: Regex =
     """(?i)^COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+\w+)?$""".r
+  private val mvCountDistinctItemRe: Regex =
+    """(?i)^COUNT\s*\(\s*DISTINCT\s+(\w+)\s*\)(?:\s+AS\s+\w+)?$""".r
   private val insertRe: Regex =
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+((?:SELECT|VALUES|TABLE)\s*.+?)\s*;?\s*$""".r
   private val insertColsRe: Regex =
@@ -299,6 +303,24 @@ final class GraftSql(spark: SparkSession) {
         // recompute-on-retract) — anything else refuses
         val groupCols = groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val items = selectList.split(",").map(_.trim).filter(_.nonEmpty)
+        val distinctCols = items.flatMap {
+          case mvCountDistinctItemRe(c) => Some(c); case _ => None }.distinct
+        if (distinctCols.nonEmpty) {
+          // a COUNT DISTINCT view keeps (keys, x)-grain state — its own
+          // class; it cannot share a statement with other aggregates
+          require(distinctCols.length == 1 &&
+            items.forall(i => groupCols.contains(i) ||
+              mvCountDistinctItemRe.findFirstIn(i).isDefined),
+            "COUNT(DISTINCT x) views maintain group columns and exactly " +
+              "one COUNT(DISTINCT col); mix other aggregates into a " +
+              "separate view")
+          val dv = MaterializedDistinct.create(spark, location,
+            table(srcName), groupCols, distinctCols.head)
+          distinctViews(name) = dv
+          tables(name) = dv.view
+          return Seq(("location", location), ("sourceVersion",
+            table(srcName).version.toString)).toDF("metric", "value")
+        }
         val sumCols = items.flatMap {
           case mvSumItemRe(c) => Some(c)
           case mvAvgItemRe(c) => Some(c)
@@ -325,9 +347,10 @@ final class GraftSql(spark: SparkSession) {
         Seq(("location", location), ("sourceVersion",
           table(srcName).version.toString)).toDF("metric", "value")
       case refreshMvRe(name) =>
-        val mv = matViews.getOrElse(name,
-          throw new IllegalArgumentException(s"unknown materialized view: $name"))
-        val v = mv.refresh()
+        val v = matViews.get(name).map(_.refresh())
+          .orElse(distinctViews.get(name).map(_.refresh()))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown materialized view: $name"))
         Seq(("version", v.toString)).toDF("metric", "value")
       case createSchemaRe(name, ddl, partBy, location) =>
         // explicit-schema create: an empty table whose schema comes

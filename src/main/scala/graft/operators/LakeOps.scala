@@ -342,6 +342,30 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Exactly-maintained COUNT DISTINCT view (L87): per-(group, value)
+    * occurrence counts fold through the change feed; a value leaves
+    * the distinct set exactly when its count hits zero. Deletes that
+    * remove SOME BUT NOT ALL of a value's rows must not change the
+    * distinct count — the grain the state exists to get right.
+    */
+  def lakeMvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linenumber"))
+    val src = graft.lake.GraftTable.create(spark, workDir(dir, "mvdsrc"),
+      base, properties = Map("graft.cdf" -> "true"))
+    val mv = graft.lake.MaterializedDistinct.create(spark,
+      workDir(dir, "mvd"), src, Seq("l_returnflag"), "l_orderkey")
+    // partial delete: orders keep other line numbers -> count unchanged
+    src.delete(col("l_linenumber") === 1 && col("l_orderkey") % 3 === 0)
+    // full delete: every line of these orders -> they leave the set
+    src.delete(col("l_orderkey") % 7 === 0)
+    // new orders enter
+    src.append(base.filter(col("l_orderkey") % 11 === 0)
+      .withColumn("l_orderkey", col("l_orderkey") + 10000000L))
+    mv.refresh()
+    mv.toDF.orderBy("l_returnflag")
+  }
+
   /** Join-view MV (L83, the star-schema shape): the view aggregates
     * fact⋈dim; fact deletes/appends FOLD through the change feed
     * (each image joins the unchanged dim first), then a dim update

@@ -266,6 +266,65 @@ class MaterializedAggSpec extends GraftSparkSpec {
       "a dim change seen through forPath must fold exactly")
   }
 
+  test("COUNT DISTINCT view: occurrence-grain state folds exactly; forPath guards") {
+    import spark.implicits._
+    val rows = (1 to 120).map(i => (s"g${i % 3}", i.toLong % 20, i.toLong))
+    val src = GraftTable.create(spark, tmpDir("mvdd-src"),
+      rows.toDF("g", "x", "seq"), properties = Map("graft.cdf" -> "true"))
+    val viewDir = tmpDir("mvdd-view")
+    val mv = MaterializedDistinct.create(spark, viewDir, src, Seq("g"), "x")
+    def expect = src.toDF.groupBy("g")
+      .agg(countDistinct("x").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def got = mv.toDF.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect, "initial distinct state")
+    // partial retraction: x=5 keeps other rows -> count must NOT move
+    src.delete(col("x") === 5 && col("seq") < 30)
+    // full retraction: every row of x=7 leaves
+    src.delete(col("x") === 7)
+    src.append(Seq(("g0", 99L, 999L), ("g1", 99L, 998L)).toDF("g", "x", "seq"))
+    mv.refresh()
+    assert(got == expect,
+      "folded distinct counts must equal recompute across partial/full retractions")
+    assert(mv.view.history.filter(col("operation") === "MV REMATERIALIZE")
+      .count() == 0, "the DML window must fold, not rebuild")
+    // refresh with an unchanged source is a no-op
+    val v = mv.view.version
+    mv.refresh()
+    assert(mv.view.version == v)
+    // the two view kinds refuse each other's forPath
+    intercept[IllegalArgumentException](
+      MaterializedAgg.forPath(spark, viewDir, src))
+    intercept[IllegalArgumentException](
+      MaterializedDistinct.forPath(spark, tmpDir("mvdd-not-a-view"), src))
+  }
+
+  test("SQL COUNT DISTINCT view: CREATE + REFRESH route to the distinct class") {
+    import spark.implicits._
+    val gsql = new GraftSql(spark)
+    gsql.registerCreate("dvsrc", tmpDir("mvdd-sql-src"),
+      (1 to 60).map(i => (s"g${i % 2}", i.toLong % 10)).toDF("g", "x"))
+    val viewDir = tmpDir("mvdd-sql-view")
+    gsql.sql("CREATE MATERIALIZED VIEW dview LOCATION '" + viewDir +
+      "' AS SELECT g, COUNT(DISTINCT x) FROM dvsrc GROUP BY g")
+    def expect = gsql.sql("SELECT g, COUNT(DISTINCT x) AS n FROM dvsrc GROUP BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def got = MaterializedDistinct.forPath(spark,
+        viewDir, gsql.table("dvsrc")).toDF
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect)
+    gsql.sql("DELETE FROM dvsrc WHERE x = 3")
+    gsql.sql("REFRESH MATERIALIZED VIEW dview")
+    assert(got == expect, "SQL-refreshed distinct view must track the delete")
+    // mixing COUNT DISTINCT with other aggregates refuses loudly
+    intercept[IllegalArgumentException] {
+      gsql.sql("CREATE MATERIALIZED VIEW bad LOCATION '" +
+        tmpDir("mvdd-sql-bad") + "' AS SELECT g, COUNT(DISTINCT x), SUM(x) " +
+        "FROM dvsrc GROUP BY g")
+    }
+  }
+
   test("SQL join view: CREATE ... JOIN USING, REFRESH folds both feeds") {
     import spark.implicits._
     val gsql = new GraftSql(spark)
