@@ -318,6 +318,7 @@ final class GraftSql(spark: SparkSession) {
             table(srcName), groupCols, distinctCols.head)
           distinctViews(name) = dv
           tables(name) = dv.view
+          graft.plans.MvCatalog.registerDistinct(dv)
           return Seq(("location", location), ("sourceVersion",
             table(srcName).version.toString)).toDF("metric", "value")
         }

@@ -19,14 +19,21 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object MvCatalog {
   private val views = mutable.Map[String, MaterializedAgg]()
+  private val distinctViews =
+    mutable.Map[String, graft.lake.MaterializedDistinct]()
 
   def register(mv: MaterializedAgg): Unit =
     synchronized { views(mv.source.path) = mv }
+  def registerDistinct(mv: graft.lake.MaterializedDistinct): Unit =
+    synchronized { distinctViews(mv.source.path) = mv }
   def deregister(sourcePath: String): Unit =
-    synchronized { views.remove(sourcePath); () }
-  def clear(): Unit = synchronized(views.clear())
+    synchronized { views.remove(sourcePath); distinctViews.remove(sourcePath); () }
+  def clear(): Unit = synchronized { views.clear(); distinctViews.clear() }
   private[plans] def lookup(p: String => Boolean): Option[MaterializedAgg] =
     synchronized { views.collectFirst { case (sp, mv) if p(sp) => mv } }
+  private[plans] def lookupDistinct(p: String => Boolean)
+      : Option[graft.lake.MaterializedDistinct] =
+    synchronized { distinctViews.collectFirst { case (sp, mv) if p(sp) => mv } }
 }
 
 /** Transparent materialized-view rewrite (the half that makes an MV a
@@ -54,7 +61,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(groupingExprs, aggExprs, lr: LogicalRelation, _) =>
-      rewrite(agg, groupingExprs, aggExprs, lr, None).getOrElse(agg)
+      rewrite(agg, groupingExprs, aggExprs, lr, None)
+        .orElse(rewriteDistinct(agg, groupingExprs, aggExprs, lr))
+        .getOrElse(agg)
     // WHERE over view KEY columns only: such a predicate partitions
     // whole groups, so it applies over the stored state verbatim —
     // `GROUP BY category WHERE country='DE'` answers from a
@@ -189,6 +198,62 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         groupNames.map(n => mvOut.get(n).getOrElse(return None))
       Some(Aggregate(groupAttrs, projections, base))
     }
+  }
+
+  /** `GROUP BY keys ... COUNT(DISTINCT x)` over a fresh source reads
+    * the L87 occurrence-grain state: the state holds one row per
+    * surviving (keys, x) pair, so the distinct count is `count(*)`
+    * over state per group — a state-sized aggregate instead of a
+    * source-wide distinct shuffle. Exact shape only: view keys, one
+    * distinct aggregate on the maintained column (plus group attrs),
+    * current stamp, exact active-set scan.
+    */
+  private def rewriteDistinct(agg: Aggregate, groupingExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      lr: LogicalRelation): Option[LogicalPlan] = {
+    val scanned = scannedFiles(lr).getOrElse(return None)
+    if (scanned.isEmpty) return None
+    val mv = MvCatalog.lookupDistinct(sp =>
+      scanned.forall(_.startsWith(
+        java.nio.file.Paths.get(sp).toAbsolutePath.normalize.toString)))
+      .getOrElse(return None)
+    val props = mv.view.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    if (!props.get("graft.mv.sourceVersion").map(_.toLong)
+        .contains(mv.source.version)) return None
+    def norm(p: String): String =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    if (scanned.map(norm).toSet != activeSet(mv.source)) return None
+    val groupCols = props("graft.mv.groupCols").split(",").toSeq.filter(_.nonEmpty)
+    val distinctCol = props.getOrElse(
+      graft.lake.MaterializedDistinct.DistinctKey, return None)
+    val groupNames = groupingExprs.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (groupNames.toSet != groupCols.toSet) return None
+    val statePlan = mv.stateDF.queryExecution.analyzed
+    val stateOut = statePlan.output.map(a => a.name -> a).toMap
+    val projections = aggExprs.map {
+      case a: AttributeReference if groupCols.contains(a.name) =>
+        val c = stateOut.get(a.name).getOrElse(return None)
+        Alias(Cast(c, a.dataType), a.name)(exprId = a.exprId)
+      case al @ Alias(AggregateExpression(
+          Count(Seq(x: AttributeReference)), _, true, None, _), name)
+          if x.name == distinctCol =>
+        Alias(Cast(AggregateExpression(Count(Seq(Literal(1))),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false), al.dataType), name)(exprId = al.exprId)
+      case _ => return None
+    }
+    // require at least the distinct aggregate itself to be present
+    if (!aggExprs.exists {
+      case Alias(AggregateExpression(Count(Seq(x: AttributeReference)), _,
+        true, None, _), _) => x.name == distinctCol
+      case _ => false
+    }) return None
+    val groupAttrs: Seq[Expression] =
+      groupNames.map(n => stateOut.get(n).getOrElse(return None))
+    Some(Aggregate(groupAttrs, projections, statePlan))
   }
 
   private def rewrite(agg: Aggregate, groupingExprs: Seq[Expression],

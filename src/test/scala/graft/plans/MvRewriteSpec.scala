@@ -244,6 +244,40 @@ class MvRewriteSpec extends GraftSparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("COUNT DISTINCT rewrite: fresh occurrence state answers; stale/mismatch decline") {
+    import spark.implicits._
+    import graft.lake.MaterializedDistinct
+    val src = GraftTable.create(spark, tmpDir("mvr-d-src"),
+      (1 to 90).map(i => (s"g${i % 3}", i.toLong % 15)).toDF("g", "x"),
+      properties = Map("graft.cdf" -> "true"))
+    val mv = MaterializedDistinct.create(spark, tmpDir("mvr-d-view"),
+      src, Seq("g"), "x")
+    MvCatalog.registerDistinct(mv)
+    try {
+      def q = src.toDF.groupBy("g").agg(countDistinct("x").as("n"))
+      val expect = {
+        MvCatalog.clear(); val r = q.collect().map(_.toSeq).toSet
+        MvCatalog.registerDistinct(mv); r
+      }
+      assert(scansView(q, "mvr-d-view"),
+        "a fresh distinct view must answer COUNT(DISTINCT)")
+      assert(q.collect().map(_.toSeq).toSet == expect)
+      // distinct on a DIFFERENT column declines
+      val other = src.toDF.groupBy("g").agg(countDistinct("g").as("n"))
+      assert(!scansView(other, "mvr-d-view"))
+      // stale stamp declines until refresh
+      src.delete(col("x") === 2)
+      assert(!scansView(q, "mvr-d-view"))
+      mv.refresh()
+      assert(scansView(q, "mvr-d-view"))
+      val expect2 = {
+        MvCatalog.clear(); val r = q.collect().map(_.toSeq).toSet
+        MvCatalog.registerDistinct(mv); r
+      }
+      assert(q.collect().map(_.toSeq).toSet == expect2)
+    } finally MvCatalog.clear()
+  }
+
   test("join-view rollup: a strict subset of join-view keys re-aggregates state") {
     import spark.implicits._
     val src = GraftTable.create(spark, tmpDir("mvr-jr-fact"),
