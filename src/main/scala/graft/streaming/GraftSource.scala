@@ -261,8 +261,16 @@ final class GraftSink(
     table.appendStreamBatch(appId, batchId, batch)
     if (optimizeEvery > 0 && batchId > 0 && batchId % optimizeEvery == 0)
       table.optimize()
-    refreshMv.foreach(v =>
-      graft.lake.MaterializedAgg.forPath(spark, v, table).refresh())
+    refreshMv.foreach { v =>
+      // route by the stored marker: aggregate and COUNT DISTINCT
+      // views are different classes with different state grains
+      val props = graft.lake.GraftTable.forPath(spark, v)
+        .snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+      if (props.contains(graft.lake.MaterializedDistinct.DistinctKey))
+        graft.lake.MaterializedDistinct.forPath(spark, v, table).refresh()
+      else graft.lake.MaterializedAgg.forPath(spark, v, table).refresh()
+      ()
+    }
   }
 
   override def toString: String = s"GraftSink[$path]"
