@@ -300,6 +300,37 @@ class MaterializedAggSpec extends GraftSparkSpec {
       MaterializedDistinct.forPath(spark, tmpDir("mvdd-not-a-view"), src))
   }
 
+  test("racing DISTINCT refreshes converge without double-applying") {
+    import spark.implicits._
+    import java.util.ConcurrentModificationException
+    val src = GraftTable.create(spark, tmpDir("mvdd-race-src"),
+      (1 to 150).map(i => (s"g${i % 3}", i.toLong % 25)).toDF("g", "x"),
+      properties = Map("graft.cdf" -> "true"))
+    val viewDir = tmpDir("mvdd-race-view")
+    MaterializedDistinct.create(spark, viewDir, src, Seq("g"), "x")
+    src.delete(col("x") % 4 === 0)
+    src.append(Seq(("g0", 77L), ("g2", 78L)).toDF("g", "x"))
+    val h1 = MaterializedDistinct.forPath(spark, viewDir, src)
+    val h2 = MaterializedDistinct.forPath(spark, viewDir, src)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      def submit(mv: MaterializedDistinct) =
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            try { mv.refresh(); true }
+            catch { case _: ConcurrentModificationException => false }
+        })
+      val a = submit(h1); val b = submit(h2)
+      assert(a.get() || b.get(), "at least one refresh must land")
+      MaterializedDistinct.forPath(spark, viewDir, src).refresh()
+      val expect = src.toDF.groupBy("g").agg(countDistinct("x").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val got = MaterializedDistinct.forPath(spark, viewDir, src).toDF
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expect, "post-race distinct state diverged from recompute")
+    } finally pool.shutdown()
+  }
+
   test("SQL COUNT DISTINCT view: CREATE + REFRESH route to the distinct class") {
     import spark.implicits._
     val gsql = new GraftSql(spark)
