@@ -206,15 +206,23 @@ final class GraftSql(spark: SparkSession) {
       case detailRe(name) =>
         val s = table(name).snapshot
         val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+        // live materialized index artifacts: "kind(column)" per
+        // current sidecar pointer, sorted for a stable rendering
+        val indexes = props.keys.toSeq.collect {
+          case k if k.endsWith(".sidecar") &&
+              k.split("\\.").length == 4 && k.startsWith("graft.") =>
+            val parts = k.split("\\.")
+            s"${parts(1)}(${parts(2)})"
+        }.sorted.mkString(",")
         Seq((table(name).path, s.version, s.numFiles, s.sizeInBytes,
           s.partitionColumns.mkString(","), s.numRecords,
           props.getOrElse("graft.clusterBy", ""),
           // exact "true" check — the same predicate the engine's
           // rowTrackingOn uses; .toBoolean would crash on junk values
-          props.get("graft.rowTracking").contains("true")))
+          props.get("graft.rowTracking").contains("true"), indexes))
           .toDF("location", "version", "numFiles", "sizeInBytes",
             "partitionColumns", "numRecords", "clusteringColumns",
-            "rowTracking")
+            "rowTracking", "indexes")
       case extendedRe(name) =>
         // schema rows followed by table properties (reference 02-lab:
         // 128-136 checks the VORDER property here)

@@ -130,6 +130,12 @@ class PqIndexSpec extends GraftSparkSpec {
     val rel = t.snapshot.metadata.get.properties("graft.text.text.sidecar")
     t.vacuum(0.0, dryRun = false)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, rel)))
+    // DESCRIBE DETAIL surfaces the live index artifact
+    val g = new graft.lake.GraftSql(spark)
+    g.register("tidx", t.path)
+    val det = g.sql("DESCRIBE DETAIL tidx").collect()(0)
+    assert(det.getString(det.fieldIndex("indexes")) == "text(text)",
+      "DESCRIBE DETAIL must list the materialized index")
   }
 
   test("broadcast-variable assignment is bit-identical to the kernel at k > 1024") {
