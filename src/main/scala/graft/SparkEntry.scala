@@ -99,6 +99,7 @@ object SparkEntry {
     "text_search" -> TextOps.textSearch _,
     "text_langid_eval" -> TextOps.textLangidEval _,
     "text_phrase" -> TextOps.textPhraseSearch _,
+    "text_phrase3" -> TextOps.textPhrase3Search _,
     "text_search_ranked" -> TextOps.textSearchRanked _,
     "text_rarity" -> TextOps.textRarity _,
     "text_perplexity" -> TextOps.textPerplexity _,
@@ -1423,6 +1424,18 @@ object SparkEntry {
         "CAST(SUM(tf * (length(bin(n_docs)) - length(bin(df)))) AS BIGINT) AS score " +
         "FROM tf JOIN dfq USING (term) CROSS JOIN nd " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // three-term phrase: two chained position-adjacency joins
+    "text_phrase3" ->
+      ("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM d), " +
+        "a AS (SELECT doc_id, pos FROM toks WHERE term = 'slow'), " +
+        "b AS (SELECT doc_id, pos FROM toks WHERE term = 'hash'), " +
+        "c AS (SELECT doc_id, pos FROM toks WHERE term = 'batch') " +
+        "SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_adj FROM a " +
+        "JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 " +
+        "JOIN c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 " +
+        "GROUP BY a.doc_id ORDER BY a.doc_id"),
     // phrase adjacency: 1-based token ordinals on both sides;
     // generate_subscripts zips with unnest in DuckDB
     "text_phrase" ->

@@ -495,20 +495,37 @@ object TextOps {
     * text and no token re-derivation anywhere. Same file-pruned
     * term-clustered read as [[textSearch]].
     */
-  def textPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(w1, w2) = Seq("merge", "vector")
-    val posts = textIndexFixture(spark, dir).textPostings("text")
-    val a = posts.filter(col("term") === w1)
+  /** N-term phrase matcher over positional postings: surviving START
+    * positions fold left — term i's positions shift back by i and
+    * intersect with the accumulated starts — so an n-term phrase is
+    * n−1 id-keyed joins over tiny per-doc position arrays, never a
+    * token re-derivation or text scan.
+    */
+  private def phraseMatches(posts: DataFrame, terms: Seq[String]): DataFrame = {
+    val start = posts.filter(col("term") === terms.head)
       .select(col("id"), col("positions").as("pa"))
-    val b = posts.filter(col("term") === w2)
-      .select(col("id"), col("positions").as("pb"))
-    a.join(b, "id")
-      .select(col("id").as("doc_id"),
-        size(array_intersect(transform(col("pa"), p => p + 1), col("pb")))
-          .cast("long").as("n_adj"))
+    terms.zipWithIndex.drop(1).foldLeft(start) { case (acc, (t, i)) =>
+      acc.join(posts.filter(col("term") === t)
+          .select(col("id"), col("positions").as("pn")), "id")
+        .select(col("id"),
+          array_intersect(col("pa"),
+            transform(col("pn"), p => p - i)).as("pa"))
+    }.select(col("id").as("doc_id"),
+        size(col("pa")).cast("long").as("n_adj"))
       .filter(col("n_adj") > 0)
       .orderBy("doc_id")
   }
+
+  def textPhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseMatches(textIndexFixture(spark, dir).textPostings("text"),
+      Seq("merge", "vector"))
+
+  /** Three-term phrase over the same machinery — the n>2 case is the
+    * same fold, one more join.
+    */
+  def textPhrase3Search(spark: SparkSession, dir: String): DataFrame =
+    phraseMatches(textIndexFixture(spark, dir).textPostings("text"),
+      Seq("slow", "hash", "batch"))
 
   def textWinnow(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WinnowFingerprints
