@@ -66,4 +66,23 @@ class ScaleSpec extends GraftSparkSpec {
     assert(spark.table("dedup_out").count() == e.count())
     assert(spark.table("dedup_out").select("event_id").distinct().count() == e.count())
   }
+
+  test("plan-shape guards: the scale-critical paths keep their shapes") {
+    // token-budget selection: the cumulative sum must stay two-phase —
+    // any Window node would mean a whole-corpus single-reducer sort
+    val tb = Pipeline.pipeTokenBudget(spark, sfDir)
+    assert(!tb.queryExecution.executedPlan.toString.contains("Window"),
+      "pipe_token_budget must not reintroduce a global window")
+    // PageRank: no cartesian products; its only nested-loop joins are
+    // broadcast 1-row aggregates (the node-count constant)
+    val pr = Similarity.simPagerank(spark, sfDir)
+    assert(!pr.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "sim_pagerank must never plan a cartesian product")
+    // ranked keyword search reads postings only — document text stays
+    // untouched even though idf needs corpus-level df
+    val rs = TextOps.textSearchRanked(spark, sfDir)
+    val rsPlan = rs.queryExecution.executedPlan.toString
+    assert(rsPlan.contains("_graft_text") && !rsPlan.contains("documents.parquet"),
+      "ranked search must stay on the postings sidecar")
+  }
 }
