@@ -136,6 +136,7 @@ object SparkEntry {
     "pipe_curriculum" -> Pipeline.pipeCurriculum _,
     "pipe_cluster_sample" -> Pipeline.pipeClusterSample _,
     "pipe_token_budget" -> Pipeline.pipeTokenBudget _,
+    "pipe_shard_manifest" -> Pipeline.pipeShardManifest _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
@@ -1567,6 +1568,12 @@ object SparkEntry {
         "SELECT cluster, vec_id, CAST(ROW_NUMBER() OVER " +
         "(PARTITION BY cluster ORDER BY vec_id) AS BIGINT) AS rank FROM cl) " +
         "WHERE rank <= 4 ORDER BY cluster, vec_id"),
+    // shard manifest: same Knuth hash as pipe_shuffle, mod 16
+    "pipe_shard_manifest" ->
+      ("SELECT (((doc_id % 2147483648) * 2654435761) % 4294967296) % 16 AS shard, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(length(text)) AS BIGINT) AS n_chars " +
+        "FROM documents GROUP BY 1 ORDER BY shard"),
     "pipe_shuffle" ->
       ("SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 4294967296 AS shuffle_key, " +
         "CAST(ROW_NUMBER() OVER (ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) " +

@@ -341,6 +341,21 @@ object Pipeline {
     */
   val ClusterSampleQuota = 4
 
+  /** Shard manifest: deterministic doc→shard assignment (the Knuth
+    * multiplicative hash [[pipeShuffle]] already uses, mod 16) plus
+    * per-shard row/char totals — the balance audit a corpus writer
+    * checks before shipping K training shards. One map-side-combined
+    * aggregate to 16 rows; the production writer repartitions on the
+    * same expression so audit and layout can never disagree.
+    */
+  def pipeShardManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(pmod(docHash(col("doc_id")), lit(16L)).as("shard"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("shard")
+
   /** Token-budget corpus selection: fill 40% of the corpus's token
     * mass with the best documents, quality-first — the "what fits in
     * my training budget" cut every data mix starts from. Selection is
