@@ -352,6 +352,36 @@ class StreamingSpec extends GraftSparkSpec {
       "each epoch must fold the view forward")
   }
 
+  test("sink refreshMv routes a COUNT DISTINCT view through its class") {
+    import graft.lake.MaterializedDistinct
+    val src = tmpDir("sink-dv-src")
+    Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"))
+      .repartition(4).write.parquet(src)
+    val seed = spark.read.parquet(src).limit(0)
+    val out = tmpDir("sink-dv-table")
+    val t0 = GraftTable.create(spark, out, seed)
+    val viewDir = tmpDir("sink-dv-view")
+    MaterializedDistinct.create(spark, viewDir, t0,
+      Seq("event_type"), "user_id")
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format("graftlake")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("sink-dv-ckpt"))
+      .option("refreshMv", viewDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val t = GraftTable.forPath(spark, out)
+    val expect = t.toDF.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = MaterializedDistinct.forPath(spark, viewDir, t).toDF
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect,
+      "in-loop distinct refresh must land on the exact distinct counts")
+  }
+
   test("streaming into GraftLake + OPTIMIZE compaction loop") {
     val dir = eventsOnDisk("lake-src")
     val schema = spark.read.parquet(dir).schema
