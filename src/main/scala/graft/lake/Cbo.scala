@@ -60,8 +60,29 @@ object Cbo {
     */
   def equalitySelectivity(t: GraftTable, column: String): Option[Double] = {
     if (primaryKeyColumn(t).contains(column)) {
-      val rows = t.snapshot.activeFiles.flatMap(_.stats.map(_.numRecords)).sum
-      if (rows > 0) return Some(1.0 / rows)
+      val s = t.snapshot
+      // the fast path is only exact when EVERY active file carries
+      // footer stats (a stats-less file would silently undercount) and
+      // after subtracting deletion-vector-masked rows — a MoR-deleted
+      // table otherwise overstates rows and skews selectivity low
+      if (s.activeFiles.forall(_.stats.isDefined)) {
+        // DV entries are write-output directories; numRecords comes
+        // from the part files' footers — metadata-only, no data scan
+        val masked =
+          if (s.dvFiles.isEmpty) 0L
+          else {
+            val parts = s.dvFiles.map(t.dataPath).flatMap { p =>
+              val f = new java.io.File(p)
+              if (f.isDirectory)
+                f.listFiles().toSeq.map(_.getAbsolutePath)
+                  .filter(_.endsWith(".parquet"))
+              else Seq(p)
+            }
+            Stats.collect(t.spark, parts).values.map(_.numRecords).sum
+          }
+        val rows = s.activeFiles.flatMap(_.stats.map(_.numRecords)).sum - masked
+        if (rows > 0) return Some(1.0 / rows)
+      }
     }
     tableStats(t).get(column).map(s => 1.0 / math.max(1L, s.distinct))
   }

@@ -41,7 +41,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Log paths are table-root-relative, except shallow-cloned entries
     * which are absolute references into the source table.
     */
-  private def dataPath(p: String): String =
+  private[lake] def dataPath(p: String): String =
     if (p.startsWith("/")) p else s"$path/$p"
 
   /** Physical-schema scan of `files`, optionally with `_metadata`
@@ -2173,7 +2173,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * them would double-apply the next delta.
     */
   private[lake] def overwriteWithProperties(df: DataFrame,
-      props: Map[String, String], operation: String): Long = {
+      props: Map[String, String], operation: String,
+      infoParams: Map[String, String] = Map.empty): Long = {
     val s = snapshot
     validateConstraints(df, s)
     enforceSchema(df.schema, s.schema)
@@ -2183,7 +2184,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val removes = s.activeFiles.map(f =>
       RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
     commitAndCheckpoint(
-      Seq(info(operation, params = props), meta) ++ removes ++ adds,
+      Seq(info(operation, params = props ++ infoParams), meta) ++ removes ++ adds,
       readVersion = s.version, metadataConflict = true)
   }
 

@@ -68,22 +68,26 @@ final class MaterializedAgg private (val spark: SparkSession,
   def refresh(): Long = {
     val from = props(VersionKey).toLong
     val to = source.version
-    def rematerialize(): Long = {
+    def rematerialize(reason: String = ""): Long = {
       // a log ending below its stamp (table recreated at the same
       // path, or history truncated) has no forward change feed —
       // re-materialize from the current snapshots; silently keeping
-      // the newer state would serve phantom rows
+      // the newer state would serve phantom rows. The reason rides
+      // the commit info so a lost O(delta) contract is auditable in
+      // DESCRIBE HISTORY rather than invisible.
       val init = MaterializedAgg.aggregate(inputAt(to), groupCols,
         sumCols, minCols, maxCols)
       view.overwriteWithProperties(init,
         Map(VersionKey -> to.toString) ++
-          dim.map(d => DimVersionKey -> d.version.toString), "MV REMATERIALIZE")
+          dim.map(d => DimVersionKey -> d.version.toString), "MV REMATERIALIZE",
+        infoParams =
+          if (reason.isEmpty) Map.empty else Map("graft.mv.reason" -> reason))
     }
-    if (to < from) return rematerialize()
+    if (to < from) return rematerialize("source log ends below stamp")
     val dimFromTo: Option[(GraftTable, Long, Long)] = dim.map { d =>
       val st = props.get(DimVersionKey).map(_.toLong)
-        .getOrElse(return rematerialize())
-      if (d.version < st) return rematerialize()
+        .getOrElse(return rematerialize("missing dim version stamp"))
+      if (d.version < st) return rematerialize("dim log ends below stamp")
       (d, st, d.version)
     }
     val dimMoved = dimFromTo.exists { case (_, f, t) => f != t }
@@ -135,11 +139,16 @@ final class MaterializedAgg private (val spark: SparkSession,
           }
         Seq(factPart, dimPart).flatten
     } catch {
-      // a fold window that reaches below a log-cleaned checkpoint (the
-      // change feed or a stamped-version snapshot is gone) degrades to
-      // a re-materialization — correct state at full-aggregate cost,
-      // the same contract as the index refreshes' rebuild fallback
-      case scala.util.control.NonFatal(_) => return rematerialize()
+      // ONLY the missing-commit/version-unreadable failure (TxnLog
+      // throws IllegalStateException when a fold window reaches below
+      // a log-cleaned checkpoint) degrades to a re-materialization —
+      // correct state at full-aggregate cost, same contract as the
+      // index refreshes' rebuild fallback, with the reason stamped in
+      // the commit info. Any other failure (e.g. an analysis error
+      // from an ambiguous column) is a genuine fold bug and must
+      // surface, not silently cost a full rebuild on every refresh.
+      case e: IllegalStateException =>
+        return rematerialize(s"change feed unavailable: ${e.getMessage}")
     }
     // referenced by the fold aggregate AND the dirty-key set: persist
     // so the change-feed diffs behind it compute once per refresh
@@ -378,19 +387,24 @@ final class MaterializedDistinct private (val spark: SparkSession,
   /** Raw state: (groupCols…, x, occ). */
   def stateDF: DataFrame = view.toDF
 
-  /** The view's answer: (groupCols…, n_distinct). */
+  /** The view's answer: (groupCols…, n_distinct). NULL state rows are
+    * kept in state (they preserve group existence — an all-NULL group
+    * must still surface with n_distinct=0, as SQL's COUNT(DISTINCT x)
+    * does) but excluded from the count: count(col) skips NULLs. */
   def toDF: DataFrame =
     view.toDF.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_distinct"))
+      .agg(count(col(distinctCol)).as("n_distinct"))
 
   def refresh(): Long = {
     val from = props(VersionKey).toLong
     val to = source.version
-    def rematerialize(): Long =
+    def rematerialize(reason: String = ""): Long =
       view.overwriteWithProperties(
         stateOf(source.toDFAt(to), groupCols, distinctCol),
-        Map(VersionKey -> to.toString), "MV REMATERIALIZE")
-    if (to < from) return rematerialize()
+        Map(VersionKey -> to.toString), "MV REMATERIALIZE",
+        infoParams =
+          if (reason.isEmpty) Map.empty else Map("graft.mv.reason" -> reason))
+    if (to < from) return rematerialize("source log ends below stamp")
     if (to == from) return view.version
     val delta = try {
       source.changeFeed(from, to)
@@ -398,7 +412,12 @@ final class MaterializedDistinct private (val spark: SparkSession,
           when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
             .otherwise(lit(-1L)))
         .select((groupCols :+ distinctCol :+ "__sign").map(col): _*)
-    } catch { case scala.util.control.NonFatal(_) => return rematerialize() }
+    } catch {
+      // narrow catch, mirroring MaterializedAgg.refresh: only the
+      // log-cleanup IllegalStateException earns the rebuild fallback
+      case e: IllegalStateException =>
+        return rematerialize(s"change feed unavailable: ${e.getMessage}")
+    }
     val keys = groupCols :+ distinctCol
     val next = view.toDF.select((keys :+ "occ").map(col): _*)
       .unionByName(delta.groupBy(keys.map(col): _*)

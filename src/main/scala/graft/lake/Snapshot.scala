@@ -204,6 +204,18 @@ object Snapshot {
         s"no commit at or before timestamp $tsMillis"))
   }
 
+  /** Streaming `startingTimestamp` resolution (Delta parity): the
+    * EARLIEST version committed at-or-after the timestamp — the batch
+    * reader's "latest at-or-before" rule would replay changes committed
+    * strictly before the requested point. A timestamp past the log head
+    * resolves to latest+1: the stream tails commits from now on.
+    */
+  def versionAtOrAfterTimestamp(log: TxnLog, tsMillis: Long): Long = {
+    val vs = log.listVersions()
+    vs.find(v => log.commitTimestamp(v) >= tsMillis)
+      .getOrElse(vs.lastOption.map(_ + 1L).getOrElse(0L))
+  }
+
   private def applyActions(v: Long, base: Seq[Action], tail: Seq[Action]): Snapshot = {
     var meta: Option[Metadata] = None
     var proto: Option[Protocol] = None

@@ -52,20 +52,30 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
-  /** Top-10 customers by revenue (join + agg + deterministic top-k). */
+  /** Top-10 customers by revenue (join + agg + deterministic top-k).
+    * Customer is SF-scaled (SF×150k — ~10⁹ rows at the 100 TB design
+    * point), so it carries NO broadcast hint: a forced hint overrides
+    * Spark's size check and OOMs executors exactly when data grows.
+    * AQE still picks a broadcast join at runtime while the side is
+    * genuinely small. Only constant-bounded sides (nation/region,
+    * 1-row aggregates) are pinned anywhere in this file.
+    */
   def q4TopCustomers(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
     val o = Tables(spark, dir, "orders")
     val li = Tables(spark, dir, "lineitem")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
   }
 
-  /** 5-way dim join: revenue per region/nation; dims broadcast. */
+  /** 5-way dim join: revenue per region/nation. Nation (25 rows) and
+    * region (5) are constant-bounded — pinned; customer is SF-scaled
+    * and stays unhinted (AQE broadcasts while genuinely small).
+    */
   def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")
     val n = Tables(spark, dir, "nation")
@@ -73,7 +83,7 @@ object Analytics {
     val o = Tables(spark, dir, "orders")
     val li = Tables(spark, dir, "lineitem")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -179,7 +189,12 @@ object Analytics {
     val counts = e.groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(count(lit(1)).as("cnt"))
-    broadcast(grid).join(counts, Seq("event_type", "hour_ts"), "left")
+    // RIGHT outer with the hint on the non-preserved LEFT: Spark can
+    // only build the non-preserved side, so hinting the preserved grid
+    // of a left join would be silently ignored. `counts` is the
+    // aggregated side — at most |types|·|hours| rows, the same bound
+    // as the grid — so it is the safe build side at any event count.
+    broadcast(counts).join(grid, Seq("event_type", "hour_ts"), "right")
       .select(col("event_type"), col("hour_ts"),
         coalesce(col("cnt"), lit(0L)).as("n"))
       .orderBy("event_type", "hour_ts")
@@ -721,9 +736,11 @@ object Analytics {
     // fresh aliases break the ps→minc self-join lineage ambiguity
     val minc = ps.select(col("l_partkey").as("mk"), col("cost"))
       .groupBy("mk").agg(min("cost").as("min_cost"))
+    // supplier is SF-scaled → unhinted (AQE broadcasts while small);
+    // nation is constant-bounded (25) → pinned
     ps.join(minc, ps("l_partkey") === minc("mk") &&
         ps("cost") === minc("min_cost"))
-      .join(broadcast(s), ps("l_suppkey") === s("s_suppkey"))
+      .join(s, ps("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .filter(ps("l_partkey") < 200)
       .select(ps("l_partkey"), col("s_name"), col("n_name"), col("min_cost"))
@@ -747,7 +764,8 @@ object Analytics {
       .filter(size(col("supps")) === 1)
       .select(col("supps")(0).as("l_suppkey"))
       .groupBy("l_suppkey").agg(count(lit(1)).as("n_solo_orders"))
-      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      // supplier is SF-scaled → unhinted; AQE broadcasts while small
+      .join(s, col("l_suppkey") === s("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_solo_orders"))
       .orderBy(col("n_solo_orders").desc, col("s_suppkey"))
       .limit(20)
@@ -773,8 +791,9 @@ object Analytics {
       .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
         (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
     val mx = rev.agg(max("rev_u").as("max_u"))
+    // the 1-row MAX stays pinned; SF-scaled supplier does not
     rev.join(broadcast(mx), col("rev_u") === col("max_u"))
-      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .join(s, col("l_suppkey") === s("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         round(col("rev_u") / 10000.0, 2).as("total_rev"))
       .orderBy("s_suppkey")
@@ -906,13 +925,14 @@ object Analytics {
     val asiaN = n.join(broadcast(r.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey").as("c_nk"))
-    // part (filtered) and supplier are the 0.2·SF / 0.01·SF dims —
-    // pin their broadcasts like q43/q45 rather than leaving the 100×
-    // scale-up to AQE's runtime rescue; orders/customer stay shuffle
-    // joins (both scale with SF)
-    li.join(broadcast(p.filter(col("p_type") === "PROMO")),
+    // part and supplier are SF-scaled (0.2·SF / 0.01·SF — still ~10⁸
+    // rows at the 100 TB design point) → NO forced hints: a pin
+    // overrides Spark's size check and OOMs executors when data grows.
+    // AQE broadcasts them at runtime while genuinely small. Only the
+    // constant-bounded nation/region derivations stay pinned.
+    li.join(p.filter(col("p_type") === "PROMO"),
         li("l_partkey") === p("p_partkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
@@ -953,8 +973,10 @@ object Analytics {
     * nation join, restricted to one part type. The dataset has no
     * partsupp, so the cost side is quantity × retail price; both
     * revenue and cost stay in exact 1e-4-dollar integers so partial
-    * aggregation order can never flip the total. Dims broadcast, the
-    * fact joins shuffle on their natural keys.
+    * aggregation order can never flip the total. Nation (constant 25
+    * rows) pins its broadcast; SF-scaled part/supplier stay unhinted
+    * (AQE broadcasts while small); the fact joins shuffle on their
+    * natural keys.
     */
   def q45ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
@@ -963,7 +985,7 @@ object Analytics {
     val o = Tables(spark, dir, "orders")
     val n = Tables(spark, dir, "nation")
     val costE4 = round(col("p_retailprice") * 100).cast("long") * qtyC
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -1040,7 +1062,7 @@ object Analytics {
     val li = Tables(spark, dir, "lineitem")
       .filter(year(col("l_shipdate")) === 1997)
     val p = Tables(spark, dir, "part")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(month(col("l_shipdate")).cast("long").as("o_month"))
       .agg(sum(when(col("p_type") === "PROMO", revE4).otherwise(0L)).as("promo_e4"),
         sum(revE4).as("total_e4"))
@@ -1064,7 +1086,7 @@ object Analytics {
       .agg(sum(qtyC).as("sum_qc"), count(lit(1)).as("n"))
     li.join(perPart, li("l_partkey") === col("pk"))
       .filter(qtyC * 2 * col("n") < col("sum_qc"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
       .groupBy("p_brand")
       .agg(sum(revE4).as("revenue_e4"), count(lit(1)).as("n_items"))
       .orderBy("p_brand")
@@ -1084,7 +1106,7 @@ object Analytics {
       col("p_size").between(1, 10)
     val arm3 = col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
       col("p_size").between(1, 15)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .filter(arm1 || arm2 || arm3)
       .agg(sum(revE4).as("revenue_e4"), count(lit(1)).as("n_items"))
   }
@@ -1101,7 +1123,7 @@ object Analytics {
     val p = Tables(spark, dir, "part").filter(col("p_type") === "PROMO")
     val s = Tables(spark, dir, "supplier")
     val n = Tables(spark, dir, "nation")
-    val ps = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val ps = li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(qtyC).as("q_ps"))
     val perPart = ps.groupBy(col("l_partkey").as("pk"))
@@ -1109,9 +1131,11 @@ object Analytics {
     val excess = ps.join(perPart, col("l_partkey") === col("pk"))
       .filter(col("q_ps") * col("n_supp") > col("q_p") * 2)
       .select("l_suppkey").distinct()
-    // the qualifying-supplier id set is bounded by the supplier dim —
-    // broadcast it so the semi join never shuffles the dim at scale
-    s.join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+    // the qualifying-supplier id set is fact-derived and bounded only
+    // by the (SF-scaled) supplier dim — NOT a safe forced-broadcast
+    // class; leave it to AQE's runtime size check. Nation (25 rows)
+    // stays pinned.
+    s.join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
       .orderBy("s_suppkey")
@@ -1128,8 +1152,10 @@ object Analytics {
     val p = Tables(spark, dir, "part").filter(col("p_type") =!= "PROMO")
     val bad = Tables(spark, dir, "supplier").filter(col("s_acctbal") < 0)
       .select("s_suppkey")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(broadcast(bad), li("l_suppkey") === col("s_suppkey"), "left_anti")
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      // the negative-balance exclusion set scales with supplier (SF-
+      // scaled) → unhinted; AQE broadcasts the anti side while small
+      .join(bad, li("l_suppkey") === col("s_suppkey"), "left_anti")
       .select(col("p_brand"), col("p_size"), col("l_suppkey"))
       .groupBy("p_brand", "p_size")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))

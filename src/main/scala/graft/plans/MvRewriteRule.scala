@@ -240,7 +240,12 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(
           Count(Seq(x: AttributeReference)), _, true, None, _), name)
           if x.name == distinctCol =>
-        Alias(Cast(AggregateExpression(Count(Seq(Literal(1))),
+        // Count over the state's distinct column, NOT count(1): the
+        // state keeps one row per (keys, NULL) so an all-NULL group
+        // still surfaces, but SQL's COUNT(DISTINCT x) skips NULLs —
+        // count(stateX) skips the NULL state row for free.
+        val stateX = stateOut.get(distinctCol).getOrElse(return None)
+        Alias(Cast(AggregateExpression(Count(Seq(stateX)),
           org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
           isDistinct = false), al.dataType), name)(exprId = al.exprId)
       case _ => return None

@@ -57,14 +57,16 @@ final class GraftSource(
   /** `startingVersion` / `startingTimestamp`: skip the initial
     * snapshot and stream commits from this point onward (Delta
     * parity) — the "tail the table from now" mode for tables whose
-    * history is too large to replay. A timestamp resolves through the
-    * same commit-time index as `TIMESTAMP AS OF`; both set is an
-    * error.
+    * history is too large to replay. A timestamp resolves to the
+    * EARLIEST commit at-or-after it (Delta's streaming contract — the
+    * batch `TIMESTAMP AS OF` "latest at-or-before" rule would replay
+    * changes committed strictly before the requested point); a
+    * timestamp past the log head tails from now. Both set is an error.
     */
   private val startingVersion: Option[Long] = {
     val v = opts.get("startingversion").map(_.toLong)
     val ts = opts.get("startingtimestamp").map(s =>
-      Snapshot.versionAtTimestamp(log, Snapshot.parseTsMillis(s)))
+      Snapshot.versionAtOrAfterTimestamp(log, Snapshot.parseTsMillis(s)))
     require(v.isEmpty || ts.isEmpty,
       "set startingVersion or startingTimestamp, not both")
     v.orElse(ts)

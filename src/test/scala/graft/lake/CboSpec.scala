@@ -134,4 +134,19 @@ class CboSpec extends GraftSparkSpec {
     assert(Cbo.suggestedShufflePartitions(t) == 1)
     assert(Cbo.suggestedShufflePartitions(t, targetBytes = 1024) > 1)
   }
+
+  test("PK selectivity subtracts deletion-vector-masked rows") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("cbo_pk_dv"),
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.addPrimaryKey("pk_id", Seq("id"))
+    assert(Cbo.equalitySelectivity(t, "id").contains(1.0 / 100),
+      "clean table: PK selectivity = 1/footer rows")
+    // MoR delete masks 40 rows behind a DV without rewriting files —
+    // the footer numRecords still says 100; selectivity must not
+    t.deleteMergeOnRead(col("id") <= 40L)
+    assert(t.toDF.count() == 60L)
+    assert(Cbo.equalitySelectivity(t, "id").contains(1.0 / 60),
+      "DV-masked rows must be subtracted from the PK row count")
+  }
 }

@@ -300,6 +300,41 @@ class MaterializedAggSpec extends GraftSparkSpec {
       MaterializedDistinct.forPath(spark, tmpDir("mvdd-not-a-view"), src))
   }
 
+  test("COUNT DISTINCT view: NULLs don't count, all-NULL groups surface as 0") {
+    import spark.implicits._
+    // g0: mixed NULL/non-NULL; g1: all NULL (must appear with 0, per SQL
+    // semantics where the group exists but COUNT(DISTINCT x) skips NULLs);
+    // g2: no NULLs.
+    val rows = Seq(
+      ("g0", Some(1L)), ("g0", Some(2L)), ("g0", None), ("g0", None),
+      ("g1", None), ("g1", None),
+      ("g2", Some(1L)), ("g2", Some(1L)), ("g2", Some(3L)))
+    val src = GraftTable.create(spark, tmpDir("mvdn-src"),
+      rows.toDF("g", "x"), properties = Map("graft.cdf" -> "true"))
+    val mv = MaterializedDistinct.create(spark, tmpDir("mvdn-view"),
+      src, Seq("g"), "x")
+    def expect = src.toDF.groupBy("g")
+      .agg(countDistinct("x").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def got = mv.toDF.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expect == Set(("g0", 2L), ("g1", 0L), ("g2", 2L)),
+      "oracle sanity: countDistinct skips NULLs, all-NULL group exists at 0")
+    assert(got == expect, "initial state over a nullable distinct column")
+    // fold a window that retracts one NULL, adds a NULL to g2, and
+    // retracts g0's x=1 entirely — NULL churn must not move any count
+    src.delete(col("g") === "g1" && col("x").isNull)
+    src.append(Seq(("g2", Option.empty[Long]), ("g1", Option.empty[Long]))
+      .toDF("g", "x"))
+    src.delete(col("g") === "g0" && col("x") === 1L)
+    mv.refresh()
+    assert(got == expect,
+      "folded counts over NULL churn must equal recompute")
+    assert(got == Set(("g0", 1L), ("g1", 0L), ("g2", 2L)))
+    assert(mv.view.history.filter(col("operation") === "MV REMATERIALIZE")
+      .count() == 0, "NULL handling must not force a rebuild")
+  }
+
   test("racing DISTINCT refreshes converge without double-applying") {
     import spark.implicits._
     import java.util.ConcurrentModificationException

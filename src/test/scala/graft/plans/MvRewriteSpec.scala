@@ -278,6 +278,30 @@ class MvRewriteSpec extends GraftSparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("COUNT DISTINCT rewrite over a nullable column matches SQL semantics") {
+    import spark.implicits._
+    import graft.lake.MaterializedDistinct
+    val src = GraftTable.create(spark, tmpDir("mvr-dn-src"),
+      Seq(("g0", Some(1L)), ("g0", None), ("g0", Some(2L)),
+          ("g1", None), ("g1", None), ("g2", Some(4L))).toDF("g", "x"),
+      properties = Map("graft.cdf" -> "true"))
+    val mv = MaterializedDistinct.create(spark, tmpDir("mvr-dn-view"),
+      src, Seq("g"), "x")
+    MvCatalog.registerDistinct(mv)
+    try {
+      def q = src.toDF.groupBy("g").agg(countDistinct("x").as("n"))
+      val expect = {
+        MvCatalog.clear(); val r = q.collect().map(_.toSeq).toSet
+        MvCatalog.registerDistinct(mv); r
+      }
+      assert(expect.contains(Seq("g1", 0L)),
+        "oracle sanity: the all-NULL group must exist with n=0")
+      assert(scansView(q, "mvr-dn-view"))
+      assert(q.collect().map(_.toSeq).toSet == expect,
+        "rewritten distinct must skip NULL state rows yet keep all-NULL groups")
+    } finally MvCatalog.clear()
+  }
+
   test("join-view rollup: a strict subset of join-view keys re-aggregates state") {
     import spark.implicits._
     val src = GraftTable.create(spark, tmpDir("mvr-jr-fact"),

@@ -134,11 +134,25 @@ class GraftSourceSpec extends GraftSparkSpec {
     val got = runOnce(path, tmpDir("gsrc-sv-ckpt"),
       Map("startingVersion" -> "1"))
     assert(got.size == 5, s"expected v1+v2 rows only, got ${got.size}")
-    // startingTimestamp resolves through the same commit-time index
+    // startingTimestamp = v1's exact commit time includes v1 (at-or-after)
     val ts1 = t.history.filter(col("version") === 1).collect()(0).getLong(1)
     val got2 = runOnce(path, tmpDir("gsrc-sts-ckpt"),
       Map("startingTimestamp" -> new java.sql.Timestamp(ts1).toString))
     assert(got2.size == 5, s"timestamp tail must equal version tail, got ${got2.size}")
+    // a timestamp strictly AFTER v1's commit must NOT replay v1 — Delta's
+    // streaming contract is earliest-at-or-after, not latest-at-or-before
+    val ts2 = t.history.filter(col("version") === 2).collect()(0).getLong(1)
+    if (ts2 > ts1 + 1) {
+      val gotBetween = runOnce(path, tmpDir("gsrc-stsb-ckpt"),
+        Map("startingTimestamp" -> new java.sql.Timestamp(ts1 + 1).toString))
+      assert(gotBetween.size == 3,
+        s"ts between v1 and v2 must start at v2 (3 rows), got ${gotBetween.size}")
+    }
+    // a timestamp past the log head tails from now: empty first drain
+    val gotFuture = runOnce(path, tmpDir("gsrc-stsf-ckpt"),
+      Map("startingTimestamp" -> new java.sql.Timestamp(ts2 + 60000).toString))
+    assert(gotFuture.isEmpty,
+      s"future timestamp must admit nothing, got ${gotFuture.size}")
     intercept[Exception] {
       runOnce(path, tmpDir("gsrc-both-ckpt"),
         Map("startingVersion" -> "1", "startingTimestamp" -> "2026-01-01"))
