@@ -593,13 +593,33 @@ object Analytics {
   /** NTILE decile segmentation: customers bucketed into 10 spend
     * deciles, per-decile totals — the quantile-segmentation shape of
     * cohort/quality analyses.
+    *
+    * NOT `ntile(10).over(Window.orderBy(...))`: a partition-less
+    * window funnels the whole per-customer aggregate (SF×150k rows —
+    * ~10⁹ at the 100 TB design point) through ONE reducer. Instead
+    * the two-phase global ordinal ([[Ranks.withGlobalOrdinal]]) ranks
+    * distributed, and NTILE is arithmetic over (ordinal, n): with
+    * q = n/10 and r = n%10, the first r buckets hold q+1 rows — the
+    * exact SQL NTILE contract, so the hashes match the window form.
+    * The only driver traffic is ONE long (the row count).
     */
   def q29Ntile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
     val spend = o.groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("spend"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-    spend.withColumn("decile", ntile(10).over(w).cast("long"))
+    val ranked = Ranks.withGlobalOrdinal(spend, "__ord",
+      col("spend").desc, col("o_custkey"))
+    val n = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
+    val k = 10L
+    val q = n / k
+    val r = n % k
+    val cut = r * (q + 1) // ordinals ≤ cut fall in the q+1-sized buckets
+    val decile =
+      when(col("__ord") <= cut,
+        floor((col("__ord") - 1) / lit(q + 1)))
+      .otherwise(lit(r) +
+        floor((col("__ord") - 1 - cut) / lit(math.max(q, 1L)))) + 1
+    ranked.withColumn("decile", decile.cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), round(sum("spend"), 2).as("decile_spend"))
       .orderBy("decile")
@@ -642,15 +662,27 @@ object Analytics {
   /** Relative-standing windows: percent_rank and cume_dist over a
     * deterministic total order (spend desc, key) — the normalized-rank
     * complement to q29's ntile bucketing.
+    *
+    * NOT `percent_rank().over(Window.orderBy(...))`: the partition-
+    * less window is a single-reducer funnel over the SF-scaled
+    * customer aggregate. The two-phase ordinal
+    * ([[Ranks.withGlobalOrdinal]]) ranks distributed; because
+    * (spend desc, o_custkey) is tie-free, rank ≡ ordinal, so
+    * percent_rank = (i−1)/(n−1) and cume_dist = i/n exactly — both
+    * engines divide the same two integers, bit-identical before the
+    * 6-dp round. Driver traffic: ONE long.
     */
   def q32PercentRank(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
     val spend = o.groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("spend"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-    spend
-      .withColumn("pr", round(percent_rank().over(w), 6))
-      .withColumn("cd", round(cume_dist().over(w), 6))
+    val ranked = Ranks.withGlobalOrdinal(spend, "__ord",
+      col("spend").desc, col("o_custkey"))
+    val n = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
+    val prDenom = math.max(n - 1, 1L) // n=1 → percent_rank is 0 either way
+    ranked
+      .withColumn("pr", round((col("__ord") - 1).cast("double") / prDenom, 6))
+      .withColumn("cd", round(col("__ord").cast("double") / n, 6))
       .select("o_custkey", "spend", "pr", "cd")
       .orderBy("o_custkey")
   }

@@ -198,16 +198,18 @@ object Pipeline {
   /** Deterministic global shuffle: the training-order randomization
     * pass before sharding. Ordering by a hash of the key (not by
     * `rand()`) makes the permutation reproducible across retries and
-    * engines while still decorrelating neighbors. The global
-    * row_number is for the oracle-checked output; the production path
-    * writes hash-range-partitioned shards (`repartitionByRange` on
-    * shuffle_key), which needs no global sort.
+    * engines while still decorrelating neighbors. The global position
+    * comes from the two-phase ordinal ([[Ranks.withGlobalOrdinal]]):
+    * range sort on (shuffle_key, doc_id) then zipWithIndex — NOT a
+    * partition-less `row_number()` window, which would funnel the
+    * whole corpus through one reducer. Same tie-free total order,
+    * same positions, same hashes.
     */
   def pipeShuffle(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), docHash(col("doc_id")).as("shuffle_key"))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+    Ranks.withGlobalOrdinal(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), docHash(col("doc_id")).as("shuffle_key")),
+      "pos", col("shuffle_key"), col("doc_id"))
       .select("doc_id", "shuffle_key", "pos")
       .orderBy("pos")
 

@@ -187,19 +187,12 @@ object TextOps {
     // Two-phase global rank, NOT a Window.orderBy over the whole vocab:
     // a global window funnels every row through ONE reducer, and on a
     // web corpus "distinct whitespace tokens" (URLs, hashes, garbage)
-    // run 10⁸–10⁹ rows — far past a single task. Instead: cluster-wide
-    // range sort on the rank key, then zipWithIndex (per-partition
-    // counts + contiguous offsets — the textbook two-phase rank).
-    // (freq desc, word) is a total order, so ranks are deterministic.
-    val sorted = agg.select(col("word"), col("freq"), col("doc_freq"))
-      .sort(col("freq").desc, col("word"))
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "rank", org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), i + 1L)
-    }
-    spark.createDataFrame(indexed, schema).orderBy("rank")
+    // run 10⁸–10⁹ rows — far past a single task. (freq desc, word) is
+    // a total order, so ranks are deterministic ([[Ranks]]).
+    Ranks.withGlobalOrdinal(
+      agg.select(col("word"), col("freq"), col("doc_freq")),
+      "rank", col("freq").desc, col("word"))
+      .orderBy("rank")
   }
 
   /** Word-rarity quality score (the CCNet/perplexity-filter shape with

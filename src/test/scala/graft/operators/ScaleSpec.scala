@@ -84,5 +84,36 @@ class ScaleSpec extends GraftSparkSpec {
     val rsPlan = rs.queryExecution.executedPlan.toString
     assert(rsPlan.contains("_graft_text") && !rsPlan.contains("documents.parquet"),
       "ranked search must stay on the postings sidecar")
+    // global-rank family: ntile / percent_rank / corpus shuffle must
+    // keep the two-phase zipWithIndex ordinal — a Window node here
+    // means the single-reducer Window.orderBy funnel came back
+    for ((name, df) <- Seq(
+        "q29_ntile" -> Analytics.q29Ntile(spark, sfDir),
+        "q32_percent_rank" -> Analytics.q32PercentRank(spark, sfDir),
+        "pipe_shuffle" -> Pipeline.pipeShuffle(spark, sfDir)))
+      assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+        s"$name must not reintroduce a partition-less global window")
+    // de-hinted TPC-H dims: no forced broadcast on SF-scaled sides —
+    // the plan must not carry a user hint on customer/part/supplier
+    // (AQE may still choose broadcast at runtime from actual sizes)
+    for ((name, df) <- Seq(
+        "q4_top_customers" -> Analytics.q4TopCustomers(spark, sfDir),
+        "q5_region_volume" -> Analytics.q5RegionVolume(spark, sfDir),
+        "q52_excess_suppliers" -> Analytics.q52ExcessSuppliers(spark, sfDir))) {
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      val files = hinted.flatMap(_.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.inputFiles.toSeq
+            case _ => Seq.empty
+          }
+      }.flatten)
+      assert(!files.exists(p => p.contains("customer.parquet") ||
+          p.contains("part.parquet") || p.contains("supplier.parquet")),
+        s"$name must not force-broadcast an SF-scaled table")
+    }
   }
 }
