@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // maintenance SQL (OPTIMIZE / VACUUM / DESCRIBE HISTORY|DETAIL /
+    // RESTORE / REORG / ANALYZE / FSCK) over catalog-named tables —
+    // the reference's bare-spark.sql usage mode; everything else
+    // parses through the delegate untouched
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
     // CBO bridge: LogicalRelations over graftlake tables pick up
     // ANALYZE stats as catalog statistics (rowCount/NDV/nulls), so
     // EXPLAIN EXTENDED and join planning see them with zero API calls

@@ -132,30 +132,7 @@ final class GraftRelation(
     */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === v)
-    case GreaterThan(a, v) => Some(col(a) > v)
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
-    case LessThan(a, v) => Some(col(a) < v)
-    case LessThanOrEqual(a, v) => Some(col(a) <= v)
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case IsNull(a) => Some(col(a).isNull)
-    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
-    case And(l, r) =>
-      (toColumn(l), toColumn(r)) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        case (one, other) => one.orElse(other) // half an AND still prunes
-      }
-    case Or(l, r) =>
-      // an OR may only prune when BOTH arms translate — dropping one
-      // arm would wrongly exclude that arm's files
-      (toColumn(l), toColumn(r)) match {
-        case (Some(a), Some(b)) => Some(a || b)
-        case _ => None
-      }
-    case _ => None // unsupported shape: no pruning, Spark re-filters
-  }
+  private def toColumn(f: Filter): Option[Column] = GraftFilters.toColumn(f)
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {

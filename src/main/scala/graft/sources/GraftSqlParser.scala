@@ -1,0 +1,190 @@
+package graft.sources
+
+import scala.util.matching.Regex
+
+import graft.lake.{GraftSql, GraftTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Parser extension routing GraftLake maintenance statements —
+  * `OPTIMIZE` / `VACUUM` / `DESCRIBE HISTORY|DETAIL` / `RESTORE` /
+  * `REORG` / `ANALYZE` — through `spark.sql` against CATALOG-named
+  * tables, the reference's own usage mode (reference
+  * docs/02-lab-optimizations.md:116-187 runs OPTIMIZE and DESCRIBE
+  * HISTORY as plain SQL). Installed by [[graft.GraftExtensions]];
+  * anything not matching the maintenance shapes parses through the
+  * delegate untouched, so the extension is a strict superset of
+  * Spark SQL.
+  *
+  * Execution reuses [[GraftSql]] verbatim: the matched multipart name
+  * resolves to a table path through the session's [[GraftCatalog]],
+  * the path registers under a local alias, and the statement re-runs
+  * with the alias spliced in — one grammar, one executor, two entry
+  * points.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenance.tryParse(sqlText, name =>
+        GraftMaintenance.resolve(session, name).isDefined)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+private[sources] object GraftMaintenance {
+
+  // identifier: optionally catalog/namespace-qualified, each part a
+  // plain word (the same shape GraftSql accepts, multipart-extended)
+  private val id = """([\w]+(?:\.[\w]+)*)"""
+
+  // (statement template with %s where the alias goes) per shape; the
+  // output schema is static per statement kind, as RunnableCommand
+  // requires. Shapes mirror GraftSql's regexes 1:1.
+  private val optimizeRe: Regex =
+    s"""(?is)^\\s*OPTIMIZE\\s+$id((?:\\s+FULL)?(?:\\s+VORDER)?(?:\\s+ZORDER\\s+BY\\s*\\([^)]+\\))?(?:\\s+VORDER)?(?:\\s+WHERE\\s+.+?)?)\\s*;?\\s*$$""".r
+  private val vacuumRe: Regex =
+    s"""(?is)^\\s*VACUUM\\s+$id((?:\\s+LITE)?(?:\\s+RETAIN\\s+[0-9.]+\\s+HOURS)?(?:\\s+DRY\\s+RUN)?)\\s*;?\\s*$$""".r
+  private val historyRe: Regex =
+    s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$id\\s*;?\\s*$$""".r
+  private val detailRe: Regex =
+    s"""(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$id\\s*;?\\s*$$""".r
+  private val restoreRe: Regex =
+    s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$id\\s+(TO\\s+(?:VERSION\\s+AS\\s+OF\\s+\\d+|TIMESTAMP\\s+AS\\s+OF\\s+'[^']+'))\\s*;?\\s*$$""".r
+  private val reorgRe: Regex =
+    s"""(?is)^\\s*REORG\\s+TABLE\\s+$id\\s+(APPLY\\s*\\(\\s*PURGE\\s*\\))\\s*;?\\s*$$""".r
+  private val analyzeRe: Regex =
+    s"""(?is)^\\s*ANALYZE\\s+TABLE\\s+$id\\s+(COMPUTE\\s+STATISTICS)\\s*;?\\s*$$""".r
+  private val fsckRe: Regex =
+    s"""(?is)^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$id(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
+
+  private def attrs(fields: (String, DataType)*): Seq[Attribute] =
+    fields.map { case (n, t) => AttributeReference(n, t)() }
+
+  private val metricValue = attrs("metric" -> StringType, "value" -> StringType)
+  private val historyOut = attrs("version" -> LongType,
+    "timestamp" -> LongType, "operation" -> StringType,
+    "parameters" -> StringType, "metrics" -> StringType)
+  private val detailOut = attrs("location" -> StringType,
+    "version" -> LongType, "numFiles" -> IntegerType,
+    "sizeInBytes" -> LongType, "partitionColumns" -> StringType,
+    "numRecords" -> LongType, "clusteringColumns" -> StringType,
+    "rowTracking" -> BooleanType, "indexes" -> StringType)
+  private val pathOut = attrs("path" -> StringType)
+
+  /** `isGraft` gates ONLY the statements Spark's own parser also
+    * accepts (ANALYZE): those must fall through to the delegate for
+    * non-graft tables instead of failing resolution later. The
+    * graft-only verbs (OPTIMIZE/VACUUM/RESTORE/…) intercept
+    * unconditionally — the delegate would reject them anyway, and the
+    * command's own resolution gives the clearer error.
+    */
+  def tryParse(sqlText: String,
+      isGraft: String => Boolean): Option[LogicalPlan] = sqlText match {
+    case optimizeRe(name, rest) =>
+      Some(GraftMaintenanceCommand(name, s"OPTIMIZE %s$rest", metricValue))
+    case vacuumRe(name, rest) =>
+      Some(GraftMaintenanceCommand(name, s"VACUUM %s$rest", pathOut))
+    case historyRe(name) =>
+      Some(GraftMaintenanceCommand(name, "DESCRIBE HISTORY %s", historyOut))
+    case detailRe(name) =>
+      Some(GraftMaintenanceCommand(name, "DESCRIBE DETAIL %s", detailOut))
+    case restoreRe(name, rest) =>
+      Some(GraftMaintenanceCommand(name, s"RESTORE TABLE %s $rest", metricValue))
+    case reorgRe(name, rest) =>
+      Some(GraftMaintenanceCommand(name, s"REORG TABLE %s $rest", metricValue))
+    case analyzeRe(name, rest) if isGraft(name) =>
+      // computeStats' per-column schema is dynamic; RunnableCommand
+      // needs a static one → flatten to (metric, value) string pairs
+      Some(GraftMaintenanceCommand(name, s"ANALYZE TABLE %s $rest",
+        metricValue, flattenToMetrics = true))
+    case fsckRe(name, rest) =>
+      Some(GraftMaintenanceCommand(name,
+        s"FSCK REPAIR TABLE %s${Option(rest).getOrElse("")}", metricValue))
+    case _ => None
+  }
+
+  /** Resolve a (possibly qualified) name to a GraftLake table path
+    * through the session's catalogs: bare names use the current
+    * catalog + namespace; a qualified head naming a registered
+    * catalog resolves there. None when the name doesn't land on a
+    * [[GraftCatalog]] table.
+    */
+  def resolve(spark: SparkSession, tableName: String): Option[String] =
+    try {
+      val cm = spark.sessionState.catalogManager
+      val parts = tableName.split('.').toSeq
+      val resolved: Option[(GraftCatalog, Identifier)] = parts match {
+        case Seq(one) => cm.currentCatalog match {
+          case g: GraftCatalog =>
+            Some((g, Identifier.of(cm.currentNamespace, one)))
+          case _ => None
+        }
+        case head +: rest if cm.isCatalogRegistered(head) =>
+          cm.catalog(head) match {
+            case g: GraftCatalog =>
+              val ns =
+                if (rest.init.isEmpty) g.defaultNamespace else rest.init.toArray
+              Some((g, Identifier.of(ns, rest.last)))
+            case _ => None
+          }
+        case init :+ last => cm.currentCatalog match {
+          case g: GraftCatalog => Some((g, Identifier.of(init.toArray, last)))
+          case _ => None
+        }
+      }
+      resolved.flatMap { case (cat, ident) => cat.tablePath(ident) }
+    } catch { case scala.util.control.NonFatal(_) => None }
+}
+
+/** Runs one maintenance statement against a catalog-resolved
+  * GraftLake table. Name resolution follows Spark's rules: a bare
+  * name resolves in the current catalog + namespace; a qualified name
+  * whose head is a registered catalog resolves there. The resolved
+  * catalog must be a [[GraftCatalog]].
+  */
+final case class GraftMaintenanceCommand(
+    tableName: String, template: String,
+    override val output: Seq[Attribute],
+    flattenToMetrics: Boolean = false)
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolve(spark, tableName)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no GraftLake table $tableName in the session's catalogs — " +
+          "maintenance statements need a graftlake catalog table"))
+    val gsql = new GraftSql(spark)
+    gsql.register("graft_target", path)
+    val df = gsql.sql(template.format("graft_target"))
+    if (flattenToMetrics)
+      df.collect().toSeq.flatMap(r =>
+        df.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+          Row(n, String.valueOf(r.get(i)))
+        })
+    else df.collect().toSeq
+  }
+}

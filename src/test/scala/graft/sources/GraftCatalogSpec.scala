@@ -1,0 +1,197 @@
+package graft.sources
+
+import graft.GraftSparkSpec
+import org.apache.spark.sql.functions._
+
+/** The reference lab's §C–§F flow driven ENTIRELY through bare
+  * `spark.sql` against catalog-named tables — no temp views, no
+  * GraftSql handle: the DSv2 [[GraftCatalog]] resolves names, reads,
+  * writes and deletes; [[GraftSqlParser]] routes the maintenance
+  * statements (reference docs/02-lab-optimizations.md:116-187 runs
+  * OPTIMIZE / DESCRIBE HISTORY / VACUUM as plain SQL on catalog
+  * tables — this is that usage mode).
+  */
+class GraftCatalogSpec extends GraftSparkSpec {
+
+  private def useCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.graftc",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftc.warehouse",
+      tmpWarehouse)
+  }
+  private lazy val tmpWarehouse = tmpDir("catalog-warehouse")
+
+  test("lab flow through bare spark.sql: CTAS, insert, optimize, delete, " +
+      "time travel, restore, vacuum, detail") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+
+    // §A equivalent: stage the synthetic sales rows, CTAS into the catalog
+    val countries = Seq("US", "CA", "MX", "UK", "DE")
+    spark.range(2000)
+      .withColumn("order_id", col("id"))
+      .withColumn("country", element_at(
+        array(countries.map(lit): _*), (pmod(col("id") * 31L, lit(5)) + 1).cast("int")))
+      .withColumn("total", round(pmod(col("id") * 7919L, lit(40000)) / 100.0, 2))
+      .drop("id")
+      .repartition(8)
+      .createOrReplaceTempView("sales_src")
+    spark.sql(
+      "CREATE TABLE graftc.default.sales USING graftlake AS SELECT * FROM sales_src")
+
+    def count(q: String = "graftc.default.sales"): Long =
+      spark.sql(s"SELECT COUNT(*) AS n FROM $q").head().getLong(0)
+    assert(count() == 2000)
+
+    // predicate + projection through the DSv2 read path
+    val us = spark.sql(
+      "SELECT order_id FROM graftc.default.sales WHERE country = 'US'")
+    assert(us.count() == spark.table("sales_src")
+      .filter(col("country") === "US").count())
+
+    // INSERT INTO (v2 append through the V1 bridge)
+    spark.sql(
+      "INSERT INTO graftc.default.sales VALUES (999999, 'US', 12.34)")
+    assert(count() == 2001)
+
+    // §C: OPTIMIZE through the injected parser compacts the files
+    val before = spark.sql("DESCRIBE DETAIL graftc.default.sales")
+      .head().getAs[Int]("numFiles")
+    val metrics = spark.sql("OPTIMIZE graftc.default.sales VORDER")
+    assert(metrics.columns.toSeq == Seq("metric", "value"))
+    val after = spark.sql("DESCRIBE DETAIL graftc.default.sales")
+      .head().getAs[Int]("numFiles")
+    assert(after < before, s"optimize must compact: $before -> $after")
+
+    // §D: DELETE, history, time travel, restore
+    val vBeforeDelete = spark.sql("DESCRIBE HISTORY graftc.default.sales")
+      .head().getLong(0)
+    spark.sql("DELETE FROM graftc.default.sales WHERE country = 'US'")
+    val usRows = 2001 - count()
+    assert(usRows > 0)
+    val ops = spark.sql("DESCRIBE HISTORY graftc.default.sales")
+      .select("operation").collect().map(_.getString(0)).toSet
+    assert(ops.contains("DELETE") && ops.contains("OPTIMIZE"))
+    assert(count(s"graftc.default.sales VERSION AS OF $vBeforeDelete") == 2001,
+      "VERSION AS OF must read the pre-delete snapshot")
+    spark.sql(
+      s"RESTORE TABLE graftc.default.sales TO VERSION AS OF $vBeforeDelete")
+    assert(count() == 2001)
+
+    // §E: VACUUM — DRY RUN lists, RETAIN 0 deletes, data intact
+    assert(spark.sql("VACUUM graftc.default.sales DRY RUN").columns
+      .toSeq == Seq("path"))
+    spark.sql("VACUUM graftc.default.sales RETAIN 0 HOURS")
+    assert(count() == 2001)
+
+    // §F: DESCRIBE DETAIL fields
+    val detail = spark.sql("DESCRIBE DETAIL graftc.default.sales").head()
+    assert(detail.getAs[String]("location").endsWith("sales"))
+    assert(detail.getAs[Long]("numRecords") == 2001)
+
+    // INSERT OVERWRITE through TRUNCATE capability
+    spark.sql("INSERT OVERWRITE graftc.default.sales " +
+      "SELECT * FROM sales_src WHERE country = 'DE'")
+    assert(count() == spark.table("sales_src")
+      .filter(col("country") === "DE").count())
+  }
+
+  test("USE graftc: bare names resolve through current catalog/namespace") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.range(100).withColumn("v", col("id") * 2)
+      .createOrReplaceTempView("bare_src")
+    spark.sql("USE graftc")
+    try {
+      spark.sql("CREATE TABLE bare USING graftlake AS SELECT * FROM bare_src")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM bare").head().getLong(0) == 100)
+      // maintenance statement on a BARE name (current catalog + namespace)
+      assert(spark.sql("DESCRIBE HISTORY bare").count() >= 1)
+      spark.sql("OPTIMIZE bare")
+      spark.sql("DELETE FROM bare WHERE id < 10")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM bare").head().getLong(0) == 90)
+      assert(spark.sql("SHOW TABLES").collect()
+        .map(_.getString(1)).contains("bare"))
+      spark.sql("DROP TABLE bare")
+      assert(!spark.sql("SHOW TABLES").collect()
+        .map(_.getString(1)).contains("bare"))
+    } finally spark.sql("USE spark_catalog")
+  }
+
+  test("partitioned catalog table: identity transform maps to layout, " +
+      "pruning reaches the scan") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.range(300)
+      .withColumn("country", element_at(array(lit("US"), lit("CA"), lit("MX")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")))
+      .createOrReplaceTempView("part_src")
+    spark.sql("CREATE TABLE graftc.default.by_country USING graftlake " +
+      "PARTITIONED BY (country) AS SELECT * FROM part_src")
+    val detail = spark.sql("DESCRIBE DETAIL graftc.default.by_country").head()
+    assert(detail.getAs[String]("partitionColumns") == "country")
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graftc.default.by_country WHERE country='US'")
+      .head().getLong(0) == 100)
+    // time travel by timestamp through loadTable(ident, micros).
+    // DSv2 CTAS = createTable (empty v0) + append (v1) — pin v1, the
+    // first version with the 300 rows, rendered in the session's UTC
+    spark.sql("INSERT INTO graftc.default.by_country VALUES (9999, 'US')")
+    val warehousePath = java.nio.file.Paths.get(tmpWarehouse, "default", "by_country")
+    val t = graft.lake.GraftTable.forPath(spark, warehousePath.toString)
+    val ts0 = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(t.log.commitTimestamp(1)))
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.by_country " +
+      s"TIMESTAMP AS OF '$ts0'").head().getLong(0) == 300)
+    spark.sql("DROP TABLE graftc.default.by_country")
+  }
+
+  test("ANALYZE intercepts only graft-resolvable names; graft-only verbs always") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    // non-graft ANALYZE must fall through to the delegate parser (the
+    // statement is valid Spark SQL for spark_catalog tables)
+    assert(GraftMaintenance.tryParse(
+      "ANALYZE TABLE not_graft COMPUTE STATISTICS", _ => false).isEmpty,
+      "ANALYZE on a non-graft name must delegate to Spark")
+    assert(GraftMaintenance.tryParse(
+      "ANALYZE TABLE g COMPUTE STATISTICS", _ => true).isDefined)
+    // graft-only verbs intercept regardless (Spark would reject them)
+    assert(GraftMaintenance.tryParse(
+      "OPTIMIZE whatever", _ => false).isDefined)
+    // end-to-end: ANALYZE through the parser feeds the stats the CBO reads
+    spark.range(80).withColumn("g", pmod(col("id"), lit(4)))
+      .createOrReplaceTempView("an_src")
+    spark.sql("CREATE TABLE graftc.default.an_tbl USING graftlake " +
+      "AS SELECT * FROM an_src")
+    spark.sql("ANALYZE TABLE graftc.default.an_tbl COMPUTE STATISTICS")
+    val warehousePath =
+      java.nio.file.Paths.get(tmpWarehouse, "default", "an_tbl").toString
+    val t = graft.lake.GraftTable.forPath(spark, warehousePath)
+    assert(graft.lake.Cbo.rowCount(t).contains(80L),
+      "parser-routed ANALYZE must persist stats")
+    spark.sql("DROP TABLE graftc.default.an_tbl")
+  }
+
+  test("external LOCATION table keeps data on DROP; ALTER SET TBLPROPERTIES") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    val ext = tmpDir("catalog-external")
+    spark.range(50).createOrReplaceTempView("ext_src")
+    spark.sql("CREATE TABLE graftc.default.ext_tbl USING graftlake " +
+      s"LOCATION '$ext' AS SELECT * FROM ext_src")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.ext_tbl")
+      .head().getLong(0) == 50)
+    spark.sql("ALTER TABLE graftc.default.ext_tbl " +
+      "SET TBLPROPERTIES ('graft.demo'='on')")
+    assert(graft.lake.GraftTable.forPath(spark, ext).snapshot
+      .metadata.get.properties.get("graft.demo").contains("on"))
+    spark.sql("DROP TABLE graftc.default.ext_tbl")
+    // external contract: pointer gone, data intact
+    assert(new graft.lake.TxnLog(ext).exists,
+      "dropping an external table must keep its data")
+    intercept[Exception](
+      spark.sql("SELECT * FROM graftc.default.ext_tbl").collect())
+  }
+}
