@@ -185,6 +185,7 @@ object SparkEntry {
     "lake_mv_avg" -> LakeOps.lakeMvAvg _,
     "lake_mv_minmax" -> LakeOps.lakeMvMinMax _,
     "lake_mv_join" -> LakeOps.lakeMvJoin _,
+    "lake_mv_outer_join" -> LakeOps.lakeMvOuterJoin _,
     "lake_mv_distinct" -> LakeOps.lakeMvDistinct _,
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _,
@@ -1750,6 +1751,21 @@ object SparkEntry {
         "WHERE l_orderkey % 11 = 0) " +
         "SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct " +
         "FROM s3 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "lake_mv_outer_join" ->
+      ("WITH fact AS (SELECT l_orderkey, CAST(ROUND(l_quantity * 100) AS BIGINT) " +
+        "AS qty_c FROM lineitem), " +
+        "f1 AS (SELECT * FROM fact WHERE l_orderkey % 7 <> 0), " +
+        "f2 AS (SELECT * FROM f1 UNION ALL SELECT l_orderkey, qty_c * 3 AS qty_c " +
+        "FROM fact WHERE l_orderkey % 11 = 0), " +
+        "dim0 AS (SELECT o_orderkey AS l_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderkey % 2 = 0), " +
+        "dim1 AS (SELECT l_orderkey, CASE WHEN o_orderpriority = '5-LOW' " +
+        "THEN '4-NOT SPECIFIED' ELSE o_orderpriority END AS o_orderpriority " +
+        "FROM dim0 WHERE l_orderkey % 6 <> 0) " +
+        "SELECT COALESCE(o_orderpriority, '<unmatched>') AS o_orderpriority, " +
+        "COUNT(*) AS n_rows, CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c " +
+        "FROM f2 LEFT JOIN dim1 USING (l_orderkey) " +
+        "GROUP BY 1 ORDER BY o_orderpriority"),
     "lake_mv_join" ->
       ("WITH fact AS (SELECT l_orderkey, CAST(ROUND(l_quantity * 100) AS BIGINT) " +
         "AS qty_c FROM lineitem), " +

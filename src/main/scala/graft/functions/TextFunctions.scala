@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis kernels for training-data pipelines, built from Spark
   * SQL built-ins so every one stays inside whole-stage codegen.
@@ -80,4 +85,64 @@ object TextFunctions {
   def wordJaccard(a: Column, b: Column): Column =
     size(array_intersect(wordSet(a), wordSet(b))).cast("double") /
       size(array_union(wordSet(a), wordSet(b))).cast("double")
+}
+
+/** Greedy longest-match ("MaxMatch") segmentation of one word against
+  * a trained vocabulary — tokenizer-parity BPE APPLY: real tokenizers
+  * segment by longest vocab match at inference, not by replaying the
+  * merge history (the two diverge on overlaps: vocab {ab, abc, cd}
+  * segments "abcd" as [abc, d] under MaxMatch regardless of merge
+  * order). Single characters are implicit vocab — an unseen code
+  * point becomes its own token, never an error.
+  *
+  * The vocab rides the expression as a plan constant (16–50k merged
+  * strings — tokenizer-sized, KBs), shipped once per task via a
+  * codegen reference object, and the kernel runs over the DISTINCT
+  * WORD table (bounded, ≪ corpus), keeping the corpus scan a join on
+  * the word key — the same discipline as the merge-replay segmenter.
+  */
+case class BpeMaxMatch(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  @transient private lazy val table = new BpeMaxMatch.Table(vocab)
+  override def nullSafeEval(v: Any): Any =
+    BpeMaxMatch.kernel(v.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeVocab", table,
+      classOf[BpeMaxMatch.Table].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeMaxMatch.kernel($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMaxMatch =
+    copy(child = c)
+}
+
+object BpeMaxMatch {
+  /** Shared lookup state: the vocab set plus its longest entry, so the
+    * scan window never exceeds what could match. */
+  final class Table(vocab: Seq[String]) extends Serializable {
+    val set = new java.util.HashSet[String]()
+    vocab.foreach(set.add)
+    val maxLen: Int = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+  }
+
+  def kernel(w: UTF8String, t: Table): ArrayData = {
+    val s = w.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < s.length) {
+      var len = math.min(t.maxLen, s.length - i)
+      var matched = 0
+      while (len >= 2 && matched == 0) {
+        if (t.set.contains(s.substring(i, i + len))) matched = len
+        len -= 1
+      }
+      // single-character fallback covers the whole code point: a
+      // surrogate pair must never split into two lone tokens
+      if (matched == 0) matched = Character.charCount(s.codePointAt(i))
+      out += UTF8String.fromString(s.substring(i, i + matched))
+      i += matched
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
 }

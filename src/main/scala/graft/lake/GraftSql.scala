@@ -20,6 +20,8 @@ final class GraftSql(spark: SparkSession) {
   private val matViews = scala.collection.mutable.Map[String, MaterializedAgg]()
   private val distinctViews =
     scala.collection.mutable.Map[String, MaterializedDistinct]()
+  private val outerViews =
+    scala.collection.mutable.Map[String, MaterializedOuterJoin]()
 
   def register(name: String, path: String): GraftTable = {
     val t = GraftTable.forPath(spark, path)
@@ -115,6 +117,15 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+([\w,\s]+?)\s*;?\s*$""".r
   private val createMvJoinRe: Regex =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+JOIN\s+(\w+)\s+USING\s*\(([\w,\s]+)\)\s+GROUP\s+BY\s+([\w,\s]+?)\s*;?\s*$""".r
+  // LEFT OUTER join views route to the key-grain state maintainer
+  // ([[MaterializedOuterJoin]]); RIGHT/FULL refuse LOUDLY with the
+  // limitation spelled out — without the refusal match they would
+  // miss every MV regex and silently fall through to the plain-query
+  // path, never creating a view at all
+  private val createMvLeftJoinRe: Regex =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+LEFT\s+(?:OUTER\s+)?JOIN\s+(\w+)\s+USING\s*\(([\w,\s]+)\)\s+GROUP\s+BY\s+([\w,\s]+?)\s*;?\s*$""".r
+  private val createMvOuterJoinRe: Regex =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+\w+\s+LOCATION\s+'[^']+'\s+AS\s+SELECT\s+.+?\s+FROM\s+\w+\s+(RIGHT|FULL)(?:\s+OUTER)?\s+JOIN\s+.+$""".r
   private val refreshMvRe: Regex =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$""".r
   private val mvSumItemRe: Regex =
@@ -271,6 +282,44 @@ final class GraftSql(spark: SparkSession) {
         table(name).snapshot.schema.fields.toSeq
           .map(f => (f.name, f.dataType.simpleString))
           .toDF("col_name", "data_type")
+      case createMvLeftJoinRe(name, location, selectList, srcName, dimName,
+          using, groupBy) =>
+        // LEFT-OUTER view (L90): per-join-key fact sub-aggregate
+        // state; fact-side aggregates only (the class refuses others)
+        val groupCols = groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val joinKeys = using.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val items = selectList.split(",").map(_.trim).filter(_.nonEmpty)
+        val sumCols = items.flatMap {
+          case mvSumItemRe(c) => Some(c)
+          case mvAvgItemRe(c) => Some(c)
+          case _ => None
+        }.distinct.toSeq
+        val minColsSql = items.flatMap {
+          case mvMinItemRe(c) => Some(c); case _ => None }.distinct.toSeq
+        val maxColsSql = items.flatMap {
+          case mvMaxItemRe(c) => Some(c); case _ => None }.distinct.toSeq
+        items.foreach {
+          case mvSumItemRe(_) | mvAvgItemRe(_) | mvMinItemRe(_) |
+               mvMaxItemRe(_) | mvCountItemRe() => ()
+          case item if groupCols.contains(item) => ()
+          case item => throw new IllegalArgumentException(
+            s"materialized views maintain group columns, COUNT(*), " +
+              s"SUM/AVG(col), and MIN/MAX(col) only; cannot maintain: $item")
+        }
+        val mv = MaterializedOuterJoin.create(spark, location, table(srcName),
+          table(dimName), joinKeys, groupCols, sumCols, minColsSql, maxColsSql)
+        outerViews(name) = mv
+        tables(name) = mv.view
+        Seq(("location", location), ("sourceVersion",
+          table(srcName).version.toString)).toDF("metric", "value")
+      case createMvOuterJoinRe(joinKind) =>
+        throw new IllegalArgumentException(
+          s"materialized join views support INNER and LEFT OUTER joins, got " +
+            s"${joinKind.toUpperCase} JOIN: right/full null-extension " +
+            "maintenance would need per-join-key DIM sub-aggregates on top " +
+            "of the fact state — swap the sides (RIGHT ≡ LEFT swapped) or " +
+            "materialize the inner join plus a separate unmatched-keys " +
+            "aggregate instead")
       case createMvJoinRe(name, location, selectList, srcName, dimName,
           using, groupBy) =>
         // join view (L83): same maintainable select surface, columns
@@ -358,6 +407,7 @@ final class GraftSql(spark: SparkSession) {
       case refreshMvRe(name) =>
         val v = matViews.get(name).map(_.refresh())
           .orElse(distinctViews.get(name).map(_.refresh()))
+          .orElse(outerViews.get(name).map(_.refresh()))
           .getOrElse(throw new IllegalArgumentException(
             s"unknown materialized view: $name"))
         Seq(("version", v.toString)).toDF("metric", "value")

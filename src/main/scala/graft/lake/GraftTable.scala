@@ -754,8 +754,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     // "v6:" stamps the quantizer ALGORITHM into the fingerprint: a
     // sidecar built by an older binary (unrefined medoids) fails the
-    // gate and rebuilds, instead of silently serving a different index
-    val fp = s"v6:${GraftTable.pqFingerprint(s)}"
+    // gate and rebuilds, instead of silently serving a different index.
+    // The PROBE BUDGET rides the fingerprint too: assignments store
+    // rr ≤ probes ranks, so a widened budget must force a full
+    // re-assignment — an unchanged-data early return would silently
+    // serve the narrower index
+    val fp = s"v6:p$probes:${GraftTable.pqFingerprint(s)}"
     if (props.get(s"$pfx.fingerprint").contains(fp)) return s.version // current
     // assignment of a row set against a persisted centroid parquet —
     // the same two kernel paths the full build uses (plan-constant
@@ -3809,7 +3813,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       } else List(d)
     }).sorted
     if (!dryRun) {
-      candidates.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      // same distributed-unlink threshold as the full walk: the LITE
+      // contract bounds CANDIDATE DISCOVERY to the retained log, not
+      // the delete itself — a long retention window can still
+      // tombstone past 10k files, and a serial driver loop over
+      // unlink syscalls is then the bottleneck
+      if (candidates.size > 10000)
+        spark.sparkContext.parallelize(candidates,
+            math.max(1, math.min(candidates.size / 1000 + 1, 64)))
+          .foreach { p => Files.deleteIfExists(Paths.get(p)); () }
+      else candidates.foreach(p => Files.deleteIfExists(Paths.get(p)))
       log.commit(Seq(info("VACUUM",
         params = Map("retentionHours" -> retentionHours.toString,
           "lite" -> "true"),

@@ -256,7 +256,8 @@ object MaterializedAgg {
     */
   def create(spark: SparkSession, path: String, source: GraftTable,
       groupCols: Seq[String], sumCols: Seq[String],
-      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): MaterializedAgg = {
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      extraProps: Map[String, String] = Map.empty): MaterializedAgg = {
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     val schema = source.snapshot.schema
     val fields = schema.fieldNames.toSet
@@ -283,7 +284,7 @@ object MaterializedAgg {
     val t = GraftTable.create(spark, path, init, properties = Map(
       SourceKey -> source.path, GroupKey -> groupCols.mkString(","),
       SumKey -> sumCols.mkString(","), MinKey -> minCols.mkString(","),
-      MaxKey -> maxCols.mkString(","), VersionKey -> v.toString))
+      MaxKey -> maxCols.mkString(","), VersionKey -> v.toString) ++ extraProps)
     new MaterializedAgg(spark, t, source)
   }
 
@@ -302,10 +303,26 @@ object MaterializedAgg {
     * stay self-consistent (but declare unique dims for sane
     * semantics).
     */
+  /** `joinType` accepts only "inner" here — LEFT OUTER views are a
+    * different state problem (a null-extended row's existence depends
+    * on the other side's key membership, which group-grain state
+    * cannot express) and live in their own class,
+    * [[MaterializedOuterJoin]], whose per-join-key fact
+    * sub-aggregate state makes the outer fold exact. RIGHT/FULL
+    * refuse with the remaining limitation named.
+    */
   def createJoin(spark: SparkSession, path: String, source: GraftTable,
       dim: GraftTable, joinKeys: Seq[String], groupCols: Seq[String],
       sumCols: Seq[String], minCols: Seq[String] = Nil,
-      maxCols: Seq[String] = Nil): MaterializedAgg = {
+      maxCols: Seq[String] = Nil,
+      joinType: String = "inner"): MaterializedAgg = {
+    require(joinType.equalsIgnoreCase("inner"),
+      s"createJoin maintains INNER joins, got '$joinType': use " +
+        "MaterializedOuterJoin.create for LEFT OUTER (per-join-key fact " +
+        "sub-aggregate state); RIGHT/FULL null-extension maintenance " +
+        "would additionally need per-join-key DIM sub-aggregates — swap " +
+        "the sides (RIGHT ≡ LEFT swapped) or materialize the inner join " +
+        "plus a separate unmatched-keys aggregate instead")
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     require(joinKeys.nonEmpty, "join view needs join key columns")
     val sf = source.snapshot.schema.fieldNames.toSet
@@ -349,13 +366,152 @@ object MaterializedAgg {
     val stored = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
     val srcPath = stored.getOrElse(SourceKey,
       throw new IllegalArgumentException(s"not a materialized view: $path"))
-    require(srcPath == source.path,
+    // canonical comparison: the stored pointer may be relative while
+    // the caller's handle is absolute (e.g. the MvCatalog auto-load
+    // probe walks up from absolute scan paths) — same directory, same
+    // table
+    def norm(p: String): String =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    require(norm(srcPath) == norm(source.path),
       s"view at $path materializes $srcPath, not ${source.path}")
     require(!stored.contains(MaterializedDistinct.DistinctKey),
       s"view at $path is a COUNT DISTINCT view — open it with " +
         "MaterializedDistinct.forPath")
+    require(!stored.contains(MaterializedOuterJoin.OuterDimKey),
+      s"view at $path is a LEFT-OUTER join view's state — open it with " +
+        "MaterializedOuterJoin.forPath")
     val dim = stored.get(DimKey).map(GraftTable.forPath(spark, _))
     new MaterializedAgg(spark, t, source, dim)
+  }
+
+  /** Open a view table as a plain single-table MV handle with no kind
+    * guard — the [[MaterializedOuterJoin]] wrapper's access to its
+    * own state (which IS a plain fact MV at the key grain).
+    */
+  private[lake] def forPathAsState(spark: SparkSession, path: String,
+      source: GraftTable): MaterializedAgg = {
+    val t = GraftTable.forPath(spark, path)
+    val stored = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    def norm(p: String): String =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    require(stored.get(SourceKey).map(norm).contains(norm(source.path)),
+      s"view at $path does not materialize ${source.path}")
+    new MaterializedAgg(spark, t, source)
+  }
+}
+
+/** LEFT-OUTER join materialized view (the shape the inner-only L83
+  * refused, made maintainable by choosing the refusal's own missing
+  * STATE GRAIN): the view stores PER-JOIN-KEY fact sub-aggregates —
+  * the fact grouped by (joinKeys ∪ fact-side groupCols) — instead of
+  * the final group grain. That one move dissolves both outer-join
+  * maintenance problems:
+  *
+  *  - FACT changes fold exactly: the state is a plain single-table
+  *    MV of the fact ([[MaterializedAgg]] IS the maintainer — same
+  *    signed-fold, min/max retract recompute, rebuild fallback), so
+  *    refresh cost is O(fact delta), never a join.
+  *  - DIM changes cost NOTHING: the read joins the CURRENT dim, so a
+  *    dim insert "converting" a null-extended row into a matched row
+  *    is just next read's join finding the key — no state move, no
+  *    dim version stamp, no SCD fold at all. (The inner L83 view
+  *    must fold dim deltas through DFP; here the dim feed vanishes.)
+  *
+  * Read = state LEFT JOIN dim ⟶ re-aggregate to the requested group
+  * grain: unmatched keys carry NULL dim attributes — exactly SQL's
+  * null extension — and the re-aggregate is state-sized (≤ |dim| ×
+  * |fact group values|), never fact-sized. The price vs the inner
+  * view is that honest read-side join; the state stays dim-scaled.
+  *
+  * v1 contract (refused loudly otherwise): aggregate columns must be
+  * FACT-side (a dim-side SUM over a left join weights each dim value
+  * by the key's fact count — expressible from this state as
+  * Σ dim.c·mv_count, deferred); dim join keys must be UNIQUE
+  * (duplicate dim keys multiply fact rows — the star-schema
+  * contract, validated at create time).
+  */
+final class MaterializedOuterJoin private (val spark: SparkSession,
+    val state: MaterializedAgg, val dim: GraftTable) {
+  import MaterializedAgg.{cntName, maxName, minName, sumName, CountCol}
+
+  def view: GraftTable = state.view
+  def source: GraftTable = state.source
+
+  private def props: Map[String, String] =
+    view.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+  private def csv(k: String): Seq[String] =
+    props.getOrElse(k, "").split(",").toSeq.filter(_.nonEmpty)
+
+  /** Fold fact changes into the key-grain state. Dim changes need no
+    * refresh at all — the read joins the live dim. */
+  def refresh(): Long = state.refresh()
+
+  /** The view's answer: (groupCols…, mv_count, mv_sum_…/mv_cnt_…,
+    * mv_min_…/mv_max_…) under LEFT-OUTER semantics — unmatched fact
+    * keys surface with NULL dim attributes.
+    */
+  def toDF: DataFrame = {
+    val joinKeys = csv(MaterializedOuterJoin.OuterJoinKeysKey)
+    val outGroup = csv(MaterializedOuterJoin.OuterGroupKey)
+    val sumCols = csv("graft.mv.sumCols")
+    val minCols = csv("graft.mv.minCols")
+    val maxCols = csv("graft.mv.maxCols")
+    val joined = view.toDF.join(dim.toDF, joinKeys, "left")
+    val aggs = sum(col(CountCol)).as(CountCol) +: (sumCols.flatMap(c => Seq(
+      sum(col(sumName(c))).as(sumName(c)),
+      sum(col(cntName(c))).as(cntName(c)))) ++
+      minCols.map(c => min(col(minName(c))).as(minName(c))) ++
+      maxCols.map(c => max(col(maxName(c))).as(maxName(c))))
+    joined.groupBy(outGroup.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+object MaterializedOuterJoin {
+  val OuterDimKey = "graft.mv.outerDim"
+  val OuterJoinKeysKey = "graft.mv.outerJoinKeys"
+  val OuterGroupKey = "graft.mv.outerGroupCols"
+
+  def create(spark: SparkSession, path: String, source: GraftTable,
+      dim: GraftTable, joinKeys: Seq[String], groupCols: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): MaterializedOuterJoin = {
+    require(groupCols.nonEmpty, "materialized aggregate needs group columns")
+    require(joinKeys.nonEmpty, "outer join view needs join key columns")
+    val factFields = source.snapshot.schema.fieldNames.toSet
+    val dimFields = dim.snapshot.schema.fieldNames.toSet
+    joinKeys.foreach(k => require(factFields.contains(k) && dimFields.contains(k),
+      s"join key $k must exist on both sides"))
+    groupCols.foreach(c => require(
+      factFields.contains(c) || dimFields.contains(c),
+      s"no such column on either side: $c"))
+    (sumCols ++ minCols ++ maxCols).foreach(c => require(factFields.contains(c),
+      s"outer-join views aggregate FACT-side columns only, '$c' is not on " +
+        "the fact: a dim-side aggregate over a left join weighs each dim " +
+        "value by the key's fact count — materialize the inner join for that"))
+    // star-schema contract: dim join keys must be unique, or the left
+    // join multiplies fact rows and every count/sum is wrong
+    val dups = dim.toDF.groupBy(joinKeys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(dups == 0,
+      s"dim join keys ${joinKeys.mkString(",")} are not unique — a " +
+        "left-outer view needs a keyed dim (the star-schema contract)")
+    val stateKeys = (joinKeys ++ groupCols.filter(factFields.contains)).distinct
+    val state = MaterializedAgg.create(spark, path, source, stateKeys,
+      sumCols, minCols, maxCols, extraProps = Map(
+        OuterDimKey -> dim.path, OuterJoinKeysKey -> joinKeys.mkString(","),
+        OuterGroupKey -> groupCols.mkString(",")))
+    new MaterializedOuterJoin(spark, state, dim)
+  }
+
+  def forPath(spark: SparkSession, path: String,
+      source: GraftTable): MaterializedOuterJoin = {
+    val t = GraftTable.forPath(spark, path)
+    val stored = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    val dimPath = stored.getOrElse(OuterDimKey,
+      throw new IllegalArgumentException(
+        s"not a LEFT-OUTER join view: $path"))
+    val state = MaterializedAgg.forPathAsState(spark, path, source)
+    new MaterializedOuterJoin(spark, state, GraftTable.forPath(spark, dimPath))
   }
 }
 
@@ -458,7 +614,9 @@ object MaterializedDistinct {
       source: GraftTable): MaterializedDistinct = {
     val t = GraftTable.forPath(spark, path)
     val stored = t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
-    require(stored.get(SourceKey).contains(source.path) &&
+    def norm(p: String): String = // canonical, like MaterializedAgg.forPath
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    require(stored.get(SourceKey).map(norm).contains(norm(source.path)) &&
       stored.contains(DistinctKey),
       s"not a COUNT DISTINCT view of ${source.path}: $path")
     new MaterializedDistinct(spark, t, source)

@@ -401,6 +401,44 @@ object LakeOps {
       .orderBy("o_orderpriority")
   }
 
+  /** LEFT-OUTER join MV (L90): per-join-key fact sub-aggregate state.
+    * The window exercises both hard outer cases: fact DML folds
+    * through the state MV (delete + tripled re-append), then dim DML
+    * (priority move + a DELETE that converts matched fact keys back
+    * to null-extended) is visible with ZERO refresh — the read joins
+    * the live dim. Orders is restricted to even keys so odd-key
+    * lineitems are null-extended from the start.
+    */
+  def lakeMvOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    val dimDf = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val src = graft.lake.GraftTable.create(spark, workDir(dir, "mvojfact"),
+      fact, properties = Map("graft.cdf" -> "true"))
+    val d = graft.lake.GraftTable.create(spark, workDir(dir, "mvojdim"), dimDf)
+    val mv = graft.lake.MaterializedOuterJoin.create(spark,
+      workDir(dir, "mvoj"), src, d,
+      Seq("l_orderkey"), Seq("o_orderpriority"), Seq("qty_c"))
+    src.delete(col("l_orderkey") % 7 === 0)
+    src.append(fact.filter(col("l_orderkey") % 11 === 0)
+      .withColumn("qty_c", col("qty_c") * 3))
+    mv.refresh() // fact deltas fold into the key-grain state
+    d.update(col("o_orderpriority") === "5-LOW",
+      Map("o_orderpriority" -> lit("4-NOT SPECIFIED")))
+    d.delete(col("l_orderkey") % 6 === 0) // matched keys become null-extended
+    // NO refresh after dim DML — the read joins the live dim
+    mv.toDF
+      .select(coalesce(col("o_orderpriority"), lit("<unmatched>"))
+          .as("o_orderpriority"),
+        col("mv_count").as("n_rows"), col("mv_sum_qty_c").as("sum_qty_c"))
+      .groupBy("o_orderpriority")
+      .agg(sum("n_rows").as("n_rows"), sum("sum_qty_c").as("sum_qty_c"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Dynamic partition overwrite (L63): only the partition present in
     * the incoming frame is replaced; the others keep their files. The
     * oracle recomputes untouched partitions from the source and the

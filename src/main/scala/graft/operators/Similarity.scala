@@ -315,8 +315,9 @@ object Similarity {
     * (12.5% at sf0.1, →0 at 100 TB); centroid build cost is paid once
     * per table, not per query. The coarse quantizer is a strided
     * medoid seed refined by [[IvfIndex.Rounds]] distributed Lloyd
-    * rounds in EXACT int64 (measured: recall@5 0.40→0.72 at sf0.1 at
-    * this budget), which keeps the whole operator DuckDB-replicable
+    * rounds in EXACT int64 (measured: recall@5 0.76 at sf0.1, 0.86
+    * at sf0.001 at this budget — graft.tools.IvfRecall replays the
+    * measurement), which keeps the whole operator DuckDB-replicable
     * bit-for-bit — so this path is FULLY oracle-checked (see
     * SparkEntry.simIvfSql), plus the recall spec in OperatorsSpec.
     */
@@ -932,12 +933,13 @@ object EmbCount {
   * trained quantizer still replays bit-for-bit in the DuckDB oracle
   * where float-mean centroids would carry engine-specific summation
   * order. Measured on the synthetic corpus, refinement + the wider
-  * probe budget lifts recall@5 from 0.62 to 0.80 at sf0.001 and from
-  * 0.40 to 0.72 at sf0.1 (scan fraction ≈ spill·probes/k — still
-  * shrinking as the corpus grows).
+  * probe budget lifts recall@5 to 0.86 at sf0.001 and 0.76 at sf0.1
+  * (probes 8→10 in round 9 bought the sf0.1 bar at an unmeasurable
+  * query-time cost — scan fraction ≈ spill·probes/k still shrinks as
+  * the corpus grows).
   */
 object IvfIndex {
-  val Probes = 8
+  val Probes = 10
   val Spill = 4
 
   /** Distributed Lloyd refinement rounds applied to the medoid seed

@@ -419,6 +419,32 @@ object TextOps {
     words.select(col("word"), size(split(syms, " ")).cast("long").as("n_tok"))
   }
 
+  /** Tokenizer-parity BPE apply (T16b): segment by greedy LONGEST
+    * MATCH over the trained vocab ([[graft.functions.BpeMaxMatch]]),
+    * the way real tokenizers segment at inference, instead of
+    * replaying the merge history. Same distinct-word-table
+    * discipline: the kernel runs over the bounded vocab-sized word
+    * table, the corpus joins on the word key — corpus scanned twice
+    * total regardless of vocab size.
+    */
+  def textBpeVocabSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val words = docs.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val vocab = bpeMerges(words, 16).map { case (_, a, b, _) => a + b }
+    val counts = words.select(col("word"),
+      size(graft.lake.GraftExpr.column(graft.functions.BpeMaxMatch(
+        graft.lake.GraftExpr.expression(col("word")), vocab)))
+        .cast("long").as("n_tok"))
+    docs.join(counts, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   def textBpeSegment(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)

@@ -13,27 +13,111 @@ import org.apache.spark.sql.catalyst.expressions.EqualTo
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
-/** Session registry of materialized views eligible for transparent
-  * query rewrite ([[MvRewriteRule]]). Registration is explicit — the
-  * MV owner opts the view into answering source queries.
+/** Registry of materialized views eligible for transparent query
+  * rewrite ([[MvRewriteRule]]). Registration is explicit — the MV
+  * owner opts the view into answering source queries — in one of two
+  * durabilities:
+  *
+  *  - [[register]]/[[registerDistinct]]: this process only.
+  *  - [[registerPersistent]]/[[registerPersistentDistinct]]: ALSO
+  *    stamps the view's path into the SOURCE table's properties
+  *    (`graft.mv.registeredView`), so any later session that queries
+  *    the source auto-loads the registration from the source's own
+  *    transaction log — no re-registration, no second metastore. The
+  *    pointer lives on the source (not the view) because the rewrite
+  *    rule starts from the scanned source files; one upward walk to
+  *    the table root finds the log, one property read finds the view.
+  *
+  * Probing is cached per source root for the life of the process
+  * (positive and negative): planning never pays more than one disk
+  * probe per table. A view registered persistently by ANOTHER process
+  * after this one first queried the source becomes visible on restart
+  * or an explicit [[clear]] — the documented staleness bound.
   */
 object MvCatalog {
   private val views = mutable.Map[String, MaterializedAgg]()
   private val distinctViews =
     mutable.Map[String, graft.lake.MaterializedDistinct]()
+  private val probed = mutable.Set[String]()
+
+  /** Source-table property pointing at its registered view. */
+  val RegisteredViewKey = "graft.mv.registeredView"
 
   def register(mv: MaterializedAgg): Unit =
     synchronized { views(mv.source.path) = mv }
   def registerDistinct(mv: graft.lake.MaterializedDistinct): Unit =
     synchronized { distinctViews(mv.source.path) = mv }
+
+  def registerPersistent(mv: MaterializedAgg): Unit = {
+    mv.source.setTableProperties(Map(RegisteredViewKey -> mv.view.path))
+    register(mv)
+  }
+  def registerPersistentDistinct(mv: graft.lake.MaterializedDistinct): Unit = {
+    mv.source.setTableProperties(Map(RegisteredViewKey -> mv.view.path))
+    registerDistinct(mv)
+  }
+  /** Withdraw a persisted registration: empty pointer = unregistered. */
+  def deregisterPersistent(source: graft.lake.GraftTable): Unit = {
+    source.setTableProperties(Map(RegisteredViewKey -> ""))
+    deregister(source.path)
+  }
+
   def deregister(sourcePath: String): Unit =
     synchronized { views.remove(sourcePath); distinctViews.remove(sourcePath); () }
-  def clear(): Unit = synchronized { views.clear(); distinctViews.clear() }
+  def clear(): Unit =
+    synchronized { views.clear(); distinctViews.clear(); probed.clear() }
   private[plans] def lookup(p: String => Boolean): Option[MaterializedAgg] =
     synchronized { views.collectFirst { case (sp, mv) if p(sp) => mv } }
   private[plans] def lookupDistinct(p: String => Boolean)
       : Option[graft.lake.MaterializedDistinct] =
     synchronized { distinctViews.collectFirst { case (sp, mv) if p(sp) => mv } }
+
+  /** Load any PERSISTED registration for the table owning `scanned`
+    * files into the in-process maps (once per root; misses cached).
+    */
+  private[plans] def ensureLoaded(spark: SparkSession,
+      scanned: Seq[String]): Unit =
+    scanned.headOption.flatMap(sourceRoot).foreach { root =>
+      val shouldProbe = synchronized {
+        def known(keys: Iterable[String]): Boolean = keys.exists(sp =>
+          java.nio.file.Paths.get(sp).toAbsolutePath.normalize.toString == root)
+        if (probed.contains(root) || known(views.keys) ||
+            known(distinctViews.keys)) false
+        else { probed += root; true }
+      }
+      if (shouldProbe) try {
+        val src = graft.lake.GraftTable.forPath(spark, root)
+        src.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+          .get(RegisteredViewKey).filter(_.nonEmpty).foreach { viewPath =>
+            val vt = graft.lake.GraftTable.forPath(spark, viewPath)
+            val vprops =
+              vt.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+            if (vprops.contains(graft.lake.MaterializedDistinct.DistinctKey))
+              registerDistinct(
+                graft.lake.MaterializedDistinct.forPath(spark, viewPath, src))
+            else register(MaterializedAgg.forPath(spark, viewPath, src))
+          }
+      } catch {
+        // a dangling pointer (view dropped, log cleaned) simply means
+        // no transparent rewrite — the query still answers from source
+        case scala.util.control.NonFatal(_) => ()
+      }
+    }
+
+  /** Walk up from a scanned data file to the directory owning a
+    * `_graft_log` — the table root. Bounded hops: partition dirs are
+    * shallow.
+    */
+  private def sourceRoot(file: String): Option[String] = {
+    var p = java.nio.file.Paths.get(file).toAbsolutePath.normalize.getParent
+    var hops = 0
+    while (p != null && hops < 8) {
+      if (java.nio.file.Files.isDirectory(p.resolve("_graft_log")))
+        return Some(p.toString)
+      p = p.getParent; hops += 1
+    }
+    None
+  }
 }
 
 /** Transparent materialized-view rewrite (the half that makes an MV a
@@ -116,6 +200,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val scannedL = scannedFiles(l).getOrElse(return None)
     val scannedR = scannedFiles(r).getOrElse(return None)
     if (scannedL.isEmpty || scannedR.isEmpty) return None
+    MvCatalog.ensureLoaded(spark, scannedL)
     val mv = MvCatalog.lookup(sp =>
       scannedL.forall(_.startsWith(
         java.nio.file.Paths.get(sp).toAbsolutePath.normalize.toString)))
@@ -213,6 +298,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       lr: LogicalRelation): Option[LogicalPlan] = {
     val scanned = scannedFiles(lr).getOrElse(return None)
     if (scanned.isEmpty) return None
+    MvCatalog.ensureLoaded(spark, scanned)
     val mv = MvCatalog.lookupDistinct(sp =>
       scanned.forall(_.startsWith(
         java.nio.file.Paths.get(sp).toAbsolutePath.normalize.toString)))
@@ -270,6 +356,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (scanned.isEmpty) return None
+    MvCatalog.ensureLoaded(spark, scanned)
     val mv = MvCatalog.lookup(sp =>
       scanned.forall(_.startsWith(
         java.nio.file.Paths.get(sp).toAbsolutePath.normalize.toString)))

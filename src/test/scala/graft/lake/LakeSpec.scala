@@ -731,6 +731,40 @@ class LakeSpec extends GraftSparkSpec {
     assert(t.toDF.count() == 28)
   }
 
+  test("VACUUM LITE past 10k tombstones unlinks distributed, not serially") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("vac-lite-10k"),
+      Seq((1L, 2L)).toDF("k", "v"))
+    // forge a 10k+ tombstone window cheaply: real files on disk, one
+    // commit of RemoveFile actions — exactly the state a long
+    // retention over heavy churn leaves behind
+    val n = 10501
+    val rels = (0 until n).map(i => f"data/stale-$i%05d.parquet")
+    rels.foreach { rel =>
+      val p = java.nio.file.Paths.get(t.path, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, Array[Byte](0))
+    }
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    t.log.commit(CommitInfo(System.currentTimeMillis(), "DELETE",
+      Map.empty, Map.empty) +: rels.map(RemoveFile(_, old, dataChange = true)))
+    // candidate discovery is driver-side log replay (no jobs); the
+    // only Spark job inside the call is the distributed unlink, so a
+    // job-count delta across the CALL (before any collect) proves the
+    // parallel path took over from the serial driver loop
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = t.vacuumLite(24.0, dryRun = false)
+    val afterDelete =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(afterDelete > before,
+      "a >10k unlink must run as a Spark job (distributed), not a driver loop")
+    val listed = df.collect().map(_.getString(0))
+    assert(listed.length == n, s"all $n tombstones reclaim, got ${listed.length}")
+    assert(listed.forall(p =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(t.toDF.count() == 1, "live data unaffected")
+  }
+
   test("symlink manifest: Hive layout, DV refusal, SQL statement, vacuum survival") {
     import spark.implicits._
     val df = (0 until 60).map(i => (i.toLong, s"p${i % 3}", i * 10L))

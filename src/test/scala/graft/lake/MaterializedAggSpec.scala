@@ -300,6 +300,115 @@ class MaterializedAggSpec extends GraftSparkSpec {
       MaterializedDistinct.forPath(spark, tmpDir("mvdd-not-a-view"), src))
   }
 
+  test("LEFT-OUTER join view: fact folds O(delta), dim changes are FREE") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("mvoj-fact"),
+      // keys 0..9 in the fact, dim covers only 0..7 → keys 8,9 are
+      // null-extended from the start
+      (1 to 60).map(i => (i.toLong % 10, i.toLong)).toDF("fk", "v"),
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvoj-dim"),
+      (0L until 8L).map(k => (k, s"g${k % 3}")).toDF("fk", "grp"))
+    val viewDir = tmpDir("mvoj-view")
+    val mv = MaterializedOuterJoin.create(spark, viewDir,
+      src, d, Seq("fk"), Seq("grp"), Seq("v"))
+    def expect = src.toDF.join(d.toDF, Seq("fk"), "left").groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2))).toSet
+    def got = mv.toDF.select(col("grp"), col("mv_count"), col("mv_sum_v"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(expect.exists(_._1.isEmpty),
+      "fixture sanity: a NULL-extended group must exist")
+    assert(got == expect, "initial outer state")
+    // fact DML folds through the state MV — never a rebuild
+    src.delete(col("v") % 7 === 0)
+    src.append(Seq((11L, 500L), (3L, 501L)).toDF("fk", "v")) // new unmatched key 11
+    mv.refresh()
+    assert(got == expect, "fact fold across delete+append incl. new unmatched key")
+    assert(mv.view.history.filter(col("operation") === "MV REMATERIALIZE")
+      .count() == 0, "fact DML must fold, not rebuild")
+    val vAfterFacts = mv.view.version
+    // dim churn: update (moves groups), INSERT (converts null-extended
+    // rows to matched — THE case group-grain state cannot express),
+    // delete (converts matched back to null-extended). NO refresh call:
+    // the read joins the live dim.
+    d.update(col("fk") === 1, Map("grp" -> lit("gX")))
+    d.append(Seq((8L, "gNEW")).toDF("fk", "grp"))
+    d.delete(col("fk") === 2)
+    assert(got == expect,
+      "dim update+insert+delete must be visible with ZERO refresh")
+    assert(mv.view.version == vAfterFacts,
+      "dim changes must not touch the view state at all")
+    // forPath round-trip keeps folding; plain forPath refuses the kind
+    val reopened = MaterializedOuterJoin.forPath(spark, viewDir, src)
+    src.append(Seq((8L, 900L)).toDF("fk", "v")) // now matched by dim insert
+    reopened.refresh()
+    assert(got == expect, "reopened handle folds; new key matches live dim")
+    intercept[IllegalArgumentException](
+      MaterializedAgg.forPath(spark, viewDir, src))
+  }
+
+  test("outer-join kinds: LEFT creates via SQL, RIGHT/FULL refuse loudly") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("mvojr-fact"),
+      (1 to 40).map(i => (i.toLong % 8, i.toLong)).toDF("fk", "v"),
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvojr-dim"),
+      (0L until 6L).map(k => (k, s"g$k")).toDF("fk", "grp"))
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.createJoin(spark, tmpDir("mvojr-view"), src, d,
+        Seq("fk"), Seq("grp"), Seq("v"), joinType = "full")
+    }
+    assert(e.getMessage.contains("MaterializedOuterJoin") &&
+      e.getMessage.contains("DIM sub-aggregates"),
+      s"refusal must name the class and the limitation, got: ${e.getMessage}")
+    val gsql = new GraftSql(spark)
+    gsql.register("ojf", src.path); gsql.register("ojd", d.path)
+    // RIGHT/FULL refuse — and must NOT silently fall through to the
+    // plain-query path
+    for (kind <- Seq("RIGHT OUTER", "FULL")) {
+      val se = intercept[IllegalArgumentException] {
+        gsql.sql("CREATE MATERIALIZED VIEW ojv LOCATION '" +
+          tmpDir("mvojr-sqlview") + s"' AS SELECT grp, SUM(v) FROM ojf " +
+          s"$kind JOIN ojd USING (fk) GROUP BY grp")
+      }
+      assert(se.getMessage.contains("INNER and LEFT OUTER"), s"$kind: $se")
+    }
+    // LEFT creates a working view through SQL, REFRESH routes to it
+    val leftDir = tmpDir("mvojr-left")
+    gsql.sql("CREATE MATERIALIZED VIEW ojlv LOCATION '" + leftDir +
+      "' AS SELECT grp, COUNT(*), SUM(v) FROM ojf " +
+      "LEFT JOIN ojd USING (fk) GROUP BY grp")
+    def expect = src.toDF.join(d.toDF, Seq("fk"), "left").groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2))).toSet
+    def got = MaterializedOuterJoin.forPath(spark, leftDir, src).toDF
+      .select(col("grp"), col("mv_count"), col("mv_sum_v"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(got == expect)
+    src.delete(col("v") % 5 === 0)
+    gsql.sql("REFRESH MATERIALIZED VIEW ojlv")
+    assert(got == expect, "SQL REFRESH must fold the fact delta")
+    // aggregating a DIM-side column refuses with the v1 contract named
+    val de = intercept[IllegalArgumentException] {
+      MaterializedOuterJoin.create(spark, tmpDir("mvojr-dimagg"), src, d,
+        Seq("fk"), Seq("grp"), Seq("grp"))
+    }
+    assert(de.getMessage.contains("FACT-side"), de.getMessage)
+    // a non-unique dim refuses the star-schema contract
+    val dupDim = GraftTable.create(spark, tmpDir("mvojr-dupdim"),
+      Seq((1L, "a"), (1L, "b")).toDF("fk", "grp"))
+    val ue = intercept[IllegalArgumentException] {
+      MaterializedOuterJoin.create(spark, tmpDir("mvojr-dupview"), src,
+        dupDim, Seq("fk"), Seq("grp"), Seq("v"))
+    }
+    assert(ue.getMessage.contains("not unique"), ue.getMessage)
+  }
+
   test("COUNT DISTINCT view: NULLs don't count, all-NULL groups surface as 0") {
     import spark.implicits._
     // g0: mixed NULL/non-NULL; g1: all NULL (must appear with 0, per SQL

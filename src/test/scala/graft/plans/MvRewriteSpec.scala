@@ -51,6 +51,63 @@ class MvRewriteSpec extends GraftSparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("persistent registration: a fresh process rewrites with no re-register") {
+    val src = GraftTable.create(spark, tmpDir("mvr-p-src"), li.limit(250))
+    val viewDir = tmpDir("mvr-p-view")
+    val mv = MaterializedAgg.create(spark, viewDir, src,
+      Seq("l_returnflag"), Seq("qty_c"))
+    def q = src.toDF.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("qty_c").as("s"))
+    // oracle BEFORE any registration exists anywhere (pure source scan)
+    val expect = q.collect().map(_.toSeq).toSet
+    // the pointer write is a metadata commit on the SOURCE (bumps its
+    // version), so the view re-stamps with one empty-delta refresh
+    MvCatalog.registerPersistent(mv)
+    mv.refresh()
+    try {
+      // clear() wipes the in-memory maps AND the probe cache — the
+      // exact state of a brand-new process. The rule must find the
+      // registration from the source table's own properties.
+      MvCatalog.clear()
+      assert(scansView(q, "mvr-p-view"),
+        "a new process must auto-load the persisted registration")
+      assert(q.collect().map(_.toSeq).toSet == expect)
+      // staleness still gates: append → decline; refresh → answers
+      src.append(li.limit(30))
+      MvCatalog.clear()
+      assert(!scansView(q, "mvr-p-view"), "stale persisted view must decline")
+      graft.lake.MaterializedAgg.forPath(spark, viewDir, src).refresh()
+      MvCatalog.clear()
+      assert(scansView(q, "mvr-p-view"))
+      // deregistration is durable too
+      MvCatalog.deregisterPersistent(src)
+      graft.lake.MaterializedAgg.forPath(spark, viewDir, src).refresh()
+      MvCatalog.clear()
+      assert(!scansView(q, "mvr-p-view"),
+        "a withdrawn persistent registration must not load")
+    } finally MvCatalog.clear()
+  }
+
+  test("persistent DISTINCT registration survives a fresh process") {
+    import spark.implicits._
+    import graft.lake.MaterializedDistinct
+    val src = GraftTable.create(spark, tmpDir("mvr-pd-src"),
+      (1 to 90).map(i => (s"g${i % 3}", i.toLong % 15)).toDF("g", "x"),
+      properties = Map("graft.cdf" -> "true"))
+    val mv = MaterializedDistinct.create(spark, tmpDir("mvr-pd-view"),
+      src, Seq("g"), "x")
+    def q = src.toDF.groupBy("g").agg(countDistinct("x").as("n"))
+    val expect = q.collect().map(_.toSeq).toSet // oracle pre-registration
+    MvCatalog.registerPersistentDistinct(mv)
+    mv.refresh() // re-stamp past the pointer commit
+    try {
+      MvCatalog.clear()
+      assert(scansView(q, "mvr-pd-view"),
+        "distinct views auto-load from the persisted pointer too")
+      assert(q.collect().map(_.toSeq).toSet == expect)
+    } finally MvCatalog.clear()
+  }
+
   test("avg and count(col) rewrite from stored sum + non-null count, NULL-exact") {
     // NULL stripe in the averaged column: avg must divide by the
     // NON-NULL count — a sum/count(*) derivation would be wrong here
