@@ -117,15 +117,15 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+([\w,\s]+?)\s*;?\s*$""".r
   private val createMvJoinRe: Regex =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+JOIN\s+(\w+)\s+USING\s*\(([\w,\s]+)\)\s+GROUP\s+BY\s+([\w,\s]+?)\s*;?\s*$""".r
-  // LEFT OUTER join views route to the key-grain state maintainer
-  // ([[MaterializedOuterJoin]]); RIGHT/FULL refuse LOUDLY with the
-  // limitation spelled out — without the refusal match they would
-  // miss every MV regex and silently fall through to the plain-query
-  // path, never creating a view at all
-  private val createMvLeftJoinRe: Regex =
-    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+LEFT\s+(?:OUTER\s+)?JOIN\s+(\w+)\s+USING\s*\(([\w,\s]+)\)\s+GROUP\s+BY\s+([\w,\s]+?)\s*;?\s*$""".r
+  // LEFT/RIGHT/FULL OUTER join views route to the key-grain state
+  // maintainer ([[MaterializedOuterJoin]]); an outer form the USING
+  // shape doesn't match refuses LOUDLY — without the catch-all it
+  // would miss every MV regex and silently fall through to the
+  // plain-query path, never creating a view at all
+  private val createMvOuterRe: Regex =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+(LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\s+(\w+)\s+USING\s*\(([\w,\s]+)\)\s+GROUP\s+BY\s+([\w,\s]+?)\s*;?\s*$""".r
   private val createMvOuterJoinRe: Regex =
-    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+\w+\s+LOCATION\s+'[^']+'\s+AS\s+SELECT\s+.+?\s+FROM\s+\w+\s+(RIGHT|FULL)(?:\s+OUTER)?\s+JOIN\s+.+$""".r
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+\w+\s+LOCATION\s+'[^']+'\s+AS\s+SELECT\s+.+?\s+(LEFT|RIGHT|FULL)(?:\s+OUTER)?\s+JOIN\s+.+$""".r
   private val refreshMvRe: Regex =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$""".r
   private val mvSumItemRe: Regex =
@@ -282,10 +282,10 @@ final class GraftSql(spark: SparkSession) {
         table(name).snapshot.schema.fields.toSeq
           .map(f => (f.name, f.dataType.simpleString))
           .toDF("col_name", "data_type")
-      case createMvLeftJoinRe(name, location, selectList, srcName, dimName,
+      case createMvOuterRe(name, location, selectList, srcName, kind, dimName,
           using, groupBy) =>
-        // LEFT-OUTER view (L90): per-join-key fact sub-aggregate
-        // state; fact-side aggregates only (the class refuses others)
+        // OUTER view (L90): per-join-key fact sub-aggregate state;
+        // fact-side aggregates only (the class refuses others)
         val groupCols = groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val joinKeys = using.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val items = selectList.split(",").map(_.trim).filter(_.nonEmpty)
@@ -307,19 +307,18 @@ final class GraftSql(spark: SparkSession) {
               s"SUM/AVG(col), and MIN/MAX(col) only; cannot maintain: $item")
         }
         val mv = MaterializedOuterJoin.create(spark, location, table(srcName),
-          table(dimName), joinKeys, groupCols, sumCols, minColsSql, maxColsSql)
+          table(dimName), joinKeys, groupCols, sumCols, minColsSql, maxColsSql,
+          joinType = kind.toLowerCase)
         outerViews(name) = mv
         tables(name) = mv.view
+        graft.plans.MvCatalog.registerOuter(mv)
         Seq(("location", location), ("sourceVersion",
           table(srcName).version.toString)).toDF("metric", "value")
       case createMvOuterJoinRe(joinKind) =>
         throw new IllegalArgumentException(
-          s"materialized join views support INNER and LEFT OUTER joins, got " +
-            s"${joinKind.toUpperCase} JOIN: right/full null-extension " +
-            "maintenance would need per-join-key DIM sub-aggregates on top " +
-            "of the fact state — swap the sides (RIGHT ≡ LEFT swapped) or " +
-            "materialize the inner join plus a separate unmatched-keys " +
-            "aggregate instead")
+          s"materialized ${joinKind.toUpperCase} JOIN views support the " +
+            "`FROM fact <kind> JOIN dim USING (keys) GROUP BY …` shape " +
+            "only — rewrite the ON clause as USING on shared key columns")
       case createMvJoinRe(name, location, selectList, srcName, dimName,
           using, groupBy) =>
         // join view (L83): same maintainable select surface, columns

@@ -303,13 +303,12 @@ object MaterializedAgg {
     * stay self-consistent (but declare unique dims for sane
     * semantics).
     */
-  /** `joinType` accepts only "inner" here — LEFT OUTER views are a
+  /** `joinType` accepts only "inner" here — OUTER views are a
     * different state problem (a null-extended row's existence depends
     * on the other side's key membership, which group-grain state
     * cannot express) and live in their own class,
     * [[MaterializedOuterJoin]], whose per-join-key fact
-    * sub-aggregate state makes the outer fold exact. RIGHT/FULL
-    * refuse with the remaining limitation named.
+    * sub-aggregate state makes left/right/full outer folds exact.
     */
   def createJoin(spark: SparkSession, path: String, source: GraftTable,
       dim: GraftTable, joinKeys: Seq[String], groupCols: Seq[String],
@@ -318,11 +317,9 @@ object MaterializedAgg {
       joinType: String = "inner"): MaterializedAgg = {
     require(joinType.equalsIgnoreCase("inner"),
       s"createJoin maintains INNER joins, got '$joinType': use " +
-        "MaterializedOuterJoin.create for LEFT OUTER (per-join-key fact " +
-        "sub-aggregate state); RIGHT/FULL null-extension maintenance " +
-        "would additionally need per-join-key DIM sub-aggregates — swap " +
-        "the sides (RIGHT ≡ LEFT swapped) or materialize the inner join " +
-        "plus a separate unmatched-keys aggregate instead")
+        "MaterializedOuterJoin.create(joinType = \"left\"|\"right\"|" +
+        "\"full\") — outer views keep per-join-key fact sub-aggregate " +
+        "state, which group-grain inner state cannot express")
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     require(joinKeys.nonEmpty, "join view needs join key columns")
     val sf = source.snapshot.schema.fieldNames.toSet
@@ -400,12 +397,12 @@ object MaterializedAgg {
   }
 }
 
-/** LEFT-OUTER join materialized view (the shape the inner-only L83
-  * refused, made maintainable by choosing the refusal's own missing
-  * STATE GRAIN): the view stores PER-JOIN-KEY fact sub-aggregates —
-  * the fact grouped by (joinKeys ∪ fact-side groupCols) — instead of
-  * the final group grain. That one move dissolves both outer-join
-  * maintenance problems:
+/** OUTER join materialized views — LEFT, RIGHT, and FULL (the shapes
+  * the inner-only L83 refused, made maintainable by choosing the
+  * refusal's own missing STATE GRAIN): the view stores PER-JOIN-KEY
+  * fact sub-aggregates — the fact grouped by (joinKeys ∪ fact-side
+  * groupCols) — instead of the final group grain. That one move
+  * dissolves every outer-join maintenance problem:
   *
   *  - FACT changes fold exactly: the state is a plain single-table
   *    MV of the fact ([[MaterializedAgg]] IS the maintainer — same
@@ -416,19 +413,25 @@ object MaterializedAgg {
   *    is just next read's join finding the key — no state move, no
   *    dim version stamp, no SCD fold at all. (The inner L83 view
   *    must fold dim deltas through DFP; here the dim feed vanishes.)
+  *  - RIGHT/FULL need no dim sub-aggregates EITHER, because the dim
+  *    join keys are required UNIQUE: a dim-unmatched key contributes
+  *    exactly ONE null-extended row, so the read's
+  *    `coalesce(mv_count, 1)` after a right/full join of state with
+  *    the live dim is its entire contribution (fact-side aggregates
+  *    over it are NULL, exactly SQL's null extension).
   *
-  * Read = state LEFT JOIN dim ⟶ re-aggregate to the requested group
-  * grain: unmatched keys carry NULL dim attributes — exactly SQL's
-  * null extension — and the re-aggregate is state-sized (≤ |dim| ×
-  * |fact group values|), never fact-sized. The price vs the inner
-  * view is that honest read-side join; the state stays dim-scaled.
+  * Read = state ⟕/⟖/⟗ dim ⟶ re-aggregate to the requested group
+  * grain — state-sized (≤ |dim| × |fact group values|), never
+  * fact-sized. The price vs the inner view is that honest read-side
+  * join; the state stays dim-scaled.
   *
   * v1 contract (refused loudly otherwise): aggregate columns must be
-  * FACT-side (a dim-side SUM over a left join weights each dim value
-  * by the key's fact count — expressible from this state as
+  * FACT-side (a dim-side SUM over an outer join weights each dim
+  * value by the key's fact count — expressible from this state as
   * Σ dim.c·mv_count, deferred); dim join keys must be UNIQUE
-  * (duplicate dim keys multiply fact rows — the star-schema
-  * contract, validated at create time).
+  * (duplicate dim keys multiply fact rows AND break the
+  * one-null-extended-row accounting — the star-schema contract,
+  * validated at create time).
   */
 final class MaterializedOuterJoin private (val spark: SparkSession,
     val state: MaterializedAgg, val dim: GraftTable) {
@@ -446,9 +449,16 @@ final class MaterializedOuterJoin private (val spark: SparkSession,
     * refresh at all — the read joins the live dim. */
   def refresh(): Long = state.refresh()
 
+  /** "left" | "right" | "full" — stored at create time. */
+  def joinType: String =
+    props.getOrElse(MaterializedOuterJoin.OuterTypeKey, "left")
+
   /** The view's answer: (groupCols…, mv_count, mv_sum_…/mv_cnt_…,
-    * mv_min_…/mv_max_…) under LEFT-OUTER semantics — unmatched fact
-    * keys surface with NULL dim attributes.
+    * mv_min_…/mv_max_…) under the view's outer semantics — unmatched
+    * fact keys surface with NULL dim attributes (left/full), and a
+    * dim-unmatched key contributes its single null-extended row
+    * (right/full): count 1, NULL fact aggregates. `COUNT(col)` is
+    * coalesced to 0 for all-null-extended groups, matching SQL.
     */
   def toDF: DataFrame = {
     val joinKeys = csv(MaterializedOuterJoin.OuterJoinKeysKey)
@@ -456,10 +466,17 @@ final class MaterializedOuterJoin private (val spark: SparkSession,
     val sumCols = csv("graft.mv.sumCols")
     val minCols = csv("graft.mv.minCols")
     val maxCols = csv("graft.mv.maxCols")
-    val joined = view.toDF.join(dim.toDF, joinKeys, "left")
-    val aggs = sum(col(CountCol)).as(CountCol) +: (sumCols.flatMap(c => Seq(
+    val joined = view.toDF.join(dim.toDF, joinKeys, joinType match {
+      case "left" => "left"; case "right" => "right"; case _ => "full"
+    })
+    // a state-less (dim-unmatched) row IS one null-extended output
+    // row — never possible under "left", where state preserves
+    val rowCount =
+      if (joinType == "left") col(CountCol)
+      else coalesce(col(CountCol), lit(1L))
+    val aggs = sum(rowCount).as(CountCol) +: (sumCols.flatMap(c => Seq(
       sum(col(sumName(c))).as(sumName(c)),
-      sum(col(cntName(c))).as(cntName(c)))) ++
+      coalesce(sum(col(cntName(c))), lit(0L)).as(cntName(c)))) ++
       minCols.map(c => min(col(minName(c))).as(minName(c))) ++
       maxCols.map(c => max(col(maxName(c))).as(maxName(c))))
     joined.groupBy(outGroup.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -470,11 +487,15 @@ object MaterializedOuterJoin {
   val OuterDimKey = "graft.mv.outerDim"
   val OuterJoinKeysKey = "graft.mv.outerJoinKeys"
   val OuterGroupKey = "graft.mv.outerGroupCols"
+  val OuterTypeKey = "graft.mv.outerType"
 
   def create(spark: SparkSession, path: String, source: GraftTable,
       dim: GraftTable, joinKeys: Seq[String], groupCols: Seq[String],
       sumCols: Seq[String], minCols: Seq[String] = Nil,
-      maxCols: Seq[String] = Nil): MaterializedOuterJoin = {
+      maxCols: Seq[String] = Nil,
+      joinType: String = "left"): MaterializedOuterJoin = {
+    require(Seq("left", "right", "full").contains(joinType.toLowerCase),
+      s"outer join views maintain left/right/full, got '$joinType'")
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     require(joinKeys.nonEmpty, "outer join view needs join key columns")
     val factFields = source.snapshot.schema.fieldNames.toSet
@@ -499,7 +520,8 @@ object MaterializedOuterJoin {
     val state = MaterializedAgg.create(spark, path, source, stateKeys,
       sumCols, minCols, maxCols, extraProps = Map(
         OuterDimKey -> dim.path, OuterJoinKeysKey -> joinKeys.mkString(","),
-        OuterGroupKey -> groupCols.mkString(",")))
+        OuterGroupKey -> groupCols.mkString(","),
+        OuterTypeKey -> joinType.toLowerCase))
     new MaterializedOuterJoin(spark, state, dim)
   }
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DoubleType
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.expressions.EqualTo
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -43,10 +43,19 @@ object MvCatalog {
   /** Source-table property pointing at its registered view. */
   val RegisteredViewKey = "graft.mv.registeredView"
 
+  private val outerViews =
+    mutable.Map[String, graft.lake.MaterializedOuterJoin]()
+
   def register(mv: MaterializedAgg): Unit =
     synchronized { views(mv.source.path) = mv }
   def registerDistinct(mv: graft.lake.MaterializedDistinct): Unit =
     synchronized { distinctViews(mv.source.path) = mv }
+  def registerOuter(mv: graft.lake.MaterializedOuterJoin): Unit =
+    synchronized { outerViews(mv.source.path) = mv }
+  def registerPersistentOuter(mv: graft.lake.MaterializedOuterJoin): Unit = {
+    mv.source.setTableProperties(Map(RegisteredViewKey -> mv.view.path))
+    registerOuter(mv)
+  }
 
   def registerPersistent(mv: MaterializedAgg): Unit = {
     mv.source.setTableProperties(Map(RegisteredViewKey -> mv.view.path))
@@ -63,14 +72,21 @@ object MvCatalog {
   }
 
   def deregister(sourcePath: String): Unit =
-    synchronized { views.remove(sourcePath); distinctViews.remove(sourcePath); () }
-  def clear(): Unit =
-    synchronized { views.clear(); distinctViews.clear(); probed.clear() }
+    synchronized {
+      views.remove(sourcePath); distinctViews.remove(sourcePath)
+      outerViews.remove(sourcePath); ()
+    }
+  def clear(): Unit = synchronized {
+    views.clear(); distinctViews.clear(); outerViews.clear(); probed.clear()
+  }
   private[plans] def lookup(p: String => Boolean): Option[MaterializedAgg] =
     synchronized { views.collectFirst { case (sp, mv) if p(sp) => mv } }
   private[plans] def lookupDistinct(p: String => Boolean)
       : Option[graft.lake.MaterializedDistinct] =
     synchronized { distinctViews.collectFirst { case (sp, mv) if p(sp) => mv } }
+  private[plans] def lookupOuter(p: String => Boolean)
+      : Option[graft.lake.MaterializedOuterJoin] =
+    synchronized { outerViews.collectFirst { case (sp, mv) if p(sp) => mv } }
 
   /** Load any PERSISTED registration for the table owning `scanned`
     * files into the in-process maps (once per root; misses cached).
@@ -82,7 +98,7 @@ object MvCatalog {
         def known(keys: Iterable[String]): Boolean = keys.exists(sp =>
           java.nio.file.Paths.get(sp).toAbsolutePath.normalize.toString == root)
         if (probed.contains(root) || known(views.keys) ||
-            known(distinctViews.keys)) false
+            known(distinctViews.keys) || known(outerViews.keys)) false
         else { probed += root; true }
       }
       if (shouldProbe) try {
@@ -95,6 +111,10 @@ object MvCatalog {
             if (vprops.contains(graft.lake.MaterializedDistinct.DistinctKey))
               registerDistinct(
                 graft.lake.MaterializedDistinct.forPath(spark, viewPath, src))
+            else if (vprops.contains(
+                graft.lake.MaterializedOuterJoin.OuterDimKey))
+              registerOuter(
+                graft.lake.MaterializedOuterJoin.forPath(spark, viewPath, src))
             else register(MaterializedAgg.forPath(spark, viewPath, src))
           }
       } catch {
@@ -164,6 +184,24 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Inner, Some(cond), _)), _)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
       rewriteJoin(agg, groupingExprs, aggExprs, l, r, cond, None).getOrElse(agg)
+    // the OUTER shapes (L90): `fact ⟕/⟖ dim GROUP BY …` answer from
+    // the key-grain outer view's state-join-live-dim read, gated on
+    // the view's stored join kind. (FULL OUTER's USING idiom
+    // coalesces the key columns, so its plan never matches the
+    // pure-attribute Project — the view still answers via its own
+    // toDF; only the transparent shape is left/right.)
+    case agg @ Aggregate(groupingExprs, aggExprs,
+        Project(projList, Join(l: LogicalRelation, r: LogicalRelation,
+          LeftOuter, Some(cond), _)), _)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      rewriteOuterJoin(agg, groupingExprs, aggExprs, l, r, cond, "left")
+        .getOrElse(agg)
+    case agg @ Aggregate(groupingExprs, aggExprs,
+        Project(projList, Join(l: LogicalRelation, r: LogicalRelation,
+          RightOuter, Some(cond), _)), _)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      rewriteOuterJoin(agg, groupingExprs, aggExprs, l, r, cond, "right")
+        .getOrElse(agg)
     // join view + WHERE over view KEY columns only (same whole-group
     // admissibility as the single-table case)
     case agg @ Aggregate(groupingExprs, aggExprs,
@@ -432,6 +470,85 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * column (pre-upgrade view) or an unmappable expression yields
     * None; under `rollup` foldable aggregates re-aggregate.
     */
+  /** Rewrite `fact LEFT JOIN dim GROUP BY …` onto a registered, fresh
+    * LEFT-OUTER view (L90). Freshness needs only the FACT stamp — the
+    * view's read joins the live dim by construction, so the dim needs
+    * no version gate beyond "the query scans the dim's current active
+    * set" (the same file-set identity every rewrite demands). The
+    * replacement plan is the view's own read (state ⟕ dim,
+    * state-sized) with the query's aggregate surface mapped onto the
+    * state columns — exact keys project, a strict subset re-folds,
+    * identical to the inner join path.
+    */
+  private def rewriteOuterJoin(agg: Aggregate,
+      groupingExprs: Seq[Expression], aggExprs: Seq[NamedExpression],
+      l: LogicalRelation, r: LogicalRelation,
+      cond: Expression, kind: String): Option[LogicalPlan] = {
+    val scannedL = scannedFiles(l).getOrElse(return None)
+    val scannedR = scannedFiles(r).getOrElse(return None)
+    if (scannedL.isEmpty || scannedR.isEmpty) return None
+    MvCatalog.ensureLoaded(spark, scannedL)
+    val mv = MvCatalog.lookupOuter(sp =>
+      scannedL.forall(_.startsWith(
+        java.nio.file.Paths.get(sp).toAbsolutePath.normalize.toString)))
+      .getOrElse(return None)
+    if (mv.joinType != kind) return None // a left view must not answer right
+    val vprops = mv.view.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    if (!vprops.get("graft.mv.sourceVersion").map(_.toLong)
+        .contains(mv.source.version)) return None
+    def norm(p: String): String =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    if (scannedL.map(norm).toSet != activeSet(mv.source)) return None
+    if (scannedR.map(norm).toSet != activeSet(mv.dim)) return None
+    val joinKeys = vprops.getOrElse(
+        graft.lake.MaterializedOuterJoin.OuterJoinKeysKey, "")
+      .split(",").filter(_.nonEmpty).toSet
+    val lAttrs = l.output.map(a => a.exprId -> a.name).toMap
+    val rAttrs = r.output.map(a => a.exprId -> a.name).toMap
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+        conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val pairs = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (la, ra) = (lAttrs.get(a.exprId), rAttrs.get(b.exprId))
+        val (lb, rb) = (lAttrs.get(b.exprId), rAttrs.get(a.exprId))
+        if (la.isDefined && ra.isDefined && la == ra) la.get
+        else if (lb.isDefined && rb.isDefined && lb == rb) lb.get
+        else return None
+      case _ => return None
+    }
+    if (pairs.toSet != joinKeys) return None
+    val groupCols = vprops.getOrElse(
+        graft.lake.MaterializedOuterJoin.OuterGroupKey, "")
+      .split(",").toSeq.filter(_.nonEmpty)
+    val groupNames = groupingExprs.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    val exact = groupNames.toSet == groupCols.toSet
+    val rollup = !exact && groupNames.toSet.subsetOf(groupCols.toSet) &&
+      groupNames.toSet.size == groupNames.size
+    if (!exact && !rollup) return None
+    val sumCols = vprops.getOrElse("graft.mv.sumCols", "")
+      .split(",").filter(_.nonEmpty).toSet
+    val minCols = vprops.getOrElse("graft.mv.minCols", "")
+      .split(",").filter(_.nonEmpty).toSet
+    val maxCols = vprops.getOrElse("graft.mv.maxCols", "")
+      .split(",").filter(_.nonEmpty).toSet
+    val mvPlan = mv.toDF.queryExecution.analyzed
+    val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+    val projections = stateProjections(aggExprs, mvOut, groupCols, sumCols,
+      minCols, maxCols, rollup).getOrElse(return None)
+    if (exact) Some(Project(projections, mvPlan))
+    else {
+      val groupAttrs: Seq[Expression] =
+        groupNames.map(n => mvOut.get(n).getOrElse(return None))
+      Some(Aggregate(groupAttrs, projections, mvPlan))
+    }
+  }
+
   private def stateProjections(aggExprs: Seq[NamedExpression],
       mvOut: Map[String, Attribute], groupCols: Seq[String],
       sumCols: Set[String], minCols: Set[String], maxCols: Set[String],

@@ -350,32 +350,92 @@ class MaterializedAggSpec extends GraftSparkSpec {
       MaterializedAgg.forPath(spark, viewDir, src))
   }
 
-  test("outer-join kinds: LEFT creates via SQL, RIGHT/FULL refuse loudly") {
+  test("outer-join kinds: RIGHT/FULL maintain from the same fact state") {
+    import spark.implicits._
+    // fact keys 0..9; dim covers 4..13 → fact-only keys 0..3 (left/full
+    // null-extension) AND dim-only keys 10..13 (right/full single
+    // null-extended rows) both present
+    val src = GraftTable.create(spark, tmpDir("mvojk-fact"),
+      (1 to 60).map(i => (i.toLong % 10, i.toLong)).toDF("fk", "v"),
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvojk-dim"),
+      (4L until 14L).map(k => (k, s"g${k % 3}")).toDF("fk", "grp"))
+    val dirs = Seq("right", "full").map(k => k -> tmpDir(s"mvojk-$k")).toMap
+    for (kind <- Seq("right", "full")) {
+      val mv = MaterializedOuterJoin.create(spark, dirs(kind),
+        src, d, Seq("fk"), Seq("grp"), Seq("v"), joinType = kind)
+      def expect = src.toDF.join(d.toDF, Seq("fk"), kind).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"), count(col("v")).as("nv"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+          Option(r.get(2)), r.getLong(3))).toSet
+      def got = mv.toDF.select(col("grp"), col("mv_count"),
+          col("mv_sum_v"), col("mv_cnt_v"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+          Option(r.get(2)), r.getLong(3))).toSet
+      assert(got == expect, s"$kind: initial state")
+      // fact DML folds; dim DML needs no refresh — for BOTH kinds.
+      // Per-kind fresh dim keys keep the unique-key contract intact
+      // across iterations.
+      val (newKey, newGrp) =
+        if (kind == "right") (20L, "gR") else (21L, "gF")
+      src.delete(col("v") % 6 === 0)
+      src.append(Seq((12L, 700L + newKey), (2L, 701L)).toDF("fk", "v"))
+      mv.refresh()
+      d.delete(col("fk") === (if (kind == "right") 5L else 6L))
+      d.append(Seq((newKey, newGrp)).toDF("fk", "grp")) // new dim-only key
+      assert(got == expect,
+        s"$kind: fact fold + zero-refresh dim churn must stay exact")
+    }
+    // sanity on the discriminating group: a dim-only key group has
+    // n = 1 (its single null-extended row), sum NULL, count(v) = 0
+    val full = MaterializedOuterJoin.forPath(spark, dirs("full"), src)
+    val gNew = full.toDF.filter(col("grp") === "gF").head()
+    assert(gNew.getLong(1) == 1L && gNew.isNullAt(2) && gNew.getLong(3) == 0L,
+      "a dim-only group is one null-extended row: count 1, NULL sum, 0 vals")
+    val gsql = new GraftSql(spark)
+    gsql.register("ojf", src.path); gsql.register("ojd", d.path)
+    // SQL: RIGHT/FULL create through the shared statement shape
+    for (kind <- Seq("RIGHT OUTER", "FULL")) {
+      val kdir = tmpDir(s"mvojk-sql-${kind.split(' ').head.toLowerCase}")
+      gsql.sql(s"CREATE MATERIALIZED VIEW ojv_${kind.split(' ').head} " +
+        s"LOCATION '$kdir' AS SELECT grp, COUNT(*), SUM(v) FROM ojf " +
+        s"$kind JOIN ojd USING (fk) GROUP BY grp")
+      val k = kind.split(' ').head.toLowerCase
+      val got = MaterializedOuterJoin.forPath(spark, kdir, src).toDF
+        .select(col("grp"), col("mv_count"), col("mv_sum_v"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+          Option(r.get(2)))).toSet
+      val expect = src.toDF.join(d.toDF, Seq("fk"), k).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+          Option(r.get(2)))).toSet
+      assert(got == expect, s"SQL $kind view must match the live outer join")
+    }
+    // an ON-style outer form refuses loudly instead of silently
+    // falling through to the plain-query path
+    val se = intercept[IllegalArgumentException] {
+      gsql.sql("CREATE MATERIALIZED VIEW ojbad LOCATION '" +
+        tmpDir("mvojk-on") + "' AS SELECT grp, SUM(v) FROM ojf " +
+        "LEFT JOIN ojd ON ojf.fk = ojd.fk GROUP BY grp")
+    }
+    assert(se.getMessage.contains("USING"), se.getMessage)
+    // createJoin still refuses non-inner, pointing at the outer class
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.createJoin(spark, tmpDir("mvojk-cj"), src, d,
+        Seq("fk"), Seq("grp"), Seq("v"), joinType = "full")
+    }
+    assert(e.getMessage.contains("MaterializedOuterJoin"), e.getMessage)
+  }
+
+  test("outer-join LEFT via SQL: create + REFRESH route to the outer class") {
     import spark.implicits._
     val src = GraftTable.create(spark, tmpDir("mvojr-fact"),
       (1 to 40).map(i => (i.toLong % 8, i.toLong)).toDF("fk", "v"),
       properties = Map("graft.cdf" -> "true"))
     val d = GraftTable.create(spark, tmpDir("mvojr-dim"),
       (0L until 6L).map(k => (k, s"g$k")).toDF("fk", "grp"))
-    val e = intercept[IllegalArgumentException] {
-      MaterializedAgg.createJoin(spark, tmpDir("mvojr-view"), src, d,
-        Seq("fk"), Seq("grp"), Seq("v"), joinType = "full")
-    }
-    assert(e.getMessage.contains("MaterializedOuterJoin") &&
-      e.getMessage.contains("DIM sub-aggregates"),
-      s"refusal must name the class and the limitation, got: ${e.getMessage}")
     val gsql = new GraftSql(spark)
     gsql.register("ojf", src.path); gsql.register("ojd", d.path)
-    // RIGHT/FULL refuse — and must NOT silently fall through to the
-    // plain-query path
-    for (kind <- Seq("RIGHT OUTER", "FULL")) {
-      val se = intercept[IllegalArgumentException] {
-        gsql.sql("CREATE MATERIALIZED VIEW ojv LOCATION '" +
-          tmpDir("mvojr-sqlview") + s"' AS SELECT grp, SUM(v) FROM ojf " +
-          s"$kind JOIN ojd USING (fk) GROUP BY grp")
-      }
-      assert(se.getMessage.contains("INNER and LEFT OUTER"), s"$kind: $se")
-    }
     // LEFT creates a working view through SQL, REFRESH routes to it
     val leftDir = tmpDir("mvojr-left")
     gsql.sql("CREATE MATERIALIZED VIEW ojlv LOCATION '" + leftDir +

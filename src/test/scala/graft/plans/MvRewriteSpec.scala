@@ -359,6 +359,90 @@ class MvRewriteSpec extends GraftSparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("LEFT-OUTER rewrite: fresh fact stamp answers; dim churn needs no refresh") {
+    import spark.implicits._
+    import graft.lake.MaterializedOuterJoin
+    val src = GraftTable.create(spark, tmpDir("mvr-oj-fact"),
+      (1 to 60).map(i => (i.toLong % 10, i.toLong)).toDF("fk", "v"),
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvr-oj-dim"),
+      (0L until 8L).map(k => (k, s"g${k % 3}")).toDF("fk", "grp"))
+    val mv = MaterializedOuterJoin.create(spark, tmpDir("mvr-oj-view"),
+      src, d, Seq("fk"), Seq("grp"), Seq("v"))
+    MvCatalog.registerOuter(mv)
+    try {
+      def q = src.toDF.join(d.toDF, Seq("fk"), "left").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      val expect = {
+        MvCatalog.clear(); val r = q.collect().map(_.toSeq).toSet
+        MvCatalog.registerOuter(mv); r
+      }
+      assert(expect.exists(_.head == null),
+        "fixture sanity: the NULL-extended group must exist")
+      assert(scansView(q, "mvr-oj-view"),
+        "a fresh LEFT-OUTER view must answer the outer aggregate")
+      assert(q.collect().map(_.toSeq).toSet == expect)
+      // an INNER join of the same tables must NOT rewrite to it
+      val inner = src.toDF.join(d.toDF, Seq("fk")).groupBy("grp")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansView(inner, "mvr-oj-view"),
+        "inner-join queries must not read outer state")
+      // dim churn: rewrite keeps firing and stays exact, no refresh
+      d.append(Seq((8L, "gNEW")).toDF("fk", "grp"))
+      d.delete(col("fk") === 2)
+      val expect2 = {
+        MvCatalog.clear(); val r = q.collect().map(_.toSeq).toSet
+        MvCatalog.registerOuter(mv); r
+      }
+      assert(scansView(q, "mvr-oj-view"),
+        "dim DML must not stale the outer rewrite — the read joins live dim")
+      assert(q.collect().map(_.toSeq).toSet == expect2)
+      // fact movement DOES stale until refresh
+      src.append(Seq((3L, 999L)).toDF("fk", "v"))
+      assert(!scansView(q, "mvr-oj-view"), "stale fact stamp must decline")
+      mv.refresh()
+      assert(scansView(q, "mvr-oj-view"))
+      // global rollup (empty grouping is not a subset-of-keys case we
+      // claim — but a keyed subset is): group by nothing declines,
+      // exact grouping still answers post-refresh
+      val expect3 = {
+        MvCatalog.clear(); val r = q.collect().map(_.toSeq).toSet
+        MvCatalog.registerOuter(mv); r
+      }
+      assert(q.collect().map(_.toSeq).toSet == expect3)
+      // a RIGHT query must NOT read a LEFT view (kind mismatch)
+      val rightQ = src.toDF.join(d.toDF, Seq("fk"), "right").groupBy("grp")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansView(rightQ, "mvr-oj-view"),
+        "a left view must not answer a right-outer query")
+    } finally MvCatalog.clear()
+  }
+
+  test("RIGHT-OUTER rewrite answers from a right view, exact through dim-only keys") {
+    import spark.implicits._
+    import graft.lake.MaterializedOuterJoin
+    val src = GraftTable.create(spark, tmpDir("mvr-roj-fact"),
+      (1 to 50).map(i => (i.toLong % 8, i.toLong)).toDF("fk", "v"),
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvr-roj-dim"),
+      (4L until 12L).map(k => (k, s"g${k % 3}")).toDF("fk", "grp"))
+    val mv = MaterializedOuterJoin.create(spark, tmpDir("mvr-roj-view"),
+      src, d, Seq("fk"), Seq("grp"), Seq("v"), joinType = "right")
+    MvCatalog.registerOuter(mv)
+    try {
+      def q = src.toDF.join(d.toDF, Seq("fk"), "right").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      val expect = {
+        MvCatalog.clear(); val r = q.collect().map(_.toSeq).toSet
+        MvCatalog.registerOuter(mv); r
+      }
+      assert(scansView(q, "mvr-roj-view"),
+        "a fresh RIGHT view must answer the right-outer aggregate")
+      assert(q.collect().map(_.toSeq).toSet == expect,
+        "rewritten right-outer must include dim-only single-row groups")
+    } finally MvCatalog.clear()
+  }
+
   test("join-view rollup: a strict subset of join-view keys re-aggregates state") {
     import spark.implicits._
     val src = GraftTable.create(spark, tmpDir("mvr-jr-fact"),
