@@ -80,6 +80,13 @@ private[sources] object GraftMaintenance {
     s"""(?is)^\\s*ANALYZE\\s+TABLE\\s+$id\\s+(COMPUTE\\s+STATISTICS)\\s*;?\\s*$$""".r
   private val fsckRe: Regex =
     s"""(?is)^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$id(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
+  // DML Spark parses natively but cannot EXECUTE on tables without
+  // SupportsRowLevelOperations — gated on graft-resolvable targets so
+  // UPDATE/MERGE on other catalogs keep Spark's own path.
+  private val updateDmlRe: Regex =
+    s"""(?is)^\\s*UPDATE\\s+$id\\s+SET\\s+.+?\\s+WHERE\\s+.+?\\s*;?\\s*$$""".r
+  private val mergeDmlRe: Regex =
+    s"""(?is)^\\s*MERGE\\s+(?:WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+$id(?:\\s+(?:AS\\s+)?\\w+)?\\s+USING\\s+$id(?:\\s+(?:AS\\s+)?\\w+)?\\s+ON\\s+.+$$""".r
 
   private def attrs(fields: (String, DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t)() }
@@ -124,6 +131,17 @@ private[sources] object GraftMaintenance {
     case fsckRe(name, rest) =>
       Some(GraftMaintenanceCommand(name,
         s"FSCK REPAIR TABLE %s${Option(rest).getOrElse("")}", metricValue))
+    // DML on graft catalog tables that Spark parses natively but
+    // cannot EXECUTE (no SupportsRowLevelOperations): UPDATE and
+    // MERGE route through GraftSql's full DML grammar. DELETE stays
+    // on the v2 SupportsDelete path — it already works, and the two
+    // paths commit the same CoW delete. Only the target gates
+    // interception; a MERGE source that is itself a graft catalog
+    // name is spliced at run time.
+    case updateDmlRe(name) if isGraft(name) =>
+      Some(GraftDmlCommand(sqlText, name, None))
+    case mergeDmlRe(target, source) if isGraft(target) =>
+      Some(GraftDmlCommand(sqlText, target, Some(source)))
     case _ => None
   }
 
@@ -166,6 +184,47 @@ private[sources] object GraftMaintenance {
   * whose head is a registered catalog resolves there. The resolved
   * catalog must be a [[GraftCatalog]].
   */
+/** Executes UPDATE / MERGE on a catalog-resolved GraftLake target
+  * through [[GraftSql]]'s DML grammar. The (possibly multipart)
+  * target name is spliced to a registered local alias; a MERGE
+  * source that also resolves in a graft catalog registers under its
+  * own alias, while any other source (temp view, other catalog)
+  * stays verbatim — GraftSql falls back to `spark.table` for it.
+  */
+final case class GraftDmlCommand(statement: String,
+    target: String, source: Option[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("metric", StringType)(),
+      AttributeReference("value", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val gsql = new GraftSql(spark)
+    val tPath = GraftMaintenance.resolve(spark, target)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no GraftLake table $target in the session's catalogs"))
+    gsql.register("graft_target", tPath)
+    def splice(stmt: String, name: String, alias: String): String =
+      stmt.replaceAll("(?i)(?<![\\w.])" +
+        java.util.regex.Pattern.quote(name) + "(?![\\w.])", alias)
+    var stmt = splice(statement, target, "graft_target")
+    source.foreach { s =>
+      GraftMaintenance.resolve(spark, s).foreach { sPath =>
+        gsql.register("graft_source", sPath)
+        stmt = splice(stmt, s, "graft_source")
+      }
+      // a multipart non-graft source still needs a GraftSql-legal
+      // single-word name: expose it as a session view
+      if (s.contains(".") && GraftMaintenance.resolve(spark, s).isEmpty) {
+        spark.table(s).createOrReplaceTempView("graft_merge_source")
+        stmt = splice(stmt, s, "graft_merge_source")
+      }
+    }
+    gsql.sql(stmt).collect().toSeq
+  }
+}
+
 final case class GraftMaintenanceCommand(
     tableName: String, template: String,
     override val output: Seq[Attribute],

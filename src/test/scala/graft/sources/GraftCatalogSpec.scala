@@ -174,6 +174,49 @@ class GraftCatalogSpec extends GraftSparkSpec {
     spark.sql("DROP TABLE graftc.default.an_tbl")
   }
 
+  test("UPDATE and MERGE on catalog tables route through the DML grammar") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.range(100).withColumn("v", col("id") * 10)
+      .createOrReplaceTempView("dml_src")
+    spark.sql("CREATE TABLE graftc.default.dml_tbl USING graftlake " +
+      "AS SELECT * FROM dml_src")
+    // UPDATE — Spark's own path would reject this outright (the table
+    // has no SupportsRowLevelOperations)
+    spark.sql("UPDATE graftc.default.dml_tbl SET v = v + 1 WHERE id < 10")
+    assert(spark.sql("SELECT SUM(v) AS s FROM graftc.default.dml_tbl " +
+      "WHERE id < 10").head().getLong(0)
+      == (0 until 10).map(_ * 10 + 1).sum)
+    // MERGE with a graft catalog SOURCE: both names spliced
+    spark.range(5).withColumn("v", lit(7L))
+      .createOrReplaceTempView("merge_upd")
+    spark.sql("CREATE TABLE graftc.default.dml_delta USING graftlake " +
+      "AS SELECT id + 95 AS id, CAST(-1 AS BIGINT) AS v FROM range(10)")
+    spark.sql("MERGE INTO graftc.default.dml_tbl AS t " +
+      "USING graftc.default.dml_delta AS s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    // rows 95..99 updated to -1; 100..104 inserted with -1
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.dml_tbl")
+      .head().getLong(0) == 105)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.dml_tbl " +
+      "WHERE v = -1").head().getLong(0) == 10)
+    // MERGE with a TEMP VIEW source: target spliced, source verbatim
+    spark.sql("MERGE INTO graftc.default.dml_tbl AS t " +
+      "USING merge_upd AS s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.dml_tbl " +
+      "WHERE v = 7").head().getLong(0) == 5)
+    // UPDATE on a non-graft name still takes Spark's path (and fails
+    // with Spark's own error, not a graft resolution error)
+    val e = intercept[Exception](
+      spark.sql("UPDATE not_a_graft_table SET x = 1 WHERE x = 2"))
+    assert(!e.getMessage.contains("GraftLake"),
+      s"non-graft UPDATE must not be intercepted, got: ${e.getMessage.take(120)}")
+    spark.sql("DROP TABLE graftc.default.dml_tbl")
+    spark.sql("DROP TABLE graftc.default.dml_delta")
+  }
+
   test("external LOCATION table keeps data on DROP; ALTER SET TBLPROPERTIES") {
     useCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
