@@ -425,13 +425,14 @@ object MaterializedAgg {
   * fact-sized. The price vs the inner view is that honest read-side
   * join; the state stays dim-scaled.
   *
-  * v1 contract (refused loudly otherwise): aggregate columns must be
-  * FACT-side (a dim-side SUM over an outer join weights each dim
-  * value by the key's fact count — expressible from this state as
-  * Σ dim.c·mv_count, deferred); dim join keys must be UNIQUE
-  * (duplicate dim keys multiply fact rows AND break the
-  * one-null-extended-row accounting — the star-schema contract,
-  * validated at create time).
+  * Aggregate columns may come from EITHER side: fact-side ones live
+  * in the state; DIM-side ones expand at read time as
+  * Σ dim.c · weight (weight = the key's stored fact count, or 1 for
+  * a right/full dim-unmatched key) — exact, because the weights are
+  * the state's own integral counts. Contract (refused loudly
+  * otherwise): dim join keys must be UNIQUE — duplicate dim keys
+  * multiply fact rows AND break the one-null-extended-row accounting
+  * (the star-schema contract, validated at create time).
   */
 final class MaterializedOuterJoin private (val spark: SparkSession,
     val state: MaterializedAgg, val dim: GraftTable) {
@@ -459,6 +460,15 @@ final class MaterializedOuterJoin private (val spark: SparkSession,
     * dim-unmatched key contributes its single null-extended row
     * (right/full): count 1, NULL fact aggregates. `COUNT(col)` is
     * coalesced to 0 for all-null-extended groups, matching SQL.
+    *
+    * DIM-side aggregates expand at read time from the same state: a
+    * matched key's dim value stands for `mv_count` joined rows, a
+    * dim-unmatched key's for exactly one, so `SUM(dim.c)` is
+    * Σ dim.c · weight with weight = mv_count (or its coalesce-1
+    * under right/full), `COUNT(dim.c)` is the weighted non-null
+    * count, and MIN/MAX are the plain extremes of the joined dim
+    * values (multiplicity never moves an extreme). All exact — the
+    * weights are the state's own integral counts.
     */
   def toDF: DataFrame = {
     val joinKeys = csv(MaterializedOuterJoin.OuterJoinKeysKey)
@@ -466,6 +476,9 @@ final class MaterializedOuterJoin private (val spark: SparkSession,
     val sumCols = csv("graft.mv.sumCols")
     val minCols = csv("graft.mv.minCols")
     val maxCols = csv("graft.mv.maxCols")
+    val dimSums = csv(MaterializedOuterJoin.OuterDimSumKey)
+    val dimMins = csv(MaterializedOuterJoin.OuterDimMinKey)
+    val dimMaxs = csv(MaterializedOuterJoin.OuterDimMaxKey)
     val joined = view.toDF.join(dim.toDF, joinKeys, joinType match {
       case "left" => "left"; case "right" => "right"; case _ => "full"
     })
@@ -477,8 +490,14 @@ final class MaterializedOuterJoin private (val spark: SparkSession,
     val aggs = sum(rowCount).as(CountCol) +: (sumCols.flatMap(c => Seq(
       sum(col(sumName(c))).as(sumName(c)),
       coalesce(sum(col(cntName(c))), lit(0L)).as(cntName(c)))) ++
+      dimSums.flatMap(c => Seq(
+        sum(col(c).cast("long") * rowCount).as(sumName(c)),
+        coalesce(sum(when(col(c).isNotNull, rowCount)
+          .otherwise(lit(0L))), lit(0L)).as(cntName(c)))) ++
       minCols.map(c => min(col(minName(c))).as(minName(c))) ++
-      maxCols.map(c => max(col(maxName(c))).as(maxName(c))))
+      dimMins.map(c => min(col(c)).as(minName(c))) ++
+      maxCols.map(c => max(col(maxName(c))).as(maxName(c))) ++
+      dimMaxs.map(c => max(col(c)).as(maxName(c))))
     joined.groupBy(outGroup.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }
@@ -488,6 +507,9 @@ object MaterializedOuterJoin {
   val OuterJoinKeysKey = "graft.mv.outerJoinKeys"
   val OuterGroupKey = "graft.mv.outerGroupCols"
   val OuterTypeKey = "graft.mv.outerType"
+  val OuterDimSumKey = "graft.mv.outerDimSumCols"
+  val OuterDimMinKey = "graft.mv.outerDimMinCols"
+  val OuterDimMaxKey = "graft.mv.outerDimMaxCols"
 
   def create(spark: SparkSession, path: String, source: GraftTable,
       dim: GraftTable, joinKeys: Seq[String], groupCols: Seq[String],
@@ -505,23 +527,43 @@ object MaterializedOuterJoin {
     groupCols.foreach(c => require(
       factFields.contains(c) || dimFields.contains(c),
       s"no such column on either side: $c"))
-    (sumCols ++ minCols ++ maxCols).foreach(c => require(factFields.contains(c),
-      s"outer-join views aggregate FACT-side columns only, '$c' is not on " +
-        "the fact: a dim-side aggregate over a left join weighs each dim " +
-        "value by the key's fact count — materialize the inner join for that"))
-    // star-schema contract: dim join keys must be unique, or the left
-    // join multiplies fact rows and every count/sum is wrong
+    // aggregate columns may come from EITHER side: fact-side ones are
+    // maintained in the state, dim-side ones expand at read time as
+    // Σ dim.c · weight (fact-side wins when both sides own the name —
+    // the state can maintain it exactly)
+    (sumCols ++ minCols ++ maxCols).foreach(c => require(
+      factFields.contains(c) || dimFields.contains(c),
+      s"no such column on either side: $c"))
+    val (factSums, dimSums) = sumCols.partition(factFields.contains)
+    val (factMins, dimMins) = minCols.partition(factFields.contains)
+    val (factMaxs, dimMaxs) = maxCols.partition(factFields.contains)
+    dimSums.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = dim.snapshot.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"materialized SUM/AVG column '$c' must be integral, got " +
+        s"${dim.snapshot.schema(c).dataType.simpleString}: the weighted " +
+        "dim expansion multiplies in exact long arithmetic")
+    }
+    // star-schema contract: dim join keys must be unique, or the
+    // outer join multiplies fact rows, every count/sum is wrong, AND
+    // the one-null-extended-row accounting for right/full breaks
     val dups = dim.toDF.groupBy(joinKeys.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
     require(dups == 0,
-      s"dim join keys ${joinKeys.mkString(",")} are not unique — a " +
-        "left-outer view needs a keyed dim (the star-schema contract)")
+      s"dim join keys ${joinKeys.mkString(",")} are not unique — an " +
+        "outer view needs a keyed dim (the star-schema contract)")
     val stateKeys = (joinKeys ++ groupCols.filter(factFields.contains)).distinct
     val state = MaterializedAgg.create(spark, path, source, stateKeys,
-      sumCols, minCols, maxCols, extraProps = Map(
+      factSums, factMins, factMaxs, extraProps = Map(
         OuterDimKey -> dim.path, OuterJoinKeysKey -> joinKeys.mkString(","),
         OuterGroupKey -> groupCols.mkString(","),
-        OuterTypeKey -> joinType.toLowerCase))
+        OuterTypeKey -> joinType.toLowerCase,
+        OuterDimSumKey -> dimSums.mkString(","),
+        OuterDimMinKey -> dimMins.mkString(","),
+        OuterDimMaxKey -> dimMaxs.mkString(",")))
     new MaterializedOuterJoin(spark, state, dim)
   }
 

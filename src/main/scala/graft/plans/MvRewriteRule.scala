@@ -531,12 +531,17 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val rollup = !exact && groupNames.toSet.subsetOf(groupCols.toSet) &&
       groupNames.toSet.size == groupNames.size
     if (!exact && !rollup) return None
-    val sumCols = vprops.getOrElse("graft.mv.sumCols", "")
-      .split(",").filter(_.nonEmpty).toSet
-    val minCols = vprops.getOrElse("graft.mv.minCols", "")
-      .split(",").filter(_.nonEmpty).toSet
-    val maxCols = vprops.getOrElse("graft.mv.maxCols", "")
-      .split(",").filter(_.nonEmpty).toSet
+    // fact-side aggregates live in state; dim-side ones are expanded
+    // by the view's read — toDF exposes BOTH under the same mv_*
+    // names, so the projection mapping treats them uniformly
+    def set(k: String): Set[String] =
+      vprops.getOrElse(k, "").split(",").filter(_.nonEmpty).toSet
+    val sumCols = set("graft.mv.sumCols") ++
+      set(graft.lake.MaterializedOuterJoin.OuterDimSumKey)
+    val minCols = set("graft.mv.minCols") ++
+      set(graft.lake.MaterializedOuterJoin.OuterDimMinKey)
+    val maxCols = set("graft.mv.maxCols") ++
+      set(graft.lake.MaterializedOuterJoin.OuterDimMaxKey)
     val mvPlan = mv.toDF.queryExecution.analyzed
     val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
     val projections = stateProjections(aggExprs, mvOut, groupCols, sumCols,

@@ -264,12 +264,16 @@ final class GraftSink(
     if (optimizeEvery > 0 && batchId > 0 && batchId % optimizeEvery == 0)
       table.optimize()
     refreshMv.foreach { v =>
-      // route by the stored marker: aggregate and COUNT DISTINCT
-      // views are different classes with different state grains
+      // route by the stored marker: aggregate, COUNT DISTINCT, and
+      // OUTER join views are different classes with different state
+      // grains (an outer view's refresh folds only the fact feed —
+      // its dim needs no stamp at all)
       val props = graft.lake.GraftTable.forPath(spark, v)
         .snapshot.metadata.map(_.properties).getOrElse(Map.empty)
       if (props.contains(graft.lake.MaterializedDistinct.DistinctKey))
         graft.lake.MaterializedDistinct.forPath(spark, v, table).refresh()
+      else if (props.contains(graft.lake.MaterializedOuterJoin.OuterDimKey))
+        graft.lake.MaterializedOuterJoin.forPath(spark, v, table).refresh()
       else graft.lake.MaterializedAgg.forPath(spark, v, table).refresh()
       ()
     }

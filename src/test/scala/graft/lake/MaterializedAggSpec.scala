@@ -427,6 +427,54 @@ class MaterializedAggSpec extends GraftSparkSpec {
     assert(e.getMessage.contains("MaterializedOuterJoin"), e.getMessage)
   }
 
+  test("outer views: DIM-side aggregates expand exactly from weighted state") {
+    import spark.implicits._
+    // dim carries an integral weight column (population) with a NULL
+    // stripe; dim covers 3..11 so fact-only (0..2) and dim-only
+    // (10,11) keys exercise both null-extension directions
+    val src = GraftTable.create(spark, tmpDir("mvod-fact"),
+      (1 to 70).map(i => (i.toLong % 10, i.toLong)).toDF("fk", "v"),
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvod-dim"),
+      (3L until 12L).map(k =>
+        (k, s"g${k % 3}", if (k % 4 == 0) None else Some(k * 100)))
+        .toDF("fk", "grp", "pop"))
+    for (kind <- Seq("left", "right", "full")) {
+      val mv = MaterializedOuterJoin.create(spark, tmpDir(s"mvod-$kind"),
+        src, d, Seq("fk"), Seq("grp"), Seq("v", "pop"),
+        minCols = Seq("pop"), maxCols = Seq("v"), joinType = kind)
+      def expect = src.toDF.join(d.toDF, Seq("fk"), kind).groupBy("grp")
+        .agg(sum("pop").as("sp"), count(col("pop")).as("np"),
+          min("pop").as("mp"), sum("v").as("sv"), max("v").as("xv"))
+        .collect().map(r => (Option(r.getString(0)), Option(r.get(1)),
+          r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)))).toSet
+      def got = mv.toDF.select(col("grp"), col("mv_sum_pop"),
+          col("mv_cnt_pop"), col("mv_min_pop"), col("mv_sum_v"), col("mv_max_v"))
+        .collect().map(r => (Option(r.getString(0)), Option(r.get(1)),
+          r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)))).toSet
+      assert(got == expect,
+        s"$kind: dim-side sum/count/min must equal the live outer join")
+      // fact churn folds, dim churn free — the dim expansion rides both
+      src.delete(col("v") % 8 === 0)
+      src.append(Seq((11L, 800L + (if (kind == "left") 0L else 1L)))
+        .toDF("fk", "v"))
+      mv.refresh()
+      d.update(col("fk") === 7, Map("pop" -> lit(9999L)))
+      assert(got == expect,
+        s"$kind: dim-side aggregates must stay exact through churn")
+    }
+    // fractional dim-side sums refuse (exact long weighting only)
+    val dFrac = GraftTable.create(spark, tmpDir("mvod-dfrac"),
+      Seq((1L, 0.5)).toDF("fk", "w"))
+    val fe = intercept[IllegalArgumentException] {
+      MaterializedOuterJoin.create(spark, tmpDir("mvod-fracview"), src,
+        dFrac, Seq("fk"), Seq("w"), Seq("w"))
+    }
+    assert(fe.getMessage.contains("integral"), fe.getMessage)
+  }
+
   test("outer-join LEFT via SQL: create + REFRESH route to the outer class") {
     import spark.implicits._
     val src = GraftTable.create(spark, tmpDir("mvojr-fact"),
@@ -453,12 +501,6 @@ class MaterializedAggSpec extends GraftSparkSpec {
     src.delete(col("v") % 5 === 0)
     gsql.sql("REFRESH MATERIALIZED VIEW ojlv")
     assert(got == expect, "SQL REFRESH must fold the fact delta")
-    // aggregating a DIM-side column refuses with the v1 contract named
-    val de = intercept[IllegalArgumentException] {
-      MaterializedOuterJoin.create(spark, tmpDir("mvojr-dimagg"), src, d,
-        Seq("fk"), Seq("grp"), Seq("grp"))
-    }
-    assert(de.getMessage.contains("FACT-side"), de.getMessage)
     // a non-unique dim refuses the star-schema contract
     val dupDim = GraftTable.create(spark, tmpDir("mvojr-dupdim"),
       Seq((1L, "a"), (1L, "b")).toDF("fk", "grp"))

@@ -382,6 +382,49 @@ class StreamingSpec extends GraftSparkSpec {
       "in-loop distinct refresh must land on the exact distinct counts")
   }
 
+  test("sink refreshMv routes an OUTER join view; dim churn mid-stream is free") {
+    import spark.implicits._
+    import graft.lake.MaterializedOuterJoin
+    val src = tmpDir("sink-oj-src")
+    Tables(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("uid"), col("event_type"))
+      .repartition(4).write.parquet(src)
+    val seed = spark.read.parquet(src).limit(0)
+    val out = tmpDir("sink-oj-table")
+    val t0 = GraftTable.create(spark, out, seed,
+      properties = Map("graft.cdf" -> "true"))
+    // dim covers only even user ids → odd ids stay null-extended
+    val dimDir = tmpDir("sink-oj-dim")
+    val d = GraftTable.create(spark, dimDir,
+      spark.read.parquet(src).select(col("uid")).distinct()
+        .filter(col("uid") % 2 === 0)
+        .withColumn("cohort", concat(lit("c"), pmod(col("uid"), lit(3)))))
+    val viewDir = tmpDir("sink-oj-view")
+    MaterializedOuterJoin.create(spark, viewDir, t0, d,
+      Seq("uid"), Seq("cohort"), Nil)
+    // dim moves BEFORE the stream runs more epochs — no refresh of the
+    // dim feed ever happens, the in-loop refresh folds only the fact
+    d.update(col("cohort") === "c0", Map("cohort" -> lit("cX")))
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format("graftlake")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("sink-oj-ckpt"))
+      .option("refreshMv", viewDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val t = GraftTable.forPath(spark, out)
+    val expect = t.toDF.join(d.toDF, Seq("uid"), "left").groupBy("cohort")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val got = MaterializedOuterJoin.forPath(spark, viewDir, t).toDF
+      .select(col("cohort"), col("mv_count"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(expect.exists(_._1.isEmpty), "odd ids must be null-extended")
+    assert(got == expect,
+      "in-loop outer refresh + mid-stream dim move must land exactly")
+  }
+
   test("streaming into GraftLake + OPTIMIZE compaction loop") {
     val dir = eventsOnDisk("lake-src")
     val schema = spark.read.parquet(dir).schema
