@@ -33,8 +33,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftMaintenance.tryParse(sqlText, name =>
-        GraftMaintenance.resolve(session, name).isDefined)
+    GraftMaintenance.tryParse(sqlText,
+        name => GraftMaintenance.resolve(session, name).isDefined,
+        name => GraftMaintenance.resolve(session, name).map(p =>
+          graft.lake.GraftTable.forPath(session, p)))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
@@ -87,6 +89,11 @@ private[sources] object GraftMaintenance {
     s"""(?is)^\\s*UPDATE\\s+$id\\s+SET\\s+.+?\\s+WHERE\\s+.+?\\s*;?\\s*$$""".r
   private val mergeDmlRe: Regex =
     s"""(?is)^\\s*MERGE\\s+(?:WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+$id(?:\\s+(?:AS\\s+)?\\w+)?\\s+USING\\s+$id(?:\\s+(?:AS\\s+)?\\w+)?\\s+ON\\s+.+$$""".r
+  // statements whose output schema is the TABLE's (resolved at parse)
+  private val tableChangesRe: Regex =
+    s"""(?is)^\\s*TABLE\\s+CHANGES\\s+$id\\s+BETWEEN\\s+(\\d+)\\s+AND\\s+(\\d+)\\s*;?\\s*$$""".r
+  private val showPartitionsRe: Regex =
+    s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+$id\\s*;?\\s*$$""".r
 
   private def attrs(fields: (String, DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t)() }
@@ -102,15 +109,21 @@ private[sources] object GraftMaintenance {
     "rowTracking" -> BooleanType, "indexes" -> StringType)
   private val pathOut = attrs("path" -> StringType)
 
-  /** `isGraft` gates ONLY the statements Spark's own parser also
-    * accepts (ANALYZE): those must fall through to the delegate for
-    * non-graft tables instead of failing resolution later. The
-    * graft-only verbs (OPTIMIZE/VACUUM/RESTORE/…) intercept
-    * unconditionally — the delegate would reject them anyway, and the
-    * command's own resolution gives the clearer error.
+  /** `isGraft` gates the statements Spark's own parser also accepts
+    * (ANALYZE, UPDATE, MERGE, SHOW PARTITIONS): those must fall
+    * through to the delegate for non-graft tables instead of failing
+    * resolution later. The graft-only verbs (OPTIMIZE/VACUUM/
+    * RESTORE/…) intercept unconditionally — the delegate would reject
+    * them anyway, and the command's own resolution gives the clearer
+    * error. `tableOf` supplies parse-time table handles for the
+    * statements whose OUTPUT SCHEMA depends on the table (change
+    * feed, partition inventory) — RunnableCommand output is fixed at
+    * plan time.
     */
   def tryParse(sqlText: String,
-      isGraft: String => Boolean): Option[LogicalPlan] = sqlText match {
+      isGraft: String => Boolean,
+      tableOf: String => Option[graft.lake.GraftTable] = _ => None)
+      : Option[LogicalPlan] = sqlText match {
     case optimizeRe(name, rest) =>
       Some(GraftMaintenanceCommand(name, s"OPTIMIZE %s$rest", metricValue))
     case vacuumRe(name, rest) =>
@@ -142,6 +155,25 @@ private[sources] object GraftMaintenance {
       Some(GraftDmlCommand(sqlText, name, None))
     case mergeDmlRe(target, source) if isGraft(target) =>
       Some(GraftDmlCommand(sqlText, target, Some(source)))
+    // batch change feed as a statement (Delta's table_changes TVF
+    // shape): returns the LAZY changeFeed plan, NOT a collecting
+    // command — the feed over a big version range is data-scaled and
+    // must execute distributed, never materialize on the driver
+    case tableChangesRe(name, from, to) =>
+      tableOf(name).map(t =>
+        t.changeFeed(from.toLong - 1, to.toLong) // BETWEEN is inclusive
+          .queryExecution.analyzed)
+    // SHOW PARTITIONS needs SupportsPartitionManagement on Spark's own
+    // path — the log-metadata inventory serves it instead (bounded:
+    // |partitions| rows, so a command collect is the right shape)
+    case showPartitionsRe(name) if isGraft(name) =>
+      tableOf(name).map(_.snapshot).filter(_.partitionColumns.nonEmpty)
+        .map { snap =>
+          val out = snap.partitionColumns.map(c =>
+            AttributeReference(c, StringType)()) :+
+            AttributeReference("num_files", LongType)()
+          GraftMaintenanceCommand(name, "SHOW PARTITIONS %s", out)
+        }
     case _ => None
   }
 

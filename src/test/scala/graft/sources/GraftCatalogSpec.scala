@@ -217,6 +217,38 @@ class GraftCatalogSpec extends GraftSparkSpec {
     spark.sql("DROP TABLE graftc.default.dml_delta")
   }
 
+  test("TABLE CHANGES and SHOW PARTITIONS on catalog names") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.range(60)
+      .withColumn("part", concat(lit("p"), pmod(col("id"), lit(3))))
+      .createOrReplaceTempView("tvf_src")
+    spark.sql("CREATE TABLE graftc.default.tvf_tbl USING graftlake " +
+      "PARTITIONED BY (part) AS SELECT * FROM tvf_src")
+    val t = graft.lake.GraftTable.forPath(spark,
+      java.nio.file.Paths.get(tmpWarehouse, "default", "tvf_tbl").toString)
+    val v1 = t.version
+    spark.sql("DELETE FROM graftc.default.tvf_tbl WHERE id < 10")
+    val v2 = graft.lake.GraftTable.forPath(spark, t.path).version
+    // batch CDF through bare SQL, LAZY plan (no command collect)
+    val changes = spark.sql(
+      s"TABLE CHANGES graftc.default.tvf_tbl BETWEEN ${v1 + 1} AND $v2")
+    assert(changes.columns.contains("_change_type") &&
+      changes.columns.contains("_commit_version"))
+    assert(changes.filter(col("_change_type") === "delete").count() == 10,
+      "the delete window must surface 10 delete rows")
+    assert(!changes.queryExecution.analyzed.getClass.getName
+      .contains("Command"),
+      "TABLE CHANGES must plan as a lazy read, not a collecting command")
+    // SHOW PARTITIONS from log metadata (no SupportsPartitionManagement)
+    val parts = spark.sql("SHOW PARTITIONS graftc.default.tvf_tbl")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts.keySet == Set("p0", "p1", "p2"))
+    assert(parts.values.sum == t.snapshot.numFiles ||
+      parts.values.sum > 0)
+    spark.sql("DROP TABLE graftc.default.tvf_tbl")
+  }
+
   test("external LOCATION table keeps data on DROP; ALTER SET TBLPROPERTIES") {
     useCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
