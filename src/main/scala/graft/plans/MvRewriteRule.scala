@@ -78,6 +78,7 @@ object MvCatalog {
     }
   def clear(): Unit = synchronized {
     views.clear(); distinctViews.clear(); outerViews.clear(); probed.clear()
+    rootByDir.clear()
   }
   private[plans] def lookup(p: String => Boolean): Option[MaterializedAgg] =
     synchronized { views.collectFirst { case (sp, mv) if p(sp) => mv } }
@@ -128,15 +129,28 @@ object MvCatalog {
     * `_graft_log` — the table root. Bounded hops: partition dirs are
     * shallow.
     */
+  // upward-walk results memoized by the scanned file's parent dir —
+  // WITHOUT this, every aggregate over a plain (non-graft) parquet
+  // table would re-stat up to 8 ancestors per query, planning-path
+  // disk IO that never changes answer within a process
+  private val rootByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
   private def sourceRoot(file: String): Option[String] = {
-    var p = java.nio.file.Paths.get(file).toAbsolutePath.normalize.getParent
-    var hops = 0
-    while (p != null && hops < 8) {
-      if (java.nio.file.Files.isDirectory(p.resolve("_graft_log")))
-        return Some(p.toString)
-      p = p.getParent; hops += 1
-    }
-    None
+    val dir = java.nio.file.Paths.get(file).toAbsolutePath.normalize
+      .getParent
+    if (dir == null) return None
+    rootByDir.computeIfAbsent(dir.toString, _ => {
+      var p = dir
+      var hops = 0
+      var found: Option[String] = None
+      while (p != null && hops < 8 && found.isEmpty) {
+        if (java.nio.file.Files.isDirectory(p.resolve("_graft_log")))
+          found = Some(p.toString)
+        else { p = p.getParent; hops += 1 }
+      }
+      found
+    })
   }
 }
 

@@ -110,7 +110,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala.flatMap { p =>
+    val stream = Files.list(dir) // close the DirectoryStream: fd leak otherwise
+    try stream.iterator().asScala.flatMap { p =>
       val n = p.getFileName.toString
       if (Files.isDirectory(p) && new TxnLog(p.toString).exists)
         Some(Identifier.of(namespace, n))
@@ -118,6 +119,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         Some(Identifier.of(namespace, n.stripSuffix(".graftlink")))
       else None
     }.toArray
+    finally stream.close()
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -196,10 +198,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // --- namespaces ----------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] =
-    Files.list(warehouse).iterator().asScala
+  override def listNamespaces(): Array[Array[String]] = {
+    val stream = Files.list(warehouse)
+    try stream.iterator().asScala
       .filter(p => Files.isDirectory(p) && !new TxnLog(p.toString).exists)
       .map(p => Array(p.getFileName.toString)).toArray
+    finally stream.close()
+  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -231,7 +236,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean = {
     val dir = nsDir(namespace)
     if (!Files.isDirectory(dir)) return false
-    val empty = !Files.list(dir).iterator().hasNext
+    val empty = {
+      val stream = Files.list(dir)
+      try !stream.iterator().hasNext finally stream.close()
+    }
     require(cascade || empty,
       s"namespace ${namespace.mkString(".")} is not empty")
     deleteRecursively(dir)
@@ -240,7 +248,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally stream.close()
     }
 }

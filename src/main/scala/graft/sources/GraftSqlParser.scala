@@ -237,9 +237,30 @@ final case class GraftDmlCommand(statement: String,
       .getOrElse(throw new IllegalArgumentException(
         s"no GraftLake table $target in the session's catalogs"))
     gsql.register("graft_target", tPath)
-    def splice(stmt: String, name: String, alias: String): String =
-      stmt.replaceAll("(?i)(?<![\\w.])" +
-        java.util.regex.Pattern.quote(name) + "(?![\\w.])", alias)
+    // splice matches against a LITERAL-MASKED copy and rebuilds from
+    // the original by position: a string literal containing the table
+    // name (SET c = 'sales') must never be rewritten
+    def splice(stmt: String, name: String, alias: String): String = {
+      val masked = {
+        val b = stmt.toCharArray
+        var inStr = false
+        var i = 0
+        while (i < b.length) {
+          if (b(i) == '\'') inStr = !inStr else if (inStr) b(i) = '_'
+          i += 1
+        }
+        new String(b)
+      }
+      val re = ("(?i)(?<![\\w.])" +
+        java.util.regex.Pattern.quote(name) + "(?![\\w.])").r
+      val sb = new StringBuilder
+      var last = 0
+      for (m <- re.findAllMatchIn(masked)) {
+        sb.append(stmt.substring(last, m.start)).append(alias)
+        last = m.end
+      }
+      sb.append(stmt.substring(last)).toString
+    }
     var stmt = splice(statement, target, "graft_target")
     source.foreach { s =>
       GraftMaintenance.resolve(spark, s).foreach { sPath =>

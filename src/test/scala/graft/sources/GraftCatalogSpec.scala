@@ -207,6 +207,15 @@ class GraftCatalogSpec extends GraftSparkSpec {
       "WHEN MATCHED THEN UPDATE SET v = s.v")
     assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.dml_tbl " +
       "WHERE v = 7").head().getLong(0) == 5)
+    // a literal containing the table name must survive the splice
+    spark.sql("CREATE TABLE graftc.default.lit_tbl USING graftlake " +
+      "AS SELECT id, CAST('x' AS STRING) AS tag FROM range(5)")
+    spark.sql("UPDATE graftc.default.lit_tbl " +
+      "SET tag = 'graftc.default.lit_tbl' WHERE id = 1")
+    assert(spark.sql("SELECT tag FROM graftc.default.lit_tbl WHERE id = 1")
+      .head().getString(0) == "graftc.default.lit_tbl",
+      "the table name inside a string literal must not be rewritten")
+    spark.sql("DROP TABLE graftc.default.lit_tbl")
     // UPDATE on a non-graft name still takes Spark's path (and fails
     // with Spark's own error, not a graft resolution error)
     val e = intercept[Exception](
