@@ -180,6 +180,27 @@ final class GraftSql(spark: SparkSession) {
   /** Execute one statement; DDL/maintenance returns its metrics as a
     * DataFrame, queries return their result.
     */
+  /** Multi-statement script execution: statements split on TOP-LEVEL
+    * semicolons (string literals are masked first — a ';' inside a
+    * quoted value never splits), each runs through [[sql]] in order
+    * against the shared registry (a CREATE in statement 1 is visible
+    * to statement 2), and the LAST statement's frame returns — the
+    * psql/duckdb-CLI script contract. Blank segments (trailing ';',
+    * blank lines between statements) are skipped; `--` comment lines
+    * are stripped so saved scripts run verbatim.
+    */
+  def executeScript(script: String): DataFrame = {
+    val noComments = script.linesIterator
+      .filterNot(_.trim.startsWith("--")).mkString("\n")
+    val masked = maskLiterals(noComments)
+    val cuts = masked.zipWithIndex.collect { case (';', i) => i }
+    val bounds = (-1 +: cuts :+ noComments.length).sliding(2).toSeq
+    val stmts = bounds.map { case Seq(a, b) => noComments.substring(a + 1, b) }
+      .map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(sql).last
+  }
+
   def sql(statement: String): DataFrame = {
     import spark.implicits._
     statement match {

@@ -731,6 +731,31 @@ class LakeSpec extends GraftSparkSpec {
     assert(t.toDF.count() == 28)
   }
 
+  test("executeScript: multi-statement scripts, literal semicolons, comments") {
+    import spark.implicits._
+    val gsql = new GraftSql(spark)
+    gsql.registerCreate("scr_src", tmpDir("script-src"),
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    val out = gsql.executeScript(s"""
+      |-- a saved maintenance script, run verbatim
+      |CREATE TABLE scr_tbl LIKE scr_src LOCATION '${tmpDir("script-tbl")}';
+      |INSERT INTO scr_tbl SELECT * FROM scr_src;
+      |UPDATE scr_tbl SET s = 'a;b' WHERE id = 3;
+      |OPTIMIZE scr_tbl;
+      |SELECT COUNT(*) AS n FROM scr_tbl;
+      |""".stripMargin)
+    assert(out.columns.toSeq == Seq("n") && out.head().getLong(0) == 20,
+      "the LAST statement's frame returns")
+    // the literal ';' must have survived the split
+    assert(gsql.sql("SELECT s FROM scr_tbl WHERE id = 3")
+      .head().getString(0) == "a;b")
+    // earlier statements' effects are visible to later ones (the
+    // OPTIMIZE ran over the CREATE+INSERT state)
+    assert(gsql.sql("DESCRIBE HISTORY scr_tbl").select("operation")
+      .collect().map(_.getString(0)).contains("OPTIMIZE"))
+    intercept[IllegalArgumentException](gsql.executeScript("  \n-- only\n"))
+  }
+
   test("VACUUM LITE past 10k tombstones unlinks distributed, not serially") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("vac-lite-10k"),

@@ -258,6 +258,23 @@ class GraftCatalogSpec extends GraftSparkSpec {
     spark.sql("DROP TABLE graftc.default.tvf_tbl")
   }
 
+  test("DataFrameReader time-travel options route through catalog loadTable") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.range(30).createOrReplaceTempView("tt_src")
+    spark.sql("CREATE TABLE graftc.default.tt_tbl USING graftlake " +
+      "AS SELECT * FROM tt_src")
+    val t = graft.lake.GraftTable.forPath(spark,
+      java.nio.file.Paths.get(tmpWarehouse, "default", "tt_tbl").toString)
+    val v1 = t.version
+    spark.sql("INSERT INTO graftc.default.tt_tbl VALUES (999)")
+    assert(spark.read.option("versionAsOf", v1)
+      .table("graftc.default.tt_tbl").count() == 30,
+      "versionAsOf read option must pin the pre-insert snapshot")
+    assert(spark.read.table("graftc.default.tt_tbl").count() == 31)
+    spark.sql("DROP TABLE graftc.default.tt_tbl")
+  }
+
   test("external LOCATION table keeps data on DROP; ALTER SET TBLPROPERTIES") {
     useCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
