@@ -350,6 +350,26 @@ class MaterializedAggSpec extends GraftSparkSpec {
       MaterializedAgg.forPath(spark, viewDir, src))
   }
 
+  test("outer view read is state-sized: the plan never scans the fact") {
+    import spark.implicits._
+    val factDir = tmpDir("mvop-fact")
+    val src = GraftTable.create(spark, factDir,
+      (1 to 50).map(i => (i.toLong % 10, i.toLong)).toDF("fk", "v"),
+      properties = Map("graft.cdf" -> "true"))
+    val d = GraftTable.create(spark, tmpDir("mvop-dim"),
+      (0L until 8L).map(k => (k, s"g$k")).toDF("fk", "grp"))
+    val viewDir = tmpDir("mvop-view")
+    val mv = MaterializedOuterJoin.create(spark, viewDir, src, d,
+      Seq("fk"), Seq("grp"), Seq("v"))
+    val plan = mv.toDF.queryExecution.executedPlan.toString
+    // the read joins STATE with DIM — at 100 TB the fact never appears
+    assert(plan.contains("mvop-view") && plan.contains("mvop-dim"),
+      "read must scan the state and the dim")
+    assert(!plan.contains("mvop-fact"),
+      "read must NEVER scan the fact table — that is the whole point " +
+        "of the key-grain state")
+  }
+
   test("outer-join kinds: RIGHT/FULL maintain from the same fact state") {
     import spark.implicits._
     // fact keys 0..9; dim covers 4..13 → fact-only keys 0..3 (left/full
