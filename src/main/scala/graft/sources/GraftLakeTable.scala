@@ -80,6 +80,14 @@ final class GraftLakeTable(
           if (requiredSchema.isEmpty) StructType(schema().fields.take(1))
           else requiredSchema
 
+      // NOTE on join sizing: Scan-level SupportsReportStatistics is
+      // USELESS on this route — V2ScanRelationPushDown wraps a V1Scan
+      // in V1ScanWrapper, which does not forward statistics, so the
+      // static planner sees the default "assume huge" size either
+      // way. Broadcast decisions for catalog-named tables come from
+      // AQE's runtime sizes (asserted in GraftCatalogSpec); the
+      // path-based `format("graftlake")` reader keeps its static
+      // BaseRelation.sizeInBytes estimate.
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](

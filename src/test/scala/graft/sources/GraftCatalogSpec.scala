@@ -275,6 +275,32 @@ class GraftCatalogSpec extends GraftSparkSpec {
     spark.sql("DROP TABLE graftc.default.tt_tbl")
   }
 
+  test("catalog-named dimension broadcasts at runtime via AQE sizes") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    graft.Tables(spark, sfDir, "nation").createOrReplaceTempView("bc_nation")
+    graft.Tables(spark, sfDir, "orders").createOrReplaceTempView("bc_orders")
+    spark.sql("CREATE TABLE graftc.default.bc_dim USING graftlake " +
+      "AS SELECT * FROM bc_nation")
+    spark.sql("CREATE TABLE graftc.default.bc_fact USING graftlake " +
+      "AS SELECT * FROM bc_orders")
+    val joined = spark.sql(
+      "SELECT n_name, COUNT(*) AS n FROM graftc.default.bc_fact f " +
+        "JOIN graftc.default.bc_dim d ON f.o_custkey % 25 = d.n_nationkey " +
+        "GROUP BY n_name")
+    // V1ScanWrapper hides scan statistics from the static planner, so
+    // the pre-execution plan is a sort-merge join; AQE must flip it
+    // to broadcast from the dim's ACTUAL runtime size
+    assert(joined.collect().nonEmpty) // materialize THIS plan → AQE final
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(200))
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      "AQE must broadcast the KB-scale catalog dim at runtime, " +
+        s"final plan:\n${finalPlan.take(1200)}")
+    spark.sql("DROP TABLE graftc.default.bc_dim")
+    spark.sql("DROP TABLE graftc.default.bc_fact")
+  }
+
   test("external LOCATION table keeps data on DROP; ALTER SET TBLPROPERTIES") {
     useCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
