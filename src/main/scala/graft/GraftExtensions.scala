@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only aggregates: whole-table count/min/max over a scan
     // equal to a table's active file set folds the log's footer stats
     ext.injectPostHocResolutionRule(graft.plans.StatsAggregateRule.apply)
+    // dynamic partition overwrite on catalog tables: the V1 write
+    // bridge has no exec for OverwritePartitionsDynamic — rewrite it
+    // to the table's own atomic L63 commit
+    ext.injectPostHocResolutionRule(graft.plans.DynamicOverwriteRule.apply)
+    // readStream.table(...) on graftlake catalog tables: swap the V2
+    // streaming node for the V1 graftlake source WITH reader options
+    // (Spark's own V1 fallback would drop them)
+    ext.injectResolutionRule(graft.plans.StreamingV1FallbackRule.apply)
     ext.injectFunction((FunctionIdentifier("graft_fingerprint64"),
       info("graft_fingerprint64", "64-bit FNV-1a rolling fingerprint of normalized text"),
       unary("graft_fingerprint64")(Fingerprint64)))

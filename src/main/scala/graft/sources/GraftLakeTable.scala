@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -34,11 +34,45 @@ final class GraftLakeTable(
     val path: String,
     tableName: String,
     pinnedVersion: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with org.apache.spark.sql.graftshim.GraftV1FallbackTable {
 
   private lazy val table = GraftTable.forPath(spark, path)
 
   override def name(): String = tableName
+
+  /** V1 fallback identity for STREAMING by catalog name (Delta's own
+    * mechanism): `spark.readStream.table(t)` and
+    * `df.writeStream.format("graftlake").toTable(t)` have no DSv2
+    * bridge here (MicroBatchStream / StreamingWrite are row-level
+    * APIs, while this table's scan and commit paths are
+    * DataFrame-level), so both engines fall back to the battle-tested
+    * V1 [[graft.streaming.GraftSource]] / [[graft.streaming.GraftSink]]
+    * through this descriptor — provider + location are all either
+    * path needs. Reader OPTIONS don't survive Spark's own fallback
+    * resolution (it builds the v1 relation with empty options), so
+    * [[graft.plans.StreamingV1FallbackRule]] preempts it for reads.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    // UnresolvedCatalogRelation asserts a database-qualified
+    // identifier, and the streaming write plan RE-RESOLVES this
+    // identifier — without the catalog part it would look in the
+    // session catalog and miss; keep all three parts
+    val parts = tableName.split('.')
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      parts.last,
+      Some(if (parts.length >= 2) parts(parts.length - 2) else "default"),
+      if (parts.length >= 3) Some(parts(parts.length - 3)) else None)
+    CatalogTable(
+      identifier = ident,
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(path).toUri),
+        properties = Map("path" -> path)),
+      schema = schema(),
+      provider = Some("graftlake"))
+  }
 
   override def schema(): StructType =
     pinnedVersion.map(table.snapshotAt(_).schema)
@@ -56,7 +90,9 @@ final class GraftLakeTable(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   // --- read: V1Scan bridge into GraftRelation's pruning scan --------
 
@@ -107,17 +143,38 @@ final class GraftLakeTable(
 
   // --- write: V1 InsertableRelation bridge --------------------------
 
+  /** The full DataFrameWriterV2 / INSERT OVERWRITE surface on catalog
+    * names, each mode routed to the matching transactional commit:
+    * append → `append`; `.overwrite(lit(true))` / static INSERT
+    * OVERWRITE → full `overwrite`; `.overwrite(cond)` → L20
+    * `replaceWhere` (exact-only filter translation — untranslatable
+    * conditions refuse via `canOverwrite` rather than over-delete,
+    * same contract as DELETE). `.overwritePartitions()` / dynamic-mode
+    * INSERT OVERWRITE can't ride the V1 bridge (Spark demands real
+    * BATCH_WRITE there) — [[graft.plans.DynamicOverwriteRule]]
+    * rewrites that plan shape to the atomic L63 commit instead.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       "cannot write to a time-travelled table snapshot")
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite {
+      private var mode: DataFrame => Unit = df => { table.append(df); () }
+
+      override def truncate(): WriteBuilder = {
+        mode = df => { table.overwrite(df); () }; this
+      }
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        filters.forall(GraftFilters.translatesFully)
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        val cond = filters.flatMap(GraftFilters.toColumn)
+          .reduceOption(_ && _).getOrElse(lit(true))
+        mode = df => { table.replaceWhere(cond, df); () }; this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(df: DataFrame, ignored: Boolean): Unit =
-              if (overwrite) table.overwrite(df) else { table.append(df); () }
+              mode(df)
           }
       }
     }

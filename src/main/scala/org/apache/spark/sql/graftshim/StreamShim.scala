@@ -61,4 +61,12 @@ object StreamShim {
       ClassicDataset.ofRows(session, plan)
     }
   }
+
+  /** Incarnate an already-analyzed logical plan as a DataFrame —
+    * for injected commands that hold a resolved query (e.g. the
+    * dynamic-overwrite rewrite). `Dataset.ofRows` is private[sql].
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 }

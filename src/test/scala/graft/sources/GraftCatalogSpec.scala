@@ -301,6 +301,119 @@ class GraftCatalogSpec extends GraftSparkSpec {
     spark.sql("DROP TABLE graftc.default.bc_fact")
   }
 
+  test("streaming by catalog name: readStream.table with options, " +
+      "writeStream.toTable exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+
+    // --- read side: table as a stream, incremental by log version ---
+    spark.sql("CREATE TABLE graftc.default.st_src (k INT, v STRING) USING graftlake")
+    spark.sql("INSERT INTO graftc.default.st_src VALUES (1, 'a'), (2, 'b')")
+    val q1 = spark.readStream.table("graftc.default.st_src")
+      .writeStream.format("memory").queryName("cat_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    assert(spark.table("cat_stream_out").count() == 2)
+    // a later commit arrives incrementally on restart of the same sink
+    spark.sql("INSERT INTO graftc.default.st_src VALUES (3, 'c')")
+    val q2 = spark.readStream.table("graftc.default.st_src")
+      .writeStream.format("memory").queryName("cat_stream_out2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(spark.table("cat_stream_out2").count() == 3)
+
+    // --- reader OPTIONS must reach the V1 source (Spark's own V2->V1
+    // fallback drops them; the injected rule is what carries them):
+    // readChangeFeed changes the stream's schema itself
+    val cdf = spark.readStream
+      .option("readChangeFeed", "true")
+      .table("graftc.default.st_src")
+    assert(cdf.schema.fieldNames.contains("_change_type"),
+      s"readChangeFeed option must flow to the source, " +
+        s"got schema ${cdf.schema.simpleString}")
+    val q3 = cdf.writeStream.format("memory").queryName("cat_stream_cdf")
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    val changes = spark.table("cat_stream_cdf")
+    assert(changes.count() == 3 &&
+      changes.filter(col("_change_type") === "insert").count() == 3)
+
+    // --- write side: toTable on an EXISTING catalog table ---
+    spark.sql("CREATE TABLE graftc.default.st_dst (k INT, v STRING) USING graftlake")
+    val srcDir = tmpDir("cat-stream-src")
+    spark.range(10).selectExpr("cast(id as int) k", "cast(id as string) v")
+      .repartition(2).write.parquet(srcDir)
+    val q4 = spark.readStream.schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+      .writeStream.format("graftlake")
+      .option("checkpointLocation", tmpDir("cat-stream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .toTable("graftc.default.st_dst")
+    q4.awaitTermination(120000)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.st_dst")
+      .head().getLong(0) == 10)
+
+    // the streamed-into table is a normal graft table: maintenance
+    // SQL and batch reads see the same rows
+    assert(spark.sql("DESCRIBE HISTORY graftc.default.st_dst").count() >= 1)
+
+    Seq("st_src", "st_dst").foreach(t =>
+      spark.sql(s"DROP TABLE graftc.default.$t"))
+  }
+
+  test("DataFrameWriterV2 on catalog names: append, overwrite(cond) = " +
+      "replaceWhere, overwritePartitions = dynamic overwrite") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.sql("CREATE TABLE graftc.default.w2 (k INT, part STRING) " +
+      "USING graftlake PARTITIONED BY (part)")
+    def rows(): Map[String, Long] =
+      spark.sql("SELECT part, COUNT(*) AS n FROM graftc.default.w2 GROUP BY part")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    spark.range(4).selectExpr("cast(id as int) k", "'a' part")
+      .writeTo("graftc.default.w2").append()
+    spark.range(3).selectExpr("cast(id as int) k", "'b' part")
+      .writeTo("graftc.default.w2").append()
+    assert(rows() == Map("a" -> 4L, "b" -> 3L))
+
+    // overwrite by condition routes to L20 replaceWhere: only the
+    // matching slice is replaced, in one commit
+    spark.range(2).selectExpr("cast(id + 100 as int) k", "'a' part")
+      .writeTo("graftc.default.w2").overwrite(col("part") === "a")
+    assert(rows() == Map("a" -> 2L, "b" -> 3L))
+    assert(spark.sql("SELECT MIN(k) AS mn FROM graftc.default.w2 " +
+      "WHERE part = 'a'").head().getInt(0) == 100)
+    val hist = spark.sql("DESCRIBE HISTORY graftc.default.w2")
+    assert(hist.filter(col("operation") === "REPLACE WHERE").count() == 1)
+
+    // overwritePartitions: only partitions PRESENT in the new data
+    // are replaced (L63); untouched partitions survive
+    spark.range(1).selectExpr("cast(id + 200 as int) k", "'b' part")
+      .writeTo("graftc.default.w2").overwritePartitions()
+    assert(rows() == Map("a" -> 2L, "b" -> 1L))
+
+    // an untranslatable overwrite condition must refuse, never
+    // over-delete (same exact-only contract as DELETE FROM)
+    val before = rows()
+    intercept[Exception] {
+      spark.range(1).selectExpr("cast(id as int) k", "'a' part")
+        .writeTo("graftc.default.w2").overwrite(pmod(col("k"), lit(2)) === 0)
+    }
+    assert(rows() == before, "failed overwrite must leave the table untouched")
+
+    // SQL INSERT OVERWRITE in dynamic mode rides the same path
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql("INSERT OVERWRITE graftc.default.w2 VALUES (300, 'a')")
+      assert(rows() == Map("a" -> 1L, "b" -> 1L))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+
+    spark.sql("DROP TABLE graftc.default.w2")
+  }
+
   test("external LOCATION table keeps data on DROP; ALTER SET TBLPROPERTIES") {
     useCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
