@@ -40,6 +40,7 @@ object SparkEntry {
     "q58_mode" -> Analytics.q58Mode _,
     "q59_basket" -> Analytics.q59Basket _,
     "q60_basket_lift" -> Analytics.q60BasketLift _,
+    "q61_concurrency" -> Analytics.q61Concurrency _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -723,6 +724,21 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n, " +
         "ROUND(SUM(value),2) AS sum_value FROM events " +
         "GROUP BY 1,2 ORDER BY 1,2"),
+    // interval sweep: deltas pre-grouped BY INSTANT in both engines,
+    // so half-open [s, s+value) semantics and the running max agree
+    // exactly; FLOOR == Spark's cast-to-long truncation for the
+    // positive durations admitted by the filter
+    "q61_concurrency" ->
+      ("WITH iv AS (SELECT epoch_us(ts) AS s, epoch_us(ts) + " +
+        "CAST(FLOOR(value * 1000000) AS BIGINT) AS e FROM events WHERE value > 0), " +
+        "pts AS (SELECT t, CAST(SUM(d) AS BIGINT) AS d FROM " +
+        "(SELECT s AS t, 1 AS d FROM iv UNION ALL SELECT e AS t, -1 AS d FROM iv) u " +
+        "GROUP BY t), " +
+        "run AS (SELECT t, CAST(SUM(d) OVER (ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc FROM pts) " +
+        "SELECT (SELECT MAX(conc) FROM run) AS max_concurrent, " +
+        "(SELECT t FROM run WHERE conc = (SELECT MAX(conc) FROM run) " +
+        "ORDER BY t LIMIT 1) AS at_ts_us"),
     // association metrics: integer supports, one rounded lift ratio
     "q60_basket_lift" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +

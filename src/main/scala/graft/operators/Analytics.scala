@@ -1206,6 +1206,58 @@ object Analytics {
     * head / 3% tail), so k=24 compresses 19 keys and the threshold
     * splits head from tail.
     */
+  /** Interval-overlap sweep: the maximum number of SIMULTANEOUSLY
+    * open events (each event spans [ts, ts + value seconds)) and the
+    * earliest instant it is reached — the classic "max concurrent
+    * sessions" question, and the canonical case where the naive plan
+    * is a partition-less running sum over every boundary.
+    *
+    * Scale shape: boundary deltas (+1 at start, −1 at end) pre-
+    * aggregate BY INSTANT (map-side combine, one shuffle keyed on t —
+    * also what makes the half-open semantics exact: ends cancel
+    * starts at the same instant before any prefix is taken), then the
+    * running concurrency is the repo's two-phase exact cumsum
+    * (range-sort on t, one long per partition to the driver, offsets
+    * scanned back out) — the same discipline as [[Ranks]] and the
+    * token-budget cut, no `Window.orderBy` funneling the corpus
+    * through one reducer. The final reduce is |partitions| pairs on
+    * the driver.
+    */
+  def q61Concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .filter(col("value") > 0)
+      .select(unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          (col("value") * 1000000L).cast("long")).as("e"))
+    val deltas = e.select(col("s").as("t"), lit(1L).as("d"))
+      .unionAll(e.select(col("e").as("t"), lit(-1L).as("d")))
+      .groupBy("t").agg(sum("d").as("d"))
+    val sorted = deltas.repartitionByRange(32, col("t"))
+      .sortWithinPartitions("t")
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.map(_.getLong(1)).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val best = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      var mx = Long.MinValue
+      var at = 0L
+      it.foreach { r =>
+        acc += r.getLong(1)
+        if (acc > mx) { mx = acc; at = r.getLong(0) }
+      }
+      if (mx == Long.MinValue) Iterator.empty else Iterator((mx, at))
+    }.collect()
+    rdd.unpersist()
+    // range partitions are t-ordered, so among partitions tying on
+    // the global max the lowest index holds the earliest instant
+    val (mx, at) = best.sortBy { case (m, a) => (-m, a) }.head
+    import spark.implicits._
+    Seq((mx, at)).toDF("max_concurrent", "at_ts_us")
+  }
+
   def q54HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlShims
     val K = 24

@@ -93,6 +93,13 @@ class ScaleSpec extends GraftSparkSpec {
         "pipe_shuffle" -> Pipeline.pipeShuffle(spark, sfDir)))
       assert(!df.queryExecution.executedPlan.toString.contains("Window"),
         s"$name must not reintroduce a partition-less global window")
+    // interval sweep: the running concurrency must stay on the
+    // two-phase cumsum — a Window node would be the single-reducer
+    // global prefix sum coming back
+    val cc = Analytics.q61Concurrency(spark, sfDir)
+    assert(!cc.queryExecution.executedPlan.toString.contains("Window"),
+      "q61_concurrency must not reintroduce a global window")
+    assert(cc.count() == 1)
     // de-hinted TPC-H dims: no forced broadcast on SF-scaled sides —
     // the plan must not carry a user hint on customer/part/supplier
     // (AQE may still choose broadcast at runtime from actual sizes)
