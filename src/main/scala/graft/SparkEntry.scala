@@ -123,6 +123,7 @@ object SparkEntry {
     "sim_knn_join" -> Similarity.simKnnJoin _,
     "sim_filtered_ivf" -> Similarity.simFilteredIvf _,
     "sim_pagerank" -> Similarity.simPagerank _,
+    "sim_triangles" -> Similarity.simTriangles _,
     "sim_sq_topk" -> Similarity.simSqTopk _,
     "sim_sq_materialized" -> Similarity.simSqMaterialized _,
     "sim_range" -> Similarity.simRange _,
@@ -488,6 +489,30 @@ object SparkEntry {
       iter("r0", "r1") + ", " + iter("r1", "r2") + ", " + iter("r2", "r3") +
       " SELECT id AS vec_id, r AS pr FROM r3 ORDER BY vec_id"
   }
+
+  /** Triangle replay over the KNN edges: canonical pairs, degree-
+    * ordered orientation, wedge join + canonical-pair closure —
+    * op-for-op with [[graft.operators.Similarity.simTriangles]].
+    */
+  private def simTrianglesSql: String =
+    s"WITH $knnCtes, " +
+      "edges AS (SELECT id_a, id_b FROM knnr WHERE rn <= 3), " +
+      "und AS (SELECT DISTINCT LEAST(id_a, id_b) AS u, " +
+      "GREATEST(id_a, id_b) AS v FROM edges), " +
+      "deg AS (SELECT id, COUNT(*) AS d FROM (SELECT u AS id FROM und " +
+      "UNION ALL SELECT v FROM und) GROUP BY id), " +
+      "orient AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) " +
+      "THEN u ELSE v END AS s, CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) " +
+      "THEN v ELSE u END AS t FROM und " +
+      "JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v), " +
+      "wedges AS (SELECT a.s AS s, a.t AS y1, b.t AS y2 FROM orient a " +
+      "JOIN orient b ON a.s = b.s AND a.t < b.t), " +
+      "tri AS (SELECT s AS x, y1, y2 FROM wedges JOIN und " +
+      "ON und.u = LEAST(y1, y2) AND und.v = GREATEST(y1, y2)) " +
+      "SELECT id AS vec_id, COUNT(*) AS n_tri FROM " +
+      "(SELECT x AS id FROM tri UNION ALL SELECT y1 FROM tri " +
+      "UNION ALL SELECT y2 FROM tri) GROUP BY id " +
+      "ORDER BY n_tri DESC, vec_id LIMIT 20"
 
   /** [[simIvfSql]] with a corpus-side label pre-filter on the
     * candidate rows — the index-backed "vector search with a WHERE
@@ -1339,6 +1364,7 @@ object SparkEntry {
     "sim_knn_join" -> simKnnJoinSql,
     "sim_filtered_ivf" -> simFilteredIvfSql,
     "sim_pagerank" -> simPagerankSql,
+    "sim_triangles" -> simTrianglesSql,
     "sim_sq_topk" -> simSqSql,
     // the materialized-codes path shares the session chain's scales
     // and code arithmetic, so it shares the full replay oracle

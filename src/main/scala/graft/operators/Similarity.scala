@@ -533,6 +533,51 @@ object Similarity {
     r.select(col("id").as("vec_id"), col("r").as("pr")).orderBy("vec_id")
   }
 
+  /** Triangle participation over the [[simKnnJoin]] similarity graph
+    * — the local-clustering primitive of graph-based corpus curation
+    * (a document in many triangles sits in a tight semantic cluster;
+    * a triangle-free one is an outlier or a bridge).
+    *
+    * Scale shape: the classic degree-ordered orientation — symmetrize
+    * to canonical u<v pairs, orient every edge from the (degree, id)-
+    * smaller endpoint to the larger, so the graph becomes a DAG whose
+    * max out-degree is O(√m); wedges join oriented edges on their
+    * shared source (fan-out bounded by that √m, never a hub's raw
+    * degree) and close against the canonical pair set with one hash
+    * equi-join. Each triangle surfaces exactly once, at its
+    * order-minimum apex. All joins key-partitioned; nothing touches
+    * the driver.
+    */
+  def simTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = settledKnn(spark, dir, forceBuild = false)
+      .select(col("id_a"), col("id_b"))
+    val und = edges.select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v")).distinct()
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val orient = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"))
+    val wedges = orient.select(col("s"), col("t").as("y1"))
+      .join(orient.select(col("s"), col("t").as("y2")), "s")
+      .filter(col("y1") < col("y2"))
+    val tri = wedges.join(und,
+        least(col("y1"), col("y2")) === col("u") &&
+          greatest(col("y1"), col("y2")) === col("v"))
+      .select(col("s").as("x"), col("y1"), col("y2"))
+    tri.select(col("x").as("id"))
+      .unionAll(tri.select(col("y1").as("id")))
+      .unionAll(tri.select(col("y2").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      .select(col("id").as("vec_id"), col("n_tri"))
+      .orderBy(col("n_tri").desc, col("vec_id")).limit(20)
+  }
+
   /** [[simIvf]] over assignments MATERIALIZED at OPTIMIZE time: the
     * embeddings live in a GraftTable whose `graft.ivf.index` property
     * makes OPTIMIZE persist the strided-medoid centroids AND every
