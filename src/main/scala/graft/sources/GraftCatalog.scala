@@ -169,6 +169,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         t.renameColumn(rn.fieldNames()(0), rn.newName)
       case del: TableChange.DeleteColumn if del.fieldNames.length == 1 =>
         t.dropColumn(del.fieldNames()(0))
+      case up: TableChange.UpdateColumnType if up.fieldNames.length == 1 =>
+        // L61 metadata-only type widening; non-widening changes refuse
+        // inside alterColumnType
+        t.alterColumnType(up.fieldNames()(0), up.newDataType)
+      case rm: TableChange.RemoveProperty =>
+        t.commitRemoveProperty(rm.property)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER for graftlake: $other")
     }

@@ -414,6 +414,48 @@ class GraftCatalogSpec extends GraftSparkSpec {
     spark.sql("DROP TABLE graftc.default.w2")
   }
 
+  test("ALTER TABLE column surface on catalog names: add, rename, drop, " +
+      "widen type, unset property") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.sql("CREATE TABLE graftc.default.alt (k INT, v STRING) USING graftlake")
+    spark.sql("INSERT INTO graftc.default.alt VALUES (1, 'a'), (2, 'b')")
+
+    spark.sql("ALTER TABLE graftc.default.alt ADD COLUMN extra DOUBLE")
+    assert(spark.table("graftc.default.alt").schema.fieldNames.toSeq ==
+      Seq("k", "v", "extra"))
+    // existing rows read the new column as null, no rewrite
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.alt " +
+      "WHERE extra IS NULL").head().getLong(0) == 2)
+
+    spark.sql("ALTER TABLE graftc.default.alt RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM graftc.default.alt ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+
+    // L61 metadata-only widening: INT -> BIGINT, old files decode
+    spark.sql("ALTER TABLE graftc.default.alt ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table("graftc.default.alt").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT SUM(k) AS s FROM graftc.default.alt")
+      .head().getLong(0) == 3L)
+    // a NARROWING change must refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftc.default.alt ALTER COLUMN k TYPE INT")
+    }
+
+    spark.sql("ALTER TABLE graftc.default.alt DROP COLUMN extra")
+    assert(spark.table("graftc.default.alt").schema.fieldNames.toSeq ==
+      Seq("k", "label"))
+
+    spark.sql("ALTER TABLE graftc.default.alt SET TBLPROPERTIES ('x' = '1')")
+    spark.sql("ALTER TABLE graftc.default.alt UNSET TBLPROPERTIES ('x')")
+    val props = spark.sql("SHOW TBLPROPERTIES graftc.default.alt")
+      .collect().map(_.getString(0))
+    assert(!props.contains("x"))
+
+    spark.sql("DROP TABLE graftc.default.alt")
+  }
+
   test("external LOCATION table keeps data on DROP; ALTER SET TBLPROPERTIES") {
     useCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
