@@ -32,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * tables (`LOCATION '…'`) are recorded as a one-line pointer file so
   * the namespace listing stays a directory walk.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -126,13 +127,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // Time-based partition TRANSFORMS (`PARTITIONED BY (days(ts))`)
+    // map onto L54 generated columns — the Delta move: the table
+    // physically partitions on a derived column whose generation
+    // expression is one of the MONOTONE shapes Pruning.deriveGenerated
+    // understands, so a query filtering only the raw source column
+    // still prunes partitions (`ts >= L` ⇒ `ts_day >= CAST(L AS
+    // DATE)`). Writers never compute the key by hand: the generated
+    // column fills on every append.
+    val genCols = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, org.apache.spark.sql.types.DataType)]
     val partitionBy = partitions.toSeq.map { t =>
       // stable Java API (the Scala case classes are private[sql]):
-      // identity transforms carry exactly one column reference
-      if (t.name == "identity" && t.references.length == 1)
-        t.references()(0).fieldNames.mkString(".")
-      else throw new UnsupportedOperationException(
-        s"graftlake supports identity partitioning only, got ${t.describe}")
+      // each supported transform carries exactly one column reference
+      val ref =
+        if (t.references.length == 1 && t.references()(0).fieldNames.length == 1)
+          t.references()(0).fieldNames()(0)
+        else null
+      def derived(suffix: String, sql: String,
+          dt: org.apache.spark.sql.types.DataType): String = {
+        val c = s"${ref}_$suffix"
+        genCols(c) = (sql, dt)
+        c
+      }
+      t.name match {
+        case "identity" if ref != null => ref
+        case "days" if ref != null =>
+          derived("day", s"CAST($ref AS DATE)",
+            org.apache.spark.sql.types.DateType)
+        case "years" if ref != null =>
+          derived("year", s"year($ref)",
+            org.apache.spark.sql.types.IntegerType)
+        case "months" if ref != null =>
+          derived("month", s"date_trunc('MONTH', $ref)",
+            org.apache.spark.sql.types.TimestampType)
+        case "hours" if ref != null =>
+          derived("hour", s"date_trunc('HOUR', $ref)",
+            org.apache.spark.sql.types.TimestampType)
+        case _ => throw new UnsupportedOperationException(
+          s"graftlake supports identity and years/months/days/hours " +
+            s"partitioning, got ${t.describe}")
+      }
     }
     val props = properties.asScala.toMap
     val external = props.get(TableCatalog.PROP_LOCATION)
@@ -145,15 +180,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE,
       TableCatalog.PROP_COMMENT)
-    val tableProps = props.filterNot { case (k, _) => reserved.contains(k) }
+    val tableProps = props.filterNot { case (k, _) => reserved.contains(k) } ++
+      genCols.map { case (c, (sql, _)) => s"graft.generated.$c" -> sql }
+    val fullSchema = genCols.foldLeft(schema) { case (sc, (c, (_, dt))) =>
+      if (sc.fieldNames.contains(c)) sc else sc.add(c, dt, nullable = true)
+    }
     val empty = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), fullSchema)
     GraftTable.create(spark, dir, empty, partitionBy, tableProps)
     external.foreach { loc =>
       Files.write(pointerFile(ident),
         loc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     new GraftLakeTable(spark, dir, fullName(ident))
+  }
+
+  // --- CTAS / RTAS via staging ---------------------------------------
+  // The staged table REPORTS the query's schema while the underlying
+  // table may carry MORE columns (time-transform partitioning adds a
+  // generated partition column) — Spark's write-arity check compares
+  // against the staged schema, and the write itself flows through the
+  // real table whose layer fills the generated column. Creation is
+  // eager (a filesystem catalog has no two-phase commit); abort drops
+  // the table — the same cleanup contract as the non-staging exec.
+
+  private def stagedFor(requested: StructType, ident: Identifier,
+      t: Table): StagedTable =
+    new StagedTable with SupportsRead with SupportsWrite {
+      private val gt = t.asInstanceOf[GraftLakeTable]
+      override def name(): String = gt.name()
+      override def schema(): StructType = requested
+      override def partitioning(): Array[Transform] = gt.partitioning()
+      override def properties(): util.Map[String, String] = gt.properties()
+      override def capabilities(): util.Set[TableCapability] = gt.capabilities()
+      override def newScanBuilder(o: CaseInsensitiveStringMap) =
+        gt.newScanBuilder(o)
+      override def newWriteBuilder(i: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
+        gt.newWriteBuilder(i)
+      override def commitStagedChanges(): Unit = ()
+      override def abortStagedChanges(): Unit = { dropTable(ident); () }
+    }
+
+  private def columnsToSchema(columns: Array[Column]): StructType =
+    columns.foldLeft(new StructType()) { (sc, c) =>
+      sc.add(c.name, c.dataType, c.nullable)
+    }
+
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val schema = columnsToSchema(columns)
+    stagedFor(schema, ident, createTable(ident, schema, partitions, properties))
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    dropTable(ident)
+    val schema = columnsToSchema(columns)
+    stagedFor(schema, ident, createTable(ident, schema, partitions, properties))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) dropTable(ident)
+    val schema = columnsToSchema(columns)
+    stagedFor(schema, ident, createTable(ident, schema, partitions, properties))
   }
 
   override def alterTable(ident: Identifier,

@@ -174,8 +174,35 @@ final class GraftLakeTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(df: DataFrame, ignored: Boolean): Unit =
-              mode(df)
+              mode(fillGenerated(df))
           }
+      }
+    }
+  }
+
+  /** V2 INSERT materializes omitted columns as NULL (there is no
+    * "absent column" in `INSERT INTO t (a, b) VALUES ...` — Spark
+    * pads), which would defeat the table layer's fill-when-absent
+    * generated columns AND silently break derived partition pruning
+    * if a writer supplied a wrong explicit value. So the bridge
+    * enforces Delta's write-time invariant per generated column that
+    * arrives in the frame: explicit non-NULL values must EQUAL the
+    * generation expression (one count over the incoming frame — only
+    * paid when the column is present), NULL slots fill from it.
+    */
+  private def fillGenerated(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr}
+    val gens = table.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.") -> v }
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      if (!d.columns.contains(c)) d
+      else {
+        val gen = expr(e).cast(d.schema(c).dataType)
+        val bad = d.filter(col(c).isNotNull && !(col(c) <=> gen)).count()
+        require(bad == 0, s"generated column $c: $bad incoming rows " +
+          s"contradict its generation expression ($e)")
+        d.withColumn(c, coalesce(col(c), gen))
       }
     }
   }

@@ -147,6 +147,63 @@ class GraftCatalogSpec extends GraftSparkSpec {
     spark.sql("DROP TABLE graftc.default.by_country")
   }
 
+  test("time-based partition transforms map to generated columns: " +
+      "days(ts) partitions, fills on write, prunes on the source column") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.sql("CREATE TABLE graftc.default.pt (event_id BIGINT, ts TIMESTAMP) " +
+      "USING graftlake PARTITIONED BY (days(ts))")
+
+    // schema gained the derived column; the table partitions on it
+    assert(spark.table("graftc.default.pt").schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "ts_day"))
+    assert(spark.sql("DESCRIBE DETAIL graftc.default.pt").head()
+      .getAs[String]("partitionColumns") == "ts_day")
+
+    // INSERT INTO with a column list: Spark pads ts_day with NULL —
+    // the bridge must fill it from the generation expression
+    spark.sql("INSERT INTO graftc.default.pt (event_id, ts) VALUES " +
+      "(1, TIMESTAMP'2024-03-01 10:00:00'), " +
+      "(2, TIMESTAMP'2024-03-01 23:59:00'), " +
+      "(3, TIMESTAMP'2024-03-02 00:30:00')")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.pt " +
+      "WHERE ts_day = DATE'2024-03-01'").head().getLong(0) == 2)
+    // physical layout is date-partitioned
+    val dir = java.nio.file.Paths.get(tmpWarehouse, "default", "pt")
+    assert(java.nio.file.Files.exists(dir.resolve("ts_day=2024-03-01")) &&
+      java.nio.file.Files.exists(dir.resolve("ts_day=2024-03-02")))
+
+    // a contradictory EXPLICIT partition value must refuse (it would
+    // silently break derived pruning)
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftc.default.pt VALUES " +
+        "(4, TIMESTAMP'2024-03-03 08:00:00', DATE'2024-01-01')")
+    }
+
+    // derived pruning: a predicate on the RAW timestamp prunes date
+    // partitions via the monotone generation expression
+    val warehouseT = graft.lake.GraftTable.forPath(spark, dir.toString)
+    val snap = warehouseT.snapshot
+    val gens = snap.metadata.map(_.properties).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.") -> v }
+    val pruned = graft.lake.Pruning.prune(snap.activeFiles, snap.schema,
+      snap.partitionColumns,
+      col("ts") >= lit("2024-03-02 00:00:00").cast("timestamp"), gens)
+    assert(pruned.forall(_.path.contains("ts_day=2024-03-02")) &&
+      pruned.nonEmpty,
+      s"ts predicate must prune to the 03-02 partition, kept: " +
+        pruned.map(_.path).mkString(", "))
+
+    // CTAS with a transform: generated column computed for the data
+    spark.sql("CREATE TABLE graftc.default.pt2 USING graftlake " +
+      "PARTITIONED BY (days(ts)) AS SELECT event_id, ts FROM graftc.default.pt")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.pt2 " +
+      "WHERE ts_day = DATE'2024-03-02'").head().getLong(0) == 1)
+
+    Seq("pt", "pt2").foreach(t => spark.sql(s"DROP TABLE graftc.default.$t"))
+  }
+
   test("ANALYZE intercepts only graft-resolvable names; graft-only verbs always") {
     useCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
