@@ -97,6 +97,7 @@ object SparkEntry {
     "text_vocab" -> TextOps.textVocab _,
     "text_tfidf" -> TextOps.textTfidf _,
     "text_winnow" -> TextOps.textWinnow _,
+    "text_chunk" -> TextOps.textChunk _,
     "text_search" -> TextOps.textSearch _,
     "text_langid_eval" -> TextOps.textLangidEval _,
     "text_phrase" -> TextOps.textPhraseSearch _,
@@ -1491,6 +1492,17 @@ object SparkEntry {
         "SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_adj FROM a " +
         "JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 " +
         "GROUP BY a.doc_id ORDER BY a.doc_id"),
+    // context-window chunking: starts every 48 tokens, 64-token
+    // windows, tail truncated — 1-based slice semantics match Spark's
+    "text_chunk" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t), " +
+        "s AS (SELECT doc_id, toks, n, UNNEST(range(0, n, 48)) AS start FROM c) " +
+        "SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_seq, " +
+        "CAST(LEAST(64, n - start) AS BIGINT) AS n_tokens, " +
+        "array_to_string(toks[CAST(start + 1 AS BIGINT):CAST(start + 64 AS BIGINT)], ' ') AS chunk_text " +
+        "FROM s ORDER BY doc_id, chunk_seq"),
     // plain DISTINCT (selected positions are non-decreasing).
     "text_winnow" ->
       ("WITH docs AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +

@@ -382,6 +382,34 @@ object TextOps {
     * depends on the last merge), so correctness is spec-anchored to
     * an in-test reference implementation rather than a SQL oracle.
     */
+  /** Context-window chunking with overlap — the "fit documents into a
+    * model's sequence length" primitive every pretraining/RAG pipeline
+    * runs before packing: each document splits into 64-token windows
+    * starting every 48 tokens (16-token overlap), the tail window
+    * truncated, empty docs dropped.
+    *
+    * Scale shape: a pure per-row explode — chunk starts come from
+    * `sequence(0, n-1, step)` over the doc's own token count, no
+    * shuffle, no state; output rows ≈ corpus tokens ÷ step, each
+    * carrying its slice. Codegen'd end to end.
+    */
+  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    val win = 64L
+    val step = 48L
+    Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(step))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / step).cast("long").as("chunk_seq"),
+        least(lit(win), col("n") - col("start")).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"),
+          (col("start") + 1).cast("int"), lit(win.toInt))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_seq")
+  }
+
   def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val words = Tables(spark, dir, "documents")
