@@ -43,7 +43,7 @@ object Pruning {
                               conjuncts: Seq[Expression]): Seq[Expression] = {
     if (generated.isEmpty) return Nil
     generated.toSeq.flatMap { case (gcol, sql) =>
-      genMapping(sql).toSeq.flatMap { case (src, g) =>
+      genMapping(sql).toSeq.flatMap { case (src, g, monotone) =>
         def gLit(e: Expression): Option[Literal] =
           litValue(e).flatMap { case (v, t) => g(v, t) }
             .map { case (gv, gt) => Literal(gv, gt) }
@@ -53,6 +53,13 @@ object Pruning {
             gLit(r).map(EqualTo(ga, _))
           case EqualTo(l, r) if attrName(r).contains(src) =>
             gLit(l).map(EqualTo(ga, _))
+          case In(a, list) if attrName(a).contains(src) && list.forall(_.foldable) =>
+            val mapped = list.map(gLit)
+            if (mapped.forall(_.isDefined)) Some(In(ga, mapped.flatten.distinct))
+            else None
+          // range shapes are sound ONLY for monotone generation
+          // expressions — a hash-bucket mapping must never derive them
+          case _ if !monotone => None
           case GreaterThan(l, r) if attrName(l).contains(src) =>
             gLit(r).map(GreaterThanOrEqual(ga, _)) // step fn: non-strict
           case GreaterThanOrEqual(l, r) if attrName(l).contains(src) =>
@@ -69,10 +76,6 @@ object Pruning {
             gLit(l).map(GreaterThanOrEqual(ga, _))
           case LessThanOrEqual(l, r) if attrName(r).contains(src) =>
             gLit(l).map(GreaterThanOrEqual(ga, _))
-          case In(a, list) if attrName(a).contains(src) && list.forall(_.foldable) =>
-            val mapped = list.map(gLit)
-            if (mapped.forall(_.isDefined)) Some(In(ga, mapped.flatten.distinct))
-            else None
           case _ => None
         }
       }
@@ -87,42 +90,56 @@ object Pruning {
     * partition value.
     */
   private def genMapping(sql: String)
-      : Option[(String, (Any, DataType) => Option[(Any, DataType)])] = Try {
+      : Option[(String, (Any, DataType) => Option[(Any, DataType)], Boolean)] = Try {
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
   }.toOption.flatMap {
     case c: Cast if c.dataType == DateType =>
-      attrName(c.child).map(_ -> castMapper(DateType))
+      attrName(c.child).map((_, castMapper(DateType), true))
     case f: UnresolvedFunction =>
       val args = f.arguments
       (f.nameParts.last.toLowerCase, args) match {
         case ("to_date", Seq(a)) =>
-          attrName(a).map(_ -> castMapper(DateType))
+          attrName(a).map((_, castMapper(DateType), true))
         case ("date_trunc", Seq(u, a)) if litValue(u).isDefined =>
           val unit = litValue(u).get._1
-          attrName(a).map(_ -> { (v: Any, t: DataType) =>
+          attrName(a).map((_, { (v: Any, t: DataType) =>
             Try {
               val ts = Cast(Literal(v, t), TimestampType).withTimeZone(sessionTz)
               val e = TruncTimestamp(Literal(unit, StringType), ts, Some(sessionTz))
               (e.eval(), TimestampType)
             }.toOption.filter(_._1 != null)
-          })
+          }, true))
         case ("year", Seq(a)) =>
-          attrName(a).map(_ -> { (v: Any, t: DataType) =>
+          attrName(a).map((_, { (v: Any, t: DataType) =>
             Try {
               val d = Cast(Literal(v, t), DateType).withTimeZone(sessionTz)
               (Year(d).eval(), IntegerType)
             }.toOption.filter(_._1 != null)
-          })
+          }, true))
         case ("substring" | "substr", Seq(a, p, n))
             if litValue(p).exists(_._1 == 1) && litValue(n).isDefined =>
-          attrName(a).map(_ -> { (v: Any, t: DataType) =>
+          attrName(a).map((_, { (v: Any, t: DataType) =>
             if (t != StringType) None
             else Try {
               (Substring(Literal(v, t), Literal(1), Literal(
                 litValue(n).get._1.asInstanceOf[Number].intValue())).eval(),
                 StringType)
             }.toOption.filter(_._1 != null)
-          })
+          }, true))
+        // hash buckets: `pmod(hash(src), n)` — NOT monotone, so only
+        // equality/IN predicates derive (a point lookup on the raw
+        // key prunes to one bucket); the eval replays the exact
+        // Murmur3(seed 42) + pmod arithmetic the write path ran
+        case ("pmod", Seq(h: UnresolvedFunction, nl))
+            if h.nameParts.last.equalsIgnoreCase("hash") &&
+              h.arguments.length == 1 && litValue(nl).isDefined =>
+          val n = litValue(nl).get._1.asInstanceOf[Number].intValue()
+          attrName(h.arguments.head).map((_, { (v: Any, t: DataType) =>
+            Try {
+              (Pmod(new Murmur3Hash(Seq(Literal(v, t))),
+                Literal(n)).eval(), IntegerType)
+            }.toOption.filter(_._1 != null)
+          }, false))
         case _ => None
       }
     case _ => None

@@ -164,9 +164,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "hours" if ref != null =>
           derived("hour", s"date_trunc('HOUR', $ref)",
             org.apache.spark.sql.types.TimestampType)
+        case "bucket" if ref != null =>
+          // hash buckets: point lookups on the raw key prune to ONE
+          // bucket via the equality-only derivation in Pruning
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value.asInstanceOf[Number].intValue()
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"bucket transform needs a bucket count: ${t.describe}"))
+          derived("bucket", s"pmod(hash($ref), $n)",
+            org.apache.spark.sql.types.IntegerType)
         case _ => throw new UnsupportedOperationException(
-          s"graftlake supports identity and years/months/days/hours " +
-            s"partitioning, got ${t.describe}")
+          s"graftlake supports identity, years/months/days/hours, and " +
+            s"bucket partitioning, got ${t.describe}")
       }
     }
     val props = properties.asScala.toMap

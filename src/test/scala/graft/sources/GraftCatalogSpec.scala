@@ -201,7 +201,40 @@ class GraftCatalogSpec extends GraftSparkSpec {
     assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.pt2 " +
       "WHERE ts_day = DATE'2024-03-02'").head().getLong(0) == 1)
 
-    Seq("pt", "pt2").foreach(t => spark.sql(s"DROP TABLE graftc.default.$t"))
+    // bucket transform: writes spread across pmod(hash(k), n) dirs,
+    // and a POINT LOOKUP on the raw key prunes to exactly one bucket
+    // (equality-only derivation — range predicates must derive
+    // nothing from a hash)
+    spark.sql("CREATE TABLE graftc.default.pb (k BIGINT, v STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO graftc.default.pb (k, v) SELECT id, " +
+      "CAST(id AS STRING) FROM range(200)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.pb " +
+      "WHERE k = 42").head().getLong(0) == 1)
+    val bDir = java.nio.file.Paths.get(tmpWarehouse, "default", "pb")
+    val bt = graft.lake.GraftTable.forPath(spark, bDir.toString)
+    val bSnap = bt.snapshot
+    val bGens = bSnap.metadata.map(_.properties).getOrElse(Map.empty)
+      .collect { case (key, value) if key.startsWith("graft.generated.") =>
+        key.stripPrefix("graft.generated.") -> value }
+    val allBuckets = bSnap.activeFiles
+      .flatMap(_.partitionValues.get("k_bucket")).distinct
+    assert(allBuckets.size > 1, "200 keys must span multiple buckets")
+    val point = graft.lake.Pruning.prune(bSnap.activeFiles, bSnap.schema,
+      bSnap.partitionColumns, col("k") === 42L, bGens)
+    assert(point.flatMap(_.partitionValues.get("k_bucket")).distinct.size == 1,
+      "k = 42 must prune to a single bucket")
+    // sanity: the surviving bucket actually holds the row
+    assert(point.nonEmpty)
+    // footer stats may still skip low-k files, but the survivors must
+    // span MANY buckets — a hash-derived range bound would be unsound
+    val ranged = graft.lake.Pruning.prune(bSnap.activeFiles, bSnap.schema,
+      bSnap.partitionColumns, col("k") >= 42L, bGens)
+    assert(ranged.flatMap(_.partitionValues.get("k_bucket")).distinct.size ==
+      allBuckets.size,
+      "a range predicate must not derive hash-bucket bounds")
+
+    Seq("pt", "pt2", "pb").foreach(t => spark.sql(s"DROP TABLE graftc.default.$t"))
   }
 
   test("ANALYZE intercepts only graft-resolvable names; graft-only verbs always") {
