@@ -235,26 +235,7 @@ final class GraftSql(spark: SparkSession) {
         val h = Option(hours).map(_.toDouble).getOrElse(7 * 24.0)
         table(name).vacuum(h, dryRun = false)
       case historyRe(name) => table(name).history
-      case detailRe(name) =>
-        val s = table(name).snapshot
-        val props = s.metadata.map(_.properties).getOrElse(Map.empty)
-        // live materialized index artifacts: "kind(column)" per
-        // current sidecar pointer, sorted for a stable rendering
-        val indexes = props.keys.toSeq.collect {
-          case k if k.endsWith(".sidecar") &&
-              k.split("\\.").length == 4 && k.startsWith("graft.") =>
-            val parts = k.split("\\.")
-            s"${parts(1)}(${parts(2)})"
-        }.sorted.mkString(",")
-        Seq((table(name).path, s.version, s.numFiles, s.sizeInBytes,
-          s.partitionColumns.mkString(","), s.numRecords,
-          props.getOrElse("graft.clusterBy", ""),
-          // exact "true" check — the same predicate the engine's
-          // rowTrackingOn uses; .toBoolean would crash on junk values
-          props.get("graft.rowTracking").contains("true"), indexes))
-          .toDF("location", "version", "numFiles", "sizeInBytes",
-            "partitionColumns", "numRecords", "clusteringColumns",
-            "rowTracking", "indexes")
+      case detailRe(name) => table(name).detailDF
       case extendedRe(name) =>
         // schema rows followed by table properties (reference 02-lab:
         // 128-136 checks the VORDER property here)
@@ -537,26 +518,7 @@ final class GraftSql(spark: SparkSession) {
       case showPropsRe(name) =>
         table(name).snapshot.metadata.toSeq
           .flatMap(_.properties.toSeq).sorted.toDF("key", "value")
-      case showPartitionsRe(name) =>
-        // partition inventory from log metadata only (the file list the
-        // snapshot already holds) — no data files are opened, same as
-        // Delta's SHOW PARTITIONS
-        val s = table(name).snapshot
-        val cols = s.partitionColumns
-        require(cols.nonEmpty, s"table $name is not partitioned")
-        val rows = s.activeFiles
-          .map(f => cols.map(c => f.partitionValues.getOrElse(c, "")))
-          .groupBy(identity).toSeq
-          .map { case (vals, fs) =>
-            org.apache.spark.sql.Row.fromSeq(vals :+ fs.size.toLong) }
-          .sortBy(_.mkString("/"))
-        val schema = org.apache.spark.sql.types.StructType(
-          cols.map(c => org.apache.spark.sql.types.StructField(c,
-            org.apache.spark.sql.types.StringType)) :+
-            org.apache.spark.sql.types.StructField("num_files",
-              org.apache.spark.sql.types.LongType))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), schema)
+      case showPartitionsRe(name) => table(name).partitionsDF
       case deleteRe(name, cond) =>
         // no WHERE = whole-table delete (Delta parity)
         val c = Option(cond).map(expr).getOrElse(lit(true))

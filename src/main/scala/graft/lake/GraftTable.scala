@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** GraftLake table: ACID-ish table format on Parquet with a JSON
   * transaction log — the full maintenance surface the reference
@@ -3969,6 +3969,67 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         }
     }.toDF("version", "timestamp", "operation", "parameters", "metrics")
       .orderBy(col("version").desc)
+  }
+
+  /** DESCRIBE DETAIL equivalent (reference 02-lab §F) — one row of
+    * table-level metadata straight from the snapshot; no data files
+    * are opened. Also serves the `t.detail` metadata table.
+    */
+  def detailDF: DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    // live materialized index artifacts: "kind(column)" per current
+    // sidecar pointer, sorted for a stable rendering
+    val indexes = props.keys.toSeq.collect {
+      case k if k.endsWith(".sidecar") &&
+          k.split("\\.").length == 4 && k.startsWith("graft.") =>
+        val parts = k.split("\\.")
+        s"${parts(1)}(${parts(2)})"
+    }.sorted.mkString(",")
+    Seq((path, s.version, s.numFiles, s.sizeInBytes,
+      s.partitionColumns.mkString(","), s.numRecords,
+      props.getOrElse("graft.clusterBy", ""),
+      // exact "true" check — the same predicate the engine's
+      // rowTrackingOn uses; .toBoolean would crash on junk values
+      props.get("graft.rowTracking").contains("true"), indexes))
+      .toDF("location", "version", "numFiles", "sizeInBytes",
+        "partitionColumns", "numRecords", "clusteringColumns",
+        "rowTracking", "indexes")
+  }
+
+  /** SHOW PARTITIONS equivalent: partition inventory from log metadata
+    * only (the file list the snapshot already holds) — no data files
+    * are opened, same as Delta's SHOW PARTITIONS. Also serves the
+    * `t.partitions` metadata table.
+    */
+  def partitionsDF: DataFrame = {
+    val s = snapshot
+    val cols = s.partitionColumns
+    require(cols.nonEmpty, s"table at $path is not partitioned")
+    val rows = s.activeFiles
+      .map(f => cols.map(c => f.partitionValues.getOrElse(c, "")))
+      .groupBy(identity).toSeq
+      .map { case (vals, fs) => Row.fromSeq(vals :+ fs.size.toLong) }
+      .sortBy(_.mkString("/"))
+    val schema = StructType(
+      cols.map(c => StructField(c, StringType)) :+
+        StructField("num_files", LongType))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Active-file inventory (Iceberg `t.files` parity): one row per
+    * live file with its partition values and footer stats, straight
+    * from log metadata — no data files are opened. Rows are bounded by
+    * the snapshot's file count (metadata-sized, never data-sized).
+    */
+  def filesDF: DataFrame = {
+    import spark.implicits._
+    snapshot.activeFiles.map { f =>
+      (f.path, f.partitionValues, f.size, f.modificationTime,
+        f.stats.map(_.numRecords), f.baseRowId)
+    }.toDF("path", "partition_values", "size_bytes", "modification_time",
+      "num_records", "base_row_id").orderBy("path")
   }
 
   /** Raise the table's protocol floor (Delta `upgradeTableProtocol`):

@@ -84,8 +84,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table =
     tablePath(ident) match {
       case Some(p) => new GraftLakeTable(spark, p, fullName(ident))
-      case None => throw new NoSuchTableException(ident)
+      case None =>
+        metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
     }
+
+  /** Iceberg-style metadata tables: `cat.ns.t.history` arrives as
+    * Identifier(namespace = [ns, t], name = history). Tried only
+    * after the real-table lookup misses, so a genuine table named
+    * `history` always shadows the metadata surface.
+    */
+  private val metadataKinds = Set("history", "files", "detail", "partitions")
+
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    val kind = ident.name.toLowerCase
+    if (ident.namespace.isEmpty || !metadataKinds(kind)) None
+    else {
+      val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+      tablePath(parent).map(p =>
+        new GraftMetadataTable(spark, p, kind, fullName(ident)))
+    }
+  }
 
   /** `SELECT … FROM t VERSION AS OF n` */
   override def loadTable(ident: Identifier, version: String): Table =

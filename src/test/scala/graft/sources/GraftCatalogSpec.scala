@@ -348,6 +348,63 @@ class GraftCatalogSpec extends GraftSparkSpec {
     spark.sql("DROP TABLE graftc.default.tvf_tbl")
   }
 
+  test("metadata tables on catalog names: t.history/files/detail/partitions " +
+      "compose with plain SQL") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.range(40)
+      .withColumn("part", concat(lit("p"), pmod(col("id"), lit(2))))
+      .createOrReplaceTempView("meta_src")
+    spark.sql("CREATE TABLE graftc.default.mt USING graftlake " +
+      "PARTITIONED BY (part) AS SELECT * FROM meta_src")
+    spark.sql("INSERT INTO graftc.default.mt VALUES (999, 'p0')")
+    val t = graft.lake.GraftTable.forPath(spark,
+      java.nio.file.Paths.get(tmpWarehouse, "default", "mt").toString)
+
+    // history: same rows DESCRIBE HISTORY reports, but a composable
+    // relation — aggregate over it in the same statement
+    val ops = spark.sql("SELECT operation FROM graftc.default.mt.history " +
+      "ORDER BY version").collect().map(_.getString(0))
+    assert(ops.length == t.history.count() && ops.contains("APPEND"))
+    assert(spark.sql("SELECT MAX(version) AS v FROM graftc.default.mt.history")
+      .head().getLong(0) == t.version)
+
+    // files: one row per active file, metadata only; projection prunes
+    val nf = spark.sql("SELECT COUNT(*) AS n FROM graftc.default.mt.files")
+      .head().getLong(0)
+    assert(nf == t.snapshot.numFiles)
+    assert(spark.sql("SELECT SUM(size_bytes) AS s FROM graftc.default.mt.files")
+      .head().getLong(0) == t.snapshot.sizeInBytes)
+    // partition_values map survives the bridge
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.mt.files " +
+      "WHERE partition_values['part'] = 'p0'").head().getLong(0) > 0)
+
+    // detail: the DESCRIBE DETAIL row as a queryable relation
+    assert(spark.sql("SELECT numFiles FROM graftc.default.mt.detail")
+      .head().getAs[Int]("numFiles") == t.snapshot.numFiles)
+
+    // partitions: joins against the files inventory
+    val parts = spark.sql("SELECT part, num_files FROM " +
+      "graftc.default.mt.partitions").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts.keySet == Set("p0", "p1") &&
+      parts.values.sum == t.snapshot.numFiles)
+
+    // a REAL table named like a metadata kind shadows the surface
+    spark.sql("CREATE TABLE graftc.default.history (x INT) USING graftlake")
+    spark.sql("INSERT INTO graftc.default.history VALUES (7)")
+    assert(spark.sql("SELECT x FROM graftc.default.history")
+      .head().getInt(0) == 7)
+
+    // metadata tables refuse writes (no SupportsWrite capability)
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftc.default.mt.history VALUES " +
+        "(0, 0, 'x', 'y', 'z')")
+    }
+    Seq("mt", "history").foreach(n =>
+      spark.sql(s"DROP TABLE graftc.default.$n"))
+  }
+
   test("DataFrameReader time-travel options route through catalog loadTable") {
     useCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
