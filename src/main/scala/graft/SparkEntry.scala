@@ -125,6 +125,7 @@ object SparkEntry {
     "sim_filtered_ivf" -> Similarity.simFilteredIvf _,
     "sim_pagerank" -> Similarity.simPagerank _,
     "sim_triangles" -> Similarity.simTriangles _,
+    "sim_hybrid_rrf" -> Similarity.simHybridRrf _,
     "sim_sq_topk" -> Similarity.simSqTopk _,
     "sim_sq_materialized" -> Similarity.simSqMaterialized _,
     "sim_range" -> Similarity.simRange _,
@@ -1390,6 +1391,39 @@ object SparkEntry {
         "ORDER BY cos_raw DESC, cid) AS rn FROM s) SELECT qid, cid, " +
         "ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 " +
         "ORDER BY qid, rn"),
+    // hybrid RRF: both leg chains are the proven sim_bruteforce_topk
+    // and text_search_ranked replicas (k=30 / top-100, candidate floor
+    // doc_id >= 10); fusion arithmetic in exact DOUBLE (CAST, not
+    // DuckDB's DECIMAL literal division), ranks re-derived per query
+    "sim_hybrid_rrf" ->
+      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
+        "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
+        "FROM embeddings WHERE vec_id >= 10), s AS (SELECT qid, cid, " +
+        "list_cosine_similarity(qe, ce) AS cos_raw FROM q CROSS JOIN c), " +
+        "vk AS (SELECT qid, cid, rn AS vrn FROM (SELECT qid, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn FROM s) " +
+        "WHERE rn <= 30), " +
+        "toks AS (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents WHERE length(trim(text)) > 0 AND doc_id >= 10), " +
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks " +
+        "WHERE term IN ('merge', 'vector', 'customer') GROUP BY doc_id, term), " +
+        "dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+        "nd AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "sc AS (SELECT doc_id, SUM(tf * (length(bin(n_docs)) - length(bin(df)))) AS score " +
+        "FROM tf JOIN dfq USING (term) CROSS JOIN nd GROUP BY doc_id), " +
+        "tk AS (SELECT doc_id AS cid, rn AS trn FROM (SELECT doc_id, " +
+        "ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc) WHERE rn <= 100), " +
+        "pairs AS (SELECT qid, cid FROM vk UNION " +
+        "SELECT qid, cid FROM (SELECT qid FROM q) CROSS JOIN tk), " +
+        "fused AS (SELECT p.qid, p.cid, " +
+        "COALESCE(CAST(1 AS DOUBLE)/(60+vk.vrn), 0) + " +
+        "COALESCE(CAST(1 AS DOUBLE)/(60+tk.trn), 0) AS rrf FROM pairs p " +
+        "LEFT JOIN vk ON p.qid = vk.qid AND p.cid = vk.cid " +
+        "LEFT JOIN tk ON p.cid = tk.cid), " +
+        "r AS (SELECT qid, cid, rrf, ROW_NUMBER() OVER (PARTITION BY qid " +
+        "ORDER BY rrf DESC, cid) AS rn FROM fused) " +
+        "SELECT qid, cid, ROUND(rrf, 6) AS rrf, CAST(rn AS BIGINT) AS rn FROM r " +
+        "WHERE rn <= 5 ORDER BY qid, rn"),
     // Euclidean top-k: list_distance is DuckDB's exact L2; nearest =
     // smallest distance, ties ascending by cid like the kernel
     "sim_l2_topk" ->

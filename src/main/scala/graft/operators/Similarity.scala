@@ -51,6 +51,83 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // hybrid-retrieval tuning — the oracle SQL in SparkEntry embeds the
+  // same constants, so change them ONLY in lockstep with it
+  private[operators] val HybridVecK = 30
+  private[operators] val HybridTextK = 100
+  private[operators] val HybridTerms = Seq("merge", "vector", "customer")
+  private val RrfK = 60
+
+  /** Hybrid retrieval with reciprocal-rank fusion (S18) — the shape
+    * every production RAG stack runs: a dense leg (exact cosine
+    * top-[[HybridVecK]] per query over the embedding column, the
+    * S1 fused-kernel chassis) and a sparse leg (T19 ranked keyword
+    * search over the materialized inverted index, postings-only),
+    * fused per query as RRF(d) = Σ_legs 1/(60 + rank_leg(d)) — rank
+    * fusion needs no score calibration between legs, which is why it
+    * beats weighted-sum fusion across heterogeneous scorers.
+    *
+    * Scale shape: each leg is already bounded — the dense leg's
+    * shuffle carries ≤ partitions·nq·k pairs, the sparse leg is a
+    * distributed TakeOrdered (never a full sort) down to the
+    * CONSTANT [[HybridTextK]] survivors — so the fusion itself joins
+    * two constant-bounded lists (≤ nq·(vecK+textK) rows): the
+    * single-partition ordinal over the text survivors and the
+    * broadcast of both legs are pins on CONSTANT-bounded sides, the
+    * sanctioned hint class. Nothing in the fused stage scales with
+    * the corpus.
+    */
+  def simHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CosineScores, ScoreTopK}
+    import org.apache.spark.sql.GraftSqlShims
+    val emb = Tables(spark, dir, "embeddings")
+    val qvs = emb.filter(col("vec_id") < QuerySetSize).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // dense leg: per-query rank list, k = HybridVecK
+    val vk = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"),
+        GraftSqlShims.column(CosineScores(
+          GraftSqlShims.expression(col("embedding")), qvs)).as("coss"))
+      .select(GraftSqlShims.column(ScoreTopK(
+          GraftSqlShims.expression(col("cid")),
+          GraftSqlShims.expression(col("coss")),
+          qvs.length, HybridVecK).toAggregateExpression()).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r.qid"), col("r.cid"), col("r.rn").as("vrn"))
+    // sparse leg: global top-HybridTextK by the exact-integer T19
+    // score — TakeOrdered to the constant survivor set, then the
+    // ordinal runs over ≤HybridTextK rows (constant-bounded, so the
+    // single-partition window is in the sanctioned pin class)
+    val tk = TextOps.rankedScores(spark, dir, HybridTerms,
+        minId = QuerySetSize.toLong)
+      .orderBy(col("score").desc, col("id")).limit(HybridTextK)
+      .withColumn("trn", row_number().over(
+        Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      .select(col("id").as("cid"), col("trn"))
+    // fusion over the union of both candidate lists; a text-ranked
+    // doc is a candidate for EVERY query (the keyword leg is the
+    // query set's shared sparse side)
+    val qids = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("qid"))
+    val pairs = vk.select("qid", "cid")
+      .union(qids.crossJoin(broadcast(tk)).select("qid", "cid"))
+      .distinct()
+    pairs
+      .join(broadcast(vk), Seq("qid", "cid"), "left")
+      .join(broadcast(tk), Seq("cid"), "left")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("vrn")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("trn")), lit(0.0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf").desc, col("cid")))
+        .cast("long"))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("cid"), round(col("rrf"), 6).as("rrf"),
+        col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Filtered (predicate-constrained) top-k vector search: exact
     * cosine top-k among only the corpus vectors satisfying a metadata
     * predicate — the "vector search with a WHERE clause" shape every

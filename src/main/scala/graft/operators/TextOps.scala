@@ -519,10 +519,19 @@ object TextOps {
     * of the already-filtered term rows, N folds from log stats — so
     * ranking adds no corpus access to the T17 read.
     */
-  def textSearchRanked(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("merge", "vector", "customer")
+  def textSearchRanked(spark: SparkSession, dir: String): DataFrame =
+    rankedScores(spark, dir, Seq("merge", "vector", "customer"), minId = 0L)
+      .select(col("id").as("doc_id"), col("n_terms"), col("score"))
+      .orderBy("doc_id")
+
+  /** The T19 scoring chain with a candidate-id floor, shared with the
+    * hybrid-retrieval fusion ([[Similarity.simHybridRrf]]'s text leg):
+    * postings-only, df re-counted over the already-filtered term rows.
+    */
+  private[operators] def rankedScores(spark: SparkSession, dir: String,
+      terms: Seq[String], minId: Long): DataFrame = {
     val posts = textIndexFixture(spark, dir).textPostings("text")
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(terms: _*) && col("id") >= minId)
     val dfq = posts.groupBy("term").agg(countDistinct("id").as("df"))
     val nDocs = lit(Tables(spark, dir, "documents").count())
     posts.join(dfq, "term")
@@ -531,8 +540,6 @@ object TextOps {
       .groupBy("id")
       .agg(countDistinct("term").as("n_terms"),
         sum(col("tf") * col("idf_bits")).as("score"))
-      .select(col("id").as("doc_id"), col("n_terms"), col("score"))
-      .orderBy("doc_id")
   }
 
   /** Phrase search over the positional postings: documents where the
