@@ -41,6 +41,7 @@ object SparkEntry {
     "q59_basket" -> Analytics.q59Basket _,
     "q60_basket_lift" -> Analytics.q60BasketLift _,
     "q61_concurrency" -> Analytics.q61Concurrency _,
+    "q62_transitions" -> Analytics.q62Transitions _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -141,6 +142,7 @@ object SparkEntry {
     "pipe_cluster_sample" -> Pipeline.pipeClusterSample _,
     "pipe_token_budget" -> Pipeline.pipeTokenBudget _,
     "pipe_shard_manifest" -> Pipeline.pipeShardManifest _,
+    "pipe_dsir_select" -> Pipeline.pipeDsirSelect _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
@@ -766,6 +768,19 @@ object SparkEntry {
         "SELECT (SELECT MAX(conc) FROM run) AS max_concurrent, " +
         "(SELECT t FROM run WHERE conc = (SELECT MAX(conc) FROM run) " +
         "ORDER BY t LIMIT 1) AS at_ts_us"),
+    // transition matrix: LEAD under the deterministic (ts, event_id)
+    // order; SUM(BIGINT) re-cast from DuckDB's HUGEINT; probability
+    // in exact DOUBLE division
+    "q62_transitions" ->
+      ("WITH p AS (SELECT user_id, event_type AS from_type, " +
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+        "FROM events), " +
+        "c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM p " +
+        "WHERE to_type IS NOT NULL GROUP BY from_type, to_type), " +
+        "t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY from_type) " +
+        "SELECT c.from_type, c.to_type, c.n, " +
+        "ROUND(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p " +
+        "FROM c JOIN t USING (from_type) ORDER BY from_type, to_type"),
     // association metrics: integer supports, one rounded lift ratio
     "q60_basket_lift" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
@@ -1663,6 +1678,23 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(length(text)) AS BIGINT) AS n_chars " +
         "FROM documents GROUP BY 1 ORDER BY shard"),
+    // DSIR selection: floor-log2 bits via bin-length (the T13 trick),
+    // inner-join smoothing (out-of-target terms carry no evidence),
+    // exact-integer score, constant top-100
+    "pipe_dsir_select" ->
+      ("WITH toks AS (SELECT doc_id, lang, " +
+        "UNNEST(string_split_regex(trim(text), '\\s+')) AS word " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "cf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_c FROM toks GROUP BY word), " +
+        "tgt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks " +
+        "WHERE lang = 'en' GROUP BY word), " +
+        "tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM toks " +
+        "GROUP BY doc_id, word), " +
+        "sc AS (SELECT doc_id, CAST(SUM(tf * (length(bin(n_t)) - length(bin(n_c)))) AS BIGINT) " +
+        "AS score FROM tf JOIN tgt USING (word) JOIN cf USING (word) GROUP BY doc_id), " +
+        "r AS (SELECT doc_id, score, ROW_NUMBER() OVER " +
+        "(ORDER BY score DESC, doc_id) AS rn FROM sc) " +
+        "SELECT doc_id, score, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 100 ORDER BY rn"),
     "pipe_shuffle" ->
       ("SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 4294967296 AS shuffle_key, " +
         "CAST(ROW_NUMBER() OVER (ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) " +

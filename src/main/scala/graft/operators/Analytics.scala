@@ -1258,6 +1258,33 @@ object Analytics {
     Seq((mx, at)).toDF("max_concurrent", "at_ts_us")
   }
 
+  /** First-order event-type transition matrix (Q51n — what session-
+    * replay and behavioral-sequence pipelines estimate before any
+    * Markov/attribution modelling): consecutive event pairs per user
+    * under the deterministic (ts, event_id) order, counted
+    * corpus-wide, with each source type's outgoing total giving the
+    * row-normalised transition probability.
+    *
+    * Scale shape: the lead() window partitions BY USER — per-key
+    * state, never a global sort; the pair aggregate map-side combines
+    * to ≤ |types|² rows, and the outgoing-total join runs over that
+    * constant-bounded matrix.
+    */
+  def q62Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   def q54HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlShims
     val K = 24

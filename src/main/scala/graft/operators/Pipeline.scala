@@ -350,6 +350,51 @@ object Pipeline {
     * aggregate to 16 rows; the production writer repartitions on the
     * same expression so audit and layout can never disagree.
     */
+  private val DsirK = 100
+
+  /** DSIR-flavored importance selection (P14 — the "pick raw-pool
+    * documents that look like the target domain" step; Xie et al.
+    * 2023's importance resampling, made engine-portable): every doc
+    * scores Σ_w tf_w · (⌊log₂ n_target(w)⌋ − ⌊log₂ n_corpus(w)⌋) —
+    * how much more its unigrams resemble the TARGET frequency profile
+    * (here the `en` slice) than the whole corpus — using the same
+    * exact-integer floor-log2 trick as the T13 idf and T12 surprisal
+    * chains, so the ranking is bit-deterministic across engines (no
+    * float log anywhere). Terms unseen in the target contribute zero
+    * (the inner join IS the smoothing choice: an out-of-target term
+    * carries no evidence). The top [[DsirK]] docs by (score, doc_id)
+    * are the selected set.
+    *
+    * Scale shape: two VOCABULARY-bounded frequency aggregates
+    * (map-side combined), word-keyed joins with corpus-derived sides
+    * UNHINTED (AQE broadcasts while genuinely small, sort-merges once
+    * they are not), one doc-keyed re-aggregate, then a distributed
+    * TakeOrdered down to the constant selection — the ordinal runs
+    * over ≤[[DsirK]] survivors (constant-bounded pin class).
+    */
+  def pipeDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(trim(col("text")), "\\s+")).as("word"))
+    val corpusFreq = toks.groupBy("word").agg(count(lit(1)).as("n_c"))
+    val targetFreq = toks.filter(col("lang") === "en")
+      .groupBy("word").agg(count(lit(1)).as("n_t"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(targetFreq, "word")
+      .join(corpusFreq, "word")
+      .withColumn("bits",
+        (length(bin(col("n_t"))) - length(bin(col("n_c")))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("bits")).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(DsirK)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("score"), col("rn"))
+      .orderBy("rn")
+  }
+
   def pipeShardManifest(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(pmod(docHash(col("doc_id")), lit(16L)).as("shard"),
