@@ -100,6 +100,15 @@ class ScaleSpec extends GraftSparkSpec {
     assert(!cc.queryExecution.executedPlan.toString.contains("Window"),
       "q61_concurrency must not reintroduce a global window")
     assert(cc.count() == 1)
+    // constant-selection family: hybrid fusion and DSIR selection must
+    // reach their ordinals through a distributed TakeOrdered — a full
+    // global Sort feeding the limit would be the single-reducer funnel
+    for ((name, df) <- Seq(
+        "sim_hybrid_rrf" -> Similarity.simHybridRrf(spark, sfDir),
+        "pipe_dsir_select" -> Pipeline.pipeDsirSelect(spark, sfDir)))
+      assert(df.queryExecution.executedPlan.toString
+          .contains("TakeOrderedAndProject"),
+        s"$name must reduce to its constant selection via TakeOrdered")
     // de-hinted TPC-H dims: no forced broadcast on SF-scaled sides —
     // the plan must not carry a user hint on customer/part/supplier
     // (AQE may still choose broadcast at runtime from actual sizes)
