@@ -42,6 +42,7 @@ object SparkEntry {
     "q60_basket_lift" -> Analytics.q60BasketLift _,
     "q61_concurrency" -> Analytics.q61Concurrency _,
     "q62_transitions" -> Analytics.q62Transitions _,
+    "q63_anomaly" -> Analytics.q63Anomaly _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -768,6 +769,18 @@ object SparkEntry {
         "SELECT (SELECT MAX(conc) FROM run) AS max_concurrent, " +
         "(SELECT t FROM run WHERE conc = (SELECT MAX(conc) FROM run) " +
         "ORDER BY t LIMIT 1) AS at_ts_us"),
+    // anomaly sweep: the exact lower-median replica (rank by (n, hour),
+    // take (cnt+1)/2 by integer division) — NOT DuckDB's averaging
+    // MEDIAN(); flag = count reaches 3x that integer median
+    "q63_anomaly" ->
+      ("WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "rk AS (SELECT event_type, hour, n, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, hour) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM h), " +
+        "m AS (SELECT event_type, n AS med FROM rk WHERE rn = (cnt + 1) // 2) " +
+        "SELECT h.event_type, h.hour, h.n, m.med FROM h JOIN m USING (event_type) " +
+        "WHERE h.n >= m.med * 3 ORDER BY event_type, hour"),
     // transition matrix: LEAD under the deterministic (ts, event_id)
     // order; SUM(BIGINT) re-cast from DuckDB's HUGEINT; probability
     // in exact DOUBLE division

@@ -1285,6 +1285,37 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Hourly volume-anomaly sweep per event type (Q51o — the
+    * self-monitoring pass an ingest pipeline runs over its own event
+    * volumes): hours whose count reaches 3× the type's median hourly
+    * count. The median is EXACT integer order statistics — rank the
+    * type's hourly rows by (n, hour), take the lower middle — no
+    * percentile buffer, no float anywhere.
+    *
+    * Scale shape: the hourly aggregate map-side combines to
+    * (types × hours) rows — CALENDAR-sized, not event-sized — so the
+    * per-type rank windows run over time-bounded partitions and the
+    * verdict join is a type-keyed join of two calendar-sized sides.
+    */
+  def q63Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    val med = hourly
+      .withColumn("rn",
+        row_number().over(byType.orderBy(col("n"), col("hour"))))
+      .withColumn("cnt", count(lit(1)).over(byType))
+      // Spark's / on longs is DOUBLE division — floor back to the
+      // integer lower-median rank (DuckDB's // in the oracle)
+      .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("long"))
+      .select(col("event_type"), col("n").as("med"))
+    hourly.join(med, "event_type")
+      .filter(col("n") >= col("med") * 3)
+      .select(col("event_type"), col("hour"), col("n"), col("med"))
+      .orderBy("event_type", "hour")
+  }
+
   def q54HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlShims
     val K = 24
