@@ -1272,14 +1272,16 @@ object Analytics {
     */
   def q62Transitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val pairs = Tables(spark, dir, "events")
+    Tables(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val tot = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
-    pairs.join(tot, "from_type")
+      // outgoing totals via a window over the types²-bounded matrix —
+      // one events pass, no join-back recomputation of the lead chain
+      .withColumn("n_from",
+        sum("n").over(Window.partitionBy("from_type")))
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n").cast("double") / col("n_from"), 6).as("p"))
       .orderBy("from_type", "to_type")
@@ -1302,15 +1304,17 @@ object Analytics {
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
     val byType = Window.partitionBy("event_type")
-    val med = hourly
+    hourly
       .withColumn("rn",
         row_number().over(byType.orderBy(col("n"), col("hour"))))
       .withColumn("cnt", count(lit(1)).over(byType))
-      // Spark's / on longs is DOUBLE division — floor back to the
-      // integer lower-median rank (DuckDB's // in the oracle)
-      .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("long"))
-      .select(col("event_type"), col("n").as("med"))
-    hourly.join(med, "event_type")
+      // the median attaches via a second window over the SAME
+      // calendar-sized partition (no join-back, so the events
+      // aggregate runs once); Spark's / on longs is DOUBLE division —
+      // floor back to the integer lower-median rank (DuckDB's //)
+      .withColumn("med", max(when(
+        col("rn") === floor((col("cnt") + 1) / 2).cast("long"),
+        col("n"))).over(byType))
       .filter(col("n") >= col("med") * 3)
       .select(col("event_type"), col("hour"), col("n"), col("med"))
       .orderBy("event_type", "hour")

@@ -105,17 +105,17 @@ object Similarity {
       .withColumn("trn", row_number().over(
         Window.orderBy(col("score").desc, col("id"))).cast("long"))
       .select(col("id").as("cid"), col("trn"))
-    // fusion over the union of both candidate lists; a text-ranked
-    // doc is a candidate for EVERY query (the keyword leg is the
-    // query set's shared sparse side)
+    // fusion over the union of both candidate lists: ONE full-outer
+    // join keyed (qid, cid) — vk appears once in the plan, so the
+    // corpus-scanning dense leg runs exactly once; a text-ranked doc
+    // is a candidate for EVERY query (the keyword leg is the query
+    // set's shared sparse side), so the sparse side expands by the
+    // qid list first (both sides stay constant-bounded: ≤ nq·130 rows
+    // total through the join)
     val qids = emb.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("qid"))
-    val pairs = vk.select("qid", "cid")
-      .union(qids.crossJoin(broadcast(tk)).select("qid", "cid"))
-      .distinct()
-    pairs
-      .join(broadcast(vk), Seq("qid", "cid"), "left")
-      .join(broadcast(tk), Seq("cid"), "left")
+    val textPairs = qids.crossJoin(broadcast(tk))
+    vk.join(textPairs, Seq("qid", "cid"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(RrfK) + col("vrn")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfK) + col("trn")), lit(0.0)))
