@@ -90,6 +90,7 @@ object SparkEntry {
     "text_token_count" -> TextOps.textTokenCount _,
     "text_bigrams" -> TextOps.textBigrams _,
     "text_quality" -> TextOps.textQuality _,
+    "text_ttr" -> TextOps.textTtr _,
     "text_langid" -> TextOps.textLangid _,
     "text_fingerprint" -> TextOps.textFingerprint _,
     "text_pii_scrub" -> TextOps.textPiiScrub _,
@@ -146,6 +147,7 @@ object SparkEntry {
     "pipe_dsir_select" -> Pipeline.pipeDsirSelect _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
+    "pipe_source_report" -> Pipeline.pipeSourceReport _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
     "pipe_fuzzy_decontaminate" -> Pipeline.pipeFuzzyDecontaminate _,
     "pipe_pack" -> Pipeline.pipePack _,
@@ -1288,6 +1290,34 @@ object SparkEntry {
         "len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens, " +
         "CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents " +
         "GROUP BY source, lang ORDER BY source, lang"),
+    // source governance report: dup flag ships the md5 hash (the D1
+    // convention), counts exact, dup_rate in exact DOUBLE division
+    "pipe_source_report" ->
+      ("WITH d AS (SELECT source, doc_id, md5(text) AS h, " +
+        "CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies FROM d GROUP BY h) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(CASE WHEN n_tokens = 0 THEN 1 END) AS BIGINT) AS n_empty, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS BIGINT) AS n_dup_docs, " +
+        "ROUND(CAST(COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6) " +
+        "AS dup_rate FROM d JOIN c USING (h) GROUP BY source ORDER BY source"),
+    // type-token ratio: distinct via the (doc, word) pre-group in both
+    // engines; ratio in exact DOUBLE at the edge
+    "text_ttr" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "UNNEST(string_split_regex(trim(text), '\\s+')) AS word " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM toks " +
+        "GROUP BY doc_id, word) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+        "ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6) AS ttr " +
+        "FROM tf GROUP BY doc_id ORDER BY doc_id"),
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     // the sidecar replays the session signature/band arithmetic over

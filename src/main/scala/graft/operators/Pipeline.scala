@@ -350,6 +350,38 @@ object Pipeline {
     * aggregate to 16 rows; the production writer repartitions on the
     * same expression so audit and layout can never disagree.
     */
+  /** Per-source corpus governance report (P15 — the data-card /
+    * source-audit table every corpus release publishes): document and
+    * token volumes, empty-document share, and the exact-duplicate rate
+    * (share of docs whose md5 content hash occurs more than once
+    * CORPUS-WIDE — the D1 hash, so the report agrees with the dedup
+    * pass it summarises) broken down by ingestion source.
+    *
+    * Scale shape: the duplicate flag ships the 16-byte hash, never the
+    * text (one hash aggregate + one hash-keyed join); everything else
+    * is a single map-side-combined rollup to |sources| rows.
+    */
+  def pipeSourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("n_chars"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tokens"))
+    val copies = docs.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   private val DsirK = 100
 
   /** DSIR-flavored importance selection (P14 — the "pick raw-pool

@@ -524,6 +524,27 @@ object TextOps {
       .select(col("id").as("doc_id"), col("n_terms"), col("score"))
       .orderBy("doc_id")
 
+  /** Type-token ratio per document (T23 — the classic lexical-
+    * diversity signal quality stacks report beside the Gopher rules;
+    * low TTR flags template/spam text that repeats a small
+    * vocabulary): distinct words / total words over the whitespace
+    * tokenization, exact integers with the ratio rounded only at the
+    * edge. Distinctness comes from a per-(doc, word) pre-aggregate
+    * (map-side combined), never a countDistinct buffer; the rollup is
+    * doc-keyed — nothing global anywhere.
+    */
+  def textTtr(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_types"), sum("tf").as("n_tokens"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+
   /** The T19 scoring chain with a candidate-id floor, shared with the
     * hybrid-retrieval fusion ([[Similarity.simHybridRrf]]'s text leg):
     * postings-only, df re-counted over the already-filtered term rows.

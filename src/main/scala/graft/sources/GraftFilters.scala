@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 
 /** Shared V1 `Filter` → `Column` translation, used by both the scan
@@ -13,6 +13,10 @@ import org.apache.spark.sql.sources._
 private[graft] object GraftFilters {
 
   def toColumn(f: Filter): Option[Column] = f match {
+    // TRUNCATE TABLE arrives as the default TruncatableTable's
+    // deleteWhere([AlwaysTrue]) — refusing it silently no-ops the verb
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
     case EqualTo(a, v) => Some(col(a) === v)
     case GreaterThan(a, v) => Some(col(a) > v)
     case GreaterThanOrEqual(a, v) => Some(col(a) >= v)

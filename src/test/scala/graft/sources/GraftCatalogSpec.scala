@@ -94,6 +94,14 @@ class GraftCatalogSpec extends GraftSparkSpec {
       "SELECT * FROM sales_src WHERE country = 'DE'")
     assert(count() == spark.table("sales_src")
       .filter(col("country") === "DE").count())
+
+    // TRUNCATE TABLE rides Spark's native v2 command: SupportsDelete
+    // extends TruncatableTable, so no parser interception is needed
+    spark.sql("TRUNCATE TABLE graftc.default.sales")
+    assert(count() == 0)
+    assert(spark.sql("DESCRIBE HISTORY graftc.default.sales")
+      .select("operation").head().getString(0).startsWith("DELETE"),
+      "truncate must commit through the transactional delete")
   }
 
   test("USE graftc: bare names resolve through current catalog/namespace") {
