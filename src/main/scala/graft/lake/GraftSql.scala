@@ -162,6 +162,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*$""".r
   private val tableChangesRe: Regex =
     """(?is)^\s*TABLE\s+CHANGES\s+(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s*;?\s*$""".r
+  private val tableChangesTsRe: Regex =
+    """(?is)^\s*TABLE\s+CHANGES\s+(\w+)\s+BETWEEN\s+TIMESTAMP\s+'([^']+)'\s+AND\s+TIMESTAMP\s+'([^']+)'\s*;?\s*$""".r
   private val mergeRe: Regex =
     """(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$""".r
   private val mergeOnRe: Regex =
@@ -684,6 +686,16 @@ final class GraftSql(spark: SparkSession) {
         // BETWEEN is inclusive of both bounds; changeFeed's range is
         // (from, to]
         table(name).changeFeed(from.toLong - 1, to.toLong)
+      case tableChangesTsRe(name, fromTs, toTs) =>
+        // timestamp bounds (Delta CDF parity): start = first commit
+        // AT-OR-AFTER the lower bound (the streaming startingTimestamp
+        // contract — latest-at-or-before would replay earlier changes),
+        // end = last commit at-or-before the upper; an empty window
+        // clamps to an empty feed instead of erroring
+        val log = table(name).log
+        val fromV = Snapshot.versionAtOrAfterTimestamp(log, parseTsMillis(fromTs))
+        val toV = Snapshot.versionAtTimestamp(log, parseTsMillis(toTs))
+        table(name).changeFeed(math.min(fromV - 1, toV), toV)
       case stmt if mergeRe.findFirstMatchIn(maskLiterals(stmt)).isDefined =>
         // match group POSITIONS against the literal-masked text (a
         // string literal containing " WHEN " must not end the ON

@@ -92,6 +92,8 @@ private[sources] object GraftMaintenance {
   // statements whose output schema is the TABLE's (resolved at parse)
   private val tableChangesRe: Regex =
     s"""(?is)^\\s*TABLE\\s+CHANGES\\s+$id\\s+BETWEEN\\s+(\\d+)\\s+AND\\s+(\\d+)\\s*;?\\s*$$""".r
+  private val tableChangesTsRe: Regex =
+    s"""(?is)^\\s*TABLE\\s+CHANGES\\s+$id\\s+BETWEEN\\s+TIMESTAMP\\s+'([^']+)'\\s+AND\\s+TIMESTAMP\\s+'([^']+)'\\s*;?\\s*$$""".r
   private val showPartitionsRe: Regex =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+$id\\s*;?\\s*$$""".r
 
@@ -163,6 +165,16 @@ private[sources] object GraftMaintenance {
       tableOf(name).map(t =>
         t.changeFeed(from.toLong - 1, to.toLong) // BETWEEN is inclusive
           .queryExecution.analyzed)
+    // timestamp bounds: start at-or-after, end at-or-before (the same
+    // resolution GraftSql's route uses); empty windows clamp to empty
+    case tableChangesTsRe(name, fromTs, toTs) =>
+      tableOf(name).map { t =>
+        val fromV = graft.lake.Snapshot.versionAtOrAfterTimestamp(
+          t.log, graft.lake.Snapshot.parseTsMillis(fromTs))
+        val toV = graft.lake.Snapshot.versionAtTimestamp(
+          t.log, graft.lake.Snapshot.parseTsMillis(toTs))
+        t.changeFeed(math.min(fromV - 1, toV), toV).queryExecution.analyzed
+      }
     // SHOW PARTITIONS needs SupportsPartitionManagement on Spark's own
     // path — the log-metadata inventory serves it instead (bounded:
     // |partitions| rows, so a command collect is the right shape)

@@ -149,6 +149,17 @@ class WorkshopFlowSpec extends GraftSparkSpec {
     assert(ch.filter(col("_change_type") === "delete").count() == 50)
     assert(ch.count() == 50)
 
+    // TIMESTAMP bounds resolve at-or-after (start) / at-or-before
+    // (end): the delete commit's own timestamp pins the same window
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+    val ts1 = fmt.format(java.time.Instant
+      .ofEpochMilli(gsql.table("ts_tbl").log.commitTimestamp(1)))
+    val chTs = gsql.sql(
+      s"TABLE CHANGES ts_tbl BETWEEN TIMESTAMP '$ts1' AND TIMESTAMP '$ts1'")
+    assert(chTs.filter(col("_change_type") === "delete").count() == 50)
+    assert(chTs.count() == 50)
+
     // ANALYZE TABLE persists stats; DELETE without WHERE empties
     gsql.sql("ANALYZE TABLE ts_tbl COMPUTE STATISTICS")
     assert(gsql.table("ts_tbl").snapshot.metadata.get.properties.keys

@@ -347,6 +347,21 @@ class GraftCatalogSpec extends GraftSparkSpec {
     assert(!changes.queryExecution.analyzed.getClass.getName
       .contains("Command"),
       "TABLE CHANGES must plan as a lazy read, not a collecting command")
+    // timestamp bounds: start at-or-after / end at-or-before, so a
+    // window pinned exactly on the delete commit yields only it
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+    val ts2 = fmt.format(java.time.Instant.ofEpochMilli(t.log.commitTimestamp(v2)))
+    val byTs = spark.sql("TABLE CHANGES graftc.default.tvf_tbl " +
+      s"BETWEEN TIMESTAMP '$ts2' AND TIMESTAMP '$ts2'")
+    assert(byTs.filter(col("_change_type") === "delete").count() == 10,
+      "the timestamp-pinned window must surface exactly the delete commit")
+    // an empty window (before any commit at-or-after it has happened)
+    // clamps to an empty feed instead of erroring
+    val tsLate = fmt.format(java.time.Instant
+      .ofEpochMilli(t.log.commitTimestamp(v2) + 3600000L))
+    assert(spark.sql("TABLE CHANGES graftc.default.tvf_tbl " +
+      s"BETWEEN TIMESTAMP '$tsLate' AND TIMESTAMP '$tsLate'").count() == 0)
     // SHOW PARTITIONS from log metadata (no SupportsPartitionManagement)
     val parts = spark.sql("SHOW PARTITIONS graftc.default.tvf_tbl")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
