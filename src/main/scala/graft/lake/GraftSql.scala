@@ -48,7 +48,7 @@ final class GraftSql(spark: SparkSession) {
   private val vacuumRetainRe: Regex =
     """(?is)^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?\s*;?\s*$""".r
   private val historyRe: Regex =
-    """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$""".r
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
   private val detailRe: Regex =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*$""".r
   private val extendedRe: Regex =
@@ -236,7 +236,8 @@ final class GraftSql(spark: SparkSession) {
       case vacuumRetainRe(name, hours) =>
         val h = Option(hours).map(_.toDouble).getOrElse(7 * 24.0)
         table(name).vacuum(h, dryRun = false)
-      case historyRe(name) => table(name).history
+      case historyRe(name, lim) => // LIMIT paginates to the newest N
+        table(name).history(Option(lim).map(_.toInt).getOrElse(Int.MaxValue))
       case detailRe(name) => table(name).detailDF
       case extendedRe(name) =>
         // schema rows followed by table properties (reference 02-lab:

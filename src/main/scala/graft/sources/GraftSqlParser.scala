@@ -71,7 +71,7 @@ private[sources] object GraftMaintenance {
   private val vacuumRe: Regex =
     s"""(?is)^\\s*VACUUM\\s+$id((?:\\s+LITE)?(?:\\s+RETAIN\\s+[0-9.]+\\s+HOURS)?(?:\\s+DRY\\s+RUN)?)\\s*;?\\s*$$""".r
   private val historyRe: Regex =
-    s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$id\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$id(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val detailRe: Regex =
     s"""(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$id\\s*;?\\s*$$""".r
   private val restoreRe: Regex =
@@ -130,8 +130,10 @@ private[sources] object GraftMaintenance {
       Some(GraftMaintenanceCommand(name, s"OPTIMIZE %s$rest", metricValue))
     case vacuumRe(name, rest) =>
       Some(GraftMaintenanceCommand(name, s"VACUUM %s$rest", pathOut))
-    case historyRe(name) =>
-      Some(GraftMaintenanceCommand(name, "DESCRIBE HISTORY %s", historyOut))
+    case historyRe(name, lim) =>
+      val suffix = Option(lim).map(n => s" LIMIT $n").getOrElse("")
+      Some(GraftMaintenanceCommand(name, s"DESCRIBE HISTORY %s$suffix",
+        historyOut))
     case detailRe(name) =>
       Some(GraftMaintenanceCommand(name, "DESCRIBE DETAIL %s", detailOut))
     case restoreRe(name, rest) =>

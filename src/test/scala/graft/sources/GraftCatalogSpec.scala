@@ -95,6 +95,12 @@ class GraftCatalogSpec extends GraftSparkSpec {
     assert(count() == spark.table("sales_src")
       .filter(col("country") === "DE").count())
 
+    // DESCRIBE HISTORY LIMIT paginates to the newest N commits
+    val limited = spark.sql("DESCRIBE HISTORY graftc.default.sales LIMIT 2")
+      .select("version").collect().map(_.getLong(0))
+    assert(limited.length == 2 && limited.head == limited.max,
+      "LIMIT must keep the newest commits, newest first")
+
     // TRUNCATE TABLE rides Spark's native v2 command: SupportsDelete
     // extends TruncatableTable, so no parser interception is needed
     spark.sql("TRUNCATE TABLE graftc.default.sales")
