@@ -96,6 +96,17 @@ private[sources] object GraftMaintenance {
     s"""(?is)^\\s*TABLE\\s+CHANGES\\s+$id\\s+BETWEEN\\s+TIMESTAMP\\s+'([^']+)'\\s+AND\\s+TIMESTAMP\\s+'([^']+)'\\s*;?\\s*$$""".r
   private val showPartitionsRe: Regex =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+$id\\s*;?\\s*$$""".r
+  // constraint DDL (CHECK / informational PK & FK / DROP) — Spark has
+  // no v2 TableChange for these, so the grammar routes them like the
+  // maintenance verbs; FK resolves its referenced table too
+  private val addCheckRe: Regex =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$id\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""".r
+  private val addPkRe: Regex =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$id\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+PRIMARY\\s+KEY\\s*\\(([^)]+)\\)(\\s+NOT\\s+ENFORCED)?\\s*;?\\s*$$""".r
+  private val addFkRe: Regex =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$id\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+FOREIGN\\s+KEY\\s*\\(([^)]+)\\)\\s+REFERENCES\\s+$id\\s*\\(([^)]+)\\)(\\s+NOT\\s+ENFORCED)?\\s*;?\\s*$$""".r
+  private val dropConstraintRe: Regex =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$id\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
 
   private def attrs(fields: (String, DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t)() }
@@ -138,6 +149,25 @@ private[sources] object GraftMaintenance {
       Some(GraftMaintenanceCommand(name, "DESCRIBE DETAIL %s", detailOut))
     case restoreRe(name, rest) =>
       Some(GraftMaintenanceCommand(name, s"RESTORE TABLE %s $rest", metricValue))
+    // constraint DDL intercepts only graft-resolvable names; literal
+    // % in a CHECK expression must not be eaten by the format splice
+    case addCheckRe(name, cname, expr) if isGraft(name) =>
+      Some(GraftMaintenanceCommand(name,
+        s"ALTER TABLE %s ADD CONSTRAINT $cname CHECK (${expr.replace("%", "%%")})",
+        metricValue))
+    case addPkRe(name, cname, cols, enforced) if isGraft(name) =>
+      Some(GraftMaintenanceCommand(name,
+        s"ALTER TABLE %s ADD CONSTRAINT $cname PRIMARY KEY ($cols)" +
+          Option(enforced).getOrElse(""), metricValue))
+    case addFkRe(name, cname, cols, refName, refCols, enforced)
+        if isGraft(name) && isGraft(refName) =>
+      Some(GraftMaintenanceCommand(name,
+        s"ALTER TABLE %1$$s ADD CONSTRAINT $cname FOREIGN KEY ($cols) " +
+          s"REFERENCES %2$$s ($refCols)" + Option(enforced).getOrElse(""),
+        metricValue, refTable = Some(refName)))
+    case dropConstraintRe(name, cname) if isGraft(name) =>
+      Some(GraftMaintenanceCommand(name,
+        s"ALTER TABLE %s DROP CONSTRAINT $cname", metricValue))
     case reorgRe(name, rest) =>
       Some(GraftMaintenanceCommand(name, s"REORG TABLE %s $rest", metricValue))
     case analyzeRe(name, rest) if isGraft(name) =>
@@ -295,7 +325,8 @@ final case class GraftDmlCommand(statement: String,
 final case class GraftMaintenanceCommand(
     tableName: String, template: String,
     override val output: Seq[Attribute],
-    flattenToMetrics: Boolean = false)
+    flattenToMetrics: Boolean = false,
+    refTable: Option[String] = None)
   extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -305,7 +336,15 @@ final case class GraftMaintenanceCommand(
           "maintenance statements need a graftlake catalog table"))
     val gsql = new GraftSql(spark)
     gsql.register("graft_target", path)
-    val df = gsql.sql(template.format("graft_target"))
+    refTable.foreach { r =>
+      val rp = GraftMaintenance.resolve(spark, r)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no GraftLake table $r in the session's catalogs — " +
+            "the referenced table must be a graftlake catalog table"))
+      gsql.register("graft_ref", rp)
+    }
+    // extra format args are ignored by single-%s templates
+    val df = gsql.sql(template.format("graft_target", "graft_ref"))
     if (flattenToMetrics)
       df.collect().toSeq.flatMap(r =>
         df.schema.fieldNames.zipWithIndex.map { case (n, i) =>

@@ -629,7 +629,27 @@ class GraftCatalogSpec extends GraftSparkSpec {
       .collect().map(_.getString(0))
     assert(!props.contains("x"))
 
-    spark.sql("DROP TABLE graftc.default.alt")
+    // constraint DDL routes through the injected grammar: CHECK is
+    // write-enforced, PK/FK are informational, DROP removes
+    spark.sql("ALTER TABLE graftc.default.alt " +
+      "ADD CONSTRAINT k_pos CHECK (k >= 0)")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftc.default.alt (k) VALUES (-5)")
+    }
+    spark.sql("ALTER TABLE graftc.default.alt " +
+      "ADD CONSTRAINT pk_k PRIMARY KEY (k) NOT ENFORCED")
+    spark.sql("CREATE TABLE graftc.default.alt_ref (rid BIGINT) USING graftlake")
+    spark.sql("ALTER TABLE graftc.default.alt ADD CONSTRAINT fk_r " +
+      "FOREIGN KEY (k) REFERENCES graftc.default.alt_ref (rid) NOT ENFORCED")
+    val cprops = spark.sql("SHOW TBLPROPERTIES graftc.default.alt")
+      .collect().map(_.getString(0))
+    assert(cprops.exists(_.contains("k_pos")),
+      s"CHECK constraint must land in table properties: ${cprops.mkString(",")}")
+    spark.sql("ALTER TABLE graftc.default.alt DROP CONSTRAINT k_pos")
+    spark.sql("INSERT INTO graftc.default.alt (k) VALUES (-5)") // now allowed
+
+    Seq("alt", "alt_ref").foreach(n =>
+      spark.sql(s"DROP TABLE graftc.default.$n"))
   }
 
   test("external LOCATION table keeps data on DROP; ALTER SET TBLPROPERTIES") {
