@@ -107,6 +107,8 @@ private[sources] object GraftMaintenance {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$id\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+FOREIGN\\s+KEY\\s*\\(([^)]+)\\)\\s+REFERENCES\\s+$id\\s*\\(([^)]+)\\)(\\s+NOT\\s+ENFORCED)?\\s*;?\\s*$$""".r
   private val dropConstraintRe: Regex =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$id\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
+  private val deleteInDmlRe: Regex =
+    s"""(?is)^\\s*DELETE\\s+FROM\\s+$id\\s+WHERE\\s+\\w+\\s+IN\\s*\\(\\s*SELECT\\s+.+\\)\\s*;?\\s*$$""".r
 
   private def attrs(fields: (String, DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t)() }
@@ -189,6 +191,13 @@ private[sources] object GraftMaintenance {
       Some(GraftDmlCommand(sqlText, name, None))
     case mergeDmlRe(target, source) if isGraft(target) =>
       Some(GraftDmlCommand(sqlText, target, Some(source)))
+    // IN-subquery DELETE: the v2 SupportsDelete path refuses (a
+    // subquery never translates to pushable filters), but GraftSql
+    // runs it as a keyed anti-merge — hash equi-join on the key,
+    // never a collected value list. Simple-predicate DELETEs still
+    // take the v2 route below this interception.
+    case deleteInDmlRe(name) if isGraft(name) =>
+      Some(GraftDmlCommand(sqlText, name, None))
     // batch change feed as a statement (Delta's table_changes TVF
     // shape): returns the LAZY changeFeed plan, NOT a collecting
     // command — the feed over a big version range is data-scaled and

@@ -311,6 +311,14 @@ class GraftCatalogSpec extends GraftSparkSpec {
       "WHEN MATCHED THEN UPDATE SET v = s.v")
     assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.dml_tbl " +
       "WHERE v = 7").head().getLong(0) == 5)
+    // IN-subquery DELETE: the v2 path can't translate a subquery —
+    // the interception runs it as GraftSql's keyed anti-merge
+    spark.sql("DELETE FROM graftc.default.dml_tbl WHERE id IN " +
+      "(SELECT id FROM merge_upd)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.dml_tbl")
+      .head().getLong(0) == 100)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.dml_tbl " +
+      "WHERE v = 7").head().getLong(0) == 0)
     // a literal containing the table name must survive the splice
     spark.sql("CREATE TABLE graftc.default.lit_tbl USING graftlake " +
       "AS SELECT id, CAST('x' AS STRING) AS tag FROM range(5)")
