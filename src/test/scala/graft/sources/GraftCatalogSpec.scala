@@ -248,7 +248,34 @@ class GraftCatalogSpec extends GraftSparkSpec {
       allBuckets.size,
       "a range predicate must not derive hash-bucket bounds")
 
-    Seq("pt", "pt2", "pb").foreach(t => spark.sql(s"DROP TABLE graftc.default.$t"))
+    // transforms COMPOSE: days(ts) × bucket(4, k) — both generated
+    // columns fill on a padded INSERT, and a conjunctive predicate on
+    // the two RAW columns prunes on both derived partition keys
+    spark.sql("CREATE TABLE graftc.default.pc (k BIGINT, ts TIMESTAMP) " +
+      "USING graftlake PARTITIONED BY (days(ts), bucket(4, k))")
+    spark.sql("INSERT INTO graftc.default.pc (k, ts) SELECT id, " +
+      "TIMESTAMP'2024-05-01 00:00:00' + " +
+      "make_interval(0, 0, 0, CAST(id % 3 AS INT), 0, 0, 0) FROM range(60)")
+    val pcT = graft.lake.GraftTable.forPath(spark,
+      java.nio.file.Paths.get(tmpWarehouse, "default", "pc").toString)
+    assert(pcT.snapshot.partitionColumns == Seq("ts_day", "k_bucket"))
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.pc " +
+      "WHERE k = 7 AND ts >= TIMESTAMP'2024-05-02 00:00:00'")
+      .head().getLong(0) == 1)
+    val pcGens = pcT.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+      .collect { case (key, value) if key.startsWith("graft.generated.") =>
+        key.stripPrefix("graft.generated.") -> value }
+    val prunedBoth = graft.lake.Pruning.prune(pcT.snapshot.activeFiles,
+      pcT.snapshot.schema, pcT.snapshot.partitionColumns,
+      col("k") === 7L && col("ts") >= java.sql.Timestamp.valueOf("2024-05-02 00:00:00"),
+      pcGens)
+    assert(prunedBoth.flatMap(_.partitionValues.get("k_bucket")).distinct.size == 1,
+      "the k = 7 conjunct must prune to one bucket")
+    assert(!prunedBoth.flatMap(_.partitionValues.get("ts_day")).distinct
+      .contains("2024-05-01"),
+      "the ts range conjunct must prune the first day")
+
+    Seq("pt", "pt2", "pb", "pc").foreach(t => spark.sql(s"DROP TABLE graftc.default.$t"))
   }
 
   test("ANALYZE intercepts only graft-resolvable names; graft-only verbs always") {
