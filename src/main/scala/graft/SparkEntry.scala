@@ -145,6 +145,7 @@ object SparkEntry {
     "pipe_token_budget" -> Pipeline.pipeTokenBudget _,
     "pipe_shard_manifest" -> Pipeline.pipeShardManifest _,
     "pipe_dsir_select" -> Pipeline.pipeDsirSelect _,
+    "pipe_epoch_plan" -> Pipeline.pipeEpochPlan _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_source_report" -> Pipeline.pipeSourceReport _,
@@ -1721,6 +1722,22 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(length(text)) AS BIGINT) AS n_chars " +
         "FROM documents GROUP BY 1 ORDER BY shard"),
+    // epoch planner: pure integer arithmetic (// is DuckDB's integral
+    // division matching Spark's div); budget/cap constants in lockstep
+    // with Pipeline.EpochBudget/MaxEpochs
+    "pipe_epoch_plan" ->
+      ("WITH t AS (SELECT source, CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS tokens " +
+        "FROM documents GROUP BY source HAVING tokens > 0), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM t), " +
+        "p AS (SELECT source, tokens, CAST(200000 // n_sources AS BIGINT) AS alloc " +
+        "FROM t CROSS JOIN n), " +
+        "e AS (SELECT source, tokens, alloc, " +
+        "CAST(LEAST(4, (alloc + tokens - 1) // tokens) AS BIGINT) AS epochs FROM p), " +
+        "a AS (SELECT source, tokens, alloc, epochs, " +
+        "CAST(LEAST(alloc, epochs * tokens) AS BIGINT) AS achieved FROM e) " +
+        "SELECT source, tokens, alloc, epochs, achieved, " +
+        "CAST(alloc - achieved AS BIGINT) AS deficit FROM a ORDER BY source"),
     // DSIR selection: floor-log2 bits via bin-length (the T13 trick),
     // inner-join smoothing (out-of-target terms carry no evidence),
     // exact-integer score, constant top-100

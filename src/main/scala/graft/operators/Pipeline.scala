@@ -382,6 +382,49 @@ object Pipeline {
       .orderBy("source")
   }
 
+  // epoch-planner tuning — the oracle SQL embeds the same constants
+  private val EpochBudget = 200000L // total training-token budget
+  private val MaxEpochs = 4L        // repetition ceiling per source
+
+  /** Epoch/repetition plan per source (P16 — the data-constrained
+    * scaling question: given a token budget and a repetition ceiling,
+    * how many epochs of each source fit, and how much budget goes
+    * unfilled?): the budget splits equally across sources, each
+    * source repeats ⌈alloc / tokens⌉ epochs capped at [[MaxEpochs]],
+    * achieved tokens = min(alloc, cap · tokens) — all exact integer
+    * arithmetic (ceiling division via (a + b − 1) / b, no floats), so
+    * the plan is bit-identical across engines.
+    *
+    * Scale shape: one map-side-combined rollup to |sources| rows; the
+    * planner arithmetic runs over that constant-bounded table (the
+    * 1-row source-count aggregate is a pinned broadcast, the safe
+    * hint class).
+    */
+  def pipeEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables(spark, dir, "documents")
+      .select(col("source"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tokens"))
+      .groupBy("source").agg(sum("n_tokens").as("tokens"))
+      // an all-empty source has nothing to repeat (and 0 tokens would
+      // divide-by-zero differently across engines)
+      .filter(col("tokens") > 0)
+    val nSources = perSource.agg(count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(nSources))
+      // `div` is Spark's INTEGRAL division (`/` on longs is double
+      // division — a float quotient would break engine parity)
+      .withColumn("alloc", expr(s"${EpochBudget}L div n_sources"))
+      .withColumn("epochs",
+        least(lit(MaxEpochs), expr("(alloc + tokens - 1) div tokens")))
+      .withColumn("achieved",
+        least(col("alloc"), col("epochs") * col("tokens")))
+      .withColumn("deficit", col("alloc") - col("achieved"))
+      .select(col("source"), col("tokens"), col("alloc"), col("epochs"),
+        col("achieved"), col("deficit"))
+      .orderBy("source")
+  }
+
   private val DsirK = 100
 
   /** DSIR-flavored importance selection (P14 — the "pick raw-pool
