@@ -146,6 +146,7 @@ object SparkEntry {
     "pipe_shard_manifest" -> Pipeline.pipeShardManifest _,
     "pipe_dsir_select" -> Pipeline.pipeDsirSelect _,
     "pipe_epoch_plan" -> Pipeline.pipeEpochPlan _,
+    "pipe_split_leakage" -> Pipeline.pipeSplitLeakage _,
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_source_report" -> Pipeline.pipeSourceReport _,
@@ -1722,6 +1723,22 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(length(text)) AS BIGINT) AS n_chars " +
         "FROM documents GROUP BY 1 ORDER BY shard"),
+    // split leakage: the text_bigrams kernel replica + the pipe_split
+    // hash, distinct train set before the join, exact-DOUBLE rate
+    "pipe_split_leakage" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "(((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket, " +
+        "regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "b AS (SELECT doc_id, bucket, UNNEST(list_transform(" +
+        "generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM d), " +
+        "tr AS (SELECT DISTINCT bigram FROM b WHERE bucket < 97), " +
+        "te AS (SELECT DISTINCT doc_id, bigram FROM b WHERE bucket >= 99) " +
+        "SELECT te.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(COUNT(tr.bigram) AS BIGINT) AS n_leaked, " +
+        "ROUND(CAST(COUNT(tr.bigram) AS DOUBLE) / COUNT(*), 6) AS leak_rate " +
+        "FROM te LEFT JOIN tr ON te.bigram = tr.bigram " +
+        "GROUP BY te.doc_id ORDER BY te.doc_id"),
     // epoch planner: pure integer arithmetic (// is DuckDB's integral
     // division matching Spark's div); budget/cap constants in lockstep
     // with Pipeline.EpochBudget/MaxEpochs

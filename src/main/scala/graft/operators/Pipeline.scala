@@ -382,6 +382,41 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Train→test split-leakage report (P17 — the governance check run
+    * AFTER splitting: how much of each held-out document's n-gram
+    * mass already appears in the training split? High leakage means
+    * the eval set cannot measure generalization): every P8-test doc
+    * reports its distinct-bigram count, how many of those bigrams
+    * occur in ANY train doc, and the leaked share — the same
+    * [[graft.functions.GraftFunctions]] bigram kernel and the same
+    * P8 hash-bucket split, so the report agrees with the operators it
+    * audits.
+    *
+    * Scale shape: the train side collapses to its DISTINCT bigram
+    * set (vocabulary-bounded, like the T13 df table) before the join;
+    * the test side is 1% of the corpus by the split's construction.
+    * Left join on the bigram key — corpus-derived sides UNHINTED.
+    */
+  def pipeSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("bucket", docHash(col("doc_id")) % 100)
+      .select(col("doc_id"), col("bucket"),
+        explode(expr("graft_bigrams(text)")).as("bigram"))
+    val trainBigrams = docs.filter(col("bucket") < 97)
+      .select("bigram").distinct().withColumn("in_train", lit(1L))
+    docs.filter(col("bucket") >= 99)
+      .select("doc_id", "bigram").distinct()
+      .join(trainBigrams, Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("in_train"), lit(0L))).as("n_leaked"))
+      .withColumn("leak_rate",
+        round(col("n_leaked").cast("double") / col("n_bigrams"), 6))
+      .orderBy("doc_id")
+  }
+
   // epoch-planner tuning — the oracle SQL embeds the same constants
   private val EpochBudget = 200000L // total training-token budget
   private val MaxEpochs = 4L        // repetition ceiling per source
