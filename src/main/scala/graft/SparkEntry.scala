@@ -128,6 +128,7 @@ object SparkEntry {
     "sim_filtered_ivf" -> Similarity.simFilteredIvf _,
     "sim_pagerank" -> Similarity.simPagerank _,
     "sim_triangles" -> Similarity.simTriangles _,
+    "sim_kcore" -> Similarity.simKcore _,
     "sim_hybrid_rrf" -> Similarity.simHybridRrf _,
     "sim_sq_topk" -> Similarity.simSqTopk _,
     "sim_sq_materialized" -> Similarity.simSqMaterialized _,
@@ -522,6 +523,31 @@ object SparkEntry {
       "(SELECT x AS id FROM tri UNION ALL SELECT y1 FROM tri " +
       "UNION ALL SELECT y2 FROM tri) GROUP BY id " +
       "ORDER BY n_tri DESC, vec_id LIMIT 20"
+
+  /** k-core replay over the KNN edges: three unrolled peel rounds
+    * (degree on the canonical pair set → keep ≥ 3 → re-filter edges),
+    * round-for-round with [[graft.operators.Similarity.simKcore]].
+    */
+  private def simKcoreSql: String = {
+    // every und CTE is referenced several times by the next round —
+    // MATERIALIZED stops DuckDB's default inlining from expanding the
+    // whole upstream chain 4^rounds times
+    def round(prev: String, i: Int): String =
+      s"deg$i AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM " +
+        s"(SELECT u AS id FROM $prev " +
+        s"UNION ALL SELECT v FROM $prev) GROUP BY id), " +
+        s"keep$i AS MATERIALIZED (SELECT id FROM deg$i WHERE d >= 3), " +
+        s"und$i AS MATERIALIZED (SELECT u, v FROM $prev " +
+        s"JOIN keep$i ku ON ku.id = u JOIN keep$i kv ON kv.id = v)"
+    s"WITH $knnCtes, " +
+      "edges AS (SELECT id_a, id_b FROM knnr WHERE rn <= 3), " +
+      "und0 AS MATERIALIZED (SELECT DISTINCT LEAST(id_a, id_b) AS u, " +
+      "GREATEST(id_a, id_b) AS v FROM edges), " +
+      round("und0", 1) + ", " + round("und1", 2) + ", " + round("und2", 3) +
+      " SELECT id AS vec_id, CAST(COUNT(*) AS BIGINT) AS deg FROM " +
+      "(SELECT u AS id FROM und3 UNION ALL SELECT v FROM und3) " +
+      "GROUP BY id ORDER BY vec_id"
+  }
 
   /** [[simIvfSql]] with a corpus-side label pre-filter on the
     * candidate rows — the index-backed "vector search with a WHERE
@@ -1427,6 +1453,7 @@ object SparkEntry {
     "sim_filtered_ivf" -> simFilteredIvfSql,
     "sim_pagerank" -> simPagerankSql,
     "sim_triangles" -> simTrianglesSql,
+    "sim_kcore" -> simKcoreSql,
     "sim_sq_topk" -> simSqSql,
     // the materialized-codes path shares the session chain's scales
     // and code arithmetic, so it shares the full replay oracle

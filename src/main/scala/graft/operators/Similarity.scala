@@ -610,6 +610,44 @@ object Similarity {
     r.select(col("id").as("vec_id"), col("r").as("pr")).orderBy("vec_id")
   }
 
+  /** k-core peel over the KNN similarity graph (S19 — the coreness
+    * curation cut: documents surviving the k-core sit in densely
+    * interconnected semantic neighborhoods, while low-coreness docs
+    * are weakly attached outliers even when their raw degree is
+    * high): three fixed peel rounds (S15's unrolled-iteration
+    * discipline, so the DuckDB oracle replays round-for-round) each
+    * drop nodes with degree < 3 on the CANONICAL undirected pair set
+    * and their incident edges; survivors report their final degree.
+    *
+    * Scale shape: each round is one map-side-combined degree
+    * aggregate plus two id-keyed semi-join-shaped filters;
+    * `localCheckpoint` caps plan growth across rounds exactly like
+    * the CC and PageRank loops. Reads the same settled KNN fixture
+    * as S15/S17 — no per-session vector scoring.
+    */
+  def simKcore(spark: SparkSession, dir: String): DataFrame = {
+    val K = 3L
+    var und = settledKnn(spark, dir, forceBuild = false)
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v")).distinct()
+      .localCheckpoint(true)
+    (1 to 3).foreach { _ =>
+      val deg = und.select(col("u").as("id"))
+        .unionAll(und.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= K).select("id")
+      und = und
+        .join(keep.select(col("id").as("u")), "u")
+        .join(keep.select(col("id").as("v")), "v")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .select(col("id").as("vec_id"), col("deg"))
+      .orderBy("vec_id")
+  }
+
   /** Triangle participation over the [[simKnnJoin]] similarity graph
     * — the local-clustering primitive of graph-based corpus curation
     * (a document in many triangles sits in a tight semantic cluster;
