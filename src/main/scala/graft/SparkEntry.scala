@@ -43,6 +43,8 @@ object SparkEntry {
     "q61_concurrency" -> Analytics.q61Concurrency _,
     "q62_transitions" -> Analytics.q62Transitions _,
     "q63_anomaly" -> Analytics.q63Anomaly _,
+    "q64_rfm" -> Analytics.q64Rfm _,
+    "q65_gini" -> Analytics.q65Gini _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -91,6 +93,7 @@ object SparkEntry {
     "text_bigrams" -> TextOps.textBigrams _,
     "text_quality" -> TextOps.textQuality _,
     "text_ttr" -> TextOps.textTtr _,
+    "text_zipf" -> TextOps.textZipf _,
     "text_langid" -> TextOps.textLangid _,
     "text_fingerprint" -> TextOps.textFingerprint _,
     "text_pii_scrub" -> TextOps.textPiiScrub _,
@@ -129,6 +132,7 @@ object SparkEntry {
     "sim_pagerank" -> Similarity.simPagerank _,
     "sim_triangles" -> Similarity.simTriangles _,
     "sim_kcore" -> Similarity.simKcore _,
+    "sim_mmr" -> Similarity.simMmr _,
     "sim_hybrid_rrf" -> Similarity.simHybridRrf _,
     "sim_sq_topk" -> Similarity.simSqTopk _,
     "sim_sq_materialized" -> Similarity.simSqMaterialized _,
@@ -151,6 +155,7 @@ object SparkEntry {
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_source_report" -> Pipeline.pipeSourceReport _,
+    "pipe_temperature_mix" -> Pipeline.pipeTemperatureMix _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
     "pipe_fuzzy_decontaminate" -> Pipeline.pipeFuzzyDecontaminate _,
     "pipe_pack" -> Pipeline.pipePack _,
@@ -549,6 +554,61 @@ object SparkEntry {
       "GROUP BY id ORDER BY vec_id"
   }
 
+  /** Unrolled greedy-MMR replay: the pool is the proven
+    * sim_bruteforce_topk chain (top-[[Similarity.MmrPool]] with raw
+    * cosine), pairwise candidate similarities via
+    * `list_cosine_similarity`, then one CTE block per selection step —
+    * each picks argmax of 0.5·cos − 0.5·max-sim-to-selected (λ = 0.5:
+    * power-of-two scales, exact in IEEE double) with the (score desc,
+    * cid) tiebreak. Step count and pool size come from the SAME Scala
+    * constants as [[graft.operators.Similarity.simMmr]].
+    */
+  private def simMmrSql: String = {
+    val pool = Similarity.MmrPool
+    val k = Similarity.MmrK
+    val steps = (2 to k).map { s =>
+      val prev = s"prev$s"
+      val prevDef =
+        if (s == 2) s"$prev AS (SELECT qid, cid FROM sel1)"
+        else s"$prev AS (SELECT qid, cid FROM prev${s - 1} " +
+          s"UNION ALL SELECT qid, cid FROM sel${s - 1})"
+      prevDef + ", " +
+        s"sel$s AS (SELECT qid, cid, mmr, CAST($s AS BIGINT) AS rn FROM (" +
+        "SELECT cv.qid, cv.cid, CAST(0.5 AS DOUBLE)*cv.cos_raw - " +
+        "CAST(0.5 AS DOUBLE)*p.ms AS mmr, " +
+        "ROW_NUMBER() OVER (PARTITION BY cv.qid ORDER BY " +
+        "CAST(0.5 AS DOUBLE)*cv.cos_raw - CAST(0.5 AS DOUBLE)*p.ms DESC, " +
+        "cv.cid) AS r " +
+        "FROM cv JOIN (SELECT pw.qid, pw.i AS cid, MAX(pw.s) AS ms FROM pw " +
+        s"JOIN $prev pv ON pw.qid = pv.qid AND pw.j = pv.cid " +
+        "GROUP BY pw.qid, pw.i) p " +
+        "ON cv.qid = p.qid AND cv.cid = p.cid " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $prev pv2 " +
+        "WHERE pv2.qid = cv.qid AND pv2.cid = cv.cid)) WHERE r = 1)"
+    }.mkString(", ")
+    "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe " +
+      "FROM embeddings WHERE vec_id < 10), " +
+      "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
+      "FROM embeddings WHERE vec_id >= 10), " +
+      "s AS (SELECT qid, cid, list_cosine_similarity(qe, ce) AS cos_raw " +
+      "FROM q CROSS JOIN c), " +
+      "vk AS (SELECT qid, cid, cos_raw FROM (SELECT qid, cid, cos_raw, " +
+      "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn " +
+      s"FROM s) WHERE rn <= $pool), " +
+      "cv AS (SELECT qid, vk.cid AS cid, cos_raw, ce FROM vk " +
+      "JOIN c ON vk.cid = c.cid), " +
+      "pw AS (SELECT a.qid, a.cid AS i, b.cid AS j, " +
+      "list_cosine_similarity(a.ce, b.ce) AS s FROM cv a " +
+      "JOIN cv b ON a.qid = b.qid AND a.cid <> b.cid), " +
+      "sel1 AS (SELECT qid, cid, CAST(0.5 AS DOUBLE)*cos_raw AS mmr, " +
+      "CAST(1 AS BIGINT) AS rn FROM (SELECT qid, cid, cos_raw, " +
+      "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS r " +
+      "FROM cv) WHERE r = 1), " + steps +
+      " SELECT qid, cid, ROUND(mmr, 6) AS mmr, rn FROM (" +
+      (1 to k).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ") +
+      ") ORDER BY qid, rn"
+  }
+
   /** [[simIvfSql]] with a corpus-side label pre-filter on the
     * candidate rows — the index-backed "vector search with a WHERE
     * clause" replay.
@@ -811,6 +871,39 @@ object SparkEntry {
         "m AS (SELECT event_type, n AS med FROM rk WHERE rn = (cnt + 1) // 2) " +
         "SELECT h.event_type, h.hour, h.n, m.med FROM h JOIN m USING (event_type) " +
         "WHERE h.n >= m.med * 3 ORDER BY event_type, hour"),
+    // RFM: NTILE(5) replicated by the two-phase ordinal + ntileBucket
+    // arithmetic (the q29 parity contract); spend in exact cents
+    "q64_rfm" ->
+      ("WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders), " +
+        "base AS (SELECT o_custkey, " +
+        "date_diff('day', CAST(MAX(o_orderdate) AS DATE), (SELECT maxd FROM mx)) AS rec_days, " +
+        "COUNT(*) AS freq, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS cents " +
+        "FROM orders GROUP BY o_custkey), " +
+        "s AS (SELECT o_custkey, cents, " +
+        "CAST(NTILE(5) OVER (ORDER BY rec_days, o_custkey) AS BIGINT) AS r_score, " +
+        "CAST(NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_score, " +
+        "CAST(NTILE(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS m_score " +
+        "FROM base) " +
+        "SELECT r_score, f_score, m_score, COUNT(*) AS n_customers, " +
+        "CAST(SUM(cents) AS BIGINT) AS segment_cents " +
+        "FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    // Gini: Lorenz weighting Σ i·xᵢ in HUGEINT ≡ Spark DECIMAL(38,0);
+    // doubles only at the two final divisions, n//10 ≡ Scala n/10
+    "q65_gini" ->
+      ("WITH rev AS (SELECT o_custkey, " +
+        "SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS cents FROM orders " +
+        "GROUP BY o_custkey), " +
+        "nn AS (SELECT COUNT(*) AS n FROM rev), " +
+        "rk AS (SELECT o_custkey, cents, " +
+        "ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM rev), " +
+        "a AS (SELECT SUM(cents) AS tot, SUM(CAST(i AS HUGEINT)*cents) AS s, " +
+        "SUM(CASE WHEN i > (SELECT n - n//10 FROM nn) THEN cents ELSE 0 END) AS topc " +
+        "FROM rk) " +
+        "SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_customers, " +
+        "CAST(tot AS BIGINT) AS total_cents, " +
+        "ROUND(CAST(2*s AS DOUBLE)/(CAST((SELECT n FROM nn) AS DOUBLE)*CAST(tot AS DOUBLE)) - " +
+        "CAST((SELECT n+1 FROM nn) AS DOUBLE)/CAST((SELECT n FROM nn) AS DOUBLE), 6) AS gini, " +
+        "ROUND(CAST(topc AS DOUBLE)/CAST(tot AS DOUBLE), 6) AS top10_share FROM a"),
     // transition matrix: LEAD under the deterministic (ts, event_id)
     // order; SUM(BIGINT) re-cast from DuckDB's HUGEINT; probability
     // in exact DOUBLE division
@@ -1346,6 +1439,40 @@ object SparkEntry {
         "CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
         "ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6) AS ttr " +
         "FROM tf GROUP BY doc_id ORDER BY doc_id"),
+    // Zipf fit: bit-length bins (length(bin(n)) both engines), exact
+    // integer regression sums, HUGEINT ≡ DECIMAL(38,0) products,
+    // doubles only at the two final divisions
+    "text_zipf" ->
+      ("WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "v AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word), " +
+        "r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank FROM v), " +
+        "b AS (SELECT CAST(length(bin(rank)) AS BIGINT) AS x, " +
+        "CAST(length(bin(freq)) AS BIGINT) AS y FROM r), " +
+        "f AS (SELECT COUNT(*) AS v, SUM(x) AS sx, SUM(y) AS sy, " +
+        "SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM b) " +
+        "SELECT CAST(v AS BIGINT) AS vocab_size, " +
+        "ROUND(CAST(v*sxy - sx*sy AS DOUBLE)/CAST(v*sxx - sx*sx AS DOUBLE), 6) AS slope, " +
+        "ROUND((CAST(sy AS DOUBLE) - " +
+        "(CAST(v*sxy - sx*sy AS DOUBLE)/CAST(v*sxx - sx*sx AS DOUBLE))*CAST(sx AS DOUBLE))" +
+        "/CAST(v AS DOUBLE), 6) AS intercept FROM f"),
+    // temperature mixture: integer floor-sqrt weights (exact integer
+    // denominator — see pipeTemperatureMix), doubles at the edge
+    "pipe_temperature_mix" ->
+      ("WITH src AS (SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS tokens " +
+        "FROM documents GROUP BY source), " +
+        "si AS (SELECT source, n_docs, tokens, " +
+        "CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS isqrt FROM src), " +
+        "tot AS (SELECT SUM(tokens) AS tot_tokens, SUM(isqrt) AS tot_isqrt FROM si) " +
+        "SELECT source, n_docs, tokens, " +
+        "ROUND(CAST(tokens AS DOUBLE)/CAST(tot_tokens AS DOUBLE), 6) AS share, " +
+        "ROUND(CAST(isqrt AS DOUBLE)/CAST(tot_isqrt AS DOUBLE), 6) AS weight, " +
+        "ROUND((CAST(isqrt AS DOUBLE)/CAST(tot_isqrt AS DOUBLE)) / " +
+        "(CAST(tokens AS DOUBLE)/CAST(tot_tokens AS DOUBLE)), 6) AS boost, " +
+        "CAST(FLOOR((CAST(isqrt AS DOUBLE)/CAST(tot_isqrt AS DOUBLE)) * 1000000) AS BIGINT) " +
+        "AS samples FROM si CROSS JOIN tot ORDER BY source"),
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     // the sidecar replays the session signature/band arithmetic over
@@ -1454,6 +1581,7 @@ object SparkEntry {
     "sim_pagerank" -> simPagerankSql,
     "sim_triangles" -> simTrianglesSql,
     "sim_kcore" -> simKcoreSql,
+    "sim_mmr" -> simMmrSql,
     "sim_sq_topk" -> simSqSql,
     // the materialized-codes path shares the session chain's scales
     // and code arithmetic, so it shares the full replay oracle

@@ -608,3 +608,108 @@ object SqScoresFromCodes {
     SqScores.scoreAgainst(cs, norm2, qqs)
   }
 }
+
+/** Greedy Maximal-Marginal-Relevance selection (S19): given ONE
+  * query's candidate pool — an array of (cid, relevance, embedding)
+  * structs, constant-bounded by the upstream top-k — repeatedly pick
+  * argmax of λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j), the Carbonell &
+  * Goldstein '98 diversified re-rank every production RAG stack runs
+  * after dense retrieval. λ = 0.5 keeps every multiply a power-of-two
+  * scale (exact in IEEE double), so score comparisons cannot drift
+  * against the DuckDB oracle's unrolled replay. Pairwise cosine uses
+  * the [[CosineScores]] arithmetic (left-to-right double dot,
+  * separately-rooted norms — the `list_cosine_similarity` form).
+  * Runs once per query row (nq rows total): the selection is O(k·n)
+  * with an O(k·n·dim) similarity bill, all inside one expression
+  * eval — nothing here scales with the corpus.
+  */
+case class MmrSelect(child: Expression, lambda: Double, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("mmr", DoubleType, nullable = false),
+    StructField("rn", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    MmrSelect.kernel(v.asInstanceOf[ArrayData], lambda, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MmrSelect.kernel($c, $lambda, $k);")
+
+  override protected def withNewChildInternal(c: Expression): MmrSelect =
+    copy(child = c)
+  override def prettyName: String = "mmr_select"
+}
+
+object MmrSelect {
+  def kernel(cands: ArrayData, lambda: Double, k: Int): ArrayData = {
+    val n = cands.numElements()
+    val cid = new Array[Long](n)
+    val rel = new Array[Double](n)
+    val emb = new Array[Array[Double]](n)
+    val norm = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = cands.getStruct(i, 3)
+      cid(i) = row.getLong(0)
+      rel(i) = row.getDouble(1)
+      val a = row.getArray(2)
+      val d = new Array[Double](a.numElements())
+      var j = 0
+      var acc = 0.0
+      while (j < d.length) {
+        d(j) = a.getFloat(j).toDouble; acc += d(j) * d(j); j += 1
+      }
+      emb(i) = d
+      norm(i) = math.sqrt(acc)
+      i += 1
+    }
+    def sim(a: Int, b: Int): Double = {
+      val x = emb(a); val y = emb(b)
+      val m = math.min(x.length, y.length)
+      var dot = 0.0
+      var j = 0
+      while (j < m) { dot += x(j) * y(j); j += 1 }
+      dot / (norm(a) * norm(b))
+    }
+    val selected = new Array[Boolean](n)
+    // true max-sim to the selected set — cosine can be NEGATIVE, so a
+    // zero-floored running max would silently inflate the penalty;
+    // -inf until the first selection, 0 (empty-set max) at step 1
+    val pen = Array.fill(n)(Double.NegativeInfinity)
+    val out = Array.newBuilder[Any]
+    val take = math.min(k, n)
+    var s = 0
+    while (s < take) {
+      var best = -1
+      var bestScore = 0.0
+      i = 0
+      while (i < n) {
+        if (!selected(i)) {
+          val p = if (s == 0) 0.0 else pen(i)
+          val sc = lambda * rel(i) - (1.0 - lambda) * p
+          if (best < 0 || sc > bestScore ||
+              (sc == bestScore && cid(i) < cid(best))) {
+            best = i; bestScore = sc
+          }
+        }
+        i += 1
+      }
+      selected(best) = true
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](cid(best), bestScore, (s + 1).toLong))
+      i = 0
+      while (i < n) {
+        if (!selected(i)) {
+          val sv = sim(i, best)
+          if (sv > pen(i)) pen(i) = sv
+        }
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out.result())
+  }
+}

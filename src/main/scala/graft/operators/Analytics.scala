@@ -610,16 +610,7 @@ object Analytics {
     val ranked = Ranks.withGlobalOrdinal(spend, "__ord",
       col("spend").desc, col("o_custkey"))
     val n = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
-    val k = 10L
-    val q = n / k
-    val r = n % k
-    val cut = r * (q + 1) // ordinals ≤ cut fall in the q+1-sized buckets
-    val decile =
-      when(col("__ord") <= cut,
-        floor((col("__ord") - 1) / lit(q + 1)))
-      .otherwise(lit(r) +
-        floor((col("__ord") - 1 - cut) / lit(math.max(q, 1L)))) + 1
-    ranked.withColumn("decile", decile.cast("long"))
+    ranked.withColumn("decile", Ranks.ntileBucket(col("__ord"), n, 10L))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), round(sum("spend"), 2).as("decile_spend"))
       .orderBy("decile")
@@ -1343,5 +1334,154 @@ object Analytics {
           abs(col("est") - col("exact_cnt")) <= col("n_total") / K)
           .as("est_err_ok"))
       .orderBy("item")
+  }
+
+  /** RFM customer segmentation (`q64_rfm`): every customer scored
+    * 1–5 on Recency (days since last order), Frequency (order count)
+    * and Monetary (lifetime spend, exact cents), then segment-level
+    * counts and spend — the classic CRM/cohort table, and the
+    * three-axis generalization of q29's decile segmentation.
+    *
+    * Scale shape: three [[Ranks.withGlobalOrdinal]] passes over the
+    * per-customer aggregate (SF-scaled — NEVER a partition-less
+    * NTILE window), each bucket then arithmetic over (ordinal, n)
+    * via the shared [[Ranks.ntileBucket]] contract; the aggregate is
+    * `localCheckpoint`ed once so the three rank passes and the count
+    * don't re-run the orders scan. Output is ≤125 segment rows. The
+    * only driver traffic is one long (the customer count).
+    */
+  def q64Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val maxd = o.agg(max(col("o_orderdate").cast("date")).as("corpus_max_d"))
+    val base = o.groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .crossJoin(broadcast(maxd)) // 1-row aggregate: sanctioned pin
+      .withColumn("rec_days",
+        datediff(col("corpus_max_d"), col("last_d")).cast("long"))
+      .select("o_custkey", "rec_days", "freq", "cents")
+      .localCheckpoint()
+    val n = base.count()
+    def score(metric: String, asc: Boolean): DataFrame = {
+      val ord =
+        if (asc) Seq(col(metric).asc, col("o_custkey").asc)
+        else Seq(col(metric).desc, col("o_custkey").asc)
+      Ranks.withGlobalOrdinal(base.select("o_custkey", metric), "__ord", ord: _*)
+        .select(col("o_custkey"), col(metric),
+          Ranks.ntileBucket(col("__ord"), n, 5L).as(metric + "_score"))
+    }
+    // 1 = best on every axis: most recent, most frequent, top spend
+    val r = score("rec_days", asc = true).drop("rec_days")
+    val f = score("freq", asc = false).drop("freq")
+    val m = score("cents", asc = false)
+    r.join(f, "o_custkey").join(m, "o_custkey")
+      .groupBy(col("rec_days_score").as("r_score"),
+        col("freq_score").as("f_score"), col("cents_score").as("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("segment_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Revenue concentration (`q65_gini`): Gini coefficient of
+    * per-customer lifetime spend plus the top-decile revenue share —
+    * the inequality/concentration health check marketplaces and
+    * corpus-curation audits both run.
+    *
+    * Exact arithmetic end to end: spend in integer cents, the Lorenz
+    * weighting Σ i·xᵢ accumulated in DECIMAL(38,0) (order-independent
+    * integer sum — no float drift, and no overflow at the 100 TB
+    * design point where i·xᵢ exceeds a long), doubles only at the
+    * final two divisions. The ascending rank is the two-phase global
+    * ordinal, never a partition-less window; driver traffic is one
+    * long (the customer count).
+    */
+  def q65Gini(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val rev = o.groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .localCheckpoint() // counted once, ranked once — settle the aggregate
+    val n = rev.count()
+    val ranked = Ranks.withGlobalOrdinal(rev, "__ord",
+      col("cents").asc, col("o_custkey"))
+    val cut = n - n / 10L // ordinals above this form the top decile
+    ranked
+      .agg(sum(col("cents")).as("tot"),
+        sum(col("cents").cast("decimal(38,0)") * col("__ord")).as("s"),
+        sum(when(col("__ord") > cut, col("cents")).otherwise(lit(0L))).as("topc"))
+      .select(lit(n).as("n_customers"),
+        col("tot").as("total_cents"),
+        round((col("s") * 2).cast("double") /
+            (lit(n.toDouble) * col("tot").cast("double")) -
+          lit((n + 1).toDouble / n.toDouble), 6).as("gini"),
+        round(col("topc").cast("double") / col("tot").cast("double"), 6)
+          .as("top10_share"))
+  }
+
+  /** Linear multi-touch attribution (`q66_attribution`): every
+    * purchase's value splits equally across the user's click/view
+    * touches in the preceding 24 h; untouched purchases land in the
+    * `direct` bucket — the marketing-attribution table behind every
+    * channel-ROI dashboard, and the causal sibling of q14's
+    * last-touch as-of join.
+    *
+    * Exact integers: value in cents, the per-touch share is integer
+    * division (`DIV` ≡ DuckDB `//` — `floor(a/b)` through doubles
+    * can round UP across the integer boundary when b is large, so
+    * both engines use true integer division). One LEFT join keyed on
+    * user (+ time-range residual) so the no-touch case rides the
+    * same scan, then a per-purchase window (bounded by one user's
+    * 24 h touch volume) — no join-back, no second scan of the join.
+    */
+  def q66Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), round(col("value") * 100).cast("long").as("cents"))
+    val t = e.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id").as("t_id"), col("user_id").as("t_uid"),
+        col("ts").as("t_ts"), col("event_type").as("touch_type"))
+    val j = p.join(t,
+      col("user_id") === col("t_uid") &&
+        col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"), "left")
+    val perPurchase = Window.partitionBy("p_id")
+    j.withColumn("n_t", count(col("t_id")).over(perPurchase))
+      .withColumn("bucket", coalesce(col("touch_type"), lit("direct")))
+      .withColumn("att_cents",
+        when(col("n_t") === 0, col("cents")).otherwise(expr("cents DIV n_t")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum("att_cents").as("attributed_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Cohort LTV triangle (`q67_cohort_ltv`): customers cohorted by
+    * first-order month; per (cohort, months-since-first) the active
+    * customer count, period revenue, and cumulative revenue — the
+    * retention/lifetime-value table every growth team reads.
+    *
+    * Scale shape: the cohort stamp is a per-customer window (bounded
+    * partitions, one scan — no first-order join-back re-running the
+    * orders scan), the rollup map-side combines to calendar² rows,
+    * and the cumulative sum's window partitions by cohort over those
+    * calendar-bounded rows. Revenue in exact cents.
+    */
+  def q67CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val perCust = Window.partitionBy("o_custkey")
+    val g = o.withColumn("cohort", min("m").over(perCust))
+      .withColumn("month_k",
+        months_between(col("m"), col("cohort")).cast("long"))
+      .groupBy("cohort", "month_k")
+      .agg(countDistinct("o_custkey").as("n_active"),
+        sum("cents").as("cents_m"))
+    val cum = Window.partitionBy("cohort").orderBy("month_k")
+    g.withColumn("cum_cents", sum("cents_m").over(cum))
+      .select(col("cohort").as("cohort_month"), col("month_k"),
+        col("n_active"), col("cents_m"), col("cum_cents"))
+      .orderBy("cohort_month", "month_k")
   }
 }

@@ -505,6 +505,45 @@ object Pipeline {
       .orderBy("rn")
   }
 
+  /** Temperature-scaled source mixture (P16, `pipe_temperature_mix`):
+    * per-source sampling weights w_s ∝ tokens_s^α with α = 0.5 — the
+    * UniMax/multilingual-recipe move that upsamples small sources and
+    * downsamples dominant ones without dropping data. α = 0.5 is
+    * deliberately realized as the INTEGER floor-sqrt of the token
+    * count: the weight denominator is then an exact integer sum
+    * (order-independent — a float Σ√tokens would drift with Spark's
+    * nondeterministic aggregation order and break oracle parity;
+    * IEEE sqrt itself is correctly rounded in both engines, so the
+    * floor is bit-identical). Doubles appear only at the final
+    * normalizations.
+    *
+    * Scale shape: one map-side-combined rollup to |sources| rows;
+    * the 1-row totals aggregate is the sanctioned broadcast pin.
+    * `samples` is the per-source draw count for a 1M-example budget;
+    * `boost` is the up/down-sampling factor vs proportional sampling.
+    */
+  def pipeTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 1000000L // sampling budget the draw counts are scaled to
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val src = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(toks).as("tokens"))
+      .withColumn("isqrt", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val tot = src.agg(sum("tokens").as("tot_tokens"), sum("isqrt").as("tot_isqrt"))
+    src.crossJoin(broadcast(tot)) // 1-row aggregate: sanctioned pin
+      .withColumn("share_raw",
+        col("tokens").cast("double") / col("tot_tokens").cast("double"))
+      .withColumn("weight_raw",
+        col("isqrt").cast("double") / col("tot_isqrt").cast("double"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("share_raw"), 6).as("share"),
+        round(col("weight_raw"), 6).as("weight"),
+        round(col("weight_raw") / col("share_raw"), 6).as("boost"),
+        floor(col("weight_raw") * Budget).cast("long").as("samples"))
+      .orderBy("source")
+  }
+
   def pipeShardManifest(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(pmod(docHash(col("doc_id")), lit(16L)).as("shard"),

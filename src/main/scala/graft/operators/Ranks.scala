@@ -35,4 +35,20 @@ object Ranks {
     }
     sorted.sparkSession.createDataFrame(indexed, schema)
   }
+
+  /** NTILE as arithmetic over a 1-based global ordinal: with q = n/k
+    * and r = n%k, the first r buckets hold q+1 rows — the exact SQL
+    * NTILE contract, so results hash-match the window form. Shared by
+    * every quantile-bucketing query (decile segmentation, RFM scores)
+    * so the contract lives in one place.
+    */
+  def ntileBucket(ord: Column, n: Long, k: Long): Column = {
+    import org.apache.spark.sql.functions.{floor, lit, when}
+    val q = n / k
+    val r = n % k
+    val cut = r * (q + 1) // ordinals ≤ cut fall in the q+1-sized buckets
+    (when(ord <= cut, floor((ord - 1) / lit(q + 1)))
+      .otherwise(lit(r) + floor((ord - 1 - cut) / lit(math.max(q, 1L)))) + 1)
+      .cast("long")
+  }
 }

@@ -128,6 +128,61 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // MMR tuning — the oracle SQL in SparkEntry embeds the same
+  // constants, so change them ONLY in lockstep with it
+  private[graft] val MmrPool = 30
+  private[graft] val MmrK = 5
+  private[graft] val MmrLambda = 0.5
+
+  /** MMR-diversified re-rank (S19, `sim_mmr`): exact cosine
+    * top-[[MmrPool]] per query (the S1 fused-kernel chassis), then
+    * greedy Maximal Marginal Relevance selects [[MmrK]] results
+    * balancing relevance against redundancy — the diversified
+    * retrieval every RAG stack runs so five near-duplicate passages
+    * don't fill the context window.
+    *
+    * Scale shape: the corpus is touched ONCE by the bounded top-k
+    * chassis (≤ partitions·nq·pool pairs in the shuffle); everything
+    * downstream — the embedding re-join (broadcast pin on the
+    * ≤ nq·pool candidate list, the sanctioned constant-bounded hint
+    * class), the per-query collect_list (≤ pool structs per row), and
+    * the [[graft.functions.MmrSelect]] greedy kernel — runs over
+    * constant-bounded data. λ = 0.5 keeps the scoring arithmetic
+    * exact under IEEE doubles (power-of-two scales), so the unrolled
+    * DuckDB replay hash-matches.
+    */
+  def simMmr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CosineScores, MmrSelect, ScoreTopK}
+    import org.apache.spark.sql.GraftSqlShims
+    val emb = Tables(spark, dir, "embeddings")
+    val qvs = emb.filter(col("vec_id") < QuerySetSize).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val vk = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id").as("cid"),
+        GraftSqlShims.column(CosineScores(
+          GraftSqlShims.expression(col("embedding")), qvs)).as("coss"))
+      .select(GraftSqlShims.column(ScoreTopK(
+          GraftSqlShims.expression(col("cid")),
+          GraftSqlShims.expression(col("coss")),
+          qvs.length, MmrPool).toAggregateExpression()).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r.qid"), col("r.cid"), col("r.cos"))
+    val cands = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("cid"), col("embedding"))
+      .join(broadcast(vk), "cid") // ≤ nq·pool rows: sanctioned pin
+    cands
+      .groupBy("qid")
+      .agg(collect_list(struct(col("cid"), col("cos"), col("embedding")))
+        .as("cands"))
+      .select(col("qid"),
+        explode(GraftSqlShims.column(MmrSelect(
+          GraftSqlShims.expression(col("cands")), MmrLambda, MmrK))).as("p"))
+      .select(col("qid"), col("p.cid"), round(col("p.mmr"), 6).as("mmr"),
+        col("p.rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Filtered (predicate-constrained) top-k vector search: exact
     * cosine top-k among only the corpus vectors satisfying a metadata
     * predicate — the "vector search with a WHERE clause" shape every

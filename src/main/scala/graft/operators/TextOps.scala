@@ -533,6 +533,46 @@ object TextOps {
     * (map-side combined), never a countDistinct buffer; the rollup is
     * doc-keyed — nothing global anywhere.
     */
+  /** Zipf's-law fit over the corpus vocabulary (T24, `text_zipf`):
+    * least-squares slope/intercept of bit-length(freq) against
+    * bit-length(rank) — Zipf predicts lb(freq) ≈ c − s·lb(rank), and
+    * a healthy natural-language corpus sits near s ≈ 1; template or
+    * machine-generated text bends the curve, making the slope a
+    * corpus-level quality signal next to the per-doc Gopher rules.
+    *
+    * Exact arithmetic: lb is the integer bit length (`length(bin(n))`
+    * — the T13/P14 floor-log2 idiom, no float log anywhere), all five
+    * regression sums are exact integers, and the normal-equation
+    * products run in DECIMAL(38,0) (vocab-count × Σxy overflows a
+    * long at the 100 TB design point). The vocabulary rank is the
+    * two-phase global ordinal, never a partition-less window; doubles
+    * appear only in the two final divisions.
+    */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val fit = Ranks.withGlobalOrdinal(vocab, "rank",
+        col("freq").desc, col("word"))
+      .select(length(bin(col("rank"))).cast("long").as("x"),
+        length(bin(col("freq"))).cast("long").as("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("v"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"))
+    fit
+      .withColumn("slope_raw",
+        (col("v") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("v") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("v").cast("long").as("vocab_size"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("sy").cast("double") -
+            col("slope_raw") * col("sx").cast("double")) /
+          col("v").cast("double"), 6).as("intercept"))
+  }
+
   def textTtr(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)

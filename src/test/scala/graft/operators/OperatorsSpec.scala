@@ -404,4 +404,46 @@ class OperatorsSpec extends GraftSparkSpec {
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("MMR greedy kernel: diversity penalty, negative-cosine max, tie-break") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    def cands(rows: (Long, Double, Array[Float])*): ArrayData =
+      new GenericArrayData(rows.map { case (cid, rel, emb) =>
+        new GenericInternalRow(Array[Any](cid, rel,
+          ArrayData.toArrayData(emb)))
+      }.toArray[Any])
+    def run(a: ArrayData, k: Int): Seq[(Long, Double, Long)] = {
+      val out = graft.functions.MmrSelect.kernel(a, 0.5, k)
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 3)
+        (r.getLong(0), r.getDouble(1), r.getLong(2))
+      }
+    }
+    // three candidates: 1 and 2 nearly parallel (high mutual sim),
+    // 3 orthogonal. Relevance order 1 > 2 > 3, but after picking 1
+    // the redundancy penalty must drop 2 below 3.
+    val a = cands(
+      (1L, 0.9, Array(1f, 0f)),
+      (2L, 0.8, Array(1f, 0.01f)),
+      (3L, 0.5, Array(0f, 1f)))
+    val sel = run(a, 3)
+    assert(sel.map(_._1) == Seq(1L, 3L, 2L), s"got $sel")
+    // negative cosine: the penalty is the TRUE max over the selected
+    // set — for an anti-parallel candidate it is negative, BOOSTING
+    // the score above λ·rel (a zero-floored running max would not)
+    val b = cands(
+      (1L, 0.9, Array(1f, 0f)),
+      (2L, 0.1, Array(-1f, 0f)))
+    val selB = run(b, 2)
+    assert(selB(1)._1 == 2L)
+    assert(selB(1)._2 > 0.5 * 0.1, "anti-parallel penalty must boost, not clamp to 0")
+    // exact score ties break toward the lowest cid
+    val c = cands(
+      (7L, 0.5, Array(1f, 0f)),
+      (4L, 0.5, Array(1f, 0f)))
+    assert(run(c, 1).head._1 == 4L)
+    // k beyond the pool returns the whole pool
+    assert(run(c, 10).size == 2)
+  }
 }

@@ -90,6 +90,9 @@ class ScaleSpec extends GraftSparkSpec {
     for ((name, df) <- Seq(
         "q29_ntile" -> Analytics.q29Ntile(spark, sfDir),
         "q32_percent_rank" -> Analytics.q32PercentRank(spark, sfDir),
+        "q64_rfm" -> Analytics.q64Rfm(spark, sfDir),
+        "q65_gini" -> Analytics.q65Gini(spark, sfDir),
+        "text_zipf" -> TextOps.textZipf(spark, sfDir),
         "pipe_shuffle" -> Pipeline.pipeShuffle(spark, sfDir)))
       assert(!df.queryExecution.executedPlan.toString.contains("Window"),
         s"$name must not reintroduce a partition-less global window")
