@@ -45,6 +45,8 @@ object SparkEntry {
     "q63_anomaly" -> Analytics.q63Anomaly _,
     "q64_rfm" -> Analytics.q64Rfm _,
     "q65_gini" -> Analytics.q65Gini _,
+    "q66_attribution" -> Analytics.q66Attribution _,
+    "q67_cohort_ltv" -> Analytics.q67CohortLtv _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -871,6 +873,36 @@ object SparkEntry {
         "m AS (SELECT event_type, n AS med FROM rk WHERE rn = (cnt + 1) // 2) " +
         "SELECT h.event_type, h.hour, h.n, m.med FROM h JOIN m USING (event_type) " +
         "WHERE h.n >= m.med * 3 ORDER BY event_type, hour"),
+    // linear attribution: per-touch share by TRUE integer division
+    // (DuckDB // ≡ Spark DIV); no-touch purchases ride the LEFT join
+    "q66_attribution" ->
+      ("WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, " +
+        "CAST(ROUND(value*100) AS BIGINT) AS cents " +
+        "FROM events WHERE event_type='purchase'), " +
+        "t AS (SELECT event_id AS t_id, user_id AS t_uid, ts AS t_ts, " +
+        "event_type AS touch_type FROM events WHERE event_type IN ('click','view')), " +
+        "j AS (SELECT p.*, t.t_id, t.touch_type FROM p LEFT JOIN t " +
+        "ON p.user_id = t.t_uid AND t.t_ts < p.p_ts " +
+        "AND t.t_ts >= p.p_ts - INTERVAL 24 HOURS), " +
+        "w AS (SELECT *, COUNT(t_id) OVER (PARTITION BY p_id) AS n_t, " +
+        "COALESCE(touch_type, 'direct') AS bucket FROM j) " +
+        "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN n_t = 0 THEN cents ELSE cents // n_t END) AS BIGINT) " +
+        "AS attributed_cents FROM w GROUP BY bucket ORDER BY bucket"),
+    // cohort LTV: month_k via month-boundary count (both inputs are
+    // month-truncated dates, so datediff('month') ≡ months_between);
+    // cumulative revenue partitions BY COHORT (calendar-bounded rows)
+    "q67_cohort_ltv" ->
+      ("WITH o AS (SELECT o_custkey, " +
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS m, " +
+        "CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents FROM orders), " +
+        "c AS (SELECT *, MIN(m) OVER (PARTITION BY o_custkey) AS cohort FROM o), " +
+        "g AS (SELECT cohort, CAST(datediff('month', cohort, m) AS BIGINT) AS month_k, " +
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active, " +
+        "CAST(SUM(cents) AS BIGINT) AS cents_m FROM c GROUP BY 1, 2) " +
+        "SELECT cohort AS cohort_month, month_k, n_active, cents_m, " +
+        "CAST(SUM(cents_m) OVER (PARTITION BY cohort ORDER BY month_k) AS BIGINT) " +
+        "AS cum_cents FROM g ORDER BY cohort_month, month_k"),
     // RFM: NTILE(5) replicated by the two-phase ordinal + ntileBucket
     // arithmetic (the q29 parity contract); spend in exact cents
     "q64_rfm" ->
