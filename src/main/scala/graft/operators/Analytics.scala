@@ -605,11 +605,16 @@ object Analytics {
     */
   def q29Ntile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
+    // spend has exactly one row per customer by construction, so the
+    // decile denominator is its row count — localCheckpoint settles the
+    // aggregate once so the count and the rank pass share ONE orders scan
+    // (never a second distinct() over the SF-scaled fact).
     val spend = o.groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("spend"))
+      .localCheckpoint()
+    val n = spend.count()
     val ranked = Ranks.withGlobalOrdinal(spend, "__ord",
       col("spend").desc, col("o_custkey"))
-    val n = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
     ranked.withColumn("decile", Ranks.ntileBucket(col("__ord"), n, 10L))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), round(sum("spend"), 2).as("decile_spend"))
@@ -665,11 +670,14 @@ object Analytics {
     */
   def q32PercentRank(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
+    // one row per customer by construction → n is the aggregate's row
+    // count; localCheckpoint so count + rank share one orders scan.
     val spend = o.groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("spend"))
+      .localCheckpoint()
+    val n = spend.count()
     val ranked = Ranks.withGlobalOrdinal(spend, "__ord",
       col("spend").desc, col("o_custkey"))
-    val n = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
     val prDenom = math.max(n - 1, 1L) // n=1 → percent_rank is 0 either way
     ranked
       .withColumn("pr", round((col("__ord") - 1).cast("double") / prDenom, 6))
@@ -1223,7 +1231,10 @@ object Analytics {
     val deltas = e.select(col("s").as("t"), lit(1L).as("d"))
       .unionAll(e.select(col("e").as("t"), lit(-1L).as("d")))
       .groupBy("t").agg(sum("d").as("d"))
-    val sorted = deltas.repartitionByRange(32, col("t"))
+    // session-default range partitioning: distinct instants scale with
+    // the data, so the cumsum stage must widen with the cluster — never
+    // a hardcoded partition count capping it at N tasks
+    val sorted = deltas.repartitionByRange(col("t"))
       .sortWithinPartitions("t")
     val rdd = sorted.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

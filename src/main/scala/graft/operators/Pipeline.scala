@@ -571,7 +571,9 @@ object Pipeline {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
         qualityScore(col("text")).as("q"))
-    val sorted = docs.repartitionByRange(32, col("q").desc, col("doc_id"))
+    // session-default range partitioning: the corpus scales with SF, so
+    // the cumsum stage must widen with the cluster, not cap at a literal
+    val sorted = docs.repartitionByRange(col("q").desc, col("doc_id"))
       .sortWithinPartitions(col("q").desc, col("doc_id"))
     val rdd = sorted.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -774,14 +774,27 @@ class LakeSpec extends GraftSparkSpec {
     t.log.commit(CommitInfo(System.currentTimeMillis(), "DELETE",
       Map.empty, Map.empty) +: rels.map(RemoveFile(_, old, dataChange = true)))
     // candidate discovery is driver-side log replay (no jobs); the
-    // only Spark job inside the call is the distributed unlink, so a
-    // job-count delta across the CALL (before any collect) proves the
-    // parallel path took over from the serial driver loop
-    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val df = t.vacuumLite(24.0, dryRun = false)
-    val afterDelete =
-      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    assert(afterDelete > before,
+    // only Spark job inside the call is the distributed unlink. A
+    // listener scoped to the call proves the parallel path took over
+    // from the serial driver loop. (NOT a statusTracker count delta:
+    // the tracker evicts past spark.ui.retainedJobs, so in a full-suite
+    // JVM the count can DECREASE across the call even when the job ran.)
+    val jobsDuringCall = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probe = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsDuringCall.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(probe)
+    val df = try {
+      val r = t.vacuumLite(24.0, dryRun = false)
+      // listener events post async — poll briefly for the JobStart
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobsDuringCall.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      r
+    } finally spark.sparkContext.removeSparkListener(probe)
+    assert(jobsDuringCall.get() > 0,
       "a >10k unlink must run as a Spark job (distributed), not a driver loop")
     val listed = df.collect().map(_.getString(0))
     assert(listed.length == n, s"all $n tombstones reclaim, got ${listed.length}")

@@ -112,6 +112,29 @@ class ScaleSpec extends GraftSparkSpec {
       assert(df.queryExecution.executedPlan.toString
           .contains("TakeOrderedAndProject"),
         s"$name must reduce to its constant selection via TakeOrdered")
+    // decile/percent-rank family: n comes from counting the settled
+    // per-customer aggregate — the final plan must carry NO file scan
+    // of the SF-scaled orders fact (the checkpoint severed lineage; a
+    // second orders.parquet scan here means the distinct().count()
+    // re-scan came back)
+    for ((name, df) <- Seq(
+        "q29_ntile" -> Analytics.q29Ntile(spark, sfDir),
+        "q32_percent_rank" -> Analytics.q32PercentRank(spark, sfDir)))
+      assert(!df.queryExecution.executedPlan.toString.contains("orders.parquet"),
+        s"$name must count the checkpointed aggregate, not re-scan orders")
+    // SF-scaled query files must never pin a literal partition count on
+    // a repartition: distinct keys scale with data, so a literal caps
+    // the stage at N tasks on a 1000-executor cluster. (LakeOps'
+    // literal repartitions are excluded by design — they build small
+    // multi-file FIXTURE tables where the file count IS the point.)
+    for (f <- Seq("operators/Analytics.scala", "operators/Pipeline.scala",
+        "operators/TextOps.scala", "operators/Dedup.scala",
+        "operators/Similarity.scala")) {
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"src/main/scala/graft/$f")), "UTF-8")
+      assert(!"""repartition(ByRange)?\(\s*\d""".r.findFirstIn(src).isDefined,
+        s"$f hardcodes a literal partition count — use session parallelism")
+    }
     // de-hinted TPC-H dims: no forced broadcast on SF-scaled sides —
     // the plan must not carry a user hint on customer/part/supplier
     // (AQE may still choose broadcast at runtime from actual sizes)
