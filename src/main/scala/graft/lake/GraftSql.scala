@@ -203,8 +203,61 @@ final class GraftSql(spark: SparkSession) {
     stmts.map(sql).last
   }
 
-  def sql(statement: String): DataFrame = {
+  /** Backtick-quoted identifiers: the grammar's `(\w+)` captures
+    * can't hold a name like `` `my-sales` ``, so quoted REGISTERED
+    * names normalize to generated word-safe aliases (re-pointed at
+    * the same table object) before matching. Quoted names that are
+    * NOT registered tables/views (column names, new CREATE targets)
+    * pass through untouched — `expr` and the spark.sql fallthrough
+    * both understand backticks natively. String literals are masked
+    * first so a '`' inside '...' never triggers a rewrite.
+    */
+  private def normalizeQuoted(stmt: String): String =
+    if (!stmt.contains('`')) stmt
+    else {
+      val masked = {
+        val b = stmt.toCharArray
+        var inStr = false
+        var i = 0
+        while (i < b.length) {
+          if (b(i) == '\'') inStr = !inStr else if (inStr) b(i) = '_'
+          i += 1
+        }
+        new String(b)
+      }
+      val sb = new StringBuilder
+      var last = 0
+      for (m <- "`([^`]+)`".r.findAllMatchIn(masked)) {
+        val inner = stmt.substring(m.start + 1, m.end - 1)
+        val replacement =
+          if (tables.contains(inner) || matViews.contains(inner) ||
+              distinctViews.contains(inner) || outerViews.contains(inner)) {
+            val alias = "graft_bq_" +
+              java.lang.Integer.toHexString(inner.hashCode).replace('-', '_')
+            tables.get(inner).foreach(tables(alias) = _)
+            matViews.get(inner).foreach(matViews(alias) = _)
+            distinctViews.get(inner).foreach(distinctViews(alias) = _)
+            outerViews.get(inner).foreach(outerViews(alias) = _)
+            alias
+          } else stmt.substring(m.start, m.end)
+        sb.append(stmt.substring(last, m.start)).append(replacement)
+        last = m.end
+      }
+      sb.append(stmt.substring(last)).toString
+    }
+
+  /** Expose every registered table as a temp view for the spark.sql
+    * fallthrough. Names the view grammar can't hold (hyphens etc.)
+    * are skipped — a statement reaches them through the backtick
+    * alias normalizeQuoted registered, which IS word-safe.
+    */
+  private def exposeViews(): Unit =
+    tables.foreach { case (n, tt) =>
+      if (n.matches("""\w+""")) tt.toDF.createOrReplaceTempView(n) }
+
+  def sql(statement0: String): DataFrame = {
     import spark.implicits._
+    val statement = normalizeQuoted(statement0)
     statement match {
       case optimizeRe(name, full, vorder1, zcols, vorder2, whereCond) =>
         val t = table(name)
@@ -248,7 +301,7 @@ final class GraftSql(spark: SparkSession) {
         val propRows = s.metadata.toSeq.flatMap(_.properties.toSeq.sorted)
         (schemaRows ++ propRows).toDF("col_name", "data_type")
       case ctasRe(name, partBy, location, select) =>
-        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        exposeViews()
         val df = spark.sql(select)
         val parts = Option(partBy).toSeq
           .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
@@ -257,7 +310,7 @@ final class GraftSql(spark: SparkSession) {
         Seq(("location", location), ("numFiles",
           t.snapshot.numFiles.toString)).toDF("metric", "value")
       case createOrReplaceRe(name, location, select) =>
-        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        exposeViews()
         val df = spark.sql(select)
         tables.get(name) match {
           case Some(t) =>
@@ -432,7 +485,7 @@ final class GraftSql(spark: SparkSession) {
         // columns fill from declared defaults, identity columns
         // allocate, everything else inserts NULL (standard semantics)
         val t = table(name)
-        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        exposeViews()
         val schema = t.snapshot.schema
         val cols = colsStr.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
         cols.foreach(c => require(schema.fieldNames.contains(c),
@@ -463,7 +516,7 @@ final class GraftSql(spark: SparkSession) {
       case updateInRe(name, sets, keyCol, sub) =>
         // IN-subquery UPDATE: same keyed-merge shape as the IN-subquery
         // DELETE; SET expressions evaluate on the target row
-        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        exposeViews()
         val assignments = setAssignments(sets)
         val m = table(name).mergeBuilder(
             paddedKeySource(name, keyCol, sub), keyCol)
@@ -476,7 +529,7 @@ final class GraftSql(spark: SparkSession) {
         // result joins the table on the key (hash equi-join — the
         // 100 TB shape; never a collected value list) and matched rows
         // delete via the CoW merge path with its stats pruning
-        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        exposeViews()
         val m = table(name).mergeBuilder(
             paddedKeySource(name, keyCol, sub), keyCol)
           .whenMatchedKeep().whenNotMatchedIgnore()
@@ -489,7 +542,7 @@ final class GraftSql(spark: SparkSession) {
         // including the target itself: toDF binds the PRE-insert
         // snapshot eagerly, so `INSERT INTO t SELECT * FROM t` reads
         // the old state while the write stages new files
-        tables.foreach { case (n, tt) => tt.toDF.createOrReplaceTempView(n) }
+        exposeViews()
         val src0 =
           if (payload.trim.toUpperCase.startsWith("VALUES"))
             spark.sql(s"SELECT * FROM $payload")
@@ -728,7 +781,7 @@ final class GraftSql(spark: SparkSession) {
             rewritten = rewritten.replace(m.matched, viewName)
           }
         }
-        tables.foreach { case (n, t) => t.toDF.createOrReplaceTempView(n) }
+        exposeViews()
         spark.sql(rewritten)
     }
   }

@@ -60,8 +60,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 private[sources] object GraftMaintenance {
 
   // identifier: optionally catalog/namespace-qualified, each part a
-  // plain word (the same shape GraftSql accepts, multipart-extended)
-  private val id = """([\w]+(?:\.[\w]+)*)"""
+  // plain word or a backtick-quoted segment (so `my-sales` and
+  // reserved words route to the maintenance verbs instead of parsing
+  // through to the delegate, where OPTIMIZE is not Spark SQL)
+  private val id = """((?:[\w]+|`[^`]+`)(?:\.(?:[\w]+|`[^`]+`))*)"""
+
+  /** Split a multipart name on dots OUTSIDE backticks, stripping the
+    * quotes — a quoted part may itself contain dots or dashes.
+    */
+  private[sources] def splitName(name: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inQ = false
+    for (c <- name) c match {
+      case '`' => inQ = !inQ
+      case '.' if !inQ => parts += sb.toString; sb.clear()
+      case other => sb.append(other)
+    }
+    parts += sb.toString
+    parts.toSeq
+  }
 
   // (statement template with %s where the alias goes) per shape; the
   // output schema is static per statement kind, as RunnableCommand
@@ -239,7 +257,7 @@ private[sources] object GraftMaintenance {
   def resolve(spark: SparkSession, tableName: String): Option[String] =
     try {
       val cm = spark.sessionState.catalogManager
-      val parts = tableName.split('.').toSeq
+      val parts = splitName(tableName)
       val resolved: Option[(GraftCatalog, Identifier)] = parts match {
         case Seq(one) => cm.currentCatalog match {
           case g: GraftCatalog =>

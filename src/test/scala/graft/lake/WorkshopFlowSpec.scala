@@ -294,4 +294,24 @@ class WorkshopFlowSpec extends GraftSparkSpec {
           "AS SELECT l_returnflag, SUM(qty_c * 2) FROM mvsrc GROUP BY l_returnflag"))
     } finally graft.plans.MvCatalog.clear()
   }
+
+  test("backtick-quoted registered names work in the maintenance grammar") {
+    val gsql = new GraftSql(spark)
+    gsql.registerCreate("my-sales", tmpDir("sql-bq"),
+      graft.Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(6))
+    val n0 = gsql.sql("SELECT COUNT(*) AS n FROM `my-sales`").head().getLong(0)
+    assert(n0 > 0)
+    val m = gsql.sql("OPTIMIZE `my-sales`")
+    assert(m.columns.toSeq == Seq("metric", "value"))
+    assert(gsql.sql("DESCRIBE HISTORY `my-sales`")
+      .select("operation").collect().map(_.getString(0)).contains("OPTIMIZE"))
+    gsql.sql("DELETE FROM `my-sales` WHERE o_orderkey % 2 = 0")
+    val n1 = gsql.sql("SELECT COUNT(*) AS n FROM `my-sales`").head().getLong(0)
+    assert(n1 < n0 && n1 > 0)
+    // a quoted string literal containing a registered name is untouched
+    val echo = gsql.sql("SELECT 'keep `my-sales` intact' AS s").head().getString(0)
+    assert(echo == "keep `my-sales` intact")
+  }
 }

@@ -707,4 +707,34 @@ class GraftCatalogSpec extends GraftSparkSpec {
     intercept[Exception](
       spark.sql("SELECT * FROM graftc.default.ext_tbl").collect())
   }
+
+  test("backtick-quoted hyphenated names route through the maintenance verbs") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.range(200).withColumn("v", col("id") * 2)
+      .createOrReplaceTempView("bq_src")
+    // Spark's own parser handles the backticks on CREATE/SELECT/DELETE;
+    // the injected parser must do the same for the graft-only verbs
+    // instead of letting `OPTIMIZE` fall through to a delegate parse error
+    spark.sql("CREATE TABLE graftc.default.`my-sales` USING graftlake " +
+      "AS SELECT * FROM bq_src")
+    spark.range(10).selectExpr("id", "id * 3 AS v")
+      .repartition(4)
+      .writeTo("graftc.default.`my-sales`").append()
+    val m = spark.sql("OPTIMIZE graftc.default.`my-sales`")
+    assert(m.columns.toSeq == Seq("metric", "value"))
+    val hist = spark.sql("DESCRIBE HISTORY graftc.default.`my-sales`")
+    assert(hist.count() >= 3) // CTAS, append, optimize
+    assert(hist.select("operation").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().contains("OPTIMIZE"))
+    spark.sql("DELETE FROM graftc.default.`my-sales` WHERE id < 5")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.`my-sales`")
+      .head().getLong(0) == 200L)
+    assert(spark.sql("DESCRIBE DETAIL graftc.default.`my-sales`")
+      .head().getAs[Long]("numRecords") == 200L)
+    // quote-aware split: quoted part carrying a DOT still resolves
+    spark.sql("CREATE TABLE graftc.default.`dotted.name` USING graftlake " +
+      "AS SELECT * FROM bq_src")
+    assert(spark.sql("DESCRIBE HISTORY graftc.default.`dotted.name`").count() >= 1)
+  }
 }
