@@ -505,7 +505,7 @@ object Pipeline {
       .orderBy("rn")
   }
 
-  /** Temperature-scaled source mixture (P16, `pipe_temperature_mix`):
+  /** Temperature-scaled source mixture (P18, `pipe_temperature_mix`):
     * per-source sampling weights w_s ∝ tokens_s^α with α = 0.5 — the
     * UniMax/multilingual-recipe move that upsamples small sources and
     * downsamples dominant ones without dropping data. α = 0.5 is

@@ -665,7 +665,7 @@ object Similarity {
     r.select(col("id").as("vec_id"), col("r").as("pr")).orderBy("vec_id")
   }
 
-  /** k-core peel over the KNN similarity graph (S19 — the coreness
+  /** k-core peel over the KNN similarity graph (S20 — the coreness
     * curation cut: documents surviving the k-core sit in densely
     * interconnected semantic neighborhoods, while low-coreness docs
     * are weakly attached outliers even when their raw degree is
