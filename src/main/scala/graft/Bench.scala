@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   * recorded phantom 13× regressions from a busy machine), so the run
   * defends itself three ways: an exclusive lock file serializes
   * concurrent Bench JVMs, the timed section waits for system load to
-  * drain first, and a fixed canary query timed at start and end stamps
-  * `"valid":false` on the emitted JSON when the environment drifted
-  * >1.5× mid-run.
+  * drain first, and TWO fixed canaries timed at start and end — a
+  * read+aggregate and a tiny table create+insert+drop (write-path IO
+  * contention is invisible to a read canary) — stamp `"valid":false`
+  * on the emitted JSON when either drifted >1.5× mid-run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -82,8 +83,30 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Write-path canary: the read canary misses filesystem/IO
+    // contention on table BUILDS (round 9 saw ~19 s phantom outliers
+    // on lake_history/lake_insert under canary-valid reads). A tiny
+    // create+insert+drop probes the same syscall path the lake_*
+    // write-path queries take; >1.5× drift across the run invalidates.
+    def writeCanary(): Double = {
+      val dir = java.nio.file.Paths.get(
+        "target", s"bench-wcanary-${java.util.UUID.randomUUID()}")
+      val t0 = System.nanoTime()
+      val t = graft.lake.GraftTable.create(spark, dir.toString,
+        spark.range(1000).selectExpr("id AS k", "id * 2 AS v"))
+      t.append(spark.range(100).selectExpr("id AS k", "id AS v"))
+      val walk = java.nio.file.Files.walk(dir)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+      } finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      (System.nanoTime() - t0) / 1e9
+    }
     canary(); canary() // untimed: codegen + page-cache warm for the canary shape
     val canaryStart = math.min(canary(), canary())
+    writeCanary() // untimed warm: codegen for the tiny build's plan
+    val wcanaryStart = math.min(writeCanary(), writeCanary())
 
     // Hygiene: a cache-heavy query must not inflate its neighbors'
     // numbers (GC/memory pressure looked like regressions in earlier
@@ -106,13 +129,15 @@ object Bench {
       name -> t
     }
     val canaryEnd = math.min(canary(), canary())
+    val wcanaryEnd = math.min(writeCanary(), writeCanary())
     spark.catalog.clearCache()
     val drift = canaryEnd / math.max(canaryStart, 1e-9)
-    val valid = drift <= 1.5
+    val wdrift = wcanaryEnd / math.max(wcanaryStart, 1e-9)
+    val valid = drift <= 1.5 && wdrift <= 1.5
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"wcanary_start_sec":$wcanaryStart%.3f,"wcanary_end_sec":$wcanaryEnd%.3f,"wcanary_drift":$wdrift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
     println(json)
     // the driver's stdout tail-capture has truncated the leading ~18
     // query keys in past rounds — persist the full line so the artifact
