@@ -98,7 +98,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   // ------------------------------------------------- row tracking
 
   /** Physical column layout rewrites materialize stable ids into. */
-  private[lake] val RowIdCol = "_graft_row_id"
+  private[graft] val RowIdCol = "_graft_row_id"
 
   private def rowTrackingOn(s: Snapshot): Boolean =
     s.metadata.exists(_.properties.get("graft.rowTracking").contains("true"))
@@ -1148,6 +1148,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }
     }
 
+    absorbStaged(staging, dataChange)
+  }
+
+  /** Move every parquet file under `staging` into the table root
+    * (preserving partition-dir fragments), collect footer stats, and
+    * return the AddFile actions. Shared by [[stageWrite]] and the
+    * native row-level write's commit, whose executor tasks staged
+    * their files directly.
+    */
+  private[graft] def absorbStaged(staging: Path, dataChange: Boolean): Seq[AddFile] = {
     val walk = Files.walk(staging)
     val staged =
       try walk.iterator().asScala
@@ -1184,6 +1194,157 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val all = try walk.iterator().asScala.toSeq finally walk.close()
       all.reverse.foreach(Files.deleteIfExists(_))
     }
+
+  // ------------------------------------ native row-level operations
+
+  /** Support surface for the DSv2 `SupportsRowLevelOperations` path
+    * ([[graft.sources.GraftRowLevelOperation]]): Spark plans the
+    * UPDATE / MERGE / subquery-DELETE rewrite itself (group-based
+    * copy-on-write over `_graft_file` groups); this side supplies the
+    * candidate-file planning, the physical-layout facts the per-file
+    * reader/writer need, and the remove+add log commit with the same
+    * validation and conflict rules as the DataFrame DML paths.
+    */
+  private[graft] def rowLevelTrackingOn(s: Snapshot): Boolean = rowTrackingOn(s)
+  private[graft] def rowLevelDataPath(rel: String): String = dataPath(rel)
+  private[graft] def rowLevelGeneratedExprs(s: Snapshot): Map[String, String] =
+    generatedExprs(s)
+
+  /** Stats/partition-pruned candidate files for a row-level rewrite —
+    * the same [[Pruning]] pass the CoW DELETE/UPDATE plan with, so the
+    * native path starts from the identical file superset before
+    * runtime group filtering narrows it to exactly-matching files.
+    */
+  private[graft] def rowLevelCandidates(s: Snapshot,
+      cond: Option[Column]): Seq[AddFile] =
+    cond.map(c =>
+        Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, c,
+          generatedExprs(s)))
+      .getOrElse(logicalFiles(s))
+
+  /** Commit a native row-level rewrite: executor tasks already staged
+    * the replacement files under `stagingRel`; validate the staged
+    * rows against CHECK / NOT NULL constraints, regenerate generated
+    * columns (derived state is recomputed, the same contract as the
+    * DataFrame UPDATE's regeneration — at the cost of one restage of
+    * the delta when the table declares generation expressions), then
+    * commit removes+adds with the standard optimistic conflict check.
+    * No CDC sidecar is staged: the change feed's exact per-version
+    * diff covers row-level commits (insert/delete rows), while
+    * update_pre/postimage tagging remains on the DataFrame DML paths.
+    */
+  private[graft] def rowLevelCommitReplace(s: Snapshot, opName: String,
+      stagingRel: String, removed: Seq[AddFile]): Map[String, String] = {
+    val staging = root.resolve(stagingRel)
+    try {
+      val hasStaged = Files.exists(staging) && {
+        val walk = Files.walk(staging)
+        try walk.iterator().asScala.exists(p =>
+          p.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
+      }
+      val tracking = rowTrackingOn(s)
+      val readSchema =
+        if (!tracking) s.physicalSchema
+        else org.apache.spark.sql.types.StructType(s.physicalSchema.fields :+
+          org.apache.spark.sql.types.StructField(RowIdCol,
+            org.apache.spark.sql.types.LongType, nullable = true))
+      val adds =
+        if (!hasStaged) { deleteRecursively(staging); Nil }
+        else {
+          val physical = spark.read.schema(readSchema).parquet(staging.toString)
+          val logical = physical.select((s.schema.fields.map(f =>
+            col(s.physicalName(f.name)).as(f.name)) ++
+            (if (tracking) Seq(col(RowIdCol)) else Nil)).toIndexedSeq: _*)
+          val gens = generatedExprs(s)
+          if (gens.isEmpty) {
+            validateConstraints(logical.drop(RowIdCol), s)
+            absorbStaged(staging, dataChange = true)
+          } else {
+            // derived state recomputes from its expressions (an UPDATE
+            // of a source column regenerates the derived value); the
+            // corrected frame restages so partition DIRECTORIES follow
+            // the regenerated values too — files staged by tasks under
+            // now-stale fragments are discarded
+            val regen = gens.foldLeft(logical) { case (d, (c, e)) =>
+              d.withColumn(c, expr(e).cast(s.schema(c).dataType))
+            }
+            validateConstraints(regen.drop(RowIdCol), s)
+            val staged = stageWrite(regen, s.partitionColumns, dataChange = true)
+            deleteRecursively(staging)
+            staged
+          }
+        }
+      val removes = removed.map(f =>
+        RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
+      val metrics = Map(
+        "numRemovedFiles" -> removes.size.toString,
+        "numAddedFiles" -> adds.size.toString,
+        "rewrite" -> "row-level")
+      commitAndCheckpoint(
+        Seq(info(opName, metrics = metrics)) ++ removes ++ adds,
+        readVersion = s.version)
+      metrics
+    } catch {
+      case e: Throwable => deleteRecursively(staging); throw e
+    }
+  }
+
+  /** Abort-side cleanup for the native row-level write. */
+  private[graft] def rowLevelAbort(stagingRel: String): Unit =
+    deleteRecursively(root.resolve(stagingRel))
+
+
+  /** Snapshot read with the DSv2 metadata columns appended — what the
+    * V1 scan bridge serves when a query selects `_graft_file` (the
+    * log-recorded file path, the row-level group key) or
+    * `_graft_row_id`. DV masking and column mapping match the plain
+    * read; the file name→log path resolve is the same bounded
+    * broadcast shape as the row-tracking base resolve.
+    */
+  private[graft] def readWithProvenance(pred: Option[Column],
+      wantFile: Boolean, wantRowId: Boolean): DataFrame = {
+    val s = snapshot
+    val files = pred.map(p => Pruning.prune(logicalFiles(s), s.schema,
+      s.partitionColumns, p, generatedExprs(s))).getOrElse(s.activeFiles)
+    val base =
+      if (wantRowId) rowIdScan(s, files, keepMeta = true)
+        .withColumnRenamed(RowIdCol, "_graft_row_id")
+      else {
+        // physical scan + DV mask with file_path kept, logical rename
+        val scan0 = physicalScan(s, files, withMeta = true)
+        val masked =
+          if (s.dvFiles.isEmpty) scan0
+          else {
+            val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+              .select(col("file_path").as("__dv_fp"),
+                col("row_index").as("__dv_ri"))
+            scan0.join(dv,
+              col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
+              "left_anti")
+          }
+        masked.select((s.schema.fields.map(f =>
+          col(s.physicalName(f.name)).as(f.name)) :+
+          col("__fp").as("file_path")).toIndexedSeq: _*)
+      }
+    val out =
+      if (!wantFile) base.drop("file_path", "row_index")
+      else {
+        // file name → log-recorded path (names carry a writer UUID and
+        // are unique per table; the row-tracking resolve relies on the
+        // same invariant)
+        import spark.implicits._
+        val names = files.map(f =>
+          (Paths.get(f.path).getFileName.toString, f.path))
+        val nameDf = broadcast(names.toDF("__pv_name", "__pv_rel"))
+        base
+          .withColumn("__pv_name", element_at(split(col("file_path"), "/"), -1))
+          .join(nameDf, Seq("__pv_name"), "left")
+          .withColumn("_graft_file", col("__pv_rel"))
+          .drop("__pv_name", "__pv_rel", "file_path", "row_index")
+      }
+    pred.map(out.filter).getOrElse(out)
+  }
 
   /** Commit with optimistic write-write conflict detection: when the
     * mutation removes (or, via `readPaths`, depends on) files, any

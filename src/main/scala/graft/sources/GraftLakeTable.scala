@@ -35,11 +35,48 @@ final class GraftLakeTable(
     tableName: String,
     pinnedVersion: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations with SupportsMetadataColumns
   with org.apache.spark.sql.graftshim.GraftV1FallbackTable {
 
   private lazy val table = GraftTable.forPath(spark, path)
 
   override def name(): String = tableName
+
+  // --- native row-level operations (UPDATE / MERGE / subquery DELETE)
+
+  /** Spark's group-based copy-on-write rewrites plan against this —
+    * see [[GraftRowLevelOperation]] for the scan/write/commit shape.
+    * Simple-filter DELETEs still take the [[SupportsDelete]] path
+    * below (Spark's OptimizeMetadataOnlyDeleteFromTable restores it).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      "cannot run row-level DML on a time-travelled table snapshot")
+    () => new GraftRowLevelOperation(spark, table, info.command())
+  }
+
+  /** `_graft_file` (the log-recorded data file path — the row-level
+    * group key, and a provenance column users can SELECT) plus
+    * `_graft_row_id` on row-tracked tables (the stable id, resolved
+    * exactly like the `rowIds` reader option).
+    */
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val fileCol = new MetadataColumn {
+      override def name(): String = "_graft_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+    }
+    if (!table.rowLevelTrackingOn(table.snapshot)) Array(fileCol)
+    else Array(fileCol, new MetadataColumn {
+      override def name(): String = "_graft_row_id"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = true
+    })
+  }
 
   /** V1 fallback identity for STREAMING by catalog name (Delta's own
     * mechanism): `spark.readStream.table(t)` and
@@ -132,10 +169,28 @@ final class GraftLakeTable(
             .map(v => Map("versionasof" -> v.toString)).getOrElse(Map.empty)
           val rel = new GraftRelation(ctx, path, opts)
           val (cols, filters) = (required.fieldNames, pushed)
+          val metaWanted = cols.filter(c =>
+            c == "_graft_file" || c == "_graft_row_id")
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = required
-            override def buildScan(): RDD[Row] = rel.buildScan(cols, filters)
+            override def buildScan(): RDD[Row] =
+              if (metaWanted.isEmpty) rel.buildScan(cols, filters)
+              else {
+                // metadata-column read (SELECT _graft_file / _graft_row_id):
+                // the provenance scan keeps the same DV masking and file
+                // skipping; live snapshot only (a pinned version's files
+                // may predate id assignment)
+                require(pinnedVersion.isEmpty,
+                  "metadata columns are a live-snapshot read")
+                val pred = filters.flatMap(GraftFilters.toColumn)
+                  .reduceOption(_ && _)
+                table.readWithProvenance(pred,
+                    wantFile = metaWanted.contains("_graft_file"),
+                    wantRowId = metaWanted.contains("_graft_row_id"))
+                  .select(cols.map(org.apache.spark.sql.functions.col)
+                    .toIndexedSeq: _*).rdd
+              }
           }.asInstanceOf[T]
         }
       }

@@ -198,24 +198,20 @@ private[sources] object GraftMaintenance {
     case fsckRe(name, rest) =>
       Some(GraftMaintenanceCommand(name,
         s"FSCK REPAIR TABLE %s${Option(rest).getOrElse("")}", metricValue))
-    // DML on graft catalog tables that Spark parses natively but
-    // cannot EXECUTE (no SupportsRowLevelOperations): UPDATE and
-    // MERGE route through GraftSql's full DML grammar. DELETE stays
-    // on the v2 SupportsDelete path — it already works, and the two
-    // paths commit the same CoW delete. Only the target gates
-    // interception; a MERGE source that is itself a graft catalog
-    // name is spliced at run time.
-    case updateDmlRe(name) if isGraft(name) =>
-      Some(GraftDmlCommand(sqlText, name, None))
-    case mergeDmlRe(target, source) if isGraft(target) =>
+    // UPDATE / MERGE / subquery-DELETE are NOT intercepted anymore:
+    // since the table implements SupportsRowLevelOperations
+    // ([[GraftRowLevelOperation]]), Spark's own row-level rewrites
+    // plan them natively (group-based copy-on-write, runtime group
+    // filtering on _graft_file) — EXPLAIN shows the real ReplaceData
+    // plan instead of an opaque command. The ONE DML shape still
+    // intercepted is MERGE WITH SCHEMA EVOLUTION, whose native
+    // resolution expects Spark-managed column defaults this catalog
+    // does not declare; it keeps the proven GraftSql route.
+    case mergeDmlRe(target, source)
+        if isGraft(target) &&
+          """(?is)^\s*MERGE\s+WITH\s+SCHEMA\s+EVOLUTION\b.*""".r
+            .matches(sqlText) =>
       Some(GraftDmlCommand(sqlText, target, Some(source)))
-    // IN-subquery DELETE: the v2 SupportsDelete path refuses (a
-    // subquery never translates to pushable filters), but GraftSql
-    // runs it as a keyed anti-merge — hash equi-join on the key,
-    // never a collected value list. Simple-predicate DELETEs still
-    // take the v2 route below this interception.
-    case deleteInDmlRe(name) if isGraft(name) =>
-      Some(GraftDmlCommand(sqlText, name, None))
     // batch change feed as a statement (Delta's table_changes TVF
     // shape): returns the LAZY changeFeed plan, NOT a collecting
     // command — the feed over a big version range is data-scaled and

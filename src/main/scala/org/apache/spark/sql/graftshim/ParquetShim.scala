@@ -1,0 +1,103 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** Bridge into Spark's `private[sql]` per-file parquet machinery for
+  * the native row-level-operation path ([[graft.sources]]): a DSv2
+  * `Batch` needs an executor-side InternalRow READER per data file,
+  * and a DSv2 `BatchWrite` needs an executor-side InternalRow WRITER —
+  * both of which Spark only exposes through the sql-internal
+  * [[ParquetFileFormat]]. Same minimal-surface rule as the sibling
+  * shims: reuse Spark's battle-tested reader/writer (predicate
+  * pushdown, schema clipping, null-fill for absent columns, row-index
+  * generation) instead of re-implementing parquet.
+  */
+object ParquetShim {
+
+  /** The magic column name Spark's parquet readers fill with each
+    * row's index within its file — the deletion-vector mask and
+    * row-tracking base+position resolve key.
+    */
+  def rowIndexColumn: String = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** Serializable per-file row reader: (absolutePath, fileLength) →
+    * rows in `requiredSchema` order (columns absent in a file read as
+    * null — how a fresh file reads before row-id materialization).
+    * Built with the vectorized reader OFF so elements are true
+    * [[InternalRow]]s, not disguised ColumnarBatches — the row-level
+    * rewrite is write-dominated, so the row-reader trade is sound.
+    */
+  def buildRowReader(spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter])
+      : (String, Long) => Iterator[InternalRow] = {
+    val vecKey = "spark.sql.parquet.enableVectorizedReader"
+    val prev = spark.conf.getOption(vecKey)
+    spark.conf.set(vecKey, "false")
+    val fn =
+      try new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, dataSchema, StructType(Nil), requiredSchema, filters,
+        Map.empty, spark.sessionState.newHadoopConf())
+      finally prev match {
+        case Some(v) => spark.conf.set(vecKey, v)
+        case None => spark.conf.unset(vecKey)
+      }
+    (path: String, len: Long) =>
+      fn(PartitionedFile(InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(path),
+        0L, len, Array.empty, 0L, len, Map.empty))
+  }
+
+  /** Driver-side write preparation: an [[OutputWriterFactory]] (it is
+    * Serializable by contract) plus the job Configuration it was
+    * configured against — both ship to tasks. Timestamps are forced to
+    * INT64 micros like the table layer's staged writes, so footer
+    * stats keep driving data skipping.
+    */
+  def prepareParquetWrite(spark: SparkSession, dataSchema: StructType)
+      : (OutputWriterFactory, Configuration) = {
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val job = Job.getInstance(spark.sessionState.newHadoopConf())
+      val factory =
+        new ParquetFileFormat().prepareWrite(spark, job, Map.empty, dataSchema)
+      (factory, job.getConfiguration)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+  }
+
+  /** Executor-side writer over one output file. */
+  def newTaskWriter(factory: OutputWriterFactory, conf: Configuration,
+      path: String, schema: StructType, partitionId: Int): OutputWriter = {
+    val attempt = new TaskAttemptID(
+      new TaskID(new org.apache.hadoop.mapreduce.JobID("graft-rlo", 0),
+        TaskType.MAP, partitionId), 0)
+    factory.newInstance(path, schema, new TaskAttemptContextImpl(conf, attempt))
+  }
+
+  def fileExtension(factory: OutputWriterFactory, conf: Configuration): String = {
+    val attempt = new TaskAttemptID(
+      new TaskID(new org.apache.hadoop.mapreduce.JobID("graft-rlo", 0),
+        TaskType.MAP, 0), 0)
+    factory.getFileExtension(new TaskAttemptContextImpl(conf, attempt))
+  }
+
+  /** Hive-style partition directory escaping (what `df.write
+    * .partitionBy` produces, so the table layer's directory-inference
+    * reads agree).
+    */
+  def escapePathName(s: String): String = ExternalCatalogUtils.escapePathName(s)
+  def defaultPartitionName: String = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+}
