@@ -200,7 +200,20 @@ final class GraftSql(spark: SparkSession) {
     val stmts = bounds.map { case Seq(a, b) => noComments.substring(a + 1, b) }
       .map(_.trim).filter(_.nonEmpty)
     require(stmts.nonEmpty, "empty script")
-    stmts.map(sql).last
+    // transactions are script-scoped: a failing statement rolls an
+    // open transaction back (nothing half-landed survives), and a
+    // script that forgets COMMIT aborts loudly instead of leaking a
+    // shadow
+    val result =
+      try stmts.map(sql).last
+      catch { case e: Throwable => abortOpenTransaction(); throw e }
+    if (transactionOpen) {
+      abortOpenTransaction()
+      throw new IllegalStateException(
+        "script ended with an open transaction (rolled back) — " +
+          "finish with COMMIT or ROLLBACK")
+    }
+    result
   }
 
   /** Backtick-quoted identifiers: the grammar's `(\w+)` captures
@@ -255,9 +268,166 @@ final class GraftSql(spark: SparkSession) {
     tables.foreach { case (n, tt) =>
       if (n.matches("""\w+""")) tt.toDF.createOrReplaceTempView(n) }
 
+  // ----------------------------------- cross-statement transactions
+
+  private final case class ShadowEntry(base: GraftTable, baseVersion: Long,
+      shadow: GraftTable, cloneVersion: Long)
+  private final case class CreateEntry(finalLoc: String, tmpLoc: String)
+  private final class TxnState {
+    val shadows = scala.collection.mutable.LinkedHashMap[String, ShadowEntry]()
+    val creates = scala.collection.mutable.LinkedHashMap[String, CreateEntry]()
+  }
+  private var txn: Option[TxnState] = None
+
+  private val beginRe: Regex =
+    """(?is)^\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val commitTxnRe: Regex =
+    """(?is)^\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val rollbackTxnRe: Regex =
+    """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  // statement classes whose effects cannot squash into one commit
+  // (maintenance/layout/lifecycle verbs) refuse inside a transaction
+  private val txnForbiddenRe: Regex =
+    ("""(?is)^\s*(DROP\s+TABLE|VACUUM|RESTORE|OPTIMIZE|REORG|FSCK|""" +
+      """GENERATE|COMPUTE\s+BLOOM|CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED|""" +
+      """REFRESH\s+MATERIALIZED|CREATE\s+TABLE\s+\w+\s+(?:SHALLOW|DEEP)\s+CLONE)\b.*""").r
+
+  private def rollbackTxn(st: TxnState): Unit = {
+    st.shadows.foreach { case (name, e) =>
+      tables(name) = e.base
+      e.shadow.deleteTransactionDir(e.shadow.path)
+    }
+    st.creates.foreach { case (name, c) =>
+      tables.remove(name)
+      // exposeViews may have published a temp view over the staged
+      // table mid-transaction — a stale view outliving the rollback
+      // would resolve reads against deleted files
+      spark.catalog.dropTempView(name)
+      GraftTable.forPath(spark, c.tmpLoc) // handle only for the delete
+        .deleteTransactionDir(c.tmpLoc)
+    }
+    txn = None
+    exposeViews() // re-publish base snapshots over any shadow views
+  }
+
+  /** Roll back an open transaction (used by executeScript's failure
+    * path); no-op when none is open.
+    */
+  private[lake] def abortOpenTransaction(): Unit = txn.foreach(rollbackTxn)
+  private[lake] def transactionOpen: Boolean = txn.isDefined
+
+  /** Shadow every registered table the statement touches (shallow
+    * clone at first touch — reads and writes inside the transaction
+    * then see the shadow transparently) and stage CREATEs at a temp
+    * location that moves into place at COMMIT.
+    */
+  private def txnPrepare(stmt: String): String = {
+    val st = txn.get
+    val masked = maskLiterals(stmt)
+    if (txnForbiddenRe.matches(masked))
+      throw new IllegalArgumentException(
+        "maintenance/lifecycle statements are not allowed inside a " +
+          s"transaction: ${stmt.trim.takeWhile(_ != '\n').take(60)}")
+    // CREATE ... AS SELECT: stage at <location>.txn-<uuid>, move at COMMIT
+    val redirected = stmt match {
+      case ctasRe(name, _, location, _) if !tables.contains(name) =>
+        val tmp = s"$location.txn-${java.util.UUID.randomUUID()}"
+        st.creates(name) = CreateEntry(location, tmp)
+        stmt.replace(s"'$location'", s"'$tmp'")
+      case createOrReplaceRe(name, location, _)
+          if !tables.contains(name) && location != null =>
+        val tmp = s"$location.txn-${java.util.UUID.randomUUID()}"
+        st.creates(name) = CreateEntry(location, tmp)
+        stmt.replace(s"'$location'", s"'$tmp'")
+      case _ => stmt
+    }
+    // first touch of a registered plain table -> swap in a shadow
+    val mvNames = matViews.keySet ++ distinctViews.keySet ++ outerViews.keySet
+    tables.keys.toSeq.foreach { name =>
+      val touched = ("(?i)(?<![\\w.`])" +
+        java.util.regex.Pattern.quote(name) + "(?![\\w.`])").r
+        .findFirstIn(masked).isDefined
+      if (touched && !st.shadows.contains(name) &&
+          !st.creates.contains(name) && !mvNames.contains(name) &&
+          !name.startsWith("graft_bq_")) {
+        val base = tables(name)
+        val tmpDir = s"${base.path}.txn-${java.util.UUID.randomUUID()}"
+        val shadow = GraftTable.shallowClone(spark, base.path, tmpDir)
+        st.shadows(name) = ShadowEntry(base, base.version, shadow,
+          shadow.version)
+        tables(name) = shadow
+      }
+    }
+    redirected
+  }
+
+  /** BEGIN / COMMIT / ROLLBACK (script-scoped, Some(df) when handled).
+    * COMMIT squashes each touched table's shadow into ONE optimistic
+    * log commit ([[GraftTable.squashTransaction]]) and moves staged
+    * CREATEs into place; per-table commits are individually atomic and
+    * conflict-checked against the BEGIN version (cross-table order is
+    * documented best-effort — each table's log is its own root of
+    * trust, exactly like Delta).
+    */
+  private def txnControl(stmt: String): Option[DataFrame] = {
+    import spark.implicits._
+    stmt match {
+      case beginRe() =>
+        require(txn.isEmpty, "a transaction is already open")
+        txn = Some(new TxnState)
+        Some(Seq(("status", "transaction begun")).toDF("metric", "value"))
+      case commitTxnRe() =>
+        val st = txn.getOrElse(
+          throw new IllegalStateException("COMMIT without BEGIN"))
+        // pre-check every base is still at its BEGIN version so a
+        // doomed multi-table commit aborts before touching any log
+        st.shadows.values.find(e => e.base.version != e.baseVersion)
+          .foreach { e =>
+            rollbackTxn(st)
+            throw new java.util.ConcurrentModificationException(
+              s"transaction conflict: ${e.base.path} advanced past " +
+                s"version ${e.baseVersion} — rolled back")
+          }
+        try {
+          st.shadows.toSeq.foreach { case (name, e) =>
+            if (e.shadow.version > e.cloneVersion)
+              e.base.squashTransaction(e.shadow, e.baseVersion)
+            e.shadow.deleteTransactionDir(e.shadow.path)
+            tables(name) = GraftTable.forPath(spark, e.base.path)
+            st.shadows.remove(name)
+          }
+          st.creates.toSeq.foreach { case (name, c) =>
+            val dest = java.nio.file.Paths.get(c.finalLoc)
+            Option(dest.getParent)
+              .foreach(java.nio.file.Files.createDirectories(_))
+            java.nio.file.Files.move(java.nio.file.Paths.get(c.tmpLoc), dest)
+            tables(name) = GraftTable.forPath(spark, c.finalLoc)
+            st.creates.remove(name)
+          }
+        } catch {
+          case e: Throwable => rollbackTxn(st); throw e
+        }
+        txn = None
+        exposeViews() // refresh any shadow-bound temp views to the base
+        Some(Seq(("status", "committed")).toDF("metric", "value"))
+      case rollbackTxnRe() =>
+        val st = txn.getOrElse(
+          throw new IllegalStateException("ROLLBACK without BEGIN"))
+        rollbackTxn(st)
+        Some(Seq(("status", "rolled back")).toDF("metric", "value"))
+      case _ => None
+    }
+  }
+
   def sql(statement0: String): DataFrame = {
     import spark.implicits._
-    val statement = normalizeQuoted(statement0)
+    val normalized = normalizeQuoted(statement0)
+    txnControl(normalized) match {
+      case Some(df) => return df
+      case None => ()
+    }
+    val statement =
+      if (txn.isDefined) txnPrepare(normalized) else normalized
     statement match {
       case optimizeRe(name, full, vorder1, zcols, vorder2, whereCond) =>
         val t = table(name)

@@ -1294,6 +1294,89 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[graft] def rowLevelAbort(stagingRel: String): Unit =
     deleteRecursively(root.resolve(stagingRel))
 
+  // --------------------------------- cross-statement transactions
+
+  /** Land every change a transaction SHADOW accumulated as ONE
+    * optimistic commit on this (base) table. The shadow is a shallow
+    * clone taken at BEGIN: base files it still references are
+    * untouched, base files its DML rewrote become removes, files it
+    * wrote under its own root MOVE beneath the base root and become
+    * adds (stats, partition values and row-id bases ride along
+    * unchanged), and metadata changes (schema evolution, properties)
+    * carry over minus the clone markers. `readVersion = baseVersion`
+    * gives the transaction SERIALIZABLE semantics against concurrent
+    * writers: any intervening commit that touched our read set aborts
+    * the whole squash, and the caller rolls the shadow back.
+    *
+    * Merge-on-read masks written by the shadow squash too, except a
+    * mask over a row the SAME transaction inserted (its keys would
+    * reference shadow scan paths that die with the shadow) — that
+    * combination refuses with a pointer at copy-on-write DML.
+    */
+  private[lake] def squashTransaction(shadow: GraftTable,
+      baseVersion: Long): Map[String, String] = {
+    val b = snapshot
+    val s2 = shadow.snapshot
+    val baseRoot = root.toAbsolutePath.normalize
+    val shadowRoot = Paths.get(shadow.path).toAbsolutePath.normalize
+    def absOf(t: GraftTable, rel: String): Path =
+      (if (rel.startsWith("/")) Paths.get(rel)
+       else Paths.get(t.path).resolve(rel)).toAbsolutePath.normalize
+    val baseAbs = b.activeFiles.map(f => absOf(this, f.path) -> f).toMap
+    val shadowActive = s2.activeFiles.map(f => absOf(shadow, f.path) -> f)
+    val shadowAbsSet = shadowActive.map(_._1).toSet
+    val removes = baseAbs.collect {
+      case (abs, f) if !shadowAbsSet.contains(abs) =>
+        RemoveFile(f.path, System.currentTimeMillis(), dataChange = true)
+    }.toSeq
+    val adds = shadowActive.collect {
+      case (abs, f) if abs.startsWith(shadowRoot) =>
+        val rel = shadowRoot.relativize(abs).toString
+        val dest = root.resolve(rel)
+        Files.createDirectories(dest.getParent)
+        Files.move(abs, dest)
+        f.copy(path = rel,
+          modificationTime = Files.getLastModifiedTime(dest).toMillis)
+    }
+    val baseDvAbs = b.dvFiles.map(p => absOf(this, p)).toSet
+    val dvAdds = s2.dvFiles.map(p => absOf(shadow, p))
+      .filterNot(baseDvAbs.contains).map { abs =>
+        val keys = spark.read.parquet(abs.toString)
+          .select("file_path").distinct().collect().map(_.getString(0))
+        require(!keys.exists(_.contains(shadowRoot.toString)),
+          "a merge-on-read mask over a row inserted in the same " +
+            "transaction cannot outlive the shadow — use copy-on-write " +
+            "DML inside transactions")
+        val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
+        val dest = root.resolve(rel)
+        Files.createDirectories(dest.getParent)
+        Files.move(abs, dest)
+        AddDV(rel)
+      }
+    // clone markers stripped; bloom pointers reinstated from the base
+    // (shallowClone drops them — they are base-relative and must not
+    // silently vanish from a table that merely ran a transaction)
+    val baseBloom = b.metadata.map(_.properties
+      .filter(_._1.startsWith("graft.bloom."))).getOrElse(Map.empty)
+    val cleanMeta = s2.metadata.map(m => m.copy(properties =
+      m.properties - "graft.cloneSource" ++ baseBloom))
+    val metaActions =
+      if (cleanMeta == b.metadata) Nil else cleanMeta.toSeq
+    val metrics = Map(
+      "numRemovedFiles" -> removes.size.toString,
+      "numAddedFiles" -> adds.size.toString,
+      "numDeletionVectors" -> dvAdds.size.toString,
+      "shadowCommits" -> (s2.version).toString)
+    commitAndCheckpoint(
+      Seq(info("TRANSACTION", metrics = metrics)) ++ metaActions ++
+        removes ++ adds ++ dvAdds,
+      readVersion = baseVersion)
+    metrics
+  }
+
+  /** Transaction cleanup: remove a shadow (or staged-create) dir. */
+  private[lake] def deleteTransactionDir(dir: String): Unit =
+    deleteRecursively(Paths.get(dir))
 
   /** Snapshot read with the DSv2 metadata columns appended — what the
     * V1 scan bridge serves when a query selects `_graft_file` (the

