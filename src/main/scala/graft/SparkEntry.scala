@@ -208,7 +208,9 @@ object SparkEntry {
     "lake_mv_distinct" -> LakeOps.lakeMvDistinct _,
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _,
-    "lake_manifest" -> LakeOps.lakeManifest _)
+    "lake_manifest" -> LakeOps.lakeManifest _,
+    "lake_rlo_update" -> LakeOps.lakeRloUpdate _,
+    "lake_txn" -> LakeOps.lakeTxn _)
 
   private val rev = "ROUND(SUM(l_extendedprice*(1.0-l_discount)),2)"
 
@@ -2236,6 +2238,24 @@ object SparkEntry {
       ("SELECT l_returnflag, ROUND(SUM(l_discount),4) AS sum_disc, COUNT(*) AS n FROM (" +
         "SELECT l_returnflag, CASE WHEN l_returnflag='R' THEN 0.0 ELSE l_discount END " +
         "AS l_discount FROM lineitem) t GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // native SupportsRowLevelOperations route — same observable
+    // contract as lake_update, different plan surface (L94)
+    "lake_rlo_update" ->
+      ("SELECT l_returnflag, ROUND(SUM(l_discount),4) AS sum_disc, COUNT(*) AS n FROM (" +
+        "SELECT l_returnflag, CASE WHEN l_returnflag='R' THEN 0.0 ELSE l_discount END " +
+        "AS l_discount FROM lineitem) t GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // transaction squash: CREATE staged pre-DML, DELETE+UPDATE land
+    // atomically; exact integer cents on both sides (L96)
+    "lake_txn" ->
+      ("SELECT side, n, total_cents FROM (" +
+        "SELECT 'base' AS side, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(ROUND((CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 " +
+        "ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders WHERE o_orderstatus <> 'F' " +
+        "UNION ALL " +
+        "SELECT 'sel' AS side, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders WHERE o_totalprice > 300000) u ORDER BY side"),
     "lake_merge" ->
       ("WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "ROUND(o_totalprice*2,2) AS o_totalprice, o_orderdate, o_orderpriority " +

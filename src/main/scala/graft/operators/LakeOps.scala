@@ -543,4 +543,64 @@ object LakeOps {
       .select(col("r_name").as("n_name")).repartition(1).sortWithinPartitions("n_name"))
     t.toDF.select("n_seq", "n_name").orderBy("n_seq")
   }
+
+  /** Native row-level UPDATE (L94): a catalog-named table updated via
+    * bare `spark.sql` plans through Spark's own group-based
+    * copy-on-write rewrite (`ReplaceData` + runtime group filtering on
+    * `_graft_file`) — same observable contract as [[lakeUpdate]]'s
+    * path-API route, different (and inspectable) plan surface.
+    */
+  def lakeRloUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = workDir(dir, "rlowh") // cleaned per call
+    spark.conf.set("spark.sql.catalog.graft_vq",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_vq.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_vq.default")
+    spark.sql("DROP TABLE IF EXISTS graft_vq.default.rlo_li")
+    Tables(spark, dir, "lineitem").repartition(4)
+      .createOrReplaceTempView("rlo_li_src")
+    spark.sql("CREATE TABLE graft_vq.default.rlo_li USING graftlake " +
+      "AS SELECT * FROM rlo_li_src")
+    spark.sql("UPDATE graft_vq.default.rlo_li SET l_discount = 0.0 " +
+      "WHERE l_returnflag = 'R'")
+    spark.table("graft_vq.default.rlo_li")
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_discount"), 4).as("sum_disc"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Cross-statement transaction (L96): a BEGIN/COMMIT script whose
+    * staged CREATE, DELETE and UPDATE land atomically — the returned
+    * aggregate reads BOTH the squashed base table and the table the
+    * transaction created, all exact integer cents.
+    */
+  def lakeTxn(spark: SparkSession, dir: String): DataFrame = {
+    val gsql = new graft.lake.GraftSql(spark)
+    gsql.registerCreate("txn_orders", workDir(dir, "txnbase"),
+      Tables(spark, dir, "orders"))
+    val selLoc = workDirPath(dir, "txnsel")
+    val p = Paths.get(selLoc)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+    gsql.executeScript(s"""
+      BEGIN;
+      CREATE TABLE txn_sel LOCATION '$selLoc' AS
+        SELECT o_orderkey, o_totalprice FROM txn_orders WHERE o_totalprice > 300000;
+      DELETE FROM txn_orders WHERE o_orderstatus = 'F';
+      UPDATE txn_orders SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 10 = 0;
+      COMMIT;
+    """)
+    gsql.sql("""
+      SELECT side, n, total_cents FROM (
+        SELECT 'base' AS side, COUNT(*) AS n,
+          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM txn_orders
+        UNION ALL
+        SELECT 'sel' AS side, COUNT(*) AS n,
+          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM txn_sel) u ORDER BY side""")
+  }
 }
