@@ -210,6 +210,7 @@ object SparkEntry {
     "lake_identity" -> LakeOps.lakeIdentity _,
     "lake_manifest" -> LakeOps.lakeManifest _,
     "lake_rlo_update" -> LakeOps.lakeRloUpdate _,
+    "lake_rlo_update_mor" -> LakeOps.lakeRloUpdateMor _,
     "lake_txn" -> LakeOps.lakeTxn _)
 
   private val rev = "ROUND(SUM(l_extendedprice*(1.0-l_discount)),2)"
@@ -2241,6 +2242,11 @@ object SparkEntry {
     // native SupportsRowLevelOperations route — same observable
     // contract as lake_update, different plan surface (L94)
     "lake_rlo_update" ->
+      ("SELECT l_returnflag, ROUND(SUM(l_discount),4) AS sum_disc, COUNT(*) AS n FROM (" +
+        "SELECT l_returnflag, CASE WHEN l_returnflag='R' THEN 0.0 ELSE l_discount END " +
+        "AS l_discount FROM lineitem) t GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // native delta (merge-on-read) route: DV marks + post-images (L97)
+    "lake_rlo_update_mor" ->
       ("SELECT l_returnflag, ROUND(SUM(l_discount),4) AS sum_disc, COUNT(*) AS n FROM (" +
         "SELECT l_returnflag, CASE WHEN l_returnflag='R' THEN 0.0 ELSE l_discount END " +
         "AS l_discount FROM lineitem) t GROUP BY l_returnflag ORDER BY l_returnflag"),

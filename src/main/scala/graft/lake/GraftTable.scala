@@ -1233,48 +1233,52 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * diff covers row-level commits (insert/delete rows), while
     * update_pre/postimage tagging remains on the DataFrame DML paths.
     */
+  /** Validate+absorb the replacement files a row-level write's tasks
+    * staged: CHECK / NOT NULL constraints run over the staged rows,
+    * and when the table declares generated columns the derived state
+    * recomputes from its expressions and the corrected frame RESTAGES
+    * (partition directories must follow regenerated values too).
+    * Shared by the group-based (CoW) and delta-based (MoR) commits.
+    */
+  private def validateAndAbsorbStaged(s: Snapshot,
+      staging: Path): Seq[AddFile] = {
+    val hasStaged = Files.exists(staging) && {
+      val walk = Files.walk(staging)
+      try walk.iterator().asScala.exists(p =>
+        p.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+    if (!hasStaged) { deleteRecursively(staging); return Nil }
+    val tracking = rowTrackingOn(s)
+    val readSchema =
+      if (!tracking) s.physicalSchema
+      else org.apache.spark.sql.types.StructType(s.physicalSchema.fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+    val physical = spark.read.schema(readSchema).parquet(staging.toString)
+    val logical = physical.select((s.schema.fields.map(f =>
+      col(s.physicalName(f.name)).as(f.name)) ++
+      (if (tracking) Seq(col(RowIdCol)) else Nil)).toIndexedSeq: _*)
+    val gens = generatedExprs(s)
+    if (gens.isEmpty) {
+      validateConstraints(logical.drop(RowIdCol), s)
+      absorbStaged(staging, dataChange = true)
+    } else {
+      val regen = gens.foldLeft(logical) { case (d, (c, e)) =>
+        d.withColumn(c, expr(e).cast(s.schema(c).dataType))
+      }
+      validateConstraints(regen.drop(RowIdCol), s)
+      val staged = stageWrite(regen, s.partitionColumns, dataChange = true)
+      deleteRecursively(staging)
+      staged
+    }
+  }
+
   private[graft] def rowLevelCommitReplace(s: Snapshot, opName: String,
       stagingRel: String, removed: Seq[AddFile]): Map[String, String] = {
     val staging = root.resolve(stagingRel)
     try {
-      val hasStaged = Files.exists(staging) && {
-        val walk = Files.walk(staging)
-        try walk.iterator().asScala.exists(p =>
-          p.getFileName.toString.endsWith(".parquet"))
-        finally walk.close()
-      }
-      val tracking = rowTrackingOn(s)
-      val readSchema =
-        if (!tracking) s.physicalSchema
-        else org.apache.spark.sql.types.StructType(s.physicalSchema.fields :+
-          org.apache.spark.sql.types.StructField(RowIdCol,
-            org.apache.spark.sql.types.LongType, nullable = true))
-      val adds =
-        if (!hasStaged) { deleteRecursively(staging); Nil }
-        else {
-          val physical = spark.read.schema(readSchema).parquet(staging.toString)
-          val logical = physical.select((s.schema.fields.map(f =>
-            col(s.physicalName(f.name)).as(f.name)) ++
-            (if (tracking) Seq(col(RowIdCol)) else Nil)).toIndexedSeq: _*)
-          val gens = generatedExprs(s)
-          if (gens.isEmpty) {
-            validateConstraints(logical.drop(RowIdCol), s)
-            absorbStaged(staging, dataChange = true)
-          } else {
-            // derived state recomputes from its expressions (an UPDATE
-            // of a source column regenerates the derived value); the
-            // corrected frame restages so partition DIRECTORIES follow
-            // the regenerated values too — files staged by tasks under
-            // now-stale fragments are discarded
-            val regen = gens.foldLeft(logical) { case (d, (c, e)) =>
-              d.withColumn(c, expr(e).cast(s.schema(c).dataType))
-            }
-            validateConstraints(regen.drop(RowIdCol), s)
-            val staged = stageWrite(regen, s.partitionColumns, dataChange = true)
-            deleteRecursively(staging)
-            staged
-          }
-        }
+      val adds = validateAndAbsorbStaged(s, staging)
       val removes = removed.map(f =>
         RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
       val metrics = Map(
@@ -1293,6 +1297,54 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Abort-side cleanup for the native row-level write. */
   private[graft] def rowLevelAbort(stagingRel: String): Unit =
     deleteRecursively(root.resolve(stagingRel))
+
+  /** Commit a native DELTA (merge-on-read) row-level write: the marks
+    * the tasks staged become ONE deletion-vector sidecar (masked at
+    * every scan until compaction), inserted/post-image rows absorb as
+    * new files — O(changed rows) total write, no candidate rewrite.
+    * Same conflict rules as the path API's MoR ops: `conflictOnDV`
+    * plus the candidate read set, so an interleaved masker/rewriter
+    * aborts the loser instead of resurrecting rows.
+    */
+  private[graft] def rowLevelCommitDelta(s: Snapshot, opName: String,
+      dataStagingRel: String, marksStagingRel: String,
+      readPaths: Set[String]): Map[String, String] = {
+    val dataStaging = root.resolve(dataStagingRel)
+    val marksStaging = root.resolve(marksStagingRel)
+    try {
+      val adds = validateAndAbsorbStaged(s, dataStaging)
+      val hasMarks = Files.exists(marksStaging) && {
+        val walk = Files.walk(marksStaging)
+        try walk.iterator().asScala.exists(p =>
+          p.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
+      }
+      val dvActions =
+        if (!hasMarks) { deleteRecursively(marksStaging); Nil }
+        else {
+          val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
+          val dest = root.resolve(rel)
+          Files.createDirectories(dest.getParent)
+          Files.move(marksStaging, dest)
+          Seq(AddDV(rel))
+        }
+      val metrics = Map(
+        "numAddedFiles" -> adds.size.toString,
+        "numDeletionVectors" -> dvActions.size.toString,
+        "rewrite" -> "row-level-delta")
+      commitAndCheckpoint(
+        Seq(info(opName, params = Map("mode" -> "merge-on-read"),
+          metrics = metrics)) ++ dvActions ++ adds,
+        readVersion = s.version, readPaths = readPaths,
+        conflictOnDV = true)
+      metrics
+    } catch {
+      case e: Throwable =>
+        deleteRecursively(dataStaging)
+        deleteRecursively(marksStaging)
+        throw e
+    }
+  }
 
   // --------------------------------- cross-statement transactions
 
@@ -1386,7 +1438,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * broadcast shape as the row-tracking base resolve.
     */
   private[graft] def readWithProvenance(pred: Option[Column],
-      wantFile: Boolean, wantRowId: Boolean): DataFrame = {
+      wantFile: Boolean, wantRowId: Boolean,
+      wantPos: Boolean = false): DataFrame = {
     val s = snapshot
     val files = pred.map(p => Pruning.prune(logicalFiles(s), s.schema,
       s.partitionColumns, p, generatedExprs(s))).getOrElse(s.activeFiles)
@@ -1407,11 +1460,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
               "left_anti")
           }
         masked.select((s.schema.fields.map(f =>
-          col(s.physicalName(f.name)).as(f.name)) :+
-          col("__fp").as("file_path")).toIndexedSeq: _*)
+          col(s.physicalName(f.name)).as(f.name)) ++
+          Seq(col("__fp").as("file_path"), col("__ri").as("row_index")))
+          .toIndexedSeq: _*)
       }
+    val withPos =
+      if (wantPos) base.withColumn("_graft_pos", col("row_index"))
+      else base
     val out =
-      if (!wantFile) base.drop("file_path", "row_index")
+      if (!wantFile) withPos.drop("file_path", "row_index")
       else {
         // file name → log-recorded path (names carry a writer UUID and
         // are unique per table; the row-tracking resolve relies on the
@@ -1420,7 +1477,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val names = files.map(f =>
           (Paths.get(f.path).getFileName.toString, f.path))
         val nameDf = broadcast(names.toDF("__pv_name", "__pv_rel"))
-        base
+        withPos
           .withColumn("__pv_name", element_at(split(col("file_path"), "/"), -1))
           .join(nameDf, Seq("__pv_name"), "left")
           .withColumn("_graft_file", col("__pv_rel"))

@@ -569,6 +569,34 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Native DELTA (merge-on-read) row-level UPDATE (L97): with
+    * `graft.dml.mode = merge-on-read` the same bare-SQL UPDATE plans
+    * as a WriteDelta — only changed rows ship (deletion-vector marks
+    * + post-image appends), no candidate file rewritten. Same
+    * observable contract as [[lakeRloUpdate]]'s copy-on-write route.
+    */
+  def lakeRloUpdateMor(spark: SparkSession, dir: String): DataFrame = {
+    val wh = workDir(dir, "rlomorwh") // cleaned per call
+    spark.conf.set("spark.sql.catalog.graft_vqm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_vqm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_vqm.default")
+    spark.sql("DROP TABLE IF EXISTS graft_vqm.default.rlo_li_mor")
+    Tables(spark, dir, "lineitem").repartition(4)
+      .createOrReplaceTempView("rlo_li_mor_src")
+    spark.sql("CREATE TABLE graft_vqm.default.rlo_li_mor USING graftlake " +
+      "AS SELECT * FROM rlo_li_mor_src")
+    GraftTable.forPath(spark,
+        Paths.get(wh, "default", "rlo_li_mor").toString)
+      .setTableProperties(Map("graft.dml.mode" -> "merge-on-read"))
+    spark.sql("UPDATE graft_vqm.default.rlo_li_mor SET l_discount = 0.0 " +
+      "WHERE l_returnflag = 'R'")
+    spark.table("graft_vqm.default.rlo_li_mor")
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_discount"), 4).as("sum_disc"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Cross-statement transaction (L96): a BEGIN/COMMIT script whose
     * staged CREATE, DELETE and UPDATE land atomically — the returned
     * aggregate reads BOTH the squashed base table and the table the

@@ -44,38 +44,51 @@ final class GraftLakeTable(
 
   // --- native row-level operations (UPDATE / MERGE / subquery DELETE)
 
-  /** Spark's group-based copy-on-write rewrites plan against this —
-    * see [[GraftRowLevelOperation]] for the scan/write/commit shape.
-    * Simple-filter DELETEs still take the [[SupportsDelete]] path
-    * below (Spark's OptimizeMetadataOnlyDeleteFromTable restores it).
+  /** Spark's row-level rewrites plan against this. The write shape is
+    * table-selectable, mirroring Delta/Iceberg's per-table write
+    * modes: the default is the group-based copy-on-write rewrite
+    * ([[GraftRowLevelOperation]] — whole matching files rewritten,
+    * runtime group filtering scopes them), while
+    * `graft.dml.mode = merge-on-read` selects the delta-based
+    * operation ([[GraftDeltaOperation]] — only CHANGED rows ship:
+    * deletes become deletion-vector marks, post-images append;
+    * O(changed rows) for sparse DML on huge files). Simple-filter
+    * DELETEs still take the [[SupportsDelete]] path below (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable restores it).
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       "cannot run row-level DML on a time-travelled table snapshot")
-    () => new GraftRowLevelOperation(spark, table, info.command())
+    val mor = table.snapshot.metadata.map(_.properties)
+      .flatMap(_.get("graft.dml.mode"))
+      .exists(m => m.equalsIgnoreCase("merge-on-read") ||
+        m.equalsIgnoreCase("mor"))
+    () =>
+      if (mor) new GraftDeltaOperation(spark, table, info.command())
+      else new GraftRowLevelOperation(spark, table, info.command())
   }
 
   /** `_graft_file` (the log-recorded data file path — the row-level
-    * group key, and a provenance column users can SELECT) plus
-    * `_graft_row_id` on row-tracked tables (the stable id, resolved
-    * exactly like the `rowIds` reader option).
+    * group key, and a provenance column users can SELECT) and
+    * `_graft_pos` (the row's index within its file — with `_graft_file`
+    * it is the delta-write row id), plus `_graft_row_id` on
+    * row-tracked tables (the stable id, resolved exactly like the
+    * `rowIds` reader option).
     */
   override def metadataColumns(): Array[MetadataColumn] = {
-    val fileCol = new MetadataColumn {
-      override def name(): String = "_graft_file"
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
+    def mc(n: String, dt: org.apache.spark.sql.types.DataType,
+        nullable: Boolean): MetadataColumn = new MetadataColumn {
+      override def name(): String = n
+      override def dataType(): org.apache.spark.sql.types.DataType = dt
+      override def isNullable: Boolean = nullable
     }
-    if (!table.rowLevelTrackingOn(table.snapshot)) Array(fileCol)
-    else Array(fileCol, new MetadataColumn {
-      override def name(): String = "_graft_row_id"
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.LongType
-      override def isNullable: Boolean = true
-    })
+    val base = Array(
+      mc("_graft_file", org.apache.spark.sql.types.StringType, false),
+      mc("_graft_pos", org.apache.spark.sql.types.LongType, false))
+    if (!table.rowLevelTrackingOn(table.snapshot)) base
+    else base :+ mc("_graft_row_id", org.apache.spark.sql.types.LongType, true)
   }
 
   /** V1 fallback identity for STREAMING by catalog name (Delta's own
@@ -170,7 +183,7 @@ final class GraftLakeTable(
           val rel = new GraftRelation(ctx, path, opts)
           val (cols, filters) = (required.fieldNames, pushed)
           val metaWanted = cols.filter(c =>
-            c == "_graft_file" || c == "_graft_row_id")
+            c == "_graft_file" || c == "_graft_row_id" || c == "_graft_pos")
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = required
@@ -187,7 +200,8 @@ final class GraftLakeTable(
                   .reduceOption(_ && _)
                 table.readWithProvenance(pred,
                     wantFile = metaWanted.contains("_graft_file"),
-                    wantRowId = metaWanted.contains("_graft_row_id"))
+                    wantRowId = metaWanted.contains("_graft_row_id"),
+                    wantPos = metaWanted.contains("_graft_pos"))
                   .select(cols.map(org.apache.spark.sql.functions.col)
                     .toIndexedSeq: _*).rdd
               }

@@ -43,7 +43,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the driver commits removes+adds in ONE optimistic log commit with
   *    the standard conflict detection.
   */
-final class GraftRowLevelOperation(
+class GraftRowLevelOperation(
     spark: SparkSession,
     table: GraftTable,
     override val command: Command) extends RowLevelOperation {
@@ -52,7 +52,7 @@ final class GraftRowLevelOperation(
     * and the commit's conflict check all speak about one version.
     */
   val snapshot: Snapshot = table.snapshot
-  private val tracking = table.rowLevelTrackingOn(snapshot)
+  protected val tracking: Boolean = table.rowLevelTrackingOn(snapshot)
 
   /** The first scan built is the MAIN rewrite scan (Spark plans the
     * command's read before the runtime-group-filter subquery exists);
@@ -79,6 +79,7 @@ final class GraftRowLevelOperation(
 
 private[sources] object GraftRowLevel {
   val FileCol = "_graft_file"
+  val PosCol = "_graft_pos"
 }
 
 private[sources] final class GraftRowLevelScanBuilder(
@@ -215,8 +216,9 @@ private[sources] final class GraftRowLevelScan(
     // partition constant, the file group key, or the resolved row id
     val dataFields = required.fields.filter(f =>
       !partCols.contains(f.name) && f.name != GraftRowLevel.FileCol &&
-        f.name != table.RowIdCol)
-    val needIdx = tracking || snapshot.dvFiles.nonEmpty
+        f.name != GraftRowLevel.PosCol && f.name != table.RowIdCol)
+    val needIdx = tracking || snapshot.dvFiles.nonEmpty ||
+      required.fieldNames.contains(GraftRowLevel.PosCol)
     val parquetFields =
       dataFields.map(f => StructField(snapshot.physicalName(f.name),
         f.dataType, f.nullable)) ++
@@ -235,13 +237,15 @@ private[sources] final class GraftRowLevelScan(
         .collect { case (lf, pf) if !partCols.contains(lf.name) => pf } ++
         (if (tracking) Seq(StructField(table.RowIdCol, LongType)) else Nil))
     // output assembly program: kind 0=data(parquet ordinal),
-    // 1=partition(partVals ordinal), 2=file key, 3=row id
+    // 1=partition(partVals ordinal), 2=file key, 3=row id,
+    // 4=row position within the file (the delta-write row-id half)
     var di = 0
     var pi = 0
     val kinds = new Array[Int](required.fields.length)
     val ords = new Array[Int](required.fields.length)
     required.fields.zipWithIndex.foreach { case (f, i) =>
       if (f.name == GraftRowLevel.FileCol) { kinds(i) = 2; ords(i) = 0 }
+      else if (f.name == GraftRowLevel.PosCol) { kinds(i) = 4; ords(i) = 0 }
       else if (f.name == table.RowIdCol) { kinds(i) = 3; ords(i) = 0 }
       else if (partCols.contains(f.name)) { kinds(i) = 1; ords(i) = pi; pi += 1 }
       else { kinds(i) = 0; ords(i) = di; di += 1 }
@@ -322,6 +326,7 @@ private[sources] final case class GraftRloReaderFactory(
                   if (r.isNullAt(ords(i))) null else r.get(ords(i), types(i))
                 case 1 => part.partVals(ords(i))
                 case 2 => fileKey
+                case 4 => idx
                 case _ => // resolved row id: materialized, else base+idx
                   if (rowIdOrd >= 0 && !r.isNullAt(rowIdOrd)) r.getLong(rowIdOrd)
                   else part.baseRowId match {
