@@ -115,15 +115,21 @@ private[sources] final class GraftRowLevelScanBuilder(
   }
 }
 
-/** One InputPartition per candidate file: everything the executor-side
-  * reader needs travels as plain serializable values — absolute path +
-  * size for the parquet reader, the log-relative path (the group key
-  * `_graft_file` emits), the row-tracking base id, and the typed
-  * partition-column values evaluated once on the driver.
+/** One InputPartition per candidate-file SPLIT: everything the
+  * executor-side reader needs travels as plain serializable values —
+  * absolute path + (start, length) byte range + file size for the
+  * parquet reader, the log-relative path (the group key `_graft_file`
+  * emits), the row-tracking base id, and the typed partition-column
+  * values evaluated once on the driver. Files larger than the
+  * session's maxPartitionBytes split into byte ranges (the parquet
+  * reader assigns a row group to the split holding its midpoint, and
+  * the row INDEX it generates is file-absolute — DV masks and row-id
+  * bases stay exact across splits), so one huge candidate file never
+  * caps the rewrite's read parallelism.
   */
 private[sources] final case class GraftRloPartition(
-    abs: String, size: Long, rel: String, baseRowId: Option[Long],
-    partVals: Array[Any]) extends InputPartition
+    abs: String, start: Long, length: Long, size: Long, rel: String,
+    baseRowId: Option[Long], partVals: Array[Any]) extends InputPartition
 
 private[sources] final class GraftRowLevelScan(
     spark: SparkSession,
@@ -189,7 +195,9 @@ private[sources] final class GraftRowLevelScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val partCols = snapshot.partitionColumns
     val partFields = required.fields.filter(f => partCols.contains(f.name))
-    files.map { f =>
+    val maxSplit =
+      math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    files.flatMap { f =>
       // typed partition values, evaluated once per file on the driver
       // (the log stores decoded strings; Cast gives the exact read-side
       // value the directory-inference scan would produce)
@@ -205,8 +213,11 @@ private[sources] final class GraftRowLevelScan(
             c.eval(InternalRow.empty)
         }
       }
-      GraftRloPartition(table.rowLevelDataPath(f.path), f.size, f.path,
-        f.baseRowId, vals): InputPartition
+      val abs = table.rowLevelDataPath(f.path)
+      (0L until f.size by maxSplit).map { start =>
+        GraftRloPartition(abs, start, math.min(maxSplit, f.size - start),
+          f.size, f.path, f.baseRowId, vals): InputPartition
+      }
     }.toArray
   }
 
@@ -281,8 +292,8 @@ private[sources] final class GraftRowLevelScan(
 }
 
 private[sources] final case class GraftRloReaderFactory(
-    readFn: (String, Long) => Iterator[InternalRow],
-    dvReadFn: (String, Long) => Iterator[InternalRow],
+    readFn: (String, Long, Long, Long) => Iterator[InternalRow],
+    dvReadFn: (String, Long, Long, Long) => Iterator[InternalRow],
     dvFiles: Seq[(String, Long)],
     kinds: Array[Int], ords: Array[Int], types: Array[DataType],
     rowIdOrd: Int, rowIdxOrd: Int) extends PartitionReaderFactory {
@@ -300,7 +311,7 @@ private[sources] final case class GraftRloReaderFactory(
           val suffix = "/" + part.rel.stripPrefix("/")
           val s = new java.util.HashSet[Long]()
           dvFiles.foreach { case (abs, len) =>
-            val it = dvReadFn(abs, len)
+            val it = dvReadFn(abs, 0L, len, len)
             while (it.hasNext) {
               val r = it.next()
               if (!r.isNullAt(0) && r.getUTF8String(0).toString.endsWith(suffix))
@@ -309,7 +320,7 @@ private[sources] final case class GraftRloReaderFactory(
           }
           s
         }
-      private val it = readFn(part.abs, part.size)
+      private val it = readFn(part.abs, part.start, part.length, part.size)
       private val fileKey = UTF8String.fromString(part.rel)
       private var current: InternalRow = _
 

@@ -97,20 +97,15 @@ private[sources] final class GraftDeltaWriteImpl(
       rootAbs + "/" + dataStagingRel, factory, serConf, ext, fileSchema,
       schema.fields.map(_.dataType), partOrds, partCols.toArray, dataOrds,
       tracking, rowIdMetaOrd = if (tracking) 0 else -1)
-    // the deletion-vector mask keys on the SCAN-TIME absolute URI of
-    // the data file (what `_metadata.file_path` renders); the scan's
-    // row id carries the log-relative path, so ship the bounded
-    // rel→URI map for the operation's candidate files
-    val scan = op.mainScan
-    require(scan != null, "delta write planned without a scan")
-    val relToUri: Map[String, String] = scan.files.map { f =>
-      f.path -> new org.apache.hadoop.fs.Path(
-        new java.io.File(table.rowLevelDataPath(f.path)).toURI).toString
-    }.toMap
     val marksSchema = StructType(Seq(StructField("file_path", StringType),
       StructField("row_index", LongType)))
     val (mFactory, mConf) = ParquetShim.prepareParquetWrite(spark, marksSchema)
-    GraftDeltaWriterFactory(inner, relToUri,
+    // the deletion-vector mask keys on the SCAN-TIME absolute URI of
+    // the data file (what `_metadata.file_path` renders); the scan's
+    // row id carries the log-relative path, and tasks derive the URI
+    // from (table root, rel) — shipping only the root string, never a
+    // candidate-file-scaled map in the task closure
+    GraftDeltaWriterFactory(inner, rootAbs,
       rootAbs + "/" + marksStagingRel, mFactory,
       new SerializableHadoopConf(mConf), ext, marksSchema)
   }
@@ -131,7 +126,7 @@ private[sources] final class GraftDeltaWriteImpl(
 
 private[sources] final case class GraftDeltaWriterFactory(
     inner: GraftRloWriterFactory,
-    relToUri: Map[String, String],
+    tableRootAbs: String,
     marksStagingAbs: String,
     marksFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     marksConf: SerializableHadoopConf,
@@ -152,8 +147,11 @@ private[sources] final case class GraftDeltaWriterFactory(
             marksConf.value, s"$marksStagingAbs/$marksRel", marksSchema,
             partitionId)
         val rel = id.getUTF8String(0).toString
-        val uri = relToUri.getOrElse(rel, throw new IllegalStateException(
-          s"delta delete references an unplanned file: $rel"))
+        // same rendering the driver's scan listing produces for
+        // `_metadata.file_path` (hadoop Path over the file URI)
+        val abs = if (rel.startsWith("/")) rel else s"$tableRootAbs/$rel"
+        val uri = new org.apache.hadoop.fs.Path(
+          new java.io.File(abs).toURI).toString
         val out = new GenericInternalRow(2)
         out.update(0, UTF8String.fromString(uri))
         out.update(1, id.getLong(1))

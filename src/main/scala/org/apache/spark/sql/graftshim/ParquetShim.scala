@@ -29,16 +29,19 @@ object ParquetShim {
     */
   def rowIndexColumn: String = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
 
-  /** Serializable per-file row reader: (absolutePath, fileLength) →
-    * rows in `requiredSchema` order (columns absent in a file read as
-    * null — how a fresh file reads before row-id materialization).
-    * Built with the vectorized reader OFF so elements are true
-    * [[InternalRow]]s, not disguised ColumnarBatches — the row-level
-    * rewrite is write-dominated, so the row-reader trade is sound.
+  /** Serializable per-file-split row reader: (absolutePath, start,
+    * length, fileSize) → rows in `requiredSchema` order (columns
+    * absent in a file read as null — how a fresh file reads before
+    * row-id materialization; a row group belongs to the split holding
+    * its midpoint, and generated row indexes are FILE-absolute, so
+    * byte-range splits keep DV/row-id math exact). Built with the
+    * vectorized reader OFF so elements are true [[InternalRow]]s, not
+    * disguised ColumnarBatches — the row-level rewrite is
+    * write-dominated, so the row-reader trade is sound.
     */
   def buildRowReader(spark: SparkSession, dataSchema: StructType,
       requiredSchema: StructType, filters: Seq[Filter])
-      : (String, Long) => Iterator[InternalRow] = {
+      : (String, Long, Long, Long) => Iterator[InternalRow] = {
     val vecKey = "spark.sql.parquet.enableVectorizedReader"
     val prev = spark.conf.getOption(vecKey)
     spark.conf.set(vecKey, "false")
@@ -50,10 +53,10 @@ object ParquetShim {
         case Some(v) => spark.conf.set(vecKey, v)
         case None => spark.conf.unset(vecKey)
       }
-    (path: String, len: Long) =>
+    (path: String, start: Long, length: Long, fileSize: Long) =>
       fn(PartitionedFile(InternalRow.empty,
         org.apache.spark.paths.SparkPath.fromPathString(path),
-        0L, len, Array.empty, 0L, len, Map.empty))
+        start, length, Array.empty, 0L, fileSize, Map.empty))
   }
 
   /** Driver-side write preparation: an [[OutputWriterFactory]] (it is

@@ -230,6 +230,34 @@ class RowLevelOpsSpec extends GraftSparkSpec {
     spark.sql("DROP TABLE graftrlo.default.meta_tbl")
   }
 
+  test("byte-range splits: a file larger than maxPartitionBytes reads in " +
+      "parallel splits with exact DV/row math") {
+    useCatalog()
+    spark.range(20000)
+      .withColumn("v", col("id"))
+      .withColumn("pad", concat_ws("-", (0 until 8).map(_ => rand(7)): _*))
+      .coalesce(1)
+      .createOrReplaceTempView("rlo_split_src")
+    spark.sql("CREATE TABLE graftrlo.default.split_tbl USING graftlake " +
+      "AS SELECT * FROM rlo_split_src")
+    val t = GraftTable.forPath(spark, pathOf("split_tbl"))
+    // MoR-delete some rows so the split readers must apply the mask
+    t.deleteMergeOnRead(col("id") % 100 === 0)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      spark.sql("UPDATE graftrlo.default.split_tbl SET v = -1 WHERE id < 500")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graftrlo.default.split_tbl")
+        .head().getLong(0) == 20000 - 200)
+      // masked multiples of 100 stay deleted; surviving id<500 updated
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graftrlo.default.split_tbl " +
+        "WHERE v = -1").head().getLong(0) == 500 - 5)
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graftrlo.default.split_tbl " +
+        "WHERE id % 100 = 0").head().getLong(0) == 0)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    spark.sql("DROP TABLE graftrlo.default.split_tbl")
+  }
+
   test("simple DELETE keeps the SupportsDelete path; subquery DELETE rewrites") {
     useCatalog()
     spark.range(100).withColumn("v", col("id"))
