@@ -47,6 +47,7 @@ object SparkEntry {
     "q65_gini" -> Analytics.q65Gini _,
     "q66_attribution" -> Analytics.q66Attribution _,
     "q67_cohort_ltv" -> Analytics.q67CohortLtv _,
+    "q68_decile_migration" -> Analytics.q68DecileMigration _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -150,6 +151,7 @@ object SparkEntry {
     "pipe_curriculum" -> Pipeline.pipeCurriculum _,
     "pipe_cluster_sample" -> Pipeline.pipeClusterSample _,
     "pipe_token_budget" -> Pipeline.pipeTokenBudget _,
+    "pipe_quality_decile" -> Pipeline.pipeQualityDecile _,
     "pipe_shard_manifest" -> Pipeline.pipeShardManifest _,
     "pipe_dsir_select" -> Pipeline.pipeDsirSelect _,
     "pipe_epoch_plan" -> Pipeline.pipeEpochPlan _,
@@ -906,6 +908,19 @@ object SparkEntry {
         "SELECT cohort AS cohort_month, month_k, n_active, cents_m, " +
         "CAST(SUM(cents_m) OVER (PARTITION BY cohort ORDER BY month_k) AS BIGINT) " +
         "AS cum_cents FROM g ORDER BY cohort_month, month_k"),
+    // decile migration: NTILE(10) per era replicated by the two-phase
+    // ordinal + ntileBucket arithmetic; only both-era customers rank
+    "q68_decile_migration" ->
+      ("WITH spend AS (SELECT o_custkey, " +
+        "SUM(CASE WHEN o_orderdate < '1998-01-01' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) END) AS c1, " +
+        "SUM(CASE WHEN o_orderdate >= '1998-01-01' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) END) AS c2 " +
+        "FROM orders GROUP BY o_custkey), " +
+        "b AS (SELECT * FROM spend WHERE c1 IS NOT NULL AND c2 IS NOT NULL), " +
+        "r AS (SELECT o_custkey, " +
+        "CAST(NTILE(10) OVER (ORDER BY c1 DESC, o_custkey) AS BIGINT) AS d1, " +
+        "CAST(NTILE(10) OVER (ORDER BY c2 DESC, o_custkey) AS BIGINT) AS d2 FROM b) " +
+        "SELECT d1 AS from_decile, d2 AS to_decile, COUNT(*) AS n_customers " +
+        "FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
     // RFM: NTILE(5) replicated by the two-phase ordinal + ntileBucket
     // arithmetic (the q29 parity contract); spend in exact cents
     "q64_rfm" ->
@@ -1885,6 +1900,23 @@ object SparkEntry {
     // lowest ids — replays Pipeline.pipeClusterSample exactly
     // token-budget selection: inclusive running total over the
     // (quality desc, doc_id) order, integer 40% budget
+    // quality-decile calibration: NTILE(10) over (q desc, doc_id)
+    // replicated by the two-phase ordinal; dup flag from corpus-wide
+    // md5 counts; min/max bound each decile (order-independent)
+    "pipe_quality_decile" ->
+      ("WITH d AS (SELECT doc_id, " + wsTok + " AS toks, " +
+        "ROUND(LEAST((" + wsTok + ")/100.0, 1.0)*0.5 + " +
+        "(1.0 - (CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT))" +
+        "/GREATEST(CAST(length(text) AS BIGINT), 1.0))*0.5, 4) AS q, " +
+        "md5(text) AS h FROM documents), " +
+        "hc AS (SELECT h, COUNT(*) AS cnt FROM d GROUP BY h), " +
+        "r AS (SELECT d.doc_id, d.toks, d.q, hc.cnt, " +
+        "CAST(NTILE(10) OVER (ORDER BY d.q DESC, d.doc_id) AS BIGINT) AS decile " +
+        "FROM d JOIN hc USING (h)) " +
+        "SELECT decile, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_tokens, " +
+        "CAST(COUNT(CASE WHEN cnt > 1 THEN 1 END) AS BIGINT) AS n_dup_docs, " +
+        "ROUND(MIN(q), 4) AS min_q, ROUND(MAX(q), 4) AS max_q " +
+        "FROM r GROUP BY decile ORDER BY decile"),
     "pipe_token_budget" ->
       ("WITH d AS (SELECT doc_id, " + wsTok + " AS n_tokens, " +
         "ROUND(LEAST((" + wsTok + ")/100.0, 1.0)*0.5 + " +

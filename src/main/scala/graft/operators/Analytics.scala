@@ -1495,4 +1495,42 @@ object Analytics {
         col("n_active"), col("cents_m"), col("cum_cents"))
       .orderBy("cohort_month", "month_k")
   }
+
+  /** Customer decile MIGRATION between eras (`q68_decile_migration` —
+    * the cohort-movement matrix retention/CRM teams read: of the
+    * customers in spend decile i before the cut date, how many sit in
+    * decile j after it). Spend is exact integer cents; customers
+    * active in BOTH eras rank twice.
+    *
+    * Scale shape: ONE orders scan builds both eras' per-customer
+    * sums (conditional aggregation — never two fact scans), the
+    * aggregate `localCheckpoint`s once (count + both rank passes
+    * share it — the q64 RFM discipline), each era's decile is a
+    * [[Ranks.withGlobalOrdinal]] pass + [[Ranks.ntileBucket]]
+    * arithmetic (never a partition-less NTILE window), and the
+    * join-back is customer-keyed. Output is ≤100 matrix rows; driver
+    * traffic is one long.
+    */
+  def q68DecileMigration(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1998-01-01"
+    val o = Tables(spark, dir, "orders")
+    val spend = o.groupBy("o_custkey")
+      .agg(
+        sum(when(col("o_orderdate") < lit(cut),
+          round(col("o_totalprice") * 100).cast("long"))).as("c1"),
+        sum(when(col("o_orderdate") >= lit(cut),
+          round(col("o_totalprice") * 100).cast("long"))).as("c2"))
+      .filter(col("c1").isNotNull && col("c2").isNotNull)
+      .localCheckpoint()
+    val n = spend.count()
+    def decile(metric: String): DataFrame =
+      Ranks.withGlobalOrdinal(spend.select("o_custkey", metric), "__ord",
+          col(metric).desc, col("o_custkey"))
+        .select(col("o_custkey"),
+          Ranks.ntileBucket(col("__ord"), n, 10L).as(metric + "_d"))
+    decile("c1").join(decile("c2"), "o_custkey")
+      .groupBy(col("c1_d").as("from_decile"), col("c2_d").as("to_decile"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("from_decile", "to_decile")
+  }
 }

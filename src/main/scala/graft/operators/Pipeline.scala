@@ -600,4 +600,39 @@ object Pipeline {
       .filter(col("cum_tokens") <= budget)
       .orderBy("doc_id")
   }
+
+  /** Quality-decile calibration table (`pipe_quality_decile` — the
+    * audit a curation pipeline publishes before picking a quality
+    * cutoff: per score decile, volume, token mass, and how much exact
+    * duplication it carries; a cut that drops mostly duplicates is
+    * cheap, one that drops unique token mass is not). Min/max of the
+    * score bound each decile (order-independent — an AVG would drift
+    * with float summation order across engines).
+    *
+    * Scale shape: one documents scan computes (tokens, quality, md5),
+    * `localCheckpoint`ed so the count, the rank pass and the dup join
+    * share it; the decile is the two-phase global ordinal + NTILE
+    * arithmetic; the duplicate flag joins the 16-byte-hash COUNT
+    * table on the hash key (text never ships twice). Output: 10 rows.
+    */
+  def pipeQualityDecile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("toks"),
+        qualityScore(col("text")).as("q"), md5(col("text")).as("h"))
+      .localCheckpoint()
+    val n = base.count()
+    val dupHashes = base.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val ranked = Ranks.withGlobalOrdinal(base, "__ord",
+        col("q").desc, col("doc_id"))
+      .withColumn("decile", Ranks.ntileBucket(col("__ord"), n, 10L))
+      .join(dupHashes, "h")
+    ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("sum_tokens"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        round(min("q"), 4).as("min_q"),
+        round(max("q"), 4).as("max_q"))
+      .orderBy("decile")
+  }
 }

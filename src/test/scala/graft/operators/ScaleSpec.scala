@@ -92,6 +92,8 @@ class ScaleSpec extends GraftSparkSpec {
         "q32_percent_rank" -> Analytics.q32PercentRank(spark, sfDir),
         "q64_rfm" -> Analytics.q64Rfm(spark, sfDir),
         "q65_gini" -> Analytics.q65Gini(spark, sfDir),
+        "q68_decile_migration" -> Analytics.q68DecileMigration(spark, sfDir),
+        "pipe_quality_decile" -> Pipeline.pipeQualityDecile(spark, sfDir),
         "text_zipf" -> TextOps.textZipf(spark, sfDir),
         "pipe_shuffle" -> Pipeline.pipeShuffle(spark, sfDir)))
       assert(!df.queryExecution.executedPlan.toString.contains("Window"),
