@@ -274,8 +274,12 @@ private[sources] final class GraftRowLevelScan(
       if (snapshot.dvFiles.isEmpty) null
       else ParquetShim.buildRowReader(spark, dvSchema, dvSchema, Nil)
     // a DV sidecar commit is a parquet DIRECTORY — expand to its part
-    // files here (driver metadata walk) so tasks open real files
-    val dvFiles = snapshot.dvFiles.flatMap { rel =>
+    // files here (driver metadata walk) so tasks open real files; the
+    // footer min/max of the file_path key rides along so each reader
+    // opens ONLY sidecars whose key range can cover its file (sidecars
+    // grow with uncompacted deletes — unpruned, every split would scan
+    // them all). A sidecar without stats is kept unconditionally.
+    val dvParts = snapshot.dvFiles.flatMap { rel =>
       val abs = java.nio.file.Paths.get(table.rowLevelDataPath(rel))
       val walk = java.nio.file.Files.walk(abs)
       try {
@@ -286,6 +290,14 @@ private[sources] final class GraftRowLevelScan(
           .map(p => (p.toString, java.nio.file.Files.size(p))).toList
       } finally walk.close()
     }
+    val dvStats =
+      if (dvParts.isEmpty) Map.empty[String, graft.lake.FileStats]
+      else graft.lake.Stats.collect(spark, dvParts.map(_._1))
+    val dvFiles = dvParts.map { case (abs, size) =>
+      val st = dvStats.get(abs)
+      (abs, size, st.flatMap(_.minValues.get("file_path")),
+        st.flatMap(_.maxValues.get("file_path")))
+    }
     GraftRloReaderFactory(readFn, dvReadFn, dvFiles, kinds, ords, types,
       rowIdOrd, rowIdxOrd)
   }
@@ -294,7 +306,7 @@ private[sources] final class GraftRowLevelScan(
 private[sources] final case class GraftRloReaderFactory(
     readFn: (String, Long, Long, Long) => Iterator[InternalRow],
     dvReadFn: (String, Long, Long, Long) => Iterator[InternalRow],
-    dvFiles: Seq[(String, Long)],
+    dvFiles: Seq[(String, Long, Option[String], Option[String])],
     kinds: Array[Int], ords: Array[Int], types: Array[DataType],
     rowIdOrd: Int, rowIdxOrd: Int) extends PartitionReaderFactory {
 
@@ -309,13 +321,23 @@ private[sources] final case class GraftRloReaderFactory(
         if (dvReadFn == null) null
         else {
           val suffix = "/" + part.rel.stripPrefix("/")
+          // the exact key the sidecar writers stored (scan-time URI);
+          // footer ranges prune whole sidecars, suffix matching stays
+          // the row-level test (robust to any historical rendering)
+          val key = new org.apache.hadoop.fs.Path(
+            new java.io.File(part.abs).toURI).toString
           val s = new java.util.HashSet[Long]()
-          dvFiles.foreach { case (abs, len) =>
-            val it = dvReadFn(abs, 0L, len, len)
-            while (it.hasNext) {
-              val r = it.next()
-              if (!r.isNullAt(0) && r.getUTF8String(0).toString.endsWith(suffix))
-                s.add(r.getLong(1))
+          dvFiles.foreach { case (abs, len, minFp, maxFp) =>
+            val prunable = minFp.isDefined && maxFp.isDefined &&
+              (key < minFp.get || key > maxFp.get)
+            if (!prunable) {
+              val it = dvReadFn(abs, 0L, len, len)
+              while (it.hasNext) {
+                val r = it.next()
+                if (!r.isNullAt(0) &&
+                    r.getUTF8String(0).toString.endsWith(suffix))
+                  s.add(r.getLong(1))
+              }
             }
           }
           s
