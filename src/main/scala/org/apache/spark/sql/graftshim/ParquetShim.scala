@@ -34,29 +34,36 @@ object ParquetShim {
     * absent in a file read as null — how a fresh file reads before
     * row-id materialization; a row group belongs to the split holding
     * its midpoint, and generated row indexes are FILE-absolute, so
-    * byte-range splits keep DV/row-id math exact). Built with the
-    * vectorized reader OFF so elements are true [[InternalRow]]s, not
-    * disguised ColumnarBatches — the row-level rewrite is
-    * write-dominated, so the row-reader trade is sound.
+    * byte-range splits keep DV/row-id math exact). The session's
+    * VECTORIZED parquet decode is kept when the schema supports it —
+    * the raw iterator then yields ColumnarBatches, unwrapped here
+    * through the batch's row iterator (rows are transient views,
+    * valid until the consumer advances — the row-level pipeline
+    * consumes each row synchronously).
     */
   def buildRowReader(spark: SparkSession, dataSchema: StructType,
       requiredSchema: StructType, filters: Seq[Filter])
       : (String, Long, Long, Long) => Iterator[InternalRow] = {
-    val vecKey = "spark.sql.parquet.enableVectorizedReader"
-    val prev = spark.conf.getOption(vecKey)
-    spark.conf.set(vecKey, "false")
-    val fn =
-      try new ParquetFileFormat().buildReaderWithPartitionValues(
-        spark, dataSchema, StructType(Nil), requiredSchema, filters,
-        Map.empty, spark.sessionState.newHadoopConf())
-      finally prev match {
-        case Some(v) => spark.conf.set(vecKey, v)
-        case None => spark.conf.unset(vecKey)
-      }
-    (path: String, start: Long, length: Long, fileSize: Long) =>
+    val fmt = new ParquetFileFormat()
+    // Spark 4 contract: the caller must declare whether it expects
+    // ColumnarBatches; batch decode only when the schema supports it
+    val returningBatch = fmt.supportBatch(spark, requiredSchema)
+    val fn = fmt.buildReaderWithPartitionValues(
+      spark, dataSchema, StructType(Nil), requiredSchema, filters,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> returningBatch.toString),
+      spark.sessionState.newHadoopConf())
+    (path: String, start: Long, length: Long, fileSize: Long) => {
+      import scala.jdk.CollectionConverters._
       fn(PartitionedFile(InternalRow.empty,
         org.apache.spark.paths.SparkPath.fromPathString(path),
         start, length, Array.empty, 0L, fileSize, Map.empty))
+        .asInstanceOf[Iterator[Any]].flatMap {
+          case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+            b.rowIterator().asScala
+          case r: InternalRow => Iterator.single(r)
+        }
+    }
   }
 
   /** Driver-side write preparation: an [[OutputWriterFactory]] (it is
