@@ -213,6 +213,7 @@ object SparkEntry {
     "lake_manifest" -> LakeOps.lakeManifest _,
     "lake_rlo_update" -> LakeOps.lakeRloUpdate _,
     "lake_rlo_update_mor" -> LakeOps.lakeRloUpdateMor _,
+    "lake_rlo_merge" -> LakeOps.lakeRloMerge _,
     "lake_txn" -> LakeOps.lakeTxn _)
 
   private val rev = "ROUND(SUM(l_extendedprice*(1.0-l_discount)),2)"
@@ -2295,6 +2296,16 @@ object SparkEntry {
         "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
         "FROM orders WHERE o_totalprice > 300000) u ORDER BY side"),
     "lake_merge" ->
+      ("WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "ROUND(o_totalprice*2,2) AS o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey < 100 UNION ALL " +
+        "SELECT o_orderkey+10000000, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey < 50), " +
+        "merged AS (SELECT * FROM orders WHERE o_orderkey NOT IN " +
+        "(SELECT o_orderkey FROM src) UNION ALL SELECT * FROM src) " +
+        "SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice),2) AS total FROM merged"),
+    // native MERGE route: identical final state to lake_merge (L94)
+    "lake_rlo_merge" ->
       ("WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "ROUND(o_totalprice*2,2) AS o_totalprice, o_orderdate, o_orderpriority " +
         "FROM orders WHERE o_orderkey < 100 UNION ALL " +

@@ -597,6 +597,36 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Native row-level MERGE (L94): the most intricate rewrite shape —
+    * matched rows update (price×2), unmatched source rows insert —
+    * driven through bare `spark.sql` MERGE on a catalog name (plans
+    * as the v2 row-level write). Same observable contract as
+    * [[lakeMerge]]'s path-API route.
+    */
+  def lakeRloMerge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = workDir(dir, "rlomergewh") // cleaned per call
+    spark.conf.set("spark.sql.catalog.graft_vqg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_vqg.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_vqg.default")
+    spark.sql("DROP TABLE IF EXISTS graft_vqg.default.rlo_ord")
+    val o = Tables(spark, dir, "orders")
+    o.repartition(4).createOrReplaceTempView("rlo_ord_src")
+    spark.sql("CREATE TABLE graft_vqg.default.rlo_ord USING graftlake " +
+      "AS SELECT * FROM rlo_ord_src")
+    val updates = o.filter(col("o_orderkey") < 100)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+    val inserts = o.filter(col("o_orderkey") < 50)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    updates.unionByName(inserts).createOrReplaceTempView("rlo_merge_src")
+    spark.sql("MERGE INTO graft_vqg.default.rlo_ord AS t " +
+      "USING rlo_merge_src AS s ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    spark.table("graft_vqg.default.rlo_ord")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+  }
+
   /** Cross-statement transaction (L96): a BEGIN/COMMIT script whose
     * staged CREATE, DELETE and UPDATE land atomically — the returned
     * aggregate reads BOTH the squashed base table and the table the
