@@ -100,11 +100,9 @@ private[sources] object GraftMaintenance {
     s"""(?is)^\\s*ANALYZE\\s+TABLE\\s+$id\\s+(COMPUTE\\s+STATISTICS)\\s*;?\\s*$$""".r
   private val fsckRe: Regex =
     s"""(?is)^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$id(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
-  // DML Spark parses natively but cannot EXECUTE on tables without
-  // SupportsRowLevelOperations — gated on graft-resolvable targets so
-  // UPDATE/MERGE on other catalogs keep Spark's own path.
-  private val updateDmlRe: Regex =
-    s"""(?is)^\\s*UPDATE\\s+$id\\s+SET\\s+.+?\\s+WHERE\\s+.+?\\s*;?\\s*$$""".r
+  // the ONE DML shape still intercepted (see tryParse): MERGE WITH
+  // SCHEMA EVOLUTION — plain UPDATE/MERGE/subquery-DELETE plan
+  // natively through SupportsRowLevelOperations since round 10
   private val mergeDmlRe: Regex =
     s"""(?is)^\\s*MERGE\\s+(?:WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+$id(?:\\s+(?:AS\\s+)?\\w+)?\\s+USING\\s+$id(?:\\s+(?:AS\\s+)?\\w+)?\\s+ON\\s+.+$$""".r
   // statements whose output schema is the TABLE's (resolved at parse)
@@ -125,8 +123,6 @@ private[sources] object GraftMaintenance {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$id\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+FOREIGN\\s+KEY\\s*\\(([^)]+)\\)\\s+REFERENCES\\s+$id\\s*\\(([^)]+)\\)(\\s+NOT\\s+ENFORCED)?\\s*;?\\s*$$""".r
   private val dropConstraintRe: Regex =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$id\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
-  private val deleteInDmlRe: Regex =
-    s"""(?is)^\\s*DELETE\\s+FROM\\s+$id\\s+WHERE\\s+\\w+\\s+IN\\s*\\(\\s*SELECT\\s+.+\\)\\s*;?\\s*$$""".r
 
   private def attrs(fields: (String, DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t)() }
