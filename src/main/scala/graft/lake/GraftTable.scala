@@ -1151,18 +1151,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     absorbStaged(staging, dataChange)
   }
 
-  /** Move every parquet file under `staging` into the table root
+  /** Move parquet files under `staging` into the table root
     * (preserving partition-dir fragments), collect footer stats, and
     * return the AddFile actions. Shared by [[stageWrite]] and the
     * native row-level write's commit, whose executor tasks staged
-    * their files directly.
+    * their files directly. `only` restricts the move to the
+    * committed task attempts' files (a failed-then-retried attempt
+    * may leave orphans in the staging dir — absorbing them would
+    * duplicate rows); everything else in the staging dir is deleted.
     */
-  private[graft] def absorbStaged(staging: Path, dataChange: Boolean): Seq[AddFile] = {
+  private[graft] def absorbStaged(staging: Path, dataChange: Boolean,
+      only: Option[Set[String]] = None): Seq[AddFile] = {
     val walk = Files.walk(staging)
     val staged =
       try walk.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet") &&
           !p.getFileName.toString.startsWith("."))
+        .filter(p => only.forall(_.contains(staging.relativize(p).toString)))
         .toSeq.sortBy(_.toString)
       finally walk.close()
     val moved = staged.map { src =>
@@ -1240,29 +1245,33 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * (partition directories must follow regenerated values too).
     * Shared by the group-based (CoW) and delta-based (MoR) commits.
     */
-  private def validateAndAbsorbStaged(s: Snapshot,
-      staging: Path): Seq[AddFile] = {
-    val hasStaged = Files.exists(staging) && {
-      val walk = Files.walk(staging)
-      try walk.iterator().asScala.exists(p =>
-        p.getFileName.toString.endsWith(".parquet"))
-      finally walk.close()
+  private def validateAndAbsorbStaged(s: Snapshot, staging: Path,
+      committedRels: Set[String]): Seq[AddFile] = {
+    // only files the committed task attempts reported count — a
+    // failed-then-retried attempt's orphans must not absorb
+    if (committedRels.isEmpty ||
+        !committedRels.exists(r => Files.exists(staging.resolve(r)))) {
+      deleteRecursively(staging); return Nil
     }
-    if (!hasStaged) { deleteRecursively(staging); return Nil }
     val tracking = rowTrackingOn(s)
     val readSchema =
       if (!tracking) s.physicalSchema
       else org.apache.spark.sql.types.StructType(s.physicalSchema.fields :+
         org.apache.spark.sql.types.StructField(RowIdCol,
           org.apache.spark.sql.types.LongType, nullable = true))
-    val physical = spark.read.schema(readSchema).parquet(staging.toString)
+    val committedPaths = committedRels.toSeq.sorted
+      .map(r => staging.resolve(r).toString)
+      .filter(p => Files.exists(Paths.get(p)))
+    val physical = spark.read
+      .option("basePath", staging.toString) // keep partition-dir inference
+      .schema(readSchema).parquet(committedPaths: _*)
     val logical = physical.select((s.schema.fields.map(f =>
       col(s.physicalName(f.name)).as(f.name)) ++
       (if (tracking) Seq(col(RowIdCol)) else Nil)).toIndexedSeq: _*)
     val gens = generatedExprs(s)
     if (gens.isEmpty) {
       validateConstraints(logical.drop(RowIdCol), s)
-      absorbStaged(staging, dataChange = true)
+      absorbStaged(staging, dataChange = true, only = Some(committedRels))
     } else {
       val regen = gens.foldLeft(logical) { case (d, (c, e)) =>
         d.withColumn(c, expr(e).cast(s.schema(c).dataType))
@@ -1275,10 +1284,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   private[graft] def rowLevelCommitReplace(s: Snapshot, opName: String,
-      stagingRel: String, removed: Seq[AddFile]): Map[String, String] = {
+      stagingRel: String, removed: Seq[AddFile],
+      committedRels: Set[String]): Map[String, String] = {
     val staging = root.resolve(stagingRel)
     try {
-      val adds = validateAndAbsorbStaged(s, staging)
+      val adds = validateAndAbsorbStaged(s, staging, committedRels)
       val removes = removed.map(f =>
         RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
       val metrics = Map(
@@ -1308,24 +1318,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   private[graft] def rowLevelCommitDelta(s: Snapshot, opName: String,
       dataStagingRel: String, marksStagingRel: String,
-      readPaths: Set[String]): Map[String, String] = {
+      readPaths: Set[String], committedDataRels: Set[String],
+      committedMarkRels: Set[String]): Map[String, String] = {
     val dataStaging = root.resolve(dataStagingRel)
     val marksStaging = root.resolve(marksStagingRel)
     try {
-      val adds = validateAndAbsorbStaged(s, dataStaging)
-      val hasMarks = Files.exists(marksStaging) && {
-        val walk = Files.walk(marksStaging)
-        try walk.iterator().asScala.exists(p =>
-          p.getFileName.toString.endsWith(".parquet"))
-        finally walk.close()
-      }
+      val adds = validateAndAbsorbStaged(s, dataStaging, committedDataRels)
+      // only the committed attempts' mark files form the sidecar (an
+      // orphaned retry's marks would be idempotent but carry paths the
+      // committed attempt may not have planned)
+      val markFiles = committedMarkRels.toSeq.sorted
+        .map(marksStaging.resolve).filter(Files.exists(_))
       val dvActions =
-        if (!hasMarks) { deleteRecursively(marksStaging); Nil }
+        if (markFiles.isEmpty) { deleteRecursively(marksStaging); Nil }
         else {
           val rel = s"_graft_dv/dv-${UUID.randomUUID()}"
           val dest = root.resolve(rel)
-          Files.createDirectories(dest.getParent)
-          Files.move(marksStaging, dest)
+          Files.createDirectories(dest)
+          markFiles.foreach(f =>
+            Files.move(f, dest.resolve(f.getFileName.toString)))
+          deleteRecursively(marksStaging)
           Seq(AddDV(rel))
         }
       val metrics = Map(

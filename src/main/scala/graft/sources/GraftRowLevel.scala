@@ -458,8 +458,13 @@ private[sources] final class GraftRowLevelWrite(
     val scan = op.mainScan
     require(scan != null,
       "row-level write committed without a planned scan")
+    // only files the committed task attempts reported absorb — a
+    // failed-then-retried attempt's staged orphans must not double rows
+    val committed = messages.collect {
+      case m: GraftRloCommitMessage => m.rels
+    }.flatten.toSet
     table.rowLevelCommitReplace(snapshot, op.command.toString, stagingRel,
-      scan.files)
+      scan.files, committed)
     ()
   }
 

@@ -112,9 +112,11 @@ private[sources] final class GraftDeltaWriteImpl(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val scan = op.mainScan
+    val ms = messages.collect { case m: GraftDeltaCommitMessage => m }
     table.rowLevelCommitDelta(snapshot, op.command.toString,
       dataStagingRel, marksStagingRel,
-      if (scan == null) Set.empty else scan.files.map(_.path).toSet)
+      if (scan == null) Set.empty else scan.files.map(_.path).toSet,
+      ms.flatMap(_.dataRels).toSet, ms.flatMap(_.markRels).toSet)
     ()
   }
 
@@ -123,6 +125,9 @@ private[sources] final class GraftDeltaWriteImpl(
     table.rowLevelAbort(marksStagingRel)
   }
 }
+
+private[sources] final case class GraftDeltaCommitMessage(
+    dataRels: Seq[String], markRels: Seq[String]) extends WriterCommitMessage
 
 private[sources] final case class GraftDeltaWriterFactory(
     inner: GraftRloWriterFactory,
@@ -173,8 +178,14 @@ private[sources] final case class GraftDeltaWriterFactory(
         dataWriter.write(null, row)
 
       override def commit(): WriterCommitMessage = {
+        val wroteMarks = marksWriter != null
         if (marksWriter != null) { marksWriter.close(); marksWriter = null }
-        dataWriter.commit()
+        val dataMsg = dataWriter.commit() match {
+          case m: GraftRloCommitMessage => m.rels
+          case _ => Nil
+        }
+        GraftDeltaCommitMessage(dataMsg,
+          if (wroteMarks) Seq(marksRel) else Nil)
       }
 
       override def abort(): Unit = {
