@@ -272,3 +272,13 @@ object Actions {
     }
   }
 }
+
+/** A prepared (phase-1) transaction squash: the actions to append,
+  * the BEGIN version the optimistic check runs against, and the
+  * root-relative paths phase 1 moved (reclaimed on commit failure).
+  */
+private[lake] final case class SquashPlan(
+    baseVersion: Long,
+    actions: Seq[Action],
+    movedRels: Seq[String],
+    metrics: Map[String, String])

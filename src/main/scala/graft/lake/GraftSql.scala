@@ -389,9 +389,19 @@ final class GraftSql(spark: SparkSession) {
                 s"version ${e.baseVersion} — rolled back")
           }
         try {
-          st.shadows.toSeq.foreach { case (name, e) =>
-            if (e.shadow.version > e.cloneVersion)
-              e.base.squashTransaction(e.shadow, e.baseVersion)
+          // PHASE 1: prepare every table's squash — all heavy work
+          // (file moves, validation) with NO log touched, so the
+          // cross-table non-atomic window shrinks to phase 2's
+          // back-to-back log appends
+          val plans = st.shadows.toSeq.map { case (name, e) =>
+            (name, e,
+              if (e.shadow.version > e.cloneVersion)
+                Some(e.base.prepareSquash(e.shadow, e.baseVersion))
+              else None)
+          }
+          // PHASE 2: one optimistic log append per table
+          plans.foreach { case (name, e, plan) =>
+            plan.foreach(e.base.commitSquash)
             e.shadow.deleteTransactionDir(e.shadow.path)
             tables(name) = GraftTable.forPath(spark, e.base.path)
             st.shadows.remove(name)

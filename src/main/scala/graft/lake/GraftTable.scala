@@ -1378,7 +1378,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * combination refuses with a pointer at copy-on-write DML.
     */
   private[lake] def squashTransaction(shadow: GraftTable,
-      baseVersion: Long): Map[String, String] = {
+      baseVersion: Long): Map[String, String] =
+    commitSquash(prepareSquash(shadow, baseVersion))
+
+  /** PHASE 1 of the two-phase transaction commit: every heavy step —
+    * file moves under the base root, DV key validation, metadata
+    * diffing — happens here withOUT touching the log, so a
+    * multi-table COMMIT can prepare every table first and then land
+    * the log appends back-to-back ([[commitSquash]]). A failure
+    * before the log commit leaves only uncommitted orphan files under
+    * the root (invisible to every snapshot read; [[commitSquash]]'s
+    * failure path and VACUUM both reclaim them).
+    */
+  private[lake] def prepareSquash(shadow: GraftTable,
+      baseVersion: Long): SquashPlan = {
     val b = snapshot
     val s2 = shadow.snapshot
     val baseRoot = root.toAbsolutePath.normalize
@@ -1431,11 +1444,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       "numAddedFiles" -> adds.size.toString,
       "numDeletionVectors" -> dvAdds.size.toString,
       "shadowCommits" -> (s2.version).toString)
-    commitAndCheckpoint(
+    SquashPlan(baseVersion,
       Seq(info("TRANSACTION", metrics = metrics)) ++ metaActions ++
         removes ++ adds ++ dvAdds,
-      readVersion = baseVersion)
-    metrics
+      adds.map(_.path).toSeq ++ dvAdds.map(_.path), metrics)
+  }
+
+  /** PHASE 2: one optimistic log append per table. The conflict check
+    * against the BEGIN version runs here; on failure the phase-1 moved
+    * files are reclaimed immediately instead of waiting for VACUUM.
+    */
+  private[lake] def commitSquash(p: SquashPlan): Map[String, String] = {
+    try commitAndCheckpoint(p.actions, readVersion = p.baseVersion)
+    catch {
+      case e: Throwable =>
+        p.movedRels.foreach(r => deleteRecursively(root.resolve(r)))
+        throw e
+    }
+    p.metrics
   }
 
   /** Transaction cleanup: remove a shadow (or staged-create) dir. */

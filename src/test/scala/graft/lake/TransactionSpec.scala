@@ -155,6 +155,36 @@ class TransactionSpec extends GraftSparkSpec {
     assert(gsql.sql("SELECT COUNT(*) AS n FROM mt").head().getLong(0) == 3)
   }
 
+  test("multi-table transaction: each table lands exactly one commit") {
+    val gsql = freshSql()
+    val baseA = tmpDir("txn-multi-a")
+    val baseB = tmpDir("txn-multi-b")
+    gsql.registerCreate("mt_a", baseA,
+      spark.range(10).selectExpr("id AS k", "CAST(1 AS BIGINT) AS v"))
+    gsql.registerCreate("mt_b", baseB,
+      spark.range(10).selectExpr("id AS k", "CAST(2 AS BIGINT) AS v"))
+    val (va, vb) = (GraftTable.forPath(spark, baseA).version,
+      GraftTable.forPath(spark, baseB).version)
+    gsql.executeScript("""
+      BEGIN;
+      UPDATE mt_a SET v = 10 WHERE k < 5;
+      DELETE FROM mt_b WHERE k >= 5;
+      UPDATE mt_b SET v = 20 WHERE k = 0;
+      COMMIT;
+    """)
+    val (ta, tb) = (GraftTable.forPath(spark, baseA),
+      GraftTable.forPath(spark, baseB))
+    assert(ta.version == va + 1 && tb.version == vb + 1,
+      "each table's whole transaction must be ONE commit")
+    assert(ta.history(1).collect().head.getAs[String]("operation")
+      == "TRANSACTION")
+    assert(gsql.sql("SELECT SUM(v) AS s FROM mt_a").head().getLong(0)
+      == 5 * 10 + 5 * 1)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM mt_b").head().getLong(0) == 5)
+    assert(gsql.sql("SELECT SUM(v) AS s FROM mt_b").head().getLong(0)
+      == 20 + 4 * 2)
+  }
+
   test("pre-existing deletion-vector masks survive a transactional rewrite") {
     val gsql = freshSql()
     val base = tmpDir("txn-mor")
