@@ -363,11 +363,15 @@ final class GraftSql(spark: SparkSession) {
 
   /** BEGIN / COMMIT / ROLLBACK (script-scoped, Some(df) when handled).
     * COMMIT squashes each touched table's shadow into ONE optimistic
-    * log commit ([[GraftTable.squashTransaction]]) and moves staged
-    * CREATEs into place; per-table commits are individually atomic and
-    * conflict-checked against the BEGIN version (cross-table order is
-    * documented best-effort — each table's log is its own root of
-    * trust, exactly like Delta).
+    * log commit and moves staged CREATEs into place — TWO-PHASE:
+    * every table's heavy squash prep ([[GraftTable.prepareSquash]])
+    * runs first with no log touched, then the appends
+    * ([[GraftTable.commitSquash]]) land back-to-back, so the
+    * cross-table non-atomic window is milliseconds of log appends.
+    * Per-table commits are individually atomic and conflict-checked
+    * against the BEGIN version; full cross-table atomicity would need
+    * a coordinator log (each table's log is its own root of trust,
+    * exactly like Delta).
     */
   private def txnControl(stmt: String): Option[DataFrame] = {
     import spark.implicits._
