@@ -127,6 +127,7 @@ object SparkEntry {
     "dedup_semantic_materialized" -> Dedup.dedupSemanticMaterialized _,
     "dedup_substring" -> Dedup.dedupSubstring _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
+    "sim_recall_report" -> Similarity.simRecallReport _,
     "sim_l2_topk" -> Similarity.simL2Topk _,
     "sim_mips_topk" -> Similarity.simMipsTopk _,
     "sim_filtered_topk" -> Similarity.simFilteredTopk _,
@@ -640,6 +641,29 @@ object SparkEntry {
       "(PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn FROM sc) " +
       "SELECT qid, cid, ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn " +
       "FROM r WHERE rn <= 5 ORDER BY qid, rn"
+
+  private def simBruteforceSql: String =
+    "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
+      "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
+      "FROM embeddings WHERE vec_id >= 10), s AS (SELECT qid, cid, " +
+      "list_cosine_similarity(qe, ce) AS cos_raw FROM q CROSS JOIN c), r AS (" +
+      "SELECT qid, cid, cos_raw, ROW_NUMBER() OVER (PARTITION BY qid " +
+      "ORDER BY cos_raw DESC, cid) AS rn FROM s) SELECT qid, cid, " +
+      "ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 " +
+      "ORDER BY qid, rn"
+
+  /** ANN self-evaluation: both legs are the PROVEN oracle replicas of
+    * sim_bruteforce_topk (ground truth) and sim_ivf (probe path),
+    * composed into a per-query recall@5 — a nested WITH per leg.
+    */
+  private def simRecallSql: String =
+    s"WITH bf AS ($simBruteforceSql), iv AS ($simIvfSql), " +
+      "hits AS (SELECT bf.qid, COUNT(*) AS n_hits FROM bf " +
+      "JOIN iv ON bf.qid = iv.qid AND bf.cid = iv.cid GROUP BY bf.qid) " +
+      "SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+      "ROUND(COALESCE(h.n_hits, 0)/5.0, 4) AS recall " +
+      "FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN hits h ON q.qid = h.qid " +
+      "ORDER BY q.qid"
 
   /** IVF candidates scored by PQ-ADC — the [[simIvfSql]] chain joined
     * against the [[simPqSql]] chain's `adc` table, ranked ascending.
@@ -1648,15 +1672,8 @@ object SparkEntry {
     // construction (same training rows, exact-int64 arithmetic), so it
     // shares the full codebook-replay oracle
     "sim_pq_materialized" -> simPqSql,
-    "sim_bruteforce_topk" ->
-      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
-        "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
-        "FROM embeddings WHERE vec_id >= 10), s AS (SELECT qid, cid, " +
-        "list_cosine_similarity(qe, ce) AS cos_raw FROM q CROSS JOIN c), r AS (" +
-        "SELECT qid, cid, cos_raw, ROW_NUMBER() OVER (PARTITION BY qid " +
-        "ORDER BY cos_raw DESC, cid) AS rn FROM s) SELECT qid, cid, " +
-        "ROUND(cos_raw, 4) AS cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 " +
-        "ORDER BY qid, rn"),
+    "sim_bruteforce_topk" -> simBruteforceSql,
+    "sim_recall_report" -> simRecallSql,
     // hybrid RRF: both leg chains are the proven sim_bruteforce_topk
     // and text_search_ranked replicas (k=30 / top-100, candidate floor
     // doc_id >= 10); fusion arithmetic in exact DOUBLE (CAST, not

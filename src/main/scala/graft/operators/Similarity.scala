@@ -51,6 +51,28 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** ANN self-evaluation (`sim_recall_report`, S21): per-query
+    * recall@k of the IVF probe path against exact brute-force ground
+    * truth — the eval loop every ANN deployment runs before trusting
+    * an index (the spec-side recall bars become a first-class,
+    * oracle-checked report). Both legs are the proven operators run
+    * as-is; the comparison stages are joins of ≤ nq·k id pairs —
+    * constant-bounded, so the report costs two corpus passes (one per
+    * leg) and nothing that scales beyond them.
+    */
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val bf = simBruteforceTopk(spark, dir).select("qid", "cid")
+    val ivf = simIvf(spark, dir).select("qid", "cid")
+    val hits = ivf.join(bf, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    bf.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / TopK, 4))
+      .orderBy("qid")
+  }
+
   // hybrid-retrieval tuning — the oracle SQL in SparkEntry embeds the
   // same constants, so change them ONLY in lockstep with it
   private[operators] val HybridVecK = 30
