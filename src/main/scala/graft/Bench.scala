@@ -9,12 +9,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Numbers from a contended host are worse than no numbers (round 4
   * recorded phantom 13× regressions from a busy machine), so the run
-  * defends itself three ways: an exclusive lock file serializes
+  * defends itself four ways: an exclusive lock file serializes
   * concurrent Bench JVMs, the timed section waits for system load to
-  * drain first, and TWO fixed canaries timed at start and end — a
+  * drain first, TWO fixed canaries timed at start and end — a
   * read+aggregate and a tiny table create+insert+drop (write-path IO
-  * contention is invisible to a read canary) — stamp `"valid":false`
-  * on the emitted JSON when either drifted >1.5× mid-run.
+  * contention is invisible to a read canary) — and the read canary
+  * re-timed every ~25 queries mid-run (an endpoint pair is blind to a
+  * burst that dies before the end canary). Any canary drifting >1.5×
+  * stamps `"valid":false` on the emitted JSON.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -113,7 +115,17 @@ object Bench {
     // rounds), so every measurement starts from a clean cache; and each
     // query runs twice with the min reported, so one-off JIT/GC hiccups
     // don't read as plan regressions.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    //
+    // Mid-run canaries: the start/end pair is blind to a load burst
+    // that dies BEFORE the end canary runs (round 10's driver artifact
+    // carried a 6-29x contiguous block under two valid endpoint
+    // canaries). Re-time the read canary every ~25 queries; any
+    // interval drifting >1.5x over the start floor invalidates the run.
+    val midSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), idx) =>
+      if (idx > 0 && idx % 25 == 0)
+        midSamples += math.min(canary(), canary())
       def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -133,11 +145,19 @@ object Bench {
     spark.catalog.clearCache()
     val drift = canaryEnd / math.max(canaryStart, 1e-9)
     val wdrift = wcanaryEnd / math.max(wcanaryStart, 1e-9)
-    val valid = drift <= 1.5 && wdrift <= 1.5
+    val midMaxDrift =
+      if (midSamples.isEmpty) 1.0
+      else midSamples.max / math.max(canaryStart, 1e-9)
+    val valid = drift <= 1.5 && wdrift <= 1.5 && midMaxDrift <= 1.5
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
+    val mids = midSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"wcanary_start_sec":$wcanaryStart%.3f,"wcanary_end_sec":$wcanaryEnd%.3f,"wcanary_drift":$wdrift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"canary_mid_sec":$mids,"canary_mid_max_drift":$midMaxDrift%.2f,"wcanary_start_sec":$wcanaryStart%.3f,"wcanary_end_sec":$wcanaryEnd%.3f,"wcanary_drift":$wdrift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
+    // marker line FIRST: past rounds' driver captures kept only a log
+    // tail and failed to parse the plain line — a clearly-delimited
+    // single-line marker survives truncation-from-the-top greps
+    println(s"BENCH_RESULT_JSON: $json")
     println(json)
     // the driver's stdout tail-capture has truncated the leading ~18
     // query keys in past rounds — persist the full line so the artifact

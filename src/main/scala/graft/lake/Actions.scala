@@ -274,11 +274,15 @@ object Actions {
 }
 
 /** A prepared (phase-1) transaction squash: the actions to append,
-  * the BEGIN version the optimistic check runs against, and the
-  * root-relative paths phase 1 moved (reclaimed on commit failure).
+  * the BEGIN version the optimistic check runs against, the
+  * root-relative paths phase 1 moved (reclaimed on commit failure),
+  * plus the transaction's read set and metadata-conflict flag so
+  * phase 2's optimistic check covers add-only and DV-only squashes.
   */
 private[lake] final case class SquashPlan(
     baseVersion: Long,
     actions: Seq[Action],
     movedRels: Seq[String],
-    metrics: Map[String, String])
+    metrics: Map[String, String],
+    readPaths: Set[String] = Set.empty,
+    metadataConflict: Boolean = false)

@@ -248,6 +248,13 @@ final class GraftSql(spark: SparkSession) {
             val alias = "graft_bq_" +
               java.lang.Integer.toHexString(inner.hashCode).replace('-', '_')
             tables.get(inner).foreach(tables(alias) = _)
+            // remember which table the alias stands for: txnPrepare
+            // must shadow the SOURCE when a transaction touches the
+            // alias (the quoted original no longer appears in the
+            // statement text), and COMMIT/ROLLBACK must re-point the
+            // alias when the source binding changes — without this a
+            // backticked DML inside BEGIN writes straight to the base
+            if (tables.contains(inner)) bqAliases(alias) = inner
             matViews.get(inner).foreach(matViews(alias) = _)
             distinctViews.get(inner).foreach(distinctViews(alias) = _)
             outerViews.get(inner).foreach(outerViews(alias) = _)
@@ -278,6 +285,19 @@ final class GraftSql(spark: SparkSession) {
     val creates = scala.collection.mutable.LinkedHashMap[String, CreateEntry]()
   }
   private var txn: Option[TxnState] = None
+  // backtick alias -> the registered table it stands for (see
+  // normalizeQuoted); consulted so transactions shadow THROUGH the
+  // alias, and bindings re-point after COMMIT/ROLLBACK swaps
+  private val bqAliases = scala.collection.mutable.HashMap[String, String]()
+
+  /** Re-bind every backtick alias to its source's CURRENT table
+    * object — shadow swaps (txnPrepare), rollback restores, and
+    * commit refreshes all change the source binding underneath the
+    * alias, and a stale alias would read (or worse, write) a deleted
+    * shadow directory.
+    */
+  private def repointAliases(): Unit =
+    bqAliases.foreach { case (a, s) => tables.get(s).foreach(tables(a) = _) }
 
   private val beginRe: Regex =
     """(?is)^\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*$""".r
@@ -303,10 +323,14 @@ final class GraftSql(spark: SparkSession) {
       // table mid-transaction — a stale view outliving the rollback
       // would resolve reads against deleted files
       spark.catalog.dropTempView(name)
-      GraftTable.forPath(spark, c.tmpLoc) // handle only for the delete
-        .deleteTransactionDir(c.tmpLoc)
+      // handle-free delete: the creates entry registers BEFORE the
+      // CTAS runs, so a CTAS that failed (bad SELECT) leaves tmpLoc
+      // missing — forPath would throw 'not a GraftLake table', mask
+      // the original error, and wedge the transaction open
+      GraftTable.deleteStagedDir(c.tmpLoc)
     }
     txn = None
+    repointAliases() // backtick aliases must not outlive the shadow
     exposeViews() // re-publish base snapshots over any shadow views
   }
 
@@ -341,21 +365,32 @@ final class GraftSql(spark: SparkSession) {
         stmt.replace(s"'$location'", s"'$tmp'")
       case _ => stmt
     }
-    // first touch of a registered plain table -> swap in a shadow
+    // first touch of a registered plain table -> swap in a shadow.
+    // A graft_bq_ alias (normalizeQuoted's rewrite of a backticked
+    // registered name) resolves to its SOURCE first: the quoted
+    // original no longer appears in the statement text, so without
+    // the resolve a backticked DML inside BEGIN would write straight
+    // to the base and make ROLLBACK a silent no-op for that table.
     val mvNames = matViews.keySet ++ distinctViews.keySet ++ outerViews.keySet
     tables.keys.toSeq.foreach { name =>
       val touched = ("(?i)(?<![\\w.`])" +
         java.util.regex.Pattern.quote(name) + "(?![\\w.`])").r
         .findFirstIn(masked).isDefined
-      if (touched && !st.shadows.contains(name) &&
-          !st.creates.contains(name) && !mvNames.contains(name) &&
-          !name.startsWith("graft_bq_")) {
-        val base = tables(name)
-        val tmpDir = s"${base.path}.txn-${java.util.UUID.randomUUID()}"
-        val shadow = GraftTable.shallowClone(spark, base.path, tmpDir)
-        st.shadows(name) = ShadowEntry(base, base.version, shadow,
-          shadow.version)
-        tables(name) = shadow
+      if (touched) {
+        val src = bqAliases.getOrElse(name, name)
+        if (!st.shadows.contains(src) && !st.creates.contains(src) &&
+            !mvNames.contains(src) && !src.startsWith("graft_bq_") &&
+            tables.contains(src)) {
+          val base = tables(src)
+          val tmpDir = s"${base.path}.txn-${java.util.UUID.randomUUID()}"
+          val shadow = GraftTable.shallowClone(spark, base.path, tmpDir)
+          st.shadows(src) = ShadowEntry(base, base.version, shadow,
+            shadow.version)
+          tables(src) = shadow
+        }
+        // normalizeQuoted bound the alias BEFORE the shadow swap —
+        // re-point it so the statement's reads/writes hit the shadow
+        if (name != src) tables.get(src).foreach(tables(name) = _)
       }
     }
     redirected
@@ -422,6 +457,7 @@ final class GraftSql(spark: SparkSession) {
           case e: Throwable => rollbackTxn(st); throw e
         }
         txn = None
+        repointAliases() // backtick aliases must not outlive the shadow
         exposeViews() // refresh any shadow-bound temp views to the base
         Some(Seq(("status", "committed")).toDF("metric", "value"))
       case rollbackTxnRe() =>

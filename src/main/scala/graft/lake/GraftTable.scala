@@ -1389,10 +1389,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * before the log commit leaves only uncommitted orphan files under
     * the root (invisible to every snapshot read; [[commitSquash]]'s
     * failure path and VACUUM both reclaim them).
+    *
+    * The diff runs against `snapshotAt(baseVersion)` — the version the
+    * transaction READ — never the live snapshot: a concurrent append
+    * landing between the caller's version pre-check and this prepare
+    * must not have its fresh files computed into `removes` (the
+    * optimistic check detects intervening RemoveFile/AddDV, not adds,
+    * so a live-snapshot diff would let the squash silently delete the
+    * concurrent append). Intervening appends instead commute: they
+    * are untouched by the diff and survive the commit. The plan also
+    * carries the full read set (every base file active at BEGIN) plus
+    * DV/metadata conflict flags, so phase 2's optimistic check aborts
+    * on ANY intervening remove/mask/metadata change — including the
+    * previously unchecked DV-only squash.
     */
   private[lake] def prepareSquash(shadow: GraftTable,
       baseVersion: Long): SquashPlan = {
-    val b = snapshot
+    val b = snapshotAt(baseVersion)
     val s2 = shadow.snapshot
     val baseRoot = root.toAbsolutePath.normalize
     val shadowRoot = Paths.get(shadow.path).toAbsolutePath.normalize
@@ -1447,15 +1460,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     SquashPlan(baseVersion,
       Seq(info("TRANSACTION", metrics = metrics)) ++ metaActions ++
         removes ++ adds ++ dvAdds,
-      adds.map(_.path).toSeq ++ dvAdds.map(_.path), metrics)
+      adds.map(_.path).toSeq ++ dvAdds.map(_.path), metrics,
+      readPaths = b.activeFiles.map(_.path).toSet,
+      metadataConflict = metaActions.nonEmpty)
   }
 
   /** PHASE 2: one optimistic log append per table. The conflict check
-    * against the BEGIN version runs here; on failure the phase-1 moved
-    * files are reclaimed immediately instead of waiting for VACUUM.
+    * against the BEGIN version runs here with the transaction's FULL
+    * read set (shallow clone snapshots the whole table, so the read
+    * set is every base file at BEGIN) and `conflictOnDV` — any
+    * intervening RemoveFile on a read file, any intervening MoR mask,
+    * and (when the squash rewrites metadata) any intervening Metadata
+    * all abort, giving the transaction the serializable semantics its
+    * contract promises even for add-only and DV-only squashes. On
+    * failure the phase-1 moved files are reclaimed immediately instead
+    * of waiting for VACUUM.
     */
   private[lake] def commitSquash(p: SquashPlan): Map[String, String] = {
-    try commitAndCheckpoint(p.actions, readVersion = p.baseVersion)
+    try commitAndCheckpoint(p.actions, readVersion = p.baseVersion,
+      readPaths = p.readPaths, metadataConflict = p.metadataConflict,
+      conflictOnDV = true)
     catch {
       case e: Throwable =>
         p.movedRels.foreach(r => deleteRecursively(root.resolve(r)))
@@ -4493,6 +4517,22 @@ object GraftTable {
   val DefaultStatsColumns = 32
 
   def isGraftTable(path: String): Boolean = new TxnLog(path).exists
+
+  /** Remove a staged/orphaned directory WITHOUT a table handle —
+    * tolerates a missing or half-written path. Transaction rollback
+    * needs this: a CTAS that failed mid-statement leaves its staged
+    * location nonexistent (or not yet a GraftLake table), and a
+    * rollback that insisted on `forPath` would throw, mask the
+    * original error, and leave the transaction permanently open.
+    */
+  private[lake] def deleteStagedDir(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
 
   /** Writer-protocol floor a property set demands: row tracking and
     * identity columns depend on replayed high-water-mark actions a v1

@@ -18,9 +18,11 @@ import org.apache.spark.sql.SparkSession
   * (reference docs/02-lab-optimizations.md:193-211 DESCRIBE HISTORY /
   * time travel), re-implemented from scratch.
   */
-final class TxnLog(val tablePath: String) {
+final class TxnLog(val tablePath: String,
+    private[lake] val store: LogStore = PosixLogStore) {
   val logDir: Path = Paths.get(tablePath, "_graft_log")
   private val ckptDir = logDir.resolve("_checkpoints")
+  private val txnDir = logDir.resolve("_txn")
   private val lastCkptFile = logDir.resolve("_last_checkpoint")
 
   def exists: Boolean = Files.isDirectory(logDir)

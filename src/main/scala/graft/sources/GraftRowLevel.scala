@@ -494,18 +494,21 @@ private[sources] final case class GraftRloWriterFactory(
       private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private val rels = scala.collection.mutable.ArrayBuffer[String]()
 
+      // timestamps render through Spark's own fraction formatter —
+      // the exact Cast(timestamp -> string) implementation — so
+      // sub-second partition values keep their '.SSSSSS' micros and
+      // round-trip through the scan side's Cast(string -> timestamp,
+      // UTC) bit-exactly; a seconds-precision formatter here would
+      // silently MOVE rows to a truncated partition value on rewrite
+      private lazy val tsFormatter =
+        org.apache.spark.sql.catalyst.util.TimestampFormatter
+          .getFractionFormatter(java.time.ZoneOffset.UTC)
+
       private def render(v: Any, dt: DataType): String = dt match {
         case _ if v == null => ParquetShim.defaultPartitionName
         case DateType =>
           java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
-        case TimestampType =>
-          val micros = v.asInstanceOf[Long]
-          java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd HH:mm:ss")
-            .withZone(java.time.ZoneOffset.UTC)
-            .format(java.time.Instant.ofEpochSecond(
-              Math.floorDiv(micros, 1000000L),
-              Math.floorMod(micros, 1000000L) * 1000L))
+        case TimestampType => tsFormatter.format(v.asInstanceOf[Long])
         case _ => String.valueOf(v)
       }
 

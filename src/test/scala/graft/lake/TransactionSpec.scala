@@ -201,4 +201,125 @@ class TransactionSpec extends GraftSparkSpec {
     assert(t.toDF.count() == 6, "masked rows must stay deleted")
     assert(t.toDF.filter(col("v") === 99).count() == 2)
   }
+
+  test("backtick-quoted table DML inside a transaction is shadowed") {
+    val gsql = freshSql()
+    val base = tmpDir("txn-bq")
+    // a hyphenated name only reachable through backticks — the alias
+    // rewrite must not let its DML bypass the shadow
+    gsql.registerCreate("my-sales", base,
+      spark.range(6).selectExpr("id AS k", "CAST(10 AS BIGINT) AS v"))
+    val v0 = GraftTable.forPath(spark, base).version
+    gsql.sql("BEGIN")
+    gsql.sql("UPDATE `my-sales` SET v = 99 WHERE k < 3")
+    // invisible outside (the base must not have been written)
+    assert(GraftTable.forPath(spark, base).version == v0,
+      "backticked DML inside BEGIN must hit the shadow, not the base")
+    // read-your-writes through the backticked name
+    assert(gsql.sql("SELECT SUM(v) AS s FROM `my-sales`")
+      .head().getLong(0) == 3 * 99 + 3 * 10)
+    gsql.sql("ROLLBACK")
+    assert(GraftTable.forPath(spark, base).version == v0)
+    assert(gsql.sql("SELECT SUM(v) AS s FROM `my-sales`")
+      .head().getLong(0) == 60, "ROLLBACK must undo backticked DML")
+    // and COMMIT lands it as one commit on the base
+    gsql.executeScript("""
+      BEGIN;
+      UPDATE `my-sales` SET v = 7 WHERE k = 0;
+      DELETE FROM `my-sales` WHERE k = 5;
+      COMMIT;
+    """)
+    val t1 = GraftTable.forPath(spark, base)
+    assert(t1.version == v0 + 1, "one squashed commit for the quoted table")
+    assert(gsql.sql("SELECT SUM(v) AS s FROM `my-sales`")
+      .head().getLong(0) == 7 + 4 * 10)
+  }
+
+  test("a failed CTAS rolls back cleanly instead of wedging the txn") {
+    val gsql = freshSql()
+    gsql.registerCreate("ok_tbl", tmpDir("txn-ctasfail-base"),
+      spark.range(4).selectExpr("id AS k"))
+    val loc = tmpDir("txn-ctasfail-new")
+    gsql.sql("BEGIN")
+    // the creates entry registers before the CTAS runs; the SELECT
+    // then fails, so the staged location never materializes
+    val orig = intercept[Exception](gsql.sql(
+      s"CREATE TABLE boom LOCATION '$loc' AS SELECT * FROM absent_tbl_xyz"))
+    assert(!orig.getMessage.contains("not a GraftLake table"))
+    // ROLLBACK must succeed (not throw 'not a GraftLake table') and
+    // actually close the transaction
+    gsql.sql("ROLLBACK")
+    assert(!gsql.transactionOpen, "rollback must close the transaction")
+    intercept[IllegalStateException](gsql.sql("ROLLBACK"))
+    // and the same failure inside a script surfaces the ORIGINAL error
+    val e2 = intercept[Exception](gsql.executeScript(s"""
+      BEGIN;
+      CREATE TABLE boom2 LOCATION '${tmpDir("txn-ctasfail-new2")}'
+        AS SELECT * FROM absent_tbl_xyz;
+      COMMIT;
+    """))
+    assert(!e2.getMessage.contains("not a GraftLake table"),
+      s"the CTAS failure must not be masked by rollback: ${e2.getMessage}")
+    assert(!gsql.transactionOpen)
+    // the table stays usable
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM ok_tbl").head().getLong(0) == 4)
+  }
+
+  test("an append landing after the version pre-check is never deleted") {
+    // simulate the race the COMMIT pre-check cannot see: a writer
+    // lands BETWEEN txnControl's version check and prepareSquash's
+    // snapshot read. The squash diff must run against the BEGIN
+    // version, so the concurrent append's files never compute into
+    // `removes` and both writes survive.
+    val base = tmpDir("txn-race-base")
+    val t = GraftTable.create(spark, base,
+      spark.range(5).selectExpr("id AS k", "id AS v"))
+    val baseVersion = t.version
+    val shadowDir = s"$base.txn-race-shadow"
+    val shadow = GraftTable.shallowClone(spark, base, shadowDir)
+    shadow.append(spark.range(100, 105).selectExpr("id AS k", "id AS v"))
+    // concurrent append to the BASE after the transaction began
+    t.append(spark.range(200, 203).selectExpr("id AS k", "id AS v"))
+    val plan = t.prepareSquash(shadow, baseVersion)
+    t.commitSquash(plan)
+    shadow.deleteTransactionDir(shadowDir)
+    val rows = GraftTable.forPath(spark, base).toDF
+    assert(rows.count() == 13,
+      s"concurrent append must survive the squash: ${rows.count()} rows")
+    assert(rows.filter(col("k") >= 200).count() == 3,
+      "the concurrent append's rows were deleted by the squash")
+    assert(rows.filter(col("k") >= 100 && col("k") < 200).count() == 5)
+  }
+
+  test("DV-only and add-only squashes conflict on intervening removes/masks") {
+    // a shadow whose only change is a deletion-vector mask previously
+    // took the no-check commit fast path; an intervening remove (or
+    // mask) of a file the transaction READ must now abort it
+    val base = tmpDir("txn-dvonly-base")
+    val t = GraftTable.create(spark, base,
+      spark.range(8).selectExpr("id AS k", "id AS v"))
+    val baseVersion = t.version
+    val shadowDir = s"$base.txn-dvonly-shadow"
+    val shadow = GraftTable.shallowClone(spark, base, shadowDir)
+    shadow.deleteMergeOnRead(col("k") === 1) // AddDV only, no removes
+    // concurrent CoW delete rewrites (removes) a base file
+    t.delete(col("k") === 7)
+    val plan = t.prepareSquash(shadow, baseVersion)
+    intercept[java.util.ConcurrentModificationException](
+      t.commitSquash(plan))
+    shadow.deleteTransactionDir(shadowDir)
+    // and an intervening MoR mask conflicts an add-only squash too
+    val base2 = tmpDir("txn-addonly-base")
+    val t2 = GraftTable.create(spark, base2,
+      spark.range(8).selectExpr("id AS k", "id AS v"))
+    val v2 = t2.version
+    val shadowDir2 = s"$base2.txn-addonly-shadow"
+    val shadow2 = GraftTable.shallowClone(spark, base2, shadowDir2)
+    shadow2.append(spark.range(100, 103).selectExpr("id AS k", "id AS v"))
+    t2.deleteMergeOnRead(col("k") === 0) // concurrent AddDV on the base
+    val plan2 = t2.prepareSquash(shadow2, v2)
+    intercept[java.util.ConcurrentModificationException](
+      t2.commitSquash(plan2))
+    shadow2.deleteTransactionDir(shadowDir2)
+  }
 }

@@ -318,4 +318,36 @@ class RowLevelOpsSpec extends GraftSparkSpec {
       .head().getLong(0) == 80)
     spark.sql("DROP TABLE graftrlo.default.del_tbl")
   }
+
+  test("timestamp partitions keep sub-second precision through a rewrite") {
+    useCatalog()
+    // four partition values 250ms apart — a seconds-precision renderer
+    // would collapse all four into one truncated partition on rewrite
+    spark.range(40)
+      .withColumn("ts", expr(
+        "timestamp_micros(1700000000000000L + (id % 4) * 250000L)"))
+      .withColumn("v", col("id"))
+      .createOrReplaceTempView("rlo_ts_src")
+    spark.sql("CREATE TABLE graftrlo.default.ts_tbl USING graftlake " +
+      "PARTITIONED BY (ts) AS SELECT * FROM rlo_ts_src")
+    val byTs = "SELECT ts, COUNT(*) AS n FROM graftrlo.default.ts_tbl " +
+      "GROUP BY ts ORDER BY ts"
+    val before = spark.sql(byTs).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(before.length == 4, s"fixture needs 4 ts partitions: $before")
+    // rewrite every row natively (group filter matches all files)
+    spark.sql("UPDATE graftrlo.default.ts_tbl SET v = -1 WHERE v >= 0")
+    val after = spark.sql(byTs).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(after == before,
+      s"sub-second partition values must survive the rewrite:\n" +
+        s"  before $before\n  after  $after")
+    // the log's partition strings keep the '.SSSSSS' micros
+    val t = GraftTable.forPath(spark, pathOf("ts_tbl"))
+    assert(t.snapshot.activeFiles.exists(
+      _.partitionValues.get("ts").exists(_.contains(".25"))),
+      s"log partition values lost their micros: " +
+        t.snapshot.activeFiles.flatMap(_.partitionValues.get("ts")).distinct)
+    spark.sql("DROP TABLE graftrlo.default.ts_tbl")
+  }
 }
