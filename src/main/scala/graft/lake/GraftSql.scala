@@ -285,6 +285,13 @@ final class GraftSql(spark: SparkSession) {
     val creates = scala.collection.mutable.LinkedHashMap[String, CreateEntry]()
   }
   private var txn: Option[TxnState] = None
+  // test-only crash-injection seam for the multi-table COMMIT
+  // protocol: TransactionSpec proves that a crash between the first
+  // and second table's reservation — or right after the decision —
+  // leaves every participant either advanced or unchanged. Hooks
+  // throw [[GraftSql.SimulatedCrash]], which the COMMIT handler
+  // re-throws WITHOUT any cleanup (a real crash runs none).
+  private[lake] var txnCrashHook: String => Unit = _ => ()
   // backtick alias -> the registered table it stands for (see
   // normalizeQuoted); consulted so transactions shadow THROUGH the
   // alias, and bindings re-point after COMMIT/ROLLBACK swaps
@@ -427,20 +434,58 @@ final class GraftSql(spark: SparkSession) {
               s"transaction conflict: ${e.base.path} advanced past " +
                 s"version ${e.baseVersion} — rolled back")
           }
+        // set once reservations start: (decision path, reserved plans)
+        // so the failure path can abort THE WHOLE transaction with one
+        // decide and reclaim every table's phase-1 moved files
+        var coordOf: Option[(String, Seq[(String, ShadowEntry, SquashPlan)])] =
+          None
         try {
           // PHASE 1: prepare every table's squash — all heavy work
-          // (file moves, validation) with NO log touched, so the
-          // cross-table non-atomic window shrinks to phase 2's
-          // back-to-back log appends
+          // (file moves, validation) with NO log touched
           val plans = st.shadows.toSeq.map { case (name, e) =>
             (name, e,
               if (e.shadow.version > e.cloneVersion)
                 Some(e.base.prepareSquash(e.shadow, e.baseVersion))
               else None)
           }
-          // PHASE 2: one optimistic log append per table
-          plans.foreach { case (name, e, plan) =>
-            plan.foreach(e.base.commitSquash)
+          val changed = plans.collect { case (n, e, Some(p)) => (n, e, p) }
+          if (changed.size <= 1) {
+            // single-table transaction: the per-table optimistic
+            // commit is already atomic — no coordinator needed
+            changed.foreach { case (_, e, p) => e.base.commitSquash(p) }
+          } else {
+            // PHASE 2a: RESERVE each table's squash — full conflict
+            // checks, but the version file is a marker invisible to
+            // every reader until the decision lands
+            val txnId = java.util.UUID.randomUUID().toString
+            val coordPath = java.nio.file.Paths
+              .get(changed.head._2.base.path, "_graft_log", "_txncoord",
+                s"$txnId.decision")
+              .toAbsolutePath.toString
+            coordOf = Some((coordPath, changed))
+            val reserved = changed.zipWithIndex.map { case ((n, e, p), i) =>
+              val v = e.base.reserveSquash(p, coordPath, txnId)
+              txnCrashHook(s"after-reserve-$i")
+              (e, v)
+            }
+            // PHASE 2b: THE atomic cross-table pointer swap — one
+            // create-exclusive flips every reservation to committed
+            // at once; a crash on either side of it leaves all tables
+            // advanced or none (pending markers past the grace window
+            // decide ABORT on first access)
+            val decision =
+              changed.head._2.base.log.decide(coordPath, "commit")
+            if (decision != "commit")
+              throw new java.util.ConcurrentModificationException(
+                "transaction aborted by a concurrent accessor before " +
+                  "the commit decision landed — rolled back")
+            txnCrashHook("after-decision")
+            // PHASE 2c: durable from here — deferred checkpoints only
+            reserved.foreach { case (e, v) =>
+              e.base.log.maybeCheckpoint(spark, v)
+            }
+          }
+          plans.foreach { case (name, e, _) =>
             e.shadow.deleteTransactionDir(e.shadow.path)
             tables(name) = GraftTable.forPath(spark, e.base.path)
             st.shadows.remove(name)
@@ -454,7 +499,21 @@ final class GraftSql(spark: SparkSession) {
             st.creates.remove(name)
           }
         } catch {
-          case e: Throwable => rollbackTxn(st); throw e
+          // test-only: a simulated crash behaves like a real one — no
+          // rollback, no abort decision; recovery is the protocol's job
+          case e: GraftSql.SimulatedCrash => txn = None; throw e
+          case e: Throwable =>
+            coordOf.foreach { case (coord, changed) =>
+              val d =
+                try changed.head._2.base.log.decide(coord, "abort")
+                catch { case _: Throwable => "abort" }
+              // reclaim phase-1 moved files ONLY when abort actually
+              // won — if the decision was already commit, they are
+              // live table data
+              if (d == "abort")
+                changed.foreach { case (_, e, p) => e.base.reclaimMoved(p) }
+            }
+            rollbackTxn(st); throw e
         }
         txn = None
         repointAliases() // backtick aliases must not outlive the shadow
@@ -1261,4 +1320,14 @@ final class GraftSql(spark: SparkSession) {
     out += s0.substring(start)
     out.toSeq
   }
+}
+
+object GraftSql {
+  /** Thrown by test crash hooks to simulate process death inside the
+    * multi-table COMMIT protocol — the handler re-throws it without
+    * rollback or abort, exactly like a real crash, so specs can then
+    * verify the protocol's recovery from the on-disk state alone.
+    */
+  private[lake] final class SimulatedCrash(point: String)
+    extends RuntimeException(s"simulated crash at $point")
 }

@@ -1482,11 +1482,38 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       conflictOnDV = true)
     catch {
       case e: Throwable =>
-        p.movedRels.foreach(r => deleteRecursively(root.resolve(r)))
+        reclaimMoved(p)
         throw e
     }
     p.metrics
   }
+
+  /** Multi-table variant of [[commitSquash]]: the same optimistic
+    * conflict checks, but the version is RESERVED behind the
+    * transaction's shared decision file instead of committed — it
+    * becomes visible on every participant table at once when the
+    * coordinator's single atomic decision create lands. Returns the
+    * reserved version (the caller checkpoints it after deciding).
+    * On conflict, this table's phase-1 moved files are reclaimed;
+    * already-reserved sibling tables are the caller's to abort.
+    */
+  private[lake] def reserveSquash(p: SquashPlan, coordPath: String,
+      txnId: String): Long = {
+    try commitAndCheckpoint(p.actions, readVersion = p.baseVersion,
+      readPaths = p.readPaths, metadataConflict = p.metadataConflict,
+      conflictOnDV = true, reserve = Some((coordPath, txnId)))
+    catch {
+      case e: Throwable =>
+        reclaimMoved(p)
+        throw e
+    }
+  }
+
+  /** Reclaim a squash plan's phase-1 moved files (commit failed or the
+    * transaction decided abort — the files are unreferenced orphans).
+    */
+  private[lake] def reclaimMoved(p: SquashPlan): Unit =
+    p.movedRels.foreach(r => deleteRecursively(root.resolve(r)))
 
   /** Transaction cleanup: remove a shadow (or staged-create) dir. */
   private[lake] def deleteTransactionDir(dir: String): Unit =
@@ -1562,7 +1589,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                                         readPaths: Set[String] = Set.empty,
                                         metadataConflict: Boolean = false,
                                         conflictOnDV: Boolean = false,
-                                        conflictOnIdentity: Boolean = false): Long = {
+                                        conflictOnIdentity: Boolean = false,
+                                        // (decisionFile, txnId): RESERVE the version for a
+                                        // multi-table transaction instead of committing it —
+                                        // same optimistic conflict checks, but the final write
+                                        // is a marker that stays invisible until the shared
+                                        // decision file lands; checkpointing is deferred to
+                                        // the caller (a pending marker cannot be snapshotted)
+                                        reserve: Option[(String, String)] = None): Long = {
     // writer half of the protocol gate (the reader half lives in
     // Snapshot.at): a table whose floor was raised by a newer client
     // must not accept commits this client could encode wrongly
@@ -1594,10 +1628,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (!trackRows) actions
       else assignRowIds(actions,
         if (attemptLatest < 0) -1L else snapshotAt(attemptLatest).rowIdHwm)
+    def writeAttempt(ver: Long, acts: Seq[Action]): Boolean = reserve match {
+      case Some((coord, txnId)) => log.tryReserveAt(ver, acts, coord, txnId)
+      case None => log.tryCommitAt(ver, acts)
+    }
     val v =
-      if (readVersion < 0 ||
+      if (reserve.isEmpty && (readVersion < 0 ||
           (deps.isEmpty && !metadataConflict && !conflictOnDV &&
-            !conflictOnIdentity && ourTxns.isEmpty)) {
+            !conflictOnIdentity && ourTxns.isEmpty))) {
         if (!trackRows) log.commit(actions)
         else {
           var committed = -1L
@@ -1676,11 +1714,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                  else s"${conflicting.size} of this operation's input files were " +
                    "removed by a concurrent commit") +
                 "; re-run against the new snapshot")
-          if (log.tryCommitAt(latest + 1, withRowIds(latest))) committed = latest + 1
+          if (writeAttempt(latest + 1, withRowIds(latest))) committed = latest + 1
         }
         committed
       }
-    log.maybeCheckpoint(spark, v)
+    // a reserved version is invisible until the transaction's decision
+    // lands — the coordinator checkpoints after deciding
+    if (reserve.isEmpty) log.maybeCheckpoint(spark, v)
     v
   }
 

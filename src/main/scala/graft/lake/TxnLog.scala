@@ -45,6 +45,15 @@ final class TxnLog(val tablePath: String,
     * checkpoint version (commits are dense, so the first missing file
     * bounds the latest) rather than listing a directory that holds one
     * entry per commit ever made.
+    *
+    * A multi-table transaction RESERVATION at the tail whose decision
+    * file does not exist yet is NOT part of the log: the version is
+    * reported as the predecessor until the coordinator's single
+    * atomic decision lands (or, past the pending grace window — a
+    * crashed coordinator — this probe decides ABORT itself, making
+    * the outcome permanent). Only the tail can ever be pending:
+    * committing past a marker requires latestVersion to include it,
+    * which requires it decided.
     */
   def latestVersion(): Option[Long] = {
     if (!exists) return None
@@ -52,7 +61,79 @@ final class TxnLog(val tablePath: String,
     if (v < 0 && !Files.exists(versionFile(0))) return None
     if (v < 0) v = 0
     while (Files.exists(versionFile(v + 1))) v += 1
-    Some(v)
+    if (v > decidedThrough && isPendingMarker(v)) {
+      if (v == 0) None else Some(v - 1)
+    } else {
+      if (v > decidedThrough) decidedThrough = v
+      Some(v)
+    }
+  }
+
+  // versions at or below this are known decided (markers resolve to a
+  // permanent outcome once their decision file exists, and plain
+  // commits are immutable) — so the per-version marker peek runs at
+  // most once per newly observed version per handle
+  @volatile private var decidedThrough: Long = -1L
+
+  private def markerLine(v: Long): Option[String] =
+    scala.util.Try {
+      val in = Files.newBufferedReader(versionFile(v), StandardCharsets.UTF_8)
+      try Option(in.readLine()).filter(_.startsWith("{\"txnMarker\""))
+      finally in.close()
+    }.toOption.flatten
+
+  private def isPendingMarker(v: Long): Boolean =
+    markerLine(v) match {
+      case None => false
+      case Some(line) =>
+        val m = parseMarker(line)
+        decisionOf(m.coord) match {
+          case Some(_) => false
+          case None =>
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(versionFile(v)).toMillis
+            if (age >= TxnLog.PendingGraceMs) {
+              // crashed coordinator: decide ABORT permanently so no
+              // later decision can make the version appear
+              // retroactively (the decide is an atomic create — if
+              // the coordinator raced us and committed, we honor it)
+              decide(m.coord, "abort")
+              false
+            } else true
+        }
+    }
+
+  private final case class TxnMarker(txnId: String, coord: String,
+      staged: String)
+
+  private def parseMarker(line: String): TxnMarker = {
+    val root = TxnLog.mapper
+      .readValue(line, classOf[java.util.Map[String, Any]])
+    val m = root.get("txnMarker")
+      .asInstanceOf[java.util.Map[String, Any]].asScala
+    TxnMarker(m("txnId").toString, m("coord").toString,
+      m("staged").toString)
+  }
+
+  /** The decision file's content once decided ("commit"/"abort"). */
+  private def decisionOf(coordPath: String): Option[String] = {
+    val p = Paths.get(coordPath)
+    if (store.exists(p))
+      Some(new String(store.read(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  /** THE atomic pointer swap of a multi-table transaction: whoever
+    * creates the decision file first decides for every participant
+    * table at once. The coordinator races with `want = "commit"`;
+    * a conflicting writer or a post-crash accessor races with
+    * `"abort"`. Losing the create is not an error — the winner's
+    * content IS the outcome, returned either way.
+    */
+  private[lake] def decide(coordPath: String, want: String): String = {
+    val p = Paths.get(coordPath)
+    if (store.createExclusive(p, want.getBytes(StandardCharsets.UTF_8))) want
+    else new String(store.read(p), StandardCharsets.UTF_8).trim
   }
 
   /** Atomically write `actions` as the next commit. Returns the
@@ -79,10 +160,8 @@ final class TxnLog(val tablePath: String,
     Files.createDirectories(logDir)
     val adjusted = monotonicIct(v, actions)
     val payload = adjusted.map(Actions.toJson).mkString("", "\n", "\n")
-    try {
-      Files.write(versionFile(v),
-        payload.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    if (store.createExclusive(versionFile(v),
+        payload.getBytes(StandardCharsets.UTF_8))) {
       // cache only on SUCCESS: a lost race means v holds the winner's
       // timestamp, not ours — caching ours would let a later commit
       // under-clamp against it
@@ -91,8 +170,44 @@ final class TxnLog(val tablePath: String,
           synchronized { ictCacheVersion = v; ictCacheTs = ts }
         }
       true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
+    } else false
+  }
+
+  /** Reserve version `v` for a multi-table transaction instead of
+    * committing it: the full action payload is staged under
+    * `_graft_log/_txn/` and the version file holds only a MARKER
+    * pointing at the staged payload and the transaction's shared
+    * decision file. The version stays invisible (latestVersion
+    * reports the predecessor) until [[decide]] lands "commit" — one
+    * atomic create that flips EVERY participant table's reservation
+    * at once — or "abort" (the version resolves to an empty
+    * TRANSACTION ABORTED commit). Same create-new race semantics as
+    * [[tryCommitAt]].
+    */
+  private[lake] def tryReserveAt(v: Long, actions: Seq[Action],
+      coordPath: String, txnId: String): Boolean = {
+    Files.createDirectories(txnDir)
+    val adjusted = monotonicIct(v, actions)
+    val stagedRel = s"_txn/$txnId-$v.json"
+    val payload = adjusted.map(Actions.toJson).mkString("", "\n", "\n")
+    Files.write(logDir.resolve(stagedRel),
+      payload.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+    def jq(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val marker = s"""{"txnMarker": {"txnId": ${jq(txnId)}, """ +
+      s""""coord": ${jq(coordPath)}, "staged": ${jq(stagedRel)}}}""" + "\n"
+    if (store.createExclusive(versionFile(v),
+        marker.getBytes(StandardCharsets.UTF_8))) {
+      adjusted.collectFirst { case c: CommitInfo => c.timestamp }
+        .foreach { ts =>
+          synchronized { ictCacheVersion = v; ictCacheTs = ts }
+        }
+      true
+    } else {
+      Files.deleteIfExists(logDir.resolve(stagedRel))
+      false
     }
   }
 
@@ -143,8 +258,43 @@ final class TxnLog(val tablePath: String,
       throw new IllegalStateException(
         s"commit $v of $tablePath is unavailable (removed by log cleanup); " +
           "versions below the retained window cannot be reconstructed")
-    Files.readAllLines(versionFile(v), StandardCharsets.UTF_8).asScala
-      .filter(_.nonEmpty).flatMap(Actions.fromJson).toSeq
+    val lines = Files.readAllLines(versionFile(v), StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty)
+    lines.headOption match {
+      case Some(l) if l.startsWith("{\"txnMarker\"") => resolveMarker(v, l)
+      case _ => lines.flatMap(Actions.fromJson).toSeq
+    }
+  }
+
+  /** Resolve a multi-table reservation marker to its permanent
+    * content. Committed -> the staged payload (the staged file is
+    * log-retained alongside the marker). Aborted -> a synthetic
+    * empty TRANSACTION ABORTED commit. Undecided: within the grace
+    * window this throws (callers never reach here through
+    * latestVersion, only via explicit time travel at the pending
+    * version); past it, the accessor decides ABORT — atomically, so
+    * a racing coordinator either already won or never will.
+    */
+  private def resolveMarker(v: Long, line: String): Seq[Action] = {
+    val m = parseMarker(line)
+    decisionOf(m.coord) match {
+      case Some("commit") =>
+        Files.readAllLines(logDir.resolve(m.staged), StandardCharsets.UTF_8)
+          .asScala.filter(_.nonEmpty).flatMap(Actions.fromJson).toSeq
+      case Some(_) =>
+        Seq(CommitInfo(
+          Files.getLastModifiedTime(versionFile(v)).toMillis,
+          "TRANSACTION ABORTED", Map("txnId" -> m.txnId), Map.empty))
+      case None =>
+        val age = System.currentTimeMillis() -
+          Files.getLastModifiedTime(versionFile(v)).toMillis
+        if (age >= TxnLog.PendingGraceMs) {
+          decide(m.coord, "abort")
+          resolveMarker(v, line)
+        } else throw new IllegalStateException(
+          s"commit $v of $tablePath belongs to an in-flight multi-table " +
+            "transaction; retry after it decides")
+    }
   }
 
   def commitTimestamp(v: Long): Long =
@@ -268,6 +418,22 @@ final class TxnLog(val tablePath: String,
     val cv = lastCheckpointVersion().getOrElse(return 0)
     val deletable = listVersions().filter(_ < math.min(cutoff, cv + 1))
     deletable.foreach(v => Files.deleteIfExists(versionFile(v)))
+    // staged multi-table payloads are log-retained WITH their marker
+    // (committed markers resolve through them) — reclaim exactly the
+    // ones whose marker version was just deleted
+    if (Files.isDirectory(txnDir)) {
+      val deleted = deletable.toSet
+      val s = Files.list(txnDir)
+      val staged = try s.iterator().asScala.toSeq finally s.close()
+      staged.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && {
+          val tail = n.stripSuffix(".json").split('-').lastOption
+          tail.flatMap(t => scala.util.Try(t.toLong).toOption)
+            .exists(deleted.contains)
+        }
+      }.foreach(Files.deleteIfExists(_))
+    }
     if (Files.isDirectory(ckptDir)) {
       val s = Files.list(ckptDir)
       val dirs = try s.iterator().asScala.toSeq finally s.close()
@@ -287,4 +453,15 @@ final class TxnLog(val tablePath: String,
 
 object TxnLog {
   val CheckpointInterval = 10
+
+  /** How long an undecided multi-table reservation at the log tail is
+    * treated as in-flight (invisible but not abortable) before any
+    * accessor may decide ABORT for the crashed coordinator. The live
+    * window between the last reservation and the decision create is
+    * microseconds, so the default never fires outside a crash; tests
+    * set 0 to exercise recovery deterministically.
+    */
+  @volatile var PendingGraceMs: Long = 5000L
+
+  private[lake] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }

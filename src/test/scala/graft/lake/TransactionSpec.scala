@@ -291,6 +291,101 @@ class TransactionSpec extends GraftSparkSpec {
     assert(rows.filter(col("k") >= 100 && col("k") < 200).count() == 5)
   }
 
+  private def twoTableFixture(tag: String): (GraftSql, String, String) = {
+    val gsql = freshSql()
+    val baseA = tmpDir(s"txn-$tag-a")
+    val baseB = tmpDir(s"txn-$tag-b")
+    gsql.registerCreate(s"${tag}_a", baseA,
+      spark.range(10).selectExpr("id AS k", "CAST(1 AS BIGINT) AS v"))
+    gsql.registerCreate(s"${tag}_b", baseB,
+      spark.range(10).selectExpr("id AS k", "CAST(2 AS BIGINT) AS v"))
+    (gsql, baseA, baseB)
+  }
+
+  test("crash between the two tables' reservations: NEITHER advances") {
+    val oldGrace = TxnLog.PendingGraceMs
+    TxnLog.PendingGraceMs = 0 // post-crash accessors decide immediately
+    try {
+      val (gsql, baseA, baseB) = twoTableFixture("crash1")
+      val (va, vb) = (GraftTable.forPath(spark, baseA).version,
+        GraftTable.forPath(spark, baseB).version)
+      gsql.txnCrashHook = p =>
+        if (p == "after-reserve-0") throw new GraftSql.SimulatedCrash(p)
+      gsql.sql("BEGIN")
+      gsql.sql("UPDATE crash1_a SET v = 100 WHERE k < 5")
+      gsql.sql("UPDATE crash1_b SET v = 200 WHERE k < 5")
+      intercept[GraftSql.SimulatedCrash](gsql.sql("COMMIT"))
+      // recovery from on-disk state alone, as a restarted process:
+      // table A holds an undecided reservation; first access decides
+      // ABORT (grace 0), so its CONTENT matches the pre-txn state
+      val ta = GraftTable.forPath(spark, baseA)
+      val tb = GraftTable.forPath(spark, baseB)
+      assert(ta.toDF.agg(sum("v")).head().getLong(0) == 10,
+        "table A's reserved-but-undecided squash must resolve ABORT")
+      assert(tb.version == vb && tb.toDF.agg(sum("v")).head().getLong(0) == 20,
+        "table B was never reserved and must be untouched")
+      assert(ta.history(1).collect().head.getAs[String]("operation")
+        == "TRANSACTION ABORTED",
+        "the aborted reservation must be visible in history as such")
+      assert(ta.version == va + 1, "the aborted marker consumes a version")
+    } finally TxnLog.PendingGraceMs = oldGrace
+  }
+
+  test("crash right after the decision: BOTH tables advance") {
+    val oldGrace = TxnLog.PendingGraceMs
+    TxnLog.PendingGraceMs = 0
+    try {
+      val (gsql, baseA, baseB) = twoTableFixture("crash2")
+      gsql.txnCrashHook = p =>
+        if (p == "after-decision") throw new GraftSql.SimulatedCrash(p)
+      gsql.sql("BEGIN")
+      gsql.sql("UPDATE crash2_a SET v = 100 WHERE k < 5")
+      gsql.sql("UPDATE crash2_b SET v = 200 WHERE k < 5")
+      intercept[GraftSql.SimulatedCrash](gsql.sql("COMMIT"))
+      // the decision file IS the commit: both reservations resolve
+      // committed on first access, no coordinator needed afterwards
+      val ta = GraftTable.forPath(spark, baseA)
+      val tb = GraftTable.forPath(spark, baseB)
+      assert(ta.toDF.agg(sum("v")).head().getLong(0) == 5 * 100 + 5,
+        "table A must show the transaction after the decision landed")
+      assert(tb.toDF.agg(sum("v")).head().getLong(0) == 5 * 200 + 10,
+        "table B must show the transaction after the decision landed")
+      assert(ta.history(1).collect().head.getAs[String]("operation")
+        == "TRANSACTION")
+      assert(tb.history(1).collect().head.getAs[String]("operation")
+        == "TRANSACTION")
+    } finally TxnLog.PendingGraceMs = oldGrace
+  }
+
+  test("an in-flight reservation is invisible until the decision lands") {
+    // drive the TxnLog protocol directly: within the grace window a
+    // pending marker hides its version from readers instead of
+    // aborting a live transaction; the decision flips it atomically
+    val base = tmpDir("txn-pending-base")
+    val t = GraftTable.create(spark, base,
+      spark.range(4).selectExpr("id AS k", "id AS v"))
+    val v0 = t.version
+    val shadowDir = s"$base.txn-pending-shadow"
+    val shadow = GraftTable.shallowClone(spark, base, shadowDir)
+    shadow.append(spark.range(100, 102).selectExpr("id AS k", "id AS v"))
+    val plan = t.prepareSquash(shadow, v0)
+    val coord = java.nio.file.Paths
+      .get(base, "_graft_log", "_txncoord", "spec-pending.decision")
+      .toAbsolutePath.toString
+    t.reserveSquash(plan, coord, "spec-pending")
+    // grace default (5s) >> this read: the reservation stays hidden
+    val mid = GraftTable.forPath(spark, base)
+    assert(mid.version == v0, "a fresh pending marker must be invisible")
+    assert(mid.toDF.count() == 4)
+    // the atomic flip
+    assert(t.log.decide(coord, "commit") == "commit")
+    val after = GraftTable.forPath(spark, base)
+    assert(after.version == v0 + 1)
+    assert(after.toDF.count() == 6,
+      "the decided reservation must be fully visible")
+    shadow.deleteTransactionDir(shadowDir)
+  }
+
   test("DV-only and add-only squashes conflict on intervening removes/masks") {
     // a shadow whose only change is a deletion-vector mask previously
     // took the no-check commit fast path; an intervening remove (or
