@@ -490,9 +490,35 @@ private[sources] final case class GraftRloWriterFactory(
     new DataWriter[InternalRow] {
       private val uuid = UUID.randomUUID().toString
       private var seq = 0
-      private var currentFragment: String = null
       private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private val rels = scala.collection.mutable.ArrayBuffer[String]()
+
+      // COLUMNAR-SHAPE HOT PATH: the output row is produced by a
+      // CODEGEN'D UnsafeProjection compiled once per task (the same
+      // machinery Spark's own FileFormatWriter runs) instead of a
+      // per-row GenericInternalRow with one boxed `get` per column —
+      // a 100 TB CoW rewrite is write-dominated, and per-row
+      // allocation + boxing on every column was the measurable cost.
+      // With row tracking the projection reads through a JoinedRow
+      // (meta fields first), pulling the row id straight from the
+      // metadata row.
+      private val metaArity = if (tracking) rowIdMetaOrd + 1 else 0
+      private val proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = {
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+        val dataRefs = dataOrds.toSeq.map(o =>
+          BoundReference(metaArity + o, inTypes(o), nullable = true))
+        val refs =
+          if (tracking)
+            dataRefs :+ BoundReference(rowIdMetaOrd, LongType, nullable = true)
+          else dataOrds.toSeq.map(o =>
+            BoundReference(o, inTypes(o), nullable = true))
+        UnsafeProjection.create(refs)
+      }
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      // substitute for a missing/short metadata row (plain inserts):
+      // only rowIdMetaOrd is ever read by the projection
+      private val paddedMeta = new GenericInternalRow(metaArity)
 
       // timestamps render through Spark's own fraction formatter —
       // the exact Cast(timestamp -> string) implementation — so
@@ -512,14 +538,42 @@ private[sources] final case class GraftRloWriterFactory(
         case _ => String.valueOf(v)
       }
 
-      private def fragmentOf(row: InternalRow): String = {
+      // partition-group detection on RAW values (input arrives
+      // clustered+sorted by the partition columns, so the directory
+      // fragment renders once per group — the per-row StringBuilder +
+      // escape of the previous shape was pure overhead). UTF8String
+      // values are cloned on store: readers reuse row buffers, and a
+      // stored view could mutate underneath the comparison.
+      private val partVals = new Array[Any](partOrds.length)
+      private var havePartition = false
+
+      private def partitionChanged(row: InternalRow): Boolean = {
+        if (partOrds.isEmpty) return writer == null
+        var changed = !havePartition
+        var i = 0
+        while (i < partOrds.length) {
+          val o = partOrds(i)
+          val v = if (row.isNullAt(o)) null else row.get(o, inTypes(o))
+          if (changed || !java.util.Objects.equals(v, partVals(i))) {
+            changed = true
+            partVals(i) = v match {
+              case s: UTF8String => s.clone()
+              case other => other
+            }
+          }
+          i += 1
+        }
+        havePartition = true
+        changed
+      }
+
+      private def fragmentOf(): String = {
         if (partOrds.isEmpty) return ""
         val sb = new StringBuilder
         var i = 0
         while (i < partOrds.length) {
-          val o = partOrds(i)
-          val raw = if (row.isNullAt(o)) null else row.get(o, inTypes(o))
-          val s = render(raw, inTypes(o))
+          val raw = partVals(i)
+          val s = render(raw, inTypes(partOrds(i)))
           sb.append(ParquetShim.escapePathName(partCols(i))).append('=')
             .append(if (raw == null) s else ParquetShim.escapePathName(s))
             .append('/')
@@ -534,7 +588,6 @@ private[sources] final case class GraftRloWriterFactory(
         writer = ParquetShim.newTaskWriter(factory, conf.value,
           s"$stagingAbs/$rel", fileSchema, partitionId)
         rels += rel
-        currentFragment = fragment
       }
 
       override def write(row: InternalRow): Unit = writeWith(null, row)
@@ -542,23 +595,24 @@ private[sources] final case class GraftRloWriterFactory(
         writeWith(meta, row)
 
       private def writeWith(meta: InternalRow, row: InternalRow): Unit = {
-        val fragment = fragmentOf(row)
-        if (writer == null || fragment != currentFragment) {
+        if (partitionChanged(row)) {
           if (writer != null) writer.close()
-          open(fragment)
-        }
-        val out = new GenericInternalRow(fileSchema.length)
-        var i = 0
-        while (i < dataOrds.length) {
-          val o = dataOrds(i)
-          out.update(i, if (row.isNullAt(o)) null else row.get(o, inTypes(o)))
-          i += 1
-        }
-        if (tracking)
-          out.update(dataOrds.length,
-            if (meta == null || rowIdMetaOrd >= meta.numFields ||
-              meta.isNullAt(rowIdMetaOrd)) null
-            else meta.getLong(rowIdMetaOrd))
+          open(fragmentOf())
+        } else if (writer == null) open(fragmentOf())
+        val out =
+          if (!tracking) proj(row)
+          else {
+            val m =
+              if (meta != null && meta.numFields == metaArity) meta
+              else {
+                paddedMeta.update(rowIdMetaOrd,
+                  if (meta == null || rowIdMetaOrd >= meta.numFields ||
+                    meta.isNullAt(rowIdMetaOrd)) null
+                  else java.lang.Long.valueOf(meta.getLong(rowIdMetaOrd)))
+                paddedMeta
+              }
+            proj(joined(m, row))
+          }
         writer.write(out)
       }
 
