@@ -1245,13 +1245,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * (partition directories must follow regenerated values too).
     * Shared by the group-based (CoW) and delta-based (MoR) commits.
     */
+  /** Returns (absorbed AddFiles, whether a generated-column RESTAGE
+    * ran). Tables with generated partition columns normally pay a
+    * full read+rewrite of the staged rows to recompute the derived
+    * values — but an UPDATE/MERGE that never touched the source or
+    * generated columns passes both through unchanged, so the commit
+    * first PROVES consistency with one column-pruned scan over the
+    * staged files (derived partition value vs the generation
+    * expression, null-safe) and absorbs them as-is when they match.
+    * O(changed rows) read instead of O(changed rows) read+write; the
+    * restage only runs when an assignment actually broke derivation.
+    */
   private def validateAndAbsorbStaged(s: Snapshot, staging: Path,
-      committedRels: Set[String]): Seq[AddFile] = {
+      committedRels: Set[String]): (Seq[AddFile], Boolean) = {
     // only files the committed task attempts reported count — a
     // failed-then-retried attempt's orphans must not absorb
     if (committedRels.isEmpty ||
         !committedRels.exists(r => Files.exists(staging.resolve(r)))) {
-      deleteRecursively(staging); return Nil
+      deleteRecursively(staging); return (Nil, false)
     }
     val tracking = rowTrackingOn(s)
     val readSchema =
@@ -1271,15 +1282,30 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val gens = generatedExprs(s)
     if (gens.isEmpty) {
       validateConstraints(logical.drop(RowIdCol), s)
-      absorbStaged(staging, dataChange = true, only = Some(committedRels))
+      (absorbStaged(staging, dataChange = true, only = Some(committedRels)),
+        false)
     } else {
-      val regen = gens.foldLeft(logical) { case (d, (c, e)) =>
-        d.withColumn(c, expr(e).cast(s.schema(c).dataType))
+      // fast path: prove the staged values already satisfy every
+      // generation expression (one pruned scan — the writer rendered
+      // the partition dirs from the values it was handed, so dir-
+      // inferred columns ARE the derived values to check)
+      val mismatch = gens.map { case (c, e) =>
+        !(expr(e).cast(s.schema(c).dataType) <=> col(c))
+      }.reduce(_ || _)
+      val consistent = logical.filter(mismatch).limit(1).isEmpty
+      if (consistent) {
+        validateConstraints(logical.drop(RowIdCol), s)
+        (absorbStaged(staging, dataChange = true, only = Some(committedRels)),
+          false)
+      } else {
+        val regen = gens.foldLeft(logical) { case (d, (c, e)) =>
+          d.withColumn(c, expr(e).cast(s.schema(c).dataType))
+        }
+        validateConstraints(regen.drop(RowIdCol), s)
+        val staged = stageWrite(regen, s.partitionColumns, dataChange = true)
+        deleteRecursively(staging)
+        (staged, true)
       }
-      validateConstraints(regen.drop(RowIdCol), s)
-      val staged = stageWrite(regen, s.partitionColumns, dataChange = true)
-      deleteRecursively(staging)
-      staged
     }
   }
 
@@ -1288,12 +1314,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       committedRels: Set[String]): Map[String, String] = {
     val staging = root.resolve(stagingRel)
     try {
-      val adds = validateAndAbsorbStaged(s, staging, committedRels)
+      val (adds, restaged) = validateAndAbsorbStaged(s, staging, committedRels)
       val removes = removed.map(f =>
         RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
       val metrics = Map(
         "numRemovedFiles" -> removes.size.toString,
         "numAddedFiles" -> adds.size.toString,
+        "restagedGenerated" -> restaged.toString,
         "rewrite" -> "row-level")
       commitAndCheckpoint(
         Seq(info(opName, metrics = metrics)) ++ removes ++ adds,
@@ -1323,7 +1350,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val dataStaging = root.resolve(dataStagingRel)
     val marksStaging = root.resolve(marksStagingRel)
     try {
-      val adds = validateAndAbsorbStaged(s, dataStaging, committedDataRels)
+      val (adds, restaged) =
+        validateAndAbsorbStaged(s, dataStaging, committedDataRels)
       // only the committed attempts' mark files form the sidecar (an
       // orphaned retry's marks would be idempotent but carry paths the
       // committed attempt may not have planned)
@@ -1343,6 +1371,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val metrics = Map(
         "numAddedFiles" -> adds.size.toString,
         "numDeletionVectors" -> dvActions.size.toString,
+        "restagedGenerated" -> restaged.toString,
         "rewrite" -> "row-level-delta")
       commitAndCheckpoint(
         Seq(info(opName, params = Map("mode" -> "merge-on-read"),

@@ -737,4 +737,54 @@ class GraftCatalogSpec extends GraftSparkSpec {
       "AS SELECT * FROM bq_src")
     assert(spark.sql("DESCRIBE HISTORY graftc.default.`dotted.name`").count() >= 1)
   }
+
+  test("generated-partition delta fast path: an UPDATE not touching the " +
+      "source column commits without the restage pass") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.default")
+    spark.sql("CREATE TABLE graftc.default.gen_mor " +
+      "(event_id BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "USING graftlake PARTITIONED BY (days(ts))")
+    val dir = java.nio.file.Paths.get(tmpWarehouse, "default", "gen_mor")
+    val t = graft.lake.GraftTable.forPath(spark, dir.toString)
+    t.setTableProperties(Map("graft.dml.mode" -> "merge-on-read"))
+    spark.sql("INSERT INTO graftc.default.gen_mor (event_id, ts, v) VALUES " +
+      "(1, TIMESTAMP'2024-03-01 10:00:00', 10), " +
+      "(2, TIMESTAMP'2024-03-01 23:59:00', 20), " +
+      "(3, TIMESTAMP'2024-03-02 00:30:00', 30)")
+
+    def lastMetrics(): Map[String, String] =
+      t.history(1).collect().head.getAs[String]("metrics")
+        .split(";").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+
+    // an UPDATE that leaves ts (and ts_day) alone: the staged
+    // post-images provably satisfy the generation expression, so the
+    // commit must absorb them directly — no restage read+rewrite
+    spark.sql("UPDATE graftc.default.gen_mor SET v = v + 1 WHERE event_id <= 2")
+    val fast = lastMetrics()
+    assert(fast("rewrite") == "row-level-delta",
+      s"fixture must stay on the delta path: $fast")
+    assert(fast("restagedGenerated") == "false",
+      s"untouched generation source must skip the restage: $fast")
+    assert(spark.sql("SELECT SUM(v) AS s FROM graftc.default.gen_mor")
+      .head().getLong(0) == 11 + 21 + 30)
+    // partition pruning still intact after the fast-path commit
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.gen_mor " +
+      "WHERE ts_day = DATE'2024-03-01'").head().getLong(0) == 2)
+
+    // an UPDATE that MOVES ts across the derived boundary must restage
+    // (Spark passes the stale ts_day through; the commit proves the
+    // mismatch and regenerates)
+    spark.sql("UPDATE graftc.default.gen_mor " +
+      "SET ts = TIMESTAMP'2024-03-05 09:00:00' WHERE event_id = 1")
+    val slow = lastMetrics()
+    assert(slow("restagedGenerated") == "true",
+      s"a moved generation source must restage: $slow")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.gen_mor " +
+      "WHERE ts_day = DATE'2024-03-05'").head().getLong(0) == 1,
+      "the regenerated derived value must land in the new partition")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graftc.default.gen_mor " +
+      "WHERE ts >= TIMESTAMP'2024-03-05 00:00:00'").head().getLong(0) == 1)
+    spark.sql("DROP TABLE graftc.default.gen_mor")
+  }
 }
