@@ -2147,7 +2147,16 @@ object SparkEntry {
     "lake_optimize" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_zorder" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_restore" -> LakeOps.liAggOracle.format("lineitem"),
-    "lake_vacuum" -> LakeOps.liAggOracle.format("lineitem"),
+    // data intact AFTER reclaim + reclaimed-file accounting: count
+    // parameterized from the same fixture constant the query uses,
+    // identity (reclaimed paths == tombstoned paths) asserted in the
+    // query and surfaced as a hash-checked boolean
+    "lake_vacuum" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS sum_price, " +
+        "ROUND(SUM(l_quantity),2) AS sum_qty, " +
+        s"CAST(${graft.operators.LakeOps.VacuumFixtureFiles} AS BIGINT) AS reclaimed_files, " +
+        "TRUE AS reclaim_identity " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     // seed evens + INSERT odds = whole table; OVERWRITE keeps only 'R'
     "lake_insert" ->
       ("SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS sum_price, " +

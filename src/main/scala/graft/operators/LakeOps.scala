@@ -268,12 +268,34 @@ object LakeOps {
   /** VACUUM after OPTIMIZE actually deletes the compacted-away files
     * while the table stays fully readable (L9).
     */
+  /** Fixture writes exactly this many files; OPTIMIZE tombstones all
+    * of them, so VACUUM's reclaim set is exactly this size — the
+    * oracle asserts the count, and the query itself asserts the
+    * reclaimed PATHS are identical to the tombstoned set (not just
+    * any 32 files), surfacing a mis-scoped reclaim as a hash-red
+    * `reclaim_identity = false` instead of silent data risk.
+    */
+  val VacuumFixtureFiles = 32
+
   def lakeVacuum(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, workDir(dir, "vacuum"),
-      Tables(spark, dir, "lineitem").repartition(32))
+      Tables(spark, dir, "lineitem").repartition(VacuumFixtureFiles))
+    // expected reclaim set = exactly the files OPTIMIZE tombstones
+    val before = t.snapshot.activeFiles.map(f =>
+      java.nio.file.Paths.get(f.path).getFileName.toString).toSet
     t.optimize()
-    t.vacuum(retentionHours = 0.0, dryRun = false)
+    val after = t.snapshot.activeFiles.map(f =>
+      java.nio.file.Paths.get(f.path).getFileName.toString).toSet
+    val expected = before -- after
+    val reclaimed = t.vacuum(retentionHours = 0.0, dryRun = false)
+      .collect().map(r => java.nio.file.Paths.get(r.getString(0))
+        .getFileName.toString).toSet // bounded: fixture-file count
+    val identity = reclaimed == expected &&
+      expected.size == VacuumFixtureFiles
     liAgg(t.toDF)
+      .withColumn("reclaimed_files",
+        lit(reclaimed.size.toLong))
+      .withColumn("reclaim_identity", lit(identity))
   }
 
   /** INSERT INTO / OVERWRITE through the SQL surface (L52): seed with
