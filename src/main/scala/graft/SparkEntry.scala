@@ -48,6 +48,8 @@ object SparkEntry {
     "q66_attribution" -> Analytics.q66Attribution _,
     "q67_cohort_ltv" -> Analytics.q67CohortLtv _,
     "q68_decile_migration" -> Analytics.q68DecileMigration _,
+    "q69_yoy_growth" -> Analytics.q69YoyGrowth _,
+    "q70_supplier_hhi" -> Analytics.q70SupplierHhi _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -946,6 +948,37 @@ object SparkEntry {
         "CAST(NTILE(10) OVER (ORDER BY c2 DESC, o_custkey) AS BIGINT) AS d2 FROM b) " +
         "SELECT d1 AS from_decile, d2 AS to_decile, COUNT(*) AS n_customers " +
         "FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+    // YoY growth: lag over the bounded nation×year aggregate; revenue
+    // exact 1e-4-dollar integers, one double division at the end
+    "q69_yoy_growth" ->
+      ("WITH t AS (SELECT n_name AS nation, " +
+        "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2) " +
+        "SELECT nation, o_year, " +
+        "ROUND(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE), 4) AS yoy_growth " +
+        "FROM (SELECT nation, o_year, rev, " +
+        "LAG(rev) OVER (PARTITION BY nation ORDER BY o_year) AS prev FROM t) " +
+        "WHERE prev IS NOT NULL AND prev <> 0 ORDER BY nation, o_year"),
+    // HHI: integer ppm shares (floor of an IEEE-identical double
+    // division of exact longs), then an INTEGER sum of squares —
+    // no float accumulation anywhere, so both engines hash-match
+    "q70_supplier_hhi" ->
+      ("WITH bs AS (SELECT n_name AS nation, s_suppkey, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS rev " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "t AS (SELECT nation, CAST(SUM(rev) AS BIGINT) AS tot, " +
+        "COUNT(*) AS n_suppliers FROM bs GROUP BY 1), " +
+        "p AS (SELECT bs.nation AS nation, " +
+        "CAST(FLOOR(CAST(bs.rev AS DOUBLE)/CAST(t.tot AS DOUBLE)*1000000) AS BIGINT) AS ppm, " +
+        "t.n_suppliers AS n_suppliers FROM bs JOIN t ON bs.nation = t.nation) " +
+        "SELECT nation, CAST(SUM(ppm*ppm) AS BIGINT) AS hhi_ppm2, " +
+        "MIN(n_suppliers) AS n_suppliers FROM p GROUP BY 1 ORDER BY 1"),
     // RFM: NTILE(5) replicated by the two-phase ordinal + ntileBucket
     // arithmetic (the q29 parity contract); spend in exact cents
     "q64_rfm" ->

@@ -1533,4 +1533,75 @@ object Analytics {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("from_decile", "to_decile")
   }
+
+  /** Year-over-year revenue growth per customer nation (the trend
+    * table a BI layer puts behind every "growth" tile). Revenue stays
+    * in exact 1e-4-dollar integers through the aggregate; the growth
+    * ratio divides two exact longs once at the end.
+    *
+    * Scale shape: the SF-scaled joins (lineitem→orders→customer)
+    * shuffle on their natural keys with the 25-row nation dim
+    * broadcast; the window runs AFTER aggregation over the
+    * |nation|×|year| frame (≤ ~200 rows), partitioned by nation — a
+    * lag over a bounded frame, never over fact rows.
+    */
+  def q69YoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val yearly = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revE4).as("rev"))
+    val w = Window.partitionBy("nation").orderBy("o_year")
+    yearly
+      .withColumn("prev", lag("rev", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= 0L)
+      .select(col("nation"), col("o_year"),
+        round((col("rev") - col("prev")).cast("double") /
+          col("prev").cast("double"), 4).as("yoy_growth"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** Supplier market concentration per nation — the Herfindahl-
+    * Hirschman index procurement/risk teams read (HHI near 1e12 ppm²
+    * = monopoly supplier, near 1e12/n = perfectly split). Completes
+    * the inequality pair with q65's Gini.
+    *
+    * Exactness across engines: each supplier's share is computed as
+    * floor(rev/total · 1e6) ppm — both operands are exact integers
+    * below 2^53, so the double division and the single multiply are
+    * IEEE-identical in Spark and DuckDB — and the index is then an
+    * INTEGER sum of ppm², never a float accumulation (float sums
+    * order-differ across engines; integer sums cannot).
+    *
+    * Scale shape: fact shuffles once to (nation, supplier) grain;
+    * the nation-total join-back is against a ≤25-row aggregate
+    * (constant-bounded broadcast pin); output ≤ |nations| rows.
+    */
+  def q70SupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val bySupp = li
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("s_suppkey"))
+      .agg(sum(revE4).as("rev"))
+    // ≤25 rows: |nations| — constant-bounded, broadcast pin is safe
+    val totals = bySupp.groupBy("nation")
+      .agg(sum("rev").as("tot"), count(lit(1)).as("n_suppliers"))
+    bySupp.join(broadcast(totals), "nation")
+      .withColumn("ppm",
+        floor(col("rev").cast("double") / col("tot").cast("double")
+          * 1000000d).cast("long"))
+      .groupBy("nation")
+      .agg(sum(col("ppm") * col("ppm")).as("hhi_ppm2"),
+        first(col("n_suppliers")).as("n_suppliers"))
+      .orderBy("nation")
+  }
 }
