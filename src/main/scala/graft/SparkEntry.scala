@@ -130,6 +130,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.dedupSubstring _,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopk _,
     "sim_recall_report" -> Similarity.simRecallReport _,
+    "sim_cluster_balance" -> Similarity.simClusterBalance _,
     "sim_l2_topk" -> Similarity.simL2Topk _,
     "sim_mips_topk" -> Similarity.simMipsTopk _,
     "sim_filtered_topk" -> Similarity.simFilteredTopk _,
@@ -162,6 +163,7 @@ object SparkEntry {
     "pipe_mixture" -> Pipeline.pipeMixture _,
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_source_report" -> Pipeline.pipeSourceReport _,
+    "pipe_cross_dup" -> Pipeline.pipeCrossDup _,
     "pipe_temperature_mix" -> Pipeline.pipeTemperatureMix _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
     "pipe_fuzzy_decontaminate" -> Pipeline.pipeFuzzyDecontaminate _,
@@ -316,6 +318,23 @@ object SparkEntry {
       "WHERE CAST(len(list_filter(range(1, 33), " +
       "i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32 >= 0.5 " +
       "ORDER BY id_a, id_b"
+
+  /** P20: the D2 verified-pair replica wrapped as a CTE, each pair
+    * attributed to its unordered source pair (planted ids ≥ 100000
+    * resolve to the base doc's source — the fixture convention).
+    */
+  private val pipeCrossDupSql =
+    minhashCandSql +
+      ", vp AS (SELECT id_a, id_b FROM cand " +
+      "JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b " +
+      "WHERE CAST(len(list_filter(range(1, 33), " +
+      "i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32 >= 0.5), " +
+      "ids AS (SELECT CASE WHEN id_a >= 100000 THEN id_a - 100000 ELSE id_a END AS ba, " +
+      "CASE WHEN id_b >= 100000 THEN id_b - 100000 ELSE id_b END AS bb FROM vp), " +
+      "ss AS (SELECT da.source AS sa2, db.source AS sb2 FROM ids " +
+      "JOIN documents da ON ba = da.doc_id JOIN documents db ON bb = db.doc_id) " +
+      "SELECT LEAST(sa2, sb2) AS source_x, GREATEST(sa2, sb2) AS source_y, " +
+      "COUNT(*) AS n_pairs FROM ss GROUP BY 1, 2 ORDER BY 1, 2"
   /** DuckDB replica of [[graft.operators.Similarity.simLshAnn]]: the
     * deterministic 64×64 hyperplane matrix
     * ([[graft.functions.VectorFunctions.planes]], seed 42) is embedded
@@ -666,6 +685,18 @@ object SparkEntry {
       "ROUND(COALESCE(h.n_hits, 0)/5.0, 4) AS recall " +
       "FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN hits h ON q.qid = h.qid " +
       "ORDER BY q.qid"
+
+  /** S22: primary (rr=1) corpus assignments under the shared IVF
+    * quantizer replica, aggregated to per-cluster populations; the
+    * ppm share is INTEGER arithmetic so no float accumulation exists.
+    */
+  private def simClusterBalanceSql: String =
+    s"WITH $embCte, $ivfCandCtes, " +
+      "pa AS (SELECT vec_id, cid_c FROM ranked WHERE vec_id >= 10 AND rr = 1), " +
+      "t AS (SELECT COUNT(*) AS tot FROM pa) " +
+      "SELECT CAST(cid_c AS BIGINT) AS cluster, COUNT(*) AS n_vectors, " +
+      "(COUNT(*) * 1000000) // (SELECT tot FROM t) AS share_ppm " +
+      "FROM pa GROUP BY 1 ORDER BY 1"
 
   /** IVF candidates scored by PQ-ADC — the [[simIvfSql]] chain joined
     * against the [[simPqSql]] chain's `adc` table, ranked ascending.
@@ -1535,6 +1566,7 @@ object SparkEntry {
         "CAST(COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS BIGINT) AS n_dup_docs, " +
         "ROUND(CAST(COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6) " +
         "AS dup_rate FROM d JOIN c USING (h) GROUP BY source ORDER BY source"),
+    "pipe_cross_dup" -> pipeCrossDupSql,
     // type-token ratio: distinct via the (doc, word) pre-group in both
     // engines; ratio in exact DOUBLE at the edge
     "text_ttr" ->
@@ -1707,6 +1739,7 @@ object SparkEntry {
     "sim_pq_materialized" -> simPqSql,
     "sim_bruteforce_topk" -> simBruteforceSql,
     "sim_recall_report" -> simRecallSql,
+    "sim_cluster_balance" -> simClusterBalanceSql,
     // hybrid RRF: both leg chains are the proven sim_bruteforce_topk
     // and text_search_ranked replicas (k=30 / top-100, candidate floor
     // doc_id >= 10); fusion arithmetic in exact DOUBLE (CAST, not

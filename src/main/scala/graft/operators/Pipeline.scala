@@ -382,6 +382,41 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Near-duplicate SOURCE-attribution matrix (`pipe_cross_dup`, P20
+    * — the question P15's per-source dup RATE cannot answer: WHICH
+    * sources duplicate each other, the matrix that decides whether a
+    * candidate source is redundant with an existing one before
+    * licensing or ingesting it). Every MinHash-verified near-dup pair
+    * (the D2 operator run as-is, est-Jaccard ≥ 0.5) attributes to its
+    * unordered source pair; planted variant ids (≥ 100000 — the D2
+    * fixture's base+100000 convention, kept in lockstep with
+    * [[Dedup.withPlantedNearDups]]) resolve to their base document's
+    * source.
+    *
+    * Scale shape: the expensive stage IS the proven banded-LSH
+    * operator (never all-pairs); the attribution joins move only the
+    * verified pair ids (near-dup-mass-bounded) hashed on doc_id, and
+    * the output is ≤ |sources|² rows.
+    */
+  def pipeCrossDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.dedupMinhashLsh(spark, dir)
+      .select("id_a", "id_b")
+    val src = Tables(spark, dir, "documents").select("doc_id", "source")
+    val based = pairs
+      .withColumn("ba", when(col("id_a") >= 100000L, col("id_a") - 100000L)
+        .otherwise(col("id_a")))
+      .withColumn("bb", when(col("id_b") >= 100000L, col("id_b") - 100000L)
+        .otherwise(col("id_b")))
+    based
+      .join(src.select(col("doc_id").as("ba"), col("source").as("sa2")), "ba")
+      .join(src.select(col("doc_id").as("bb"), col("source").as("sb2")), "bb")
+      .select(least(col("sa2"), col("sb2")).as("source_x"),
+        greatest(col("sa2"), col("sb2")).as("source_y"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
   /** Train→test split-leakage report (P17 — the governance check run
     * AFTER splitting: how much of each held-out document's n-gram
     * mass already appears in the training split? High leakage means

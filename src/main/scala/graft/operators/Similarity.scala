@@ -73,6 +73,39 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** IVF quantizer balance report (`sim_cluster_balance`, S22 — the
+    * skew diagnosis every ANN deployment runs before trusting probe
+    * budgets: a lopsided cluster means probe-scoped scan fractions
+    * degrade toward brute force on hot clusters). Each corpus vector
+    * takes its PRIMARY (top-1) assignment under the shared Lloyd-
+    * refined quantizer; output is one row per cluster with its
+    * population and integer-ppm share — cluster-count-bounded, and
+    * the share is pure integer arithmetic (n·10⁶ div total), so the
+    * oracle hash-matches with no float accumulation.
+    *
+    * Scale shape: one corpus pass assigns (the same fused
+    * [[graft.functions.VectorFunctions.topCentroidIds]] kernel the
+    * ANN queries run), one hash aggregate to ≤k rows, and the total
+    * joins back as a 1-row broadcast.
+    */
+  def simClusterBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cents = IvfIndex.centroids(spark, dir)
+    val emb = Tables(spark, dir, "embeddings")
+    val assigned = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(element_at(
+        topCentroidIds(col("embedding"), cents, 1), 1)
+        .cast("long").as("cluster"))
+    val byCluster = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"))
+    // crossJoin against a 1-ROW aggregate — the sanctioned
+    // constant-bounded pin (same class as the other commented pins)
+    val total = byCluster.agg(sum("n_vectors").as("tot"))
+    byCluster.crossJoin(broadcast(total))
+      .select(col("cluster"), col("n_vectors"),
+        expr("(n_vectors * 1000000) DIV tot").as("share_ppm"))
+      .orderBy("cluster")
+  }
+
   // hybrid-retrieval tuning — the oracle SQL in SparkEntry embeds the
   // same constants, so change them ONLY in lockstep with it
   private[operators] val HybridVecK = 30
