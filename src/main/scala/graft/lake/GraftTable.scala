@@ -1744,6 +1744,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                    "removed by a concurrent commit") +
                 "; re-run against the new snapshot")
           if (writeAttempt(latest + 1, withRowIds(latest))) committed = latest + 1
+          else if (log.latestVersion().getOrElse(-1L) == latest)
+            // the create lost but the log did NOT advance: the slot is
+            // held by an in-flight multi-table reservation (invisible
+            // until its decision). Back off instead of busy-spinning
+            // for the pending grace window.
+            Thread.sleep(10)
         }
         committed
       }

@@ -146,7 +146,13 @@ final class TxnLog(val tablePath: String,
     var committed = -1L
     while (committed < 0) {
       if (tryCommitAt(attempt, actions)) committed = attempt
-      else attempt = latestVersion().map(_ + 1).getOrElse(0L)
+      else {
+        val next = latestVersion().map(_ + 1).getOrElse(0L)
+        // lost the create but the log did not advance: the slot is an
+        // in-flight multi-table reservation — back off, don't spin
+        if (next == attempt) Thread.sleep(10)
+        attempt = next
+      }
     }
     committed
   }

@@ -386,6 +386,38 @@ class TransactionSpec extends GraftSparkSpec {
     shadow.deleteTransactionDir(shadowDir)
   }
 
+  test("a writer blocked by a crashed reservation recovers after the grace") {
+    val oldGrace = TxnLog.PendingGraceMs
+    TxnLog.PendingGraceMs = 200 // short, but long enough to be 'pending'
+    try {
+      val base = tmpDir("txn-writerwait-base")
+      val t = GraftTable.create(spark, base,
+        spark.range(4).selectExpr("id AS k", "id AS v"))
+      val v0 = t.version
+      val shadowDir = s"$base.txn-ww-shadow"
+      val shadow = GraftTable.shallowClone(spark, base, shadowDir)
+      shadow.append(spark.range(50, 52).selectExpr("id AS k", "id AS v"))
+      val coord = java.nio.file.Paths
+        .get(base, "_graft_log", "_txncoord", "spec-ww.decision")
+        .toAbsolutePath.toString
+      t.reserveSquash(t.prepareSquash(shadow, v0), coord, "spec-ww")
+      // the coordinator 'crashed' here — an independent writer must
+      // back off through the grace window, decide ABORT for the dead
+      // transaction, and land its own commit at the next version
+      val t2 = GraftTable.forPath(spark, base)
+      t2.append(spark.range(90, 93).selectExpr("id AS k", "id AS v"))
+      val rows = GraftTable.forPath(spark, base).toDF
+      assert(rows.count() == 7, "writer's append + original rows only")
+      assert(rows.filter(col("k") >= 50 && col("k") < 90).count() == 0,
+        "the dead transaction's rows must not appear")
+      val hist = GraftTable.forPath(spark, base).history(10).collect()
+        .map(_.getAs[String]("operation"))
+      assert(hist.contains("TRANSACTION ABORTED"),
+        s"the dead reservation must resolve ABORT in history: ${hist.toSeq}")
+      shadow.deleteTransactionDir(shadowDir)
+    } finally TxnLog.PendingGraceMs = oldGrace
+  }
+
   test("DV-only and add-only squashes conflict on intervening removes/masks") {
     // a shadow whose only change is a deletion-vector mask previously
     // took the no-check commit fast path; an intervening remove (or
