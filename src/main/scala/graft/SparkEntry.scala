@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_normalized" -> Dedup.dedupNormalized _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     "dedup_clusters" -> Dedup.dedupClusters _,
+    "dedup_cluster_sizes" -> Dedup.dedupClusterSizes _,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh _,
     "dedup_minhash_materialized" -> Dedup.dedupMinhashMaterialized _,
     "dedup_simhash" -> Dedup.dedupSimhash _,
@@ -1628,6 +1629,19 @@ object SparkEntry {
         "comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u) " +
         "SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) " +
         "AS cluster_size FROM comp ORDER BY doc_id"),
+    // same connected-components chain rolled up to one row per
+    // cluster size — the duplication-shape histogram (D14)
+    "dedup_cluster_sizes" ->
+      (s"WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ($jaccardPairsSql) p), " +
+        "edges AS (SELECT id_a AS u, id_b AS v FROM jp " +
+        "UNION SELECT id_b AS u, id_a AS v FROM jp), " +
+        "reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t " +
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u), " +
+        "comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u), " +
+        "sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1) " +
+        "SELECT cluster_size, COUNT(*) AS n_clusters, " +
+        "CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM sz GROUP BY 1 ORDER BY 1"),
     // same connected-components chain as dedup_clusters, then the
     // keep-longest representative pick rides a window + aggregate on
     // the cluster key

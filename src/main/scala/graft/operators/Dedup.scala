@@ -238,6 +238,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster-size DISTRIBUTION (`dedup_cluster_sizes`, D14 —
+    * the shape-of-duplication histogram a dedup rollout publishes
+    * before picking a keep policy: many 2-doc clusters mean mirror
+    * pairs where keep-longest is safe; a few giant clusters mean
+    * boilerplate/templates where keeping one doc per cluster deletes
+    * real content). Reads the SAME fingerprint-validated settled
+    * labels every policy operator consumes (D6's propagation loop is
+    * not re-run), rolls up to per-cluster sizes, then to one row per
+    * size — output bounded by the largest cluster, all counts exact.
+    */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    settledLabels(spark, dir, forceBuild = false)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Settled CC labels (doc_id, cluster_id), shared through a
     * fingerprint-validated fixture table: in a real pipeline the
     * clusters frame is computed once and every downstream policy

@@ -418,6 +418,50 @@ class TransactionSpec extends GraftSparkSpec {
     } finally TxnLog.PendingGraceMs = oldGrace
   }
 
+  test("streaming source: an undecided reservation is invisible and " +
+      "emits exactly once after the decision (ST20)") {
+    import org.apache.spark.sql.streaming.Trigger
+    def runOnce(path: String, ckpt: String): Seq[org.apache.spark.sql.Row] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = spark.readStream.format("graftlake").load(path)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }; ()
+        }.start()
+      q.awaitTermination(120000)
+      got.toSeq
+    }
+    val path = tmpDir("txn-stream-table")
+    val ckpt = tmpDir("txn-stream-ckpt")
+    val t = GraftTable.create(spark, path,
+      spark.range(10).selectExpr("id AS k", "id AS v"))
+    assert(runOnce(path, ckpt).size == 10) // initial snapshot
+
+    // an in-flight multi-table transaction reserves a version but its
+    // decision has not landed: the stream must see NOTHING (a pending
+    // marker is not part of the log), not fail, and not emit rows
+    // that could later abort
+    val shadowDir = s"$path.txn-st20-shadow"
+    val shadow = GraftTable.shallowClone(spark, path, shadowDir)
+    shadow.append(spark.range(100, 105).selectExpr("id AS k", "id AS v"))
+    val coord = java.nio.file.Paths
+      .get(path, "_graft_log", "_txncoord", "spec-st20.decision")
+      .toAbsolutePath.toString
+    t.reserveSquash(t.prepareSquash(shadow, t.version), coord, "spec-st20")
+    assert(runOnce(path, ckpt).isEmpty,
+      "a pending reservation must be invisible to the streaming source")
+
+    // decision lands -> exactly the transaction's rows emit, once
+    assert(t.log.decide(coord, "commit") == "commit")
+    val afterCommit = runOnce(path, ckpt)
+    assert(afterCommit.size == 5,
+      s"the decided transaction must emit its 5 rows once, got ${afterCommit.size}")
+    assert(runOnce(path, ckpt).isEmpty, "no re-emission after the decision")
+    shadow.deleteTransactionDir(shadowDir)
+  }
+
   test("DV-only and add-only squashes conflict on intervening removes/masks") {
     // a shadow whose only change is a deletion-vector mask previously
     // took the no-check commit fast path; an intervening remove (or
