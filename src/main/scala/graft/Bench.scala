@@ -119,13 +119,19 @@ object Bench {
     // Mid-run canaries: the start/end pair is blind to a load burst
     // that dies BEFORE the end canary runs (round 10's driver artifact
     // carried a 6-29x contiguous block under two valid endpoint
-    // canaries). Re-time the read canary every ~25 queries; any
-    // interval drifting >1.5x over the start floor invalidates the run.
+    // canaries). Re-time the read canary every ~25 queries AND the
+    // write canary every ~50 (a write-IO burst is invisible to a read
+    // probe — round 11's mid-run sweep proved it: a 2-3x lake_* block
+    // under clean read canaries, gone on targeted re-run); any
+    // interval drifting >1.5x over its start floor invalidates.
     val midSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val midWSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .map { case ((name, fn), idx) =>
       if (idx > 0 && idx % 25 == 0)
         midSamples += math.min(canary(), canary())
+      if (idx > 0 && idx % 50 == 0)
+        midWSamples += math.min(writeCanary(), writeCanary())
       def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -148,12 +154,17 @@ object Bench {
     val midMaxDrift =
       if (midSamples.isEmpty) 1.0
       else midSamples.max / math.max(canaryStart, 1e-9)
-    val valid = drift <= 1.5 && wdrift <= 1.5 && midMaxDrift <= 1.5
+    val midWMaxDrift =
+      if (midWSamples.isEmpty) 1.0
+      else midWSamples.max / math.max(wcanaryStart, 1e-9)
+    val valid = drift <= 1.5 && wdrift <= 1.5 && midMaxDrift <= 1.5 &&
+      midWMaxDrift <= 1.5
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val mids = midSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val midws = midWSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"canary_mid_sec":$mids,"canary_mid_max_drift":$midMaxDrift%.2f,"wcanary_start_sec":$wcanaryStart%.3f,"wcanary_end_sec":$wcanaryEnd%.3f,"wcanary_drift":$wdrift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"canary_mid_sec":$mids,"canary_mid_max_drift":$midMaxDrift%.2f,"wcanary_start_sec":$wcanaryStart%.3f,"wcanary_end_sec":$wcanaryEnd%.3f,"wcanary_drift":$wdrift%.2f,"wcanary_mid_sec":$midws,"wcanary_mid_max_drift":$midWMaxDrift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
     // marker line FIRST: past rounds' driver captures kept only a log
     // tail and failed to parse the plain line — a clearly-delimited
     // single-line marker survives truncation-from-the-top greps
