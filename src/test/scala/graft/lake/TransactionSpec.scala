@@ -462,6 +462,66 @@ class TransactionSpec extends GraftSparkSpec {
     shadow.deleteTransactionDir(shadowDir)
   }
 
+  test("two multi-table COMMITs racing on the same tables: one wins, " +
+      "one aborts, no lost or phantom rows") {
+    val oldGrace = TxnLog.PendingGraceMs
+    TxnLog.PendingGraceMs = 100 // B treats A's mid-commit pause as crashed
+    try {
+      val baseA = tmpDir("txn-race2-a")
+      val baseB = tmpDir("txn-race2-b")
+      val mkA = GraftTable.create(spark, baseA,
+        spark.range(10).selectExpr("id AS k", "CAST(1 AS BIGINT) AS v"))
+      GraftTable.create(spark, baseB,
+        spark.range(10).selectExpr("id AS k", "CAST(2 AS BIGINT) AS v"))
+      val gsqlA = freshSql(); val gsqlB = freshSql()
+      Seq(gsqlA, gsqlB).foreach { g =>
+        g.register("ra", baseA); g.register("rb", baseB)
+      }
+      // interleave DETERMINISTICALLY: A pauses after its first
+      // reservation; B runs its whole competing COMMIT during the
+      // pause (it waits out A's pending marker, decides A dead, and
+      // commits); A then resumes, its decision loses, and it rolls
+      // back — optimistic concurrency at the transaction grain
+      var bError: Throwable = null
+      gsqlA.txnCrashHook = p =>
+        if (p == "after-reserve-0") {
+          try gsqlB.executeScript("""
+            BEGIN;
+            UPDATE ra SET v = 200 WHERE k < 5;
+            UPDATE rb SET v = 300 WHERE k < 5;
+            COMMIT;
+          """)
+          catch { case e: Throwable => bError = e }
+        }
+      gsqlA.sql("BEGIN")
+      gsqlA.sql("UPDATE ra SET v = 100 WHERE k < 5")
+      gsqlA.sql("UPDATE rb SET v = 100 WHERE k < 5")
+      val aFailed =
+        try { gsqlA.sql("COMMIT"); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      val sumA = GraftTable.forPath(spark, baseA).toDF
+        .agg(sum("v")).head().getLong(0)
+      val sumB = GraftTable.forPath(spark, baseB).toDF
+        .agg(sum("v")).head().getLong(0)
+      // safety invariants (the interleaving permits three outcomes —
+      // A wins, B wins, or BOTH abort when B kills A's pending marker
+      // and then trips over the aborted version in its own pre-check;
+      // what must NEVER happen is both committing, or a table showing
+      // one transaction while its sibling shows the other):
+      val aWon = !aFailed
+      val bWon = bError == null
+      assert(!(aWon && bWon), "at most one racing transaction may commit")
+      val expected =
+        if (aWon) (5L * 100 + 5, 5L * 100 + 10)
+        else if (bWon) (5L * 200 + 5, 5L * 300 + 10)
+        else (10L, 20L) // both aborted: both tables untouched
+      assert((sumA, sumB) == expected,
+        s"state must match the winner ATOMICALLY on both tables: " +
+          s"aWon=$aWon bWon=$bWon bErr=${Option(bError).map(_.getMessage)} " +
+          s"sums=($sumA,$sumB) expected=$expected")
+    } finally TxnLog.PendingGraceMs = oldGrace
+  }
+
   test("DV-only and add-only squashes conflict on intervening removes/masks") {
     // a shadow whose only change is a deletion-vector mask previously
     // took the no-check commit fast path; an intervening remove (or
