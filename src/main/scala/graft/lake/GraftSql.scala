@@ -434,11 +434,13 @@ final class GraftSql(spark: SparkSession) {
               s"transaction conflict: ${e.base.path} advanced past " +
                 s"version ${e.baseVersion} — rolled back")
           }
-        // set once reservations start: (decision path, reserved plans)
-        // so the failure path can abort THE WHOLE transaction with one
-        // decide and reclaim every table's phase-1 moved files
-        var coordOf: Option[(String, Seq[(String, ShadowEntry, SquashPlan)])] =
-          None
+        // set once reservations start: (decision path, txn id, reserved
+        // plans) so the failure path can abort THE WHOLE transaction
+        // with one decide, reclaim every table's phase-1 moved files,
+        // and unpublish any gated creates
+        var coordOf: Option[(String, String,
+          Seq[(String, ShadowEntry, SquashPlan)])] = None
+        var publishedCreates: Seq[(String, CreateEntry)] = Nil
         try {
           // PHASE 1: prepare every table's squash — all heavy work
           // (file moves, validation) with NO log touched
@@ -449,40 +451,62 @@ final class GraftSql(spark: SparkSession) {
               else None)
           }
           val changed = plans.collect { case (n, e, Some(p)) => (n, e, p) }
-          if (changed.size <= 1) {
-            // single-table transaction: the per-table optimistic
-            // commit is already atomic — no coordinator needed
+          if (changed.size + st.creates.size <= 1) {
+            // single-participant transaction: the per-table optimistic
+            // commit (or the single directory move below) is already
+            // atomic — no coordinator needed
             changed.foreach { case (_, e, p) => e.base.commitSquash(p) }
           } else {
             // PHASE 2a: RESERVE each table's squash — full conflict
             // checks, but the version file is a marker invisible to
             // every reader until the decision lands
             val txnId = java.util.UUID.randomUUID().toString
+            val coordHost = changed.headOption.map(_._2.base.path)
+              .getOrElse(st.creates.head._2.finalLoc)
             val coordPath = java.nio.file.Paths
-              .get(changed.head._2.base.path, "_graft_log", "_txncoord",
-                s"$txnId.decision")
+              .get(coordHost, "_graft_log", "_txncoord", s"$txnId.decision")
               .toAbsolutePath.toString
-            coordOf = Some((coordPath, changed))
+            coordOf = Some((coordPath, txnId, changed))
             val reserved = changed.zipWithIndex.map { case ((n, e, p), i) =>
               val v = e.base.reserveSquash(p, coordPath, txnId)
               txnCrashHook(s"after-reserve-$i")
               (e, v)
             }
+            // gated CTAS publish: the staged table's log squashes into
+            // one version-0 reservation bound to the SAME decision,
+            // then the directory moves into place — visible only WITH
+            // the decision, so created tables are atomic with the DML
+            publishedCreates = st.creates.toSeq.map { case (name, c) =>
+              GraftTable.forPath(spark, c.tmpLoc)
+                .gateCreateAsReservation(coordPath, txnId)
+              val dest = java.nio.file.Paths.get(c.finalLoc)
+              Option(dest.getParent)
+                .foreach(java.nio.file.Files.createDirectories(_))
+              java.nio.file.Files.move(
+                java.nio.file.Paths.get(c.tmpLoc), dest)
+              txnCrashHook(s"after-create-publish-$name")
+              (name, c)
+            }
             // PHASE 2b: THE atomic cross-table pointer swap — one
-            // create-exclusive flips every reservation to committed
-            // at once; a crash on either side of it leaves all tables
-            // advanced or none (pending markers past the grace window
-            // decide ABORT on first access)
-            val decision =
-              changed.head._2.base.log.decide(coordPath, "commit")
+            // create-exclusive flips every reservation (DML squashes
+            // AND gated creates) to committed at once; a crash on
+            // either side leaves everything advanced or nothing
+            // (pending markers past the grace window decide ABORT on
+            // first access)
+            val decision = new TxnLog(coordHost).decide(coordPath, "commit")
             if (decision != "commit")
               throw new java.util.ConcurrentModificationException(
                 "transaction aborted by a concurrent accessor before " +
                   "the commit decision landed — rolled back")
             txnCrashHook("after-decision")
-            // PHASE 2c: durable from here — deferred checkpoints only
+            // PHASE 2c: durable from here — deferred checkpoints and
+            // created-table registration only
             reserved.foreach { case (e, v) =>
               e.base.log.maybeCheckpoint(spark, v)
+            }
+            publishedCreates.foreach { case (name, c) =>
+              tables(name) = GraftTable.forPath(spark, c.finalLoc)
+              st.creates.remove(name)
             }
           }
           plans.foreach { case (name, e, _) =>
@@ -503,15 +527,26 @@ final class GraftSql(spark: SparkSession) {
           // rollback, no abort decision; recovery is the protocol's job
           case e: GraftSql.SimulatedCrash => txn = None; throw e
           case e: Throwable =>
-            coordOf.foreach { case (coord, changed) =>
+            coordOf.foreach { case (coord, txnId, changed) =>
+              val host = changed.headOption.map(_._2.base.path)
+                .getOrElse(publishedCreates.headOption.map(_._2.finalLoc)
+                  .getOrElse(st.creates.head._2.finalLoc))
               val d =
-                try changed.head._2.base.log.decide(coord, "abort")
+                try new TxnLog(host).decide(coord, "abort")
                 catch { case _: Throwable => "abort" }
-              // reclaim phase-1 moved files ONLY when abort actually
-              // won — if the decision was already commit, they are
-              // live table data
-              if (d == "abort")
-                changed.foreach { case (_, e, p) => e.base.reclaimMoved(p) }
+              // reclaim phase-1 moved files and unpublish gated
+              // creates ONLY when abort actually won — if the decision
+              // was already commit, they are live table data
+              if (d == "abort") {
+                changed.foreach { case (_, e2, p) => e2.base.reclaimMoved(p) }
+                publishedCreates.foreach { case (_, c) =>
+                  // the move would have failed on a pre-existing dir,
+                  // but guard on OUR reservation id before deleting
+                  if (new TxnLog(c.finalLoc).reservationTxnId(0L)
+                      .contains(txnId))
+                    GraftTable.deleteStagedDir(c.finalLoc)
+                }
+              }
             }
             rollbackTxn(st); throw e
         }

@@ -1544,6 +1544,32 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[lake] def reclaimMoved(p: SquashPlan): Unit =
     p.movedRels.foreach(r => deleteRecursively(root.resolve(r)))
 
+  /** Gate a fully-built staged CTAS table behind a multi-table
+    * transaction's decision: its whole log (the CTAS commits) squashes
+    * into one version-0 RESERVATION marker carrying the final state,
+    * so after the directory moves into place the table becomes
+    * visible on the SAME atomic decision create as every DML
+    * participant — a crash on either side of the decision leaves the
+    * created table either fully readable or cleanly absent/aborted,
+    * never a phantom. File paths in the state are root-relative, so
+    * they survive the directory move untouched.
+    */
+  private[lake] def gateCreateAsReservation(coordPath: String,
+      txnId: String): Unit = {
+    val s = snapshot
+    val actions: Seq[Action] =
+      Seq(info("CREATE TABLE AS SELECT",
+        metrics = Map("numFiles" -> s.activeFiles.size.toString,
+          "gated" -> "transaction"))) ++
+        s.protocol.toSeq ++ s.metadata.toSeq ++ s.activeFiles ++
+        s.dvFiles.map(AddDV(_)) ++
+        s.txns.toSeq.map { case (app, e) => SetTxn(app, e) } ++
+        (if (s.rowIdHwm >= 0) Seq(RowIdHighWaterMark(s.rowIdHwm)) else Nil) ++
+        s.identityHwm.toSeq.sortBy(_._1)
+          .map { case (c, m) => IdentityHighWaterMark(c, m) }
+    log.resetToReservation(actions, coordPath, txnId)
+  }
+
   /** Transaction cleanup: remove a shadow (or staged-create) dir. */
   private[lake] def deleteTransactionDir(dir: String): Unit =
     deleteRecursively(Paths.get(dir))

@@ -136,6 +136,14 @@ object Snapshot {
       if (vId.nonEmpty) cache.put(key, built)
       built
     }
+    // every real table's version 0 writes Metadata; a state with none
+    // is a crashed transactional CTAS whose reservation aborted — a
+    // clear error beats the NoSuchElementException readers would hit
+    if (snap.metadata.isEmpty)
+      throw new IllegalStateException(
+        s"table at ${log.tablePath} has no metadata — its creating " +
+          "transaction aborted before committing; delete the directory " +
+          "or re-run the CTAS")
     snap.protocol.foreach { p =>
       if (p.minReaderVersion > SupportedReaderVersion)
         throw new UnsupportedOperationException(

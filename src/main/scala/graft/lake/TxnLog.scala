@@ -123,6 +123,31 @@ final class TxnLog(val tablePath: String,
     else None
   }
 
+  /** Replace this (staging-only, reader-free) table's whole log with
+    * ONE version-0 reservation marker carrying the given state — the
+    * gate that lets a transactional CTAS publish its directory BEFORE
+    * the decision and still become visible only WITH it: until the
+    * decision lands, `latestVersion` is None and the table reads as
+    * "not a GraftLake table"; a crashed transaction leaves an aborted
+    * husk (v0 resolves to TRANSACTION ABORTED, no metadata) that
+    * reads as a clear error instead of a phantom table.
+    */
+  private[lake] def resetToReservation(actions: Seq[Action],
+      coordPath: String, txnId: String): Unit = {
+    if (Files.exists(logDir)) {
+      val w = Files.walk(logDir)
+      val all = try w.iterator().asScala.toSeq finally w.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+    decidedThrough = -1L
+    require(tryReserveAt(0, actions, coordPath, txnId),
+      s"fresh reservation at $tablePath/0 cannot lose a create race")
+  }
+
+  /** The reserving transaction's id when version `v` is a marker. */
+  private[lake] def reservationTxnId(v: Long): Option[String] =
+    markerLine(v).map(parseMarker(_).txnId)
+
   /** THE atomic pointer swap of a multi-table transaction: whoever
     * creates the decision file first decides for every participant
     * table at once. The coordinator races with `want = "commit"`;

@@ -418,6 +418,95 @@ class TransactionSpec extends GraftSparkSpec {
     } finally TxnLog.PendingGraceMs = oldGrace
   }
 
+  test("gated CTAS: crash after publish but before the decision leaves " +
+      "NO phantom table; crash after the decision leaves it readable") {
+    val oldGrace = TxnLog.PendingGraceMs
+    TxnLog.PendingGraceMs = 0
+    try {
+      // crash BEFORE decision: DML table unchanged, created table
+      // resolves to a clear aborted-creation error, never phantom rows
+      val (gsql, baseA, _) = twoTableFixture("ctascrash1")
+      val newLoc = tmpDir("ctascrash1-new")
+      gsql.txnCrashHook = p =>
+        if (p.startsWith("after-create-publish")) throw new GraftSql.SimulatedCrash(p)
+      gsql.sql("BEGIN")
+      gsql.sql("UPDATE ctascrash1_a SET v = 100 WHERE k < 5")
+      gsql.sql(s"CREATE TABLE snap1 LOCATION '$newLoc' AS SELECT * FROM ctascrash1_a")
+      intercept[GraftSql.SimulatedCrash](gsql.sql("COMMIT"))
+      assert(GraftTable.forPath(spark, baseA).toDF
+        .agg(sum("v")).head().getLong(0) == 10,
+        "the DML participant must resolve ABORT")
+      val e = intercept[IllegalStateException](
+        GraftTable.forPath(spark, newLoc).toDF.count())
+      assert(e.getMessage.contains("creating transaction aborted"),
+        s"aborted gated create must read as a clear error: ${e.getMessage}")
+
+      // crash AFTER decision: both the DML effect and the created
+      // table are durable — recovery is read-side only
+      val (gsql2, base2A, _) = twoTableFixture("ctascrash2")
+      val newLoc2 = tmpDir("ctascrash2-new")
+      gsql2.txnCrashHook = p =>
+        if (p == "after-decision") throw new GraftSql.SimulatedCrash(p)
+      gsql2.sql("BEGIN")
+      gsql2.sql("UPDATE ctascrash2_a SET v = 100 WHERE k < 5")
+      gsql2.sql(s"CREATE TABLE snap2 LOCATION '$newLoc2' AS SELECT * FROM ctascrash2_a")
+      intercept[GraftSql.SimulatedCrash](gsql2.sql("COMMIT"))
+      assert(GraftTable.forPath(spark, base2A).toDF
+        .agg(sum("v")).head().getLong(0) == 5 * 100 + 5,
+        "the DML participant must be committed after the decision")
+      val created = GraftTable.forPath(spark, newLoc2).toDF
+      assert(created.count() == 10 &&
+        created.agg(sum("v")).head().getLong(0) == 5 * 100 + 5,
+        "the created table must be readable with the txn-visible rows")
+    } finally TxnLog.PendingGraceMs = oldGrace
+  }
+
+  test("decision stolen by a concurrent abort: a published gated CTAS " +
+      "unpublishes and the DML rolls back") {
+    val (gsql, baseA, _) = twoTableFixture("ctassteal")
+    val newLoc = tmpDir("ctassteal-new")
+    gsql.txnCrashHook = p =>
+      if (p.startsWith("after-create-publish")) {
+        // a concurrent accessor decides ABORT in the window between
+        // the publish and our commit decision: read the coordinator
+        // path out of the published table's v0 marker and win the race
+        val marker = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(newLoc, "_graft_log",
+            f"${0L}%020d.json")).get(0)
+        val coord = """"coord": "([^"]+)"""".r
+          .findFirstMatchIn(marker).get.group(1)
+        val cp = java.nio.file.Paths.get(coord)
+        java.nio.file.Files.createDirectories(cp.getParent)
+        java.nio.file.Files.write(cp, "abort".getBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      }
+    gsql.sql("BEGIN")
+    gsql.sql("UPDATE ctassteal_a SET v = 100 WHERE k < 5")
+    gsql.sql(s"CREATE TABLE snap4 LOCATION '$newLoc' AS SELECT * FROM ctassteal_a")
+    intercept[java.util.ConcurrentModificationException](gsql.sql("COMMIT"))
+    assert(!GraftTable.isGraftTable(newLoc),
+      "the gated create must unpublish when the decision is lost")
+    assert(GraftTable.forPath(spark, baseA).toDF
+      .agg(sum("v")).head().getLong(0) == 10,
+      "the DML participant must resolve ABORT too")
+  }
+
+  test("conflict aborts a transaction carrying a CTAS: nothing publishes") {
+    val (gsql, baseA, baseB) = twoTableFixture("ctasconf")
+    val newLoc = tmpDir("ctasconf-new")
+    gsql.sql("BEGIN")
+    gsql.sql("UPDATE ctasconf_a SET v = 100 WHERE k < 5")
+    gsql.sql("UPDATE ctasconf_b SET v = 100 WHERE k < 5")
+    gsql.sql(s"CREATE TABLE snap3 LOCATION '$newLoc' AS SELECT * FROM ctasconf_a")
+    // concurrent writer invalidates the pre-check -> COMMIT aborts
+    GraftTable.forPath(spark, baseA)
+      .append(spark.range(100, 102).selectExpr("id AS k", "id AS v"))
+    intercept[java.util.ConcurrentModificationException](gsql.sql("COMMIT"))
+    assert(!GraftTable.isGraftTable(newLoc),
+      "an aborted transaction's gated create must unpublish entirely")
+    intercept[Exception](gsql.sql("SELECT * FROM snap3"))
+  }
+
   test("streaming source: an undecided reservation is invisible and " +
       "emits exactly once after the decision (ST20)") {
     import org.apache.spark.sql.streaming.Trigger
