@@ -136,10 +136,12 @@ object Snapshot {
       if (vId.nonEmpty) cache.put(key, built)
       built
     }
-    // every real table's version 0 writes Metadata; a state with none
-    // is a crashed transactional CTAS whose reservation aborted — a
-    // clear error beats the NoSuchElementException readers would hit
-    if (snap.metadata.isEmpty)
+    // every real table's version 0 writes Metadata; a v>=0 state with
+    // none is a crashed transactional CTAS whose reservation aborted —
+    // a clear error beats the NoSuchElementException readers would
+    // hit. (v = -1, the empty pre-create state the change feed replays
+    // from for inclusive-v0 ranges, is legitimately metadata-less.)
+    if (v >= 0 && snap.metadata.isEmpty)
       throw new IllegalStateException(
         s"table at ${log.tablePath} has no metadata — its creating " +
           "transaction aborted before committing; delete the directory " +
