@@ -137,6 +137,20 @@ class ScaleSpec extends GraftSparkSpec {
       assert(!"""repartition(ByRange)?\(\s*\d""".r.findFirstIn(src).isDefined,
         s"$f hardcodes a literal partition count — use session parallelism")
     }
+    // round-11 additions: no cartesian anywhere (their only pins are
+    // the commented constant-bounded ones), and q69's lag must stay a
+    // window over the AGGREGATED nation×year frame — partitioned, so
+    // the plan may carry a Window node but never a partition-less one
+    // over fact rows (guarded by the no-cartesian + the aggregate
+    // sitting below it; a full-frame global window on this shape
+    // would show as Window over the raw lineitem scan)
+    for ((name, df) <- Seq(
+        "q69_yoy_growth" -> Analytics.q69YoyGrowth(spark, sfDir),
+        "q70_supplier_hhi" -> Analytics.q70SupplierHhi(spark, sfDir),
+        "pipe_cross_dup" -> Pipeline.pipeCrossDup(spark, sfDir),
+        "dedup_cluster_sizes" -> Dedup.dedupClusterSizes(spark, sfDir)))
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"$name must never plan a cartesian product")
     // de-hinted TPC-H dims: no forced broadcast on SF-scaled sides —
     // the plan must not carry a user hint on customer/part/supplier
     // (AQE may still choose broadcast at runtime from actual sizes)
