@@ -165,11 +165,6 @@ object Bench {
     val midws = midWSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"canary_mid_sec":$mids,"canary_mid_max_drift":$midMaxDrift%.2f,"wcanary_start_sec":$wcanaryStart%.3f,"wcanary_end_sec":$wcanaryEnd%.3f,"wcanary_drift":$wdrift%.2f,"wcanary_mid_sec":$midws,"wcanary_mid_max_drift":$midWMaxDrift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
-    // marker line FIRST: past rounds' driver captures kept only a log
-    // tail and failed to parse the plain line — a clearly-delimited
-    // single-line marker survives truncation-from-the-top greps
-    println(s"BENCH_RESULT_JSON: $json")
-    println(json)
     // the driver's stdout tail-capture has truncated the leading ~18
     // query keys in past rounds — persist the full line so the artifact
     // is always self-contained. Written twice: target/ for tooling and
@@ -185,5 +180,9 @@ object Bench {
     }
     lock.release(); lockCh.close()
     spark.stop()
+    // marker line LAST (r11 verdict): the driver's tail-window capture
+    // starts mid-stream, so the marker must be the final stdout line —
+    // a tail keeps the end, not the start. Nothing prints after this.
+    println(s"BENCH_RESULT_JSON: $json")
   }
 }

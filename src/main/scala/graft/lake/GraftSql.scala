@@ -440,7 +440,11 @@ final class GraftSql(spark: SparkSession) {
         // and unpublish any gated creates
         var coordOf: Option[(String, String,
           Seq[(String, ShadowEntry, SquashPlan)])] = None
-        var publishedCreates: Seq[(String, CreateEntry)] = Nil
+        // appended per iteration AS each create publishes (not assigned
+        // after the whole map) so a failure publishing the Nth table
+        // still lets the abort handler unpublish the first N-1
+        val publishedCreates =
+          scala.collection.mutable.ArrayBuffer[(String, CreateEntry)]()
         try {
           // PHASE 1: prepare every table's squash — all heavy work
           // (file moves, validation) with NO log touched
@@ -467,8 +471,17 @@ final class GraftSql(spark: SparkSession) {
               .get(coordHost, "_graft_log", "_txncoord", s"$txnId.decision")
               .toAbsolutePath.toString
             coordOf = Some((coordPath, txnId, changed))
+            // heartbeat: after each unit of phase-2 work, refresh every
+            // already-landed reservation's mtime so a long multi-table
+            // prepare (later tables' conflict-checked reservations,
+            // CTAS directory moves) never ages a LIVE commit past the
+            // pending-grace window — only crashed coordinators do
+            val beats = scala.collection.mutable.ArrayBuffer[() => Unit]()
+            def beatAll(): Unit = beats.foreach(_())
             val reserved = changed.zipWithIndex.map { case ((n, e, p), i) =>
               val v = e.base.reserveSquash(p, coordPath, txnId)
+              beats += (() => e.base.log.refreshReservation(v))
+              beatAll()
               txnCrashHook(s"after-reserve-$i")
               (e, v)
             }
@@ -476,7 +489,7 @@ final class GraftSql(spark: SparkSession) {
             // one version-0 reservation bound to the SAME decision,
             // then the directory moves into place — visible only WITH
             // the decision, so created tables are atomic with the DML
-            publishedCreates = st.creates.toSeq.map { case (name, c) =>
+            st.creates.toSeq.foreach { case (name, c) =>
               GraftTable.forPath(spark, c.tmpLoc)
                 .gateCreateAsReservation(coordPath, txnId)
               val dest = java.nio.file.Paths.get(c.finalLoc)
@@ -484,8 +497,9 @@ final class GraftSql(spark: SparkSession) {
                 .foreach(java.nio.file.Files.createDirectories(_))
               java.nio.file.Files.move(
                 java.nio.file.Paths.get(c.tmpLoc), dest)
+              publishedCreates += ((name, c))
+              beatAll()
               txnCrashHook(s"after-create-publish-$name")
-              (name, c)
             }
             // PHASE 2b: THE atomic cross-table pointer swap — one
             // create-exclusive flips every reservation (DML squashes
@@ -499,12 +513,17 @@ final class GraftSql(spark: SparkSession) {
                 "transaction aborted by a concurrent accessor before " +
                   "the commit decision landed — rolled back")
             txnCrashHook("after-decision")
-            // PHASE 2c: durable from here — deferred checkpoints and
-            // created-table registration only
+            // PHASE 2c: durable from here — seal the outcome into each
+            // participant's OWN log first (commit durability must not
+            // depend on the coordinator-host directory surviving a
+            // later DROP TABLE), then deferred checkpoints and
+            // created-table registration
             reserved.foreach { case (e, v) =>
+              e.base.log.sealDecision(txnId, v, "commit")
               e.base.log.maybeCheckpoint(spark, v)
             }
             publishedCreates.foreach { case (name, c) =>
+              new TxnLog(c.finalLoc).sealDecision(txnId, 0L, "commit")
               tables(name) = GraftTable.forPath(spark, c.finalLoc)
               st.creates.remove(name)
             }

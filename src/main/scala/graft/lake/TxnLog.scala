@@ -87,7 +87,7 @@ final class TxnLog(val tablePath: String,
       case None => false
       case Some(line) =>
         val m = parseMarker(line)
-        decisionOf(m.coord) match {
+        resolvedOutcome(m, v) match {
           case Some(_) => false
           case None =>
             val age = System.currentTimeMillis() -
@@ -97,7 +97,7 @@ final class TxnLog(val tablePath: String,
               // later decision can make the version appear
               // retroactively (the decide is an atomic create — if
               // the coordinator raced us and committed, we honor it)
-              decide(m.coord, "abort")
+              sealDecision(m.txnId, v, decide(m.coord, "abort"))
               false
             } else true
         }
@@ -122,6 +122,63 @@ final class TxnLog(val tablePath: String,
       Some(new String(store.read(p), StandardCharsets.UTF_8).trim)
     else None
   }
+
+  // --- local decision seals ----------------------------------------------
+  // A marker's decision file lives inside ONE participant table's
+  // directory (the coordinator host). If that table is later DROPPED,
+  // the surviving participants' committed markers would resolve to
+  // "no decision" and a post-grace accessor would re-decide ABORT —
+  // silently reverting a committed transaction. So the outcome is
+  // SEALED locally (a tiny `_txn/<txnId>-<v>.decided` sidecar next to
+  // the staged payload) the first time any handle observes it, and the
+  // coordinator seals every participant eagerly right after the
+  // decision lands. Resolution consults the local seal FIRST: commit
+  // durability never depends on another table's directory surviving.
+  private def sealPath(txnId: String, v: Long): Path =
+    txnDir.resolve(s"$txnId-$v.decided")
+
+  /** Durably record a marker's resolved outcome next to the table it
+    * governs. Idempotent (create-exclusive; the outcome is permanent
+    * once a decision file exists, so every sealer writes the same
+    * content) and best-effort: a failed seal just means the next
+    * resolution re-reads the coordinator path.
+    */
+  private[lake] def sealDecision(txnId: String, v: Long, outcome: String): Unit =
+    scala.util.Try {
+      Files.createDirectories(txnDir)
+      store.createExclusive(sealPath(txnId, v),
+        outcome.getBytes(StandardCharsets.UTF_8))
+    }
+
+  private def localSeal(txnId: String, v: Long): Option[String] = {
+    val p = sealPath(txnId, v)
+    if (store.exists(p))
+      Some(new String(store.read(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  /** Marker outcome if decided: local seal first (survives the
+    * coordinator host's deletion), else the coordinator decision file
+    * — sealing locally on first observation.
+    */
+  private def resolvedOutcome(m: TxnMarker, v: Long): Option[String] =
+    localSeal(m.txnId, v).orElse {
+      decisionOf(m.coord).map { d => sealDecision(m.txnId, v, d); d }
+    }
+
+  /** Coordinator heartbeat: refresh a live reservation's mtime so the
+    * pending-grace clock measures time since the coordinator last made
+    * PROGRESS, not since the reservation first landed. Between the
+    * first reservation and the decision the coordinator still performs
+    * per-table conflict-checked reservations (snapshot replays) and
+    * whole-directory CTAS moves — on large logs or many participants
+    * that window can exceed [[TxnLog.PendingGraceMs]], and without the
+    * heartbeat a concurrent accessor would grace-abort a live, healthy
+    * commit. Only genuinely stalled coordinators now get grace-aborted.
+    */
+  private[lake] def refreshReservation(v: Long): Unit =
+    scala.util.Try(Files.setLastModifiedTime(versionFile(v),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())))
 
   /** Replace this (staging-only, reader-free) table's whole log with
     * ONE version-0 reservation marker carrying the given state — the
@@ -308,7 +365,7 @@ final class TxnLog(val tablePath: String,
     */
   private def resolveMarker(v: Long, line: String): Seq[Action] = {
     val m = parseMarker(line)
-    decisionOf(m.coord) match {
+    resolvedOutcome(m, v) match {
       case Some("commit") =>
         Files.readAllLines(logDir.resolve(m.staged), StandardCharsets.UTF_8)
           .asScala.filter(_.nonEmpty).flatMap(Actions.fromJson).toSeq
@@ -320,7 +377,7 @@ final class TxnLog(val tablePath: String,
         val age = System.currentTimeMillis() -
           Files.getLastModifiedTime(versionFile(v)).toMillis
         if (age >= TxnLog.PendingGraceMs) {
-          decide(m.coord, "abort")
+          sealDecision(m.txnId, v, decide(m.coord, "abort"))
           resolveMarker(v, line)
         } else throw new IllegalStateException(
           s"commit $v of $tablePath belongs to an in-flight multi-table " +
@@ -449,18 +506,22 @@ final class TxnLog(val tablePath: String,
     val cv = lastCheckpointVersion().getOrElse(return 0)
     val deletable = listVersions().filter(_ < math.min(cutoff, cv + 1))
     deletable.foreach(v => Files.deleteIfExists(versionFile(v)))
-    // staged multi-table payloads are log-retained WITH their marker
-    // (committed markers resolve through them) — reclaim exactly the
-    // ones whose marker version was just deleted
+    // staged multi-table payloads and decision seals are log-retained
+    // WITH their marker (committed markers resolve through them) —
+    // reclaim exactly the ones whose marker version was just deleted
     if (Files.isDirectory(txnDir)) {
       val deleted = deletable.toSet
       val s = Files.list(txnDir)
       val staged = try s.iterator().asScala.toSeq finally s.close()
       staged.filter { p =>
         val n = p.getFileName.toString
-        n.endsWith(".json") && {
-          val tail = n.stripSuffix(".json").split('-').lastOption
-          tail.flatMap(t => scala.util.Try(t.toLong).toOption)
+        val stem =
+          if (n.endsWith(".json")) Some(n.stripSuffix(".json"))
+          else if (n.endsWith(".decided")) Some(n.stripSuffix(".decided"))
+          else None
+        stem.exists { st =>
+          st.split('-').lastOption
+            .flatMap(t => scala.util.Try(t.toLong).toOption)
             .exists(deleted.contains)
         }
       }.foreach(Files.deleteIfExists(_))
@@ -485,11 +546,14 @@ final class TxnLog(val tablePath: String,
 object TxnLog {
   val CheckpointInterval = 10
 
-  /** How long an undecided multi-table reservation at the log tail is
-    * treated as in-flight (invisible but not abortable) before any
-    * accessor may decide ABORT for the crashed coordinator. The live
-    * window between the last reservation and the decision create is
-    * microseconds, so the default never fires outside a crash; tests
+  /** How long an undecided multi-table reservation's mtime may age
+    * (invisible but not abortable) before any accessor may decide
+    * ABORT for the crashed coordinator. The coordinator HEARTBEATS
+    * each live reservation's mtime ([[TxnLog.refreshReservation]])
+    * after every unit of phase-2 work (each later table's reservation,
+    * each CTAS directory move), so the clock measures time since last
+    * progress — a healthy commit over many participants or large logs
+    * never ages out, only a genuinely crashed coordinator does. Tests
     * set 0 to exercise recovery deterministically.
     */
   @volatile var PendingGraceMs: Long = 5000L

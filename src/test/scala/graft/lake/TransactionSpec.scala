@@ -642,4 +642,166 @@ class TransactionSpec extends GraftSparkSpec {
       t2.commitSquash(plan2))
     shadow2.deleteTransactionDir(shadowDir2)
   }
+
+  /** The coordinator decision path embedded in a table's latest
+    * version-file marker (the marker line is permanent; resolution
+    * consults seals/decisions, never rewrites it).
+    */
+  private def coordPathOf(base: String): String = {
+    import scala.jdk.CollectionConverters._
+    val logDir = java.nio.file.Paths.get(base, "_graft_log")
+    val s = java.nio.file.Files.list(logDir)
+    val latest = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.length == 25).max
+    finally s.close()
+    val line = java.nio.file.Files
+      .readAllLines(logDir.resolve(latest)).get(0)
+    """"coord": "([^"]+)"""".r.findFirstMatchIn(line).get.group(1)
+  }
+
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    val all = try w.iterator().asScala.toSeq finally w.close()
+    all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("committed outcome survives DROP of the coordinator-host table " +
+      "(local decision seal)") {
+    val oldGrace = TxnLog.PendingGraceMs
+    TxnLog.PendingGraceMs = 0 // any undecided marker aborts instantly
+    try {
+      val (gsql, baseA, baseB) = twoTableFixture("sealdrop")
+      gsql.executeScript("""
+        BEGIN;
+        UPDATE sealdrop_a SET v = 100 WHERE k < 5;
+        UPDATE sealdrop_b SET v = 200 WHERE k < 5;
+        COMMIT;
+      """)
+      // the decision file lives inside ONE participant's directory
+      // (the coordinator host). Simulate a later DROP TABLE of the
+      // host: the SURVIVING participant's committed marker must still
+      // resolve COMMIT from its own local seal — never grace-abort
+      // into reverting a committed transaction.
+      val coord = coordPathOf(baseB)
+      val (host, survivor, survivorSum) =
+        if (coord.startsWith(baseA)) (baseA, baseB, 5L * 200 + 10)
+        else (baseB, baseA, 5L * 100 + 5)
+      rmTree(host)
+      // fresh handle, on-disk state only, grace 0: without the seal
+      // this read would decide ABORT and silently revert the survivor
+      val tb = GraftTable.forPath(spark, survivor)
+      assert(tb.toDF.agg(sum("v")).head().getLong(0) == survivorSum,
+        "the committed transaction must survive the host table's DROP")
+      assert(tb.history(1).collect().head.getAs[String]("operation")
+        == "TRANSACTION",
+        "the marker must still resolve COMMITTED, not aborted")
+    } finally TxnLog.PendingGraceMs = oldGrace
+  }
+
+  test("abort outcome observed via the coordinator is sealed locally " +
+      "and stays stable after the host disappears") {
+    val oldGrace = TxnLog.PendingGraceMs
+    TxnLog.PendingGraceMs = 0
+    try {
+      val (gsql, baseA, baseB) = twoTableFixture("sealabort")
+      gsql.txnCrashHook = p =>
+        if (p == "after-reserve-1") throw new GraftSql.SimulatedCrash(p)
+      gsql.sql("BEGIN")
+      gsql.sql("UPDATE sealabort_a SET v = 100 WHERE k < 5")
+      gsql.sql("UPDATE sealabort_b SET v = 200 WHERE k < 5")
+      intercept[GraftSql.SimulatedCrash](gsql.sql("COMMIT"))
+      val coord = coordPathOf(baseB)
+      val (host, survivor) =
+        if (coord.startsWith(baseA)) (baseA, baseB) else (baseB, baseA)
+      // first access grace-aborts both reservations via the (still
+      // present) coordinator path and seals the outcome locally in the
+      // survivor's own _txn dir
+      assert(GraftTable.forPath(spark, survivor).toDF
+        .agg(sum("v")).head().getLong(0)
+        == (if (survivor == baseA) 10L else 20L))
+      // the host disappears; the survivor's aborted marker must keep
+      // resolving ABORTED from the seal without recreating the
+      // coordinator path inside the deleted directory
+      rmTree(host)
+      val tb = GraftTable.forPath(spark, survivor)
+      assert(tb.toDF.agg(sum("v")).head().getLong(0)
+        == (if (survivor == baseA) 10L else 20L))
+      assert(tb.history(1).collect().head.getAs[String]("operation")
+        == "TRANSACTION ABORTED")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(host,
+        "_graft_log", "_txncoord")),
+        "a sealed outcome must not resurrect the dropped host's log dir")
+    } finally TxnLog.PendingGraceMs = oldGrace
+  }
+
+  test("failure publishing the 2nd of two gated CTAS tables unpublishes " +
+      "the 1st (no aborted-reservation husk left behind)") {
+    val gsql = freshSql()
+    val base = tmpDir("txn-pubfail-base")
+    gsql.registerCreate("pubfail_src", base,
+      spark.range(10).selectExpr("id AS k", "CAST(1 AS BIGINT) AS v"))
+    val loc1 = tmpDir("txn-pubfail-new1")
+    val loc2 = tmpDir("txn-pubfail-new2")
+    // make the SECOND create's final location unmovable: a non-empty
+    // directory already there makes Files.move throw mid-publish
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(loc2, "occupied"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(loc2, "occupied", "x"), "x".getBytes)
+    intercept[Exception](gsql.executeScript(s"""
+      BEGIN;
+      CREATE TABLE pub1 LOCATION '$loc1' AS SELECT * FROM pubfail_src;
+      CREATE TABLE pub2 LOCATION '$loc2' AS SELECT * FROM pubfail_src WHERE k < 5;
+      COMMIT;
+    """))
+    // the 1st create moved into place BEFORE the 2nd failed: the abort
+    // handler must know about it and unpublish — otherwise an
+    // aborted-reservation husk blocks ever re-creating a table there
+    assert(!GraftTable.isGraftTable(loc1),
+      "the partially-published 1st create must be unpublished on abort")
+    // and the location is actually reusable: the same CTAS now succeeds
+    gsql.executeScript(s"""
+      BEGIN;
+      CREATE TABLE pub1 LOCATION '$loc1' AS SELECT * FROM pubfail_src;
+      INSERT INTO pubfail_src VALUES (99, 7);
+      COMMIT;
+    """)
+    assert(GraftTable.forPath(spark, loc1).toDF.count() == 10)
+    assert(GraftTable.forPath(spark, base).toDF.count() == 11)
+  }
+
+  test("heartbeat: a slow live coordinator is not grace-aborted while " +
+      "it makes progress") {
+    val oldGrace = TxnLog.PendingGraceMs
+    TxnLog.PendingGraceMs = 300
+    try {
+      val base = tmpDir("txn-hb-base")
+      val t = GraftTable.create(spark, base,
+        spark.range(4).selectExpr("id AS k", "id AS v"))
+      val v0 = t.version
+      val shadowDir = s"$base.txn-hb-shadow"
+      val shadow = GraftTable.shallowClone(spark, base, shadowDir)
+      shadow.append(spark.range(100, 102).selectExpr("id AS k", "id AS v"))
+      val coord = java.nio.file.Paths
+        .get(base, "_graft_log", "_txncoord", "spec-hb.decision")
+        .toAbsolutePath.toString
+      val v = t.reserveSquash(t.prepareSquash(shadow, v0), coord, "spec-hb")
+      // simulate a coordinator mid-phase-2 on a big transaction: total
+      // elapsed time far exceeds the grace window, but each heartbeat
+      // proves liveness — concurrent readers must keep treating the
+      // marker as pending (invisible), never abort it
+      (1 to 4).foreach { _ =>
+        Thread.sleep(200) // grace is 300: an unrefreshed marker dies here
+        t.log.refreshReservation(v)
+        val mid = GraftTable.forPath(spark, base)
+        assert(mid.version == v0,
+          "a heartbeating reservation must stay pending, not abort")
+      }
+      // ...and the eventual decision still commits it
+      assert(t.log.decide(coord, "commit") == "commit")
+      assert(GraftTable.forPath(spark, base).toDF.count() == 6)
+      shadow.deleteTransactionDir(shadowDir)
+    } finally TxnLog.PendingGraceMs = oldGrace
+  }
 }
