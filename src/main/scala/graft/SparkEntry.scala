@@ -217,6 +217,7 @@ object SparkEntry {
     "lake_insert" -> LakeOps.lakeInsert _,
     "lake_identity" -> LakeOps.lakeIdentity _,
     "lake_manifest" -> LakeOps.lakeManifest _,
+    "lake_manifest_dv" -> LakeOps.lakeManifestDv _,
     "lake_rlo_update" -> LakeOps.lakeRloUpdate _,
     "lake_rlo_update_mor" -> LakeOps.lakeRloUpdateMor _,
     "lake_rlo_merge" -> LakeOps.lakeRloMerge _,
@@ -2348,6 +2349,16 @@ object SparkEntry {
       ("SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty, " +
         "ROUND(SUM(l_extendedprice), 2) AS sum_price " +
         "FROM lineitem WHERE l_orderkey % 3 <> 0"),
+    // manifest MATERIALIZE over LIVE deletion vectors: the external
+    // read must miss the MoR DELETE's masked rows and see the MoR
+    // UPDATE's post-images exactly once (update hits surviving rows
+    // only — a %35 key is deleted, never resurrected by a post-image)
+    "lake_manifest_dv" ->
+      ("SELECT COUNT(*) AS n, " +
+        "ROUND(SUM(CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100 " +
+        "ELSE l_quantity END), 2) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price " +
+        "FROM lineitem WHERE l_orderkey % 5 <> 0"),
     // id = create-time global key rank (deterministic two-file sorted
     // write); OPTIMIZE + DELETE must both preserve surviving ids
     "lake_rowtracking" ->

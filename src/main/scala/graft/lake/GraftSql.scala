@@ -108,7 +108,7 @@ final class GraftSql(spark: SparkSession) {
   private val truncateRe: Regex =
     """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$""".r
   private val generateRe: Regex =
-    """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\w+)\s*;?\s*$""".r
+    """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\w+)(\s+MATERIALIZE)?\s*;?\s*$""".r
   private val dropTableRe: Regex =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
   private val showColumnsRe: Regex =
@@ -662,8 +662,9 @@ final class GraftSql(spark: SparkSession) {
         }
       case truncateRe(name) =>
         table(name).truncate().toSeq.sortBy(_._1).toDF("metric", "value")
-      case generateRe(name) =>
-        table(name).generateManifest().map(p => ("manifest", p)).toDF("metric", "value")
+      case generateRe(name, mat) =>
+        table(name).generateManifest(materialize = mat != null)
+          .map(p => ("manifest", p)).toDF("metric", "value")
       case dropTableRe(name) =>
         // external-table semantics (the only kind here): unregister the
         // name, leave data + log for re-registration

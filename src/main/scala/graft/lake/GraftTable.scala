@@ -4036,32 +4036,115 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * documents): it names the generating version's files, so re-run
     * after DML/OPTIMIZE; until then external readers keep a consistent
     * older view for as long as vacuum retention outlives it. Tables
-    * carrying deletion vectors refuse — a raw parquet reader would
-    * resurrect masked rows. O(#files) driver-side metadata, no scan
-    * (the same scale class as Delta's own manifest generation).
-    * Returns the written manifest file paths.
+    * carrying deletion vectors refuse by default — a raw parquet
+    * reader would resurrect masked rows — unless `materialize` is set
+    * (SQL `GENERATE symlink_format_manifest FOR TABLE t MATERIALIZE`):
+    * then ONLY the DV-masked files' live rows are rewritten into a
+    * snapshot-scoped `_graft_manifest/_materialized/v<N>/` directory
+    * and listed in place of the masked originals, with no table
+    * commit — the table's own MoR debt, time travel, and concurrent
+    * writers are untouched (parity-plus over Delta, whose manifests
+    * share the refusal with no escape hatch). Plain generation is
+    * O(#files) driver-side metadata, no scan; MATERIALIZE adds
+    * O(masked data) — the same scale class as the DML that created
+    * the masks. Returns the written manifest file paths.
     */
-  def generateManifest(): Seq[String] = {
+  def generateManifest(materialize: Boolean = false): Seq[String] = {
     val s = snapshot
-    if (s.dvFiles.nonEmpty)
+    if (s.dvFiles.nonEmpty && !materialize)
       throw new UnsupportedOperationException(
         "cannot generate a symlink manifest while deletion vectors are " +
           "active: external parquet readers would resurrect masked rows " +
-          "(run REORG TABLE ... APPLY (PURGE) first)")
+          "(run REORG TABLE ... APPLY (PURGE) first, or GENERATE ... " +
+          "MATERIALIZE to rewrite only the masked files into the " +
+          "manifest directory without a table commit)")
     val dir = root.resolve("_graft_manifest")
     deleteRecursively(dir)
-    val groups: Seq[(String, Seq[AddFile])] =
-      if (s.partitionColumns.isEmpty) Seq("" -> s.activeFiles)
-      else s.activeFiles.groupBy(f => s.partitionColumns.map(c =>
+    // MATERIALIZE with live DVs: rewrite ONLY the masked files' live
+    // rows into a snapshot-scoped subdir of the manifest directory —
+    // a read-side export, NO table commit, so time travel / CDC /
+    // concurrent writers are untouched and the MoR debt stays where
+    // REORG PURGE owns it. O(masked data), not O(table): at 100 TB
+    // with a thin DV layer this is the same scale class as the DML
+    // that created the masks. Unmasked files are listed in place.
+    val (maskedPaths, matByGroup): (Set[String], Map[String, Seq[String]]) =
+      if (s.dvFiles.isEmpty) (Set.empty, Map.empty)
+      else {
+        val dvPaths = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+          .select("file_path").distinct().collect().map(_.getString(0))
+        val masked = GraftTable.dvMaskedFiles(
+          dvPaths.toIndexedSeq, s.activeFiles, dataPath)
+        if (masked.isEmpty) (Set.empty, Map.empty)
+        else {
+          val matDir = dir.resolve("_materialized")
+            .resolve(f"v${s.version}%020d")
+          // physical-schema scan with masks applied: the materialized
+          // files' column layout matches the untouched originals, so
+          // an external reader sees ONE consistent parquet schema
+          val df = physicalDfForFiles(s, masked)
+          val physParts = s.partitionColumns.map(s.physicalName)
+          val tsKey = "spark.sql.parquet.outputTimestampType"
+          val prevTs = spark.conf.getOption(tsKey)
+          spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+          try {
+            val w = df.write.mode("overwrite")
+            (if (physParts.nonEmpty) w.partitionBy(physParts: _*) else w)
+              .parquet(matDir.toString)
+          } finally prevTs match {
+            case Some(v) => spark.conf.set(tsKey, v)
+            case None => spark.conf.unset(tsKey)
+          }
+          // map each written file back to its partition group key
+          // (logical names + raw values, same rendering as below)
+          val physToLogical = s.partitionColumns
+            .map(c => s.physicalName(c) -> c).toMap
+          val walk = Files.walk(matDir)
+          val written =
+            try walk.iterator().asScala
+              .filter(p => Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet") &&
+                !p.getFileName.toString.startsWith("."))
+              .map(p => matDir.relativize(p)).toSeq
+            finally walk.close()
+          val grouped = written.groupBy { rel =>
+            val vals = (0 until rel.getNameCount - 1).map { i =>
+              val seg = rel.getName(i).toString
+              val (k, v) = seg.splitAt(seg.indexOf('='))
+              physToLogical.getOrElse(k, k) ->
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(v.drop(1))
+            }.toMap
+            s.partitionColumns.map(c =>
+              s"$c=${vals.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
+              .mkString("/")
+          }.map { case (g, rels) =>
+            g -> rels.map(r =>
+              matDir.resolve(r).toAbsolutePath.normalize.toString)
+          }
+          (masked.map(_.path).toSet, grouped)
+        }
+      }
+    val listed = s.activeFiles.filterNot(f => maskedPaths.contains(f.path))
+    val groups0: Map[String, Seq[String]] =
+      if (s.partitionColumns.isEmpty)
+        Map("" -> listed.map(f =>
+          root.resolve(f.path).toAbsolutePath.normalize.toString))
+      else listed.groupBy(f => s.partitionColumns.map(c =>
           s"$c=${f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
-        .mkString("/")).toSeq
+        .mkString("/"))
+        .map { case (g, fs) => g -> fs.map(f =>
+          root.resolve(f.path).toAbsolutePath.normalize.toString) }
+    // merge: a partition whose files are ALL masked still gets its
+    // manifest (from the materialized side alone)
+    val groups: Seq[(String, Seq[String])] =
+      (groups0.keySet ++ matByGroup.keySet).toSeq.map { g =>
+        g -> (groups0.getOrElse(g, Nil) ++ matByGroup.getOrElse(g, Nil))
+      }
     // one (path, body) pair per partition — plain values so the
     // parallel branch's task closure ships nothing of `this`
-    val jobs: Seq[(String, String)] = groups.map { case (sub, files) =>
+    val jobs: Seq[(String, String)] = groups.map { case (sub, paths) =>
       val d = if (sub.isEmpty) dir else dir.resolve(sub)
-      val body = files.map(f =>
-          root.resolve(f.path).toAbsolutePath.normalize.toString)
-        .sorted.mkString("", "\n", "\n")
+      val body = paths.sorted.mkString("", "\n", "\n")
       (d.resolve("manifest").toString, body)
     }
     def writeOne(pathStr: String, body: String): Unit = {

@@ -507,6 +507,40 @@ object LakeOps {
         round(sum("l_extendedprice"), 2).as("sum_price"))
   }
 
+  /** Manifest MATERIALIZE over live deletion vectors (L77+): plain
+    * GENERATE refuses a DV-carrying table (raw parquet readers would
+    * resurrect masked rows), which goes dark for DuckDB/Trino interop
+    * the moment a deployment adopts MoR DML. MATERIALIZE rewrites ONLY
+    * the masked files' live rows into a snapshot-scoped manifest
+    * subdir — no table commit, DVs stay live, time travel untouched —
+    * and the manifest lists materialized replacements alongside the
+    * untouched originals. The check bites three ways: the MoR DELETE's
+    * masked rows must be absent, the MoR UPDATE's post-images (fresh
+    * unmasked files) must be present exactly once, and the reader is
+    * plain `spark.read.parquet` over the listed paths — zero GraftLake
+    * code on the read side.
+    */
+  def lakeManifestDv(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    val t = graft.lake.GraftTable.create(spark, workDir(dir, "manifestdv"),
+      li, partitionBy = Seq("l_returnflag"))
+    t.optimize()
+    // merge-on-read DML only: deletion vectors stay LIVE — the state
+    // plain GENERATE refuses and MATERIALIZE exists for
+    t.deleteMergeOnRead(col("l_orderkey") % 5 === 0)
+    t.updateMergeOnRead(col("l_orderkey") % 7 === 0,
+      Map("l_quantity" -> (col("l_quantity") + 100)))
+    val manifests = t.generateManifest(materialize = true)
+    val listed = spark.read.textFile(manifests: _*).collect().toSeq
+    // Hive symlink semantics: the aggregate uses data-file columns
+    // only (partition values come from the manifest subdirs)
+    spark.read.parquet(listed: _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+
   /** Runtime bloom semi-join (L62): a dim too wide for DFP's exact key
     * list drives a row-level bloom probe into the fact scan before the
     * join. The filter is advisory (fpp widens, never narrows), so the

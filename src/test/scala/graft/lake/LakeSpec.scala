@@ -835,6 +835,96 @@ class LakeSpec extends GraftSparkSpec {
     assert(out.filter(col("metric") === "manifest").count() == 3)
   }
 
+  test("manifest MATERIALIZE: live-DV table exports externally-readable " +
+      "snapshot; regenerate after REORG drops the materialized dir") {
+    import spark.implicits._
+    val df = (0 until 60).map(i => (i.toLong, s"p${i % 3}", i * 10L))
+      .toDF("k", "part", "v")
+    val t = GraftTable.create(spark, tmpDir("manifest-mat"), df,
+      partitionBy = Seq("part"))
+    t.deleteMergeOnRead(col("k") % 2 === 0) // DVs stay LIVE
+    t.updateMergeOnRead(col("k") === 1, Map("v" -> lit(9999L)))
+    assert(t.snapshot.dvFiles.nonEmpty, "fixture must carry live DVs")
+    val v0 = t.version
+    val manifests = t.generateManifest(materialize = true)
+    assert(manifests.size == 3, "one manifest per partition")
+    val listed = spark.read.textFile(manifests: _*).collect().toSeq
+    // external plain-parquet read: masked rows absent, post-image once
+    val ext = spark.read.parquet(listed: _*)
+    assert(ext.count() == 30, "externally-read row count must mask DVs")
+    assert(ext.filter(col("k") % 2 === 0).count() == 0,
+      "MoR-deleted rows must not resurrect through the manifest")
+    assert(ext.filter(col("k") === 1).select("v").head().getLong(0) == 9999L,
+      "the MoR update's post-image must be the visible row")
+    assert(ext.filter(col("k") === 1).count() == 1,
+      "pre-image masked + post-image listed: exactly one row")
+    // materialized rewrites live INSIDE the manifest dir, snapshot-scoped
+    assert(listed.exists(_.contains("_graft_manifest/_materialized/")),
+      "masked files must be replaced by materialized paths")
+    // NO table commit happened: version, DVs, time travel all untouched
+    assert(t.version == v0, "MATERIALIZE must not commit to the table")
+    assert(GraftTable.forPath(spark, t.path).snapshot.dvFiles.nonEmpty,
+      "the table's own MoR debt must stay live")
+    // engine read agrees with the external read
+    assert(t.toDF.count() == 30)
+    // vacuum must not reclaim the materialized export
+    t.vacuum(0.0, dryRun = false)
+    assert(spark.read.parquet(listed: _*).count() == 30,
+      "vacuum must spare the materialized manifest export")
+    // REORG retires the DVs; plain regeneration now works and drops
+    // the stale materialized directory with the rest of the manifest
+    t.reorgPurge()
+    val listed3 = spark.read.textFile(t.generateManifest(): _*).collect().toSeq
+    assert(spark.read.parquet(listed3: _*).count() == 30)
+    assert(listed3.forall(!_.contains("_materialized")),
+      "post-REORG manifests list table files only")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      t.path, "_graft_manifest", "_materialized")),
+      "regeneration must drop the snapshot-scoped materialized dir")
+    // SQL spelling
+    val t2 = GraftTable.create(spark, tmpDir("manifest-mat-sql"),
+      (0 until 20).map(i => (i.toLong, i * 2L)).toDF("k", "v"))
+    t2.deleteMergeOnRead(col("k") < 5)
+    val gsql = new GraftSql(spark)
+    gsql.register("mmat", t2.path)
+    val out = gsql.sql(
+      "GENERATE symlink_format_manifest FOR TABLE mmat MATERIALIZE")
+    val paths = out.filter(col("metric") === "manifest")
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(paths.size == 1, "unpartitioned: one manifest")
+    val extRows = spark.read.parquet(
+      spark.read.textFile(paths: _*).collect().toIndexedSeq: _*)
+    assert(extRows.count() == 15 &&
+      extRows.agg(min(col("k"))).head().getLong(0) == 5)
+  }
+
+  test("manifest MATERIALIZE: a partition whose files are ALL masked " +
+      "still writes its manifest from the materialized side") {
+    import spark.implicits._
+    // one input partition -> exactly ONE file per partition dir, so
+    // masking any p0 row masks p0's only file: its manifest group must
+    // come from the materialized side ALONE
+    val df = (0 until 30).map(i => (i.toLong, s"p${i % 3}", i * 10L))
+      .toDF("k", "part", "v").repartition(1)
+    val t = GraftTable.create(spark, tmpDir("manifest-allmask"), df,
+      partitionBy = Seq("part"))
+    t.deleteMergeOnRead(col("part") === "p0" && col("k") >= 15)
+    val manifests = t.generateManifest(materialize = true)
+    assert(manifests.size == 3,
+      s"all three partitions need manifests, got ${manifests.size}")
+    val p0 = manifests.filter(_.contains("part=p0"))
+    assert(p0.size == 1)
+    val p0paths = spark.read.textFile(p0: _*).collect().toIndexedSeq
+    assert(p0paths.forall(_.contains("_materialized")),
+      "p0's only table file is masked: every listed path is materialized")
+    val extP0 = spark.read.parquet(p0paths: _*)
+    assert(extP0.count() == 5, "p0: 10 rows minus 5 deleted")
+    assert(extP0.agg(sum("v")).head().getLong(0) == 300,
+      "surviving p0 rows are k in {0,3,6,9,12}: sum(v) = 300")
+    // engine agrees
+    assert(t.toDF.filter(col("part") === "p0").count() == 5)
+  }
+
   test("FSCK repairs out-of-band file loss; DRY RUN only lists") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("fsck"),
