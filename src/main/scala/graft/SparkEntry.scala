@@ -114,6 +114,7 @@ object SparkEntry {
     "text_phrase" -> TextOps.textPhraseSearch _,
     "text_phrase3" -> TextOps.textPhrase3Search _,
     "text_search_ranked" -> TextOps.textSearchRanked _,
+    "text_search_bm25" -> TextOps.textSearchBm25 _,
     "text_rarity" -> TextOps.textRarity _,
     "text_perplexity" -> TextOps.textPerplexity _,
     "dedup_exact" -> Dedup.dedupExact _,
@@ -142,6 +143,7 @@ object SparkEntry {
     "sim_kcore" -> Similarity.simKcore _,
     "sim_mmr" -> Similarity.simMmr _,
     "sim_hybrid_rrf" -> Similarity.simHybridRrf _,
+    "sim_hybrid_bm25" -> Similarity.simHybridBm25 _,
     "sim_sq_topk" -> Similarity.simSqTopk _,
     "sim_sq_materialized" -> Similarity.simSqMaterialized _,
     "sim_range" -> Similarity.simRange _,
@@ -1788,6 +1790,46 @@ object SparkEntry {
         "ORDER BY rrf DESC, cid) AS rn FROM fused) " +
         "SELECT qid, cid, ROUND(rrf, 6) AS rrf, CAST(rn AS BIGINT) AS rn FROM r " +
         "WHERE rn <= 5 ORDER BY qid, rn"),
+    // hybrid with the BM25 sparse leg: same fusion chassis; sparse
+    // scores are the text_search_bm25 replica with corpus stats (N,
+    // T, dl) over ALL docs and only the candidate hits floored at
+    // doc_id >= 10 (length norms are corpus-level facts)
+    "sim_hybrid_bm25" ->
+      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings " +
+        "WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
+        "FROM embeddings WHERE vec_id >= 10), s AS (SELECT qid, cid, " +
+        "list_cosine_similarity(qe, ce) AS cos_raw FROM q CROSS JOIN c), " +
+        "vk AS (SELECT qid, cid, rn AS vrn FROM (SELECT qid, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn FROM s) " +
+        "WHERE rn <= 30), " +
+        "toks AS (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "posts AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, SUM(tf) AS dl FROM posts GROUP BY 1), " +
+        "corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM lens), " +
+        "hits AS (SELECT * FROM posts WHERE term IN ('dup', 'merge', 'vector') AND doc_id >= 10), " +
+        "dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY term), " +
+        "scored AS (SELECT h.doc_id, h.tf, l.dl, n, t, ((n * 1048576) // df) AS r " +
+        "FROM hits h JOIN dfq USING (term) JOIN lens l USING (doc_id) CROSS JOIN corpus), " +
+        "idf AS (SELECT *, (CAST(length(bin(r)) - 21 AS BIGINT) * 1000000) + " +
+        "(((r - (CAST(1 AS BIGINT) << (length(bin(r)) - 1))) * 1000000) // " +
+        "(CAST(1 AS BIGINT) << (length(bin(r)) - 1))) AS idf_ppm FROM scored), " +
+        "sc AS (SELECT doc_id, CAST(SUM((CAST(idf_ppm AS HUGEINT) * 22 * tf * t) // " +
+        "((CAST(10 AS HUGEINT) * tf * t) + (3 * t) + (9 * dl * n))) AS BIGINT) AS score " +
+        "FROM idf GROUP BY doc_id), " +
+        "tk AS (SELECT doc_id AS cid, rn AS trn FROM (SELECT doc_id, " +
+        "ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc) WHERE rn <= 100), " +
+        "pairs AS (SELECT qid, cid FROM vk UNION " +
+        "SELECT qid, cid FROM (SELECT qid FROM q) CROSS JOIN tk), " +
+        "fused AS (SELECT p.qid, p.cid, " +
+        "COALESCE(CAST(1 AS DOUBLE)/(60+vk.vrn), 0) + " +
+        "COALESCE(CAST(1 AS DOUBLE)/(60+tk.trn), 0) AS rrf FROM pairs p " +
+        "LEFT JOIN vk ON p.qid = vk.qid AND p.cid = vk.cid " +
+        "LEFT JOIN tk ON p.cid = tk.cid), " +
+        "r AS (SELECT qid, cid, rrf, ROW_NUMBER() OVER (PARTITION BY qid " +
+        "ORDER BY rrf DESC, cid) AS rn FROM fused) " +
+        "SELECT qid, cid, ROUND(rrf, 6) AS rrf, CAST(rn AS BIGINT) AS rn FROM r " +
+        "WHERE rn <= 5 ORDER BY qid, rn"),
     // Euclidean top-k: list_distance is DuckDB's exact L2; nearest =
     // smallest distance, ties ascending by cid like the kernel
     "sim_l2_topk" ->
@@ -1867,6 +1909,29 @@ object SparkEntry {
         "CAST(SUM(tf * (length(bin(n_docs)) - length(bin(df)))) AS BIGINT) AS score " +
         "FROM tf JOIN dfq USING (term) CROSS JOIN nd " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // BM25 (k1=1.2, b=0.75) in exact integer arithmetic: idf_ppm =
+    // log2(N/df)*1e6 via bit length + linear mantissa interpolation
+    // over the scaled ratio r = N*2^20 DIV df; saturation/length-norm
+    // cleared of the avgdl division by multiplying through by T = sum
+    // of doc lengths; k1/b scaled x10 (22/3/9). Same tokenizer as the
+    // index; doc length = per-doc token count
+    "text_search_bm25" ->
+      ("WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "posts AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, SUM(tf) AS dl FROM posts GROUP BY 1), " +
+        "corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM lens), " +
+        "hits AS (SELECT * FROM posts WHERE term IN ('dup', 'merge', 'vector')), " +
+        "dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY term), " +
+        "scored AS (SELECT h.doc_id, h.term, h.tf, l.dl, n, t, ((n * 1048576) // df) AS r " +
+        "FROM hits h JOIN dfq USING (term) JOIN lens l USING (doc_id) CROSS JOIN corpus), " +
+        "idf AS (SELECT *, (CAST(length(bin(r)) - 21 AS BIGINT) * 1000000) + " +
+        "(((r - (CAST(1 AS BIGINT) << (length(bin(r)) - 1))) * 1000000) // " +
+        "(CAST(1 AS BIGINT) << (length(bin(r)) - 1))) AS idf_ppm FROM scored) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+        "CAST(SUM((CAST(idf_ppm AS HUGEINT) * 22 * tf * t) // " +
+        "((CAST(10 AS HUGEINT) * tf * t) + (3 * t) + (9 * dl * n))) AS BIGINT) AS bm25_micro " +
+        "FROM idf GROUP BY doc_id ORDER BY doc_id"),
     // three-term phrase: two chained position-adjacency joins
     "text_phrase3" ->
       ("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l " +

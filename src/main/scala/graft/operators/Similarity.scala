@@ -132,7 +132,26 @@ object Similarity {
     * sanctioned hint class. Nothing in the fused stage scales with
     * the corpus.
     */
-  def simHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  def simHybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridFused(spark, dir,
+      TextOps.rankedScores(spark, dir, HybridTerms,
+        minId = QuerySetSize.toLong))
+
+  /** S18 with the BM25 sparse leg (the production default — tf
+    * saturation + length norm, [[TextOps.bm25Scores]]): same fusion
+    * chassis, same bounds; only the text leg's scorer changes. RRF is
+    * exactly why this swap is safe — rank fusion never compares raw
+    * scores across legs, so upgrading one leg's scorer needs no
+    * recalibration of the other.
+    */
+  def simHybridBm25(spark: SparkSession, dir: String): DataFrame =
+    hybridFused(spark, dir,
+      TextOps.bm25Scores(spark, dir, TextOps.Bm25Terms,
+        minId = QuerySetSize.toLong)
+        .withColumn("score", col("bm25_micro")))
+
+  private def hybridFused(spark: SparkSession, dir: String,
+      sparseScores: DataFrame): DataFrame = {
     import graft.functions.{CosineScores, ScoreTopK}
     import org.apache.spark.sql.GraftSqlShims
     val emb = Tables(spark, dir, "embeddings")
@@ -150,12 +169,11 @@ object Similarity {
           qvs.length, HybridVecK).toAggregateExpression()).as("tk"))
       .select(explode(col("tk")).as("r"))
       .select(col("r.qid"), col("r.cid"), col("r.rn").as("vrn"))
-    // sparse leg: global top-HybridTextK by the exact-integer T19
+    // sparse leg: global top-HybridTextK by the caller's exact-integer
     // score — TakeOrdered to the constant survivor set, then the
     // ordinal runs over ≤HybridTextK rows (constant-bounded, so the
     // single-partition window is in the sanctioned pin class)
-    val tk = TextOps.rankedScores(spark, dir, HybridTerms,
-        minId = QuerySetSize.toLong)
+    val tk = sparseScores
       .orderBy(col("score").desc, col("id")).limit(HybridTextK)
       .withColumn("trn", row_number().over(
         Window.orderBy(col("score").desc, col("id"))).cast("long"))

@@ -524,6 +524,84 @@ object TextOps {
       .select(col("id").as("doc_id"), col("n_terms"), col("score"))
       .orderBy("doc_id")
 
+  /** BM25 ranked retrieval over the L84 postings (T25 — the T19
+    * upgrade every production keyword/hybrid stack expects, and the
+    * drop-in sparse leg for S18's RRF fusion): tf SATURATION
+    * (k1 = 1.2) and DOC-LENGTH NORMALIZATION (b = 0.75) on a
+    * ppm-precision idf, every step an exact integer op (the T13/P14
+    * engine-portable discipline — no float log, no double sum, no
+    * rounding anywhere, Spark and DuckDB produce bit-identical longs):
+    *
+    *   r        = N·2²⁰ DIV df                  (scaled ratio, ≥ 2²⁰)
+    *   idf_ppm  = (bitlen(r)−21)·10⁶ + (r − 2^(bitlen(r)−1))·10⁶
+    *                DIV 2^(bitlen(r)−1)
+    *   bm25     = idf_ppm · 22·tf·T  DIV  (10·tf·T + 3·T + 9·dl·N)
+    *
+    * idf_ppm is log₂(N/df)·10⁶ via bit length + linear mantissa
+    * interpolation (max error 0.086 bits — monotone and deterministic,
+    * unlike a transcendental ln whose last ulp differs across
+    * engines); T19's coarse ⌊log₂N⌋−⌊log₂df⌋ zeroes out whenever N
+    * and df share a bit length, which kills ranking on natural
+    * vocabularies where query terms hit most documents. The k1/b
+    * constants are scaled ×10 into integers (22 = 10·(k1+1),
+    * 10·k1·(1−b) = 3, 10·k1·b = 9) and BM25's avgdl = T/N division is
+    * cleared by multiplying through by T = Σdl. The saturation step
+    * runs in DECIMAL(38,0) — a 100 TB corpus's T ≈ 10¹³ would
+    * overflow idf_ppm·22·tf·T in a long — while each per-term
+    * quotient is ≤ idf_ppm·2.2, so the summed score stays a long.
+    *
+    * Doc lengths come from the SAME postings sidecar (dl = Σtf per
+    * doc — exactly the whitespace token count): the query never
+    * touches corpus text. The lengths rollup is one map-side
+    * combinable aggregate and its join back to the term-pruned hits
+    * is id-keyed — at 100 TB the expensive input stays the few
+    * term-clustered postings ranges, same as T17/T19.
+    */
+  def textSearchBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir, Bm25Terms, minId = 0L)
+      .select(col("id").as("doc_id"), col("n_terms"), col("bm25_micro"))
+      .orderBy("doc_id")
+
+  /** Query terms for [[textSearchBm25]] and [[Similarity.simHybridBm25]]
+    * — ONE definition so the two queries (and their oracle SQL, which
+    * must splice the same literals) cannot drift. "dup" is the one
+    * genuinely rare term in the synthetic vocabulary, so the idf term
+    * carries real weight next to the near-ubiquitous other two.
+    */
+  private[operators] val Bm25Terms = Seq("dup", "merge", "vector")
+
+  /** The BM25 scoring chain with a candidate-id floor (the hybrid
+    * fusion's sparse-leg contract, like [[rankedScores]] for T19):
+    * corpus statistics — doc lengths, N, T — always come from the FULL
+    * postings (length norms are corpus-level facts), only the
+    * candidate hits are floored.
+    */
+  private[operators] def bm25Scores(spark: SparkSession, dir: String,
+      terms: Seq[String], minId: Long): DataFrame = {
+    val posts = textIndexFixture(spark, dir).textPostings("text")
+    val lens = posts.groupBy("id").agg(sum("tf").as("dl"))
+    // corpus constants (N docs with ≥1 token, T total tokens): one
+    // 1-row aggregate collected on the driver — bounded metadata, the
+    // same class as the fixture's own count
+    val c = lens.agg(count(lit(1)).as("n"), sum("dl").as("t")).head()
+    val (nDocs, totDl) = (c.getLong(0), c.getLong(1))
+    val hits = posts.filter(col("term").isin(terms: _*) && col("id") >= minId)
+    val dfq = hits.groupBy("term").agg(countDistinct("id").as("df"))
+    hits.join(dfq, "term").join(lens, "id")
+      .withColumn("r", expr(s"${nDocs}L * 1048576 DIV df"))
+      .withColumn("idf_ppm", expr(
+        "CAST(length(bin(r)) - 21 AS BIGINT) * 1000000 + " +
+          "(r - shiftleft(1L, length(bin(r)) - 1)) * 1000000 DIV " +
+          "shiftleft(1L, length(bin(r)) - 1)"))
+      .withColumn("bm25_micro", expr(
+        s"CAST(idf_ppm AS DECIMAL(38,0)) * 22 * tf * ${totDl}L DIV " +
+          s"(CAST(10 AS DECIMAL(38,0)) * tf * ${totDl}L + 3 * ${totDl}L + " +
+          s"9 * dl * ${nDocs}L)"))
+      .groupBy("id")
+      .agg(countDistinct("term").as("n_terms"),
+        sum("bm25_micro").as("bm25_micro"))
+  }
+
   /** Type-token ratio per document (T23 — the classic lexical-
     * diversity signal quality stacks report beside the Gopher rules;
     * low TTR flags template/spam text that repeats a small

@@ -84,6 +84,16 @@ class ScaleSpec extends GraftSparkSpec {
     val rsPlan = rs.queryExecution.executedPlan.toString
     assert(rsPlan.contains("_graft_text") && !rsPlan.contains("documents.parquet"),
       "ranked search must stay on the postings sidecar")
+    // BM25 (round 12): the doc-length norms come from the postings
+    // sidecar too — the scoring query must carry ZERO corpus-text
+    // scans, and no cartesian (its corpus constants are driver-side
+    // literals, not a 1-row join)
+    val bm = TextOps.textSearchBm25(spark, sfDir)
+    val bmPlan = bm.queryExecution.executedPlan.toString
+    assert(bmPlan.contains("_graft_text") && !bmPlan.contains("documents.parquet"),
+      "BM25 must stay on the postings sidecar (doc lengths included)")
+    assert(!bmPlan.contains("CartesianProduct"),
+      "BM25 must never plan a cartesian product")
     // global-rank family: ntile / percent_rank / corpus shuffle must
     // keep the two-phase zipWithIndex ordinal — a Window node here
     // means the single-reducer Window.orderBy funnel came back
@@ -110,6 +120,7 @@ class ScaleSpec extends GraftSparkSpec {
     // global Sort feeding the limit would be the single-reducer funnel
     for ((name, df) <- Seq(
         "sim_hybrid_rrf" -> Similarity.simHybridRrf(spark, sfDir),
+        "sim_hybrid_bm25" -> Similarity.simHybridBm25(spark, sfDir),
         "pipe_dsir_select" -> Pipeline.pipeDsirSelect(spark, sfDir)))
       assert(df.queryExecution.executedPlan.toString
           .contains("TakeOrderedAndProject"),
