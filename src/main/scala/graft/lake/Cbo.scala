@@ -94,6 +94,87 @@ object Cbo {
       sel <- equalitySelectivity(t, column)
     } yield math.max(1L, math.round(s.rows * sel))
 
+  // ------------------------------------------------ equi-height histograms
+
+  final case class Histogram(rows: Long, buckets: Int,
+                             bounds: Array[Double], ndv: Array[Long]) {
+    /** Rows per bucket — the equi-height invariant. */
+    def height: Double = rows.toDouble / buckets
+  }
+
+  /** Parsed `graft.hist.<column>` property, written by
+    * [[GraftTable.computeHistogram]] / `ANALYZE ... FOR COLUMNS`.
+    */
+  def histogram(t: GraftTable, column: String): Option[Histogram] =
+    t.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+      .get(s"graft.hist.$column").map { v =>
+        val f = v.split(";", -1).map { kv =>
+          val Array(a, b) = kv.split("=", 2); a -> b
+        }.toMap
+        Histogram(f("rows").toLong, f("buckets").toInt,
+          f("bounds").split(",").map(_.toDouble),
+          f("ndv").split(",").map(_.toLong))
+      }
+
+  /** Histogram-aware equality selectivity for `column = value` — what
+    * flips the 1/NDV estimate on a SKEWED key: a heavy hitter holding
+    * ≥1/b of the rows shows up as REPEATED quantile boundaries, and
+    * its true mass reads straight off the boundary multiplicity
+    * ((k−1)/b of all rows for k equal boundaries — the equi-height
+    * invariant). A light value falls inside one bucket and estimates
+    * as that bucket's height/NDV — sharper than global 1/NDV whenever
+    * the distinct values cluster unevenly across the range. Falls back
+    * to the NDV estimate when no histogram was analyzed, and to the
+    * histogram edge buckets for out-of-range probes (0 mass).
+    */
+  def equalitySelectivity(t: GraftTable, column: String,
+      value: Double): Option[Double] =
+    histogram(t, column) match {
+      case None => equalitySelectivity(t, column)
+      case Some(h) =>
+        if (value < h.bounds.head || value > h.bounds.last) return Some(0.0)
+        val k = h.bounds.count(_ == value)
+        if (k >= 2) Some((k - 1).toDouble / h.buckets)
+        else {
+          // first bucket whose range contains the value
+          val i = h.bounds.indexWhere(_ >= value) match {
+            case 0 => 0
+            case j if j > 0 => j - 1
+            case _ => h.buckets - 1
+          }
+          val ndv = math.max(1L, h.ndv(math.min(i, h.buckets - 1)))
+          Some(1.0 / (h.buckets.toDouble * ndv))
+        }
+    }
+
+  /** Estimated surviving rows of `column = value`, histogram-first. */
+  def estimatedRowsAfterEquality(t: GraftTable, column: String,
+      value: Double): Option[Long] = {
+    val rows = histogram(t, column).map(_.rows)
+      .orElse(tableStats(t).get(column).map(_.rows))
+    for {
+      r <- rows
+      sel <- equalitySelectivity(t, column, value)
+    } yield math.round(r * sel)
+  }
+
+  /** Read `column = value` of a table for use as a join side: the
+    * HISTOGRAM estimate (not 1/NDV, not on-disk bytes) decides whether
+    * the filtered side broadcasts. This is the decision a skewed key
+    * breaks under 1/NDV: filtering on the heavy value keeps most of
+    * the table — force-broadcasting it floods every executor — while
+    * filtering on a light value keeps a handful of rows that SHOULD
+    * broadcast even when the table's raw footprint says no.
+    */
+  def readForJoinEquality(t: GraftTable, column: String, value: Double,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = t.toDF.filter(col(column) === lit(value))
+    if (estimatedRowsAfterEquality(t, column, value).exists(_ <= maxBroadcastRows))
+      broadcast(df)
+    else df
+  }
+
   /** Read a table for use as a join side: when the analyzed row count
     * is at or under `maxBroadcastRows`, attach an explicit broadcast
     * hint so the planner picks BroadcastHashJoin regardless of what

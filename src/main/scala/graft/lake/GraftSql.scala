@@ -56,7 +56,7 @@ final class GraftSql(spark: SparkSession) {
   private val deleteRe: Regex =
     """(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val analyzeRe: Regex =
-    """(?is)^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
+    """(?is)^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s*\(([\w,\s]+)\))?\s*;?\s*$""".r
   private val updateRe: Regex =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val showCreateRe: Regex =
@@ -913,8 +913,17 @@ final class GraftSql(spark: SparkSession) {
         // no WHERE = whole-table delete (Delta parity)
         val c = Option(cond).map(expr).getOrElse(lit(true))
         table(name).delete(c).toSeq.sorted.toDF("metric", "value")
-      case analyzeRe(name) =>
-        table(name).computeStats()
+      case analyzeRe(name, forCols) =>
+        if (forCols == null) table(name).computeStats()
+        else {
+          // FOR COLUMNS: base stats (rows/NDV/min/max) PLUS the
+          // equi-height histograms the CBO's skew-aware selectivity
+          // reads — one ANALYZE statement, both artifacts
+          val t = table(name)
+          t.computeStats()
+          t.computeHistogram(forCols.split(",").map(_.trim).toSeq
+            .filter(_.nonEmpty))
+        }
       case updateRe(name, sets, cond) =>
         table(name).update(expr(cond), setAssignments(sets))
           .toSeq.sorted.toDF("metric", "value")

@@ -4689,6 +4689,71 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       m.copy(properties = m.properties ++ statProps))
     out.toDF("column", "n_rows", "n_distinct", "n_nulls", "min", "max")
   }
+
+  /** Equi-height histograms for the CBO (`ANALYZE TABLE t COMPUTE
+    * STATISTICS FOR COLUMNS (c, ...)` — reference §I is stats-driven
+    * planning, and 1/NDV equality selectivity is exactly what a
+    * SKEWED key breaks: a value holding 90% of rows estimates as
+    * rows/NDV, flipping join-side/broadcast decisions the wrong way
+    * at 100×). Per column: bucket BOUNDARIES at the b-quantiles (each
+    * bucket holds ~rows/b by construction — the equi-height property,
+    * so no per-bucket count pass) plus a per-bucket NDV pass. A heavy
+    * hitter spanning ≥1/b of rows surfaces as REPEATED boundaries —
+    * singleton buckets whose lo == hi == value — which is what lets
+    * [[Cbo.equalitySelectivity]] read its true mass instead of 1/NDV.
+    *
+    * Numeric columns only (the same restriction Spark's own
+    * `histogram_numeric`-backed ANALYZE has). Cost is ANALYZE's class:
+    * one approx-quantile pass + one bucket-NDV aggregate, both
+    * distributed, O(table) like any full ANALYZE — run it where you'd
+    * run ANALYZE. The artifact is a ~KB `graft.hist.<col>` table
+    * property (CSV bounds + per-bucket NDVs), atomic with table
+    * metadata, no sidecar files to vacuum-protect.
+    */
+  def computeHistogram(columns: Seq[String], buckets: Int = 32): DataFrame = {
+    import spark.implicits._
+    require(buckets >= 2 && buckets <= 254, s"buckets out of range: $buckets")
+    val s = snapshot
+    val numeric: Set[String] = s.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSet
+    columns.foreach(c => require(numeric.contains(c),
+      s"histogram needs a numeric column, got: $c"))
+    val df = toDF
+    val rows = df.count()
+    require(rows > 0, "cannot histogram an empty table")
+    val out = columns.map { c =>
+      val probs = (0 to buckets).map(_.toDouble / buckets).toArray
+      val bounds = df.stat.approxQuantile(c, probs, 0.001)
+      // bucket of v = #internal upper boundaries ≤ v (0-based; repeated
+      // boundaries shift a heavy value's whole mass past its singleton
+      // buckets — those stay empty and the NDV pass records ndv=0)
+      val internals = bounds.slice(1, buckets) // b-1 internal boundaries
+      val idxExpr = internals.zipWithIndex.foldLeft(lit(0)) {
+        case (acc, (b, _)) =>
+          acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
+      }
+      val ndvByBucket = df.filter(col(c).isNotNull)
+        .groupBy(idxExpr.as("__bkt"))
+        .agg(countDistinct(col(c)).as("__ndv"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val ndvs = (0 until buckets).map(i => ndvByBucket.getOrElse(i, 0L))
+      (c, rows, bounds, ndvs)
+    }
+    val histProps = out.map { case (c, r, bounds, ndvs) =>
+      s"graft.hist.$c" -> (s"rows=$r;buckets=$buckets;" +
+        s"bounds=${bounds.mkString(",")};ndv=${ndvs.mkString(",")}")
+    }.toMap
+    commitMetadataMerge(
+      info("ANALYZE", params = Map("forColumns" -> columns.mkString(",")),
+        metrics = Map("numHistograms" -> columns.size.toString)))(m =>
+      m.copy(properties = m.properties ++ histProps))
+    out.flatMap { case (c, _, bounds, ndvs) =>
+      (0 until buckets).map(i => (c, i.toLong, bounds(i), bounds(i + 1),
+        ndvs(i)))
+    }.toDF("column", "bucket", "lo", "hi", "ndv")
+  }
 }
 
 object GraftTable {

@@ -135,6 +135,68 @@ class CboSpec extends GraftSparkSpec {
     assert(Cbo.suggestedShufflePartitions(t, targetBytes = 1024) > 1)
   }
 
+  test("equi-height histogram flips the broadcast decision 1/NDV gets " +
+      "wrong on a skewed key") {
+    import spark.implicits._
+    // 20k rows: ONE heavy key (777) holds 90%, 2k light keys share 10%
+    val hot = (1 to 18000).map(_ => 777L)
+    val light = (1L to 2000L).map(10000L + _)
+    val df = (hot ++ light).toDF("k")
+      .withColumn("payload", col("k") * 2)
+      .repartition(8)
+    val t = GraftTable.create(spark, tmpDir("cbo_hist"), df)
+    val gsql = new GraftSql(spark)
+    gsql.register("skewed", t.path)
+    gsql.sql("ANALYZE TABLE skewed COMPUTE STATISTICS FOR COLUMNS (k)")
+    val t2 = GraftTable.forPath(spark, t.path)
+
+    // 1/NDV is catastrophically wrong on the heavy key: NDV ≈ 2001, so
+    // it estimates ~10 rows where the truth is 18 000
+    val ndvEst = Cbo.estimatedRowsAfterEquality(t2, "k").get
+    assert(ndvEst < 100, s"1/NDV estimate should be tiny: $ndvEst")
+
+    // the histogram reads the heavy key's true mass off the repeated
+    // quantile boundaries...
+    val hotEst = Cbo.estimatedRowsAfterEquality(t2, "k", 777.0).get
+    assert(hotEst > 10000L && hotEst <= 20000L,
+      s"histogram must see the heavy key's ~18k rows, got $hotEst")
+    // ...and a light key stays a light estimate (bucket height / NDV)
+    val lightEst = Cbo.estimatedRowsAfterEquality(t2, "k", 10042.0).get
+    assert(lightEst < 100, s"light key must estimate small, got $lightEst")
+    // out-of-range probe estimates zero
+    assert(Cbo.estimatedRowsAfterEquality(t2, "k", -5.0).contains(0L))
+
+    // the DECISION flips: with the size heuristic off, the light-key
+    // side broadcasts and the heavy-key side must NOT — under 1/NDV
+    // both would broadcast and the hot side floods every executor
+    val dim = Seq((777L, 1L), (10042L, 2L), (99999L, 3L)).toDF("k", "w")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hotJoin = dim.join(
+        Cbo.readForJoinEquality(t2, "k", 777.0, maxBroadcastRows = 1000), "k")
+      assert(!hotJoin.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "heavy-key side must not broadcast")
+      val lightJoin = dim.join(
+        Cbo.readForJoinEquality(t2, "k", 10042.0, maxBroadcastRows = 1000), "k")
+      assert(lightJoin.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "light-key side must broadcast from the histogram estimate")
+      // correctness unaffected by the hint either way
+      assert(hotJoin.count() == 18000L)
+      assert(lightJoin.count() == 1L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // histogram artifact shape: ~KB property, equi-height bounds cover
+    // the domain, singleton buckets carry the heavy value
+    val h = Cbo.histogram(t2, "k").get
+    assert(h.buckets == 32 && h.bounds.length == 33 && h.rows == 20000L)
+    assert(h.bounds.count(_ == 777.0) >= 20,
+      "the 90% key must occupy most quantile boundaries")
+    assert(h.bounds.head == 777.0 && h.bounds.last == 12000.0)
+  }
+
   test("PK selectivity subtracts deletion-vector-masked rows") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("cbo_pk_dv"),
