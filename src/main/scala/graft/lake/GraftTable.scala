@@ -2822,6 +2822,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         params = Map("mode" -> "merge-on-read"), metrics = metrics), AddDV(rel)) ++ cdc,
         readVersion = s.version, readPaths = candidates.map(_.path).toSet,
         conflictOnDV = true))
+      maybeAutoReorg()
       metrics
     } finally if (withCdf) { matchedRows.unpersist(); () }
   }
@@ -2944,6 +2945,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         AddDV(rel)) ++ cdc ++ adds,
         readVersion = s.version, readPaths = candidates.map(_.path).toSet,
         conflictOnDV = true))
+      maybeAutoReorg()
       metrics
     } finally matched.unpersist()
   }
@@ -3508,6 +3510,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         dvActions ++ cdc ++ adds ++ extraActions,
         readVersion = s.version, readPaths = scanFiles.map(_.path).toSet,
         conflictOnDV = true))
+      maybeAutoReorg()
       metrics
     } finally { source.unpersist(); matched.unpersist(); nmbsChanged.unpersist(); () }
   }
@@ -3913,6 +3916,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .select("file_path").distinct().collect().map(_.getString(0))
     val masked = GraftTable.dvMaskedFiles(
       dvPaths.toIndexedSeq, s.activeFiles, dataPath)
+    reorgPurgeFiles(s, masked, retireDvs = true, targetBytes)
+  }
+
+  /** The purge core over an explicit masked-file scope (full REORG and
+    * the auto-REORG hook share it). DV sidecars retire only when the
+    * scope covers EVERY masked file; a partial purge leaves them —
+    * their entries for rewritten paths go stale harmlessly, the same
+    * partial-rewrite rule scoped ZORDER follows.
+    */
+  private def reorgPurgeFiles(s: Snapshot, masked: Seq[AddFile],
+      retireDvs: Boolean, targetBytes: Long = 128L * 1024 * 1024,
+      auto: Boolean = false): Map[String, String] = {
     // the rewrite source applies the DV mask (and column mapping), so
     // it carries exactly the masked files' live rows — with stable ids
     // materialized when row tracking is on; stageWrite maps logical
@@ -3924,17 +3939,60 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       targetFiles = if (s.partitionColumns.isEmpty) Some(nOut) else None)
     val actions = masked.map(f => RemoveFile(f.path,
       System.currentTimeMillis(), dataChange = false)) ++
-      adds ++ s.dvFiles.map(RemoveDV)
+      adds ++ (if (retireDvs) s.dvFiles.map(RemoveDV) else Nil)
     val metrics = Map(
       "numRewrittenFiles" -> masked.size.toString,
       "numAddedFiles" -> adds.size.toString,
-      "numRemovedDVs" -> s.dvFiles.size.toString)
-    commitAndCheckpoint(info("REORG", params = Map("applyPurge" -> "true"),
+      "numRemovedDVs" -> (if (retireDvs) s.dvFiles.size else 0).toString)
+    commitAndCheckpoint(info("REORG", params = Map("applyPurge" -> "true") ++
+      (if (auto) Map("mode" -> "auto") else Map.empty),
       metrics = metrics) +: actions,
       readVersion = s.version, readPaths = masked.map(_.path).toSet,
       conflictOnDV = true)
     maybeRecomputeBlooms(s, masked.size)
     metrics
+  }
+
+  /** Auto REORG (DV-debt maintenance — the auto-compaction pattern
+    * applied to merge-on-read): with table property
+    * `graft.autoReorg = <fraction in (0, 1]>`, every MoR DML commit
+    * measures each masked file's masked-row fraction — mask counts
+    * from the DV sidecars, row counts from footer stats, so the CHECK
+    * is sidecar + metadata only, never a table scan — and in-line
+    * purges EXACTLY the files at or over the threshold, O(offending
+    * data). Without this, steady MoR DML grows unbounded DV debt
+    * (every read pays the mask anti-join over ever-larger sidecars)
+    * until someone remembers manual REORG; auto-compaction (L29)
+    * bounds small-file debt the same way. Best-effort like L29: the
+    * triggering DML is already durable, so losing a concurrent race
+    * must not make it look failed.
+    */
+  private def maybeAutoReorg(): Unit = {
+    val s = snapshot
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val threshold = props.get("graft.autoReorg") match {
+      case Some(v) => v.toDouble
+      case None => return
+    }
+    if (s.dvFiles.isEmpty || threshold <= 0.0) return
+    val counts = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+      .groupBy("file_path").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byCanon = s.activeFiles
+      .map(f => GraftTable.canonicalFsPath(dataPath(f.path)) -> f).toMap
+    val offending = counts.flatMap { case (u, n) =>
+      byCanon.get(GraftTable.canonicalFsPath(u)).filter(f =>
+        f.stats.exists(st => st.numRecords > 0 &&
+          n.toDouble / st.numRecords >= threshold))
+    }.distinctBy(_.path).toSeq
+    if (offending.isEmpty) return
+    val allMasked = GraftTable.dvMaskedFiles(
+      counts.map(_._1).toIndexedSeq, s.activeFiles, dataPath)
+    try {
+      reorgPurgeFiles(s, offending,
+        retireDvs = offending.size == allMasked.size, auto = true)
+      ()
+    } catch { case _: java.util.ConcurrentModificationException => () }
   }
 
   /** File rewrites invalidate per-file blooms (new paths have no

@@ -925,6 +925,57 @@ class LakeSpec extends GraftSparkSpec {
     assert(t.toDF.filter(col("part") === "p0").count() == 5)
   }
 
+  test("auto REORG: steady MoR deletes cross the masked-fraction " +
+      "threshold and purge exactly the offending files") {
+    import spark.implicits._
+    // two deterministic files: k in [0,50) and [50,100)
+    val t0 = GraftTable.create(spark, tmpDir("auto-reorg"),
+      (0L until 100L).map(i => (i, i * 10L)).toDF("k", "v")
+        .repartitionByRange(2, col("k")))
+    assert(t0.snapshot.activeFiles.size == 2)
+    t0.setTableProperties(Map("graft.autoReorg" -> "0.25"))
+    val t = GraftTable.forPath(spark, t0.path)
+
+    // masks 20/50 of file A (40% ≥ 0.25 → offending) and 1/50 of file
+    // B (2% → NOT offending): the purge must scope to A alone and
+    // KEEP the sidecar (B's mask still lives in it)
+    t.deleteMergeOnRead(col("k") < 20 || col("k") === 60)
+    val s1 = GraftTable.forPath(spark, t.path).snapshot
+    assert(s1.dvFiles.nonEmpty,
+      "partial-scope auto purge must keep the sidecar masking file B")
+    val hist1 = GraftTable.forPath(spark, t.path).history(10).collect()
+    val reorgs1 = hist1.filter(_.getAs[String]("operation") == "REORG")
+    assert(reorgs1.length == 1, "exactly one auto REORG must have fired")
+    assert(reorgs1.head.getAs[String]("parameters").contains("auto"),
+      s"the REORG must be stamped auto: ${reorgs1.head}")
+    val df1 = GraftTable.forPath(spark, t.path).toDF
+    assert(df1.count() == 79, "100 - 20 (purged) - 1 (still masked)")
+    assert(df1.filter(col("k") < 20 || col("k") === 60).count() == 0)
+    // file A was rewritten: no active file still holds any masked-A row
+    assert(df1.filter(col("k") >= 20 && col("k") < 50).count() == 30)
+
+    // second steady delete pushes file B over the threshold → the
+    // second auto purge covers ALL masked files and retires the DVs
+    t.deleteMergeOnRead(col("k") >= 60 && col("k") < 85)
+    val s2 = GraftTable.forPath(spark, t.path).snapshot
+    assert(s2.dvFiles.isEmpty,
+      "full-scope auto purge must retire every deletion vector")
+    val df2 = GraftTable.forPath(spark, t.path).toDF
+    assert(df2.count() == 55, "k in [20,60) ∪ [85,100) = 40 + 15")
+    assert(df2.agg(sum("v")).head().getLong(0) ==
+      ((20L until 60L) ++ (85L until 100L)).map(_ * 10).sum)
+    val reorgs2 = GraftTable.forPath(spark, t.path).history(20).collect()
+      .filter(_.getAs[String]("operation") == "REORG")
+    assert(reorgs2.length == 2, "one auto REORG per threshold crossing")
+
+    // below-threshold DML never triggers: a 1-row delete stays a mask
+    t.deleteMergeOnRead(col("k") === 30)
+    assert(GraftTable.forPath(spark, t.path).snapshot.dvFiles.nonEmpty)
+    assert(GraftTable.forPath(spark, t.path).history(30).collect()
+      .count(_.getAs[String]("operation") == "REORG") == 2)
+    assert(GraftTable.forPath(spark, t.path).toDF.count() == 54)
+  }
+
   test("FSCK repairs out-of-band file loss; DRY RUN only lists") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("fsck"),
