@@ -250,7 +250,7 @@ object SparkEntry {
     */
   private val minhashCandSql =
     "WITH base AS (SELECT doc_id, text FROM documents UNION ALL " +
-      "SELECT doc_id + 100000, text || ' appended near duplicate tail marker' " +
+      s"SELECT doc_id + ${graft.operators.Dedup.PlantedIdOffset}, text || ' appended near duplicate tail marker' " +
       "FROM documents WHERE doc_id < 20), " +
       "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), " +
       "t -> t <> '') AS ts FROM base), " +
@@ -288,7 +288,7 @@ object SparkEntry {
     */
   private val simhashSql =
     "WITH base AS (SELECT doc_id, text FROM documents UNION ALL " +
-      "SELECT doc_id + 100000, text || ' zq' FROM documents WHERE doc_id < 20), " +
+      s"SELECT doc_id + ${graft.operators.Dedup.PlantedIdOffset}, text || ' zq' FROM documents WHERE doc_id < 20), " +
       "toks AS (SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), " +
       "t -> t <> '')) AS sh FROM base), " +
       s"hs AS (SELECT doc_id, ${fnvFoldSql("14695981039346656037")} AS h FROM toks), " +
@@ -333,8 +333,8 @@ object SparkEntry {
       "JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b " +
       "WHERE CAST(len(list_filter(range(1, 33), " +
       "i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32 >= 0.5), " +
-      "ids AS (SELECT CASE WHEN id_a >= 100000 THEN id_a - 100000 ELSE id_a END AS ba, " +
-      "CASE WHEN id_b >= 100000 THEN id_b - 100000 ELSE id_b END AS bb FROM vp), " +
+      s"ids AS (SELECT CASE WHEN id_a >= ${graft.operators.Dedup.PlantedIdOffset} THEN id_a - ${graft.operators.Dedup.PlantedIdOffset} ELSE id_a END AS ba, " +
+      s"CASE WHEN id_b >= ${graft.operators.Dedup.PlantedIdOffset} THEN id_b - ${graft.operators.Dedup.PlantedIdOffset} ELSE id_b END AS bb FROM vp), " +
       "ss AS (SELECT da.source AS sa2, db.source AS sb2 FROM ids " +
       "JOIN documents da ON ba = da.doc_id JOIN documents db ON bb = db.doc_id) " +
       "SELECT LEAST(sa2, sb2) AS source_x, GREATEST(sa2, sb2) AS source_y, " +

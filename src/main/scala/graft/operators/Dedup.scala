@@ -100,14 +100,26 @@ object Dedup {
       .select(col(idCol), col(sigCol), col("bb.band"), col("bb.band_hash"))
   }
 
+  /** Id offset separating PLANTED near-duplicate variants from their
+    * base documents in every planted fixture (text and embedding) —
+    * variant id = base id + offset, and attribution joins recover the
+    * base by subtracting it. ONE definition: [[withPlantedNearDups]],
+    * the embedding fixtures, `Pipeline.pipeCrossDup`'s base-id
+    * resolution, and the oracle SQL (spliced from this constant in
+    * SparkEntry) must all agree or the planted-pair checks silently
+    * miss.
+    */
+  val PlantedIdOffset = 100000L
+
   /** Documents plus deterministically-planted near-duplicates (tail
-    * tokens appended; id offset +100000) — gives the LSH paths known
-    * positives to surface in the rows-only checks and specs.
+    * tokens appended; id offset +[[PlantedIdOffset]]) — gives the LSH
+    * paths known positives to surface in the rows-only checks and
+    * specs.
     */
   def withPlantedNearDups(docs: DataFrame, nPlanted: Int = 20,
                           tail: String = " appended near duplicate tail marker"): DataFrame = {
     val variants = docs.filter(col("doc_id") < nPlanted)
-      .select((col("doc_id") + 100000L).as("doc_id"),
+      .select((col("doc_id") + PlantedIdOffset).as("doc_id"),
         concat(col("text"), lit(tail)).as("text"))
     docs.select("doc_id", "text").unionByName(variants)
   }
@@ -370,7 +382,7 @@ object Dedup {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
     val variants = emb.filter(col("vec_id") < 20)
-      .select((col("vec_id") + 100000L).as("vec_id"),
+      .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
     val all = emb.unionByName(variants)
@@ -420,7 +432,7 @@ object Dedup {
     */
   private def semanticVariants(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 20)
-      .select((col("vec_id") + 100000L).as("vec_id"),
+      .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
 

@@ -403,10 +403,10 @@ object Pipeline {
       .select("id_a", "id_b")
     val src = Tables(spark, dir, "documents").select("doc_id", "source")
     val based = pairs
-      .withColumn("ba", when(col("id_a") >= 100000L, col("id_a") - 100000L)
-        .otherwise(col("id_a")))
-      .withColumn("bb", when(col("id_b") >= 100000L, col("id_b") - 100000L)
-        .otherwise(col("id_b")))
+      .withColumn("ba", when(col("id_a") >= Dedup.PlantedIdOffset,
+          col("id_a") - Dedup.PlantedIdOffset).otherwise(col("id_a")))
+      .withColumn("bb", when(col("id_b") >= Dedup.PlantedIdOffset,
+          col("id_b") - Dedup.PlantedIdOffset).otherwise(col("id_b")))
     based
       .join(src.select(col("doc_id").as("ba"), col("source").as("sa2")), "ba")
       .join(src.select(col("doc_id").as("bb"), col("source").as("sb2")), "bb")
