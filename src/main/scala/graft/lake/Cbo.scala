@@ -158,6 +158,43 @@ object Cbo {
     } yield math.round(r * sel)
   }
 
+  /** Histogram-aware RANGE selectivity for `lo ≤ column ≤ hi` (either
+    * bound open via -∞/+∞): each bucket contributes its full 1/b when
+    * the range covers it and a linear-interpolated fraction when the
+    * range cuts it — the textbook equi-height estimate. Uniform min/max
+    * interpolation (what the footer-stats fallback would do) is wrong
+    * in exactly the skewed case: a heavy value drags many boundaries to
+    * one point, and the bucket-counting estimate follows the mass while
+    * (hi−lo)/(max−min) follows the RANGE. Falls back to None without a
+    * histogram — callers keep their existing uniform heuristics.
+    */
+  def rangeSelectivity(t: GraftTable, column: String,
+      lo: Double, hi: Double): Option[Double] =
+    histogram(t, column).map { h =>
+      if (hi < lo || hi < h.bounds.head || lo > h.bounds.last) 0.0
+      else {
+        val frac = (0 until h.buckets).map { i =>
+          val (bLo, bHi) = (h.bounds(i), h.bounds(i + 1))
+          if (bHi < lo || bLo > hi) 0.0
+          else if (bLo >= lo && bHi <= hi) 1.0
+          else if (bHi == bLo) 1.0 // singleton bucket inside the range
+          else {
+            val cutLo = math.max(lo, bLo); val cutHi = math.min(hi, bHi)
+            math.max(0.0, (cutHi - cutLo) / (bHi - bLo))
+          }
+        }.sum
+        math.min(1.0, frac / h.buckets)
+      }
+    }
+
+  /** Estimated surviving rows of a range filter, histogram-based. */
+  def estimatedRowsAfterRange(t: GraftTable, column: String,
+      lo: Double, hi: Double): Option[Long] =
+    for {
+      h <- histogram(t, column)
+      sel <- rangeSelectivity(t, column, lo, hi)
+    } yield math.round(h.rows * sel)
+
   /** Read `column = value` of a table for use as a join side: the
     * HISTOGRAM estimate (not 1/NDV, not on-disk bytes) decides whether
     * the filtered side broadcasts. This is the decision a skewed key

@@ -197,6 +197,36 @@ class CboSpec extends GraftSparkSpec {
     assert(h.bounds.head == 777.0 && h.bounds.last == 12000.0)
   }
 
+  test("histogram range selectivity follows the MASS, not the range width") {
+    import spark.implicits._
+    // same skew: 18k rows at 777, 2k light rows spread over [10001,12000]
+    val df = ((1 to 18000).map(_ => 777L) ++ (1L to 2000L).map(10000L + _))
+      .toDF("k")
+    val t0 = GraftTable.create(spark, tmpDir("cbo_range"), df.repartition(4))
+    t0.computeHistogram(Seq("k"))
+    val t = GraftTable.forPath(spark, t0.path)
+
+    // the range [0, 1000] covers ONLY the heavy value: 90% of rows in
+    // under 5% of the domain width — uniform min/max interpolation
+    // ((1000-777)/(12000-777) ≈ 2%) is off by ~45×
+    val hotRange = Cbo.estimatedRowsAfterRange(t, "k", 0.0, 1000.0).get
+    assert(hotRange > 15000L && hotRange <= 20000L,
+      s"range over the heavy value must see its mass: $hotRange")
+    // the wide light range [10001, 12000] holds only 10% of rows
+    val lightRange = Cbo.estimatedRowsAfterRange(t, "k", 10001.0, 12000.0).get
+    assert(lightRange < 4500L,
+      s"the wide light range holds only ~2000 rows: $lightRange")
+    // degenerate / disjoint ranges
+    assert(Cbo.rangeSelectivity(t, "k", 20000.0, 30000.0).contains(0.0))
+    assert(Cbo.rangeSelectivity(t, "k", 100.0, 50.0).contains(0.0))
+    // full-domain range ≈ everything
+    assert(Cbo.estimatedRowsAfterRange(t, "k", 0.0, 99999.0).get > 19000L)
+    // no histogram -> None (callers keep their uniform heuristics)
+    val bare = GraftTable.create(spark, tmpDir("cbo_range_bare"),
+      (1L to 10L).toDF("k"))
+    assert(Cbo.rangeSelectivity(bare, "k", 0.0, 5.0).isEmpty)
+  }
+
   test("PK selectivity subtracts deletion-vector-masked rows") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("cbo_pk_dv"),

@@ -198,6 +198,49 @@ class StreamingSpec extends GraftSparkSpec {
     assert(t.toDF.count() == nBefore + 10)
   }
 
+  test("ST21: the streaming MoR upsert loop under graft.autoReorg keeps " +
+      "deletion-vector debt bounded; replayed epochs stay no-ops") {
+    import spark.implicits._
+    def mk(tag: String, props: Map[String, String]) =
+      GraftTable.create(spark, tmpDir(s"stream-autoreorg-$tag"),
+        (0L until 200L).map(i => (i, 0L)).toDF("k", "v"),
+        properties = Map("graft.streamUpsert.mor" -> "true") ++ props)
+    val auto = mk("auto", Map("graft.autoReorg" -> "0.3"))
+    val ctrl = mk("ctrl", Map.empty)
+    // a production upsert stream: every epoch rewrites every key's
+    // value (MoR: mask + post-image, so each epoch adds a sidecar)
+    (0 until 5).foreach { e =>
+      val batch = (0L until 200L).map(i => (i, e + 1L)).toDF("k", "v")
+      auto.mergeStreamBatch("st21", e, batch, "k")
+      ctrl.mergeStreamBatch("st21", e, batch, "k")
+    }
+    // without maintenance the debt grows one sidecar per epoch...
+    val ctrlDvs = GraftTable.forPath(spark, ctrl.path).snapshot.dvFiles.size
+    assert(ctrlDvs >= 4,
+      s"control table must show the unbounded-debt baseline: $ctrlDvs")
+    // ...with graft.autoReorg it stays bounded (each epoch's purge
+    // covers all masked files and retires the vectors in-loop)
+    val autoDvs = GraftTable.forPath(spark, auto.path).snapshot.dvFiles.size
+    assert(autoDvs <= 1,
+      s"auto-REORG must bound the streaming MoR debt: $autoDvs sidecars")
+    assert(GraftTable.forPath(spark, auto.path).history(40).collect()
+      .count(_.getAs[String]("operation") == "REORG") >= 4)
+    // both tables read the same exact final state
+    def state(t: GraftTable) = t.toDF.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (0L until 200L).map(i => (i, 5L)).toSet
+    assert(state(GraftTable.forPath(spark, auto.path)) == expect)
+    assert(state(GraftTable.forPath(spark, ctrl.path)) == expect)
+    // exactly-once survives the maintenance: a replayed epoch no-ops
+    // and must not fire a spurious REORG either
+    val vBefore = GraftTable.forPath(spark, auto.path).version
+    val m = GraftTable.forPath(spark, auto.path).mergeStreamBatch("st21", 4,
+      (0L until 200L).map(i => (i, 99L)).toDF("k", "v"), "k")
+    assert(m.contains("skippedEpoch"))
+    assert(GraftTable.forPath(spark, auto.path).version == vBefore)
+    assert(state(GraftTable.forPath(spark, auto.path)) == expect)
+  }
+
   test("streaming ingestion keeps a materialized view fresh per epoch") {
     import graft.Tables
     import graft.lake.MaterializedAgg
