@@ -50,6 +50,7 @@ object SparkEntry {
     "q68_decile_migration" -> Analytics.q68DecileMigration _,
     "q69_yoy_growth" -> Analytics.q69YoyGrowth _,
     "q70_supplier_hhi" -> Analytics.q70SupplierHhi _,
+    "q71_weighted_median" -> Analytics.q71WeightedMedian _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -167,6 +168,7 @@ object SparkEntry {
     "pipe_corpus_stats" -> Pipeline.pipeCorpusStats _,
     "pipe_source_report" -> Pipeline.pipeSourceReport _,
     "pipe_cross_dup" -> Pipeline.pipeCrossDup _,
+    "pipe_dedup_savings" -> Pipeline.pipeDedupSavings _,
     "pipe_temperature_mix" -> Pipeline.pipeTemperatureMix _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
     "pipe_fuzzy_decontaminate" -> Pipeline.pipeFuzzyDecontaminate _,
@@ -999,6 +1001,19 @@ object SparkEntry {
         "LAG(rev) OVER (PARTITION BY nation ORDER BY o_year) AS prev FROM t) " +
         "WHERE prev IS NOT NULL AND prev <> 0 ORDER BY nation, o_year"),
     // HHI: integer ppm shares (floor of an IEEE-identical double
+    // revenue-weighted median: weights in exact CENTS, the median is
+    // the smallest quantity with 2*cum >= tot — integer compare, no
+    // division; the window runs over the (flag, quantity) grain
+    "q71_weighted_median" ->
+      ("WITH g AS (SELECT l_returnflag, l_quantity, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w_cents " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT *, CAST(SUM(w_cents) OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_quantity) AS BIGINT) AS cum, " +
+        "CAST(SUM(w_cents) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot FROM g) " +
+        "SELECT l_returnflag, MIN(l_quantity) AS median_qty, " +
+        "CAST(MAX(tot) AS BIGINT) AS total_cents FROM c " +
+        "WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1"),
     // division of exact longs), then an INTEGER sum of squares —
     // no float accumulation anywhere, so both engines hash-match
     "q70_supplier_hhi" ->
@@ -1632,6 +1647,31 @@ object SparkEntry {
         "comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u) " +
         "SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) " +
         "AS cluster_size FROM comp ORDER BY doc_id"),
+    // same connected-components chain, keep-longest representatives
+    // dropped per cluster, savings attributed to the BASE doc's source
+    // (planted ids resolve via the shared offset)
+    "pipe_dedup_savings" ->
+      (s"WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ($jaccardPairsSql) p), " +
+        "edges AS (SELECT id_a AS u, id_b AS v FROM jp " +
+        "UNION SELECT id_b AS u, id_a AS v FROM jp), " +
+        "reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t " +
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u), " +
+        "comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u), " +
+        "lenu AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM (" +
+        "SELECT doc_id, text FROM documents UNION ALL " +
+        s"SELECT doc_id + ${graft.operators.Dedup.PlantedIdOffset}, " +
+        "text || ' appended near duplicate tail marker' " +
+        "FROM documents WHERE doc_id < 20)), " +
+        "m AS (SELECT comp.doc_id, cluster_id, n_chars, ROW_NUMBER() OVER (" +
+        "PARTITION BY cluster_id ORDER BY n_chars DESC, comp.doc_id) AS rn " +
+        "FROM comp JOIN lenu USING (doc_id)), " +
+        s"d AS (SELECT CASE WHEN doc_id >= ${graft.operators.Dedup.PlantedIdOffset} " +
+        s"THEN doc_id - ${graft.operators.Dedup.PlantedIdOffset} ELSE doc_id END " +
+        "AS base_id, n_chars FROM m WHERE rn > 1) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dropped, " +
+        "CAST(SUM(d.n_chars) AS BIGINT) AS chars_dropped " +
+        "FROM d JOIN documents ON base_id = doc_id " +
+        "GROUP BY source ORDER BY source"),
     // same connected-components chain rolled up to one row per
     // cluster size — the duplication-shape histogram (D14)
     "dedup_cluster_sizes" ->

@@ -1604,4 +1604,36 @@ object Analytics {
         first(col("n_suppliers")).as("n_suppliers"))
       .orderBy("nation")
   }
+
+  /** q71: revenue-WEIGHTED median quantity per return flag — the
+    * "what order size carries half the money" number a plain median
+    * (q33's row-weighted one) can't answer. Exact arithmetic: weights
+    * are extended-price CENTS (longs), the median is the smallest
+    * quantity whose cumulative weight reaches half the flag's total
+    * (2·cum ≥ tot in integers — no division at all).
+    *
+    * Scale shape: ONE map-side-combinable shuffle to the
+    * (flag, quantity) grain; the cumulative window then runs over a
+    * VALUE-BOUNDED frame (≤ |flags|·|quantity domain| rows — TPC-H
+    * quantities are 1..50), the sanctioned constant-bounded window
+    * class, never fact rows; flag totals re-ride the same tiny frame.
+    */
+  def q71WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val grain = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("w_cents"))
+    // ≤ |flags|×50 rows from here down (value-bounded, commented above)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("l_quantity")
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+    grain
+      .withColumn("cum", sum("w_cents").over(w))
+      .withColumn("tot", sum("w_cents").over(tot))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min("l_quantity").as("median_qty"),
+        max("tot").as("total_cents"))
+      .orderBy("l_returnflag")
+  }
 }

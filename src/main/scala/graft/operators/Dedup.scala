@@ -276,7 +276,7 @@ object Dedup {
     * input; any input change invalidates it, and [[dedupClusters]]
     * always rebuilds (it IS the CC benchmark entry).
     */
-  private def settledLabels(spark: SparkSession, dir: String,
+  private[operators] def settledLabels(spark: SparkSession, dir: String,
       forceBuild: Boolean): DataFrame = {
     import graft.lake.GraftTable
     val docs = Tables(spark, dir, "documents")

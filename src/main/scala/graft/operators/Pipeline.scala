@@ -417,6 +417,38 @@ object Pipeline {
       .orderBy("source_x", "source_y")
   }
 
+  /** Dedup savings by source (P21 — the cost-side number a dedup
+    * rollout reports next to P20's attribution matrix: how many docs
+    * and bytes does keep-one-per-cluster actually reclaim, and from
+    * which sources?): reads the SAME settled CC labels every policy
+    * operator consumes (no propagation re-run), picks each cluster's
+    * keep-longest representative with the D7 window (per-cluster
+    * frames, near-dup-bounded), and rolls the NON-representatives up
+    * per source — planted variants attribute to their base doc's
+    * source via [[Dedup.PlantedIdOffset]]. Exact integer chars; the
+    * output is ≤ |sources| rows.
+    */
+  def pipeDedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val cl = Dedup.settledLabels(spark, dir, forceBuild = false)
+      .select("doc_id", "cluster_id")
+    val docs = Tables(spark, dir, "documents")
+    val lens = Dedup.withPlantedNearDups(docs)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    val dropped = cl.join(lens, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .withColumn("base_id",
+        when(col("doc_id") >= Dedup.PlantedIdOffset,
+          col("doc_id") - Dedup.PlantedIdOffset).otherwise(col("doc_id")))
+    dropped
+      .join(docs.select(col("doc_id").as("base_id"), col("source")), "base_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_dropped"), sum("n_chars").as("chars_dropped"))
+      .orderBy("source")
+  }
+
   /** Train→test split-leakage report (P17 — the governance check run
     * AFTER splitting: how much of each held-out document's n-gram
     * mass already appears in the training split? High leakage means

@@ -159,7 +159,11 @@ class ScaleSpec extends GraftSparkSpec {
         "q69_yoy_growth" -> Analytics.q69YoyGrowth(spark, sfDir),
         "q70_supplier_hhi" -> Analytics.q70SupplierHhi(spark, sfDir),
         "pipe_cross_dup" -> Pipeline.pipeCrossDup(spark, sfDir),
-        "dedup_cluster_sizes" -> Dedup.dedupClusterSizes(spark, sfDir)))
+        "dedup_cluster_sizes" -> Dedup.dedupClusterSizes(spark, sfDir),
+        // round-12: q71's windows run over the (flag, quantity) grain
+        // (value-bounded), P21's over near-dup-bounded clusters
+        "q71_weighted_median" -> Analytics.q71WeightedMedian(spark, sfDir),
+        "pipe_dedup_savings" -> Pipeline.pipeDedupSavings(spark, sfDir)))
       assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
         s"$name must never plan a cartesian product")
     // de-hinted TPC-H dims: no forced broadcast on SF-scaled sides —
