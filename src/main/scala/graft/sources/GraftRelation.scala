@@ -116,10 +116,23 @@ final class GraftRelation(
               (Some(st.min).filter(_.nonEmpty), Some(st.max).filter(_.nonEmpty))
             case _ => (None, None)
           }
+          // L101 equi-height histograms flow into Catalyst's OWN
+          // estimator: FilterEstimation reads ColumnStat.histogram for
+          // equality/range selectivity, so a skewed key's true mass
+          // reaches Spark-native join planning — not just the explicit
+          // Cbo side-API
+          val hist = graft.lake.Cbo.histogram(table, name).map { h =>
+            org.apache.spark.sql.catalyst.plans.logical.Histogram(
+              h.rows.toDouble / h.buckets,
+              (0 until h.buckets).map(i =>
+                org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
+                  h.bounds(i), h.bounds(i + 1),
+                  math.max(1L, h.ndv(i)))).toArray)
+          }
           name -> CatalogColumnStat(
             distinctCount = Some(BigInt(st.distinct)), min = mn, max = mx,
             nullCount = Some(BigInt(st.nulls)), avgLen = None, maxLen = None,
-            histogram = None, version = 2)
+            histogram = hist, version = 2)
         }
       }
       val rows = cs.values.head.rows

@@ -227,6 +227,42 @@ class CboSpec extends GraftSparkSpec {
     assert(Cbo.rangeSelectivity(bare, "k", 0.0, 5.0).isEmpty)
   }
 
+  test("histograms reach Catalyst's own estimator: the skewed-key filter " +
+      "cardinality flips with no explicit API") {
+    import spark.implicits._
+    val df = ((1 to 18000).map(_ => 777L) ++ (1L to 2000L).map(10000L + _))
+      .toDF("k")
+    val path = tmpDir("cbo_cat_hist")
+    val t = GraftTable.create(spark, path, df.repartition(4))
+    t.computeStats()
+    t.computeHistogram(Seq("k"))
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val read = spark.read.format("graftlake").load(path)
+      val attr = read.queryExecution.optimizedPlan.stats.attributeStats
+        .find(_._1.name == "k").map(_._2)
+      assert(attr.exists(_.histogram.isDefined),
+        "the ANALYZE FOR COLUMNS histogram must surface in attributeStats")
+      // Spark's own FilterEstimation now sees the heavy value's mass:
+      // the equality filter's row estimate lands near 18k, where the
+      // NDV-only estimate would be rows/ndv ≈ 10
+      val hotEst = read.filter(col("k") === 777L)
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(hotEst.exists(e => e > BigInt(5000) && e <= BigInt(20000)),
+        s"histogram-backed Catalyst estimate must see the skew: $hotEst")
+      // control: same data analyzed WITHOUT histograms estimates tiny
+      val bare = GraftTable.create(spark, tmpDir("cbo_cat_hist_bare"),
+        df.repartition(4))
+      bare.computeStats()
+      val bareEst = spark.read.format("graftlake").load(bare.path)
+        .filter(col("k") === 777L)
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(bareEst.exists(_ < BigInt(200)),
+        s"NDV-only estimate stays uniform-small: $bareEst")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+  }
+
   test("PK selectivity subtracts deletion-vector-masked rows") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("cbo_pk_dv"),
