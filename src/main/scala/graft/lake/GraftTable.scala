@@ -1782,7 +1782,41 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // a reserved version is invisible until the transaction's decision
     // lands — the coordinator checkpoints after deciding
     if (reserve.isEmpty) log.maybeCheckpoint(spark, v)
+    if (reserve.isEmpty) maybeAutoManifest(actions)
     v
+  }
+
+  /** Auto manifest regeneration (Delta
+    * `delta.compatibility.symlinkFormatManifest.enabled` parity, plus
+    * this engine's MATERIALIZE upgrade): with table property
+    * `graft.manifest.autoGenerate = true`, every commit that changes
+    * the active file layout (add/remove/DV traffic) regenerates the
+    * symlink manifest in the same post-commit hook slot Delta uses —
+    * external readers (DuckDB/Trino) track the table with no manual
+    * GENERATE step. When the snapshot carries live deletion vectors
+    * the regeneration runs MATERIALIZE (Delta's auto mode simply
+    * breaks under DVs), so MoR DML keeps external readers correct.
+    * Best-effort like every auto-maintenance hook: the commit is
+    * already durable, a failed regeneration only leaves the manifest
+    * one version stale (its documented steady state anyway).
+    */
+  private def maybeAutoManifest(actions: Seq[Action]): Unit = {
+    val layoutChanged = actions.exists {
+      case _: AddFile | _: RemoveFile | _: AddDV | _: RemoveDV => true
+      case _ => false
+    }
+    if (!layoutChanged) return
+    val s = snapshot
+    if (!s.metadata.exists(_.properties
+        .getOrElse("graft.manifest.autoGenerate", "false").toBoolean)) return
+    try {
+      generateManifest(materialize = s.dvFiles.nonEmpty)
+      ()
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[graft] auto manifest regeneration failed for $path: ${e.getMessage}")
+    }
   }
 
   /** Commit a metadata transform evaluated against the FRESHEST

@@ -976,6 +976,44 @@ class LakeSpec extends GraftSparkSpec {
     assert(GraftTable.forPath(spark, t.path).toDF.count() == 54)
   }
 
+  test("auto manifest: layout-changing commits regenerate (MATERIALIZE " +
+      "under live DVs); metadata-only commits leave it untouched") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("auto-manifest"),
+      (0L until 20L).map(i => (i, i * 2L)).toDF("k", "v"),
+      properties = Map("graft.manifest.autoGenerate" -> "true"))
+    val mf = java.nio.file.Paths.get(t.path, "_graft_manifest", "manifest")
+    def extRead() = spark.read.parquet(
+      spark.read.textFile(mf.toString).collect().toIndexedSeq: _*)
+    // the CREATE commit already generated it
+    assert(java.nio.file.Files.exists(mf), "create must auto-generate")
+    assert(extRead().count() == 20)
+    // append regenerates: external readers see the new rows
+    t.append((100L until 110L).map(i => (i, i)).toDF("k", "v"))
+    assert(extRead().count() == 30)
+    // a metadata-only commit must NOT touch the manifest
+    val before = java.nio.file.Files.getLastModifiedTime(mf)
+    t.setTableProperties(Map("graft.someUserProp" -> "x"))
+    assert(java.nio.file.Files.getLastModifiedTime(mf) == before,
+      "metadata-only commits must not regenerate the manifest")
+    // MoR delete leaves DVs LIVE: the auto regeneration must run
+    // MATERIALIZE — external read masks the rows, no manual GENERATE
+    t.deleteMergeOnRead(col("k") < 5)
+    assert(GraftTable.forPath(spark, t.path).snapshot.dvFiles.nonEmpty)
+    val ext = extRead()
+    assert(ext.count() == 25, "auto-materialized manifest must mask DVs")
+    assert(ext.filter(col("k") < 5).count() == 0)
+    assert(spark.read.textFile(mf.toString).collect()
+      .exists(_.contains("_materialized")))
+    // compaction regenerates again: listed paths are the live set
+    t.reorgPurge()
+    val after = extRead()
+    assert(after.count() == 25)
+    assert(spark.read.textFile(mf.toString).collect()
+      .forall(!_.contains("_materialized")),
+      "post-REORG regeneration lists table files only")
+  }
+
   test("FSCK repairs out-of-band file loss; DRY RUN only lists") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("fsck"),
