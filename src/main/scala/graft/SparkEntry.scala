@@ -116,6 +116,7 @@ object SparkEntry {
     "text_phrase3" -> TextOps.textPhrase3Search _,
     "text_search_ranked" -> TextOps.textSearchRanked _,
     "text_search_bm25" -> TextOps.textSearchBm25 _,
+    "text_search_proximity" -> TextOps.textSearchProximity _,
     "text_rarity" -> TextOps.textRarity _,
     "text_perplexity" -> TextOps.textPerplexity _,
     "dedup_exact" -> Dedup.dedupExact _,
@@ -1972,6 +1973,17 @@ object SparkEntry {
         "CAST(SUM((CAST(idf_ppm AS HUGEINT) * 22 * tf * t) // " +
         "((CAST(10 AS HUGEINT) * tf * t) + (3 * t) + (9 * dl * n))) AS BIGINT) AS bm25_micro " +
         "FROM idf GROUP BY doc_id ORDER BY doc_id"),
+    // proximity: minimal token distance + pairs within a 5-token
+    // window, from the same 1-based positional tokenization
+    "text_search_proximity" ->
+      ("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM d), " +
+        "a AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'), " +
+        "b AS (SELECT doc_id, pos FROM toks WHERE term = 'vector') " +
+        "SELECT a.doc_id, CAST(MIN(ABS(a.pos - b.pos)) AS BIGINT) AS min_dist, " +
+        "CAST(COUNT(CASE WHEN ABS(a.pos - b.pos) <= 5 THEN 1 END) AS BIGINT) AS n_close " +
+        "FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY a.doc_id ORDER BY a.doc_id"),
     // three-term phrase: two chained position-adjacency joins
     "text_phrase3" ->
       ("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l " +

@@ -2185,7 +2185,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       info("ANALYZE", params = Map("mode" -> "auto"),
         metrics = Map("numColumns" -> cols.size.toString)))(m =>
       m.copy(properties = m.properties ++ statProps))
-    ()
+    // histogram staleness under autoCollect: quantile boundaries can't
+    // merge incrementally (a delta's quantiles say nothing about the
+    // union's), so histograms refresh by GEOMETRIC amortization — only
+    // once the table has grown ≥20% past the rows each histogram was
+    // built at. Total rebuild cost over a table's life stays O(n·log n)
+    // like auto-compaction's, and estimates are never more than one
+    // growth step stale. Deletes/updates leave them stale until the
+    // next explicit ANALYZE, same as the base stats.
+    val histCols = props.keys.filter(_.startsWith("graft.hist."))
+      .map(_.stripPrefix("graft.hist.")).toSeq.sorted
+      .filter(s.schema.fieldNames.contains)
+    if (histCols.nonEmpty) {
+      val newRows = old.values.head.rows + addRows
+      val stale = histCols.filter(c =>
+        Cbo.histogram(this, c).exists(h => newRows >= h.rows * 1.2))
+      if (stale.nonEmpty) { computeHistogram(stale); () }
+    }
   }
 
   /** RENAME COLUMN as a metadata-only commit (Delta column-mapping

@@ -602,6 +602,34 @@ object TextOps {
         sum("bm25_micro").as("bm25_micro"))
   }
 
+  /** Proximity search over the positional postings (T26 — the signal
+    * between T18's exact-adjacency phrase and T25's bag-of-words BM25:
+    * documents where the query terms appear NEAR each other rank above
+    * bag-of-words co-occurrence, the classic proximity heuristic):
+    * per matching doc, the minimal token distance between the two
+    * terms' occurrences and the count of occurrence pairs within a
+    * 5-token window. The pairwise distance expansion runs INSIDE the
+    * row over the per-doc position arrays (higher-order transform /
+    * filter — |pa|·|pb| per doc, tf-product-bounded, no join blowup),
+    * and the doc-level join is the same id-keyed term-pruned postings
+    * read as T18 — no corpus text, exact integers everywhere.
+    */
+  def textSearchProximity(spark: SparkSession, dir: String): DataFrame = {
+    val (ta, tb) = ("merge", "vector")
+    val posts = textIndexFixture(spark, dir).textPostings("text")
+    val pa = posts.filter(col("term") === ta)
+      .select(col("id"), col("positions").as("pa"))
+    val pb = posts.filter(col("term") === tb)
+      .select(col("id"), col("positions").as("pb"))
+    pa.join(pb, "id")
+      .withColumn("dists",
+        expr("flatten(transform(pa, x -> transform(pb, y -> abs(x - y))))"))
+      .select(col("id").as("doc_id"),
+        expr("array_min(dists)").cast("long").as("min_dist"),
+        expr("size(filter(dists, d -> d <= 5))").cast("long").as("n_close"))
+      .orderBy("doc_id")
+  }
+
   /** Type-token ratio per document (T23 — the classic lexical-
     * diversity signal quality stacks report beside the Gopher rules;
     * low TTR flags template/spam text that repeats a small

@@ -263,6 +263,38 @@ class CboSpec extends GraftSparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
+  test("autoCollect refreshes histograms geometrically: <20% growth " +
+      "stays stale, past it rebuilds on the append path") {
+    import spark.implicits._
+    val base = ((1 to 4000).map(_ => 777L) ++ (1L to 1000L).map(10000L + _))
+      .toDF("k")
+    val t0 = GraftTable.create(spark, tmpDir("cbo_hist_auto"),
+      base.repartition(4),
+      properties = Map("graft.stats.autoCollect" -> "true"))
+    t0.computeStats()
+    t0.computeHistogram(Seq("k"))
+    val t = GraftTable.forPath(spark, t0.path)
+    assert(Cbo.histogram(t, "k").exists(_.rows == 5000L))
+
+    // +10% growth: base stats refresh incrementally, the histogram
+    // stays at its build point (no O(table) rebuild per small append)
+    t.append((1L to 500L).map(20000L + _).toDF("k"))
+    val t1 = GraftTable.forPath(spark, t.path)
+    assert(Cbo.rowCount(t1).contains(5500L), "base stats track per append")
+    assert(Cbo.histogram(t1, "k").exists(_.rows == 5000L),
+      "a 10% append must not rebuild the histogram")
+
+    // cumulative +30%: the growth threshold trips, the append itself
+    // rebuilds, and the heavy key's estimate tracks the new mass
+    t1.append((1 to 1000).map(_ => 777L).toDF("k"))
+    val t2 = GraftTable.forPath(spark, t1.path)
+    assert(Cbo.histogram(t2, "k").exists(_.rows == 6500L),
+      s"past 20% growth the histogram must rebuild: ${Cbo.histogram(t2, "k").map(_.rows)}")
+    val est = Cbo.estimatedRowsAfterEquality(t2, "k", 777.0).get
+    assert(est > 4000L && est <= 6500L,
+      s"the refreshed histogram must price the heavy key's new mass: $est")
+  }
+
   test("PK selectivity subtracts deletion-vector-masked rows") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("cbo_pk_dv"),
