@@ -53,6 +53,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*$""".r
   private val extendedRe: Regex =
     """(?is)^\s*DESCRIBE\s+EXTENDED\s+(\w+)\s*;?\s*$""".r
+  private val clusteringRe: Regex =
+    """(?is)^\s*DESCRIBE\s+CLUSTERING\s+(\w+)(?:\s*\(([\w,\s]+)\))?\s*;?\s*$""".r
   private val deleteRe: Regex =
     """(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val analyzeRe: Regex =
@@ -625,6 +627,9 @@ final class GraftSql(spark: SparkSession) {
       case historyRe(name, lim) => // LIMIT paginates to the newest N
         table(name).history(Option(lim).map(_.toInt).getOrElse(Int.MaxValue))
       case detailRe(name) => table(name).detailDF
+      case clusteringRe(name, cols) =>
+        table(name).clusteringReport(Option(cols).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       case extendedRe(name) =>
         // schema rows followed by table properties (reference 02-lab:
         // 128-136 checks the VORDER property here)

@@ -4761,6 +4761,70 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }.getOrElse(0)
   }
 
+  /** Clustering-quality report (`DESCRIBE CLUSTERING t` — the
+    * "should I re-cluster?" diagnostic an ops rotation reads before
+    * paying for an OPTIMIZE ZORDER pass): per clustered (or named)
+    * numeric column, from footer stats ALONE — O(#files·log #files)
+    * driver metadata, zero data IO:
+    *
+    *   - `avg_range_ppm`: mean file [min,max] width as ppm of the
+    *     column's domain — the expected fraction of files a random
+    *     point/range query must open. Perfect clustering → ~1/#files;
+    *     interleaved ingest → ~10⁶ (every file spans the domain).
+    *   - `max_overlap_depth`: the worst-case number of files whose
+    *     range covers ONE value (boundary sweep; +1 events sort
+    *     before −1 at equal coordinates because a point query at a
+    *     shared boundary hits both files). Perfect → 1.
+    *
+    * Degradation is exactly what incremental CLUSTER BY (L47) accrues
+    * between maintenance passes: fresh appends overlap the clustered
+    * layout until the next OPTIMIZE folds them in. Read the report,
+    * re-cluster when depth drifts from ~1 toward #files.
+    */
+  def clusteringReport(columns: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    val cols = if (columns.nonEmpty) columns
+      else s.metadata.flatMap(_.properties.get("graft.clusterBy"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(throw new IllegalArgumentException(
+          "no clustering columns: pass columns explicitly or declare " +
+            "ALTER TABLE ... CLUSTER BY first"))
+    val numeric = s.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSet
+    cols.foreach(c => require(numeric.contains(c),
+      s"clustering report needs a numeric column, got: $c"))
+    val rows = cols.map { c =>
+      val phys = s.physicalName(c)
+      val ranges = s.activeFiles.flatMap(_.stats).flatMap { st =>
+        for {
+          mn <- st.minValues.get(phys)
+          mx <- st.maxValues.get(phys)
+          lo <- scala.util.Try(BigDecimal(mn)).toOption
+          hi <- scala.util.Try(BigDecimal(mx)).toOption
+        } yield (lo, hi)
+      }
+      require(ranges.nonEmpty, s"no footer min/max stats for column $c")
+      val (dLo, dHi) = (ranges.map(_._1).min, ranges.map(_._2).max)
+      val domain = dHi - dLo
+      val avgPpm =
+        if (domain == 0) 1000000L
+        else (ranges.map(r => r._2 - r._1).sum * 1000000 /
+          (domain * ranges.size)).toLong
+      // sweep: at equal coordinates opens land before closes — a point
+      // query AT a shared boundary reads both files
+      val events = ranges.flatMap { case (lo, hi) =>
+        Seq((lo, 0, 1), (hi, 1, -1))
+      }.sortBy(e => (e._1, e._2))
+      var depth = 0; var maxDepth = 0
+      events.foreach { e => depth += e._3; maxDepth = math.max(maxDepth, depth) }
+      (c, ranges.size.toLong, avgPpm, maxDepth.toLong)
+    }
+    rows.toDF("column", "n_files", "avg_range_ppm", "max_overlap_depth")
+  }
+
   /** Table-level column statistics (reference 02-lab:587-663):
     * row count, per-column distinct/null/min/max, persisted as table
     * properties so later sessions (and planners) can read them.

@@ -1014,6 +1014,48 @@ class LakeSpec extends GraftSparkSpec {
       "post-REORG regeneration lists table files only")
   }
 
+  test("clustering report: interleaved ingest reads degraded, ZORDER " +
+      "restores depth ~1; fresh appends re-degrade (the re-cluster cue)") {
+    import spark.implicits._
+    // 4 interleaved single-file appends: every file spans the whole
+    // key domain (the steady state of unsorted streaming ingest)
+    val t = GraftTable.create(spark, tmpDir("clustering-report"),
+      (0L until 1000L).filter(_ % 4 == 0).map(i => (i, i * 2L)).toDF("k", "v")
+        .coalesce(1))
+    (1 to 3).foreach { r =>
+      t.append((0L until 1000L).filter(_ % 4 == r.toLong)
+        .map(i => (i, i * 2L)).toDF("k", "v").coalesce(1))
+    }
+    val bad = t.clusteringReport(Seq("k")).head()
+    assert(bad.getAs[Long]("n_files") >= 4)
+    assert(bad.getAs[Long]("max_overlap_depth") >= 4,
+      s"interleaved files all cover any value: $bad")
+    assert(bad.getAs[Long]("avg_range_ppm") > 900000L,
+      s"interleaved file ranges span ~the whole domain: $bad")
+    // ZORDER on k: tight disjoint ranges, depth collapses
+    t.zorderBy(4 * 1024, "k")
+    val good = GraftTable.forPath(spark, t.path).clusteringReport(Seq("k")).head()
+    assert(good.getAs[Long]("n_files") >= 2, s"need >1 file to mean anything: $good")
+    assert(good.getAs[Long]("max_overlap_depth") <= 2,
+      s"clustered ranges must be (near-)disjoint: $good")
+    assert(good.getAs[Long]("avg_range_ppm") < 600000L, s"ranges tighten: $good")
+    // a fresh whole-domain append degrades the report again — the cue
+    val t2 = GraftTable.forPath(spark, t.path)
+    t2.append((0L until 1000L by 7).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val drift = GraftTable.forPath(spark, t.path).clusteringReport(Seq("k")).head()
+    assert(drift.getAs[Long]("max_overlap_depth") >
+      good.getAs[Long]("max_overlap_depth"),
+      s"fresh ingest must read as clustering drift: $drift vs $good")
+    // SQL spelling (declared CLUSTER BY defaults the column set)
+    val gsql = new GraftSql(spark)
+    gsql.register("crep", t.path)
+    gsql.sql("ALTER TABLE crep CLUSTER BY (k)")
+    val viaSql = gsql.sql("DESCRIBE CLUSTERING crep")
+    assert(viaSql.columns.toSeq ==
+      Seq("column", "n_files", "avg_range_ppm", "max_overlap_depth"))
+    assert(viaSql.head().getString(0) == "k")
+  }
+
   test("FSCK repairs out-of-band file loss; DRY RUN only lists") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("fsck"),
