@@ -281,6 +281,16 @@ object Analytics {
     * broadcastable aggregates); the 1-row order total cross-joins.
     */
   def q60BasketLift(spark: SparkSession, dir: String): DataFrame = {
+    // the deduped (order, part) grain feeds four consumers (order
+    // count, item counts, both self-join sides) and is deliberately
+    // NOT localCheckpoint'ed: the r12 sf10 scale pass A/B'd both —
+    // recomputing the distinct keeps every pass in spillable shuffle
+    // machinery, while materializing the grain pins it in executor
+    // storage and OOMs exactly when the pair hash-aggregate needs the
+    // memory most. The measured ~10–13× step for 10× data is the
+    // fixed-memory single-box spill regime of that pair aggregate
+    // (per-replica-disjoint part pairs ⇒ group count scales linearly;
+    // a real cluster's memory scales with executors). SURVEY §6.
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val nOrders = li.select("l_orderkey").distinct()

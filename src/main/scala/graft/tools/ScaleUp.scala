@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.tools.ScaleUp"           # writes target/sf1
   */
 object ScaleUp {
-  val Copies = 10
-  val Off = 10000000L
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/sf1"
+    val Copies = if (args.length > 2) args(2).toInt else 10
+    // chaining decades (sf1 -> sf10) needs a bigger stride than the
+    // source's own key span, or replica offsets collide
+    val Off = if (args.length > 3) args(3).toLong else 10000000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
