@@ -186,7 +186,8 @@ object SparkEntry {
     "mm_frame_sample" -> Multimodal.mmFrameSample _,
     "mm_resize_plan" -> Multimodal.mmResizePlan _,
     "mm_patch_grid" -> Multimodal.mmPatchGrid _,
-    "mm_phash_dedup" -> Multimodal.mmPhashDedup _)
+    "mm_phash_dedup" -> Multimodal.mmPhashDedup _,
+    "mm_energy_segments" -> Multimodal.mmEnergySegments _)
 
   /** GraftLake table-layer queries (SURVEY §2.1): each rebuilds an
     * isolated table under target/ and proves content invariants
@@ -2298,6 +2299,32 @@ object SparkEntry {
         "COALESCE(s.sq, 0) AS byte_sumsq, COALESCE(s.mn, 0) AS min_byte, " +
         "COALESCE(s.mx, 0) AS max_byte " +
         "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+    // energy segmentation: 16 equal index-span cells (cell of 1-based
+    // pos = (pos-1)*k // n), per-cell sum-of-squares vs the uniform
+    // share by cross multiplication — exact integers end to end
+    "mm_energy_segments" ->
+      ("WITH c AS (SELECT doc_id, length(text) AS n, " +
+        "ascii(unnest(regexp_split_to_array(text, ''))) AS b, " +
+        "generate_subscripts(regexp_split_to_array(text, ''), 1) AS pos " +
+        "FROM documents WHERE length(text) > 0), " +
+        "cells AS (SELECT doc_id, n, ((pos - 1) * LEAST(16, n)) // n AS cell, " +
+        "CAST(b AS BIGINT) AS b FROM c), " +
+        "agg AS (SELECT doc_id, n, cell, SUM(b * b) AS sq, " +
+        "CAST(COUNT(*) AS BIGINT) AS cl FROM cells GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT doc_id, SUM(sq) AS total FROM agg GROUP BY 1), " +
+        "sc AS (SELECT agg.doc_id, n, cell, " +
+        "CAST(sq * n - total * cl AS BIGINT) AS score " +
+        "FROM agg JOIN tot USING (doc_id)), " +
+        "p AS (SELECT doc_id, cell AS peak_cell, score AS peak_score FROM (" +
+        "SELECT doc_id, cell, score, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, cell) AS rn FROM sc) WHERE rn = 1), " +
+        "g AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_content, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_cells, " +
+        "CAST(COUNT(CASE WHEN score > 0 THEN 1 END) AS BIGINT) AS n_loud " +
+        "FROM sc GROUP BY 1) " +
+        "SELECT g.doc_id, n_content, n_cells, n_loud, " +
+        "CAST(peak_cell AS BIGINT) AS peak_cell, peak_score " +
+        "FROM g JOIN p USING (doc_id) ORDER BY g.doc_id"),
     // PNG: the oracle replays the builder's geometry arithmetic and
     // recomputes content stats from the SOURCE bytes; Spark's values
     // come from parsing big-endian chunk framing + CRC-verified IHDR

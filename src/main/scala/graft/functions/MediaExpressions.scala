@@ -402,6 +402,78 @@ object MediaContentStats {
   }
 }
 
+/** Energy segmentation of a media payload's CONTENT bytes (M12 — the
+  * voice-activity-gate / busy-region step an audio or image pipeline
+  * runs between decode and feature extraction: which parts of the
+  * clip carry signal?): the content span (located via the payload's
+  * own header fields, like [[MediaContentStats]]) splits into
+  * [[MediaEnergySegments.Cells]] equal index-span cells; each cell's
+  * exact energy Σb² compares against the uniform share by CROSS
+  * MULTIPLICATION (`cellSq·len > total·cellLen` — no float division,
+  * both engines agree bit-for-bit), yielding the above-average-energy
+  * cell count and the peak cell with its integer score
+  * `cellSq·len − total·cellLen`. One pass, codegen'd.
+  *
+  * Exactness bound: `cellSq·len ≤ 255²·len²` stays in int64 for
+  * content up to ~10⁷ bytes — above any per-row payload here (the
+  * same class of bound as [[MediaAHash64]]).
+  */
+case class MediaEnergySegments(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaEnergySegments.schema
+  override def nullSafeEval(v: Any): Any =
+    MediaEnergySegments.kernel(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.InternalRow)" +
+        s"graft.functions.MediaEnergySegments.kernel($c)")
+  override protected def withNewChildInternal(c: Expression): MediaEnergySegments =
+    copy(c)
+}
+
+object MediaEnergySegments {
+  val Cells = 16
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_content", LongType, nullable = false),
+    StructField("n_cells", LongType, nullable = false),
+    StructField("n_loud", LongType, nullable = false),
+    StructField("peak_cell", LongType, nullable = false),
+    StructField("peak_score", LongType, nullable = false)))
+
+  def kernel(payload: Array[Byte]): InternalRow = {
+    val (_, off, len) = MediaContentStats.contentSpan(payload)
+    if (len == 0)
+      return new GenericInternalRow(Array[Any](0L, 0L, 0L, -1L, 0L))
+    val k = math.min(Cells, len)
+    val cellSq = new Array[Long](k)
+    val cellLen = new Array[Long](k)
+    var total = 0L
+    var i = 0
+    while (i < len) {
+      // cell of index i = floor(i·k/len) — the same equal index-span
+      // split the DuckDB replica derives from 1-based positions
+      val cell = (i.toLong * k / len).toInt
+      val b = (payload(off + i) & 0xff).toLong
+      cellSq(cell) += b * b
+      cellLen(cell) += 1
+      total += b * b
+      i += 1
+    }
+    var nLoud = 0L
+    var peak = 0
+    var peakScore = Long.MinValue
+    var c = 0
+    while (c < k) {
+      val score = cellSq(c) * len - total * cellLen(c)
+      if (score > 0) nLoud += 1
+      if (score > peakScore) { peakScore = score; peak = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](len.toLong, k.toLong, nLoud,
+      peak.toLong, peakScore))
+  }
+}
+
 /** 64-bit average-hash perceptual fingerprint of a media payload's
   * CONTENT bytes (the decoded pixel/sample span, located via the
   * payload's own header fields like [[MediaContentStats]]): the

@@ -239,6 +239,30 @@ object Multimodal {
       .orderBy("doc_id", "win_start")
   }
 
+  /** Energy segmentation (M12, oracle-checked): the VAD-gate /
+    * busy-region step between decode and feature extraction — the
+    * content span splits into 16 equal index-span cells, each cell's
+    * exact Σb² energy compares to the uniform share by cross
+    * multiplication (no float division anywhere), and the payload
+    * reports its above-average cell count plus the peak cell with its
+    * integer score. Runs over EVERY payload kind through the same
+    * header-located content span (audio: where the signal is; image:
+    * where the busy region is). One codegen'd pass per payload.
+    */
+  def mmEnergySegments(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .withColumn("payload", mediaPayload)
+      .withColumn("e", ge.column(graft.functions.MediaEnergySegments(
+        ge.expression(col("payload")))))
+      .select(col("doc_id"),
+        col("e.n_content").as("n_content"),
+        col("e.n_cells").as("n_cells"),
+        col("e.n_loud").as("n_loud"),
+        col("e.peak_cell").as("peak_cell"),
+        col("e.peak_score").as("peak_score"))
+      .orderBy("doc_id")
+
   /** Content decode (oracle-checked): byte statistics of the pixel
     * array / PCM samples located by the payload's OWN header fields —
     * the native [[graft.functions.MediaContentStats]] expression walks
