@@ -124,6 +124,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     "dedup_clusters" -> Dedup.dedupClusters _,
     "dedup_cluster_sizes" -> Dedup.dedupClusterSizes _,
+    "dedup_band_profile" -> Dedup.dedupBandProfile _,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh _,
     "dedup_minhash_materialized" -> Dedup.dedupMinhashMaterialized _,
     "dedup_simhash" -> Dedup.dedupSimhash _,
@@ -1640,6 +1641,18 @@ object SparkEntry {
     // the same rows — bit-identical to dedup_minhash_lsh
     "dedup_minhash_materialized" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
+    // threshold band profile: the D2 verified-pair replica banded by
+    // floor(est*10) (same rounded doubles both engines), planted mass
+    // flagged via the shared id offset
+    "dedup_band_profile" ->
+      (s"WITH pairs AS ($minhashLshSql), " +
+        "b AS (SELECT CAST(FLOOR(est_jaccard * 10) AS BIGINT) AS band, " +
+        s"CASE WHEN id_a >= ${graft.operators.Dedup.PlantedIdOffset} " +
+        s"OR id_b >= ${graft.operators.Dedup.PlantedIdOffset} " +
+        "THEN 1 ELSE 0 END AS pl FROM pairs) " +
+        "SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(pl) AS BIGINT) AS n_planted " +
+        "FROM b GROUP BY band ORDER BY band"),
     "dedup_clusters" ->
       (s"WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ($jaccardPairsSql) p), " +
         "edges AS (SELECT id_a AS u, id_b AS v FROM jp " +

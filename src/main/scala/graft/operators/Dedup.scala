@@ -267,6 +267,27 @@ object Dedup {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Threshold band profile (D15, `dedup_band_profile` — the report
+    * that decides WHERE to set the near-dup threshold before a
+    * rollout: how many candidate pairs land in each estimated-Jaccard
+    * decile, and how many of those involve a planted known-positive?
+    * A threshold band with many pairs but no planted mass is where
+    * false positives start deleting real content): one pass over the
+    * proven D2 banded pairs (never re-discovered), banded by
+    * floor(est·10) — both engines floor the SAME rounded doubles, so
+    * the decile is deterministic — and rolled up to ≤6 rows (deciles
+    * 5..10; pairs below 0.5 were filtered by D2's own contract).
+    */
+  def dedupBandProfile(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashLsh(spark, dir)
+      .withColumn("band", floor(col("est_jaccard") * 10).cast("long"))
+      .withColumn("planted",
+        col("id_a") >= PlantedIdOffset || col("id_b") >= PlantedIdOffset)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"))
+      .orderBy("band")
+
   /** Settled CC labels (doc_id, cluster_id), shared through a
     * fingerprint-validated fixture table: in a real pipeline the
     * clusters frame is computed once and every downstream policy
