@@ -139,6 +139,40 @@ class MultimodalSpec extends GraftSparkSpec {
       raw.getLong(2) == 'a' + 'b')
   }
 
+  test("energy segmentation kernel: exact cells, short content, " +
+      "empty/hostile payloads clamp") {
+    import graft.functions.{MediaCodec, MediaEnergySegments}
+    def seg(p: Array[Byte]) = MediaEnergySegments.kernel(p)
+    // hand-computable WAV: 4 samples (0, 0, 0, 10) in a real container
+    // — len 4 < 16 cells ⇒ 4 cells of one byte; energy sits entirely
+    // in cell 3: score_3 = 100·4 − 100·1 = 300, others = 0 − 100·1
+    val wav = MediaCodec.makeWav(16000, Array[Byte](0, 0, 0, 10))
+    val r = seg(wav)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4,
+      s"4 content bytes -> 4 cells: $r")
+    assert(r.getLong(2) == 1, "exactly one above-average cell")
+    assert(r.getLong(3) == 3 && r.getLong(4) == 300,
+      s"peak cell 3 with score 100*4 - 100*1 = 300: $r")
+    // uniform content: every score is exactly 0 — nothing 'loud'
+    val flat = seg(MediaCodec.makeWav(8000, Array.fill[Byte](32)(7)))
+    assert(flat.getLong(1) == 16 && flat.getLong(2) == 0,
+      s"uniform content has no above-average cell: $flat")
+    assert(flat.getLong(4) == 0)
+    // empty content (WAV with a 0-byte data chunk): the all-zero row
+    val empty = seg(MediaCodec.makeWav(8000, Array.empty[Byte]))
+    assert(empty.getLong(0) == 0 && empty.getLong(1) == 0 &&
+      empty.getLong(2) == 0 && empty.getLong(3) == -1L)
+    // raw fallback (no container): segments the whole payload
+    val raw = seg("aaab".getBytes("US-ASCII"))
+    assert(raw.getLong(0) == 4 && raw.getLong(3) == 3,
+      s"'b' (98) > 'a' (97): peak in the last cell: $raw")
+    // truncated WAV (declared 10 data bytes, 4 present): the span
+    // clamps — the kernel must not overrun the buffer
+    val full = MediaCodec.makeWav(8000, Array.tabulate[Byte](10)(i => i.toByte))
+    val trunc = java.util.Arrays.copyOf(full, full.length - 6)
+    assert(seg(trunc).getLong(0) == 4, "clamped content, no overrun")
+  }
+
   test("batched stub decode agrees with the expression-side metadata") {
     val decoded = Multimodal.decodeFrames(spark, sfDir).toDF()
       .select(col("doc_id"), col("n_bytes"), col("width").cast("long").as("width"),
