@@ -1866,9 +1866,9 @@ object SparkEntry {
         "dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY term), " +
         "scored AS (SELECT h.doc_id, h.tf, l.dl, n, t, ((n * 1048576) // df) AS r " +
         "FROM hits h JOIN dfq USING (term) JOIN lens l USING (doc_id) CROSS JOIN corpus), " +
-        "idf AS (SELECT *, (CAST(length(bin(r)) - 21 AS BIGINT) * 1000000) + " +
-        "(((r - (CAST(1 AS BIGINT) << (length(bin(r)) - 1))) * 1000000) // " +
-        "(CAST(1 AS BIGINT) << (length(bin(r)) - 1))) AS idf_ppm FROM scored), " +
+        "idf AS (SELECT *, CAST((CAST(length(bin(r)) - 21 AS BIGINT) * 1000000) + " +
+        "((CAST(r - (CAST(1 AS BIGINT) << (length(bin(r)) - 1)) AS HUGEINT) * 1000000) // " +
+        "(CAST(1 AS BIGINT) << (length(bin(r)) - 1))) AS BIGINT) AS idf_ppm FROM scored), " +
         "sc AS (SELECT doc_id, CAST(SUM((CAST(idf_ppm AS HUGEINT) * 22 * tf * t) // " +
         "((CAST(10 AS HUGEINT) * tf * t) + (3 * t) + (9 * dl * n))) AS BIGINT) AS score " +
         "FROM idf GROUP BY doc_id), " +
@@ -1980,9 +1980,9 @@ object SparkEntry {
         "dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY term), " +
         "scored AS (SELECT h.doc_id, h.term, h.tf, l.dl, n, t, ((n * 1048576) // df) AS r " +
         "FROM hits h JOIN dfq USING (term) JOIN lens l USING (doc_id) CROSS JOIN corpus), " +
-        "idf AS (SELECT *, (CAST(length(bin(r)) - 21 AS BIGINT) * 1000000) + " +
-        "(((r - (CAST(1 AS BIGINT) << (length(bin(r)) - 1))) * 1000000) // " +
-        "(CAST(1 AS BIGINT) << (length(bin(r)) - 1))) AS idf_ppm FROM scored) " +
+        "idf AS (SELECT *, CAST((CAST(length(bin(r)) - 21 AS BIGINT) * 1000000) + " +
+        "((CAST(r - (CAST(1 AS BIGINT) << (length(bin(r)) - 1)) AS HUGEINT) * 1000000) // " +
+        "(CAST(1 AS BIGINT) << (length(bin(r)) - 1))) AS BIGINT) AS idf_ppm FROM scored) " +
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, " +
         "CAST(SUM((CAST(idf_ppm AS HUGEINT) * 22 * tf * t) // " +
         "((CAST(10 AS HUGEINT) * tf * t) + (3 * t) + (9 * dl * n))) AS BIGINT) AS bm25_micro " +

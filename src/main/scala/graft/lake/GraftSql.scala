@@ -500,6 +500,13 @@ final class GraftSql(spark: SparkSession) {
               java.nio.file.Files.move(
                 java.nio.file.Paths.get(c.tmpLoc), dest)
               publishedCreates += ((name, c))
+              // the created table's version-0 reservation must
+              // heartbeat like the DML squashes: a long publish phase
+              // (many creates, slow directory moves) would otherwise
+              // age a LIVE create past the pending-grace window and
+              // let a concurrent accessor grace-abort a healthy
+              // in-flight commit
+              beats += (() => new TxnLog(c.finalLoc).refreshReservation(0L))
               beatAll()
               txnCrashHook(s"after-create-publish-$name")
             }

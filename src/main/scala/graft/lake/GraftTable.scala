@@ -4017,7 +4017,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * triggering DML is already durable, so losing a concurrent race
     * must not make it look failed.
     */
-  private def maybeAutoReorg(): Unit = {
+  private def maybeAutoReorg(): Unit = try {
     val s = snapshot
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     val threshold = props.get("graft.autoReorg") match {
@@ -4038,11 +4038,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (offending.isEmpty) return
     val allMasked = GraftTable.dvMaskedFiles(
       counts.map(_._1).toIndexedSeq, s.activeFiles, dataPath)
-    try {
-      reorgPurgeFiles(s, offending,
-        retireDvs = offending.size == allMasked.size, auto = true)
-      ()
-    } catch { case _: java.util.ConcurrentModificationException => () }
+    reorgPurgeFiles(s, offending,
+      retireDvs = offending.size == allMasked.size, auto = true)
+    ()
+  } catch {
+    // Best-effort contract end-to-end (the maybeAutoManifest pattern):
+    // the triggering DML is ALREADY durable when this hook runs, so
+    // NOTHING here — a malformed graft.autoReorg value, a sidecar
+    // read failure, a lost concurrent race — may propagate and make
+    // the committed DELETE/UPDATE/MERGE look failed. Fatal errors
+    // (OOM, interrupts) still propagate.
+    case _: java.util.ConcurrentModificationException => ()
+    case e: Throwable if scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[graft] auto REORG skipped for $path: ${e.getMessage}")
   }
 
   /** File rewrites invalidate per-file blooms (new paths have no
@@ -4156,6 +4165,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * O(#files) driver-side metadata, no scan; MATERIALIZE adds
     * O(masked data) — the same scale class as the DML that created
     * the masks. Returns the written manifest file paths.
+    *
+    * Regeneration replaces the manifest FILES but keeps prior
+    * `_materialized/v<M>/` exports until they expire
+    * (`graft.manifest.exportRetentionHours`, default 168 — the
+    * 7-day vacuum-retention convention): an external reader holding
+    * the previous manifest keeps its consistent older view — plain
+    * data files get this from vacuum retention already, and eager
+    * export deletion would break the SAME guarantee for materialized
+    * rewrites the moment `graft.manifest.autoGenerate` re-runs on
+    * the next layout commit. Expired exports are reclaimed here
+    * (tiny driver-side listing of version dirs).
     */
   def generateManifest(materialize: Boolean = false): Seq[String] = {
     val s = snapshot
@@ -4167,7 +4187,28 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           "MATERIALIZE to rewrite only the masked files into the " +
           "manifest directory without a table commit)")
     val dir = root.resolve("_graft_manifest")
-    deleteRecursively(dir)
+    val matRoot = dir.resolve("_materialized")
+    if (Files.exists(dir)) {
+      val retainH = s.metadata.map(_.properties).getOrElse(Map.empty)
+        .getOrElse("graft.manifest.exportRetentionHours", "168").toDouble
+      val cutoff =
+        System.currentTimeMillis() - (retainH * 3600 * 1000).toLong
+      val top = Files.list(dir)
+      try top.iterator().asScala
+        .filter(_.getFileName.toString != "_materialized")
+        .foreach(deleteRecursively)
+      finally top.close()
+      if (Files.exists(matRoot)) {
+        val vs = Files.list(matRoot)
+        try vs.iterator().asScala
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .foreach(deleteRecursively)
+        finally vs.close()
+        val left = Files.list(matRoot)
+        val empty = try !left.iterator().hasNext finally left.close()
+        if (empty) Files.delete(matRoot)
+      }
+    }
     // MATERIALIZE with live DVs: rewrite ONLY the masked files' live
     // rows into a snapshot-scoped subdir of the manifest directory —
     // a read-side export, NO table commit, so time travel / CDC /
@@ -4893,9 +4934,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     columns.foreach(c => require(numeric.contains(c),
       s"histogram needs a numeric column, got: $c"))
     val df = toDF
-    val rows = df.count()
-    require(rows > 0, "cannot histogram an empty table")
+    // the histogram's row mass must be the NON-NULL count per column:
+    // approxQuantile bounds and the per-bucket NDV pass both exclude
+    // nulls, so rows/buckets over the total count would overstate
+    // every bucket's height on a nullable column and inflate each
+    // equality/range selectivity (and the Catalyst bins exported via
+    // GraftRelation) proportionally. One aggregate covers all columns.
+    val cntRow = df.agg(count(lit(1)).as("__total"),
+      columns.map(c => count(col(c)).as(s"__nn_$c")): _*).head()
+    require(cntRow.getLong(0) > 0, "cannot histogram an empty table")
+    val nonNull = columns.zipWithIndex
+      .map { case (c, i) => c -> cntRow.getLong(i + 1) }.toMap
     val out = columns.map { c =>
+      val rows = nonNull(c)
+      require(rows > 0, s"cannot histogram an all-null column: $c")
       val probs = (0 to buckets).map(_.toDouble / buckets).toArray
       val bounds = df.stat.approxQuantile(c, probs, 0.001)
       // bucket of v = #internal upper boundaries ≤ v (0-based; repeated

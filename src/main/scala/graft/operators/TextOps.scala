@@ -590,9 +590,14 @@ object TextOps {
     hits.join(dfq, "term").join(lens, "id")
       .withColumn("r", expr(s"${nDocs}L * 1048576 DIV df"))
       .withColumn("idf_ppm", expr(
+        // mantissa interpolation in DECIMAL(38,0): r ≈ N·2^20 on a
+        // rare term (df≈1), so (r − 2^(L−1))·10^6 in BIGINT overflows
+        // past N ≈ 2×10^7 docs — the same reason the saturation step
+        // below runs in DECIMAL. Spark's DIV takes DECIMAL operands
+        // and returns LONG, so idf_ppm stays BIGINT out.
         "CAST(length(bin(r)) - 21 AS BIGINT) * 1000000 + " +
-          "(r - shiftleft(1L, length(bin(r)) - 1)) * 1000000 DIV " +
-          "shiftleft(1L, length(bin(r)) - 1)"))
+          "CAST(r - shiftleft(1L, length(bin(r)) - 1) AS DECIMAL(38,0)) " +
+          "* 1000000 DIV shiftleft(1L, length(bin(r)) - 1)"))
       .withColumn("bm25_micro", expr(
         s"CAST(idf_ppm AS DECIMAL(38,0)) * 22 * tf * ${totDl}L DIV " +
           s"(CAST(10 AS DECIMAL(38,0)) * tf * ${totDl}L + 3 * ${totDl}L + " +

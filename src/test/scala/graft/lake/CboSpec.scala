@@ -197,6 +197,40 @@ class CboSpec extends GraftSparkSpec {
     assert(h.bounds.head == 777.0 && h.bounds.last == 12000.0)
   }
 
+  test("histogram rows exclude NULLs: selectivity on a nullable column " +
+      "prices non-null mass, not total row count") {
+    import spark.implicits._
+    // 6k non-null (4k heavy at 777, 2k light) + 6k NULL rows: the
+    // quantile bounds and per-bucket NDVs only ever see non-null
+    // values, so a rows=12000 histogram would double every bucket
+    // height (r12 advisory)
+    val vals: Seq[java.lang.Long] =
+      ((1 to 4000).map(_ => java.lang.Long.valueOf(777L)) ++
+        (1L to 2000L).map(i => java.lang.Long.valueOf(10000L + i)) ++
+        (1 to 6000).map(_ => null.asInstanceOf[java.lang.Long]))
+    val t0 = GraftTable.create(spark, tmpDir("cbo_hist_null"),
+      vals.toDF("k").repartition(4))
+    t0.computeHistogram(Seq("k"))
+    val t = GraftTable.forPath(spark, t0.path)
+    val h = Cbo.histogram(t, "k").get
+    assert(h.rows == 6000L,
+      s"histogram mass must be the non-null count, got ${h.rows}")
+    // equality on the heavy key lands near its true 4k rows — under
+    // the old total-count mass it would estimate ~8k
+    val est = Cbo.estimatedRowsAfterEquality(t, "k", 777.0).get
+    assert(est > 2000L && est <= 6000L,
+      s"non-null-based estimate must bound at the non-null mass: $est")
+    // an all-null column refuses cleanly instead of crashing in the
+    // quantile pass
+    val tn = GraftTable.create(spark, tmpDir("cbo_hist_allnull"),
+      (1 to 100).map(_ => (1L, null.asInstanceOf[java.lang.Long]))
+        .toDF("a", "b"))
+    val ex = intercept[IllegalArgumentException] {
+      tn.computeHistogram(Seq("b"))
+    }
+    assert(ex.getMessage.contains("all-null"))
+  }
+
   test("histogram range selectivity follows the MASS, not the range width") {
     import spark.implicits._
     // same skew: 18k rows at 777, 2k light rows spread over [10001,12000]

@@ -871,16 +871,27 @@ class LakeSpec extends GraftSparkSpec {
     t.vacuum(0.0, dryRun = false)
     assert(spark.read.parquet(listed: _*).count() == 30,
       "vacuum must spare the materialized manifest export")
-    // REORG retires the DVs; plain regeneration now works and drops
-    // the stale materialized directory with the rest of the manifest
+    // REORG retires the DVs; plain regeneration now lists table files
+    // only, but the PRIOR materialized export survives the default
+    // retention window — an external reader holding the old manifest
+    // keeps its consistent view (the vacuum-retention guarantee,
+    // extended to materialized rewrites)
     t.reorgPurge()
     val listed3 = spark.read.textFile(t.generateManifest(): _*).collect().toSeq
     assert(spark.read.parquet(listed3: _*).count() == 30)
     assert(listed3.forall(!_.contains("_materialized")),
       "post-REORG manifests list table files only")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      t.path, "_graft_manifest", "_materialized")),
+      "prior materialized export must survive the retention window")
+    assert(spark.read.parquet(listed: _*).count() == 30,
+      "a reader holding the OLD manifest still reads its snapshot")
+    // expire the window -> the next regeneration reclaims the export
+    t.setTableProperties(Map("graft.manifest.exportRetentionHours" -> "0"))
+    t.generateManifest()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
       t.path, "_graft_manifest", "_materialized")),
-      "regeneration must drop the snapshot-scoped materialized dir")
+      "regeneration must reclaim exports past their retention window")
     // SQL spelling
     val t2 = GraftTable.create(spark, tmpDir("manifest-mat-sql"),
       (0 until 20).map(i => (i.toLong, i * 2L)).toDF("k", "v"))
@@ -974,6 +985,14 @@ class LakeSpec extends GraftSparkSpec {
     assert(GraftTable.forPath(spark, t.path).history(30).collect()
       .count(_.getAs[String]("operation") == "REORG") == 2)
     assert(GraftTable.forPath(spark, t.path).toDF.count() == 54)
+
+    // best-effort end-to-end: a malformed property value must NOT
+    // make the already-durable DML look failed — the hook logs and
+    // skips (r12 advisory: only CME was swallowed before)
+    t.setTableProperties(Map("graft.autoReorg" -> "not-a-number"))
+    GraftTable.forPath(spark, t.path).deleteMergeOnRead(col("k") === 31)
+    assert(GraftTable.forPath(spark, t.path).toDF.count() == 53,
+      "the DML must commit even when the auto-REORG hook cannot parse")
   }
 
   test("auto manifest: layout-changing commits regenerate (MATERIALIZE " +

@@ -771,6 +771,51 @@ class TransactionSpec extends GraftSparkSpec {
     assert(GraftTable.forPath(spark, base).toDF.count() == 11)
   }
 
+  test("heartbeat covers gated-CTAS reservations: later phase-2 work " +
+      "refreshes a published create's version-0 marker") {
+    // r12 advisory: only DML squash reservations used to heartbeat —
+    // a long publish phase could age a live created table's
+    // reservation past the grace window. Two creates in one txn: by
+    // the time the SECOND publishes, the beat list must have
+    // refreshed the FIRST's version-0 marker mtime.
+    val gsql = freshSql()
+    val base = tmpDir("txn-hb-ctas-base")
+    gsql.registerCreate("hb_src", base,
+      spark.range(10).selectExpr("id AS k", "id AS v"))
+    val loc1 = tmpDir("txn-hb-ctas-1")
+    val loc2 = tmpDir("txn-hb-ctas-2")
+    val locOf = Map("hb1" -> loc1, "hb2" -> loc2)
+    def markerMtime(loc: String): Long = java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(
+        loc, "_graft_log", f"${0L}%020d.json")).toMillis
+    var firstLoc: Option[String] = None
+    var firstMtime = 0L
+    var refreshed = false
+    gsql.txnCrashHook = p =>
+      if (p.startsWith("after-create-publish-")) {
+        val name = p.stripPrefix("after-create-publish-")
+        firstLoc match {
+          case None =>
+            firstLoc = Some(locOf(name))
+            firstMtime = markerMtime(locOf(name))
+            Thread.sleep(20) // outlast filesystem mtime granularity
+          case Some(l) =>
+            refreshed = markerMtime(l) > firstMtime
+        }
+      }
+    gsql.executeScript(s"""
+      BEGIN;
+      CREATE TABLE hb1 LOCATION '$loc1' AS SELECT * FROM hb_src;
+      CREATE TABLE hb2 LOCATION '$loc2' AS SELECT * FROM hb_src WHERE k < 5;
+      COMMIT;
+    """)
+    assert(firstLoc.isDefined, "two creates must route through phase 2")
+    assert(refreshed,
+      "the second publish's beat must refresh the first create's marker")
+    assert(GraftTable.forPath(spark, loc1).toDF.count() == 10)
+    assert(GraftTable.forPath(spark, loc2).toDF.count() == 5)
+  }
+
   test("heartbeat: a slow live coordinator is not grace-aborted while " +
       "it makes progress") {
     val oldGrace = TxnLog.PendingGraceMs
