@@ -225,6 +225,7 @@ object SparkEntry {
     "lake_identity" -> LakeOps.lakeIdentity _,
     "lake_manifest" -> LakeOps.lakeManifest _,
     "lake_manifest_dv" -> LakeOps.lakeManifestDv _,
+    "lake_iceberg_export" -> LakeOps.lakeIcebergExport _,
     "lake_rlo_update" -> LakeOps.lakeRloUpdate _,
     "lake_rlo_update_mor" -> LakeOps.lakeRloUpdateMor _,
     "lake_rlo_merge" -> LakeOps.lakeRloMerge _,
@@ -2516,6 +2517,17 @@ object SparkEntry {
         "ELSE l_quantity END), 2) AS sum_qty, " +
         "ROUND(SUM(l_extendedprice), 2) AS sum_price " +
         "FROM lineitem WHERE l_orderkey % 5 <> 0"),
+    // Iceberg v2 export: the external read must miss the CoW delete's
+    // rows (files rewritten), drop the MoR delete's rows to position
+    // deletes, see the MoR update's post-images once, and recover the
+    // partition column from the manifest partition struct
+    "lake_iceberg_export" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "ROUND(SUM(CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100 " +
+        "ELSE l_quantity END), 2) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price " +
+        "FROM lineitem WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // id = create-time global key rank (deterministic two-file sorted
     // write); OPTIMIZE + DELETE must both preserve surviving ids
     "lake_rowtracking" ->

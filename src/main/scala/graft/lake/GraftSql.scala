@@ -111,6 +111,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$""".r
   private val generateRe: Regex =
     """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\w+)(\s+MATERIALIZE)?\s*;?\s*$""".r
+  private val exportIcebergRe: Regex =
+    """(?is)^\s*EXPORT\s+ICEBERG\s+METADATA\s+FOR\s+TABLE\s+(\w+)\s*;?\s*$""".r
   private val dropTableRe: Regex =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
   private val showColumnsRe: Regex =
@@ -318,7 +320,7 @@ final class GraftSql(spark: SparkSession) {
   // (maintenance/layout/lifecycle verbs) refuse inside a transaction
   private val txnForbiddenRe: Regex =
     ("""(?is)^\s*(DROP\s+TABLE|VACUUM|RESTORE|OPTIMIZE|REORG|FSCK|""" +
-      """GENERATE|COMPUTE\s+BLOOM|CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED|""" +
+      """GENERATE|EXPORT|COMPUTE\s+BLOOM|CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED|""" +
       """REFRESH\s+MATERIALIZED|CREATE\s+TABLE\s+\w+\s+(?:SHALLOW|DEEP)\s+CLONE)\b.*""").r
 
   private def rollbackTxn(st: TxnState): Unit = {
@@ -677,6 +679,15 @@ final class GraftSql(spark: SparkSession) {
       case generateRe(name, mat) =>
         table(name).generateManifest(materialize = mat != null)
           .map(p => ("manifest", p)).toDF("metric", "value")
+      case exportIcebergRe(name) =>
+        val r = IcebergExport.export(table(name))
+        (Seq(("metadata", r.metadataFile),
+          ("manifest_list", r.manifestList)) ++
+          r.manifests.map(("manifest", _)) ++
+          Seq(("data_files", r.dataFiles.toString),
+            ("delete_files", r.deleteFiles.toString),
+            ("delete_rows", r.deleteRows.toString)))
+          .toDF("metric", "value")
       case dropTableRe(name) =>
         // external-table semantics (the only kind here): unregister the
         // name, leave data + log for re-registration

@@ -541,6 +541,39 @@ object LakeOps {
         round(sum("l_extendedprice"), 2).as("sum_price"))
   }
 
+  /** Iceberg v2 metadata export round-trip (L105): a partitioned lake
+    * table accumulates CoW DELETE + merge-on-read DELETE/UPDATE (live
+    * deletion vectors), exports per-snapshot Iceberg metadata —
+    * Avro manifest list/manifests, identity partition spec, DVs as
+    * native position-delete files — and an EXTERNAL Iceberg-style
+    * read (version-hint → metadata.json → Avro manifests → parquet +
+    * position-delete anti-join; zero GraftLake log code) aggregates
+    * the same answer the engine does. Bites four ways: the CoW
+    * delete's files must be absent from the manifests, the MoR
+    * delete's rows must fall to the position deletes, the MoR
+    * update's post-images must appear exactly once, and the GROUP BY
+    * column is the identity-partition value attached from the
+    * manifest partition STRUCT (the data files don't contain it).
+    */
+  def lakeIcebergExport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    val t = graft.lake.GraftTable.create(spark, workDir(dir, "iceberg"),
+      li, partitionBy = Seq("l_returnflag"))
+    t.optimize()
+    t.delete(col("l_orderkey") % 3 === 0) // copy-on-write: files rewritten
+    t.deleteMergeOnRead(col("l_orderkey") % 5 === 0) // DVs stay live
+    t.updateMergeOnRead(col("l_orderkey") % 7 === 0,
+      Map("l_quantity" -> (col("l_quantity") + 100)))
+    graft.lake.IcebergExport.export(t)
+    graft.lake.IcebergExport.externalRead(spark, t.path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Runtime bloom semi-join (L62): a dim too wide for DFP's exact key
     * list drives a row-level bloom probe into the fact scan before the
     * join. The filter is advisory (fpp widens, never narrows), so the

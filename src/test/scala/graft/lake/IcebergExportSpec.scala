@@ -1,0 +1,192 @@
+package graft.lake
+
+import graft.GraftSparkSpec
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Iceberg v2 metadata export (L105): spec-conformance of the written
+  * artifacts (field-ids, sequence numbers, name mapping, partition
+  * spec) plus the external merge-on-read read path and the
+  * retention contract on repeated exports.
+  */
+class IcebergExportSpec extends GraftSparkSpec {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def readJson(p: java.nio.file.Path) =
+    mapper.readTree(java.nio.file.Files.readAllBytes(p))
+
+  private def metaDir(t: GraftTable) =
+    java.nio.file.Paths.get(t.path, "_graft_iceberg", "metadata")
+
+  private def currentMetadata(t: GraftTable) = {
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      metaDir(t).resolve("version-hint.text"))).trim
+    readJson(metaDir(t).resolve(s"v$hint.metadata.json"))
+  }
+
+  test("metadata.json carries the v2 contract: schema field-ids, " +
+      "identity partition spec, name mapping, snapshot pointers") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("ice-meta"),
+      (0L until 40L).map(i => (i, s"p${i % 2}", i * 2.0)).toDF("k", "part", "v"),
+      partitionBy = Seq("part"))
+    val r = IcebergExport.export(t)
+    val m = currentMetadata(t)
+    assert(m.get("format-version").asInt() == 2)
+    assert(m.get("table-uuid").asText().nonEmpty)
+    // deterministic uuid: re-export yields the same table identity
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    assert(currentMetadata(t).get("table-uuid").asText() ==
+      m.get("table-uuid").asText())
+    // schema: preorder ids 1..n, last-column-id matches
+    val fields = m.get("schemas").get(0).get("fields")
+    val ids = (0 until fields.size).map(i => fields.get(i).get("id").asInt())
+    assert(ids == Seq(1, 2, 3))
+    assert(m.get("last-column-id").asInt() == 3)
+    // identity partition spec sourced from the schema field id
+    val spec = m.get("partition-specs").get(0)
+    assert(spec.get("spec-id").asInt() == 0)
+    val pf = spec.get("fields").get(0)
+    assert(pf.get("name").asText() == "part")
+    assert(pf.get("transform").asText() == "identity")
+    assert(pf.get("source-id").asInt() == 2)
+    assert(pf.get("field-id").asInt() == 1000)
+    // name mapping (field-id-less parquet needs it, the migrated-
+    // table convention)
+    val nm = mapper.readTree(m.get("properties")
+      .get("schema.name-mapping.default").asText())
+    assert(nm.size() == 3)
+    assert(nm.get(0).get("field-id").asInt() == 1)
+    assert(nm.get(0).get("names").get(0).asText() == "k")
+    // snapshot pointers resolve
+    val snapId = m.get("current-snapshot-id").asLong()
+    val snap = m.get("snapshots").get(0)
+    assert(snap.get("snapshot-id").asLong() == snapId)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      new java.net.URI(snap.get("manifest-list").asText()).getPath)))
+    assert(r.dataFiles > 0 && r.deleteFiles == 0)
+  }
+
+  test("manifest Avro schemas carry spec field-ids; a clean table " +
+      "exports exactly one data manifest with typed partition values") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("ice-avro"),
+      (0L until 30L).map(i => (i, i % 3, i * 10L)).toDF("k", "part", "v"),
+      partitionBy = Seq("part"))
+    IcebergExport.export(t)
+    val p = IcebergExport.parse(t.path)
+    assert(p.partitionColumns == Seq("part"))
+    assert(p.deleteFiles.isEmpty)
+    // LONG partition column arrives typed, one value per source file
+    val parts = p.dataFiles.map(_._2("part")).distinct
+    assert(parts.forall(_.isInstanceOf[java.lang.Long]),
+      s"identity partition values must be typed: $parts")
+    assert(parts.map(_.asInstanceOf[java.lang.Long].longValue()).sorted
+      == Seq(0L, 1L, 2L))
+    // the manifest list's Avro schema keeps the spec's field-ids
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      metaDir(t).resolve("version-hint.text"))).trim
+    val m = readJson(metaDir(t).resolve(s"v$hint.metadata.json"))
+    val listPath = new java.net.URI(
+      m.get("snapshots").get(0).get("manifest-list").asText()).getPath
+    val rdr = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](
+      new java.io.File(listPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      val sch = rdr.getSchema
+      assert(sch.getField("manifest_path").getObjectProp("field-id") == 500)
+      assert(sch.getField("content").getObjectProp("field-id") == 517)
+      val entries = rdr.iterator()
+      val first = entries.next()
+      assert(first.get("content") == 0 && !entries.hasNext,
+        "clean table: exactly one data manifest")
+      assert(first.get("sequence_number") == 1L)
+    } finally rdr.close()
+  }
+
+  test("live deletion vectors export as position-delete files: " +
+      "content=1 manifest at a higher sequence number, spec-sorted " +
+      "delete parquet, external MoR read equals the engine") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("ice-dv"),
+      (0L until 100L).map(i => (i, i * 10L)).toDF("k", "v")
+        .repartitionByRange(2, col("k")))
+    t.deleteMergeOnRead(col("k") % 4 === 0)
+    t.updateMergeOnRead(col("k") === 1, Map("v" -> lit(9999L)))
+    assert(t.snapshot.dvFiles.nonEmpty, "precondition: DVs live")
+    val r = IcebergExport.export(GraftTable.forPath(spark, t.path))
+    assert(r.deleteFiles > 0 && r.deleteRows == 26,
+      s"25 deletes + 1 update pre-image, got ${r.deleteRows}")
+    val p = IcebergExport.parse(t.path)
+    assert(p.deleteFiles.nonEmpty)
+    // delete parquet is sorted by (file_path, pos) within each file —
+    // the spec's requirement for position-delete files
+    p.deleteFiles.foreach { f =>
+      val rows = spark.read.parquet(f)
+        .select("file_path", "pos").collect()
+        .map(r0 => (r0.getString(0), r0.getLong(1))).toSeq
+      assert(rows == rows.sorted, s"unsorted position deletes in $f")
+    }
+    // sequence numbers: deletes land ABOVE the data manifest so v2
+    // readers apply them to the listed data files
+    val m = currentMetadata(GraftTable.forPath(spark, t.path))
+    assert(m.get("last-sequence-number").asLong() == 2L)
+    // external MoR read = engine read, including the update post-image
+    val ext = IcebergExport.externalRead(spark, t.path)
+      .orderBy("k").collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+    val eng = GraftTable.forPath(spark, t.path).toDF
+      .orderBy("k").collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+    assert(ext == eng)
+    assert(ext.exists(_ == (1L, 9999L)), "post-image must be visible")
+    assert(!ext.exists(_._1 % 4 == 0), "masked rows must be deleted")
+  }
+
+  test("repeated exports keep prior position-delete rewrites inside " +
+      "the retention window and reclaim them past it; SQL surface") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("ice-retain"),
+      (0L until 50L).map(i => (i, i)).toDF("k", "v"))
+    t.deleteMergeOnRead(col("k") < 10)
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val p1 = IcebergExport.parse(t.path)
+    assert(p1.deleteFiles.nonEmpty)
+    // more MoR debt at a later version; the re-export writes a new
+    // _deletes/v<N> but must keep v<M> (an external reader holding
+    // the previous metadata still resolves its delete files)
+    GraftTable.forPath(spark, t.path).deleteMergeOnRead(col("k") === 20)
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    p1.deleteFiles.foreach(f => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        new java.net.URI(f).getPath)),
+      s"prior export's delete file must survive retention: $f"))
+    // the NEW metadata covers the full debt
+    assert(IcebergExport.externalRead(spark, t.path).count() == 39)
+    // expired window -> next export reclaims old rewrites
+    GraftTable.forPath(spark, t.path).setTableProperties(
+      Map("graft.manifest.exportRetentionHours" -> "0"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val survivors = {
+      val delRoot = java.nio.file.Paths.get(
+        t.path, "_graft_iceberg", "_deletes")
+      val l = java.nio.file.Files.list(delRoot)
+      try l.iterator().asScala.toSeq.map(_.getFileName.toString)
+      finally l.close()
+    }
+    assert(survivors.size == 1,
+      s"expired exports must be reclaimed, left: $survivors")
+    // SQL spelling returns the artifact listing
+    val gsql = new GraftSql(spark)
+    gsql.register("ice", t.path)
+    val out = gsql.sql("EXPORT ICEBERG METADATA FOR TABLE ice")
+    assert(out.filter(col("metric") === "metadata").count() == 1)
+    assert(out.filter(col("metric") === "manifest").count() == 2,
+      "data + delete manifests")
+    // ...and refuses inside a transaction (maintenance verb)
+    val ex = intercept[Exception](gsql.executeScript(
+      "BEGIN; EXPORT ICEBERG METADATA FOR TABLE ice; COMMIT;"))
+    assert(ex.getMessage.toLowerCase.contains("transaction"))
+  }
+}
