@@ -270,7 +270,21 @@ object Analytics {
       .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")),
         "l_orderkey")
       .filter(col("part_a") < col("part_b"))
-    pairs.groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+    // Spill-aware pair count: cluster the pair stream on its
+    // aggregation key BEFORE the aggregate. A plain groupBy would run
+    // its partial aggregate over the ORDER-partitioned join output,
+    // where almost every pair is distinct within a task — the partial
+    // hash map grows to (total pairs / tasks) entries of mostly
+    // count=1, the fixed-memory spill regime the r12 sf10 pass
+    // measured (~10–13× time for 10× data). After the explicit
+    // repartition both aggregate phases see only their own hash slice
+    // of the pair domain, and AQE's size-targeted coalescing bounds
+    // that slice in BYTES — per-task state stays flat as data scales
+    // out, which is exactly the property a 1000-executor run needs.
+    // (Raw 24-byte pair rows shuffle in place of partial counts; on a
+    // mostly-unique pair domain that is the same volume.)
+    pairs.repartition(col("part_a"), col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(20)
   }
@@ -300,6 +314,9 @@ object Analytics {
       .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")),
         "l_orderkey")
       .filter(col("part_a") < col("part_b"))
+      // cluster on the pair before aggregating — bounds per-task hash
+      // state to the size-targeted shuffle slice (see q59Basket)
+      .repartition(col("part_a"), col("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 3)
     pairs
@@ -1198,8 +1215,17 @@ object Analytics {
       // scaled) → unhinted; AQE broadcasts the anti side while small
       .join(bad, li("l_suppkey") === col("s_suppkey"), "left_anti")
       .select(col("p_brand"), col("p_size"), col("l_suppkey"))
+      // spill-aware distinct-count: dedup the (brand, size, supplier)
+      // triples on their FULL key first — clustered input keeps each
+      // dedup task's hash map to its own size-bounded slice of the
+      // triple domain (see q59Basket) — then count the deduped rows,
+      // whose cardinality is dim-bounded (brands × sizes × suppliers),
+      // per group. countDistinct over the join output would grow its
+      // partial distinct map to (triples / tasks) per task instead.
+      .repartition(col("p_brand"), col("p_size"), col("l_suppkey"))
+      .distinct()
       .groupBy("p_brand", "p_size")
-      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .agg(count(lit(1)).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
   }
 
