@@ -226,6 +226,7 @@ object SparkEntry {
     "lake_manifest" -> LakeOps.lakeManifest _,
     "lake_manifest_dv" -> LakeOps.lakeManifestDv _,
     "lake_iceberg_export" -> LakeOps.lakeIcebergExport _,
+    "lake_dfp_cost" -> LakeOps.lakeDfpCost _,
     "lake_rlo_update" -> LakeOps.lakeRloUpdate _,
     "lake_rlo_update_mor" -> LakeOps.lakeRloUpdateMor _,
     "lake_rlo_merge" -> LakeOps.lakeRloMerge _,
@@ -2517,6 +2518,20 @@ object SparkEntry {
         "ELSE l_quantity END), 2) AS sum_qty, " +
         "ROUND(SUM(l_extendedprice), 2) AS sum_price " +
         "FROM lineitem WHERE l_orderkey % 5 <> 0"),
+    // histogram-steered runtime-filter read: whichever path the cost
+    // model picks (plain / bloom / DFP per dim shape), the joined
+    // aggregate must equal plain-SQL arithmetic — advisory filters
+    // affect cost, never answers
+    "lake_dfp_cost" ->
+      ("WITH mk AS (SELECT MAX(p_partkey) AS m FROM part) " +
+        "SELECT dim_set, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty " +
+        "FROM (SELECT 'full' AS dim_set, l_quantity FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "UNION ALL SELECT 'quarter', l_quantity FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey CROSS JOIN mk WHERE p_partkey * 4 < m " +
+        "UNION ALL SELECT 'narrow', l_quantity FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey WHERE p_partkey < 40) " +
+        "GROUP BY dim_set ORDER BY dim_set"),
     // Iceberg v2 export: the external read must miss the CoW delete's
     // rows (files rewritten), drop the MoR delete's rows to position
     // deletes, see the MoR update's post-images once, and recover the

@@ -195,6 +195,68 @@ object Cbo {
       sel <- rangeSelectivity(t, column, lo, hi)
     } yield math.round(h.rows * sel)
 
+  /** Distinct values under `lo ≤ column ≤ hi`, from the same
+    * per-bucket NDV array the histogram carries: covered buckets
+    * contribute their full NDV, cut buckets a linearly-interpolated
+    * share (≥1 while any overlap remains). The denominator the
+    * runtime-filter decision needs — "how many distinct fact keys
+    * could the dim's range even touch".
+    */
+  def rangeNdv(t: GraftTable, column: String,
+      lo: Double, hi: Double): Option[Long] =
+    histogram(t, column).map { h =>
+      if (hi < lo || hi < h.bounds.head || lo > h.bounds.last) 0L
+      else math.max(1L, math.round((0 until h.buckets).map { i =>
+        val (bLo, bHi) = (h.bounds(i), h.bounds(i + 1))
+        if (bHi < lo || bLo > hi) 0.0
+        else if (bLo >= lo && bHi <= hi) h.ndv(i).toDouble
+        else if (bHi == bLo) h.ndv(i).toDouble
+        else {
+          val cutLo = math.max(lo, bLo); val cutHi = math.min(hi, bHi)
+          math.max(1.0, h.ndv(i) * (cutHi - cutLo) / (bHi - bLo))
+        }
+      }.sum))
+    }
+
+  /** Histogram-cost-based RUNTIME-FILTER decision (the §I stats story
+    * extended from join SIDES to SCAN planning): given a fact column
+    * and a dim key set summarized as (count, min, max), choose between
+    *
+    *  - `dfp-exact`  — few enough keys: enumerate them into the stats
+    *    stack (file-level prune + exact row IN-filter), always best;
+    *  - `bloom`      — many keys but the filter still cuts: pay the
+    *    dim-side distinct + treeAggregate bloom build;
+    *  - `plain`      — the filter would NOT cut: the dim range lands
+    *    on the fact key's mass, so the bloom keeps ~everything and
+    *    its build cost (plus a probe on every fact row) is pure waste.
+    *
+    * The kept-fraction estimate is where the histogram earns its keep:
+    * mass(range) × min(1, nKeys / ndv(range)). Uniform min/max
+    * reasoning gets exactly the skewed case wrong — a narrow dim range
+    * sitting on a heavy value looks tiny by width but keeps most of
+    * the table, and a wide range over a light tail looks huge by width
+    * but keeps almost nothing. Without a histogram the decision falls
+    * back to `bloom` (the previous static behavior — advisory filters
+    * never affect correctness, only cost). Returns
+    * (decision, estimatedKeptFraction).
+    */
+  def runtimeFilterDecision(t: GraftTable, column: String, nKeys: Long,
+      dimLo: Double, dimHi: Double, maxKeys: Long = 10000L,
+      minCutFraction: Double = 0.5): (String, Double) = {
+    if (nKeys <= maxKeys) {
+      val kept = rangeSelectivity(t, column, dimLo, dimHi).getOrElse(1.0)
+      ("dfp-exact", kept)
+    } else {
+      (for {
+        mass <- rangeSelectivity(t, column, dimLo, dimHi)
+        ndvR <- rangeNdv(t, column, dimLo, dimHi)
+      } yield {
+        val kept = mass * math.min(1.0, nKeys.toDouble / math.max(1L, ndvR))
+        (if (kept >= minCutFraction) "plain" else "bloom", kept)
+      }).getOrElse(("bloom", 1.0))
+    }
+  }
+
   /** Read `column = value` of a table for use as a join side: the
     * HISTOGRAM estimate (not 1/NDV, not on-disk bytes) decides whether
     * the filtered side broadcasts. This is the decision a skewed key

@@ -369,6 +369,56 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         GraftSqlShims.expression(col(key)), bos.toByteArray)))
   }
 
+  /** Histogram-steered runtime-filter read (L106): the cost-based
+    * front door over [[readDynamicallyPruned]] /
+    * [[readBloomJoinFiltered]] / a plain scan. One dim-side pass
+    * computes (distinct count, min, max); [[Cbo.runtimeFilterDecision]]
+    * then prices the candidate filter against the fact column's
+    * equi-height histogram — mass(dim range) × min(1, keys/ndv(range))
+    * — and the read takes the cheapest correct path: exact-key DFP
+    * under `maxKeys`, a bloom row filter when the estimate says it
+    * cuts, and a PLAIN scan when it says the bloom would keep
+    * ~everything (skew case: a narrow dim range sitting on a heavy
+    * fact value — building + probing a 10M-key bloom against 100 TB
+    * that it cannot prune is the expensive mistake this avoids; the
+    * reverse skew, a wide light-tail range, correctly stays on the
+    * bloom path even though its WIDTH looks unselective). All three
+    * paths are advisory filters — the caller's join applies the exact
+    * predicate, so the decision affects cost, never answers.
+    * Returns (decision, DataFrame); [[readCostBased]] drops the tag.
+    */
+  def readCostBasedTagged(dim: DataFrame, key: String,
+      maxKeys: Int = 10000, fpp: Double = 0.01,
+      minCutFraction: Double = 0.5): (String, DataFrame) = {
+    val s = snapshot
+    require(s.schema.fieldNames.contains(key), s"no such column: $key")
+    val keys = dim.select(col(key)).na.drop().distinct()
+    val agg = keys.agg(count(lit(1)), min(col(key)), max(col(key))).head()
+    val n = agg.getLong(0)
+    if (n == 0) return ("empty", dfForFiles(s, Nil))
+    def asD(v: Any): Option[Double] = v match {
+      case x: Number => Some(x.doubleValue())
+      case _ => None
+    }
+    val (decision, _) = (asD(agg.get(1)), asD(agg.get(2))) match {
+      case (Some(lo), Some(hi)) =>
+        Cbo.runtimeFilterDecision(this, key, n, lo, hi, maxKeys,
+          minCutFraction)
+      // non-numeric keys carry no histogram: keep the static behavior
+      case _ => (if (n <= maxKeys) "dfp-exact" else "bloom", 1.0)
+    }
+    decision match {
+      case "dfp-exact" => (decision, readDynamicallyPruned(dim, key, maxKeys))
+      case "bloom" => (decision, readBloomJoinFiltered(dim, key, fpp))
+      case _ => (decision, toDF)
+    }
+  }
+
+  /** [[readCostBasedTagged]] without the decision tag. */
+  def readCostBased(dim: DataFrame, key: String, maxKeys: Int = 10000,
+      fpp: Double = 0.01, minCutFraction: Double = 0.5): DataFrame =
+    readCostBasedTagged(dim, key, maxKeys, fpp, minCutFraction)._2
+
   /** Active files with stats/partition keys remapped to logical column
     * names so pruning can match predicates written against the current
     * (possibly renamed) schema. Identity when no mapping exists.

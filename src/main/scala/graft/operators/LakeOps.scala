@@ -541,6 +541,40 @@ object LakeOps {
         round(sum("l_extendedprice"), 2).as("sum_price"))
   }
 
+  /** Histogram-steered runtime-filter read (L106): ONE cost-based
+    * front door routes a fact⨝dim read to exact-key DFP, a bloom row
+    * filter, or a plain scan, priced from the fact key's equi-height
+    * histogram (mass of the dim's key range × keys/ndv-in-range). The
+    * three dim shapes here exercise every branch — a dim covering the
+    * whole key domain (a bloom would keep ~everything: plain), a
+    * quarter-domain dim (the filter cuts: bloom), and a small key set
+    * (enumerable: DFP) — and each branch's joined aggregate must equal
+    * the same plain-SQL oracle arithmetic, proving the advisory
+    * filters affect cost only, never answers.
+    */
+  def lakeDfpCost(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val t = graft.lake.GraftTable.create(spark, workDir(dir, "dfpcost"),
+      li.repartitionByRange(8, col("l_partkey"))
+        .sortWithinPartitions("l_partkey"))
+    t.computeHistogram(Seq("l_partkey"))
+    val t2 = graft.lake.GraftTable.forPath(spark, t.path)
+    val part = Tables(spark, dir, "part")
+    val maxKey = part.agg(max("p_partkey")).head().getLong(0)
+    def side(name: String, dim: org.apache.spark.sql.DataFrame) = {
+      val keys = dim.select(col("p_partkey").as("l_partkey"))
+      t2.readCostBased(keys, "l_partkey", maxKeys = 64)
+        .join(keys, "l_partkey")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(lit(name).as("dim_set"), col("n"), col("sum_qty"))
+    }
+    side("full", part)
+      .unionAll(side("quarter", part.filter(col("p_partkey") * 4 < maxKey)))
+      .unionAll(side("narrow", part.filter(col("p_partkey") < 40)))
+      .orderBy("dim_set")
+  }
+
   /** Iceberg v2 metadata export round-trip (L105): a partitioned lake
     * table accumulates CoW DELETE + merge-on-read DELETE/UPDATE (live
     * deletion vectors), exports per-snapshot Iceberg metadata —

@@ -197,6 +197,50 @@ class CboSpec extends GraftSparkSpec {
     assert(h.bounds.head == 777.0 && h.bounds.last == 12000.0)
   }
 
+  test("runtime-filter decision prices the MASS, not the key range: a " +
+      "narrow heavy range goes plain, a wide light range keeps the bloom") {
+    import spark.implicits._
+    // 18k rows at key 777 + 2k light rows over [10001, 12000]
+    val df = ((1 to 18000).map(_ => 777L) ++ (1L to 2000L).map(10000L + _))
+      .toDF("k")
+    val t0 = GraftTable.create(spark, tmpDir("cbo_rtf"), df.repartition(4))
+    t0.computeHistogram(Seq("k"))
+    val t = GraftTable.forPath(spark, t0.path)
+
+    // few keys always enumerate
+    assert(Cbo.runtimeFilterDecision(t, "k", 10, 777.0, 800.0)._1
+      == "dfp-exact")
+    // 101 keys over [700, 800]: WIDTH says 0.9% of the domain, MASS
+    // says 90% of the rows (the heavy value) — a bloom built over
+    // this dim keeps ~everything, so the filter is pure waste
+    val (hot, hotKept) =
+      Cbo.runtimeFilterDecision(t, "k", 101, 700.0, 800.0, maxKeys = 50)
+    assert(hot == "plain", s"heavy-range filter must be skipped: $hot")
+    assert(hotKept > 0.8, s"estimated kept fraction must see the mass: $hotKept")
+    // 1000 keys over the wide light tail: WIDTH says half the domain,
+    // MASS says ~5% of rows survive — the bloom pays for itself
+    val (cold, coldKept) =
+      Cbo.runtimeFilterDecision(t, "k", 1000, 10001.0, 11000.0, maxKeys = 50)
+    assert(cold == "bloom", s"light-range filter must stay: $cold")
+    assert(coldKept < 0.2, s"kept estimate must be small: $coldKept")
+    // no histogram -> static fallback (bloom past maxKeys)
+    val bare = GraftTable.create(spark, tmpDir("cbo_rtf_bare"),
+      (1L to 100L).toDF("k"))
+    assert(Cbo.runtimeFilterDecision(bare, "k", 1000, 0.0, 50.0,
+      maxKeys = 50)._1 == "bloom")
+
+    // the READ routes accordingly and every path answers identically
+    val hotDim = (700L to 800L).toDF("k")
+    val coldDim = (10001L to 11000L).toDF("k")
+    val (tagH, dfH) = t.readCostBasedTagged(hotDim, "k", maxKeys = 50)
+    val (tagC, dfC) = t.readCostBasedTagged(coldDim, "k", maxKeys = 50)
+    val (tagS, dfS) = t.readCostBasedTagged(hotDim.limit(5), "k", maxKeys = 50)
+    assert(tagH == "plain" && tagC == "bloom" && tagS == "dfp-exact")
+    assert(dfH.join(hotDim, "k").count() == 18000L)
+    assert(dfC.join(coldDim, "k").count() == 1000L)
+    assert(t.toDF.join(hotDim, "k").count() == 18000L)
+  }
+
   test("histogram rows exclude NULLs: selectivity on a nullable column " +
       "prices non-null mass, not total row count") {
     import spark.implicits._
