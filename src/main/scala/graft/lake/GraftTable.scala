@@ -2650,14 +2650,66 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** MERGE schema evolution (Delta `withSchemaEvolution` parity):
     * every source column the table lacks is appended (nullable,
     * metadata-only commit) before the merge plans; existing rows read
-    * NULL for it. Evolution only ADDS — a source missing an existing
-    * table column still refuses with the schema-mismatch error.
+    * NULL for it. NESTED depth too: a source struct carrying fields
+    * the table's struct lacks evolves the struct TYPE in place —
+    * recursively, including structs inside arrays — and existing rows
+    * read NULL for the new nested fields (Spark's parquet reader
+    * null-fills requested nested fields absent from a file, the same
+    * mechanism flat evolution rides). Evolution only ADDS, at every
+    * level: a source missing an existing top-level column still
+    * refuses, and a nested primitive TYPE CHANGE keeps the table's
+    * type so enforcement refuses downstream rather than silently
+    * rewriting data. All nested changes land as ONE metadata commit.
     */
   private[lake] def evolveSchemaFor(source: DataFrame): Unit = {
     val s = snapshot
     source.schema.fields
       .filterNot(f => s.schema.fieldNames.contains(f.name))
       .foreach(f => addColumn(f.name, f.dataType))
+    // nested additions: merge each common column's type and commit
+    // the evolved schema once if anything grew
+    val s2 = snapshot
+    val bySrc = source.schema.fields.map(f => f.name -> f.dataType).toMap
+    val evolved = org.apache.spark.sql.types.StructType(
+      s2.schema.fields.map { f =>
+        bySrc.get(f.name) match {
+          case Some(srcT) =>
+            f.copy(dataType = GraftTable.mergeNestedType(f.dataType, srcT))
+          case None => f
+        }
+      })
+    if (evolved != s2.schema) {
+      val meta = s2.metadata.get.copy(schemaJson = evolved.json)
+      commitAndCheckpoint(Seq(info("EVOLVE SCHEMA",
+        params = Map("mode" -> "merge-nested")), meta),
+        readVersion = s2.version, metadataConflict = true)
+      ()
+    }
+  }
+
+  /** Project `df`'s struct columns onto the table's (evolved) nested
+    * shape: reorder nested fields by NAME to the table's order, fill
+    * nested fields the source omits with NULL, recurse through
+    * arrays, and cast once per column to normalize nullability — so a
+    * source whose struct literal listed fields in a different order
+    * (or wrote only some of them) merges instead of refusing on a
+    * field-order technicality. Top-level columns are untouched:
+    * omitting one still refuses (the flat contract).
+    */
+  private[lake] def alignToSchema(df: DataFrame): DataFrame = {
+    val s = snapshot
+    val tb = s.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(df.schema.fields.toIndexedSeq.map { f =>
+      tb.get(f.name) match {
+        case Some(t) if GraftTable.nullableDeep(t) !=
+              GraftTable.nullableDeep(f.dataType) &&
+            GraftTable.nullableDeep(GraftTable.mergeNestedType(t, f.dataType)) ==
+              GraftTable.nullableDeep(t) =>
+          GraftTable.alignColumn(col(f.name), t, f.dataType)
+            .cast(GraftTable.nullableDeep(t)).as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
   }
 
   /** `omittedReadsNull`: whether a column MISSING from `df` will read
@@ -2757,8 +2809,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   private def enforceSchema(incoming: StructType, table: StructType): Unit = {
-    val in = incoming.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
-    val tb = table.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    // nested NULLABILITY is ignored (GraftTable.nullableDeep): parquet
+    // doesn't enforce it, Spark refuses narrowing casts on it, and the
+    // flat NOT NULL contract has its own check — only names and types
+    // (at every depth) gate the write
+    val in = incoming.fields
+      .map(f => f.name -> GraftTable.nullableDeep(f.dataType)).sortBy(_._1).toSeq
+    val tb = table.fields
+      .map(f => f.name -> GraftTable.nullableDeep(f.dataType)).sortBy(_._1).toSeq
     require(in == tb,
       s"schema mismatch: incoming ${incoming.simpleString} vs table ${table.simpleString} " +
         "(use overwrite(df, overwriteSchema = true) to change the schema)")
@@ -5118,6 +5176,78 @@ object GraftTable {
     * non-ASCII partition values). Both sides reduce to one canonical
     * absolute filesystem path before any DV↔file matching.
     */
+  /** Deep nullability widening: the nested-type comparison/cast basis.
+    * Nullability is metadata Spark refuses to CAST away (narrowing)
+    * and parquet does not enforce; flat NOT NULL has its own explicit
+    * check, so nested type equality (and the alignment cast target)
+    * deliberately ignores it.
+    */
+  private[lake] def nullableDeep(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(nullableDeep(a.elementType), true)
+      case m: MapType =>
+        MapType(nullableDeep(m.keyType), nullableDeep(m.valueType), true)
+      case o => o
+    }
+  }
+
+  /** Recursive type merge for nested MERGE evolution: structs keep
+    * the TABLE's field order and append source-only fields (nullable,
+    * in source order) after it; common fields recurse; arrays merge
+    * their element; any other combination keeps the table's type so
+    * primitive type CHANGES surface as enforcement errors instead of
+    * silent rewrites. Identity when nothing grew.
+    */
+  private[lake] def mergeNestedType(table: org.apache.spark.sql.types.DataType,
+      src: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    (table, src) match {
+      case (t: StructType, s: StructType) =>
+        val tNames = t.fieldNames.toSet
+        val merged = t.fields.map { f =>
+          s.fields.find(_.name == f.name) match {
+            case Some(sf) => f.copy(dataType = mergeNestedType(f.dataType, sf.dataType))
+            case None => f
+          }
+        } ++ s.fields.filterNot(f => tNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(merged)
+      case (ArrayType(te, n), ArrayType(se, _)) =>
+        ArrayType(mergeNestedType(te, se), n)
+      case _ => table
+    }
+  }
+
+  /** Rebuild a column to the table's nested shape by NAME: reorder
+    * struct fields, NULL-fill table fields the source omits, recurse
+    * through arrays. NULL structs stay NULL (never become a struct of
+    * nulls). The caller applies one final cast for nullability.
+    */
+  private[lake] def alignColumn(c: org.apache.spark.sql.Column,
+      table: org.apache.spark.sql.types.DataType,
+      src: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    (table, src) match {
+      case (t: StructType, s: StructType) if t != s =>
+        val bySrc = s.fields.map(f => f.name -> f.dataType).toMap
+        val rebuilt = struct(t.fields.toIndexedSeq.map { f =>
+          bySrc.get(f.name) match {
+            case Some(st) => alignColumn(c.getField(f.name), f.dataType, st).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+        when(c.isNull, lit(null).cast(t)).otherwise(rebuilt)
+      case (ArrayType(te, _), ArrayType(se, _)) if te != se =>
+        transform(c, x => alignColumn(x, te, se))
+      case _ => c
+    }
+  }
+
   private[lake] def canonicalFsPath(p: String): String = {
     val raw =
       try {

@@ -124,24 +124,36 @@ final class MergeBuilder private[lake] (t: GraftTable, source: DataFrame, keys: 
 
   /** Append source columns the table lacks before merging (Delta
     * `withSchemaEvolution`): metadata-only ADD COLUMN per new field,
-    * existing rows read NULL. The source must still carry every
-    * EXISTING table column.
+    * existing rows read NULL. NESTED depth too: source struct fields
+    * the table's struct lacks evolve the struct type in place
+    * (recursively, including structs inside arrays), and the source's
+    * struct columns align to the evolved shape by NAME — field order
+    * never refuses a merge. The source must still carry every
+    * EXISTING top-level table column, and nested primitive type
+    * CHANGES still refuse (evolution only adds).
     */
   def withSchemaEvolution(): MergeBuilder = { evolve = true; this }
   private var evolve = false
 
   def execute(): Map[String, String] = {
-    if (evolve) t.evolveSchemaFor(source)
+    // evolution first (flat + nested adds as metadata commits), then
+    // align the source's struct columns onto the evolved shape by
+    // NAME — a source struct listing fields in a different order, or
+    // omitting a nested field, merges instead of refusing on a
+    // field-order technicality
+    val src = if (evolve) {
+      t.evolveSchemaFor(source); t.alignToSchema(source)
+    } else source
     val insertUnmatched = insertClauses.nonEmpty
     val (insertCond, insertSet) =
       insertClauses.headOption.getOrElse((None, None))
     val moreInserts = if (insertClauses.isEmpty) Nil else insertClauses.tail
     if (mor)
-      t.executeMergeMoR(source, keys, updateAll, updateCond, updateSet,
+      t.executeMergeMoR(src, keys, updateAll, updateCond, updateSet,
         deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete,
         insertCond, insertSet, moreInserts, matchCond)
     else
-      t.executeMerge(source, keys, updateAll, updateCond, updateSet,
+      t.executeMerge(src, keys, updateAll, updateCond, updateSet,
         deleteCond, insertUnmatched, nmbsUpdate, nmbsDelete,
         insertCond, insertSet, moreInserts, matchCond)
   }

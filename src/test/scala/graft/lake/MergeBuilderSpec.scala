@@ -375,6 +375,61 @@ class MergeBuilderSpec extends GraftSparkSpec {
     }
   }
 
+  test("withSchemaEvolution evolves NESTED structs: new struct fields " +
+      "(incl. inside arrays) add in place, old rows read nested NULL, " +
+      "and a reordered source struct aligns by name") {
+    import spark.implicits._
+    // target: info struct<a> + tags array<struct<x>>
+    val base = spark.range(10).selectExpr("id AS k",
+      "named_struct('a', id * 2) AS info",
+      "array(named_struct('x', id)) AS tags")
+    val t = GraftTable.create(spark, tmpDir("mb-evolve-nested"), base)
+    // source struct lists b BEFORE a (reversed order) and the array
+    // element gains y: both must merge, not refuse
+    val src = spark.range(8, 14).selectExpr("id AS k",
+      "named_struct('b', concat('s', id), 'a', id * 100) AS info",
+      "array(named_struct('y', id + 1000, 'x', id)) AS tags")
+    // without evolution the nested extras refuse loudly
+    intercept[IllegalArgumentException] { t.merge(src, "k") }
+    t.mergeBuilder(src, "k").withSchemaEvolution()
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val t2 = GraftTable.forPath(spark, t.path)
+    // evolved shape: table field order first, new fields appended
+    assert(t2.snapshot.schema("info").dataType.simpleString ==
+      "struct<a:bigint,b:string>")
+    assert(t2.snapshot.schema("tags").dataType.simpleString ==
+      "array<struct<x:bigint,y:bigint>>")
+    val out = t2.toDF.orderBy("k")
+      .selectExpr("k", "info.a", "info.b", "tags[0].x", "tags[0].y")
+      .collect().map(r => (r.getLong(0),
+        r.getLong(1), if (r.isNullAt(2)) null else r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // untouched rows: nested nulls for the new fields
+    assert(out.filter(_._1 < 8).forall(r =>
+      r._2 == r._1 * 2 && r._3 == null && r._4 == r._1 && r._5 == -1L))
+    // matched (8, 9) and inserted (10..13): full nested values
+    assert(out.filter(_._1 >= 8).forall(r =>
+      r._2 == r._1 * 100 && r._3 == s"s${r._1}" &&
+        r._4 == r._1 && r._5 == r._1 + 1000))
+    // merge-on-read path takes the same alignment
+    val src2 = spark.range(0, 2).selectExpr("id AS k",
+      "named_struct('b', 'mor', 'a', id + 7) AS info",
+      "array(named_struct('y', 5L, 'x', id)) AS tags")
+    t2.mergeBuilder(src2, "k").withSchemaEvolution().mergeOnRead()
+      .whenMatchedUpdateAll().whenNotMatchedIgnore().execute()
+    val t3 = GraftTable.forPath(spark, t.path)
+    assert(t3.snapshot.dvFiles.nonEmpty)
+    assert(t3.toDF.filter(col("k") < 2)
+      .selectExpr("info.b").collect().forall(_.getString(0) == "mor"))
+    // a nested primitive TYPE change still refuses (evolution only adds)
+    val bad = spark.range(1).selectExpr("id AS k",
+      "named_struct('a', 'not-a-long') AS info",
+      "array(named_struct('x', id)) AS tags")
+    intercept[IllegalArgumentException] {
+      t3.mergeBuilder(bad, "k").withSchemaEvolution().execute()
+    }
+  }
+
   test("SQL MERGE WITH SCHEMA EVOLUTION adds new source columns") {
     val o = Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
