@@ -995,6 +995,63 @@ class LakeSpec extends GraftSparkSpec {
       "the DML must commit even when the auto-REORG hook cannot parse")
   }
 
+  test("OPTIMIZE WHERE x CLUSTER BY audit: scoped passes never stamp " +
+      "the incremental clustering version, the next unscoped pass stays " +
+      "incremental (untouched partitions keep their files), FULL restamps") {
+    import spark.implicits._
+    val path = tmpDir("optwhere-cluster")
+    def props() = GraftTable.forPath(spark, path)
+      .snapshot.metadata.get.properties
+    val df = (0L until 300L).map(i => (i % 100, s"p${i % 3}", i))
+      .toDF("k", "part", "v").repartition(2)
+    val t0 = GraftTable.create(spark, path, df,
+      partitionBy = Seq("part"),
+      properties = Map("graft.clusterBy" -> "k"))
+    // first unscoped pass: full apply, stamps the applying commit
+    val m1 = GraftTable.forPath(spark, t0.path).optimize()
+    val stamp1 = props()("graft.clusterBy.version")
+    assert(stamp1 == m1("commitVersion"))
+    assert(props()("graft.clusterBy.applied") == "k")
+    // post-stamp traffic: an append into p0 only
+    GraftTable.forPath(spark, t0.path).append(
+      (300L until 400L).map(i => (i % 100, "p0", i))
+        .toDF("k", "part", "v").coalesce(1))
+    // scoped WHERE pass over p1: rewrites p1's files, MUST NOT claim
+    // the incremental stamp (it covered part of the table)
+    val mW = GraftTable.forPath(spark, t0.path)
+      .optimize(where = Some(col("part") === "p1"))
+    assert(mW("numRemovedFiles").toInt > 0, "the scope must rewrite p1")
+    assert(props()("graft.clusterBy.version") == stamp1,
+      "a WHERE-scoped pass must not stamp the clustering version")
+    // p2 has seen no traffic since the stamp: its files must survive
+    // the next unscoped pass untouched — incremental, never full
+    val t2 = GraftTable.forPath(spark, t0.path)
+    val p2files = t2.snapshot.activeFiles
+      .filter(_.partitionValues.get("part").contains("p2")).map(_.path).toSet
+    val total = t2.snapshot.activeFiles.size
+    val m2 = t2.optimize()
+    assert(m2("numRemovedFiles").toInt > 0 &&
+      m2("numRemovedFiles").toInt < total,
+      s"incremental pass must cover only post-stamp files: $m2 of $total")
+    val after2 = GraftTable.forPath(spark, t0.path).snapshot.activeFiles
+      .filter(_.partitionValues.get("part").contains("p2")).map(_.path).toSet
+    assert(after2 == p2files, "untouched partition must keep its files")
+    val stamp2 = props()("graft.clusterBy.version")
+    assert(stamp2 == m2("commitVersion") && stamp2.toLong > stamp1.toLong)
+    // content stable through every pass
+    val out = GraftTable.forPath(spark, t0.path).toDF
+    assert(out.count() == 400)
+    assert(out.agg(sum("v")).head().getLong(0) == (0L until 400L).sum)
+    // FULL pass rewrites everything and restamps
+    val t3 = GraftTable.forPath(spark, t0.path)
+    val total3 = t3.snapshot.activeFiles.size
+    val m3 = t3.optimize(full = true)
+    assert(m3("numRemovedFiles").toInt == total3,
+      s"FULL must rewrite every active file: $m3 of $total3")
+    assert(props()("graft.clusterBy.version") == m3("commitVersion"))
+    assert(GraftTable.forPath(spark, t0.path).toDF.count() == 400)
+  }
+
   test("auto manifest: layout-changing commits regenerate (MATERIALIZE " +
       "under live DVs); metadata-only commits leave it untouched") {
     import spark.implicits._
