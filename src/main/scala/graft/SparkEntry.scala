@@ -99,6 +99,7 @@ object SparkEntry {
     "text_bigrams" -> TextOps.textBigrams _,
     "text_quality" -> TextOps.textQuality _,
     "text_ttr" -> TextOps.textTtr _,
+    "text_fertility" -> TextOps.textFertility _,
     "text_zipf" -> TextOps.textZipf _,
     "text_langid" -> TextOps.textLangid _,
     "text_fingerprint" -> TextOps.textFingerprint _,
@@ -171,6 +172,7 @@ object SparkEntry {
     "pipe_source_report" -> Pipeline.pipeSourceReport _,
     "pipe_cross_dup" -> Pipeline.pipeCrossDup _,
     "pipe_dedup_savings" -> Pipeline.pipeDedupSavings _,
+    "pipe_filter_ablation" -> Pipeline.pipeFilterAblation _,
     "pipe_temperature_mix" -> Pipeline.pipeTemperatureMix _,
     "pipe_decontaminate" -> Pipeline.pipeDecontaminate _,
     "pipe_fuzzy_decontaminate" -> Pipeline.pipeFuzzyDecontaminate _,
@@ -1591,6 +1593,16 @@ object SparkEntry {
         "ROUND(CAST(COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6) " +
         "AS dup_rate FROM d JOIN c USING (h) GROUP BY source ORDER BY source"),
     "pipe_cross_dup" -> pipeCrossDupSql,
+    // token fertility by language: both counting kernels replicated
+    // (whitespace split + the BPE-ish [alpha|digit|other] extraction),
+    // ppm ratio in exact integer division; sums re-CAST off HUGEINT
+    "text_fertility" ->
+      (s"SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        s"CAST(SUM($wsTok) AS BIGINT) AS n_words, " +
+        "CAST(SUM(CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS BIGINT) AS n_tokens, " +
+        s"(CAST(SUM(CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS BIGINT) * 1000000) " +
+        s"// CAST(SUM($wsTok) AS BIGINT) AS fertility_ppm " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // type-token ratio: distinct via the (doc, word) pre-group in both
     // engines; ratio in exact DOUBLE at the edge
     "text_ttr" ->
@@ -1664,6 +1676,27 @@ object SparkEntry {
         "comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u) " +
         "SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) " +
         "AS cluster_size FROM comp ORDER BY doc_id"),
+    // filter-ablation matrix: the five Gopher sub-conditions
+    // decomposed from the SAME replica arithmetic as
+    // text_gopher_filter; unique kills = docs failing exactly one
+    "pipe_filter_ablation" ->
+      (s"WITH g AS ($gopherFilterSql), " +
+        "f AS (SELECT n_words, " +
+        "NOT(n_words >= 50 AND n_words <= 100000) AS f_words, " +
+        "NOT(mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS f_wordlen, " +
+        "NOT(n_symbols * 10 < n_words) AS f_symbols, " +
+        "NOT(n_alpha_words * 10 > n_words * 8) AS f_alpha, " +
+        "NOT(n_stopwords >= 2) AS f_stopwords FROM g), " +
+        "ff AS (SELECT *, CAST(f_words AS INT) + CAST(f_wordlen AS INT) + " +
+        "CAST(f_symbols AS INT) + CAST(f_alpha AS INT) + " +
+        "CAST(f_stopwords AS INT) AS n_fail FROM f), " +
+        "m AS (" + Seq("words", "wordlen", "symbols", "alpha", "stopwords")
+          .map(n => s"SELECT '$n' AS filter, " +
+            s"CAST(COUNT(CASE WHEN f_$n THEN 1 END) AS BIGINT) AS n_failed, " +
+            s"CAST(COUNT(CASE WHEN f_$n AND n_fail = 1 THEN 1 END) AS BIGINT) AS n_unique_kills, " +
+            s"CAST(COALESCE(SUM(CASE WHEN f_$n AND n_fail = 1 THEN n_words END), 0) AS BIGINT) AS tokens_unique_lost " +
+            "FROM ff").mkString(" UNION ALL ") +
+        ") SELECT * FROM m ORDER BY filter"),
     // same connected-components chain, keep-longest representatives
     // dropped per cluster, savings attributed to the BASE doc's source
     // (planted ids resolve via the shared offset)

@@ -1832,7 +1832,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // a reserved version is invisible until the transaction's decision
     // lands — the coordinator checkpoints after deciding
     if (reserve.isEmpty) log.maybeCheckpoint(spark, v)
-    if (reserve.isEmpty) maybeAutoManifest(actions)
+    if (reserve.isEmpty) { maybeAutoManifest(actions); maybeAutoIceberg(actions) }
     v
   }
 
@@ -1866,6 +1866,36 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case e: Throwable =>
         System.err.println(
           s"[graft] auto manifest regeneration failed for $path: ${e.getMessage}")
+    }
+  }
+
+  /** Auto Iceberg metadata export (L107 — the L103 auto-manifest
+    * pattern applied to the L105 export: `graft.iceberg.autoExport =
+    * true` re-exports the Iceberg artifact set on every commit that
+    * changes the active file layout, so native Iceberg readers track
+    * the table without anyone remembering to re-run EXPORT). DV
+    * traffic is INCLUDED naturally — the export carries deletion
+    * vectors as position-delete files, so MoR DML keeps external
+    * readers exact rather than dark. Metadata-only commits skip;
+    * best-effort like L103 — a failed export leaves the artifact one
+    * version stale, its documented steady state.
+    */
+  private def maybeAutoIceberg(actions: Seq[Action]): Unit = {
+    val layoutChanged = actions.exists {
+      case _: AddFile | _: RemoveFile | _: AddDV | _: RemoveDV => true
+      case _ => false
+    }
+    if (!layoutChanged) return
+    val s = snapshot
+    if (!s.metadata.exists(_.properties
+        .getOrElse("graft.iceberg.autoExport", "false").toBoolean)) return
+    try {
+      IcebergExport.export(this)
+      ()
+    } catch {
+      case e: Throwable if scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] auto Iceberg export failed for $path: ${e.getMessage}")
     }
   }
 

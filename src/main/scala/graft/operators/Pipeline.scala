@@ -428,6 +428,41 @@ object Pipeline {
     * source via [[Dedup.PlantedIdOffset]]. Exact integer chars; the
     * output is ≤ |sources| rows.
     */
+  /** Quality-filter ablation matrix (P22 — the audit a curation team
+    * runs BEFORE tuning a gate: per Gopher sub-filter, how many docs
+    * fail it at all, how many it kills UNIQUELY (no other filter
+    * would have caught them), and the token mass those unique kills
+    * cost — a filter whose kills are all redundant can be dropped for
+    * free; one whose unique kills carry real token mass is the gate
+    * actually shaping the corpus). ONE documents scan computes the
+    * five sub-conditions from the SHARED [[TextOps.GopherConditions]]
+    * definitions (the keep conjunction and this matrix can never
+    * drift), one map-side-combined aggregate folds everything into a
+    * single row, and `stack` unpivots it to 5 rows — no second scan,
+    * no shuffle beyond the 1-row aggregate.
+    */
+  def pipeFilterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val conds = TextOps.GopherConditions
+    val flags = TextOps.gopherMetrics(spark, dir)
+      .select(col("n_words") +:
+        conds.map { case (n, c) => (!c).as(s"f_$n") }: _*)
+      .withColumn("n_fail",
+        conds.map { case (n, _) => col(s"f_$n").cast("long") }.reduce(_ + _))
+    val aggs = conds.flatMap { case (n, _) => Seq(
+      sum(col(s"f_$n").cast("long")).as(s"fail_$n"),
+      sum((col(s"f_$n") && col("n_fail") === 1).cast("long")).as(s"uniq_$n"),
+      sum(when(col(s"f_$n") && col("n_fail") === 1, col("n_words"))
+        .otherwise(lit(0L))).as(s"tok_$n"))
+    }
+    val one = flags.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = conds.map { case (n, _) =>
+      s"'$n', fail_$n, uniq_$n, tok_$n"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${conds.size}, $stackArgs) AS " +
+        "(filter, n_failed, n_unique_kills, tokens_unique_lost)")
+      .orderBy("filter")
+  }
+
   def pipeDedupSavings(spark: SparkSession, dir: String): DataFrame = {
     val cl = Dedup.settledLabels(spark, dir, forceBuild = false)
       .select("doc_id", "cluster_id")

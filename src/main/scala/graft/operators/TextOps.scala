@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the `documents` table (SURVEY §2.6).
@@ -115,7 +115,23 @@ object TextOps {
     * pipeline can tune thresholds without recomputing; all arithmetic
     * is integer-derived, replicated exactly by the DuckDB oracle.
     */
-  def textGopherFilter(spark: SparkSession, dir: String): DataFrame = {
+  /** The five Gopher sub-conditions, each over the metric columns of
+    * [[gopherMetrics]] — ONE definition serves the keep conjunction,
+    * the filter query, and P22's ablation matrix, so the gates can
+    * never drift apart.
+    */
+  private[operators] val GopherConditions: Seq[(String, Column)] = Seq(
+    "words" -> (col("n_words") >= 50 && col("n_words") <= 100000),
+    "wordlen" -> (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0),
+    "symbols" -> (col("n_symbols") * 10 < col("n_words")),
+    "alpha" -> (col("n_alpha_words") * 10 > col("n_words") * 8),
+    "stopwords" -> (col("n_stopwords") >= 2))
+
+  /** Per-doc Gopher quality metrics + the keep conjunction (shared by
+    * T-family filtering and P22's ablation matrix).
+    */
+  private[operators] def gopherMetrics(spark: SparkSession,
+      dir: String): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val words = when(length(trim(col("text"))) === 0,
         array().cast("array<string>"))
@@ -138,16 +154,32 @@ object TextOps {
         when(col("n_words") === 0, lit(0.0))
           .otherwise(round(col("n_word_chars").cast("double") /
             col("n_words").cast("double"), 4)))
-      .withColumn("keep",
-        col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("n_symbols") * 10 < col("n_words") &&
-          col("n_alpha_words") * 10 > col("n_words") * 8 &&
-          col("n_stopwords") >= 2)
+      .withColumn("keep", GopherConditions.map(_._2).reduce(_ && _))
+  }
+
+  def textGopherFilter(spark: SparkSession, dir: String): DataFrame =
+    gopherMetrics(spark, dir)
       .select("doc_id", "n_words", "mean_word_len", "n_symbols",
         "n_alpha_words", "n_stopwords", "keep")
       .orderBy("doc_id")
-  }
+
+  /** Token fertility by language (T27 — the tokenizer-efficiency
+    * report multilingual curation reads: how many subword-ish tokens
+    * the tokenizer spends per whitespace word, per language; high
+    * fertility flags languages the vocabulary underserves). One
+    * map-side-combined aggregate over the two codegen'd counting
+    * kernels, ≤|langs| rows out, ppm ratio in exact integer division.
+    */
+  def textFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), tokenCount(col("text")).as("ws"),
+        bpeTokenCount(col("text")).as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("n_words"), sum("bpe").as("n_tokens"))
+      .withColumn("fertility_ppm",
+        expr("n_tokens * 1000000L DIV n_words"))
+      .orderBy("lang")
 
   /** Character-level Shannon entropy per document — a compressibility
     * quality signal (low-entropy docs are boilerplate/repetition,

@@ -189,4 +189,38 @@ class IcebergExportSpec extends GraftSparkSpec {
       "BEGIN; EXPORT ICEBERG METADATA FOR TABLE ice; COMMIT;"))
     assert(ex.getMessage.toLowerCase.contains("transaction"))
   }
+
+  test("auto export: layout-changing commits re-export (DVs become " +
+      "position deletes in-line); metadata-only commits leave it alone") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("ice-auto"),
+      (0L until 20L).map(i => (i, i * 2L)).toDF("k", "v"),
+      properties = Map("graft.iceberg.autoExport" -> "true"))
+    def extCount() = IcebergExport.externalRead(spark, t.path).count()
+    val hint = java.nio.file.Paths.get(
+      t.path, "_graft_iceberg", "metadata", "version-hint.text")
+    // the CREATE commit already exported
+    assert(java.nio.file.Files.exists(hint), "create must auto-export")
+    assert(extCount() == 20)
+    // append re-exports: the external Iceberg read tracks
+    t.append((100L until 110L).map(i => (i, i)).toDF("k", "v"))
+    assert(extCount() == 30)
+    // metadata-only commit leaves the artifact untouched
+    val before = java.nio.file.Files.getLastModifiedTime(hint)
+    t.setTableProperties(Map("graft.someUserProp" -> "x"))
+    assert(java.nio.file.Files.getLastModifiedTime(hint) == before,
+      "metadata-only commits must not re-export")
+    // MoR delete leaves DVs live: the re-export ships them as
+    // position deletes and the external read stays exact
+    t.deleteMergeOnRead(col("k") < 5)
+    assert(GraftTable.forPath(spark, t.path).snapshot.dvFiles.nonEmpty)
+    assert(extCount() == 25)
+    assert(IcebergExport.externalRead(spark, t.path)
+      .filter(col("k") < 5).count() == 0)
+    assert(IcebergExport.parse(t.path).deleteFiles.nonEmpty)
+    // REORG re-exports again: pure data manifests, no delete files
+    GraftTable.forPath(spark, t.path).reorgPurge()
+    assert(extCount() == 25)
+    assert(IcebergExport.parse(t.path).deleteFiles.isEmpty)
+  }
 }
