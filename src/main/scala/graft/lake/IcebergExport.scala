@@ -249,9 +249,27 @@ object IcebergExport {
 
     val outRoot = Paths.get(t.path).resolve("_graft_iceberg")
     val metaDir = outRoot.resolve("metadata")
-    // regeneration keeps prior _deletes/v<M>/ rewrites inside their
-    // retention window (the generateManifest contract — an external
-    // reader holding the previous metadata keeps its consistent view)
+    // prior state BEFORE cleanup: previous snapshots ride the new
+    // metadata's snapshots[] / snapshot-log / metadata-log (the
+    // spec's external time-travel surface), for as long as their
+    // artifacts survive the retention window
+    val prevMeta: Option[(java.nio.file.Path, com.fasterxml.jackson.databind.JsonNode)] =
+      try {
+        val hintF = metaDir.resolve("version-hint.text")
+        if (!Files.exists(hintF)) None
+        else {
+          val hv = new String(Files.readAllBytes(hintF),
+            StandardCharsets.UTF_8).trim
+          val f = metaDir.resolve(s"v$hv.metadata.json")
+          if (Files.exists(f)) Some((f, mapper.readTree(Files.readAllBytes(f))))
+          else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    // regeneration keeps prior metadata/manifest files AND
+    // _deletes/v<M>/ rewrites inside their retention window (the
+    // generateManifest contract — an external reader holding the
+    // previous metadata keeps its consistent view); expired artifacts
+    // are reclaimed here
     if (Files.exists(outRoot)) {
       val retainH = meta.properties
         .getOrElse("graft.manifest.exportRetentionHours", "168").toDouble
@@ -259,7 +277,9 @@ object IcebergExport {
         System.currentTimeMillis() - (retainH * 3600 * 1000).toLong
       if (Files.exists(metaDir)) {
         val l = Files.list(metaDir)
-        try l.iterator().asScala.foreach(Files.deleteIfExists(_))
+        try l.iterator().asScala
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .foreach(Files.deleteIfExists(_))
         finally l.close()
       }
       val delRoot = outRoot.resolve("_deletes")
@@ -457,6 +477,18 @@ object IcebergExport {
       .foreach { case (k, v) => props.put(k, v); () }
     m.put("current-snapshot-id", snapshotId)
     val snaps = m.putArray("snapshots")
+    // prior snapshots whose manifest lists survived retention stay
+    // listed — a native reader time-travels to them by snapshot id,
+    // exactly the engine's own VERSION AS OF surface externalized
+    def listAlive(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      try Files.exists(Paths.get(
+        new java.net.URI(node.get("manifest-list").asText()).getPath))
+      catch { case scala.util.control.NonFatal(_) => false }
+    val priorSnaps = prevMeta.toSeq.flatMap(_._2.get("snapshots")
+      .elements().asScala.toSeq)
+      .filter(sn0 => sn0.get("snapshot-id").asLong() != snapshotId &&
+        listAlive(sn0))
+    priorSnaps.foreach(snaps.add)
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
     sn.put("sequence-number", lastSeq)
@@ -472,8 +504,34 @@ object IcebergExport {
     summary.put("total-delete-files", delFileCount.toString)
     summary.put("total-records", dataRows.toString)
     summary.put("total-position-deletes", delRowCount.toString)
-    m.putArray("snapshot-log")
-    m.putArray("metadata-log")
+    val aliveIds = (priorSnaps.map(_.get("snapshot-id").asLong()) :+
+      snapshotId).toSet
+    val snapLog = m.putArray("snapshot-log")
+    prevMeta.toSeq.flatMap(p => Option(p._2.get("snapshot-log")).toSeq)
+      .flatMap(_.elements().asScala.toSeq)
+      .filter(e => aliveIds.contains(e.get("snapshot-id").asLong()) &&
+        e.get("snapshot-id").asLong() != snapshotId)
+      .foreach(snapLog.add)
+    val slEntry = snapLog.addObject()
+    slEntry.put("timestamp-ms", now)
+    slEntry.put("snapshot-id", snapshotId)
+    val metaLog = m.putArray("metadata-log")
+    prevMeta.foreach { case (prevFile, prevNode) =>
+      Option(prevNode.get("metadata-log")).toSeq
+        .flatMap(_.elements().asScala.toSeq)
+        .filter(e => Files.exists(Paths.get(
+          new java.net.URI(e.get("metadata-file").asText()).getPath)))
+        .foreach(metaLog.add)
+      // the file we read the prior state from becomes a log entry —
+      // unless this export overwrites it (same table version)
+      if (prevFile.getFileName.toString != s"v${s.version + 1}.metadata.json") {
+        val mlEntry = metaLog.addObject()
+        mlEntry.put("timestamp-ms", prevNode.get("last-updated-ms").asLong())
+        mlEntry.put("metadata-file",
+          fileUri(prevFile.toAbsolutePath.normalize.toString))
+        ()
+      }
+    }
 
     val metaVersion = s.version + 1
     val metadataFile = metaDir.resolve(s"v$metaVersion.metadata.json")
@@ -509,16 +567,19 @@ object IcebergExport {
       dataFiles: Seq[(String, Map[String, Object])],
       deleteFiles: Seq[String])
 
-  def parse(tablePath: String): ParsedExport = {
+  def parse(tablePath: String,
+      snapshotId: Option[Long] = None): ParsedExport = {
     val metaDir = Paths.get(tablePath, "_graft_iceberg", "metadata")
     val hint = new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
     val meta = mapper.readTree(
       Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")))
-    val snapId = meta.get("current-snapshot-id").asLong()
+    val snapId = snapshotId.getOrElse(
+      meta.get("current-snapshot-id").asLong())
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId)
-      .getOrElse(throw new IllegalStateException("current snapshot missing"))
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot $snapId not in the export (expired or never exported)"))
     val listPath = snap.get("manifest-list").asText()
     val partColsOut = meta.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == meta.get("default-spec-id").asInt())
@@ -557,8 +618,9 @@ object IcebergExport {
     * O(#files) manifest listing; the delete anti-join is DV-debt
     * sized. Avro strings surface as Utf8 — rendered via toString.
     */
-  def externalRead(spark: SparkSession, tablePath: String): DataFrame = {
-    val p = parse(tablePath)
+  def externalRead(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val p = parse(tablePath, snapshotId)
     val data = spark.read.parquet(p.dataFiles.map(_._1): _*)
       .withColumn("__fp", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))

@@ -190,6 +190,50 @@ class IcebergExportSpec extends GraftSparkSpec {
     assert(ex.getMessage.toLowerCase.contains("transaction"))
   }
 
+  test("external time travel: re-exports keep prior snapshots in " +
+      "snapshots[]/snapshot-log and prior metadata files in " +
+      "metadata-log; a reader pinning an old snapshot id sees that " +
+      "version; expired snapshots prune") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("ice-tt"),
+      (0L until 20L).map(i => (i, i * 2L)).toDF("k", "v"))
+    IcebergExport.export(t)
+    val sid1 = currentMetadata(t).get("current-snapshot-id").asLong()
+    GraftTable.forPath(spark, t.path)
+      .append((100L until 110L).map(i => (i, i)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val m2 = currentMetadata(t)
+    val sid2 = m2.get("current-snapshot-id").asLong()
+    assert(sid2 != sid1)
+    val ids = m2.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq
+    assert(ids == Seq(sid1, sid2),
+      s"prior snapshot must stay listed: $ids")
+    val log = m2.get("snapshot-log").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq
+    assert(log == Seq(sid1, sid2), s"snapshot-log must chain: $log")
+    val mlog = m2.get("metadata-log").elements().asScala.toSeq
+    assert(mlog.size == 1, "one prior metadata file")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      new java.net.URI(mlog.head.get("metadata-file").asText()).getPath)))
+    // pinned external read = the old version's content
+    assert(IcebergExport.externalRead(spark, t.path, Some(sid1))
+      .count() == 20)
+    assert(IcebergExport.externalRead(spark, t.path).count() == 30)
+    intercept[IllegalStateException] {
+      IcebergExport.parse(t.path, Some(999L))
+    }
+    // expired window: the next export prunes the dead snapshots
+    GraftTable.forPath(spark, t.path).setTableProperties(
+      Map("graft.manifest.exportRetentionHours" -> "0"))
+    Thread.sleep(5)
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val m3 = currentMetadata(t)
+    assert(m3.get("snapshots").size() == 1,
+      "expired snapshots must prune from the export")
+    assert(IcebergExport.externalRead(spark, t.path).count() == 30)
+  }
+
   test("auto export: layout-changing commits re-export (DVs become " +
       "position deletes in-line); metadata-only commits leave it alone") {
     import spark.implicits._
