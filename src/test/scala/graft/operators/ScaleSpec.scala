@@ -166,6 +166,41 @@ class ScaleSpec extends GraftSparkSpec {
         "pipe_dedup_savings" -> Pipeline.pipeDedupSavings(spark, sfDir)))
       assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
         s"$name must never plan a cartesian product")
+    // round-13 spill-aware rewrites: the pair/triple aggregates must
+    // keep their cluster-before-aggregate shape — the final aggregate
+    // exchanges on the PAIR key, never running its heavy phase over
+    // the order-partitioned join output (the partial hash map that
+    // spilled at sf10). hashpartitioning on (part_a, part_b) in the
+    // plan is the shape's signature; losing it means the plain
+    // groupBy came back.
+    for ((name, df, key) <- Seq(
+        ("q59_basket", Analytics.q59Basket(spark, sfDir), "part_a"),
+        ("q60_basket_lift", Analytics.q60BasketLift(spark, sfDir), "part_a"),
+        ("q53_supplier_variety", Analytics.q53SupplierVariety(spark, sfDir),
+          "l_suppkey"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning") && plan.contains(key),
+        s"$name must cluster on its aggregation key before aggregating")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must never plan a cartesian product")
+    }
+    // round-13 additions: fertility is one map-side-combined aggregate
+    // (no window, no join); the ablation matrix is ONE scan + a 1-row
+    // aggregate unpivoted — neither may plan a cartesian or a window
+    for ((name, df) <- Seq(
+        "text_fertility" -> TextOps.textFertility(spark, sfDir),
+        "pipe_filter_ablation" -> Pipeline.pipeFilterAblation(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+        s"$name must stay a pure aggregate shape")
+    }
+    // the ablation matrix reads documents exactly ONCE (shared
+    // GopherConditions — one scan computes all five sub-filters)
+    val abl = Pipeline.pipeFilterAblation(spark, sfDir)
+    val nDocScans = "documents\\.parquet".r
+      .findAllIn(abl.queryExecution.executedPlan.toString).length
+    assert(nDocScans <= 1,
+      s"pipe_filter_ablation must scan documents once, found $nDocScans")
     // de-hinted TPC-H dims: no forced broadcast on SF-scaled sides —
     // the plan must not carry a user hint on customer/part/supplier
     // (AQE may still choose broadcast at runtime from actual sizes)
