@@ -2158,6 +2158,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         conflictOnIdentity = idMarks.nonEmpty)
       maybeAutoCollectStats(adds)
       maybeAutoOptimize()
+      maybeAutoRecluster()
       v
     } else {
       val table = s.schema
@@ -2901,6 +2902,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         SetTxn(appId, epochId)) ++ adds ++ idMarks, readVersion = s.version,
         conflictOnIdentity = idMarks.nonEmpty)
       maybeAutoOptimize()
+      maybeAutoRecluster()
       v
     }
   }
@@ -4976,15 +4978,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     cols.foreach(c => require(numeric.contains(c),
       s"clustering report needs a numeric column, got: $c"))
     val rows = cols.map { c =>
-      val phys = s.physicalName(c)
-      val ranges = s.activeFiles.flatMap(_.stats).flatMap { st =>
-        for {
-          mn <- st.minValues.get(phys)
-          mx <- st.maxValues.get(phys)
-          lo <- scala.util.Try(BigDecimal(mn)).toOption
-          hi <- scala.util.Try(BigDecimal(mx)).toOption
-        } yield (lo, hi)
-      }
+      val ranges = fileRanges(s, c)
       require(ranges.nonEmpty, s"no footer min/max stats for column $c")
       val (dLo, dHi) = (ranges.map(_._1).min, ranges.map(_._2).max)
       val domain = dHi - dLo
@@ -4992,16 +4986,72 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         if (domain == 0) 1000000L
         else (ranges.map(r => r._2 - r._1).sum * 1000000 /
           (domain * ranges.size)).toLong
-      // sweep: at equal coordinates opens land before closes — a point
-      // query AT a shared boundary reads both files
-      val events = ranges.flatMap { case (lo, hi) =>
-        Seq((lo, 0, 1), (hi, 1, -1))
-      }.sortBy(e => (e._1, e._2))
-      var depth = 0; var maxDepth = 0
-      events.foreach { e => depth += e._3; maxDepth = math.max(maxDepth, depth) }
-      (c, ranges.size.toLong, avgPpm, maxDepth.toLong)
+      (c, ranges.size.toLong, avgPpm, sweepDepth(ranges).toLong)
     }
     rows.toDF("column", "n_files", "avg_range_ppm", "max_overlap_depth")
+  }
+
+  /** Per-active-file (min, max) footer ranges of a column. */
+  private def fileRanges(s: Snapshot,
+      c: String): Seq[(BigDecimal, BigDecimal)] = {
+    val phys = s.physicalName(c)
+    s.activeFiles.flatMap(_.stats).flatMap { st =>
+      for {
+        mn <- st.minValues.get(phys)
+        mx <- st.maxValues.get(phys)
+        lo <- scala.util.Try(BigDecimal(mn)).toOption
+        hi <- scala.util.Try(BigDecimal(mx)).toOption
+      } yield (lo, hi)
+    }
+  }
+
+  /** Boundary sweep: the worst-case number of files covering one
+    * value. At equal coordinates opens land before closes — a point
+    * query AT a shared boundary reads both files.
+    */
+  private def sweepDepth(ranges: Seq[(BigDecimal, BigDecimal)]): Int = {
+    val events = ranges.flatMap { case (lo, hi) =>
+      Seq((lo, 0, 1), (hi, 1, -1))
+    }.sortBy(e => (e._1, e._2))
+    var depth = 0; var maxDepth = 0
+    events.foreach { e => depth += e._3; maxDepth = math.max(maxDepth, depth) }
+    maxDepth
+  }
+
+  /** Auto re-clustering (L108 — the third auto-maintenance leg, after
+    * small files (L29) and DV debt (L102): clustering DRIFT. A
+    * declared CLUSTER BY degrades with every interleaved append —
+    * DESCRIBE CLUSTERING (L104) reports the drift, but someone still
+    * has to act on it): with `graft.autoRecluster = <max depth>`, a
+    * data-adding commit measures the worst clustering column's
+    * file-overlap depth — footer stats only, O(#files·log #files)
+    * driver metadata, zero data IO — and past the threshold runs the
+    * table's own OPTIMIZE in-line, which under a CLUSTER BY spec is
+    * the INCREMENTAL maintenance pass (L47): only files added since
+    * the last stamp rewrite, so the steady-state cost tracks the
+    * append rate, never the table. Best-effort like its siblings.
+    */
+  private def maybeAutoRecluster(): Unit = try {
+    val s = snapshot
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val threshold = props.get("graft.autoRecluster") match {
+      case Some(v) => v.toLong
+      case None => return
+    }
+    val clusterCols = props.get("graft.clusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+      .filter(c => s.schema.fields.exists(f => f.name == c &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+    if (clusterCols.isEmpty || threshold <= 0 || s.activeFiles.size < 2)
+      return
+    val depth = clusterCols.map(c => sweepDepth(fileRanges(s, c))).max
+    if (depth > threshold) { optimize(); () }
+  } catch {
+    case _: java.util.ConcurrentModificationException => ()
+    case e: Throwable if scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[graft] auto recluster skipped for $path: ${e.getMessage}")
   }
 
   /** Table-level column statistics (reference 02-lab:587-663):

@@ -1090,6 +1090,57 @@ class LakeSpec extends GraftSparkSpec {
       "post-REORG regeneration lists table files only")
   }
 
+  test("auto recluster: interleaved appends past the depth threshold " +
+      "trigger in-line incremental cluster maintenance; clustered " +
+      "ingest below it never fires; malformed threshold never fails " +
+      "the append") {
+    import spark.implicits._
+    // clustered table (CLUSTER BY k) with auto-recluster at depth 3
+    val path = tmpDir("auto-recluster")
+    val t0 = GraftTable.create(spark, path,
+      (0L until 1000L).filter(_ % 4 == 0).map(i => (i, i * 2L))
+        .toDF("k", "v").coalesce(1),
+      properties = Map("graft.clusterBy" -> "k",
+        "graft.autoRecluster" -> "3"))
+    // two more whole-domain appends: depth reaches 3, still <= limit
+    (1 to 2).foreach { r =>
+      GraftTable.forPath(spark, path).append(
+        (0L until 1000L).filter(_ % 4 == r.toLong)
+          .map(i => (i, i * 2L)).toDF("k", "v").coalesce(1))
+    }
+    def ops() = GraftTable.forPath(spark, path).history(30).collect()
+      .map(_.getAs[String]("operation"))
+    assert(!ops().exists(_.contains("ZORDER")),
+      s"depth 3 is at (not past) the threshold — no pass yet: ${ops().toSeq}")
+    // the fourth interleaved file pushes depth past 3: the append
+    // itself runs the incremental pass and the report reads healthy
+    GraftTable.forPath(spark, path).append(
+      (0L until 1000L).filter(_ % 4 == 3L)
+        .map(i => (i, i * 2L)).toDF("k", "v").coalesce(1))
+    assert(ops().exists(_.contains("ZORDER")),
+      s"past-threshold drift must trigger maintenance: ${ops().toSeq}")
+    val rep = GraftTable.forPath(spark, path).clusteringReport().head()
+    assert(rep.getAs[Long]("max_overlap_depth") <= 2,
+      s"auto pass must restore clustering: $rep")
+    // content intact
+    val out = GraftTable.forPath(spark, path).toDF
+    assert(out.count() == 1000)
+    assert(out.agg(sum("v")).head().getLong(0) == (0L until 1000L).map(_ * 2).sum)
+    // clustered (disjoint-range) ingest stays below the threshold: a
+    // range-partitioned append must NOT fire a second pass
+    val zorders = ops().count(_.contains("ZORDER"))
+    GraftTable.forPath(spark, path).append(
+      (1000L until 1200L).map(i => (i, i * 2L)).toDF("k", "v").coalesce(1))
+    assert(ops().count(_.contains("ZORDER")) == zorders,
+      "disjoint-range ingest must not trigger maintenance")
+    // best-effort: a malformed threshold never fails the append
+    GraftTable.forPath(spark, path).setTableProperties(
+      Map("graft.autoRecluster" -> "not-a-number"))
+    GraftTable.forPath(spark, path).append(
+      (1200L until 1210L).map(i => (i, i)).toDF("k", "v"))
+    assert(GraftTable.forPath(spark, path).toDF.count() == 1210)
+  }
+
   test("clustering report: interleaved ingest reads degraded, ZORDER " +
       "restores depth ~1; fresh appends re-degrade (the re-cluster cue)") {
     import spark.implicits._
