@@ -345,12 +345,16 @@ object IcebergExport {
       e.put("data_file", df)
       e
     }
+    // log partition keys may carry pre-rename (physical) names under
+    // column mapping — rekey to the logical names the spec fields use
+    val revMap = s.colMap.map(_.swap)
     val dataEntries = s.activeFiles.map { f =>
       val abs = Paths.get(t.dataPath(f.path)).toAbsolutePath.normalize
       entry(fileUri(abs.toString),
         f.stats.map(_.numRecords).getOrElse(
           spark.read.parquet(abs.toString).count()),
-        f.size, seq = 1L, content = 0, f.partitionValues)
+        f.size, seq = 1L, content = 0,
+        f.partitionValues.map { case (k, v) => revMap.getOrElse(k, k) -> v })
     }
     val dataRows = s.activeFiles.flatMap(_.stats.map(_.numRecords)).sum
     val schemaJsonStr = mapper.writeValueAsString(schemaNode)
@@ -565,7 +569,11 @@ object IcebergExport {
       schemaJson: String,
       partitionColumns: Seq[String],
       dataFiles: Seq[(String, Map[String, Object])],
-      deleteFiles: Seq[String])
+      deleteFiles: Seq[String],
+      // physical parquet name -> logical field name, from the
+      // schema.name-mapping.default property (identity when no
+      // column-mapping renames exist)
+      nameMapping: Map[String, String] = Map.empty)
 
   def parse(tablePath: String,
       snapshotId: Option[Long] = None): ParsedExport = {
@@ -605,8 +613,21 @@ object IcebergExport {
       (df.get("file_path").toString, pv)
     }
     val deleteFiles = entries(deletes).map(_.get("file_path").toString)
-    ParsedExport(mapper.writeValueAsString(meta.get("schemas").get(0)),
-      partColsOut, dataFiles, deleteFiles)
+    // name mapping: physical parquet name -> field id -> logical name
+    // (how a real Iceberg reader resolves field-id-less files)
+    val schemaNode = meta.get("schemas").get(0)
+    val idToName = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    val nm = Option(meta.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default")))
+      .map(_.asText()).map(mapper.readTree)
+      .map(_.elements().asScala.flatMap { e =>
+        idToName.get(e.get("field-id").asInt())
+          .map(e.get("names").get(0).asText() -> _)
+      }.toMap).getOrElse(Map.empty[String, String])
+      .filter { case (phys, logical) => phys != logical }
+    ParsedExport(mapper.writeValueAsString(schemaNode),
+      partColsOut, dataFiles, deleteFiles, nm)
   }
 
   /** An EXTERNAL Iceberg-v2 merge-on-read read over the export — zero
@@ -621,7 +642,15 @@ object IcebergExport {
   def externalRead(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None): DataFrame = {
     val p = parse(tablePath, snapshotId)
-    val data = spark.read.parquet(p.dataFiles.map(_._1): _*)
+    val raw = spark.read.parquet(p.dataFiles.map(_._1): _*)
+    // apply the name mapping: physical parquet columns surface under
+    // their LOGICAL names, exactly how an id-based reader resolves
+    // field-id-less files (column-mapping renames are metadata-only —
+    // the data files keep their original names)
+    val mapped = p.nameMapping.foldLeft(raw) { case (d, (phys, logical)) =>
+      if (d.columns.contains(phys)) d.withColumnRenamed(phys, logical) else d
+    }
+    val data = mapped
       .withColumn("__fp", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
     val withParts =

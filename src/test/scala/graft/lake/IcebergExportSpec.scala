@@ -190,6 +190,28 @@ class IcebergExportSpec extends GraftSparkSpec {
     assert(ex.getMessage.toLowerCase.contains("transaction"))
   }
 
+  test("column-mapping renames resolve through the name mapping: the " +
+      "external read surfaces LOGICAL names over unrenamed data files") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("ice-rename"),
+      (0L until 30L).map(i => (i, i * 3L)).toDF("k", "old_v"))
+    t.renameColumn("old_v", "v2") // metadata-only: files keep old_v
+    t.deleteMergeOnRead(col("k") < 5) // and DVs still resolve
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val p = IcebergExport.parse(t.path)
+    assert(p.nameMapping == Map("old_v" -> "v2"),
+      s"physical->logical mapping must surface: ${p.nameMapping}")
+    val ext = IcebergExport.externalRead(spark, t.path)
+    assert(ext.columns.toSeq == Seq("k", "v2"),
+      s"external read must carry logical names: ${ext.columns.toSeq}")
+    assert(ext.count() == 25)
+    assert(ext.agg(sum("v2")).head().getLong(0) ==
+      (5L until 30L).map(_ * 3).sum)
+    // engine read agrees
+    assert(GraftTable.forPath(spark, t.path).toDF
+      .agg(sum("v2")).head().getLong(0) == (5L until 30L).map(_ * 3).sum)
+  }
+
   test("external time travel: re-exports keep prior snapshots in " +
       "snapshots[]/snapshot-log and prior metadata files in " +
       "metadata-log; a reader pinning an old snapshot id sees that " +
