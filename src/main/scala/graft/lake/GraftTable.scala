@@ -4526,7 +4526,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       root.resolve("_graft_cdc").normalize :+
       // symlink manifests are external-reader metadata; their LISTED
       // data files are vacuumable once stale (the documented caveat)
-      root.resolve("_graft_manifest").normalize
+      root.resolve("_graft_manifest").normalize :+
+      // the Iceberg export (metadata, manifests, position-delete
+      // rewrites) has its OWN retention lifecycle (L105 reclaims
+      // expired artifacts at each re-export) — vacuum deleting its
+      // files would break external readers mid-window
+      root.resolve("_graft_iceberg").normalize
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     // exact-prefix dir guard ("/"-terminated) — a string prefix alone
     // would let `dv-1` spare `dv-12/...`

@@ -142,6 +142,11 @@ class IcebergExportSpec extends GraftSparkSpec {
     assert(ext == eng)
     assert(ext.exists(_ == (1L, 9999L)), "post-image must be visible")
     assert(!ext.exists(_._1 % 4 == 0), "masked rows must be deleted")
+    // vacuum must spare the export's own artifacts (delete rewrites,
+    // avro manifests) — they live on the export's retention clock
+    GraftTable.forPath(spark, t.path).vacuum(0.0, dryRun = false)
+    assert(IcebergExport.externalRead(spark, t.path).count() == 75,
+      "vacuum must not reclaim the Iceberg export's artifacts")
   }
 
   test("repeated exports keep prior position-delete rewrites inside " +
