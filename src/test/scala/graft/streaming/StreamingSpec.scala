@@ -241,6 +241,43 @@ class StreamingSpec extends GraftSparkSpec {
     assert(state(GraftTable.forPath(spark, auto.path)) == expect)
   }
 
+  test("ST22: streaming ingest under graft.autoRecluster keeps the " +
+      "declared clustering healthy in-loop; replayed epochs no-op") {
+    import spark.implicits._
+    // whole-domain interleaved epochs: the unsorted-ingest steady
+    // state that destroys a declared CLUSTER BY one epoch at a time
+    val t = GraftTable.create(spark,
+      tmpDir("stream-autorecluster"),
+      (0L until 1000L).filter(_ % 5 == 0).map(i => (i, 0L))
+        .toDF("k", "v").coalesce(1),
+      properties = Map("graft.clusterBy" -> "k",
+        "graft.autoRecluster" -> "3"))
+    (1 to 4).foreach { e =>
+      GraftTable.forPath(spark, t.path).appendStreamBatch("st22", e,
+        (0L until 1000L).filter(_ % 5 == e.toLong)
+          .map(i => (i, e.toLong)).toDF("k", "v").coalesce(1))
+    }
+    // the loop itself kept depth bounded: at least one in-loop pass
+    // fired and the report reads healthy at the end
+    val hist = GraftTable.forPath(spark, t.path).history(40).collect()
+      .map(_.getAs[String]("operation"))
+    assert(hist.exists(_.contains("ZORDER")),
+      s"in-loop maintenance must have fired: ${hist.toSeq}")
+    val rep = GraftTable.forPath(spark, t.path).clusteringReport().head()
+    assert(rep.getAs[Long]("max_overlap_depth") <= 3,
+      s"streaming ingest must keep clustering bounded: $rep")
+    // content exact: every key carries its epoch's value
+    val out = GraftTable.forPath(spark, t.path).toDF.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == (0L until 1000L).map(i => (i, i % 5)).toSet)
+    // exactly-once survives the maintenance: a replay no-ops
+    val vBefore = GraftTable.forPath(spark, t.path).version
+    GraftTable.forPath(spark, t.path).appendStreamBatch("st22", 4,
+      (0L until 10L).map(i => (i, 99L)).toDF("k", "v"))
+    assert(GraftTable.forPath(spark, t.path).version == vBefore,
+      "a replayed epoch must stay a version-frozen no-op")
+  }
+
   test("streaming ingestion keeps a materialized view fresh per epoch") {
     import graft.Tables
     import graft.lake.MaterializedAgg
