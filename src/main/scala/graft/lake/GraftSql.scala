@@ -532,10 +532,17 @@ final class GraftSql(spark: SparkSession) {
             reserved.foreach { case (e, v) =>
               e.base.log.sealDecision(txnId, v, "commit")
               e.base.log.maybeCheckpoint(spark, v)
+              // the per-commit artifact hooks never saw a reserved
+              // commit — refresh now that the decided state is visible
+              e.base.refreshExternalArtifacts()
             }
             publishedCreates.foreach { case (name, c) =>
               new TxnLog(c.finalLoc).sealDecision(txnId, 0L, "commit")
-              tables(name) = GraftTable.forPath(spark, c.finalLoc)
+              val created = GraftTable.forPath(spark, c.finalLoc)
+              // staged-time artifacts carry dead pre-move paths —
+              // regenerate against the published location
+              created.refreshExternalArtifacts()
+              tables(name) = created
               st.creates.remove(name)
             }
           }
@@ -549,7 +556,11 @@ final class GraftSql(spark: SparkSession) {
             Option(dest.getParent)
               .foreach(java.nio.file.Files.createDirectories(_))
             java.nio.file.Files.move(java.nio.file.Paths.get(c.tmpLoc), dest)
-            tables(name) = GraftTable.forPath(spark, c.finalLoc)
+            val created = GraftTable.forPath(spark, c.finalLoc)
+            // staged-time manifest/Iceberg artifacts carry dead
+            // pre-move paths — regenerate at the published location
+            created.refreshExternalArtifacts()
+            tables(name) = created
             st.creates.remove(name)
           }
         } catch {

@@ -1850,12 +1850,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * already durable, a failed regeneration only leaves the manifest
     * one version stale (its documented steady state anyway).
     */
-  private def maybeAutoManifest(actions: Seq[Action]): Unit = {
-    val layoutChanged = actions.exists {
+  private def layoutChanged(actions: Seq[Action]): Boolean =
+    actions.exists {
       case _: AddFile | _: RemoveFile | _: AddDV | _: RemoveDV => true
       case _ => false
     }
-    if (!layoutChanged) return
+
+  private def maybeAutoManifest(actions: Seq[Action]): Unit =
+    if (layoutChanged(actions)) refreshManifestArtifact()
+
+  private def refreshManifestArtifact(): Unit = {
     val s = snapshot
     if (!s.metadata.exists(_.properties
         .getOrElse("graft.manifest.autoGenerate", "false").toBoolean)) return
@@ -1869,6 +1873,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Post-publish artifact refresh for transactional commits: a
+    * multi-table COMMIT lands through reservation markers, so the
+    * per-commit hooks above never saw the decided state — and a gated
+    * CTAS generated its artifacts while STAGED, leaving manifests
+    * full of dead pre-move absolute paths. The coordinator calls this
+    * on every participant after the decision seals; both refreshes
+    * stay property-gated and best-effort.
+    */
+  private[lake] def refreshExternalArtifacts(): Unit = {
+    refreshManifestArtifact()
+    refreshIcebergArtifact()
+  }
+
   /** Auto Iceberg metadata export (L107 — the L103 auto-manifest
     * pattern applied to the L105 export: `graft.iceberg.autoExport =
     * true` re-exports the Iceberg artifact set on every commit that
@@ -1880,12 +1897,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * best-effort like L103 — a failed export leaves the artifact one
     * version stale, its documented steady state.
     */
-  private def maybeAutoIceberg(actions: Seq[Action]): Unit = {
-    val layoutChanged = actions.exists {
-      case _: AddFile | _: RemoveFile | _: AddDV | _: RemoveDV => true
-      case _ => false
-    }
-    if (!layoutChanged) return
+  private def maybeAutoIceberg(actions: Seq[Action]): Unit =
+    if (layoutChanged(actions)) refreshIcebergArtifact()
+
+  private def refreshIcebergArtifact(): Unit = {
     val s = snapshot
     if (!s.metadata.exists(_.properties
         .getOrElse("graft.iceberg.autoExport", "false").toBoolean)) return

@@ -771,6 +771,35 @@ class TransactionSpec extends GraftSparkSpec {
     assert(GraftTable.forPath(spark, base).toDF.count() == 11)
   }
 
+  test("transactional COMMIT refreshes external artifacts: participants' " +
+      "auto-manifests track the decided state (reserved commits never " +
+      "ran the per-commit hooks)") {
+    val gsql = freshSql()
+    val aLoc = tmpDir("txn-art-a"); val bLoc = tmpDir("txn-art-b")
+    GraftTable.create(spark, aLoc,
+      spark.range(10).selectExpr("id AS k", "id AS v"),
+      properties = Map("graft.manifest.autoGenerate" -> "true"))
+    GraftTable.create(spark, bLoc,
+      spark.range(10).selectExpr("id AS k", "id AS v"),
+      properties = Map("graft.manifest.autoGenerate" -> "true"))
+    gsql.register("arta", aLoc); gsql.register("artb", bLoc)
+    def extCount(loc: String): Long = spark.read.parquet(
+      spark.read.textFile(java.nio.file.Paths
+        .get(loc, "_graft_manifest", "manifest").toString)
+        .collect().toIndexedSeq: _*).count()
+    assert(extCount(aLoc) == 10 && extCount(bLoc) == 10)
+    gsql.executeScript("""
+      BEGIN;
+      INSERT INTO arta VALUES (100, 1);
+      INSERT INTO artb VALUES (200, 2);
+      COMMIT;
+    """)
+    assert(extCount(aLoc) == 11,
+      "participant A's manifest must track the decided multi-table state")
+    assert(extCount(bLoc) == 11,
+      "participant B's manifest must track the decided multi-table state")
+  }
+
   test("heartbeat covers gated-CTAS reservations: later phase-2 work " +
       "refreshes a published create's version-0 marker") {
     // r12 advisory: only DML squash reservations used to heartbeat —
