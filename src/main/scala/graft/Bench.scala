@@ -181,8 +181,15 @@ object Bench {
     lock.release(); lockCh.close()
     spark.stop()
     // marker line LAST (r11 verdict): the driver's tail-window capture
-    // starts mid-stream, so the marker must be the final stdout line —
-    // a tail keeps the end, not the start. Nothing prints after this.
+    // starts mid-stream, so the marker must be the final stdout line.
+    // r12 showed the window is BYTE-limited too — the ~6 KB full line
+    // overflowed it and its marker prefix was cut mid-JSON — so after
+    // the full line a COMPACT marker (aggregates only, no per-query
+    // map, <400 bytes) prints as the true last line: whichever intact
+    // marker the capture window holds parses. Per-query data is always
+    // in the committed BENCH_LOCAL.json either way.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","canary_drift":$drift%.2f,"canary_mid_max_drift":$midMaxDrift%.2f,"wcanary_drift":$wdrift%.2f,"wcanary_mid_max_drift":$midWMaxDrift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
     println(s"BENCH_RESULT_JSON: $json")
+    println(s"BENCH_RESULT_JSON: $compact")
   }
 }
