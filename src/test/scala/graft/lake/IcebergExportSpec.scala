@@ -195,6 +195,46 @@ class IcebergExportSpec extends GraftSparkSpec {
     assert(ex.getMessage.toLowerCase.contains("transaction"))
   }
 
+  test("list and nested-struct columns export with element-ids and the " +
+      "external read round-trips them (the embeddings-table shape)") {
+    import spark.implicits._
+    val df = spark.range(10).selectExpr("id AS vec_id",
+      "transform(sequence(0, 3), i -> CAST(id * 10 + i AS FLOAT)) AS emb",
+      "named_struct('src', CAST(id % 3 AS STRING), " +
+        "'w', CAST(id AS DOUBLE) * 1.5) AS meta")
+    val t = GraftTable.create(spark, tmpDir("ice-list"), df)
+    IcebergExport.export(t)
+    val m = currentMetadata(t)
+    val fields = m.get("schemas").get(0).get("fields")
+    val embT = (0 until fields.size).map(fields.get)
+      .find(_.get("name").asText() == "emb").get.get("type")
+    assert(embT.get("type").asText() == "list" &&
+      embT.get("element").asText() == "float" &&
+      embT.get("element-id").asInt() > 3,
+      s"list type must carry an allocated element-id: $embT")
+    val metaT = (0 until fields.size).map(fields.get)
+      .find(_.get("name").asText() == "meta").get.get("type")
+    assert(metaT.get("type").asText() == "struct" &&
+      metaT.get("fields").size() == 2)
+    // nested ids are unique across the whole schema
+    val ids = scala.collection.mutable.ArrayBuffer[Int]()
+    def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (n.has("id")) ids += n.get("id").asInt()
+      if (n.has("element-id")) ids += n.get("element-id").asInt()
+      n.elements().asScala.foreach(walk)
+    }
+    walk(m.get("schemas").get(0))
+    assert(ids.distinct.size == ids.size, s"field ids must be unique: $ids")
+    assert(m.get("last-column-id").asInt() == ids.max)
+    // the external read round-trips vectors and nested structs
+    val ext = IcebergExport.externalRead(spark, t.path)
+    assert(ext.count() == 10)
+    assert(ext.selectExpr("sum(emb[3])").head().getDouble(0) ==
+      (0 until 10).map(_ * 10 + 3).sum.toDouble)
+    assert(ext.selectExpr("sum(meta.w)").head().getDouble(0) ==
+      (0 until 10).map(_ * 1.5).sum)
+  }
+
   test("column-mapping renames resolve through the name mapping: the " +
       "external read surfaces LOGICAL names over unrenamed data files") {
     import spark.implicits._

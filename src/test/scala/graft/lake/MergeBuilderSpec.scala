@@ -430,6 +430,48 @@ class MergeBuilderSpec extends GraftSparkSpec {
     }
   }
 
+  test("nested evolution at depth 3: struct-in-array-in-struct grows, " +
+      "deep omissions NULL-fill, NULL structs stay NULL") {
+    import spark.implicits._
+    // CASE keeps the inferred doc column NULLABLE (a bare named_struct
+    // infers NOT NULL, which would refuse the NULL source row below)
+    val t = GraftTable.create(spark, tmpDir("mb-evolve-deep"),
+      spark.range(6).selectExpr("id AS k",
+        "CASE WHEN id < 0 THEN NULL ELSE " +
+          "named_struct('meta', named_struct('a', id), " +
+          "'items', array(named_struct('inner', named_struct('x', id)))) " +
+          "END AS doc"))
+    // depth-3 addition (doc.items[].inner.y) + depth-2 (doc.meta.b) +
+    // a NULL doc row in the source (must stay NULL, not struct-of-null)
+    val src = spark.range(4, 8).selectExpr("id AS k",
+      "CASE WHEN id = 7 THEN NULL ELSE " +
+        "named_struct('meta', named_struct('b', 'm', 'a', id * 10), " +
+        "'items', array(named_struct('inner', " +
+        "named_struct('y', id + 50, 'x', id)))) END AS doc")
+    t.mergeBuilder(src, "k").withSchemaEvolution()
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val t2 = GraftTable.forPath(spark, t.path)
+    assert(t2.snapshot.schema("doc").dataType.simpleString ==
+      "struct<meta:struct<a:bigint,b:string>," +
+        "items:array<struct<inner:struct<x:bigint,y:bigint>>>>")
+    val out = t2.toDF.orderBy("k").selectExpr("k", "doc.meta.a",
+      "doc.meta.b", "doc.items[0].inner.x", "doc.items[0].inner.y")
+    val rows = out.collect()
+    // untouched rows: original values, new fields NULL at every depth
+    rows.filter(_.getLong(0) < 4).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) && r.isNullAt(2) &&
+        r.getLong(3) == r.getLong(0) && r.isNullAt(4))
+    }
+    // merged rows (4..6): deep values land; row 7: doc stays NULL
+    rows.filter(r => r.getLong(0) >= 4 && r.getLong(0) <= 6).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) * 10 && r.getString(2) == "m" &&
+        r.getLong(3) == r.getLong(0) && r.getLong(4) == r.getLong(0) + 50)
+    }
+    val r7 = rows.find(_.getLong(0) == 7).get
+    assert(r7.isNullAt(1) && r7.isNullAt(3),
+      "a NULL source struct must stay NULL, never a struct of nulls")
+  }
+
   test("SQL MERGE WITH SCHEMA EVOLUTION adds new source columns") {
     val o = Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
