@@ -488,10 +488,25 @@ object IcebergExport {
       try Files.exists(Paths.get(
         new java.net.URI(node.get("manifest-list").asText()).getPath))
       catch { case scala.util.control.NonFatal(_) => false }
-    val priorSnaps = prevMeta.toSeq.flatMap(_._2.get("snapshots")
-      .elements().asScala.toSeq)
-      .filter(sn0 => sn0.get("snapshot-id").asLong() != snapshotId &&
-        listAlive(sn0))
+    // partition-spec evolution guard: every manifest is written with
+    // partition_spec_id 0, so prior snapshots are only carryable while
+    // the CURRENT spec still matches the one they were written under —
+    // after repartitionTable / CLUSTER-key changes, a reader decoding
+    // an old manifest against the new spec would mis-type the
+    // partition struct. A spec change resets the external snapshot
+    // history (documented; the engine's own time travel is unaffected).
+    val specUnchanged = prevMeta.forall { case (_, pm) =>
+      Option(pm.get("partition-specs")).flatMap(a =>
+        a.elements().asScala.find(_.get("spec-id").asInt() == 0))
+        .map(s0 => mapper.writeValueAsString(s0.get("fields")))
+        .contains(specJson)
+    }
+    val priorSnaps =
+      if (!specUnchanged) Nil
+      else prevMeta.toSeq.flatMap(_._2.get("snapshots")
+        .elements().asScala.toSeq)
+        .filter(sn0 => sn0.get("snapshot-id").asLong() != snapshotId &&
+          listAlive(sn0))
     priorSnaps.foreach(snaps.add)
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)

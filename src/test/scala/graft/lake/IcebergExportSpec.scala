@@ -301,6 +301,35 @@ class IcebergExportSpec extends GraftSparkSpec {
     assert(IcebergExport.externalRead(spark, t.path).count() == 30)
   }
 
+  test("partition-spec evolution resets the external snapshot history: " +
+      "old manifests are never decoded against the new spec") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("ice-specchange"),
+      (0L until 30L).map(i => (i, i % 3, i * 2L)).toDF("k", "part", "v"),
+      partitionBy = Seq("part"))
+    IcebergExport.export(t)
+    val sid1 = currentMetadata(t).get("current-snapshot-id").asLong()
+    // same spec: history carries
+    GraftTable.forPath(spark, t.path)
+      .append(Seq((100L, 0L, 1L)).toDF("k", "part", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    assert(currentMetadata(t).get("snapshots").size() == 2)
+    // atomic repartition to a DIFFERENT partition column: the next
+    // export must NOT list pre-change snapshots (their manifests'
+    // partition structs decode under the old spec)
+    GraftTable.forPath(spark, t.path).repartitionTable(Seq("k"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val m = currentMetadata(t)
+    assert(m.get("snapshots").size() == 1,
+      "a spec change must reset the external snapshot history")
+    assert(m.get("partition-specs").get(0).get("fields").get(0)
+      .get("name").asText() == "k")
+    assert(!m.get("snapshots").elements().asScala
+      .exists(_.get("snapshot-id").asLong() == sid1))
+    // the fresh export still reads exactly
+    assert(IcebergExport.externalRead(spark, t.path).count() == 31)
+  }
+
   test("auto export: layout-changing commits re-export (DVs become " +
       "position deletes in-line); metadata-only commits leave it alone") {
     import spark.implicits._
