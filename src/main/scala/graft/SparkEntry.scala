@@ -51,6 +51,8 @@ object SparkEntry {
     "q69_yoy_growth" -> Analytics.q69YoyGrowth _,
     "q70_supplier_hhi" -> Analytics.q70SupplierHhi _,
     "q71_weighted_median" -> Analytics.q71WeightedMedian _,
+    "q72_cohort_retention" -> Analytics.q72CohortRetention _,
+    "q73_funnel" -> Analytics.q73Funnel _,
     "q13_approx" -> Analytics.q13Approx _,
     "q54_heavy_hitters" -> Analytics.q54HeavyHitters _,
     "q14_asof_join" -> AsOf.lastClickBeforePurchase _,
@@ -118,6 +120,7 @@ object SparkEntry {
     "text_search_ranked" -> TextOps.textSearchRanked _,
     "text_search_bm25" -> TextOps.textSearchBm25 _,
     "text_search_proximity" -> TextOps.textSearchProximity _,
+    "text_collocations" -> TextOps.textCollocations _,
     "text_rarity" -> TextOps.textRarity _,
     "text_perplexity" -> TextOps.textPerplexity _,
     "dedup_exact" -> Dedup.dedupExact _,
@@ -1011,6 +1014,40 @@ object SparkEntry {
     // revenue-weighted median: weights in exact CENTS, the median is
     // the smallest quantity with 2*cum >= tot — integer compare, no
     // division; the window runs over the (flag, quantity) grain
+    // cohort retention: distinct (user, epoch-week) activity grain,
+    // cohort = first week, matrix counts are plain COUNTs (one row
+    // per user per cell by construction), retention in integer ppm
+    "q72_cohort_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id, " +
+        "CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY 1), " +
+        "m AS (SELECT c.cohort_week, a.week - c.cohort_week AS week_offset, " +
+        "CAST(COUNT(*) AS BIGINT) AS active_users FROM a JOIN c USING (user_id) " +
+        "GROUP BY 1, 2), " +
+        "s AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size " +
+        "FROM c GROUP BY 1) " +
+        "SELECT m.cohort_week, m.week_offset, m.active_users, s.cohort_size, " +
+        "CAST(m.active_users * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm " +
+        "FROM m JOIN s USING (cohort_week) ORDER BY 1, 2"),
+    // ordered funnel on first-occurrence timestamps; NULL-stage
+    // comparisons are NULL -> counted 0; conversion in integer ppm
+    "q73_funnel" ->
+      ("WITH u AS (SELECT user_id, " +
+        "MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view, " +
+        "MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click, " +
+        "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase " +
+        "FROM events GROUP BY 1), " +
+        "f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view, " +
+        "CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click, " +
+        "CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_funnel FROM u) " +
+        "SELECT n_users, n_view, n_view_click, n_funnel, " +
+        "CAST(CASE WHEN n_view > 0 THEN n_view_click * 1000000 // n_view ELSE 0 END " +
+        "AS BIGINT) AS click_ppm, " +
+        "CAST(CASE WHEN n_view_click > 0 THEN n_funnel * 1000000 // n_view_click ELSE 0 END " +
+        "AS BIGINT) AS purchase_ppm FROM f"),
     "q71_weighted_median" ->
       ("WITH g AS (SELECT l_returnflag, l_quantity, " +
         "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w_cents " +
@@ -2112,6 +2149,26 @@ object SparkEntry {
         "FROM s) " +
         "SELECT doc_id, CAST(rn AS BIGINT) AS rn, word, tf, df, " +
         "CAST(score AS BIGINT) AS score FROM r WHERE rn <= 3 ORDER BY doc_id, rn"),
+    // collocation lift report: top-100 supported bigrams by exact
+    // integer lift_ppm = floor(c12*N*1e6 / (c1*c2)), products in
+    // HUGEINT / DECIMAL(38,0) -- no log, no float anywhere
+    "text_collocations" ->
+      ("WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "bi AS (SELECT UNNEST(w[1:len(w)-1]) AS w1, UNNEST(w[2:len(w)]) AS w2 " +
+        "FROM t WHERE len(w) >= 2), " +
+        "cc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2), " +
+        "m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cc GROUP BY 1), " +
+        "m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM cc GROUP BY 1), " +
+        "nn AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM cc), " +
+        "f AS (SELECT cc.w1, cc.w2, cc.c12, m1.c1, m2.c2, " +
+        "CAST(CAST(cc.c12 AS HUGEINT) * nn.n * 1000000 // " +
+        "(CAST(m1.c1 AS HUGEINT) * m2.c2) AS BIGINT) AS lift_ppm " +
+        "FROM cc JOIN m1 USING (w1) JOIN m2 USING (w2), nn " +
+        "WHERE cc.c12 >= 5 " +
+        "ORDER BY lift_ppm DESC, cc.w1, cc.w2 LIMIT 100) " +
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, w1, w2) AS BIGINT) AS rank, " +
+        "w1, w2, c12, c1, c2, lift_ppm FROM f ORDER BY rank"),
     "text_rarity" ->
       ("WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
         "FROM documents WHERE length(trim(text)) > 0), " +

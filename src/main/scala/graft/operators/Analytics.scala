@@ -1672,4 +1672,78 @@ object Analytics {
         max("tot").as("total_cents"))
       .orderBy("l_returnflag")
   }
+
+  /** q72: weekly purchasing-cohort retention matrix over the event
+    * stream — the product-analytics staple (cohort = a user's first
+    * PURCHASE epoch week; cell = how many of them purchased again
+    * `offset` weeks later). Retention is an exact integer ppm (DIV —
+    * no float division).
+    *
+    * Scale shape: the raw stream collapses FIRST to the distinct
+    * (user, week) purchase-activity grain — the event-type filter
+    * pushes to the scan, then one map-side-combinable shuffle on
+    * (user, week) bounds everything downstream by users×weeks, not
+    * events. The cohort derivation re-aggregates on user_id, and the
+    * activity⋈cohort join shuffles both sides on that same user key —
+    * no events-sized state anywhere. Because each user carries exactly
+    * one cohort week, a user contributes at most one row per
+    * (cohort, offset) cell, so the matrix count is a plain COUNT —
+    * no count-distinct buffer. Cohort sizes are a calendar-bounded
+    * (≤ |weeks| rows) side that AQE broadcasts into the final join.
+    */
+  def q72CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') DIV 7 AS BIGINT)")
+          .as("week"))
+      .distinct()
+    val cohort = activity.groupBy("user_id")
+      .agg(min("week").as("cohort_week"))
+    val matrix = activity.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    matrix.join(sizes, "cohort_week")
+      .withColumn("retention_ppm",
+        expr("CAST(active_users * 1000000 DIV cohort_size AS BIGINT)"))
+      .select("cohort_week", "week_offset", "active_users", "cohort_size",
+        "retention_ppm")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q73: ordered conversion funnel (view → click → purchase) — the
+    * other product-analytics staple: how many users SAW something,
+    * then clicked strictly AFTER their first view, then purchased
+    * strictly after that first click. Stage order is enforced on
+    * first-occurrence timestamps (the standard funnel simplification);
+    * conversion rates are exact integer ppm via DIV, zero-guarded.
+    *
+    * Scale shape: ONE shuffle to the user grain with three
+    * map-side-combinable conditional MINs (each partial task carries
+    * three timestamps per user, independent of event volume), then a
+    * single-row global reduce. A NULL-stage comparison is NULL → the
+    * conditional counts it as 0, so no explicit null-gating join.
+    */
+  def q73Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir, "events").groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+      min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L))
+          .as("n_view_click"),
+        sum(when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), 1L).otherwise(0L))
+          .as("n_funnel"))
+      .withColumn("click_ppm",
+        expr("CAST(CASE WHEN n_view > 0 THEN n_view_click * 1000000 DIV n_view " +
+          "ELSE 0 END AS BIGINT)"))
+      .withColumn("purchase_ppm",
+        expr("CAST(CASE WHEN n_view_click > 0 THEN n_funnel * 1000000 DIV n_view_click " +
+          "ELSE 0 END AS BIGINT)"))
+  }
 }

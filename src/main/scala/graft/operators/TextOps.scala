@@ -330,6 +330,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T28: collocation lift report — the corpus-level phrase-discovery
+    * pass (tokenizer vocab seeding, stopword-phrase curation, index
+    * phrase candidates) as a RANKED report rather than a fixed cut:
+    * the top-100 supported bigrams (c12 ≥ 5) by observed-over-expected
+    * lift, where lift_ppm = ⌊c12·N·10⁶ / (c1·c2)⌋ with c1/c2/N the
+    * marginals of the bigram-event space (T12's self-consistent
+    * derivation). The products run in DECIMAL(38,0) and the floor
+    * division is integer DIV — no log, no float — so the ppm
+    * hash-matches any engine and never overflows before 10³⁸ (a
+    * 100 TB corpus's c12·N·10⁶ tops out near 10³⁰). Ranking (not a
+    * threshold) is the D15-style shape: the report is what DECIDES the
+    * cut a rollout then applies.
+    *
+    * Scale shape: bigram/marginal tables are model-sized
+    * (bigram-types / vocab rows), built by map-side-combinable
+    * aggregates; the marginal joins re-use the (w1, w2) keys. No
+    * broadcast hint on corpus-derived sides (10⁸⁺ vocab on web data —
+    * AQE broadcasts only while genuinely small); only the 1-row N
+    * total stays pinned. The report is a top-100 TakeOrdered (never a
+    * global sort), and the rank column is a window over that
+    * limit()-bounded frame — the sanctioned bounded-window class.
+    */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks.select(
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = c12.groupBy("w2").agg(sum("c12").as("c2"))
+    val n = c12.agg(sum("c12").as("n"))
+    val top = c12.filter(col("c12") >= 5)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n)) // 1-row N total: constant pin
+      .withColumn("lift_ppm", expr(
+        "CAST((CAST(c12 AS DECIMAL(38,0)) * n * 1000000) DIV " +
+          "(CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"))
+      .select("w1", "w2", "c12", "c1", "c2", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(100)
+    // rank over the ≤100-row limited frame (bounded window)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "w1", "w2", "c12", "c1", "c2", "lift_ppm")
+      .orderBy("rank")
+  }
+
   def textRarity(spark: SparkSession, dir: String): DataFrame = {
     val vocab = textVocab(spark, dir).select("word", "rank")
     // Pre-aggregate tokens to per-doc term frequencies so the scoring

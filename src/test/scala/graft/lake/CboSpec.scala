@@ -373,6 +373,72 @@ class CboSpec extends GraftSparkSpec {
       s"the refreshed histogram must price the heavy key's new mass: $est")
   }
 
+  test("L109: injected stats drive Catalyst's own cost-based join REORDER") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    // four analyzed graftlake relations; the SQL names them in the
+    // worst syntactic order (fact first), so only a cost model that
+    // SEES our injected rowCounts can move the fact join last
+    val specs = Seq("orders" -> "cbo_jr_o", "customer" -> "cbo_jr_c",
+      "nation" -> "cbo_jr_n", "region" -> "cbo_jr_r")
+    val paths = specs.map { case (t, d) =>
+      val gt = GraftTable.create(spark, tmpDir(d), Tables(spark, sfDir, t))
+      gt.computeStats()
+      t -> gt.path
+    }.toMap
+    paths.foreach { case (t, p) =>
+      spark.read.format("graftlake").load(p).createOrReplaceTempView(s"jr_$t")
+    }
+    val sql =
+      """SELECT r_name, count(*) AS n
+        |FROM jr_orders o
+        |JOIN jr_customer c ON o.o_custkey = c.c_custkey
+        |JOIN jr_nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN jr_region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name""".stripMargin
+
+    // the INNERMOST join of the optimized tree: the first pair the
+    // plan actually evaluates
+    def innermostJoinCols(plan: LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: Join => j }
+      val inner = joins.filter(j => j.children.forall(_.collect {
+        case jj: Join => jj }.isEmpty))
+      inner.flatMap(_.output.map(_.name)).toSet
+    }
+
+    val prev = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.get(k, "false"))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val syntactic = innermostJoinCols(spark.sql(sql).queryExecution.optimizedPlan)
+      assert(syntactic.exists(_.startsWith("o_")),
+        s"without CBO the syntactic fact-first order stands: $syntactic")
+
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val df = spark.sql(sql)
+      val reordered = innermostJoinCols(df.queryExecution.optimizedPlan)
+      // cost = size of intermediates: starting from the fact table
+      // materializes |orders| rows immediately, while any dim-side
+      // start stays at |customer| or below — the reorder must kick
+      // the fact out of the innermost pair
+      assert(!reordered.exists(_.startsWith("o_")),
+        s"with stats + CBO the fact must not be in the innermost join: $reordered")
+      // and the reordered plan still answers correctly
+      val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = Tables(spark, sfDir, "orders")
+        .join(Tables(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables(spark, sfDir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables(spark, sfDir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == expected, "reordered plan changed the answer")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("PK selectivity subtracts deletion-vector-masked rows") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("cbo_pk_dv"),
