@@ -231,6 +231,7 @@ object SparkEntry {
     "lake_manifest" -> LakeOps.lakeManifest _,
     "lake_manifest_dv" -> LakeOps.lakeManifestDv _,
     "lake_iceberg_export" -> LakeOps.lakeIcebergExport _,
+    "lake_delta_export" -> LakeOps.lakeDeltaExport _,
     "lake_dfp_cost" -> LakeOps.lakeDfpCost _,
     "lake_rlo_update" -> LakeOps.lakeRloUpdate _,
     "lake_rlo_update_mor" -> LakeOps.lakeRloUpdateMor _,
@@ -2626,6 +2627,16 @@ object SparkEntry {
     // rows (files rewritten), drop the MoR delete's rows to position
     // deletes, see the MoR update's post-images once, and recover the
     // partition column from the manifest partition struct
+    // Delta-log export replay: same DML bracket as the Iceberg oracle
+    // (CoW %3 delete, MoR %5 delete, MoR %7 quantity update), read back
+    // EXTERNALLY from _delta_log alone
+    "lake_delta_export" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "ROUND(SUM(CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100 " +
+        "ELSE l_quantity END), 2) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price " +
+        "FROM lineitem WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "lake_iceberg_export" ->
       ("SELECT l_returnflag, COUNT(*) AS n, " +
         "ROUND(SUM(CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100 " +

@@ -113,6 +113,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\w+)(\s+MATERIALIZE)?\s*;?\s*$""".r
   private val exportIcebergRe: Regex =
     """(?is)^\s*EXPORT\s+ICEBERG\s+METADATA\s+FOR\s+TABLE\s+(\w+)\s*;?\s*$""".r
+  private val exportDeltaRe: Regex =
+    """(?is)^\s*EXPORT\s+DELTA\s+LOG\s+FOR\s+TABLE\s+(\w+)\s*;?\s*$""".r
   private val dropTableRe: Regex =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
   private val showColumnsRe: Regex =
@@ -698,6 +700,14 @@ final class GraftSql(spark: SparkSession) {
           Seq(("data_files", r.dataFiles.toString),
             ("delete_files", r.deleteFiles.toString),
             ("delete_rows", r.deleteRows.toString)))
+          .toDF("metric", "value")
+      case exportDeltaRe(name) =>
+        val r = DeltaExport.export(table(name))
+        Seq(("log_dir", r.logDir),
+          ("version", r.version.toString),
+          ("adds", r.adds.toString),
+          ("removes", r.removes.toString),
+          ("materialized_files", r.materializedFiles.toString))
           .toDF("metric", "value")
       case dropTableRe(name) =>
         // external-table semantics (the only kind here): unregister the

@@ -72,7 +72,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     branches.reduce(_ unionByName _)
   }
 
-  private def physicalDfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame =
+  private[lake] def physicalDfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame =
     if (snap.dvFiles.isEmpty) physicalScan(snap, files, withMeta = false)
     else {
       // merge-on-read: mask rows marked by deletion vectors via an
@@ -1832,7 +1832,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // a reserved version is invisible until the transaction's decision
     // lands — the coordinator checkpoints after deciding
     if (reserve.isEmpty) log.maybeCheckpoint(spark, v)
-    if (reserve.isEmpty) { maybeAutoManifest(actions); maybeAutoIceberg(actions) }
+    if (reserve.isEmpty) {
+      maybeAutoManifest(actions); maybeAutoIceberg(actions)
+      maybeAutoDelta(actions)
+    }
     v
   }
 
@@ -1884,6 +1887,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[lake] def refreshExternalArtifacts(): Unit = {
     refreshManifestArtifact()
     refreshIcebergArtifact()
+    refreshDeltaArtifact()
   }
 
   /** Auto Iceberg metadata export (L107 — the L103 auto-manifest
@@ -1899,6 +1903,30 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   private def maybeAutoIceberg(actions: Seq[Action]): Unit =
     if (layoutChanged(actions)) refreshIcebergArtifact()
+
+  /** Auto Delta-log export (L110's auto mode — the L107 pattern on the
+    * third external artifact: `graft.delta.autoExport = true` appends
+    * one Delta commit to `_graft_delta/_delta_log` on every layout
+    * change, so Delta-native readers TAIL the table). Best-effort like
+    * the other two; a failed export leaves the external log one
+    * version stale, its documented steady state.
+    */
+  private def maybeAutoDelta(actions: Seq[Action]): Unit =
+    if (layoutChanged(actions)) refreshDeltaArtifact()
+
+  private def refreshDeltaArtifact(): Unit = {
+    val s = snapshot
+    if (!s.metadata.exists(_.properties
+        .getOrElse("graft.delta.autoExport", "false").toBoolean)) return
+    try {
+      DeltaExport.export(this)
+      ()
+    } catch {
+      case e: Throwable if scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] auto Delta export failed for $path: ${e.getMessage}")
+    }
+  }
 
   private def refreshIcebergArtifact(): Unit = {
     val s = snapshot
@@ -4546,7 +4574,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // rewrites) has its OWN retention lifecycle (L105 reclaims
       // expired artifacts at each re-export) — vacuum deleting its
       // files would break external readers mid-window
-      root.resolve("_graft_iceberg").normalize
+      root.resolve("_graft_iceberg").normalize :+
+      // same contract for the Delta-log export (L110): the log and its
+      // materialized DV rewrites expire at re-export, never at vacuum
+      root.resolve("_graft_delta").normalize
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     // exact-prefix dir guard ("/"-terminated) — a string prefix alone
     // would let `dv-1` spare `dv-12/...`

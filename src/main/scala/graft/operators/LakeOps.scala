@@ -608,6 +608,34 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Delta-log export (L110): the external-interop leg Delta-native
+    * readers attach to. TWO exports bracket the DML so the oracle
+    * exercises the INCREMENTAL contract (the second export appends a
+    * sync commit with removes+adds, never a fresh history), CoW and
+    * MoR both land in between (MoR masks materialize on export), and
+    * the read side is [[graft.lake.DeltaExport.externalRead]] — a pure
+    * `_delta_log` replay, zero GraftLake log code.
+    */
+  def lakeDeltaExport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    val t = graft.lake.GraftTable.create(spark, workDir(dir, "deltaexp"),
+      li, partitionBy = Seq("l_returnflag"))
+    t.optimize()
+    graft.lake.DeltaExport.export(t) // external v0: full state
+    t.delete(col("l_orderkey") % 3 === 0) // copy-on-write rewrite
+    t.deleteMergeOnRead(col("l_orderkey") % 5 === 0) // DVs stay live
+    t.updateMergeOnRead(col("l_orderkey") % 7 === 0,
+      Map("l_quantity" -> (col("l_quantity") + 100)))
+    graft.lake.DeltaExport.export(t) // external v1: removes + adds
+    graft.lake.DeltaExport.externalRead(spark, t.path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Runtime bloom semi-join (L62): a dim too wide for DFP's exact key
     * list drives a row-level bloom probe into the fact scan before the
     * join. The filter is advisory (fpp widens, never narrows), so the

@@ -223,5 +223,26 @@ class ScaleSpec extends GraftSparkSpec {
           p.contains("part.parquet") || p.contains("supplier.parquet")),
         s"$name must not force-broadcast an SF-scaled table")
     }
+    // round-13 second batch: the cohort matrix and funnel collapse to
+    // their user-grain aggregates with NO window and NO cartesian (the
+    // cohort cell count is a plain COUNT — a count-distinct buffer or
+    // a window here means the one-cohort-per-user argument broke)
+    for ((name, df) <- Seq(
+        "q72_cohort_retention" -> Analytics.q72CohortRetention(spark, sfDir),
+        "q73_funnel" -> Analytics.q73Funnel(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+        s"$name must stay an aggregate-join shape")
+    }
+    // collocation report: the top-100 must reduce via a distributed
+    // TakeOrdered (its only window runs AFTER the limit, over ≤100
+    // rows), and the 1-row N total is a broadcast pin, never a
+    // cartesian
+    val coll = TextOps.textCollocations(spark, sfDir)
+    val collPlan = coll.queryExecution.executedPlan.toString
+    assert(collPlan.contains("TakeOrderedAndProject"),
+      "text_collocations must select its top-100 via TakeOrdered")
+    assert(!collPlan.contains("CartesianProduct"),
+      "text_collocations must never plan a cartesian product")
   }
 }
