@@ -340,8 +340,17 @@ object DeltaExport {
     * older commits and vacuum spares the export, so the view holds
     * for the retention window.
     */
-  def parse(tablePath: String, atVersion: Option[Long] = None): ParsedDelta = {
-    val ld = logDir(tablePath)
+  def parse(tablePath: String, atVersion: Option[Long] = None): ParsedDelta =
+    parseLog(logDir(tablePath), atVersion)
+
+  /** Parse a FOREIGN Delta table (its root holds `_delta_log`
+    * directly) — the attach path (L111) reads external tables through
+    * the same replay the export's own read side uses.
+    */
+  def parseTable(deltaRoot: String, atVersion: Option[Long] = None): ParsedDelta =
+    parseLog(Paths.get(deltaRoot, "_delta_log"), atVersion)
+
+  private def parseLog(ld: Path, atVersion: Option[Long]): ParsedDelta = {
     val listing = Files.list(ld)
     val versions =
       try listing.iterator().asScala

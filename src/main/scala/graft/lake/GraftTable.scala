@@ -5456,6 +5456,102 @@ object GraftTable {
     t
   }
 
+  /** Zero-copy ATTACH of an external Delta table (L111 — the reverse
+    * direction of the L110 export, completing bidirectional Delta
+    * interop): replay the foreign `_delta_log` (the same pure-JSON
+    * reader the export's external read uses), adopt its live data
+    * files by ABSOLUTE path — the shallow-clone reference form, zero
+    * bytes copied at any table size — and commit an equivalent
+    * GraftLake table. Footer stats are collected on attach (the
+    * CONVERT discipline) so data skipping and the CBO work
+    * immediately; Delta column mapping translates to the graft
+    * mapping (`graft.colmap.*`), partition values come from the log's
+    * authoritative `partitionValues` (keys are physical under
+    * mapping), and the attached table then evolves independently:
+    * CoW rewrites localize files, VACUUM never touches the source.
+    *
+    * Contracts: the source's partition layout must be Hive-style
+    * directories (what delta-spark writes; scan-time partition
+    * inference reads them), and adds carrying Delta deletion vectors
+    * refuse — materialize them source-side first (our own L110
+    * exports never carry any).
+    */
+  def attachDelta(spark: SparkSession, deltaRoot: String,
+                  destPath: String): GraftTable = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val p = DeltaExport.parseTable(deltaRoot)
+    val root = Paths.get(deltaRoot).toAbsolutePath.normalize
+    val t = new GraftTable(spark, destPath)
+    require(!t.log.exists, s"GraftLake table already exists at $destPath")
+    Files.createDirectories(Paths.get(destPath))
+    val schemaRaw = DataType.fromJson(p.schemaString).asInstanceOf[StructType]
+    def physOf(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    val colMapProps = schemaRaw.fields.collect {
+      case f if physOf(f) != f.name => s"graft.colmap.${f.name}" -> physOf(f)
+    }.toMap
+    val physToLogical = schemaRaw.fields.map(f => physOf(f) -> f.name).toMap
+    val cleanSchema = StructType(schemaRaw.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    def resolve(p0: String): String = {
+      val uri = new java.net.URI(p0)
+      if (uri.getScheme != null) uri.getPath
+      else root.resolve(uri.getPath).toString
+    }
+    val now = System.currentTimeMillis()
+    val adds0 = p.liveAdds.toSeq.map { case (path0, node) =>
+      require(!node.hasNonNull("deletionVector"),
+        s"cannot attach a Delta table with live deletion vectors " +
+          s"($path0 carries one): materialize them source-side first")
+      val pvNode = node.get("partitionValues")
+      val partVals = pvNode.fieldNames().asScala.flatMap { k =>
+        val v = pvNode.get(k)
+        if (v == null || v.isNull) None
+        else Some(physToLogical.getOrElse(k, k) -> v.asText())
+      }.toMap
+      AddFile(resolve(path0), partVals, node.get("size").asLong(),
+        node.get("modificationTime").asLong(), dataChange = true,
+        stats = None)
+    }.sortBy(_.path)
+    require(adds0.nonEmpty, s"no live data files in the Delta log at $deltaRoot")
+    // the scan-time basePath comes from the FILES, not the log dir:
+    // strip each file's hive partition segments and require one common
+    // data root (a round-tripped L110 export's adds live under the
+    // source TABLE root, with _delta_log off to the side)
+    def fileRoot(abs: String): String = {
+      var d = Paths.get(abs).getParent
+      var i = 0
+      while (i < p.partitionColumns.size && d != null &&
+          d.getFileName != null && d.getFileName.toString.contains("=")) {
+        d = d.getParent; i += 1
+      }
+      d.toString
+    }
+    val roots = adds0.map(a => fileRoot(a.path)).distinct
+    require(roots.size == 1,
+      s"cannot attach a multi-root Delta layout (data roots: $roots): " +
+        "compact the source into one hive-style root first")
+    // footer stats on attach (the CONVERT discipline) — keyed by the
+    // PHYSICAL on-disk names, so skip them under column mapping where
+    // the pruning layer expects logical-keyed stats
+    val adds =
+      if (colMapProps.nonEmpty) adds0
+      else {
+        val st = Stats.collect(spark, adds0.map(_.path))
+        adds0.map(a => a.copy(stats = st.get(a.path)))
+      }
+    val meta = Metadata(cleanSchema.json, p.partitionColumns,
+      colMapProps + ("graft.cloneSource" -> roots.head), now)
+    t.commitAndCheckpoint(Seq(
+      CommitInfo(now, "ATTACH DELTA",
+        Map("source" -> root.toString,
+          "deltaVersion" -> p.version.toString),
+        Map("numFiles" -> adds.size.toString)), meta) ++ adds)
+    t
+  }
+
   /** Shallow clone (Delta `SHALLOW CLONE` parity): a new table whose
     * log references the source's data files by absolute path — zero
     * bytes copied, O(metadata) cost at any table size. The clone then

@@ -177,6 +177,98 @@ class DeltaExportSpec extends GraftSparkSpec {
     assert(DeltaExport.externalRead(spark, t.path).count() == 60L)
   }
 
+  test("L111 attachDelta: the export round-trips into a NEW graft table " +
+      "zero-copy, with footer stats, evolving independently") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("dexp_att_src"),
+      (1 to 100).map(i => (i.toLong, s"v$i", i % 4)).toDF("id", "v", "b"),
+      partitionBy = Seq("b"))
+    DeltaExport.export(src)
+    val att = GraftTable.attachDelta(spark,
+      src.path + "/_graft_delta", tmpDir("dexp_att"))
+    assert(att.toDF.count() == 100L)
+    assert(att.toDF.agg(sum("id")).head.getLong(0) == 5050L)
+    assert(att.toDF.filter(col("b") === 1).count() == 25L,
+      "partition values must flow from the Delta log")
+    assert(att.snapshot.activeFiles.forall(_.path.startsWith("/")),
+      "attached files are absolute references — zero bytes copied")
+    assert(att.snapshot.activeFiles.forall(_.stats.exists(_.numRecords > 0)),
+      "footer stats collect on attach (CONVERT discipline)")
+    // independent evolution: a CoW delete on the attachment localizes
+    // rewrites; the source table is untouched
+    att.delete(col("id") <= 10L)
+    assert(att.toDF.count() == 90L)
+    assert(src.toDF.count() == 100L, "the source must never change")
+  }
+
+  test("attachDelta reads a FOREIGN hand-authored Delta log with " +
+      "relative paths") {
+    import spark.implicits._
+    val root = tmpDir("dexp_foreign")
+    (1 to 60).map(i => (i.toLong, i % 3)).toDF("id", "g")
+      .write.partitionBy("g").parquet(root)
+    val rootP = java.nio.file.Paths.get(root)
+    val walk = java.nio.file.Files.walk(rootP)
+    val rels = try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => rootP.relativize(p)).toSeq
+    finally walk.close()
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.IntegerType))).json
+    val lines = Seq(
+      """{"commitInfo":{"timestamp":0,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":["g"],"configuration":{},"createdTime":0}}""") ++
+      rels.map { rel =>
+        val g = rel.getName(0).toString.stripPrefix("g=")
+        s"""{"add":{"path":"${rel.toString}","partitionValues":{"g":"$g"},"size":${java.nio.file.Files.size(rootP.resolve(rel))},"modificationTime":0,"dataChange":true}}"""
+      }
+    val ld = rootP.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(ld)
+    java.nio.file.Files.write(ld.resolve(f"${0L}%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val att = GraftTable.attachDelta(spark, root, tmpDir("dexp_foreign_att"))
+    assert(att.toDF.count() == 60L)
+    assert(att.toDF.agg(sum("id")).head.getLong(0) == (1L to 60L).sum)
+    assert(att.toDF.filter(col("g") === 2).count() == 20L)
+  }
+
+  test("attachDelta refuses adds carrying Delta deletion vectors") {
+    val root = tmpDir("dexp_dv_refuse")
+    val ld = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(ld)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    java.nio.file.Files.write(ld.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":40,"cardinality":6}}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.attachDelta(spark, root, tmpDir("dexp_dv_refuse_att"))
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  test("attach of a column-mapped export surfaces logical names") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("dexp_att_map_src"),
+      (1 to 40).map(i => (i.toLong, s"n$i")).toDF("id", "name"))
+    src.renameColumn("name", "label")
+    DeltaExport.export(src)
+    val att = GraftTable.attachDelta(spark,
+      src.path + "/_graft_delta", tmpDir("dexp_att_map"))
+    assert(att.toDF.columns.sorted.toSeq == Seq("id", "label"),
+      "Delta column mapping must translate to the graft mapping")
+    assert(att.toDF.agg(sum("id")).head.getLong(0) == (1L to 40L).sum)
+    assert(att.snapshot.colMap == Map("label" -> "name"))
+  }
+
   test("vacuum spares the export; auto mode re-exports on layout commits") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("dexp_auto"),
