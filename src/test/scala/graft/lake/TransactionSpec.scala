@@ -800,6 +800,31 @@ class TransactionSpec extends GraftSparkSpec {
       "participant B's manifest must track the decided multi-table state")
   }
 
+  test("transactional COMMIT refreshes the Delta-log export: a " +
+      "participant's auto _delta_log tracks the decided state") {
+    val gsql = freshSql()
+    val loc = tmpDir("txn-art-delta")
+    GraftTable.create(spark, loc,
+      spark.range(10).selectExpr("id AS k", "id AS v"),
+      properties = Map("graft.delta.autoExport" -> "true"))
+    // the CREATE hook ran before the property landed in the read
+    // snapshot; the first layout commit seeds the export
+    GraftTable.forPath(spark, loc)
+      .append(spark.range(10, 20).selectExpr("id AS k", "id AS v"))
+    assert(DeltaExport.externalRead(spark, loc).count() == 20)
+    val v0 = DeltaExport.parse(loc).version
+    gsql.register("artd", loc)
+    gsql.executeScript("""
+      BEGIN;
+      INSERT INTO artd VALUES (100, 1);
+      COMMIT;
+    """)
+    assert(DeltaExport.parse(loc).version == v0 + 1,
+      "the decided transactional state must append one sync commit")
+    assert(DeltaExport.externalRead(spark, loc).count() == 21,
+      "external Delta readers must see the decided state")
+  }
+
   test("heartbeat covers gated-CTAS reservations: later phase-2 work " +
       "refreshes a published create's version-0 marker") {
     // r12 advisory: only DML squash reservations used to heartbeat —
