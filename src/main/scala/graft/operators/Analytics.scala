@@ -1674,10 +1674,14 @@ object Analytics {
   }
 
   /** q72: weekly purchasing-cohort retention matrix over the event
-    * stream — the product-analytics staple (cohort = a user's first
-    * PURCHASE epoch week; cell = how many of them purchased again
-    * `offset` weeks later). Retention is an exact integer ppm (DIV —
-    * no float division).
+    * stream — the full-matrix report beside q38's fixed-offset check
+    * (q38 counts day-1/day-7 survivors of signup cohorts; this emits
+    * EVERY (cohort week, week offset) cell of the purchase-retention
+    * triangle with cohort sizes and ppm rates — the table a retention
+    * dashboard actually renders). Cohort = a user's first PURCHASE
+    * epoch week; cell = how many of them purchased again `offset`
+    * weeks later; retention is an exact integer ppm (DIV — no float
+    * division).
     *
     * Scale shape: the raw stream collapses FIRST to the distinct
     * (user, week) purchase-activity grain — the event-type filter
@@ -1713,17 +1717,20 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
-  /** q73: ordered conversion funnel (view → click → purchase) — the
-    * other product-analytics staple: how many users SAW something,
-    * then clicked strictly AFTER their first view, then purchased
-    * strictly after that first click. Stage order is enforced on
-    * first-occurrence timestamps (the standard funnel simplification);
-    * conversion rates are exact integer ppm via DIV, zero-guarded.
+  /** q73: ordered conversion funnel (view → click → purchase) on
+    * GLOBAL first-occurrence anchors, with ppm conversion rates —
+    * the single-pass counterpart to q37's progressive funnel (q37
+    * re-anchors each stage on the previous stage's min via three
+    * chained join-aggregates; this variant fixes all anchors at the
+    * user's first occurrence of each type, the other standard funnel
+    * definition, and gets the whole report from ONE shuffle).
+    * Conversion rates are exact integer ppm via DIV, zero-guarded.
     *
     * Scale shape: ONE shuffle to the user grain with three
     * map-side-combinable conditional MINs (each partial task carries
     * three timestamps per user, independent of event volume), then a
-    * single-row global reduce. A NULL-stage comparison is NULL → the
+    * single-row global reduce — strictly fewer passes than the
+    * chained-stage shape. A NULL-stage comparison is NULL → the
     * conditional counts it as 0, so no explicit null-gating join.
     */
   def q73Funnel(spark: SparkSession, dir: String): DataFrame = {
