@@ -345,27 +345,99 @@ object DeltaExport {
 
   /** Parse a FOREIGN Delta table (its root holds `_delta_log`
     * directly) — the attach path (L111) reads external tables through
-    * the same replay the export's own read side uses.
+    * the same replay the export's own read side uses. Real Delta
+    * writers CHECKPOINT the log and clean up early JSON commits, so
+    * with a SparkSession the replay seeds from the newest classic
+    * checkpoint parquet (single- or multi-part) and replays only the
+    * JSON tail — exactly a Delta reader's snapshot construction.
     */
-  def parseTable(deltaRoot: String, atVersion: Option[Long] = None): ParsedDelta =
-    parseLog(Paths.get(deltaRoot, "_delta_log"), atVersion)
+  def parseTable(deltaRoot: String, atVersion: Option[Long] = None,
+      spark: Option[SparkSession] = None): ParsedDelta =
+    parseLog(Paths.get(deltaRoot, "_delta_log"), atVersion, spark)
 
-  private def parseLog(ld: Path, atVersion: Option[Long]): ParsedDelta = {
-    val listing = Files.list(ld)
-    val versions =
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
-        .filter(p => atVersion.forall(v =>
-          p.getFileName.toString.stripSuffix(".json").toLong <= v))
-        .toSeq.sortBy(_.getFileName.toString)
-      finally listing.close()
-    require(versions.nonEmpty,
-      s"no Delta commits under $ld" +
-        atVersion.map(v => s" at or before version $v").getOrElse(""))
+  private def parseLog(ld: Path, atVersion: Option[Long],
+      spark: Option[SparkSession] = None): ParsedDelta = {
+    // newest classic checkpoint at/before atVersion (readable only
+    // with a SparkSession; our own exports never write one)
+    val ckRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
+    val ckList = Files.list(ld)
+    val ckByVersion =
+      try ckList.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case ckRe(v) if atVersion.forall(v.toLong <= _) =>
+            Some(v.toLong -> p)
+          case _ => None
+        }
+      }.toSeq.groupBy(_._1)
+      finally ckList.close()
+    val checkpoint =
+      if (spark.isEmpty || ckByVersion.isEmpty) None
+      else Some(ckByVersion.maxBy(_._1))
+
     var schemaString: String = null
     var partCols: Seq[String] = Nil
     var configuration = Map.empty[String, String]
     val live = scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
+
+    checkpoint.foreach { case (_, parts) =>
+      val df = spark.get.read.parquet(parts.map(_._2.toString): _*)
+      val cols = df.columns.toSet
+      if (cols.contains("metaData")) {
+        df.select("metaData").where(col("metaData").isNotNull)
+          .collect().foreach { r =>
+            val m = r.getStruct(0)
+            val fi = m.schema.fieldNames
+            schemaString = m.getAs[String]("schemaString")
+            partCols = m.getAs[scala.collection.Seq[String]](
+              "partitionColumns").toSeq
+            configuration =
+              if (fi.contains("configuration") &&
+                  m.getAs[Map[String, String]]("configuration") != null)
+                m.getAs[Map[String, String]]("configuration")
+              else Map.empty
+          }
+      }
+      if (cols.contains("add")) {
+        df.select("add").where(col("add").isNotNull)
+          .collect().foreach { r =>
+            val a = r.getStruct(0)
+            val node = mapper.createObjectNode()
+            node.put("path", a.getAs[String]("path"))
+            val pv = node.putObject("partitionValues")
+            Option(a.getAs[Map[String, String]]("partitionValues"))
+              .getOrElse(Map.empty).foreach {
+                case (k, null) => pv.putNull(k)
+                case (k, v) => pv.put(k, v)
+              }
+            node.put("size", a.getAs[Long]("size"))
+            node.put("modificationTime", a.getAs[Long]("modificationTime"))
+            node.put("dataChange", true)
+            if (a.schema.fieldNames.contains("stats") &&
+                a.getAs[String]("stats") != null)
+              node.put("stats", a.getAs[String]("stats"))
+            if (a.schema.fieldNames.contains("deletionVector") &&
+                !a.isNullAt(a.fieldIndex("deletionVector")))
+              node.set("deletionVector",
+                mapper.createObjectNode().put("storageType", "present"))
+            live.put(node.get("path").asText(), node)
+          }
+      }
+    }
+
+    val after = checkpoint.map(_._1).getOrElse(-1L)
+    val listing = Files.list(ld)
+    val versions =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+        .filter { p =>
+          val v = p.getFileName.toString.stripSuffix(".json").toLong
+          v > after && atVersion.forall(v <= _)
+        }
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
+    require(versions.nonEmpty || checkpoint.nonEmpty,
+      s"no Delta commits under $ld" +
+        atVersion.map(v => s" at or before version $v").getOrElse(""))
     versions.foreach { vf =>
       val src = Files.newBufferedReader(vf, StandardCharsets.UTF_8)
       try src.lines().iterator().asScala.filter(_.nonEmpty).foreach { line =>
@@ -387,8 +459,9 @@ object DeltaExport {
         }
       } finally src.close()
     }
-    val lastVersion =
-      versions.last.getFileName.toString.stripSuffix(".json").toLong
+    val lastVersion = versions.lastOption
+      .map(_.getFileName.toString.stripSuffix(".json").toLong)
+      .getOrElse(after)
     ParsedDelta(lastVersion, schemaString, partCols, configuration, live.toMap)
   }
 

@@ -5479,7 +5479,7 @@ object GraftTable {
   def attachDelta(spark: SparkSession, deltaRoot: String,
                   destPath: String): GraftTable = {
     import org.apache.spark.sql.types.{DataType, StructType}
-    val p = DeltaExport.parseTable(deltaRoot)
+    val p = DeltaExport.parseTable(deltaRoot, spark = Some(spark))
     val root = Paths.get(deltaRoot).toAbsolutePath.normalize
     val t = new GraftTable(spark, destPath)
     require(!t.log.exists, s"GraftLake table already exists at $destPath")

@@ -237,6 +237,94 @@ class DeltaExportSpec extends GraftSparkSpec {
     assert(att.toDF.filter(col("g") === 2).count() == 20L)
   }
 
+  test("attachDelta seeds from a classic checkpoint parquet when early " +
+      "JSON commits are cleaned up (real Delta-writer log shape)") {
+    import spark.implicits._
+    val root = tmpDir("dexp_ck")
+    // two data files written outside any partition dirs
+    val rootP = java.nio.file.Paths.get(root)
+    (1 to 30).map(i => i.toLong).toDF("id")
+      .coalesce(1).write.mode("append").parquet(root)
+    (31 to 50).map(i => i.toLong).toDF("id")
+      .coalesce(1).write.mode("append").parquet(root)
+    val walk = java.nio.file.Files.walk(rootP)
+    val files = try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => rootP.relativize(p).toString).toSeq.sorted
+    finally walk.close()
+    assert(files.size == 2)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    val ld = rootP.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(ld)
+    // version 0 = checkpointed state carrying metaData + the FIRST
+    // file; the JSON for it is deliberately ABSENT (cleaned up)
+    val ckRows = Seq(
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row("t",
+          org.apache.spark.sql.Row("parquet"), schemaJson,
+          Seq.empty[String], Map.empty[String, String]),
+        null),
+      org.apache.spark.sql.Row(null,
+        org.apache.spark.sql.Row(files.head, Map.empty[String, String],
+          java.nio.file.Files.size(rootP.resolve(files.head)), 0L, true)))
+    val ckSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("metaData",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("format",
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("provider",
+                org.apache.spark.sql.types.StringType)))),
+          org.apache.spark.sql.types.StructField("schemaString",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("partitionColumns",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)),
+          org.apache.spark.sql.types.StructField("configuration",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType))))),
+      org.apache.spark.sql.types.StructField("add",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("partitionValues",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)),
+          org.apache.spark.sql.types.StructField("size",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("modificationTime",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dataChange",
+            org.apache.spark.sql.types.BooleanType))))))
+    val tmpCk = tmpDir("dexp_ck_build")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(ckRows, 1), ckSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmpCk)
+    val ckFile = java.nio.file.Files.list(java.nio.file.Paths.get(tmpCk))
+      .iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(ckFile,
+      ld.resolve(f"${0L}%020d.checkpoint.parquet"))
+    java.nio.file.Files.write(ld.resolve("_last_checkpoint"),
+      """{"version":0,"size":2}""".getBytes("UTF-8"))
+    // version 1 = JSON tail adding the SECOND file
+    java.nio.file.Files.write(ld.resolve(f"${1L}%020d.json"),
+      (s"""{"add":{"path":"${files(1)}","partitionValues":{},""" +
+        s""""size":${java.nio.file.Files.size(rootP.resolve(files(1)))},""" +
+        """"modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    val att = GraftTable.attachDelta(spark, root, tmpDir("dexp_ck_att"))
+    assert(att.toDF.count() == 50L,
+      "checkpoint adds + JSON-tail adds must both attach")
+    assert(att.toDF.agg(sum("id")).head.getLong(0) == (1L to 50L).sum)
+  }
+
   test("attachDelta refuses adds carrying Delta deletion vectors") {
     val root = tmpDir("dexp_dv_refuse")
     val ld = java.nio.file.Paths.get(root, "_delta_log")
