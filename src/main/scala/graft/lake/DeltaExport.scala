@@ -122,14 +122,46 @@ object DeltaExport {
   }
 
   /** One exported file: absolute URI, physical-keyed partition values
-    * (None = null partition), size, mtime, optional record count.
+    * (None = null partition), size, mtime, optional footer stats.
     */
   private final case class ExportFile(
       uri: String,
       partitionValues: Seq[(String, Option[String])],
       size: Long,
       modificationTime: Long,
-      numRecords: Option[Long])
+      stats: Option[FileStats])
+
+  /** Delta add.stats JSON from the footer stats: numRecords plus
+    * TYPED minValues/maxValues/nullCount (numbers unquoted, strings
+    * quoted — what external readers' data skipping parses). Keys are
+    * the PHYSICAL column names, the protocol's rule under column
+    * mapping. Temporal/binary/nested columns are omitted: their
+    * string renderings are engine-specific and stats are advisory.
+    */
+  private def statsJson(fs: FileStats, physSchema: StructType): String = {
+    val node = mapper.createObjectNode()
+    node.put("numRecords", fs.numRecords)
+    val minN = node.putObject("minValues")
+    val maxN = node.putObject("maxValues")
+    val nullN = node.putObject("nullCount")
+    physSchema.fields.foreach { f =>
+      def put(tgt: ObjectNode, v: String): Unit =
+        scala.util.Try(f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            tgt.put(f.name, v.toLong)
+          case FloatType | DoubleType => tgt.put(f.name, v.toDouble)
+          case d: DecimalType =>
+            tgt.put(f.name, new java.math.BigDecimal(v))
+          case BooleanType => tgt.put(f.name, v.toBoolean)
+          case StringType => tgt.put(f.name, v)
+          case _ => ()
+        }).getOrElse(())
+      fs.minValues.get(f.name).foreach(put(minN, _))
+      fs.maxValues.get(f.name).foreach(put(maxN, _))
+      fs.nullCounts.get(f.name).foreach(n => nullN.put(f.name, n))
+    }
+    mapper.writeValueAsString(node)
+  }
 
   /** The current snapshot's externally-visible file set: unmasked
     * actives as-is; DV-masked files as fresh materialized rewrites.
@@ -154,7 +186,7 @@ object DeltaExport {
         },
         f.size,
         f.modificationTime,
-        f.stats.map(_.numRecords))
+        f.stats)
     }
     val materialized: Seq[ExportFile] =
       if (masked.isEmpty) Nil
@@ -196,7 +228,7 @@ object DeltaExport {
             physParts.map(c => c -> vals.getOrElse(c, None)),
             Files.size(p),
             Files.getLastModifiedTime(p).toMillis,
-            numRecords = None)
+            stats = None)
         }
       }
     (plain ++ materialized, materialized.size)
@@ -237,9 +269,12 @@ object DeltaExport {
         "delta.columnMapping.maxColumnId" -> maxColId.toString)
       else Map.empty
 
-    // previous external state (None = first export)
+    // previous external state (None = first export); spark rides
+    // along so a checkpointed + retention-cleaned log still replays
     val prev: Option[ParsedDelta] =
-      if (Files.exists(ld)) Some(parse(t.path)) else None
+      if (Files.exists(ld))
+        Some(parseLog(ld, None, Some(t.spark)))
+      else None
     // Delta cannot express a partition-spec change: reset the external
     // history and let readers re-attach at a fresh version 0
     val specChanged = prev.exists(_.partitionColumns != s.partitionColumns)
@@ -318,8 +353,8 @@ object DeltaExport {
       adBody.put("size", f.size)
       adBody.put("modificationTime", f.modificationTime)
       adBody.put("dataChange", true)
-      f.numRecords.foreach(n =>
-        adBody.put("stats", s"""{"numRecords":$n}"""))
+      f.stats.foreach(fs =>
+        adBody.put("stats", statsJson(fs, s.physicalSchema)))
       lines += mapper.writeValueAsString(ad)
     }
     val target = ld.resolve(f"$version%020d.json")
@@ -328,8 +363,117 @@ object DeltaExport {
       lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    maybeCheckpoint(t, s, ld, version, schema, configuration, files)
     cleanupMaterialized(t, s)
     ExportResult(ld.toString, version, added.size, removed.size, matCount)
+  }
+
+  /** Checkpoint the exported log (Delta's own unbounded-log answer —
+    * without it, auto-export per commit makes external readers replay
+    * every JSON commit ever written): every
+    * `graft.delta.checkpointInterval` sync commits (default 10), one
+    * classic checkpoint parquet captures the full live state
+    * (protocol + metaData + adds) and `_last_checkpoint` points
+    * readers at it; JSON commits BELOW the checkpoint then expire on
+    * the shared export retention window — replay cost stays
+    * O(live files + commits since last checkpoint) forever. Expired
+    * versions lose `versionAsOf` replay, exactly Delta's
+    * logRetentionDuration contract.
+    */
+  private def maybeCheckpoint(t: GraftTable, s: Snapshot, ld: Path,
+      version: Long, schema: StructType,
+      configuration: Map[String, String], files: Seq[ExportFile]): Unit = {
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    val interval = props.getOrElse("graft.delta.checkpointInterval", "10").toInt
+    if (version <= 0L || interval <= 0 || version % interval != 0) {
+      cleanupJsonTail(ld, props); return
+    }
+    val spark = t.spark
+    import org.apache.spark.sql.Row
+    val mapped = s.colMap.nonEmpty
+    val protoRow = Row(Row(if (mapped) 2 else 1, if (mapped) 5 else 2),
+      null, null)
+    val metaRow = Row(null,
+      Row(java.util.UUID.nameUUIDFromBytes(
+          t.path.getBytes(StandardCharsets.UTF_8)).toString,
+        Row("parquet"), schema.json, s.partitionColumns,
+        configuration,
+        s.metadata.map(_.createdTime).getOrElse(0L)),
+      null)
+    val addRows = files.map { f =>
+      Row(null, null,
+        Row(f.uri, f.partitionValues.map { case (k, v) => k -> v.orNull }.toMap,
+          f.size, f.modificationTime, true,
+          f.stats.map(statsJson(_, s.physicalSchema)).orNull))
+    }
+    val ckSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType))))))
+    val tmpDir = ld.resolve(f".ck-$version%020d.tmp")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1),
+        ckSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = {
+      val l = Files.list(tmpDir)
+      try l.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally l.close()
+    }
+    val ckTarget = ld.resolve(f"$version%020d.checkpoint.parquet")
+    Files.move(part, ckTarget,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(tmpDir)
+    Files.write(ld.resolve("_last_checkpoint"),
+      s"""{"version":$version,"size":${2 + addRows.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    cleanupJsonTail(ld, props)
+  }
+
+  /** Expire JSON commits strictly below the newest checkpoint once
+    * they age past the export retention window (readers within the
+    * window keep their replay; beyond it the checkpoint carries the
+    * state, Delta's log-retention contract).
+    */
+  private def cleanupJsonTail(ld: Path, props: Map[String, String]): Unit = {
+    val ckRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
+    val l1 = Files.list(ld)
+    val newestCk =
+      try l1.iterator().asScala.flatMap(p => p.getFileName.toString match {
+        case ckRe(v) => Some(v.toLong)
+        case _ => None
+      }).foldLeft(-1L)(math.max)
+      finally l1.close()
+    if (newestCk < 0) return
+    val retainH = props
+      .getOrElse("graft.manifest.exportRetentionHours", "168").toDouble
+    val cutoff = System.currentTimeMillis() - (retainH * 3600 * 1000).toLong
+    val l2 = Files.list(ld)
+    try l2.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.matches("\\d{20}\\.json") &&
+          n.stripSuffix(".json").toLong < newestCk &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      }
+      .foreach(Files.deleteIfExists(_))
+    finally l2.close()
   }
 
   /** Replay the exported `_delta_log` exactly as a Delta reader does:
@@ -474,7 +618,7 @@ object DeltaExport {
     */
   def externalRead(spark: SparkSession, tablePath: String,
       atVersion: Option[Long] = None): DataFrame = {
-    val p = parse(tablePath, atVersion)
+    val p = parseLog(logDir(tablePath), atVersion, Some(spark))
     val schema = DataType.fromJson(p.schemaString).asInstanceOf[StructType]
     def physOf(f: StructField): String =
       if (f.metadata.contains("delta.columnMapping.physicalName"))

@@ -237,6 +237,62 @@ class DeltaExportSpec extends GraftSparkSpec {
     assert(att.toDF.filter(col("g") === 2).count() == 20L)
   }
 
+  test("the export CHECKPOINTS its own log: _last_checkpoint lands on the " +
+      "interval, expired JSON expires, replay stays exact") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("dexp_selfck"),
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      properties = Map(
+        "graft.delta.checkpointInterval" -> "2",
+        "graft.manifest.exportRetentionHours" -> "0"))
+    DeltaExport.export(t) // v0
+    t.append((21 to 30).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    DeltaExport.export(t) // v1
+    t.append((31 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    DeltaExport.export(t) // v2 -> checkpoint + retention-0 cleanup
+    val ck = logDir(t).resolve(f"${2L}%020d.checkpoint.parquet")
+    assert(java.nio.file.Files.exists(ck), "checkpoint parquet at the interval")
+    val last = mapper.readTree(java.nio.file.Files.readAllBytes(
+      logDir(t).resolve("_last_checkpoint")))
+    assert(last.get("version").asLong() == 2L)
+    assert(!java.nio.file.Files.exists(logDir(t).resolve(f"${0L}%020d.json")),
+      "JSON below the checkpoint expires at retention 0")
+    assert(java.nio.file.Files.exists(logDir(t).resolve(f"${2L}%020d.json")),
+      "the checkpointed version's own JSON commit survives")
+    // replay seeds from the checkpoint and stays exact
+    assert(DeltaExport.externalRead(spark, t.path).count() == 40L)
+    assert(DeltaExport.externalRead(spark, t.path)
+      .agg(sum("id")).head.getLong(0) == (1L to 40L).sum)
+    // the typed stats survive the checkpoint round-trip
+    val live = DeltaExport.parseTable(
+      t.path + "/_graft_delta", spark = Some(spark)).liveAdds
+    val withStats = live.values.count(_.hasNonNull("stats"))
+    assert(withStats == live.size, "every checkpointed add keeps its stats")
+    // a further incremental export keeps working on the seeded state
+    t.delete(col("id") <= 5L)
+    val r = DeltaExport.export(t) // v3
+    assert(r.version == 3L && r.removes > 0)
+    assert(DeltaExport.externalRead(spark, t.path).count() == 35L)
+  }
+
+  test("exported add stats carry TYPED per-column min/max/nullCount " +
+      "(external data skipping food)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("dexp_stats"),
+      (1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "v"))
+    DeltaExport.export(t)
+    val adds = actions(t, 0L).filter(_.has("add")).map(_.get("add"))
+    val sts = adds.map(a => mapper.readTree(a.get("stats").asText()))
+    assert(sts.map(_.get("numRecords").asLong()).sum == 100L)
+    assert(sts.forall(_.get("minValues").get("id").isIntegralNumber),
+      "numeric min must be an unquoted JSON number")
+    assert(sts.map(_.get("maxValues").get("id").asLong()).max == 100L)
+    assert(sts.map(_.get("minValues").get("id").asLong()).min == 1L)
+    assert(sts.forall(_.get("minValues").get("v").isTextual),
+      "string min must be a JSON string")
+    assert(sts.forall(_.get("nullCount").get("id").asLong() == 0L))
+  }
+
   test("attachDelta seeds from a classic checkpoint parquet when early " +
       "JSON commits are cleaned up (real Delta-writer log shape)") {
     import spark.implicits._
