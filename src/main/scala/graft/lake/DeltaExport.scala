@@ -122,14 +122,21 @@ object DeltaExport {
   }
 
   /** One exported file: absolute URI, physical-keyed partition values
-    * (None = null partition), size, mtime, optional footer stats.
+    * (None = null partition), size, mtime, footer stats (or the raw
+    * stats JSON carried over from a reused prior add), and the add
+    * `tags` that make materialized rewrites reusable across exports.
     */
   private final case class ExportFile(
       uri: String,
       partitionValues: Seq[(String, Option[String])],
       size: Long,
       modificationTime: Long,
-      stats: Option[FileStats])
+      stats: Option[FileStats],
+      rawStatsJson: Option[String] = None,
+      tags: Seq[(String, String)] = Nil) {
+    def emittedStats(physSchema: StructType): Option[String] =
+      rawStatsJson.orElse(stats.map(statsJson(_, physSchema)))
+  }
 
   /** Delta add.stats JSON from the footer stats: numRecords plus
     * TYPED minValues/maxValues/nullCount (numbers unquoted, strings
@@ -164,19 +171,71 @@ object DeltaExport {
   }
 
   /** The current snapshot's externally-visible file set: unmasked
-    * actives as-is; DV-masked files as fresh materialized rewrites.
+    * actives as-is; DV-masked files as materialized rewrites. A
+    * rewrite is REUSED from the previous export when the file's DV
+    * coverage is unchanged (per-file fingerprint = the set of sidecars
+    * referencing it, carried in the add's `tags`) — so under steady
+    * MoR epochs each export rewrites only the files the NEW sidecars
+    * touch, O(delta), never the whole masked set again.
     */
-  private def exportFiles(t: GraftTable, s: Snapshot): (Seq[ExportFile], Int) = {
+  private def exportFiles(t: GraftTable, s: Snapshot,
+      prevLive: Map[String, JsonNode]): (Seq[ExportFile], Int) = {
     val spark = t.spark
     val physParts = s.partitionColumns.map(s.physicalName)
+    // masked file -> sorted sidecar set referencing it (the coverage
+    // fingerprint input); one bounded job over the DV sidecars
+    val dvRefs: Map[String, Seq[String]] =
+      if (s.dvFiles.isEmpty) Map.empty
+      else spark.read.parquet(s.dvFiles.map(t.dataPath): _*)
+        .select(col("file_path"),
+          col("_metadata.file_path").as("__sidecar"))
+        .distinct().collect()
+        .groupBy(r => GraftTable.canonicalFsPath(r.getString(0)))
+        .map { case (f, rows) =>
+          f -> rows.map(_.getString(1)).toSeq.sorted.distinct
+        }
     val masked: Seq[AddFile] =
-      if (s.dvFiles.isEmpty) Nil
-      else {
-        val dvPaths = spark.read.parquet(s.dvFiles.map(t.dataPath): _*)
-          .select("file_path").distinct().collect().map(_.getString(0))
-        GraftTable.dvMaskedFiles(dvPaths.toIndexedSeq, s.activeFiles, t.dataPath)
-      }
+      if (dvRefs.isEmpty) Nil
+      else GraftTable.dvMaskedFiles(
+        dvRefs.keys.toIndexedSeq, s.activeFiles, t.dataPath)
     val maskedPaths = masked.map(_.path).toSet
+    def fingerprint(f: AddFile): String = {
+      val canon = GraftTable.canonicalFsPath(t.dataPath(f.path))
+      val sidecars = dvRefs.getOrElse(canon, Nil)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((canon + "|" + sidecars.mkString(","))
+          .getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+    // prior materialized rewrites indexed by (source, dv fingerprint)
+    val reusable: Map[(String, String), JsonNode] = prevLive.values.flatMap { n =>
+      val tg = n.get("tags")
+      if (tg == null || tg.isNull) None
+      else for {
+        src <- Option(tg.get("graftSource")).map(_.asText())
+        fp <- Option(tg.get("graftDvFingerprint")).map(_.asText())
+      } yield (src, fp) -> n
+    }.toMap
+    val (reused, toRewrite) = masked.partition { f =>
+      reusable.contains(
+        (GraftTable.canonicalFsPath(t.dataPath(f.path)), fingerprint(f)))
+    }
+    val reusedFiles = reused.map { f =>
+      val canon = GraftTable.canonicalFsPath(t.dataPath(f.path))
+      val n = reusable((canon, fingerprint(f)))
+      val pvNode = n.get("partitionValues")
+      val pv = physParts.map { k =>
+        val v = if (pvNode == null) null else pvNode.get(k)
+        k -> (if (v == null || v.isNull) None else Some(v.asText()))
+      }
+      val tg = n.get("tags")
+      ExportFile(n.get("path").asText(), pv, n.get("size").asLong(),
+        n.get("modificationTime").asLong(), stats = None,
+        rawStatsJson = Option(n.get("stats")).filterNot(_.isNull)
+          .map(_.asText()),
+        tags = tg.fieldNames().asScala.map(k =>
+          k -> tg.get(k).asText()).toSeq)
+    }
     val plain = s.activeFiles.filterNot(f => maskedPaths.contains(f.path)).map { f =>
       val abs = Paths.get(t.dataPath(f.path)).toAbsolutePath.normalize
       ExportFile(
@@ -188,69 +247,93 @@ object DeltaExport {
         f.modificationTime,
         f.stats)
     }
+    // rewrite ONE SOURCE FILE PER SUBDIR so each rewrite carries its
+    // own (source, fingerprint) tags and later exports can reuse it
     val materialized: Seq[ExportFile] =
-      if (masked.isEmpty) Nil
+      if (toRewrite.isEmpty) Nil
       else {
         val matDir = exportRoot(t.path).resolve("_materialized")
           .resolve(f"v${s.version}%020d")
-        val df = t.physicalDfForFiles(s, masked)
         val tsKey = "spark.sql.parquet.outputTimestampType"
         val prevTs = spark.conf.getOption(tsKey)
         spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-        try {
+        try toRewrite.flatMap { f =>
+          val canon = GraftTable.canonicalFsPath(t.dataPath(f.path))
+          val fp = fingerprint(f)
+          val subDir = matDir.resolve(fp.take(16))
+          val df = t.physicalDfForFiles(s, Seq(f))
           val w = df.write.mode("overwrite")
           (if (physParts.nonEmpty) w.partitionBy(physParts: _*) else w)
-            .parquet(matDir.toString)
+            .parquet(subDir.toString)
+          val walk = Files.walk(subDir)
+          val written =
+            try walk.iterator().asScala
+              .filter(p => Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet") &&
+                !p.getFileName.toString.startsWith("."))
+              .toSeq
+            finally walk.close()
+          written.map { p =>
+            val rel = subDir.relativize(p)
+            val vals = (0 until rel.getNameCount - 1).map { i =>
+              val seg = rel.getName(i).toString
+              val eq = seg.indexOf('=')
+              val (k, v) = (seg.substring(0, eq), seg.substring(eq + 1))
+              k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
+                else Some(org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.unescapePathName(v)))
+            }.toMap
+            ExportFile(
+              fileUri(p.toAbsolutePath.normalize.toString),
+              physParts.map(c => c -> vals.getOrElse(c, None)),
+              Files.size(p),
+              Files.getLastModifiedTime(p).toMillis,
+              stats = None,
+              tags = Seq("graftSource" -> canon, "graftDvFingerprint" -> fp))
+          }
         } finally prevTs match {
           case Some(v) => spark.conf.set(tsKey, v)
           case None => spark.conf.unset(tsKey)
         }
-        val walk = Files.walk(matDir)
-        val written =
-          try walk.iterator().asScala
-            .filter(p => Files.isRegularFile(p) &&
-              p.getFileName.toString.endsWith(".parquet") &&
-              !p.getFileName.toString.startsWith("."))
-            .toSeq
-          finally walk.close()
-        written.map { p =>
-          val rel = matDir.relativize(p)
-          val vals = (0 until rel.getNameCount - 1).map { i =>
-            val seg = rel.getName(i).toString
-            val eq = seg.indexOf('=')
-            val (k, v) = (seg.substring(0, eq), seg.substring(eq + 1))
-            k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
-              else Some(org.apache.spark.sql.catalyst.catalog
-                .ExternalCatalogUtils.unescapePathName(v)))
-          }.toMap
-          ExportFile(
-            fileUri(p.toAbsolutePath.normalize.toString),
-            physParts.map(c => c -> vals.getOrElse(c, None)),
-            Files.size(p),
-            Files.getLastModifiedTime(p).toMillis,
-            stats = None)
-        }
       }
-    (plain ++ materialized, materialized.size)
+    (plain ++ reusedFiles ++ materialized, materialized.size)
   }
 
-  /** Reclaim expired materialized rewrites (retention window), keep
-    * the current version's directory alive.
+  /** Reclaim expired materialized rewrites (retention window), always
+    * keeping the current version's directory and any directory a LIVE
+    * add still references (reused rewrites live in older `v<M>` dirs).
     */
-  private def cleanupMaterialized(t: GraftTable, s: Snapshot): Unit = {
+  private def cleanupMaterialized(t: GraftTable, s: Snapshot,
+      liveUris: Set[String]): Unit = {
     val matRoot = exportRoot(t.path).resolve("_materialized")
     if (!Files.exists(matRoot)) return
-    val retainH = s.metadata.map(_.properties).getOrElse(Map.empty)
-      .getOrElse("graft.manifest.exportRetentionHours", "168").toDouble
+    val retainH = retentionHours(s)
     val cutoff = System.currentTimeMillis() - (retainH * 3600 * 1000).toLong
     val keep = f"v${s.version}%020d"
+    val livePaths = liveUris.map(_.stripPrefix("file:"))
     val vs = Files.list(matRoot)
     try vs.iterator().asScala
-      .filter(p => p.getFileName.toString != keep &&
-        Files.getLastModifiedTime(p).toMillis < cutoff)
+      .filter { p =>
+        val str = p.toAbsolutePath.normalize.toString
+        p.getFileName.toString != keep &&
+          Files.getLastModifiedTime(p).toMillis < cutoff &&
+          !livePaths.exists(_.startsWith(str + "/"))
+      }
       .foreach(deleteTree)
     finally vs.close()
   }
+
+  /** Tolerant property reads (a malformed value must never fail an
+    * export — the best-effort contract every maintenance hook keeps).
+    */
+  private def retentionHours(s: Snapshot): Double =
+    scala.util.Try(s.metadata.map(_.properties).getOrElse(Map.empty)
+      .getOrElse("graft.manifest.exportRetentionHours", "168").toDouble)
+      .getOrElse(168.0)
+  private def checkpointInterval(s: Snapshot): Int =
+    scala.util.Try(s.metadata.map(_.properties).getOrElse(Map.empty)
+      .getOrElse("graft.delta.checkpointInterval", "10").toInt)
+      .getOrElse(10)
 
   private def deleteTree(p: Path): Unit = {
     val w = Files.walk(p)
@@ -281,9 +364,9 @@ object DeltaExport {
     if (specChanged) deleteTree(exportRoot(t.path))
     val base = if (specChanged) None else prev
 
-    val (files, matCount) = exportFiles(t, s)
-    val current = files.map(f => f.uri -> f).toMap
     val prevLive = base.map(_.liveAdds).getOrElse(Map.empty)
+    val (files, matCount) = exportFiles(t, s, prevLive)
+    val current = files.map(f => f.uri -> f).toMap
 
     val added = files.filterNot(f => prevLive.contains(f.uri))
     val removed = prevLive.keys.filterNot(current.contains).toSeq.sorted
@@ -307,7 +390,13 @@ object DeltaExport {
     ciParams.put("graftVersion", s.version.toString)
     lines += mapper.writeValueAsString(ci)
 
-    if (version == 0L) {
+    // protocol at version 0, AND whenever the column-mapping mode
+    // flips (a rename on an already-exported table must UPGRADE the
+    // reader/writer requirement before readers hit the new metadata)
+    val mappingFlipped = base.exists(p =>
+      p.configuration.get("delta.columnMapping.mode") !=
+        configuration.get("delta.columnMapping.mode"))
+    if (version == 0L || mappingFlipped) {
       val pr = mapper.createObjectNode()
       val prBody = pr.putObject("protocol")
       prBody.put("minReaderVersion", if (mapped) 2 else 1)
@@ -353,8 +442,11 @@ object DeltaExport {
       adBody.put("size", f.size)
       adBody.put("modificationTime", f.modificationTime)
       adBody.put("dataChange", true)
-      f.stats.foreach(fs =>
-        adBody.put("stats", statsJson(fs, s.physicalSchema)))
+      f.emittedStats(s.physicalSchema).foreach(adBody.put("stats", _))
+      if (f.tags.nonEmpty) {
+        val tg = adBody.putObject("tags")
+        f.tags.foreach { case (k, v) => tg.put(k, v) }
+      }
       lines += mapper.writeValueAsString(ad)
     }
     val target = ld.resolve(f"$version%020d.json")
@@ -364,7 +456,7 @@ object DeltaExport {
     Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     maybeCheckpoint(t, s, ld, version, schema, configuration, files)
-    cleanupMaterialized(t, s)
+    cleanupMaterialized(t, s, current.keySet)
     ExportResult(ld.toString, version, added.size, removed.size, matCount)
   }
 
@@ -384,9 +476,9 @@ object DeltaExport {
       version: Long, schema: StructType,
       configuration: Map[String, String], files: Seq[ExportFile]): Unit = {
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
-    val interval = props.getOrElse("graft.delta.checkpointInterval", "10").toInt
+    val interval = checkpointInterval(s)
     if (version <= 0L || interval <= 0 || version % interval != 0) {
-      cleanupJsonTail(ld, props); return
+      cleanupJsonTail(ld, s); return
     }
     val spark = t.spark
     import org.apache.spark.sql.Row
@@ -404,7 +496,8 @@ object DeltaExport {
       Row(null, null,
         Row(f.uri, f.partitionValues.map { case (k, v) => k -> v.orNull }.toMap,
           f.size, f.modificationTime, true,
-          f.stats.map(statsJson(_, s.physicalSchema)).orNull))
+          f.emittedStats(s.physicalSchema).orNull,
+          if (f.tags.isEmpty) null else f.tags.toMap))
     }
     val ckSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
@@ -424,7 +517,8 @@ object DeltaExport {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType))))))
+        StructField("stats", StringType),
+        StructField("tags", MapType(StringType, StringType)))))))
     val tmpDir = ld.resolve(f".ck-$version%020d.tmp")
     spark.createDataFrame(
         spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1),
@@ -443,7 +537,7 @@ object DeltaExport {
     Files.write(ld.resolve("_last_checkpoint"),
       s"""{"version":$version,"size":${2 + addRows.size}}"""
         .getBytes(StandardCharsets.UTF_8))
-    cleanupJsonTail(ld, props)
+    cleanupJsonTail(ld, s)
   }
 
   /** Expire JSON commits strictly below the newest checkpoint once
@@ -451,7 +545,7 @@ object DeltaExport {
     * window keep their replay; beyond it the checkpoint carries the
     * state, Delta's log-retention contract).
     */
-  private def cleanupJsonTail(ld: Path, props: Map[String, String]): Unit = {
+  private def cleanupJsonTail(ld: Path, s: Snapshot): Unit = {
     val ckRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
     val l1 = Files.list(ld)
     val newestCk =
@@ -461,8 +555,7 @@ object DeltaExport {
       }).foldLeft(-1L)(math.max)
       finally l1.close()
     if (newestCk < 0) return
-    val retainH = props
-      .getOrElse("graft.manifest.exportRetentionHours", "168").toDouble
+    val retainH = retentionHours(s)
     val cutoff = System.currentTimeMillis() - (retainH * 3600 * 1000).toLong
     val l2 = Files.list(ld)
     try l2.iterator().asScala
@@ -559,6 +652,13 @@ object DeltaExport {
             if (a.schema.fieldNames.contains("stats") &&
                 a.getAs[String]("stats") != null)
               node.put("stats", a.getAs[String]("stats"))
+            if (a.schema.fieldNames.contains("tags") &&
+                a.getAs[Map[String, String]]("tags") != null) {
+              val tg = node.putObject("tags")
+              a.getAs[Map[String, String]]("tags").foreach {
+                case (k, v) => tg.put(k, v)
+              }
+            }
             if (a.schema.fieldNames.contains("deletionVector") &&
                 !a.isNullAt(a.fieldIndex("deletionVector")))
               node.set("deletionVector",

@@ -237,6 +237,56 @@ class DeltaExportSpec extends GraftSparkSpec {
     assert(att.toDF.filter(col("g") === 2).count() == 20L)
   }
 
+  test("materialized rewrites REUSE across exports: only files the new " +
+      "DV sidecars touch rewrite again (O(delta), tag-fingerprinted)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("dexp_reuse"),
+      (1 to 200).map(i => (i.toLong, i % 2)).toDF("id", "p"),
+      partitionBy = Seq("p"))
+    // first MoR wave masks rows in BOTH partitions
+    t.deleteMergeOnRead(col("id") % 10 === 0)
+    val r1 = DeltaExport.export(t)
+    assert(r1.materializedFiles > 0)
+    val mat1 = DeltaExport.parse(t.path).liveAdds.keys
+      .filter(_.contains("_materialized")).toSet
+    // second wave touches ONLY partition p=1 (odd ids)
+    t.deleteMergeOnRead(col("id") % 10 === 1)
+    val r2 = DeltaExport.export(t)
+    val live2 = DeltaExport.parse(t.path).liveAdds.keys
+      .filter(_.contains("_materialized")).toSet
+    assert(mat1.intersect(live2).nonEmpty,
+      "rewrites of files the new sidecar does not touch must be REUSED " +
+        s"(v1 materialized: $mat1, v2: $live2)")
+    assert(r2.materializedFiles > 0 &&
+      r2.materializedFiles < live2.size,
+      s"the second export must rewrite ONLY the touched files " +
+        s"(${r2.materializedFiles} of ${live2.size} live rewrites)")
+    val got = DeltaExport.externalRead(spark, t.path)
+    assert(got.count() == 200L - 20L - 20L)
+    assert(got.filter(col("id") % 10 === 0 || col("id") % 10 === 1)
+      .count() == 0L)
+  }
+
+  test("a rename AFTER the first export re-emits the protocol upgrade " +
+      "(readers at 1/2 must not hit column-mapped metadata)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("dexp_proto"),
+      (1 to 30).map(i => (i.toLong, s"n$i")).toDF("id", "name"))
+    DeltaExport.export(t)
+    assert(actions(t, 0L).find(_.has("protocol")).get.get("protocol")
+      .get("minReaderVersion").asInt() == 1)
+    t.renameColumn("name", "label")
+    val r = DeltaExport.export(t)
+    val acts = actions(t, r.version)
+    val proto = acts.find(_.has("protocol"))
+    assert(proto.nonEmpty, "the mapping flip must re-emit protocol")
+    assert(proto.get.get("protocol").get("minReaderVersion").asInt() == 2 &&
+      proto.get.get("protocol").get("minWriterVersion").asInt() == 5)
+    assert(acts.exists(_.has("metaData")), "and the mapped metaData")
+    assert(DeltaExport.externalRead(spark, t.path)
+      .columns.sorted.toSeq == Seq("id", "label"))
+  }
+
   test("the export CHECKPOINTS its own log: _last_checkpoint lands on the " +
       "interval, expired JSON expires, replay stays exact") {
     import spark.implicits._
