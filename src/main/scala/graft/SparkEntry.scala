@@ -204,6 +204,7 @@ object SparkEntry {
     "lake_delete" -> LakeOps.lakeDelete _,
     "lake_delete_mor" -> LakeOps.lakeDeleteMor _,
     "lake_timetravel" -> LakeOps.lakeTimetravel _,
+    "lake_tag" -> LakeOps.lakeTag _,
     "lake_update" -> LakeOps.lakeUpdate _,
     "lake_update_mor" -> LakeOps.lakeUpdateMor _,
     "lake_merge" -> LakeOps.lakeMerge _,
@@ -2662,6 +2663,9 @@ object SparkEntry {
         "SELECT n_seq, n_name FROM (SELECT * FROM a UNION ALL SELECT * FROM b) t " +
         "ORDER BY n_seq"),
     "lake_timetravel" -> LakeOps.liAggOracle.format("lineitem"),
+    // the tag pinned the PRISTINE version through delete/MoR/OPTIMIZE/
+    // vacuum-0/log-cleanup; its read equals the raw table
+    "lake_tag" -> LakeOps.liAggOracle.format("lineitem"),
     "lake_delete" -> LakeOps.liAggOracle.format(
       "(SELECT * FROM lineitem WHERE l_returnflag <> 'R') t"),
     "lake_delete_mor" -> LakeOps.liAggOracle.format(

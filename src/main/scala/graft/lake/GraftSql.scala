@@ -113,6 +113,16 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\w+)(\s+MATERIALIZE)?\s*;?\s*$""".r
   private val exportIcebergRe: Regex =
     """(?is)^\s*EXPORT\s+ICEBERG\s+METADATA\s+FOR\s+TABLE\s+(\w+)\s*;?\s*$""".r
+  private val createTagRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val dropTagRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*$""".r
+  private val showTagsRe: Regex =
+    """(?is)^\s*SHOW\s+TAGS\s+(?:IN\s+|FROM\s+|ON\s+)?(\w+)\s*;?\s*$""".r
+  private val restoreTagRe: Regex =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+TAG\s+([\w.-]+)\s*;?\s*$""".r
+  private val tagAsOfRe: Regex =
+    """(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+'([\w.-]+)'""".r
   private val exportDeltaRe: Regex =
     """(?is)^\s*EXPORT\s+DELTA\s+LOG\s+FOR\s+TABLE\s+(\w+)\s*;?\s*$""".r
   private val dropTableRe: Regex =
@@ -701,6 +711,24 @@ final class GraftSql(spark: SparkSession) {
             ("delete_files", r.deleteFiles.toString),
             ("delete_rows", r.deleteRows.toString)))
           .toDF("metric", "value")
+      case createTagRe(name, tag, v) =>
+        val ver = table(name).createTag(tag,
+          Option(v).map(_.toLong))
+        Seq(("tag", tag), ("pinned_version",
+          table(name).tagVersion(tag).toString),
+          ("commit", ver.toString)).toDF("metric", "value")
+      case dropTagRe(name, tag) =>
+        val ver = table(name).dropTag(tag)
+        Seq(("dropped", tag), ("commit", ver.toString))
+          .toDF("metric", "value")
+      case showTagsRe(name) =>
+        table(name).tags.toSeq.sortBy(_._1).toDF("tag", "version")
+      case restoreTagRe(name, tag) =>
+        val t = table(name)
+        val pinned = t.tagVersion(tag)
+        val nv = t.restore(pinned)
+        Seq(("restoredToTag", tag), ("restoredToVersion", pinned.toString),
+          ("newVersion", nv.toString)).toDF("metric", "value")
       case exportDeltaRe(name) =>
         val r = DeltaExport.export(table(name))
         Seq(("log_dir", r.logDir),
@@ -1151,6 +1179,15 @@ final class GraftSql(spark: SparkSession) {
         // register snapshots (incl. any VERSION AS OF rewrites) and
         // delegate to Spark SQL
         var rewritten = other
+        tagAsOfRe.findAllMatchIn(other).foreach { m =>
+          val (name, tag) = (m.group(1), m.group(2))
+          if (tables.contains(name)) {
+            val v = table(name).tagVersion(tag)
+            val viewName = s"${name}__tag_${tag.replaceAll("[^A-Za-z0-9_]", "_")}"
+            table(name).toDFAt(v).createOrReplaceTempView(viewName)
+            rewritten = rewritten.replace(m.matched, viewName)
+          }
+        }
         versionAsOfRe.findAllMatchIn(other).foreach { m =>
           val (name, v) = (m.group(1), m.group(2).toLong)
           if (tables.contains(name)) {

@@ -262,6 +262,67 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def toDFAsOfTimestamp(tsMillis: Long): DataFrame =
     toDFAt(Snapshot.versionAtTimestamp(log, tsMillis))
 
+  // ---- named tags (L112: Iceberg-style refs) ----
+
+  /** Tags currently pinned on a snapshot's metadata. */
+  private def tagsOf(s: Snapshot): Map[String, Long] =
+    s.metadata.map(_.properties).getOrElse(Map.empty).collect {
+      case (k, v) if k.startsWith(GraftTable.TagProp) =>
+        k.stripPrefix(GraftTable.TagProp) -> v.toLong
+    }
+
+  /** Named TAGS: human-readable pointers to versions (Iceberg's refs;
+    * Delta has no equivalent). A tag is a metadata property commit, so
+    * it rides the history, merges under concurrency like any property
+    * change, and — critically — PINS its snapshot: VACUUM (full and
+    * LITE) treats every tagged snapshot's files and DV sidecars as
+    * live, and log cleanup never drops commits a tag still needs, so
+    * `VERSION AS OF 'release-2026-08'` answers exactly long after
+    * plain retention would have reclaimed it. The pin is the point:
+    * a training-data release tags the corpus version it shipped from,
+    * and audits re-read it years later.
+    */
+  def tags: Map[String, Long] = tagsOf(snapshot)
+
+  def tagVersion(name: String): Long = tags.getOrElse(name,
+    throw new IllegalArgumentException(s"no tag '$name' on $path"))
+
+  /** Pin `name` to a version (default: the current one). Strict: an
+    * existing tag must be dropped first — silent repointing would
+    * un-pin files a reader of the old meaning still expects.
+    */
+  def createTag(name: String, version: Option[Long] = None): Long = {
+    require(GraftTable.TagNameRe.pattern.matcher(name).matches(),
+      s"illegal tag name '$name' (use letters, digits, _ . -)")
+    val v = version.getOrElse(snapshot.version)
+    snapshotAt(v) // validates the version is replayable
+    commitMetadataMerge(info("CREATE TAG",
+        Map("tag" -> name, "version" -> v.toString))) { m =>
+      require(!m.properties.contains(GraftTable.TagProp + name),
+        s"tag '$name' already exists (DROP TAG it first)")
+      m.copy(properties = m.properties + (GraftTable.TagProp + name -> v.toString))
+    }
+  }
+
+  def dropTag(name: String): Long =
+    commitMetadataMerge(info("DROP TAG", Map("tag" -> name))) { m =>
+      require(m.properties.contains(GraftTable.TagProp + name),
+        s"no tag '$name' on $path")
+      m.copy(properties = m.properties - (GraftTable.TagProp + name))
+    }
+
+  /** `SELECT ... VERSION AS OF 'tag'`. */
+  def toDFAtTag(name: String): DataFrame = toDFAt(tagVersion(name))
+
+  /** Tagged snapshots OTHER than the current one, for vacuum/cleanup
+    * pinning; a tag whose commits are gone contributes nothing (its
+    * files are already past saving — never the case for tags created
+    * through this API, which pin cleanup).
+    */
+  private def pinnedTagSnapshots(s: Snapshot): Seq[Snapshot] =
+    tagsOf(s).values.toSeq.distinct.filterNot(_ == s.version)
+      .flatMap(v => scala.util.Try(snapshotAt(v)).toOption)
+
   /** Stats+partition-pruned read: only files whose footer min/max or
     * partition value may satisfy `predicate` are scanned; the full
     * predicate is still applied, so this is pure I/O reduction.
@@ -4542,8 +4603,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def vacuum(retentionHours: Double, dryRun: Boolean = true): DataFrame = {
     import spark.implicits._
     val s = snapshot
-    val active = s.activeFiles.map(f => root.resolve(f.path).normalize.toString).toSet
-    val activeDvDirs = s.dvFiles.map(p => root.resolve(p).normalize)
+    // tagged snapshots are PINNED: their files and DV sidecars count
+    // as live however old their tombstones are (L112)
+    val pinned = pinnedTagSnapshots(s)
+    val active = (s.activeFiles ++ pinned.flatMap(_.activeFiles))
+      .map(f => root.resolve(f.path).normalize.toString).toSet
+    val activeDvDirs = (s.dvFiles ++ pinned.flatMap(_.dvFiles)).distinct
+      .map(p => root.resolve(p).normalize)
     // sidecars referenced from CURRENT table properties (bloom filters,
     // COPY INTO state) are live metadata, not orphaned data — deleting
     // them would crash the next pruned read / re-ingest everything.
@@ -4660,8 +4726,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     import spark.implicits._
     val s = snapshot
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
-    val active = s.activeFiles.map(f => root.resolve(f.path).normalize.toString).toSet
-    val liveDvs = s.dvFiles.map(p => root.resolve(p).normalize.toString).toSet
+    // tag pinning, as in the full walk (L112)
+    val pinned = pinnedTagSnapshots(s)
+    val active = (s.activeFiles ++ pinned.flatMap(_.activeFiles))
+      .map(f => root.resolve(f.path).normalize.toString).toSet
+    val liveDvs = (s.dvFiles ++ pinned.flatMap(_.dvFiles))
+      .map(p => root.resolve(p).normalize.toString).toSet
     val removedData = scala.collection.mutable.Map[String, Long]()
     val removedDvs = scala.collection.mutable.Set[String]()
     log.listVersions().foreach { v =>
@@ -4730,8 +4800,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .map(f => RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
     val dvRemoves = current.dvFiles.filterNot(target.dvFiles.contains).map(RemoveDV)
     val dvAdds = target.dvFiles.map(AddDV)
+    // tags are REFS, not table state (Iceberg semantics): a restore
+    // rolls data + schema back but every tag keeps its meaning —
+    // current tags overlay the restored metadata's properties
+    val currentTags = current.metadata.map(_.properties).getOrElse(Map.empty)
+      .filter(_._1.startsWith(GraftTable.TagProp))
+    val restoredMeta = target.metadata.map(m => m.copy(properties =
+      m.properties.filterNot(_._1.startsWith(GraftTable.TagProp)) ++ currentTags))
     val actions = Seq(info("RESTORE", params = Map("version" -> v.toString))) ++
-      target.metadata.toSeq ++ removes ++ dvRemoves ++ target.activeFiles ++ dvAdds
+      restoredMeta.toSeq ++ removes ++ dvRemoves ++ target.activeFiles ++ dvAdds
     commitAndCheckpoint(actions, readVersion = current.version,
       metadataConflict = true)
   }
@@ -4983,11 +5060,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // FIRST, against the same cutoff the sidecar scan used — a crash
     // in between leaves orphaned sidecars (a leak), never commits
     // referencing deleted sidecars (a broken change feed).
+    // tag pinning (L112): a tagged version about to lose its commits
+    // gets its OWN historical checkpoint first (pointer untouched), so
+    // `VERSION AS OF 'tag'` replays from it forever; the pinned
+    // checkpoints are then spared from checkpoint pruning
+    val tagVersions = tagsOf(s).values.toSet
     log.cleanupCutoff(keepVersions).map { cutoff =>
+      tagVersions.filter(_ < cutoff).foreach { tv =>
+        if (!log.hasCheckpointAt(tv))
+          log.writeCheckpoint(spark, tv, advancePointer = false)
+      }
       val cdcPaths = log.listVersions().filter(_ < cutoff).flatMap { v =>
         log.readCommit(v).collect { case c: AddCDC => c.path }
       }
-      val n = log.cleanupLogsAt(cutoff)
+      val n = log.cleanupLogsAt(cutoff, pinnedCkpts = tagVersions)
       cdcPaths.foreach(p => deleteRecursively(root.resolve(p)))
       n
     }.getOrElse(0)
@@ -5220,6 +5306,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 }
 
 object GraftTable {
+
+  private[lake] val TagProp = "graft.tag."
+  private[lake] val TagNameRe = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
 
   /** ANALYZE / auto-stats NDV collection covers at most this many
     * leading schema columns unless `spark.graft.stats.maxColumns`

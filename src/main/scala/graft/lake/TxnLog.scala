@@ -431,7 +431,8 @@ final class TxnLog(val tablePath: String,
     * `v` (one serialized action per row). Called opportunistically by
     * [[GraftTable]] after commits.
     */
-  def writeCheckpoint(spark: SparkSession, v: Long): Unit = {
+  def writeCheckpoint(spark: SparkSession, v: Long,
+                      advancePointer: Boolean = true): Unit = {
     // seed from the previous checkpoint + tail, not a from-zero replay
     // — otherwise every 10th commit costs O(full history) JSON reads
     val state = Snapshot.at(spark, this, Some(v))
@@ -454,6 +455,9 @@ final class TxnLog(val tablePath: String,
       if (lines.size <= 100000) ds.coalesce(1)
       else ds.repartition(math.ceil(lines.size / 100000.0).toInt)
     shaped.write.mode("overwrite").parquet(ckptPath(v).toString)
+    // a HISTORICAL checkpoint (tag pinning, L112) must not move the
+    // pointer backward — the directory scan still finds it by version
+    if (!advancePointer) return
     // atomic pointer swap: readers must never observe a torn file
     val tmp = logDir.resolve(s"_last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
@@ -468,8 +472,31 @@ final class TxnLog(val tablePath: String,
   }
 
   /** (checkpointVersion, actions) if a usable checkpoint ≤ v exists. */
+  def hasCheckpointAt(v: Long): Boolean =
+    Files.exists(ckptPath(v).resolve("_SUCCESS"))
+
+  /** Newest on-disk checkpoint at/below `v` — serves replays of tagged
+    * versions older than the pointer's checkpoint (L112).
+    */
+  private def scanCheckpointAtOrBelow(v: Long): Option[Long] =
+    if (!Files.isDirectory(ckptDir)) None
+    else {
+      val s = Files.list(ckptDir)
+      val versions =
+        try s.iterator().asScala
+          .filter(d => Files.exists(d.resolve("_SUCCESS")))
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("ckpt-"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("ckpt-").toLong).toOption)
+          .filter(_ <= v)
+          .toSeq
+        finally s.close()
+      versions.maxOption
+    }
+
   def readCheckpoint(spark: SparkSession, v: Long): Option[(Long, Seq[Action])] =
-    lastCheckpointVersion().filter(_ <= v).map { cv =>
+    lastCheckpointVersion().filter(_ <= v)
+      .orElse(scanCheckpointAtOrBelow(v)).map { cv =>
       val lines = spark.read.parquet(ckptPath(cv).toString)
         .collect().map(_.getString(0))
       (cv, lines.flatMap(Actions.fromJson).toSeq)
@@ -495,14 +522,15 @@ final class TxnLog(val tablePath: String,
       yield math.min(cv, latest - keepVersions)
 
   def cleanupLogs(keepVersions: Long = 0): Int =
-    cleanupCutoff(keepVersions).map(cleanupLogsAt).getOrElse(0)
+    cleanupCutoff(keepVersions).map(cleanupLogsAt(_)).getOrElse(0)
 
   /** Delete commits below an EXPLICIT cutoff (callers that reclaim
     * per-commit side state first must act on the same cutoff they
     * scanned, or a checkpoint advancing in between silently widens
     * the deletion past what they prepared for).
     */
-  def cleanupLogsAt(cutoff: Long): Int = {
+  def cleanupLogsAt(cutoff: Long,
+                    pinnedCkpts: Set[Long] = Set.empty): Int = {
     val cv = lastCheckpointVersion().getOrElse(return 0)
     val deletable = listVersions().filter(_ < math.min(cutoff, cv + 1))
     deletable.foreach(v => Files.deleteIfExists(versionFile(v)))
@@ -532,7 +560,8 @@ final class TxnLog(val tablePath: String,
       dirs.filter { d =>
         val n = d.getFileName.toString
         n.startsWith("ckpt-") &&
-          scala.util.Try(n.stripPrefix("ckpt-").toLong).toOption.exists(_ < cv)
+          scala.util.Try(n.stripPrefix("ckpt-").toLong).toOption
+            .exists(x => x < cv && !pinnedCkpts.contains(x))
       }.foreach { d =>
         val w = Files.walk(d)
         val all = try w.iterator().asScala.toSeq finally w.close()

@@ -80,6 +80,35 @@ object LakeOps {
     liAgg(t.toDFAt(0))
   }
 
+  /** Named TAG pinning end-to-end (L112): tag the pristine version,
+    * then pile on everything that would normally reclaim it — CoW
+    * delete, MoR delete (live DVs), OPTIMIZE, retention-0 VACUUM, and
+    * a retention-0 LOG CLEANUP — and read `VERSION AS OF 'tag'`
+    * through the SQL surface. The aggregate must equal the ORIGINAL
+    * table: the tag pinned its files against vacuum and its replay
+    * against log cleanup (via a pointer-neutral historical
+    * checkpoint), the whole point of release tags on a training
+    * corpus.
+    */
+  def lakeTag(spark: SparkSession, dir: String): DataFrame = {
+    val loc = workDir(dir, "tag")
+    val t = GraftTable.create(spark, loc, Tables(spark, dir, "lineitem"))
+    t.createTag("release-v0")
+    t.delete(col("l_returnflag") === "R") // CoW rewrites
+    t.deleteMergeOnRead(col("l_orderkey") % 4 === 0) // live DVs
+    t.optimize()
+    t.vacuum(retentionHours = 0.0, dryRun = false)
+    t.cleanupLogs()
+    val gsql = new graft.lake.GraftSql(spark)
+    gsql.register("tagged", loc)
+    gsql.sql(
+      "SELECT l_returnflag, COUNT(*) AS n, " +
+        "ROUND(SUM(l_extendedprice),2) AS sum_price, " +
+        "ROUND(SUM(l_quantity),2) AS sum_qty " +
+        "FROM tagged VERSION AS OF 'release-v0' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")
+  }
+
   /** UPDATE SET l_discount=0 WHERE returnflag='R' (L5). */
   def lakeUpdate(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, workDir(dir, "update"),

@@ -43,6 +43,7 @@ final class GraftRelation(
     */
   private val pinnedVersion: Option[Long] =
     opts.get("versionasof").map(_.toLong)
+      .orElse(opts.get("tagasof").map(table.tagVersion)) // L112 refs
       .orElse(opts.get("timestampasof").map(ts =>
         graft.lake.Snapshot.versionAtTimestamp(table.log,
           graft.lake.Snapshot.parseTsMillis(ts))))
