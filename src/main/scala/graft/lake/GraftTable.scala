@@ -5667,10 +5667,14 @@ object GraftTable {
       if (p.startsWith("/")) p else srcRoot.resolve(p).toString
     // bloom sidecars stay behind: their pointers resolve against the
     // clone root and their keys are source-relative paths, so carrying
-    // them over would crash readWhere — recompute blooms on the clone
+    // them over would crash readWhere — recompute blooms on the clone.
+    // Tags stay behind too (L112): they name SOURCE versions — in the
+    // clone's own log (which starts fresh) those numbers don't exist,
+    // or worse, later mean a different state entirely
     val meta = snap.metadata.get.copy(
       properties = snap.metadata.get.properties
-        .filterNot(_._1.startsWith("graft.bloom.")) +
+        .filterNot(_._1.startsWith("graft.bloom."))
+        .filterNot(_._1.startsWith(GraftTable.TagProp)) +
         ("graft.cloneSource" -> srcRoot.toString))
     val adds = snap.activeFiles.map(f => f.copy(path = absolute(f.path)))
     val dvs = snap.dvFiles.map(p => AddDV(absolute(p)))
@@ -5740,6 +5744,8 @@ object GraftTable {
     val meta = snap.metadata.get.copy(
       properties = snap.metadata.get.properties
         .filterNot(_._1.startsWith("graft.bloom."))
+        // source-version tag refs are meaningless in a fresh log (L112)
+        .filterNot(_._1.startsWith(GraftTable.TagProp))
         .-("graft.cloneSource"),
       createdTime = now)
     val rewrittenAdds =

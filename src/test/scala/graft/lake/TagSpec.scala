@@ -71,6 +71,23 @@ class TagSpec extends GraftSparkSpec {
     assert(t.toDFAtTag("v0").agg(sum("id")).head.getLong(0) == (1L to 30L).sum)
   }
 
+  test("clones do NOT inherit tags: a ref names a SOURCE version, " +
+      "meaningless (or wrong) in the clone's fresh log") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("tag_clone_src"),
+      (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    src.append((41 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    src.createTag("rel", Some(1L))
+    val shallow = GraftTable.shallowClone(spark,
+      src.path, tmpDir("tag_clone_sh"))
+    assert(shallow.tags.isEmpty,
+      "a shallow clone must not carry source-version refs")
+    val deep = GraftTable.deepClone(spark, src.path, tmpDir("tag_clone_dp"))
+    assert(deep.tags.isEmpty,
+      "a deep clone must not carry source-version refs")
+    assert(src.tags == Map("rel" -> 1L), "the source keeps its tag")
+  }
+
   test("SQL surface: CREATE/DROP TAG, SHOW TAGS, VERSION AS OF 'tag', " +
       "RESTORE TO TAG; reader option tagAsOf") {
     import spark.implicits._
