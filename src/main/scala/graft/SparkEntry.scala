@@ -205,6 +205,8 @@ object SparkEntry {
     "lake_delete_mor" -> LakeOps.lakeDeleteMor _,
     "lake_timetravel" -> LakeOps.lakeTimetravel _,
     "lake_tag" -> LakeOps.lakeTag _,
+    "lake_branch" -> LakeOps.lakeBranch _,
+    "lake_row_filter" -> LakeOps.lakeRowFilter _,
     "lake_update" -> LakeOps.lakeUpdate _,
     "lake_update_mor" -> LakeOps.lakeUpdateMor _,
     "lake_merge" -> LakeOps.lakeMerge _,
@@ -2666,6 +2668,21 @@ object SparkEntry {
     // the tag pinned the PRISTINE version through delete/MoR/OPTIMIZE/
     // vacuum-0/log-cleanup; its read equals the raw table
     "lake_tag" -> LakeOps.liAggOracle.format("lineitem"),
+    // branch merge-back: the linear-history equivalent of
+    // (fork → CoW delete R → MoR delete qty>45 → append keys<50)
+    // on the branch plus a commuting parent append of keys [50,100)
+    // governed read: DuckDB applies the same row filter and mask to
+    // the raw parquet (sum_price sums the MASKED expression)
+    "lake_row_filter" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "ROUND(SUM(CAST(l_orderkey % 100 AS DOUBLE)),2) AS sum_price, " +
+        "ROUND(SUM(l_quantity),2) AS sum_qty FROM lineitem " +
+        "WHERE l_quantity <= 45 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "lake_branch" -> LakeOps.liAggOracle.format(
+      "(SELECT * FROM lineitem WHERE l_returnflag <> 'R' AND l_quantity <= 45 " +
+        "UNION ALL SELECT * FROM lineitem WHERE l_orderkey < 50 " +
+        "UNION ALL SELECT * FROM lineitem " +
+        "WHERE l_orderkey >= 50 AND l_orderkey < 100)"),
     "lake_delete" -> LakeOps.liAggOracle.format(
       "(SELECT * FROM lineitem WHERE l_returnflag <> 'R') t"),
     "lake_delete_mor" -> LakeOps.liAggOracle.format(

@@ -335,6 +335,17 @@ object DeltaExport {
       .getOrElse("graft.delta.checkpointInterval", "10").toInt)
       .getOrElse(10)
 
+  /** Max actions per checkpoint part: past this the self-checkpoint
+    * writes the protocol's MULTI-PART form
+    * (`V.checkpoint.<part>.<parts>.parquet`) so a 10⁶-file table's
+    * checkpoint is written and replayed in parallel instead of
+    * through one writer task and one reader task.
+    */
+  private def checkpointPartSize(s: Snapshot): Int =
+    scala.util.Try(s.metadata.map(_.properties).getOrElse(Map.empty)
+      .getOrElse("graft.delta.checkpointPartSize", "100000").toInt)
+      .getOrElse(100000)
+
   private def deleteTree(p: Path): Unit = {
     val w = Files.walk(p)
     val all = try w.iterator().asScala.toSeq finally w.close()
@@ -483,21 +494,27 @@ object DeltaExport {
     val spark = t.spark
     import org.apache.spark.sql.Row
     val mapped = s.colMap.nonEmpty
+    // rows are (protocol, metaData, add, remove, txn): the protocol's
+    // checkpoint schema defines all five action columns plus
+    // format.options — strict Delta-native readers validate the file
+    // against that layout, so the never-populated remove/txn columns
+    // still must EXIST as null-valued structs (r13 advisory)
     val protoRow = Row(Row(if (mapped) 2 else 1, if (mapped) 5 else 2),
-      null, null)
+      null, null, null, null)
     val metaRow = Row(null,
       Row(java.util.UUID.nameUUIDFromBytes(
           t.path.getBytes(StandardCharsets.UTF_8)).toString,
-        Row("parquet"), schema.json, s.partitionColumns,
-        configuration,
+        Row("parquet", Map.empty[String, String]), schema.json,
+        s.partitionColumns, configuration,
         s.metadata.map(_.createdTime).getOrElse(0L)),
-      null)
+      null, null, null)
     val addRows = files.map { f =>
       Row(null, null,
         Row(f.uri, f.partitionValues.map { case (k, v) => k -> v.orNull }.toMap,
           f.size, f.modificationTime, true,
           f.emittedStats(s.physicalSchema).orNull,
-          if (f.tags.isEmpty) null else f.tags.toMap))
+          if (f.tags.isEmpty) null else f.tags.toMap),
+        null, null)
     }
     val ckSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
@@ -506,7 +523,8 @@ object DeltaExport {
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
-          StructField("provider", StringType)))),
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", MapType(StringType, StringType)),
@@ -518,25 +536,59 @@ object DeltaExport {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
         StructField("stats", StringType),
-        StructField("tags", MapType(StringType, StringType)))))))
+        StructField("tags", MapType(StringType, StringType))))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("extendedFileMetadata", BooleanType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType))))))
     val tmpDir = ld.resolve(f".ck-$version%020d.tmp")
+    val nActions = 2 + addRows.size
+    val wantParts = math.max(1,
+      math.ceil(nActions.toDouble / checkpointPartSize(s)).toInt)
     spark.createDataFrame(
-        spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1),
+        spark.sparkContext.parallelize(protoRow +: metaRow +: addRows,
+          wantParts),
         ckSchema)
-      .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val part = {
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val partFiles = {
       val l = Files.list(tmpDir)
       try l.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
       finally l.close()
     }
-    val ckTarget = ld.resolve(f"$version%020d.checkpoint.parquet")
-    Files.move(part, ckTarget,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (partFiles.size == 1) {
+      // classic single-part checkpoint
+      Files.move(partFiles.head,
+        ld.resolve(f"$version%020d.checkpoint.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.write(ld.resolve("_last_checkpoint"),
+        s"""{"version":$version,"size":$nActions}"""
+          .getBytes(StandardCharsets.UTF_8))
+    } else {
+      // the protocol's MULTI-PART form: V.checkpoint.<i>.<n>.parquet
+      // (1-based), `_last_checkpoint` carries `parts` — written from
+      // the ACTUAL emitted part count, which can differ from the
+      // requested split. Parts land before the pointer flips, so a
+      // crash mid-rename leaves the previous checkpoint authoritative.
+      val n = partFiles.size
+      partFiles.zipWithIndex.foreach { case (f, i) =>
+        Files.move(f,
+          ld.resolve(f"$version%020d.checkpoint.${i + 1}%010d.$n%010d.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.write(ld.resolve("_last_checkpoint"),
+        s"""{"version":$version,"size":$nActions,"parts":$n}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
     deleteTree(tmpDir)
-    Files.write(ld.resolve("_last_checkpoint"),
-      s"""{"version":$version,"size":${2 + addRows.size}}"""
-        .getBytes(StandardCharsets.UTF_8))
     cleanupJsonTail(ld, s)
   }
 
@@ -739,25 +791,44 @@ object DeltaExport {
     }
     if (partFields.isEmpty) renamed
     else {
-      val data = renamed.withColumn("__fp", col("_metadata.file_path"))
+      // join keys must agree on REPRESENTATION: `_metadata.file_path`
+      // renders percent-encoded with a file:/// scheme while the add
+      // URIs are decoded file:/ Hadoop-Path strings, so partition
+      // values needing Hive escaping (spaces, non-ASCII) would diverge
+      // and an inner join would silently drop those files' rows (r13
+      // advisory). Canonicalize both sides to a bare decoded absolute
+      // path, and LEFT-join with a raise_error guard so a residual
+      // mismatch fails loudly instead of losing data.
+      val data = renamed.withColumn("__fp",
+        regexp_replace(url_decode(col("_metadata.file_path")),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
       val rows = p.liveAdds.toSeq.map { case (uri, add) =>
         val pv = add.get("partitionValues")
-        Row.fromSeq(uri +: partFields.map { f =>
+        Row.fromSeq(GraftTable.canonicalFsPath(uri) +: partFields.map { f =>
           val v = pv.get(physOf(f))
           if (v == null || v.isNull) null else v.asText()
         })
       }
       val lookupSchema = StructType(
         StructField("__fp", StringType) +:
-          partFields.map(f => StructField(s"__raw_${f.name}", StringType)))
+          partFields.map(f => StructField(s"__raw_${f.name}", StringType)) :+
+          StructField("__matched", BooleanType))
       val lookup = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), lookupSchema)
-      val joined = data.join(broadcast(lookup), Seq("__fp"))
+        spark.sparkContext.parallelize(
+          rows.map(r => Row.fromSeq(r.toSeq :+ true)), 1), lookupSchema)
+      val joined = data.join(broadcast(lookup), Seq("__fp"), "left")
+      // the guard rides INSIDE each kept partition column (a dropped
+      // helper column would be pruned by Catalyst, silencing the error)
       val withParts = partFields.foldLeft(joined) { case (d, f) =>
-        d.withColumn(f.name, col(s"__raw_${f.name}").cast(f.dataType))
+        d.withColumn(f.name,
+          when(col("__matched").isNotNull, col(s"__raw_${f.name}"))
+            .otherwise(raise_error(concat(
+              lit("external Delta read: data file missing from live adds "),
+              lit("after canonicalization: "), col("__fp"))))
+            .cast(f.dataType))
           .drop(s"__raw_${f.name}")
       }
-      withParts.drop("__fp")
+      withParts.drop("__fp").drop("__matched")
         .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
     }
   }

@@ -123,6 +123,22 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+TAG\s+([\w.-]+)\s*;?\s*$""".r
   private val tagAsOfRe: Regex =
     """(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+'([\w.-]+)'""".r
+  private val setRowFilterRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+ROW\s+FILTER\s+'(.+)'\s*;?\s*$""".r
+  private val dropRowFilterRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+ROW\s+FILTER\s*;?\s*$""".r
+  private val setMaskRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+MASK\s+(\w+)\s+AS\s+'(.+)'\s*;?\s*$""".r
+  private val dropMaskRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+MASK\s+(\w+)\s*;?\s*$""".r
+  private val createBranchRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+BRANCH\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val dropBranchRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*$""".r
+  private val showBranchesRe: Regex =
+    """(?is)^\s*SHOW\s+BRANCHES\s+(?:IN\s+|FROM\s+|ON\s+)?(\w+)\s*;?\s*$""".r
+  private val mergeBranchRe: Regex =
+    """(?is)^\s*MERGE\s+BRANCH\s+([\w.-]+)\s+INTO\s+(\w+)\s*;?\s*$""".r
   private val exportDeltaRe: Regex =
     """(?is)^\s*EXPORT\s+DELTA\s+LOG\s+FOR\s+TABLE\s+(\w+)\s*;?\s*$""".r
   private val dropTableRe: Regex =
@@ -723,6 +739,46 @@ final class GraftSql(spark: SparkSession) {
           .toDF("metric", "value")
       case showTagsRe(name) =>
         table(name).tags.toSeq.sortBy(_._1).toDF("tag", "version")
+      case setRowFilterRe(name, e0) =>
+        val e = e0.replace("''", "'") // SQL-style quote escaping
+        val v = table(name).setRowFilter(e)
+        Seq(("rowFilter", e), ("commit", v.toString)).toDF("metric", "value")
+      case dropRowFilterRe(name) =>
+        val v = table(name).clearRowFilter()
+        Seq(("dropped", "rowFilter"), ("commit", v.toString))
+          .toDF("metric", "value")
+      case setMaskRe(name, c, e0) =>
+        val e = e0.replace("''", "'")
+        val v = table(name).setColumnMask(c, e)
+        Seq(("maskedColumn", c), ("expr", e), ("commit", v.toString))
+          .toDF("metric", "value")
+      case dropMaskRe(name, c) =>
+        val v = table(name).clearColumnMask(c)
+        Seq(("dropped", c), ("commit", v.toString)).toDF("metric", "value")
+      case createBranchRe(name, br, v) =>
+        val bt = table(name).createBranch(br, Option(v).map(_.toLong))
+        // the branch auto-registers as `<table>_<branch>` (non-word
+        // chars mapped to _) so plain SQL reads and writes it like any
+        // table; the handle is a full GraftTable either way
+        val alias = s"${name}_${br.replaceAll("[^A-Za-z0-9_]", "_")}"
+        tables(alias) = bt
+        Seq(("branch", br), ("registered_as", alias), ("path", bt.path))
+          .toDF("metric", "value")
+      case dropBranchRe(name, br) =>
+        table(name).dropBranch(br)
+        tables.remove(s"${name}_${br.replaceAll("[^A-Za-z0-9_]", "_")}")
+        Seq(("dropped", br)).toDF("metric", "value")
+      case showBranchesRe(name) =>
+        val t = table(name)
+        t.branches.map { b =>
+          val props = t.branch(b).snapshot.metadata
+            .map(_.properties).getOrElse(Map.empty)
+          (b, props.getOrElse(GraftTable.BranchBaseProp, ""),
+            props.get(GraftTable.BranchSealedProp).contains("true"))
+        }.toDF("branch", "base_version", "merged")
+      case mergeBranchRe(br, name) =>
+        val metrics = table(name).mergeBranch(br)
+        metrics.toSeq.sortBy(_._1).toDF("metric", "value")
       case restoreTagRe(name, tag) =>
         val t = table(name)
         val pinned = t.tagVersion(tag)

@@ -57,7 +57,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val (abs, rel) = files.partition(_.path.startsWith("/"))
     val srcRoot = snap.metadata.map(_.properties).getOrElse(Map.empty)
       .get("graft.cloneSource")
-    def branch(basePath: Option[String], fs: Seq[AddFile]): DataFrame = {
+    // Partition-directory inference reads the segments BETWEEN
+    // basePath and each file, so merged-branch entries (L113 — live
+    // under `_graft_branches/<name>/` with their k=v dirs BELOW that)
+    // must scan with the branch dir as their basePath or inference
+    // sees the non-k=v branch segments and refuses. Group each file
+    // under its effective base; plain entries keep the table root.
+    def effectiveBase(base: String, rel: String): String =
+      rel.split('/') match {
+        case segs if segs.length > 2 && segs(0) == GraftTable.BranchesDir =>
+          s"$base/${segs(0)}/${segs(1)}"
+        case _ => base
+      }
+    def scanGroup(basePath: Option[String], fs: Seq[AddFile]): DataFrame = {
       val reader = spark.read.schema(org.apache.spark.sql.types.StructType(
         snap.physicalSchema.fields ++ extraCols))
       val r = basePath.fold(reader)(b => reader.option("basePath", b))
@@ -66,10 +78,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       else r.withColumn("__fp", col("_metadata.file_path"))
         .withColumn("__ri", col("_metadata.row_index"))
     }
-    val branches =
-      (if (rel.nonEmpty) Seq(branch(Some(path), rel)) else Nil) ++
-        (if (abs.nonEmpty) Seq(branch(srcRoot, abs)) else Nil)
-    branches.reduce(_ unionByName _)
+    val relGroups = rel.groupBy(f => effectiveBase(path, f.path))
+      .toSeq.sortBy(_._1)
+      .map { case (b, fs) => scanGroup(Some(b), fs) }
+    val absGroups = abs.groupBy(f => srcRoot.map(sr =>
+        effectiveBase(sr, if (f.path.startsWith(sr + "/"))
+          f.path.stripPrefix(sr + "/") else "")))
+      .toSeq.sortBy(_._1.getOrElse(""))
+      .map { case (b, fs) => scanGroup(b, fs) }
+    (relGroups ++ absGroups).reduce(_ unionByName _)
   }
 
   private[lake] def physicalDfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame =
@@ -93,7 +110,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[graft] def dfFor(snap: Snapshot, files: Seq[AddFile]): DataFrame =
     dfForFiles(snap, files)
 
-  def toDF: DataFrame = { val s = snapshot; dfForFiles(s, s.activeFiles) }
+  def toDF: DataFrame = governed(rawDF)
+
+  /** Ungoverned full read — maintenance/validation/stats/CDC only
+    * (L114): a row filter must HIDE rows, never let a rewrite delete
+    * them; every public surface goes through [[governed]] instead.
+    */
+  private[graft] def rawDF: DataFrame =
+    { val s = snapshot; dfForFiles(s, s.activeFiles) }
 
   // ------------------------------------------------- row tracking
 
@@ -131,7 +155,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           generatedExprs(s)), p)
       case None => s.activeFiles
     }
-    rowIdScan(s, files).withColumnRenamed(RowIdCol, "row_id")
+    // governed like every public read; the predicate pruning above ran
+    // on raw stats, which is sound when no mask touches the predicate
+    // (the masked-predicate caller is readWhere — this row-id surface
+    // takes predicates from the relation layer, which consults
+    // maskedColumnSet first)
+    governed(rowIdScan(s, files)).withColumnRenamed(RowIdCol, "row_id")
   }
 
   /** Scan `files` with the stable-id column resolved (materialized
@@ -255,8 +284,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (newHwm <= hwm) actions else out :+ RowIdHighWaterMark(newHwm)
   }
 
-  /** `SELECT ... VERSION AS OF v` (reference 02-lab:205-211). */
-  def toDFAt(v: Long): DataFrame = { val s = snapshotAt(v); dfForFiles(s, s.activeFiles) }
+  /** `SELECT ... VERSION AS OF v` (reference 02-lab:205-211).
+    * Governed by the CURRENT policy (L114) — time travel is not a
+    * policy bypass.
+    */
+  def toDFAt(v: Long): DataFrame = governed(rawDFAt(v))
+
+  private[graft] def rawDFAt(v: Long): DataFrame =
+    { val s = snapshotAt(v); dfForFiles(s, s.activeFiles) }
 
   /** Timestamp-based time travel. */
   def toDFAsOfTimestamp(tsMillis: Long): DataFrame =
@@ -323,14 +358,325 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     tagsOf(s).values.toSeq.distinct.filterNot(_ == s.version)
       .flatMap(v => scala.util.Try(snapshotAt(v)).toOption)
 
+  // ---- writable branches (L113: lakeFS/Nessie-style refs) ----
+
+  /** Crash-injection seam for the merge protocol specs (mirrors
+    * GraftSql.txnCrashHook): called with a named point between the
+    * merge's two reservations and its decision.
+    */
+  private[lake] var mergeCrashHook: String => Unit = _ => ()
+
+  private def branchesDir: Path = root.resolve(GraftTable.BranchesDir)
+  private[lake] def branchRoot(name: String): Path = branchesDir.resolve(name)
+
+  /** Live branches: a branch exists iff its own log does — the
+    * filesystem IS the registry, so creation/drop are crash-atomic
+    * with the branch's own log lifecycle (no separate pointer to
+    * desync). O(#branches) driver metadata, never a data walk.
+    */
+  def branches: Seq[String] =
+    if (!Files.isDirectory(branchesDir)) Nil
+    else {
+      val l = Files.list(branchesDir)
+      try l.iterator().asScala
+        .filter(d => new TxnLog(d.toString).exists)
+        .map(_.getFileName.toString).toList.sorted
+      finally l.close()
+    }
+
+  /** Open a branch as a full GraftLake table: every read/DML/layout
+    * op this class offers works on the handle — a branch IS a shallow
+    * clone living under the parent's root, so its un-rewritten data is
+    * zero-copy (absolute references into the parent) and everything it
+    * writes lands under its own directory.
+    */
+  def branch(name: String): GraftTable = {
+    require(new TxnLog(branchRoot(name).toString).exists,
+      s"no branch '$name' on $path")
+    GraftTable.forPath(spark, branchRoot(name).toString)
+  }
+
+  /** Writable BRANCHES (the lakeFS/Nessie corpus-experimentation
+    * workflow, reduced to existing graft primitives): CREATE BRANCH =
+    * a shallow clone under `_graft_branches/<name>` that records its
+    * fork version; diverge freely with any DML on the branch handle;
+    * [[mergeBranch]] lands the branch's net change back on the parent
+    * as ONE serializable commit through the L98 reservation/decision
+    * protocol. Tags are read-only pins; branches are where "try this
+    * filter recipe" runs without touching production reads.
+    */
+  def createBranch(name: String, version: Option[Long] = None): GraftTable = {
+    require(GraftTable.TagNameRe.pattern.matcher(name).matches(),
+      s"illegal branch name '$name' (use letters, digits, _ . -)")
+    require(!new TxnLog(branchRoot(name).toString).exists,
+      s"branch '$name' already exists (DROP BRANCH it first)")
+    val baseV = version.getOrElse(snapshot.version)
+    val bt = GraftTable.shallowClone(spark, path, branchRoot(name).toString,
+      Some(baseV), extraProperties = Map(
+        GraftTable.BranchBaseProp -> baseV.toString,
+        GraftTable.BranchNameProp -> name))
+    // advisory history record on the parent (the registry is the
+    // branch log itself — a crash between the two leaves a fully
+    // usable branch that merely lacks its parent-history line)
+    commitMetadataMerge(info("CREATE BRANCH",
+      Map("branch" -> name, "baseVersion" -> baseV.toString)))(identity)
+    bt
+  }
+
+  /** Drop a branch: delete ONLY its log. Data files the branch wrote
+    * stay on disk — a merged branch's files are now referenced by the
+    * PARENT log (merge adds them by `_graft_branches/<name>/...`
+    * relative path, no file ever moves), and an unmerged branch's
+    * files become unreferenced orphans the parent's next VACUUM
+    * reclaims. Either way the log deletion alone flips the branch to
+    * "gone" atomically for every accessor.
+    */
+  def dropBranch(name: String): Unit = {
+    val bt = branch(name) // validates existence
+    deleteRecursively(bt.log.logDir)
+    commitMetadataMerge(info("DROP BRANCH", Map("branch" -> name)))(identity)
+  }
+
+  /** Net-change diff of a branch against its fork version — the
+    * branch-merge counterpart of [[prepareSquash]] with ONE structural
+    * difference: NOTHING MOVES. Branch-written files are referenced by
+    * the parent via their `_graft_branches/<name>/...` RELATIVE paths,
+    * so the branch stays fully readable after the merge (sealed), a
+    * crash at any point leaves both logs consistent, and merge-on-read
+    * masks the branch laid over rows it inserted survive verbatim (the
+    * masked scan resolves the same absolute paths from both logs —
+    * the restriction [[prepareSquash]] enforces does not apply here).
+    */
+  private def prepareBranchMerge(bt: GraftTable, baseVersion: Long): SquashPlan = {
+    val b = snapshotAt(baseVersion)
+    val s2 = bt.snapshot
+    val rootAbs = root.toAbsolutePath.normalize
+    def absOf(t: GraftTable, rel: String): Path =
+      (if (rel.startsWith("/")) Paths.get(rel)
+       else Paths.get(t.path).resolve(rel)).toAbsolutePath.normalize
+    val baseAbs = b.activeFiles.map(f => absOf(this, f.path) -> f).toMap
+    val branchActive = s2.activeFiles.map(f => absOf(bt, f.path) -> f)
+    val branchAbsSet = branchActive.map(_._1).toSet
+    val removes = baseAbs.collect {
+      case (abs, f) if !branchAbsSet.contains(abs) =>
+        RemoveFile(f.path, System.currentTimeMillis(), dataChange = true)
+    }.toSeq
+    val adds = branchActive.collect {
+      case (abs, f) if !baseAbs.contains(abs) =>
+        f.copy(path =
+          if (abs.startsWith(rootAbs)) rootAbs.relativize(abs).toString
+          else abs.toString)
+    }
+    val baseDvAbs = b.dvFiles.map(p => absOf(this, p)).toSet
+    val dvAdds = s2.dvFiles.map(p => absOf(bt, p))
+      .filterNot(baseDvAbs.contains).map { abs =>
+        AddDV(if (abs.startsWith(rootAbs)) rootAbs.relativize(abs).toString
+          else abs.toString)
+      }
+    // branch-local sidecar pointers (blooms/indexes it built) are
+    // branch-root-relative — wrong against the parent root — so they
+    // strip like clone markers, and the parent's own pointers reinstate
+    val baseBloom = b.metadata.map(_.properties
+      .filter(_._1.startsWith("graft.bloom."))).getOrElse(Map.empty)
+    val cleanMeta = s2.metadata.map(m => m.copy(properties =
+      m.properties - "graft.cloneSource" -
+        GraftTable.BranchBaseProp - GraftTable.BranchNameProp --
+        m.properties.keys.filter(_.startsWith("graft.bloom.")) ++ baseBloom))
+    val metaActions =
+      if (cleanMeta == b.metadata) Nil else cleanMeta.toSeq
+    val metrics = Map(
+      "numRemovedFiles" -> removes.size.toString,
+      "numAddedFiles" -> adds.size.toString,
+      "numDeletionVectors" -> dvAdds.size.toString,
+      "branchCommits" -> s2.version.toString)
+    SquashPlan(baseVersion,
+      Seq(info("MERGE BRANCH", metrics = metrics)) ++ metaActions ++
+        removes ++ adds ++ dvAdds,
+      movedRels = Nil, metrics,
+      readPaths = b.activeFiles.map(_.path).toSet,
+      metadataConflict = metaActions.nonEmpty)
+  }
+
+  /** MERGE BRANCH: land the branch's net change on this table as one
+    * serializable commit and SEAL the branch, both-or-neither. The
+    * parent squash and the branch's seal are RESERVATIONS behind one
+    * shared decision file (the L98 protocol, two participants): a
+    * crash before the decision leaves both logs at their prior state
+    * (pending markers grace-abort), a crash after it leaves the merge
+    * fully visible on both — so a merged branch can never be merged
+    * twice (the seal refuses all further branch commits) and the
+    * parent can never carry a half-merge.
+    *
+    * Concurrency follows the transaction rules: parent commits since
+    * the fork that merely APPENDED commute and survive; any
+    * intervening remove/mask/metadata change on the branch's read set
+    * aborts with ConcurrentModificationException (fast-forward when
+    * the parent never moved; conflict-checked rebase-free squash when
+    * it appended).
+    */
+  def mergeBranch(name: String): Map[String, String] = {
+    val bt = branch(name)
+    val bProps = bt.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    require(!bProps.get(GraftTable.BranchSealedProp).contains("true"),
+      s"branch '$name' was already merged (sealed) — drop it or branch again")
+    val baseV = bProps.getOrElse(GraftTable.BranchBaseProp,
+      throw new IllegalStateException(
+        s"'$name' does not carry a fork version — not a branch of $path")).toLong
+    val plan = prepareBranchMerge(bt, baseV)
+    val txnId = UUID.randomUUID().toString
+    val coordPath = root.resolve("_graft_log").resolve("_txncoord")
+      .resolve(s"$txnId.decision").toAbsolutePath.toString
+    mergeCrashHook("before-reserve")
+    val v = reserveSquash(plan, coordPath, txnId)
+    mergeCrashHook("after-parent-reserve")
+    val bv =
+      try {
+        val sealMeta = bt.snapshot.metadata.map(m => m.copy(properties =
+          m.properties + (GraftTable.BranchSealedProp -> "true"))).toSeq
+        bt.commitAndCheckpoint(
+          info("MERGE BRANCH",
+            Map("into" -> path, "mergedAtVersion" -> v.toString)) +: sealMeta,
+          readVersion = bt.version, metadataConflict = true,
+          reserve = Some((coordPath, txnId)))
+      } catch {
+        case e: Throwable =>
+          // abort the parent reservation too — a failed seal must not
+          // leave a decided half-merge
+          log.decide(coordPath, "abort")
+          log.sealDecision(txnId, v, "abort")
+          throw e
+      }
+    mergeCrashHook("after-branch-reserve")
+    val decision = log.decide(coordPath, "commit")
+    if (decision != "commit")
+      throw new java.util.ConcurrentModificationException(
+        s"merge of branch '$name' aborted by a concurrent accessor " +
+          "before the commit decision landed")
+    mergeCrashHook("after-decision")
+    // durable from here: seal the outcome into each participant's own
+    // log, then the deferred checkpoints + external artifacts
+    log.sealDecision(txnId, v, "commit")
+    log.maybeCheckpoint(spark, v)
+    refreshExternalArtifacts()
+    bt.log.sealDecision(txnId, bv, "commit")
+    bt.log.maybeCheckpoint(spark, bv)
+    plan.metrics
+  }
+
+  // ---- row filters & column masks (L114: storage-layer governance) ----
+
+  private def masksOf(props: Map[String, String]): Seq[(String, String)] =
+    props.collect { case (k, v) if k.startsWith(GraftTable.ColMaskProp) =>
+      k.stripPrefix(GraftTable.ColMaskProp) -> v }.toSeq.sortBy(_._1)
+
+  /** The CURRENT governance policy — always the LATEST snapshot's
+    * properties, even for time-travel/tag reads: strengthening a
+    * policy must close every read surface at once, never leave
+    * `VERSION AS OF` open as a bypass.
+    */
+  private def governancePolicy: (Option[String], Seq[(String, String)]) = {
+    val props =
+      if (!log.exists) Map.empty[String, String]
+      else snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    (props.get(GraftTable.RowFilterProp), masksOf(props))
+  }
+
+  private[lake] def maskedColumnSet: Set[String] =
+    governancePolicy._2.map(_._1).toSet
+
+  /** Apply the current policy to a read: the row filter evaluates on
+    * RAW values (visibility decisions run on true data — the
+    * Databricks row-filter convention), then every mask evaluates
+    * against RAW values in ONE projection, so a mask referencing
+    * another masked column sees the original and mask order can never
+    * matter. Mask output casts to the column's declared type — the
+    * schema is policy-invariant. Purely a plan transform: filters and
+    * codegen'd expressions ride whole-stage codegen, pruning happened
+    * before on raw stats (sound — policy only narrows rows).
+    *
+    * Scope: every PUBLIC read surface (path API, relation, catalog,
+    * SQL, streaming batches, time travel, DFP/bloom/cost-based reads).
+    * Maintenance stays RAW by construction — DML rewrites, OPTIMIZE/
+    * ZORDER, CHECK/NOT-NULL validation, ANALYZE stats, exports, CDC
+    * staging and [[changesBetween]] all read through [[rawDF]] or the
+    * physical/file-level paths, so a policy can never silently DELETE
+    * the data it hides.
+    */
+  private[graft] def governed(df: DataFrame): DataFrame = {
+    val (filterExpr, masks) = governancePolicy
+    val filtered = filterExpr.map(e => df.filter(expr(e))).getOrElse(df)
+    if (masks.isEmpty) filtered
+    else {
+      val mm = masks.toMap
+      filtered.select(filtered.columns.toIndexedSeq.map { c =>
+        mm.get(c).map(e => expr(e).cast(filtered.schema(c).dataType).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+  }
+
+  /** Validate a policy expression against the table schema NOW (a
+    * typo must fail the ALTER, not every later read).
+    */
+  private def validatePolicyExpr(e: String): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snapshot.schema)
+      .select(expr(e)).queryExecution.analyzed
+
+  /** MV exclusivity: an MV folds CDC deltas the policy does not see,
+    * so a transparent rewrite would answer governed queries from
+    * ungoverned aggregates — refuse the combination in BOTH directions
+    * (here, and at MV registration).
+    */
+  private def requireNoRegisteredView(what: String): Unit =
+    require(!snapshot.metadata.exists(_.properties
+        .get(graft.plans.MvCatalog.RegisteredViewKey).exists(_.nonEmpty)),
+      s"cannot $what: the table has a registered materialized view " +
+        "(drop the view first — governed tables and MVs are exclusive)")
+
+  def setRowFilter(expression: String): Long = {
+    validatePolicyExpr(expression)
+    requireNoRegisteredView("set a row filter")
+    commitMetadataMerge(info("SET ROW FILTER",
+      Map("expr" -> expression)))(m =>
+      m.copy(properties = m.properties +
+        (GraftTable.RowFilterProp -> expression)))
+  }
+
+  def clearRowFilter(): Long =
+    commitMetadataMerge(info("DROP ROW FILTER"))(m =>
+      m.copy(properties = m.properties - GraftTable.RowFilterProp))
+
+  def setColumnMask(column: String, expression: String): Long = {
+    require(snapshot.schema.fieldNames.contains(column),
+      s"no such column: $column")
+    validatePolicyExpr(expression)
+    requireNoRegisteredView(s"set a mask on $column")
+    commitMetadataMerge(info("SET MASK",
+      Map("column" -> column, "expr" -> expression)))(m =>
+      m.copy(properties = m.properties +
+        (GraftTable.ColMaskProp + column -> expression)))
+  }
+
+  def clearColumnMask(column: String): Long =
+    commitMetadataMerge(info("DROP MASK", Map("column" -> column)))(m =>
+      m.copy(properties = m.properties - (GraftTable.ColMaskProp + column)))
+
   /** Stats+partition-pruned read: only files whose footer min/max or
     * partition value may satisfy `predicate` are scanned; the full
     * predicate is still applied, so this is pure I/O reduction.
     */
   def readWhere(predicate: Column): DataFrame = {
     val s = snapshot
+    // a predicate over a MASKED column cannot drive stats/bloom
+    // pruning (footer stats describe RAW values, the user queries the
+    // masked view) — scan all active files and filter post-mask; the
+    // policy-free path keeps the full skipping stack
+    val masked = maskedColumnSet
+    if (masked.nonEmpty && org.apache.spark.sql.GraftSqlShims
+        .expression(predicate).references.exists(a => masked(a.name)))
+      return governed(dfForFiles(s, s.activeFiles)).filter(predicate)
     val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate, generatedExprs(s))
-    dfForFiles(s, bloomPrune(s, kept, predicate)).filter(predicate)
+    governed(dfForFiles(s, bloomPrune(s, kept, predicate))).filter(predicate)
   }
 
   /** Dynamic file pruning (Delta DFP parity, API-level): when a
@@ -369,7 +715,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val preds = keys.map { key =>
       val vals = dim.select(col(key)).distinct().limit(maxKeys + 1)
         .collect().map(_.get(0)).filter(_ != null)
-      if (vals.isEmpty) return dfForFiles(s, Nil)
+      if (vals.isEmpty) return governed(dfForFiles(s, Nil))
       if (vals.length <= maxKeys) col(key).isin(vals.toIndexedSeq: _*)
       else {
         val r = dim.agg(min(col(key)), max(col(key))).head()
@@ -377,9 +723,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }
     }
     val pred = preds.reduce(_ && _)
+    // a masked join key invalidates file skipping on raw stats — fall
+    // back to a governed full scan (the caller's join still applies
+    // the exact predicate)
+    if (keys.exists(maskedColumnSet)) return governed(dfForFiles(s, s.activeFiles))
     val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns,
       pred, generatedExprs(s))
-    dfForFiles(s, bloomPrune(s, kept, pred))
+    governed(dfForFiles(s, bloomPrune(s, kept, pred)))
   }
 
   /** Runtime bloom semi-join filter: where [[readDynamicallyPruned]]
@@ -408,9 +758,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case other => throw new IllegalArgumentException(
         s"bloom join filters support integral/string keys, not $other")
     }
+    if (maskedColumnSet(key)) return governed(dfForFiles(s, s.activeFiles))
     val keys = dim.select(col(key)).na.drop().distinct()
     val n = keys.count()
-    if (n == 0) return dfForFiles(s, Nil)
+    if (n == 0) return governed(dfForFiles(s, Nil))
     val bounds = keys.agg(min(col(key)), max(col(key))).head()
     val rangePred = col(key) >= lit(bounds.get(0)) && col(key) <= lit(bounds.get(1))
     val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns,
@@ -425,7 +776,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     import org.apache.spark.sql.GraftSqlShims
-    dfForFiles(s, kept).filter(GraftSqlShims.column(
+    governed(dfForFiles(s, kept)).filter(GraftSqlShims.column(
       graft.functions.BloomMightContain(
         GraftSqlShims.expression(col(key)), bos.toByteArray)))
   }
@@ -456,7 +807,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val keys = dim.select(col(key)).na.drop().distinct()
     val agg = keys.agg(count(lit(1)), min(col(key)), max(col(key))).head()
     val n = agg.getLong(0)
-    if (n == 0) return ("empty", dfForFiles(s, Nil))
+    if (n == 0) return ("empty", governed(dfForFiles(s, Nil)))
     def asD(v: Any): Option[Double] = v match {
       case x: Number => Some(x.doubleValue())
       case _ => None
@@ -1779,6 +2130,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             s"${unknown.sorted.mkString(", ")} this client does not " +
             "implement; upgrade the client to write it")
     }
+    // a merged (sealed) branch is read-only (L113): its state was
+    // squashed into the parent at the merge decision — a later commit
+    // here would silently fork history the parent already absorbed
+    if (log.exists && snapshot.metadata.exists(
+        _.properties.get(GraftTable.BranchSealedProp).contains("true")))
+      throw new UnsupportedOperationException(
+        s"branch at $path was merged (sealed read-only); DROP BRANCH " +
+          "it on the parent, or create a new branch to continue")
     val deps = actions.collect { case r: RemoveFile => r.path }.toSet ++ readPaths
     val ourTxns = actions.collect { case t: SetTxn => t.appId -> t.epoch }.toMap
     // row tracking: id ranges are reserved from the hwm of the LATEST
@@ -2494,8 +2853,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * callers at 100 TB scale should bound the version window.
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
-    val before = toDFAt(fromVersion)
-    val after = toDFAt(toVersion)
+    // CDC surfaces are RAW by contract (like changeFeed): change rows
+    // feed index/MV maintenance and replication, where a policy-
+    // narrowed delta would corrupt the fold
+    val before = rawDFAt(fromVersion)
+    val after = rawDFAt(toVersion)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
@@ -2635,7 +2997,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def addConstraint(name: String, exprSql: String): Long = {
     val s = snapshot
-    val violations = toDF
+    val violations = rawDF
       .filter(coalesce(expr(exprSql), lit(true)) === false).count()
     require(violations == 0,
       s"cannot add constraint $name: $violations existing rows violate ($exprSql)")
@@ -2677,7 +3039,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val nulls = statNulls match {
       case Some(0L) => 0L
       case Some(n) if s.dvFiles.isEmpty => n
-      case _ => toDF.filter(col(column).isNull).count()
+      case _ => rawDF.filter(col(column).isNull).count()
     }
     require(nulls == 0,
       s"cannot SET NOT NULL on $column: $nulls existing rows are NULL")
@@ -3929,7 +4291,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val cdc: Seq[Action] =
       if (!cdfEnabled(s) || removes.isEmpty) Nil
       else Seq(stageCdc(s,
-        toDF.select(s.schema.fieldNames.map(col): _*)
+        rawDF.select(s.schema.fieldNames.map(col): _*)
           .withColumn("_change_type", lit("delete"))))
     val metrics = Map("numRemovedFiles" -> removes.size.toString)
     commitOrReclaimCdc(cdc)(commitAndCheckpoint(
@@ -4606,10 +4968,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // tagged snapshots are PINNED: their files and DV sidecars count
     // as live however old their tombstones are (L112)
     val pinned = pinnedTagSnapshots(s)
+    // live branches pin too (L113): a branch's zero-copy fork view
+    // references parent files ABSOLUTELY — the parent tombstoning a
+    // base file must not let its vacuum pull data out from under a
+    // live branch. The branch's own directory is spared wholesale
+    // below (each branch vacuums itself); only its into-parent refs
+    // need pinning here.
+    val liveBranches = branches.map(branch)
+    // every pin/candidate comparison below is ABSOLUTE: the table may
+    // be opened by a relative path while branch refs resolve absolute,
+    // and a representation split would silently unpin (delete) data
+    val branchActive = liveBranches.flatMap(bt => bt.snapshot.activeFiles
+      .map(f => Paths.get(bt.dataPath(f.path)).toAbsolutePath.normalize.toString))
     val active = (s.activeFiles ++ pinned.flatMap(_.activeFiles))
-      .map(f => root.resolve(f.path).normalize.toString).toSet
-    val activeDvDirs = (s.dvFiles ++ pinned.flatMap(_.dvFiles)).distinct
-      .map(p => root.resolve(p).normalize)
+      .map(f => root.resolve(f.path).toAbsolutePath.normalize.toString)
+      .toSet ++ branchActive
+    val activeDvDirs = ((s.dvFiles ++ pinned.flatMap(_.dvFiles)).distinct
+      .map(p => root.resolve(p).toAbsolutePath.normalize)) ++
+      liveBranches.flatMap(bt => bt.snapshot.dvFiles
+        .map(p => Paths.get(bt.dataPath(p)).toAbsolutePath.normalize))
     // sidecars referenced from CURRENT table properties (bloom filters,
     // COPY INTO state) are live metadata, not orphaned data — deleting
     // them would crash the next pruned read / re-ingest everything.
@@ -4627,32 +5004,39 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         v.split(",").filter(_.nonEmpty).toSeq
       case _ => Nil
     } ++ props.get("graft.copyInto.state").toSeq)
-      .map(r => root.resolve(r).normalize)
+      .map(r => root.resolve(r).toAbsolutePath.normalize)
     // CDC sidecars belong to historical commits, not the current
     // snapshot — their lifetime is the log's (cleanupLogs reclaims
     // them with their carrier commits), so vacuum never touches them
     val spared = activeDvDirs ++ sidecarDirs :+
-      root.resolve("_graft_cdc").normalize :+
+      root.resolve("_graft_cdc").toAbsolutePath.normalize :+
       // symlink manifests are external-reader metadata; their LISTED
       // data files are vacuumable once stale (the documented caveat)
-      root.resolve("_graft_manifest").normalize :+
+      root.resolve("_graft_manifest").toAbsolutePath.normalize :+
       // the Iceberg export (metadata, manifests, position-delete
       // rewrites) has its OWN retention lifecycle (L105 reclaims
       // expired artifacts at each re-export) — vacuum deleting its
       // files would break external readers mid-window
-      root.resolve("_graft_iceberg").normalize :+
+      root.resolve("_graft_iceberg").toAbsolutePath.normalize :+
       // same contract for the Delta-log export (L110): the log and its
       // materialized DV rewrites expire at re-export, never at vacuum
-      root.resolve("_graft_delta").normalize
+      root.resolve("_graft_delta").toAbsolutePath.normalize
+    // LIVE branch directories are whole tables with their own vacuum
+    // lifecycle — the parent walk skips them wholesale; a DROPPED
+    // branch (log gone) loses this sparing, so its unmerged files
+    // become ordinary unreferenced candidates and reclaim here, while
+    // its MERGED files survive via the parent's active set
+    val sparedWithBranches = spared ++
+      branches.map(n => branchRoot(n).toAbsolutePath.normalize)
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     // exact-prefix dir guard ("/"-terminated) — a string prefix alone
     // would let `dv-1` spare `dv-12/...`
     // function VALUE over plain locals (never a nested def): the Spark
     // closure below must not drag `this` (and its SparkSession) in
-    val sparedStrs = spared.map(_.toString)
+    val sparedStrs = sparedWithBranches.map(_.toString)
     val cutoffMs = cutoff
     val deletable: (Path, Set[String]) => Boolean = (p, act) => {
-      val np = p.normalize.toString
+      val np = p.toAbsolutePath.normalize.toString
       Files.isRegularFile(p) &&
         !sparedStrs.exists(d => np == d || np.startsWith(d + "/")) &&
         !act.contains(np) &&
@@ -4726,12 +5110,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     import spark.implicits._
     val s = snapshot
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
-    // tag pinning, as in the full walk (L112)
+    // tag pinning, as in the full walk (L112); live branches pin their
+    // into-parent references the same way (L113) — a base file this
+    // log tombstoned is still live while a branch's fork view reads it
     val pinned = pinnedTagSnapshots(s)
+    val liveBranches = branches.map(branch)
+    // absolute comparisons throughout, as in the full walk
     val active = (s.activeFiles ++ pinned.flatMap(_.activeFiles))
-      .map(f => root.resolve(f.path).normalize.toString).toSet
+      .map(f => root.resolve(f.path).toAbsolutePath.normalize.toString)
+      .toSet ++
+      liveBranches.flatMap(bt => bt.snapshot.activeFiles
+        .map(f => Paths.get(bt.dataPath(f.path)).toAbsolutePath.normalize.toString))
     val liveDvs = (s.dvFiles ++ pinned.flatMap(_.dvFiles))
-      .map(p => root.resolve(p).normalize.toString).toSet
+      .map(p => root.resolve(p).toAbsolutePath.normalize.toString).toSet ++
+      liveBranches.flatMap(bt => bt.snapshot.dvFiles
+        .map(p => Paths.get(bt.dataPath(p)).toAbsolutePath.normalize.toString))
     val removedData = scala.collection.mutable.Map[String, Long]()
     val removedDvs = scala.collection.mutable.Set[String]()
     log.listVersions().foreach { v =>
@@ -4748,12 +5141,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     val dataCandidates = removedData.toSeq.collect {
       case (rel, ts) if ts < cutoff =>
-        root.resolve(rel).normalize.toString
+        root.resolve(rel).toAbsolutePath.normalize.toString
     }.filterNot(active).filter(p => Files.isRegularFile(Paths.get(p)))
     // DV sidecars carry no tombstone timestamp of their own — gate on
     // the file's mtime like the full walk does
     val dvCandidates = removedDvs.toSeq
-      .map(p => root.resolve(p).normalize.toString)
+      .map(p => root.resolve(p).toAbsolutePath.normalize.toString)
       .filterNot(liveDvs)
       .filter { p =>
         val path = Paths.get(p)
@@ -5066,7 +5459,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // checkpoints are then spared from checkpoint pruning
     val tagVersions = tagsOf(s).values.toSet
     log.cleanupCutoff(keepVersions).map { cutoff =>
-      tagVersions.filter(_ < cutoff).foreach { tv =>
+      // the pin must cover every tag BELOW THE POINTER CHECKPOINT, not
+      // just below the commit-deletion cutoff: cleanupLogsAt prunes all
+      // non-pinned checkpoint dirs < cv, so a tag in [cutoff, cv) with
+      // no checkpoint exactly at it would lose every replay base ≤ it
+      // while its older commits are deleted — an unrepairable break of
+      // the tag-pin guarantee (r13 advisory)
+      val cv = log.checkpointVersion.getOrElse(Long.MaxValue)
+      tagVersions.filter(_ < cv).foreach { tv =>
         if (!log.hasCheckpointAt(tv))
           log.writeCheckpoint(spark, tv, advancePointer = false)
       }
@@ -5203,7 +5603,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def computeStats(): DataFrame = {
     import spark.implicits._
     val s = snapshot
-    val df = toDF
+    val df = rawDF // stats describe RAW data (pruning consults them)
     val cols = s.schema.fieldNames.toSeq.take(statsMaxColumns)
     val aggs = cols.flatMap(c => Seq(
       countDistinct(col(c)).as(s"d_$c"),
@@ -5258,7 +5658,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }.toSet
     columns.foreach(c => require(numeric.contains(c),
       s"histogram needs a numeric column, got: $c"))
-    val df = toDF
+    val df = rawDF // stats describe RAW data (pruning consults them)
     // the histogram's row mass must be the NON-NULL count per column:
     // approxQuantile bounds and the per-bucket NDV pass both exclude
     // nulls, so rows/buckets over the total count would overstate
@@ -5309,6 +5709,16 @@ object GraftTable {
 
   private[lake] val TagProp = "graft.tag."
   private[lake] val TagNameRe = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
+
+  // row filters & column masks (L114)
+  private[lake] val RowFilterProp = "graft.rowFilter"
+  private[lake] val ColMaskProp = "graft.colMask."
+
+  // writable branches (L113)
+  private[lake] val BranchesDir = "_graft_branches"
+  private[lake] val BranchBaseProp = "graft.branch.base"
+  private[lake] val BranchNameProp = "graft.branch.name"
+  private[lake] val BranchSealedProp = "graft.branch.sealed"
 
   /** ANALYZE / auto-stats NDV collection covers at most this many
     * leading schema columns unless `spark.graft.stats.maxColumns`
@@ -5656,7 +6066,8 @@ object GraftTable {
     * the clone (localizing its files) before shortening retention.
     */
   def shallowClone(spark: SparkSession, sourcePath: String, destPath: String,
-                   version: Option[Long] = None): GraftTable = {
+                   version: Option[Long] = None,
+                   extraProperties: Map[String, String] = Map.empty): GraftTable = {
     val src = forPath(spark, sourcePath)
     val snap = version.map(src.snapshotAt).getOrElse(src.snapshot)
     val t = new GraftTable(spark, destPath)
@@ -5675,7 +6086,7 @@ object GraftTable {
       properties = snap.metadata.get.properties
         .filterNot(_._1.startsWith("graft.bloom."))
         .filterNot(_._1.startsWith(GraftTable.TagProp)) +
-        ("graft.cloneSource" -> srcRoot.toString))
+        ("graft.cloneSource" -> srcRoot.toString) ++ extraProperties)
     val adds = snap.activeFiles.map(f => f.copy(path = absolute(f.path)))
     val dvs = snap.dvFiles.map(p => AddDV(absolute(p)))
     t.commitAndCheckpoint(Seq(

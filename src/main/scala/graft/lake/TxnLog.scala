@@ -447,13 +447,17 @@ final class TxnLog(val tablePath: String,
         Actions.toJson(IdentityHighWaterMark(c, m)) }
     import spark.implicits._
     // single parquet part while the state is small; shard at ~100k
-    // actions so a 100k-file table's checkpoint is written (and later
-    // scanned) in parallel instead of through one task — the reader
-    // globs the directory either way, so part count is invisible to it
+    // actions (spark.graft.checkpoint.partActions) so a 100k-file
+    // table's checkpoint is written (and later scanned) in parallel
+    // instead of through one task — the reader globs the directory
+    // either way, so part count is invisible to it
+    val partActions = scala.util.Try(spark.conf
+      .get("spark.graft.checkpoint.partActions", "100000").toInt)
+      .getOrElse(100000)
     val ds = spark.createDataset(lines).toDF("action")
     val shaped =
-      if (lines.size <= 100000) ds.coalesce(1)
-      else ds.repartition(math.ceil(lines.size / 100000.0).toInt)
+      if (lines.size <= partActions) ds.coalesce(1)
+      else ds.repartition(math.ceil(lines.size.toDouble / partActions).toInt)
     shaped.write.mode("overwrite").parquet(ckptPath(v).toString)
     // a HISTORICAL checkpoint (tag pinning, L112) must not move the
     // pointer backward — the directory scan still finds it by version

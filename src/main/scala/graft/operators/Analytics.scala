@@ -1696,11 +1696,17 @@ object Analytics {
     * (≤ |weeks| rows) side that AQE broadcasts into the final join.
     */
   def q72CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    // FLOOR division, not DIV: DuckDB's // floors while Spark's DIV
+    // truncates toward zero, so a pre-1970 timestamp (negative day
+    // diff) would bucket one week apart between engines (r13
+    // advisory). pmod keeps the arithmetic exact-integer: day - pmod
+    // is divisible by 7, so the DIV is exact and equals floor.
     val activity = Tables(spark, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
-        expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') DIV 7 AS BIGINT)")
-          .as("week"))
+        expr("CAST((datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "- pmod(datediff(CAST(ts AS DATE), DATE'1970-01-01'), 7)) " +
+          "DIV 7 AS BIGINT)").as("week"))
       .distinct()
     val cohort = activity.groupBy("user_id")
       .agg(min("week").as("cohort_week"))

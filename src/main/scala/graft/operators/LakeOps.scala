@@ -109,6 +109,45 @@ object LakeOps {
         "GROUP BY l_returnflag ORDER BY l_returnflag")
   }
 
+  /** Writable BRANCH end-to-end (L113): fork the pristine table,
+    * diverge on the branch with all three write shapes (CoW DELETE,
+    * MoR DELETE leaving live DVs, append) while the PARENT also
+    * advances with a commuting append, then MERGE BRANCH back through
+    * the reservation/decision protocol and read the parent. The
+    * aggregate must equal the linear-history result computed by the
+    * oracle from the raw parquet — branch isolation, DV survival
+    * across the merge, and the commute rule all verified at once.
+    */
+  def lakeBranch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val t = GraftTable.create(spark, workDir(dir, "branch"),
+      li.repartition(4))
+    val bt = t.createBranch("trial")
+    bt.delete(col("l_returnflag") === "R")
+    bt.deleteMergeOnRead(col("l_quantity") > 45)
+    bt.append(li.filter(col("l_orderkey") < 50))
+    // the parent advances AFTER the fork: pure appends commute with
+    // the merge (the serializable squash only conflicts on its read set)
+    t.append(li.filter(col("l_orderkey") >= 50 && col("l_orderkey") < 100))
+    t.mergeBranch("trial")
+    liAgg(t.toDF)
+  }
+
+  /** Row filter + column mask end-to-end (L114): install
+    * `graft.rowFilter` and a `graft.colMask.<col>` on a fresh table,
+    * then aggregate through the PUBLIC read path. The DuckDB oracle
+    * applies the same expressions to the raw parquet — proving the
+    * filter narrows exactly and the mask rewrites exactly (and, since
+    * the aggregate sums the masked column, that no raw value leaks).
+    */
+  def lakeRowFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "rowfilter"),
+      Tables(spark, dir, "lineitem"))
+    t.setRowFilter("l_quantity <= 45")
+    t.setColumnMask("l_extendedprice", "CAST(l_orderkey % 100 AS DOUBLE)")
+    liAgg(t.toDF)
+  }
+
   /** UPDATE SET l_discount=0 WHERE returnflag='R' (L5). */
   def lakeUpdate(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, workDir(dir, "update"),

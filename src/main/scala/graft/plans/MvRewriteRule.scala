@@ -52,16 +52,34 @@ object MvCatalog {
     synchronized { distinctViews(mv.source.path) = mv }
   def registerOuter(mv: graft.lake.MaterializedOuterJoin): Unit =
     synchronized { outerViews(mv.source.path) = mv }
+  /** Governance exclusivity (L114): an MV folds raw CDC deltas, so a
+    * row filter / column mask on the source would let the transparent
+    * rewrite answer governed queries from ungoverned aggregates —
+    * refuse registration (the reverse direction refuses in
+    * GraftTable.setRowFilter/setColumnMask).
+    */
+  private def requireUngoverned(source: graft.lake.GraftTable): Unit = {
+    val props = source.snapshot.metadata.map(_.properties).getOrElse(Map.empty)
+    require(!props.contains("graft.rowFilter") &&
+        !props.keys.exists(_.startsWith("graft.colMask.")),
+      s"cannot register a materialized view on ${source.path}: the table " +
+        "carries a row filter / column mask (governed tables and MVs are " +
+        "exclusive)")
+  }
+
   def registerPersistentOuter(mv: graft.lake.MaterializedOuterJoin): Unit = {
+    requireUngoverned(mv.source)
     mv.source.setTableProperties(Map(RegisteredViewKey -> mv.view.path))
     registerOuter(mv)
   }
 
   def registerPersistent(mv: MaterializedAgg): Unit = {
+    requireUngoverned(mv.source)
     mv.source.setTableProperties(Map(RegisteredViewKey -> mv.view.path))
     register(mv)
   }
   def registerPersistentDistinct(mv: graft.lake.MaterializedDistinct): Unit = {
+    requireUngoverned(mv.source)
     mv.source.setTableProperties(Map(RegisteredViewKey -> mv.view.path))
     registerDistinct(mv)
   }

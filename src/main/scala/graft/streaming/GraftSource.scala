@@ -199,7 +199,10 @@ final class GraftSource(
     if (files.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     else
-      table.dfFor(snap, files)
+      // governed (L114): a streaming reader is a public read surface —
+      // micro-batches see the same filtered/masked view batch reads do
+      // (the CDF mode above stays raw, the documented CDC contract)
+      table.governed(table.dfFor(snap, files))
         .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
 
   override def commit(end: OffsetV1): Unit = ()

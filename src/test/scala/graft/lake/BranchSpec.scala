@@ -1,0 +1,232 @@
+package graft.lake
+
+import graft.GraftSparkSpec
+import org.apache.spark.sql.functions._
+
+/** Writable branches (L113 — the lakeFS/Nessie workflow on one table):
+  * zero-copy fork, full DML independence, serializable merge-back
+  * through the L98 reservation/decision protocol (crash-injected),
+  * seal semantics, vacuum pinning, and partitioned-merge scanning.
+  */
+class BranchSpec extends GraftSparkSpec {
+
+  private def fixture(name: String, n: Int = 100): GraftTable = {
+    import spark.implicits._
+    GraftTable.create(spark, tmpDir(name),
+      (1 to n).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4))
+  }
+
+  test("create/list/read/drop: a branch is a zero-copy fork with " +
+      "full DML independence") {
+    import spark.implicits._
+    val t = fixture("br_basic")
+    val bt = t.createBranch("dev")
+    assert(t.branches == Seq("dev"))
+    assert(bt.toDF.count() == 100L)
+    // diverge on the branch; the parent must not move
+    bt.delete(col("id") <= 20L)
+    bt.append(Seq((500L, "b1")).toDF("id", "v"))
+    assert(bt.toDF.count() == 81L)
+    assert(t.toDF.count() == 100L, "parent reads are isolated from branch DML")
+    // parent DML does not leak into the branch either
+    t.append(Seq((600L, "p1")).toDF("id", "v"))
+    assert(bt.toDF.count() == 81L)
+    intercept[IllegalArgumentException](t.createBranch("dev"))
+    intercept[IllegalArgumentException](t.createBranch("bad name"))
+    t.dropBranch("dev")
+    assert(t.branches.isEmpty)
+    intercept[IllegalArgumentException](t.branch("dev"))
+    val ops = t.history.collect().map(_.getAs[String]("operation"))
+    assert(ops.contains("CREATE BRANCH") && ops.contains("DROP BRANCH"))
+  }
+
+  test("merge fast-forward: branch diverges (append + CoW delete + MoR " +
+      "delete), parent still — merged state equals the linear result; " +
+      "the branch seals") {
+    import spark.implicits._
+    val t = fixture("br_merge_ff")
+    val bt = t.createBranch("exp")
+    bt.delete(col("id") <= 10L)                 // CoW rewrite
+    bt.deleteMergeOnRead(col("id") > 90L)       // MoR mask survives merge
+    bt.append((1000L to 1009L).map(i => (i, s"n$i")).toDF("id", "v"))
+    val metrics = t.mergeBranch("exp")
+    assert(metrics("numAddedFiles").toInt > 0)
+    val ids = t.toDF.select("id").as[Long].collect().sorted
+    assert(ids.toSeq == ((11L to 90L) ++ (1000L to 1009L)),
+      "merged parent must equal the linear-history result exactly")
+    assert(t.history(1).collect().head.getAs[String]("operation")
+      == "MERGE BRANCH")
+    // sealed: every further branch commit refuses; re-merge refuses
+    intercept[UnsupportedOperationException](
+      bt.append(Seq((1L, "x")).toDF("id", "v")))
+    intercept[IllegalArgumentException](t.mergeBranch("exp"))
+    // but the merged branch stays READABLE (nothing moved)
+    assert(bt.toDF.count() == 90L)
+    t.dropBranch("exp")
+    // the parent still reads its merged state after the drop — merged
+    // files are parent-referenced, the drop only removed the branch log
+    assert(t.toDF.count() == 90L)
+  }
+
+  test("merge commutes with parent appends since the fork") {
+    import spark.implicits._
+    val t = fixture("br_merge_commute")
+    val bt = t.createBranch("exp")
+    t.append((200L to 204L).map(i => (i, s"p$i")).toDF("id", "v"))
+    bt.append((300L to 304L).map(i => (i, s"b$i")).toDF("id", "v"))
+    t.mergeBranch("exp")
+    val ids = t.toDF.select("id").as[Long].collect().sorted
+    assert(ids.toSeq == ((1L to 100L) ++ (200L to 204L) ++ (300L to 304L)),
+      "an intervening parent append must survive the merge (commute)")
+  }
+
+  test("merge conflicts when the parent removed a base file the branch read") {
+    import spark.implicits._
+    val t = fixture("br_merge_conflict")
+    val bt = t.createBranch("exp")
+    bt.append(Seq((999L, "b")).toDF("id", "v"))
+    t.delete(col("id") <= 50L) // rewrites base files the branch forked on
+    intercept[java.util.ConcurrentModificationException](t.mergeBranch("exp"))
+    // aborted cleanly: parent state intact, branch unsealed and usable
+    assert(t.toDF.count() == 50L)
+    assert(bt.toDF.count() == 101L)
+    bt.append(Seq((998L, "b2")).toDF("id", "v"))
+  }
+
+  test("crash after the parent reservation: NOTHING merges, the branch " +
+      "stays writable, a re-merge succeeds") {
+    import spark.implicits._
+    val oldGrace = TxnLog.PendingGraceMs
+    TxnLog.PendingGraceMs = 0 // post-crash accessors decide immediately
+    try {
+      val t = fixture("br_crash_reserve")
+      val bt = t.createBranch("exp")
+      bt.append(Seq((999L, "b")).toDF("id", "v"))
+      t.mergeCrashHook = p =>
+        if (p == "after-parent-reserve") throw new RuntimeException(s"crash:$p")
+      intercept[RuntimeException](t.mergeBranch("exp"))
+      t.mergeCrashHook = _ => ()
+      // recovery from disk alone: the undecided parent reservation
+      // resolves ABORT on first access; the branch was never touched
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.toDF.count() == 100L, "the crashed merge must not land")
+      assert(t2.history(1).collect().head.getAs[String]("operation")
+        == "TRANSACTION ABORTED")
+      val bt2 = t2.branch("exp")
+      assert(bt2.toDF.count() == 101L)
+      t2.mergeBranch("exp")
+      assert(t2.toDF.count() == 101L, "re-merge after the crash succeeds")
+    } finally TxnLog.PendingGraceMs = oldGrace
+  }
+
+  test("crash between the branch seal reservation and the decision: " +
+      "both sides abort; crash after the decision: both sides final") {
+    import spark.implicits._
+    val oldGrace = TxnLog.PendingGraceMs
+    TxnLog.PendingGraceMs = 0
+    try {
+      val t = fixture("br_crash_decide")
+      val bt = t.createBranch("exp")
+      bt.append(Seq((999L, "b")).toDF("id", "v"))
+      t.mergeCrashHook = p =>
+        if (p == "after-branch-reserve") throw new RuntimeException(s"crash:$p")
+      intercept[RuntimeException](t.mergeBranch("exp"))
+      t.mergeCrashHook = _ => ()
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.toDF.count() == 100L,
+        "undecided reservations must resolve ABORT on both logs")
+      val bt2 = t2.branch("exp")
+      // the branch's aborted seal reservation must leave it unsealed
+      bt2.append(Seq((998L, "b2")).toDF("id", "v"))
+      // now crash AFTER the decision: the merge is durable on both
+      t2.mergeCrashHook = p =>
+        if (p == "after-decision") throw new RuntimeException(s"crash:$p")
+      intercept[RuntimeException](t2.mergeBranch("exp"))
+      t2.mergeCrashHook = _ => ()
+      val t3 = GraftTable.forPath(spark, t.path)
+      assert(t3.toDF.count() == 102L,
+        "a decided merge must be visible after the crash")
+      intercept[UnsupportedOperationException](
+        t3.branch("exp").append(Seq((1L, "x")).toDF("id", "v")))
+    } finally TxnLog.PendingGraceMs = oldGrace
+  }
+
+  test("parent vacuum pins a live branch's fork view; a dropped " +
+      "unmerged branch's files reclaim") {
+    import spark.implicits._
+    val t = fixture("br_vacuum")
+    val bt = t.createBranch("exp")
+    bt.append(Seq((999L, "b")).toDF("id", "v"))
+    // the parent rewrites every base file the branch forked on...
+    t.delete(col("id") <= 99L)
+    t.optimize()
+    // ...and a zero-retention vacuum MUST spare them: the branch reads
+    // its fork view through absolute references into the parent root
+    t.vacuum(retentionHours = 0.0, dryRun = false)
+    assert(bt.toDF.count() == 101L,
+      "parent vacuum pulled data out from under a live branch")
+    assert(t.toDF.count() == 1L)
+    // drop without merging: the next vacuum reclaims the branch's own
+    // (now unreferenced) data files
+    val branchDir = java.nio.file.Paths.get(t.path, "_graft_branches", "exp")
+    t.dropBranch("exp")
+    t.vacuum(retentionHours = 0.0, dryRun = false)
+    val leftover =
+      if (!java.nio.file.Files.isDirectory(branchDir)) Nil
+      else {
+        val w = java.nio.file.Files.walk(branchDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet")).toList
+        } finally w.close()
+      }
+    assert(leftover.isEmpty,
+      s"dropped unmerged branch data must reclaim, found: $leftover")
+  }
+
+  test("SQL surface: CREATE/DROP/MERGE BRANCH, SHOW BRANCHES, and DML " +
+      "on the auto-registered branch alias") {
+    import spark.implicits._
+    val loc = tmpDir("br_sql")
+    GraftTable.create(spark, loc,
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val gsql = new GraftSql(spark)
+    gsql.register("bt", loc)
+    gsql.sql("ALTER TABLE bt CREATE BRANCH trial")
+    val shown = gsql.sql("SHOW BRANCHES bt").collect()
+    assert(shown.map(_.getString(0)).toSeq == Seq("trial"))
+    assert(!shown.head.getBoolean(2), "freshly created branch is unmerged")
+    gsql.sql("DELETE FROM bt_trial WHERE id <= 40")
+    assert(gsql.sql("SELECT COUNT(*) AS c FROM bt_trial").head.getLong(0) == 10L)
+    assert(gsql.sql("SELECT COUNT(*) AS c FROM bt").head.getLong(0) == 50L)
+    gsql.sql("MERGE BRANCH trial INTO bt")
+    assert(gsql.sql("SELECT COUNT(*) AS c FROM bt").head.getLong(0) == 10L)
+    assert(gsql.sql("SHOW BRANCHES bt").collect().head.getBoolean(2),
+      "SHOW BRANCHES must report the branch merged")
+    gsql.sql("ALTER TABLE bt DROP BRANCH trial")
+    assert(gsql.sql("SHOW BRANCHES bt").count() == 0L)
+  }
+
+  test("merging a branch's PARTITIONED writes scans correctly under " +
+      "the parent (per-branch basePath grouping)") {
+    import spark.implicits._
+    val loc = tmpDir("br_partitioned")
+    val t = GraftTable.create(spark, loc,
+      (1 to 60).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "bucket", "v"),
+      partitionBy = Seq("bucket"))
+    val bt = t.createBranch("exp")
+    bt.append((100L to 105L).map(i => (i, (i % 3).toInt, s"n$i"))
+      .toDF("id", "bucket", "v"))
+    t.mergeBranch("exp")
+    assert(t.toDF.count() == 66L)
+    // partition values must come through for BOTH layouts (parent dirs
+    // and merged `_graft_branches/exp/bucket=...` dirs)
+    val byBucket = t.toDF.groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBucket == Map(0 -> 22L, 1 -> 22L, 2 -> 22L), s"got $byBucket")
+    // and partition PRUNING still prunes into the merged files
+    val pruned = t.readWhere(col("bucket") === 1)
+    assert(pruned.count() == 22L)
+  }
+}

@@ -325,6 +325,46 @@ class DeltaExportSpec extends GraftSparkSpec {
     assert(DeltaExport.externalRead(spark, t.path).count() == 35L)
   }
 
+  test("MULTI-PART self-checkpoint past checkpointPartSize: protocol " +
+      "part naming, `parts` in _last_checkpoint, replay equals " +
+      "single-part, attach seeds from the parts") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("dexp_multick"),
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4),
+      properties = Map(
+        "graft.delta.checkpointInterval" -> "1",
+        "graft.delta.checkpointPartSize" -> "3")) // 4 adds + 2 -> 2 parts
+    DeltaExport.export(t) // v0 checkpoints immediately (interval 1)... v0 % 1 == 0
+    t.append((11 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(3))
+    DeltaExport.export(t) // v1 -> multi-part checkpoint (7 adds + 2 actions)
+    val ld = logDir(t)
+    val l = java.nio.file.Files.list(ld)
+    val names =
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString).toList
+      } finally l.close()
+    val multiRe = """0*1\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val parts = names.collect { case multiRe(i, n) => (i.toInt, n.toInt) }
+    assert(parts.nonEmpty, s"expected multi-part checkpoint files in $names")
+    val n = parts.head._2
+    assert(parts.map(_._1).sorted == (1 to n).toList,
+      s"1-based contiguous part numbering, got $parts")
+    val last = mapper.readTree(java.nio.file.Files.readAllBytes(
+      ld.resolve("_last_checkpoint")))
+    assert(last.get("version").asLong() == 1L)
+    assert(last.get("parts").asInt() == n)
+    // replay (which globs all parts of the newest checkpoint) is exact
+    assert(DeltaExport.externalRead(spark, t.path).count() == 20L)
+    assert(DeltaExport.externalRead(spark, t.path)
+      .agg(sum("id")).head.getLong(0) == (1L to 20L).sum)
+    // a foreign attach seeds from the same multi-part checkpoint
+    val att = GraftTable.attachDelta(spark, t.path + "/_graft_delta",
+      tmpDir("dexp_multick_att"))
+    assert(att.toDF.count() == 20L)
+  }
+
   test("exported add stats carry TYPED per-column min/max/nullCount " +
       "(external data skipping food)") {
     import spark.implicits._

@@ -1214,4 +1214,38 @@ class LakeSpec extends GraftSparkSpec {
     gsql.register("ftab", t.path)
     assert(gsql.sql("FSCK REPAIR TABLE ftab DRY RUN").count() == 0)
   }
+
+  test("checkpoint WRITE shards into multiple parquet parts past " +
+      "spark.graft.checkpoint.partActions; replay from the sharded " +
+      "checkpoint alone is identical") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.checkpoint.partActions", "10")
+    try {
+      // 25 files in one commit: metadata + protocol-ish actions + 25
+      // adds ≈ 27 lines > 10 → ≥3 parquet parts
+      val t = GraftTable.create(spark, tmpDir("ckpt_multipart"),
+        spark.range(1, 26).selectExpr("id", "id * 2 AS v").repartition(25))
+      t.append(Seq((100L, 200L)).toDF("id", "v"))
+      t.log.writeCheckpoint(spark, t.version)
+      val dir = t.log.logDir.resolve("_checkpoints")
+        .resolve(f"ckpt-${t.version}%020d")
+      assert(java.nio.file.Files.isDirectory(dir), s"no checkpoint at $dir")
+      val parts = {
+        val l = java.nio.file.Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))
+        } finally l.close()
+      }
+      assert(parts > 1, s"expected a sharded checkpoint, got $parts part(s)")
+      // drop every commit below the checkpoint: replay must come from
+      // the sharded parquet alone
+      t.cleanupLogs()
+      assert(!t.log.hasCommit(0L), "cleanup must delete the old commits")
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.toDF.count() == 26L)
+      assert(t2.toDF.agg(sum("id")).head.getLong(0) == (1L to 25L).sum + 100L)
+    } finally spark.conf.unset("spark.graft.checkpoint.partActions")
+  }
 }

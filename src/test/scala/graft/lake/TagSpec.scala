@@ -71,6 +71,30 @@ class TagSpec extends GraftSparkSpec {
     assert(t.toDFAtTag("v0").agg(sum("id")).head.getLong(0) == (1L to 30L).sum)
   }
 
+  test("log cleanup pins tags BETWEEN the commit cutoff and the pointer " +
+      "checkpoint (keepVersions > 0 window — r13 advisory)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("tag_cleanup_mid"),
+      (1 to 30).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    (1 to 12).foreach(i =>
+      t.append(Seq((100L + i, s"x$i")).toDF("id", "v")))
+    t.createTag("mid", Some(9L)) // version 13; pointer checkpoint at 10
+    val cv = t.log.checkpointVersion.get
+    assert(cv == 10L, s"fixture expects the interval checkpoint at 10, got $cv")
+    // cutoff = min(cv=10, latest(13) - keep(4)) = 9: the tag sits
+    // exactly in [cutoff, cv), where checkpoint pruning deletes every
+    // non-pinned dir < cv — without a historical checkpoint AT the tag
+    // its replay base is gone while its older commits are deleted
+    t.cleanupLogs(keepVersions = 4)
+    assert(!t.log.hasCommit(0L), "cleanup must actually delete old commits")
+    assert(t.log.hasCheckpointAt(9L),
+      "a tag between cutoff and the pointer checkpoint needs its own " +
+        "historical checkpoint or VERSION AS OF 'tag' breaks unrepairably")
+    assert(t.toDFAtTag("mid").count() == 39L)
+    assert(t.toDFAtTag("mid").agg(sum("id")).head.getLong(0) ==
+      (1L to 30L).sum + (101L to 109L).sum)
+  }
+
   test("clones do NOT inherit tags: a ref names a SOURCE version, " +
       "meaningless (or wrong) in the clone's fresh log") {
     import spark.implicits._
