@@ -133,6 +133,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+MASK\s+(\w+)\s*;?\s*$""".r
   private val createBranchRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+BRANCH\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val createBranchTagRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+BRANCH\s+([\w.-]+)\s+AS\s+OF\s+TAG\s+'([\w.-]+)'\s*;?\s*$""".r
   private val dropBranchRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*$""".r
   private val showBranchesRe: Regex =
@@ -755,6 +757,14 @@ final class GraftSql(spark: SparkSession) {
       case dropMaskRe(name, c) =>
         val v = table(name).clearColumnMask(c)
         Seq(("dropped", c), ("commit", v.toString)).toDF("metric", "value")
+      case createBranchTagRe(name, br, tag) =>
+        // fork at the version a TAG pins — "branch from the release"
+        val t = table(name)
+        val bt = t.createBranch(br, Some(t.tagVersion(tag)))
+        val alias = s"${name}_${br.replaceAll("[^A-Za-z0-9_]", "_")}"
+        tables(alias) = bt
+        Seq(("branch", br), ("fromTag", tag),
+          ("registered_as", alias), ("path", bt.path)).toDF("metric", "value")
       case createBranchRe(name, br, v) =>
         val bt = table(name).createBranch(br, Option(v).map(_.toLong))
         // the branch auto-registers as `<table>_<branch>` (non-word

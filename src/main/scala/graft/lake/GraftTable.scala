@@ -110,7 +110,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[graft] def dfFor(snap: Snapshot, files: Seq[AddFile]): DataFrame =
     dfForFiles(snap, files)
 
-  def toDF: DataFrame = governed(rawDF)
+  def toDF: DataFrame =
+    { val s = snapshot; governed(dfForFiles(s, policyPruned(s, s.activeFiles))) }
 
   /** Ungoverned full read — maintenance/validation/stats/CDC only
     * (L114): a row filter must HIDE rows, never let a rewrite delete
@@ -288,7 +289,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * Governed by the CURRENT policy (L114) — time travel is not a
     * policy bypass.
     */
-  def toDFAt(v: Long): DataFrame = governed(rawDFAt(v))
+  def toDFAt(v: Long): DataFrame =
+    { val s = snapshotAt(v); governed(dfForFiles(s, policyPruned(s, s.activeFiles))) }
 
   private[graft] def rawDFAt(v: Long): DataFrame =
     { val s = snapshotAt(v); dfForFiles(s, s.activeFiles) }
@@ -602,6 +604,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * physical/file-level paths, so a policy can never silently DELETE
     * the data it hides.
     */
+  /** Policy-driven FILE pruning: the row filter evaluates on RAW
+    * values, so it can skip files through the same footer-stats /
+    * partition pruning stack any predicate can — at 100 TB a policy
+    * like `lang = 'en'` must cut the scan's file list, not just
+    * filter rows after IO. Purely conservative (kept files still pass
+    * through [[governed]]'s exact filter); masks play no part here
+    * (they rewrite values, never visibility).
+    */
+  private def policyPruned(s: Snapshot, files: Seq[AddFile]): Seq[AddFile] =
+    governancePolicy._1 match {
+      case Some(f) if files.nonEmpty =>
+        scala.util.Try(Pruning.prune(files, s.schema, s.partitionColumns,
+          expr(f), generatedExprs(s))).getOrElse(files)
+      case _ => files
+    }
+
   private[graft] def governed(df: DataFrame): DataFrame = {
     val (filterExpr, masks) = governancePolicy
     val filtered = filterExpr.map(e => df.filter(expr(e))).getOrElse(df)
@@ -674,9 +692,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val masked = maskedColumnSet
     if (masked.nonEmpty && org.apache.spark.sql.GraftSqlShims
         .expression(predicate).references.exists(a => masked(a.name)))
-      return governed(dfForFiles(s, s.activeFiles)).filter(predicate)
+      return governed(dfForFiles(s, policyPruned(s, s.activeFiles)))
+        .filter(predicate)
     val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate, generatedExprs(s))
-    governed(dfForFiles(s, bloomPrune(s, kept, predicate))).filter(predicate)
+    governed(dfForFiles(s, policyPruned(s, bloomPrune(s, kept, predicate))))
+      .filter(predicate)
   }
 
   /** Dynamic file pruning (Delta DFP parity, API-level): when a
@@ -2842,9 +2862,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Merge key/value pairs into the table properties (one commit). */
-  def setTableProperties(props: Map[String, String]): Long =
+  def setTableProperties(props: Map[String, String]): Long = {
+    // governance keys arriving through the GENERIC property path get
+    // the same guards as the dedicated API (L114): a typo'd filter
+    // must fail THIS commit, not every later read, and the MV
+    // exclusivity rule must not be bypassable by spelling the policy
+    // as a raw TBLPROPERTY
+    props.get(GraftTable.RowFilterProp).foreach { e =>
+      validatePolicyExpr(e); requireNoRegisteredView("set a row filter")
+    }
+    props.keys.filter(_.startsWith(GraftTable.ColMaskProp)).foreach { k =>
+      val c = k.stripPrefix(GraftTable.ColMaskProp)
+      require(snapshot.schema.fieldNames.contains(c), s"no such column: $c")
+      validatePolicyExpr(props(k))
+      requireNoRegisteredView(s"set a mask on $c")
+    }
     commitMetadataMerge(info("SET TBLPROPERTIES", params = props))(m =>
       m.copy(properties = m.properties ++ props))
+  }
 
   /** Row-level changes between two versions as a snapshot diff:
     * `_change_type` ∈ {insert, delete} (an update appears as a

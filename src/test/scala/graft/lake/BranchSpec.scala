@@ -208,6 +208,42 @@ class BranchSpec extends GraftSparkSpec {
     assert(gsql.sql("SHOW BRANCHES bt").count() == 0L)
   }
 
+  test("CONCURRENT branches: independent diverge, first merge lands, " +
+      "a second merge commutes when disjoint (appends) and conflicts " +
+      "when its read set was rewritten; CREATE BRANCH AS OF TAG forks " +
+      "at the pinned version") {
+    import spark.implicits._
+    val t = fixture("br_concurrent")
+    val a = t.createBranch("exp-a")
+    val b = t.createBranch("exp-b")
+    a.append(Seq((500L, "a")).toDF("id", "v"))
+    b.append(Seq((600L, "b")).toDF("id", "v"))
+    t.mergeBranch("exp-a")
+    // b's merge commutes: a's merge only ADDED files, b's read set
+    // (the shared base) is untouched
+    t.mergeBranch("exp-b")
+    val ids = t.toDF.select("id").as[Long].collect().sorted
+    assert(ids.toSeq == ((1L to 100L) :+ 500L :+ 600L))
+    // now a REWRITE on one branch vs a concurrent merge: the second
+    // merge must conflict (its read set lost files)
+    val c = t.createBranch("exp-c")
+    val d = t.createBranch("exp-d")
+    c.delete(col("id") <= 10L)
+    d.delete(col("id") <= 5L) // overlapping base files
+    t.mergeBranch("exp-c")
+    intercept[java.util.ConcurrentModificationException](
+      t.mergeBranch("exp-d"))
+    assert(t.toDF.count() == 92L, "only exp-c's delete landed")
+    // AS OF TAG sugar: fork exactly at a release pin
+    val gsql = new GraftSql(spark)
+    gsql.register("ct", t.path)
+    gsql.sql("ALTER TABLE ct CREATE TAG rel")
+    gsql.sql("DELETE FROM ct WHERE id > 400")
+    gsql.sql("ALTER TABLE ct CREATE BRANCH hotfix AS OF TAG 'rel'")
+    assert(gsql.sql("SELECT COUNT(*) AS c FROM ct_hotfix").head.getLong(0)
+      == 92L, "the branch must fork at the tagged (pre-delete) version")
+  }
+
   test("merging a branch's PARTITIONED writes scans correctly under " +
       "the parent (per-branch basePath grouping)") {
     import spark.implicits._

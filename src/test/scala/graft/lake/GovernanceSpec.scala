@@ -126,6 +126,31 @@ class GovernanceSpec extends GraftSparkSpec {
       "a masked join key must not prune on raw stats")
   }
 
+  test("the row filter PRUNES FILES through footer stats — a policy " +
+      "is IO reduction, not just a post-scan filter") {
+    import spark.implicits._
+    // range-clustered files: ids 1..25 / 26..50 / 51..75 / 76..100
+    val parts = (0 until 4).map(b =>
+      (b * 25 + 1 to b * 25 + 25).map(i => (i.toLong, i % 10))
+        .toDF("id", "grade").coalesce(1))
+    val t = GraftTable.create(spark, tmpDir("gov_fileprune"), parts.head)
+    parts.tail.foreach(p => t.append(p))
+    val rawFiles = t.toDF.inputFiles.length
+    assert(rawFiles == 4, s"fixture expects 4 range-clustered files, got $rawFiles")
+    t.setRowFilter("id > 90")
+    assert(t.toDF.inputFiles.length == 1,
+      "the policy must skip files whose [min,max] cannot satisfy it")
+    assert(t.toDF.count() == 10L)
+    // readWhere composes policy pruning with predicate pruning
+    val rw = t.readWhere(col("id") < 95L)
+    assert(rw.inputFiles.length == 1 && rw.count() == 4L)
+    // time travel prunes by the CURRENT policy too: at version 1 the
+    // table holds only ids 1..50, so `id > 90` skips EVERY file
+    assert(t.toDFAt(1).inputFiles.length == 0 && t.toDFAt(1).count() == 0L)
+    t.clearRowFilter()
+    assert(t.toDF.inputFiles.length == 4)
+  }
+
   test("MV exclusivity: a registered view refuses policies and a " +
       "policy refuses view registration") {
     import spark.implicits._
@@ -149,6 +174,15 @@ class GovernanceSpec extends GraftSparkSpec {
     val t = fixture("gov_sql")
     intercept[Exception](t.setRowFilter("no_such_column < 5"))
     intercept[IllegalArgumentException](t.setColumnMask("nope", "'x'"))
+    // the GENERIC property path gets the same guards — no bypass by
+    // spelling the policy as a raw TBLPROPERTY
+    intercept[Exception](t.setTableProperties(
+      Map("graft.rowFilter" -> "no_such_column < 5")))
+    intercept[Exception](t.setTableProperties(
+      Map("graft.colMask.nope" -> "'x'")))
+    t.setTableProperties(Map("graft.rowFilter" -> "grade < 5"))
+    assert(t.toDF.count() == 50L)
+    t.clearRowFilter()
     val gsql = new GraftSql(spark)
     gsql.register("govs", t.path)
     gsql.sql("ALTER TABLE govs SET ROW FILTER 'grade < 5'")
