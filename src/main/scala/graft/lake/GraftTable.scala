@@ -2406,14 +2406,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // mark-dropping commit after the feature is on
       val need = GraftTable.requiredWriterVersion(merged.properties)
       val needF = GraftTable.requiredWriterFeatures(merged.properties)
+      val needR = GraftTable.requiredReaderFeatures(merged.properties)
       val curProto = snapL.protocol.getOrElse(Protocol(1, 1))
       val protoUp: Seq[Action] =
         if (need > curProto.minWriterVersion ||
-            !needF.forall(curProto.writerFeatures.contains))
+            !needF.forall(curProto.writerFeatures.contains) ||
+            !needR.forall(curProto.readerFeatures.contains))
           Seq(curProto.copy(
             minWriterVersion = math.max(need, curProto.minWriterVersion),
+            readerFeatures =
+              (curProto.readerFeatures ++ needR).distinct.sorted,
+            // Delta rule: every reader feature is also a writer feature
             writerFeatures =
-              (curProto.writerFeatures ++ needF).distinct.sorted))
+              (curProto.writerFeatures ++ needF ++ needR).distinct.sorted))
         else Nil
       if (log.tryCommitAt(latest + 1, Seq(op, merged) ++ protoUp ++ extra))
         committed = latest + 1
@@ -5808,6 +5813,17 @@ object GraftTable {
       // plain append would desync state from its sourceVersion stamp
       props.contains("graft.mv.source") -> "materializedView")
       .collect { case (true, f) => f }
+
+  /** Named READER features the table's properties demand (L114): a
+    * pre-governance reader on a governed table would bypass the
+    * policy entirely — raw rows where the owner mandated hidden/masked
+    * ones — so the same commit that installs a policy stamps the
+    * feature and old clients refuse the READ with an actionable name.
+    */
+  private[lake] def requiredReaderFeatures(props: Map[String, String]): Seq[String] =
+    if (props.contains(RowFilterProp) ||
+        props.keys.exists(_.startsWith(ColMaskProp))) Seq("governance")
+    else Nil
 
   /** Fingerprint of a snapshot's logical row set (active data files +
     * deletion vectors): stamped into PQ-index commits so readers can

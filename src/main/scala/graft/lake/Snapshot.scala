@@ -87,7 +87,12 @@ object Snapshot {
     */
   val SupportedReaderFeatures: Set[String] = Set(
     "deletionVectors", "columnMapping", "changeDataFeed", "typeWidening",
-    "generatedColumns", "timestampNtz", "v2Checkpoint")
+    "generatedColumns", "timestampNtz", "v2Checkpoint",
+    // L114: a reader that does not evaluate row filters / column
+    // masks would silently return RAW rows on a governed table — a
+    // policy LEAK, not a compatibility nuisance — so the feature
+    // gates the read itself
+    "governance")
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++ Set(
     "rowTracking", "identityColumns", "checkConstraints", "defaultColumns",
     "clustering", "appendOnly", "invariants", "materializedView")

@@ -151,6 +151,24 @@ class GovernanceSpec extends GraftSparkSpec {
     assert(t.toDF.inputFiles.length == 4)
   }
 
+  test("installing a policy stamps the `governance` READER feature — " +
+      "a pre-governance client refuses the read instead of leaking " +
+      "raw rows") {
+    val t = fixture("gov_protocol")
+    val before = t.snapshot.protocol.map(_.readerFeatures).getOrElse(Nil)
+    assert(!before.contains("governance"))
+    t.setRowFilter("grade < 5")
+    val p = t.snapshot.protocol.getOrElse(fail("protocol action expected"))
+    assert(p.readerFeatures.contains("governance"),
+      "the SAME commit that installs the policy must stamp the feature")
+    assert(p.writerFeatures.contains("governance"),
+      "reader features also appear in writerFeatures (Delta rule)")
+    // the mask path stamps too
+    val t2 = fixture("gov_protocol2")
+    t2.setColumnMask("email", "'x'")
+    assert(t2.snapshot.protocol.exists(_.readerFeatures.contains("governance")))
+  }
+
   test("MV exclusivity: a registered view refuses policies and a " +
       "policy refuses view registration") {
     import spark.implicits._
