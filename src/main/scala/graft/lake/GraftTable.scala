@@ -6140,11 +6140,17 @@ object GraftTable {
         ("graft.cloneSource" -> srcRoot.toString) ++ extraProperties)
     val adds = snap.activeFiles.map(f => f.copy(path = absolute(f.path)))
     val dvs = snap.dvFiles.map(p => AddDV(absolute(p)))
+    // the protocol rides the clone (deep clone already does): the
+    // clone KEEPS feature properties (row tracking, column mapping,
+    // governance policies), so dropping the floors would let a
+    // pre-feature client write into — or read raw rows out of — a
+    // table whose metadata demands the feature
     t.commitAndCheckpoint(Seq(
       CommitInfo(System.currentTimeMillis(), "CLONE",
         Map("source" -> srcRoot.toString,
           "sourceVersion" -> snap.version.toString),
-        Map("numFiles" -> adds.size.toString)), meta) ++ adds ++ dvs)
+        Map("numFiles" -> adds.size.toString)), meta) ++
+      snap.protocol.toSeq ++ adds ++ dvs)
     t
   }
 
@@ -6285,9 +6291,11 @@ object GraftTable {
     // this table
     val need = requiredWriterVersion(properties)
     val needF = requiredWriterFeatures(properties)
+    val needR = requiredReaderFeatures(properties)
     val proto: Seq[Action] =
-      if (need > 1 || needF.nonEmpty)
-        Seq(Protocol(1, need, writerFeatures = needF.sorted)) else Nil
+      if (need > 1 || needF.nonEmpty || needR.nonEmpty)
+        Seq(Protocol(1, need, readerFeatures = needR.sorted,
+          writerFeatures = (needF ++ needR).distinct.sorted)) else Nil
     t.commitAndCheckpoint((Seq(
       CommitInfo(System.currentTimeMillis(), "CREATE TABLE AS SELECT",
         Map("partitionBy" -> partitionBy.mkString(",")),

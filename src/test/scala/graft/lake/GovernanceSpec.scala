@@ -167,6 +167,23 @@ class GovernanceSpec extends GraftSparkSpec {
     val t2 = fixture("gov_protocol2")
     t2.setColumnMask("email", "'x'")
     assert(t2.snapshot.protocol.exists(_.readerFeatures.contains("governance")))
+    // CREATE with policy properties stamps at version 0
+    import spark.implicits._
+    val t3 = GraftTable.create(spark, tmpDir("gov_protocol3"),
+      Seq((1L, 1), (2L, 7)).toDF("id", "grade"),
+      properties = Map("graft.rowFilter" -> "grade < 5"))
+    assert(t3.snapshot.protocol.exists(_.readerFeatures.contains("governance")))
+    assert(t3.toDF.count() == 1L)
+    // clones/branches KEEP the policy properties, so they must keep
+    // the protocol floors too (shallow clone used to drop them)
+    val bt = t.createBranch("dev")
+    assert(bt.snapshot.protocol.exists(_.readerFeatures.contains("governance")),
+      "a branch of a governed table must carry the governance floor")
+    assert(bt.toDF.count() == 50L,
+      "the branch inherits (and enforces) the parent's policy")
+    val sc = GraftTable.shallowClone(spark, t.path, tmpDir("gov_clone"))
+    assert(sc.snapshot.protocol.exists(_.readerFeatures.contains("governance")))
+    assert(sc.toDF.count() == 50L)
   }
 
   test("MV exclusivity: a registered view refuses policies and a " +
