@@ -169,8 +169,16 @@ object Bench {
     val midWMaxDrift =
       if (midWSamples.isEmpty) 1.0
       else midWSamples.max / math.max(wcanaryStart, 1e-9)
-    val valid = drift <= 1.5 && wdrift <= 1.5 && midMaxDrift <= 1.5 &&
-      midWMaxDrift <= 1.5
+    // SYMMETRIC endpoint bounds (r14): every mid/end comparison is
+    // relative to the START floor, so a sweep that STARTS inside a
+    // decaying IO storm (post-test-suite debris inflated the write
+    // canary floor 5x; everything then "improved") read as valid while
+    // being ~1.5x contaminated. An end canary far BELOW its start
+    // floor certifies the floor itself was degraded — reject it. The
+    // lower bound leaves room for benign JIT warming (~0.7-1.0).
+    val valid = drift <= 1.5 && drift >= 0.5 &&
+      wdrift <= 1.5 && wdrift >= 0.5 &&
+      midMaxDrift <= 1.5 && midWMaxDrift <= 1.5
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val mids = midSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
