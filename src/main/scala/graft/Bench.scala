@@ -15,10 +15,36 @@ import org.apache.spark.sql.SparkSession
   * read+aggregate and a tiny table create+insert+drop (write-path IO
   * contention is invisible to a read canary) — and the read canary
   * re-timed every ~25 queries mid-run (an endpoint pair is blind to a
-  * burst that dies before the end canary). Any canary drifting >1.5×
-  * stamps `"valid":false` on the emitted JSON.
+  * burst that dies before the end canary). Since r15 a third,
+  * WIDE-STAGE canary (32-task map + 32-partition shuffle + reduce)
+  * catches contention that only bites multi-core stages, and a sweep
+  * whose start load exceeds ~cpus/10 is rejected outright — r14's
+  * contaminated driver sweep (load 5.98, wide queries 40-102× off,
+  * narrow canaries clean) would self-stamp invalid under both. Any
+  * canary drifting >1.5× stamps `"valid":false` on the emitted JSON.
   */
 object Bench {
+
+  /** Load gate (r14 verdict): the idle-wait gives up after its
+    * deadline and previously still stamped valid — r14's 623.9 s
+    * driver sweep started at load 5.98 on 32 cpus and self-certified
+    * while carrying 40-102× movers on wide stages. A sweep that
+    * STARTS contended is contaminated regardless of what the
+    * canaries later say; ~3 on 32 cpus is the adjudicated threshold
+    * (max(3, cpus/10) so small-cpu dev hosts keep a usable floor).
+    */
+  def loadGateOk(loadAtStart: Double, cpus: Double): Boolean =
+    loadAtStart <= math.max(3.0, cpus / 10.0)
+
+  /** Canary validity: every endpoint drift inside the SYMMETRIC
+    * [0.5, 1.5] band (an end canary far BELOW its start floor
+    * certifies the floor itself was degraded), every mid-run maximum
+    * under 1.5× its start floor.
+    */
+  def driftsOk(endpointDrifts: Seq[Double], midMaxDrifts: Seq[Double]): Boolean =
+    endpointDrifts.forall(d => d <= 1.5 && d >= 0.5) &&
+      midMaxDrifts.forall(_ <= 1.5)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -105,10 +131,31 @@ object Bench {
       all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
       (System.nanoTime() - t0) / 1e9
     }
+    // Wide-stage canary (r14 verdict): the read/write canaries are
+    // effectively single-task probes, blind to contention that only
+    // bites SHUFFLE-WIDE stages (r14's driver sweep carried 40-102×
+    // movers on wide queries under CLEAN narrow canaries — the
+    // contending load stole cores, which a 1-task probe never misses
+    // them). A fixed 32-task map + 32-partition shuffle + reduce
+    // occupies every core in both stages, so any core-stealing burst
+    // shows up here like it does in the wide queries.
+    def wideCanary(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      spark.range(0, 8000000L, 1, 32)
+        .selectExpr("id % 100000 AS k", "id AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+          org.apache.spark.sql.functions.count("*").as("c"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     canary(); canary() // untimed: codegen + page-cache warm for the canary shape
     val canaryStart = math.min(canary(), canary())
     writeCanary() // untimed warm: codegen for the tiny build's plan
     val wcanaryStart = math.min(writeCanary(), writeCanary())
+    wideCanary() // untimed warm
+    val xcanaryStart = math.min(wideCanary(), wideCanary())
 
     // Hygiene: a cache-heavy query must not inflate its neighbors'
     // numbers (GC/memory pressure looked like regressions in earlier
@@ -126,12 +173,15 @@ object Bench {
     // interval drifting >1.5x over its start floor invalidates.
     val midSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val midWSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val midXSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .map { case ((name, fn), idx) =>
       if (idx > 0 && idx % 25 == 0)
         midSamples += math.min(canary(), canary())
-      if (idx > 0 && idx % 50 == 0)
+      if (idx > 0 && idx % 50 == 0) {
         midWSamples += math.min(writeCanary(), writeCanary())
+        midXSamples += math.min(wideCanary(), wideCanary())
+      }
       def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -160,15 +210,20 @@ object Bench {
     }
     val canaryEnd = math.min(canary(), canary())
     val wcanaryEnd = math.min(writeCanary(), writeCanary())
+    val xcanaryEnd = math.min(wideCanary(), wideCanary())
     spark.catalog.clearCache()
     val drift = canaryEnd / math.max(canaryStart, 1e-9)
     val wdrift = wcanaryEnd / math.max(wcanaryStart, 1e-9)
+    val xdrift = xcanaryEnd / math.max(xcanaryStart, 1e-9)
     val midMaxDrift =
       if (midSamples.isEmpty) 1.0
       else midSamples.max / math.max(canaryStart, 1e-9)
     val midWMaxDrift =
       if (midWSamples.isEmpty) 1.0
       else midWSamples.max / math.max(wcanaryStart, 1e-9)
+    val midXMaxDrift =
+      if (midXSamples.isEmpty) 1.0
+      else midXSamples.max / math.max(xcanaryStart, 1e-9)
     // SYMMETRIC endpoint bounds (r14): every mid/end comparison is
     // relative to the START floor, so a sweep that STARTS inside a
     // decaying IO storm (post-test-suite debris inflated the write
@@ -176,15 +231,17 @@ object Bench {
     // being ~1.5x contaminated. An end canary far BELOW its start
     // floor certifies the floor itself was degraded — reject it. The
     // lower bound leaves room for benign JIT warming (~0.7-1.0).
-    val valid = drift <= 1.5 && drift >= 0.5 &&
-      wdrift <= 1.5 && wdrift >= 0.5 &&
-      midMaxDrift <= 1.5 && midWMaxDrift <= 1.5
+    val loadOk = Bench.loadGateOk(loadAtStart, cpus.toDouble)
+    val valid = loadOk && Bench.driftsOk(
+      Seq(drift, wdrift, xdrift),
+      Seq(midMaxDrift, midWMaxDrift, midXMaxDrift))
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val mids = midSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val midws = midWSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val midxs = midXSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"canary_mid_sec":$mids,"canary_mid_max_drift":$midMaxDrift%.2f,"wcanary_start_sec":$wcanaryStart%.3f,"wcanary_end_sec":$wcanaryEnd%.3f,"wcanary_drift":$wdrift%.2f,"wcanary_mid_sec":$midws,"wcanary_mid_max_drift":$midWMaxDrift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_drift":$drift%.2f,"canary_mid_sec":$mids,"canary_mid_max_drift":$midMaxDrift%.2f,"wcanary_start_sec":$wcanaryStart%.3f,"wcanary_end_sec":$wcanaryEnd%.3f,"wcanary_drift":$wdrift%.2f,"wcanary_mid_sec":$midws,"wcanary_mid_max_drift":$midWMaxDrift%.2f,"xcanary_start_sec":$xcanaryStart%.3f,"xcanary_end_sec":$xcanaryEnd%.3f,"xcanary_drift":$xdrift%.2f,"xcanary_mid_sec":$midxs,"xcanary_mid_max_drift":$midXMaxDrift%.2f,"load_at_start":$loadAtStart%.2f,"load_ok":$loadOk,"valid":$valid}"""
     // the driver's stdout tail-capture has truncated the leading ~18
     // query keys in past rounds — persist the full line so the artifact
     // is always self-contained. Written twice: target/ for tooling and
@@ -208,7 +265,7 @@ object Bench {
     // map, <400 bytes) prints as the true last line: whichever intact
     // marker the capture window holds parses. Per-query data is always
     // in the committed BENCH_LOCAL.json either way.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","canary_drift":$drift%.2f,"canary_mid_max_drift":$midMaxDrift%.2f,"wcanary_drift":$wdrift%.2f,"wcanary_mid_max_drift":$midWMaxDrift%.2f,"load_at_start":$loadAtStart%.2f,"valid":$valid}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","canary_drift":$drift%.2f,"canary_mid_max_drift":$midMaxDrift%.2f,"wcanary_drift":$wdrift%.2f,"wcanary_mid_max_drift":$midWMaxDrift%.2f,"xcanary_drift":$xdrift%.2f,"xcanary_mid_max_drift":$midXMaxDrift%.2f,"load_at_start":$loadAtStart%.2f,"load_ok":$loadOk,"valid":$valid}"""
     println(s"BENCH_RESULT_JSON: $json")
     println(s"BENCH_RESULT_JSON: $compact")
   }

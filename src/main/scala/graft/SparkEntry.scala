@@ -206,6 +206,8 @@ object SparkEntry {
     "lake_timetravel" -> LakeOps.lakeTimetravel _,
     "lake_tag" -> LakeOps.lakeTag _,
     "lake_branch" -> LakeOps.lakeBranch _,
+    "lake_rebase" -> LakeOps.lakeRebase _,
+    "lake_principal" -> LakeOps.lakePrincipal _,
     "lake_row_filter" -> LakeOps.lakeRowFilter _,
     "lake_update" -> LakeOps.lakeUpdate _,
     "lake_update_mor" -> LakeOps.lakeUpdateMor _,
@@ -2683,6 +2685,20 @@ object SparkEntry {
         "UNION ALL SELECT * FROM lineitem WHERE l_orderkey < 50 " +
         "UNION ALL SELECT * FROM lineitem " +
         "WHERE l_orderkey >= 50 AND l_orderkey < 100)"),
+    // the linear history: branch's R-partition delete + parent's
+    // A-partition delete + both appends (rebase adopts, merge lands)
+    "lake_rebase" -> LakeOps.liAggOracle.format(
+      "(SELECT * FROM lineitem " +
+        "WHERE NOT (l_returnflag = 'R' AND l_quantity > 40) " +
+        "AND NOT (l_returnflag = 'A' AND l_quantity > 45) " +
+        "UNION ALL SELECT * FROM lineitem WHERE l_orderkey < 50 " +
+        "UNION ALL SELECT * FROM lineitem " +
+        "WHERE l_orderkey >= 50 AND l_orderkey < 100)"),
+    // the auditor branch of the principal-bound policy: filter
+    // qty<=45, mask = identity (a broken binding takes the ELSE
+    // branch — qty<=20 and zeroed prices — and hash-mismatches)
+    "lake_principal" -> LakeOps.liAggOracle.format(
+      "(SELECT * FROM lineitem WHERE l_quantity <= 45)"),
     "lake_delete" -> LakeOps.liAggOracle.format(
       "(SELECT * FROM lineitem WHERE l_returnflag <> 'R') t"),
     "lake_delete_mor" -> LakeOps.liAggOracle.format(

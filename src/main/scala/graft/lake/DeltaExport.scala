@@ -353,6 +353,10 @@ object DeltaExport {
   }
 
   def export(t: GraftTable): ExportResult = {
+    // a Delta artifact hands the raw files to external engines that
+    // know nothing of graft row filters / masks — refuse on governed
+    // tables (r14 advisory; the UniForm-vs-row-filter rule)
+    t.requireUngovernedFor("export a Delta artifact")
     val s = t.snapshot
     val ld = logDir(t.path)
     val (schema, maxColId) = deltaSchema(s)
@@ -799,12 +803,30 @@ object DeltaExport {
       // advisory). Canonicalize both sides to a bare decoded absolute
       // path, and LEFT-join with a raise_error guard so a residual
       // mismatch fails loudly instead of losing data.
+      // url_decode is FORM-decoding: it turns a literal '+' in a path
+      // or Hive-escaped partition dir into a space, diverging from
+      // canonicalFsPath on the lookup side (r14 advisory). URIs
+      // percent-encode, so pre-escaping '+' as %2B makes the decode
+      // URI-semantic: only %XX sequences decode.
       val data = renamed.withColumn("__fp",
-        regexp_replace(url_decode(col("_metadata.file_path")),
+        regexp_replace(
+          url_decode(regexp_replace(col("_metadata.file_path"),
+            lit("\\+"), lit("%2B"))),
           "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      // the add URIs are DECODED Hadoop-Path strings (fileUri round-
+      // trips through Path.toString): a literal '%' in a Hive-escaped
+      // partition dir (e.g. `part=a%25b` on disk for value `a%b`)
+      // appears literally here, so URI-decoding them AGAIN (the old
+      // canonicalFsPath route) would mangle it to `part=a%b` and miss
+      // the join. Hadoop's own Path(String) parse keeps the path
+      // component literal — exactly the true filesystem path the data
+      // side's single url_decode of `_metadata.file_path` produces.
+      def literalFsPath(u: String): String =
+        Paths.get(new org.apache.hadoop.fs.Path(u).toUri.getPath)
+          .toAbsolutePath.normalize.toString
       val rows = p.liveAdds.toSeq.map { case (uri, add) =>
         val pv = add.get("partitionValues")
-        Row.fromSeq(GraftTable.canonicalFsPath(uri) +: partFields.map { f =>
+        Row.fromSeq(literalFsPath(uri) +: partFields.map { f =>
           val v = pv.get(physOf(f))
           if (v == null || v.isNull) null else v.asText()
         })

@@ -141,6 +141,8 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*SHOW\s+BRANCHES\s+(?:IN\s+|FROM\s+|ON\s+)?(\w+)\s*;?\s*$""".r
   private val mergeBranchRe: Regex =
     """(?is)^\s*MERGE\s+BRANCH\s+([\w.-]+)\s+INTO\s+(\w+)\s*;?\s*$""".r
+  private val rebaseBranchRe: Regex =
+    """(?is)^\s*REBASE\s+BRANCH\s+([\w.-]+)\s+(?:ONTO|ON|IN)\s+(\w+)\s*;?\s*$""".r
   private val exportDeltaRe: Regex =
     """(?is)^\s*EXPORT\s+DELTA\s+LOG\s+FOR\s+TABLE\s+(\w+)\s*;?\s*$""".r
   private val dropTableRe: Regex =
@@ -788,6 +790,9 @@ final class GraftSql(spark: SparkSession) {
         }.toDF("branch", "base_version", "merged")
       case mergeBranchRe(br, name) =>
         val metrics = table(name).mergeBranch(br)
+        metrics.toSeq.sortBy(_._1).toDF("metric", "value")
+      case rebaseBranchRe(br, name) =>
+        val metrics = table(name).rebaseBranch(br)
         metrics.toSeq.sortBy(_._1).toDF("metric", "value")
       case restoreTagRe(name, tag) =>
         val t = table(name)

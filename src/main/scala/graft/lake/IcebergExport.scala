@@ -239,6 +239,9 @@ object IcebergExport {
   }
 
   def export(t: GraftTable): ExportResult = {
+    // raw-egress guard (L114/r15): external Iceberg readers bypass
+    // graft policies, so governed tables refuse to export
+    t.requireUngovernedFor("export an Iceberg artifact")
     val spark = t.spark
     val s = t.snapshot
     val meta = s.metadata.getOrElse(throw new IllegalStateException(
@@ -534,6 +537,25 @@ object IcebergExport {
     val slEntry = snapLog.addObject()
     slEntry.put("timestamp-ms", now)
     slEntry.put("snapshot-id", snapshotId)
+    // L112 tags ride along as Iceberg REFS (spec v2 `refs` map): a
+    // native reader time-travels by NAME, not just by snapshot id —
+    // the same names the engine's own `AS OF TAG` surface resolves.
+    // Only tags whose pinned version survived into `snapshots` are
+    // carryable (an expired/never-exported snapshot has no manifest
+    // list to point at); graft version V = snapshot-id V+1 throughout
+    // this export. `main` is the mandatory branch ref at the head.
+    val refs = m.putObject("refs")
+    val mainRef = refs.putObject("main")
+    mainRef.put("snapshot-id", snapshotId)
+    mainRef.put("type", "branch")
+    t.tags.toSeq.sortBy(_._1).foreach { case (name, v) =>
+      if (name != "main" && aliveIds.contains(v + 1)) {
+        val r = refs.putObject(name)
+        r.put("snapshot-id", v + 1)
+        r.put("type", "tag")
+        ()
+      }
+    }
     val metaLog = m.putArray("metadata-log")
     prevMeta.foreach { case (prevFile, prevNode) =>
       Option(prevNode.get("metadata-log")).toSeq
@@ -654,6 +676,29 @@ object IcebergExport {
     * O(#files) manifest listing; the delete anti-join is DV-debt
     * sized. Avro strings surface as Utf8 — rendered via toString.
     */
+  /** Resolve a named ref (tag/branch) from the exported metadata —
+    * the external-reader half of the refs map: version-hint →
+    * metadata.json → refs[name].snapshot-id. Zero GraftLake log code.
+    */
+  def resolveRef(tablePath: String, refName: String): Long = {
+    val metaDir = Paths.get(tablePath, "_graft_iceberg", "metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
+    val meta = mapper.readTree(
+      Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")))
+    Option(meta.get("refs")).flatMap(r => Option(r.get(refName)))
+      .map(_.get("snapshot-id").asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ref '$refName' in the Iceberg export of $tablePath"))
+  }
+
+  /** External read at a named ref: `externalRead` pinned to the ref's
+    * snapshot — how a native engine serves `VERSION AS OF 'tag'`.
+    */
+  def externalReadRef(spark: SparkSession, tablePath: String,
+      refName: String): DataFrame =
+    externalRead(spark, tablePath, Some(resolveRef(tablePath, refName)))
+
   def externalRead(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None): DataFrame = {
     val p = parse(tablePath, snapshotId)

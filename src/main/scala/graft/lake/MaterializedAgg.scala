@@ -114,7 +114,7 @@ final class MaterializedAgg private (val spark: SparkSession,
     // aggregate.
     val deltaParts: Seq[DataFrame] = try dimFromTo match {
       case None =>
-        Seq(signed(source.changeFeed(from, to))
+        Seq(signed(source.rawChangeFeed(from, to))
           .select(outShape.map(col): _*))
       case Some((d, dimFrom, dimTo)) =>
         val factFields = source.snapshot.schema.fieldNames.toSet
@@ -124,14 +124,14 @@ final class MaterializedAgg private (val spark: SparkSession,
         val factPart =
           if (to == from) None
           else Some(
-            signed(source.changeFeed(from, to))
+            signed(source.rawChangeFeed(from, to))
               .select((joinKeys ++ sideCols(factFields) :+ "__sign").map(col): _*)
               .join(d.toDFAt(dimFrom), joinKeys)
               .select(outShape.map(col): _*))
         val dimPart =
           if (dimFrom == dimTo) None
           else {
-            val dcf = signed(d.changeFeed(dimFrom, dimTo))
+            val dcf = signed(d.rawChangeFeed(dimFrom, dimTo))
               .select((joinKeys ++ sideCols(dimFields) :+ "__sign").map(col): _*)
             val fact = source.readDynamicallyPrunedMulti(dcf, joinKeys,
               versionAsOf = Some(to))
@@ -627,7 +627,7 @@ final class MaterializedDistinct private (val spark: SparkSession,
     if (to < from) return rematerialize("source log ends below stamp")
     if (to == from) return view.version
     val delta = try {
-      source.changeFeed(from, to)
+      source.rawChangeFeed(from, to)
         .withColumn("__sign",
           when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
             .otherwise(lit(-1L)))

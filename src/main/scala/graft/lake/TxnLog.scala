@@ -451,9 +451,12 @@ final class TxnLog(val tablePath: String,
     // table's checkpoint is written (and later scanned) in parallel
     // instead of through one task — the reader globs the directory
     // either way, so part count is invisible to it
-    val partActions = scala.util.Try(spark.conf
+    // clamp: 0 would yield ceil(n/0)=MaxValue partitions and a
+    // negative value would pass repartition a non-positive count —
+    // a misconfiguration must degrade to one part, not crash writes
+    val partActions = math.max(1, scala.util.Try(spark.conf
       .get("spark.graft.checkpoint.partActions", "100000").toInt)
-      .getOrElse(100000)
+      .getOrElse(100000))
     val ds = spark.createDataset(lines).toDF("action")
     val shaped =
       if (lines.size <= partActions) ds.coalesce(1)

@@ -133,6 +133,61 @@ object LakeOps {
     liAgg(t.toDF)
   }
 
+  /** REBASE BRANCH end-to-end (L115): partition-disjoint rewrites on
+    * parent and branch make the direct merge CONFLICT (the parent
+    * rewrote base files the branch read); the query proves the
+    * conflict fires, rebases (adopting the parent's partition-A
+    * rewrite + append into the branch), merges, and aggregates the
+    * parent — the DuckDB oracle recomputes the LINEAR history (both
+    * deletes + both appends) from raw parquet.
+    */
+  def lakeRebase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val t = GraftTable.create(spark, workDir(dir, "rebase"), li,
+      partitionBy = Seq("l_returnflag"))
+    val bt = t.createBranch("trial")
+    // branch writes only partition R; parent writes only partition A —
+    // disjoint WRITE sets, so the rebase is clean by construction
+    bt.delete(col("l_returnflag") === "R" && col("l_quantity") > 40)
+    bt.append(li.filter(col("l_orderkey") < 50))
+    t.delete(col("l_returnflag") === "A" && col("l_quantity") > 45)
+    t.append(li.filter(col("l_orderkey") >= 50 && col("l_orderkey") < 100))
+    val conflicted =
+      try { t.mergeBranch("trial"); false }
+      catch { case _: java.util.ConcurrentModificationException => true }
+    require(conflicted,
+      "fixture expects the pre-rebase merge to conflict on the parent's rewrite")
+    t.rebaseBranch("trial")
+    t.mergeBranch("trial")
+    liAgg(t.toDF)
+  }
+
+  /** Principal-bound policy end-to-end (L116): ONE stored policy whose
+    * row filter AND mask branch on `current_user()`; the session binds
+    * principal `auditor`, so the visible slice (and the unmasked
+    * price) must equal the oracle's literal `auditor` branch — if the
+    * binding broke (e.g. fell back to the OS user), the ELSE branch's
+    * different filter and zeroed mask would hash-mismatch.
+    */
+  def lakePrincipal(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "principal"),
+      Tables(spark, dir, "lineitem"))
+    t.setRowFilter("CASE WHEN current_user() = 'auditor' " +
+      "THEN l_quantity <= 45 ELSE l_quantity <= 20 END")
+    t.setColumnMask("l_extendedprice",
+      "CASE WHEN current_user() = 'auditor' THEN l_extendedprice " +
+        "ELSE CAST(0.0 AS DOUBLE) END")
+    val prev = spark.conf.getOption("spark.graft.principal")
+    spark.conf.set("spark.graft.principal", "auditor")
+    // the principal folds into the PLAN here — resetting the conf
+    // after construction cannot change the captured literal
+    try liAgg(t.toDF)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.principal", v)
+      case None => spark.conf.unset("spark.graft.principal")
+    }
+  }
+
   /** Row filter + column mask end-to-end (L114): install
     * `graft.rowFilter` and a `graft.colMask.<col>` on a fresh table,
     * then aggregate through the PUBLIC read path. The DuckDB oracle

@@ -46,12 +46,34 @@ object MvCatalog {
   private val outerViews =
     mutable.Map[String, graft.lake.MaterializedOuterJoin]()
 
-  def register(mv: MaterializedAgg): Unit =
+  def register(mv: MaterializedAgg): Unit = {
+    requireUngoverned(mv.source)
     synchronized { views(mv.source.path) = mv }
-  def registerDistinct(mv: graft.lake.MaterializedDistinct): Unit =
+  }
+  def registerDistinct(mv: graft.lake.MaterializedDistinct): Unit = {
+    requireUngoverned(mv.source)
     synchronized { distinctViews(mv.source.path) = mv }
-  def registerOuter(mv: graft.lake.MaterializedOuterJoin): Unit =
+  }
+  def registerOuter(mv: graft.lake.MaterializedOuterJoin): Unit = {
+    requireUngoverned(mv.source)
     synchronized { outerViews(mv.source.path) = mv }
+  }
+
+  /** Whether ANY in-process registration (session-scoped or loaded
+    * from a persisted pointer) targets `sourcePath` — consulted by
+    * the policy-install guard so `CREATE MATERIALIZED VIEW` via the
+    * session catalog can't slip past the exclusivity rule the
+    * persisted-pointer check enforces (r14 advisory).
+    */
+  def hasViewFor(sourcePath: String): Boolean = {
+    val norm =
+      java.nio.file.Paths.get(sourcePath).toAbsolutePath.normalize.toString
+    def hit(keys: Iterable[String]): Boolean = keys.exists(sp =>
+      java.nio.file.Paths.get(sp).toAbsolutePath.normalize.toString == norm)
+    synchronized {
+      hit(views.keys) || hit(distinctViews.keys) || hit(outerViews.keys)
+    }
+  }
   /** Governance exclusivity (L114): an MV folds raw CDC deltas, so a
     * row filter / column mask on the source would let the transparent
     * rewrite answer governed queries from ungoverned aggregates —

@@ -185,12 +185,15 @@ final class GraftSource(
   private def cdfBatch(start: Option[OffsetV1], endV: Long): DataFrame =
     start.map(version).orElse(startingVersion.map(_ - 1)) match {
       case None =>
+        // governed (L114/r15): the CDF initial snapshot is a public
+        // read like any other — hidden rows must not leak as inserts
         val snap = Snapshot.at(spark, log, Some(endV))
-        table.dfFor(snap, snap.activeFiles)
+        table.governed(table.dfFor(snap, snap.activeFiles))
           .withColumn("_change_type",
             org.apache.spark.sql.functions.lit("insert"))
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       case Some(startV) =>
+        // changeFeed is itself governed — incremental CDF inherits it
         table.changeFeed(startV, endV)
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     }
@@ -201,7 +204,7 @@ final class GraftSource(
     else
       // governed (L114): a streaming reader is a public read surface —
       // micro-batches see the same filtered/masked view batch reads do
-      // (the CDF mode above stays raw, the documented CDC contract)
+      // (the CDF mode above is governed too, since r15)
       table.governed(table.dfFor(snap, files))
         .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
 

@@ -265,4 +265,111 @@ class BranchSpec extends GraftSparkSpec {
     val pruned = t.readWhere(col("bucket") === 1)
     assert(pruned.count() == 22L)
   }
+
+  /** Range-clustered 4-file fixture so each test controls exactly
+    * which FILE a row-level op rewrites: f0=1..25, f1=26..50,
+    * f2=51..75, f3=76..100.
+    */
+  private def clustered(name: String): GraftTable = {
+    import spark.implicits._
+    val parts = (0 until 4).map(b =>
+      (b * 25 + 1 to b * 25 + 25).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "v").coalesce(1))
+    val t = GraftTable.create(spark, tmpDir(name), parts.head)
+    parts.tail.foreach(p => t.append(p))
+    t
+  }
+
+  test("REBASE BRANCH (L115): disjoint write sets rebase cleanly — the " +
+      "previously-conflicting merge then lands and equals the linear " +
+      "result") {
+    import spark.implicits._
+    val t = clustered("br_rebase_clean")
+    val bt = t.createBranch("exp")
+    // parent rewrites f0 and appends; branch rewrites f3 and appends —
+    // write sets {f0} vs {f3} are disjoint
+    t.delete(col("id") <= 25L)
+    t.append((200L to 204L).map(i => (i, s"p$i")).toDF("id", "v").coalesce(1))
+    bt.delete(col("id") > 75L)
+    bt.append((300L to 304L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    // without a rebase the merge conflicts (parent removed a read file)
+    intercept[java.util.ConcurrentModificationException](t.mergeBranch("exp"))
+    val m = t.rebaseBranch("exp")
+    assert(m("adoptedRemoves").toInt == 1 && m("adoptedAdds").toInt >= 1,
+      s"rebase must adopt the parent's delete and append: $m")
+    // the branch now reads the parent's since-fork change + its own
+    assert(bt.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      ((26L to 75L) ++ (200L to 204L) ++ (300L to 304L)),
+      "rebased branch = parent head + branch divergence")
+    // a second rebase with a still parent is a no-op
+    assert(t.rebaseBranch("exp")("adoptedAdds").toInt == 0)
+    // and the merge now lands cleanly with the exact linear result
+    t.mergeBranch("exp")
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      ((26L to 75L) ++ (200L to 204L) ++ (300L to 304L)),
+      "post-rebase merge must equal the linear-history result")
+  }
+
+  test("REBASE BRANCH conflicts: overlapping CoW rewrites, and a " +
+      "parent MoR delete against a branch CoW rewrite of the same file") {
+    import spark.implicits._
+    // both sides rewrite f0 → write sets overlap → refuse
+    val t = clustered("br_rebase_conflict")
+    val bt = t.createBranch("exp")
+    t.update(col("id") === 3L, Map("v" -> lit("p")))
+    bt.delete(col("id") <= 25L)
+    intercept[java.util.ConcurrentModificationException](t.rebaseBranch("exp"))
+    // branch survives a refused rebase untouched and still usable
+    assert(bt.toDF.count() == 75L)
+    // MoR vs CoW on the same file: parent masks a row of f1 with a
+    // deletion vector (no file removed), branch rewrites f1 — the DV
+    // scan must catch the hidden write-write overlap
+    val t2 = clustered("br_rebase_dv")
+    val bt2 = t2.createBranch("exp")
+    t2.deleteMergeOnRead(col("id") === 30L)
+    bt2.delete(col("id") >= 26L && col("id") <= 50L)
+    intercept[java.util.ConcurrentModificationException](
+      t2.rebaseBranch("exp"))
+    // the reverse orientation: branch MoR-masks f2, parent rewrites f2
+    val t3 = clustered("br_rebase_dv2")
+    val bt3 = t3.createBranch("exp")
+    bt3.deleteMergeOnRead(col("id") === 60L)
+    t3.delete(col("id") >= 51L && col("id") <= 75L)
+    intercept[java.util.ConcurrentModificationException](
+      t3.rebaseBranch("exp"))
+    // disjoint MoR deletes on DIFFERENT files rebase cleanly: the
+    // branch adopts the parent's DV and sees both masks
+    val t4 = clustered("br_rebase_dv_clean")
+    val bt4 = t4.createBranch("exp")
+    t4.deleteMergeOnRead(col("id") === 30L)  // DV over f1
+    bt4.deleteMergeOnRead(col("id") === 60L) // DV over f2
+    assert(t4.rebaseBranch("exp")("adoptedDeletionVectors").toInt == 1)
+    assert(bt4.toDF.count() == 98L,
+      "rebased branch must see its own AND the adopted DV mask")
+    t4.mergeBranch("exp")
+    assert(t4.toDF.count() == 98L)
+  }
+
+  test("REBASE BRANCH guards: sealed branches and parent schema " +
+      "changes refuse; SQL surface works") {
+    import spark.implicits._
+    val t = clustered("br_rebase_guards")
+    val bt = t.createBranch("exp")
+    bt.append(Seq((500L, "b")).toDF("id", "v"))
+    t.append(Seq((600L, "p")).toDF("id", "v"))
+    val gsql = new GraftSql(spark)
+    gsql.register("rbt", t.path)
+    val sqlMetrics = gsql.sql("REBASE BRANCH exp ONTO rbt")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sqlMetrics("adoptedAdds").toInt == 1)
+    t.mergeBranch("exp")
+    // sealed now — rebase refuses like every other branch write
+    intercept[IllegalArgumentException](t.rebaseBranch("exp"))
+    // a parent schema change since fork refuses the rebase outright
+    val t2 = clustered("br_rebase_schema")
+    val bt2 = t2.createBranch("exp")
+    bt2.append(Seq((500L, "b")).toDF("id", "v"))
+    t2.addColumn("note", org.apache.spark.sql.types.StringType)
+    intercept[IllegalArgumentException](t2.rebaseBranch("exp"))
+  }
 }

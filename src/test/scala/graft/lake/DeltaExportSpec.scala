@@ -522,4 +522,24 @@ class DeltaExportSpec extends GraftSparkSpec {
     assert(DeltaExport.externalRead(spark, t.path).count() == 50L,
       "vacuum must spare the export artifacts")
   }
+
+  test("partition values with '+', space, and '%' survive the external " +
+      "read's path canonicalization (URI decode, not form decode)") {
+    import spark.implicits._
+    // '+' is legal in a Hive partition dir and must NOT decode to a
+    // space (r14 advisory); a literal space Hive-escapes to %20 and a
+    // literal '%' to %25 — all three must round-trip the join between
+    // _metadata.file_path and the exported add URIs
+    val t = GraftTable.create(spark, tmpDir("delta-plus"),
+      Seq((1L, "a+b"), (2L, "a b"), (3L, "a%b"), (4L, "plain"))
+        .toDF("id", "part"),
+      partitionBy = Seq("part"))
+    DeltaExport.export(t)
+    val got = DeltaExport.externalRead(spark, t.path)
+    assert(got.count() == 4L)
+    val parts = got.select("part").collect().map(_.getString(0)).sorted
+    assert(parts.toSeq == Seq("a b", "a%b", "a+b", "plain"),
+      s"partition values must round-trip exactly, got: ${parts.toSeq}")
+    assert(got.filter(col("part") === "a+b").select("id").head.getLong(0) == 1L)
+  }
 }

@@ -72,8 +72,7 @@ class GovernanceSpec extends GraftSparkSpec {
   }
 
   test("maintenance reads RAW: OPTIMIZE preserves hidden rows, " +
-      "ANALYZE/constraints validate true data, exports carry full rows") {
-    import spark.implicits._
+      "ANALYZE/constraints validate true data") {
     val t = fixture("gov_maintenance")
     t.setRowFilter("grade < 5")
     t.setColumnMask("email", "'hidden'")
@@ -93,16 +92,163 @@ class GovernanceSpec extends GraftSparkSpec {
       .select("n_distinct").head
     assert(statsRow.getLong(0) > 1L,
       "stats must describe raw data, not the constant mask")
-    // the Delta export's external read is file-level: full rows
+  }
+
+  test("public CDC is governed (r15): changesBetween, TABLE CHANGES, " +
+      "batch CDF relation, and streaming CDF never show a hidden row " +
+      "or an unmasked value") {
+    import spark.implicits._
+    val t = fixture("gov_cdf")
+    t.setRowFilter("grade < 5")
+    t.setColumnMask("email", "'hidden'")
+    // the appended batch: one visible row (grade 1), one hidden (grade 9)
+    t.append(Seq((200L, "vis@x.com", 1), (201L, "sec@x.com", 9))
+      .toDF("id", "email", "grade"))
+    val v = t.version
+    // changesBetween: hidden row's change invisible, values masked
+    val cb = t.changesBetween(v - 1, v)
+    assert(cb.count() == 1L && cb.select("id").head.getLong(0) == 200L)
+    assert(cb.select("email").head.getString(0) == "hidden",
+      "change rows must carry MASKED values")
+    // TABLE CHANGES (SQL surface)
+    val gsql = new GraftSql(spark)
+    gsql.register("gov_cdf_t", t.path)
+    val tc = gsql.sql(s"TABLE CHANGES gov_cdf_t BETWEEN $v AND $v")
+    assert(tc.count() == 1L && tc.select("id").head.getLong(0) == 200L)
+    assert(tc.select("email").head.getString(0) == "hidden")
+    // batch CDF relation (readChangeFeed option)
+    val rel = spark.read.format("graftlake")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v.toString)
+      .option("endingVersion", v.toString)
+      .load(t.path)
+    assert(rel.count() == 1L &&
+      rel.select("email").head.getString(0) == "hidden")
+    // streaming CDF: the initial snapshot must not leak hidden rows
+    val q = spark.readStream.format("graftlake")
+      .option("readChangeFeed", "true").load(t.path)
+      .writeStream.format("memory").queryName("gov_cdf_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("gov_cdf_stream")
+    assert(streamed.count() == 51L, // 50 original visible + id 200
+      "streaming CDF initial snapshot must apply the row filter")
+    assert(streamed.select("email").collect()
+      .forall(_.getString(0) == "hidden"),
+      "streaming CDF must carry masked values")
+    // the raw fold stays available to maintenance (private surface)
+    assert(t.rawChangeFeed(v - 1, v).count() == 2L)
+  }
+
+  test("external exports refuse on governed tables; policies refuse " +
+      "under auto-export (raw egress has no enforcement point)") {
+    import spark.implicits._
+    val t = fixture("gov_export")
+    t.setRowFilter("grade < 5")
+    intercept[IllegalArgumentException](DeltaExport.export(t))
+    intercept[IllegalArgumentException](IcebergExport.export(t))
+    t.clearRowFilter()
+    // ungoverned again: exports work
     DeltaExport.export(t)
-    val ext = DeltaExport.externalRead(spark, t.path)
-    assert(ext.count() == 100L,
-      "exports are maintenance surfaces — they carry raw rows")
-    // CDC stays raw (documented contract): changesBetween sees all rows
-    t.append(Seq((200L, "z@z.com", 9)).toDF("id", "email", "grade"))
-    val changes = t.changesBetween(t.version - 1, t.version)
-    assert(changes.count() == 1L &&
-      changes.select("email").head.getString(0) == "z@z.com")
+    assert(DeltaExport.externalRead(spark, t.path).count() == 100L)
+    // reverse direction: auto-export on → policy install refuses
+    t.setTableProperties(Map("graft.delta.autoExport" -> "true"))
+    intercept[IllegalArgumentException](t.setRowFilter("grade < 5"))
+    intercept[IllegalArgumentException](t.setColumnMask("email", "'x'"))
+    intercept[IllegalArgumentException](t.setTableProperties(
+      Map("graft.rowFilter" -> "grade < 5")))
+    t.setTableProperties(Map("graft.delta.autoExport" -> "false"))
+    t.setRowFilter("grade < 5")
+    // and enabling auto-export on a governed table refuses
+    intercept[IllegalArgumentException](t.setTableProperties(
+      Map("graft.iceberg.autoExport" -> "true")))
+    val t2 = fixture("gov_export2")
+    t2.setColumnMask("email", "'x'")
+    intercept[IllegalArgumentException](IcebergExport.export(t2))
+  }
+
+  test("session-scoped MV registration enforces exclusivity both " +
+      "directions (no bypass via the in-memory catalog)") {
+    val t = fixture("gov_mv_session")
+    val mv = MaterializedAgg.create(spark, tmpDir("gov_mv_session_view"), t,
+      groupCols = Seq("grade"), sumCols = Seq("id"))
+    graft.plans.MvCatalog.register(mv) // session-only: no property stamped
+    try {
+      intercept[IllegalArgumentException](t.setRowFilter("grade < 5"))
+      intercept[IllegalArgumentException](t.setColumnMask("email", "'x'"))
+    } finally graft.plans.MvCatalog.deregister(t.path)
+    t.setRowFilter("grade < 5")
+    // a governed source refuses SESSION registration too
+    val mv2Src = fixture("gov_mv_session2")
+    mv2Src.setRowFilter("grade < 5")
+    val mv2 = MaterializedAgg.create(spark,
+      tmpDir("gov_mv_session2_view"), mv2Src,
+      groupCols = Seq("grade"), sumCols = Seq("id"))
+    intercept[IllegalArgumentException](graft.plans.MvCatalog.register(mv2))
+  }
+
+  test("principal-bound policies (L116): current_user() binds to the " +
+      "session principal — two sessions read different rows through " +
+      "ONE stored policy") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("gov_principal"),
+      Seq((1L, "alice", "a@x.com"), (2L, "alice", "a2@x.com"),
+        (3L, "bob", "b@x.com"))
+        .toDF("id", "owner", "email"))
+    t.setRowFilter("owner = current_user()")
+    t.setColumnMask("email",
+      "CASE WHEN current_user() = 'alice' THEN email ELSE '***' END")
+    val sa = spark.newSession(); sa.conf.set(GraftTable.PrincipalConf, "alice")
+    val sb = spark.newSession(); sb.conf.set(GraftTable.PrincipalConf, "bob")
+    val ta = GraftTable.forPath(sa, t.path)
+    val tb = GraftTable.forPath(sb, t.path)
+    assert(ta.toDF.count() == 2L, "alice sees her two rows")
+    assert(tb.toDF.count() == 1L, "bob sees his one row")
+    assert(ta.toDF.select("email").collect()
+      .forall(_.getString(0).endsWith("@x.com")),
+      "alice's mask branch keeps raw emails")
+    assert(tb.toDF.select("email").head.getString(0) == "***",
+      "bob's mask branch hides emails")
+    // the default session has neither principal → zero rows, no error
+    assert(t.toDF.count() == 0L)
+    // the bound principal is a literal: the policy PRUNES files via
+    // stats when owners are range-clustered (plan-time constant)
+    val parts = Seq(
+      Seq((10L, "alice", "x@x.com")), Seq((11L, "bob", "y@x.com")))
+      .map(_.toDF("id", "owner", "email").coalesce(1))
+    val t2 = GraftTable.create(spark, tmpDir("gov_principal2"), parts.head)
+    t2.append(parts(1))
+    t2.setRowFilter("owner = current_user()")
+    val ta2 = GraftTable.forPath(sa, t2.path)
+    assert(ta2.toDF.inputFiles.length == 1,
+      "current_user() must fold to a literal and prune files")
+    assert(ta2.toDF.count() == 1L)
+  }
+
+  test("masked-column predicate through the relation layer (pushed " +
+      "filters) returns governed-correct rows on a row-tracked table") {
+    import spark.implicits._
+    // 4 range-clustered files so raw-stats pruning would WRONGLY skip
+    val parts = (0 until 4).map(b =>
+      (b * 25 + 1 to b * 25 + 25).map(i => (i.toLong, i % 10))
+        .toDF("id", "grade").coalesce(1))
+    val t = GraftTable.create(spark, tmpDir("gov_rowid_mask"), parts.head,
+      properties = Map("graft.rowTracking" -> "true"))
+    parts.tail.foreach(p => t.append(p))
+    t.setColumnMask("id", "CAST(id % 7 AS BIGINT)")
+    // the relation pushes `id = 3` into readWhereWithRowIds: raw stats
+    // (files hold 1..25 / 26..50 / ...) would keep only file 1, but
+    // masked matches (id%7==3) live in ALL files — 14 rows
+    val rel = spark.read.format("graftlake").option("rowIds", "true")
+      .load(t.path).where(col("id") === 3L)
+    assert(rel.count() == 14L,
+      "masked-column pushed filter must not prune on raw stats (r14 advisory)")
+    assert(rel.select("id").collect().forall(_.getLong(0) == 3L))
+    // unmasked-predicate row-id reads keep pruning + stable ids
+    val clean = spark.read.format("graftlake").option("rowIds", "true")
+      .load(t.path).where(col("grade") === 3)
+    assert(clean.count() == 10L)
   }
 
   test("streaming batches are governed; DFP/bloom reads guard masked keys") {

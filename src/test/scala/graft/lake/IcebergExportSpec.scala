@@ -363,4 +363,41 @@ class IcebergExportSpec extends GraftSparkSpec {
     assert(extCount() == 25)
     assert(IcebergExport.parse(t.path).deleteFiles.isEmpty)
   }
+
+  test("L112 tags export as Iceberg refs: a native reader resolves the " +
+      "tag NAME to its pinned snapshot; unexportable tags are skipped; " +
+      "`main` points at the head") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("ice-refs"),
+      (0L until 20L).map(i => (i, i * 2L)).toDF("k", "v"))
+    IcebergExport.export(t) // v0 → snapshot-id 1
+    t.createTag("rel-1.0") // pins version 0 (the tag commit is v1)
+    GraftTable.forPath(spark, t.path)
+      .append((100L until 110L).map(i => (i, i)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val m = currentMetadata(t)
+    val refs = m.get("refs")
+    assert(refs.get("main").get("type").asText() == "branch")
+    assert(refs.get("main").get("snapshot-id").asLong() ==
+      m.get("current-snapshot-id").asLong())
+    assert(refs.get("rel-1.0").get("type").asText() == "tag")
+    // the external-reader algorithm: name → snapshot-id → manifests
+    assert(IcebergExport.resolveRef(t.path, "rel-1.0") == 1L)
+    assert(IcebergExport.externalReadRef(spark, t.path, "rel-1.0")
+      .count() == 20, "the tag ref must serve the PINNED version")
+    assert(IcebergExport.externalReadRef(spark, t.path, "main")
+      .count() == 30)
+    intercept[IllegalArgumentException](
+      IcebergExport.resolveRef(t.path, "nope"))
+    // a tag pinning a version that never exported (or expired) is NOT
+    // carried — a ref to a missing snapshot would break native readers
+    val t2 = GraftTable.forPath(spark, t.path)
+    t2.setTableProperties(Map("graft.manifest.exportRetentionHours" -> "0"))
+    Thread.sleep(5)
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val m3 = currentMetadata(t)
+    assert(m3.get("refs").get("rel-1.0") == null,
+      "an expired snapshot's tag ref must drop from the export")
+    assert(m3.get("refs").get("main") != null)
+  }
 }
