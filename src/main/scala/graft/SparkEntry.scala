@@ -236,6 +236,7 @@ object SparkEntry {
     "lake_manifest" -> LakeOps.lakeManifest _,
     "lake_manifest_dv" -> LakeOps.lakeManifestDv _,
     "lake_iceberg_export" -> LakeOps.lakeIcebergExport _,
+    "lake_iceberg_attach" -> LakeOps.lakeIcebergAttach _,
     "lake_delta_export" -> LakeOps.lakeDeltaExport _,
     "lake_dfp_cost" -> LakeOps.lakeDfpCost _,
     "lake_rlo_update" -> LakeOps.lakeRloUpdate _,
@@ -2643,6 +2644,16 @@ object SparkEntry {
         "FROM lineitem WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0 " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "lake_iceberg_export" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "ROUND(SUM(CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100 " +
+        "ELSE l_quantity END), 2) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price " +
+        "FROM lineitem WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // Iceberg ATTACH (the reverse direction): same DML bracket, but
+    // the read runs through the ENGINE over adopted manifests — the
+    // attach must see exactly what the export said
+    "lake_iceberg_attach" ->
       ("SELECT l_returnflag, COUNT(*) AS n, " +
         "ROUND(SUM(CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100 " +
         "ELSE l_quantity END), 2) AS sum_qty, " +

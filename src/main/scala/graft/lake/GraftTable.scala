@@ -6345,6 +6345,135 @@ object GraftTable {
     t
   }
 
+  /** Zero-copy ATTACH of an external Apache Iceberg v2 table (L117 —
+    * the reverse direction of the L105 export, completing
+    * bidirectional Iceberg interop the way L111 completed Delta's):
+    * resolve the metadata by the HadoopCatalog protocol (version-hint
+    * → `v<N>.metadata.json` → Avro manifest list → manifests — the
+    * standard `<root>/metadata/` layout, falling back to our export's
+    * `_graft_iceberg/metadata/`), adopt the live data files by
+    * ABSOLUTE path (shallow-clone form: zero data bytes copied at any
+    * table size), and commit an equivalent GraftLake table that then
+    * evolves independently — CoW rewrites localize files, VACUUM
+    * never touches the source.
+    *
+    * Unlike the Delta attach, Iceberg MoR debt ADOPTS rather than
+    * refuses: position-delete files are GraftLake's own DV sidecar
+    * rows under the spec's reserved names, so one bounded job
+    * (O(delete rows) — DV-debt-sized, never data-sized) rewrites them
+    * into a DV sidecar keyed by the engine's scan identity
+    * (`_metadata.file_path`), joined through the manifest's file-path
+    * space on a broadcast of the O(#files) listing. The name-mapping
+    * property translates to graft column mapping (`graft.colmap.*`),
+    * identity-partition values come from Hive-style data directories
+    * at scan time (the manifest partition struct seeds per-file
+    * `partitionValues` for pruning), and `snapshotId` pins a retained
+    * historical snapshot — external time travel INTO the engine.
+    *
+    * Contract shared with [[attachDelta]]: data files must lie in ONE
+    * Hive-style root (what Iceberg writers with identity transforms
+    * and our own export both lay down).
+    */
+  def attachIceberg(spark: SparkSession, icebergRoot: String,
+                    destPath: String,
+                    snapshotId: Option[Long] = None): GraftTable = {
+    val p = IcebergExport.parse(icebergRoot, snapshotId)
+    val root = Paths.get(icebergRoot).toAbsolutePath.normalize
+    val t = new GraftTable(spark, destPath)
+    require(!t.log.exists, s"GraftLake table already exists at $destPath")
+    Files.createDirectories(Paths.get(destPath))
+    val schema = IcebergExport.sparkSchemaOf(p.schemaJson)
+    // name mapping arrives physical->logical; graft.colmap stores
+    // logical->physical (the attachDelta convention)
+    val colMapProps = p.nameMapping.map { case (phys, logical) =>
+      s"graft.colmap.$logical" -> phys
+    }
+    def resolve(u: String): String = {
+      val uri = new java.net.URI(u)
+      if (uri.getScheme != null) uri.getPath else root.resolve(u).toString
+    }
+    val adds0 = p.dataFiles.map { case (u, pv) =>
+      val abs = resolve(u)
+      val f = Paths.get(abs)
+      require(Files.exists(f), s"manifest lists a missing data file: $abs")
+      val partVals = pv.flatMap { case (k, v) =>
+        Option(v).map(k -> _.toString)
+      }
+      AddFile(abs, partVals, Files.size(f),
+        Files.getLastModifiedTime(f).toMillis, dataChange = true,
+        stats = None)
+    }.sortBy(_.path)
+    require(adds0.nonEmpty,
+      s"no live data files in the Iceberg metadata at $icebergRoot")
+    // one common Hive-style data root (same contract as attachDelta):
+    // scan-time partition inference needs a single basePath
+    def fileRoot(abs: String): String = {
+      var d = Paths.get(abs).getParent
+      var i = 0
+      while (i < p.partitionColumns.size && d != null &&
+          d.getFileName != null && d.getFileName.toString.contains("=")) {
+        d = d.getParent; i += 1
+      }
+      d.toString
+    }
+    val roots = adds0.map(a => fileRoot(a.path)).distinct
+    require(roots.size == 1,
+      s"cannot attach a multi-root Iceberg layout (data roots: $roots): " +
+        "compact the source into one hive-style root first")
+    // footer stats on attach (the CONVERT discipline) — skipped under
+    // column mapping, where the pruning layer expects logical-keyed
+    // stats but footers carry physical names
+    val adds =
+      if (colMapProps.nonEmpty) adds0
+      else {
+        val st = Stats.collect(spark, adds0.map(_.path))
+        adds0.map(a => a.copy(stats = st.get(a.path)))
+      }
+    val now = System.currentTimeMillis()
+    // position deletes -> one graft DV sidecar: delete rows reference
+    // data files in the MANIFEST's path space (file URIs); the scan
+    // masks by `_metadata.file_path` of the ADOPTED absolute path.
+    // Bridge via a broadcast of the O(#files) metadata listing —
+    // never a per-row URI parse, never an IN-list
+    val dvActions: Seq[Action] =
+      if (p.deleteFiles.isEmpty) Nil
+      else {
+        import spark.implicits._
+        val bridge = p.dataFiles.map(_._1).map { u =>
+          (u, IcebergExport.fileUri(resolve(u)))
+        }.toDF("file_path", "__canonical")
+        val rel = s"_graft_dv/dv-${java.util.UUID.randomUUID()}"
+        val masked = spark.read.parquet(p.deleteFiles.map(resolve): _*)
+          .select(col("file_path").cast("string").as("file_path"),
+            col("pos").cast("long").as("pos"))
+          // inner join drops masks for files no longer live — correct
+          .join(broadcast(bridge), Seq("file_path"))
+          .select(col("__canonical").as("file_path"),
+            col("pos").as("row_index"))
+        masked.write.mode("overwrite").parquet(s"$destPath/$rel")
+        if (spark.read.parquet(s"$destPath/$rel").isEmpty) {
+          t.deleteRecursively(Paths.get(destPath).resolve(rel)); Nil
+        } else Seq(AddDV(rel))
+      }
+    val props = colMapProps + ("graft.cloneSource" -> roots.head)
+    val needW = requiredWriterVersion(props)
+    val needF = requiredWriterFeatures(props)
+    val needR = requiredReaderFeatures(props)
+    val proto: Seq[Action] =
+      if (needW > 1 || needF.nonEmpty || needR.nonEmpty)
+        Seq(Protocol(1, needW, readerFeatures = needR.sorted,
+          writerFeatures = (needF ++ needR).distinct.sorted)) else Nil
+    val meta = Metadata(schema.json, p.partitionColumns, props, now)
+    t.commitAndCheckpoint((Seq(
+      CommitInfo(now, "ATTACH ICEBERG",
+        Map("source" -> root.toString) ++
+          snapshotId.map("snapshotId" -> _.toString),
+        Map("numFiles" -> adds.size.toString,
+          "numDeletionVectors" -> dvActions.size.toString)),
+      meta) ++ proto) ++ adds ++ dvActions)
+    t
+  }
+
   /** Shallow clone (Delta `SHALLOW CLONE` parity): a new table whose
     * log references the source's data files by absolute path — zero
     * bytes copied, O(metadata) cost at any table size. The clone then

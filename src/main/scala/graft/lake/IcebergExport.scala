@@ -224,8 +224,50 @@ object IcebergExport {
     * keys, Spark's `_metadata.file_path`, and now manifest/delete-file
     * paths — one representation, so path joins never miss.
     */
-  private def fileUri(abs: String): String =
+  private[lake] def fileUri(abs: String): String =
     new org.apache.hadoop.fs.Path(new java.io.File(abs).toURI).toString
+
+  /** Spark StructType for an Iceberg schema JSON node — the exact
+    * inverse of [[buildSchema]]'s type conversion (struct / list /
+    * the spec's primitive names), used by the ATTACH direction
+    * (L117) to seed a graft Metadata from foreign Iceberg metadata.
+    * Maps (and primitives the export never emits) refuse loudly
+    * rather than adopting a schema the engine would misread.
+    */
+  private[lake] def sparkSchemaOf(schemaJson: String): StructType = {
+    val node = mapper.readTree(schemaJson)
+    def primitive(name: String): DataType = name match {
+      case "long" => LongType
+      case "int" => IntegerType
+      case "string" => StringType
+      case "double" => DoubleType
+      case "float" => FloatType
+      case "boolean" => BooleanType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case "binary" => BinaryType
+      case d if d.startsWith("decimal(") =>
+        val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim)
+        DecimalType(p.toInt, s.toInt)
+      case other => throw new UnsupportedOperationException(
+        s"cannot attach Iceberg type '$other' (no Spark equivalent here)")
+    }
+    def typeOf(t: com.fasterxml.jackson.databind.JsonNode): DataType =
+      if (t.isTextual) primitive(t.asText())
+      else t.get("type").asText() match {
+        case "struct" => StructType(t.get("fields").elements().asScala.map {
+          f => StructField(f.get("name").asText(), typeOf(f.get("type")),
+            nullable = !f.get("required").asBoolean())
+        }.toSeq)
+        case "list" => ArrayType(typeOf(t.get("element")),
+          containsNull = !t.get("element-required").asBoolean())
+        case other => throw new UnsupportedOperationException(
+          s"cannot attach Iceberg complex type '$other'")
+      }
+    typeOf(node).asInstanceOf[StructType]
+  }
 
   private def writeAvro(schema: Schema, metaKv: Map[String, String],
       records: Seq[GenericRecord], dest: java.nio.file.Path): Long = {
@@ -612,9 +654,21 @@ object IcebergExport {
       // column-mapping renames exist)
       nameMapping: Map[String, String] = Map.empty)
 
+  /** Metadata dir under a table root: the STANDARD Iceberg layout
+    * (`<root>/metadata/` — what a HadoopCatalog writer lays down and
+    * what [[GraftTable.attachIceberg]] receives for a foreign table)
+    * wins when present; otherwise the export's own
+    * `_graft_iceberg/metadata/` beside the graft log.
+    */
+  private def metaDirOf(tablePath: String): java.nio.file.Path = {
+    val std = Paths.get(tablePath, "metadata")
+    if (Files.exists(std.resolve("version-hint.text"))) std
+    else Paths.get(tablePath, "_graft_iceberg", "metadata")
+  }
+
   def parse(tablePath: String,
       snapshotId: Option[Long] = None): ParsedExport = {
-    val metaDir = Paths.get(tablePath, "_graft_iceberg", "metadata")
+    val metaDir = metaDirOf(tablePath)
     val hint = new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
     val meta = mapper.readTree(
@@ -681,7 +735,7 @@ object IcebergExport {
     * metadata.json → refs[name].snapshot-id. Zero GraftLake log code.
     */
   def resolveRef(tablePath: String, refName: String): Long = {
-    val metaDir = Paths.get(tablePath, "_graft_iceberg", "metadata")
+    val metaDir = metaDirOf(tablePath)
     val hint = new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
     val meta = mapper.readTree(

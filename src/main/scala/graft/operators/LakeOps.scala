@@ -731,6 +731,38 @@ object LakeOps {
       .orderBy("l_returnflag")
   }
 
+  /** Iceberg ATTACH round-trip (L117 — the export's reverse
+    * direction): the same CoW + merge-on-read DML bracket exports to
+    * Iceberg v2 metadata, then `attachIceberg` adopts the manifests
+    * into a NEW GraftLake table — data files by absolute path (zero
+    * bytes copied), position deletes rewritten into a DV sidecar, the
+    * partition column recovered from Hive directory inference — and
+    * the aggregate runs through the ATTACHED engine table. Bites the
+    * same four ways as the export oracle, but through the engine's
+    * own scan/DV-mask path over adopted metadata instead of the
+    * external reader algorithm.
+    */
+  def lakeIcebergAttach(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    val t = graft.lake.GraftTable.create(spark, workDir(dir, "iceattach"),
+      li, partitionBy = Seq("l_returnflag"))
+    t.optimize()
+    t.delete(col("l_orderkey") % 3 === 0) // copy-on-write: files rewritten
+    t.deleteMergeOnRead(col("l_orderkey") % 5 === 0) // DVs stay live
+    t.updateMergeOnRead(col("l_orderkey") % 7 === 0,
+      Map("l_quantity" -> (col("l_quantity") + 100)))
+    graft.lake.IcebergExport.export(graft.lake.GraftTable.forPath(spark, t.path))
+    val att = graft.lake.GraftTable.attachIceberg(spark, t.path,
+      workDir(dir, "iceattach_dst"))
+    att.toDF
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Delta-log export (L110): the external-interop leg Delta-native
     * readers attach to. TWO exports bracket the DML so the oracle
     * exercises the INCREMENTAL contract (the second export appends a

@@ -400,4 +400,112 @@ class IcebergExportSpec extends GraftSparkSpec {
       "an expired snapshot's tag ref must drop from the export")
     assert(m3.get("refs").get("main") != null)
   }
+
+  // ------------------------------------------------------- L117 attach
+
+  test("L117 attachIceberg: export round-trips into a NEW graft table " +
+      "— partitions, CoW removes, and position deletes become DV masks") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("iatt-src"),
+      (0L until 60L).map(i => (i, s"p${i % 3}", i * 2.0))
+        .toDF("k", "part", "v"),
+      partitionBy = Seq("part"))
+    t.optimize()
+    t.delete(col("k") % 4 === 0)           // CoW: files rewritten
+    t.deleteMergeOnRead(col("k") % 5 === 0) // DVs stay live
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val att = GraftTable.attachIceberg(spark, t.path, tmpDir("iatt-dst"))
+    val want = GraftTable.forPath(spark, t.path).toDF
+      .select("k", "part", "v").collect().toSet
+    val got = att.toDF.select("k", "part", "v").collect().toSet
+    assert(got == want, s"attached read must equal the source engine read")
+    // zero data bytes copied: every adopted file is an absolute ref
+    // into the source tree
+    val snap = att.snapshot
+    assert(snap.activeFiles.nonEmpty &&
+      snap.activeFiles.forall(_.path.startsWith("/")))
+    assert(snap.dvFiles.nonEmpty, "position deletes must adopt as DVs")
+    // partition pruning works off the adopted partitionValues
+    assert(att.toDF.filter(col("part") === "p1").count() ==
+      want.count(_.getString(1) == "p1"))
+    // footer stats landed (the CONVERT discipline): skipping-ready
+    assert(snap.activeFiles.forall(_.stats.nonEmpty))
+  }
+
+  test("L117 attach independence: DML on the attached table never " +
+      "touches the source; source files survive the clone's VACUUM") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("iatt-ind-src"),
+      (0L until 40L).map(i => (i, i * 10L)).toDF("k", "v"))
+    t.deleteMergeOnRead(col("k") < 5)
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val att = GraftTable.attachIceberg(spark, t.path,
+      tmpDir("iatt-ind-dst"))
+    val srcBefore = GraftTable.forPath(spark, t.path).toDF.count()
+    att.delete(col("k") >= 30) // CoW on the attach localizes files
+    att.vacuum(retentionHours = 0, dryRun = false)
+    assert(GraftTable.forPath(spark, t.path).toDF.count() == srcBefore,
+      "source must be untouched by the attach's DML + VACUUM")
+    assert(att.toDF.count() == srcBefore - 10)
+  }
+
+  test("L117 attach at a pinned snapshotId serves that historical " +
+      "state (external time travel INTO the engine)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("iatt-tt-src"),
+      (0L until 20L).map(i => (i, i)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val oldSnap = currentMetadata(t).get("current-snapshot-id").asLong()
+    t.append((20L until 30L).map(i => (i, i)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val attOld = GraftTable.attachIceberg(spark, t.path,
+      tmpDir("iatt-tt-old"), snapshotId = Some(oldSnap))
+    assert(attOld.toDF.count() == 20)
+    val attNew = GraftTable.attachIceberg(spark, t.path,
+      tmpDir("iatt-tt-new"))
+    assert(attNew.toDF.count() == 30)
+  }
+
+  test("L117 attach translates the name mapping to graft column " +
+      "mapping: logical names over unrenamed data files") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("iatt-nm-src"),
+      (0L until 30L).map(i => (i, i * 3L)).toDF("k", "old_v"))
+    t.renameColumn("old_v", "v2") // metadata-only: files keep old_v
+    t.deleteMergeOnRead(col("k") < 5)
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val att = GraftTable.attachIceberg(spark, t.path, tmpDir("iatt-nm-dst"))
+    assert(att.toDF.columns.toSeq == Seq("k", "v2"))
+    assert(att.toDF.agg(sum("v2")).head().getLong(0) ==
+      (5L until 30L).map(_ * 3).sum)
+  }
+
+  test("L117 attach resolves the STANDARD Iceberg layout " +
+      "(<root>/metadata) — a foreign HadoopCatalog table, not just " +
+      "our export's _graft_iceberg") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("iatt-std-src"),
+      (0L until 25L).map(i => (i, s"g${i % 2}", i * 1.5))
+        .toDF("k", "grp", "v"), partitionBy = Seq("grp"))
+    t.deleteMergeOnRead(col("k") % 6 === 0)
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    // simulate a foreign table root: metadata/ in the standard spot;
+    // manifests carry ABSOLUTE file URIs so the data stays in place
+    val foreign = java.nio.file.Paths.get(tmpDir("iatt-std-root"))
+    java.nio.file.Files.createDirectories(foreign)
+    val src = java.nio.file.Paths.get(t.path, "_graft_iceberg", "metadata")
+    val dst = foreign.resolve("metadata")
+    java.nio.file.Files.createDirectories(dst)
+    val walk = java.nio.file.Files.list(src)
+    try walk.iterator().asScala.foreach(f =>
+      java.nio.file.Files.copy(f, dst.resolve(f.getFileName.toString)))
+    finally walk.close()
+    val att = GraftTable.attachIceberg(spark, foreign.toString,
+      tmpDir("iatt-std-dst"))
+    assert(att.toDF.count() ==
+      GraftTable.forPath(spark, t.path).toDF.count())
+    assert(att.toDF.groupBy("grp").count().collect().toSet ==
+      GraftTable.forPath(spark, t.path).toDF
+        .groupBy("grp").count().collect().toSet)
+  }
 }
