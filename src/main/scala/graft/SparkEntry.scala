@@ -2650,15 +2650,18 @@ object SparkEntry {
         "ROUND(SUM(l_extendedprice), 2) AS sum_price " +
         "FROM lineitem WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0 " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
-    // Iceberg ATTACH (the reverse direction): same DML bracket, but
-    // the read runs through the ENGINE over adopted manifests — the
-    // attach must see exactly what the export said
+    // Iceberg ATTACH + RESYNC (the reverse direction): same DML
+    // bracket read through the ENGINE over adopted manifests, then
+    // the source's post-attach %11 MoR delete arrives via
+    // resyncAttached — the attached table must track the source's
+    // linear history
     "lake_iceberg_attach" ->
       ("SELECT l_returnflag, COUNT(*) AS n, " +
         "ROUND(SUM(CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100 " +
         "ELSE l_quantity END), 2) AS sum_qty, " +
         "ROUND(SUM(l_extendedprice), 2) AS sum_price " +
         "FROM lineitem WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0 " +
+        "AND l_orderkey % 11 <> 0 " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // id = create-time global key rank (deterministic two-file sorted
     // write); OPTIMIZE + DELETE must both preserve surviving ids

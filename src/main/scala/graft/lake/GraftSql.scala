@@ -145,6 +145,14 @@ final class GraftSql(spark: SparkSession) {
     """(?is)^\s*REBASE\s+BRANCH\s+([\w.-]+)\s+(?:ONTO|ON|IN)\s+(\w+)\s*;?\s*$""".r
   private val exportDeltaRe: Regex =
     """(?is)^\s*EXPORT\s+DELTA\s+LOG\s+FOR\s+TABLE\s+(\w+)\s*;?\s*$""".r
+  // zero-copy attach of foreign tables (L111/L117): registers the
+  // new GraftLake table under the given name in one statement
+  private val attachIcebergRe: Regex =
+    """(?is)^\s*ATTACH\s+ICEBERG\s+'([^']+)'\s+AS\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""".r
+  private val attachDeltaRe: Regex =
+    """(?is)^\s*ATTACH\s+DELTA\s+'([^']+)'\s+AS\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
+  private val syncAttachRe: Regex =
+    """(?is)^\s*SYNC\s+ATTACHED\s+TABLE\s+(\w+)\s*;?\s*$""".r
   private val dropTableRe: Regex =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
   private val showColumnsRe: Regex =
@@ -352,7 +360,7 @@ final class GraftSql(spark: SparkSession) {
   // (maintenance/layout/lifecycle verbs) refuse inside a transaction
   private val txnForbiddenRe: Regex =
     ("""(?is)^\s*(DROP\s+TABLE|VACUUM|RESTORE|OPTIMIZE|REORG|FSCK|""" +
-      """GENERATE|EXPORT|COMPUTE\s+BLOOM|CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED|""" +
+      """GENERATE|EXPORT|ATTACH|SYNC\s+ATTACHED|COMPUTE\s+BLOOM|CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED|""" +
       """REFRESH\s+MATERIALIZED|CREATE\s+TABLE\s+\w+\s+(?:SHALLOW|DEEP)\s+CLONE)\b.*""").r
 
   private def rollbackTxn(st: TxnState): Unit = {
@@ -730,6 +738,23 @@ final class GraftSql(spark: SparkSession) {
           Seq(("data_files", r.dataFiles.toString),
             ("delete_files", r.deleteFiles.toString),
             ("delete_rows", r.deleteRows.toString)))
+          .toDF("metric", "value")
+      case attachIcebergRe(src, name, loc, snap) =>
+        val t = GraftTable.attachIceberg(spark, src, loc,
+          Option(snap).map(_.toLong))
+        tables(name) = t
+        Seq(("attached", name), ("source", src), ("location", loc),
+          ("numFiles", t.snapshot.numFiles.toString),
+          ("numDeletionVectors", t.snapshot.dvFiles.size.toString))
+          .toDF("metric", "value")
+      case syncAttachRe(name) =>
+        table(name).resyncAttached().toSeq.sortBy(_._1)
+          .toDF("metric", "value")
+      case attachDeltaRe(src, name, loc) =>
+        val t = GraftTable.attachDelta(spark, src, loc)
+        tables(name) = t
+        Seq(("attached", name), ("source", src), ("location", loc),
+          ("numFiles", t.snapshot.numFiles.toString))
           .toDF("metric", "value")
       case createTagRe(name, tag, v) =>
         val ver = table(name).createTag(tag,

@@ -3089,6 +3089,87 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       m.copy(properties = m.properties ++ props))
   }
 
+  /** Incremental RE-SYNC of an ATTACHED table (L118 — the follow-on
+    * to L111/L117's zero-copy attach): pull the source's commits
+    * since the last sync into ONE graft commit — removes for files
+    * the source dropped, adds (with fresh footer stats) for files it
+    * gained, a Metadata refresh for schema/partition drift, and (for
+    * Iceberg) a REBUILT DV sidecar from the source's current position
+    * deletes. Cost is O(#changed files + current DV rows) — a
+    * metadata diff against the live listing, zero data bytes moved —
+    * so a 100 TB source that gained one partition syncs in seconds.
+    *
+    * Contract: the attachment must be PRISTINE — local version still
+    * equals the last sync's (`graft.attach.syncVersion`). The moment
+    * local DML lands, the table is an independent fork and resync
+    * REFUSES (pulling source state over local edits would silently
+    * drop them — Delta CLONE's posture, made loud). A concurrent
+    * local commit racing the sync either conflicts the sync commit or
+    * strands `syncVersion` behind the head, which the next resync
+    * refuses: divergence is never silent.
+    */
+  def resyncAttached(): Map[String, String] = {
+    val s = snapshot
+    val props = s.metadata.get.properties
+    val fmt = props.getOrElse("graft.attach.format",
+      throw new IllegalStateException(
+        s"not an attached table (no graft.attach provenance): $path"))
+    val srcRoot = props("graft.attach.source")
+    val lastSrc = props("graft.attach.sourceVersion").toLong
+    val lastSync = props("graft.attach.syncVersion").toLong
+    require(s.version == lastSync,
+      s"attached table has local commits past the last sync (version " +
+        s"${s.version}, last sync $lastSync): it is now an independent " +
+        "fork — resync would drop local edits; re-attach to follow " +
+        "the source again")
+    val now = System.currentTimeMillis()
+    val (srcVersion, cleanSchema, partCols, colMapProps, adds0,
+        dataRoot, dvOps) = fmt match {
+      case "delta" =>
+        val parts = GraftTable.deltaAttachParts(spark, srcRoot)
+        (parts.sourceVersion, parts.cleanSchema, parts.partitionColumns,
+          parts.colMapProps, parts.adds0, parts.dataRoot,
+          Seq.empty[Action])
+      case "iceberg" =>
+        val parts = GraftTable.icebergAttachParts(spark, srcRoot, None)
+        val dvs: Seq[Action] =
+          if (parts.parsed.snapshotId == lastSrc) Nil
+          else s.dvFiles.map(RemoveDV(_)) ++
+            GraftTable.icebergDvActions(spark, this, parts, path)
+        (parts.parsed.snapshotId, parts.schema, parts.partitionColumns,
+          parts.colMapProps, parts.adds0, parts.dataRoot, dvs)
+      case other => throw new IllegalStateException(
+        s"unknown graft.attach.format '$other'")
+    }
+    if (srcVersion == lastSrc)
+      return Map("status" -> "up-to-date",
+        "sourceVersion" -> lastSrc.toString)
+    val newByPath = adds0.map(f => f.path).toSet
+    val curPaths = s.activeFiles.map(_.path).toSet
+    val removes = s.activeFiles.filterNot(f => newByPath.contains(f.path))
+      .map(f => RemoveFile(f.path, now, dataChange = true))
+    val freshAdds = GraftTable.attachStats(spark, colMapProps,
+      adds0.filterNot(f => curPaths.contains(f.path)))
+    val meta = s.metadata.get.copy(
+      schemaJson = cleanSchema.json,
+      partitionColumns = partCols,
+      properties = props ++ colMapProps ++
+        GraftTable.attachProps(fmt, srcRoot, srcVersion,
+          syncVersion = s.version + 1) +
+        ("graft.cloneSource" -> dataRoot))
+    commitAndCheckpoint(Seq(
+      CommitInfo(now, "SYNC ATTACH",
+        Map("source" -> srcRoot, "format" -> fmt,
+          "sourceVersion" -> srcVersion.toString),
+        Map("numAdded" -> freshAdds.size.toString,
+          "numRemoved" -> removes.size.toString)),
+      meta) ++ removes ++ freshAdds ++ dvOps,
+      readVersion = s.version)
+    Map("status" -> "synced", "sourceVersion" -> srcVersion.toString,
+      "numAdded" -> freshAdds.size.toString,
+      "numRemoved" -> removes.size.toString)
+  }
+
   /** Row-level changes between two versions as a snapshot diff:
     * `_change_type` ∈ {insert, delete} (an update appears as a
     * delete+insert pair). Computed with exceptAll — exact without
@@ -6269,14 +6350,24 @@ object GraftTable {
     * refuse — materialize them source-side first (our own L110
     * exports never carry any).
     */
-  def attachDelta(spark: SparkSession, deltaRoot: String,
-                  destPath: String): GraftTable = {
+  /** The source-derived pieces of a Delta attach — shared by
+    * [[attachDelta]] and the incremental [[GraftTable.resyncAttached]]
+    * (L118), so the sync diff is computed from EXACTLY the state an
+    * attach would adopt.
+    */
+  private[lake] final case class DeltaAttachParts(
+      cleanSchema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String],
+      colMapProps: Map[String, String],
+      adds0: Seq[AddFile],
+      dataRoot: String,
+      sourceVersion: Long)
+
+  private[lake] def deltaAttachParts(spark: SparkSession,
+      deltaRoot: String): DeltaAttachParts = {
     import org.apache.spark.sql.types.{DataType, StructType}
     val p = DeltaExport.parseTable(deltaRoot, spark = Some(spark))
     val root = Paths.get(deltaRoot).toAbsolutePath.normalize
-    val t = new GraftTable(spark, destPath)
-    require(!t.log.exists, s"GraftLake table already exists at $destPath")
-    Files.createDirectories(Paths.get(destPath))
     val schemaRaw = DataType.fromJson(p.schemaString).asInstanceOf[StructType]
     def physOf(f: org.apache.spark.sql.types.StructField): String =
       if (f.metadata.contains("delta.columnMapping.physicalName"))
@@ -6326,24 +6417,56 @@ object GraftTable {
     require(roots.size == 1,
       s"cannot attach a multi-root Delta layout (data roots: $roots): " +
         "compact the source into one hive-style root first")
-    // footer stats on attach (the CONVERT discipline) — keyed by the
-    // PHYSICAL on-disk names, so skip them under column mapping where
-    // the pruning layer expects logical-keyed stats
-    val adds =
-      if (colMapProps.nonEmpty) adds0
-      else {
-        val st = Stats.collect(spark, adds0.map(_.path))
-        adds0.map(a => a.copy(stats = st.get(a.path)))
-      }
-    val meta = Metadata(cleanSchema.json, p.partitionColumns,
-      colMapProps + ("graft.cloneSource" -> roots.head), now)
+    DeltaAttachParts(cleanSchema, p.partitionColumns, colMapProps,
+      adds0, roots.head, p.version)
+  }
+
+  def attachDelta(spark: SparkSession, deltaRoot: String,
+                  destPath: String): GraftTable = {
+    val root = Paths.get(deltaRoot).toAbsolutePath.normalize
+    val t = new GraftTable(spark, destPath)
+    require(!t.log.exists, s"GraftLake table already exists at $destPath")
+    Files.createDirectories(Paths.get(destPath))
+    val parts = deltaAttachParts(spark, deltaRoot)
+    val now = System.currentTimeMillis()
+    val adds = attachStats(spark, parts.colMapProps, parts.adds0)
+    val meta = Metadata(parts.cleanSchema.json, parts.partitionColumns,
+      parts.colMapProps ++ attachProps("delta", root.toString,
+        parts.sourceVersion, syncVersion = 0L) +
+        ("graft.cloneSource" -> parts.dataRoot), now)
     t.commitAndCheckpoint(Seq(
       CommitInfo(now, "ATTACH DELTA",
         Map("source" -> root.toString,
-          "deltaVersion" -> p.version.toString),
+          "deltaVersion" -> parts.sourceVersion.toString),
         Map("numFiles" -> adds.size.toString)), meta) ++ adds)
     t
   }
+
+  /** Footer stats on attach/sync (the CONVERT discipline) — keyed by
+    * the PHYSICAL on-disk names, so skipped under column mapping
+    * where the pruning layer expects logical-keyed stats.
+    */
+  private def attachStats(spark: SparkSession,
+      colMapProps: Map[String, String],
+      adds0: Seq[AddFile]): Seq[AddFile] =
+    if (colMapProps.nonEmpty || adds0.isEmpty) adds0
+    else {
+      val st = Stats.collect(spark, adds0.map(_.path))
+      adds0.map(a => a.copy(stats = st.get(a.path)))
+    }
+
+  /** Attach provenance (L118): which source this table mirrors, the
+    * last source version pulled, and the GRAFT version that pull
+    * landed at — `resyncAttached` refuses when the local version has
+    * moved past `syncVersion` (the attachment became an independent
+    * table the moment local DML touched it).
+    */
+  private def attachProps(format: String, source: String,
+      sourceVersion: Long, syncVersion: Long): Map[String, String] = Map(
+    "graft.attach.format" -> format,
+    "graft.attach.source" -> source,
+    "graft.attach.sourceVersion" -> sourceVersion.toString,
+    "graft.attach.syncVersion" -> syncVersion.toString)
 
   /** Zero-copy ATTACH of an external Apache Iceberg v2 table (L117 —
     * the reverse direction of the L105 export, completing
@@ -6374,14 +6497,23 @@ object GraftTable {
     * Hive-style root (what Iceberg writers with identity transforms
     * and our own export both lay down).
     */
-  def attachIceberg(spark: SparkSession, icebergRoot: String,
-                    destPath: String,
-                    snapshotId: Option[Long] = None): GraftTable = {
+  /** Source-derived pieces of an Iceberg attach — shared by
+    * [[attachIceberg]] and [[GraftTable.resyncAttached]] (L118).
+    */
+  private[lake] final case class IcebergAttachParts(
+      schema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String],
+      colMapProps: Map[String, String],
+      adds0: Seq[AddFile],
+      dataRoot: String,
+      parsed: IcebergExport.ParsedExport,
+      resolve: String => String)
+
+  private[lake] def icebergAttachParts(spark: SparkSession,
+      icebergRoot: String,
+      snapshotId: Option[Long]): IcebergAttachParts = {
     val p = IcebergExport.parse(icebergRoot, snapshotId)
     val root = Paths.get(icebergRoot).toAbsolutePath.normalize
-    val t = new GraftTable(spark, destPath)
-    require(!t.log.exists, s"GraftLake table already exists at $destPath")
-    Files.createDirectories(Paths.get(destPath))
     val schema = IcebergExport.sparkSchemaOf(p.schemaJson)
     // name mapping arrives physical->logical; graft.colmap stores
     // logical->physical (the attachDelta convention)
@@ -6420,42 +6552,57 @@ object GraftTable {
     require(roots.size == 1,
       s"cannot attach a multi-root Iceberg layout (data roots: $roots): " +
         "compact the source into one hive-style root first")
-    // footer stats on attach (the CONVERT discipline) — skipped under
-    // column mapping, where the pruning layer expects logical-keyed
-    // stats but footers carry physical names
-    val adds =
-      if (colMapProps.nonEmpty) adds0
-      else {
-        val st = Stats.collect(spark, adds0.map(_.path))
-        adds0.map(a => a.copy(stats = st.get(a.path)))
-      }
+    IcebergAttachParts(schema, p.partitionColumns, colMapProps, adds0,
+      roots.head, p, resolve)
+  }
+
+  /** Position deletes -> one graft DV sidecar: delete rows reference
+    * data files in the MANIFEST's path space (file URIs); the scan
+    * masks by `_metadata.file_path` of the ADOPTED absolute path.
+    * Bridged via a broadcast of the O(#files) metadata listing —
+    * never a per-row URI parse, never an IN-list. One bounded job,
+    * O(delete rows): DV-debt-sized, never data-sized.
+    */
+  private def icebergDvActions(spark: SparkSession, t: GraftTable,
+      parts: IcebergAttachParts, destPath: String): Seq[Action] =
+    if (parts.parsed.deleteFiles.isEmpty) Nil
+    else {
+      import spark.implicits._
+      val bridge = parts.parsed.dataFiles.map(_._1).map { u =>
+        (u, IcebergExport.fileUri(parts.resolve(u)))
+      }.toDF("file_path", "__canonical")
+      val rel = s"_graft_dv/dv-${java.util.UUID.randomUUID()}"
+      val masked = spark.read
+        .parquet(parts.parsed.deleteFiles.map(parts.resolve): _*)
+        .select(col("file_path").cast("string").as("file_path"),
+          col("pos").cast("long").as("pos"))
+        // inner join drops masks for files no longer live — correct
+        .join(broadcast(bridge), Seq("file_path"))
+        .select(col("__canonical").as("file_path"),
+          col("pos").as("row_index"))
+      masked.write.mode("overwrite").parquet(s"$destPath/$rel")
+      if (spark.read.parquet(s"$destPath/$rel").isEmpty) {
+        t.deleteRecursively(Paths.get(destPath).resolve(rel)); Nil
+      } else Seq(AddDV(rel))
+    }
+
+  def attachIceberg(spark: SparkSession, icebergRoot: String,
+                    destPath: String,
+                    snapshotId: Option[Long] = None): GraftTable = {
+    val root = Paths.get(icebergRoot).toAbsolutePath.normalize
+    val t = new GraftTable(spark, destPath)
+    require(!t.log.exists, s"GraftLake table already exists at $destPath")
+    Files.createDirectories(Paths.get(destPath))
+    val parts = icebergAttachParts(spark, icebergRoot, snapshotId)
+    val p = parts.parsed
+    val schema = parts.schema
+    val colMapProps = parts.colMapProps
+    val adds = attachStats(spark, colMapProps, parts.adds0)
     val now = System.currentTimeMillis()
-    // position deletes -> one graft DV sidecar: delete rows reference
-    // data files in the MANIFEST's path space (file URIs); the scan
-    // masks by `_metadata.file_path` of the ADOPTED absolute path.
-    // Bridge via a broadcast of the O(#files) metadata listing —
-    // never a per-row URI parse, never an IN-list
-    val dvActions: Seq[Action] =
-      if (p.deleteFiles.isEmpty) Nil
-      else {
-        import spark.implicits._
-        val bridge = p.dataFiles.map(_._1).map { u =>
-          (u, IcebergExport.fileUri(resolve(u)))
-        }.toDF("file_path", "__canonical")
-        val rel = s"_graft_dv/dv-${java.util.UUID.randomUUID()}"
-        val masked = spark.read.parquet(p.deleteFiles.map(resolve): _*)
-          .select(col("file_path").cast("string").as("file_path"),
-            col("pos").cast("long").as("pos"))
-          // inner join drops masks for files no longer live — correct
-          .join(broadcast(bridge), Seq("file_path"))
-          .select(col("__canonical").as("file_path"),
-            col("pos").as("row_index"))
-        masked.write.mode("overwrite").parquet(s"$destPath/$rel")
-        if (spark.read.parquet(s"$destPath/$rel").isEmpty) {
-          t.deleteRecursively(Paths.get(destPath).resolve(rel)); Nil
-        } else Seq(AddDV(rel))
-      }
-    val props = colMapProps + ("graft.cloneSource" -> roots.head)
+    val dvActions = icebergDvActions(spark, t, parts, destPath)
+    val props = colMapProps ++ attachProps("iceberg", root.toString,
+      p.snapshotId, syncVersion = 0L) +
+      ("graft.cloneSource" -> parts.dataRoot)
     val needW = requiredWriterVersion(props)
     val needF = requiredWriterFeatures(props)
     val needR = requiredReaderFeatures(props)

@@ -652,7 +652,11 @@ object IcebergExport {
       // physical parquet name -> logical field name, from the
       // schema.name-mapping.default property (identity when no
       // column-mapping renames exist)
-      nameMapping: Map[String, String] = Map.empty)
+      nameMapping: Map[String, String] = Map.empty,
+      // the snapshot the listing came from (current unless pinned) —
+      // the ATTACH provenance stamp that makes incremental RE-SYNC
+      // (L118) able to tell "source moved" from "nothing new"
+      snapshotId: Long = -1L)
 
   /** Metadata dir under a table root: the STANDARD Iceberg layout
     * (`<root>/metadata/` — what a HadoopCatalog writer lays down and
@@ -718,7 +722,7 @@ object IcebergExport {
       }.toMap).getOrElse(Map.empty[String, String])
       .filter { case (phys, logical) => phys != logical }
     ParsedExport(mapper.writeValueAsString(schemaNode),
-      partColsOut, dataFiles, deleteFiles, nm)
+      partColsOut, dataFiles, deleteFiles, nm, snapId)
   }
 
   /** An EXTERNAL Iceberg-v2 merge-on-read read over the export — zero

@@ -740,7 +740,11 @@ object LakeOps {
     * the aggregate runs through the ATTACHED engine table. Bites the
     * same four ways as the export oracle, but through the engine's
     * own scan/DV-mask path over adopted metadata instead of the
-    * external reader algorithm.
+    * external reader algorithm. Then the SOURCE evolves past the
+    * attach (another MoR delete, re-export) and `resyncAttached`
+    * (L118) pulls the delta — the aggregate must track the source's
+    * LINEAR history, proving the one-commit diff sync and the DV
+    * sidecar rebuild end-to-end.
     */
   def lakeIcebergAttach(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
@@ -755,7 +759,13 @@ object LakeOps {
     graft.lake.IcebergExport.export(graft.lake.GraftTable.forPath(spark, t.path))
     val att = graft.lake.GraftTable.attachIceberg(spark, t.path,
       workDir(dir, "iceattach_dst"))
-    att.toDF
+    // L118: the source keeps moving AFTER the attach — resync pulls
+    // the new position deletes in one metadata-diff commit
+    val t2 = graft.lake.GraftTable.forPath(spark, t.path)
+    t2.deleteMergeOnRead(col("l_orderkey") % 11 === 0)
+    graft.lake.IcebergExport.export(graft.lake.GraftTable.forPath(spark, t.path))
+    att.resyncAttached()
+    graft.lake.GraftTable.forPath(spark, att.path).toDF
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         round(sum("l_quantity"), 2).as("sum_qty"),

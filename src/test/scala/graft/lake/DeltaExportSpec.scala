@@ -201,6 +201,67 @@ class DeltaExportSpec extends GraftSparkSpec {
     assert(src.toDF.count() == 100L, "the source must never change")
   }
 
+  test("L111 SQL surface: ATTACH DELTA registers the table in one " +
+      "statement; the verb refuses in a txn") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("dexp_sqlatt_src"),
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    DeltaExport.export(src)
+    val gsql = new GraftSql(spark)
+    val out = gsql.sql(s"ATTACH DELTA '${src.path}/_graft_delta' " +
+      s"AS TABLE datt LOCATION '${tmpDir("dexp_sqlatt_dst")}'")
+    assert(out.filter(col("metric") === "attached").count() == 1)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM datt").head().getLong(0) == 50)
+    val ex = intercept[Exception](gsql.executeScript(
+      s"BEGIN; ATTACH DELTA '${src.path}/_graft_delta' AS TABLE d2 " +
+        s"LOCATION '${tmpDir("dexp_sqlatt_dst2")}'; COMMIT;"))
+    assert(ex.getMessage.toLowerCase.contains("transaction"))
+  }
+
+  test("L118 resyncAttached pulls source evolution incrementally: " +
+      "removes + adds in ONE commit; up-to-date no-ops; local DML " +
+      "makes the fork refuse") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("dexp_sync_src"),
+      (1 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    DeltaExport.export(src)
+    val att = GraftTable.attachDelta(spark,
+      src.path + "/_graft_delta", tmpDir("dexp_sync_att"))
+    assert(att.toDF.count() == 60)
+    // up-to-date: no source change -> no commit
+    val v0 = att.snapshot.version
+    assert(att.resyncAttached()("status") == "up-to-date")
+    assert(GraftTable.forPath(spark, att.path).snapshot.version == v0)
+    // source evolves: CoW delete + append, re-export (incremental)
+    src.delete(col("id") <= 10L)
+    src.append((61 to 70).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    DeltaExport.export(GraftTable.forPath(spark, src.path))
+    val r = att.resyncAttached()
+    assert(r("status") == "synced")
+    assert(r("numAdded").toInt > 0 && r("numRemoved").toInt > 0)
+    val att2 = GraftTable.forPath(spark, att.path)
+    assert(att2.toDF.count() == 60)
+    assert(att2.toDF.agg(sum("id")).head.getLong(0) ==
+      (11L to 70L).sum)
+    assert(att2.snapshot.version == v0 + 1, "ONE sync commit")
+    // fresh stats on the pulled files
+    assert(att2.snapshot.activeFiles.forall(_.stats.exists(_.numRecords > 0)))
+    // a second sync with no source change no-ops again
+    assert(att2.resyncAttached()("status") == "up-to-date")
+    // local DML forks the attachment: resync must refuse, not drop edits
+    att2.delete(col("id") === 70L)
+    src.append(Seq((71L, "v71")).toDF("id", "v"))
+    DeltaExport.export(GraftTable.forPath(spark, src.path))
+    val ex = intercept[IllegalArgumentException](
+      GraftTable.forPath(spark, att.path).resyncAttached())
+    assert(ex.getMessage.contains("independent fork"))
+    // and a plain (non-attached) table refuses with provenance error
+    val plain = GraftTable.create(spark, tmpDir("dexp_sync_plain"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val ex2 = intercept[IllegalStateException](plain.resyncAttached())
+    assert(ex2.getMessage.contains("graft.attach"))
+  }
+
   test("attachDelta reads a FOREIGN hand-authored Delta log with " +
       "relative paths") {
     import spark.implicits._

@@ -508,4 +508,61 @@ class IcebergExportSpec extends GraftSparkSpec {
       GraftTable.forPath(spark, t.path).toDF
         .groupBy("grp").count().collect().toSet)
   }
+
+  test("L117 SQL surface: ATTACH ICEBERG registers the table in one " +
+      "statement, SNAPSHOT pins, and the verb refuses in a txn") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("iatt-sql-src"),
+      (0L until 20L).map(i => (i, i * 2L)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val oldSnap = currentMetadata(t).get("current-snapshot-id").asLong()
+    t.append((20L until 30L).map(i => (i, i * 2L)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val gsql = new GraftSql(spark)
+    val out = gsql.sql(s"ATTACH ICEBERG '${t.path}' AS TABLE att " +
+      s"LOCATION '${tmpDir("iatt-sql-dst")}'")
+    assert(out.filter(col("metric") === "attached").count() == 1)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM att").head().getLong(0) == 30)
+    val out2 = gsql.sql(s"ATTACH ICEBERG '${t.path}' AS TABLE attOld " +
+      s"LOCATION '${tmpDir("iatt-sql-dst2")}' SNAPSHOT $oldSnap")
+    assert(out2.filter(col("metric") === "attached").count() == 1)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM attOld").head().getLong(0) == 20)
+    val ex = intercept[Exception](gsql.executeScript(
+      s"BEGIN; ATTACH ICEBERG '${t.path}' AS TABLE a2 " +
+        s"LOCATION '${tmpDir("iatt-sql-dst3")}'; COMMIT;"))
+    assert(ex.getMessage.toLowerCase.contains("transaction"))
+  }
+
+  test("L118 resync over Iceberg: source MoR churn REBUILDS the DV " +
+      "sidecar, adds/removes flow in one commit; SQL surface") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("isync-src"),
+      (0L until 50L).map(i => (i, i * 2L)).toDF("k", "v"))
+    t.deleteMergeOnRead(col("k") < 5) // position deletes at attach time
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val att = GraftTable.attachIceberg(spark, t.path, tmpDir("isync-dst"))
+    assert(att.toDF.count() == 45)
+    val dv0 = att.snapshot.dvFiles
+    assert(dv0.nonEmpty)
+    // source evolves: MORE MoR deletes + an append, re-export
+    val t2 = GraftTable.forPath(spark, t.path)
+    t2.deleteMergeOnRead(col("k") >= 5 && col("k") < 10)
+    t2.append((50L until 60L).map(i => (i, i * 2L)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val r = att.resyncAttached()
+    assert(r("status") == "synced")
+    val att2 = GraftTable.forPath(spark, att.path)
+    assert(att2.toDF.count() == 50, "10 masked, 10 appended")
+    assert(att2.toDF.agg(sum("v")).head().getLong(0) ==
+      (10L until 60L).map(_ * 2).sum)
+    assert(att2.snapshot.dvFiles.nonEmpty &&
+      att2.snapshot.dvFiles.toSet != dv0.toSet,
+      "the DV sidecar must be REBUILT from the source's current deletes")
+    // SQL spelling
+    val gsql = new GraftSql(spark)
+    gsql.register("syncatt", att.path)
+    val out = gsql.sql("SYNC ATTACHED TABLE syncatt")
+    assert(out.filter(col("metric") === "status")
+      .head().getString(1) == "up-to-date")
+  }
 }
