@@ -648,6 +648,22 @@ object DeltaExport {
       spark: Option[SparkSession] = None): ParsedDelta =
     parseLog(Paths.get(deltaRoot, "_delta_log"), atVersion, spark)
 
+  /** Cheap staleness probe for attached mirrors (L118 auto-sync): the
+    * latest version is the max-numbered commit JSON — one directory
+    * listing, no replay. Log cleanup only removes EARLY commits, so
+    * the max is exact.
+    */
+  def latestSourceVersion(deltaRoot: String): Long = {
+    val ld = Paths.get(deltaRoot, "_delta_log")
+    val jsonRe = """(\d{20})\.json""".r
+    val l = Files.list(ld)
+    try l.iterator().asScala.flatMap(p => p.getFileName.toString match {
+      case jsonRe(v) => Some(v.toLong)
+      case _ => None
+    }).foldLeft(-1L)(math.max)
+    finally l.close()
+  }
+
   private def parseLog(ld: Path, atVersion: Option[Long],
       spark: Option[SparkSession] = None): ParsedDelta = {
     // newest classic checkpoint at/before atVersion (readable only

@@ -113,8 +113,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def toDF: DataFrame = {
     // ONE snapshot resolution per read: `s` IS the current snapshot,
     // so the policy extracts from it directly instead of re-listing
-    // the log through `currentPolicy` (r15 profiling fix)
-    val s = snapshot; val p = policyOf(s)
+    // the log through `currentPolicy` (r15 profiling fix); the
+    // auto-sync probe reuses it and only a real sync re-resolves
+    val s0 = snapshot
+    val s = if (maybeAutoSync(s0)) snapshot else s0
+    val p = policyOf(s)
     governed(dfForFiles(s, policyPruned(p, s, s.activeFiles)), p)
   }
 
@@ -3108,6 +3111,52 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * strands `syncVersion` behind the head, which the next resync
     * refuses: divergence is never silent.
     */
+  /** A local history slice is "pristine" when no commit in it changed
+    * DATA state — property/tag/protocol commits don't fork a mirror
+    * (so `SET TBLPROPERTIES ('graft.attach.autoSync'='true')` after
+    * the attach doesn't strand it), but any AddFile/RemoveFile/DV/CDC
+    * does. A commit the log cleanup already dropped can't be audited
+    * → conservatively NOT pristine.
+    */
+  private def attachPristine(s: Snapshot, lastSync: Long): Boolean =
+    ((lastSync + 1) to s.version).forall { v =>
+      log.hasCommit(v) && log.readCommit(v).forall {
+        case _: AddFile | _: RemoveFile | _: AddDV | _: RemoveDV |
+             _: AddCDC => false
+        case _ => true
+      }
+    }
+
+  /** Auto-sync hook (L118, the auto-maintenance ladder's read-side
+    * rung): with `graft.attach.autoSync=true`, a read of an attached
+    * table first runs a CHEAP staleness probe against the source
+    * (Iceberg: version-hint + metadata header, two small reads;
+    * Delta: one `_delta_log` directory listing — never a replay) and
+    * pulls the delta before serving. A FORKED attachment skips
+    * silently: local DML ended the mirror contract, reads serve the
+    * local state (resync's loud refusal stays on the EXPLICIT path).
+    */
+  private def maybeAutoSync(s: Snapshot): Boolean = {
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    if (!props.get("graft.attach.autoSync").exists(_.toBoolean))
+      return false
+    val lastSync = props.get("graft.attach.syncVersion").map(_.toLong)
+      .getOrElse(return false)
+    if (!attachPristine(s, lastSync)) return false
+    val lastSrc = props("graft.attach.sourceVersion").toLong
+    val src = props("graft.attach.source")
+    val stale = props("graft.attach.format") match {
+      case "delta" =>
+        scala.util.Try(DeltaExport.latestSourceVersion(src))
+          .toOption.exists(_ != lastSrc)
+      case "iceberg" =>
+        scala.util.Try(IcebergExport.currentSnapshotId(src))
+          .toOption.exists(_ != lastSrc)
+      case _ => false
+    }
+    if (stale) { resyncAttached(); true } else false
+  }
+
   def resyncAttached(): Map[String, String] = {
     val s = snapshot
     val props = s.metadata.get.properties
@@ -3117,11 +3166,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val srcRoot = props("graft.attach.source")
     val lastSrc = props("graft.attach.sourceVersion").toLong
     val lastSync = props("graft.attach.syncVersion").toLong
-    require(s.version == lastSync,
-      s"attached table has local commits past the last sync (version " +
-        s"${s.version}, last sync $lastSync): it is now an independent " +
-        "fork — resync would drop local edits; re-attach to follow " +
-        "the source again")
+    require(attachPristine(s, lastSync),
+      s"attached table has local DATA commits past the last sync " +
+        s"(version ${s.version}, last sync $lastSync): it is now an " +
+        "independent fork — resync would drop local edits; re-attach " +
+        "to follow the source again")
     val now = System.currentTimeMillis()
     val (srcVersion, cleanSchema, partCols, colMapProps, adds0,
         dataRoot, dvOps) = fmt match {

@@ -738,6 +738,20 @@ object IcebergExport {
     * the external-reader half of the refs map: version-hint →
     * metadata.json → refs[name].snapshot-id. Zero GraftLake log code.
     */
+  /** Cheap staleness probe for attached mirrors (L118 auto-sync):
+    * two small file reads (version-hint + metadata.json header), no
+    * manifest decode — safe to run on every read of an attached
+    * table.
+    */
+  def currentSnapshotId(tablePath: String): Long = {
+    val metaDir = metaDirOf(tablePath)
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
+    mapper.readTree(Files.readAllBytes(
+      metaDir.resolve(s"v$hint.metadata.json")))
+      .get("current-snapshot-id").asLong()
+  }
+
   def resolveRef(tablePath: String, refName: String): Long = {
     val metaDir = metaDirOf(tablePath)
     val hint = new String(Files.readAllBytes(

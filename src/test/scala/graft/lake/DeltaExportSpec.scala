@@ -262,6 +262,28 @@ class DeltaExportSpec extends GraftSparkSpec {
     assert(ex2.getMessage.contains("graft.attach"))
   }
 
+  test("L118 metadata-only local commits do NOT fork the mirror; " +
+      "Delta autoSync probes the log listing and pulls on read") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("dauto_src"),
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    DeltaExport.export(src)
+    val att = GraftTable.attachDelta(spark,
+      src.path + "/_graft_delta", tmpDir("dauto_att"))
+    // property + tag commits are metadata-only: still pristine
+    att.setTableProperties(Map("graft.attach.autoSync" -> "true",
+      "some.user.prop" -> "x"))
+    GraftTable.forPath(spark, att.path).createTag("pin")
+    src.append((21 to 25).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    DeltaExport.export(GraftTable.forPath(spark, src.path))
+    assert(GraftTable.forPath(spark, att.path).toDF.count() == 25,
+      "autoSync read must pull through metadata-only local history")
+    // the local properties survive the sync's metadata refresh
+    val props2 = GraftTable.forPath(spark, att.path)
+      .snapshot.metadata.get.properties
+    assert(props2.get("some.user.prop").contains("x"))
+  }
+
   test("attachDelta reads a FOREIGN hand-authored Delta log with " +
       "relative paths") {
     import spark.implicits._

@@ -565,4 +565,28 @@ class IcebergExportSpec extends GraftSparkSpec {
     assert(out.filter(col("metric") === "status")
       .head().getString(1) == "up-to-date")
   }
+
+  test("L118 autoSync: a read of a stale attached mirror pulls the " +
+      "source delta first; a FORKED attachment reads local state " +
+      "silently") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("iauto-src"),
+      (0L until 30L).map(i => (i, i)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val att = GraftTable.attachIceberg(spark, t.path, tmpDir("iauto-dst"))
+    // enabling the property is a METADATA commit — it must not fork
+    att.setTableProperties(Map("graft.attach.autoSync" -> "true"))
+    t.append((30L until 40L).map(i => (i, i)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    // plain read: no explicit resync anywhere
+    assert(GraftTable.forPath(spark, att.path).toDF.count() == 40,
+      "the read must pull the source's append before serving")
+    // fork: local DML ends the mirror; reads serve local state
+    val att2 = GraftTable.forPath(spark, att.path)
+    att2.delete(col("k") < 10)
+    t.append((40L until 45L).map(i => (i, i)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    assert(GraftTable.forPath(spark, att.path).toDF.count() == 30,
+      "a forked attachment must serve LOCAL state, not re-pull")
+  }
 }

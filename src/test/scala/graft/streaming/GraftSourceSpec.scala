@@ -243,4 +243,26 @@ class GraftSourceSpec extends GraftSparkSpec {
     val b3 = runOnce(path, ckpt, Map("ignoreChanges" -> "true"))
     assert(b3.nonEmpty)
   }
+
+  test("ST x L118: a stream TAILS an attached Iceberg mirror — the " +
+      "sync commit of an append-only source emits exactly the new rows") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("gsrc-mirror-src"),
+      (0L until 25L).map(i => (i, i * 2L)).toDF("k", "v"))
+    graft.lake.IcebergExport.export(GraftTable.forPath(spark, src.path))
+    val attPath = tmpDir("gsrc-mirror-att")
+    val att = GraftTable.attachIceberg(spark, src.path, attPath)
+    val ckpt = tmpDir("gsrc-mirror-ckpt")
+    val b1 = runOnce(attPath, ckpt)
+    assert(b1.size == 25, "initial snapshot = the attached state")
+    // the FOREIGN engine keeps appending; resync pulls adds only —
+    // a pure-append sync commit streams without ignoreChanges
+    src.append((25L until 35L).map(i => (i, i * 2L)).toDF("k", "v"))
+    graft.lake.IcebergExport.export(GraftTable.forPath(spark, src.path))
+    att.resyncAttached()
+    val b2 = runOnce(attPath, ckpt)
+    assert(b2.size == 10, s"the sync commit must emit EXACTLY the " +
+      s"source's new rows, got ${b2.size}")
+    assert(b2.map(_.getLong(0)).toSet == (25L until 35L).toSet)
+  }
 }
