@@ -148,7 +148,7 @@ final class GraftSql(spark: SparkSession) {
   // zero-copy attach of foreign tables (L111/L117): registers the
   // new GraftLake table under the given name in one statement
   private val attachIcebergRe: Regex =
-    """(?is)^\s*ATTACH\s+ICEBERG\s+'([^']+)'\s+AS\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*ATTACH\s+ICEBERG\s+'([^']+)'\s+AS\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?(?:\s+REF\s+'([\w.-]+)')?\s*;?\s*$""".r
   private val attachDeltaRe: Regex =
     """(?is)^\s*ATTACH\s+DELTA\s+'([^']+)'\s+AS\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
   private val syncAttachRe: Regex =
@@ -739,9 +739,12 @@ final class GraftSql(spark: SparkSession) {
             ("delete_files", r.deleteFiles.toString),
             ("delete_rows", r.deleteRows.toString)))
           .toDF("metric", "value")
-      case attachIcebergRe(src, name, loc, snap) =>
-        val t = GraftTable.attachIceberg(spark, src, loc,
-          Option(snap).map(_.toLong))
+      case attachIcebergRe(src, name, loc, snap, ref) =>
+        require(snap == null || ref == null,
+          "ATTACH ICEBERG takes SNAPSHOT or REF, not both")
+        val pinned = Option(snap).map(_.toLong)
+          .orElse(Option(ref).map(IcebergExport.resolveRef(src, _)))
+        val t = GraftTable.attachIceberg(spark, src, loc, pinned)
         tables(name) = t
         Seq(("attached", name), ("source", src), ("location", loc),
           ("numFiles", t.snapshot.numFiles.toString),

@@ -6598,11 +6598,26 @@ object GraftTable {
       d.toString
     }
     val roots = adds0.map(a => fileRoot(a.path)).distinct
-    require(roots.size == 1,
+    // ONE main hive root, but a BRANCH-ref attach legitimately spans
+    // the parent root plus `_graft_branches/<name>/` sub-roots (the
+    // exported-branch layout) — the scan's effectiveBase grouping
+    // gives each its own basePath for partition inference, so those
+    // are admitted; any other multi-root layout still refuses
+    val mainRoot = roots.minBy(_.length)
+    val branchSub = roots.forall { r =>
+      r == mainRoot || {
+        val rel =
+          if (r.startsWith(mainRoot + "/")) r.stripPrefix(mainRoot + "/")
+          else ""
+        val segs = rel.split('/')
+        segs.length == 2 && segs(0) == BranchesDir
+      }
+    }
+    require(branchSub,
       s"cannot attach a multi-root Iceberg layout (data roots: $roots): " +
         "compact the source into one hive-style root first")
     IcebergAttachParts(schema, p.partitionColumns, colMapProps, adds0,
-      roots.head, p, resolve)
+      mainRoot, p, resolve)
   }
 
   /** Position deletes -> one graft DV sidecar: delete rows reference
@@ -6634,6 +6649,16 @@ object GraftTable {
         t.deleteRecursively(Paths.get(destPath).resolve(rel)); Nil
       } else Seq(AddDV(rel))
     }
+
+  /** Attach at a NAMED ref — tag or exported branch (L112/L113 refs):
+    * `attachIcebergRef(..., "dev")` adopts the state the ref's
+    * snapshot pins, exactly how a native reader serves
+    * `VERSION AS OF 'tag'` / `branch('dev')`.
+    */
+  def attachIcebergRef(spark: SparkSession, icebergRoot: String,
+                       destPath: String, refName: String): GraftTable =
+    attachIceberg(spark, icebergRoot, destPath,
+      Some(IcebergExport.resolveRef(icebergRoot, refName)))
 
   def attachIceberg(spark: SparkSession, icebergRoot: String,
                     destPath: String,

@@ -280,6 +280,158 @@ object IcebergExport {
     Files.size(dest)
   }
 
+  /** One snapshot's manifest artifacts (manifest list, data manifest,
+    * optional position-delete manifest) for any (table, snapshot)
+    * pair sharing the parent export's schema + partition spec — the
+    * main table state and each exported BRANCH state (L113 refs) go
+    * through this same writer, so a branch snapshot can never drift
+    * from the spec the main one follows.
+    */
+  private final case class SnapArtifacts(
+      manifestList: java.nio.file.Path,
+      dataManifest: java.nio.file.Path,
+      deleteManifest: Option[java.nio.file.Path],
+      lastSeq: Long,
+      nFiles: Int,
+      delFileCount: Int,
+      delRowCount: Long,
+      dataRows: Long)
+
+  private def writeSnapshotArtifacts(tt: GraftTable, ss: Snapshot,
+      snapId: Long, metaDir: java.nio.file.Path,
+      outRoot: java.nio.file.Path, entrySchema: Schema,
+      partCols: Seq[String],
+      partTypes: Map[String, DataType],
+      manifestMeta: Map[String, String],
+      seed: String, delSubdir: String): SnapArtifacts = {
+    val spark = tt.spark
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    def entry(filePath: String, rows: Long, size: Long, seq: Long,
+        content: Int, pv: Map[String, String]): GenericRecord = {
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", Integer.valueOf(content))
+      df.put("file_path", filePath)
+      df.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(partSchema)
+      if (content == 0) partCols.foreach(c =>
+        pr.put(c, partitionValue(pv.getOrElse(c, null), partTypes(c))))
+      df.put("partition", pr)
+      df.put("record_count", java.lang.Long.valueOf(rows))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(size))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", Integer.valueOf(1)) // ADDED
+      e.put("snapshot_id", java.lang.Long.valueOf(snapId))
+      e.put("sequence_number", java.lang.Long.valueOf(seq))
+      e.put("file_sequence_number", java.lang.Long.valueOf(seq))
+      e.put("data_file", df)
+      e
+    }
+    // log partition keys may carry pre-rename (physical) names under
+    // column mapping — rekey to the logical names the spec fields use
+    val revMap = ss.colMap.map(_.swap)
+    val dataEntries = ss.activeFiles.map { f =>
+      val abs = Paths.get(tt.dataPath(f.path)).toAbsolutePath.normalize
+      entry(fileUri(abs.toString),
+        f.stats.map(_.numRecords).getOrElse(
+          spark.read.parquet(abs.toString).count()),
+        f.size, seq = 1L, content = 0,
+        f.partitionValues.map { case (k, v) => revMap.getOrElse(k, k) -> v })
+    }
+    val dataRows = ss.activeFiles.flatMap(_.stats.map(_.numRecords)).sum
+    val dataManifest = metaDir.resolve(
+      s"${java.util.UUID.nameUUIDFromBytes((seed + "data")
+        .getBytes(StandardCharsets.UTF_8))}-m0.avro")
+    val dataManifestLen =
+      writeAvro(entrySchema, manifestMeta, dataEntries, dataManifest)
+
+    // ---- position-delete rewrite + delete manifest (only with live
+    // DVs): one bounded Spark job over the sidecars, range-partitioned
+    // and sorted (file_path, pos) within each file per the spec
+    val (deleteManifestOpt, delFileCount, delRowCount) =
+      if (ss.dvFiles.isEmpty) (None, 0, 0L)
+      else {
+        import spark.implicits._
+        val activeDf = ss.activeFiles
+          .map(f => fileUri(
+            Paths.get(tt.dataPath(f.path)).toAbsolutePath.normalize.toString))
+          .toDF("file_path")
+        val raw = spark.read.parquet(ss.dvFiles.map(tt.dataPath): _*)
+          .select(col("file_path"), col("row_index").as("pos"))
+          // sidecars can carry entries for files later rewritten out
+          // of the table (partial ZORDER): export only live masks.
+          // Broadcast semi-join on the O(#files) metadata listing —
+          // never a literal IN-list (10^6 files at 100 TB)
+          .join(broadcast(activeDf), Seq("file_path"), "left_semi")
+          .distinct()
+        val nDel = raw.count()
+        if (nDel == 0) (None, 0, 0L)
+        else {
+          val delDir = outRoot.resolve("_deletes").resolve(delSubdir)
+          val parts = math.max(1L, (nDel + 4000000L - 1L) / 4000000L).toInt
+          raw.repartitionByRange(parts, col("file_path"), col("pos"))
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite").parquet(delDir.toString)
+          // per-written-file (path, rows, bytes) — O(#delete files)
+          val written = spark.read.parquet(delDir.toString)
+            .groupBy(col("_metadata.file_path").as("p"),
+              col("_metadata.file_size").as("sz"))
+            .agg(count(lit(1)).as("n"))
+            .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1)))
+            .sortBy(_._1).toSeq
+          val delEntries = written.map { case (p, n, sz) =>
+            entry(p, n, sz, seq = 2L, content = 1, Map.empty)
+          }
+          val delManifest = metaDir.resolve(
+            s"${java.util.UUID.nameUUIDFromBytes((seed + "deletes")
+              .getBytes(StandardCharsets.UTF_8))}-m1.avro")
+          val len = writeAvro(entrySchema,
+            manifestMeta + ("content" -> "deletes"), delEntries, delManifest)
+          (Some((delManifest, len, written.size, nDel)), written.size, nDel)
+        }
+      }
+
+    // ---- manifest list
+    val lastSeq = if (deleteManifestOpt.isDefined) 2L else 1L
+    def listEntry(path: java.nio.file.Path, len: Long, content: Int,
+        seq: Long, files: Int, rows: Long): GenericRecord = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", fileUri(path.toAbsolutePath.normalize.toString))
+      r.put("manifest_length", java.lang.Long.valueOf(len))
+      r.put("partition_spec_id", Integer.valueOf(0))
+      r.put("content", Integer.valueOf(content))
+      r.put("sequence_number", java.lang.Long.valueOf(seq))
+      r.put("min_sequence_number", java.lang.Long.valueOf(seq))
+      r.put("added_snapshot_id", java.lang.Long.valueOf(snapId))
+      r.put("added_files_count", Integer.valueOf(files))
+      r.put("existing_files_count", Integer.valueOf(0))
+      r.put("deleted_files_count", Integer.valueOf(0))
+      r.put("added_rows_count", java.lang.Long.valueOf(rows))
+      r.put("existing_rows_count", java.lang.Long.valueOf(0L))
+      r.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+      r.put("partitions", null)
+      r
+    }
+    val listEntries =
+      listEntry(dataManifest, dataManifestLen, 0, 1L,
+        ss.activeFiles.size, dataRows) +:
+        deleteManifestOpt.toSeq.map { case (p, len, nf, nr) =>
+          listEntry(p, len, 1, 2L, nf, nr)
+        }
+    val manifestList = metaDir.resolve(
+      s"snap-$snapId-1-${java.util.UUID.nameUUIDFromBytes(
+        seed.getBytes(StandardCharsets.UTF_8))}.avro")
+    writeAvro(manifestListSchema,
+      Map("format-version" -> "2",
+        "snapshot-id" -> snapId.toString,
+        "sequence-number" -> lastSeq.toString,
+        "parent-snapshot-id" -> "null"),
+      listEntries, manifestList)
+    SnapArtifacts(manifestList, dataManifest,
+      deleteManifestOpt.map(_._1), lastSeq, ss.activeFiles.size,
+      delFileCount, delRowCount, dataRows)
+  }
+
   def export(t: GraftTable): ExportResult = {
     // raw-egress guard (L114/r15): external Iceberg readers bypass
     // graft policies, so governed tables refuse to export
@@ -356,8 +508,6 @@ object IcebergExport {
     // ---- data manifest (driver-side O(#files) metadata)
     val snapshotId = s.version + 1
     val entrySchema = manifestEntrySchema(partFieldsAvro)
-    val dataFileSchema = entrySchema.getField("data_file").schema()
-    val partSchema = dataFileSchema.getField("partition").schema()
     val specJson = {
       val a = mapper.createArrayNode()
       partCols.foreach { c =>
@@ -370,131 +520,53 @@ object IcebergExport {
       }
       mapper.writeValueAsString(a)
     }
-    def entry(filePath: String, rows: Long, size: Long, seq: Long,
-        content: Int, pv: Map[String, String]): GenericRecord = {
-      val df = new GenericData.Record(dataFileSchema)
-      df.put("content", Integer.valueOf(content))
-      df.put("file_path", filePath)
-      df.put("file_format", "PARQUET")
-      val pr = new GenericData.Record(partSchema)
-      if (content == 0) partCols.foreach(c =>
-        pr.put(c, partitionValue(pv.getOrElse(c, null), partTypes(c))))
-      df.put("partition", pr)
-      df.put("record_count", java.lang.Long.valueOf(rows))
-      df.put("file_size_in_bytes", java.lang.Long.valueOf(size))
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", Integer.valueOf(1)) // ADDED
-      e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
-      e.put("sequence_number", java.lang.Long.valueOf(seq))
-      e.put("file_sequence_number", java.lang.Long.valueOf(seq))
-      e.put("data_file", df)
-      e
-    }
-    // log partition keys may carry pre-rename (physical) names under
-    // column mapping — rekey to the logical names the spec fields use
-    val revMap = s.colMap.map(_.swap)
-    val dataEntries = s.activeFiles.map { f =>
-      val abs = Paths.get(t.dataPath(f.path)).toAbsolutePath.normalize
-      entry(fileUri(abs.toString),
-        f.stats.map(_.numRecords).getOrElse(
-          spark.read.parquet(abs.toString).count()),
-        f.size, seq = 1L, content = 0,
-        f.partitionValues.map { case (k, v) => revMap.getOrElse(k, k) -> v })
-    }
-    val dataRows = s.activeFiles.flatMap(_.stats.map(_.numRecords)).sum
     val schemaJsonStr = mapper.writeValueAsString(schemaNode)
     val manifestMeta = Map(
       "schema" -> schemaJsonStr, "schema-id" -> "0",
       "partition-spec" -> specJson, "partition-spec-id" -> "0",
       "format-version" -> "2", "content" -> "data")
-    val dataManifest = metaDir.resolve(
-      s"${java.util.UUID.nameUUIDFromBytes((t.path + s.version + "data")
-        .getBytes(StandardCharsets.UTF_8))}-m0.avro")
-    val dataManifestLen =
-      writeAvro(entrySchema, manifestMeta, dataEntries, dataManifest)
+    val art = writeSnapshotArtifacts(t, s, snapshotId, metaDir, outRoot,
+      entrySchema, partCols, partTypes, manifestMeta,
+      seed = t.path + s.version, delSubdir = f"v${s.version}%020d")
+    val manifestList = art.manifestList
+    val lastSeq = art.lastSeq
+    val dataRows = art.dataRows
+    val delFileCount = art.delFileCount
+    val delRowCount = art.delRowCount
 
-    // ---- position-delete rewrite + delete manifest (only with live
-    // DVs): one bounded Spark job over the sidecars, range-partitioned
-    // and sorted (file_path, pos) within each file per the spec
-    val (deleteManifestOpt, delFileCount, delRowCount) =
-      if (s.dvFiles.isEmpty) (None, 0, 0L)
-      else {
-        import spark.implicits._
-        val activeDf = s.activeFiles
-          .map(f => fileUri(
-            Paths.get(t.dataPath(f.path)).toAbsolutePath.normalize.toString))
-          .toDF("file_path")
-        val raw = spark.read.parquet(s.dvFiles.map(t.dataPath): _*)
-          .select(col("file_path"), col("row_index").as("pos"))
-          // sidecars can carry entries for files later rewritten out
-          // of the table (partial ZORDER): export only live masks.
-          // Broadcast semi-join on the O(#files) metadata listing —
-          // never a literal IN-list (10^6 files at 100 TB)
-          .join(broadcast(activeDf), Seq("file_path"), "left_semi")
-          .distinct()
-        val nDel = raw.count()
-        if (nDel == 0) (None, 0, 0L)
-        else {
-          val delDir = outRoot.resolve("_deletes").resolve(f"v${s.version}%020d")
-          val parts = math.max(1L, (nDel + 4000000L - 1L) / 4000000L).toInt
-          raw.repartitionByRange(parts, col("file_path"), col("pos"))
-            .sortWithinPartitions("file_path", "pos")
-            .write.mode("overwrite").parquet(delDir.toString)
-          // per-written-file (path, rows, bytes) — O(#delete files)
-          val written = spark.read.parquet(delDir.toString)
-            .groupBy(col("_metadata.file_path").as("p"),
-              col("_metadata.file_size").as("sz"))
-            .agg(count(lit(1)).as("n"))
-            .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1)))
-            .sortBy(_._1).toSeq
-          val delEntries = written.map { case (p, n, sz) =>
-            entry(p, n, sz, seq = 2L, content = 1, Map.empty)
+    // ---- L113 branches as Iceberg BRANCH refs: each live, unsealed
+    // branch whose schema AND partition spec still match the parent's
+    // exports its own snapshot — a manifest list + manifests over the
+    // BRANCH state, reusing the exact artifact writer above — plus a
+    // `type:branch` ref, so a native reader serves the lakeFS-style
+    // workflow by NAME (`branch('dev')`). A diverged-schema branch is
+    // SKIPPED (Iceberg snapshots in one metadata file share schema-id
+    // 0 here; exporting it would make readers mis-decode), the same
+    // skip-not-dangle discipline expired tag refs get. Deterministic
+    // snapshot ids keyed off (branch name, branch version) keep
+    // re-exports stable and clear of the parent's version+1 id line.
+    val branchSnaps: Seq[(String, Long, SnapArtifacts)] =
+      t.branches.flatMap { name =>
+        scala.util.Try {
+          val bt = t.branch(name)
+          val bs = bt.snapshot
+          val sealed0 = bs.metadata.exists(_.properties
+            .get(GraftTable.BranchSealedProp).contains("true"))
+          if (sealed0 || bs.schema.json != schema.json ||
+              bs.partitionColumns != partCols) None
+          else {
+            val bid = 0x40000000L << 16 |
+              (java.util.UUID.nameUUIDFromBytes(
+                name.getBytes(StandardCharsets.UTF_8))
+                .getMostSignificantBits & 0xFFFFFFFFL) << 12 |
+              (bs.version & 0xFFFL)
+            Some((name, bid, writeSnapshotArtifacts(bt, bs, bid,
+              metaDir, outRoot, entrySchema, partCols, partTypes,
+              manifestMeta, seed = s"${t.path}#$name@${bs.version}",
+              delSubdir = s"b-$name-v${bs.version}")))
           }
-          val delManifest = metaDir.resolve(
-            s"${java.util.UUID.nameUUIDFromBytes((t.path + s.version +
-              "deletes").getBytes(StandardCharsets.UTF_8))}-m1.avro")
-          val len = writeAvro(entrySchema,
-            manifestMeta + ("content" -> "deletes"), delEntries, delManifest)
-          (Some((delManifest, len, written.size, nDel)), written.size, nDel)
-        }
+        }.toOption.flatten
       }
-
-    // ---- manifest list
-    val lastSeq = if (deleteManifestOpt.isDefined) 2L else 1L
-    def listEntry(path: java.nio.file.Path, len: Long, content: Int,
-        seq: Long, files: Int, rows: Long): GenericRecord = {
-      val r = new GenericData.Record(manifestListSchema)
-      r.put("manifest_path", fileUri(path.toAbsolutePath.normalize.toString))
-      r.put("manifest_length", java.lang.Long.valueOf(len))
-      r.put("partition_spec_id", Integer.valueOf(0))
-      r.put("content", Integer.valueOf(content))
-      r.put("sequence_number", java.lang.Long.valueOf(seq))
-      r.put("min_sequence_number", java.lang.Long.valueOf(seq))
-      r.put("added_snapshot_id", java.lang.Long.valueOf(snapshotId))
-      r.put("added_files_count", Integer.valueOf(files))
-      r.put("existing_files_count", Integer.valueOf(0))
-      r.put("deleted_files_count", Integer.valueOf(0))
-      r.put("added_rows_count", java.lang.Long.valueOf(rows))
-      r.put("existing_rows_count", java.lang.Long.valueOf(0L))
-      r.put("deleted_rows_count", java.lang.Long.valueOf(0L))
-      r.put("partitions", null)
-      r
-    }
-    val listEntries =
-      listEntry(dataManifest, dataManifestLen, 0, 1L,
-        s.activeFiles.size, dataRows) +:
-        deleteManifestOpt.toSeq.map { case (p, len, nf, nr) =>
-          listEntry(p, len, 1, 2L, nf, nr)
-        }
-    val manifestList = metaDir.resolve(
-      s"snap-$snapshotId-1-${java.util.UUID.nameUUIDFromBytes(
-        (t.path + s.version).getBytes(StandardCharsets.UTF_8))}.avro")
-    writeAvro(manifestListSchema,
-      Map("format-version" -> "2",
-        "snapshot-id" -> snapshotId.toString,
-        "sequence-number" -> lastSeq.toString,
-        "parent-snapshot-id" -> "null"),
-      listEntries, manifestList)
 
     // ---- v<N>.metadata.json + version-hint.text (HadoopCatalog)
     val now = System.currentTimeMillis()
@@ -546,11 +618,13 @@ object IcebergExport {
         .map(s0 => mapper.writeValueAsString(s0.get("fields")))
         .contains(specJson)
     }
+    val branchIds = branchSnaps.map(_._2).toSet
     val priorSnaps =
       if (!specUnchanged) Nil
       else prevMeta.toSeq.flatMap(_._2.get("snapshots")
         .elements().asScala.toSeq)
         .filter(sn0 => sn0.get("snapshot-id").asLong() != snapshotId &&
+          !branchIds.contains(sn0.get("snapshot-id").asLong()) &&
           listAlive(sn0))
     priorSnaps.foreach(snaps.add)
     val sn = snaps.addObject()
@@ -568,6 +642,24 @@ object IcebergExport {
     summary.put("total-delete-files", delFileCount.toString)
     summary.put("total-records", dataRows.toString)
     summary.put("total-position-deletes", delRowCount.toString)
+    // branch snapshots sit beside the main one in snapshots[] (their
+    // ids are off the version+1 line) — resolvable by id AND by ref
+    branchSnaps.foreach { case (name, bid, bart) =>
+      val bsn = snaps.addObject()
+      bsn.put("snapshot-id", bid)
+      bsn.put("sequence-number", bart.lastSeq)
+      bsn.put("timestamp-ms", now)
+      bsn.put("manifest-list",
+        fileUri(bart.manifestList.toAbsolutePath.normalize.toString))
+      bsn.put("schema-id", 0)
+      val bsum = bsn.putObject("summary")
+      bsum.put("operation", "append")
+      bsum.put("graft-branch", name)
+      bsum.put("total-data-files", bart.nFiles.toString)
+      bsum.put("total-records", bart.dataRows.toString)
+      bsum.put("total-position-deletes", bart.delRowCount.toString)
+      ()
+    }
     val aliveIds = (priorSnaps.map(_.get("snapshot-id").asLong()) :+
       snapshotId).toSet
     val snapLog = m.putArray("snapshot-log")
@@ -595,6 +687,17 @@ object IcebergExport {
         val r = refs.putObject(name)
         r.put("snapshot-id", v + 1)
         r.put("type", "tag")
+        ()
+      }
+    }
+    // L113 branch refs (type: branch) — a tag and a branch sharing a
+    // name is user error; the tag wins (first writer), the branch is
+    // skipped rather than silently shadowing it
+    branchSnaps.foreach { case (name, bid, _) =>
+      if (name != "main" && !refs.has(name)) {
+        val r = refs.putObject(name)
+        r.put("snapshot-id", bid)
+        r.put("type", "branch")
         ()
       }
     }
@@ -626,7 +729,10 @@ object IcebergExport {
     ExportResult(
       metadataFile.toString,
       manifestList.toString,
-      dataManifest.toString +: deleteManifestOpt.map(_._1.toString).toSeq,
+      (art.dataManifest.toString +: art.deleteManifest.map(_.toString).toSeq) ++
+        branchSnaps.flatMap { case (_, _, b) =>
+          b.dataManifest.toString +: b.deleteManifest.map(_.toString).toSeq
+        },
       s.activeFiles.size, delFileCount, delRowCount)
   }
 

@@ -566,6 +566,53 @@ class IcebergExportSpec extends GraftSparkSpec {
       .head().getString(1) == "up-to-date")
   }
 
+  test("L113 branches export as Iceberg BRANCH refs: a native reader " +
+      "serves branch('dev') by name; diverged-schema and sealed " +
+      "branches are skipped; attach-at-ref adopts the branch state") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("ibr-src"),
+      (0L until 40L).map(i => (i, s"g${i % 2}", i))
+        .toDF("k", "grp", "v"), partitionBy = Seq("grp"))
+    val dev = t.createBranch("dev")
+    dev.deleteMergeOnRead(col("k") < 8)    // branch MoR: DV debt
+    dev.append((40L until 50L).map(i => (i, s"g${i % 2}", i))
+      .toDF("k", "grp", "v"))
+    t.append((50L until 55L).map(i => (i, s"g${i % 2}", i))
+      .toDF("k", "grp", "v"))              // parent diverges too
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val m = currentMetadata(t)
+    val devRef = m.get("refs").get("dev")
+    assert(devRef != null && devRef.get("type").asText() == "branch")
+    // the external-reader algorithm serves the BRANCH state by name:
+    // 40 - 8 masked + 10 branch-appended = 42 rows, parent 45
+    val extDev = IcebergExport.externalReadRef(spark, t.path, "dev")
+    assert(extDev.count() == 42)
+    assert(extDev.agg(sum("v")).head().getLong(0) ==
+      t.branch("dev").toDF.agg(sum("v")).head().getLong(0),
+      "external branch read must equal the engine's branch read")
+    assert(IcebergExport.externalReadRef(spark, t.path, "main")
+      .count() == 45)
+    // attach at the ref: the attached table IS the branch state
+    val att = GraftTable.attachIcebergRef(spark, t.path,
+      tmpDir("ibr-att"), "dev")
+    assert(att.toDF.count() == 42)
+    assert(att.snapshot.dvFiles.nonEmpty,
+      "the branch's position deletes adopt as DV masks")
+    // a branch whose schema diverged is SKIPPED (never mis-decoded)
+    val wide = t.createBranch("wide")
+    wide.addColumn("extra", org.apache.spark.sql.types.LongType)
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val m2 = currentMetadata(t)
+    assert(m2.get("refs").get("wide") == null,
+      "diverged-schema branch must not export a ref")
+    assert(m2.get("refs").get("dev") != null)
+    // a merged (sealed) branch drops out of the refs on re-export
+    t.mergeBranch("dev")
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    assert(currentMetadata(t).get("refs").get("dev") == null,
+      "a sealed branch is history, not a live ref")
+  }
+
   test("L118 autoSync: a read of a stale attached mirror pulls the " +
       "source delta first; a FORKED attachment reads local state " +
       "silently") {
