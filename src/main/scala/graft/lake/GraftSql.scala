@@ -150,7 +150,7 @@ final class GraftSql(spark: SparkSession) {
   private val attachIcebergRe: Regex =
     """(?is)^\s*ATTACH\s+ICEBERG\s+'([^']+)'\s+AS\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?(?:\s+REF\s+'([\w.-]+)')?\s*;?\s*$""".r
   private val attachDeltaRe: Regex =
-    """(?is)^\s*ATTACH\s+DELTA\s+'([^']+)'\s+AS\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
+    """(?is)^\s*ATTACH\s+DELTA\s+'([^']+)'\s+AS\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+VERSION\s+(\d+))?\s*;?\s*$""".r
   private val syncAttachRe: Regex =
     """(?is)^\s*SYNC\s+ATTACHED\s+TABLE\s+(\w+)\s*;?\s*$""".r
   private val dropTableRe: Regex =
@@ -753,8 +753,9 @@ final class GraftSql(spark: SparkSession) {
       case syncAttachRe(name) =>
         table(name).resyncAttached().toSeq.sortBy(_._1)
           .toDF("metric", "value")
-      case attachDeltaRe(src, name, loc) =>
-        val t = GraftTable.attachDelta(spark, src, loc)
+      case attachDeltaRe(src, name, loc, ver) =>
+        val t = GraftTable.attachDelta(spark, src, loc,
+          Option(ver).map(_.toLong))
         tables(name) = t
         Seq(("attached", name), ("source", src), ("location", loc),
           ("numFiles", t.snapshot.numFiles.toString))

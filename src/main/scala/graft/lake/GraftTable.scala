@@ -6413,9 +6413,10 @@ object GraftTable {
       sourceVersion: Long)
 
   private[lake] def deltaAttachParts(spark: SparkSession,
-      deltaRoot: String): DeltaAttachParts = {
+      deltaRoot: String,
+      atVersion: Option[Long] = None): DeltaAttachParts = {
     import org.apache.spark.sql.types.{DataType, StructType}
-    val p = DeltaExport.parseTable(deltaRoot, spark = Some(spark))
+    val p = DeltaExport.parseTable(deltaRoot, atVersion, spark = Some(spark))
     val root = Paths.get(deltaRoot).toAbsolutePath.normalize
     val schemaRaw = DataType.fromJson(p.schemaString).asInstanceOf[StructType]
     def physOf(f: org.apache.spark.sql.types.StructField): String =
@@ -6471,12 +6472,15 @@ object GraftTable {
   }
 
   def attachDelta(spark: SparkSession, deltaRoot: String,
-                  destPath: String): GraftTable = {
+                  destPath: String,
+                  atVersion: Option[Long] = None): GraftTable = {
     val root = Paths.get(deltaRoot).toAbsolutePath.normalize
     val t = new GraftTable(spark, destPath)
     require(!t.log.exists, s"GraftLake table already exists at $destPath")
     Files.createDirectories(Paths.get(destPath))
-    val parts = deltaAttachParts(spark, deltaRoot)
+    // a version-pinned attach adopts HISTORY (Delta time travel INTO
+    // the engine — the Iceberg SNAPSHOT pin's twin)
+    val parts = deltaAttachParts(spark, deltaRoot, atVersion)
     val now = System.currentTimeMillis()
     val adds = attachStats(spark, parts.colMapProps, parts.adds0)
     val meta = Metadata(parts.cleanSchema.json, parts.partitionColumns,

@@ -262,6 +262,27 @@ class DeltaExportSpec extends GraftSparkSpec {
     assert(ex2.getMessage.contains("graft.attach"))
   }
 
+  test("attachDelta at a pinned VERSION adopts history — Delta time " +
+      "travel INTO the engine; SQL VERSION form") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("dexp_vatt_src"),
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    DeltaExport.export(src) // external v0
+    src.append((21 to 30).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    DeltaExport.export(GraftTable.forPath(spark, src.path)) // v1: sync
+    val old = GraftTable.attachDelta(spark, src.path + "/_graft_delta",
+      tmpDir("dexp_vatt_old"), atVersion = Some(0L))
+    assert(old.toDF.count() == 20)
+    val cur = GraftTable.attachDelta(spark, src.path + "/_graft_delta",
+      tmpDir("dexp_vatt_cur"))
+    assert(cur.toDF.count() == 30)
+    val gsql = new GraftSql(spark)
+    val out = gsql.sql(s"ATTACH DELTA '${src.path}/_graft_delta' AS " +
+      s"TABLE vatt LOCATION '${tmpDir("dexp_vatt_sql")}' VERSION 0")
+    assert(out.filter(col("metric") === "attached").count() == 1)
+    assert(gsql.sql("SELECT COUNT(*) AS n FROM vatt").head().getLong(0) == 20)
+  }
+
   test("L118 metadata-only local commits do NOT fork the mirror; " +
       "Delta autoSync probes the log listing and pulls on read") {
     import spark.implicits._
