@@ -742,9 +742,11 @@ final class GraftSql(spark: SparkSession) {
       case attachIcebergRe(src, name, loc, snap, ref) =>
         require(snap == null || ref == null,
           "ATTACH ICEBERG takes SNAPSHOT or REF, not both")
-        val pinned = Option(snap).map(_.toLong)
-          .orElse(Option(ref).map(IcebergExport.resolveRef(src, _)))
-        val t = GraftTable.attachIceberg(spark, src, loc, pinned)
+        // SNAPSHOT = pinned history; REF = follows the name on sync
+        val t =
+          if (ref != null) GraftTable.attachIcebergRef(spark, src, loc, ref)
+          else GraftTable.attachIceberg(spark, src, loc,
+            Option(snap).map(_.toLong))
         tables(name) = t
         Seq(("attached", name), ("source", src), ("location", loc),
           ("numFiles", t.snapshot.numFiles.toString),

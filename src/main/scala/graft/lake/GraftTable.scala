@@ -3140,6 +3140,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val props = s.metadata.map(_.properties).getOrElse(Map.empty)
     if (!props.get("graft.attach.autoSync").exists(_.toBoolean))
       return false
+    if (props.get("graft.attach.pinned").contains("true"))
+      return false // pinned history follows nothing
     val lastSync = props.get("graft.attach.syncVersion").map(_.toLong)
       .getOrElse(return false)
     if (!attachPristine(s, lastSync)) return false
@@ -3150,8 +3152,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         scala.util.Try(DeltaExport.latestSourceVersion(src))
           .toOption.exists(_ != lastSrc)
       case "iceberg" =>
-        scala.util.Try(IcebergExport.currentSnapshotId(src))
-          .toOption.exists(_ != lastSrc)
+        // a ref attach probes its NAME's current pin, head otherwise
+        val cur = props.get("graft.attach.ref") match {
+          case Some(r) =>
+            scala.util.Try(IcebergExport.resolveRef(src, r)).toOption
+          case None =>
+            scala.util.Try(IcebergExport.currentSnapshotId(src)).toOption
+        }
+        cur.exists(_ != lastSrc)
       case _ => false
     }
     if (stale) { resyncAttached(); true } else false
@@ -3163,6 +3171,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val fmt = props.getOrElse("graft.attach.format",
       throw new IllegalStateException(
         s"not an attached table (no graft.attach provenance): $path"))
+    // a SNAPSHOT/VERSION-pinned attach is a HISTORICAL state, not a
+    // mirror: "syncing" it would silently jump to the source's head —
+    // refuse; a REF attach follows its NAME instead (below)
+    if (props.get("graft.attach.pinned").contains("true"))
+      throw new UnsupportedOperationException(
+        s"attachment at $path is pinned to a historical snapshot — " +
+          "it has nothing to follow; re-attach unpinned (head) or at " +
+          "a REF (tag/branch) to mirror the source")
     val srcRoot = props("graft.attach.source")
     val lastSrc = props("graft.attach.sourceVersion").toLong
     val lastSync = props("graft.attach.syncVersion").toLong
@@ -3180,7 +3196,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           parts.colMapProps, parts.adds0, parts.dataRoot,
           Seq.empty[Action])
       case "iceberg" =>
-        val parts = GraftTable.icebergAttachParts(spark, srcRoot, None)
+        // a REF attach follows the NAME: re-resolve it and sync to
+        // whatever it points at NOW (branch head moves, tag doesn't)
+        val target = props.get("graft.attach.ref")
+          .map(r => IcebergExport.resolveRef(srcRoot, r))
+        val parts = GraftTable.icebergAttachParts(spark, srcRoot, target)
         val dvs: Seq[Action] =
           if (parts.parsed.snapshotId == lastSrc) Nil
           else s.dvFiles.map(RemoveDV(_)) ++
@@ -6485,7 +6505,9 @@ object GraftTable {
     val adds = attachStats(spark, parts.colMapProps, parts.adds0)
     val meta = Metadata(parts.cleanSchema.json, parts.partitionColumns,
       parts.colMapProps ++ attachProps("delta", root.toString,
-        parts.sourceVersion, syncVersion = 0L) +
+        parts.sourceVersion, syncVersion = 0L) ++
+        (if (atVersion.isDefined) Map("graft.attach.pinned" -> "true")
+         else Map.empty) +
         ("graft.cloneSource" -> parts.dataRoot), now)
     t.commitAndCheckpoint(Seq(
       CommitInfo(now, "ATTACH DELTA",
@@ -6657,16 +6679,31 @@ object GraftTable {
   /** Attach at a NAMED ref — tag or exported branch (L112/L113 refs):
     * `attachIcebergRef(..., "dev")` adopts the state the ref's
     * snapshot pins, exactly how a native reader serves
-    * `VERSION AS OF 'tag'` / `branch('dev')`.
+    * `VERSION AS OF 'tag'` / `branch('dev')`. Unlike a raw SNAPSHOT
+    * pin, a ref attach FOLLOWS its ref: resync/auto-sync re-resolve
+    * the NAME and pull whatever it points at now — a branch ref
+    * tracks the branch's head across re-exports, a tag ref never
+    * moves (always up-to-date). A SNAPSHOT/VERSION pin is HISTORY:
+    * resync refuses on it rather than silently jumping the mirror to
+    * the main head.
     */
   def attachIcebergRef(spark: SparkSession, icebergRoot: String,
                        destPath: String, refName: String): GraftTable =
-    attachIceberg(spark, icebergRoot, destPath,
-      Some(IcebergExport.resolveRef(icebergRoot, refName)))
+    attachIcebergInternal(spark, icebergRoot, destPath,
+      Some(IcebergExport.resolveRef(icebergRoot, refName)),
+      Map("graft.attach.ref" -> refName))
 
   def attachIceberg(spark: SparkSession, icebergRoot: String,
                     destPath: String,
-                    snapshotId: Option[Long] = None): GraftTable = {
+                    snapshotId: Option[Long] = None): GraftTable =
+    attachIcebergInternal(spark, icebergRoot, destPath, snapshotId,
+      if (snapshotId.isDefined) Map("graft.attach.pinned" -> "true")
+      else Map.empty)
+
+  private def attachIcebergInternal(spark: SparkSession,
+                    icebergRoot: String, destPath: String,
+                    snapshotId: Option[Long],
+                    extraAttachProps: Map[String, String]): GraftTable = {
     val root = Paths.get(icebergRoot).toAbsolutePath.normalize
     val t = new GraftTable(spark, destPath)
     require(!t.log.exists, s"GraftLake table already exists at $destPath")
@@ -6679,7 +6716,7 @@ object GraftTable {
     val now = System.currentTimeMillis()
     val dvActions = icebergDvActions(spark, t, parts, destPath)
     val props = colMapProps ++ attachProps("iceberg", root.toString,
-      p.snapshotId, syncVersion = 0L) +
+      p.snapshotId, syncVersion = 0L) ++ extraAttachProps +
       ("graft.cloneSource" -> parts.dataRoot)
     val needW = requiredWriterVersion(props)
     val needF = requiredWriterFeatures(props)

@@ -613,6 +613,47 @@ class IcebergExportSpec extends GraftSparkSpec {
       "a sealed branch is history, not a live ref")
   }
 
+  test("pin-vs-ref sync semantics: a SNAPSHOT-pinned attach REFUSES " +
+      "resync (history follows nothing); a REF attach FOLLOWS the " +
+      "branch name across re-exports; a tag ref never moves") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("iref-src"),
+      (0L until 20L).map(i => (i, i)).toDF("k", "v"))
+    val dev = t.createBranch("dev")
+    dev.append((100L until 110L).map(i => (i, i)).toDF("k", "v"))
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    // the tag pins an EXPORTED head version, so its ref is carried by
+    // the next export (an unexported pin would be skipped, not dangled)
+    GraftTable.forPath(spark, t.path).createTag("rel")
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    val pinId = currentMetadata(t).get("current-snapshot-id").asLong()
+    // 1. pinned: historical, resync refuses, autoSync skips
+    val pinned = GraftTable.attachIceberg(spark, t.path,
+      tmpDir("iref-pin"), snapshotId = Some(pinId))
+    val exP = intercept[UnsupportedOperationException](
+      pinned.resyncAttached())
+    assert(exP.getMessage.contains("pinned"))
+    pinned.setTableProperties(Map("graft.attach.autoSync" -> "true"))
+    // 2. branch-ref: follows the NAME
+    val mirror = GraftTable.attachIcebergRef(spark, t.path,
+      tmpDir("iref-dev"), "dev")
+    assert(mirror.toDF.count() == 30, "branch state: 20 + 10")
+    dev.append((110L until 115L).map(i => (i, i)).toDF("k", "v"))
+    t.append((200L until 220L).map(i => (i, i)).toDF("k", "v")) // head diverges
+    IcebergExport.export(GraftTable.forPath(spark, t.path))
+    assert(mirror.resyncAttached()("status") == "synced")
+    assert(GraftTable.forPath(spark, mirror.path).toDF.count() == 35,
+      "the ref attach must track the BRANCH head, not the main head")
+    // 3. tag ref: the pin never moves — always up-to-date
+    val relAtt = GraftTable.attachIcebergRef(spark, t.path,
+      tmpDir("iref-rel"), "rel")
+    assert(relAtt.toDF.count() == 20)
+    assert(relAtt.resyncAttached()("status") == "up-to-date")
+    // and the pinned attach still serves its history after all that
+    assert(GraftTable.forPath(spark, pinned.path).toDF.count() == 20,
+      "autoSync must skip a pinned attach")
+  }
+
   test("L118 autoSync: a read of a stale attached mirror pulls the " +
       "source delta first; a FORKED attachment reads local state " +
       "silently") {
