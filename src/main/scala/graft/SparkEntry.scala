@@ -209,6 +209,7 @@ object SparkEntry {
     "lake_rebase" -> LakeOps.lakeRebase _,
     "lake_principal" -> LakeOps.lakePrincipal _,
     "lake_row_filter" -> LakeOps.lakeRowFilter _,
+    "lake_variant_shred" -> LakeOps.lakeVariantShred _,
     "lake_update" -> LakeOps.lakeUpdate _,
     "lake_update_mor" -> LakeOps.lakeUpdateMor _,
     "lake_merge" -> LakeOps.lakeMerge _,
@@ -2694,6 +2695,13 @@ object SparkEntry {
         "ROUND(SUM(CAST(l_orderkey % 100 AS DOUBLE)),2) AS sum_price, " +
         "ROUND(SUM(l_quantity),2) AS sum_qty FROM lineitem " +
         "WHERE l_quantity <= 45 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // VARIANT shredding (L119): the payload was constructed from the
+    // typed source columns, so the oracle recomputes from them raw
+    "lake_variant_shred" ->
+      ("SELECT source, COUNT(*) AS n, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents " +
+        "WHERE lang <> 'de' AND n_chars > 500 " +
+        "GROUP BY source ORDER BY source"),
     "lake_branch" -> LakeOps.liAggOracle.format(
       "(SELECT * FROM lineitem WHERE l_returnflag <> 'R' AND l_quantity <= 45 " +
         "UNION ALL SELECT * FROM lineitem WHERE l_orderkey < 50 " +

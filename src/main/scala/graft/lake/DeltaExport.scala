@@ -79,6 +79,35 @@ object DeltaExport {
       // live path -> (physical-keyed partition values, add node)
       liveAdds: Map[String, JsonNode])
 
+  /** Whether any (possibly nested) field carries the VARIANT type —
+    * such a schema needs the `variantType` Delta table feature.
+    */
+  private def hasVariant(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.VariantType => true
+    case st: StructType => st.fields.exists(f => hasVariant(f.dataType))
+    case a: ArrayType => hasVariant(a.elementType)
+    case m: MapType => hasVariant(m.keyType) || hasVariant(m.valueType)
+    case _ => false
+  }
+
+  /** Exported protocol floor: the lowest (minReaderVersion,
+    * minWriterVersion, readerFeatures, writerFeatures) that makes the
+    * emitted log legal. Variant schemas force the FEATURE form
+    * (reader 3 / writer 7 per the public protocol), which must then
+    * list every feature in use — `variantType` plus `columnMapping`
+    * when mapped (and the legacy writer features the non-feature form
+    * implied). Without variant the baseline stays as low as possible
+    * so the widest reader population can attach.
+    */
+  private def protocolFor(mapped: Boolean, variant: Boolean)
+      : (Int, Int, Seq[String], Seq[String]) =
+    if (variant) {
+      val cm = if (mapped) Seq("columnMapping") else Nil
+      (3, 7, cm :+ "variantType",
+        cm ++ Seq("appendOnly", "invariants", "variantType"))
+    } else if (mapped) (2, 5, Nil, Nil)
+    else (1, 2, Nil, Nil)
+
   private val mapper = new ObjectMapper()
 
   private def fileUri(abs: String): String =
@@ -408,14 +437,27 @@ object DeltaExport {
     // protocol at version 0, AND whenever the column-mapping mode
     // flips (a rename on an already-exported table must UPGRADE the
     // reader/writer requirement before readers hit the new metadata)
+    // or a VARIANT column first enters the schema (the variantType
+    // table feature requires the feature-form protocol — readers
+    // must see the upgrade before the metadata that needs it)
     val mappingFlipped = base.exists(p =>
       p.configuration.get("delta.columnMapping.mode") !=
         configuration.get("delta.columnMapping.mode"))
-    if (version == 0L || mappingFlipped) {
+    val variant = hasVariant(schema)
+    val variantAppeared = variant && base.exists(p =>
+      p.schemaString == null || !p.schemaString.contains("\"variant\""))
+    if (version == 0L || mappingFlipped || variantAppeared) {
       val pr = mapper.createObjectNode()
       val prBody = pr.putObject("protocol")
-      prBody.put("minReaderVersion", if (mapped) 2 else 1)
-      prBody.put("minWriterVersion", if (mapped) 5 else 2)
+      val (minR, minW, rf, wf) = protocolFor(mapped, variant)
+      prBody.put("minReaderVersion", minR)
+      prBody.put("minWriterVersion", minW)
+      if (rf.nonEmpty) {
+        val a = prBody.putArray("readerFeatures"); rf.foreach(a.add)
+      }
+      if (wf.nonEmpty) {
+        val a = prBody.putArray("writerFeatures"); wf.foreach(a.add)
+      }
       lines += mapper.writeValueAsString(pr)
     }
     if (version == 0L || metaChanged) {
@@ -503,7 +545,9 @@ object DeltaExport {
     // format.options — strict Delta-native readers validate the file
     // against that layout, so the never-populated remove/txn columns
     // still must EXIST as null-valued structs (r13 advisory)
-    val protoRow = Row(Row(if (mapped) 2 else 1, if (mapped) 5 else 2),
+    val (minR, minW, rf, wf) = protocolFor(mapped, hasVariant(schema))
+    val protoRow = Row(Row(minR, minW,
+      if (rf.isEmpty) null else rf, if (wf.isEmpty) null else wf),
       null, null, null, null)
     val metaRow = Row(null,
       Row(java.util.UUID.nameUUIDFromBytes(
@@ -523,7 +567,9 @@ object DeltaExport {
     val ckSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(

@@ -170,8 +170,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         .exists(a => pol.maskedCols(a.name)))
     val files = predicate match {
       case Some(p) if !maskedPred => policyPruned(pol, s, bloomPrune(s,
-        Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p,
-          generatedExprs(s)), p))
+        Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns,
+          shredded(s, p), generatedExprs(s)), p))
       case _ => policyPruned(pol, s, s.activeFiles)
     }
     // the caller still applies the full predicate post-governed
@@ -765,7 +765,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     p.filter match {
       case Some(f) if files.nonEmpty =>
         scala.util.Try(Pruning.prune(files, s.schema, s.partitionColumns,
-          policyColumn(f), generatedExprs(s))).getOrElse(files)
+          shredded(s, policyColumn(f)), generatedExprs(s))).getOrElse(files)
       case _ => files
     }
 
@@ -889,7 +889,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         .expression(predicate).references.exists(a => masked(a.name)))
       return governed(dfForFiles(s, policyPruned(p, s, s.activeFiles)), p)
         .filter(predicate)
-    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate, generatedExprs(s))
+    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, shredded(s, predicate), generatedExprs(s))
     governed(dfForFiles(s, policyPruned(p, s, bloomPrune(s, kept, predicate))), p)
       .filter(predicate)
   }
@@ -1069,7 +1069,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Files that survive pruning for `predicate` (for tests/metrics). */
   def pruneFiles(predicate: Column): (Int, Int) = {
     val s = snapshot
-    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, predicate, generatedExprs(s))
+    val kept = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, shredded(s, predicate), generatedExprs(s))
     (bloomPrune(s, kept, predicate).size, s.activeFiles.size)
   }
 
@@ -1802,9 +1802,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                          targetFiles: Option[Int] = None): Seq[AddFile] = {
     // column mapping: incoming frames carry logical names; files on
     // disk keep physical names so metadata-only renames stay valid
-    val cm = if (log.exists) snapshot.colMap else Map.empty[String, String]
-    val df = if (cm.isEmpty) df0
+    val snapOpt = if (log.exists) Some(snapshot) else None
+    val cm = snapOpt.map(_.colMap).getOrElse(Map.empty[String, String])
+    val mapped = if (cm.isEmpty) df0
       else df0.select(df0.columns.map(c => col(c).as(cm.getOrElse(c, c))).toIndexedSeq: _*)
+    // L119 variant shredding: materialize each declared typed path of
+    // a VARIANT column into its hidden physical companion, so the
+    // staged footers carry min/max stats the pruning rewrite can use
+    val df = snapOpt.map(s => VariantShred.applyShreds(mapped,
+      variantShreds(s), n => cm.getOrElse(n, n))).getOrElse(mapped)
     val staging = root.resolve("_staging").resolve(s"txn-${UUID.randomUUID()}")
     val shaped = targetFiles.map(n => df.repartition(n)).getOrElse(df)
     // INT96 (Spark's default parquet timestamp encoding) carries no
@@ -1903,8 +1909,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[graft] def rowLevelCandidates(s: Snapshot,
       cond: Option[Column]): Seq[AddFile] =
     cond.map(c =>
-        Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, c,
-          generatedExprs(s)))
+        Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns,
+          shredded(s, c), generatedExprs(s)))
       .getOrElse(logicalFiles(s))
 
   /** Commit a native row-level rewrite: executor tasks already staged
@@ -2266,7 +2272,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       wantPos: Boolean = false): DataFrame = {
     val s = snapshot
     val files = pred.map(p => Pruning.prune(logicalFiles(s), s.schema,
-      s.partitionColumns, p, generatedExprs(s))).getOrElse(s.activeFiles)
+      s.partitionColumns, shredded(s, p), generatedExprs(s))).getOrElse(s.activeFiles)
     val base =
       if (wantRowId) rowIdScan(s, files, keepMeta = true)
         .withColumnRenamed(RowIdCol, "_graft_row_id")
@@ -2737,6 +2743,40 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         k.stripPrefix("graft.generated.") -> v
     }
 
+  /** L119 variant-shred declarations of a snapshot (validated at
+    * commit time, so parsing here is total for log-authored state).
+    */
+  private def variantShreds(s: Snapshot): Seq[VariantShred.Spec] =
+    VariantShred.specsOf(s.metadata.map(_.properties).getOrElse(Map.empty))
+
+  /** Pruning-side variant rewrite: `variant_get(vcol, path, type)`
+    * over a declared shred becomes the hidden companion attribute —
+    * handed ONLY to the stats/bloom skipping stack, never evaluated
+    * against rows (callers keep filtering by the original predicate).
+    */
+  private def shredded(s: Snapshot, pred: Column): Column =
+    VariantShred.rewrite(pred, variantShreds(s))
+
+  /** Declare typed shred paths for a VARIANT column (L119):
+    * `setVariantShred("pay", Seq("$.a.b" -> "bigint"))`. Validated
+    * now — a typo fails THIS commit, not later writes. Files written
+    * before the declaration simply lack companion stats and are never
+    * skipped; OPTIMIZE rewrites them with companions.
+    */
+  def setVariantShred(column: String, paths: Seq[(String, String)]): Long = {
+    require(paths.nonEmpty, "at least one path::type pair required")
+    val key = VariantShred.PropPrefix + column
+    val value = paths.map { case (p, t) => s"$p::$t" }.mkString(";")
+    VariantShred.validate(snapshot.schema, key, value)
+    commitMetadataMerge(info("SET VARIANT SHRED",
+      Map("column" -> column, "spec" -> value)))(m =>
+      m.copy(properties = m.properties + (key -> value)))
+  }
+
+  def clearVariantShred(column: String): Long =
+    commitMetadataMerge(info("DROP VARIANT SHRED", Map("column" -> column)))(
+      m => m.copy(properties = m.properties - (VariantShred.PropPrefix + column)))
+
   /** Column defaults (Delta `ALTER COLUMN ... SET DEFAULT` parity):
     * `graft.default.<col> = <sql>` fills the column on writes that
     * OMIT it — unlike generated columns there is no invariant, so
@@ -3087,6 +3127,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     Seq("graft.delta.autoExport", "graft.iceberg.autoExport").foreach { k =>
       if (props.get(k).exists(_.toBoolean))
         requireUngovernedFor(s"enable $k")
+    }
+    // variant shred specs through the generic path get the same
+    // commit-time validation as setVariantShred (L119): a malformed
+    // spec must fail THIS commit, not every later write
+    props.keys.filter(_.startsWith(VariantShred.PropPrefix)).foreach { k =>
+      VariantShred.validate(snapshot.schema, k, props(k))
     }
     commitMetadataMerge(info("SET TBLPROPERTIES", params = props))(m =>
       m.copy(properties = m.properties ++ props))
@@ -3796,7 +3842,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def delete(cond: Column): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, shredded(s, cond), generatedExprs(s))
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("DELETE", metrics = Map("numRemovedFiles" -> "0"))))
       return Map("numRemovedFiles" -> "0")
@@ -3832,7 +3878,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def deleteMergeOnRead(cond: Column): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, shredded(s, cond), generatedExprs(s))
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("DELETE",
         params = Map("mode" -> "merge-on-read"),
@@ -3901,7 +3947,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** UPDATE ... SET assignments WHERE cond. */
   def update(cond: Column, set: Map[String, Column]): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, shredded(s, cond), generatedExprs(s))
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("UPDATE", metrics = Map("numRemovedFiles" -> "0"))))
       return Map("numRemovedFiles" -> "0")
@@ -3951,7 +3997,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def updateMergeOnRead(cond: Column, set: Map[String, Column]): Map[String, String] = {
     val s = snapshot
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, shredded(s, cond), generatedExprs(s))
     if (candidates.isEmpty) {
       commitAndCheckpoint(Seq(info("UPDATE",
         params = Map("mode" -> "merge-on-read"),
@@ -4161,7 +4207,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (nmbsUpdate.isEmpty && nmbsDelete.isEmpty) return Nil
     val rest = logicalFiles(s).filterNot(f => candidatePaths(f.path))
     val conds = nmbsDelete.toSeq ++ nmbsUpdate.map(_._1.getOrElse(lit(true))).toSeq
-    Pruning.prune(rest, s.schema, s.partitionColumns, conds.reduce(_ || _), generatedExprs(s))
+    Pruning.prune(rest, s.schema, s.partitionColumns, shredded(s, conds.reduce(_ || _)), generatedExprs(s))
   }
 
   /** Unmatched-source insert rows under ORDERED first-match clause
@@ -4625,7 +4671,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s = snapshot
     validateConstraints(df, s)
     enforceSchema(df.schema, s.schema)
-    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, cond, generatedExprs(s))
+    val candidates = Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, shredded(s, cond), generatedExprs(s))
     // row tracking: rows that survive the predicate keep their ids
     // through the rewrite (same invariant as DELETE); the replacement
     // rows are new rows and draw fresh ids via a null materialized id
@@ -4895,7 +4941,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     var added = 0
     val actions = scala.collection.mutable.Buffer[Action]()
     val scoped = where match {
-      case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p, generatedExprs(s))
+      case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, shredded(s, p), generatedExprs(s))
       case None => s.activeFiles
     }
     val compactable = scoped.groupBy(_.partitionValues).toSeq
@@ -5109,7 +5155,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val target = if (targetBytes > 0) targetBytes else resolveTargetBytes(s)
     where.foreach(validatePredicate(s, _))
     val scoped = where match {
-      case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, p, generatedExprs(s))
+      case Some(p) => Pruning.prune(logicalFiles(s), s.schema, s.partitionColumns, shredded(s, p), generatedExprs(s))
       case None => s.activeFiles
     }
     zorderFiles(s, scoped, target, cols)

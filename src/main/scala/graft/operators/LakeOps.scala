@@ -203,6 +203,27 @@ object LakeOps {
     liAgg(t.toDF)
   }
 
+  /** VARIANT column + shredded data skipping (L119): documents fold
+    * into a semi-structured payload table, typed shred paths are
+    * declared, and both the DML predicate and the final read drive
+    * `variant_get` through the hidden companions' footer stats — the
+    * oracle recomputes from the typed source columns directly.
+    */
+  def lakeVariantShred(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val payload = docs.select(col("doc_id"), parse_json(to_json(struct(
+      col("lang"), col("source"), col("n_chars")))).as("pay"))
+    val t = GraftTable.create(spark, workDir(dir, "variantshred"), payload)
+    t.setVariantShred("pay",
+      Seq("$.lang" -> "string", "$.n_chars" -> "bigint"))
+    t.delete(variant_get(col("pay"), "$.lang", "string") === "de")
+    t.readWhere(variant_get(col("pay"), "$.n_chars", "bigint") > 500L)
+      .groupBy(variant_get(col("pay"), "$.source", "string").as("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(variant_get(col("pay"), "$.n_chars", "bigint")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** UPDATE SET l_discount=0 WHERE returnflag='R' (L5). */
   def lakeUpdate(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, workDir(dir, "update"),
