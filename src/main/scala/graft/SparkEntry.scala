@@ -210,6 +210,7 @@ object SparkEntry {
     "lake_principal" -> LakeOps.lakePrincipal _,
     "lake_row_filter" -> LakeOps.lakeRowFilter _,
     "lake_variant_shred" -> LakeOps.lakeVariantShred _,
+    "lake_cluster_auto" -> LakeOps.lakeClusterAuto _,
     "lake_update" -> LakeOps.lakeUpdate _,
     "lake_update_mor" -> LakeOps.lakeUpdateMor _,
     "lake_merge" -> LakeOps.lakeMerge _,
@@ -2695,6 +2696,11 @@ object SparkEntry {
         "ROUND(SUM(CAST(l_orderkey % 100 AS DOUBLE)),2) AS sum_price, " +
         "ROUND(SUM(l_quantity),2) AS sum_qty FROM lineitem " +
         "WHERE l_quantity <= 45 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // CLUSTER BY AUTO (L120): layout choice must never change results
+    "lake_cluster_auto" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "ROUND(SUM(l_extendedprice),2) AS sum_price FROM lineitem " +
+        "WHERE l_quantity > 45 GROUP BY l_returnflag ORDER BY l_returnflag"),
     // VARIANT shredding (L119): the payload was constructed from the
     // typed source columns, so the oracle recomputes from them raw
     "lake_variant_shred" ->

@@ -156,6 +156,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def readWhereWithRowIds(predicate: Option[Column]): DataFrame = {
     val s = snapshot
+    predicate.foreach(recordPredicate(s, _))
     require(rowTrackingOn(s),
       s"row tracking is not enabled on $path (set graft.rowTracking=true at create)")
     val pol = policyOf(s)
@@ -879,6 +880,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def readWhere(predicate: Column): DataFrame = {
     val s = snapshot
+    recordPredicate(s, predicate)
     // a predicate over a MASKED column cannot drive stats/bloom
     // pruning (footer stats describe RAW values, the user queries the
     // masked view) — scan all active files and filter post-mask; the
@@ -925,6 +927,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       maxKeys: Int = 10000, versionAsOf: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "dynamic pruning needs at least one key column")
     val s = versionAsOf.map(snapshotAt).getOrElse(snapshot)
+    // join keys are clustering signals too (L120)
+    keys.filter(s.schema.fieldNames.contains) match {
+      case Nil =>
+      case ks => if (s.metadata.exists(
+          _.properties.get("graft.clusterAuto").contains("true")))
+        PredicateStats.record(path, ks)
+    }
     keys.foreach(k =>
       require(s.schema.fieldNames.contains(k), s"no such column: $k"))
     val preds = keys.map { key =>
@@ -3135,7 +3144,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       VariantShred.validate(snapshot.schema, k, props(k))
     }
     commitMetadataMerge(info("SET TBLPROPERTIES", params = props))(m =>
-      m.copy(properties = m.properties ++ props))
+      m.copy(properties = {
+        val merged = m.properties ++ props
+        // an EXPLICIT clustering choice sheds the auto-authored stamp
+        // so CLUSTER BY AUTO (L120) never overrides it afterwards
+        if (props.contains("graft.clusterBy"))
+          merged - "graft.clusterBy.auto"
+        else merged
+      }))
   }
 
   /** Incremental RE-SYNC of an ATTACHED table (L118 — the follow-on
@@ -4867,13 +4883,93 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** CLUSTER BY AUTO (L120 — Databricks predictive-clustering
+    * parity): `graft.clusterAuto=true` makes OPTIMIZE pick the
+    * clustering keys ITSELF from observed predicate history.
+    * Pruning-capable reads record which columns their predicates
+    * could skip files by ([[PredicateStats]], in-process); each
+    * OPTIMIZE drains those counters into the durable
+    * `graft.clusterAuto.stats` property and (re)writes
+    * `graft.clusterBy` with the top-k observed columns (k =
+    * `graft.clusterAuto.keys`, default 2; partition columns excluded
+    * — they already prune; clusterable scalar types only). The spec
+    * is stamped `graft.clusterBy.auto=true`: an EXPLICIT
+    * `ALTER TABLE ... CLUSTER BY` clears the stamp and auto never
+    * overrides an explicit choice. A changed pick is just a changed
+    * spec — the existing incremental CLUSTER BY machinery notices
+    * `applied != spec` and runs the full re-cluster. Returns whether
+    * a metadata commit landed (caller re-resolves its snapshot).
+    */
+  private def maybeAutoClusterSpec(s: Snapshot): Boolean = {
+    val props = s.metadata.map(_.properties).getOrElse(Map.empty)
+    if (!props.get("graft.clusterAuto").contains("true")) return false
+    if (props.contains("graft.clusterBy") &&
+        !props.get("graft.clusterBy.auto").contains("true")) return false
+    val fresh = PredicateStats.drain(path)
+    val merged = {
+      val old = PredicateStats.parse(props.get("graft.clusterAuto.stats"))
+      (old.keySet ++ fresh.keySet).iterator
+        .map(c => c -> (old.getOrElse(c, 0L) + fresh.getOrElse(c, 0L)))
+        .toMap
+    }
+    if (merged.isEmpty) return false
+    val k = props.get("graft.clusterAuto.keys")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(_ > 0).getOrElse(2)
+    def clusterable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      }
+    val pick = merged.toSeq
+      .filter { case (c, _) => s.schema.fieldNames.contains(c) &&
+        clusterable(s.schema(c).dataType) && !s.partitionColumns.contains(c) }
+      .sortBy { case (c, n) => (-n, c) }.take(k).map(_._1)
+    val spec = pick.mkString(",")
+    val specChanged = pick.nonEmpty &&
+      !props.get("graft.clusterBy").contains(spec)
+    if (fresh.isEmpty && !specChanged) return false
+    commitMetadataMerge(info("CLUSTER BY AUTO", params = Map(
+      "clusterBy" -> spec, "stats" -> PredicateStats.render(merged))))(m =>
+      m.copy(properties = {
+        val withStats = m.properties +
+          ("graft.clusterAuto.stats" -> PredicateStats.render(merged))
+        if (specChanged)
+          withStats + ("graft.clusterBy" -> spec) +
+            ("graft.clusterBy.auto" -> "true")
+        else withStats
+      }))
+    true
+  }
+
+  /** Hot-path predicate-history bump for CLUSTER BY AUTO: only when
+    * the table opted in (the counter map must not grow for every
+    * table a long session ever reads).
+    */
+  private def recordPredicate(s: Snapshot, pred: Column): Unit =
+    if (s.metadata.exists(
+        _.properties.get("graft.clusterAuto").contains("true"))) {
+      val cols = Pruning.prunableColumns(pred)
+        .filter(s.schema.fieldNames.contains)
+      if (cols.nonEmpty) PredicateStats.record(path, cols)
+    }
+
   /** `targetBytes = 0` (the default) auto-resolves via
     * [[resolveTargetBytes]]; an explicit positive value wins.
     */
   def optimize(targetBytes: Long = 0L,
                where: Option[Column] = None,
                full: Boolean = false): Map[String, String] = {
-    val s = snapshot
+    // CLUSTER BY AUTO (L120): fold observed predicate history into
+    // the log and (re)pick clustering keys BEFORE resolving the
+    // snapshot the pass runs against, so this very pass applies them
+    val s0 = snapshot
+    val s = if (maybeAutoClusterSpec(s0)) snapshot else s0
     val target = if (targetBytes > 0) targetBytes else resolveTargetBytes(s)
     where.foreach(validatePredicate(s, _))
     // CLUSTER BY (liquid-clustering-lite): a persisted clustering spec

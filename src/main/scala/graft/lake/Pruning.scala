@@ -28,6 +28,30 @@ object Pruning {
     files.filter(f => all.forall(c => mayMatch(f, partitionCols, c)))
   }
 
+  /** Columns a predicate could drive FILE SKIPPING by — the conjunct
+    * shapes [[mayMatch]] understands (attr-vs-literal comparisons, IN,
+    * prefix, null tests), by attribute name. CLUSTER BY AUTO (L120)
+    * records these per read: they are exactly the columns whose
+    * clustering would turn this predicate into skipped files.
+    */
+  def prunableColumns(predicate: Column): Set[String] = {
+    def side(l: Expression, r: Expression): Option[String] =
+      attrName(l).filter(_ => litValue(r).isDefined)
+        .orElse(attrName(r).filter(_ => litValue(l).isDefined))
+    splitConjuncts(normalize(GraftExpr.expression(predicate))).flatMap {
+      case EqualTo(l, r) => side(l, r)
+      case LessThan(l, r) => side(l, r)
+      case LessThanOrEqual(l, r) => side(l, r)
+      case GreaterThan(l, r) => side(l, r)
+      case GreaterThanOrEqual(l, r) => side(l, r)
+      case In(a, list) if list.forall(_.foldable) => attrName(a)
+      case StartsWith(l, r) => side(l, r)
+      case IsNull(x) => attrName(x)
+      case IsNotNull(x) => attrName(x)
+      case _ => None
+    }.toSet
+  }
+
   /** Generated-column pruning (Delta parity): when a partition column
     * is generated from a source column through a MONOTONE expression
     * (`day = CAST(ts AS DATE)`), a predicate on the source column

@@ -224,6 +224,27 @@ object LakeOps {
       .orderBy("source")
   }
 
+  /** CLUSTER BY AUTO (L120): the table observes a quantity-heavy
+    * read workload, OPTIMIZE picks the clustering keys itself from
+    * that history and applies them, and the final aggregate reads
+    * through the auto-clustered layout — the oracle recomputes the
+    * same aggregate raw (clustering must never change results).
+    */
+  def lakeClusterAuto(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, workDir(dir, "clusterauto"),
+      Tables(spark, dir, "lineitem").repartition(8))
+    t.setTableProperties(Map("graft.clusterAuto" -> "true"))
+    t.readWhere(col("l_quantity") > 45).count()
+    t.readWhere(col("l_quantity") <= 5).count()
+    t.readWhere(col("l_orderkey") < 100).count()
+    t.optimize()
+    t.readWhere(col("l_quantity") > 45)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** UPDATE SET l_discount=0 WHERE returnflag='R' (L5). */
   def lakeUpdate(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, workDir(dir, "update"),
