@@ -147,6 +147,37 @@ class VariantSpec extends GraftSparkSpec {
     intercept[UnsupportedOperationException](IcebergExport.export(t))
   }
 
+  test("variant flows through the streaming sink; streamed files carry " +
+      "companions and skip") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcPath = tmpDir("variant_ssrc")
+    val dstPath = tmpDir("variant_sdst")
+    val ckpt = tmpDir("variant_sckpt")
+    // range-disjoint source files → range-disjoint streamed files
+    GraftTable.create(spark, srcPath,
+      payloadDf(1 to 400).repartitionByRange(4, col("id")))
+    val dst = GraftTable.create(spark, dstPath, payloadDf(0 to 0))
+    dst.setVariantShred("pay", Seq("$.m.score" -> "bigint"))
+    val q = spark.readStream.format("graftlake").load(srcPath)
+      .writeStream.format("graftlake")
+      .option("path", dstPath).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(dst.toDF.count() == 401L)
+    assert(dst.toDF.select(sum(score)).head().getLong(0) ==
+      (0 to 400).sum.toLong)
+    // the streamed files physically carry the companion...
+    val raw = spark.read.option("mergeSchema", "true").parquet(
+      dst.snapshot.activeFiles.map(f => s"${dst.path}/${f.path}"): _*)
+    assert(raw.columns.exists(_.startsWith(VariantShred.ColPrefix)))
+    // ...and their footer stats skip: a narrow score range keeps the
+    // statless create file + the one matching streamed file
+    val (kept, total) = dst.pruneFiles(score >= 350L && score <= 360L)
+    assert(total >= 5, s"expected ≥5 files, got $total")
+    assert(kept < total, s"streamed files must skip: $kept/$total")
+    assert(dst.readWhere(score >= 350L && score <= 360L).count() == 11L)
+  }
+
   test("time travel, clone, and clearVariantShred") {
     val t = GraftTable.create(spark, tmpDir("variant_tt"), payloadDf(1 to 30))
     t.setVariantShred("pay", Seq("$.tag" -> "string"))
