@@ -2335,7 +2335,35 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * fresh snapshot. Adds-only commits (appends) never conflict and
     * keep the blind-retry fast path — exactly Delta's rule set.
     */
-  private[lake] def commitAndCheckpoint(actions: Seq[Action], readVersion: Long = -1L,
+  /** L119: a VARIANT column entering the schema stamps the
+    * `variantType` reader feature in the SAME commit (the L114
+    * governance posture): a pre-variant client must refuse with an
+    * actionable feature name — `StructType.fromJson` would fail
+    * anyway, but as an opaque parse error, not an upgrade message.
+    * Central here so EVERY schema-carrying commit path (create, CTAS,
+    * ADD COLUMN, mergeSchema appends, MERGE schema evolution, clones,
+    * attaches, metadata merges) is covered by one rule.
+    */
+  private def stampVariantFeature(actions: Seq[Action]): Seq[Action] = {
+    val metaV = actions.collectFirst { case m: Metadata => m }
+      .filter(m => GraftTable.schemaHasVariant(m.schemaJson))
+    if (metaV.isEmpty) return actions
+    val batchProto = actions.collectFirst { case p: Protocol => p }
+    val cur = batchProto
+      .orElse(if (log.exists) currentProtocol() else None)
+      .getOrElse(Protocol(1, 1))
+    if (cur.readerFeatures.contains("variantType")) return actions
+    val up = cur.copy(
+      readerFeatures = (cur.readerFeatures :+ "variantType").distinct.sorted,
+      // Delta rule: every reader feature is also a writer feature
+      writerFeatures = (cur.writerFeatures :+ "variantType").distinct.sorted)
+    batchProto match {
+      case Some(bp) => actions.map(a => if (a eq bp) up else a)
+      case None => actions :+ up
+    }
+  }
+
+  private[lake] def commitAndCheckpoint(actions0: Seq[Action], readVersion: Long = -1L,
                                         readPaths: Set[String] = Set.empty,
                                         metadataConflict: Boolean = false,
                                         conflictOnDV: Boolean = false,
@@ -2347,6 +2375,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                                         // decision file lands; checkpointing is deferred to
                                         // the caller (a pending marker cannot be snapshotted)
                                         reserve: Option[(String, String)] = None): Long = {
+    val actions = stampVariantFeature(actions0)
     // writer half of the protocol gate (the reader half lives in
     // Snapshot.at): a table whose floor was raised by a newer client
     // must not accept commits this client could encode wrongly
@@ -2619,7 +2648,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // mark-dropping commit after the feature is on
       val need = GraftTable.requiredWriterVersion(merged.properties)
       val needF = GraftTable.requiredWriterFeatures(merged.properties)
-      val needR = GraftTable.requiredReaderFeatures(merged.properties)
+      val needR = GraftTable.requiredReaderFeatures(merged.properties) ++
+        (if (GraftTable.schemaHasVariant(merged.schemaJson))
+          Seq("variantType") else Nil)
       val curProto = snapL.protocol.getOrElse(Protocol(1, 1))
       val protoUp: Seq[Action] =
         if (need > curProto.minWriterVersion ||
@@ -6345,6 +6376,26 @@ object GraftTable {
       // plain append would desync state from its sourceVersion stamp
       props.contains("graft.mv.source") -> "materializedView")
       .collect { case (true, f) => f }
+
+  /** Whether a schema JSON carries a (possibly nested) VARIANT field
+    * — cheap substring guard first, precise parse only on a hit, so
+    * the per-commit cost for variant-free tables is one `contains`.
+    */
+  private[lake] def schemaHasVariant(schemaJson: String): Boolean =
+    schemaJson != null && schemaJson.contains("\"variant\"") &&
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(schemaJson))
+        .toOption.exists(hasVariantType)
+
+  private def hasVariantType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case VariantType => true
+      case st: StructType => st.fields.exists(f => hasVariantType(f.dataType))
+      case a: ArrayType => hasVariantType(a.elementType)
+      case m: MapType => hasVariantType(m.keyType) || hasVariantType(m.valueType)
+      case _ => false
+    }
+  }
 
   /** Named READER features the table's properties demand (L114): a
     * pre-governance reader on a governed table would bypass the

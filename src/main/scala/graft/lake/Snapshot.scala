@@ -92,7 +92,10 @@ object Snapshot {
     // masks would silently return RAW rows on a governed table — a
     // policy LEAK, not a compatibility nuisance — so the feature
     // gates the read itself
-    "governance")
+    "governance",
+    // L119: a VARIANT column in the schema — pre-variant clients get
+    // an actionable upgrade message instead of a schema parse error
+    "variantType")
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++ Set(
     "rowTracking", "identityColumns", "checkConstraints", "defaultColumns",
     "clustering", "appendOnly", "invariants", "materializedView")

@@ -31,11 +31,31 @@ class VariantSpec extends GraftSparkSpec {
   test("variant roundtrip: create/append/read through the log's schema json") {
     val t = GraftTable.create(spark, tmpDir("variant_rt"), payloadDf(1 to 50))
     assert(t.snapshot.schema("pay").dataType == VariantType)
+    // the CREATE commit itself stamps the reader feature: a
+    // pre-variant client refuses with an actionable name, not a
+    // schema parse error
+    assert(t.snapshot.protocol.exists(p =>
+      p.readerFeatures.contains("variantType") &&
+        p.writerFeatures.contains("variantType")))
     t.append(payloadDf(51 to 80))
     assert(t.toDF.count() == 80L)
     assert(t.toDF.select(sum(score)).head().getLong(0) == (1 to 80).sum.toLong)
     assert(t.toDF.filter(tag === "t0").count() ==
       (1 to 80).count(_ % 3 == 0).toLong)
+  }
+
+  test("ADD COLUMN of a variant mid-life stamps the feature in the " +
+      "same commit; variant-free tables stay unstamped") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("variant_addcol"),
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    assert(!t.snapshot.protocol.exists(
+      _.readerFeatures.contains("variantType")))
+    t.addColumn("pay", VariantType)
+    assert(t.snapshot.protocol.exists(p =>
+      p.readerFeatures.contains("variantType") &&
+        p.writerFeatures.contains("variantType")))
+    assert(t.toDF.filter(col("pay").isNull).count() == 10L)
   }
 
   test("shred declaration validates; companions are written but hidden") {
