@@ -1139,7 +1139,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     spark.createDataFrame(
         perFile.map { case (p, b) => Row(p, b) }, sidecarSchema)
       .write.parquet(s"$path/$rel")
-    val numFiles = spark.read.parquet(s"$path/$rel").count()
+    val numFiles = stagedRowCount(rel) // footer count, no re-read job
     commitMetadataMerge(
       info("COMPUTE BLOOM", params = Map("column" -> column, "fpp" -> fpp.toString),
         metrics = Map("numFiles" -> numFiles.toString)))(m =>
@@ -3360,6 +3360,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private def cdfEnabled(s: Snapshot): Boolean =
     s.metadata.exists(_.properties.getOrElse("graft.cdf", "false").toBoolean)
 
+  /** Row count of a freshly-staged sidecar directory straight from
+    * its parquet footers — O(#part files) driver-side metadata reads
+    * instead of a Spark job per "did anything match?" probe (r16).
+    */
+  private def stagedRowCount(rel: String): Long = {
+    val dir = root.resolve(rel)
+    if (!Files.isDirectory(dir)) return 0L
+    val walk = Files.walk(dir)
+    val parts = try walk.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }.toSeq finally walk.close()
+    parts.map(p => Stats.statsForFile(p.toString).numRecords).sum
+  }
+
   /** Stage a CDC sidecar for the committing op: `df` = rows in the
     * CURRENT logical schema plus `_change_type`. Stored under physical
     * column names (same bridge as data files) so later renames keep
@@ -3728,12 +3743,6 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case (k, v) if k.startsWith("graft.constraint.") =>
         k.stripPrefix("graft.constraint.") -> v
     })
-    constraints.foreach { case (name, exprSql) =>
-      val violations = df
-        .filter(coalesce(expr(exprSql), lit(true)) === false).count()
-      require(violations == 0,
-        s"CHECK constraint $name ($exprSql) violated by $violations incoming rows")
-    }
     // NOT NULL columns (schema-level nullable=false) refuse NULL
     // incoming rows — unlike CHECK, where NULL passes per SQL. A frame
     // OMITTING the column entirely (a mergeSchema append, a partial
@@ -3746,13 +3755,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         case k if k.startsWith("graft.identity.") =>
           k.stripPrefix("graft.identity.")
       })
-    s.schema.fields.filterNot(_.nullable).foreach { f =>
-      if (df.columns.contains(f.name)) {
-        val nNull = df.filter(col(f.name).isNull).count()
-        require(nNull == 0,
-          s"NOT NULL constraint on ${f.name} violated by $nNull incoming rows")
-      } else if (omittedReadsNull) require(filled.contains(f.name),
-        s"NOT NULL constraint on ${f.name}: incoming rows omit the column " +
+    val notNullCols = s.schema.fields.filterNot(_.nullable).map(_.name).toSeq
+    notNullCols.filterNot(df.columns.contains).foreach { c =>
+      if (omittedReadsNull) require(filled.contains(c),
+        s"NOT NULL constraint on $c: incoming rows omit the column " +
           "(it would read back NULL)")
     }
     // Generated columns are an implicit CHECK (Delta parity): a writer
@@ -3761,19 +3767,41 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // explicit value (or an UPDATE of the source column that keeps the
     // stale generated value) breaks the monotone-derivation pruning
     // contract and pruned reads silently lose rows.
-    generatedExprs(s).foreach { case (c, exprSql) =>
-      if (df.columns.contains(c) &&
-          scala.util.Try(df(c)).isSuccess) {
+    val genChecks = generatedExprs(s).toSeq.filter { case (c, exprSql) =>
+      df.columns.contains(c) && scala.util.Try(df(c)).isSuccess && {
         val srcCols = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseExpression(exprSql).collect {
             case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
               a.name
           }
-        if (srcCols.forall(df.columns.contains)) {
-          val bad = df.filter(!(col(c) <=> expr(exprSql))).count()
-          require(bad == 0,
-            s"generated column $c must equal $exprSql; $bad incoming rows diverge")
-        }
+        srcCols.forall(df.columns.contains)
+      }
+    }
+    // ONE single-pass aggregate computes every violation count (one
+    // Spark job instead of one full scan per CHECK constraint, per
+    // NOT NULL column and per generated column — r16, guide §1.2:
+    // don't re-read data to answer questions one pass can answer).
+    // count(when(...)) is 0 on an empty frame, matching filter+count.
+    val counters: Seq[(Column, Long => Unit)] =
+      constraints.map { case (name, exprSql) =>
+        (count(when(coalesce(expr(exprSql), lit(true)) === false, lit(1))),
+          (n: Long) => require(n == 0,
+            s"CHECK constraint $name ($exprSql) violated by $n incoming rows"))
+      } ++
+      notNullCols.filter(df.columns.contains).map { c =>
+        (count(when(col(c).isNull, lit(1))),
+          (n: Long) => require(n == 0,
+            s"NOT NULL constraint on $c violated by $n incoming rows"))
+      } ++
+      genChecks.map { case (c, exprSql) =>
+        (count(when(!(col(c) <=> expr(exprSql)), lit(1))),
+          (n: Long) => require(n == 0,
+            s"generated column $c must equal $exprSql; $n incoming rows diverge"))
+      }
+    if (counters.nonEmpty) {
+      val row = df.agg(counters.head._1, counters.tail.map(_._1): _*).head()
+      counters.zipWithIndex.foreach { case ((_, check), i) =>
+        check(row.getLong(i))
       }
     }
   }
@@ -3963,7 +3991,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       marks.write.mode("overwrite").parquet(s"$path/$rel")
       // zero actual matches: an empty DV is pure overhead (mask anti-join
       // on every read, spurious DV-conflict aborts) — no-op instead
-      if (spark.read.parquet(s"$path/$rel").count() == 0) {
+      // (footer-count, not a Spark job: the marks were just written)
+      if (stagedRowCount(rel) == 0) {
         deleteRecursively(root.resolve(rel))
         commitAndCheckpoint(Seq(info("DELETE",
           params = Map("mode" -> "merge-on-read"),
@@ -4078,8 +4107,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // stats-pruned candidates with zero actual matches: committing an
       // empty DV would tax every future read with the mask anti-join and
       // spuriously conflict-abort concurrent rewrites — bail to a no-op
-      // commit instead (footer-only count, no data re-read)
-      if (spark.read.parquet(s"$path/$rel").count() == 0) {
+      // commit instead (driver-side footer count, no Spark job)
+      if (stagedRowCount(rel) == 0) {
         deleteRecursively(root.resolve(rel))
         commitAndCheckpoint(Seq(info("UPDATE",
           params = Map("mode" -> "merge-on-read"),
@@ -4624,7 +4653,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       Seq(delRows, updRows, nmbsDelRows, nmbsUpdPre)
         .map(_.select("file_path", "row_index")).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$path/$rel")
-      val nMasked = spark.read.parquet(s"$path/$rel").count()
+      val nMasked = stagedRowCount(rel) // footer count, no re-read job
 
       val newRows = postImages.select(outFields: _*)
         .unionByName(nmbsPost.select(outFields: _*))

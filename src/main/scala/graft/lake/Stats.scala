@@ -19,9 +19,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Stats {
 
+  // one Configuration per JVM, not per file: its XML resource parse is
+  // milliseconds — visible when the driver collects stats for ≤4 files
+  // inline after every small commit (r16). Hadoop Configuration is
+  // thread-safe for reads; nothing here mutates it.
+  @transient private lazy val sharedConf = new Configuration()
+
   /** Footer stats for one local/hadoop-visible parquet file. */
   def statsForFile(absPath: String): FileStats = {
-    val in = HadoopInputFile.fromPath(new HPath(absPath), new Configuration())
+    val in = HadoopInputFile.fromPath(new HPath(absPath), sharedConf)
     val reader = ParquetFileReader.open(in)
     try {
       val footer = reader.getFooter

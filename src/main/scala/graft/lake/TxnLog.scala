@@ -457,11 +457,20 @@ final class TxnLog(val tablePath: String,
     val partActions = math.max(1, scala.util.Try(spark.conf
       .get("spark.graft.checkpoint.partActions", "100000").toInt)
       .getOrElse(100000))
-    val ds = spark.createDataset(lines).toDF("action")
-    val shaped =
-      if (lines.size <= partActions) ds.coalesce(1)
-      else ds.repartition(math.ceil(lines.size.toDouble / partActions).toInt)
-    shaped.write.mode("overwrite").parquet(ckptPath(v).toString)
+    if (lines.size <= partActions) {
+      // small state: write the single parquet part ON THE DRIVER —
+      // metadata of this size does not justify a Spark job (r16, guide
+      // §1.2/§5: a checkpoint of a few hundred actions was paying a
+      // full job-submit + write-commit round trip every 10th commit).
+      // Format-identical to the Spark write (one optional UTF8 column
+      // named `action` + _SUCCESS), so readers old and new see the
+      // same layout; large states keep the sharded parallel write.
+      TxnLog.writeCheckpointFileDriverSide(ckptPath(v), lines)
+    } else {
+      val ds = spark.createDataset(lines).toDF("action")
+      ds.repartition(math.ceil(lines.size.toDouble / partActions).toInt)
+        .write.mode("overwrite").parquet(ckptPath(v).toString)
+    }
     // a HISTORICAL checkpoint (tag pinning, L112) must not move the
     // pointer backward — the directory scan still finds it by version
     if (!advancePointer) return
@@ -504,8 +513,13 @@ final class TxnLog(val tablePath: String,
   def readCheckpoint(spark: SparkSession, v: Long): Option[(Long, Seq[Action])] =
     lastCheckpointVersion().filter(_ <= v)
       .orElse(scanCheckpointAtOrBelow(v)).map { cv =>
-      val lines = spark.read.parquet(ckptPath(cv).toString)
-        .collect().map(_.getString(0))
+      // small checkpoints (the overwhelmingly common case) read ON THE
+      // DRIVER: one footer + one row-group decode instead of a Spark
+      // job + collect per cold snapshot resolution (r16). Large or
+      // multi-part checkpoints keep the parallel Spark read.
+      val lines = TxnLog.readCheckpointDriverSide(ckptPath(cv)).getOrElse(
+        spark.read.parquet(ckptPath(cv).toString)
+          .collect().map(_.getString(0)).toSeq)
       (cv, lines.flatMap(Actions.fromJson).toSeq)
     }
 
@@ -581,6 +595,82 @@ final class TxnLog(val tablePath: String,
 
 object TxnLog {
   val CheckpointInterval = 10
+
+  /** Size above which a checkpoint directory is read through Spark
+    * instead of on the driver (multi-part checkpoints always are).
+    */
+  private val DriverReadMaxBytes: Long = 64L * 1024 * 1024
+
+  private val parquetSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType("message graft_checkpoint { optional binary action (UTF8); }")
+
+  /** Write `lines` as one snappy parquet part + _SUCCESS, driver-side —
+    * byte-compatible with what the Spark single-part write produced.
+    */
+  private[lake] def writeCheckpointFileDriverSide(dir: Path,
+      lines: Seq[String]): Unit = {
+    // mode("overwrite") semantics: replace whatever is there
+    if (Files.exists(dir)) {
+      val w = Files.walk(dir)
+      val all = try w.iterator().asScala.toSeq finally w.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(dir)
+    val part = dir.resolve("part-00000-driver.snappy.parquet")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport
+      .setSchema(parquetSchema, conf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.toString), conf))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val factory =
+        new org.apache.parquet.example.data.simple.SimpleGroupFactory(parquetSchema)
+      lines.foreach { l =>
+        val g = factory.newGroup()
+        g.append("action", l)
+        writer.write(g)
+      }
+    } finally writer.close()
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
+
+  /** Driver-side read of a small checkpoint directory; None when the
+    * directory is large/multi-part (callers fall back to Spark).
+    */
+  private[lake] def readCheckpointDriverSide(dir: Path): Option[Seq[String]] = {
+    val s = Files.list(dir)
+    val parts =
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.toSeq.sortBy(_.toString)
+      finally s.close()
+    if (parts.isEmpty || parts.map(Files.size).sum > DriverReadMaxBytes)
+      return None
+    val out = Seq.newBuilder[String]
+    parts.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(p.toString))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          // action is optional: a null cell (never written by us, but
+          // tolerated like the Spark reader would) is skipped
+          if (g.getFieldRepetitionCount("action") > 0)
+            out += g.getString("action", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    Some(out.result())
+  }
 
   /** How long an undecided multi-table reservation's mtime may age
     * (invisible but not abortable) before any accessor may decide

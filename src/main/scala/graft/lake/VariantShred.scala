@@ -57,16 +57,30 @@ object VariantShred {
   val ColPrefix = "_graft_shred_"
 
   /** Deterministic companion name: readable stem + a CRC of the raw
-    * path, so two paths that sanitize identically (`$.a.b` / `$.a_b`)
-    * never collide.
+    * path AND the declared type, so two paths that sanitize identically
+    * (`$.a.b` / `$.a_b`) never collide — and re-declaring an existing
+    * path with a DIFFERENT type yields a fresh companion. Old files'
+    * companions were computed under `try_variant_get` of the OLD type
+    * (values that miss the old cast are null and absent from the
+    * stats); if the new-typed read rewrite matched the old companion's
+    * stale bounds, files holding rows that match under the new type
+    * could be pruned — silently dropping rows from reads and from
+    * DML candidate sets. A type-qualified name makes old-typed stats
+    * structurally unmatchable instead.
     */
-  def shredColName(vcol: String, path: String): String = {
+  def shredColName(vcol: String, path: String, dt: DataType): String = {
     val stem = path.stripPrefix("$").replaceAll("[^A-Za-z0-9]+", "_")
       .stripPrefix("_").stripSuffix("_")
     val crc = new CRC32
-    crc.update(path.getBytes("UTF-8"))
+    crc.update(s"$path::${canonicalType(dt)}".getBytes("UTF-8"))
     f"$ColPrefix${vcol}__${stem}_${crc.getValue}%08x"
   }
+
+  /** Canonical type string for the name CRC: DDL sql form is already
+    * canonical for a parsed DataType (e.g. 'int' and 'INTEGER' both
+    * parse to IntegerType whose .sql is 'INT').
+    */
+  private def canonicalType(dt: DataType): String = dt.sql
 
   /** Parse every `graft.variant.shred.*` property. Specs are keyed by
     * the variant column's LOGICAL name at declaration time; after a
@@ -87,7 +101,8 @@ object VariantShred {
           val (path, tpe) = (parts(0).trim, parts(1).trim)
           require(path.startsWith("$"),
             s"variant shred path '$path' must start with '$$'")
-          Spec(vcol, path, DataType.fromDDL(tpe), shredColName(vcol, path))
+          val dt = DataType.fromDDL(tpe)
+          Spec(vcol, path, dt, shredColName(vcol, path, dt))
         }
       case _ => Nil
     }

@@ -79,11 +79,39 @@ class VariantSpec extends GraftSparkSpec {
     val shredCols = raw.columns.filter(_.startsWith(VariantShred.ColPrefix))
     assert(shredCols.length == 2, raw.columns.mkString(","))
     // companion values equal the extraction (null-free here)
-    val sc = VariantShred.shredColName("pay", "$.m.score")
+    val sc = VariantShred.shredColName("pay", "$.m.score",
+      org.apache.spark.sql.types.LongType)
     assert(raw.filter(col(sc).isNotNull).count() == 10L)
     // generic TBLPROPERTIES path gets the same validation
     intercept[IllegalArgumentException](t.setTableProperties(
       Map(VariantShred.PropPrefix + "id" -> "$.x::int")))
+  }
+
+  test("re-declaring a path with a different type yields a fresh companion") {
+    // old-typed companions carry stats computed under try_variant_get of
+    // the OLD type; if the new-typed rewrite matched them, stale bounds
+    // could prune files whose rows match under the new type. The name
+    // CRC includes the canonical type, so the stale stats never match.
+    val asInt = VariantShred.shredColName("pay", "$.m.score",
+      org.apache.spark.sql.types.IntegerType)
+    val asLong = VariantShred.shredColName("pay", "$.m.score",
+      org.apache.spark.sql.types.LongType)
+    assert(asInt != asLong)
+    // same path+type spelled differently is canonicalized to ONE name
+    val asLong2 = VariantShred.shredColName("pay", "$.m.score",
+      org.apache.spark.sql.types.DataType.fromDDL("long"))
+    assert(asLong == asLong2)
+    val t = GraftTable.create(spark, tmpDir("variant_retype"), payloadDf(1 to 50))
+    t.setVariantShred("pay", Seq("$.m.score" -> "int"))
+    t.append(payloadDf(51 to 100).coalesce(1))
+    t.setVariantShred("pay", Seq("$.m.score" -> "bigint"))
+    // files written under the int declaration carry only the int-typed
+    // companion: a bigint predicate must keep them (stat gap), never
+    // prune off the stale int stats
+    val (kept, total) = t.pruneFiles(score > 1000L)
+    assert(total == kept || kept >= 2,
+      s"old-typed files must stay conservative: kept=$kept total=$total")
+    assert(t.readWhere(score <= 100L).count() == 100L)
   }
 
   test("variant_get predicates skip files via companion stats") {
