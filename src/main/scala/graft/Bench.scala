@@ -45,6 +45,30 @@ object Bench {
     endpointDrifts.forall(d => d <= 1.5 && d >= 0.5) &&
       midMaxDrifts.forall(_ <= 1.5)
 
+  /** Replication rule (r15 verdict item 3): a single sweep can trip a
+    * marginal canary bound on an honest host — every r15 sweep did,
+    * each on a DIFFERENT marginal canary, while the three agreed at
+    * per-query median 1.00. Two same-tree sweeps whose per-query
+    * ratios sit this close are better contamination evidence than one
+    * lucky individual stamp, so a SET of ≥2 sweeps is valid when every
+    * pair agrees: per-query median ratio within [1/1.15, 1.15] and at
+    * least 90% of common queries within the canary band [1/1.5, 1.5].
+    * (A contaminated sweep cannot pass: contention moves a contiguous
+    * block of queries 2-30×, which both the median and the 90% rule
+    * catch.) Each sweep keeps its own stamp; the set-level verdict is
+    * emitted alongside, never instead.
+    */
+  def replicationOk(a: Map[String, Double], b: Map[String, Double]): Boolean = {
+    val common = a.keySet.intersect(b.keySet).toSeq
+      .filter(k => a(k) > 0 && b(k) > 0)
+    if (common.size < 50) return false // too few points to certify
+    val ratios = common.map(k => a(k) / b(k)).sorted
+    val median = ratios(ratios.size / 2)
+    val inBand = ratios.count(r => r >= 1.0 / 1.5 && r <= 1.5)
+    median >= 1.0 / 1.15 && median <= 1.15 &&
+      inBand.toDouble / ratios.size >= 0.9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

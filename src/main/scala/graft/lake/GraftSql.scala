@@ -1231,7 +1231,9 @@ final class GraftSql(spark: SparkSession) {
         val t = table(name)
         val v =
           if (cols == null)
-            t.commitRemoveProperty("graft.clusterBy")
+            // NONE is an explicit choice: records the opt-out so
+            // CLUSTER BY AUTO never re-picks over it (L120)
+            t.clearClusterBy()
           else t.setTableProperties(Map("graft.clusterBy" ->
             cols.split(",").map(_.trim).filter(_.nonEmpty).mkString(",")))
         Seq(("clusterBy", Option(cols).getOrElse("NONE")),

@@ -110,13 +110,34 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[graft] def dfFor(snap: Snapshot, files: Seq[AddFile]): DataFrame =
     dfForFiles(snap, files)
 
+  /** Snapshot for a PUBLIC read: one resolution, with the attached-
+    * table auto-sync staleness probe applied — shared by every read
+    * entry point (toDF, readWhere, row-id and dynamically-pruned
+    * reads), so a predicate read can never serve older data than an
+    * unfiltered read issued at the same moment (r16 advisory fix).
+    * A failing in-read sync (source file vanished mid-sync) degrades
+    * to the last-synced local state with a warning instead of failing
+    * a plain read; the next explicit resync surfaces the error.
+    */
+  private def readSnapshot(): Snapshot = {
+    val s0 = snapshot
+    val synced =
+      try maybeAutoSync(s0)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[graft] auto-sync of attached table $path " +
+            s"failed; serving the last-synced state: ${e.getMessage}")
+          false
+      }
+    if (synced) snapshot else s0
+  }
+
   def toDF: DataFrame = {
     // ONE snapshot resolution per read: `s` IS the current snapshot,
     // so the policy extracts from it directly instead of re-listing
     // the log through `currentPolicy` (r15 profiling fix); the
     // auto-sync probe reuses it and only a real sync re-resolves
-    val s0 = snapshot
-    val s = if (maybeAutoSync(s0)) snapshot else s0
+    val s = readSnapshot()
     val p = policyOf(s)
     governed(dfForFiles(s, policyPruned(p, s, s.activeFiles)), p)
   }
@@ -155,7 +176,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * plain one. The caller still applies the full predicate.
     */
   def readWhereWithRowIds(predicate: Option[Column]): DataFrame = {
-    val s = snapshot
+    val s = readSnapshot() // auto-sync probe: same freshness as toDF
     predicate.foreach(recordPredicate(s, _))
     require(rowTrackingOn(s),
       s"row tracking is not enabled on $path (set graft.rowTracking=true at create)")
@@ -879,7 +900,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * predicate is still applied, so this is pure I/O reduction.
     */
   def readWhere(predicate: Column): DataFrame = {
-    val s = snapshot
+    val s = readSnapshot() // auto-sync probe: same freshness as toDF
     recordPredicate(s, predicate)
     // a predicate over a MASKED column cannot drive stats/bloom
     // pruning (footer stats describe RAW values, the user queries the
@@ -926,7 +947,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def readDynamicallyPrunedMulti(dim: DataFrame, keys: Seq[String],
       maxKeys: Int = 10000, versionAsOf: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "dynamic pruning needs at least one key column")
-    val s = versionAsOf.map(snapshotAt).getOrElse(snapshot)
+    // auto-sync probe on head reads only — a pinned VERSION AS OF is a
+    // historical state and must not trigger (or follow) a sync
+    val s = versionAsOf.map(snapshotAt).getOrElse(readSnapshot())
     // join keys are clustering signals too (L120)
     keys.filter(s.schema.fieldNames.contains) match {
       case Nil =>
@@ -1872,7 +1895,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     deleteRecursively(staging)
 
     val stats = Stats.collect(spark, moved.map(r => root.resolve(r).toString))
-    moved.map { rel =>
+    val adds = moved.map { rel =>
       val abs = root.resolve(rel)
       val partVals = rel.split('/').dropRight(1).filter(_.contains("="))
         .map { seg =>
@@ -1885,6 +1908,52 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       AddFile(rel, partVals, Files.size(abs),
         Files.getLastModifiedTime(abs).toMillis, dataChange,
         stats.get(abs.toString))
+    }
+    enforceNotNullFromStats(adds)
+    adds
+  }
+
+  /** Write-path NOT NULL enforcement from the staged files' own footer
+    * stats (r16): every absorb already collects per-file nullCounts, so
+    * non-nullable PRIMITIVE columns validate for free — no extra scan
+    * of the incoming frame (the job `validateConstraints` used to pay
+    * per write). Non-primitive columns (struct/array/map/variant) have
+    * no footer nullCount and stay on the in-frame check; partition
+    * columns validate from their directory value (a NULL partitions as
+    * the Hive default marker). Runs BEFORE any commit references the
+    * files; on violation the moved files are deleted and the same
+    * IllegalArgumentException the in-frame check threw surfaces.
+    */
+  private def enforceNotNullFromStats(adds: Seq[AddFile]): Unit = {
+    if (adds.isEmpty || !log.exists) return
+    val s = snapshot
+    val notNull = s.schema.fields.filterNot(_.nullable)
+      .filter(f => GraftTable.statAtomic(f.dataType))
+    if (notNull.isEmpty) return
+    def abort(colName: String, n: Long): Nothing = {
+      adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+      throw new IllegalArgumentException(
+        s"requirement failed: NOT NULL constraint on $colName violated " +
+          s"by $n incoming rows")
+    }
+    notNull.foreach { f =>
+      val pn = s.physicalName(f.name)
+      // strictly stats-based, so a write that REPLACES the schema or
+      // partitioning (CREATE OR REPLACE, repartitionTable) — where the
+      // pre-commit snapshot's column may not exist in the staged files
+      // at all — is never misread as a violation: a file contributes
+      // only where it actually carries the column, as a footer
+      // nullCount or as its own partition-directory value. Frames that
+      // DO carry the column always produce footer nullCounts (the
+      // Spark writer emits them unconditionally), so enforcement on
+      // the normal append/update/merge paths is complete.
+      val asPartition = adds.filter(_.partitionValues.contains(pn))
+      val markerNulls = asPartition.filter(_.partitionValues(pn) ==
+          "__HIVE_DEFAULT_PARTITION__")
+        .flatMap(_.stats.map(_.numRecords)).sum
+      if (markerNulls > 0) abort(f.name, markerNulls)
+      val fromStats = adds.flatMap(_.stats.flatMap(_.nullCounts.get(pn))).sum
+      if (fromStats > 0) abort(f.name, fromStats)
     }
   }
 
@@ -3178,9 +3247,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       m.copy(properties = {
         val merged = m.properties ++ props
         // an EXPLICIT clustering choice sheds the auto-authored stamp
-        // so CLUSTER BY AUTO (L120) never overrides it afterwards
+        // (and any earlier explicit-NONE record) so CLUSTER BY AUTO
+        // (L120) never overrides it afterwards
         if (props.contains("graft.clusterBy"))
-          merged - "graft.clusterBy.auto"
+          merged - "graft.clusterBy.auto" - GraftTable.ClusterNoneProp
         else merged
       }))
   }
@@ -3649,6 +3719,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       info("UNSET TBLPROPERTIES", params = Map("key" -> key)))(m =>
       m.copy(properties = m.properties - key))
 
+  /** `ALTER TABLE ... CLUSTER BY NONE`: drops the clustering spec AND
+    * records the opt-out as an explicit choice — the auto stamp goes
+    * too, and [[maybeAutoClusterSpec]] respects [[GraftTable.ClusterNoneProp]]
+    * so CLUSTER BY AUTO never re-installs keys over a user's NONE
+    * (L120 contract, r16 advisory fix). One metadata commit.
+    */
+  def clearClusterBy(): Long =
+    commitMetadataMerge(
+      info("CLUSTER BY NONE", params = Map.empty))(m =>
+      m.copy(properties = m.properties - "graft.clusterBy" -
+        "graft.clusterBy.auto" + (GraftTable.ClusterNoneProp -> "true")))
+
   /** `ALTER TABLE ... ADD COLUMN`: metadata-only schema extension — no
     * data file is touched; existing files read the new column as null
     * through the same scan path mergeSchema evolution uses. Schema
@@ -3788,7 +3870,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           (n: Long) => require(n == 0,
             s"CHECK constraint $name ($exprSql) violated by $n incoming rows"))
       } ++
-      notNullCols.filter(df.columns.contains).map { c =>
+      // primitive NOT NULL columns validate from the staged files'
+      // footer nullCounts instead ([[enforceNotNullFromStats]] — zero
+      // extra scans); only nested/variant columns, which footers can't
+      // count, stay in the in-frame pass
+      notNullCols.filter(c => df.columns.contains(c) &&
+          !GraftTable.statAtomic(s.schema(c).dataType)).map { c =>
         (count(when(col(c).isNull, lit(1))),
           (n: Long) => require(n == 0,
             s"NOT NULL constraint on $c violated by $n incoming rows"))
@@ -4965,6 +5052,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (!props.get("graft.clusterAuto").contains("true")) return false
     if (props.contains("graft.clusterBy") &&
         !props.get("graft.clusterBy.auto").contains("true")) return false
+    // CLUSTER BY NONE is an explicit choice too: auto must not re-pick
+    // keys over a recorded opt-out (L120 contract, r16 advisory fix)
+    if (props.get(GraftTable.ClusterNoneProp).contains("true")) return false
     val fresh = PredicateStats.drain(path)
     val merged = {
       val old = PredicateStats.parse(props.get("graft.clusterAuto.stats"))
@@ -6324,8 +6414,27 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
 object GraftTable {
 
+  /** Types whose parquet footers carry a per-column nullCount (leaf
+    * primitives) — the ones write-path NOT NULL enforcement can check
+    * from stats alone (r16). Nested/variant columns have no leaf of
+    * their own and keep the in-frame check.
+    */
+  private[lake] def statAtomic(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.StructType => false
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case org.apache.spark.sql.types.VariantType => false
+      case _ => true
+    }
+
   private[lake] val TagProp = "graft.tag."
   private[lake] val TagNameRe = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
+
+  /** Explicit `CLUSTER BY NONE` record: auto-clustering (L120) must
+    * respect a user's opt-out exactly like an explicit column choice.
+    */
+  private[lake] val ClusterNoneProp = "graft.clusterBy.none"
 
   // row filters & column masks (L114)
   private[lake] val RowFilterProp = "graft.rowFilter"

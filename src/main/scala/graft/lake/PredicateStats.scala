@@ -23,13 +23,22 @@ object PredicateStats {
 
   def record(root: String, cols: Iterable[String]): Unit =
     cols.foreach { c =>
-      counts.computeIfAbsent((root, c), _ => new AtomicLong())
-        .incrementAndGet()
+      val key = (root, c)
+      counts.computeIfAbsent(key, _ => new AtomicLong()).incrementAndGet()
+      // drain() races record(): it can remove the counter between our
+      // computeIfAbsent and the increment, orphaning this observation.
+      // Re-check membership after the bump and re-record on a miss —
+      // the drain that removed it has already folded the PRE-increment
+      // value, so re-adding 1 loses nothing and double-counts nothing
+      // (the orphaned AtomicLong is unreachable to any future drain).
+      if (!counts.containsKey(key))
+        counts.computeIfAbsent(key, _ => new AtomicLong()).incrementAndGet()
     }
 
-  /** Remove and return this root's counters (exactly-once fold into
-    * the durable property — a second drain sees only reads that
-    * arrived since).
+  /** Remove and return this root's counters (fold into the durable
+    * property — a second drain sees only reads that arrived since;
+    * record()'s post-increment re-check keeps concurrent observations
+    * from vanishing into a just-removed counter).
     */
   def drain(root: String): Map[String, Long] = {
     val keys = counts.keySet().asScala.filter(_._1 == root).toSeq

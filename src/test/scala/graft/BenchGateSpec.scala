@@ -33,6 +33,26 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.driftsOk(Seq(0.7), Nil), "benign JIT warming passes")
   }
 
+  test("replication rule: two same-tree sweeps at per-query median ~1 " +
+      "certify the set; a contaminated block or thin overlap refuses") {
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 120).map(i => s"q$i" -> (0.2 + rnd.nextDouble())).toMap
+    // honest replication: every query within ±10%
+    val b = base.map { case (k, v) => k -> v * (0.95 + 0.1 * rnd.nextDouble()) }
+    assert(Bench.replicationOk(base, b))
+    // r10-style contamination: a contiguous 30-query block 6-29× slower
+    val contaminated = base.map { case (k, v) =>
+      val idx = k.stripPrefix("q").toInt
+      k -> (if (idx <= 30) v * (6 + idx % 24) else v)
+    }
+    assert(!Bench.replicationOk(base, contaminated),
+      "a 25% contaminated block must fail the 90% band rule")
+    // a global 1.3× shift (different host band) fails the median rule
+    assert(!Bench.replicationOk(base, base.map { case (k, v) => k -> v * 1.3 }))
+    // too few common points cannot certify anything
+    assert(!Bench.replicationOk(base.take(10), base.take(10)))
+  }
+
   test("a mid-run burst that dies before the end canary rejects; the " +
       "load floor stays usable on small hosts") {
     assert(!Bench.driftsOk(Seq(1.0, 1.0, 1.0), Seq(1.0, 2.4, 1.0)))

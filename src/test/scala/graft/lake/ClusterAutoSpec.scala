@@ -88,6 +88,32 @@ class ClusterAutoSpec extends GraftSparkSpec {
       .get("graft.clusterBy").contains("other"))
   }
 
+  test("CLUSTER BY NONE is explicit too: auto never re-picks over it") {
+    val t = GraftTable.create(spark, tmpDir("cauto_none"),
+      df(400).repartition(2))
+    t.setTableProperties(Map("graft.clusterAuto" -> "true"))
+    t.readWhere(col("cat") === "c1").count()
+    t.optimize()
+    assert(t.snapshot.metadata.get.properties
+      .get("graft.clusterBy.auto").contains("true"))
+    val gsql = new GraftSql(spark)
+    gsql.register("cauto_none_t", t.path)
+    gsql.sql("ALTER TABLE cauto_none_t CLUSTER BY NONE")
+    val cleared = t.snapshot.metadata.get.properties
+    assert(!cleared.contains("graft.clusterBy"), cleared)
+    assert(!cleared.contains("graft.clusterBy.auto"), cleared)
+    // fresh heavy history + OPTIMIZE must NOT re-install clustering
+    (1 to 5).foreach(_ => t.readWhere(col("cat") === "c2").count())
+    t.optimize()
+    val after = t.snapshot.metadata.get.properties
+    assert(!after.contains("graft.clusterBy"),
+      s"auto re-picked over an explicit NONE: $after")
+    // ...until a LATER explicit CLUSTER BY re-opts in and clears NONE
+    t.setTableProperties(Map("graft.clusterBy" -> "other"))
+    assert(!t.snapshot.metadata.get.properties
+      .contains(GraftTable.ClusterNoneProp))
+  }
+
   test("partition columns are excluded from the pick; no history → " +
       "plain compaction") {
     val t = GraftTable.create(spark, tmpDir("cauto_part"),
