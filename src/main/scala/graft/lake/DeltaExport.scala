@@ -215,13 +215,10 @@ object DeltaExport {
     // fingerprint input); one bounded job over the DV sidecars
     val dvRefs: Map[String, Seq[String]] =
       if (s.dvFiles.isEmpty) Map.empty
-      else spark.read.parquet(s.dvFiles.map(t.dataPath): _*)
-        .select(col("file_path"),
-          col("_metadata.file_path").as("__sidecar"))
-        .distinct().collect()
-        .groupBy(r => GraftTable.canonicalFsPath(r.getString(0)))
+      else DvSidecar.refsBySidecar(spark, s.dvFiles.map(t.dataPath))
+        .groupBy(r => GraftTable.canonicalFsPath(r._1))
         .map { case (f, rows) =>
-          f -> rows.map(_.getString(1)).toSeq.sorted.distinct
+          f -> rows.map(_._2).toSeq.sorted.distinct
         }
     val masked: Seq[AddFile] =
       if (dvRefs.isEmpty) Nil

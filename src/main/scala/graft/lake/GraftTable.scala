@@ -95,7 +95,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // merge-on-read: mask rows marked by deletion vectors via an
       // anti join on (file, row position) — the scan itself is
       // untouched, so deletes cost no rewrite until compaction
-      val dv = spark.read.parquet(snap.dvFiles.map(dataPath): _*)
+      val dv = DvSidecar.read(spark, snap.dvFiles.map(dataPath))
         .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
       physicalScan(snap, files, withMeta = true)
         .join(dv, col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
@@ -222,7 +222,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           (s.schema.fields :+ extra) ++ metaFields))
     val scan0 = physicalScan(s, files, withMeta = true, extraCols = Seq(extra))
     val scan = if (s.dvFiles.isEmpty) scan0 else {
-      val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+      val dv = DvSidecar.read(spark, s.dvFiles.map(dataPath))
         .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
       scan0.join(dv,
         col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
@@ -654,10 +654,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // (file gone) plus MoR row deletes (new DV referencing the file)
     def dvTouched(t: GraftTable, newDvRels: Seq[String]): Set[Path] =
       if (newDvRels.isEmpty) Set.empty
-      else spark.read.parquet(newDvRels.map(t.dataPath): _*)
-        .select("file_path").distinct().collect()
-        .map(r => Paths.get(
-          GraftTable.canonicalFsPath(r.getString(0)))).toSet
+      else DvSidecar.distinctFilePaths(spark, newDvRels.map(t.dataPath))
+        .map(p => Paths.get(GraftTable.canonicalFsPath(p))).toSet
     val baseDvAbs = base.dvFiles.map(p => absOf(this, p)).toSet
     val pDvNew = head.dvFiles.map(p => absOf(this, p))
       .filterNot(baseDvAbs.contains)
@@ -2224,8 +2222,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val baseDvAbs = b.dvFiles.map(p => absOf(this, p)).toSet
     val dvAdds = s2.dvFiles.map(p => absOf(shadow, p))
       .filterNot(baseDvAbs.contains).map { abs =>
-        val keys = spark.read.parquet(abs.toString)
-          .select("file_path").distinct().collect().map(_.getString(0))
+        val keys = DvSidecar.distinctFilePaths(spark, Seq(abs.toString))
         require(!keys.exists(_.contains(shadowRoot.toString)),
           "a merge-on-read mask over a row inserted in the same " +
             "transaction cannot outlive the shadow — use copy-on-write " +
@@ -2360,7 +2357,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val masked =
           if (s.dvFiles.isEmpty) scan0
           else {
-            val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+            val dv = DvSidecar.read(spark, s.dvFiles.map(dataPath))
               .select(col("file_path").as("__dv_fp"),
                 col("row_index").as("__dv_ri"))
             scan0.join(dv,
@@ -4055,7 +4052,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val maskedScan0 =
       if (s.dvFiles.isEmpty) scan0
       else {
-        val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+        val dv = DvSidecar.read(spark, s.dvFiles.map(dataPath))
           .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
         scan0.join(dv,
           col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
@@ -4173,7 +4170,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val maskedScan =
       if (s.dvFiles.isEmpty) scan0
       else {
-        val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+        val dv = DvSidecar.read(spark, s.dvFiles.map(dataPath))
           .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
         scan0.join(dv,
           col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
@@ -4641,7 +4638,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val masked =
           if (s.dvFiles.isEmpty) scan0
           else {
-            val dv = spark.read.parquet(s.dvFiles.map(dataPath): _*)
+            val dv = DvSidecar.read(spark, s.dvFiles.map(dataPath))
               .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
             scan0.join(dv,
               col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
@@ -5161,8 +5158,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           val maskedActive =
             if (s.dvFiles.isEmpty) Nil
             else {
-              val dvPaths = spark.read.parquet(s.dvFiles.map(dataPath): _*)
-                .select("file_path").distinct().collect().map(_.getString(0))
+              val dvPaths = DvSidecar.distinctFilePaths(spark, s.dvFiles.map(dataPath))
               GraftTable.dvMaskedFiles(dvPaths.toIndexedSeq, s.activeFiles, dataPath)
             }
           val scope = (newFiles ++ maskedActive).distinctBy(_.path)
@@ -5275,8 +5271,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // DV marks key on _metadata.file_path URIs; resolve them to log
     // entries through canonical filesystem paths (guarded against
     // representation drift — see GraftTable.dvMaskedFiles)
-    val dvPaths = spark.read.parquet(s.dvFiles.map(dataPath): _*)
-      .select("file_path").distinct().collect().map(_.getString(0))
+    val dvPaths = DvSidecar.distinctFilePaths(spark, s.dvFiles.map(dataPath))
     val masked = GraftTable.dvMaskedFiles(
       dvPaths.toIndexedSeq, s.activeFiles, dataPath)
     reorgPurgeFiles(s, masked, retireDvs = true, targetBytes)
@@ -5338,9 +5333,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case None => return
     }
     if (s.dvFiles.isEmpty || threshold <= 0.0) return
-    val counts = spark.read.parquet(s.dvFiles.map(dataPath): _*)
-      .groupBy("file_path").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = DvSidecar.countsByFile(spark, s.dvFiles.map(dataPath))
     val byCanon = s.activeFiles
       .map(f => GraftTable.canonicalFsPath(dataPath(f.path)) -> f).toMap
     val offending = counts.flatMap { case (u, n) =>
@@ -5532,8 +5525,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val (maskedPaths, matByGroup): (Set[String], Map[String, Seq[String]]) =
       if (s.dvFiles.isEmpty) (Set.empty, Map.empty)
       else {
-        val dvPaths = spark.read.parquet(s.dvFiles.map(dataPath): _*)
-          .select("file_path").distinct().collect().map(_.getString(0))
+        val dvPaths = DvSidecar.distinctFilePaths(spark, s.dvFiles.map(dataPath))
         val masked = GraftTable.dvMaskedFiles(
           dvPaths.toIndexedSeq, s.activeFiles, dataPath)
         if (masked.isEmpty) (Set.empty, Map.empty)
@@ -7002,8 +6994,17 @@ object GraftTable {
         .select(col("__canonical").as("file_path"),
           col("pos").as("row_index"))
       masked.write.mode("overwrite").parquet(s"$destPath/$rel")
-      if (spark.read.parquet(s"$destPath/$rel").isEmpty) {
-        t.deleteRecursively(Paths.get(destPath).resolve(rel)); Nil
+      // zero-mask probe from the just-written footers (driver-side
+      // metadata read), not a Spark job over the sidecar
+      val dvDir = Paths.get(destPath).resolve(rel)
+      val dvWalk = Files.walk(dvDir)
+      val dvRows = try dvWalk.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.map(p => Stats.statsForFile(p.toString).numRecords).sum
+      finally dvWalk.close()
+      if (dvRows == 0) {
+        t.deleteRecursively(dvDir); Nil
       } else Seq(AddDV(rel))
     }
 
@@ -7138,8 +7139,7 @@ object GraftTable {
     val now = System.currentTimeMillis()
     val dvPaths: Seq[String] =
       if (snap.dvFiles.isEmpty) Nil
-      else spark.read.parquet(snap.dvFiles.map(src.dataPath): _*)
-        .select("file_path").distinct().collect().map(_.getString(0)).toSeq
+      else DvSidecar.distinctFilePaths(spark, snap.dvFiles.map(src.dataPath))
     val maskedSet =
       dvMaskedFiles(dvPaths, snap.activeFiles, src.dataPath).map(_.path).toSet
     val (masked, plain) =

@@ -334,7 +334,7 @@ object IcebergExport {
       val abs = Paths.get(tt.dataPath(f.path)).toAbsolutePath.normalize
       entry(fileUri(abs.toString),
         f.stats.map(_.numRecords).getOrElse(
-          spark.read.parquet(abs.toString).count()),
+          Stats.statsForFile(abs.toString).numRecords),
         f.size, seq = 1L, content = 0,
         f.partitionValues.map { case (k, v) => revMap.getOrElse(k, k) -> v })
     }
@@ -356,7 +356,7 @@ object IcebergExport {
           .map(f => fileUri(
             Paths.get(tt.dataPath(f.path)).toAbsolutePath.normalize.toString))
           .toDF("file_path")
-        val raw = spark.read.parquet(ss.dvFiles.map(tt.dataPath): _*)
+        val raw = DvSidecar.read(spark, ss.dvFiles.map(tt.dataPath))
           .select(col("file_path"), col("row_index").as("pos"))
           // sidecars can carry entries for files later rewritten out
           // of the table (partial ZORDER): export only live masks.
@@ -372,13 +372,16 @@ object IcebergExport {
           raw.repartitionByRange(parts, col("file_path"), col("pos"))
             .sortWithinPartitions("file_path", "pos")
             .write.mode("overwrite").parquet(delDir.toString)
-          // per-written-file (path, rows, bytes) — O(#delete files)
-          val written = spark.read.parquet(delDir.toString)
-            .groupBy(col("_metadata.file_path").as("p"),
-              col("_metadata.file_size").as("sz"))
-            .agg(count(lit(1)).as("n"))
-            .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1)))
-            .sortBy(_._1).toSeq
+          // per-written-file (path, rows, bytes) — O(#delete files),
+          // from the just-written footers on the driver (no Spark job)
+          val delWalk = Files.walk(delDir)
+          val written = try delWalk.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          }.map(p => (fileUri(p.toAbsolutePath.normalize.toString),
+            Stats.statsForFile(p.toString).numRecords,
+            Files.size(p))).toSeq.sortBy(_._1)
+          finally delWalk.close()
           val delEntries = written.map { case (p, n, sz) =>
             entry(p, n, sz, seq = 2L, content = 1, Map.empty)
           }
