@@ -6980,32 +6980,54 @@ object GraftTable {
       parts: IcebergAttachParts, destPath: String): Seq[Action] =
     if (parts.parsed.deleteFiles.isEmpty) Nil
     else {
-      import spark.implicits._
-      val bridge = parts.parsed.dataFiles.map(_._1).map { u =>
-        (u, IcebergExport.fileUri(parts.resolve(u)))
-      }.toDF("file_path", "__canonical")
       val rel = s"_graft_dv/dv-${java.util.UUID.randomUUID()}"
-      val masked = spark.read
-        .parquet(parts.parsed.deleteFiles.map(parts.resolve): _*)
-        .select(col("file_path").cast("string").as("file_path"),
-          col("pos").cast("long").as("pos"))
-        // inner join drops masks for files no longer live — correct
-        .join(broadcast(bridge), Seq("file_path"))
-        .select(col("__canonical").as("file_path"),
-          col("pos").as("row_index"))
-      masked.write.mode("overwrite").parquet(s"$destPath/$rel")
-      // zero-mask probe from the just-written footers (driver-side
-      // metadata read), not a Spark job over the sidecar
-      val dvDir = Paths.get(destPath).resolve(rel)
-      val dvWalk = Files.walk(dvDir)
-      val dvRows = try dvWalk.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-      }.map(p => Stats.statsForFile(p.toString).numRecords).sum
-      finally dvWalk.close()
-      if (dvRows == 0) {
-        t.deleteRecursively(dvDir); Nil
-      } else Seq(AddDV(rel))
+      val delAbs = parts.parsed.deleteFiles.map(parts.resolve)
+      // small position-delete debt (the common case) bridges on the
+      // driver: stream the delete files through parquet-hadoop, map
+      // manifest paths to canonical URIs, write ONE sidecar part —
+      // zero Spark jobs; above the gate (or a foreign int32 pos
+      // column) the broadcast-join path below handles it
+      DvSidecar.pairsUnderGate(spark, delAbs, posField = "pos") match {
+        case Some(pairs) =>
+          val bridgeMap = parts.parsed.dataFiles.map(_._1).map { u =>
+            u -> IcebergExport.fileUri(parts.resolve(u))
+          }.toMap
+          // inner bridge drops masks for files no longer live — correct
+          val live = pairs.flatMap { case (fp, pos) =>
+            bridgeMap.get(fp).map(c => (c, pos))
+          }
+          if (live.isEmpty) Nil
+          else {
+            DvSidecar.writeDriverSide(Paths.get(destPath).resolve(rel), live)
+            Seq(AddDV(rel))
+          }
+        case None =>
+          import spark.implicits._
+          val bridge = parts.parsed.dataFiles.map(_._1).map { u =>
+            (u, IcebergExport.fileUri(parts.resolve(u)))
+          }.toDF("file_path", "__canonical")
+          val masked = spark.read
+            .parquet(delAbs: _*)
+            .select(col("file_path").cast("string").as("file_path"),
+              col("pos").cast("long").as("pos"))
+            // inner join drops masks for files no longer live — correct
+            .join(broadcast(bridge), Seq("file_path"))
+            .select(col("__canonical").as("file_path"),
+              col("pos").as("row_index"))
+          masked.write.mode("overwrite").parquet(s"$destPath/$rel")
+          // zero-mask probe from the just-written footers (driver-side
+          // metadata read), not a Spark job over the sidecar
+          val dvDir = Paths.get(destPath).resolve(rel)
+          val dvWalk = Files.walk(dvDir)
+          val dvRows = try dvWalk.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          }.map(p => Stats.statsForFile(p.toString).numRecords).sum
+          finally dvWalk.close()
+          if (dvRows == 0) {
+            t.deleteRecursively(dvDir); Nil
+          } else Seq(AddDV(rel))
+      }
     }
 
   /** Attach at a NAMED ref — tag or exported branch (L112/L113 refs):

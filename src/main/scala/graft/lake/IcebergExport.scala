@@ -227,6 +227,47 @@ object IcebergExport {
   private[lake] def fileUri(abs: String): String =
     new org.apache.hadoop.fs.Path(new java.io.File(abs).toURI).toString
 
+  /** Write the sorted live position-delete pairs as ONE snappy parquet
+    * part on the driver — same (file_path STRING, pos BIGINT) shape
+    * the distributed writer produces. Returns the manifest-entry
+    * triple (file URI, rows, bytes).
+    */
+  private def writeDeleteFileDriverSide(delDir: java.nio.file.Path,
+      live: Seq[(String, Long)]): (String, Long, Long) = {
+    if (Files.exists(delDir)) { // mode("overwrite") semantics
+      val w = Files.walk(delDir)
+      val all = try w.iterator().asScala.toSeq finally w.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(delDir)
+    val part = delDir.resolve("part-00000-driver.snappy.parquet")
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message iceberg_delete { optional binary file_path (UTF8); " +
+        "optional int64 pos; }")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.toString), conf))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val factory =
+        new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+      live.foreach { case (fp, pos) =>
+        val g = factory.newGroup()
+        g.append("file_path", fp)
+        g.append("pos", pos)
+        writer.write(g)
+      }
+    } finally writer.close()
+    Files.write(delDir.resolve("_SUCCESS"), Array.emptyByteArray)
+    (fileUri(part.toAbsolutePath.normalize.toString), live.size.toLong,
+      Files.size(part))
+  }
+
   /** Spark StructType for an Iceberg schema JSON node — the exact
     * inverse of [[buildSchema]]'s type conversion (struct / list /
     * the spec's primitive names), used by the ATTACH direction
@@ -351,37 +392,57 @@ object IcebergExport {
     val (deleteManifestOpt, delFileCount, delRowCount) =
       if (ss.dvFiles.isEmpty) (None, 0, 0L)
       else {
-        import spark.implicits._
-        val activeDf = ss.activeFiles
+        val activeUris = ss.activeFiles
           .map(f => fileUri(
             Paths.get(tt.dataPath(f.path)).toAbsolutePath.normalize.toString))
-          .toDF("file_path")
-        val raw = DvSidecar.read(spark, ss.dvFiles.map(tt.dataPath))
-          .select(col("file_path"), col("row_index").as("pos"))
-          // sidecars can carry entries for files later rewritten out
-          // of the table (partial ZORDER): export only live masks.
-          // Broadcast semi-join on the O(#files) metadata listing —
-          // never a literal IN-list (10^6 files at 100 TB)
-          .join(broadcast(activeDf), Seq("file_path"), "left_semi")
-          .distinct()
-        val nDel = raw.count()
-        if (nDel == 0) (None, 0, 0L)
+        val delDir = outRoot.resolve("_deletes").resolve(delSubdir)
+        // Small DV debt (the common per-commit case) rewrites on the
+        // driver: stream the sidecars through parquet-hadoop, drop
+        // masks for files rewritten out of the table, sort, and write
+        // ONE delete file — zero Spark jobs. Above the size gate the
+        // distributed semi-join + range-sorted write below handles the
+        // GB-scale debt a 100 TB table can carry.
+        val written: Seq[(String, Long, Long)] =
+          DvSidecar.pairsUnderGate(spark, ss.dvFiles.map(tt.dataPath)) match {
+            case Some(pairs) =>
+              val activeSet = activeUris.toSet
+              val live = pairs.filter(p => activeSet.contains(p._1))
+                .distinct.sorted
+              if (live.isEmpty) Nil
+              else Seq(writeDeleteFileDriverSide(delDir, live))
+            case None =>
+              import spark.implicits._
+              val activeDf = activeUris.toDF("file_path")
+              val raw = DvSidecar.read(spark, ss.dvFiles.map(tt.dataPath))
+                .select(col("file_path"), col("row_index").as("pos"))
+                // sidecars can carry entries for files later rewritten
+                // out of the table (partial ZORDER): export only live
+                // masks. Broadcast semi-join on the O(#files) metadata
+                // listing — never a literal IN-list (10^6 files at 100 TB)
+                .join(broadcast(activeDf), Seq("file_path"), "left_semi")
+                .distinct()
+              val nDel = raw.count()
+              if (nDel == 0) Nil
+              else {
+                val parts = math.max(1L, (nDel + 4000000L - 1L) / 4000000L).toInt
+                raw.repartitionByRange(parts, col("file_path"), col("pos"))
+                  .sortWithinPartitions("file_path", "pos")
+                  .write.mode("overwrite").parquet(delDir.toString)
+                // per-written-file (path, rows, bytes) — O(#delete
+                // files), from the just-written footers on the driver
+                val delWalk = Files.walk(delDir)
+                try delWalk.iterator().asScala.filter { p =>
+                  val n = p.getFileName.toString
+                  n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+                }.map(p => (fileUri(p.toAbsolutePath.normalize.toString),
+                  Stats.statsForFile(p.toString).numRecords,
+                  Files.size(p))).toSeq.sortBy(_._1)
+                finally delWalk.close()
+              }
+          }
+        if (written.isEmpty) (None, 0, 0L)
         else {
-          val delDir = outRoot.resolve("_deletes").resolve(delSubdir)
-          val parts = math.max(1L, (nDel + 4000000L - 1L) / 4000000L).toInt
-          raw.repartitionByRange(parts, col("file_path"), col("pos"))
-            .sortWithinPartitions("file_path", "pos")
-            .write.mode("overwrite").parquet(delDir.toString)
-          // per-written-file (path, rows, bytes) — O(#delete files),
-          // from the just-written footers on the driver (no Spark job)
-          val delWalk = Files.walk(delDir)
-          val written = try delWalk.iterator().asScala.filter { p =>
-            val n = p.getFileName.toString
-            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-          }.map(p => (fileUri(p.toAbsolutePath.normalize.toString),
-            Stats.statsForFile(p.toString).numRecords,
-            Files.size(p))).toSeq.sortBy(_._1)
-          finally delWalk.close()
+          val nDel = written.map(_._2).sum
           val delEntries = written.map { case (p, n, sz) =>
             entry(p, n, sz, seq = 2L, content = 1, Map.empty)
           }
